@@ -1,0 +1,128 @@
+"""Filter-grammar parser tests — every form observed in the reference's own
+tests/notebooks (SURVEY.md §2.2 must-pass set) plus the wider PostgREST v6
+operator set."""
+
+import pytest
+
+from xcube_geodb_spark.errors import GeoDBError
+from xcube_geodb_spark.filters import apply_postgrest_query, parse_postgrest_query
+
+
+@pytest.fixture(scope="module")
+def land_use(spark):
+    rows = [
+        (i, 5_900_000 + i, raba, f"2019-0{1 + i % 9}-01", name)
+        for i, (raba, name) in enumerate(
+            [
+                (1410, "a"),
+                (1410, "b"),
+                (1300, "c"),
+                (1100, "d"),
+                (7000, "e"),
+                (1600, "f"),
+                (1410, "g"),
+                (1300, "h"),
+                (1100, None),
+                (1410, "j"),
+            ],
+            start=1,
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "id long, raba_pid long, raba_id long, d_od string, name string"
+    )
+
+
+class TestGrammar:
+    def test_eq(self, land_use):
+        out = apply_postgrest_query(land_use, "raba_id=eq.1410").collect()
+        assert sorted(r.id for r in out) == [1, 2, 7, 10]
+
+    def test_gt_ge_aliases(self, land_use):
+        assert apply_postgrest_query(land_use, "id=ge.9").count() == 2
+        assert apply_postgrest_query(land_use, "id=gte.9").count() == 2
+        assert apply_postgrest_query(land_use, "id=gt.9").count() == 1
+        assert apply_postgrest_query(land_use, "id=le.2").count() == 2
+        assert apply_postgrest_query(land_use, "id=lt.2").count() == 1
+
+    def test_or_group(self, land_use):
+        out = apply_postgrest_query(
+            land_use, "or=(raba_id.eq.1300,raba_id.eq.1410)"
+        ).collect()
+        assert sorted(r.id for r in out) == [1, 2, 3, 7, 8, 10]
+
+    def test_nested_and_or(self, land_use):
+        # the eurocrops notebook form: and=(or(...),x.gt.y)
+        q = "and=(or(raba_id.eq.1100,raba_id.eq.1300),raba_pid.gt.5900003)"
+        out = apply_postgrest_query(land_use, q).collect()
+        assert sorted(r.id for r in out) == [4, 8, 9]
+
+    def test_paging_with_order(self, land_use):
+        out = apply_postgrest_query(
+            land_use, "id=ge.1&order=id.asc&limit=2&offset=3"
+        ).collect()
+        assert [r.id for r in out] == [4, 5]
+
+    def test_explicit_paging_overrides(self, land_use):
+        out = apply_postgrest_query(
+            land_use, "order=id.asc", limit=2, offset=8
+        ).collect()
+        assert [r.id for r in out] == [9, 10]
+
+    def test_like_ilike(self, land_use):
+        assert apply_postgrest_query(land_use, "name=like.*a*").count() == 1
+        assert apply_postgrest_query(land_use, "name=ilike.A*").count() == 1
+
+    def test_in(self, land_use):
+        out = apply_postgrest_query(land_use, "raba_id=in.(1100,1600)").collect()
+        assert sorted(r.id for r in out) == [4, 6, 9]
+
+    def test_is_null_and_not(self, land_use):
+        assert apply_postgrest_query(land_use, "name=is.null").count() == 1
+        assert apply_postgrest_query(land_use, "name=not.is.null").count() == 9
+        assert apply_postgrest_query(land_use, "raba_id=not.eq.1410").count() == 6
+
+    def test_not_or(self, land_use):
+        out = apply_postgrest_query(
+            land_use, "not.or=(raba_id.eq.1410,raba_id.eq.1300)"
+        ).collect()
+        assert sorted(r.id for r in out) == [4, 5, 6, 9]
+
+    def test_select_projection(self, land_use):
+        out = apply_postgrest_query(land_use, "select=id,raba_id&raba_id=eq.7000")
+        assert out.columns == ["id", "raba_id"]
+        assert out.count() == 1
+
+    def test_multiple_filters_are_anded(self, land_use):
+        out = apply_postgrest_query(land_use, "raba_id=eq.1410&id=gt.5").collect()
+        assert sorted(r.id for r in out) == [7, 10]
+
+    def test_order_desc_nulls(self, land_use):
+        out = apply_postgrest_query(land_use, "order=name.desc.nullslast").collect()
+        assert out[-1].name is None
+        out = apply_postgrest_query(land_use, "order=name.asc").collect()
+        assert out[0].name is None  # spark default: nulls first on asc
+
+    def test_quoted_string_in_in(self, land_use):
+        out = apply_postgrest_query(land_use, 'name=in.("a","c")').collect()
+        assert sorted(r.id for r in out) == [1, 3]
+
+    def test_date_string_comparison(self, land_use):
+        assert apply_postgrest_query(land_use, "d_od=eq.2019-02-01").count() >= 1
+
+    def test_errors(self, land_use):
+        with pytest.raises(GeoDBError):
+            parse_postgrest_query("raba_id=bogus.1")
+        with pytest.raises(GeoDBError):
+            parse_postgrest_query("or=raba_id.eq.1")
+        with pytest.raises(GeoDBError):
+            parse_postgrest_query("raba_id=in.1,2")
+
+    def test_predicate_pushdown_reaches_scan(self, land_use, tmp_path):
+        # the whole point of compiling to Column trees: filters must reach the
+        # parquet scan as PushedFilters
+        p = str(tmp_path / "land_use_pq")
+        land_use.write.mode("overwrite").parquet(p)
+        df = land_use.sparkSession.read.parquet(p)
+        plan = apply_postgrest_query(df, "raba_id=eq.1410")._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "raba_id" in plan

@@ -1,0 +1,177 @@
+"""Geometry kernel golden tests.
+
+Mirrors the semantics the reference pins in
+``tests/sql/test_sql_functions.py`` (bbox hit/miss per comparison mode,
+extent strings, geometry types) — evaluated against our pure-Python kernel.
+"""
+
+import numpy as np
+import pytest
+
+from xcube_geodb_spark.geometry import (
+    bbox_predicate,
+    envelope,
+    from_geojson,
+    geometry_type_wkb,
+    parse_wkb,
+    parse_wkb_hex,
+    parse_wkt,
+    to_geojson,
+    to_wkb,
+    to_wkb_hex,
+    to_wkt,
+)
+from xcube_geodb_spark.geometry.geom import bbox_polygon
+
+
+class TestCodecs:
+    def test_wkt_point_roundtrip(self):
+        g = parse_wkt("POINT (10 20)")
+        assert g.kind == "Point"
+        assert to_wkt(g) == "POINT (10 20)"
+        assert to_wkt(parse_wkb(to_wkb(g))) == "POINT (10 20)"
+
+    def test_ewkt_srid(self):
+        g = parse_wkt("SRID=3794;POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        assert g.srid == 3794
+        assert g.kind == "Polygon"
+
+    def test_ewkb_hex_roundtrip(self):
+        # EWKB hex like PostGIS returns (SRID flag set)
+        g = parse_wkt("SRID=4326;POINT (-6 9)")
+        h = to_wkb_hex(g)
+        g2 = parse_wkb_hex(h)
+        assert g2.srid == 4326
+        assert to_wkt(g2) == "POINT (-6 9)"
+
+    def test_postgis_ewkb_sample(self):
+        # PostGIS-produced hex EWKB for SRID=4326;POINT(1 2)
+        h = "0101000020E6100000000000000000F03F0000000000000040"
+        g = parse_wkb_hex(h)
+        assert g.srid == 4326
+        assert to_wkt(g) == "POINT (1 2)"
+
+    def test_polygon_with_hole(self):
+        g = parse_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+        assert len(g.parts) == 2
+        rt = parse_wkb(to_wkb(g))
+        assert to_wkt(rt) == to_wkt(g)
+
+    def test_multipolygon_roundtrip(self):
+        w = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))"
+        g = parse_wkt(w)
+        assert to_wkt(parse_wkb(to_wkb(g))) == w
+
+    def test_geojson_roundtrip(self):
+        gj = {"type": "Polygon", "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]}
+        g = from_geojson(gj)
+        assert to_geojson(g) == {
+            "type": "Polygon",
+            "coordinates": [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]],
+        }
+
+    def test_geometry_type_header_only(self):
+        assert geometry_type_wkb(to_wkb(parse_wkt("POINT (1 1)"))) == "POINT"
+        assert (
+            geometry_type_wkb(to_wkb(parse_wkt("SRID=4326;POINT (1 1)"), srid=4326))
+            == "POINT"
+        )
+        assert (
+            geometry_type_wkb(to_wkb(parse_wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))")))
+            == "MULTIPOLYGON"
+        )
+
+    def test_envelope(self):
+        g = parse_wkt("POLYGON ((-6 9, -6 10, 3 10, 3 9, -6 9))")
+        assert envelope(g) == (-6.0, 9.0, 3.0, 10.0)
+
+
+# The FIXTURES.md §3 micro-collection: SRID 4326 polygons with union extent
+# BOX(-6 9, 5 11) — from reference tests/sql/test_sql_functions.py:341-367
+POLY_A = "POLYGON ((-5 10, -5 11, 5 11, 5 10, -5 10))"
+POLY_B = "POLYGON ((-6 9, -6 10, 3 10, 3 9, -6 9))"
+
+
+class TestBboxPredicates:
+    def test_contains(self):
+        box = (-10.0, 5.0, 10.0, 15.0)  # big box containing both polygons
+        assert bbox_predicate("contains", parse_wkt(POLY_A), box)
+        assert bbox_predicate("contains", parse_wkt(POLY_B), box)
+        small = (-1.0, 9.5, 1.0, 10.5)
+        assert not bbox_predicate("contains", parse_wkt(POLY_A), small)
+
+    def test_contains_point_on_boundary_is_false(self):
+        box = (0.0, 0.0, 10.0, 10.0)
+        assert not bbox_predicate("contains", parse_wkt("POINT (0 5)"), box)
+        assert bbox_predicate("contains", parse_wkt("POINT (5 5)"), box)
+
+    def test_within(self):
+        # box within polygon A
+        box = (-1.0, 10.25, 1.0, 10.75)
+        assert bbox_predicate("within", parse_wkt(POLY_A), box)
+        assert not bbox_predicate("within", parse_wkt(POLY_B), box)
+
+    def test_within_respects_holes(self):
+        donut = parse_wkt(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+        )
+        assert bbox_predicate("within", donut, (1.0, 1.0, 3.0, 3.0))
+        assert not bbox_predicate("within", donut, (4.5, 4.5, 5.5, 5.5))  # in hole
+        assert not bbox_predicate("within", donut, (3.0, 3.0, 7.0, 7.0))  # spans hole
+
+    def test_intersects_disjoint(self):
+        g = parse_wkt(POLY_A)
+        assert bbox_predicate("intersects", g, (0.0, 10.5, 20.0, 20.0))
+        assert bbox_predicate("disjoint", g, (6.0, 10.0, 8.0, 11.0))
+        assert not bbox_predicate("intersects", g, (6.0, 10.0, 8.0, 11.0))
+        # box entirely inside polygon still intersects (no edge contact)
+        assert bbox_predicate("intersects", g, (-1.0, 10.25, 1.0, 10.75))
+
+    def test_touches(self):
+        g = parse_wkt(POLY_A)  # spans x[-5,5], y[10,11]
+        assert bbox_predicate("touches", g, (-5.0, 8.0, 5.0, 10.0))  # shares edge y=10
+        assert bbox_predicate("touches", g, (5.0, 11.0, 7.0, 13.0))  # shares corner
+        assert not bbox_predicate("touches", g, (0.0, 10.5, 20.0, 20.0))  # overlap
+
+    def test_overlaps(self):
+        g = parse_wkt(POLY_A)
+        assert bbox_predicate("overlaps", g, (0.0, 10.5, 20.0, 20.0))
+        assert not bbox_predicate("overlaps", g, (-10.0, 5.0, 10.0, 15.0))  # contains
+        assert not bbox_predicate("overlaps", g, (6.0, 10.0, 8.0, 11.0))  # disjoint
+
+    def test_crosses_line(self):
+        line = parse_wkt("LINESTRING (-5 0, 5 0)")
+        assert bbox_predicate("crosses", line, (-1.0, -1.0, 1.0, 1.0))
+        assert not bbox_predicate("crosses", line, (-10.0, -1.0, 10.0, 1.0))  # inside
+        poly = parse_wkt(POLY_A)
+        assert not bbox_predicate("crosses", poly, (0.0, 10.5, 20.0, 20.0))
+
+    def test_equals(self):
+        box = (-5.0, 10.0, 5.0, 11.0)
+        assert bbox_predicate("equals", parse_wkt(POLY_A), box)
+        assert not bbox_predicate("equals", parse_wkt(POLY_B), box)
+
+    def test_point_modes(self):
+        pt = parse_wkt("POINT (-6 9)")
+        assert bbox_predicate("intersects", pt, (-7.0, 8.0, -5.0, 10.0))
+        assert bbox_predicate("contains", pt, (-7.0, 8.0, -5.0, 10.0))
+        assert bbox_predicate("touches", pt, (-6.0, 9.0, 0.0, 10.0))  # on corner
+        assert not bbox_predicate("within", pt, (-7.0, 8.0, -5.0, 10.0))
+
+    def test_invalid_mode_raises(self):
+        from xcube_geodb_spark.errors import GeoDBError
+
+        with pytest.raises(GeoDBError):
+            bbox_predicate("nope", parse_wkt(POLY_A), (0, 0, 1, 1))
+
+    def test_multipolygon(self):
+        mp = parse_wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
+        assert bbox_predicate("contains", mp, (-1.0, -1.0, 7.0, 7.0))
+        assert not bbox_predicate("contains", mp, (-1.0, -1.0, 2.0, 2.0))
+        assert bbox_predicate("intersects", mp, (-1.0, -1.0, 2.0, 2.0))
+
+    def test_box_inside_hole_is_disjoint(self):
+        donut = parse_wkt(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+        )
+        assert bbox_predicate("disjoint", donut, (4.5, 4.5, 5.5, 5.5))

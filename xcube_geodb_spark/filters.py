@@ -1,0 +1,286 @@
+"""PostgREST filter-grammar parser -> pyspark ``Column`` trees.
+
+The reference's ``get_collection(query=...)`` forwards the query string
+verbatim to PostgREST (``xcube_geodb/core/geodb.py:1866-1874``), which
+parses it into SQL; nothing in the reference repo implements the grammar.
+This module is the Spark-native replacement: a recursive-descent parser for
+the PostgREST v6 convention (pinned by the reference docstrings,
+``geodb.py:1335/:1372/:1843``) producing declarative ``Column`` expressions
+so Catalyst can push every predicate into the parquet scan.
+
+Supported surface (superset of every form in the reference's tests and
+notebooks — see SURVEY.md §2.2):
+
+- ``col=eq.1410``, ``col=gt.5``, ``ge``/``le`` aliases, ``neq`` …
+- ``col=like.*pat*`` / ``ilike`` (``*`` wildcard -> SQL ``%``)
+- ``col=in.(a,b,"c d")``; ``col=is.null|true|false``
+- negation ``col=not.op.value``
+- boolean trees ``and=(...)`` / ``or=(...)`` with arbitrary nesting, both
+  the ``or(...)`` and ``or=(...)`` spellings inside groups, ``not.and``/
+  ``not.or``
+- ``select=`` projection, ``order=col.desc.nullslast`` sorting,
+  ``limit=`` / ``offset=`` paging
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xcube_geodb_spark.errors import GeoDBError
+
+_OPS = {
+    "eq",
+    "neq",
+    "gt",
+    "gte",
+    "ge",
+    "lt",
+    "lte",
+    "le",
+    "like",
+    "ilike",
+    "in",
+    "is",
+    "cs",
+    "cd",
+    "fts",
+    "plfts",
+    "phfts",
+    "wfts",
+    "match",
+    "imatch",
+}
+
+
+@dataclass
+class ParsedQuery:
+    predicate: Column | None = None
+    select: list[str] | None = None
+    order: list[tuple[str, bool, str | None]] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
+
+
+def _parse_literal(raw: str):
+    """Turn a PostgREST value token into a Python literal (number / bool /
+    string). Quoted strings keep their exact contents."""
+    raw = raw.strip()
+    if len(raw) >= 2 and raw[0] == '"' and raw[-1] == '"':
+        return raw[1:-1].replace('\\"', '"')
+    low = raw.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw)
+    except ValueError:
+        pass
+    return raw
+
+
+def _split_csv(s: str) -> list[str]:
+    """Split on commas at paren depth 0, respecting double quotes."""
+    out, depth, start, in_q = [], 0, 0, False
+    for i, ch in enumerate(s):
+        if ch == '"' and (i == 0 or s[i - 1] != "\\"):
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append(s[start:i])
+                start = i + 1
+    out.append(s[start:])
+    return [x.strip() for x in out if x.strip()]
+
+
+def _compile_op(column: str, op: str, value: str, negate: bool) -> Column:
+    c = F.col(column)
+    if op == "eq":
+        expr = c == F.lit(_parse_literal(value))
+    elif op == "neq":
+        expr = c != F.lit(_parse_literal(value))
+    elif op == "gt":
+        expr = c > F.lit(_parse_literal(value))
+    elif op in ("gte", "ge"):
+        expr = c >= F.lit(_parse_literal(value))
+    elif op == "lt":
+        expr = c < F.lit(_parse_literal(value))
+    elif op in ("lte", "le"):
+        expr = c <= F.lit(_parse_literal(value))
+    elif op == "like":
+        expr = c.like(value.replace("*", "%"))
+    elif op == "ilike":
+        expr = c.ilike(value.replace("*", "%"))
+    elif op in ("match", "imatch"):
+        expr = c.rlike(value if op == "match" else f"(?i){value}")
+    elif op == "in":
+        inner = value.strip()
+        if not (inner.startswith("(") and inner.endswith(")")):
+            raise GeoDBError(f"in filter requires a parenthesized list: {value!r}")
+        items = [_parse_literal(v) for v in _split_csv(inner[1:-1])]
+        expr = c.isin(items)
+    elif op == "is":
+        v = value.strip().lower()
+        if v == "null":
+            expr = c.isNull()
+        elif v == "true":
+            expr = c == F.lit(True)
+        elif v == "false":
+            expr = c == F.lit(False)
+        else:
+            raise GeoDBError(f"is filter accepts null/true/false, got {value!r}")
+    else:
+        raise GeoDBError(f"Unsupported filter operator: {op!r}")
+    return ~expr if negate else expr
+
+
+def _compile_condition(token: str) -> Column:
+    """``col.op.value`` / ``col.not.op.value`` / nested ``and(...)``/``or(...)``."""
+    token = token.strip()
+    low = token.lower()
+    for head, neg in (("not.and", True), ("not.or", True), ("and", False), ("or", False)):
+        if low.startswith(head + "(") or low.startswith(head + "=("):
+            conj = head.rsplit(".", 1)[-1]
+            open_idx = token.index("(")
+            if not token.endswith(")"):
+                raise GeoDBError(f"Unbalanced logic group: {token!r}")
+            col = _compile_group(conj, token[open_idx + 1 : -1])
+            return ~col if neg else col
+    parts = token.split(".")
+    if len(parts) < 3:
+        raise GeoDBError(f"Invalid filter condition: {token!r}")
+    column = parts[0]
+    negate = parts[1].lower() == "not"
+    idx = 2 if negate else 1
+    op = parts[idx].lower()
+    if op not in _OPS:
+        raise GeoDBError(f"Unknown operator {op!r} in condition {token!r}")
+    value = ".".join(parts[idx + 1 :])
+    return _compile_op(column, op, value, negate)
+
+
+def _compile_group(conj: str, body: str) -> Column:
+    conditions = [_compile_condition(tok) for tok in _split_csv(body)]
+    if not conditions:
+        raise GeoDBError(f"Empty {conj}=() group")
+    out = conditions[0]
+    for c in conditions[1:]:
+        out = (out & c) if conj == "and" else (out | c)
+    return out
+
+
+def _split_pairs(query: str) -> list[tuple[str, str]]:
+    """Split a raw query string into (key, value) pairs without URL-decoding
+    (the reference forwards the string verbatim)."""
+    pairs = []
+    for part in query.split("&"):
+        if not part:
+            continue
+        if "=" not in part:
+            raise GeoDBError(f"Malformed query fragment: {part!r}")
+        k, v = part.split("=", 1)
+        pairs.append((k.strip(), v.strip()))
+    return pairs
+
+
+def parse_postgrest_query(query: str | None) -> ParsedQuery:
+    pq = ParsedQuery()
+    if not query:
+        return pq
+    preds: list[Column] = []
+    for key, value in _split_pairs(query):
+        low = key.lower()
+        if low == "select":
+            pq.select = [c.strip() for c in value.split(",") if c.strip()]
+        elif low == "order":
+            for item in _split_csv(value):
+                bits = item.split(".")
+                colname = bits[0]
+                asc = True
+                nulls = None
+                for b in bits[1:]:
+                    bl = b.lower()
+                    if bl in ("asc", "desc"):
+                        asc = bl == "asc"
+                    elif bl in ("nullsfirst", "nullslast"):
+                        nulls = bl
+                pq.order.append((colname, asc, nulls))
+        elif low == "limit":
+            pq.limit = int(value)
+        elif low == "offset":
+            pq.offset = int(value)
+        elif low in ("and", "or"):
+            if not (value.startswith("(") and value.endswith(")")):
+                raise GeoDBError(f"{key}= group must be parenthesized: {value!r}")
+            preds.append(_compile_group(low, value[1:-1]))
+        elif low in ("not.and", "not.or"):
+            if not (value.startswith("(") and value.endswith(")")):
+                raise GeoDBError(f"{key}= group must be parenthesized: {value!r}")
+            preds.append(~_compile_group(low.rsplit(".", 1)[-1], value[1:-1]))
+        else:
+            # column filter: key is the column, value is "op.value" or
+            # "not.op.value"
+            bits = value.split(".")
+            negate = bits[0].lower() == "not"
+            idx = 1 if negate else 0
+            if len(bits) <= idx:
+                raise GeoDBError(f"Invalid filter for column {key!r}: {value!r}")
+            op = bits[idx].lower()
+            if op not in _OPS:
+                raise GeoDBError(f"Unknown operator {op!r} for column {key!r}")
+            val = ".".join(bits[idx + 1 :])
+            preds.append(_compile_op(key, op, val, negate))
+    if preds:
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = pred & p
+        pq.predicate = pred
+    return pq
+
+
+def _order_columns(order: list[tuple[str, bool, str | None]]) -> list[Column]:
+    cols = []
+    for name, asc, nulls in order:
+        c = F.col(name)
+        if asc:
+            c = c.asc_nulls_first() if nulls == "nullsfirst" else c.asc()
+        else:
+            c = c.desc_nulls_last() if nulls == "nullslast" else c.desc()
+        cols.append(c)
+    return cols
+
+
+def apply_postgrest_query(
+    df: DataFrame,
+    query: str | None = None,
+    limit: int | None = None,
+    offset: int | None = None,
+) -> DataFrame:
+    """Apply a parsed PostgREST query to a DataFrame; explicit
+    ``limit``/``offset`` arguments win over in-query values (the reference
+    client appends them to the query string, ``geodb.py:1866-1869``)."""
+    pq = parse_postgrest_query(query)
+    if pq.predicate is not None:
+        df = df.filter(pq.predicate)
+    if pq.select:
+        df = df.select(*pq.select)
+    if pq.order:
+        df = df.orderBy(*_order_columns(pq.order))
+    eff_offset = offset if offset is not None else pq.offset
+    eff_limit = limit if limit is not None else pq.limit
+    if eff_offset:
+        df = df.offset(int(eff_offset))
+    if eff_limit is not None:
+        df = df.limit(int(eff_limit))
+    return df

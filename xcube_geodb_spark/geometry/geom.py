@@ -1,0 +1,489 @@
+"""Geometry model + WKB/EWKB/WKT/GeoJSON codecs (pure Python + numpy).
+
+Wire-format parity with the reference:
+
+- PostgREST returns geometries as hex-encoded EWKB which the reference
+  client decodes with ``shapely.wkb.loads(hex=True)``
+  (``xcube_geodb/core/geodb.py:2148``) or as GeoJSON dicts
+  (``geodb.py:2144-2146``).
+- Inserts attach ``SRID=<srid>;<WKT>`` strings
+  (``xcube_geodb/core/geodb.py:1401-1425``).
+
+This module supports all of those forms, 2D coordinates (Z/M are parsed
+and dropped), both byte orders, and the EWKB SRID flag.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import struct
+from typing import Iterator
+
+import numpy as np
+
+from xcube_geodb_spark.errors import GeoDBError
+
+# WKB geometry type codes (ISO); EWKB adds flag bits.
+_WKB_POINT = 1
+_WKB_LINESTRING = 2
+_WKB_POLYGON = 3
+_WKB_MULTIPOINT = 4
+_WKB_MULTILINESTRING = 5
+_WKB_MULTIPOLYGON = 6
+_WKB_COLLECTION = 7
+
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+_KIND_BY_CODE = {
+    _WKB_POINT: "Point",
+    _WKB_LINESTRING: "LineString",
+    _WKB_POLYGON: "Polygon",
+    _WKB_MULTIPOINT: "MultiPoint",
+    _WKB_MULTILINESTRING: "MultiLineString",
+    _WKB_MULTIPOLYGON: "MultiPolygon",
+    _WKB_COLLECTION: "GeometryCollection",
+}
+_CODE_BY_KIND = {v: k for k, v in _KIND_BY_CODE.items()}
+
+# kinds whose `parts` is a list of child Geometry objects
+_MULTI_KINDS = frozenset(
+    {"MultiPoint", "MultiLineString", "MultiPolygon", "GeometryCollection"}
+)
+
+_DIM_BY_KIND = {
+    "Point": 0,
+    "MultiPoint": 0,
+    "LineString": 1,
+    "MultiLineString": 1,
+    "Polygon": 2,
+    "MultiPolygon": 2,
+}
+
+
+class Geometry:
+    """A parsed geometry.
+
+    ``kind``: one of Point/LineString/Polygon/Multi*/GeometryCollection.
+    ``parts``:
+      - Point       -> ndarray shape (2,)
+      - LineString  -> ndarray shape (n, 2)
+      - Polygon     -> list[ndarray (n, 2)]  (first ring outer, rest holes)
+      - Multi*/GeometryCollection -> list[Geometry]
+    ``srid``: EWKB SRID if present, else 0.
+    """
+
+    __slots__ = ("kind", "parts", "srid")
+
+    def __init__(self, kind: str, parts, srid: int = 0):
+        self.kind = kind
+        self.parts = parts
+        self.srid = srid
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Geometry({to_wkt(self)!r}, srid={self.srid})"
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, Geometry):
+            return NotImplemented
+        return to_wkt(self) == to_wkt(other)
+
+    def __hash__(self) -> int:
+        return hash(to_wkt(self))
+
+    @property
+    def dimension(self) -> int:
+        if self.kind == "GeometryCollection":
+            return max((g.dimension for g in self.parts), default=0)
+        return _DIM_BY_KIND[self.kind]
+
+    def children(self) -> Iterator["Geometry"]:
+        """Iterate leaf (non-multi) geometries."""
+        if self.kind in _MULTI_KINDS:
+            for child in self.parts:
+                yield from child.children()
+        else:
+            yield self
+
+
+# ---------------------------------------------------------------------------
+# WKB
+# ---------------------------------------------------------------------------
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def geometry(self) -> Geometry:
+        byte_order = self.buf[self.pos]
+        self.pos += 1
+        endian = "<" if byte_order == 1 else ">"
+        (raw_type,) = struct.unpack_from(endian + "I", self.buf, self.pos)
+        self.pos += 4
+
+        srid = 0
+        ndims = 2
+        type_code = raw_type
+        if raw_type & (_EWKB_Z | _EWKB_M | _EWKB_SRID):  # EWKB flags
+            if raw_type & _EWKB_SRID:
+                (srid,) = struct.unpack_from(endian + "I", self.buf, self.pos)
+                self.pos += 4
+            ndims = 2 + bool(raw_type & _EWKB_Z) + bool(raw_type & _EWKB_M)
+            type_code = raw_type & 0xFF
+        elif raw_type >= 1000:  # ISO WKB: 1000=Z, 2000=M, 3000=ZM
+            iso = raw_type // 1000
+            ndims = {1: 3, 2: 3, 3: 4}[iso]
+            type_code = raw_type % 1000
+
+        kind = _KIND_BY_CODE.get(type_code)
+        if kind is None:
+            raise GeoDBError(f"Unsupported WKB geometry type code: {raw_type}")
+
+        if kind == "Point":
+            parts = self._coords(1, ndims, endian)[0]
+        elif kind == "LineString":
+            parts = self._linestring(ndims, endian)
+        elif kind == "Polygon":
+            (nrings,) = struct.unpack_from(endian + "I", self.buf, self.pos)
+            self.pos += 4
+            parts = [self._linestring(ndims, endian) for _ in range(nrings)]
+        else:  # multi / collection: children carry their own headers
+            (n,) = struct.unpack_from(endian + "I", self.buf, self.pos)
+            self.pos += 4
+            parts = [self.geometry() for _ in range(n)]
+        return Geometry(kind, parts, srid)
+
+    def _linestring(self, ndims: int, endian: str) -> np.ndarray:
+        (npoints,) = struct.unpack_from(endian + "I", self.buf, self.pos)
+        self.pos += 4
+        return self._coords(npoints, ndims, endian)
+
+    def _coords(self, n: int, ndims: int, endian: str) -> np.ndarray:
+        nbytes = n * ndims * 8
+        dt = np.dtype("<f8" if endian == "<" else ">f8")
+        arr = np.frombuffer(self.buf, dtype=dt, count=n * ndims, offset=self.pos)
+        self.pos += nbytes
+        arr = arr.reshape(n, ndims)
+        return np.ascontiguousarray(arr[:, :2], dtype=np.float64)
+
+
+def parse_wkb(buf: bytes) -> Geometry:
+    if not buf:
+        raise GeoDBError("Empty WKB buffer")
+    return _Reader(bytes(buf)).geometry()
+
+
+def parse_wkb_hex(s: str) -> Geometry:
+    return parse_wkb(bytes.fromhex(s))
+
+
+def to_wkb(geom: Geometry, srid: int | None = None, _nested: bool = False) -> bytes:
+    """Serialize little-endian; EWKB with SRID when ``srid`` is truthy."""
+    out = bytearray()
+    out.append(1)
+    code = _CODE_BY_KIND[geom.kind]
+    use_srid = (srid if srid is not None else geom.srid) or 0
+    if use_srid and not _nested:
+        out += struct.pack("<I", code | _EWKB_SRID)
+        out += struct.pack("<I", use_srid)
+    else:
+        out += struct.pack("<I", code)
+
+    if geom.kind == "Point":
+        out += struct.pack("<2d", float(geom.parts[0]), float(geom.parts[1]))
+    elif geom.kind == "LineString":
+        out += struct.pack("<I", len(geom.parts))
+        out += np.asarray(geom.parts, dtype="<f8").tobytes()
+    elif geom.kind == "Polygon":
+        out += struct.pack("<I", len(geom.parts))
+        for ring in geom.parts:
+            out += struct.pack("<I", len(ring))
+            out += np.asarray(ring, dtype="<f8").tobytes()
+    else:
+        out += struct.pack("<I", len(geom.parts))
+        for child in geom.parts:
+            out += to_wkb(child, srid=0, _nested=True)
+    return bytes(out)
+
+
+def to_wkb_hex(geom: Geometry, srid: int | None = None) -> str:
+    return to_wkb(geom, srid=srid).hex().upper()
+
+
+def geometry_type_wkb(buf: bytes) -> str:
+    """PostGIS ``GeometryType(geometry)`` parity: 'POINT', 'MULTIPOLYGON', ...
+
+    Reads only the WKB header (``geodb_geometry_types`` semantics,
+    ``xcube_geodb/sql/geodb.sql:460-482``).
+    """
+    endian = "<" if buf[0] == 1 else ">"
+    (raw_type,) = struct.unpack_from(endian + "I", bytes(buf[:5]), 1)
+    code = (raw_type & 0xFF) if raw_type & 0xF0000000 else raw_type % 1000
+    kind = _KIND_BY_CODE.get(code)
+    if kind is None:
+        raise GeoDBError(f"Unsupported WKB geometry type code: {raw_type}")
+    return kind.upper()
+
+
+# ---------------------------------------------------------------------------
+# WKT / EWKT
+# ---------------------------------------------------------------------------
+
+_WKT_HEAD = re.compile(
+    r"^\s*(?:SRID=(\d+)\s*;\s*)?([A-Za-z]+)\s*(Z|M|ZM)?\s*(EMPTY|\()", re.IGNORECASE
+)
+
+
+def parse_wkt(text: str) -> Geometry:
+    m = _WKT_HEAD.match(text)
+    if not m:
+        raise GeoDBError(f"Invalid WKT: {text[:80]!r}")
+    srid = int(m.group(1)) if m.group(1) else 0
+    name = m.group(2).strip().lower()
+    kind_map = {k.lower(): k for k in _CODE_BY_KIND}
+    kind = kind_map.get(name)
+    if kind is None:
+        raise GeoDBError(f"Unsupported WKT geometry type: {name!r}")
+    if m.group(4).upper() == "EMPTY":
+        raise GeoDBError("EMPTY geometries are not supported")
+    body = text[m.end() - 1 :]  # from the opening paren
+    parts, _ = _parse_wkt_body(kind, body, 0)
+    return Geometry(kind, parts, srid)
+
+
+def _parse_parenthesized(s: str, i: int) -> tuple[str, int]:
+    """Return the contents of the balanced paren group starting at s[i]=='('."""
+    assert s[i] == "("
+    depth = 0
+    for j in range(i, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[i + 1 : j], j + 1
+    raise GeoDBError("Unbalanced parentheses in WKT")
+
+
+def _coords_from_text(s: str) -> np.ndarray:
+    pts = []
+    for chunk in s.split(","):
+        vals = chunk.split()
+        if len(vals) < 2:
+            raise GeoDBError(f"Bad WKT coordinate: {chunk!r}")
+        pts.append((float(vals[0]), float(vals[1])))
+    return np.asarray(pts, dtype=np.float64)
+
+
+def _split_top_level(s: str) -> list[str]:
+    out, depth, start = [], 0, 0
+    for j, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:j])
+            start = j + 1
+    out.append(s[start:])
+    return [x.strip() for x in out]
+
+
+def _parse_wkt_body(kind: str, s: str, i: int):
+    inner, end = _parse_parenthesized(s, s.index("(", i))
+    if kind == "Point":
+        return _coords_from_text(inner)[0], end
+    if kind == "LineString":
+        return _coords_from_text(inner), end
+    if kind == "Polygon":
+        rings = [
+            _coords_from_text(_parse_parenthesized(part, part.index("("))[0])
+            for part in _split_top_level(inner)
+        ]
+        return rings, end
+    if kind == "MultiPoint":
+        children = []
+        for part in _split_top_level(inner):
+            part = part.strip()
+            txt = _parse_parenthesized(part, part.index("("))[0] if "(" in part else part
+            children.append(Geometry("Point", _coords_from_text(txt)[0]))
+        return children, end
+    if kind == "MultiLineString":
+        children = [
+            Geometry(
+                "LineString",
+                _coords_from_text(_parse_parenthesized(part, part.index("("))[0]),
+            )
+            for part in _split_top_level(inner)
+        ]
+        return children, end
+    if kind == "MultiPolygon":
+        children = []
+        for part in _split_top_level(inner):
+            rings = [
+                _coords_from_text(_parse_parenthesized(rp, rp.index("("))[0])
+                for rp in _split_top_level(
+                    _parse_parenthesized(part, part.index("("))[0]
+                )
+            ]
+            children.append(Geometry("Polygon", rings))
+        return children, end
+    if kind == "GeometryCollection":
+        children = [parse_wkt(part) for part in _split_top_level(inner)]
+        return children, end
+    raise GeoDBError(f"Unsupported WKT kind: {kind}")
+
+
+def _fmt(v: float) -> str:
+    if math.isfinite(v) and v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(float(v))
+
+
+def _fmt_coords(arr: np.ndarray) -> str:
+    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in np.atleast_2d(arr))
+
+
+def to_wkt(geom: Geometry) -> str:
+    k = geom.kind.upper()
+    if geom.kind == "Point":
+        return f"POINT ({_fmt(geom.parts[0])} {_fmt(geom.parts[1])})"
+    if geom.kind == "LineString":
+        return f"LINESTRING ({_fmt_coords(geom.parts)})"
+    if geom.kind == "Polygon":
+        rings = ", ".join(f"({_fmt_coords(r)})" for r in geom.parts)
+        return f"POLYGON ({rings})"
+    if geom.kind == "MultiPoint":
+        pts = ", ".join(f"({_fmt(g.parts[0])} {_fmt(g.parts[1])})" for g in geom.parts)
+        return f"MULTIPOINT ({pts})"
+    if geom.kind == "MultiLineString":
+        ls = ", ".join(f"({_fmt_coords(g.parts)})" for g in geom.parts)
+        return f"MULTILINESTRING ({ls})"
+    if geom.kind == "MultiPolygon":
+        polys = ", ".join(
+            "(" + ", ".join(f"({_fmt_coords(r)})" for r in g.parts) + ")"
+            for g in geom.parts
+        )
+        return f"MULTIPOLYGON ({polys})"
+    if geom.kind == "GeometryCollection":
+        return f"GEOMETRYCOLLECTION ({', '.join(to_wkt(g) for g in geom.parts)})"
+    raise GeoDBError(f"Unsupported kind: {k}")
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON
+# ---------------------------------------------------------------------------
+
+
+def from_geojson(obj: dict) -> Geometry:
+    t = obj.get("type")
+    c = obj.get("coordinates")
+    if t == "Point":
+        return Geometry("Point", np.asarray(c[:2], dtype=np.float64))
+    if t == "LineString":
+        return Geometry("LineString", np.asarray([p[:2] for p in c], dtype=np.float64))
+    if t == "Polygon":
+        return Geometry(
+            "Polygon", [np.asarray([p[:2] for p in r], dtype=np.float64) for r in c]
+        )
+    if t == "MultiPoint":
+        return Geometry(
+            "MultiPoint",
+            [Geometry("Point", np.asarray(p[:2], dtype=np.float64)) for p in c],
+        )
+    if t == "MultiLineString":
+        return Geometry(
+            "MultiLineString",
+            [
+                Geometry("LineString", np.asarray([p[:2] for p in ls], dtype=np.float64))
+                for ls in c
+            ],
+        )
+    if t == "MultiPolygon":
+        return Geometry(
+            "MultiPolygon",
+            [
+                Geometry(
+                    "Polygon",
+                    [np.asarray([p[:2] for p in r], dtype=np.float64) for r in poly],
+                )
+                for poly in c
+            ],
+        )
+    if t == "GeometryCollection":
+        return Geometry(
+            "GeometryCollection", [from_geojson(g) for g in obj["geometries"]]
+        )
+    raise GeoDBError(f"Unsupported GeoJSON type: {t!r}")
+
+
+def to_geojson(geom: Geometry) -> dict:
+    if geom.kind == "Point":
+        return {"type": "Point", "coordinates": [float(geom.parts[0]), float(geom.parts[1])]}
+    if geom.kind == "LineString":
+        return {"type": "LineString", "coordinates": geom.parts.tolist()}
+    if geom.kind == "Polygon":
+        return {"type": "Polygon", "coordinates": [r.tolist() for r in geom.parts]}
+    if geom.kind == "MultiPoint":
+        return {
+            "type": "MultiPoint",
+            "coordinates": [[float(g.parts[0]), float(g.parts[1])] for g in geom.parts],
+        }
+    if geom.kind == "MultiLineString":
+        return {
+            "type": "MultiLineString",
+            "coordinates": [g.parts.tolist() for g in geom.parts],
+        }
+    if geom.kind == "MultiPolygon":
+        return {
+            "type": "MultiPolygon",
+            "coordinates": [[r.tolist() for r in g.parts] for g in geom.parts],
+        }
+    if geom.kind == "GeometryCollection":
+        return {
+            "type": "GeometryCollection",
+            "geometries": [to_geojson(g) for g in geom.parts],
+        }
+    raise GeoDBError(f"Unsupported kind: {geom.kind}")
+
+
+# ---------------------------------------------------------------------------
+# Envelope
+# ---------------------------------------------------------------------------
+
+
+def envelope(geom: Geometry) -> tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax)."""
+    xmin = ymin = math.inf
+    xmax = ymax = -math.inf
+    for leaf in geom.children():
+        if leaf.kind == "Point":
+            x, y = float(leaf.parts[0]), float(leaf.parts[1])
+            xmin, ymin = min(xmin, x), min(ymin, y)
+            xmax, ymax = max(xmax, x), max(ymax, y)
+        else:
+            arrays = leaf.parts if leaf.kind == "Polygon" else [leaf.parts]
+            for arr in arrays:
+                xmin = min(xmin, float(arr[:, 0].min()))
+                ymin = min(ymin, float(arr[:, 1].min()))
+                xmax = max(xmax, float(arr[:, 0].max()))
+                ymax = max(ymax, float(arr[:, 1].max()))
+    return xmin, ymin, xmax, ymax
+
+
+def bbox_polygon(
+    minx: float, miny: float, maxx: float, maxy: float, srid: int = 0
+) -> Geometry:
+    """The inline bbox POLYGON the reference builds
+    (``xcube_geodb/sql/geodb.sql:1228-1239``)."""
+    ring = np.asarray(
+        [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy), (minx, miny)],
+        dtype=np.float64,
+    )
+    return Geometry("Polygon", [ring], srid)
