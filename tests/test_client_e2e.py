@@ -1,0 +1,324 @@
+"""End-to-end golden-semantics suite, mirroring the reference's SQL
+integration tests (``tests/sql/test_sql_functions.py`` — the layer-2
+golden suite per SURVEY.md §5) on the Spark engine."""
+
+import pandas as pd
+import pytest
+
+from xcube_geodb_spark.client import GeoDBSparkClient
+from xcube_geodb_spark.errors import GeoDBError
+from xcube_geodb_spark.geometry.geom import parse_wkt, to_wkt
+
+# the FIXTURES.md §3 micro-collection: SRID 4326, union extent BOX(-6 9,5 11)
+POLY_A = "POLYGON ((-5 10, -5 11, 5 11, 5 10, -5 10))"
+POLY_B = "POLYGON ((-6 9, -6 10, 3 10, 3 9, -6 9))"
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    return GeoDBSparkClient(
+        spark, warehouse=str(tmp_path / "warehouse"), user="tester"
+    )
+
+
+@pytest.fixture()
+def land_use(client):
+    client.create_collection(
+        "land_use",
+        {"raba_pid": "float", "raba_id": "float", "d_od": "date"},
+        crs=4326,
+    )
+    values = pd.DataFrame(
+        {
+            "geometry": [POLY_A, POLY_B, "POINT (0 10.5)", "POINT (100 50)"],
+            "raba_pid": [5900001.0, 5900002.0, 5900003.0, 5900004.0],
+            "raba_id": [1410.0, 1300.0, 1410.0, 7000.0],
+            "d_od": ["2019-02-01", "2019-03-01", "2019-02-01", "2019-04-01"],
+        }
+    )
+    client.insert_into_collection("land_use", values)
+    return "land_use"
+
+
+class TestLifecycle:
+    def test_create_insert_read(self, client, land_use):
+        df = client.get_collection(land_use)
+        assert len(df) == 4
+        # no ORDER BY -> physical order; ids are dense 1..4
+        assert sorted(df["id"]) == [1, 2, 3, 4]
+        assert df["created_at"].notna().all()
+        assert df["modified_at"].isna().all()
+        row1 = df[df["id"] == 1].iloc[0]
+        assert to_wkt(row1["geometry"]) == POLY_A
+        assert df.attrs["crs"] == "EPSG:4326"
+
+    def test_collection_exists_and_info(self, client, land_use):
+        assert client.collection_exists(land_use)
+        assert not client.collection_exists("nope")
+        info = client.get_collection_info(land_use)
+        assert info["srid"] == 4326
+        names = [p["name"] for p in info["properties"]]
+        assert names[:4] == ["id", "created_at", "modified_at", "geometry"]
+        assert set(names[4:]) == {"raba_pid", "raba_id", "d_od"}
+
+    def test_filter_grammar(self, client, land_use):
+        df = client.get_collection(land_use, query="raba_id=eq.1410")
+        assert sorted(df["id"]) == [1, 3]
+        df = client.get_collection(
+            land_use, query="or=(raba_id.eq.1300,raba_id.eq.7000)"
+        )
+        assert sorted(df["id"]) == [2, 4]
+
+    def test_paging(self, client, land_use):
+        df = client.get_collection(
+            land_use, query="id=ge.1&order=id.asc", limit=2, offset=1
+        )
+        assert list(df["id"]) == [2, 3]
+
+    def test_head(self, client, land_use):
+        assert list(client.head_collection(land_use, 2)["id"]) == [1, 2]
+
+    def test_pg_groupby(self, client, land_use):
+        df = client.get_collection_pg(
+            land_use,
+            select="COUNT(d_od) as ct, d_od",
+            group="d_od",
+            order="d_od",
+        )
+        assert list(df["ct"]) == [2, 1, 1]
+
+    def test_pg_where_limit(self, client, land_use):
+        df = client.get_collection_pg(
+            land_use, where="raba_id = 1410", order="id", limit=1, offset=1
+        )
+        assert list(df["id"]) == [3]
+
+    def test_pg_empty_raises(self, client, land_use):
+        with pytest.raises(GeoDBError, match="Empty result"):
+            client.get_collection_pg(land_use, where="raba_id = -1")
+
+    def test_counts(self, client, land_use):
+        assert client.count_collection_rows(land_use) == 4
+        assert client.count_collection_rows(land_use, exact_count=True) == 4
+
+    def test_collection_bbox_exact_and_estimate(self, client, land_use):
+        # union extent of POLY_A/POLY_B + points: x[-6,100], y[9,50]
+        # client reorders to (miny, minx, maxy, maxx) — geodb.py:400
+        assert client.get_collection_bbox(land_use) == (9.0, -6.0, 50.0, 100.0)
+        assert client.get_collection_bbox(land_use, exact=False) == (
+            9.0,
+            -6.0,
+            50.0,
+            100.0,
+        )
+
+    def test_geometry_types(self, client, land_use):
+        assert client.get_geometry_types(land_use) == [
+            "POLYGON",
+            "POLYGON",
+            "POINT",
+            "POINT",
+        ]
+        assert sorted(client.get_geometry_types(land_use, aggregate=True)) == [
+            "POINT",
+            "POLYGON",
+        ]
+
+
+class TestBboxQuery:
+    def test_contains(self, client, land_use):
+        df = client.get_collection_by_bbox(land_use, (-10, 5, 10, 15), "contains")
+        assert list(df["id"]) == [1, 2, 3]  # ORDER BY id parity
+
+    def test_intersects_with_where(self, client, land_use):
+        df = client.get_collection_by_bbox(
+            land_use, (-10, 5, 10, 15), "intersects", where="raba_id = 1410"
+        )
+        assert list(df["id"]) == [1, 3]
+
+    def test_or_where(self, client, land_use):
+        df = client.get_collection_by_bbox(
+            land_use, (-10, 5, 10, 15), "contains", where="raba_id = 7000", op="OR"
+        )
+        assert list(df["id"]) == [1, 2, 3, 4]
+
+    def test_limit_offset(self, client, land_use):
+        df = client.get_collection_by_bbox(
+            land_use, (-10, 5, 10, 15), "contains", limit=2, offset=1
+        )
+        assert list(df["id"]) == [2, 3]
+
+    def test_disjoint(self, client, land_use):
+        df = client.get_collection_by_bbox(land_use, (90, 40, 110, 60), "disjoint")
+        assert list(df["id"]) == [1, 2, 3]
+
+    def test_crs_transform_3857(self, client, land_use):
+        # same box queried in web-mercator meters must hit the same rows
+        from xcube_geodb_spark.geometry.crs import transform_bbox_crs
+
+        box_3857 = transform_bbox_crs((-10, 5, 10, 15), 4326, 3857)
+        df = client.get_collection_by_bbox(
+            land_use, box_3857, "contains", bbox_crs=3857
+        )
+        assert list(df["id"]) == [1, 2, 3]
+
+    def test_lat_lon_order(self, client, land_use):
+        df = client.get_collection_by_bbox(
+            land_use, (5, -10, 15, 10), "contains", wsg84_order="lat_lon"
+        )
+        assert list(df["id"]) == [1, 2, 3]
+
+    def test_invalid_mode(self, client, land_use):
+        with pytest.raises(GeoDBError):
+            client.get_collection_by_bbox(land_use, (0, 0, 1, 1), "nope")
+
+    def test_count_by_bbox(self, client, land_use):
+        assert client.count_collection_by_bbox(land_use, (-10, 5, 10, 15)) == 3
+        assert (
+            client.count_collection_by_bbox(
+                land_use, (-10, 5, 10, 15), where="raba_id = 1410"
+            )
+            == 2
+        )
+
+
+class TestDML:
+    def test_delete(self, client, land_use):
+        client.delete_from_collection(land_use, "raba_id=eq.7000")
+        df = client.get_collection(land_use)
+        assert sorted(df["id"]) == [1, 2, 3]
+
+    def test_update(self, client, land_use):
+        client.update_collection(land_use, {"d_od": "2000-01-01"}, "raba_id=eq.1300")
+        df = client.get_collection(land_use, query="raba_id=eq.1300")
+        assert str(df["d_od"][0]) == "2000-01-01"
+        assert df["modified_at"].notna().all()
+        other = client.get_collection(land_use, query="raba_id=eq.1410")
+        assert other["modified_at"].isna().all()
+
+    def test_insert_appends_ids(self, client, land_use):
+        client.insert_into_collection(
+            land_use,
+            pd.DataFrame(
+                {"geometry": ["POINT (1 1)"], "raba_id": [1600.0]}
+            ),
+        )
+        df = client.get_collection(land_use)
+        assert sorted(df["id"]) == [1, 2, 3, 4, 5]
+
+    def test_upsert_replaces_and_stamps(self, client, land_use):
+        up = pd.DataFrame(
+            {
+                "id": [2],
+                "geometry": [POLY_B],
+                "raba_pid": [5900002.0],
+                "raba_id": [9999.0],
+                "d_od": ["2020-01-01"],
+            }
+        )
+        client.insert_into_collection(land_use, up, upsert=True)
+        df = client.get_collection(land_use)
+        assert sorted(df["id"]) == [1, 2, 3, 4]
+        row = df[df["id"] == 2].iloc[0]
+        assert row["raba_id"] == 9999.0
+        assert pd.notna(row["modified_at"])
+        assert pd.notna(row["created_at"])
+
+    def test_crs_mismatch_raises(self, client, land_use):
+        with pytest.raises(GeoDBError, match="not compatible"):
+            client.insert_into_collection(
+                land_use,
+                pd.DataFrame({"geometry": ["POINT (0 0)"]}),
+                crs=3857,
+            )
+
+
+class TestDDL:
+    def test_schema_evolution(self, client, land_use):
+        client.add_property(land_use, "quality", "int")
+        df = client.get_collection(land_use)
+        assert "quality" in df.columns
+        assert df["quality"].isna().all()
+        client.drop_property(land_use, "quality")
+        assert "quality" not in client.get_collection(land_use).columns
+
+    def test_mandatory_property_protected(self, client, land_use):
+        with pytest.raises(GeoDBError):
+            client.drop_property(land_use, "geometry")
+
+    def test_rename_copy_move(self, client, land_use):
+        client.copy_collection(land_use, "land_use2", "tester")
+        assert client.collection_exists("land_use2")
+        assert len(client.get_collection("land_use2")) == 4
+        client.rename_collection("land_use2", "land_use3")
+        assert not client.collection_exists("land_use2")
+        assert client.collection_exists("land_use3")
+        client.create_database("otherdb")
+        client.move_collection("land_use3", "otherdb")
+        assert client.collection_exists("land_use3", database="otherdb")
+
+    def test_get_my_collections(self, client, land_use):
+        df = client.get_my_collections()
+        assert {"owner", "database", "collection"} <= set(df.columns)
+        assert "land_use" in list(df["collection"])
+
+
+class TestAdmin:
+    def test_acl_lifecycle(self, client, land_use):
+        assert client.acl.user_allowed(land_use, "tester", "tester") is True
+        assert client.acl.user_allowed(land_use, "tester", "someone") is False
+        client.grant_access_to_collection(land_use, "someone")
+        assert client.acl.user_allowed(land_use, "tester", "someone") is True
+        client.revoke_access_from_collection(land_use, "someone")
+        assert client.acl.user_allowed(land_use, "tester", "someone") is False
+        client.publish_collection(land_use)
+        assert client.acl.user_allowed(land_use, "tester", "anyone") is True
+        grants = client.list_grants(land_use)
+        assert "PUBLIC" in list(grants["grantee"])
+        client.unpublish_collection(land_use)
+
+    def test_groups(self, client, land_use):
+        client.create_group("team")
+        client.add_user_to_group("alice", "team")
+        assert client.get_group_users("team") == ["alice"]
+        client.grant_access_to_collection(land_use, "team")
+        assert client.acl.user_allowed(land_use, "tester", "alice") is True
+        client.remove_user_from_group("alice", "team")
+        assert client.acl.user_allowed(land_use, "tester", "alice") is False
+
+    def test_indexes(self, client, land_use):
+        client.create_index(land_use, "raba_id")
+        idx = client.show_indexes(land_use)
+        assert "raba_id" in list(idx["property"])
+        client.remove_index(land_use, "raba_id")
+        assert "raba_id" not in list(client.show_indexes(land_use)["property"])
+
+    def test_index_name_truncation(self, client):
+        from xcube_geodb_spark.admin import IndexManager
+
+        long_coll = "c" * 80
+        name = IndexManager.index_name("prop", long_coll)
+        assert len(name) == 63
+
+    def test_stac_metadata(self, client, land_use):
+        client.set_metadata_field(land_use, "title", "Land use")
+        client.set_metadata_field(land_use, "keywords", ["land", "use"])
+        md = client.get_metadata(land_use)
+        assert md["title"] == "Land use"
+        assert md["stac_version"] == "1.1.0"
+        assert md["spatial_extent"]  # auto-computed from collection bbox
+        with pytest.raises(GeoDBError):
+            client.set_metadata_field(land_use, "bogus_field", "x")
+        with pytest.raises(GeoDBError):
+            client.set_metadata_field(land_use, "keywords", "not-a-list")
+
+    def test_event_log(self, client, land_use):
+        log = client.get_event_log(collection=land_use, database="tester")
+        assert len(log) >= 2  # created + rows_added
+        types = set(log["event_type"])
+        assert "created" in types and "rows_added" in types
+
+    def test_usage(self, client, land_use):
+        raw = client.get_my_usage(pretty=False)
+        assert raw > 0
+        assert isinstance(client.get_my_usage(pretty=True), str)

@@ -1,0 +1,327 @@
+"""Admin parity: event log, access control, groups, indexes, STAC metadata.
+
+These are API/metadata operators, not data-path operators (SURVEY.md §2.9,
+§2.10) — but the reference's tests exercise them heavily, so they get full
+functional parity on engine-level metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from fnmatch import fnmatch
+
+from pyspark.sql import DataFrame
+
+from xcube_geodb_spark.catalog import GeoDBCatalog, _atomic_write_json
+from xcube_geodb_spark.errors import GeoDBError
+
+# ---------------------------------------------------------------------------
+# event log (geodb_eventlog, geodb.sql:98-140; client EventType geodb.py:91-117)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = (
+    "created",
+    "dropped",
+    "renamed",
+    "copied",
+    "moved",
+    "published",
+    "unpublished",
+    "published_gs",
+    "unpublished_gs",
+    "read",
+    "wrote",
+    "updated",
+    "deleted",
+    "index_created",
+    "index_dropped",
+    "property_added",
+    "property_dropped",
+    "rows_added",
+    "rows_dropped",
+    "rows_updated",
+    "database_created",
+    "database_dropped",
+)
+
+
+class EventLog:
+    """Append-only event log — one JSONL file per writer session, queried as
+    a DataFrame. JSONL (not parquet) keeps single-event appends O(1)."""
+
+    def __init__(self, catalog: GeoDBCatalog):
+        self.catalog = catalog
+        self.dir = os.path.join(catalog.warehouse, "_eventlog")
+        os.makedirs(self.dir, exist_ok=True)
+        self._file = os.path.join(self.dir, f"events-{uuid.uuid4().hex[:12]}.jsonl")
+
+    def log(self, event_type: str, message: str, user: str | None = None) -> None:
+        rec = {
+            "event_type": event_type,
+            "message": message,
+            "username": user or self.catalog.user,
+            "date": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime()),
+        }
+        with open(self._file, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def get_event_log(
+        self,
+        collection: str | None = None,
+        database: str | None = None,
+        event_type: str | None = None,
+    ) -> DataFrame:
+        """%-wildcard matching parity (geodb.sql:123-140: ``event_type LIKE``
+        and ``message LIKE '%{db}_{collection}%'``)."""
+        df = self.catalog.spark.read.json(os.path.join(self.dir, "*.jsonl"))
+        from pyspark.sql import functions as F
+
+        if event_type and event_type != "%":
+            df = df.filter(F.col("event_type").like(event_type.replace("*", "%")))
+        if collection:
+            name = f"{database}_{collection}" if database else collection
+            df = df.filter(F.col("message").like(f"%{name}%"))
+        return df.select("event_type", "message", "username", "date")
+
+
+# ---------------------------------------------------------------------------
+# access control (geodb.sql:380-424, 651-682, 1514-1676)
+# ---------------------------------------------------------------------------
+
+
+class AccessControl:
+    """Grants live in each collection's metadata; groups in _groups.json.
+    Authorization rule parity: ``geodb_user_allowed`` — the user owns the
+    database prefix or inherits via (recursive) group membership
+    (geodb.sql:732-775)."""
+
+    def __init__(self, catalog: GeoDBCatalog):
+        self.catalog = catalog
+        self._groups_path = catalog._groups_path
+
+    # groups -----------------------------------------------------------
+    def _read_groups(self) -> dict:
+        if not os.path.exists(self._groups_path):
+            return {}
+        with open(self._groups_path) as f:
+            return json.load(f)
+
+    def create_group(self, group: str) -> None:
+        groups = self._read_groups()
+        if group in groups:
+            raise GeoDBError(f"Group {group} exists")
+        groups[group] = {"members": []}
+        _atomic_write_json(self._groups_path, groups)
+
+    def add_user_to_group(self, user: str, group: str) -> None:
+        groups = self._read_groups()
+        if group not in groups:
+            raise GeoDBError(f"Group {group} does not exist")
+        if user not in groups[group]["members"]:
+            groups[group]["members"].append(user)
+        _atomic_write_json(self._groups_path, groups)
+
+    def remove_user_from_group(self, user: str, group: str) -> None:
+        groups = self._read_groups()
+        if group not in groups:
+            raise GeoDBError(f"Group {group} does not exist")
+        if user in groups[group]["members"]:
+            groups[group]["members"].remove(user)
+        _atomic_write_json(self._groups_path, groups)
+
+    def get_group_users(self, group: str) -> list[str]:
+        groups = self._read_groups()
+        if group not in groups:
+            raise GeoDBError(f"Group {group} does not exist")
+        return list(groups[group]["members"])
+
+    def _principals(self, user: str) -> set[str]:
+        """user + every group (transitively) containing them."""
+        groups = self._read_groups()
+        out = {user}
+        changed = True
+        while changed:
+            changed = False
+            for g, info in groups.items():
+                if g not in out and out & set(info["members"]):
+                    out.add(g)
+                    changed = True
+        return out
+
+    # grants -------------------------------------------------------------
+    def grant_access(
+        self, collection: str, user: str, database: str, privilege: str = "SELECT"
+    ) -> None:
+        m = self.catalog.meta(collection, database)
+        grants = m.d["acl"]["grants"]
+        grants.setdefault(user, [])
+        if privilege not in grants[user]:
+            grants[user].append(privilege)
+        _atomic_write_json(m.path, m.d)
+
+    def revoke_access(
+        self, collection: str, user: str, database: str, privilege: str = "SELECT"
+    ) -> None:
+        m = self.catalog.meta(collection, database)
+        grants = m.d["acl"]["grants"]
+        if user in grants and privilege in grants[user]:
+            grants[user].remove(privilege)
+            if not grants[user]:
+                del grants[user]
+        _atomic_write_json(m.path, m.d)
+
+    def publish_collection(self, collection: str, database: str) -> None:
+        """= GRANT SELECT TO PUBLIC (geodb.py:789-821)."""
+        m = self.catalog.meta(collection, database)
+        m.d["acl"]["published"] = True
+        _atomic_write_json(m.path, m.d)
+
+    def unpublish_collection(self, collection: str, database: str) -> None:
+        m = self.catalog.meta(collection, database)
+        m.d["acl"]["published"] = False
+        _atomic_write_json(m.path, m.d)
+
+    def list_grants(self, collection: str, database: str) -> list[dict]:
+        m = self.catalog.meta(collection, database)
+        rows = [
+            {"grantee": u, "privilege": p}
+            for u, privs in m.d["acl"]["grants"].items()
+            for p in privs
+        ]
+        if m.d["acl"].get("published"):
+            rows.append({"grantee": "PUBLIC", "privilege": "SELECT"})
+        return rows
+
+    def user_allowed(self, collection: str, database: str, user: str) -> bool:
+        m = self.catalog.meta(collection, database)
+        acl = m.d["acl"]
+        if acl.get("published"):
+            return True
+        principals = self._principals(user)
+        if acl["owner"] in principals:
+            return True
+        return bool(principals & set(acl["grants"]))
+
+
+# ---------------------------------------------------------------------------
+# indexes (geodb.sql:1441-1510)
+# ---------------------------------------------------------------------------
+
+
+class IndexManager:
+    """Index declarations are physical-layout hints: the catalog sorts data
+    files by the indexed column (or envelope Z-order for geometry) on the
+    next rewrite so parquet min/max stats prune scans — the Spark stand-in
+    for GIST/B-tree."""
+
+    def __init__(self, catalog: GeoDBCatalog):
+        self.catalog = catalog
+
+    @staticmethod
+    def index_name(prop: str, collection: str) -> str:
+        """``idx_{prop}_{collection}`` truncated to 63 chars by shortening the
+        collection from the left (geodb.sql:1499-1505)."""
+        name = f"idx_{prop}_{collection}"
+        if len(name) > 63:
+            overshoot = len(name) - 63
+            name = f"idx_{prop}_{collection[overshoot:]}"
+        return name
+
+    def create_index(self, collection: str, prop: str, database: str) -> None:
+        m = self.catalog.meta(collection, database)
+        kind = "gist" if prop == "geometry" else "btree"
+        entry = {"property": prop, "type": kind,
+                 "name": self.index_name(prop, collection)}
+        if any(i["property"] == prop for i in m.d["indexes"]):
+            raise GeoDBError(f"Index on {prop} already exists")
+        m.d["indexes"].append(entry)
+        _atomic_write_json(m.path, m.d)
+
+    def remove_index(self, collection: str, prop: str, database: str) -> None:
+        m = self.catalog.meta(collection, database)
+        before = len(m.d["indexes"])
+        m.d["indexes"] = [i for i in m.d["indexes"] if i["property"] != prop]
+        if len(m.d["indexes"]) == before:
+            raise GeoDBError(f"No index on {prop}")
+        _atomic_write_json(m.path, m.d)
+
+    def show_indexes(self, collection: str, database: str) -> list[dict]:
+        return list(self.catalog.meta(collection, database).d["indexes"])
+
+
+# ---------------------------------------------------------------------------
+# STAC metadata (geodb.sql:1767-2036; client geodb.py:2577-2702, metadata.py)
+# ---------------------------------------------------------------------------
+
+STAC_FIELDS = (
+    "title",
+    "description",
+    "license",
+    "keywords",
+    "stac_extensions",
+    "links",
+    "providers",
+    "assets",
+    "item_assets",
+    "temporal_extent",
+    "summaries",
+)
+
+STAC_VERSION = "1.1.0"  # metadata.py:542
+
+
+class StacMetadata:
+    def __init__(self, catalog: GeoDBCatalog):
+        self.catalog = catalog
+
+    def get_metadata(self, collection: str, database: str) -> dict:
+        m = self.catalog.meta(collection, database)
+        stac = dict(m.d.get("stac") or {})
+        stac.setdefault("stac_version", STAC_VERSION)
+        stac.setdefault("id", f"{database}_{collection}")
+        if "spatial_extent" not in stac:
+            # auto-compute from collection bbox when missing
+            # (metadata.py:371-380)
+            from xcube_geodb_spark.operators.spatial import get_collection_bbox
+
+            bbox = get_collection_bbox(self.catalog, collection, database)
+            if bbox is not None:
+                stac["spatial_extent"] = [list(bbox)]
+        return stac
+
+    def set_metadata_field(
+        self, collection: str, field: str, value, database: str
+    ) -> None:
+        if field not in STAC_FIELDS:
+            # invalid field -> ValueError parity (geodb.py:2689,
+            # geodb.sql:2033)
+            raise GeoDBError(
+                f"Invalid metadata field {field!r}; valid: {', '.join(STAC_FIELDS)}"
+            )
+        self._validate(field, value)
+        m = self.catalog.meta(collection, database)
+        m.d.setdefault("stac", {})[field] = value
+        _atomic_write_json(m.path, m.d)
+
+    @staticmethod
+    def _validate(field: str, value) -> None:
+        if field in ("title", "description", "license") and not isinstance(value, str):
+            raise GeoDBError(f"{field} must be a string")
+        if field in ("keywords", "stac_extensions") and not (
+            isinstance(value, list) and all(isinstance(v, str) for v in value)
+        ):
+            raise GeoDBError(f"{field} must be a list of strings")
+        if field in ("links", "providers") and not (
+            isinstance(value, list) and all(isinstance(v, dict) for v in value)
+        ):
+            raise GeoDBError(f"{field} must be a list of objects")
+        if field in ("assets", "item_assets", "summaries") and not isinstance(
+            value, dict
+        ):
+            raise GeoDBError(f"{field} must be an object")
+        if field == "temporal_extent":
+            if not isinstance(value, list):
+                raise GeoDBError("temporal_extent must be a list of [start, end]")

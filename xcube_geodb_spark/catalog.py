@@ -1,0 +1,529 @@
+"""Warehouse catalog + table format.
+
+The reference stores a collection as a Postgres table named
+``{database}_{collection}`` with four mandatory columns (``geodb_create_collection``,
+``xcube_geodb/sql/geodb.sql:309-322``) and a namespace registry
+``geodb_user_databases`` (``geodb.sql:150-162``). This module provides the
+Spark-native equivalent:
+
+Layout::
+
+    warehouse/
+      _databases.json                  namespace registry (name -> owner/iss)
+      _groups.json                     role/group membership registry
+      _eventlog/                       append-only parquet event log
+      {database}/{collection}/
+        metadata.json                  current table state (atomic swap)
+        data/{uuid}.parquet            immutable data files
+
+``metadata.json`` carries schema, SRID, max_id, ACLs, STAC metadata, index
+declarations and the **manifest** — the list of live data files. A write
+produces new files plus a new metadata.json (written to a temp name, then
+``os.replace`` — atomic on POSIX). Appends therefore never rewrite existing
+data (critical at 100 TB); delete/update/upsert rewrite only as needed.
+
+Mandatory columns (parity with ``geodb.sql:309-314``):
+``id`` bigint, ``created_at`` timestamp, ``modified_at`` timestamp,
+``geometry`` binary WKB — plus engine envelope columns
+``__xmin/__ymin/__xmax/__ymax`` persisted at ingest so spatial scans prune
+parquet files/row-groups via min/max statistics (the Spark replacement for
+the reference's GIST index, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xcube_geodb_spark.errors import GeoDBError
+
+MANDATORY_PROPERTIES = ["geometry", "id", "created_at", "modified_at"]
+SYSTEM_COLUMNS = ["__xmin", "__ymin", "__xmax", "__ymax"]
+
+# Postgres type-name -> Spark type (reference properties are raw PG type
+# strings, ``geodb.py:657-658``; tests use float/date/integer/int/text)
+_PG_TO_SPARK: dict[str, T.DataType] = {
+    "int": T.LongType(),
+    "integer": T.LongType(),
+    "int2": T.ShortType(),
+    "int4": T.IntegerType(),
+    "int8": T.LongType(),
+    "bigint": T.LongType(),
+    "smallint": T.ShortType(),
+    "serial": T.LongType(),
+    "float": T.DoubleType(),
+    "float4": T.FloatType(),
+    "float8": T.DoubleType(),
+    "real": T.FloatType(),
+    "double precision": T.DoubleType(),
+    "double": T.DoubleType(),
+    "numeric": T.DoubleType(),
+    "number": T.DoubleType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "timestamptz": T.TimestampType(),
+    "timestamp with time zone": T.TimestampType(),
+    "timestamp without time zone": T.TimestampType(),
+    "text": T.StringType(),
+    "varchar": T.StringType(),
+    "character varying": T.StringType(),
+    "string": T.StringType(),
+    "char": T.StringType(),
+    "boolean": T.BooleanType(),
+    "bool": T.BooleanType(),
+    "json": T.StringType(),
+    "jsonb": T.StringType(),
+    "bytea": T.BinaryType(),
+    "binary": T.BinaryType(),
+}
+
+
+def pg_type_to_spark(name: str) -> T.DataType:
+    t = _PG_TO_SPARK.get(str(name).strip().lower())
+    if t is None:
+        raise GeoDBError(f"Unsupported property type: {name!r}")
+    return t
+
+
+def _now_iso() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime())
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class CollectionMeta:
+    """In-memory view of a collection's metadata.json."""
+
+    def __init__(self, d: dict, path: str):
+        self._d = d
+        self.path = path
+
+    # -- raw access ---------------------------------------------------------
+    @property
+    def d(self) -> dict:
+        return self._d
+
+    @property
+    def database(self) -> str:
+        return self._d["database"]
+
+    @property
+    def collection(self) -> str:
+        return self._d["collection"]
+
+    @property
+    def srid(self) -> int:
+        return int(self._d["srid"])
+
+    @property
+    def max_id(self) -> int:
+        return int(self._d["max_id"])
+
+    @property
+    def version(self) -> int:
+        return int(self._d["version"])
+
+    @property
+    def files(self) -> list[str]:
+        return list(self._d["files"])
+
+    @property
+    def properties(self) -> dict[str, str]:
+        """User property name -> PG type string (insertion-ordered)."""
+        return dict(self._d["properties"])
+
+    @property
+    def owner(self) -> str:
+        return self._d["acl"]["owner"]
+
+    def spark_schema(self, include_system: bool = True) -> T.StructType:
+        fields = [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("created_at", T.TimestampType(), True),
+            T.StructField("modified_at", T.TimestampType(), True),
+            T.StructField("geometry", T.BinaryType(), True),
+        ]
+        for name, pg_type in self._d["properties"].items():
+            fields.append(T.StructField(name, pg_type_to_spark(pg_type), True))
+        if include_system:
+            for c in SYSTEM_COLUMNS:
+                fields.append(T.StructField(c, T.DoubleType(), True))
+        return T.StructType(fields)
+
+
+class GeoDBCatalog:
+    """Catalog over a warehouse directory (namespace + table registry)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, user: str = "geodb"):
+        self.spark = spark
+        self.warehouse = os.path.abspath(warehouse)
+        self.user = user
+        os.makedirs(self.warehouse, exist_ok=True)
+        self._db_registry_path = os.path.join(self.warehouse, "_databases.json")
+        self._groups_path = os.path.join(self.warehouse, "_groups.json")
+
+    # ------------------------------------------------------------------
+    # databases (namespace registry — geodb.sql:150-214)
+    # ------------------------------------------------------------------
+
+    def _read_databases(self) -> dict:
+        if not os.path.exists(self._db_registry_path):
+            return {}
+        with open(self._db_registry_path) as f:
+            return json.load(f)
+
+    def create_database(self, database: str, owner: str | None = None) -> None:
+        dbs = self._read_databases()
+        if database in dbs:
+            raise GeoDBError(f"Database {database} exists already!")
+        dbs[database] = {"owner": owner or self.user, "iso_created": _now_iso()}
+        _atomic_write_json(self._db_registry_path, dbs)
+        os.makedirs(os.path.join(self.warehouse, database), exist_ok=True)
+
+    def database_exists(self, database: str) -> bool:
+        return database in self._read_databases()
+
+    def truncate_database(self, database: str) -> None:
+        """Drop all collections, keep the namespace
+        (``geodb_truncate_database``, geodb.sql:191-214)."""
+        for coll in self.list_collections(database):
+            self.drop_collection(coll, database)
+
+    def drop_database(self, database: str) -> None:
+        self.truncate_database(database)
+        dbs = self._read_databases()
+        dbs.pop(database, None)
+        _atomic_write_json(self._db_registry_path, dbs)
+        shutil.rmtree(os.path.join(self.warehouse, database), ignore_errors=True)
+
+    def get_my_databases(self, owner: str | None = None) -> list[dict]:
+        owner = owner or self.user
+        return [
+            {"name": name, **info}
+            for name, info in sorted(self._read_databases().items())
+            if info.get("owner") == owner
+        ]
+
+    # ------------------------------------------------------------------
+    # collection paths / metadata
+    # ------------------------------------------------------------------
+
+    def _coll_dir(self, collection: str, database: str) -> str:
+        return os.path.join(self.warehouse, database, collection)
+
+    def _meta_path(self, collection: str, database: str) -> str:
+        return os.path.join(self._coll_dir(collection, database), "metadata.json")
+
+    def collection_exists(self, collection: str, database: str) -> bool:
+        return os.path.exists(self._meta_path(collection, database))
+
+    def meta(self, collection: str, database: str) -> CollectionMeta:
+        p = self._meta_path(collection, database)
+        if not os.path.exists(p):
+            raise GeoDBError(f"Collection {database}_{collection} does not exist")
+        with open(p) as f:
+            return CollectionMeta(json.load(f), p)
+
+    def list_collections(self, database: str) -> list[str]:
+        base = os.path.join(self.warehouse, database)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(base)
+            if os.path.exists(os.path.join(base, d, "metadata.json"))
+        )
+
+    def get_my_collections(self, owner: str | None = None) -> list[dict]:
+        """(owner, database, collection) rows
+        (``geodb_get_my_collections``, geodb.sql:484-541)."""
+        owner = owner or self.user
+        out = []
+        for db in sorted(self._read_databases()):
+            for coll in self.list_collections(db):
+                m = self.meta(coll, db)
+                if owner in (None, "*") or m.owner == owner:
+                    out.append(
+                        {"owner": m.owner, "database": db, "collection": coll}
+                    )
+        return out
+
+    # ------------------------------------------------------------------
+    # DDL
+    # ------------------------------------------------------------------
+
+    def create_collection(
+        self,
+        collection: str,
+        properties: dict[str, str],
+        crs: int = 4326,
+        database: str = "public",
+        force: bool = False,
+        if_not_exists: bool = False,
+    ) -> None:
+        """Parity with ``geodb_create_collection`` (geodb.sql:291-354):
+        mandatory columns + lower-cased user properties + per-collection SRID."""
+        if not self.database_exists(database):
+            raise GeoDBError(f"Database {database} does not exist")
+        if self.collection_exists(collection, database):
+            if if_not_exists:
+                return
+            if not force:
+                raise GeoDBError(f"Collection {database}_{collection} exists")
+            self.drop_collection(collection, database)
+        props = {}
+        for k, v in (properties or {}).items():
+            k = k.lower()  # geodb.sql:226 lower-cases property names
+            if k in MANDATORY_PROPERTIES:
+                continue
+            pg_type_to_spark(v)  # validate
+            props[k] = v
+        cdir = self._coll_dir(collection, database)
+        os.makedirs(os.path.join(cdir, "data"), exist_ok=True)
+        meta = {
+            "collection": collection,
+            "database": database,
+            "srid": int(crs),
+            "properties": props,
+            "max_id": 0,
+            "version": 0,
+            "files": [],
+            "created_at": _now_iso(),
+            "acl": {"owner": self.user, "grants": {}, "published": False},
+            "indexes": [{"property": "geometry", "type": "gist"}],
+            "stac": {},
+        }
+        _atomic_write_json(self._meta_path(collection, database), meta)
+
+    def drop_collection(self, collection: str, database: str) -> None:
+        if not self.collection_exists(collection, database):
+            raise GeoDBError(f"Collection {database}_{collection} does not exist")
+        shutil.rmtree(self._coll_dir(collection, database), ignore_errors=True)
+
+    def rename_collection(
+        self, collection: str, new_name: str, database: str
+    ) -> None:
+        self.move_collection(collection, new_name, database, database)
+
+    def move_collection(
+        self,
+        collection: str,
+        new_name: str,
+        database: str,
+        new_database: str,
+    ) -> None:
+        if not self.collection_exists(collection, database):
+            raise GeoDBError(f"Collection {database}_{collection} does not exist")
+        if not self.database_exists(new_database):
+            raise GeoDBError(f"Database {new_database} does not exist")
+        if self.collection_exists(new_name, new_database):
+            raise GeoDBError(f"Collection {new_database}_{new_name} exists")
+        src = self._coll_dir(collection, database)
+        dst = self._coll_dir(new_name, new_database)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(src, dst)
+        m = self.meta(new_name, new_database)
+        m.d["collection"] = new_name
+        m.d["database"] = new_database
+        _atomic_write_json(self._meta_path(new_name, new_database), m.d)
+
+    def copy_collection(
+        self,
+        collection: str,
+        new_name: str,
+        database: str,
+        new_database: str,
+    ) -> None:
+        """``geodb_copy_collection`` (geodb.sql:1398-1438): structure + data."""
+        if not self.collection_exists(collection, database):
+            raise GeoDBError(f"Collection {database}_{collection} does not exist")
+        if self.collection_exists(new_name, new_database):
+            raise GeoDBError(f"Collection {new_database}_{new_name} exists")
+        src = self._coll_dir(collection, database)
+        dst = self._coll_dir(new_name, new_database)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copytree(src, dst)
+        m = self.meta(new_name, new_database)
+        m.d["collection"] = new_name
+        m.d["database"] = new_database
+        _atomic_write_json(self._meta_path(new_name, new_database), m.d)
+
+    def add_properties(
+        self, collection: str, properties: dict[str, str], database: str
+    ) -> None:
+        """Schema evolution without data rewrite: new columns materialize as
+        NULL on read (``geodb_add_properties``, geodb.sql:216-229)."""
+        m = self.meta(collection, database)
+        for k, v in properties.items():
+            k = k.lower()
+            if k in MANDATORY_PROPERTIES or k in m.d["properties"]:
+                raise GeoDBError(f"Property {k} already exists")
+            pg_type_to_spark(v)
+            m.d["properties"][k] = v
+        _atomic_write_json(m.path, m.d)
+
+    def drop_properties(
+        self, collection: str, properties: Iterable[str], database: str
+    ) -> None:
+        m = self.meta(collection, database)
+        for k in properties:
+            k = k.lower()
+            if k in MANDATORY_PROPERTIES:
+                # client guards these at geodb.py:1170-1173
+                raise GeoDBError(f"Cannot drop mandatory property {k}")
+            if k not in m.d["properties"]:
+                raise GeoDBError(f"Property {k} does not exist")
+            del m.d["properties"][k]
+        _atomic_write_json(m.path, m.d)
+
+    def get_properties(self, collection: str, database: str) -> list[dict]:
+        m = self.meta(collection, database)
+        rows = [
+            {"name": "id", "type": "bigint"},
+            {"name": "created_at", "type": "timestamp with time zone"},
+            {"name": "modified_at", "type": "timestamp with time zone"},
+            {"name": "geometry", "type": "geometry"},
+        ]
+        rows += [{"name": k, "type": v} for k, v in m.properties.items()]
+        return rows
+
+    # ------------------------------------------------------------------
+    # data IO
+    # ------------------------------------------------------------------
+
+    def load_df(
+        self, collection: str, database: str, include_system: bool = False
+    ) -> DataFrame:
+        """Current snapshot as a DataFrame; evolved schema applied on read
+        (missing columns -> NULL, dropped columns pruned)."""
+        m = self.meta(collection, database)
+        schema = m.spark_schema(include_system=True)
+        if not m.files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [
+                os.path.join(self._coll_dir(collection, database), f)
+                for f in m.files
+            ]
+            df = self.spark.read.parquet(*paths)
+            for field in schema.fields:
+                if field.name not in df.columns:
+                    df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+        order = [f.name for f in schema.fields if include_system or f.name not in SYSTEM_COLUMNS]
+        return df.select(*order)
+
+    def commit_version(
+        self,
+        collection: str,
+        database: str,
+        new_df: DataFrame | None,
+        *,
+        keep_files: list[str] | None = None,
+        max_id: int | None = None,
+        expected_version: int | None = None,
+    ) -> None:
+        """Write ``new_df`` (if any) as new data files; the next snapshot is
+        ``keep_files + written files``. Atomic metadata swap; optimistic
+        version check for single-writer safety."""
+        m = self.meta(collection, database)
+        if expected_version is not None and m.version != expected_version:
+            raise GeoDBError(
+                f"Concurrent modification of {database}_{collection}: "
+                f"expected v{expected_version}, found v{m.version}"
+            )
+        cdir = self._coll_dir(collection, database)
+        new_files: list[str] = []
+        if new_df is not None:
+            sub = os.path.join("data", uuid.uuid4().hex)
+            out_dir = os.path.join(cdir, sub)
+            new_df = self._apply_clustering(new_df, m)
+            new_df.write.mode("overwrite").parquet(out_dir)
+            new_files = [
+                os.path.join(sub, f)
+                for f in sorted(os.listdir(out_dir))
+                if f.endswith(".parquet")
+            ]
+        old_live = set(m.files)
+        keep = list(keep_files) if keep_files is not None else m.files
+        m.d["files"] = keep + new_files
+        m.d["version"] = m.version + 1
+        m.d["modified_at"] = _now_iso()
+        if max_id is not None:
+            m.d["max_id"] = int(max_id)
+        _atomic_write_json(m.path, m.d)
+        # garbage-collect files dropped from the manifest
+        for f in old_live - set(m.d["files"]):
+            try:
+                os.remove(os.path.join(cdir, f))
+            except OSError:
+                pass
+
+    def _apply_clustering(self, df: DataFrame, m: CollectionMeta) -> DataFrame:
+        """Honor declared indexes as physical layout: a btree index on a
+        property sorts files by it; the (default) gist geometry index sorts
+        by envelope-center Z-order so parquet min/max stats prune spatial
+        scans (the Spark stand-in for geodb.sql:1456-1471)."""
+        btree = [
+            i["property"]
+            for i in m.d.get("indexes", [])
+            if i["type"] == "btree" and i["property"] in df.columns
+        ]
+        if btree:
+            return df.sortWithinPartitions(*btree)
+        if "__xmin" in df.columns:
+            # cheap interleave-free space curve: sort by (quantized x, y)
+            zx = ((F.col("__xmin") + F.col("__xmax")) / 2).cast("double")
+            zy = ((F.col("__ymin") + F.col("__ymax")) / 2).cast("double")
+            return df.sortWithinPartitions(zx, zy)
+        return df
+
+    # ------------------------------------------------------------------
+    # SRID / info
+    # ------------------------------------------------------------------
+
+    def get_collection_srid(self, collection: str, database: str) -> int:
+        return self.meta(collection, database).srid
+
+    def get_collection_info(self, collection: str, database: str) -> dict:
+        m = self.meta(collection, database)
+        return {
+            "collection": collection,
+            "database": database,
+            "srid": m.srid,
+            "properties": self.get_properties(collection, database),
+            "version": m.version,
+            "required": MANDATORY_PROPERTIES,
+        }
+
+    # ------------------------------------------------------------------
+    # usage (geodb.sql:1028-1120: SUM(pg_total_relation_size))
+    # ------------------------------------------------------------------
+
+    def get_usage(self, owner: str | None = None, pretty: bool = False):
+        owner = owner or self.user
+        total = 0
+        for row in self.get_my_collections(owner):
+            cdir = self._coll_dir(row["collection"], row["database"])
+            for root, _dirs, files in os.walk(cdir):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        if pretty:
+            for unit in ("bytes", "kB", "MB", "GB", "TB"):
+                if total < 1024 or unit == "TB":
+                    return f"{total:.0f} {unit}" if unit == "bytes" else f"{total:.1f} {unit}"
+                total /= 1024
+        return total

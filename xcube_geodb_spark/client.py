@@ -1,0 +1,484 @@
+"""GeoDBSparkClient — drop-in-shaped facade over the Spark engine.
+
+Mirrors the reference client's API surface (``xcube_geodb/core/geodb.py``,
+class ``GeoDBClient``) method-for-method where the semantics survive the
+backend change. Differences (documented):
+
+- results come back as pandas DataFrames whose ``geometry`` column holds
+  :class:`~xcube_geodb_spark.geometry.geom.Geometry` objects (geopandas is
+  not available in this environment; the column is shapely-convertible WKB
+  underneath);
+- no HTTP/auth layer — the "server" is the in-process Spark engine;
+- ``get_collection_pg`` accepts Spark SQL dialect in select/where/group/order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from xcube_geodb_spark.admin import (
+    AccessControl,
+    EventLog,
+    IndexManager,
+    StacMetadata,
+)
+from xcube_geodb_spark.catalog import GeoDBCatalog
+from xcube_geodb_spark.errors import GeoDBError
+from xcube_geodb_spark.geometry.geom import parse_wkb
+from xcube_geodb_spark.operators import dml, scan, spatial
+from xcube_geodb_spark.session import get_spark
+
+
+class GeoDBSparkClient:
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        warehouse: str = "./geodb_warehouse",
+        user: str = "geodb",
+        database: str | None = None,
+    ):
+        self.spark = spark or get_spark()
+        self.user = user
+        self.catalog = GeoDBCatalog(self.spark, warehouse, user=user)
+        self.events = EventLog(self.catalog)
+        self.acl = AccessControl(self.catalog)
+        self.indexes = IndexManager(self.catalog)
+        self.stac = StacMetadata(self.catalog)
+        # reference default database is the user's own namespace
+        self.database = database or user
+        if not self.catalog.database_exists(self.database):
+            self.catalog.create_database(self.database, owner=user)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _db(self, database: str | None) -> str:
+        return database or self.database
+
+    def _collect_geo(self, df: DataFrame, srid: int | None = None) -> pd.DataFrame:
+        """Spark -> pandas; decode WKB to Geometry objects (the reference
+        decodes hex-EWKB to shapely, geodb.py:2104-2149)."""
+        pdf = df.toPandas()
+        if "geometry" in pdf.columns:
+            pdf["geometry"] = pdf["geometry"].map(
+                lambda b: parse_wkb(b) if b is not None else None
+            )
+            if srid is not None:
+                pdf.attrs["crs"] = f"EPSG:{srid}"
+        return pdf
+
+    # -- databases ----------------------------------------------------------
+
+    def create_database(self, database: str) -> None:
+        self.catalog.create_database(database, owner=self.user)
+        self.events.log("database_created", f"Database {database} created")
+
+    def truncate_database(self, database: str) -> None:
+        self.catalog.truncate_database(database)
+        self.events.log("database_dropped", f"Database {database} truncated")
+
+    def database_exists(self, database: str) -> bool:
+        return self.catalog.database_exists(database)
+
+    def get_my_databases(self) -> pd.DataFrame:
+        return pd.DataFrame(self.catalog.get_my_databases(self.user))
+
+    # -- DDL -----------------------------------------------------------------
+
+    def create_collection(
+        self,
+        collection: str,
+        properties: dict[str, str],
+        crs: int = 4326,
+        database: str | None = None,
+        force: bool = False,
+    ) -> None:
+        db = self._db(database)
+        self.catalog.create_collection(
+            collection, properties, crs=crs, database=db, force=force
+        )
+        self.events.log("created", f"Collection {db}_{collection} created")
+
+    def create_collection_if_not_exists(
+        self,
+        collection: str,
+        properties: dict[str, str],
+        crs: int = 4326,
+        database: str | None = None,
+    ) -> None:
+        self.catalog.create_collection(
+            collection,
+            properties,
+            crs=crs,
+            database=self._db(database),
+            if_not_exists=True,
+        )
+
+    def create_collections(self, collections: dict, database: str | None = None) -> None:
+        for name, spec in collections.items():
+            self.create_collection(
+                name,
+                spec.get("properties", {}),
+                crs=spec.get("crs", 4326),
+                database=database,
+            )
+
+    def drop_collection(self, collection: str, database: str | None = None) -> None:
+        db = self._db(database)
+        self.catalog.drop_collection(collection, db)
+        self.events.log("dropped", f"Collection {db}_{collection} dropped")
+
+    def drop_collections(self, collections, database: str | None = None) -> None:
+        for c in collections:
+            self.drop_collection(c, database)
+
+    def collection_exists(self, collection: str, database: str | None = None) -> bool:
+        return self.catalog.collection_exists(collection, self._db(database))
+
+    def rename_collection(
+        self, collection: str, new_name: str, database: str | None = None
+    ) -> None:
+        db = self._db(database)
+        self.catalog.rename_collection(collection, new_name, db)
+        self.events.log(
+            "renamed", f"Collection {db}_{collection} renamed to {db}_{new_name}"
+        )
+
+    def move_collection(
+        self, collection: str, new_database: str, database: str | None = None
+    ) -> None:
+        db = self._db(database)
+        self.catalog.move_collection(collection, collection, db, new_database)
+        self.events.log(
+            "moved", f"Collection {db}_{collection} moved to {new_database}"
+        )
+
+    def copy_collection(
+        self,
+        collection: str,
+        new_collection: str,
+        new_database: str,
+        database: str | None = None,
+    ) -> None:
+        db = self._db(database)
+        self.catalog.copy_collection(collection, new_collection, db, new_database)
+        self.events.log(
+            "copied",
+            f"Collection {db}_{collection} copied to {new_database}_{new_collection}",
+        )
+
+    def add_property(
+        self, collection: str, prop: str, prop_type: str, database: str | None = None
+    ) -> None:
+        self.add_properties(collection, {prop: prop_type}, database)
+
+    def add_properties(
+        self, collection: str, properties: dict[str, str], database: str | None = None
+    ) -> None:
+        db = self._db(database)
+        self.catalog.add_properties(collection, properties, db)
+        self.events.log(
+            "property_added",
+            f"Properties {list(properties)} added to {db}_{collection}",
+        )
+
+    def drop_property(
+        self, collection: str, prop: str, database: str | None = None
+    ) -> None:
+        self.drop_properties(collection, [prop], database)
+
+    def drop_properties(
+        self, collection: str, properties, database: str | None = None
+    ) -> None:
+        db = self._db(database)
+        self.catalog.drop_properties(collection, properties, db)
+        self.events.log(
+            "property_dropped",
+            f"Properties {list(properties)} dropped from {db}_{collection}",
+        )
+
+    def get_properties(self, collection: str, database: str | None = None) -> pd.DataFrame:
+        return pd.DataFrame(
+            self.catalog.get_properties(collection, self._db(database))
+        )
+
+    def get_collection_info(self, collection: str, database: str | None = None) -> dict:
+        return self.catalog.get_collection_info(collection, self._db(database))
+
+    def get_my_collections(self, database: str | None = None) -> pd.DataFrame:
+        rows = self.catalog.get_my_collections(self.user)
+        if database:
+            rows = [r for r in rows if r["database"] == database]
+        return pd.DataFrame(rows)
+
+    def get_collection_srid(self, collection: str, database: str | None = None) -> int:
+        return self.catalog.get_collection_srid(collection, self._db(database))
+
+    # -- reads ---------------------------------------------------------------
+
+    def get_collection(
+        self,
+        collection: str,
+        query: str | None = None,
+        database: str | None = None,
+        limit: int | None = None,
+        offset: int | None = None,
+    ) -> pd.DataFrame:
+        db = self._db(database)
+        srid = self.catalog.get_collection_srid(collection, db)
+        df = scan.get_collection(
+            self.catalog, collection, query, db, limit=limit, offset=offset
+        )
+        self.events.log("read", f"Collection {db}_{collection} read")
+        return self._collect_geo(df, srid)
+
+    def head_collection(
+        self, collection: str, num_lines: int = 10, database: str | None = None
+    ) -> pd.DataFrame:
+        db = self._db(database)
+        srid = self.catalog.get_collection_srid(collection, db)
+        return self._collect_geo(
+            scan.head_collection(self.catalog, collection, num_lines, db), srid
+        )
+
+    def get_collection_pg(
+        self,
+        collection: str,
+        select: str = "*",
+        where: str | None = None,
+        group: str | None = None,
+        order: str | None = None,
+        limit: int | None = None,
+        offset: int | None = None,
+        database: str | None = None,
+    ) -> pd.DataFrame:
+        db = self._db(database)
+        srid = self.catalog.get_collection_srid(collection, db)
+        df = scan.get_collection_pg(
+            self.catalog,
+            collection,
+            select=select,
+            where=where,
+            group=group,
+            order=order,
+            limit=limit,
+            offset=offset,
+            database=db,
+            raise_empty=True,
+        )
+        self.events.log("read", f"Collection {db}_{collection} read")
+        return self._collect_geo(df, srid)
+
+    def get_collection_by_bbox(
+        self,
+        collection: str,
+        bbox,
+        comparison_mode: str = "contains",
+        bbox_crs=4326,
+        limit: int = 0,
+        offset: int = 0,
+        where: str | None = "id>-1",
+        op: str = "AND",
+        database: str | None = None,
+        wsg84_order: str = "lon_lat",
+    ) -> pd.DataFrame:
+        db = self._db(database)
+        srid = self.catalog.get_collection_srid(collection, db)
+        df = spatial.get_collection_by_bbox(
+            self.catalog,
+            collection,
+            tuple(bbox),
+            comparison_mode=comparison_mode,
+            bbox_crs=bbox_crs,
+            limit=limit or None,
+            offset=offset or None,
+            where=where,
+            op=op,
+            database=db,
+            wsg84_order=wsg84_order,
+        )
+        self.events.log("read", f"Collection {db}_{collection} read by bbox")
+        return self._collect_geo(df, srid)
+
+    def count_collection_rows(
+        self,
+        collection: str,
+        database: str | None = None,
+        exact_count: bool = False,
+    ) -> int:
+        return scan.count_collection(
+            self.catalog, collection, self._db(database), exact=exact_count
+        )
+
+    def count_collection_by_bbox(
+        self,
+        collection: str,
+        bbox,
+        comparison_mode: str = "contains",
+        bbox_crs=4326,
+        where: str | None = "id>-1",
+        op: str = "AND",
+        database: str | None = None,
+        wsg84_order: str = "lon_lat",
+    ) -> int:
+        return spatial.count_collection_by_bbox(
+            self.catalog,
+            collection,
+            tuple(bbox),
+            comparison_mode=comparison_mode,
+            bbox_crs=bbox_crs,
+            where=where,
+            op=op,
+            database=self._db(database),
+            wsg84_order=wsg84_order,
+        )
+
+    def get_collection_bbox(
+        self,
+        collection: str,
+        database: str | None = None,
+        exact: bool = True,
+    ):
+        """Returns (miny, minx, maxy, maxx) — the reference client reorders
+        the PostGIS BOX output exactly so (geodb.py:344-402, return at
+        :400)."""
+        bbox = spatial.get_collection_bbox(
+            self.catalog, collection, self._db(database), exact=exact
+        )
+        if bbox is None:
+            return None
+        return (bbox[1], bbox[0], bbox[3], bbox[2])
+
+    def get_geometry_types(
+        self,
+        collection: str,
+        aggregate: bool = False,
+        database: str | None = None,
+    ) -> list[str]:
+        df = spatial.get_geometry_types(
+            self.catalog, collection, aggregate=aggregate, database=self._db(database)
+        )
+        return [r["geometrytype"] for r in df.collect()]
+
+    def transform_bbox_crs(self, bbox, from_crs, to_crs, wsg84_order: str = "lon_lat"):
+        from xcube_geodb_spark.geometry.crs import transform_bbox_crs
+
+        return transform_bbox_crs(tuple(bbox), from_crs, to_crs, wsg84_order)
+
+    # -- DML -------------------------------------------------------------------
+
+    def insert_into_collection(
+        self,
+        collection: str,
+        values,
+        upsert: bool = False,
+        crs: int | None = None,
+        database: str | None = None,
+        max_transfer_chunk_size: int = 1000,  # accepted for API compat; Spark
+        # writes are already parallel (SURVEY.md §4)
+    ) -> None:
+        db = self._db(database)
+        n = dml.insert_into_collection(
+            self.catalog, collection, values, upsert=upsert, crs=crs, database=db
+        )
+        self.events.log("rows_added", f"{n} rows added to {db}_{collection}")
+
+    def delete_from_collection(
+        self, collection: str, query: str, database: str | None = None
+    ) -> None:
+        db = self._db(database)
+        dml.delete_from_collection(self.catalog, collection, query, db)
+        self.events.log("rows_dropped", f"Rows deleted from {db}_{collection}")
+
+    def update_collection(
+        self, collection: str, values: dict, query: str, database: str | None = None
+    ) -> None:
+        db = self._db(database)
+        dml.update_collection(self.catalog, collection, values, query, db)
+        self.events.log("rows_updated", f"Rows updated in {db}_{collection}")
+
+    # -- ACL / publish -----------------------------------------------------------
+
+    def grant_access_to_collection(
+        self, collection: str, user: str, database: str | None = None
+    ) -> None:
+        self.acl.grant_access(collection, user, self._db(database))
+
+    def revoke_access_from_collection(
+        self, collection: str, user: str, database: str | None = None
+    ) -> None:
+        self.acl.revoke_access(collection, user, self._db(database))
+
+    def publish_collection(self, collection: str, database: str | None = None) -> None:
+        db = self._db(database)
+        self.acl.publish_collection(collection, db)
+        self.events.log("published", f"Collection {db}_{collection} published")
+
+    def unpublish_collection(self, collection: str, database: str | None = None) -> None:
+        db = self._db(database)
+        self.acl.unpublish_collection(collection, db)
+        self.events.log("unpublished", f"Collection {db}_{collection} unpublished")
+
+    def list_grants(self, collection: str, database: str | None = None) -> pd.DataFrame:
+        return pd.DataFrame(self.acl.list_grants(collection, self._db(database)))
+
+    def create_group(self, group: str) -> None:
+        self.acl.create_group(group)
+
+    def add_user_to_group(self, user: str, group: str) -> None:
+        self.acl.add_user_to_group(user, group)
+
+    def remove_user_from_group(self, user: str, group: str) -> None:
+        self.acl.remove_user_from_group(user, group)
+
+    def get_group_users(self, group: str) -> list[str]:
+        return self.acl.get_group_users(group)
+
+    # -- indexes -------------------------------------------------------------------
+
+    def create_index(
+        self, collection: str, prop: str, database: str | None = None
+    ) -> None:
+        db = self._db(database)
+        self.indexes.create_index(collection, prop, db)
+        self.events.log("index_created", f"Index on {prop} in {db}_{collection}")
+
+    def remove_index(
+        self, collection: str, prop: str, database: str | None = None
+    ) -> None:
+        db = self._db(database)
+        self.indexes.remove_index(collection, prop, db)
+        self.events.log("index_dropped", f"Index on {prop} in {db}_{collection}")
+
+    def show_indexes(self, collection: str, database: str | None = None) -> pd.DataFrame:
+        return pd.DataFrame(self.indexes.show_indexes(collection, self._db(database)))
+
+    # -- STAC metadata ---------------------------------------------------------------
+
+    def get_metadata(self, collection: str, database: str | None = None) -> dict:
+        return self.stac.get_metadata(collection, self._db(database))
+
+    def set_metadata_field(
+        self, collection: str, field: str, value, database: str | None = None
+    ) -> None:
+        self.stac.set_metadata_field(collection, field, value, self._db(database))
+
+    # -- events / usage -----------------------------------------------------------------
+
+    def get_event_log(
+        self,
+        collection: str | None = None,
+        database: str | None = None,
+        event_type: str | None = None,
+    ) -> pd.DataFrame:
+        db = self._db(database) if collection else None
+        return self.events.get_event_log(collection, db, event_type).toPandas()
+
+    def get_my_usage(self, pretty: bool = True):
+        return self.catalog.get_usage(self.user, pretty=pretty)
+
+    # -- whoami parity ------------------------------------------------------------------
+
+    @property
+    def whoami(self) -> str:
+        return self.user

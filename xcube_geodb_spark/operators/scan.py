@@ -1,0 +1,117 @@
+"""Scan operators: PostgREST-grammar path + raw-SQL passthrough.
+
+Reference lifecycles: SURVEY.md §3.1 (``get_collection``) and §3.2
+(``get_collection_pg`` — clause-ordered SQL built server-side at
+``xcube_geodb/sql/geodb.sql:1147-1167``). Here Spark SQL *is* the dialect
+engine; Catalyst replaces the Postgres planner.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xcube_geodb_spark.catalog import GeoDBCatalog
+from xcube_geodb_spark.errors import GeoDBError
+from xcube_geodb_spark.filters import apply_postgrest_query
+
+
+def get_collection(
+    catalog: GeoDBCatalog,
+    collection: str,
+    query: str | None = None,
+    database: str = "public",
+    limit: int | None = None,
+    offset: int | None = None,
+) -> DataFrame:
+    """Filtered scan via the PostgREST grammar (``geodb.py:1830-1885``)."""
+    df = catalog.load_df(collection, database)
+    return apply_postgrest_query(df, query, limit=limit, offset=offset)
+
+
+def head_collection(
+    catalog: GeoDBCatalog,
+    collection: str,
+    num_lines: int = 10,
+    database: str = "public",
+) -> DataFrame:
+    """First N rows (``geodb.py:1803-1828``); ordered by id for determinism."""
+    return (
+        catalog.load_df(collection, database).orderBy("id").limit(int(num_lines))
+    )
+
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _view_name(database: str, collection: str) -> str:
+    name = f"{database}_{collection}"
+    if not _IDENT.match(name):
+        raise GeoDBError(f"Invalid collection name: {name!r}")
+    return name
+
+
+def get_collection_pg(
+    catalog: GeoDBCatalog,
+    collection: str,
+    select: str = "*",
+    where: str | None = None,
+    group: str | None = None,
+    order: str | None = None,
+    limit: int | None = None,
+    offset: int | None = None,
+    database: str = "public",
+    raise_empty: bool = False,
+) -> DataFrame:
+    """Raw-SQL scan: clause-ordered SELECT built exactly like
+    ``geodb_get_pg`` (``geodb.sql:1147-1167``): SELECT -> WHERE -> GROUP ->
+    ORDER -> LIMIT -> OFFSET, with OFFSET emitted only when LIMIT is set.
+    Spark SQL parses/optimizes the statement (dialect deviation from
+    Postgres documented in SURVEY.md §7)."""
+    df = catalog.load_df(collection, database)
+    view = _view_name(database, collection)
+    df.createOrReplaceTempView(view)
+    sql = f"SELECT {select} FROM {view}"
+    if where:
+        sql += f" WHERE {where}"
+    if group:
+        sql += f" GROUP BY {group}"
+    if order:
+        sql += f" ORDER BY {order}"
+    if limit is not None:
+        sql += f" LIMIT {int(limit)}"
+        if offset:
+            sql += f" OFFSET {int(offset)}"
+    out = catalog.spark.sql(sql)
+    if raise_empty and out.isEmpty():
+        # parity with geodb.sql:1171-1175 ("Empty result")
+        raise GeoDBError("Empty result")
+    return out
+
+
+def run_sql(catalog: GeoDBCatalog, sql: str, views: dict[str, DataFrame]) -> DataFrame:
+    """Engine superset: arbitrary Spark SQL over registered collections."""
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return catalog.spark.sql(sql)
+
+
+def count_collection(
+    catalog: GeoDBCatalog,
+    collection: str,
+    database: str = "public",
+    exact: bool = True,
+) -> int:
+    """Row count (``geodb_count_collection`` geodb.sql:1259-1273 /
+    ``geodb_estimate_collection_count`` :1276-1303). Both paths read parquet
+    footers — exact and O(files), no Spark job (SURVEY.md §4)."""
+    from xcube_geodb_spark.operators.stats import footer_row_count
+    import os
+
+    m = catalog.meta(collection, database)
+    paths = [
+        os.path.join(catalog.warehouse, database, collection, f) for f in m.files
+    ]
+    return footer_row_count(paths)

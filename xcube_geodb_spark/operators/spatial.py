@@ -1,0 +1,187 @@
+"""Spatial operators: bbox scans, counts, extents, geometry types.
+
+Reference: ``geodb_get_by_bbox`` / ``geodb_count_by_bbox``
+(``xcube_geodb/sql/geodb.sql:1179-1257`` / ``:1306-1370``) evaluate
+``(where) op ST_pred(bbox_polygon, geometry)`` ordered by id. Our physical
+strategy (SURVEY.md §4):
+
+1. cheap envelope pre-filter on the persisted ``__xmin..__ymax`` columns —
+   a plain range predicate Catalyst pushes into the parquet scan, so files
+   and row groups outside the query box are never read;
+2. exact predicate via the vectorized geometry-kernel UDF on survivors;
+3. ``ORDER BY id`` + limit/offset, parity with ``geodb.sql:1240-1241``.
+
+The pre-filter is applied only when it is a *necessary* condition of the
+final predicate (AND-composition with ``where``; never for ``disjoint``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xcube_geodb_spark.catalog import SYSTEM_COLUMNS, GeoDBCatalog
+from xcube_geodb_spark.errors import GeoDBError
+from xcube_geodb_spark.geometry.crs import check_crs, transform_bbox_crs
+from xcube_geodb_spark.geometry.predicates import COMPARISON_MODES
+from xcube_geodb_spark.geometry.udfs import (
+    bbox_predicate_column,
+    envelope_prefilter,
+    geom_type_udf,
+)
+
+Bbox = tuple[float, float, float, float]
+
+
+def _aligned_bbox(
+    catalog: GeoDBCatalog,
+    collection: str,
+    database: str,
+    bbox: Bbox,
+    bbox_crs,
+    wsg84_order: str = "lon_lat",
+) -> Bbox:
+    """CRS auto-alignment: if the query bbox CRS differs from the collection
+    SRID, reproject the bbox first (``geodb.py:1630-1637``)."""
+    srid = catalog.get_collection_srid(collection, database)
+    crs = check_crs(bbox_crs)
+    if crs != srid:
+        return transform_bbox_crs(bbox, crs, srid, wsg84_order=wsg84_order)
+    if crs == 4326 and wsg84_order == "lat_lon":
+        return (bbox[1], bbox[0], bbox[3], bbox[2])
+    return bbox
+
+
+def _bbox_filtered(
+    catalog: GeoDBCatalog,
+    collection: str,
+    database: str,
+    bbox: Bbox,
+    comparison_mode: str,
+    where: str | None,
+    op: str,
+) -> DataFrame:
+    if comparison_mode not in COMPARISON_MODES:
+        # parity: invalid mode raises (geodb.sql:1213 data_exception)
+        raise GeoDBError(
+            f"Unknown comparison mode {comparison_mode!r} "
+            f"(one of {', '.join(COMPARISON_MODES)})"
+        )
+    op = (op or "AND").upper()
+    if op not in ("AND", "OR"):
+        raise GeoDBError(f"op must be AND or OR, got {op!r}")
+    df = catalog.load_df(collection, database, include_system=True)
+    exact = bbox_predicate_column(comparison_mode, bbox)
+    pre = envelope_prefilter(comparison_mode, bbox)
+    if where:
+        wcol = F.expr(where)
+        if op == "AND":
+            # pre-filter is a necessary condition of (where AND exact)
+            if pre is not None:
+                df = df.filter(pre)
+            df = df.filter(wcol & exact)
+        else:
+            # OR: rows failing the envelope test may still match `where` —
+            # no pre-filter; evaluate exact predicate only where needed
+            df = df.filter(wcol | (pre & exact if pre is not None else exact))
+    else:
+        if pre is not None:
+            df = df.filter(pre)
+        df = df.filter(exact)
+    return df
+
+
+def get_collection_by_bbox(
+    catalog: GeoDBCatalog,
+    collection: str,
+    bbox: Bbox,
+    comparison_mode: str = "contains",
+    bbox_crs=4326,
+    limit: int | None = None,
+    offset: int | None = None,
+    where: str | None = None,
+    op: str = "AND",
+    database: str = "public",
+    wsg84_order: str = "lon_lat",
+) -> DataFrame:
+    """Spatial scan (``geodb.py:1577-1669`` / ``geodb.sql:1179-1257``)."""
+    bbox = _aligned_bbox(catalog, collection, database, bbox, bbox_crs, wsg84_order)
+    df = _bbox_filtered(catalog, collection, database, bbox, comparison_mode, where, op)
+    df = df.drop(*SYSTEM_COLUMNS).orderBy("id")
+    if offset:
+        df = df.offset(int(offset))
+    if limit:
+        df = df.limit(int(limit))
+    return df
+
+
+def count_collection_by_bbox(
+    catalog: GeoDBCatalog,
+    collection: str,
+    bbox: Bbox,
+    comparison_mode: str = "contains",
+    bbox_crs=4326,
+    where: str | None = None,
+    op: str = "AND",
+    database: str = "public",
+    wsg84_order: str = "lon_lat",
+) -> int:
+    """``geodb_count_by_bbox`` (geodb.sql:1306-1370)."""
+    bbox = _aligned_bbox(catalog, collection, database, bbox, bbox_crs, wsg84_order)
+    return _bbox_filtered(
+        catalog, collection, database, bbox, comparison_mode, where, op
+    ).count()
+
+
+def get_collection_bbox(
+    catalog: GeoDBCatalog,
+    collection: str,
+    database: str = "public",
+    exact: bool = True,
+) -> Bbox | None:
+    """Collection extent. Exact path aggregates the persisted envelope
+    columns (``ST_Extent`` parity, geodb.sql:426-441); the estimate path
+    reads parquet footer min/max only — no Spark job (``ST_EstimatedExtent``
+    parity, geodb.sql:443-458; our estimates are exact, SURVEY.md §7)."""
+    m = catalog.meta(collection, database)
+    if not m.files:
+        return None
+    if exact:
+        row = (
+            catalog.load_df(collection, database, include_system=True)
+            .agg(
+                F.min("__xmin").alias("xmin"),
+                F.min("__ymin").alias("ymin"),
+                F.max("__xmax").alias("xmax"),
+                F.max("__ymax").alias("ymax"),
+            )
+            .collect()[0]
+        )
+        if row["xmin"] is None:
+            return None
+        return (row["xmin"], row["ymin"], row["xmax"], row["ymax"])
+    from xcube_geodb_spark.operators.stats import footer_min_max
+
+    paths = [
+        os.path.join(catalog.warehouse, database, collection, f) for f in m.files
+    ]
+    mm = footer_min_max(paths, ["__xmin", "__ymin", "__xmax", "__ymax"])
+    if len(mm) < 4:
+        return None
+    return (mm["__xmin"][0], mm["__ymin"][0], mm["__xmax"][1], mm["__ymax"][1])
+
+
+def get_geometry_types(
+    catalog: GeoDBCatalog,
+    collection: str,
+    aggregate: bool = False,
+    database: str = "public",
+) -> DataFrame:
+    """``geodb_geometry_types`` (geodb.sql:460-482): per-row geometry type
+    names, or DISTINCT when aggregate=true."""
+    df = catalog.load_df(collection, database).select(
+        geom_type_udf(F.col("geometry")).alias("geometrytype")
+    )
+    return df.distinct() if aggregate else df
