@@ -1,0 +1,269 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of these at 100 TB):
+
+- **exact**: one hash-aggregate on ``md5(text)`` — a single shuffle keyed by
+  a 128-bit fingerprint, perfectly partitionable, no skew (hash keys).
+- **MinHash+LSH**: signatures are per-row projections (no shuffle); banding
+  explodes to ``n_bands`` rows/doc and the candidate join shuffles on
+  ``(band, band_hash)`` — tiny keys, and only docs sharing a band collide,
+  so the join fan-out is bounded by actual near-duplicate density rather
+  than O(n²).
+- **SimHash**: per-row fingerprint then one group-by on the fingerprint.
+- **n-gram Jaccard**: evaluated only on LSH candidate pairs (never all
+  pairs).
+
+All hashing is ``md5`` so a DuckDB SQL oracle reproduces results exactly;
+everything below is JVM-side column algebra (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xcube_geodb_spark.functions.text import normalized
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles; falls back to the whole normalized text for
+    documents shorter than n words.
+
+    WARNING: this single-expression form re-evaluates the tokenization per
+    element_at reference (no subexpression elimination inside higher-order
+    functions — observed ~20x slowdown on real corpora). Table-level
+    operators should use :func:`shingle_table` instead, which materializes
+    the token array in its own projection."""
+    toks = F.split(normalized(text), " ")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(k >= n, grams).otherwise(F.array(normalized(text)))
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>) with the token array materialized in a
+    separate projection so each element_at reads an attribute instead of
+    re-running regexp+split (Catalyst's CollapseProject keeps non-cheap
+    aliases referenced more than once in their own project)."""
+    tok = df.select(
+        F.col(id_col), normalized(F.col(text_col)).alias("__norm")
+    ).select(F.col(id_col), F.col("__norm"), F.split("__norm", " ").alias("__toks"))
+    k = F.size("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("__toks"), i + j) for j in range(n)]
+        ),
+    )
+    sh = F.array_distinct(F.when(k >= n, grams).otherwise(F.array(F.col("__norm"))))
+    return tok.select(F.col(id_col), sh.alias("sh"))
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: fingerprint -> (keeper id, duplicate count).
+    One hash-shuffle on the fingerprint."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, m0..m{k-1}) salted-md5 min-hash signature table.
+
+    Physical shape: explode shingles -> k codegen'd md5 projections ->
+    hash-aggregate MIN per doc. Spark's higher-order array lambdas are
+    interpreted per element (observed 40x slower); the explode form stays
+    in whole-stage codegen and the aggregate does map-side partial mins, so
+    the single shuffle carries only k hashes per doc. String-min over
+    fixed-length lowercase hex == numeric min of the 128-bit hash."""
+    # explode_outer, not explode: InferFiltersFromGenerate would bolt a
+    # `size(sh) > 0` filter under the projections with the whole shingle
+    # tree inlined and interpreted — a measured 15x slowdown. Shingle arrays
+    # are non-empty by construction, so the outer variant is equivalent.
+    exploded = shingle_table(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.explode_outer("sh").alias("__s")
+    )
+    hashed = exploded.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.col("__s"), F.lit(f"#{j}"))).alias(f"__h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{j}").alias(f"m{j}") for j in range(num_hashes)]
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_hash) — one row per band per doc."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("band_hash")
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(
+        F.col(id_col),
+        F.col("b.band").alias("band"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct candidate near-duplicate pairs (a < b) sharing >= 1 LSH band.
+    The self-join shuffles on (band, band_hash) only. The banded table is
+    cached: both join sides would otherwise recompute every signature."""
+    banded = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_n).cache()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard, evaluated only on LSH candidates: verify step
+    of the dedup pipeline. Returns (id_a, id_b, jaccard)."""
+    cand = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = shingle_table(df, text_col, id_col, shingle_n)
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    joined = (
+        cand.join(a, cand.id_a == F.col(f"sa.{id_col}"))
+        .join(b, cand.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sa.sh", "sb.sh"))
+                / F.size(F.array_union("sa.sh", "sb.sh"))
+            ).alias("jaccard"),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+
+
+def simhash_fingerprint(
+    text: Column, bits: int = 16
+) -> Column:
+    """SimHash over distinct tokens: bit b of a token's hash is the high bit
+    of hex digit b of its md5; the fingerprint bit is the sign of the vote
+    sum. Returned as a '0'/'1' string of length ``bits`` (cross-engine
+    portable — no 64-bit int wrangling)."""
+    toks = F.array_distinct(F.split(normalized(text), " "))
+    hashes = F.transform(toks, lambda t: F.md5(t))
+
+    def _vote(b: int):
+        # exactly two parameters: (acc, element) — a third would make Spark
+        # interpret it as the aggregate finish-function form
+        return lambda acc, h: acc + F.when(
+            F.substring(h, b + 1, 1) >= "8", 1
+        ).otherwise(-1)
+
+    bit_chars = []
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), _vote(b))
+        bit_chars.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_chars)
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """(id, simhash) fingerprint table via explode + codegen'd vote sums
+    (same physical rationale as :func:`minhash_signatures`)."""
+    tokd = df.select(
+        F.col(id_col),
+        # explode_outer: see minhash_signatures — avoids the inferred
+        # size()>0 filter with the tokenization tree inlined
+        F.explode_outer(
+            F.array_distinct(F.split(normalized(F.col(text_col)), " "))
+        ).alias("__t"),
+    ).select(F.col(id_col), F.md5("__t").alias("__h"))
+    votes = tokd.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.substring("__h", b + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"__s{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = F.concat(
+        *[
+            F.when(F.col(f"__s{b}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(bits)
+        ]
+    )
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Docs sharing an identical SimHash fingerprint (hamming distance 0
+    buckets; near-dup buckets at this bit width)."""
+    return (
+        simhash_fingerprints(df, text_col, id_col, bits)
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

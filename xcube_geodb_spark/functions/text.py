@@ -1,0 +1,116 @@
+"""Text-analysis operators over a document table.
+
+Everything here is pure ``pyspark.sql.functions`` column algebra — no UDFs,
+fully codegen'd, shuffle-free (per-row projections), so it scales linearly
+with input splits. Formulas are fixed so a SQL oracle reproduces them
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deliberately small, deterministic stopword sets (public common words)
+STOPWORDS_EN = ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was")
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "los", "y", "que", "una", "por"),
+    "it": ("il", "di", "che", "per", "con", "sono"),
+}
+
+
+def normalized(text: Column) -> Column:
+    """lowercase, strip non-alphanumerics, collapse whitespace."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(text: Column) -> Column:
+    return F.split(normalized(text), " ")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """token count (whitespace) + a BPE-ish subword estimate: ~1 token per
+    4 chars is the published rule-of-thumb for byte-pair encodings."""
+    toks = tokens(F.col(text_col))
+    return df.withColumn("n_tokens", F.size(toks)).withColumn(
+        "n_subword_est", F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("long")
+    )
+
+
+def quality_score_columns(text_col: str = "text") -> dict[str, Column]:
+    """Deterministic quality heuristics: length, punctuation density,
+    stopword ratio, alphabetic ratio, and a blended [0,1] score."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))
+    )
+    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    punct_chars = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+    punct_ratio = punct_chars / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.lit(0.35) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.35) * stop_ratio
+        + F.lit(0.20) * alpha_ratio
+        + F.lit(0.10) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return {
+        "n_tokens": n_tokens,
+        "stop_ratio": F.round(stop_ratio, 6),
+        "alpha_ratio": F.round(alpha_ratio, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "quality": F.round(score, 6),
+    }
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = df
+    for name, col in quality_score_columns(text_col).items():
+        out = out.withColumn(name, col)
+    return out
+
+
+def lang_id_column(text_col: str = "text") -> Column:
+    """Stopword-vote language id; first-match CASE gives earlier languages
+    the tie-break (a classic n-gram-free heuristic, SQL-replicable)."""
+    toks = tokens(F.col(text_col))
+
+    def _hits(words: tuple[str, ...]) -> Column:
+        # single-parameter lambda: two-parameter lambdas become
+        # (element, index) functions in Spark's filter()
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = {lang: _hits(sw) for lang, sw in LANG_STOPWORDS.items()}
+    langs = list(scores)
+    expr = None
+    for lang in langs:
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred", lang_id_column(text_col))
+
+
+def fingerprint_column(text_col: str = "text") -> Column:
+    """Document fingerprint: md5 of the normalized text (rolling-hash class;
+    md5 chosen because it is bit-identical across engines)."""
+    return F.md5(normalized(F.col(text_col)))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint_column(text_col))

@@ -80,28 +80,32 @@ def envelope_prefilter(mode: str, box: Box) -> Column | None:
     predicate (None when the mode admits no envelope shortcut, i.e.
     ``disjoint``)."""
     xmin, ymin, xmax, ymax = (float(v) for v in box)
+    # margin keeps the pre-filter strictly looser than the exact kernel
+    # predicate (which tolerates ~1e-9 relative) — it must stay a NECESSARY
+    # condition, never reject a row the kernel would accept
+    m = 1e-6 * max(abs(xmin), abs(ymin), abs(xmax), abs(ymax), 1.0)
     env_intersects = (
-        (F.col("__xmin") <= xmax)
-        & (F.col("__xmax") >= xmin)
-        & (F.col("__ymin") <= ymax)
-        & (F.col("__ymax") >= ymin)
+        (F.col("__xmin") <= xmax + m)
+        & (F.col("__xmax") >= xmin - m)
+        & (F.col("__ymin") <= ymax + m)
+        & (F.col("__ymax") >= ymin - m)
     )
     if mode in ("intersects", "touches", "overlaps", "crosses"):
         return env_intersects
     if mode in ("contains", "equals"):
         # geom ⊆ box ⇒ envelope ⊆ box
         return (
-            (F.col("__xmin") >= xmin)
-            & (F.col("__xmax") <= xmax)
-            & (F.col("__ymin") >= ymin)
-            & (F.col("__ymax") <= ymax)
+            (F.col("__xmin") >= xmin - m)
+            & (F.col("__xmax") <= xmax + m)
+            & (F.col("__ymin") >= ymin - m)
+            & (F.col("__ymax") <= ymax + m)
         )
     if mode == "within":
         # box ⊆ geom ⇒ geom envelope ⊇ box
         return (
-            (F.col("__xmin") <= xmin)
-            & (F.col("__xmax") >= xmax)
-            & (F.col("__ymin") <= ymin)
-            & (F.col("__ymax") >= ymax)
+            (F.col("__xmin") <= xmin + m)
+            & (F.col("__xmax") >= xmax - m)
+            & (F.col("__ymin") <= ymin + m)
+            & (F.col("__ymax") >= ymax - m)
         )
     return None  # disjoint: complement — no cheap necessary condition

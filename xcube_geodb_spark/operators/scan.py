@@ -53,6 +53,32 @@ def _view_name(database: str, collection: str) -> str:
     return name
 
 
+def build_pg_sql(
+    table: str,
+    select: str = "*",
+    where: str | None = None,
+    group: str | None = None,
+    order: str | None = None,
+    limit: int | None = None,
+    offset: int | None = None,
+) -> str:
+    """Clause-ordered SELECT built exactly like ``geodb_get_pg``
+    (``geodb.sql:1147-1167``): SELECT -> WHERE -> GROUP -> ORDER -> LIMIT ->
+    OFFSET, with OFFSET emitted only when LIMIT is set."""
+    sql = f"SELECT {select} FROM {table}"
+    if where:
+        sql += f" WHERE {where}"
+    if group:
+        sql += f" GROUP BY {group}"
+    if order:
+        sql += f" ORDER BY {order}"
+    if limit is not None:
+        sql += f" LIMIT {int(limit)}"
+        if offset:
+            sql += f" OFFSET {int(offset)}"
+    return sql
+
+
 def get_collection_pg(
     catalog: GeoDBCatalog,
     collection: str,
@@ -65,26 +91,14 @@ def get_collection_pg(
     database: str = "public",
     raise_empty: bool = False,
 ) -> DataFrame:
-    """Raw-SQL scan: clause-ordered SELECT built exactly like
-    ``geodb_get_pg`` (``geodb.sql:1147-1167``): SELECT -> WHERE -> GROUP ->
-    ORDER -> LIMIT -> OFFSET, with OFFSET emitted only when LIMIT is set.
-    Spark SQL parses/optimizes the statement (dialect deviation from
-    Postgres documented in SURVEY.md §7)."""
+    """Raw-SQL scan (``geodb_get_pg``). Spark SQL parses/optimizes the
+    statement (dialect deviation from Postgres documented in SURVEY.md §7)."""
     df = catalog.load_df(collection, database)
     view = _view_name(database, collection)
     df.createOrReplaceTempView(view)
-    sql = f"SELECT {select} FROM {view}"
-    if where:
-        sql += f" WHERE {where}"
-    if group:
-        sql += f" GROUP BY {group}"
-    if order:
-        sql += f" ORDER BY {order}"
-    if limit is not None:
-        sql += f" LIMIT {int(limit)}"
-        if offset:
-            sql += f" OFFSET {int(offset)}"
-    out = catalog.spark.sql(sql)
+    out = catalog.spark.sql(
+        build_pg_sql(view, select, where, group, order, limit, offset)
+    )
     if raise_empty and out.isEmpty():
         # parity with geodb.sql:1171-1175 ("Empty result")
         raise GeoDBError("Empty result")

@@ -1,0 +1,383 @@
+"""Relational + grammar + events queries (reference parity SURVEY.md §2.1,
+§2.2, §2.4, §2.6 and documented Spark supersets §2.5/§2.6).
+
+Grammar queries run through the engine's PostgREST parser
+(:mod:`xcube_geodb_spark.filters`); pg-path queries through the same
+clause-ordered SQL builder the client uses (``scan.build_pg_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xcube_geodb_spark.filters import apply_postgrest_query
+from xcube_geodb_spark.operators.scan import build_pg_sql
+from xcube_geodb_spark.suite.util import load, register_views
+
+# ---------------------------------------------------------------------------
+# PostgREST grammar scans (engine parser -> Column trees -> pushdown)
+# ---------------------------------------------------------------------------
+
+
+def scan_filter_eq_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "orders")
+    return apply_postgrest_query(
+        df,
+        "o_orderstatus=eq.F&o_totalprice=gt.150000&select=o_orderkey,o_custkey,o_totalprice",
+    )
+
+
+def scan_filter_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "lineitem")
+    return apply_postgrest_query(
+        df,
+        "and=(or(l_returnflag.eq.A,l_returnflag.eq.R),l_quantity.gt.45)"
+        "&select=l_orderkey,l_linenumber,l_returnflag,l_quantity",
+    )
+
+
+def scan_filter_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "part")
+    return apply_postgrest_query(
+        df,
+        "p_type=like.*BRASS*&p_size=in.(5,10,15)"
+        "&select=p_partkey,p_brand,p_type,p_size",
+    )
+
+
+def scan_filter_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "orders")
+    return apply_postgrest_query(
+        df,
+        "o_orderpriority=not.in.(1-URGENT,2-HIGH)&o_totalprice=lt.5000"
+        "&select=o_orderkey,o_orderpriority,o_totalprice",
+    )
+
+
+def scan_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "customer")
+    return apply_postgrest_query(
+        df,
+        "select=c_custkey,c_name,c_mktsegment&order=c_custkey.asc&limit=50&offset=25",
+    )
+
+
+def head_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # head_collection semantics: first N ordered by key (scan.head_collection)
+    return load(spark, sf_dir, "nation").orderBy("n_nationkey").limit(10)
+
+
+CORE_ORACLES_GRAMMAR = {
+    "scan_filter_eq_gt": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+    """,
+    "scan_filter_nested": """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+        WHERE (l_returnflag = 'A' OR l_returnflag = 'R') AND l_quantity > 45
+    """,
+    "scan_filter_in_like": """
+        SELECT p_partkey, p_brand, p_type, p_size FROM part
+        WHERE p_type LIKE '%BRASS%' AND p_size IN (5, 10, 15)
+    """,
+    "scan_filter_not_in": """
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH') AND o_totalprice < 5000
+    """,
+    "scan_paging": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        ORDER BY c_custkey ASC LIMIT 50 OFFSET 25
+    """,
+    "head_nation": "SELECT * FROM nation ORDER BY n_nationkey LIMIT 10",
+}
+
+# ---------------------------------------------------------------------------
+# raw-SQL (pg) path — same clause builder as the client facade
+# ---------------------------------------------------------------------------
+
+_Q1_SELECT = (
+    "l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(avg(l_quantity), 6) AS avg_qty, "
+    "round(avg(l_discount), 6) AS avg_disc, "
+    "count(*) AS count_order"
+)
+
+
+def pg_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "lineitem")
+    sql = build_pg_sql(
+        "lineitem",
+        select=_Q1_SELECT,
+        where="l_shipdate <= timestamp '1998-09-02 00:00:00'",
+        group="l_returnflag, l_linestatus",
+        order="l_returnflag, l_linestatus",
+    )
+    return spark.sql(sql)
+
+
+def pg_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders")
+    sql = build_pg_sql(
+        "orders",
+        select="o_orderkey, o_totalprice",
+        where="o_orderstatus = 'F'",
+        order="o_totalprice DESC, o_orderkey",
+        limit=10,
+    )
+    return spark.sql(sql)
+
+
+def pg_count_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders")
+    sql = build_pg_sql(
+        "orders",
+        select="count(o_orderpriority) AS ct, o_orderpriority",
+        group="o_orderpriority",
+        order="o_orderpriority",
+    )
+    return spark.sql(sql)
+
+
+def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count from parquet footers only — the engine's estimate/count
+    fast path (no full scan)."""
+    import os
+
+    from xcube_geodb_spark.operators.stats import footer_row_count
+
+    n = footer_row_count([os.path.join(sf_dir, "lineitem.parquet")])
+    return spark.createDataFrame([(n,)], "n_rows long")
+
+
+CORE_ORACLES_PG = {
+    "pg_groupby_q1": f"""
+        SELECT {_Q1_SELECT} FROM lineitem
+        WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "pg_topk_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "pg_count_by_priority": """
+        SELECT count(o_orderpriority) AS ct, o_orderpriority FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "count_lineitem": "SELECT count(*) AS n_rows FROM lineitem",
+}
+
+# ---------------------------------------------------------------------------
+# relational supersets: joins / windows / rollup (SURVEY.md §2.5-2.6 —
+# available through the pg passthrough; first-class here)
+# ---------------------------------------------------------------------------
+
+
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    # dims broadcast: no shuffle of the fact table except the final group-by
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def join_q5_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("top_price"))
+    )
+
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+        )
+    )
+
+
+def distinct_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+CORE_ORACLES_RELATIONAL = {
+    "join_revenue_by_nation": """
+        SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "join_q5_asia": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "window_top_order_per_customer": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rn
+            FROM orders
+        ) t WHERE rn = 1
+    """,
+    "rollup_lineitem": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "distinct_mktsegment": "SELECT DISTINCT c_mktsegment FROM customer",
+}
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregations + sessionization (streaming-shaped analytics
+# in batch form; true Structured Streaming variants live in streaming/)
+# ---------------------------------------------------------------------------
+
+_SESSION_SQL = """
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t GROUP BY user_id
+"""
+
+
+def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_SESSION_SQL)
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props is a JSON string column; extract $.k with a regexp so the
+    oracle does not depend on a JSON extension."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.regexp_extract(F.col("props"), '"k":\\s*(\\d+)', 1)
+            .cast("long")
+            .alias("k"),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+CORE_ORACLES_EVENTS = {
+    "events_tumbling_hour": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessionization": _SESSION_SQL,
+    "events_json_extract": """
+        SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
+               count(*) AS n
+        FROM events GROUP BY 1
+    """,
+}
+
+
+CORE_QUERIES = {
+    "scan_filter_eq_gt": scan_filter_eq_gt,
+    "scan_filter_nested": scan_filter_nested,
+    "scan_filter_in_like": scan_filter_in_like,
+    "scan_filter_not_in": scan_filter_not_in,
+    "scan_paging": scan_paging,
+    "head_nation": head_nation,
+    "pg_groupby_q1": pg_groupby_q1,
+    "pg_topk_orders": pg_topk_orders,
+    "pg_count_by_priority": pg_count_by_priority,
+    "count_lineitem": count_lineitem,
+    "join_revenue_by_nation": join_revenue_by_nation,
+    "join_q5_asia": join_q5_asia,
+    "window_top_order_per_customer": window_top_order_per_customer,
+    "rollup_lineitem": rollup_lineitem,
+    "distinct_mktsegment": distinct_mktsegment,
+    "events_tumbling_hour": events_tumbling_hour,
+    "events_sessionization": events_sessionization,
+    "events_json_extract": events_json_extract,
+}
+
+CORE_ORACLES = {
+    **CORE_ORACLES_GRAMMAR,
+    **CORE_ORACLES_PG,
+    **CORE_ORACLES_RELATIONAL,
+    **CORE_ORACLES_EVENTS,
+}

@@ -1,0 +1,99 @@
+"""DML round-trip queries: the engine's insert/upsert/delete/update verified
+end-to-end through the warehouse table format, with the final table state
+expressed as plain SQL over the source parquet for the oracle.
+
+Timestamps (created_at/modified_at) are nondeterministic and excluded from
+the returned columns.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from xcube_geodb_spark.client import GeoDBSparkClient
+from xcube_geodb_spark.suite.util import load
+
+
+def _nation_pdf(spark: SparkSession, sf_dir: str) -> pd.DataFrame:
+    pdf = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .toPandas()
+        .sort_values("n_nationkey")
+        .reset_index(drop=True)
+    )
+    pdf["geometry"] = [f"POINT ({k} {k})" for k in pdf["n_nationkey"]]
+    return pdf
+
+
+def _fresh_client(spark: SparkSession) -> GeoDBSparkClient:
+    return GeoDBSparkClient(
+        spark, warehouse=tempfile.mkdtemp(prefix="geodb_dml_"), user="driver"
+    )
+
+
+def dml_delete_update_roundtrip(spark, sf_dir) -> DataFrame:
+    """create -> insert -> delete (grammar filter) -> update (SET+filter) ->
+    scan; exercises the full mutable-table path on immutable parquet."""
+    c = _fresh_client(spark)
+    c.create_collection(
+        "nat", {"n_nationkey": "int", "n_name": "text", "n_regionkey": "int"}
+    )
+    c.insert_into_collection("nat", _nation_pdf(spark, sf_dir))
+    c.delete_from_collection("nat", "n_regionkey=eq.2")
+    c.update_collection("nat", {"n_name": "REDACTED"}, "n_regionkey=eq.1")
+    return c.catalog.load_df("nat", "driver").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+def dml_upsert_roundtrip(spark, sf_dir) -> DataFrame:
+    """insert then upsert-by-id (merge-duplicates parity) + one new row."""
+    c = _fresh_client(spark)
+    c.create_collection(
+        "nat", {"n_nationkey": "int", "n_name": "text", "n_regionkey": "int"}
+    )
+    base = _nation_pdf(spark, sf_dir)
+    c.insert_into_collection("nat", base)
+    # ids are dense 1..N in insertion order -> id = n_nationkey + 1
+    up = base[base["n_nationkey"] < 5].copy()
+    up["id"] = up["n_nationkey"] + 1
+    up["n_name"] = up["n_name"] + "_X"
+    new_row = pd.DataFrame(
+        {
+            "id": [None],
+            "n_nationkey": [999],
+            "n_name": ["NEWLAND"],
+            "n_regionkey": [9],
+            "geometry": ["POINT (999 999)"],
+        }
+    )
+    c.insert_into_collection(
+        "nat", pd.concat([up, new_row], ignore_index=True), upsert=True
+    )
+    return c.catalog.load_df("nat", "driver").select("n_nationkey", "n_name")
+
+
+DML_QUERIES = {
+    "dml_delete_update_roundtrip": dml_delete_update_roundtrip,
+    "dml_upsert_roundtrip": dml_upsert_roundtrip,
+}
+
+DML_ORACLES = {
+    "dml_delete_update_roundtrip": """
+        SELECT n_nationkey,
+               CASE WHEN n_regionkey = 1 THEN 'REDACTED' ELSE n_name END AS n_name,
+               n_regionkey
+        FROM nation WHERE n_regionkey <> 2
+    """,
+    "dml_upsert_roundtrip": """
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey < 5 THEN n_name || '_X' ELSE n_name END AS n_name
+        FROM nation
+        UNION ALL
+        SELECT 999, 'NEWLAND'
+    """,
+}

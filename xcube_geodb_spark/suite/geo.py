@@ -1,0 +1,255 @@
+"""Geo queries for the driver contract (SURVEY.md §2.3).
+
+The driver's tables carry no geometry column (TESTDATA.md), so geometry is
+synthesized deterministically from keys (FIXTURES.md §5 suggests exactly
+this): each customer key maps to a point on a 0.01-degree grid, and to an
+axis-aligned square of integer half-width. The Spark side runs the REAL
+engine path — WKB via the geometry kernel, persisted envelope columns,
+envelope pre-filter + exact predicate UDF — while the DuckDB oracle
+evaluates the same predicates as pure interval arithmetic (with a 1e-6
+tolerance mirroring the kernel's epsilon; the data grid guarantees any
+tolerance in [1e-10, 1e-3] classifies identically).
+
+    x = (c_custkey * 7919  % 36000) / 100.0 - 180.0
+    y = (c_custkey * 104729 % 18000) / 100.0 - 90.0
+    h = c_custkey % 7 + 5          (square half-width)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xcube_geodb_spark.geometry.geom import Geometry, bbox_polygon, to_wkb
+from xcube_geodb_spark.geometry.udfs import (
+    bbox_predicate_column,
+    envelope_prefilter,
+    geom_type_udf,
+    with_envelope_columns,
+)
+from xcube_geodb_spark.suite.util import load
+
+EPS = 1e-6
+
+# boxes chosen so that no point/square edge can sit inside (eps, 1e-3) of a
+# box edge: point coords are on the 0.01 grid, half-widths are integers
+BOX_CONTAINS = (-90.005, -44.005, 30.005, 44.005)
+BOX_SQUARES = (-50.0, -30.0, 50.0, 30.0)
+BOX_WITHIN = (-2.005, -1.005, 2.005, 1.005)
+
+# equals target: the square of c_custkey=43 (x=-14.83, y=-56.53, h=6)
+BOX_EQUALS = (-20.83, -62.53, -8.83, -50.53)
+
+# touches target: customer 7's square is x[9.33, 19.33], y[36.03, 46.03];
+# this box shares exactly the x=19.33 edge with it
+BOX_TOUCHES = (19.33, 30.0, 60.0, 50.0)
+
+
+@F.pandas_udf(T.BinaryType())
+def _point_wkb(x: pd.Series, y: pd.Series) -> pd.Series:
+    import numpy as np
+
+    return pd.Series(
+        [
+            to_wkb(Geometry("Point", np.array([xv, yv], dtype=np.float64)))
+            for xv, yv in zip(x, y)
+        ]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _square_wkb(x: pd.Series, y: pd.Series, h: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            to_wkb(bbox_polygon(xv - hv, yv - hv, xv + hv, yv + hv))
+            for xv, yv, hv in zip(x, y, h)
+        ]
+    )
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("x"),
+        ((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0).alias("y"),
+    ).withColumn("geometry", _point_wkb("x", "y"))
+
+
+def _squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            "c_acctbal",
+            ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("x"),
+            ((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0).alias("y"),
+            (F.col("c_custkey") % 7 + 5).cast("double").alias("h"),
+        )
+        .withColumn("geometry", _square_wkb("x", "y", "h"))
+    )
+
+
+def _bbox_query(df: DataFrame, mode: str, box) -> DataFrame:
+    """The engine's spatial physical plan: envelope pre-filter (parquet-stat
+    prunable range predicate) + exact kernel predicate."""
+    df = with_envelope_columns(df)
+    pre = envelope_prefilter(mode, box)
+    if pre is not None:
+        df = df.filter(pre)
+    return df.filter(bbox_predicate_column(mode, box)).select("c_custkey")
+
+
+def geo_bbox_contains_points(spark, sf_dir):
+    return _bbox_query(_points(spark, sf_dir), "contains", BOX_CONTAINS)
+
+
+def geo_bbox_disjoint_points(spark, sf_dir):
+    return _bbox_query(_points(spark, sf_dir), "disjoint", BOX_CONTAINS)
+
+
+def geo_bbox_intersects_squares(spark, sf_dir):
+    df = _squares(spark, sf_dir).filter(F.col("c_acctbal") > 0)  # extra where, AND
+    return _bbox_query(df, "intersects", BOX_SQUARES)
+
+
+def geo_bbox_within_squares(spark, sf_dir):
+    return _bbox_query(_squares(spark, sf_dir), "within", BOX_WITHIN)
+
+
+def geo_bbox_touches_squares(spark, sf_dir):
+    return _bbox_query(_squares(spark, sf_dir), "touches", BOX_TOUCHES)
+
+
+def geo_bbox_overlaps_squares(spark, sf_dir):
+    return _bbox_query(_squares(spark, sf_dir), "overlaps", BOX_SQUARES)
+
+
+def geo_bbox_equals_squares(spark, sf_dir):
+    return _bbox_query(_squares(spark, sf_dir), "equals", BOX_EQUALS)
+
+
+def geo_count_by_bbox(spark, sf_dir):
+    n = _bbox_query(_squares(spark, sf_dir), "intersects", BOX_SQUARES).count()
+    return spark.createDataFrame([(n,)], "n bigint")
+
+
+def geo_extent_squares(spark, sf_dir):
+    """Collection extent over persisted envelope columns (ST_Extent parity)."""
+    df = with_envelope_columns(_squares(spark, sf_dir))
+    return df.agg(
+        F.round(F.min("__xmin"), 6).alias("xmin"),
+        F.round(F.min("__ymin"), 6).alias("ymin"),
+        F.round(F.max("__xmax"), 6).alias("xmax"),
+        F.round(F.max("__ymax"), 6).alias("ymax"),
+    )
+
+
+def geo_geometry_types(spark, sf_dir):
+    """Mixed collection: even keys are points, odd keys squares;
+    geodb_geometry_types aggregate=true parity."""
+    pts = _points(spark, sf_dir).filter(F.col("c_custkey") % 2 == 0)
+    sqs = _squares(spark, sf_dir).filter(F.col("c_custkey") % 2 == 1)
+    mixed = pts.select("c_custkey", "geometry").unionByName(
+        sqs.select("c_custkey", "geometry")
+    )
+    return mixed.select(geom_type_udf("geometry").alias("geometrytype")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL — pure interval arithmetic on the same synthesized geometry
+# ---------------------------------------------------------------------------
+
+_PTS = """
+    SELECT c_custkey, c_acctbal,
+           (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS x,
+           (c_custkey * 104729 % 18000) / 100.0 - 90.0 AS y
+    FROM customer
+"""
+
+_SQS = f"SELECT *, CAST(c_custkey % 7 + 5 AS DOUBLE) AS h FROM ({_PTS})"
+
+
+def _sq_rel(box) -> str:
+    """Interval-overlap fragments for box vs square."""
+    qx0, qy0, qx1, qy1 = box
+    return (
+        f"least({qx1}, x + h) - greatest({qx0}, x - h) AS ix, "
+        f"least({qy1}, y + h) - greatest({qy0}, y - h) AS iy, "
+        f"(x - h >= {qx0} - {EPS} AND x + h <= {qx1} + {EPS} AND "
+        f" y - h >= {qy0} - {EPS} AND y + h <= {qy1} + {EPS}) AS sq_in_box, "
+        f"(x - h <= {qx0} + {EPS} AND x + h >= {qx1} - {EPS} AND "
+        f" y - h <= {qy0} + {EPS} AND y + h >= {qy1} - {EPS}) AS box_in_sq"
+    )
+
+
+def _sq_oracle(box, predicate: str, extra_where: str = "") -> str:
+    return f"""
+        SELECT c_custkey FROM (
+            SELECT c_custkey, c_acctbal, x, y, h, {_sq_rel(box)}
+            FROM ({_SQS})
+        ) WHERE ({predicate}) {extra_where}
+    """
+
+
+_INTERSECTS = f"ix >= -{EPS} AND iy >= -{EPS}"
+_II = f"ix > {EPS} AND iy > {EPS}"
+
+GEO_ORACLES = {
+    "geo_bbox_contains_points": f"""
+        SELECT c_custkey FROM ({_PTS})
+        WHERE x > {BOX_CONTAINS[0]} AND x < {BOX_CONTAINS[2]}
+          AND y > {BOX_CONTAINS[1]} AND y < {BOX_CONTAINS[3]}
+    """,
+    "geo_bbox_disjoint_points": f"""
+        SELECT c_custkey FROM ({_PTS})
+        WHERE NOT (x >= {BOX_CONTAINS[0]} AND x <= {BOX_CONTAINS[2]}
+               AND y >= {BOX_CONTAINS[1]} AND y <= {BOX_CONTAINS[3]})
+    """,
+    "geo_bbox_intersects_squares": _sq_oracle(
+        BOX_SQUARES, _INTERSECTS, "AND c_acctbal > 0"
+    ),
+    "geo_bbox_within_squares": _sq_oracle(BOX_WITHIN, "box_in_sq"),
+    "geo_bbox_touches_squares": _sq_oracle(
+        BOX_TOUCHES, f"({_INTERSECTS}) AND NOT ({_II})"
+    ),
+    "geo_bbox_overlaps_squares": _sq_oracle(
+        BOX_SQUARES, f"({_II}) AND NOT sq_in_box AND NOT box_in_sq"
+    ),
+    "geo_bbox_equals_squares": _sq_oracle(
+        BOX_EQUALS,
+        f"abs(x - h - ({BOX_EQUALS[0]})) < {EPS} AND abs(y - h - ({BOX_EQUALS[1]})) < {EPS}"
+        f" AND abs(x + h - ({BOX_EQUALS[2]})) < {EPS} AND abs(y + h - ({BOX_EQUALS[3]})) < {EPS}",
+    ),
+    "geo_count_by_bbox": f"""
+        SELECT count(*) AS n FROM (
+            SELECT c_custkey, {_sq_rel(BOX_SQUARES)} FROM ({_SQS})
+        ) WHERE {_INTERSECTS}
+    """,
+    "geo_extent_squares": f"""
+        SELECT round(min(x - h), 6) AS xmin, round(min(y - h), 6) AS ymin,
+               round(max(x + h), 6) AS xmax, round(max(y + h), 6) AS ymax
+        FROM ({_SQS})
+    """,
+    "geo_geometry_types": """
+        SELECT DISTINCT CASE WHEN c_custkey % 2 = 0 THEN 'POINT'
+                             ELSE 'POLYGON' END AS geometrytype
+        FROM customer
+    """,
+}
+
+GEO_QUERIES = {
+    "geo_bbox_contains_points": geo_bbox_contains_points,
+    "geo_bbox_disjoint_points": geo_bbox_disjoint_points,
+    "geo_bbox_intersects_squares": geo_bbox_intersects_squares,
+    "geo_bbox_within_squares": geo_bbox_within_squares,
+    "geo_bbox_touches_squares": geo_bbox_touches_squares,
+    "geo_bbox_overlaps_squares": geo_bbox_overlaps_squares,
+    "geo_bbox_equals_squares": geo_bbox_equals_squares,
+    "geo_count_by_bbox": geo_count_by_bbox,
+    "geo_extent_squares": geo_extent_squares,
+    "geo_geometry_types": geo_geometry_types,
+}

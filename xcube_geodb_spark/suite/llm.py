@@ -1,0 +1,339 @@
+"""LLM-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — the BASELINE.json north-star extensions, each with a
+DuckDB oracle that replays the identical md5-based math in ANSI SQL.
+
+The documents table has no natural duplicates, so dedup queries operate on
+a deterministically AUGMENTED corpus built the same way on both sides:
+exact copies of every 10th doc and a near-duplicate (tail-appended) copy of
+every 7th doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xcube_geodb_spark.functions import dedup, similarity, text
+from xcube_geodb_spark.functions.multimodal import attach_binary_payload, decode_features
+from xcube_geodb_spark.suite.util import load
+
+# --- augmented corpus (identical in Spark and SQL) -------------------------
+
+_NEAR_TAIL = " zz extra tail words appended"
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_NEAR_TAIL)).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_AUG_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text || '{_NEAR_TAIL}' FROM documents WHERE doc_id % 7 = 0
+"""
+
+# --- dedup ------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_augmented(spark, sf_dir))
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_candidate_pairs(_augmented(spark, sf_dir))
+
+
+def dedup_jaccard_verified(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_augmented(spark, sf_dir), threshold=0.5)
+
+
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_buckets(_augmented(spark, sf_dir))
+
+
+# shared SQL fragments mirroring functions/text.normalized and
+# functions/dedup.shingles
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+_SHINGLE_CTES = f"""
+    norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
+    tok AS (SELECT doc_id, string_split(t, ' ') AS toks, t FROM norm),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [t] END
+               ) AS sh
+        FROM tok
+    )
+"""
+
+_K, _BANDS, _R = 12, 4, 3
+_SIG_COLS = ", ".join(
+    f"list_min(list_transform(sh, s -> md5(s || '#{j}'))) AS m{j}" for j in range(_K)
+)
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({parts}) AS band_hash FROM sig".format(
+        b=b,
+        parts=" || '|' || ".join(f"m{b * _R + r}" for r in range(_R)),
+    )
+    for b in range(_BANDS)
+)
+
+_MINHASH_CTES = f"""
+    WITH aug AS ({_AUG_SQL}),
+    {_SHINGLE_CTES},
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh),
+    bands AS ({_BAND_SELECTS}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band, band_hash)
+        WHERE a.doc_id < b.doc_id
+    )
+"""
+
+_SIMHASH_BITS = 16
+_VOTE_COLS = ", ".join(
+    f"sum(CASE WHEN substr(md5(tok), {b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_FP_CONCAT = " || ".join(
+    f"CASE WHEN s{b} >= 0 THEN '1' ELSE '0' END" for b in range(_SIMHASH_BITS)
+)
+
+LLM_DEDUP_ORACLES = {
+    "dedup_exact": f"""
+        WITH aug AS ({_AUG_SQL})
+        SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id,
+               count(*) AS n_docs
+        FROM aug GROUP BY 1 HAVING count(*) > 1
+    """,
+    "dedup_minhash_pairs": f"{_MINHASH_CTES} SELECT id_a, id_b FROM pairs",
+    "dedup_jaccard_verified": f"""
+        {_MINHASH_CTES}
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                         len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+            FROM pairs
+            JOIN sh a ON a.doc_id = id_a
+            JOIN sh b ON b.doc_id = id_b
+        ) WHERE jaccard >= 0.5
+    """,
+    "dedup_simhash": f"""
+        WITH aug AS ({_AUG_SQL}),
+        norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
+        tokd AS (
+            SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tok
+            FROM norm
+        ),
+        votes AS (SELECT doc_id, {_VOTE_COLS} FROM tokd GROUP BY doc_id),
+        fp AS (SELECT doc_id, {_FP_CONCAT} AS simhash FROM votes)
+        SELECT simhash, min(doc_id) AS keeper_id, count(*) AS n_docs
+        FROM fp GROUP BY simhash HAVING count(*) > 1
+    """,
+}
+
+# --- similarity ---------------------------------------------------------------
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(v) for v in row["embedding"]]
+
+
+def sim_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vector(spark, sf_dir), k=20)
+
+
+def sim_lsh_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, _query_vector(spark, sf_dir), k=20)
+
+
+_COS_CTES = """
+    WITH q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0
+    ),
+    s AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               embedding
+        FROM embeddings
+    )
+"""
+
+_COS_EXPR = (
+    "round(list_dot_product(v, qv) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
+)
+
+_LSH_BUCKET = " || ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+)
+
+LLM_SIM_ORACLES = {
+    "sim_cosine_topk": f"""
+        {_COS_CTES}
+        SELECT vec_id, {_COS_EXPR} AS cos_sim
+        FROM s, q ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+    """,
+    "sim_lsh_topk": f"""
+        {_COS_CTES}
+        SELECT vec_id, {_COS_EXPR} AS cos_sim
+        FROM s, q
+        WHERE ({_LSH_BUCKET}) = (
+            SELECT {_LSH_BUCKET} FROM embeddings WHERE vec_id = 0
+        )
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+    """,
+}
+
+# --- text analysis ---------------------------------------------------------------
+
+
+def text_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    out = text.with_quality_score(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stop_ratio",
+        "alpha_ratio",
+        "punct_ratio",
+        "quality",
+    )
+
+
+def text_lang_id(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.with_lang_id(docs).select("doc_id", "lang_pred")
+
+
+def text_token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.with_token_stats(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_subword_est").cast("long").alias("n_subword_est"),
+    )
+
+
+def text_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def multimodal_decode(spark, sf_dir):
+    docs = attach_binary_payload(load(spark, sf_dir, "documents"), "text")
+    return decode_features(docs)
+
+
+_TOKS = f"string_split({_NORM.replace('text', 'text')}, ' ')"
+
+
+def _stop_filter(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> t IN ({inlist})))"
+
+
+_QUALITY_SQL = f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(stop_hits * 1.0 / greatest(len(toks), 1), 6) AS stop_ratio,
+           round(alpha_chars * 1.0 / greatest(n_chars, 1), 6) AS alpha_ratio,
+           round(punct_chars * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(0.35 * least(len(toks) / 100.0, 1.0)
+                 + 0.35 * (stop_hits * 1.0 / greatest(len(toks), 1))
+                 + 0.20 * (alpha_chars * 1.0 / greatest(n_chars, 1))
+                 + 0.10 * (1.0 - least((punct_chars * 1.0 / greatest(n_chars, 1)) * 5,
+                                       1.0)), 6) AS quality
+    FROM (
+        SELECT doc_id, toks,
+               {_stop_filter(text.STOPWORDS_EN)} AS stop_hits,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_chars,
+               length(text) AS n_chars
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    )
+"""
+
+_LANG_SCORES = ", ".join(
+    f"{_stop_filter(sw)} AS s_{lang}" for lang, sw in text.LANG_STOPWORDS.items()
+)
+_LANGS = list(text.LANG_STOPWORDS)
+_LANG_CASE = "CASE " + " ".join(
+    "WHEN s_{l} > 0 AND {conds} THEN '{l}'".format(
+        l=lang,
+        conds=" AND ".join(
+            f"s_{lang} >= s_{other}" for other in _LANGS if other != lang
+        ),
+    )
+    for lang in _LANGS
+) + " ELSE 'und' END"
+
+LLM_TEXT_ORACLES = {
+    "text_quality": _QUALITY_SQL,
+    "text_lang_id": f"""
+        SELECT doc_id, {_LANG_CASE} AS lang_pred
+        FROM (SELECT doc_id, {_LANG_SCORES}
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+    """,
+    "text_token_count": f"""
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+        FROM documents
+    """,
+    "text_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+    "multimodal_decode": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               CAST(CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS DOUBLE) AS feat0,
+               CAST(CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END AS DOUBLE) AS feat1,
+               CAST(CASE WHEN length(text) >= 3 THEN ascii(substr(text, 3, 1)) ELSE 0 END AS DOUBLE) AS feat2,
+               CAST(CASE WHEN length(text) >= 4 THEN ascii(substr(text, 4, 1)) ELSE 0 END AS DOUBLE) AS feat3
+        FROM documents
+    """,
+}
+
+LLM_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_jaccard_verified": dedup_jaccard_verified,
+    "dedup_simhash": dedup_simhash,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_lsh_topk": sim_lsh_topk,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_decode": multimodal_decode,
+}
+
+LLM_ORACLES = {
+    **LLM_DEDUP_ORACLES,
+    **LLM_SIM_ORACLES,
+    **LLM_TEXT_ORACLES,
+}
