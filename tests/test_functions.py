@@ -1,0 +1,151 @@
+"""Unit tests for the LLM-pipeline operators (functions/)."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_geodb_spark.functions import dedup, similarity, text
+from xcube_geodb_spark.functions.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    frame_sample_stub,
+    resize_stub,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (4, "completely different content about spark engines and data"),
+        (5, "der hund ist nicht die katze und das ist gut"),
+        (6, "le chat et le chien sont les animaux est bien"),
+        (7, "xy"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        out = dedup.exact_duplicates(docs).collect()
+        assert len(out) == 1
+        assert out[0]["keeper_id"] == 1 and out[0]["n_docs"] == 2
+
+    def test_minhash_finds_near_dups(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_candidate_pairs(docs).collect()
+        }
+        assert (1, 2) in pairs  # exact dups always collide
+        # near-dup pair should share at least one band with high probability
+        assert (1, 3) in pairs or (2, 3) in pairs
+        # unrelated docs must not collide
+        assert not any(4 in p or 5 in p or 6 in p for p in pairs)
+
+    def test_jaccard_exact_dup_is_1(self, docs):
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+        }
+        assert out[(1, 2)] == 1.0
+        if (1, 3) in out:
+            assert 0.1 <= out[(1, 3)] < 1.0
+
+    def test_simhash_exact_dups_bucket(self, docs):
+        out = dedup.simhash_buckets(docs).collect()
+        buckets = {r["keeper_id"]: r["n_docs"] for r in out}
+        assert buckets.get(1) == 2
+
+    def test_shingles_short_doc_fallback(self, docs):
+        st = dedup.shingle_table(docs)
+        row = st.filter(F.col("doc_id") == 7).collect()[0]
+        assert row["sh"] == ["xy"]
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0, 0.0]),
+            (4, [0.7, 0.7, 0.0, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_cosine_topk(self, emb):
+        out = similarity.cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+        assert [r["vec_id"] for r in out] == [0, 1, 4]
+        assert out[0]["cos_sim"] == 1.0
+        assert abs(out[2]["cos_sim"] - 1 / math.sqrt(2)) < 1e-6
+
+    def test_lsh_bucket_restricts(self, emb):
+        out = similarity.lsh_topk(
+            emb, [1.0, 0.0, 0.0, 0.0], k=5, n_bits=4
+        ).collect()
+        ids = [r["vec_id"] for r in out]
+        assert 3 not in ids  # opposite sign bucket pruned
+        assert ids[0] == 0
+
+    def test_pairwise_above(self, emb):
+        out = similarity.pairwise_cosine_above(emb, 0.9, n_bits=4).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in out}
+        assert (0, 1) in pairs
+        assert all(a < b for a, b in pairs)
+
+
+class TestText:
+    def test_quality_and_tokens(self, docs):
+        out = text.with_quality_score(docs).filter(F.col("doc_id") == 1).collect()[0]
+        assert out["n_tokens"] == 9
+        assert out["stop_ratio"] == pytest.approx(2 / 9, abs=1e-6)
+        assert 0.0 <= out["quality"] <= 1.0
+
+    def test_lang_id(self, docs):
+        preds = {
+            r["doc_id"]: r["lang_pred"]
+            for r in text.with_lang_id(docs).collect()
+        }
+        assert preds[1] == "en"
+        assert preds[5] == "de"
+        assert preds[6] == "fr"
+        assert preds[7] == "und"
+
+    def test_fingerprint_stable(self, docs):
+        fps = {
+            r["doc_id"]: r["fingerprint"] for r in text.with_fingerprint(docs).collect()
+        }
+        assert fps[1] == fps[2]
+        assert fps[1] != fps[3]
+
+    def test_token_stats(self, docs):
+        out = text.with_token_stats(docs).filter(F.col("doc_id") == 1).collect()[0]
+        assert out["n_tokens"] == 9
+        assert out["n_subword_est"] == math.ceil(43 / 4)
+
+
+class TestMultimodal:
+    def test_payload_and_decode(self, docs):
+        payloads = attach_binary_payload(docs, "text")
+        feats = decode_features(payloads).filter(F.col("doc_id") == 1).collect()[0]
+        assert feats["n_bytes"] == 43
+        assert feats["feat0"] == float(ord("t"))
+        assert feats["feat1"] == float(ord("h"))
+
+    def test_stubs_raise(self):
+        with pytest.raises(NotImplementedError):
+            resize_stub()
+        with pytest.raises(NotImplementedError):
+            frame_sample_stub()
+
+    def test_custom_decoder(self, docs):
+        payloads = attach_binary_payload(docs, "text")
+        out = decode_features(
+            payloads, decoder=lambda b: [float(len(b))] * 4
+        ).collect()
+        assert all(r["feat0"] == r["n_bytes"] for r in out)

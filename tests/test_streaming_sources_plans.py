@@ -1,0 +1,162 @@
+"""Streaming windows (real readStream), ingest readers, and plan utilities."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_geodb_spark.geometry.geom import parse_wkb, to_wkt
+from xcube_geodb_spark.plans import (
+    broadcast_join_count,
+    has_pushed_filter,
+    zorder_key,
+)
+from xcube_geodb_spark.sources import (
+    read_csv_wkt,
+    read_geojson,
+    with_geometry_from_wkt,
+)
+from xcube_geodb_spark.streaming import (
+    session_window_agg,
+    sliding_window_counts,
+    streaming_events_source,
+    tumbling_window_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    rows = [
+        (1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:25:00", 1, "click", 2.0, "{}"),
+        (3, "2024-01-01 11:15:00", 1, "view", 3.0, "{}"),  # new session (50min gap)
+        (4, "2024-01-01 10:10:00", 2, "click", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+class TestStreamingWindows:
+    def test_tumbling_streaming_end_to_end(self, spark, events_batch, tmp_path):
+        src = str(tmp_path / "stream_src")
+        events_batch.write.parquet(src)
+        stream = streaming_events_source(spark, src)
+        assert stream.isStreaming
+        out = tumbling_window_counts(stream, "1 hour", "2 hours")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tumbling_test")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT * FROM tumbling_test ORDER BY window_start, event_type"
+            ).collect()
+        finally:
+            q.stop()
+        got = {
+            (str(r["window_start"]), r["event_type"]): r["n_events"] for r in rows
+        }
+        assert got[("2024-01-01 10:00:00", "click")] == 3
+        assert got[("2024-01-01 11:00:00", "view")] == 1
+
+    def test_session_window_streaming(self, spark, events_batch, tmp_path):
+        src = str(tmp_path / "stream_src2")
+        events_batch.write.parquet(src)
+        stream = streaming_events_source(spark, src)
+        out = session_window_agg(stream, gap="30 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("session_test")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM session_test").collect()
+        finally:
+            q.stop()
+        per_user = {}
+        for r in rows:
+            per_user.setdefault(r["user_id"], 0)
+            per_user[r["user_id"]] += 1
+        # user 1: two sessions (50-minute gap); user 2: one
+        assert per_user[1] == 2
+        assert per_user[2] == 1
+
+    def test_sliding_batch_shape(self, events_batch):
+        out = sliding_window_counts(events_batch.drop("props"), "1 hour", "30 minutes")
+        rows = out.collect()  # batch mode: windows still computed
+        assert {"window_start", "window_end", "event_type", "n_events"} <= set(
+            out.columns
+        )
+        assert sum(r["n_events"] for r in rows) >= len(rows)
+
+
+class TestSources:
+    def test_read_geojson(self, spark, tmp_path):
+        fc = {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "properties": {"name": "a", "value": 1},
+                    "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+                },
+                {
+                    "type": "Feature",
+                    "properties": {"name": "b", "value": 2},
+                    "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 0]]],
+                    },
+                },
+            ],
+        }
+        p = str(tmp_path / "fc.geojson")
+        with open(p, "w") as f:
+            json.dump(fc, f)
+        df = read_geojson(spark, p)
+        rows = {r["name"]: r for r in df.collect()}
+        assert to_wkt(parse_wkb(rows["a"]["geometry"])) == "POINT (1 2)"
+        assert "POLYGON" in to_wkt(parse_wkb(rows["b"]["geometry"]))
+
+    def test_read_csv_wkt(self, spark, tmp_path):
+        p = str(tmp_path / "d.csv")
+        with open(p, "w") as f:
+            f.write("id,geometry,score\n1,POINT (3 4),0.5\n2,\"POLYGON ((0 0, 1 0, 1 1, 0 0))\",0.9\n")
+        df = read_csv_wkt(spark, p)
+        rows = sorted(df.collect(), key=lambda r: r["id"])
+        assert to_wkt(parse_wkb(rows[0]["geometry"])) == "POINT (3 4)"
+
+    def test_with_geometry_from_wkt(self, spark):
+        df = spark.createDataFrame([(1, "POINT (9 9)")], "id long, wkt string")
+        out = with_geometry_from_wkt(df, "wkt").collect()[0]
+        assert to_wkt(parse_wkb(out["geometry"])) == "POINT (9 9)"
+
+
+class TestPlans:
+    def test_zorder_key_locality(self, spark):
+        df = spark.createDataFrame(
+            [(0.0, 0.0), (0.1, 0.1), (100.0, 80.0)], "x double, y double"
+        )
+        keys = [
+            r["z"] for r in df.select(zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+        ]
+        # nearby points get closer keys than far ones
+        assert abs(keys[0] - keys[1]) < abs(keys[0] - keys[2])
+
+    def test_pushdown_and_broadcast_helpers(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        spark.range(100).withColumn("v", F.col("id") * 2).write.parquet(p)
+        df = spark.read.parquet(p).filter(F.col("id") > 10)
+        assert has_pushed_filter(df, "id")
+        small = spark.range(10)
+        j = df.join(F.broadcast(small), "id")
+        assert broadcast_join_count(j) == 1

@@ -486,10 +486,11 @@ class GeoDBCatalog:
         if btree:
             return df.sortWithinPartitions(*btree)
         if "__xmin" in df.columns:
-            # cheap interleave-free space curve: sort by (quantized x, y)
-            zx = ((F.col("__xmin") + F.col("__xmax")) / 2).cast("double")
-            zy = ((F.col("__ymin") + F.col("__ymax")) / 2).cast("double")
-            return df.sortWithinPartitions(zx, zy)
+            from xcube_geodb_spark.plans.layout import zorder_key
+
+            zx = (F.col("__xmin") + F.col("__xmax")) / 2
+            zy = (F.col("__ymin") + F.col("__ymax")) / 2
+            return df.sortWithinPartitions(zorder_key(zx, zy))
         return df
 
     # ------------------------------------------------------------------

@@ -1,0 +1,25 @@
+"""Sources/sinks: ingest paths into warehouse collections.
+
+The reference's ingest surface is "a user-built GeoDataFrame" (e.g. from a
+Shapefile, README.md:13-14) POSTed as GeoJSON. Spark-native equivalents:
+
+- :func:`.readers.read_geojson` — GeoJSON FeatureCollection -> DataFrame
+  with WKB geometry (distributed parse via Spark's json reader + kernel UDF)
+- :func:`.readers.read_csv_wkt` — CSV with a WKT geometry column
+- :func:`.readers.with_geometry_from_wkt` / ``from_wkb_hex`` — column
+  converters for any existing DataFrame
+"""
+
+from xcube_geodb_spark.sources.readers import (
+    read_csv_wkt,
+    read_geojson,
+    with_geometry_from_wkt,
+    with_geometry_from_wkb_hex,
+)
+
+__all__ = [
+    "read_geojson",
+    "read_csv_wkt",
+    "with_geometry_from_wkt",
+    "with_geometry_from_wkb_hex",
+]

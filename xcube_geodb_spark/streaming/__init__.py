@@ -1,0 +1,23 @@
+"""Structured Streaming operators (engine superset — SURVEY.md §2.11).
+
+The reference has no streaming surface; these are the extensions the
+TESTDATA ``events`` table is shaped for: windowed aggregations with
+watermarks, sessionization, and streaming ingest into warehouse
+collections. Each has a batch twin in :mod:`xcube_geodb_spark.suite.core`
+(same SQL semantics) so correctness is oracle-checkable; the streaming
+variants are tested with the rate/file sources in tests/test_streaming.py.
+"""
+
+from xcube_geodb_spark.streaming.windows import (
+    sliding_window_counts,
+    session_window_agg,
+    streaming_events_source,
+    tumbling_window_counts,
+)
+
+__all__ = [
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "session_window_agg",
+    "streaming_events_source",
+]

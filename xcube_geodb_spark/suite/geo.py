@@ -27,7 +27,6 @@ from xcube_geodb_spark.geometry.udfs import (
     bbox_predicate_column,
     envelope_prefilter,
     geom_type_udf,
-    with_envelope_columns,
 )
 from xcube_geodb_spark.suite.util import load
 
@@ -70,13 +69,22 @@ def _square_wkb(x: pd.Series, y: pd.Series, h: pd.Series) -> pd.Series:
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # envelope columns computed alongside the geometry, exactly as the
+    # engine persists them at ingest — the query path reads stored columns
     c = load(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        "c_acctbal",
-        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("x"),
-        ((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0).alias("y"),
-    ).withColumn("geometry", _point_wkb("x", "y"))
+    return (
+        c.select(
+            "c_custkey",
+            "c_acctbal",
+            ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("x"),
+            ((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0).alias("y"),
+        )
+        .withColumn("geometry", _point_wkb("x", "y"))
+        .withColumn("__xmin", F.col("x"))
+        .withColumn("__ymin", F.col("y"))
+        .withColumn("__xmax", F.col("x"))
+        .withColumn("__ymax", F.col("y"))
+    )
 
 
 def _squares(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,13 +98,17 @@ def _squares(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_custkey") % 7 + 5).cast("double").alias("h"),
         )
         .withColumn("geometry", _square_wkb("x", "y", "h"))
+        .withColumn("__xmin", F.col("x") - F.col("h"))
+        .withColumn("__ymin", F.col("y") - F.col("h"))
+        .withColumn("__xmax", F.col("x") + F.col("h"))
+        .withColumn("__ymax", F.col("y") + F.col("h"))
     )
 
 
 def _bbox_query(df: DataFrame, mode: str, box) -> DataFrame:
-    """The engine's spatial physical plan: envelope pre-filter (parquet-stat
-    prunable range predicate) + exact kernel predicate."""
-    df = with_envelope_columns(df)
+    """The engine's spatial physical plan: envelope pre-filter on persisted
+    columns (parquet-stat prunable range predicate) + exact kernel predicate
+    evaluated only on survivors."""
     pre = envelope_prefilter(mode, box)
     if pre is not None:
         df = df.filter(pre)
@@ -139,7 +151,7 @@ def geo_count_by_bbox(spark, sf_dir):
 
 def geo_extent_squares(spark, sf_dir):
     """Collection extent over persisted envelope columns (ST_Extent parity)."""
-    df = with_envelope_columns(_squares(spark, sf_dir))
+    df = _squares(spark, sf_dir)
     return df.agg(
         F.round(F.min("__xmin"), 6).alias("xmin"),
         F.round(F.min("__ymin"), 6).alias("ymin"),
