@@ -463,6 +463,49 @@ class GeoDBSparkClient:
     ) -> None:
         self.stac.set_metadata_field(collection, field, value, self._db(database))
 
+    # -- GeoServer publishing (reference geodb.py:2151-2284) ---------------------------
+    # Out of scope for the analytics core (SURVEY.md §2.1): recorded as a
+    # catalog flag so API consumers can track publication state.
+
+    def publish_gs(self, collection: str, database: str | None = None) -> dict:
+        db = self._db(database)
+        m = self.catalog.meta(collection, db)
+        m.d.setdefault("gs", {})["published"] = True
+        from xcube_geodb_spark.catalog import _atomic_write_json
+
+        _atomic_write_json(m.path, m.d)
+        self.events.log("published_gs", f"Collection {db}_{collection} published to gs")
+        return {"collection": collection, "database": db, "published": True}
+
+    def unpublish_gs(self, collection: str, database: str | None = None) -> None:
+        db = self._db(database)
+        m = self.catalog.meta(collection, db)
+        m.d.setdefault("gs", {})["published"] = False
+        from xcube_geodb_spark.catalog import _atomic_write_json
+
+        _atomic_write_json(m.path, m.d)
+        self.events.log(
+            "unpublished_gs", f"Collection {db}_{collection} unpublished from gs"
+        )
+
+    def get_published_gs(self, database: str | None = None) -> pd.DataFrame:
+        db = self._db(database)
+        rows = [
+            {"database": db, "collection": coll}
+            for coll in self.catalog.list_collections(db)
+            if self.catalog.meta(coll, db).d.get("gs", {}).get("published")
+        ]
+        return pd.DataFrame(rows)
+
+    def get_all_published_gs(self) -> pd.DataFrame:
+        frames = []
+        for dbrow in self.catalog.get_my_databases(self.user) + [
+            {"name": self.database}
+        ]:
+            frames.append(self.get_published_gs(dbrow["name"]))
+        out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        return out.drop_duplicates() if len(out) else out
+
     # -- events / usage -----------------------------------------------------------------
 
     def get_event_log(

@@ -74,10 +74,34 @@ def quality_score_columns(text_col: str = "text") -> dict[str, Column]:
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    out = df
-    for name, col in quality_score_columns(text_col).items():
-        out = out.withColumn(name, col)
-    return out
+    """Table-level quality scoring with the token array materialized once —
+    the single-expression columns re-run tokenization per reference
+    otherwise (same Catalyst inlining hazard as dedup.shingle_table)."""
+    text = F.col(text_col)
+    staged = df.withColumn("__toks", tokens(text)).withColumn(
+        "__alpha", F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    ).withColumn("__punct", F.length(F.regexp_replace(text, "[^.,;:!?]", "")))
+    toks = F.col("__toks")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    alpha_ratio = F.col("__alpha") / F.greatest(n_chars, F.lit(1))
+    punct_ratio = F.col("__punct") / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.lit(0.35) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.35) * stop_ratio
+        + F.lit(0.20) * alpha_ratio
+        + F.lit(0.10) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return (
+        staged.withColumn("n_tokens", n_tokens)
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("quality", F.round(score, 6))
+        .drop("__toks", "__alpha", "__punct")
+    )
 
 
 def lang_id_column(text_col: str = "text") -> Column:

@@ -76,6 +76,7 @@ def prepare_values_df(
     meta: CollectionMeta,
     values,
     crs: int | None = None,
+    include_system: bool = False,
 ) -> DataFrame:
     """Normalize user input (pandas or Spark DataFrame) to the collection
     schema: lower-cased columns, WKB geometry, typed property columns."""
@@ -84,11 +85,11 @@ def prepare_values_df(
         raise GeoDBError(
             f"crs {crs} is not compatible with collection's crs {meta.srid}"
         )
-    schema = meta.spark_schema(include_system=False)
+    schema = meta.spark_schema(include_system=include_system)
     if isinstance(values, pd.DataFrame):
         pdf = values.copy()
         pdf.columns = [c.lower() for c in pdf.columns]
-        if "geometry" in pdf.columns:
+        if "geometry" in pdf.columns and len(pdf):
             pdf["geometry"] = pdf["geometry"].map(_normalize_geometry_value)
         keep = [f.name for f in schema.fields if f.name in pdf.columns]
         import pyspark.sql.types as T
@@ -134,6 +135,41 @@ def insert_into_collection(
 ) -> int:
     """Returns the number of rows written."""
     m = catalog.meta(collection, database)
+    if isinstance(values, pd.DataFrame) and not upsert:
+        # fast path: the rows are already driver-side — assign ids AND
+        # envelopes in pandas, skipping every Python-worker round-trip
+        # (id-assignment jobs + the envelope UDF)
+        from xcube_geodb_spark.geometry.geom import envelope as _envelope
+
+        pdf = values.copy()
+        pdf.columns = [c.lower() for c in pdf.columns]
+        pdf = pdf.drop(columns=["id"], errors="ignore")  # geodb.py:1499-1500
+        pdf["id"] = range(m.max_id + 1, m.max_id + 1 + len(pdf))
+        if "geometry" in pdf.columns:
+            pdf["geometry"] = pdf["geometry"].map(_normalize_geometry_value)
+            envs = pdf["geometry"].map(
+                lambda b: _envelope(parse_wkb(b)) if b is not None else (None,) * 4
+            )
+            for i, c in enumerate(("__xmin", "__ymin", "__xmax", "__ymax")):
+                pdf[c] = envs.map(lambda e, i=i: e[i])
+        df = prepare_values_df(catalog, m, pdf, crs, include_system=True)
+        schema = m.spark_schema(include_system=True)
+        for f in schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        to_write = df.withColumn("created_at", F.current_timestamp()).select(
+            *[f.name for f in schema.fields]
+        )
+        catalog.commit_version(
+            collection,
+            database,
+            to_write,
+            keep_files=None,
+            max_id=m.max_id + len(pdf),
+            expected_version=m.version,
+        )
+        return len(pdf)
+
     df = prepare_values_df(catalog, m, values, crs)
     now = F.current_timestamp()
 

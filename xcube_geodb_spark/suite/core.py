@@ -55,6 +55,13 @@ def scan_filter_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "customer")
+    return apply_postgrest_query(
+        df, "c_name=ilike.customer*1&select=c_custkey,c_name"
+    )
+
+
 def scan_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "customer")
     return apply_postgrest_query(
@@ -84,6 +91,9 @@ CORE_ORACLES_GRAMMAR = {
     "scan_filter_not_in": """
         SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH') AND o_totalprice < 5000
+    """,
+    "scan_filter_ilike": """
+        SELECT c_custkey, c_name FROM customer WHERE c_name ILIKE 'customer%1'
     """,
     "scan_paging": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer
@@ -358,6 +368,7 @@ CORE_QUERIES = {
     "scan_filter_eq_gt": scan_filter_eq_gt,
     "scan_filter_nested": scan_filter_nested,
     "scan_filter_in_like": scan_filter_in_like,
+    "scan_filter_ilike": scan_filter_ilike,
     "scan_filter_not_in": scan_filter_not_in,
     "scan_paging": scan_paging,
     "head_nation": head_nation,

@@ -144,6 +144,19 @@ def geo_bbox_equals_squares(spark, sf_dir):
     return _bbox_query(_squares(spark, sf_dir), "equals", BOX_EQUALS)
 
 
+def geo_bbox_crs_transform(spark, sf_dir):
+    """CRS auto-alignment parity (geodb.py:1630-1637): the query box arrives
+    in EPSG:3857, the engine reprojects it to the collection CRS (4326)
+    before filtering. The oracle uses the original 4326 box — the transform
+    round-trip error (~1e-12 deg) is far below the 0.005-degree data-grid
+    margin."""
+    from xcube_geodb_spark.geometry.crs import transform_bbox_crs
+
+    box_3857 = transform_bbox_crs(BOX_CONTAINS, 4326, 3857)
+    box_back = transform_bbox_crs(box_3857, 3857, 4326)
+    return _bbox_query(_points(spark, sf_dir), "contains", box_back)
+
+
 def geo_count_by_bbox(spark, sf_dir):
     n = _bbox_query(_squares(spark, sf_dir), "intersects", BOX_SQUARES).count()
     return spark.createDataFrame([(n,)], "n bigint")
@@ -216,6 +229,11 @@ GEO_ORACLES = {
         WHERE x > {BOX_CONTAINS[0]} AND x < {BOX_CONTAINS[2]}
           AND y > {BOX_CONTAINS[1]} AND y < {BOX_CONTAINS[3]}
     """,
+    "geo_bbox_crs_transform": f"""
+        SELECT c_custkey FROM ({_PTS})
+        WHERE x > {BOX_CONTAINS[0]} AND x < {BOX_CONTAINS[2]}
+          AND y > {BOX_CONTAINS[1]} AND y < {BOX_CONTAINS[3]}
+    """,
     "geo_bbox_disjoint_points": f"""
         SELECT c_custkey FROM ({_PTS})
         WHERE NOT (x >= {BOX_CONTAINS[0]} AND x <= {BOX_CONTAINS[2]}
@@ -255,6 +273,7 @@ GEO_ORACLES = {
 
 GEO_QUERIES = {
     "geo_bbox_contains_points": geo_bbox_contains_points,
+    "geo_bbox_crs_transform": geo_bbox_crs_transform,
     "geo_bbox_disjoint_points": geo_bbox_disjoint_points,
     "geo_bbox_intersects_squares": geo_bbox_intersects_squares,
     "geo_bbox_within_squares": geo_bbox_within_squares,
