@@ -1,0 +1,111 @@
+"""File-level DML pruning: deletes/updates/upserts must rewrite only files
+whose footer stats can contain matching rows."""
+
+import pandas as pd
+import pytest
+
+from xcube_geodb_spark.client import GeoDBSparkClient
+from xcube_geodb_spark.operators.pruning import (
+    conjunctive_constraints,
+    file_may_match,
+)
+
+
+class TestConstraintAnalysis:
+    def test_extracts_conjunctive(self):
+        cs = conjunctive_constraints("a=eq.5&b=gt.10&c=in.(1,2)&order=a.asc")
+        assert ("a", "eq", 5) in cs
+        assert ("b", "gt", 10) in cs
+        assert ("c", "in", [1, 2]) in cs
+
+    def test_ignores_unanalyzable(self):
+        assert conjunctive_constraints("or=(a.eq.1,b.eq.2)") == []
+        assert conjunctive_constraints("a=not.eq.1") == []
+        assert conjunctive_constraints("a=like.*x*") == []
+
+    def test_file_may_match(self):
+        stats = {"a": (10, 20)}
+        assert not file_may_match(stats, [("a", "eq", 5)])
+        assert file_may_match(stats, [("a", "eq", 15)])
+        assert not file_may_match(stats, [("a", "gt", 25)])
+        assert file_may_match(stats, [("a", "gt", 15)])
+        assert not file_may_match(stats, [("a", "in", [1, 2, 30])])
+        assert file_may_match(stats, [("a", "in", [1, 12])])
+        assert file_may_match(stats, [("b", "eq", 1)])  # no stats -> maybe
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    return GeoDBSparkClient(spark, warehouse=str(tmp_path / "wh"), user="pruner")
+
+
+@pytest.fixture()
+def chunked(client):
+    """Collection with two data files with disjoint value ranges."""
+    client.create_collection("c", {"v": "int", "name": "text"})
+    lo = pd.DataFrame(
+        {
+            "geometry": [f"POINT ({i} {i})" for i in range(10)],
+            "v": list(range(10)),
+            "name": [f"lo{i}" for i in range(10)],
+        }
+    )
+    hi = pd.DataFrame(
+        {
+            "geometry": [f"POINT ({i} {i})" for i in range(100, 110)],
+            "v": list(range(100, 110)),
+            "name": [f"hi{i}" for i in range(10)],
+        }
+    )
+    client.insert_into_collection("c", lo)
+    client.insert_into_collection("c", hi)  # second file(s), separate commit
+    return "c"
+
+
+def _file_set(client, coll):
+    return set(client.catalog.manifest_paths(coll, "pruner"))
+
+
+class TestFilePruning:
+    def test_delete_rewrites_only_matching_file(self, client, chunked):
+        before = _file_set(client, chunked)
+        client.delete_from_collection(chunked, "v=eq.105")
+        after = _file_set(client, chunked)
+        # the lo file(s) survive verbatim; hi file(s) rewritten
+        survivors = before & after
+        assert survivors, "untouched files must remain in the manifest"
+        df = client.get_collection(chunked)
+        assert len(df) == 19
+        assert 105 not in set(df["v"])
+
+    def test_delete_no_match_keeps_all_files(self, client, chunked):
+        before = _file_set(client, chunked)
+        client.delete_from_collection(chunked, "v=eq.99999")
+        assert _file_set(client, chunked) == before
+        assert len(client.get_collection(chunked)) == 20
+
+    def test_update_prunes(self, client, chunked):
+        before = _file_set(client, chunked)
+        client.update_collection(chunked, {"name": "X"}, "v=gt.100")
+        after = _file_set(client, chunked)
+        assert before & after, "lo file should be untouched"
+        df = client.get_collection(chunked)
+        assert set(df[df["v"] > 100]["name"]) == {"X"}
+        assert all(n.startswith("lo") for n in df[df["v"] < 100]["name"])
+
+    def test_upsert_prunes_by_id_range(self, client, chunked):
+        before = _file_set(client, chunked)
+        up = pd.DataFrame(
+            {
+                "id": [1],
+                "geometry": ["POINT (0 0)"],
+                "v": [999],
+                "name": ["updated"],
+            }
+        )
+        client.insert_into_collection(chunked, up, upsert=True)
+        after = _file_set(client, chunked)
+        assert before & after, "file with ids 11..20 must be untouched"
+        df = client.get_collection(chunked)
+        assert len(df) == 20
+        assert df[df["id"] == 1].iloc[0]["v"] == 999

@@ -427,6 +427,30 @@ class GeoDBCatalog:
         order = [f.name for f in schema.fields if include_system or f.name not in SYSTEM_COLUMNS]
         return df.select(*order)
 
+    def load_files(
+        self, collection: str, database: str, files: list[str]
+    ) -> DataFrame:
+        """DataFrame over a subset of manifest files (schema evolution
+        applied) — used by DML to rewrite only touched files."""
+        m = self.meta(collection, database)
+        schema = m.spark_schema(include_system=True)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [
+            os.path.join(self._coll_dir(collection, database), f) for f in files
+        ]
+        df = self.spark.read.parquet(*paths)
+        for field in schema.fields:
+            if field.name not in df.columns:
+                df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+        return df.select(*[f.name for f in schema.fields])
+
+    def manifest_paths(self, collection: str, database: str) -> dict[str, str]:
+        """manifest-relative name -> absolute path for the current snapshot."""
+        m = self.meta(collection, database)
+        cdir = self._coll_dir(collection, database)
+        return {f: os.path.join(cdir, f) for f in m.files}
+
     def commit_version(
         self,
         collection: str,

@@ -200,7 +200,23 @@ def insert_into_collection(
         return d.select(*[f.name for f in schema.fields])
 
     if upsert and new_with_id is not None:
-        old = catalog.load_df(collection, database, include_system=True)
+        # prune: only files whose id range can contain replaced ids rewrite
+        bounds = new_with_id.agg(
+            F.min("id").alias("lo"), F.max("id").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is not None:
+            from xcube_geodb_spark.operators.pruning import (
+                split_files_by_constraints,
+            )
+
+            touched, untouched = split_files_by_constraints(
+                catalog.manifest_paths(collection, database),
+                ["id"],
+                [("id", "gte", int(bounds["lo"])), ("id", "lte", int(bounds["hi"]))],
+            )
+        else:
+            touched, untouched = list(m.files), []
+        old = catalog.load_files(collection, database, touched)
         key_ids = new_with_id.select("id").distinct()
         # preserve created_at of replaced rows; stamp modified_at (trigger
         # parity, geodb.sql:281-288)
@@ -218,26 +234,25 @@ def insert_into_collection(
             .drop("__old_created")
             .select(*[f.name for f in schema.fields])
         )
-        survivors = old.join(F.broadcast(key_ids), "id", "left_anti").drop(
-            *SYSTEM_COLUMNS
-        )
-        pieces = [survivors, incoming]
+        fresh = [incoming]
         if assigned is not None:
-            pieces.append(
+            fresh.append(
                 _conform(assigned)
                 .withColumn("created_at", now)
                 .select(*[f.name for f in schema.fields])
             )
-        merged = pieces[0]
-        for p in pieces[1:]:
+        merged = fresh[0]
+        for p in fresh[1:]:
             merged = merged.unionByName(p)
-        merged = with_envelope_columns(merged)
+        # survivors keep their persisted envelopes; only fresh rows compute
+        survivors = old.join(F.broadcast(key_ids), "id", "left_anti")
+        merged = survivors.unionByName(with_envelope_columns(merged))
         max_new = merged.agg(F.max("id")).collect()[0][0] or m.max_id
         catalog.commit_version(
             collection,
             database,
             merged,
-            keep_files=[],
+            keep_files=untouched,
             max_id=max(m.max_id, int(max_new), m.max_id + n_no_id),
             expected_version=m.version,
         )
@@ -268,20 +283,24 @@ def insert_into_collection(
 # ---------------------------------------------------------------------------
 
 
-def _split_files_by_touch(
+def _touched_untouched(
     catalog: GeoDBCatalog,
-    m: CollectionMeta,
-    database: str,
     collection: str,
-    pred_columns: set[str],
+    database: str,
+    query: str,
 ) -> tuple[list[str], list[str]]:
-    """Partition manifest files into (maybe-touched, untouched) using parquet
-    footer min/max where the predicate references only stats-prunable
-    columns. Conservative: without a usable split, everything is touched."""
-    # For now: conservative on predicates over arbitrary columns; footer
-    # pruning is exercised through Catalyst at read time anyway. A file-level
-    # split is a planned optimization (needs predicate-interval analysis).
-    return list(m.files), []
+    """Partition manifest files into (maybe-touched, untouched) from parquet
+    footer min/max stats vs the filter's conjunctive interval constraints.
+    Conservative: anything unprovable counts as touched."""
+    from xcube_geodb_spark.operators.pruning import (
+        conjunctive_constraints,
+        split_files_by_constraints,
+    )
+
+    constraints = conjunctive_constraints(query)
+    paths = catalog.manifest_paths(collection, database)
+    cols = sorted({c for c, _op, _v in constraints})
+    return split_files_by_constraints(paths, cols, constraints)
 
 
 def delete_from_collection(
@@ -290,18 +309,22 @@ def delete_from_collection(
     query: str,
     database: str = "public",
 ) -> None:
-    """Delete rows matching a PostgREST filter (``geodb.py:1325-1354``)."""
+    """Delete rows matching a PostgREST filter (``geodb.py:1325-1354``).
+    Only files whose footer stats admit matching rows are rewritten."""
     m = catalog.meta(collection, database)
     pq = parse_postgrest_query(query)
     if pq.predicate is None:
         raise GeoDBError("delete requires a filter query")
-    df = catalog.load_df(collection, database, include_system=True)
+    touched, untouched = _touched_untouched(catalog, collection, database, query)
+    if not touched:
+        return  # no file can contain matching rows: delete is a no-op
+    df = catalog.load_files(collection, database, touched)
     keep = df.filter(~F.coalesce(pq.predicate, F.lit(False)))
     catalog.commit_version(
         collection,
         database,
         keep,
-        keep_files=[],
+        keep_files=untouched,
         expected_version=m.version,
     )
 
@@ -314,7 +337,8 @@ def update_collection(
     database: str = "public",
 ) -> None:
     """UPDATE ... SET values WHERE filter (``geodb.py:1356-1398``);
-    ``id`` removed from SET; ``modified_at`` stamped on changed rows."""
+    ``id`` removed from SET; ``modified_at`` stamped on changed rows.
+    Only files whose footer stats admit matching rows are rewritten."""
     m = catalog.meta(collection, database)
     pq = parse_postgrest_query(query)
     if pq.predicate is None:
@@ -324,7 +348,10 @@ def update_collection(
     for k in values:
         if k not in schema:
             raise GeoDBError(f"Unknown property in update: {k!r}")
-    df = catalog.load_df(collection, database, include_system=True)
+    touched, untouched = _touched_untouched(catalog, collection, database, query)
+    if not touched:
+        return  # no file can contain matching rows: update is a no-op
+    df = catalog.load_files(collection, database, touched)
     pred = F.coalesce(pq.predicate, F.lit(False))
     for k, v in values.items():
         if k == "geometry":
@@ -338,5 +365,5 @@ def update_collection(
     if "geometry" in values:
         df = with_envelope_columns(df.drop(*SYSTEM_COLUMNS))
     catalog.commit_version(
-        collection, database, df, keep_files=[], expected_version=m.version
+        collection, database, df, keep_files=untouched, expected_version=m.version
     )
