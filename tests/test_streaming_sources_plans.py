@@ -90,6 +90,53 @@ class TestStreamingWindows:
         assert per_user[1] == 2
         assert per_user[2] == 1
 
+    def test_dedup_events_stream(self, spark, events_batch, tmp_path):
+        from xcube_geodb_spark.streaming import dedup_events_stream
+
+        src = str(tmp_path / "dup_src")
+        dup = events_batch.union(events_batch.limit(2))  # event_ids 1,2 twice
+        dup.write.parquet(src)
+        stream = streaming_events_source(spark, src)
+        q = (
+            dedup_events_stream(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_test")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT event_id FROM dedup_test").collect()
+        finally:
+            q.stop()
+        ids = sorted(r["event_id"] for r in rows)
+        assert ids == [1, 2, 3, 4]
+
+    def test_running_user_totals_stateful(self, spark, events_batch, tmp_path):
+        from xcube_geodb_spark.streaming import running_user_totals
+
+        src = str(tmp_path / "state_src")
+        events_batch.write.parquet(src)
+        stream = streaming_events_source(spark, src)
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("state_test")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT user_id, max(n_events) AS n, max(total_value) AS t "
+                "FROM state_test GROUP BY user_id"
+            ).collect()
+        finally:
+            q.stop()
+        got = {r["user_id"]: (r["n"], r["t"]) for r in rows}
+        assert got[1] == (3, 6.0)
+        assert got[2] == (1, 4.0)
+
     def test_sliding_batch_shape(self, events_batch):
         out = sliding_window_counts(events_batch.drop("props"), "1 hour", "30 minutes")
         rows = out.collect()  # batch mode: windows still computed

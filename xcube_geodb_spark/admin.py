@@ -76,8 +76,14 @@ class EventLog:
     ) -> DataFrame:
         """%-wildcard matching parity (geodb.sql:123-140: ``event_type LIKE``
         and ``message LIKE '%{db}_{collection}%'``)."""
-        df = self.catalog.spark.read.json(os.path.join(self.dir, "*.jsonl"))
         from pyspark.sql import functions as F
+
+        files = [f for f in os.listdir(self.dir) if f.endswith(".jsonl")]
+        if not files:
+            return self.catalog.spark.createDataFrame(
+                [], "event_type string, message string, username string, date string"
+            )
+        df = self.catalog.spark.read.json(os.path.join(self.dir, "*.jsonl"))
 
         if event_type and event_type != "%":
             df = df.filter(F.col("event_type").like(event_type.replace("*", "%")))

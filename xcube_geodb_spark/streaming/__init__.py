@@ -14,10 +14,16 @@ from xcube_geodb_spark.streaming.windows import (
     streaming_events_source,
     tumbling_window_counts,
 )
+from xcube_geodb_spark.streaming.stateful import (
+    dedup_events_stream,
+    running_user_totals,
+)
 
 __all__ = [
     "tumbling_window_counts",
     "sliding_window_counts",
     "session_window_agg",
     "streaming_events_source",
+    "dedup_events_stream",
+    "running_user_totals",
 ]

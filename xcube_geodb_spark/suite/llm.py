@@ -162,6 +162,30 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(v) for v in row["embedding"]]
 
 
+def dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs. The embeddings table has no
+    natural near-dups, so every 10th vector is duplicated scaled by 1.01
+    (cosine-invariant) on both sides; sign-LSH bucketing bounds the join."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    scaled = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") * 1.01
+            ).alias("embedding"),
+        )
+    )
+    aug = emb.unionByName(scaled)
+    return similarity.pairwise_cosine_above(aug, 0.99)
+
+
 def sim_cosine_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, _query_vector(spark, sf_dir), k=20)
@@ -194,7 +218,30 @@ _LSH_BUCKET = " || ".join(
     f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
 )
 
+_LSH_BUCKET_V = " || ".join(
+    f"CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+)
+
 LLM_SIM_ORACLES = {
+    "dedup_embedding_pairs": f"""
+        WITH aug AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01)
+            FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        s AS (SELECT vec_id, v, ({_LSH_BUCKET_V}) AS bucket FROM aug)
+        SELECT id_a, id_b, cos_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+            FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ) WHERE cos_sim >= 0.99
+    """,
     "sim_cosine_topk": f"""
         {_COS_CTES}
         SELECT vec_id, {_COS_EXPR} AS cos_sim
@@ -323,6 +370,7 @@ LLM_QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_jaccard_verified": dedup_jaccard_verified,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "text_quality": text_quality,
