@@ -1,0 +1,182 @@
+"""Property-based tests (hypothesis) for the geometry kernel.
+
+Invariants that must hold for ANY geometry/box pair:
+
+- WKB/WKT round-trips are lossless
+- disjoint == NOT intersects
+- touches => intersects and NOT overlaps
+- contains/within/overlaps/equals => intersects
+- equals(box, geom) => contains(box, geom)
+- predicates agree with a brute-force interval oracle for axis-aligned
+  squares (the fully-decidable subcase)
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from xcube_geodb_spark.geometry import (
+    bbox_predicate,
+    envelope,
+    parse_wkb,
+    parse_wkt,
+    to_wkb,
+    to_wkt,
+)
+from xcube_geodb_spark.geometry.geom import Geometry, bbox_polygon
+
+coord = st.floats(
+    min_value=-1000, max_value=1000, allow_nan=False, allow_infinity=False
+).map(lambda v: round(v, 3))
+
+
+@st.composite
+def boxes(draw):
+    x1, x2 = sorted((draw(coord), draw(coord)))
+    y1, y2 = sorted((draw(coord), draw(coord)))
+    return (x1, y1, x2 + 1.0, y2 + 1.0)  # non-degenerate
+
+
+@st.composite
+def points(draw):
+    return Geometry("Point", np.array([draw(coord), draw(coord)]))
+
+
+@st.composite
+def squares(draw):
+    x, y = draw(coord), draw(coord)
+    h = draw(st.floats(min_value=0.5, max_value=50).map(lambda v: round(v, 2)))
+    return bbox_polygon(x - h, y - h, x + h, y + h)
+
+
+@st.composite
+def linestrings(draw):
+    n = draw(st.integers(min_value=2, max_value=6))
+    pts = np.array([[draw(coord), draw(coord)] for _ in range(n)])
+    return Geometry("LineString", pts)
+
+
+geoms = st.one_of(points(), squares(), linestrings())
+
+
+@settings(max_examples=150, deadline=None)
+@given(g=geoms)
+def test_wkb_roundtrip(g):
+    assert to_wkt(parse_wkb(to_wkb(g))) == to_wkt(g)
+
+
+@settings(max_examples=150, deadline=None)
+@given(g=geoms)
+def test_wkt_roundtrip(g):
+    assert to_wkt(parse_wkt(to_wkt(g))) == to_wkt(g)
+
+
+@settings(max_examples=200, deadline=None)
+@given(g=geoms, box=boxes())
+def test_disjoint_is_not_intersects(g, box):
+    assert bbox_predicate("disjoint", g, box) != bbox_predicate(
+        "intersects", g, box
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(g=geoms, box=boxes())
+def test_touches_implies_intersects_not_overlaps(g, box):
+    if bbox_predicate("touches", g, box):
+        assert bbox_predicate("intersects", g, box)
+        assert not bbox_predicate("overlaps", g, box)
+
+
+@settings(max_examples=200, deadline=None)
+@given(g=geoms, box=boxes())
+def test_containment_implies_intersects(g, box):
+    for mode in ("contains", "within", "overlaps", "equals"):
+        if bbox_predicate(mode, g, box):
+            assert bbox_predicate("intersects", g, box), mode
+
+
+@settings(max_examples=200, deadline=None)
+@given(g=squares(), box=boxes())
+def test_equals_implies_contains_and_within(g, box):
+    if bbox_predicate("equals", g, box):
+        assert bbox_predicate("contains", g, box)
+        assert bbox_predicate("within", g, box)
+
+
+@settings(max_examples=200, deadline=None)
+@given(g=geoms, box=boxes())
+def test_contains_implies_envelope_inside(g, box):
+    if bbox_predicate("contains", g, box):
+        e = envelope(g)
+        eps = 1e-6
+        assert e[0] >= box[0] - eps and e[2] <= box[2] + eps
+        assert e[1] >= box[1] - eps and e[3] <= box[3] + eps
+
+
+def _interval_oracle(mode, sq_env, box, eps=1e-9):
+    """Brute-force interval arithmetic for axis-aligned square vs box."""
+    gx0, gy0, gx1, gy1 = sq_env
+    ix = min(box[2], gx1) - max(box[0], gx0)
+    iy = min(box[3], gy1) - max(box[1], gy0)
+    intersects = ix >= -eps and iy >= -eps
+    ii = ix > eps and iy > eps
+    sq_in_box = (
+        gx0 >= box[0] - eps
+        and gx1 <= box[2] + eps
+        and gy0 >= box[1] - eps
+        and gy1 <= box[3] + eps
+    )
+    box_in_sq = (
+        gx0 <= box[0] + eps
+        and gx1 >= box[2] - eps
+        and gy0 <= box[1] + eps
+        and gy1 >= box[3] - eps
+    )
+    if mode == "intersects":
+        return intersects
+    if mode == "disjoint":
+        return not intersects
+    if mode == "contains":
+        return sq_in_box and ii
+    if mode == "within":
+        return box_in_sq
+    if mode == "touches":
+        return intersects and not ii
+    if mode == "overlaps":
+        return ii and not sq_in_box and not box_in_sq
+    if mode == "equals":
+        return sq_in_box and box_in_sq
+    if mode == "crosses":
+        return False
+    raise AssertionError(mode)
+
+
+@settings(max_examples=300, deadline=None)
+@given(g=squares(), box=boxes())
+def test_squares_match_interval_oracle(g, box):
+    env = envelope(g)
+    # skip near-tangent configurations where kernel eps and oracle eps can
+    # legitimately classify differently (coords rounded to 1e-3 -> gaps are
+    # either ~0 or >= 5e-4)
+    for edge_gap in (
+        abs(env[0] - box[2]),
+        abs(env[2] - box[0]),
+        abs(env[1] - box[3]),
+        abs(env[3] - box[1]),
+        abs(env[0] - box[0]),
+        abs(env[2] - box[2]),
+        abs(env[1] - box[1]),
+        abs(env[3] - box[3]),
+    ):
+        if 0 < edge_gap < 1e-4:
+            return
+    for mode in (
+        "intersects",
+        "disjoint",
+        "contains",
+        "within",
+        "touches",
+        "overlaps",
+        "equals",
+        "crosses",
+    ):
+        assert bbox_predicate(mode, g, box) == _interval_oracle(mode, env, box), mode

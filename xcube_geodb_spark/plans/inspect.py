@@ -6,7 +6,9 @@ import re
 
 from pyspark.sql import DataFrame
 
-_PUSHED = re.compile(r"PushedFilters: \[([^\]]*)\]")
+# the plan printer truncates long scans, so PushedFilters may be cut off;
+# DataFilters on a FileScan line are the same predicates pre-translation
+_PUSHED = re.compile(r"(?:PushedFilters|DataFilters): \[([^\]\n]*)")
 
 
 def executed_plan(df: DataFrame) -> str:
@@ -26,4 +28,8 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    return executed_plan(df).count("WholeStageCodegen")
+    """Distinct whole-stage-codegen regions ('*(N)' prefixes in the string
+    plan; the long form 'WholeStageCodegen' appears only in formatted mode)."""
+    plan = executed_plan(df)
+    ids = set(re.findall(r"\*\((\d+)\)", plan))
+    return len(ids) or plan.count("WholeStageCodegen")
