@@ -38,6 +38,47 @@ HEADLINE = [
 ]
 
 
+def _bench_warehouse(spark, sf_dir: str, timings: dict) -> float:
+    """End-to-end table-format path: distributed ingest of the customer
+    table with synthesized geometry into a warehouse collection (envelope
+    columns + Z-order clustering), then a bbox query against it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from xcube_geodb_spark.catalog import GeoDBCatalog
+    from xcube_geodb_spark.operators import dml, spatial
+    from xcube_geodb_spark.suite.geo import _squares
+
+    wh = tempfile.mkdtemp(prefix="geodb_bench_wh_")
+    try:
+        catalog = GeoDBCatalog(spark, wh, user="bench")
+        catalog.create_database("bench")
+        catalog.create_collection(
+            "squares", {"c_acctbal": "float", "h": "float"}, crs=4326,
+            database="bench",
+        )
+        src = _squares(spark, sf_dir).select("geometry", "c_acctbal", "h")
+
+        t0 = time.perf_counter()
+        dml.insert_into_collection(catalog, "squares", src, database="bench")
+        dt = time.perf_counter() - t0
+        timings["warehouse_ingest"] = round(dt, 3)
+
+        t0 = time.perf_counter()
+        out = spatial.get_collection_by_bbox(
+            catalog, "squares", (-50.0, -30.0, 50.0, 30.0), "intersects",
+            database="bench",
+        )
+        out.write.mode("overwrite").format("noop").save()
+        dt2 = time.perf_counter() - t0
+        timings["warehouse_bbox_query"] = round(dt2, 3)
+        return dt + dt2
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -58,6 +99,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+    total += _bench_warehouse(spark, sf_dir, timings)
 
     print(
         json.dumps(
