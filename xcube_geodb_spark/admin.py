@@ -290,11 +290,19 @@ class StacMetadata:
         stac.setdefault("id", f"{database}_{collection}")
         if "spatial_extent" not in stac:
             # auto-compute from collection bbox when missing
-            # (metadata.py:371-380)
+            # (metadata.py:371-380); stored extents are EPSG:4326 like
+            # geodb_set_spatial_extent's ST_Transform(..., 4326)
+            # (geodb.sql:1840-1867)
+            from xcube_geodb_spark.geometry.crs import transform_bbox_crs
             from xcube_geodb_spark.operators.spatial import get_collection_bbox
 
             bbox = get_collection_bbox(self.catalog, collection, database)
             if bbox is not None:
+                srid = self.catalog.get_collection_srid(collection, database)
+                try:
+                    bbox = transform_bbox_crs(bbox, srid, 4326)
+                except GeoDBError:
+                    pass  # unsupported CRS: report in native coordinates
                 stac["spatial_extent"] = [list(bbox)]
         return stac
 
