@@ -98,6 +98,31 @@ class TestSimilarity:
         assert (0, 1) in pairs
         assert all(a < b for a, b in pairs)
 
+    def test_ivf_search(self, spark):
+        import numpy as np
+
+        # 3 well-separated clusters of 10 vectors each
+        rows = []
+        basis = [(1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0), (0.0, 0.0, 1.0, 0.0)]
+        vid = 0
+        for bx in basis:
+            for j in range(10):
+                v = [c + (0.01 * j if i == 3 else 0.0) for i, c in enumerate(bx)]
+                rows.append((vid, v))
+                vid += 1
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = similarity.ivf_centroids(emb, n_centroids=3, n_iters=4)
+        assert cents.shape == (3, 4)
+        out = similarity.ivf_topk(
+            emb, [1.0, 0.0, 0.0, 0.0], cents, k=5, n_probe=1
+        ).collect()
+        ids = [r["vec_id"] for r in out]
+        assert len(ids) == 5
+        assert all(i < 10 for i in ids), "probe must stay in the first cluster"
+        # full-scan brute force agrees on the top hit
+        brute = similarity.cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=1).collect()
+        assert brute[0]["vec_id"] == ids[0]
+
 
 class TestText:
     def test_quality_and_tokens(self, docs):

@@ -17,6 +17,8 @@ DuckDB oracle matches bit-for-bit (rounded to 6 decimals in outputs).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -85,6 +87,74 @@ def lsh_topk(
     qbits = "".join("1" if float(v) >= 0 else "0" for v in query_vector[:n_bits])
     bucketed = df.filter(sign_lsh_bucket(vec_col, n_bits) == qbits)
     return cosine_topk(bucketed, query_vector, k, vec_col, id_col)
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    sample_size: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "np.ndarray":
+    """Coarse quantizer for IVF: Lloyd iterations over a deterministic
+    sample (lowest ids — reproducible without RNG). The sample is small and
+    fits on the driver; assignment of the full table stays distributed."""
+    sample = (
+        df.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()[vec_col]
+    )
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cents = X[:n_centroids].copy()
+    for _ in range(n_iters):
+        sims = X @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_assignments(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, centroid_id) assignment — Arrow-batched numpy argmax against the
+    broadcast centroid matrix. At scale, write the collection partitioned by
+    centroid_id so a probe scans only its lists."""
+    cents = centroids.copy()
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series((X @ cents.T).argmax(axis=1).astype("int32"))
+
+    return df.select(F.col(id_col), F.col(vec_col), _assign(F.col(vec_col)).alias("centroid_id"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vector: list[float],
+    centroids: "np.ndarray",
+    k: int = 20,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score only rows assigned to the query's ``n_probe``
+    nearest centroid lists — a 1/(n_centroids/n_probe) scan when
+    centroid_id is a partition key."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ qn))[:n_probe].tolist()
+    assigned = ivf_assignments(df, centroids, vec_col, id_col)
+    cand = assigned.filter(F.col("centroid_id").isin([int(p) for p in probes]))
+    return cosine_topk(cand, query_vector, k, vec_col, id_col)
 
 
 def pairwise_cosine_above(

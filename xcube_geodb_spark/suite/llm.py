@@ -196,6 +196,17 @@ def sim_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, _query_vector(spark, sf_dir), k=20)
 
 
+def sim_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer + probe-limited scan). No SQL
+    oracle — the driver records a rows-only check; tests/test_functions.py
+    verifies recall against brute force on separable clusters."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=8, n_iters=4)
+    return similarity.ivf_topk(
+        emb, _query_vector(spark, sf_dir), cents, k=20, n_probe=2
+    ).select("vec_id", "cos_sim")
+
+
 _COS_CTES = """
     WITH q AS (
         SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -373,6 +384,7 @@ LLM_QUERIES = {
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
