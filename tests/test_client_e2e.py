@@ -93,6 +93,20 @@ class TestLifecycle:
         )
         assert list(df["id"]) == [3]
 
+    def test_pg_spatial_sql_functions(self, client, land_use):
+        # ST_* functions usable in the raw-SQL path, bbox-first arg order
+        df = client.get_collection_pg(
+            land_use,
+            select="id, st_geometrytype(geometry) AS gtype, "
+            "st_xmin(geometry) AS gxmin",
+            where="st_intersects('POLYGON ((-10 5, 10 5, 10 15, -10 15, -10 5))',"
+            " geometry)",
+            order="id",
+        )
+        assert list(df["id"]) == [1, 2, 3]
+        assert list(df["gtype"]) == ["POLYGON", "POLYGON", "POINT"]
+        assert df["gxmin"][0] == -5.0
+
     def test_pg_empty_raises(self, client, land_use):
         with pytest.raises(GeoDBError, match="Empty result"):
             client.get_collection_pg(land_use, where="raba_id = -1")

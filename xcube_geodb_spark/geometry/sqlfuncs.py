@@ -1,0 +1,87 @@
+"""Spatial functions registered into Spark SQL.
+
+SURVEY.md §4: the reference's ``get_collection_pg`` path admits any
+Postgres built-in, including PostGIS ``ST_*`` functions, inside raw
+``select``/``where`` strings. ``spark.udf.register`` is sufficient to give
+the Spark SQL dialect the same capability — no Catalyst extension needed.
+
+Registered names (PostGIS-compatible lowercase):
+
+- ``st_astext(wkb)`` / ``st_geomfromtext(wkt)``
+- ``st_geometrytype(wkb)``  (returns 'POINT', 'POLYGON', ...)
+- ``st_xmin/st_ymin/st_xmax/st_ymax(wkb)``
+- ``st_within/st_contains/st_intersects/st_touches/st_overlaps/st_crosses/
+  st_disjoint/st_equals (bbox_wkt, wkb)`` — bbox-first argument order like
+  the reference's CASE dispatch (geodb.sql:1204-1214)
+
+These are row-at-a-time UDFs (the SQL-string path is a compatibility
+surface, not the hot path — engine operators use the vectorized
+pandas-UDF kernel in udfs.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from xcube_geodb_spark.geometry.geom import (
+    envelope,
+    geometry_type_wkb,
+    parse_wkb,
+    parse_wkt,
+    to_wkb,
+    to_wkt,
+)
+from xcube_geodb_spark.geometry.predicates import bbox_predicate
+
+
+def _pred(mode: str):
+    def f(bbox_wkt: str, wkb: bytes) -> bool:
+        if bbox_wkt is None or wkb is None:
+            return False
+        box = envelope(parse_wkt(bbox_wkt))
+        return bbox_predicate(mode, parse_wkb(wkb), box)
+
+    return f
+
+
+_REGISTERED: set[int] = set()
+
+
+def register_spatial_sql_functions(spark: SparkSession) -> None:
+    """Idempotent registration of the st_* functions on a session."""
+    key = id(spark)
+    if key in _REGISTERED:
+        return
+    _REGISTERED.add(key)
+    spark.udf.register(
+        "st_astext", lambda b: to_wkt(parse_wkb(b)) if b is not None else None,
+        T.StringType(),
+    )
+    spark.udf.register(
+        "st_geomfromtext",
+        lambda s: to_wkb(parse_wkt(s)) if s is not None else None,
+        T.BinaryType(),
+    )
+    spark.udf.register(
+        "st_geometrytype",
+        lambda b: geometry_type_wkb(b) if b is not None else None,
+        T.StringType(),
+    )
+    for i, name in enumerate(("st_xmin", "st_ymin", "st_xmax", "st_ymax")):
+        spark.udf.register(
+            name,
+            (lambda i: lambda b: envelope(parse_wkb(b))[i] if b is not None else None)(i),
+            T.DoubleType(),
+        )
+    for mode in (
+        "within",
+        "contains",
+        "intersects",
+        "touches",
+        "overlaps",
+        "crosses",
+        "disjoint",
+        "equals",
+    ):
+        spark.udf.register(f"st_{mode}", _pred(mode), T.BooleanType())

@@ -92,7 +92,11 @@ def get_collection_pg(
     raise_empty: bool = False,
 ) -> DataFrame:
     """Raw-SQL scan (``geodb_get_pg``). Spark SQL parses/optimizes the
-    statement (dialect deviation from Postgres documented in SURVEY.md §7)."""
+    statement (dialect deviation from Postgres documented in SURVEY.md §7);
+    PostGIS-style ``st_*`` functions are available in all clauses."""
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(catalog.spark)
     df = catalog.load_df(collection, database)
     view = _view_name(database, collection)
     df.createOrReplaceTempView(view)
