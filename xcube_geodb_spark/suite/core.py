@@ -261,6 +261,46 @@ def distinct_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
 
 
+def agg_median_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median (Spark percentile == DuckDB quantile_cont)."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               round(percentile(o_totalprice, 0.5), 2) AS median_price
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation pivot (same CASE formulation both engines)."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(min(l_discount), 4) AS min_disc,
+               round(max(l_tax), 4) AS max_tax
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
 CORE_ORACLES_RELATIONAL = {
     "join_revenue_by_nation": """
         SELECT n_name, CAST(round(sum(o_totalprice), 0) AS BIGINT) AS revenue,
@@ -300,6 +340,26 @@ CORE_ORACLES_RELATIONAL = {
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "distinct_mktsegment": "SELECT DISTINCT c_mktsegment FROM customer",
+    "agg_median_by_priority": """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS median_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_pivot_status": """
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_stats_lineitem": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(min(l_discount), 4) AS min_disc,
+               round(max(l_tax), 4) AS max_tax
+        FROM lineitem GROUP BY l_returnflag
+    """,
 }
 
 # ---------------------------------------------------------------------------
@@ -386,6 +446,9 @@ CORE_QUERIES = {
     "window_top_order_per_customer": window_top_order_per_customer,
     "rollup_lineitem": rollup_lineitem,
     "distinct_mktsegment": distinct_mktsegment,
+    "agg_median_by_priority": agg_median_by_priority,
+    "agg_pivot_status": agg_pivot_status,
+    "agg_stats_lineitem": agg_stats_lineitem,
     "events_tumbling_hour": events_tumbling_hour,
     "events_sessionization": events_sessionization,
     "events_json_extract": events_json_extract,
