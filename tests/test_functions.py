@@ -60,6 +60,23 @@ class TestDedup:
         buckets = {r["keeper_id"]: r["n_docs"] for r in out}
         assert buckets.get(1) == 2
 
+    def test_duplicate_clusters_chain(self, spark):
+        # chain 1-2, 2-3 plus isolated pair 10-11: two components
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        out = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(pairs).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_dedup_pipeline_keeps_one_per_cluster(self, docs):
+        kept = dedup.dedup_pipeline(docs, jaccard_threshold=0.6)
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert 1 in ids and 2 not in ids  # exact dup removed, keeper stays
+        assert {4, 5, 6, 7} <= set(ids)  # singletons untouched
+
     def test_shingles_short_doc_fallback(self, docs):
         st = dedup.shingle_table(docs)
         row = st.filter(F.col("doc_id") == 7).collect()[0]

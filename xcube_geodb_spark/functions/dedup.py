@@ -256,6 +256,82 @@ def simhash_fingerprints(
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iters: int = 8,
+) -> DataFrame:
+    """Connected components over candidate pairs -> (doc_id, cluster_id)
+    with cluster_id = min doc id in the component.
+
+    Distributed label propagation: each iteration joins labels across edges
+    and keeps the minimum — converges in O(component diameter) rounds, and
+    near-duplicate components are shallow (typical diameter <= 3). Each
+    round is a broadcast-or-shuffle join + map-side-combined min aggregate;
+    no driver-side union-find, so billions of pairs stream through."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash LSH candidates -> exact Jaccard verify
+    -> connected components -> keep the minimum-id doc per cluster.
+    Returns the deduplicated frame (same schema as the input)."""
+    verified = ngram_jaccard_pairs(
+        df, text_col, id_col, threshold=jaccard_threshold
+    ).select("id_a", "id_b")
+    clusters = duplicate_clusters(verified)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash_buckets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:

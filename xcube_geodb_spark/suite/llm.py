@@ -61,6 +61,14 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_buckets(_augmented(spark, sf_dir))
 
 
+def dedup_pipeline_kept(spark, sf_dir):
+    """End-to-end dedup (LSH -> Jaccard verify -> connected components ->
+    keep min per cluster). No SQL oracle: component resolution is iterative
+    (rows-only check; semantics tested in tests/test_functions.py)."""
+    kept = dedup.dedup_pipeline(_augmented(spark, sf_dir), jaccard_threshold=0.5)
+    return kept.select("doc_id")
+
+
 # shared SQL fragments mirroring functions/text.normalized and
 # functions/dedup.shingles
 _NORM = (
@@ -381,6 +389,7 @@ LLM_QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_jaccard_verified": dedup_jaccard_verified,
     "dedup_simhash": dedup_simhash,
+    "dedup_pipeline_kept": dedup_pipeline_kept,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
