@@ -88,8 +88,16 @@ def main() -> int:
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
-        elif value_hash(sdf) != value_hash(odf):
-            problems.append("value hash mismatch")
+        else:
+            if value_hash(sdf) != value_hash(odf):
+                problems.append("value hash mismatch")
+            dt_mismatch = [
+                (c, str(sdf[c].dtype), str(odf[c].dtype))
+                for c in sdf.columns
+                if str(sdf[c].dtype) != str(odf[c].dtype)
+            ]
+            if dt_mismatch:
+                problems.append(f"dtype mismatch: {dt_mismatch}")
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")

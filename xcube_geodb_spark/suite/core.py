@@ -367,8 +367,10 @@ CORE_ORACLES_RELATIONAL = {
 # in batch form; true Structured Streaming variants live in streaming/)
 # ---------------------------------------------------------------------------
 
+# CAST: DuckDB sums of integers widen to HUGEINT (-> float64 in pandas)
 _SESSION_SQL = """
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
     FROM (
         SELECT user_id,
                CASE WHEN lag(ts) OVER w IS NULL
@@ -381,10 +383,15 @@ _SESSION_SQL = """
 
 
 def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the window boundary is emitted as a formatted string: the source file
+    # is TIMESTAMP(NANOS) parquet, and ns-vs-us timestamp dtypes would be a
+    # spurious schema mismatch between engines
     events = load(spark, sf_dir, "events")
     return (
         events.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
             F.col("event_type"),
         )
         .agg(
@@ -416,7 +423,8 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORE_ORACLES_EVENTS = {
     "events_tumbling_hour": """
-        SELECT date_trunc('hour', ts) AS hour, event_type,
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type,
                count(*) AS n_events, round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2
     """,

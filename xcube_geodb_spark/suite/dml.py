@@ -82,15 +82,17 @@ DML_QUERIES = {
     "dml_upsert_roundtrip": dml_upsert_roundtrip,
 }
 
+# the engine maps the reference's "int" property type to bigint
+# (catalog.pg_type_to_spark); casts keep oracle dtypes aligned
 DML_ORACLES = {
     "dml_delete_update_roundtrip": """
-        SELECT n_nationkey,
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
                CASE WHEN n_regionkey = 1 THEN 'REDACTED' ELSE n_name END AS n_name,
-               n_regionkey
+               CAST(n_regionkey AS BIGINT) AS n_regionkey
         FROM nation WHERE n_regionkey <> 2
     """,
     "dml_upsert_roundtrip": """
-        SELECT n_nationkey,
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
                CASE WHEN n_nationkey < 5 THEN n_name || '_X' ELSE n_name END AS n_name
         FROM nation
         UNION ALL
