@@ -79,6 +79,50 @@ def with_envelope_columns(df: DataFrame, geometry_col: str = "geometry") -> Data
 
 
 _POINT_WKB_LE = b"\x01\x01\x00\x00\x00"  # little-endian 2D point header
+# little-endian polygon, 1 ring, 5 points: the fixed 93-byte rectangle form
+_RECT_WKB_LE = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00"
+
+
+def _rect_batch_predicate(mode: str, env, box: Box):
+    """Vectorized comparison-mode evaluation for axis-aligned rectangles.
+    ``env`` is an (n, 4) array of (xmin, ymin, xmax, ymax)."""
+    import numpy as np
+
+    xmin, ymin, xmax, ymax = box
+    eps = 1e-9 * max(abs(xmin), abs(ymin), abs(xmax), abs(ymax), 1.0)
+    gx0, gy0, gx1, gy1 = env[:, 0], env[:, 1], env[:, 2], env[:, 3]
+    ix = np.minimum(xmax, gx1) - np.maximum(xmin, gx0)
+    iy = np.minimum(ymax, gy1) - np.maximum(ymin, gy0)
+    intersects = (ix >= -eps) & (iy >= -eps)
+    ii = (ix > eps) & (iy > eps)
+    sq_in_box = (
+        (gx0 >= xmin - eps)
+        & (gx1 <= xmax + eps)
+        & (gy0 >= ymin - eps)
+        & (gy1 <= ymax + eps)
+    )
+    box_in_sq = (
+        (gx0 <= xmin + eps)
+        & (gx1 >= xmax - eps)
+        & (gy0 <= ymin + eps)
+        & (gy1 >= ymax - eps)
+    )
+    if mode == "intersects":
+        return intersects
+    if mode == "disjoint":
+        return ~intersects
+    if mode == "contains":
+        return sq_in_box & ii
+    if mode == "within":
+        return box_in_sq
+    if mode == "touches":
+        return intersects & ~ii
+    if mode == "overlaps":
+        return ii & ~sq_in_box & ~box_in_sq
+    if mode == "equals":
+        return sq_in_box & box_in_sq
+    # crosses: always false for area-vs-area
+    return np.zeros(len(env), dtype=bool)
 
 
 def _point_batch_predicate(mode: str, xs, ys, box: Box):
@@ -107,10 +151,11 @@ def _point_batch_predicate(mode: str, xs, ys, box: Box):
 def bbox_predicate_column(mode: str, box: Box, geometry_col: str = "geometry") -> Column:
     """Exact ``ST_<mode>(bbox, geom)`` as a vectorized pandas-UDF Column.
 
-    Fast path: 2D point WKB rows (fixed 21-byte layout) are decoded with a
-    single ``np.frombuffer`` per batch and evaluated with numpy boolean
-    algebra — ~50x over the per-row kernel. Other geometries fall back to
-    the full kernel per row."""
+    Fast paths: 2D point WKB (fixed 21-byte layout) and axis-aligned
+    rectangle polygons (fixed 93-byte layout) are decoded with a single
+    ``np.frombuffer`` per batch and evaluated with numpy boolean algebra —
+    ~50x over the per-row kernel. Everything else falls back to the full
+    kernel per row."""
     import numpy as np
 
     bx = tuple(float(v) for v in box)
@@ -118,21 +163,61 @@ def bbox_predicate_column(mode: str, box: Box, geometry_col: str = "geometry") -
     @F.pandas_udf(T.BooleanType())
     def _pred(wkb: pd.Series) -> pd.Series:
         vals = wkb.to_numpy(dtype=object)
-        out = np.zeros(len(vals), dtype=bool)
+        n = len(vals)
+        out = np.zeros(n, dtype=bool)
+        handled = np.zeros(n, dtype=bool)
+
         is_point = np.fromiter(
             (
                 b is not None and len(b) == 21 and bytes(b[:5]) == _POINT_WKB_LE
                 for b in vals
             ),
             dtype=bool,
-            count=len(vals),
+            count=n,
         )
         idx = np.nonzero(is_point)[0]
         if len(idx):
             buf = b"".join(bytes(vals[i][5:21]) for i in idx)
             coords = np.frombuffer(buf, dtype="<f8").reshape(-1, 2)
             out[idx] = _point_batch_predicate(mode, coords[:, 0], coords[:, 1], bx)
-        for i in np.nonzero(~is_point)[0]:
+            handled[idx] = True
+
+        maybe_rect = np.fromiter(
+            (
+                b is not None and len(b) == 93 and bytes(b[:13]) == _RECT_WKB_LE
+                for b in vals
+            ),
+            dtype=bool,
+            count=n,
+        )
+        ridx = np.nonzero(maybe_rect)[0]
+        if len(ridx):
+            buf = b"".join(bytes(vals[i][13:93]) for i in ridx)
+            ring = np.frombuffer(buf, dtype="<f8").reshape(-1, 5, 2)
+            xs, ys = ring[..., 0], ring[..., 1]
+            closed = (xs[:, 0] == xs[:, 4]) & (ys[:, 0] == ys[:, 4])
+            # axis-aligned rectangle: consecutive edges alternate
+            # horizontal/vertical
+            axis = np.ones(len(ridx), dtype=bool)
+            for k in range(4):
+                axis &= (xs[:, k] == xs[:, k + 1]) | (ys[:, k] == ys[:, k + 1])
+            rect_ok = closed & axis
+            env = np.stack(
+                [
+                    xs[:, :4].min(axis=1),
+                    ys[:, :4].min(axis=1),
+                    xs[:, :4].max(axis=1),
+                    ys[:, :4].max(axis=1),
+                ],
+                axis=1,
+            )
+            good = np.nonzero(rect_ok)[0]
+            if len(good):
+                res = _rect_batch_predicate(mode, env[good], bx)
+                out[ridx[good]] = res
+                handled[ridx[good]] = True
+
+        for i in np.nonzero(~handled)[0]:
             b = vals[i]
             out[i] = (
                 bbox_predicate(mode, parse_wkb(bytes(b)), bx)
