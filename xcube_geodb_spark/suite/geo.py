@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from xcube_geodb_spark.geometry.geom import Geometry, bbox_polygon, to_wkb
+from xcube_geodb_spark.geometry.geom import bbox_polygon  # noqa: F401 (docs)
 from xcube_geodb_spark.geometry.udfs import (
     bbox_predicate_column,
     envelope_prefilter,
@@ -48,24 +48,42 @@ BOX_TOUCHES = (19.33, 30.0, 60.0, 50.0)
 
 @F.pandas_udf(T.BinaryType())
 def _point_wkb(x: pd.Series, y: pd.Series) -> pd.Series:
+    # batch-assembled 21-byte point WKB (one numpy write per batch)
     import numpy as np
 
-    return pd.Series(
-        [
-            to_wkb(Geometry("Point", np.array([xv, yv], dtype=np.float64)))
-            for xv, yv in zip(x, y)
-        ]
+    n = len(x)
+    arr = np.empty((n, 21), dtype=np.uint8)
+    arr[:, 0] = 1
+    arr[:, 1:5] = np.frombuffer(b"\x01\x00\x00\x00", dtype=np.uint8)
+    coords = np.column_stack(
+        [x.to_numpy(dtype=np.float64), y.to_numpy(dtype=np.float64)]
     )
+    arr[:, 5:21] = np.ascontiguousarray(coords).view(np.uint8).reshape(n, 16)
+    return pd.Series([arr[i].tobytes() for i in range(n)])
 
 
 @F.pandas_udf(T.BinaryType())
 def _square_wkb(x: pd.Series, y: pd.Series, h: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            to_wkb(bbox_polygon(xv - hv, yv - hv, xv + hv, yv + hv))
-            for xv, yv, hv in zip(x, y, h)
-        ]
+    # batch-assembled 93-byte rectangle-polygon WKB
+    import numpy as np
+
+    n = len(x)
+    xv = x.to_numpy(dtype=np.float64)
+    yv = y.to_numpy(dtype=np.float64)
+    hv = h.to_numpy(dtype=np.float64)
+    x0, y0, x1, y1 = xv - hv, yv - hv, xv + hv, yv + hv
+    ring = np.empty((n, 10), dtype=np.float64)
+    ring[:, 0], ring[:, 1] = x0, y0
+    ring[:, 2], ring[:, 3] = x1, y0
+    ring[:, 4], ring[:, 5] = x1, y1
+    ring[:, 6], ring[:, 7] = x0, y1
+    ring[:, 8], ring[:, 9] = x0, y0
+    arr = np.empty((n, 93), dtype=np.uint8)
+    arr[:, :13] = np.frombuffer(
+        b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00", dtype=np.uint8
     )
+    arr[:, 13:] = ring.view(np.uint8).reshape(n, 80)
+    return pd.Series([arr[i].tobytes() for i in range(n)])
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
