@@ -406,6 +406,26 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SESSION_SQL)
 
 
+def events_asof_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine operator Spark lacks natively): for every event,
+    the user's most recent strictly-earlier event. DuckDB's native ASOF
+    JOIN is the oracle."""
+    from xcube_geodb_spark.functions.temporal import asof_join
+
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    out = asof_join(
+        events,
+        events.select("user_id", "ts", F.col("event_id").alias("prev_event")),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["prev_event"],
+        strict=True,
+        suffix="",
+    )
+    return out.select("event_id", "user_id", "prev_event")
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """props is a JSON string column; extract $.k with a regexp so the
     oracle does not depend on a JSON extension."""
@@ -429,6 +449,11 @@ CORE_ORACLES_EVENTS = {
         FROM events GROUP BY 1, 2
     """,
     "events_sessionization": _SESSION_SQL,
+    "events_asof_prev": """
+        SELECT a.event_id, a.user_id, b.event_id AS prev_event
+        FROM events a
+        ASOF LEFT JOIN events b ON a.user_id = b.user_id AND b.ts < a.ts
+    """,
     "events_json_extract": """
         SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
                count(*) AS n
@@ -459,6 +484,7 @@ CORE_QUERIES = {
     "agg_stats_lineitem": agg_stats_lineitem,
     "events_tumbling_hour": events_tumbling_hour,
     "events_sessionization": events_sessionization,
+    "events_asof_prev": events_asof_prev,
     "events_json_extract": events_json_extract,
 }
 
