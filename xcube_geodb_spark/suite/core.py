@@ -426,6 +426,22 @@ def events_asof_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "prev_event")
 
 
+def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30min slide) in batch form: each event
+    lands in two windows; window ids are epoch seconds so both engines
+    agree without timezone-dependent timestamp rendering."""
+    events = load(spark, sf_dir, "events")
+    base = (F.floor(F.unix_timestamp("ts") / 1800) * 1800).cast("long")
+    return (
+        events.select(
+            F.explode(F.array(base, base - 1800)).alias("w_start_epoch"),
+            "event_type",
+        )
+        .groupBy("w_start_epoch", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """props is a JSON string column; extract $.k with a regexp so the
     oracle does not depend on a JSON extension."""
@@ -449,6 +465,15 @@ CORE_ORACLES_EVENTS = {
         FROM events GROUP BY 1, 2
     """,
     "events_sessionization": _SESSION_SQL,
+    "events_sliding_30m": """
+        SELECT w_start_epoch, event_type, count(*) AS n_events FROM (
+            SELECT unnest([CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT),
+                           CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)])
+                       AS w_start_epoch,
+                   event_type
+            FROM events
+        ) GROUP BY 1, 2
+    """,
     "events_asof_prev": """
         SELECT a.event_id, a.user_id, b.event_id AS prev_event
         FROM events a
@@ -484,6 +509,7 @@ CORE_QUERIES = {
     "agg_stats_lineitem": agg_stats_lineitem,
     "events_tumbling_hour": events_tumbling_hour,
     "events_sessionization": events_sessionization,
+    "events_sliding_30m": events_sliding_30m,
     "events_asof_prev": events_asof_prev,
     "events_json_extract": events_json_extract,
 }
