@@ -261,6 +261,44 @@ def distinct_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
 
 
+def agg_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function coverage (SURVEY §2.7): identical expressions in
+    both dialects."""
+    register_views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               upper(substr(p_type, 1, 5)) AS type_head,
+               length(p_name) AS name_len,
+               replace(p_brand, 'Brand#', 'B') AS brand_short,
+               regexp_extract(p_type, '([A-Z]+)', 1) AS first_word
+        FROM part WHERE p_size <= 10
+        """
+    )
+
+
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mth,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+        """
+    )
+
+
 def agg_median_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated median (Spark percentile == DuckDB quantile_cont)."""
     register_views(spark, sf_dir, "orders")
@@ -340,6 +378,25 @@ CORE_ORACLES_RELATIONAL = {
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "distinct_mktsegment": "SELECT DISTINCT c_mktsegment FROM customer",
+    "agg_distinct_parts": """
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "scalar_string_funcs": """
+        SELECT p_partkey,
+               upper(substr(p_type, 1, 5)) AS type_head,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               replace(p_brand, 'Brand#', 'B') AS brand_short,
+               regexp_extract(p_type, '([A-Z]+)', 1) AS first_word
+        FROM part WHERE p_size <= 10
+    """,
+    "scalar_date_funcs": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mth,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    """,
     "agg_median_by_priority": """
         SELECT o_orderpriority,
                round(quantile_cont(o_totalprice, 0.5), 2) AS median_price
@@ -504,6 +561,9 @@ CORE_QUERIES = {
     "window_top_order_per_customer": window_top_order_per_customer,
     "rollup_lineitem": rollup_lineitem,
     "distinct_mktsegment": distinct_mktsegment,
+    "agg_distinct_parts": agg_distinct_parts,
+    "scalar_string_funcs": scalar_string_funcs,
+    "scalar_date_funcs": scalar_date_funcs,
     "agg_median_by_priority": agg_median_by_priority,
     "agg_pivot_status": agg_pivot_status,
     "agg_stats_lineitem": agg_stats_lineitem,
