@@ -11,7 +11,6 @@ import json
 import os
 import time
 import uuid
-from fnmatch import fnmatch
 
 from pyspark.sql import DataFrame
 

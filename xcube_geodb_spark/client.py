@@ -24,7 +24,6 @@ from xcube_geodb_spark.admin import (
     StacMetadata,
 )
 from xcube_geodb_spark.catalog import GeoDBCatalog
-from xcube_geodb_spark.errors import GeoDBError
 from xcube_geodb_spark.geometry.geom import parse_wkb
 from xcube_geodb_spark.operators import dml, scan, spatial
 from xcube_geodb_spark.session import get_spark
