@@ -476,7 +476,12 @@ class GeoDBCatalog:
             sub = os.path.join("data", uuid.uuid4().hex)
             out_dir = os.path.join(cdir, sub)
             new_df = self._apply_clustering(new_df, m)
-            new_df.write.mode("overwrite").parquet(out_dir)
+            # bound file size: rows within a partition are cluster-sorted, so
+            # split files keep disjoint key/z-order spans for footer pruning
+            max_rows = int(m.d.get("max_file_rows", 2_000_000))
+            new_df.write.option("maxRecordsPerFile", max_rows).mode(
+                "overwrite"
+            ).parquet(out_dir)
             new_files = [
                 os.path.join(sub, f)
                 for f in sorted(os.listdir(out_dir))
@@ -499,22 +504,27 @@ class GeoDBCatalog:
 
     def _apply_clustering(self, df: DataFrame, m: CollectionMeta) -> DataFrame:
         """Honor declared indexes as physical layout: a btree index on a
-        property sorts files by it; the (default) gist geometry index sorts
-        by envelope-center Z-order so parquet min/max stats prune spatial
-        scans (the Spark stand-in for geodb.sql:1456-1471)."""
+        property range-partitions + sorts files by it; the (default) gist
+        geometry index clusters by envelope-center Z-order. Range
+        partitioning (not just a within-partition sort) gives each output
+        file a disjoint key interval, so parquet min/max stats prune whole
+        files for selective scans and DML — the Spark stand-in for
+        geodb.sql:1456-1471. AQE coalesces the shuffle for small commits."""
         btree = [
             i["property"]
             for i in m.d.get("indexes", [])
             if i["type"] == "btree" and i["property"] in df.columns
         ]
         if btree:
-            return df.sortWithinPartitions(*btree)
+            cols = [F.col(c) for c in btree]
+            return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         if "__xmin" in df.columns:
             from xcube_geodb_spark.plans.layout import zorder_key
 
             zx = (F.col("__xmin") + F.col("__xmax")) / 2
             zy = (F.col("__ymin") + F.col("__ymax")) / 2
-            return df.sortWithinPartitions(zorder_key(zx, zy))
+            zkey = zorder_key(zx, zy)
+            return df.repartitionByRange(zkey).sortWithinPartitions(zkey)
         return df
 
     # ------------------------------------------------------------------
