@@ -336,3 +336,35 @@ class TestAdmin:
         raw = client.get_my_usage(pretty=False)
         assert raw > 0
         assert isinstance(client.get_my_usage(pretty=True), str)
+
+
+class TestRound2Fixes:
+    def test_upsert_mixed_explicit_and_generated_ids(self, client, land_use):
+        # explicit id 10 (> current max_id 4) plus a no-id row in ONE batch:
+        # the generated sequence must start past the explicit ids
+        up = pd.DataFrame(
+            {
+                "id": [10.0, None],
+                "geometry": ["POINT (1 1)", "POINT (2 2)"],
+                "raba_id": [111.0, 222.0],
+            }
+        )
+        client.insert_into_collection(land_use, up, upsert=True)
+        df = client.get_collection(land_use)
+        ids = sorted(df["id"])
+        assert len(ids) == len(set(ids)), f"duplicate ids minted: {ids}"
+        assert 10 in ids
+        assert max(ids) == 11  # generated row got 11, not 5
+
+    def test_evolved_property_survives_mixed_schema_read(self, client, land_use):
+        # add_properties then insert -> manifest mixes files with/without the
+        # column; the declared-schema read must keep real values (not NULL)
+        client.add_property(land_use, "quality", "int")
+        client.insert_into_collection(
+            land_use,
+            pd.DataFrame({"geometry": ["POINT (3 3)"], "quality": [42]}),
+        )
+        df = client.get_collection(land_use)
+        newest = df[df["id"] == 5].iloc[0]
+        assert newest["quality"] == 42
+        assert df[df["id"] <= 4]["quality"].isna().all()

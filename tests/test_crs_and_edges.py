@@ -120,3 +120,33 @@ class TestConcurrency:
         (bbox,) = md["spatial_extent"]
         # web-mercator meters transformed back to ~ (10 deg, 10 deg)
         assert abs(bbox[1] - 10.0) < 0.01 and abs(bbox[0] - 10.0) < 0.01
+
+
+class TestRectFastPathDegenerate:
+    def test_degenerate_ring_agrees_with_kernel(self, spark):
+        # a closed 5-point out-and-back ring is 93 bytes like a rectangle but
+        # has zero area; the vectorized fast path must reject it and fall
+        # back to the exact kernel (its phantom envelope would say
+        # 'intersects' for boxes the real geometry never touches)
+        from xcube_geodb_spark.geometry.geom import parse_wkb, parse_wkt, to_wkb
+        from xcube_geodb_spark.geometry.predicates import bbox_predicate
+        from xcube_geodb_spark.geometry.udfs import bbox_predicate_column
+
+        degenerate = "POLYGON ((0 0, 2 0, 2 2, 2 0, 0 0))"
+        proper = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+        wkbs = [to_wkb(parse_wkt(w), srid=0) for w in (degenerate, proper)]
+        assert all(len(b) == 93 for b in wkbs)
+        df = spark.createDataFrame([(i, b) for i, b in enumerate(wkbs)], "i long, geometry binary")
+        box = (0.5, 1.2, 1.5, 1.8)  # inside the phantom envelope, off the lines
+        for mode in ("intersects", "contains", "within", "disjoint", "touches"):
+            got = {
+                r.i: r.p
+                for r in df.select(
+                    "i", bbox_predicate_column(mode, box).alias("p")
+                ).collect()
+            }
+            want = {
+                i: bbox_predicate(mode, parse_wkb(b), box)
+                for i, b in enumerate(wkbs)
+            }
+            assert got == want, f"mode {mode}: {got} != {want}"

@@ -126,3 +126,24 @@ class TestGrammar:
         df = land_use.sparkSession.read.parquet(p)
         plan = apply_postgrest_query(df, "raba_id=eq.1410")._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan and "raba_id" in plan
+
+    def test_order_by_non_selected_column(self, land_use):
+        # PostgREST allows ordering by a column absent from select=
+        out = apply_postgrest_query(
+            land_use, "select=id&order=raba_id.desc,id.asc&limit=3"
+        )
+        assert out.columns == ["id"]
+        assert [r.id for r in out.collect()] == [5, 6, 1]
+
+    def test_text_column_keeps_numeric_looking_literal(self, land_use):
+        spark = land_use.sparkSession
+        df = spark.createDataFrame(
+            [(1, "0123"), (2, "123"), (3, "x")], "id long, code string"
+        )
+        # PostgREST compares by column type: text '0123' != text '123'
+        assert [
+            r.id for r in apply_postgrest_query(df, "code=eq.0123").collect()
+        ] == [1]
+        assert [
+            r.id for r in apply_postgrest_query(df, "code=in.(0123)").collect()
+        ] == [1]

@@ -420,10 +420,12 @@ class GeoDBCatalog:
                 os.path.join(self._coll_dir(collection, database), f)
                 for f in m.files
             ]
-            df = self.spark.read.parquet(*paths)
-            for field in schema.fields:
-                if field.name not in df.columns:
-                    df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+            # Read with the DECLARED schema, not per-file inference: with a
+            # mixed-schema manifest (add_properties then insert) inference
+            # picks one arbitrary file and an evolved column could read back
+            # all-NULL. Declared schema fills missing columns with NULL per
+            # file and prunes dropped ones.
+            df = self.spark.read.schema(schema).parquet(*paths)
         order = [f.name for f in schema.fields if include_system or f.name not in SYSTEM_COLUMNS]
         return df.select(*order)
 
@@ -439,10 +441,7 @@ class GeoDBCatalog:
         paths = [
             os.path.join(self._coll_dir(collection, database), f) for f in files
         ]
-        df = self.spark.read.parquet(*paths)
-        for field in schema.fields:
-            if field.name not in df.columns:
-                df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+        df = self.spark.read.schema(schema).parquet(*paths)
         return df.select(*[f.name for f in schema.fields])
 
     def manifest_paths(self, collection: str, database: str) -> dict[str, str]:
@@ -487,6 +486,20 @@ class GeoDBCatalog:
                 for f in sorted(os.listdir(out_dir))
                 if f.endswith(".parquet")
             ]
+        # Re-read metadata AFTER the (long) Spark write: a commit landing in
+        # between would otherwise pass the stale pre-write check and have its
+        # files silently dropped from the manifest (lost update).
+        m = self.meta(collection, database)
+        if expected_version is not None and m.version != expected_version:
+            for f in new_files:
+                try:
+                    os.remove(os.path.join(cdir, f))
+                except OSError:
+                    pass
+            raise GeoDBError(
+                f"Concurrent modification of {database}_{collection}: "
+                f"expected v{expected_version}, found v{m.version}"
+            )
         old_live = set(m.files)
         keep = list(keep_files) if keep_files is not None else m.files
         m.d["files"] = keep + new_files

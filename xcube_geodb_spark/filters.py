@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from xcube_geodb_spark.errors import GeoDBError
 
@@ -64,12 +65,17 @@ class ParsedQuery:
     offset: int | None = None
 
 
-def _parse_literal(raw: str):
+def _parse_literal(raw: str, dtype: T.DataType | None = None):
     """Turn a PostgREST value token into a Python literal (number / bool /
-    string). Quoted strings keep their exact contents."""
+    string). Quoted strings keep their exact contents. When the target
+    column's type is known and is a string type, the token stays text —
+    PostgREST compares by column type, so ``col=eq.0123`` on a text column
+    must match the string ``'0123'``, not the number 123."""
     raw = raw.strip()
     if len(raw) >= 2 and raw[0] == '"' and raw[-1] == '"':
         return raw[1:-1].replace('\\"', '"')
+    if isinstance(dtype, T.StringType):
+        return raw
     low = raw.lower()
     if low == "true":
         return True
@@ -104,20 +110,27 @@ def _split_csv(s: str) -> list[str]:
     return [x.strip() for x in out if x.strip()]
 
 
-def _compile_op(column: str, op: str, value: str, negate: bool) -> Column:
+def _compile_op(
+    column: str,
+    op: str,
+    value: str,
+    negate: bool,
+    schema: dict[str, T.DataType] | None = None,
+) -> Column:
     c = F.col(column)
+    dtype = (schema or {}).get(column)
     if op == "eq":
-        expr = c == F.lit(_parse_literal(value))
+        expr = c == F.lit(_parse_literal(value, dtype))
     elif op == "neq":
-        expr = c != F.lit(_parse_literal(value))
+        expr = c != F.lit(_parse_literal(value, dtype))
     elif op == "gt":
-        expr = c > F.lit(_parse_literal(value))
+        expr = c > F.lit(_parse_literal(value, dtype))
     elif op in ("gte", "ge"):
-        expr = c >= F.lit(_parse_literal(value))
+        expr = c >= F.lit(_parse_literal(value, dtype))
     elif op == "lt":
-        expr = c < F.lit(_parse_literal(value))
+        expr = c < F.lit(_parse_literal(value, dtype))
     elif op in ("lte", "le"):
-        expr = c <= F.lit(_parse_literal(value))
+        expr = c <= F.lit(_parse_literal(value, dtype))
     elif op == "like":
         expr = c.like(value.replace("*", "%"))
     elif op == "ilike":
@@ -128,7 +141,7 @@ def _compile_op(column: str, op: str, value: str, negate: bool) -> Column:
         inner = value.strip()
         if not (inner.startswith("(") and inner.endswith(")")):
             raise GeoDBError(f"in filter requires a parenthesized list: {value!r}")
-        items = [_parse_literal(v) for v in _split_csv(inner[1:-1])]
+        items = [_parse_literal(v, dtype) for v in _split_csv(inner[1:-1])]
         expr = c.isin(items)
     elif op == "is":
         v = value.strip().lower()
@@ -145,7 +158,9 @@ def _compile_op(column: str, op: str, value: str, negate: bool) -> Column:
     return ~expr if negate else expr
 
 
-def _compile_condition(token: str) -> Column:
+def _compile_condition(
+    token: str, schema: dict[str, T.DataType] | None = None
+) -> Column:
     """``col.op.value`` / ``col.not.op.value`` / nested ``and(...)``/``or(...)``."""
     token = token.strip()
     low = token.lower()
@@ -155,7 +170,7 @@ def _compile_condition(token: str) -> Column:
             open_idx = token.index("(")
             if not token.endswith(")"):
                 raise GeoDBError(f"Unbalanced logic group: {token!r}")
-            col = _compile_group(conj, token[open_idx + 1 : -1])
+            col = _compile_group(conj, token[open_idx + 1 : -1], schema)
             return ~col if neg else col
     parts = token.split(".")
     if len(parts) < 3:
@@ -167,11 +182,13 @@ def _compile_condition(token: str) -> Column:
     if op not in _OPS:
         raise GeoDBError(f"Unknown operator {op!r} in condition {token!r}")
     value = ".".join(parts[idx + 1 :])
-    return _compile_op(column, op, value, negate)
+    return _compile_op(column, op, value, negate, schema)
 
 
-def _compile_group(conj: str, body: str) -> Column:
-    conditions = [_compile_condition(tok) for tok in _split_csv(body)]
+def _compile_group(
+    conj: str, body: str, schema: dict[str, T.DataType] | None = None
+) -> Column:
+    conditions = [_compile_condition(tok, schema) for tok in _split_csv(body)]
     if not conditions:
         raise GeoDBError(f"Empty {conj}=() group")
     out = conditions[0]
@@ -194,7 +211,9 @@ def _split_pairs(query: str) -> list[tuple[str, str]]:
     return pairs
 
 
-def parse_postgrest_query(query: str | None) -> ParsedQuery:
+def parse_postgrest_query(
+    query: str | None, schema: dict[str, T.DataType] | None = None
+) -> ParsedQuery:
     pq = ParsedQuery()
     if not query:
         return pq
@@ -223,11 +242,11 @@ def parse_postgrest_query(query: str | None) -> ParsedQuery:
         elif low in ("and", "or"):
             if not (value.startswith("(") and value.endswith(")")):
                 raise GeoDBError(f"{key}= group must be parenthesized: {value!r}")
-            preds.append(_compile_group(low, value[1:-1]))
+            preds.append(_compile_group(low, value[1:-1], schema))
         elif low in ("not.and", "not.or"):
             if not (value.startswith("(") and value.endswith(")")):
                 raise GeoDBError(f"{key}= group must be parenthesized: {value!r}")
-            preds.append(~_compile_group(low.rsplit(".", 1)[-1], value[1:-1]))
+            preds.append(~_compile_group(low.rsplit(".", 1)[-1], value[1:-1], schema))
         else:
             # column filter: key is the column, value is "op.value" or
             # "not.op.value"
@@ -240,7 +259,7 @@ def parse_postgrest_query(query: str | None) -> ParsedQuery:
             if op not in _OPS:
                 raise GeoDBError(f"Unknown operator {op!r} for column {key!r}")
             val = ".".join(bits[idx + 1 :])
-            preds.append(_compile_op(key, op, val, negate))
+            preds.append(_compile_op(key, op, val, negate, schema))
     if preds:
         pred = preds[0]
         for p in preds[1:]:
@@ -270,13 +289,18 @@ def apply_postgrest_query(
     """Apply a parsed PostgREST query to a DataFrame; explicit
     ``limit``/``offset`` arguments win over in-query values (the reference
     client appends them to the query string, ``geodb.py:1866-1869``)."""
-    pq = parse_postgrest_query(query)
+    pq = parse_postgrest_query(
+        query, schema={f.name: f.dataType for f in df.schema.fields}
+    )
     if pq.predicate is not None:
         df = df.filter(pq.predicate)
-    if pq.select:
-        df = df.select(*pq.select)
+    # order BEFORE projecting: PostgREST allows ordering by a non-selected
+    # column (select=a&order=b.desc); projection after the sort preserves
+    # row order and Catalyst prunes the sort column from the scan output
     if pq.order:
         df = df.orderBy(*_order_columns(pq.order))
+    if pq.select:
+        df = df.select(*pq.select)
     eff_offset = offset if offset is not None else pq.offset
     eff_limit = limit if limit is not None else pq.limit
     if eff_offset:

@@ -284,6 +284,7 @@ def duplicate_clusters(
         .withColumn("cluster_id", F.col("id"))
         .cache()
     )
+    cached = labels  # handle to the currently-persisted label frame
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -297,19 +298,24 @@ def duplicate_clusters(
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (
+                    F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("__changed"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # ONE job per round: materializes the new cache and piggybacks the
+        # convergence check on the same scan (no separate compare-join job);
+        # the superseded frame is unpersisted after its successor is
+        # materialized, so executor storage stays O(|V|), not O(rounds*|V|)
+        changed = new_labels.agg(F.max("__changed")).collect()[0][0]
+        cached.unpersist()
+        cached = new_labels
+        labels = new_labels.drop("__changed")
+        if not changed:
             break
+    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

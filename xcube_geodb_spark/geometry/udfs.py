@@ -201,7 +201,17 @@ def bbox_predicate_column(mode: str, box: Box, geometry_col: str = "geometry") -
             axis = np.ones(len(ridx), dtype=bool)
             for k in range(4):
                 axis &= (xs[:, k] == xs[:, k + 1]) | (ys[:, k] == ys[:, k + 1])
-            rect_ok = closed & axis
+            # each diagonal pair must differ in BOTH coordinates; with
+            # axis-aligned edges this forces a true 4-corner rectangle and
+            # rejects degenerate out-and-back rings whose phantom envelope
+            # would disagree with the exact kernel
+            diag = (
+                (xs[:, 0] != xs[:, 2])
+                & (ys[:, 0] != ys[:, 2])
+                & (xs[:, 1] != xs[:, 3])
+                & (ys[:, 1] != ys[:, 3])
+            )
+            rect_ok = closed & axis & diag
             env = np.stack(
                 [
                     xs[:, :4].min(axis=1),

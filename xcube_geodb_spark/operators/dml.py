@@ -185,10 +185,19 @@ def insert_into_collection(
         new_without_id = df
 
     n_no_id = new_without_id.count()
+    bounds = None
+    start = m.max_id + 1
+    if upsert and new_with_id is not None:
+        bounds = new_with_id.agg(
+            F.min("id").alias("lo"), F.max("id").alias("hi")
+        ).collect()[0]
+        if bounds["hi"] is not None:
+            # explicit ids in the same batch may themselves be >= max_id+1;
+            # start the generated sequence past them so one commit can't
+            # mint duplicate primary keys
+            start = max(start, int(bounds["hi"]) + 1)
     assigned = (
-        assign_sequential_ids(new_without_id, start=m.max_id + 1)
-        if n_no_id
-        else None
+        assign_sequential_ids(new_without_id, start=start) if n_no_id else None
     )
 
     schema = m.spark_schema(include_system=False)
@@ -201,9 +210,6 @@ def insert_into_collection(
 
     if upsert and new_with_id is not None:
         # prune: only files whose id range can contain replaced ids rewrite
-        bounds = new_with_id.agg(
-            F.min("id").alias("lo"), F.max("id").alias("hi")
-        ).collect()[0]
         if bounds["lo"] is not None:
             from xcube_geodb_spark.operators.pruning import (
                 split_files_by_constraints,
@@ -253,7 +259,7 @@ def insert_into_collection(
             database,
             merged,
             keep_files=untouched,
-            max_id=max(m.max_id, int(max_new), m.max_id + n_no_id),
+            max_id=max(m.max_id, int(max_new)),
             expected_version=m.version,
         )
         return int(df.count())
@@ -264,8 +270,6 @@ def insert_into_collection(
             "created_at", now
         )
     )
-    if has_ids and new_with_id is not None and not upsert:
-        raise GeoDBError("insert with explicit ids requires upsert=True")
     to_write = with_envelope_columns(to_write)
     catalog.commit_version(
         collection,
@@ -312,7 +316,8 @@ def delete_from_collection(
     """Delete rows matching a PostgREST filter (``geodb.py:1325-1354``).
     Only files whose footer stats admit matching rows are rewritten."""
     m = catalog.meta(collection, database)
-    pq = parse_postgrest_query(query)
+    sch = {f.name: f.dataType for f in m.spark_schema(include_system=True).fields}
+    pq = parse_postgrest_query(query, schema=sch)
     if pq.predicate is None:
         raise GeoDBError("delete requires a filter query")
     touched, untouched = _touched_untouched(catalog, collection, database, query)
@@ -340,7 +345,8 @@ def update_collection(
     ``id`` removed from SET; ``modified_at`` stamped on changed rows.
     Only files whose footer stats admit matching rows are rewritten."""
     m = catalog.meta(collection, database)
-    pq = parse_postgrest_query(query)
+    sch = {f.name: f.dataType for f in m.spark_schema(include_system=True).fields}
+    pq = parse_postgrest_query(query, schema=sch)
     if pq.predicate is None:
         raise GeoDBError("update requires a filter query")
     values = {k.lower(): v for k, v in values.items() if k.lower() != "id"}
