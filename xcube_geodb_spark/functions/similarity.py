@@ -157,6 +157,92 @@ def ivf_topk(
     return cosine_topk(cand, query_vector, k, vec_col, id_col)
 
 
+# --- seeded (oracle-replayable) IVF ----------------------------------------
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right fold — bit-identical to the Column ``dot`` and DuckDB's
+    ``list_dot_product`` on the same doubles."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def seed_centroids(
+    df: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: the ``n_centroids`` lowest-id vectors
+    (random-sample initialization without RNG — standard for IVF; the
+    k-means refinement in :func:`ivf_centroids` is the quality upgrade).
+    Driver-sized fetch; the point is that a plain-SQL oracle can derive the
+    identical centroids (``ORDER BY id LIMIT n``) and replay assignment."""
+    rows = df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def with_centroid_assignment(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``centroid_id`` = argmax-cosine centroid (ties -> lowest id) as
+    pure Column algebra with the same left-fold arithmetic as the SQL
+    oracle. The cast vector and its norm are materialized in their own
+    projections (no CSE inside higher-order functions)."""
+    import math
+
+    base = df.select("*", _to_double(F.col(vec_col)).alias("__v")).select(
+        "*", norm(F.col("__v")).alias("__vn")
+    )
+    entries = []
+    for cid, c in enumerate(centroids):
+        cn = math.sqrt(_py_dot(c, c))
+        cv = F.array(*[F.lit(float(x)) for x in c])
+        sim = dot(F.col("__v"), cv) / (F.col("__vn") * F.lit(cn))
+        entries.append(F.struct(sim.alias("sim"), F.lit(-cid).alias("negcid")))
+    best = F.array_max(F.array(*entries))
+    return base.withColumn(
+        "centroid_id", (-best["negcid"]).cast("int")
+    ).drop("__v", "__vn")
+
+
+def probe_ids(
+    query_vector: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The query's ``n_probe`` nearest centroid ids (cosine, ties -> lowest
+    id) — same fold order as the oracle's ORDER BY."""
+    import math
+
+    q = [float(x) for x in query_vector]
+    qn = math.sqrt(_py_dot(q, q))
+    scored = [
+        (-(_py_dot(c, q) / (math.sqrt(_py_dot(c, c)) * qn)), cid)
+        for cid, c in enumerate(centroids)
+    ]
+    return [cid for _s, cid in sorted(scored)[:n_probe]]
+
+
+def ivf_topk_seeded(
+    df: DataFrame,
+    query_vector: list[float],
+    centroids: list[list[float]],
+    k: int = 20,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search against seed centroids, fully oracle-replayable."""
+    probes = probe_ids(query_vector, centroids, n_probe)
+    cand = with_centroid_assignment(df, centroids, vec_col).filter(
+        F.col("centroid_id").isin(probes)
+    )
+    return cosine_topk(cand, query_vector, k, vec_col, id_col)
+
+
 def pairwise_cosine_above(
     df: DataFrame,
     threshold: float,

@@ -63,8 +63,9 @@ def dedup_simhash(spark, sf_dir):
 
 def dedup_pipeline_kept(spark, sf_dir):
     """End-to-end dedup (LSH -> Jaccard verify -> connected components ->
-    keep min per cluster). No SQL oracle: component resolution is iterative
-    (rows-only check; semantics tested in tests/test_functions.py)."""
+    keep min per cluster). Oracle: DuckDB ``WITH RECURSIVE`` transitive
+    closure over the verified pairs, kept = ids that are the minimum of
+    their component."""
     kept = dedup.dedup_pipeline(_augmented(spark, sf_dir), jaccard_threshold=0.5)
     return kept.select("doc_id")
 
@@ -132,6 +133,31 @@ LLM_DEDUP_ORACLES = {
         FROM aug GROUP BY 1 HAVING count(*) > 1
     """,
     "dedup_minhash_pairs": f"{_MINHASH_CTES} SELECT id_a, id_b FROM pairs",
+    "dedup_pipeline_kept": f"""
+        {_MINHASH_CTES.replace("WITH aug", "WITH RECURSIVE aug", 1)},
+        verified AS (
+            SELECT id_a, id_b FROM (
+                SELECT id_a, id_b,
+                       len(list_intersect(a.sh, b.sh)) * 1.0 /
+                       len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+                FROM pairs
+                JOIN sh a ON a.doc_id = id_a
+                JOIN sh b ON b.doc_id = id_b
+            ) WHERE jaccard >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM verified
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM verified
+        ),
+        reach AS (
+            SELECT src AS id, dst AS r FROM edges
+            UNION
+            SELECT rr.id, e.dst AS r FROM reach rr JOIN edges e ON e.src = rr.r
+        ),
+        losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) < id)
+        SELECT doc_id FROM aug WHERE doc_id NOT IN (SELECT id FROM losers)
+    """,
     "dedup_jaccard_verified": f"""
         {_MINHASH_CTES}
         SELECT id_a, id_b, jaccard FROM (
@@ -205,12 +231,13 @@ def sim_lsh_topk(spark, sf_dir):
 
 
 def sim_ivf_topk(spark, sf_dir):
-    """IVF ANN (k-means coarse quantizer + probe-limited scan). No SQL
-    oracle — the driver records a rows-only check; tests/test_functions.py
-    verifies recall against brute force on separable clusters."""
+    """IVF ANN with the deterministic seed quantizer (lowest-id sample) so a
+    plain-SQL oracle derives identical centroids and replays assignment +
+    probing. The k-means quantizer (``ivf_centroids``) stays recall-tested
+    in tests/test_functions.py."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = similarity.ivf_centroids(emb, n_centroids=8, n_iters=4)
-    return similarity.ivf_topk(
+    cents = similarity.seed_centroids(emb, n_centroids=8)
+    return similarity.ivf_topk_seeded(
         emb, _query_vector(spark, sf_dir), cents, k=20, n_probe=2
     ).select("vec_id", "cos_sim")
 
@@ -274,6 +301,38 @@ LLM_SIM_ORACLES = {
             SELECT {_LSH_BUCKET} FROM embeddings WHERE vec_id = 0
         )
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+    """,
+    "sim_ivf_topk": f"""
+        {_COS_CTES},
+        cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+            FROM (SELECT vec_id, v FROM s ORDER BY vec_id LIMIT 8)
+        ),
+        probes AS (
+            SELECT cid FROM cents, q
+            ORDER BY list_dot_product(cv, qv) /
+                     (sqrt(list_dot_product(cv, cv)) *
+                      sqrt(list_dot_product(qv, qv))) DESC, cid ASC
+            LIMIT 2
+        ),
+        assign AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT s.vec_id, s.v, c.cid,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY list_dot_product(s.v, c.cv) /
+                                    (sqrt(list_dot_product(s.v, s.v)) *
+                                     sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                           c.cid ASC
+                       ) AS rn
+                FROM s CROSS JOIN cents c
+            ) WHERE rn = 1
+        )
+        SELECT vec_id, {_COS_EXPR} AS cos_sim
+        FROM assign, q
+        WHERE cid IN (SELECT cid FROM probes)
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 20
     """,
 }
 
