@@ -45,6 +45,10 @@ BOX_EQUALS = (-20.83, -62.53, -8.83, -50.53)
 # this box shares exactly the x=19.33 edge with it
 BOX_TOUCHES = (19.33, 30.0, 60.0, 50.0)
 
+# crosses box: .005 offsets so no segment endpoint or y-level sits within
+# 1e-3 of an edge (same classification for any kernel eps in [1e-10, 1e-3])
+BOX_CROSSES = (-50.005, -30.005, 50.005, 30.005)
+
 
 @F.pandas_udf(T.BinaryType())
 def _point_wkb(x: pd.Series, y: pd.Series) -> pd.Series:
@@ -86,6 +90,26 @@ def _square_wkb(x: pd.Series, y: pd.Series, h: pd.Series) -> pd.Series:
     return pd.Series([arr[i].tobytes() for i in range(n)])
 
 
+@F.pandas_udf(T.BinaryType())
+def _segment_wkb(x: pd.Series, y: pd.Series, h: pd.Series) -> pd.Series:
+    # batch-assembled 41-byte horizontal-segment LineString WKB
+    import numpy as np
+
+    n = len(x)
+    xv = x.to_numpy(dtype=np.float64)
+    yv = y.to_numpy(dtype=np.float64)
+    hv = h.to_numpy(dtype=np.float64)
+    pts = np.empty((n, 4), dtype=np.float64)
+    pts[:, 0], pts[:, 1] = xv - hv, yv
+    pts[:, 2], pts[:, 3] = xv + hv, yv
+    arr = np.empty((n, 41), dtype=np.uint8)
+    arr[:, :9] = np.frombuffer(
+        b"\x01\x02\x00\x00\x00\x02\x00\x00\x00", dtype=np.uint8
+    )
+    arr[:, 9:] = pts.view(np.uint8).reshape(n, 32)
+    return pd.Series([arr[i].tobytes() for i in range(n)])
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     # envelope columns computed alongside the geometry, exactly as the
     # engine persists them at ingest — the query path reads stored columns
@@ -120,6 +144,26 @@ def _squares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__ymin", F.col("y") - F.col("h"))
         .withColumn("__xmax", F.col("x") + F.col("h"))
         .withColumn("__ymax", F.col("y") + F.col("h"))
+    )
+
+
+def _segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal segment per customer: (x-h, y) -> (x+h, y) — the 1-D
+    geometry that exercises the ``crosses`` dispatch arm
+    (``geodb.sql:1210``; crosses is always false for area-vs-area)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("x"),
+            ((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0).alias("y"),
+            (F.col("c_custkey") % 7 + 5).cast("double").alias("h"),
+        )
+        .withColumn("geometry", _segment_wkb("x", "y", "h"))
+        .withColumn("__xmin", F.col("x") - F.col("h"))
+        .withColumn("__ymin", F.col("y"))
+        .withColumn("__xmax", F.col("x") + F.col("h"))
+        .withColumn("__ymax", F.col("y"))
     )
 
 
@@ -160,6 +204,10 @@ def geo_bbox_overlaps_squares(spark, sf_dir):
 
 def geo_bbox_equals_squares(spark, sf_dir):
     return _bbox_query(_squares(spark, sf_dir), "equals", BOX_EQUALS)
+
+
+def geo_bbox_crosses_segments(spark, sf_dir):
+    return _bbox_query(_segments(spark, sf_dir), "crosses", BOX_CROSSES)
 
 
 def geo_bbox_crs_transform(spark, sf_dir):
@@ -267,6 +315,15 @@ GEO_ORACLES = {
     "geo_bbox_overlaps_squares": _sq_oracle(
         BOX_SQUARES, f"({_II}) AND NOT sq_in_box AND NOT box_in_sq"
     ),
+    # crosses(box, segment): segment interior passes through the open box
+    # but the segment is not fully inside — pure interval arithmetic on the
+    # horizontal segment (y strictly inside, open x-overlap, not contained)
+    "geo_bbox_crosses_segments": f"""
+        SELECT c_custkey FROM ({_SQS})
+        WHERE y > {BOX_CROSSES[1]} AND y < {BOX_CROSSES[3]}
+          AND x + h > {BOX_CROSSES[0]} AND x - h < {BOX_CROSSES[2]}
+          AND NOT (x - h >= {BOX_CROSSES[0]} AND x + h <= {BOX_CROSSES[2]})
+    """,
     "geo_bbox_equals_squares": _sq_oracle(
         BOX_EQUALS,
         f"abs(x - h - ({BOX_EQUALS[0]})) < {EPS} AND abs(y - h - ({BOX_EQUALS[1]})) < {EPS}"
@@ -298,6 +355,7 @@ GEO_QUERIES = {
     "geo_bbox_touches_squares": geo_bbox_touches_squares,
     "geo_bbox_overlaps_squares": geo_bbox_overlaps_squares,
     "geo_bbox_equals_squares": geo_bbox_equals_squares,
+    "geo_bbox_crosses_segments": geo_bbox_crosses_segments,
     "geo_count_by_bbox": geo_count_by_bbox,
     "geo_extent_squares": geo_extent_squares,
     "geo_geometry_types": geo_geometry_types,
