@@ -191,3 +191,44 @@ class TestMultimodal:
             payloads, decoder=lambda b: [float(len(b))] * 4
         ).collect()
         assert all(r["feat0"] == r["n_bytes"] for r in out)
+
+
+class TestRotationLSH:
+    def test_rotation_buckets_resist_anisotropy(self, spark):
+        # an anisotropic corpus (every component positive) defeats
+        # axis-aligned sign LSH: all rows land in one bucket; the seeded
+        # rotation spreads them across many buckets
+        import numpy as np
+
+        from xcube_geodb_spark.functions import similarity as S
+
+        rng = np.random.RandomState(7)
+        vecs = [
+            (i, [float(v) for v in rng.rand(16) + 0.05]) for i in range(200)
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        axis = (
+            df.select(S.sign_lsh_bucket("embedding", 8).alias("b"))
+            .distinct()
+            .count()
+        )
+        hp = S.lsh_hyperplanes(16, 8, 42)
+        rot_counts = (
+            df.select(S.rotation_bucket(F.col("embedding"), hp).alias("b"))
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        assert axis == 1
+        assert len(rot_counts) >= 8
+        assert max(r["count"] for r in rot_counts) <= 100  # no giant bucket
+
+    def test_rotation_bucket_matches_driver_side(self, spark):
+        from xcube_geodb_spark.functions import similarity as S
+
+        hp = S.lsh_hyperplanes(4, 8, 42)
+        assert hp == S.lsh_hyperplanes(4, 8, 42)  # deterministic
+        vec = [0.5, -1.25, 0.75, -0.125]
+        df = spark.createDataFrame([(vec,)], "embedding array<double>")
+        got = df.select(S.rotation_bucket(F.col("embedding"), hp).alias("b")).first()["b"]
+        assert got == S.bucket_of(vec, hp)

@@ -59,10 +59,45 @@ def cosine_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def lsh_hyperplanes(
+    dim: int, n_bits: int = 8, seed: int = 42
+) -> list[list[float]]:
+    """Seeded Gaussian random hyperplanes for sign-LSH (classic SRP).
+    Real embedding corpora concentrate mass in few orthants, so axis-aligned
+    sign buckets skew toward one giant bucket; a random rotation spreads
+    them. Coefficients are integer-valued (1000-scaled Gaussian, exact in
+    every float width) so literals in Spark and the SQL oracle are
+    bit-identical; scaling does not change the sign of the projection."""
+    rng = np.random.RandomState(seed)
+    return [
+        [float(int(round(v * 1000))) for v in rng.standard_normal(dim)]
+        for _ in range(n_bits)
+    ]
+
+
+def rotation_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
+    """'0'/'1' bucket id: sign of ``vec . r`` per seeded hyperplane.
+    ``vec`` should be a materialized double-array attribute (no CSE inside
+    higher-order functions)."""
+    bits = []
+    for r in hyperplanes:
+        rv = F.array(*[F.lit(float(c)) for c in r])
+        bits.append(F.when(dot(vec, rv) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def bucket_of(vector: list[float], hyperplanes: list[list[float]]) -> str:
+    """Driver-side bucket of a literal vector — same left-fold arithmetic."""
+    return "".join(
+        "1" if _py_dot([float(v) for v in vector], r) >= 0 else "0"
+        for r in hyperplanes
+    )
+
+
 def sign_lsh_bucket(vec_col: str = "embedding", n_bits: int = 8) -> Column:
-    """Bucket id: '0'/'1' sign pattern of the first ``n_bits`` components
-    (axis-aligned hyperplanes — deterministic, oracle-friendly; swap in a
-    seeded random rotation for production skew resistance)."""
+    """Legacy axis-aligned bucket: sign pattern of the first ``n_bits``
+    components. Kept for comparison/tests; production paths use
+    :func:`rotation_bucket` (skew-resistant)."""
     return F.concat(
         *[
             F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(
@@ -80,12 +115,19 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_bits: int = 8,
+    seed: int = 42,
+    hyperplanes: list[list[float]] | None = None,
 ) -> DataFrame:
-    """ANN: restrict the cosine scan to the query's sign-LSH bucket.
-    At scale the bucket is a partition key, so this prunes ~(1 - 2^-b) of
-    the data before any arithmetic runs."""
-    qbits = "".join("1" if float(v) >= 0 else "0" for v in query_vector[:n_bits])
-    bucketed = df.filter(sign_lsh_bucket(vec_col, n_bits) == qbits)
+    """ANN: restrict the cosine scan to the query's seeded-rotation sign-LSH
+    bucket. At scale the bucket is a partition key, so this prunes
+    ~(1 - 2^-b) of the data before any arithmetic runs."""
+    hp = hyperplanes or lsh_hyperplanes(len(query_vector), n_bits, seed)
+    qbits = bucket_of(query_vector, hp)
+    bucketed = (
+        df.select("*", _to_double(F.col(vec_col)).alias("__v"))
+        .filter(rotation_bucket(F.col("__v"), hp) == qbits)
+        .drop("__v")
+    )
     return cosine_topk(bucketed, query_vector, k, vec_col, id_col)
 
 
@@ -249,14 +291,24 @@ def pairwise_cosine_above(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_bits: int = 8,
+    seed: int = 42,
+    hyperplanes: list[list[float]] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, evaluated only
-    within sign-LSH buckets (bounded join fan-out; the full O(n²) pairwise
-    comparison never materializes)."""
+    within seeded-rotation sign-LSH buckets (bounded join fan-out; the full
+    O(n²) pairwise comparison never materializes, and the rotation keeps
+    bucket sizes balanced on anisotropic corpora)."""
+    if hyperplanes is None:
+        if dim is None:
+            dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        hyperplanes = lsh_hyperplanes(int(dim), n_bits, seed)
     with_bucket = df.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("__v")
+    ).select(
         F.col(id_col),
-        _to_double(F.col(vec_col)).alias("__v"),
-        sign_lsh_bucket(vec_col, n_bits).alias("__bucket"),
+        F.col("__v"),
+        rotation_bucket(F.col("__v"), hyperplanes).alias("__bucket"),
     )
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")

@@ -217,7 +217,7 @@ def dedup_embedding_pairs(spark, sf_dir):
         )
     )
     aug = emb.unionByName(scaled)
-    return similarity.pairwise_cosine_above(aug, 0.99)
+    return similarity.pairwise_cosine_above(aug, 0.99, hyperplanes=_HP)
 
 
 def sim_cosine_topk(spark, sf_dir):
@@ -260,13 +260,22 @@ _COS_EXPR = (
     "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
 )
 
-_LSH_BUCKET = " || ".join(
-    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
-)
+# the identical seeded rotation hyperplanes on both sides (dim 64, 8 bits,
+# seed 42); integer-valued coefficients parse to bit-identical doubles
+_HP = similarity.lsh_hyperplanes(64, 8, 42)
 
-_LSH_BUCKET_V = " || ".join(
-    f"CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
-)
+
+def _hp_bucket_sql(vec_expr: str) -> str:
+    return " || ".join(
+        "CASE WHEN list_dot_product({v}, [{coefs}]) >= 0 "
+        "THEN '1' ELSE '0' END".format(
+            v=vec_expr, coefs=", ".join(f"{c:.1f}" for c in r)
+        )
+        for r in _HP
+    )
+
+
+_LSH_BUCKET_V = _hp_bucket_sql("v")
 
 LLM_SIM_ORACLES = {
     "dedup_embedding_pairs": f"""
@@ -297,9 +306,7 @@ LLM_SIM_ORACLES = {
         {_COS_CTES}
         SELECT vec_id, {_COS_EXPR} AS cos_sim
         FROM s, q
-        WHERE ({_LSH_BUCKET}) = (
-            SELECT {_LSH_BUCKET} FROM embeddings WHERE vec_id = 0
-        )
+        WHERE ({_hp_bucket_sql("v")}) = (SELECT {_hp_bucket_sql("qv")} FROM q)
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
     """,
     "sim_ivf_topk": f"""
