@@ -1,0 +1,127 @@
+"""ANN at-rest layout: lsh/ivf-indexed collections must range-cluster data
+files by the persisted ``__annbucket`` column so probes prune whole files
+from parquet footer stats (mirror of test_spatial_layout.py for the
+embedding path)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_geodb_spark.admin import IndexManager
+from xcube_geodb_spark.catalog import GeoDBCatalog, _atomic_write_json
+from xcube_geodb_spark.functions import similarity as S
+from xcube_geodb_spark.operators import dml
+from xcube_geodb_spark.operators.ann import ann_probe_files, ann_topk
+from xcube_geodb_spark.operators.stats import footer_min_max
+
+SF_DIR = "/root/testdata/sf0.01"
+DIM = 64
+
+
+def _source(spark):
+    return (
+        spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        .select("embedding")
+    )
+
+
+def _query_vec(spark):
+    row = (
+        spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        .filter(F.col("vec_id") == 7)
+        .first()
+    )
+    return [float(v) for v in row["embedding"]]
+
+
+def _make_collection(spark, wh, name, index_kind, options):
+    cat = GeoDBCatalog(spark, wh, user="ann")
+    if not cat.database_exists("anndb"):
+        cat.create_database("anndb")
+    cat.create_collection(name, {"embedding": "float[]"}, database="anndb")
+    m = cat.meta(name, "anndb")
+    m.d["max_file_rows"] = 64  # force multiple files from one commit
+    _atomic_write_json(m.path, m.d)
+    IndexManager(cat).create_index(
+        name, "embedding", "anndb", kind=index_kind, options=options
+    )
+    dml.insert_into_collection(cat, name, _source(spark), database="anndb")
+    return cat
+
+
+@pytest.fixture(scope="module")
+def lsh_cat(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("annwh"))
+    return _make_collection(spark, wh, "emb_lsh", "lsh", {"dim": DIM}), wh
+
+
+class TestLshLayout:
+    def test_files_cover_disjoint_bucket_ranges(self, lsh_cat):
+        cat, wh = lsh_cat
+        m = cat.meta("emb_lsh", "anndb")
+        assert len(m.files) >= 3, "maxRecordsPerFile must split the commit"
+        spans = []
+        for f in m.files:
+            mm = footer_min_max(
+                [os.path.join(wh, "anndb", "emb_lsh", f)], ["__annbucket"]
+            )
+            assert "__annbucket" in mm, "bucket column must carry footer stats"
+            spans.append(mm["__annbucket"])
+        spans.sort()
+        for (_, hi), (lo, _) in zip(spans, spans[1:]):
+            assert hi <= lo, "range clustering => per-file disjoint bucket spans"
+
+    def test_probe_reads_strict_subset_of_files(self, lsh_cat, spark):
+        cat, _ = lsh_cat
+        q = _query_vec(spark)
+        touched, pruned = ann_probe_files(cat, "emb_lsh", q, database="anndb")
+        total = len(cat.meta("emb_lsh", "anndb").files)
+        assert len(touched) + len(pruned) == total
+        assert 0 < len(touched) < total, (
+            f"probe must prune files at rest: {len(touched)}/{total}"
+        )
+
+    def test_probe_matches_full_scan(self, lsh_cat, spark):
+        cat, _ = lsh_cat
+        q = _query_vec(spark)
+        via_index = ann_topk(cat, "emb_lsh", q, k=10, database="anndb")
+        hp = S.lsh_hyperplanes(DIM, 8, 42)
+        full = S.lsh_topk(
+            cat.load_df("emb_lsh", "anndb"), q, k=10, id_col="id",
+            hyperplanes=hp,
+        )
+        got = sorted((r["id"], r["cos_sim"]) for r in via_index.collect())
+        want = sorted((r["id"], r["cos_sim"]) for r in full.collect())
+        assert got == want and len(got) > 0
+
+
+class TestIvfLayout:
+    @pytest.fixture(scope="class")
+    def ivf_cat(self, spark, tmp_path_factory):
+        wh = str(tmp_path_factory.mktemp("annwh_ivf"))
+        cents = S.seed_centroids(
+            spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")),
+            n_centroids=8,
+        )
+        cat = _make_collection(
+            spark, wh, "emb_ivf", "ivf", {"centroids": cents}
+        )
+        return cat, cents
+
+    def test_probe_prunes_and_matches(self, ivf_cat, spark):
+        cat, cents = ivf_cat
+        q = _query_vec(spark)
+        touched, pruned = ann_probe_files(
+            cat, "emb_ivf", q, database="anndb", n_probe=2
+        )
+        total = len(cat.meta("emb_ivf", "anndb").files)
+        assert 0 < len(touched) < total
+        via_index = ann_topk(cat, "emb_ivf", q, k=10, database="anndb", n_probe=2)
+        full = S.ivf_topk_seeded(
+            cat.load_df("emb_ivf", "anndb"), q, cents, k=10, n_probe=2,
+            id_col="id",
+        )
+        got = sorted((r["id"], r["cos_sim"]) for r in via_index.collect())
+        want = sorted((r["id"], r["cos_sim"]) for r in full.collect())
+        assert got == want and len(got) > 0

@@ -235,11 +235,52 @@ class IndexManager:
             name = f"idx_{prop}_{collection[overshoot:]}"
         return name
 
-    def create_index(self, collection: str, prop: str, database: str) -> None:
+    def create_index(
+        self,
+        collection: str,
+        prop: str,
+        database: str,
+        kind: str | None = None,
+        options: dict | None = None,
+    ) -> None:
+        """Default kinds mirror the reference (gist for geometry, btree
+        otherwise); ``lsh``/``ivf`` declare an ANN layout on an embedding
+        column — files are range-clustered by sign-LSH bucket / centroid id
+        on the next rewrite so probes prune at rest.
+
+        lsh options: ``dim`` (required), ``n_bits`` (8), ``seed`` (42).
+        ivf options: ``centroids`` (list of vectors) or ``n_centroids``
+        (derived from the deterministic lowest-id sample)."""
         m = self.catalog.meta(collection, database)
-        kind = "gist" if prop == "geometry" else "btree"
+        if kind is None:
+            kind = "gist" if prop == "geometry" else "btree"
+        if kind not in ("gist", "btree", "lsh", "ivf"):
+            raise GeoDBError(f"Unknown index type {kind!r}")
         entry = {"property": prop, "type": kind,
                  "name": self.index_name(prop, collection)}
+        opts = dict(options or {})
+        if kind == "lsh":
+            if "dim" not in opts:
+                raise GeoDBError("lsh index requires options={'dim': <vector length>}")
+            entry.update(
+                dim=int(opts["dim"]),
+                n_bits=int(opts.get("n_bits", 8)),
+                seed=int(opts.get("seed", 42)),
+            )
+        elif kind == "ivf":
+            cents = opts.get("centroids")
+            if cents is None:
+                from xcube_geodb_spark.functions.similarity import seed_centroids
+
+                df = self.catalog.load_df(collection, database)
+                cents = seed_centroids(
+                    df, int(opts.get("n_centroids", 8)), vec_col=prop, id_col="id"
+                )
+                if not cents:
+                    raise GeoDBError(
+                        "ivf index needs data or explicit options={'centroids': ...}"
+                    )
+            entry["centroids"] = [[float(x) for x in c] for c in cents]
         if any(i["property"] == prop for i in m.d["indexes"]):
             raise GeoDBError(f"Index on {prop} already exists")
         m.d["indexes"].append(entry)

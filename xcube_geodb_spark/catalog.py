@@ -83,6 +83,16 @@ _PG_TO_SPARK: dict[str, T.DataType] = {
     "jsonb": T.StringType(),
     "bytea": T.BinaryType(),
     "binary": T.BinaryType(),
+    # PG array types — embedding / vector columns (pgvector-style workloads)
+    "float[]": T.ArrayType(T.FloatType()),
+    "real[]": T.ArrayType(T.FloatType()),
+    "float4[]": T.ArrayType(T.FloatType()),
+    "float8[]": T.ArrayType(T.DoubleType()),
+    "double precision[]": T.ArrayType(T.DoubleType()),
+    "double[]": T.ArrayType(T.DoubleType()),
+    "int[]": T.ArrayType(T.LongType()),
+    "bigint[]": T.ArrayType(T.LongType()),
+    "text[]": T.ArrayType(T.StringType()),
 }
 
 
@@ -531,6 +541,44 @@ class GeoDBCatalog:
         if btree:
             cols = [F.col(c) for c in btree]
             return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        ann = next(
+            (
+                i
+                for i in m.d.get("indexes", [])
+                if i["type"] in ("lsh", "ivf") and i["property"] in df.columns
+            ),
+            None,
+        )
+        if ann is not None:
+            # ANN at-rest layout: persist the bucket as a physical-only
+            # column (__annbucket — not part of the declared read schema)
+            # and range-cluster files by it, so probe queries prune whole
+            # files from footer min/max instead of scanning the table.
+            from xcube_geodb_spark.functions.similarity import (
+                _to_double,
+                lsh_hyperplanes,
+                rotation_bucket,
+                with_centroid_assignment,
+            )
+
+            if ann["type"] == "lsh":
+                hp = lsh_hyperplanes(
+                    int(ann["dim"]),
+                    int(ann.get("n_bits", 8)),
+                    int(ann.get("seed", 42)),
+                )
+                df = df.select(
+                    "*", _to_double(F.col(ann["property"])).alias("__annv")
+                ).withColumn(
+                    "__annbucket", rotation_bucket(F.col("__annv"), hp)
+                ).drop("__annv")
+            else:
+                df = with_centroid_assignment(
+                    df, ann["centroids"], vec_col=ann["property"]
+                ).withColumnRenamed("centroid_id", "__annbucket")
+            return df.repartitionByRange("__annbucket").sortWithinPartitions(
+                "__annbucket"
+            )
         if "__xmin" in df.columns:
             from xcube_geodb_spark.plans.layout import zorder_key
 

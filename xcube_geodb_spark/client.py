@@ -436,11 +436,35 @@ class GeoDBSparkClient:
     # -- indexes -------------------------------------------------------------------
 
     def create_index(
-        self, collection: str, prop: str, database: str | None = None
+        self,
+        collection: str,
+        prop: str,
+        database: str | None = None,
+        kind: str | None = None,
+        options: dict | None = None,
     ) -> None:
         db = self._db(database)
-        self.indexes.create_index(collection, prop, db)
+        self.indexes.create_index(collection, prop, db, kind=kind, options=options)
         self.events.log("index_created", f"Index on {prop} in {db}_{collection}")
+
+    def find_nearest(
+        self,
+        collection: str,
+        query_vector: list[float],
+        k: int = 20,
+        database: str | None = None,
+        n_probe: int = 2,
+    ) -> pd.DataFrame:
+        """Top-k cosine neighbors via the collection's declared lsh/ivf
+        index; scans only the data files whose at-rest bucket range admits
+        the probe (operators/ann.py)."""
+        from xcube_geodb_spark.operators.ann import ann_topk
+
+        db = self._db(database)
+        return ann_topk(
+            self.catalog, collection, query_vector, k=k, database=db,
+            n_probe=n_probe,
+        ).toPandas()
 
     def remove_index(
         self, collection: str, prop: str, database: str | None = None

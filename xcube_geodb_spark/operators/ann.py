@@ -1,0 +1,105 @@
+"""ANN probe operators that prune data files at rest.
+
+The reference has no vector search (it delegates spatial indexing to GIST,
+``xcube_geodb/sql/geodb.sql:1441-1510``); this is the LLM-pipeline
+extension: an ``lsh``/``ivf`` index declaration makes the catalog persist a
+physical-only ``__annbucket`` column and range-cluster data files by it
+(catalog._apply_clustering). A probe then:
+
+1. computes the query's bucket / probe-centroid ids driver-side (no job),
+2. keeps only manifest files whose parquet-footer ``__annbucket`` min/max
+   admits those ids (``operators/pruning.py`` — conservative, never drops a
+   candidate), and
+3. runs the exact in-bucket filter + cosine top-k on the surviving files.
+
+At 100 TB step 2 is the point: a 256-bucket LSH layout turns a full-table
+scan into ~1/256 of the files before any Spark job starts; IVF with
+``n_probe`` of ``n_centroids`` lists reads ``n_probe/n_centroids`` of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from xcube_geodb_spark.catalog import GeoDBCatalog
+from xcube_geodb_spark.errors import GeoDBError
+from xcube_geodb_spark.functions.similarity import (
+    bucket_of,
+    ivf_topk_seeded,
+    lsh_hyperplanes,
+    lsh_topk,
+    probe_ids,
+)
+from xcube_geodb_spark.operators.pruning import split_files_by_constraints
+
+
+def _ann_index(catalog: GeoDBCatalog, collection: str, database: str) -> dict:
+    m = catalog.meta(collection, database)
+    idx = next(
+        (i for i in m.d.get("indexes", []) if i["type"] in ("lsh", "ivf")), None
+    )
+    if idx is None:
+        raise GeoDBError(
+            f"Collection {database}_{collection} has no lsh/ivf index"
+        )
+    return idx
+
+
+def ann_probe_files(
+    catalog: GeoDBCatalog,
+    collection: str,
+    query_vector: list[float],
+    database: str = "public",
+    n_probe: int = 2,
+) -> tuple[list[str], list[str]]:
+    """(touched, pruned) manifest files for a query vector — footer-stat
+    pruning only, no Spark job. Exposed for tests and EXPLAIN-style
+    introspection."""
+    idx = _ann_index(catalog, collection, database)
+    paths = catalog.manifest_paths(collection, database)
+    if idx["type"] == "lsh":
+        hp = lsh_hyperplanes(
+            int(idx["dim"]), int(idx.get("n_bits", 8)), int(idx.get("seed", 42))
+        )
+        constraints = [("__annbucket", "eq", bucket_of(query_vector, hp))]
+    else:
+        probes = probe_ids(query_vector, idx["centroids"], n_probe)
+        constraints = [("__annbucket", "in", [int(p) for p in probes])]
+    return split_files_by_constraints(paths, ["__annbucket"], constraints)
+
+
+def ann_topk(
+    catalog: GeoDBCatalog,
+    collection: str,
+    query_vector: list[float],
+    k: int = 20,
+    database: str = "public",
+    n_probe: int = 2,
+    id_col: str = "id",
+) -> DataFrame:
+    """Top-k cosine neighbors via the declared ANN index, scanning only the
+    files whose at-rest bucket range admits the probe. File pruning is
+    conservative (a file spanning several buckets survives), so the exact
+    bucket/centroid filter is re-applied row-wise on the survivors."""
+    idx = _ann_index(catalog, collection, database)
+    prop = idx["property"]
+    touched, _pruned = ann_probe_files(
+        catalog, collection, query_vector, database, n_probe
+    )
+    sub = catalog.load_files(collection, database, touched)
+    if idx["type"] == "lsh":
+        hp = lsh_hyperplanes(
+            int(idx["dim"]), int(idx.get("n_bits", 8)), int(idx.get("seed", 42))
+        )
+        return lsh_topk(
+            sub, query_vector, k, vec_col=prop, id_col=id_col, hyperplanes=hp
+        )
+    return ivf_topk_seeded(
+        sub,
+        query_vector,
+        idx["centroids"],
+        k=k,
+        n_probe=n_probe,
+        vec_col=prop,
+        id_col=id_col,
+    )

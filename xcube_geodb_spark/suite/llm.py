@@ -225,6 +225,31 @@ def sim_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, _query_vector(spark, sf_dir), k=20)
 
 
+def ann_index_topk(spark, sf_dir):
+    """Warehouse ANN end-to-end: lsh-indexed collection -> ingest (files
+    range-clustered by the persisted __annbucket) -> probe that prunes data
+    files from parquet footers before the scan (operators/ann.py). Logical
+    result equals the direct lsh_topk, so the same SQL oracle applies."""
+    import tempfile
+
+    from xcube_geodb_spark.client import GeoDBSparkClient
+    from xcube_geodb_spark.operators.ann import ann_topk
+
+    c = GeoDBSparkClient(
+        spark, warehouse=tempfile.mkdtemp(prefix="geodb_ann_"), user="driver"
+    )
+    c.create_collection("emb", {"vec_id": "int", "embedding": "float[]"})
+    c.create_index("emb", "embedding", kind="lsh", options={"dim": 64})
+    c.insert_into_collection(
+        "emb", load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    out = ann_topk(
+        c.catalog, "emb", _query_vector(spark, sf_dir), k=20,
+        database="driver", id_col="vec_id",
+    )
+    return out.select("vec_id", "cos_sim")
+
+
 def sim_lsh_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, _query_vector(spark, sf_dir), k=20)
@@ -305,6 +330,15 @@ LLM_SIM_ORACLES = {
     "sim_lsh_topk": f"""
         {_COS_CTES}
         SELECT vec_id, {_COS_EXPR} AS cos_sim
+        FROM s, q
+        WHERE ({_hp_bucket_sql("v")}) = (SELECT {_hp_bucket_sql("qv")} FROM q)
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+    """,
+    # the warehouse ANN path must produce the same logical result as the
+    # direct lsh_topk scan (vec_id mapped through the int->bigint property)
+    "ann_index_topk": f"""
+        {_COS_CTES}
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, {_COS_EXPR} AS cos_sim
         FROM s, q
         WHERE ({_hp_bucket_sql("v")}) = (SELECT {_hp_bucket_sql("qv")} FROM q)
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
@@ -460,6 +494,7 @@ LLM_QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "ann_index_topk": ann_index_topk,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
