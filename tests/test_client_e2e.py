@@ -368,3 +368,58 @@ class TestRound2Fixes:
         newest = df[df["id"] == 5].iloc[0]
         assert newest["quality"] == 42
         assert df[df["id"] <= 4]["quality"].isna().all()
+
+
+class TestGroupPublishing:
+    def test_get_my_groups(self, client):
+        client.create_group("teamx")
+        client.add_user_to_group("tester", "teamx")
+        assert client.get_my_groups() == ["teamx"]
+
+    def test_publish_collection_to_group_grants_rw(self, client, land_use):
+        client.create_group("readers")
+        client.add_user_to_group("bob", "readers")
+        client.publish_collection_to_group(land_use, "readers")
+        rights = client.get_access_rights(land_use)
+        assert rights["readers"] == ["SELECT", "INSERT", "UPDATE", "DELETE"]
+        assert client.acl.user_allowed(land_use, "tester", "bob")
+        client.unpublish_collection_from_group(land_use, "readers")
+        assert not client.acl.user_allowed(land_use, "tester", "bob")
+
+    def test_group_publish_requires_owner(self, client, land_use):
+        client.create_group("g2")
+        mallory = GeoDBSparkClient(
+            client.spark,
+            warehouse=client.catalog.warehouse,
+            user="mallory",
+            database="tester",
+        )
+        with pytest.raises(GeoDBError, match="must be owner"):
+            mallory.publish_collection_to_group(land_use, "g2")
+        with pytest.raises(GeoDBError, match="does not exist"):
+            client.publish_collection_to_group(land_use, "no_such_group")
+
+    def test_database_group_publish(self, client):
+        client.create_group("builders")
+        client.add_user_to_group("alice", "builders")
+        client.publish_database_to_group("builders")
+        assert client.acl.database_allowed("tester", "alice")
+        client.unpublish_database_from_group("builders")
+        assert not client.acl.database_allowed("tester", "alice")
+
+    def test_create_collections_if_not_exist(self, client, land_use):
+        client.create_collections_if_not_exist(
+            {
+                land_use: {"properties": {"zzz": "int"}},
+                "fresh": {"properties": {"a": "int"}},
+            }
+        )
+        assert client.collection_exists("fresh")
+        names = [
+            p["name"] for p in client.get_collection_info(land_use)["properties"]
+        ]
+        assert "zzz" not in names  # existing collection untouched
+
+    def test_sql_version(self, client):
+        v = client.get_geodb_sql_version()
+        assert isinstance(v, str) and v

@@ -156,6 +156,102 @@ class AccessControl:
                     changed = True
         return out
 
+    def get_user_groups(self, user: str) -> list[str]:
+        """Groups the user belongs to, directly or transitively — the
+        reference returns the user's roles minus their own role
+        (``geodb_get_user_roles``, geodb.py:2516-2528)."""
+        return sorted(self._principals(user) - {user})
+
+    # group publish (geodb.py:2369-2514; geodb.sql group_publish functions)
+
+    GROUP_PRIVILEGES = ("SELECT", "INSERT", "UPDATE", "DELETE")
+
+    def _require_group(self, group: str) -> None:
+        if group not in self._read_groups():
+            raise GeoDBError(f"Group {group} does not exist")
+
+    def _require_owner(self, collection: str, database: str, user: str, verb: str):
+        m = self.catalog.meta(collection, database)
+        if m.owner != user:
+            raise GeoDBError(
+                f"User {user} must be owner of collection "
+                f"{database}_{collection} to {verb}."
+            )
+        return m
+
+    def publish_collection_to_group(
+        self, collection: str, group: str, database: str, user: str
+    ) -> None:
+        """Group members get read and write access, but no grant rights
+        (``geodb_group_publish_collection``, geodb.py:2369-2413)."""
+        self._require_group(group)
+        m = self._require_owner(collection, database, user, "publish")
+        grants = m.d["acl"]["grants"]
+        grants[group] = list(self.GROUP_PRIVILEGES)
+        _atomic_write_json(m.path, m.d)
+
+    def unpublish_collection_from_group(
+        self, collection: str, group: str, database: str, user: str
+    ) -> None:
+        self._require_group(group)
+        m = self._require_owner(collection, database, user, "unpublish")
+        m.d["acl"]["grants"].pop(group, None)
+        _atomic_write_json(m.path, m.d)
+
+    def publish_database_to_group(
+        self, database: str, group: str, user: str
+    ) -> None:
+        """Group members may CREATE collections in the database; existing
+        collections stay private until published individually
+        (``geodb_group_publish_database``, geodb.py:2457-2487)."""
+        self._require_group(group)
+        dbs = self.catalog._read_databases()
+        if database not in dbs:
+            raise GeoDBError(f"Database {database} does not exist")
+        if dbs[database].get("owner") != user:
+            raise GeoDBError(
+                f"User {user} must be owner of database {database} to publish."
+            )
+        acc = dbs[database].setdefault("group_access", [])
+        if group not in acc:
+            acc.append(group)
+        _atomic_write_json(self.catalog._db_registry_path, dbs)
+
+    def unpublish_database_from_group(
+        self, database: str, group: str, user: str
+    ) -> None:
+        self._require_group(group)
+        dbs = self.catalog._read_databases()
+        if database not in dbs:
+            raise GeoDBError(f"Database {database} does not exist")
+        if dbs[database].get("owner") != user:
+            raise GeoDBError(
+                f"User {user} must be owner of database {database} to unpublish."
+            )
+        acc = dbs[database].setdefault("group_access", [])
+        if group in acc:
+            acc.remove(group)
+        _atomic_write_json(self.catalog._db_registry_path, dbs)
+
+    def database_allowed(self, database: str, user: str) -> bool:
+        """May ``user`` create collections in ``database``? Owner, or member
+        of a group the database was published to."""
+        dbs = self.catalog._read_databases()
+        if database not in dbs:
+            return False
+        info = dbs[database]
+        if info.get("owner") == user:
+            return True
+        return bool(set(info.get("group_access", [])) & self._principals(user))
+
+    def get_access_rights(self, collection: str, database: str) -> dict:
+        """grantee -> [privileges] (``geodb_get_grants`` grouped by grantee,
+        geodb.py:2545-2568)."""
+        out: dict[str, list[str]] = {}
+        for row in self.list_grants(collection, database):
+            out.setdefault(row["grantee"], []).append(row["privilege"])
+        return out
+
     # grants -------------------------------------------------------------
     def grant_access(
         self, collection: str, user: str, database: str, privilege: str = "SELECT"

@@ -122,6 +122,20 @@ class GeoDBSparkClient:
                 database=database,
             )
 
+    def create_collections_if_not_exist(
+        self, collections: dict, database: str | None = None
+    ) -> None:
+        """Create only the collections that don't exist yet
+        (``geodb.py:617-641``)."""
+        for name, spec in collections.items():
+            if not self.collection_exists(name, database):
+                self.create_collection(
+                    name,
+                    spec.get("properties", {}),
+                    crs=spec.get("crs", 4326),
+                    database=database,
+                )
+
     def drop_collection(self, collection: str, database: str | None = None) -> None:
         db = self._db(database)
         self.catalog.drop_collection(collection, db)
@@ -432,6 +446,55 @@ class GeoDBSparkClient:
 
     def get_group_users(self, group: str) -> list[str]:
         return self.acl.get_group_users(group)
+
+    def get_my_groups(self) -> list[str]:
+        """Group memberships of the current user (``geodb.py:2516-2528``)."""
+        return self.acl.get_user_groups(self.user)
+
+    def publish_collection_to_group(
+        self, collection: str, group: str, database: str | None = None
+    ) -> None:
+        """Read+write access for group members; owner-only
+        (``geodb.py:2369-2413``)."""
+        db = self._db(database)
+        self.acl.publish_collection_to_group(collection, group, db, self.user)
+        self.events.log("published_group", f"{collection}, {group}")
+
+    def unpublish_collection_from_group(
+        self, collection: str, group: str, database: str | None = None
+    ) -> None:
+        db = self._db(database)
+        self.acl.unpublish_collection_from_group(collection, group, db, self.user)
+        self.events.log("unpublished_group", f"{collection}, {group}")
+
+    def publish_database_to_group(
+        self, group: str, database: str | None = None
+    ) -> None:
+        """Let group members create collections in the database
+        (``geodb.py:2457-2487``); existing collections stay private."""
+        db = self._db(database)
+        self.acl.publish_database_to_group(db, group, self.user)
+        self.events.log("published_database", f"{db}, {group}")
+
+    def unpublish_database_from_group(
+        self, group: str, database: str | None = None
+    ) -> None:
+        db = self._db(database)
+        self.acl.unpublish_database_from_group(db, group, self.user)
+        self.events.log("unpublished_database", f"{db}, {group}")
+
+    def get_access_rights(
+        self, collection: str, database: str | None = None
+    ) -> dict:
+        """grantee -> [privileges] (``geodb.py:2545-2568``)."""
+        return self.acl.get_access_rights(collection, self._db(database))
+
+    def get_geodb_sql_version(self) -> str:
+        """Engine version string (the reference reads
+        ``geodb_version_info``, geodb.sql:791-798)."""
+        from xcube_geodb_spark import __version__
+
+        return __version__
 
     # -- indexes -------------------------------------------------------------------
 
