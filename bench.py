@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_exact",                  # exact dedup (hash agg)
     "dedup_minhash_pairs",          # MinHash LSH candidate join
     "sim_cosine_topk",              # brute-force ANN baseline
+    "ann_index_topk",               # warehouse ANN: bucket layout + pruning
     "text_quality",                 # text scoring projection
     "dml_delete_update_roundtrip",  # warehouse DML round-trip
 ]
