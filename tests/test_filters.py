@@ -147,3 +147,59 @@ class TestGrammar:
         assert [
             r.id for r in apply_postgrest_query(df, "code=in.(0123)").collect()
         ] == [1]
+
+
+class TestContainmentAndFts:
+    """cs/cd (array containment) + fts family (PostgREST v6 full set;
+    geodb.py:1335 pins the contract). No stemming — documented deviation."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "Spark shuffles data across the cluster", ["a", "b"]),
+                (2, "DuckDB scans parquet fast", ["a"]),
+                (3, "window functions rank rows", ["b", "c"]),
+                (4, "hash joins and window aggregates", ["a", "b", "c"]),
+                (5, "plain text with no keywords", []),
+            ],
+            "id long, text string, tags array<string>",
+        )
+
+    def ids(self, df, q):
+        return sorted(r.id for r in apply_postgrest_query(df, q).collect())
+
+    def test_cs_superset(self, docs):
+        assert self.ids(docs, "tags=cs.{a,b}") == [1, 4]
+
+    def test_cd_subset(self, docs):
+        assert self.ids(docs, "tags=cd.{a,b,c}") == [1, 2, 3, 4, 5]
+        assert self.ids(docs, "tags=cd.{a}") == [2, 5]
+
+    def test_cs_negated(self, docs):
+        assert self.ids(docs, "tags=not.cs.{a}") == [3, 5]
+
+    def test_fts_and_or_not(self, docs):
+        # &-conjunction, |-alternative, !-negation; %26 is the URL-encoded &
+        assert self.ids(docs, "text=fts.spark%26data|window%26!hash") == [1, 3]
+
+    def test_fts_language_tag_ignored(self, docs):
+        assert self.ids(docs, "text=fts(english).parquet") == [2]
+
+    def test_plfts_all_words(self, docs):
+        assert self.ids(docs, "text=plfts.window rank") == [3]
+
+    def test_phfts_phrase_consecutive(self, docs):
+        assert self.ids(docs, "text=phfts.window functions") == [3]
+        # words present but not consecutive -> no match
+        assert self.ids(docs, "text=phfts.functions window") == []
+
+    def test_wfts_websearch(self, docs):
+        assert self.ids(docs, 'text=wfts.window -hash or "parquet fast"') == [2, 3]
+
+    def test_fts_case_and_punct_normalized(self, docs):
+        assert self.ids(docs, "text=fts.SPARK") == [1]
+
+    def test_cs_requires_brace_list(self, docs):
+        with pytest.raises(GeoDBError):
+            apply_postgrest_query(docs, "tags=cs.(a,b)")

@@ -14,6 +14,14 @@ notebooks — see SURVEY.md §2.2):
 - ``col=eq.1410``, ``col=gt.5``, ``ge``/``le`` aliases, ``neq`` …
 - ``col=like.*pat*`` / ``ilike`` (``*`` wildcard -> SQL ``%``)
 - ``col=in.(a,b,"c d")``; ``col=is.null|true|false``
+- array containment ``col=cs.{a,b}`` (column ⊇ list) / ``col=cd.{a,b}``
+  (column ⊆ list) — scoped to array-typed columns (PostgREST also applies
+  them to jsonb/ranges; the engine's property model stores arrays)
+- full-text search ``col=fts.a&b|!c`` (tsquery &/|/! over lower-cased
+  alphanumeric tokens), ``plfts`` (plain: all words), ``phfts`` (phrase:
+  consecutive tokens), ``wfts`` (websearch: words, ``-`` negation, ``or``,
+  quoted phrases); an optional ``fts(lang).`` language tag is accepted and
+  ignored — no stemming dictionaries in the engine (documented deviation)
 - negation ``col=not.op.value``
 - boolean trees ``and=(...)`` / ``or=(...)`` with arbitrary nesting, both
   the ``or(...)`` and ``or=(...)`` spellings inside groups, ``not.and``/
@@ -153,9 +161,116 @@ def _compile_op(
             expr = c == F.lit(False)
         else:
             raise GeoDBError(f"is filter accepts null/true/false, got {value!r}")
+    elif op in ("cs", "cd"):
+        expr = _containment(c, op, value, dtype)
+    elif op in ("fts", "plfts", "phfts", "wfts"):
+        expr = _fts(c, op, value)
     else:
         raise GeoDBError(f"Unsupported filter operator: {op!r}")
     return ~expr if negate else expr
+
+
+def _containment(c: Column, op: str, value: str, dtype) -> Column:
+    """``cs`` = column contains every listed element (PG ``@>``);
+    ``cd`` = column contained in the list (PG ``<@``). List literal is the
+    PostgREST brace form ``{a,b,"c d"}``."""
+    raw = value.strip()
+    if not (raw.startswith("{") and raw.endswith("}")):
+        raise GeoDBError(f"{op} filter requires a brace list: {value!r}")
+    elem_dtype = dtype.elementType if isinstance(dtype, T.ArrayType) else None
+    items = [_parse_literal(v, elem_dtype) for v in _split_csv(raw[1:-1])]
+    lit_arr = F.array(*[F.lit(v) for v in items])
+    if op == "cs":
+        return F.size(F.array_except(lit_arr, c)) == 0
+    return F.size(F.array_except(c, lit_arr)) == 0
+
+
+def _fts_tokens(c: Column) -> Column:
+    """to_tsvector stand-in: lower-cased alphanumeric word tokens (no
+    stemming — the engine carries no language dictionaries)."""
+    return F.array_remove(F.split(F.lower(c), "[^a-z0-9]+"), "")
+
+
+def _fts_norm(term: str) -> str:
+    import re
+
+    return " ".join(t for t in re.split(r"[^a-z0-9]+", term.lower()) if t)
+
+
+def _fts_phrase(c: Column, phrase: str) -> Column:
+    joined = F.concat(F.lit(" "), F.array_join(_fts_tokens(c), " "), F.lit(" "))
+    return joined.contains(f" {_fts_norm(phrase)} ")
+
+
+def _fts(c: Column, op: str, value: str) -> Column:
+    """tsquery evaluation over :func:`_fts_tokens`.
+
+    fts: ``a&b|!c`` — ``|`` (lowest precedence) over ``&`` groups of
+    optionally ``!``-negated terms. plfts: every word required. phfts:
+    consecutive-token phrase. wfts: websearch — bare words ANDed, ``-word``
+    negated, ``or`` separates alternatives, quoted phrases kept whole."""
+    toks = _fts_tokens(c)
+
+    def term(t: str) -> Column:
+        neg = t.startswith("!") or t.startswith("-")
+        body = _fts_norm(t.lstrip("!-"))
+        if not body:
+            raise GeoDBError(f"Empty term in {op} filter: {value!r}")
+        e = (
+            F.array_contains(toks, body)
+            if " " not in body
+            else _fts_phrase(c, body)
+        )
+        return ~e if neg else e
+
+    if op == "phfts":
+        return _fts_phrase(c, value)
+    if op == "plfts":
+        words = _fts_norm(value).split(" ")
+        out = term(words[0])
+        for w in words[1:]:
+            out = out & term(w)
+        return out
+    if op == "wfts":
+        import re
+
+        groups: list[list[str]] = [[]]
+        for t in re.findall(r'-?"[^"]+"|\S+', value):
+            if t.lower() == "or":
+                groups.append([])
+            else:
+                groups[-1].append(t.replace('"', ""))
+        group_cols = []
+        for g in [g for g in groups if g]:
+            e = term(g[0])
+            for t in g[1:]:
+                e = e & term(t)
+            group_cols.append(e)
+        out = group_cols[0]
+        for e in group_cols[1:]:
+            out = out | e
+        return out
+    # fts: | over & groups
+    or_cols = []
+    for group in value.split("|"):
+        terms = [t for t in group.split("&") if t.strip()]
+        if not terms:
+            raise GeoDBError(f"Empty group in fts filter: {value!r}")
+        e = term(terms[0])
+        for t in terms[1:]:
+            e = e & term(t)
+        or_cols.append(e)
+    out = or_cols[0]
+    for e in or_cols[1:]:
+        out = out | e
+    return out
+
+
+def _norm_op(op: str) -> str:
+    """Strip an fts-family language tag: ``fts(english)`` -> ``fts`` (the
+    tag selects a stemming dictionary in PG; the engine has none)."""
+    base = op.split("(", 1)[0]
+    return base if base in ("fts", "plfts", "phfts", "wfts") else op
 
 
 def _compile_condition(
@@ -178,7 +293,7 @@ def _compile_condition(
     column = parts[0]
     negate = parts[1].lower() == "not"
     idx = 2 if negate else 1
-    op = parts[idx].lower()
+    op = _norm_op(parts[idx].lower())
     if op not in _OPS:
         raise GeoDBError(f"Unknown operator {op!r} in condition {token!r}")
     value = ".".join(parts[idx + 1 :])
@@ -198,8 +313,13 @@ def _compile_group(
 
 
 def _split_pairs(query: str) -> list[tuple[str, str]]:
-    """Split a raw query string into (key, value) pairs without URL-decoding
-    (the reference forwards the string verbatim)."""
+    """Split a raw query string into (key, value) pairs. Values are
+    percent-decoded once — PostgREST receives them after HTTP URL-decoding,
+    so ``fts`` values carrying ``&``/``=`` arrive as ``%26``/``%3D``
+    (the reference forwards the string verbatim to the server, which
+    decodes; ``geodb.py:1866``)."""
+    from urllib.parse import unquote
+
     pairs = []
     for part in query.split("&"):
         if not part:
@@ -207,7 +327,7 @@ def _split_pairs(query: str) -> list[tuple[str, str]]:
         if "=" not in part:
             raise GeoDBError(f"Malformed query fragment: {part!r}")
         k, v = part.split("=", 1)
-        pairs.append((k.strip(), v.strip()))
+        pairs.append((k.strip(), unquote(v.strip())))
     return pairs
 
 
@@ -255,7 +375,7 @@ def parse_postgrest_query(
             idx = 1 if negate else 0
             if len(bits) <= idx:
                 raise GeoDBError(f"Invalid filter for column {key!r}: {value!r}")
-            op = bits[idx].lower()
+            op = _norm_op(bits[idx].lower())
             if op not in _OPS:
                 raise GeoDBError(f"Unknown operator {op!r} for column {key!r}")
             val = ".".join(bits[idx + 1 :])

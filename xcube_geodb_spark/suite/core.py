@@ -62,6 +62,32 @@ def scan_filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_fts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fts-family tsquery over the documents corpus: &-conjunction, a
+    |-alternative and a ! negation (filters._fts)."""
+    df = load(spark, sf_dir, "documents")
+    return apply_postgrest_query(
+        df, "text=fts.data%26spark|window%26!hash&select=doc_id"
+    )
+
+
+def scan_cs_cd_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array containment (cs = ⊇, cd = ⊆) over token-array columns derived
+    from the documents table (the engine's array property type)."""
+    toks = F.array_remove(F.split(F.lower("text"), "[^a-z0-9]+"), "")
+    df = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.slice("toks", 1, 2).alias("toks_head"))
+    )
+    return apply_postgrest_query(
+        df,
+        "toks=cs.{data,slow}"
+        "&toks_head=cd.{key,agg,row,scan,slow,fast,table,value,part,hash}"
+        "&select=doc_id",
+    )
+
+
 def scan_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "customer")
     return apply_postgrest_query(
@@ -100,6 +126,29 @@ CORE_ORACLES_GRAMMAR = {
         ORDER BY c_custkey ASC LIMIT 50 OFFSET 25
     """,
     "head_nation": "SELECT * FROM nation ORDER BY n_nationkey LIMIT 10",
+    "scan_fts_documents": """
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t != '') AS toks
+            FROM documents
+        )
+        WHERE (list_contains(toks, 'data') AND list_contains(toks, 'spark'))
+           OR (list_contains(toks, 'window') AND NOT list_contains(toks, 'hash'))
+    """,
+    "scan_cs_cd_tokens": """
+        SELECT doc_id FROM (
+            SELECT doc_id, toks, toks[1:2] AS toks_head FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   t -> t != '') AS toks
+                FROM documents
+            )
+        )
+        WHERE list_has_all(toks, ['data', 'slow'])
+          AND list_has_all(['key','agg','row','scan','slow','fast',
+                            'table','value','part','hash'], toks_head)
+    """,
 }
 
 # ---------------------------------------------------------------------------
@@ -551,6 +600,8 @@ CORE_QUERIES = {
     "scan_filter_ilike": scan_filter_ilike,
     "scan_filter_not_in": scan_filter_not_in,
     "scan_paging": scan_paging,
+    "scan_fts_documents": scan_fts_documents,
+    "scan_cs_cd_tokens": scan_cs_cd_tokens,
     "head_nation": head_nation,
     "pg_groupby_q1": pg_groupby_q1,
     "pg_topk_orders": pg_topk_orders,
