@@ -145,6 +145,62 @@ class GeoDBSparkClient:
         for c in collections:
             self.drop_collection(c, database)
 
+    def optimize_collection(
+        self,
+        collection: str,
+        database: str | None = None,
+        *,
+        small_file_rows: int | None = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """Compact fragmented data files (see operators/maintenance.py —
+        the engine-side stand-in for Postgres autovacuum/CLUSTER, which the
+        reference gets for free from its server)."""
+        from xcube_geodb_spark.operators.maintenance import optimize_collection
+
+        db = self._db(database)
+        stats = optimize_collection(
+            self.catalog,
+            collection,
+            db,
+            small_file_rows=small_file_rows,
+            dry_run=dry_run,
+        )
+        if stats["compacted"] and not dry_run:
+            self.events.log(
+                "optimized",
+                f"Collection {db}_{collection} compacted "
+                f"{stats['compacted']} files -> {stats['files_after']}",
+            )
+        return stats
+
+    def vacuum_collection(
+        self,
+        collection: str,
+        database: str | None = None,
+        *,
+        older_than_seconds: float = 3600.0,
+        dry_run: bool = False,
+    ) -> dict:
+        """Remove unreferenced (orphan) data files left by failed commits."""
+        from xcube_geodb_spark.operators.maintenance import vacuum_collection
+
+        db = self._db(database)
+        stats = vacuum_collection(
+            self.catalog,
+            collection,
+            db,
+            older_than_seconds=older_than_seconds,
+            dry_run=dry_run,
+        )
+        if stats["removed"] and not dry_run:
+            self.events.log(
+                "vacuumed",
+                f"Collection {db}_{collection}: removed "
+                f"{len(stats['removed'])} orphan files",
+            )
+        return stats
+
     def collection_exists(self, collection: str, database: str | None = None) -> bool:
         return self.catalog.collection_exists(collection, self._db(database))
 

@@ -77,9 +77,31 @@ def dml_upsert_roundtrip(spark, sf_dir) -> DataFrame:
     return c.catalog.load_df("nat", "driver").select("n_nationkey", "n_name")
 
 
+def dml_compact_roundtrip(spark, sf_dir) -> DataFrame:
+    """Fragmented ingest (one commit per region -> many small files) ->
+    optimize (small-file compaction, re-clustered) -> vacuum -> scan.
+    Content must be bit-identical across maintenance; the oracle is the
+    plain source table."""
+    c = _fresh_client(spark)
+    c.create_collection(
+        "natc", {"n_nationkey": "int", "n_name": "text", "n_regionkey": "int"}
+    )
+    base = _nation_pdf(spark, sf_dir)
+    for rk in sorted(base["n_regionkey"].unique()):
+        c.insert_into_collection("natc", base[base["n_regionkey"] == rk])
+    n_before = len(c.catalog.meta("natc", "driver").files)
+    stats = c.optimize_collection("natc")
+    assert stats["files_after"] < n_before, "compaction did not reduce files"
+    c.vacuum_collection("natc", older_than_seconds=0.0)
+    return c.catalog.load_df("natc", "driver").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
 DML_QUERIES = {
     "dml_delete_update_roundtrip": dml_delete_update_roundtrip,
     "dml_upsert_roundtrip": dml_upsert_roundtrip,
+    "dml_compact_roundtrip": dml_compact_roundtrip,
 }
 
 # the engine maps the reference's "int" property type to bigint
@@ -97,5 +119,10 @@ DML_ORACLES = {
         FROM nation
         UNION ALL
         SELECT 999, 'NEWLAND'
+    """,
+    "dml_compact_roundtrip": """
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation
     """,
 }
