@@ -469,10 +469,14 @@ class GeoDBCatalog:
         keep_files: list[str] | None = None,
         max_id: int | None = None,
         expected_version: int | None = None,
+        extra_meta: dict | None = None,
     ) -> None:
         """Write ``new_df`` (if any) as new data files; the next snapshot is
         ``keep_files + written files``. Atomic metadata swap; optimistic
-        version check for single-writer safety."""
+        version check for single-writer safety. ``extra_meta`` keys merge
+        into the metadata document in the SAME atomic swap — the streaming
+        sink records its epoch watermark this way so data and epoch can
+        never diverge across a crash."""
         m = self.meta(collection, database)
         if expected_version is not None and m.version != expected_version:
             raise GeoDBError(
@@ -517,6 +521,8 @@ class GeoDBCatalog:
         m.d["modified_at"] = _now_iso()
         if max_id is not None:
             m.d["max_id"] = int(max_id)
+        if extra_meta:
+            m.d.update(extra_meta)
         _atomic_write_json(m.path, m.d)
         # garbage-collect files dropped from the manifest
         for f in old_live - set(m.d["files"]):

@@ -132,8 +132,10 @@ def insert_into_collection(
     upsert: bool = False,
     crs: int | None = None,
     database: str = "public",
+    extra_meta: dict | None = None,
 ) -> int:
-    """Returns the number of rows written."""
+    """Returns the number of rows written. ``extra_meta`` merges into the
+    collection metadata in the same atomic commit (streaming-sink epochs)."""
     m = catalog.meta(collection, database)
     if isinstance(values, pd.DataFrame) and not upsert:
         # fast path: the rows are already driver-side — assign ids AND
@@ -167,6 +169,7 @@ def insert_into_collection(
             keep_files=None,
             max_id=m.max_id + len(pdf),
             expected_version=m.version,
+            extra_meta=extra_meta,
         )
         return len(pdf)
 
@@ -261,6 +264,7 @@ def insert_into_collection(
             keep_files=untouched,
             max_id=max(m.max_id, int(max_new)),
             expected_version=m.version,
+            extra_meta=extra_meta,
         )
         return int(df.count())
 
@@ -278,6 +282,7 @@ def insert_into_collection(
         keep_files=None,  # keep all existing
         max_id=m.max_id + n_no_id,
         expected_version=m.version,
+        extra_meta=extra_meta,
     )
     return n_no_id
 

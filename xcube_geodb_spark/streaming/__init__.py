@@ -18,6 +18,10 @@ from xcube_geodb_spark.streaming.stateful import (
     dedup_events_stream,
     running_user_totals,
 )
+from xcube_geodb_spark.streaming.sink import (
+    collection_batch_writer,
+    write_stream_to_collection,
+)
 
 __all__ = [
     "tumbling_window_counts",
@@ -26,4 +30,6 @@ __all__ = [
     "streaming_events_source",
     "dedup_events_stream",
     "running_user_totals",
+    "collection_batch_writer",
+    "write_stream_to_collection",
 ]

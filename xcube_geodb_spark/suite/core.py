@@ -548,6 +548,63 @@ def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_ingest_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest end-to-end: events flow through a real
+    readStream file source -> foreachBatch -> exactly-once collection
+    commits (streaming/sink.py), then the collection is scanned back. The
+    oracle is the plain source table — streaming must lose and duplicate
+    nothing."""
+    import tempfile
+
+    from xcube_geodb_spark.client import GeoDBSparkClient
+    from xcube_geodb_spark.streaming import (
+        streaming_events_source,
+        write_stream_to_collection,
+    )
+
+    c = GeoDBSparkClient(
+        spark, warehouse=tempfile.mkdtemp(prefix="geodb_sink_"), user="driver"
+    )
+    c.create_collection(
+        "ev",
+        {
+            "event_id": "bigint",
+            "ts": "timestamp",
+            "user_id": "bigint",
+            "event_type": "text",
+            "value": "double",
+            "props": "json",
+        },
+    )
+    # re-write the source as micros-timestamp parquet (the raw testdata file
+    # is TIMESTAMP(NANOS), which Spark's streaming reader rejects), split
+    # into several files so availableNow runs multiple micro-batches
+    src = tempfile.mkdtemp(prefix="geodb_stream_src_")
+    load(spark, sf_dir, "events").repartition(8).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = write_stream_to_collection(
+        streaming_events_source(spark, src),
+        c.catalog,
+        "ev",
+        "driver",
+        checkpoint_dir=tempfile.mkdtemp(prefix="geodb_ckpt_"),
+        query_name="ingest",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    # ts as epoch-micros: cross-engine timestamp dtypes differ (ns vs us)
+    # while the instant is identical
+    return c.catalog.load_df("ev", "driver").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """props is a JSON string column; extract $.k with a regexp so the
     oracle does not depend on a JSON extension."""
@@ -590,6 +647,11 @@ CORE_ORACLES_EVENTS = {
                count(*) AS n
         FROM events GROUP BY 1
     """,
+    "stream_ingest_collection": """
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+               value, props
+        FROM events
+    """,
 }
 
 
@@ -623,6 +685,7 @@ CORE_QUERIES = {
     "events_sliding_30m": events_sliding_30m,
     "events_asof_prev": events_asof_prev,
     "events_json_extract": events_json_extract,
+    "stream_ingest_collection": stream_ingest_collection,
 }
 
 CORE_ORACLES = {
