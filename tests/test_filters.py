@@ -203,3 +203,56 @@ class TestContainmentAndFts:
     def test_cs_requires_brace_list(self, docs):
         with pytest.raises(GeoDBError):
             apply_postgrest_query(docs, "tags=cs.(a,b)")
+
+
+class TestSelectShapesAndJsonArrows:
+    """select= aliasing/casts and ->/->> json paths (PostgREST v6 contract;
+    the reference forwards these verbatim to PostgREST, geodb.py:1866)."""
+
+    @pytest.fixture(scope="class")
+    def ev(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, '{"k": 7, "tags": ["a", "b"], "m": {"x": "deep"}}'),
+                (2, '{"k": 40}'),
+                (3, '{"k": 7, "m": {"x": "other"}}'),
+            ],
+            "id long, props string",
+        )
+
+    def test_select_alias(self, ev):
+        out = apply_postgrest_query(ev, "select=key:id")
+        assert out.columns == ["key"]
+
+    def test_select_cast(self, ev):
+        out = apply_postgrest_query(ev, "select=id::text")
+        assert out.columns == ["id"]
+        assert dict(out.dtypes)["id"] == "string"
+
+    def test_select_json_arrow_default_name(self, ev):
+        out = apply_postgrest_query(ev, "select=id,props->>k")
+        assert out.columns == ["id", "k"]
+        assert {r.k for r in out.collect()} == {"7", "40"}
+
+    def test_select_alias_cast_json_combo(self, ev):
+        out = apply_postgrest_query(ev, "select=n:props->>k::bigint&order=id.asc")
+        assert out.columns == ["n"]
+        assert [r.n for r in out.collect()] == [7, 40, 7]
+
+    def test_filter_on_json_path(self, ev):
+        out = apply_postgrest_query(ev, "props->>k=eq.7&select=id")
+        assert sorted(r.id for r in out.collect()) == [1, 3]
+
+    def test_nested_path_and_array_index(self, ev):
+        out = apply_postgrest_query(ev, "select=id,x:props->m->>x&props->tags->>0=eq.a")
+        rows = out.collect()
+        assert [(r.id, r.x) for r in rows] == [(1, "deep")]
+
+    def test_order_by_json_path(self, ev):
+        # ->> is text: lexicographic order ('7' > '40'), same as PostgREST
+        out = apply_postgrest_query(ev, "select=id&order=props->>k.desc,id.asc")
+        assert [r.id for r in out.collect()] == [1, 3, 2]
+
+    def test_json_eq_compares_as_text(self, ev):
+        # ->> yields text; PostgREST compares text, so eq.07 != '7'
+        assert apply_postgrest_query(ev, "props->>k=eq.07").count() == 0

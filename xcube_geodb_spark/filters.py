@@ -22,6 +22,10 @@ notebooks — see SURVEY.md §2.2):
   consecutive tokens), ``wfts`` (websearch: words, ``-`` negation, ``or``,
   quoted phrases); an optional ``fts(lang).`` language tag is accepted and
   ignored — no stemming dictionaries in the engine (documented deviation)
+- json arrows in column references: ``props->>k=eq.7``,
+  ``order=props->>k.desc``, ``select=props->a->>b``, array index ``->2``
+- ``select`` elements ``alias:column->json_path::cast`` (every segment
+  optional; json extractions default-named after their last path key)
 - negation ``col=not.op.value``
 - boolean trees ``and=(...)`` / ``or=(...)`` with arbitrary nesting, both
   the ``or(...)`` and ``or=(...)`` spellings inside groups, ``not.and``/
@@ -100,6 +104,62 @@ def _parse_literal(raw: str, dtype: T.DataType | None = None):
     return raw
 
 
+def _col_ref(
+    name: str, schema: dict[str, T.DataType] | None = None
+) -> tuple[Column, T.DataType | None]:
+    """Resolve a column reference that may carry a PostgREST json path:
+    ``props->>k``, ``props->a->>b``, ``props->2`` (array index). Arrow
+    chains compile to ``get_json_object`` with a ``$.a.b`` / ``$[2]``
+    path. Both ``->`` (json) and ``->>`` (text) terminals yield Spark
+    strings — json properties are stored as json text and the chained form
+    is preserved through the path, so only the representation of a
+    *terminal* ``->`` on an object/array differs (documented deviation;
+    PostgREST renders it as jsonb)."""
+    if "->" not in name:
+        return F.col(name), (schema or {}).get(name)
+    import re
+
+    parts = re.split(r"->>|->", name)
+    base = parts[0].strip()
+    path = "$"
+    for k in (p.strip() for p in parts[1:]):
+        path += f"[{k}]" if k.isdigit() else f".{k}"
+    return F.get_json_object(F.col(base), path), T.StringType()
+
+
+def _select_expr(item: str, schema: dict[str, T.DataType] | None) -> Column:
+    """One ``select=`` element: ``alias:column->json_path::cast`` with every
+    segment optional (PostgREST v6 resource-embedding excluded — there are
+    no foreign tables in a collection scan). Default output names follow
+    PostgREST: a json extraction is named after its last path key."""
+    import re
+
+    alias = None
+    m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(?!:)(.+)$", item)
+    if m:
+        alias, item = m.group(1), m.group(2)
+    cast = None
+    m = re.match(r"^(.+?)::([A-Za-z0-9_ \[\]]+)$", item)
+    if m:
+        item, cast = m.group(1), m.group(2).strip()
+    item = item.strip()
+    col, _ = _col_ref(item, schema)
+    if cast is not None:
+        from xcube_geodb_spark.catalog import pg_type_to_spark
+
+        col = col.cast(pg_type_to_spark(cast))
+    if alias is None:
+        if "->" in item:
+            import re as _re
+
+            alias = _re.split(r"->>|->", item)[-1].strip()
+        elif cast is not None:
+            alias = item
+        else:
+            return col  # plain column: keep the reference untouched
+    return col.alias(alias)
+
+
 def _split_csv(s: str) -> list[str]:
     """Split on commas at paren depth 0, respecting double quotes."""
     out, depth, start, in_q = [], 0, 0, False
@@ -125,8 +185,7 @@ def _compile_op(
     negate: bool,
     schema: dict[str, T.DataType] | None = None,
 ) -> Column:
-    c = F.col(column)
-    dtype = (schema or {}).get(column)
+    c, dtype = _col_ref(column, schema)
     if op == "eq":
         expr = c == F.lit(_parse_literal(value, dtype))
     elif op == "neq":
@@ -391,7 +450,7 @@ def parse_postgrest_query(
 def _order_columns(order: list[tuple[str, bool, str | None]]) -> list[Column]:
     cols = []
     for name, asc, nulls in order:
-        c = F.col(name)
+        c, _ = _col_ref(name)
         if asc:
             c = c.asc_nulls_first() if nulls == "nullsfirst" else c.asc()
         else:
@@ -409,9 +468,8 @@ def apply_postgrest_query(
     """Apply a parsed PostgREST query to a DataFrame; explicit
     ``limit``/``offset`` arguments win over in-query values (the reference
     client appends them to the query string, ``geodb.py:1866-1869``)."""
-    pq = parse_postgrest_query(
-        query, schema={f.name: f.dataType for f in df.schema.fields}
-    )
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    pq = parse_postgrest_query(query, schema=schema)
     if pq.predicate is not None:
         df = df.filter(pq.predicate)
     # order BEFORE projecting: PostgREST allows ordering by a non-selected
@@ -420,7 +478,7 @@ def apply_postgrest_query(
     if pq.order:
         df = df.orderBy(*_order_columns(pq.order))
     if pq.select:
-        df = df.select(*pq.select)
+        df = df.select(*[_select_expr(i, schema) for i in pq.select])
     eff_offset = offset if offset is not None else pq.offset
     eff_limit = limit if limit is not None else pq.limit
     if eff_offset:

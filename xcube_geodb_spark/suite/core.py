@@ -88,6 +88,16 @@ def scan_cs_cd_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_json_arrow_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostgREST json arrows + select shapes end-to-end: filter on a
+    ``->>`` path (text compare), project ``alias:path::cast``
+    (filters._col_ref / _select_expr)."""
+    df = load(spark, sf_dir, "events")
+    return apply_postgrest_query(
+        df, "props->>k=eq.7&select=event_id,k:props->>k::bigint"
+    )
+
+
 def scan_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "customer")
     return apply_postgrest_query(
@@ -126,6 +136,12 @@ CORE_ORACLES_GRAMMAR = {
         ORDER BY c_custkey ASC LIMIT 50 OFFSET 25
     """,
     "head_nation": "SELECT * FROM nation ORDER BY n_nationkey LIMIT 10",
+    "scan_json_arrow_select": """
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+        FROM events
+        WHERE regexp_extract(props, '"k":\\s*(\\d+)', 1) = '7'
+    """,
     "scan_fts_documents": """
         SELECT doc_id FROM (
             SELECT doc_id,
@@ -663,6 +679,7 @@ CORE_QUERIES = {
     "scan_filter_not_in": scan_filter_not_in,
     "scan_paging": scan_paging,
     "scan_fts_documents": scan_fts_documents,
+    "scan_json_arrow_select": scan_json_arrow_select,
     "scan_cs_cd_tokens": scan_cs_cd_tokens,
     "head_nation": head_nation,
     "pg_groupby_q1": pg_groupby_q1,
