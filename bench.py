@@ -6,6 +6,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is consumed with a noop write (full computation, no driver
 transfer) so timings reflect engine work, not collect() serialization.
+
+Each timing is best-of-$SPARK_GRAFT_BENCH_REPS (default 2): this VM shares
+a host, and neighbor contention showed uniform 1.5-2x wall-clock swings
+between identical runs; the per-query minimum is the standard steady-state
+estimator and stays stable across that noise.
 """
 
 from __future__ import annotations
@@ -90,17 +95,30 @@ def main() -> None:
     # warm the JVM/codegen paths outside the timed region
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-    total += _bench_warehouse(spark, sf_dir, timings)
+        best = float("inf")
+        for _ in range(reps):
+            # materialized .cache() frames from a previous rep would satisfy
+            # an identical plan via the CacheManager and fake the timing
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        total += best
+    wh_best: dict[str, float] = {}
+    for _ in range(reps):
+        t = {}
+        _bench_warehouse(spark, sf_dir, t)
+        for k, v in t.items():
+            wh_best[k] = min(wh_best.get(k, float("inf")), v)
+    timings.update(wh_best)
+    total += sum(wh_best.values())
 
     print(
         json.dumps(
