@@ -272,6 +272,29 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salted_join (plans/skew.py) is a result-invariant rewrite for hot
+    keys AQE can't split: 8-way salted lineitem⋈supplier, revenue per
+    supplier nation. The oracle is the PLAIN join — salting must not change
+    a single row."""
+    from xcube_geodb_spark.plans import salted_join
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .withColumn("revenue", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .select(F.col("l_suppkey").alias("s_suppkey"), "revenue")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        salted_join(li, sup, ["s_suppkey"], salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.round(F.sum("revenue"), 0).cast("long").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def join_q5_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
@@ -412,6 +435,14 @@ CORE_ORACLES_RELATIONAL = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "skew_salted_join_revenue": """
+        SELECT s_nationkey,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT)
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
     """,
     "join_q5_asia": """
         SELECT n_name,
@@ -688,6 +719,7 @@ CORE_QUERIES = {
     "count_lineitem": count_lineitem,
     "join_revenue_by_nation": join_revenue_by_nation,
     "join_q5_asia": join_q5_asia,
+    "skew_salted_join_revenue": skew_salted_join_revenue,
     "window_top_order_per_customer": window_top_order_per_customer,
     "rollup_lineitem": rollup_lineitem,
     "distinct_mktsegment": distinct_mktsegment,
