@@ -1,0 +1,102 @@
+"""Deterministic sampling / splitting / packing (functions/sampling.py):
+the properties that make these usable on a growing 100 TB corpus —
+stability under growth, seed independence, and budget safety."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_geodb_spark.functions.sampling import (
+    hash_sample,
+    pack_by_token_budget,
+    train_val_test_split,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"en" if i % 3 else "de", 50 + (i * 37) % 400) for i in range(2000)],
+        "doc_id long, lang string, toks long",
+    )
+
+
+class TestHashSample:
+    def test_fraction_approximate(self, docs):
+        n = hash_sample(docs, "doc_id", 0.2, seed="a").count()
+        assert 300 <= n <= 500  # 0.2 of 2000 within generous tolerance
+
+    def test_deterministic(self, docs):
+        a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).collect()}
+        b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).collect()}
+        assert a == b
+
+    def test_stable_under_growth(self, docs, spark):
+        # membership decided per row: sampling a subset gives the subset of
+        # the sample — nothing reshuffles as the corpus grows
+        full = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).collect()}
+        half = docs.filter("doc_id < 1000")
+        sub = {r.doc_id for r in hash_sample(half, "doc_id", 0.3).collect()}
+        assert sub == {d for d in full if d < 1000}
+
+    def test_nested_fractions(self, docs):
+        # a 10% sample is a subset of the 30% sample under the same seed
+        s10 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.1).collect()}
+        s30 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).collect()}
+        assert s10 <= s30
+
+    def test_seeds_independent(self, docs):
+        a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3, seed="a").collect()}
+        b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3, seed="b").collect()}
+        assert a != b
+
+
+class TestSplit:
+    def test_disjoint_exhaustive(self, docs):
+        out = train_val_test_split(docs, "doc_id", 0.1, 0.1)
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 2000
+        assert set(counts) == {"train", "val", "test"}
+        assert 120 <= counts["val"] <= 280 and 120 <= counts["test"] <= 280
+
+
+class TestPacking:
+    def test_preceding_total_fits_budget(self, docs):
+        out = pack_by_token_budget(
+            docs, "toks", "doc_id", budget=1000, partition_cols=["lang"]
+        )
+        # within every pack, the tokens BEFORE the last doc fit the budget
+        agg = (
+            out.groupBy("lang", "pack_id")
+            .agg(
+                F.sum("toks").alias("total"),
+                F.max_by("toks", "doc_id").alias("last"),
+            )
+            .collect()
+        )
+        assert agg and all(r.total - r.last < 1000 for r in agg)
+
+    def test_packs_consecutive_per_partition(self, docs):
+        out = pack_by_token_budget(
+            docs, "toks", "doc_id", budget=1000, partition_cols=["lang"]
+        )
+        for lang in ("en", "de"):
+            ids = [
+                r.pack_id
+                for r in out.filter(F.col("lang") == lang)
+                .orderBy("doc_id")
+                .collect()
+            ]
+            assert ids[0] == 0
+            assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))
+
+    def test_oversized_doc_gets_own_pack(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (2, 5000), (3, 10)], "doc_id long, toks long"
+        )
+        out = {
+            r.doc_id: r.pack_id
+            for r in pack_by_token_budget(df, "toks", "doc_id", 1000).collect()
+        }
+        assert out[1] == 0 and out[2] == 0 and out[3] == 5
+        # doc 2 exceeds the budget alone; doc 3 starts a fresh pack

@@ -1,0 +1,108 @@
+"""Deterministic sampling / splitting / packing for training-data pipelines.
+
+Random sampling (``df.sample``) is irreproducible across engines, Spark
+versions, and partition layouts — useless for a 100 TB corpus where the
+train/val/test membership of every document must be auditable years later.
+These operators use content hashing instead (the same md5-as-uniform trick
+the dedup family uses), so membership is a pure function of the row: any
+engine can replay the split, adding data never reshuffles old assignments,
+and the driver gate hash-matches every operator against a DuckDB oracle.
+
+All pure Column algebra — zero Python on the data path, no shuffle for
+split/sample (a narrow projection+filter), one bounded window shuffle for
+packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "train_val_test_split",
+    "pack_by_token_budget",
+]
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, seed: str = "") -> Column:
+    """Uniform bucket in [0, 10000) from the md5 of ``seed || key``.
+
+    Stable under data growth and engine choice (DuckDB replay:
+    ``md5(seed || key)``-prefix arithmetic, same as the dedup hashes).
+    Different ``seed`` strings give independent assignments — re-splitting
+    with a new seed is a new independent draw, not a shifted one.
+    """
+    h = F.md5(F.concat(F.lit(seed), key.cast("string")))
+    # first 8 hex chars -> 32-bit uniform int -> bucket
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = ""
+) -> DataFrame:
+    """Deterministic ``fraction`` sample: keeps rows whose hash bucket
+    falls below ``fraction * 10000`` (resolution 0.01%). A row's membership
+    never changes as the table grows — incremental pipelines resample
+    nothing."""
+    cut = int(round(fraction * _BUCKETS))
+    return df.filter(hash_bucket(F.col(key_col), seed) < cut)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_fraction: float = 0.01,
+    test_fraction: float = 0.01,
+    seed: str = "",
+) -> DataFrame:
+    """Adds a ``split`` column (train/val/test) from contiguous hash-bucket
+    ranges: [0, val) -> val, [val, val+test) -> test, rest -> train.
+    Disjoint and exhaustive by construction; auditable per row."""
+    b = hash_bucket(F.col(key_col), seed)
+    val_cut = int(round(val_fraction * _BUCKETS))
+    test_cut = val_cut + int(round(test_fraction * _BUCKETS))
+    return df.withColumn(
+        "split",
+        F.when(b < val_cut, F.lit("val"))
+        .when(b < test_cut, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign documents to packed training sequences: walk rows in
+    ``order_col`` order, cumulative-sum ``token_col``, and cut a new pack
+    every time the running total crosses ``budget`` — pack id =
+    ``floor((cumsum - tokens) / budget)`` (each pack holds consecutive
+    docs whose PRECEDING total fits the budget; a document longer than the
+    budget gets a pack of its own rather than being dropped).
+
+    Deterministic given the ordering column, and SQL-replayable (one
+    window cumsum — the DuckDB oracle is the same expression). With
+    ``partition_cols`` the cumsum windows per group (e.g. per language),
+    which is also what bounds the window state at 100 TB: prefer packing
+    within natural shards over one global ordering, because a single
+    unpartitioned window serializes into one task in any engine.
+    Returns the input plus ``pack_id`` (long).
+    """
+    parts = [F.col(c) for c in (partition_cols or [])]
+    w = (
+        Window.partitionBy(*parts).orderBy(F.col(order_col))
+        if parts
+        else Window.orderBy(F.col(order_col))
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.withColumn(
+        "pack_id",
+        F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
+    )

@@ -484,6 +484,36 @@ LLM_TEXT_ORACLES = {
     """,
 }
 
+def sample_split_documents(spark, sf_dir):
+    """Deterministic train/val/test split (functions/sampling.py): per-row
+    membership is a pure function of md5(seed || doc_id) — auditable and
+    replayed bit-for-bit by the SQL oracle."""
+    from xcube_geodb_spark.functions.sampling import train_val_test_split
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return train_val_test_split(
+        docs, "doc_id", val_fraction=0.05, test_fraction=0.05, seed="r2"
+    ).select("doc_id", "split")
+
+
+def pack_documents_budget(spark, sf_dir):
+    """Token-budget sequence packing per language shard: window cumsum over
+    doc_id order, pack cut when the running total crosses 2048 estimated
+    subword tokens."""
+    from pyspark.sql import functions as F
+
+    from xcube_geodb_spark.functions.sampling import pack_by_token_budget
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.ceil(F.col("n_chars") / 4).cast("long").alias("toks"),
+    )
+    return pack_by_token_budget(
+        docs, "toks", "doc_id", budget=2048, partition_cols=["lang"]
+    ).select("doc_id", "lang", "pack_id")
+
+
 LLM_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -500,10 +530,41 @@ LLM_QUERIES = {
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "multimodal_decode": multimodal_decode,
+    "sample_split_documents": sample_split_documents,
+    "pack_documents_budget": pack_documents_budget,
+}
+
+LLM_SAMPLING_ORACLES = {
+    "sample_split_documents": """
+        SELECT doc_id,
+               CASE WHEN b < 500 THEN 'val'
+                    WHEN b < 1000 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('r2' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10000 AS b
+            FROM documents
+        )
+    """,
+    "pack_documents_budget": """
+        SELECT doc_id, lang,
+               CAST(floor((cum - toks) / 2048) AS BIGINT) AS pack_id
+        FROM (
+            SELECT doc_id, lang, toks,
+                   sum(toks) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+            FROM (
+                SELECT doc_id, lang,
+                       CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks
+                FROM documents
+            )
+        )
+    """,
 }
 
 LLM_ORACLES = {
     **LLM_DEDUP_ORACLES,
     **LLM_SIM_ORACLES,
     **LLM_TEXT_ORACLES,
+    **LLM_SAMPLING_ORACLES,
 }
