@@ -1,0 +1,80 @@
+"""Snapshot time travel (catalog history manifests): every commit retains
+its manifest under history/, reads can target any retained version,
+restore is a metadata-only commit, and vacuum is what expires snapshots —
+never a data commit."""
+
+import tempfile
+
+import pandas as pd
+import pytest
+
+from xcube_geodb_spark.client import GeoDBSparkClient
+from xcube_geodb_spark.errors import GeoDBError
+
+
+@pytest.fixture()
+def client(spark):
+    c = GeoDBSparkClient(
+        spark, warehouse=tempfile.mkdtemp(prefix="geodb_tt_"), user="t"
+    )
+    c.create_collection("tt", {"k": "int", "name": "text"})
+    c.insert_into_collection(
+        "tt", pd.DataFrame({"k": [1, 2], "name": ["a", "b"]})
+    )  # v1
+    c.insert_into_collection(
+        "tt", pd.DataFrame({"k": [3, 4], "name": ["c", "d"]})
+    )  # v2
+    c.delete_from_collection("tt", "k=lt.3")  # v3
+    return c
+
+
+def _ks(client, version=None):
+    df = client.catalog.load_df("tt", "t", version=version)
+    return sorted(r.k for r in df.select("k").collect())
+
+
+class TestTimeTravel:
+    def test_versions_listed(self, client):
+        # v0 (creation) predates any commit; snapshots exist per commit
+        vs = [v["version"] for v in client.get_collection_versions("tt")]
+        assert vs == [1, 2, 3]
+
+    def test_read_at_each_version(self, client):
+        assert _ks(client, version=1) == [1, 2]
+        assert _ks(client, version=2) == [1, 2, 3, 4]
+        assert _ks(client, version=3) == [3, 4]
+        assert _ks(client) == [3, 4]  # current
+
+    def test_unknown_version_raises(self, client):
+        with pytest.raises(GeoDBError, match="does not exist or was expired"):
+            client.catalog.load_df("tt", "t", version=99)
+
+    def test_restore_is_new_metadata_commit(self, client):
+        client.restore_collection("tt", 2)
+        assert _ks(client) == [1, 2, 3, 4]
+        m = client.catalog.meta("tt", "t")
+        assert m.version == 4  # rollback commits forward, never rewrites
+        # and the pre-restore state is itself still time-travelable
+        assert _ks(client, version=3) == [3, 4]
+
+    def test_optimize_preserves_history(self, client):
+        client.optimize_collection("tt")
+        assert _ks(client, version=1) == [1, 2]
+
+    def test_vacuum_expires_old_snapshots(self, client):
+        stats = client.vacuum_collection("tt", older_than_seconds=0.0)
+        assert stats["expired_versions"] == [1, 2]
+        with pytest.raises(GeoDBError):
+            client.catalog.load_df("tt", "t", version=1)
+        assert _ks(client) == [3, 4]  # current untouched
+
+    def test_vacuum_then_restore_refuses_cleanly(self, client):
+        client.vacuum_collection("tt", older_than_seconds=0.0)
+        with pytest.raises(GeoDBError):
+            client.restore_collection("tt", 1)
+
+    def test_vacuum_retention_keeps_files_readable(self, client):
+        # default retention: nothing expires, all versions stay readable
+        client.vacuum_collection("tt")
+        assert _ks(client, version=1) == [1, 2]
+        assert _ks(client, version=2) == [1, 2, 3, 4]

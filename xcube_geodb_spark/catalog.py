@@ -416,12 +416,87 @@ class GeoDBCatalog:
     # data IO
     # ------------------------------------------------------------------
 
+    def meta_at_version(
+        self, collection: str, database: str, version: int
+    ) -> CollectionMeta:
+        """Manifest snapshot as of ``version`` (commit_version writes one
+        per commit under ``history/``). Raises if the snapshot has been
+        expired by vacuum."""
+        m = self.meta(collection, database)
+        if version == m.version:
+            return m
+        p = os.path.join(
+            self._coll_dir(collection, database), "history", f"v{version}.json"
+        )
+        if not os.path.exists(p):
+            raise GeoDBError(
+                f"Version {version} of {database}_{collection} does not exist "
+                f"or was expired by vacuum (current: v{m.version})"
+            )
+        with open(p) as f:
+            return CollectionMeta(json.load(f), p)
+
+    def list_versions(self, collection: str, database: str) -> list[dict]:
+        """Retained snapshots, oldest first: version + commit timestamp."""
+        m = self.meta(collection, database)
+        hdir = os.path.join(self._coll_dir(collection, database), "history")
+        out = []
+        if os.path.isdir(hdir):
+            for fn in os.listdir(hdir):
+                if fn.startswith("v") and fn.endswith(".json"):
+                    with open(os.path.join(hdir, fn)) as f:
+                        d = json.load(f)
+                    out.append(
+                        {"version": d["version"], "modified_at": d.get("modified_at")}
+                    )
+        if m.version not in {o["version"] for o in out}:
+            out.append({"version": m.version, "modified_at": m.d.get("modified_at")})
+        return sorted(out, key=lambda o: o["version"])
+
+    def restore_collection(
+        self, collection: str, database: str, version: int
+    ) -> None:
+        """Roll the collection back to a snapshot — metadata-only (a new
+        commit whose manifest lists the old version's files; no data is
+        copied or rewritten, exactly like Delta's RESTORE)."""
+        cur = self.meta(collection, database)
+        old = self.meta_at_version(collection, database, version)
+        missing = [
+            f
+            for f in old.files
+            if not os.path.exists(
+                os.path.join(self._coll_dir(collection, database), f)
+            )
+        ]
+        if missing:
+            raise GeoDBError(
+                f"Cannot restore {database}_{collection} to v{version}: "
+                f"{len(missing)} data files already vacuumed"
+            )
+        self.commit_version(
+            collection,
+            database,
+            None,
+            keep_files=old.files,
+            max_id=old.max_id,
+            expected_version=cur.version,
+        )
+
     def load_df(
-        self, collection: str, database: str, include_system: bool = False
+        self,
+        collection: str,
+        database: str,
+        include_system: bool = False,
+        version: int | None = None,
     ) -> DataFrame:
         """Current snapshot as a DataFrame; evolved schema applied on read
-        (missing columns -> NULL, dropped columns pruned)."""
-        m = self.meta(collection, database)
+        (missing columns -> NULL, dropped columns pruned). ``version``
+        time-travels to an earlier manifest snapshot."""
+        m = (
+            self.meta(collection, database)
+            if version is None
+            else self.meta_at_version(collection, database, version)
+        )
         schema = m.spark_schema(include_system=True)
         if not m.files:
             df = self.spark.createDataFrame([], schema)
@@ -514,7 +589,6 @@ class GeoDBCatalog:
                 f"Concurrent modification of {database}_{collection}: "
                 f"expected v{expected_version}, found v{m.version}"
             )
-        old_live = set(m.files)
         keep = list(keep_files) if keep_files is not None else m.files
         m.d["files"] = keep + new_files
         m.d["version"] = m.version + 1
@@ -524,12 +598,15 @@ class GeoDBCatalog:
         if extra_meta:
             m.d.update(extra_meta)
         _atomic_write_json(m.path, m.d)
-        # garbage-collect files dropped from the manifest
-        for f in old_live - set(m.d["files"]):
-            try:
-                os.remove(os.path.join(cdir, f))
-            except OSError:
-                pass
+        # snapshot the manifest for time travel (load_df(version=...),
+        # restore_collection). Files dropped from the current manifest stay
+        # on disk — they're still referenced by older snapshots — until
+        # vacuum_collection expires snapshots past its retention window.
+        hdir = os.path.join(cdir, "history")
+        os.makedirs(hdir, exist_ok=True)
+        _atomic_write_json(
+            os.path.join(hdir, f"v{m.d['version']}.json"), m.d
+        )
 
     def _apply_clustering(self, df: DataFrame, m: CollectionMeta) -> DataFrame:
         """Honor declared indexes as physical layout: a btree index on a

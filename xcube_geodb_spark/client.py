@@ -301,6 +301,36 @@ class GeoDBSparkClient:
         self.events.log("read", f"Collection {db}_{collection} read")
         return self._collect_geo(df, srid)
 
+    def get_collection_versions(
+        self, collection: str, database: str | None = None
+    ) -> list[dict]:
+        """Retained time-travel snapshots (oldest first)."""
+        return self.catalog.list_versions(collection, self._db(database))
+
+    def get_collection_at_version(
+        self, collection: str, version: int, database: str | None = None
+    ) -> pd.DataFrame:
+        """Collection content as of an earlier commit (time travel over the
+        snapshot manifests commit_version retains; engine-native — the
+        reference's Postgres overwrites in place and cannot do this)."""
+        db = self._db(database)
+        srid = self.catalog.get_collection_srid(collection, db)
+        df = self.catalog.load_df(collection, db, version=version)
+        self.events.log(
+            "read", f"Collection {db}_{collection} read at v{version}"
+        )
+        return self._collect_geo(df, srid)
+
+    def restore_collection(
+        self, collection: str, version: int, database: str | None = None
+    ) -> None:
+        """Metadata-only rollback to a retained snapshot."""
+        db = self._db(database)
+        self.catalog.restore_collection(collection, db, version)
+        self.events.log(
+            "restored", f"Collection {db}_{collection} restored to v{version}"
+        )
+
     def head_collection(
         self, collection: str, num_lines: int = 10, database: str | None = None
     ) -> pd.DataFrame:

@@ -28,6 +28,7 @@ size: at scale the job only ever reads the fragmented tail, not the table.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -100,24 +101,49 @@ def vacuum_collection(
     older_than_seconds: float = 3600.0,
     dry_run: bool = False,
 ) -> dict:
-    """Delete data files under the collection directory that no manifest
-    entry references — debris from commits that crashed before their
-    metadata swap — plus Spark's ``_SUCCESS``/CRC markers and emptied
-    commit directories.
+    """Delete data files under the collection directory that no retained
+    manifest references — debris from crashed commits plus files only
+    reachable from EXPIRED time-travel snapshots — along with Spark's
+    ``_SUCCESS``/CRC markers, emptied commit directories, and the expired
+    snapshot manifests themselves.
 
-    ``older_than_seconds`` is the safety window for concurrent writers: an
-    in-flight commit has written its files but not yet published them in
-    the manifest, so only files older than the window are eligible (the
-    same retention rationale as Delta/Iceberg VACUUM). Returns
-    ``{"removed": [...], "retained_recent": n, "dry_run": ...}``.
+    ``older_than_seconds`` is both the snapshot-retention window (history
+    versions older than it stop being time-travelable, like Delta VACUUM's
+    retention) and the safety window for concurrent writers (an in-flight
+    commit has written files not yet published in any manifest). The
+    current version is never expired. Returns ``{"removed": [...],
+    "expired_versions": [...], "retained_recent": n, "dry_run": ...}``.
     """
     m = catalog.meta(collection, database)
     cdir = catalog._coll_dir(collection, database)
     live = set(m.files)
+    now = time.time()
+    expired_versions: list[int] = []
+    hdir = os.path.join(cdir, "history")
+    if os.path.isdir(hdir):
+        for fn in sorted(os.listdir(hdir)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            p = os.path.join(hdir, fn)
+            ver = int(fn[1:-5])
+            try:
+                fresh = now - os.path.getmtime(p) < older_than_seconds
+            except OSError:
+                continue
+            if ver == m.version or fresh:
+                # retained snapshot: every file it references stays live
+                with open(p) as fh:
+                    live.update(json.load(fh).get("files", []))
+            else:
+                expired_versions.append(ver)
+                if not dry_run:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
     data_root = os.path.join(cdir, "data")
     removed: list[str] = []
     retained = 0
-    now = time.time()
     if os.path.isdir(data_root):
         for root, _dirs, files in os.walk(data_root, topdown=False):
             for fn in files:
@@ -149,4 +175,9 @@ def vacuum_collection(
                     os.rmdir(root)
                 except OSError:
                     pass
-    return {"removed": sorted(removed), "retained_recent": retained, "dry_run": dry_run}
+    return {
+        "removed": sorted(removed),
+        "expired_versions": expired_versions,
+        "retained_recent": retained,
+        "dry_run": dry_run,
+    }

@@ -98,10 +98,30 @@ def dml_compact_roundtrip(spark, sf_dir) -> DataFrame:
     )
 
 
+def dml_time_travel_roundtrip(spark, sf_dir) -> DataFrame:
+    """insert (v1) -> destructive delete (v2) -> verify time-travel read of
+    v1 -> metadata-only restore to v1 -> scan. The oracle is the full
+    source table: both the historical read and the restored state must be
+    bit-identical to pre-delete."""
+    c = _fresh_client(spark)
+    c.create_collection(
+        "natt", {"n_nationkey": "int", "n_name": "text", "n_regionkey": "int"}
+    )
+    c.insert_into_collection("natt", _nation_pdf(spark, sf_dir))  # v1
+    c.delete_from_collection("natt", "n_regionkey=eq.2")  # v2
+    at_v1 = c.catalog.load_df("natt", "driver", version=1)
+    assert c.catalog.load_df("natt", "driver").count() < at_v1.count()
+    c.restore_collection("natt", 1)  # v3, metadata-only
+    return c.catalog.load_df("natt", "driver").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
 DML_QUERIES = {
     "dml_delete_update_roundtrip": dml_delete_update_roundtrip,
     "dml_upsert_roundtrip": dml_upsert_roundtrip,
     "dml_compact_roundtrip": dml_compact_roundtrip,
+    "dml_time_travel_roundtrip": dml_time_travel_roundtrip,
 }
 
 # the engine maps the reference's "int" property type to bigint
@@ -121,6 +141,11 @@ DML_ORACLES = {
         SELECT 999, 'NEWLAND'
     """,
     "dml_compact_roundtrip": """
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation
+    """,
+    "dml_time_travel_roundtrip": """
         SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                CAST(n_regionkey AS BIGINT) AS n_regionkey
         FROM nation
