@@ -36,12 +36,15 @@ class TestDedup:
         assert out[0]["keeper_id"] == 1 and out[0]["n_docs"] == 2
 
     def test_minhash_finds_near_dups(self, docs):
+        # bands=6 (r=2): the fixture's near-dup pair has J≈0.67, so band
+        # collision is 1-(1-J^2)^6 ≈ 97% over hash families vs 75% at the
+        # default bands=4 — keeps the assertion meaningful rather than a
+        # bet on the current family's draw
         pairs = {
             (r["id_a"], r["id_b"])
-            for r in dedup.minhash_candidate_pairs(docs).collect()
+            for r in dedup.minhash_candidate_pairs(docs, bands=6).collect()
         }
         assert (1, 2) in pairs  # exact dups always collide
-        # near-dup pair should share at least one band with high probability
         assert (1, 3) in pairs or (2, 3) in pairs
         # unrelated docs must not collide
         assert not any(4 in p or 5 in p or 6 in p for p in pairs)
