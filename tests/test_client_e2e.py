@@ -111,6 +111,25 @@ class TestLifecycle:
         with pytest.raises(GeoDBError, match="Empty result"):
             client.get_collection_pg(land_use, where="raba_id = -1")
 
+    def test_pg_dialect_shim_casts_and_regex(self, client, land_use):
+        # PG-isms Spark's parser rejects: ::casts (ident + literal
+        # operands) and ~/~* regex match (scan._pg_clause_to_spark)
+        df = client.get_collection_pg(
+            land_use,
+            select="id, raba_id::text AS rt",
+            where="d_od ~ '^2019' AND raba_id::int8 = 1410 "
+            "AND d_od >= '2019-01-01'::date",
+            order="id",
+        )
+        assert list(df["id"]) == [1, 3]
+        assert list(df["rt"]) == ["1410.0", "1410.0"]
+
+    def test_pg_dialect_shim_case_insensitive_regex(self, client, land_use):
+        df = client.get_collection_pg(
+            land_use, select="id", where="d_od !~* '^X2019'", order="id"
+        )
+        assert len(df) == 4  # negated non-matching pattern keeps all rows
+
     def test_counts(self, client, land_use):
         assert client.count_collection_rows(land_use) == 4
         assert client.count_collection_rows(land_use, exact_count=True) == 4

@@ -53,6 +53,83 @@ def _view_name(database: str, collection: str) -> str:
     return name
 
 
+# PG type names Spark's parser doesn't know, for the ::cast shim
+_PG_CAST_TYPES = {
+    "int2": "smallint",
+    "int4": "int",
+    "int8": "bigint",
+    "float4": "float",
+    "float8": "double",
+    "text": "string",
+    "varchar": "string",
+    "bytea": "binary",
+    "bool": "boolean",
+    "numeric": "double",
+}
+
+_CAST_RE = re.compile(
+    r"""((?:[A-Za-z_][A-Za-z0-9_.]*\s*\([^()]*\))   # f(args)
+        |[A-Za-z_][A-Za-z0-9_.]*                    # identifier
+        |'[^']*'                                    # string literal
+        |\d+(?:\.\d+)?)                             # number
+        \s*::\s*([A-Za-z_][A-Za-z0-9_]*)""",
+    re.VERBOSE,
+)
+_REGEX_OP_RE = re.compile(
+    r"(\S+)\s*(!~\*|!~|~\*|~)\s*'([^']*)'"
+)
+
+
+def _pg_clause_to_spark(clause: str | None) -> str | None:
+    """Textual shim for the PG-isms Spark SQL's parser rejects, applied
+    outside string literals only:
+
+    - ``expr::type`` -> ``CAST(expr AS type)`` (identifier / literal /
+      single function call operands; PG-only type names mapped)
+    - ``col ~ 'pat'`` / ``~*`` / ``!~`` / ``!~*`` -> ``RLIKE`` with a
+      ``(?i)`` prefix for the case-insensitive forms
+
+    Spark-native PG-isms (``ILIKE``, ``||``, ``IS DISTINCT FROM``) pass
+    through untouched. A documented textual shim, not a SQL transpiler —
+    SURVEY.md §7 records the dialect boundary."""
+    if not clause:
+        return clause
+
+    def _cast(m: re.Match) -> str:
+        t = m.group(2).lower()
+        return f"CAST({m.group(1)} AS {_PG_CAST_TYPES.get(t, t)})"
+
+    # casts rewrite only outside string literals ('' is the quote escape)
+    parts = re.split(r"('(?:[^']|'')*')", clause)
+    for i in range(0, len(parts), 2):
+        seg = parts[i]
+        prev = None
+        while prev != seg:  # chained casts resolve left-to-right
+            prev = seg
+            seg = _CAST_RE.sub(_cast, seg)
+        parts[i] = seg
+    s = "".join(parts)
+    # a cast whose operand IS a string literal spans the quote split:
+    # '2024-01-01'::date — rewrite it on the rejoined string
+    s = re.sub(
+        r"('(?:[^']|'')*')\s*::\s*([A-Za-z_][A-Za-z0-9_]*)",
+        lambda m: f"CAST({m.group(1)} AS "
+        f"{_PG_CAST_TYPES.get(m.group(2).lower(), m.group(2).lower())})",
+        s,
+    )
+
+    def _regex(m: re.Match) -> str:
+        lhs, op, pat = m.groups()
+        if "*" in op:
+            pat = f"(?i){pat}"
+        neg = "NOT " if op.startswith("!") else ""
+        return f"{neg}{lhs} RLIKE '{pat}'"
+
+    # the regex-op operand IS a quoted literal, so this pass runs on the
+    # rejoined string (limit: patterns must be plain quoted literals)
+    return _REGEX_OP_RE.sub(_regex, s)
+
+
 def build_pg_sql(
     table: str,
     select: str = "*",
@@ -65,6 +142,10 @@ def build_pg_sql(
     """Clause-ordered SELECT built exactly like ``geodb_get_pg``
     (``geodb.sql:1147-1167``): SELECT -> WHERE -> GROUP -> ORDER -> LIMIT ->
     OFFSET, with OFFSET emitted only when LIMIT is set."""
+    select = _pg_clause_to_spark(select)
+    where = _pg_clause_to_spark(where)
+    group = _pg_clause_to_spark(group)
+    order = _pg_clause_to_spark(order)
     sql = f"SELECT {select} FROM {table}"
     if where:
         sql += f" WHERE {where}"

@@ -256,6 +256,23 @@ CORE_ORACLES_PG = {
 # ---------------------------------------------------------------------------
 
 
+def pg_dialect_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL path with PG-isms Spark's parser rejects: ``::`` casts
+    (identifier + string-literal operands) and ``~`` regex match — the
+    textual shim in scan._pg_clause_to_spark rewrites them; everything
+    else is native Spark SQL."""
+    register_views(spark, sf_dir, "orders")
+    sql = build_pg_sql(
+        "orders",
+        select="o_orderkey, o_totalprice::int8 AS price_int",
+        where="o_orderpriority ~ '^1' "
+        "AND o_orderdate >= '1995-01-01'::timestamp",
+        order="o_orderkey",
+        limit=100,
+    )
+    return spark.sql(sql)
+
+
 def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
@@ -428,6 +445,14 @@ def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORE_ORACLES_RELATIONAL = {
+    "pg_dialect_shim": """
+        -- trunc(): Spark's double->bigint cast truncates, DuckDB's rounds
+        SELECT o_orderkey, CAST(trunc(o_totalprice) AS BIGINT) AS price_int
+        FROM orders
+        WHERE regexp_matches(o_orderpriority, '^1')
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+        ORDER BY o_orderkey LIMIT 100
+    """,
     "join_revenue_by_nation": """
         SELECT n_name, CAST(round(sum(o_totalprice), 0) AS BIGINT) AS revenue,
                count(*) AS n_orders
@@ -716,6 +741,7 @@ CORE_QUERIES = {
     "pg_groupby_q1": pg_groupby_q1,
     "pg_topk_orders": pg_topk_orders,
     "pg_count_by_priority": pg_count_by_priority,
+    "pg_dialect_shim": pg_dialect_shim,
     "count_lineitem": count_lineitem,
     "join_revenue_by_nation": join_revenue_by_nation,
     "join_q5_asia": join_q5_asia,
