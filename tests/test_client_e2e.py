@@ -442,3 +442,25 @@ class TestGroupPublishing:
     def test_sql_version(self, client):
         v = client.get_geodb_sql_version()
         assert isinstance(v, str) and v
+
+
+class TestExport:
+    def test_export_geojson_and_csv(self, client, land_use, tmp_path):
+        import json as _json
+
+        gj = str(tmp_path / "exp_gj")
+        client.export_collection(land_use, gj, fmt="geojson", query="raba_id=eq.1410")
+        spark = client.spark
+        feats = [_json.loads(r.value) for r in spark.read.text(gj).collect()]
+        assert len(feats) == 2
+        assert all(f["type"] == "Feature" for f in feats)
+
+        cs = str(tmp_path / "exp_csv")
+        client.export_collection(land_use, cs, fmt="csv")
+        back = spark.read.option("header", True).csv(cs)
+        assert back.count() == 4
+        assert "geometry" in back.columns
+
+    def test_export_bad_format_raises(self, client, land_use, tmp_path):
+        with pytest.raises(GeoDBError, match="Unsupported export format"):
+            client.export_collection(land_use, str(tmp_path / "x"), fmt="shp")

@@ -207,3 +207,58 @@ class TestPlans:
         small = spark.range(10)
         j = df.join(F.broadcast(small), "id")
         assert broadcast_join_count(j) == 1
+
+
+class TestWriters:
+    """Distributed exports (sources/writers.py): both formats must
+    round-trip through the engine's own readers."""
+
+    @pytest.fixture()
+    def geo_df(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a", "POINT (1 2)"),
+                (2, "b", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+                (3, None, None),
+            ],
+            "id long, name string, wkt string",
+        )
+        return with_geometry_from_wkt(df, "wkt").drop("wkt")
+
+    def test_geojson_seq_roundtrip(self, spark, geo_df, tmp_path):
+        from xcube_geodb_spark.sources import read_geojson, write_geojson_seq
+
+        p = str(tmp_path / "export_geojsonl")
+        write_geojson_seq(geo_df, p)
+        back = read_geojson(spark, p, multiline=False)
+        got = {
+            r.id: (r.name, None if r.geometry is None else to_wkt(parse_wkb(bytes(r.geometry))))
+            for r in back.collect()
+        }
+        assert got[1] == ("a", "POINT (1 2)")
+        assert got[2][1].startswith("POLYGON")
+        assert got[3] == (None, None)
+
+    def test_geojson_features_are_valid_json_lines(self, spark, geo_df, tmp_path):
+        p = str(tmp_path / "export_geojsonl2")
+        from xcube_geodb_spark.sources import write_geojson_seq
+
+        write_geojson_seq(geo_df, p)
+        lines = [
+            json.loads(ln)
+            for ln in spark.read.text(p).toPandas()["value"]
+        ]
+        assert all(f["type"] == "Feature" for f in lines)
+        assert {f["properties"]["id"] for f in lines} == {1, 2, 3}
+
+    def test_csv_wkt_roundtrip(self, spark, geo_df, tmp_path):
+        from xcube_geodb_spark.sources import read_csv_wkt, write_csv_wkt
+
+        p = str(tmp_path / "export_csv")
+        write_csv_wkt(geo_df, p)
+        back = read_csv_wkt(spark, p)
+        got = {
+            r.id: None if r.geometry is None else to_wkt(parse_wkb(bytes(r.geometry)))
+            for r in back.collect()
+        }
+        assert got == {1: "POINT (1 2)", 2: "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", 3: None}

@@ -24,6 +24,7 @@ from xcube_geodb_spark.admin import (
     StacMetadata,
 )
 from xcube_geodb_spark.catalog import GeoDBCatalog
+from xcube_geodb_spark.errors import GeoDBError
 from xcube_geodb_spark.geometry.geom import parse_wkb
 from xcube_geodb_spark.operators import dml, scan, spatial
 from xcube_geodb_spark.session import get_spark
@@ -300,6 +301,31 @@ class GeoDBSparkClient:
         )
         self.events.log("read", f"Collection {db}_{collection} read")
         return self._collect_geo(df, srid)
+
+    def export_collection(
+        self,
+        collection: str,
+        path: str,
+        fmt: str = "geojson",
+        query: str | None = None,
+        database: str | None = None,
+    ) -> None:
+        """Distributed export (newline-delimited GeoJSON or CSV+WKT; the
+        reference leaves export to single-node geopandas ``to_file``). An
+        optional PostgREST ``query`` filters/projects before writing."""
+        from xcube_geodb_spark.sources import write_csv_wkt, write_geojson_seq
+
+        db = self._db(database)
+        df = scan.get_collection(self.catalog, collection, query, db)
+        if fmt == "geojson":
+            write_geojson_seq(df, path)
+        elif fmt == "csv":
+            write_csv_wkt(df, path)
+        else:
+            raise GeoDBError(f"Unsupported export format: {fmt!r}")
+        self.events.log(
+            "exported", f"Collection {db}_{collection} exported ({fmt})"
+        )
 
     def get_collection_versions(
         self, collection: str, database: str | None = None

@@ -8,6 +8,9 @@ Shapefile, README.md:13-14) POSTed as GeoJSON. Spark-native equivalents:
 - :func:`.readers.read_csv_wkt` — CSV with a WKT geometry column
 - :func:`.readers.with_geometry_from_wkt` / ``from_wkb_hex`` — column
   converters for any existing DataFrame
+- :func:`.writers.write_geojson_seq` / :func:`.writers.write_csv_wkt` —
+  distributed, re-ingestable exports (the reference leaves export to
+  single-node geopandas)
 """
 
 from xcube_geodb_spark.sources.readers import (
@@ -16,10 +19,18 @@ from xcube_geodb_spark.sources.readers import (
     with_geometry_from_wkt,
     with_geometry_from_wkb_hex,
 )
+from xcube_geodb_spark.sources.writers import (
+    geojson_feature_column,
+    write_csv_wkt,
+    write_geojson_seq,
+)
 
 __all__ = [
     "read_geojson",
     "read_csv_wkt",
     "with_geometry_from_wkt",
     "with_geometry_from_wkb_hex",
+    "write_geojson_seq",
+    "write_csv_wkt",
+    "geojson_feature_column",
 ]
