@@ -85,6 +85,43 @@ def _bench_warehouse(spark, sf_dir: str, timings: dict) -> float:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def _bench_ann_probe(spark, sf_dir: str, timings: dict, reps: int) -> float:
+    """ANN probe latency with the index built OUTSIDE the timed region —
+    ann_index_topk times the whole build+probe roundtrip; this key isolates
+    the steady-state query cost, which is what scales to 100 TB (the build
+    amortizes over every query)."""
+    import shutil
+    import tempfile
+
+    from xcube_geodb_spark.client import GeoDBSparkClient
+    from xcube_geodb_spark.operators.ann import ann_topk
+    from xcube_geodb_spark.suite.llm import _query_vector
+    from xcube_geodb_spark.suite.util import load
+
+    wh = tempfile.mkdtemp(prefix="geodb_bench_ann_")
+    try:
+        c = GeoDBSparkClient(spark, warehouse=wh, user="bench")
+        c.create_collection("emb", {"vec_id": "int", "embedding": "float[]"})
+        c.create_index("emb", "embedding", kind="lsh", options={"dim": 64})
+        c.insert_into_collection(
+            "emb", load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        )
+        q = _query_vector(spark, sf_dir)
+        best = float("inf")
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            out = ann_topk(
+                c.catalog, "emb", q, k=20, database="bench", id_col="vec_id"
+            )
+            out.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings["ann_probe"] = round(best, 3)
+        return best
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -119,6 +156,7 @@ def main() -> None:
             wh_best[k] = min(wh_best.get(k, float("inf")), v)
     timings.update(wh_best)
     total += sum(wh_best.values())
+    total += _bench_ann_probe(spark, sf_dir, timings, reps)
 
     print(
         json.dumps(

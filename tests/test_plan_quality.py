@@ -88,3 +88,49 @@ class TestPlanShape:
 
         plan = executed_plan(pg_topk_orders(spark, SF))
         assert "TakeOrderedAndProject" in plan  # not a global sort
+
+
+class TestRound2PlanShape:
+    def test_json_arrow_filter_keeps_sibling_pushdown(self, spark):
+        # a get_json_object predicate can't push to parquet, but plain
+        # predicates in the same query still must
+        from xcube_geodb_spark.filters import apply_postgrest_query
+        from xcube_geodb_spark.suite.util import load
+
+        df = load(spark, SF, "events")
+        out = apply_postgrest_query(
+            df, "user_id=gt.5&props->>k=eq.7&select=event_id"
+        )
+        assert has_pushed_filter(out, "user_id")
+
+    def test_fts_filter_stays_codegen(self, spark):
+        # the tsquery compiles to array/string Column algebra — no Python
+        # UDF (BatchEvalPython / ArrowEvalPython) may appear in the plan
+        from xcube_geodb_spark.filters import apply_postgrest_query
+
+        df = spark.read.parquet(f"{SF}/documents.parquet")
+        out = apply_postgrest_query(df, "text=fts.data%26spark&select=doc_id")
+        plan = executed_plan(out)
+        assert "EvalPython" not in plan
+        assert wholestage_codegen_spans(out) >= 1
+
+    def test_salted_join_keys_include_salt(self, spark):
+        # the whole point: the shuffle keys must be (key, salt), not key
+        from xcube_geodb_spark.plans import salted_join
+
+        big = spark.range(0, 10000).selectExpr("id % 3 AS k", "id AS rid")
+        dim = spark.range(0, 3).selectExpr("id AS k", "id * 10 AS label")
+        out = salted_join(big, dim, ["k"], salts=8)
+        plan = executed_plan(out)
+        assert "__salt" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_sampling_is_narrow_no_shuffle(self, spark):
+        # hash_sample must be projection+filter only: no Exchange
+        from xcube_geodb_spark.functions.sampling import hash_sample
+
+        df = spark.read.parquet(f"{SF}/documents.parquet")
+        out = hash_sample(df.select("doc_id"), "doc_id", 0.25)
+        plan = executed_plan(out)
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
