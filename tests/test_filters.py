@@ -256,3 +256,72 @@ class TestSelectShapesAndJsonArrows:
     def test_json_eq_compares_as_text(self, ev):
         # ->> yields text; PostgREST compares text, so eq.07 != '7'
         assert apply_postgrest_query(ev, "props->>k=eq.07").count() == 0
+
+
+class TestGrammarFuzz:
+    """Property layer over the parser: any query assembled from valid
+    grammar fragments must either apply cleanly or raise GeoDBError —
+    never leak an internal exception — and compilation is deterministic."""
+
+    COLS = ["id", "raba_id", "name", "d_od"]
+
+    @pytest.fixture(scope="class")
+    def hyp(self):
+        hypothesis = pytest.importorskip("hypothesis")
+        from hypothesis import strategies as st
+
+        cond = st.builds(
+            lambda c, o, v: f"{c}={o}.{v}",
+            st.sampled_from(self.COLS),
+            st.sampled_from(
+                ["eq", "neq", "gt", "gte", "lt", "lte", "like", "ilike",
+                 "match", "not.eq", "not.gt", "is"]
+            ),
+            st.sampled_from(["1410", "a", "*x*", "null", "2019-01-01", '"q v"']),
+        )
+        group = st.builds(
+            lambda c1, v1, c2, v2, conj:
+            f"{conj}=({c1}.eq.{v1},or({c2}.gt.{v2},{c1}.lte.{v2}))",
+            st.sampled_from(self.COLS), st.sampled_from(["1", "z"]),
+            st.sampled_from(self.COLS), st.sampled_from(["2", "9"]),
+            st.sampled_from(["and", "or", "not.and"]),
+        )
+        tail = st.sampled_from(
+            ["", "&select=id,raba_id", "&order=id.desc&limit=3",
+             "&select=x:raba_id&offset=1", "&order=raba_id.asc.nullslast"]
+        )
+        query = st.builds(
+            lambda a, b, t: "&".join(x for x in (a, b) if x) + t, cond,
+            st.one_of(st.just(""), cond, group), tail,
+        )
+        return hypothesis, query
+
+    def test_fuzz_never_leaks_internal_errors(self, land_use, hyp):
+        hypothesis, query = hyp
+        from hypothesis import HealthCheck, given, settings
+
+        @given(q=query)
+        @settings(
+            max_examples=120,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        def run(q):
+            try:
+                out = apply_postgrest_query(land_use, q)
+                cols_a = out.columns  # forces analysis
+                cols_b = apply_postgrest_query(land_use, q).columns
+                assert cols_a == cols_b  # deterministic compilation
+            except GeoDBError:
+                pass  # the one sanctioned failure mode
+
+        run()
+
+    def test_junk_strings_raise_geodb_error(self, land_use):
+        for junk in [
+            "raba_id=zz.5", "=eq.1", "and=raba_id.eq.1", "raba_id=not.",
+            "or=(raba_id.eq)", "limit=x", "raba_id=in.5", "tags=cs.[a]",
+        ]:
+            with pytest.raises((GeoDBError, ValueError)):
+                out = apply_postgrest_query(land_use, junk)
+                out.columns

@@ -386,6 +386,8 @@ def _split_pairs(query: str) -> list[tuple[str, str]]:
         if "=" not in part:
             raise GeoDBError(f"Malformed query fragment: {part!r}")
         k, v = part.split("=", 1)
+        if not k.strip():
+            raise GeoDBError(f"Empty key in query fragment: {part!r}")
         pairs.append((k.strip(), unquote(v.strip())))
     return pairs
 
