@@ -464,3 +464,21 @@ class TestExport:
     def test_export_bad_format_raises(self, client, land_use, tmp_path):
         with pytest.raises(GeoDBError, match="Unsupported export format"):
             client.export_collection(land_use, str(tmp_path / "x"), fmt="shp")
+
+
+class TestShimLiteralSafety:
+    def test_shim_never_rewrites_literal_contents(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        # literals containing shim-looking text pass through byte-identical
+        assert f("comment = 'match ~ ''this'''") == "comment = 'match ~ ''this'''"
+        assert f("name = 'a::b'") == "name = 'a::b'"
+        assert (
+            f("a ~ 'p' AND b = 'q ~ r'") == "a RLIKE 'p' AND b = 'q ~ r'"
+        )
+
+    def test_export_geojson_without_geometry_raises(self, client, land_use, tmp_path):
+        with pytest.raises(GeoDBError, match="geometry column"):
+            client.export_collection(
+                land_use, str(tmp_path / "x"), fmt="geojson", query="select=id"
+            )

@@ -325,3 +325,18 @@ class TestGrammarFuzz:
             with pytest.raises((GeoDBError, ValueError)):
                 out = apply_postgrest_query(land_use, junk)
                 out.columns
+
+
+class TestReviewRegressions:
+    """Regressions from the round-2 self-review: parser error contract."""
+
+    def test_wfts_empty_raises_geodb_error(self, land_use):
+        for q in ["name=wfts.", "name=wfts.or", "name=phfts. "]:
+            with pytest.raises(GeoDBError):
+                apply_postgrest_query(land_use, q).columns
+
+    def test_cs_on_non_array_column_raises_geodb_error(self, land_use):
+        with pytest.raises(GeoDBError, match="array-typed"):
+            apply_postgrest_query(land_use, "name=cs.{a}").columns
+        with pytest.raises(GeoDBError, match="array-typed"):
+            apply_postgrest_query(land_use, "name=cd.{a,b}").columns

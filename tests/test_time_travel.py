@@ -78,3 +78,36 @@ class TestTimeTravel:
         client.vacuum_collection("tt")
         assert _ks(client, version=1) == [1, 2]
         assert _ks(client, version=2) == [1, 2, 3, 4]
+
+
+class TestRestoreSchema:
+    def test_restore_rolls_back_dropped_property(self, client):
+        # add/drop_properties mutate metadata without a data commit; restore
+        # must bring the snapshot's SCHEMA back or v1 files would be read
+        # under the post-drop schema and silently prune the column
+        client.catalog.drop_properties("tt", ["name"], "t")
+        assert "name" not in client.catalog.meta("tt", "t").properties
+        client.restore_collection("tt", 1)
+        m = client.catalog.meta("tt", "t")
+        assert "name" in m.properties
+        df = client.catalog.load_df("tt", "t")
+        assert sorted(r.name for r in df.select("name").collect()) == ["a", "b"]
+
+
+class TestMergeMeta:
+    def test_merge_meta_cannot_clobber_sibling_keys(self, client):
+        # the exactly-once guarantee for two streams on one collection:
+        # each commit merges only ITS epoch key against the fresh metadata
+        cat = client.catalog
+        cat.commit_version(
+            "tt", "t", None, merge_meta={"stream_epochs": {"a": 7}}
+        )
+        cat.commit_version(
+            "tt", "t", None, merge_meta={"stream_epochs": {"b": 3}}
+        )
+        assert cat.meta("tt", "t").d["stream_epochs"] == {"a": 7, "b": 3}
+        # a replayed/stale writer advancing only its own key leaves b alone
+        cat.commit_version(
+            "tt", "t", None, merge_meta={"stream_epochs": {"a": 8}}
+        )
+        assert cat.meta("tt", "t").d["stream_epochs"] == {"a": 8, "b": 3}

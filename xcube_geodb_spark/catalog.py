@@ -458,7 +458,10 @@ class GeoDBCatalog:
     ) -> None:
         """Roll the collection back to a snapshot — metadata-only (a new
         commit whose manifest lists the old version's files; no data is
-        copied or rewritten, exactly like Delta's RESTORE)."""
+        copied or rewritten, exactly like Delta's RESTORE). The snapshot's
+        SCHEMA (properties + srid) restores too: add/drop_properties
+        mutate metadata without a data commit, and reading v1 files under
+        a post-drop schema would silently prune the restored column."""
         cur = self.meta(collection, database)
         old = self.meta_at_version(collection, database, version)
         missing = [
@@ -480,6 +483,7 @@ class GeoDBCatalog:
             keep_files=old.files,
             max_id=old.max_id,
             expected_version=cur.version,
+            extra_meta={"properties": old.properties, "srid": old.srid},
         )
 
     def load_df(
@@ -515,11 +519,17 @@ class GeoDBCatalog:
         return df.select(*order)
 
     def load_files(
-        self, collection: str, database: str, files: list[str]
+        self,
+        collection: str,
+        database: str,
+        files: list[str],
+        meta: CollectionMeta | None = None,
     ) -> DataFrame:
         """DataFrame over a subset of manifest files (schema evolution
-        applied) — used by DML to rewrite only touched files."""
-        m = self.meta(collection, database)
+        applied) — used by DML to rewrite only touched files. Pass ``meta``
+        to reuse an already-read manifest (the ANN probe path reads it
+        once per query)."""
+        m = meta if meta is not None else self.meta(collection, database)
         schema = m.spark_schema(include_system=True)
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -529,9 +539,14 @@ class GeoDBCatalog:
         df = self.spark.read.schema(schema).parquet(*paths)
         return df.select(*[f.name for f in schema.fields])
 
-    def manifest_paths(self, collection: str, database: str) -> dict[str, str]:
+    def manifest_paths(
+        self,
+        collection: str,
+        database: str,
+        meta: CollectionMeta | None = None,
+    ) -> dict[str, str]:
         """manifest-relative name -> absolute path for the current snapshot."""
-        m = self.meta(collection, database)
+        m = meta if meta is not None else self.meta(collection, database)
         cdir = self._coll_dir(collection, database)
         return {f: os.path.join(cdir, f) for f in m.files}
 
@@ -545,13 +560,19 @@ class GeoDBCatalog:
         max_id: int | None = None,
         expected_version: int | None = None,
         extra_meta: dict | None = None,
+        merge_meta: dict | None = None,
     ) -> None:
         """Write ``new_df`` (if any) as new data files; the next snapshot is
         ``keep_files + written files``. Atomic metadata swap; optimistic
-        version check for single-writer safety. ``extra_meta`` keys merge
-        into the metadata document in the SAME atomic swap — the streaming
-        sink records its epoch watermark this way so data and epoch can
-        never diverge across a crash."""
+        version check for single-writer safety.
+
+        ``extra_meta`` keys REPLACE top-level metadata keys in the same
+        atomic swap (restore uses it to roll schema back). ``merge_meta``
+        keys one-level-MERGE into existing dict values against the FRESH
+        post-write metadata read — the streaming sink records its epoch
+        watermark this way, so two streams feeding one collection can
+        never clobber each other's epochs with a stale driver-side read,
+        and data + epoch cannot diverge across a crash."""
         m = self.meta(collection, database)
         if expected_version is not None and m.version != expected_version:
             raise GeoDBError(
@@ -597,6 +618,11 @@ class GeoDBCatalog:
             m.d["max_id"] = int(max_id)
         if extra_meta:
             m.d.update(extra_meta)
+        if merge_meta:
+            for k, v in merge_meta.items():
+                merged = dict(m.d.get(k) or {})
+                merged.update(v)
+                m.d[k] = merged
         _atomic_write_json(m.path, m.d)
         # snapshot the manifest for time travel (load_df(version=...),
         # restore_collection). Files dropped from the current manifest stay

@@ -317,6 +317,11 @@ class GeoDBSparkClient:
 
         db = self._db(database)
         df = scan.get_collection(self.catalog, collection, query, db)
+        if fmt == "geojson" and "geometry" not in df.columns:
+            raise GeoDBError(
+                "GeoJSON export needs the geometry column; the query's "
+                "select= projected it away"
+            )
         if fmt == "geojson":
             write_geojson_seq(df, path)
         elif fmt == "csv":

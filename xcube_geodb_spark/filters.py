@@ -36,6 +36,7 @@ notebooks — see SURVEY.md §2.2):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -117,8 +118,6 @@ def _col_ref(
     PostgREST renders it as jsonb)."""
     if "->" not in name:
         return F.col(name), (schema or {}).get(name)
-    import re
-
     parts = re.split(r"->>|->", name)
     base = parts[0].strip()
     path = "$"
@@ -132,8 +131,6 @@ def _select_expr(item: str, schema: dict[str, T.DataType] | None) -> Column:
     segment optional (PostgREST v6 resource-embedding excluded — there are
     no foreign tables in a collection scan). Default output names follow
     PostgREST: a json extraction is named after its last path key."""
-    import re
-
     alias = None
     m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(?!:)(.+)$", item)
     if m:
@@ -150,9 +147,7 @@ def _select_expr(item: str, schema: dict[str, T.DataType] | None) -> Column:
         col = col.cast(pg_type_to_spark(cast))
     if alias is None:
         if "->" in item:
-            import re as _re
-
-            alias = _re.split(r"->>|->", item)[-1].strip()
+            alias = re.split(r"->>|->", item)[-1].strip()
         elif cast is not None:
             alias = item
         else:
@@ -236,6 +231,12 @@ def _containment(c: Column, op: str, value: str, dtype) -> Column:
     raw = value.strip()
     if not (raw.startswith("{") and raw.endswith("}")):
         raise GeoDBError(f"{op} filter requires a brace list: {value!r}")
+    if dtype is not None and not isinstance(dtype, T.ArrayType):
+        # PostgREST also applies @>/<@ to jsonb/ranges; the engine's
+        # property model stores arrays — fail the parse, not Spark analysis
+        raise GeoDBError(
+            f"{op} filter requires an array-typed column, got {dtype.simpleString()}"
+        )
     elem_dtype = dtype.elementType if isinstance(dtype, T.ArrayType) else None
     items = [_parse_literal(v, elem_dtype) for v in _split_csv(raw[1:-1])]
     lit_arr = F.array(*[F.lit(v) for v in items])
@@ -251,8 +252,6 @@ def _fts_tokens(c: Column) -> Column:
 
 
 def _fts_norm(term: str) -> str:
-    import re
-
     return " ".join(t for t in re.split(r"[^a-z0-9]+", term.lower()) if t)
 
 
@@ -283,6 +282,8 @@ def _fts(c: Column, op: str, value: str) -> Column:
         return ~e if neg else e
 
     if op == "phfts":
+        if not _fts_norm(value):
+            raise GeoDBError(f"Empty phrase in phfts filter: {value!r}")
         return _fts_phrase(c, value)
     if op == "plfts":
         words = _fts_norm(value).split(" ")
@@ -291,8 +292,6 @@ def _fts(c: Column, op: str, value: str) -> Column:
             out = out & term(w)
         return out
     if op == "wfts":
-        import re
-
         groups: list[list[str]] = [[]]
         for t in re.findall(r'-?"[^"]+"|\S+', value):
             if t.lower() == "or":
@@ -305,6 +304,8 @@ def _fts(c: Column, op: str, value: str) -> Column:
             for t in g[1:]:
                 e = e & term(t)
             group_cols.append(e)
+        if not group_cols:
+            raise GeoDBError(f"Empty wfts query: {value!r}")
         out = group_cols[0]
         for e in group_cols[1:]:
             out = out | e

@@ -33,8 +33,7 @@ from xcube_geodb_spark.functions.similarity import (
 from xcube_geodb_spark.operators.pruning import split_files_by_constraints
 
 
-def _ann_index(catalog: GeoDBCatalog, collection: str, database: str) -> dict:
-    m = catalog.meta(collection, database)
+def _ann_index(m, collection: str, database: str) -> dict:
     idx = next(
         (i for i in m.d.get("indexes", []) if i["type"] in ("lsh", "ivf")), None
     )
@@ -51,12 +50,14 @@ def ann_probe_files(
     query_vector: list[float],
     database: str = "public",
     n_probe: int = 2,
+    meta=None,
 ) -> tuple[list[str], list[str]]:
     """(touched, pruned) manifest files for a query vector — footer-stat
     pruning only, no Spark job. Exposed for tests and EXPLAIN-style
-    introspection."""
-    idx = _ann_index(catalog, collection, database)
-    paths = catalog.manifest_paths(collection, database)
+    introspection. ``meta`` reuses an already-read manifest."""
+    m = meta if meta is not None else catalog.meta(collection, database)
+    idx = _ann_index(m, collection, database)
+    paths = catalog.manifest_paths(collection, database, meta=m)
     if idx["type"] == "lsh":
         hp = lsh_hyperplanes(
             int(idx["dim"]), int(idx.get("n_bits", 8)), int(idx.get("seed", 42))
@@ -80,13 +81,18 @@ def ann_topk(
     """Top-k cosine neighbors via the declared ANN index, scanning only the
     files whose at-rest bucket range admits the probe. File pruning is
     conservative (a file spanning several buckets survives), so the exact
-    bucket/centroid filter is re-applied row-wise on the survivors."""
-    idx = _ann_index(catalog, collection, database)
+    bucket/centroid filter is re-applied row-wise on the survivors.
+
+    The manifest is read ONCE per probe and shared across index lookup,
+    file pruning, and the scan — probe latency pays one metadata read plus
+    the footer checks, nothing else driver-side."""
+    m = catalog.meta(collection, database)
+    idx = _ann_index(m, collection, database)
     prop = idx["property"]
     touched, _pruned = ann_probe_files(
-        catalog, collection, query_vector, database, n_probe
+        catalog, collection, query_vector, database, n_probe, meta=m
     )
-    sub = catalog.load_files(collection, database, touched)
+    sub = catalog.load_files(collection, database, touched, meta=m)
     if idx["type"] == "lsh":
         hp = lsh_hyperplanes(
             int(idx["dim"]), int(idx.get("n_bits", 8)), int(idx.get("seed", 42))

@@ -132,10 +132,11 @@ def insert_into_collection(
     upsert: bool = False,
     crs: int | None = None,
     database: str = "public",
-    extra_meta: dict | None = None,
+    merge_meta: dict | None = None,
 ) -> int:
-    """Returns the number of rows written. ``extra_meta`` merges into the
-    collection metadata in the same atomic commit (streaming-sink epochs)."""
+    """Returns the number of rows written. ``merge_meta`` one-level-merges
+    into dict-valued collection metadata keys in the same atomic commit
+    (streaming-sink epochs; see catalog.commit_version)."""
     m = catalog.meta(collection, database)
     if isinstance(values, pd.DataFrame) and not upsert:
         # fast path: the rows are already driver-side — assign ids AND
@@ -169,7 +170,7 @@ def insert_into_collection(
             keep_files=None,
             max_id=m.max_id + len(pdf),
             expected_version=m.version,
-            extra_meta=extra_meta,
+            merge_meta=merge_meta,
         )
         return len(pdf)
 
@@ -264,7 +265,7 @@ def insert_into_collection(
             keep_files=untouched,
             max_id=max(m.max_id, int(max_new)),
             expected_version=m.version,
-            extra_meta=extra_meta,
+            merge_meta=merge_meta,
         )
         return int(df.count())
 
@@ -282,7 +283,7 @@ def insert_into_collection(
         keep_files=None,  # keep all existing
         max_id=m.max_id + n_no_id,
         expected_version=m.version,
-        extra_meta=extra_meta,
+        merge_meta=merge_meta,
     )
     return n_no_id
 

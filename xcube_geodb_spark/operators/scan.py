@@ -75,11 +75,6 @@ _CAST_RE = re.compile(
         \s*::\s*([A-Za-z_][A-Za-z0-9_]*)""",
     re.VERBOSE,
 )
-_REGEX_OP_RE = re.compile(
-    r"(\S+)\s*(!~\*|!~|~\*|~)\s*'([^']*)'"
-)
-
-
 def _pg_clause_to_spark(clause: str | None) -> str | None:
     """Textual shim for the PG-isms Spark SQL's parser rejects, applied
     outside string literals only:
@@ -87,11 +82,13 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     - ``expr::type`` -> ``CAST(expr AS type)`` (identifier / literal /
       single function call operands; PG-only type names mapped)
     - ``col ~ 'pat'`` / ``~*`` / ``!~`` / ``!~*`` -> ``RLIKE`` with a
-      ``(?i)`` prefix for the case-insensitive forms
+      ``(?i)`` prefix for the case-insensitive forms (pattern must be a
+      quoted literal)
 
     Spark-native PG-isms (``ILIKE``, ``||``, ``IS DISTINCT FROM``) pass
-    through untouched. A documented textual shim, not a SQL transpiler —
-    SURVEY.md §7 records the dialect boundary."""
+    through untouched, and string-literal CONTENTS are never rewritten.
+    A documented textual shim, not a SQL transpiler — SURVEY.md §7 records
+    the dialect boundary."""
     if not clause:
         return clause
 
@@ -99,7 +96,11 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
         t = m.group(2).lower()
         return f"CAST({m.group(1)} AS {_PG_CAST_TYPES.get(t, t)})"
 
-    # casts rewrite only outside string literals ('' is the quote escape)
+    # Work on quote-split segments throughout: even indexes are code, odd
+    # indexes are complete string literals ('' is the quote escape). Both
+    # rewrites below touch ONLY code segments, so literal contents can
+    # never be corrupted — a literal that happens to contain "x ~ 'y'" or
+    # "a::b" passes through byte-identical.
     parts = re.split(r"('(?:[^']|'')*')", clause)
     for i in range(0, len(parts), 2):
         seg = parts[i]
@@ -108,26 +109,28 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             prev = seg
             seg = _CAST_RE.sub(_cast, seg)
         parts[i] = seg
-    s = "".join(parts)
-    # a cast whose operand IS a string literal spans the quote split:
-    # '2024-01-01'::date — rewrite it on the rejoined string
-    s = re.sub(
-        r"('(?:[^']|'')*')\s*::\s*([A-Za-z_][A-Za-z0-9_]*)",
-        lambda m: f"CAST({m.group(1)} AS "
-        f"{_PG_CAST_TYPES.get(m.group(2).lower(), m.group(2).lower())})",
-        s,
-    )
-
-    def _regex(m: re.Match) -> str:
-        lhs, op, pat = m.groups()
-        if "*" in op:
-            pat = f"(?i){pat}"
-        neg = "NOT " if op.startswith("!") else ""
-        return f"{neg}{lhs} RLIKE '{pat}'"
-
-    # the regex-op operand IS a quoted literal, so this pass runs on the
-    # rejoined string (limit: patterns must be plain quoted literals)
-    return _REGEX_OP_RE.sub(_regex, s)
+    # cross-segment forms, resolved on the segment LIST so only real
+    # literals (odd indexes) participate:
+    # - '<literal>'::type  — cast whose operand is the preceding literal
+    # - lhs ~ '<literal>'  — regex op whose pattern is the following literal
+    for i in range(1, len(parts), 2):
+        after = parts[i + 1] if i + 1 < len(parts) else ""
+        m = re.match(r"\s*::\s*([A-Za-z_][A-Za-z0-9_]*)(.*)", after, re.DOTALL)
+        if m:
+            t = m.group(1).lower()
+            parts[i] = f"CAST({parts[i]} AS {_PG_CAST_TYPES.get(t, t)})"
+            parts[i + 1] = m.group(2)
+        before = parts[i - 1]
+        m = re.search(r"(\S+)\s*(!~\*|!~|~\*|~)\s*$", before)
+        if m and not parts[i].startswith("CAST("):
+            lhs, op = m.groups()
+            pat = parts[i][1:-1]
+            if "*" in op:
+                pat = f"(?i){pat}"
+            neg = "NOT " if op.startswith("!") else ""
+            parts[i - 1] = before[: m.start()]
+            parts[i] = f"{neg}{lhs} RLIKE '{pat}'"
+    return "".join(parts)
 
 
 def build_pg_sql(

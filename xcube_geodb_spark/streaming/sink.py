@@ -56,8 +56,10 @@ def collection_batch_writer(
             return  # replayed batch: already durably committed
         if batch_df.isEmpty():
             return
-        epochs = dict(m.d.get("stream_epochs", {}))
-        epochs[query_name] = int(batch_id)
+        # merge_meta (not a replace): the merge applies against the FRESH
+        # metadata inside the commit swap, so a second stream committing
+        # concurrently can't have its epoch clobbered by this driver-side
+        # read going stale
         insert_into_collection(
             catalog,
             collection,
@@ -65,7 +67,7 @@ def collection_batch_writer(
             upsert=upsert,
             crs=crs,
             database=database,
-            extra_meta={"stream_epochs": epochs},
+            merge_meta={"stream_epochs": {query_name: int(batch_id)}},
         )
 
     return _write_batch
