@@ -111,3 +111,47 @@ class TestMergeMeta:
             "tt", "t", None, merge_meta={"stream_epochs": {"a": 8}}
         )
         assert cat.meta("tt", "t").d["stream_epochs"] == {"a": 8, "b": 3}
+
+
+class TestChangeFeed:
+    def test_insert_update_delete_classification(self, client):
+        # fixture history: v1 insert {1,2}, v2 insert {3,4}, v3 delete k<3
+        from xcube_geodb_spark.operators.changes import collection_changes
+
+        ch = collection_changes(client.catalog, "tt", "t", 1, 3)
+        got = {(r.k, r._change_type) for r in ch.collect()}
+        assert got == {(3, "insert"), (4, "insert"), (1, "delete"), (2, "delete")}
+
+    def test_update_shows_post_image_and_skips_rewrites(self, client):
+        from xcube_geodb_spark.operators.changes import collection_changes
+
+        v_before = client.catalog.meta("tt", "t").version
+        client.update_collection("tt", {"name": "Z"}, "k=eq.3", database="t")
+        ch = collection_changes(client.catalog, "tt", "t", v_before)
+        rows = ch.collect()
+        # only the updated row appears — k=4 was rewritten into a new file
+        # by the same DML pass but its payload is unchanged
+        assert {(r.k, r._change_type, r.name) for r in rows} == {
+            (3, "update", "Z")
+        }
+
+    def test_update_to_null_surfaces_null(self, client):
+        from xcube_geodb_spark.operators.changes import collection_changes
+
+        v = client.catalog.meta("tt", "t").version
+        client.update_collection("tt", {"name": None}, "k=eq.4", database="t")
+        rows = collection_changes(client.catalog, "tt", "t", v).collect()
+        assert [(r.k, r._change_type, r.name) for r in rows] == [
+            (4, "update", None)
+        ]
+
+    def test_bad_version_order_raises(self, client):
+        from xcube_geodb_spark.operators.changes import collection_changes
+
+        with pytest.raises(GeoDBError, match="newer than"):
+            collection_changes(client.catalog, "tt", "t", 3, 1)
+
+    def test_client_facade(self, client):
+        pdf = client.get_collection_changes("tt", 1, 2, database="t")
+        assert set(pdf["_change_type"]) == {"insert"}
+        assert sorted(pdf["k"]) == [3, 4]

@@ -352,6 +352,24 @@ class GeoDBSparkClient:
         )
         return self._collect_geo(df, srid)
 
+    def get_collection_changes(
+        self,
+        collection: str,
+        from_version: int,
+        to_version: int | None = None,
+        database: str | None = None,
+    ) -> pd.DataFrame:
+        """Row-level change feed between two snapshots (insert / update /
+        delete + row image; operators/changes.py)."""
+        from xcube_geodb_spark.operators.changes import collection_changes
+
+        db = self._db(database)
+        srid = self.catalog.get_collection_srid(collection, db)
+        df = collection_changes(
+            self.catalog, collection, db, from_version, to_version
+        )
+        return self._collect_geo(df, srid)
+
     def restore_collection(
         self, collection: str, version: int, database: str | None = None
     ) -> None:

@@ -117,11 +117,31 @@ def dml_time_travel_roundtrip(spark, sf_dir) -> DataFrame:
     )
 
 
+def dml_changes_feed(spark, sf_dir) -> DataFrame:
+    """Change data feed across DML history: insert (v1) -> delete region 2
+    (v2) -> redact region-1 names (v3); the diff v1->v3 must contain
+    exactly the deleted rows (pre-image) and updated rows (post-image) —
+    rows rewritten by DML with unchanged payloads must NOT appear."""
+    from xcube_geodb_spark.operators.changes import collection_changes
+
+    c = _fresh_client(spark)
+    c.create_collection(
+        "natf", {"n_nationkey": "int", "n_name": "text", "n_regionkey": "int"}
+    )
+    c.insert_into_collection("natf", _nation_pdf(spark, sf_dir))  # v1
+    c.delete_from_collection("natf", "n_regionkey=eq.2")  # v2
+    c.update_collection("natf", {"n_name": "REDACTED"}, "n_regionkey=eq.1")  # v3
+    return collection_changes(c.catalog, "natf", "driver", 1, 3).select(
+        "n_nationkey", "n_name", "_change_type"
+    )
+
+
 DML_QUERIES = {
     "dml_delete_update_roundtrip": dml_delete_update_roundtrip,
     "dml_upsert_roundtrip": dml_upsert_roundtrip,
     "dml_compact_roundtrip": dml_compact_roundtrip,
     "dml_time_travel_roundtrip": dml_time_travel_roundtrip,
+    "dml_changes_feed": dml_changes_feed,
 }
 
 # the engine maps the reference's "int" property type to bigint
@@ -149,5 +169,13 @@ DML_ORACLES = {
         SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                CAST(n_regionkey AS BIGINT) AS n_regionkey
         FROM nation
+    """,
+    "dml_changes_feed": """
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+               'REDACTED' AS n_name, 'update' AS _change_type
+        FROM nation WHERE n_regionkey = 1
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT), n_name, 'delete'
+        FROM nation WHERE n_regionkey = 2
     """,
 }
