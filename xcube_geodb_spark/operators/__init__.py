@@ -8,4 +8,8 @@
 - :mod:`.ids`     — dense sequential id assignment without a global shuffle
 - :mod:`.stats`   — parquet-footer statistics (row counts, min/max) for the
                     reference's "estimated" fast paths
+- :mod:`.pruning` — footer-stat file pruning shared by DML and probes
+- :mod:`.ann`     — ANN probes over the bucket-clustered at-rest layout
+- :mod:`.maintenance` — small-file compaction + orphan/snapshot vacuum
+- :mod:`.changes` — change data feed between time-travel snapshots
 """
