@@ -175,3 +175,75 @@ class TestBboxPredicates:
             "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
         )
         assert bbox_predicate("disjoint", donut, (4.5, 4.5, 5.5, 5.5))
+
+
+class TestMeasures:
+    """area / length / perimeter / centroid (PostGIS ST_* semantics)."""
+
+    def g(self, wkt):
+        from xcube_geodb_spark.geometry.geom import parse_wkt
+
+        return parse_wkt(wkt)
+
+    def test_area_orientation_independent(self):
+        from xcube_geodb_spark.geometry.geom import area
+
+        ccw = self.g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        cw = self.g("POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))")
+        assert area(ccw) == area(cw) == 16.0
+
+    def test_area_hole_subtracts(self):
+        from xcube_geodb_spark.geometry.geom import area
+
+        holed = self.g(
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+        )
+        assert area(holed) == 15.0
+
+    def test_area_zero_for_lines_points(self):
+        from xcube_geodb_spark.geometry.geom import area
+
+        assert area(self.g("LINESTRING (0 0, 5 0)")) == 0.0
+        assert area(self.g("POINT (1 2)")) == 0.0
+
+    def test_length_vs_perimeter_split(self):
+        from xcube_geodb_spark.geometry.geom import length, perimeter
+
+        line = self.g("LINESTRING (0 0, 3 4, 3 10)")
+        poly = self.g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        assert length(line) == 11.0 and perimeter(line) == 0.0
+        assert length(poly) == 0.0 and perimeter(poly) == 16.0
+
+    def test_centroid_polygon_with_hole(self):
+        from xcube_geodb_spark.geometry.geom import centroid
+
+        holed = self.g(
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+        )
+        cx, cy = centroid(holed)
+        # (16*2 - 1*1.5) / 15 for both axes
+        assert abs(cx - 30.5 / 15) < 1e-12 and abs(cy - 30.5 / 15) < 1e-12
+
+    def test_centroid_line_length_weighted(self):
+        from xcube_geodb_spark.geometry.geom import centroid
+
+        cx, cy = centroid(self.g("LINESTRING (0 0, 3 4, 3 10)"))
+        assert abs(cx - 25.5 / 11) < 1e-12 and abs(cy - 52.0 / 11) < 1e-12
+
+    def test_centroid_multipolygon(self):
+        from xcube_geodb_spark.geometry.geom import centroid
+
+        m = self.g(
+            "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)),"
+            " ((10 0, 12 0, 12 2, 10 2, 10 0)))"
+        )
+        assert centroid(m) == (6.0, 1.0)
+
+    def test_centroid_highest_dimension_wins(self):
+        from xcube_geodb_spark.geometry.geom import centroid, parse_wkt
+
+        mix = parse_wkt(
+            "GEOMETRYCOLLECTION (POINT (100 100),"
+            " POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))"
+        )
+        assert centroid(mix) == (1.0, 1.0)  # the point is ignored

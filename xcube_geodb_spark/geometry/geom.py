@@ -477,6 +477,94 @@ def envelope(geom: Geometry) -> tuple[float, float, float, float]:
     return xmin, ymin, xmax, ymax
 
 
+def _ring_shoelace(arr: np.ndarray) -> float:
+    """Signed double-area of a ring (positive = counter-clockwise)."""
+    x, y = arr[:, 0], arr[:, 1]
+    return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+def area(geom: Geometry) -> float:
+    """Planar area (PostGIS ``ST_Area`` semantics: polygons contribute,
+    holes subtract, points/lines are 0). Cartesian in the collection's
+    CRS units, like PostGIS on a non-geography column."""
+    total = 0.0
+    for leaf in geom.children():
+        if leaf.kind == "Polygon":
+            rings = leaf.parts
+            total += abs(_ring_shoelace(rings[0])) / 2.0
+            for hole in rings[1:]:
+                total -= abs(_ring_shoelace(hole)) / 2.0
+    return total
+
+
+def _line_length(arr: np.ndarray) -> float:
+    d = np.diff(arr, axis=0)
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def length(geom: Geometry) -> float:
+    """``ST_Length``: LineString/MultiLineString length; 0 for points and
+    polygons (use :func:`perimeter` for ring length, as PostGIS does)."""
+    return sum(
+        _line_length(leaf.parts)
+        for leaf in geom.children()
+        if leaf.kind == "LineString"
+    )
+
+
+def perimeter(geom: Geometry) -> float:
+    """``ST_Perimeter``: total ring length of polygons (holes included);
+    0 for points and lines."""
+    total = 0.0
+    for leaf in geom.children():
+        if leaf.kind == "Polygon":
+            total += sum(_line_length(r) for r in leaf.parts)
+    return total
+
+
+def centroid(geom: Geometry) -> tuple[float, float]:
+    """``ST_Centroid`` of the highest-dimension component set: area-weighted
+    for polygons (holes subtract), length-weighted for lines, mean for
+    points — PostGIS picks the highest dimension present in a mix."""
+    a_sum = ax = ay = 0.0
+    l_sum = lx = ly = 0.0
+    n_pts = px = py = 0.0
+    for leaf in geom.children():
+        if leaf.kind == "Polygon":
+            for i, ring in enumerate(leaf.parts):
+                s = _ring_shoelace(ring)
+                sgn = (1.0 if i == 0 else -1.0) * (1.0 if s >= 0 else -1.0)
+                x, y = ring[:, 0], ring[:, 1]
+                cross = x * np.roll(y, -1) - np.roll(x, -1) * y
+                cx = float(((x + np.roll(x, -1)) * cross).sum()) / 6.0
+                cy = float(((y + np.roll(y, -1)) * cross).sum()) / 6.0
+                a = abs(s) / 2.0 * sgn
+                a_sum += a
+                # cx/cy carry the ring's own orientation sign; normalize
+                orient = 1.0 if s >= 0 else -1.0
+                ax += cx * orient * sgn
+                ay += cy * orient * sgn
+        elif leaf.kind == "LineString":
+            arr = leaf.parts
+            d = np.diff(arr, axis=0)
+            seg_len = np.hypot(d[:, 0], d[:, 1])
+            mids = (arr[:-1] + arr[1:]) / 2.0
+            l_sum += float(seg_len.sum())
+            lx += float((mids[:, 0] * seg_len).sum())
+            ly += float((mids[:, 1] * seg_len).sum())
+        elif leaf.kind == "Point":
+            n_pts += 1
+            px += float(leaf.parts[0])
+            py += float(leaf.parts[1])
+    if a_sum != 0.0:
+        return ax / a_sum, ay / a_sum
+    if l_sum != 0.0:
+        return lx / l_sum, ly / l_sum
+    if n_pts:
+        return px / n_pts, py / n_pts
+    return math.nan, math.nan
+
+
 def bbox_polygon(
     minx: float, miny: float, maxx: float, maxy: float, srid: int = 0
 ) -> Geometry:

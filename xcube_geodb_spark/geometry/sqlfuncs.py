@@ -85,3 +85,44 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         "equals",
     ):
         spark.udf.register(f"st_{mode}", _pred(mode), T.BooleanType())
+    from xcube_geodb_spark.geometry.geom import (
+        area,
+        centroid,
+        length,
+        perimeter,
+        to_wkb,
+    )
+    from xcube_geodb_spark.geometry.geom import Geometry as _G
+    import numpy as _np
+
+    for name, fn in (
+        ("st_area", area),
+        ("st_length", length),
+        ("st_perimeter", perimeter),
+    ):
+        spark.udf.register(
+            name,
+            (lambda fn: lambda b: fn(parse_wkb(b)) if b is not None else None)(fn),
+            T.DoubleType(),
+        )
+    spark.udf.register(
+        "st_centroid",
+        lambda b: to_wkb(_G("Point", _np.array(centroid(parse_wkb(b)))))
+        if b is not None
+        else None,
+        T.BinaryType(),
+    )
+    spark.udf.register(
+        "st_x",
+        lambda b: float(parse_wkb(b).parts[0])
+        if b is not None and parse_wkb(b).kind == "Point"
+        else None,
+        T.DoubleType(),
+    )
+    spark.udf.register(
+        "st_y",
+        lambda b: float(parse_wkb(b).parts[1])
+        if b is not None and parse_wkb(b).kind == "Point"
+        else None,
+        T.DoubleType(),
+    )

@@ -289,7 +289,34 @@ def _sq_oracle(box, predicate: str, extra_where: str = "") -> str:
 _INTERSECTS = f"ix >= -{EPS} AND iy >= -{EPS}"
 _II = f"ix > {EPS} AND iy > {EPS}"
 
+def geo_measures_squares(spark, sf_dir):
+    """st_area / st_perimeter / st_centroid / st_x / st_y scalars through
+    the raw-SQL path; the squares' closed-form (x, y, h) parameters give
+    the oracle exact expected values (area 4h^2, perimeter 8h,
+    centroid (x, y))."""
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("sq_measures")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               round(st_area(geometry), 6) AS area,
+               round(st_perimeter(geometry), 6) AS perim,
+               round(st_x(st_centroid(geometry)), 6) AS cx,
+               round(st_y(st_centroid(geometry)), 6) AS cy
+        FROM sq_measures
+        """
+    )
+
+
 GEO_ORACLES = {
+    "geo_measures_squares": f"""
+        SELECT c_custkey, round(4 * h * h, 6) AS area,
+               round(8 * h, 6) AS perim,
+               round(x, 6) AS cx, round(y, 6) AS cy
+        FROM ({_SQS})
+    """,
     "geo_bbox_contains_points": f"""
         SELECT c_custkey FROM ({_PTS})
         WHERE x > {BOX_CONTAINS[0]} AND x < {BOX_CONTAINS[2]}
@@ -347,6 +374,7 @@ GEO_ORACLES = {
 }
 
 GEO_QUERIES = {
+    "geo_measures_squares": geo_measures_squares,
     "geo_bbox_contains_points": geo_bbox_contains_points,
     "geo_bbox_crs_transform": geo_bbox_crs_transform,
     "geo_bbox_disjoint_points": geo_bbox_disjoint_points,
