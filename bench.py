@@ -29,6 +29,7 @@ HEADLINE = [
     "scan_filter_nested",           # nested boolean grammar
     "join_revenue_by_nation",       # broadcast join + agg
     "join_q5_asia",                 # multi-join + agg
+    "join_q3_shipping",             # selective fact-fact join + top-k
     "window_top_order_per_customer",# window function
     "events_tumbling_hour",         # time-window agg
     "events_sessionization",        # stateful sessionization (batch form)

@@ -289,6 +289,41 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective filters on both fact
+    tables pushed to their scans, customer dim broadcast, top-10 by
+    revenue -> TakeOrderedAndProject."""
+    cutoff = "1995-03-15"
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            )
+            .cast("long")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        )
+    )
+
+
 def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """salted_join (plans/skew.py) is a result-invariant rewrite for hot
     keys AQE can't split: 8-way salted lineitem⋈supplier, revenue per
@@ -460,6 +495,20 @@ CORE_ORACLES_RELATIONAL = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "join_q3_shipping": """
+        SELECT l_orderkey,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT)
+                   AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
     """,
     "skew_salted_join_revenue": """
         SELECT s_nationkey,
@@ -746,6 +795,7 @@ CORE_QUERIES = {
     "join_revenue_by_nation": join_revenue_by_nation,
     "join_q5_asia": join_q5_asia,
     "skew_salted_join_revenue": skew_salted_join_revenue,
+    "join_q3_shipping": join_q3_shipping,
     "window_top_order_per_customer": window_top_order_per_customer,
     "rollup_lineitem": rollup_lineitem,
     "distinct_mktsegment": distinct_mktsegment,
