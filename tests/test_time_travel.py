@@ -155,3 +155,27 @@ class TestChangeFeed:
         pdf = client.get_collection_changes("tt", 1, 2, database="t")
         assert set(pdf["_change_type"]) == {"insert"}
         assert sorted(pdf["k"]) == [3, 4]
+
+
+class TestChangeFeedFilePruning:
+    def test_diff_reads_only_symmetric_difference(self, client):
+        # fixture: v2 -> v3 was a delete rewriting only touched files
+        from xcube_geodb_spark.operators.changes import diff_file_sets
+
+        m2 = client.catalog.meta_at_version("tt", "t", 2)
+        m3 = client.catalog.meta_at_version("tt", "t", 3)
+        from_only, to_only = diff_file_sets(m2.files, m3.files)
+        shared = set(m2.files) & set(m3.files)
+        # the delete rewrote a strict subset: shared files exist and are
+        # excluded from both diff sides
+        assert from_only and set(from_only).isdisjoint(shared)
+        assert set(to_only).isdisjoint(shared)
+
+    def test_append_only_diff_has_empty_from_side(self, client):
+        from xcube_geodb_spark.operators.changes import diff_file_sets
+
+        m1 = client.catalog.meta_at_version("tt", "t", 1)
+        m2 = client.catalog.meta_at_version("tt", "t", 2)
+        from_only, to_only = diff_file_sets(m1.files, m2.files)
+        assert from_only == []  # appends never rewrite: nothing to re-read
+        assert to_only  # only the new files are scanned

@@ -7,13 +7,15 @@ since I last read?", which the reference cannot offer (Postgres overwrites
 in place; its event log records only operation strings,
 ``xcube_geodb/sql/geodb.sql:123-140``).
 
-Scale shape: one shuffle per side keyed on ``id`` (the primary key DML
-maintains), then a full-outer join; change classification is pure Column
-algebra on the joined row. No driver-side row handling. At 100 TB the
-usual consumption pattern is diffing ADJACENT versions, where both sides
-share most data files — a future optimization could diff only the
-symmetric difference of the two manifests' file lists, but correctness
-never depends on it.
+Scale shape: data files are immutable, so a file present in BOTH
+manifests contributes identical rows to both snapshots — every row of it
+is unchanged by construction and can never appear in the feed (DML keeps
+ids unique per snapshot, so a shared-file row cannot also live in a
+rewritten file). The diff therefore reads ONLY the symmetric difference
+of the two manifests' file lists: an adjacent-version diff after a
+single-file update scans two files, not the table. What remains is one
+shuffle per side keyed on ``id``, a full-outer join, and pure Column
+algebra for classification. No driver-side row handling.
 """
 
 from __future__ import annotations
@@ -24,7 +26,16 @@ from pyspark.sql import functions as F
 from xcube_geodb_spark.catalog import SYSTEM_COLUMNS, GeoDBCatalog
 from xcube_geodb_spark.errors import GeoDBError
 
-__all__ = ["collection_changes"]
+__all__ = ["collection_changes", "diff_file_sets"]
+
+
+def diff_file_sets(
+    from_files: list[str], to_files: list[str]
+) -> tuple[list[str], list[str]]:
+    """(from-only, to-only) manifest files — the only inputs a snapshot
+    diff needs (shared files are immutable, hence unchanged rows)."""
+    f, t = set(from_files), set(to_files)
+    return sorted(f - t), sorted(t - f)
 
 
 def collection_changes(
@@ -50,12 +61,13 @@ def collection_changes(
         raise GeoDBError(
             f"from_version {from_version} is newer than to_version {to_v}"
         )
-    old = catalog.load_df(
-        collection, database, include_system=True, version=from_version
-    )
-    new = catalog.load_df(
-        collection, database, include_system=True, version=to_v
-    )
+    m_from = catalog.meta_at_version(collection, database, from_version)
+    m_to = catalog.meta_at_version(collection, database, to_v)
+    from_only, to_only = diff_file_sets(m_from.files, m_to.files)
+    # each side reads ONLY its exclusive files, under its own snapshot
+    # schema (schema evolution between the versions is handled per side)
+    old = catalog.load_files(collection, database, from_only, meta=m_from)
+    new = catalog.load_files(collection, database, to_only, meta=m_to)
     skip = set(SYSTEM_COLUMNS) | {"id", "created_at", "modified_at"}
     data_cols = [c for c in new.columns if c not in skip and c in old.columns]
     out_cols = [c for c in new.columns if c not in SYSTEM_COLUMNS]
