@@ -224,6 +224,30 @@ class TestMeasures:
         # (16*2 - 1*1.5) / 15 for both axes
         assert abs(cx - 30.5 / 15) < 1e-12 and abs(cy - 30.5 / 15) < 1e-12
 
+    def test_centroid_hole_winding_independent(self):
+        # OGC/WKB convention: CCW shell + CW hole.  The hole must subtract
+        # from the denominator regardless of its winding (r2 regression:
+        # a CW hole ADDED its area).
+        from xcube_geodb_spark.geometry.geom import centroid
+
+        shell = "(0 0, 4 0, 4 4, 0 4, 0 0)"
+        hole_ccw = "(0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5)"
+        hole_cw = "(0.5 0.5, 0.5 1.5, 1.5 1.5, 1.5 0.5, 0.5 0.5)"
+        expect = (16.0 * 2.0 - 1.0 * 1.0) / 15.0  # = 2.0666...
+        for hole in (hole_ccw, hole_cw):
+            cx, cy = centroid(self.g(f"POLYGON ({shell}, {hole})"))
+            assert abs(cx - expect) < 1e-12 and abs(cy - expect) < 1e-12
+
+    def test_centroid_mixed_winding_multipolygon(self):
+        # One CCW shell and one CW shell: areas must not cancel to nan.
+        from xcube_geodb_spark.geometry.geom import centroid
+
+        m = self.g(
+            "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)),"
+            " ((10 0, 10 2, 12 2, 12 0, 10 0)))"
+        )
+        assert centroid(m) == (6.0, 1.0)
+
     def test_centroid_line_length_weighted(self):
         from xcube_geodb_spark.geometry.geom import centroid
 

@@ -533,17 +533,18 @@ def centroid(geom: Geometry) -> tuple[float, float]:
         if leaf.kind == "Polygon":
             for i, ring in enumerate(leaf.parts):
                 s = _ring_shoelace(ring)
-                sgn = (1.0 if i == 0 else -1.0) * (1.0 if s >= 0 else -1.0)
+                # Shell adds, hole subtracts — independent of ring winding,
+                # matching area(). cx/cy carry the ring's own orientation
+                # sign, so normalize by orient before applying shell/hole.
+                ring_sgn = 1.0 if i == 0 else -1.0
+                orient = 1.0 if s >= 0 else -1.0
                 x, y = ring[:, 0], ring[:, 1]
                 cross = x * np.roll(y, -1) - np.roll(x, -1) * y
                 cx = float(((x + np.roll(x, -1)) * cross).sum()) / 6.0
                 cy = float(((y + np.roll(y, -1)) * cross).sum()) / 6.0
-                a = abs(s) / 2.0 * sgn
-                a_sum += a
-                # cx/cy carry the ring's own orientation sign; normalize
-                orient = 1.0 if s >= 0 else -1.0
-                ax += cx * orient * sgn
-                ay += cy * orient * sgn
+                a_sum += abs(s) / 2.0 * ring_sgn
+                ax += cx * orient * ring_sgn
+                ay += cy * orient * ring_sgn
         elif leaf.kind == "LineString":
             arr = leaf.parts
             d = np.diff(arr, axis=0)
