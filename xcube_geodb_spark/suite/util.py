@@ -22,13 +22,17 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        # the events parquet uses TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and convert to microseconds
         from pyspark.sql import functions as F
 
+        # some fixture generations store ts as TIMESTAMP(NANOS), which
+        # Spark's vectorized reader only loads via nanosAsLong; newer
+        # fixtures store timestamp[us].  Convert only when ts actually
+        # loaded as a long, otherwise use the column as-is.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
