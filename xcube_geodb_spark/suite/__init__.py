@@ -5,6 +5,16 @@ Each entry in :data:`QUERIES` is ``name -> fn(spark, sf_dir) -> DataFrame``;
 :data:`ORACLES` holds the matching ANSI-SQL string DuckDB runs over the same
 parquet tables (views pre-registered by the driver). Column names/aliases
 match exactly; float aggregates are rounded identically on both sides.
+
+Ordering matters: the driver records correctness rows for the FIRST 50
+entries only. :data:`DRIVER_WINDOW` is the curated first-50 list — one
+representative of every operator family (grammar scans, pg path, joins,
+windows, aggregates, events/streaming, all geo modes, every dedup /
+similarity / text / sampling / multimodal op, and all five DML
+roundtrips). Family variants demoted past the window keep their combined
+representative inside it (``scan_filter_grammar``, ``geo_bbox_modes``,
+``text_profile`` union the demoted variants' exact results), so no grammar
+shape loses driver verification.
 """
 
 from xcube_geodb_spark.suite.core import CORE_QUERIES, CORE_ORACLES
@@ -12,7 +22,75 @@ from xcube_geodb_spark.suite.geo import GEO_QUERIES, GEO_ORACLES
 from xcube_geodb_spark.suite.llm import LLM_QUERIES, LLM_ORACLES
 from xcube_geodb_spark.suite.dml import DML_QUERIES, DML_ORACLES
 
-QUERIES = {**CORE_QUERIES, **GEO_QUERIES, **LLM_QUERIES, **DML_QUERIES}
+_ALL_QUERIES = {**CORE_QUERIES, **GEO_QUERIES, **LLM_QUERIES, **DML_QUERIES}
+
+# the first 50 names the driver hash-checks: every family represented
+DRIVER_WINDOW = [
+    # grammar scans (combined representative + distinct shapes)
+    "scan_filter_eq_gt",
+    "scan_filter_grammar",
+    "scan_paging",
+    "scan_fts_documents",
+    "scan_json_arrow_select",
+    "scan_cs_cd_tokens",
+    "head_nation",
+    # raw-SQL pg path
+    "pg_groupby_q1",
+    "pg_dialect_shim",
+    "count_lineitem",
+    # joins / windows / set ops / aggregates
+    "join_revenue_by_nation",
+    "join_q5_asia",
+    "skew_salted_join_revenue",
+    "window_top_order_per_customer",
+    "rollup_lineitem",
+    "distinct_mktsegment",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "agg_median_by_priority",
+    # events / temporal / streaming
+    "events_tumbling_hour",
+    "events_sessionization",
+    "events_asof_prev",
+    "events_json_extract",
+    "stream_ingest_collection",
+    # geo
+    "geo_measures_squares",
+    "geo_bbox_modes",
+    "geo_bbox_crs_transform",
+    "geo_count_by_bbox",
+    "geo_extent_squares",
+    "geo_geometry_types",
+    # dedup
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_pipeline_kept",
+    "dedup_embedding_pairs",
+    # similarity / ANN
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "ann_index_topk",
+    # text / multimodal / sampling
+    "text_profile",
+    "multimodal_decode",
+    "sample_split_documents",
+    "pack_documents_budget",
+    # DML / table-format roundtrips
+    "dml_delete_update_roundtrip",
+    "dml_upsert_roundtrip",
+    "dml_compact_roundtrip",
+    "dml_time_travel_roundtrip",
+    "dml_changes_feed",
+]
+
+_missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
+assert not _missing, f"DRIVER_WINDOW names not registered: {_missing}"
+
+QUERIES = {n: _ALL_QUERIES[n] for n in DRIVER_WINDOW}
+QUERIES.update({n: f for n, f in _ALL_QUERIES.items() if n not in QUERIES})
+
 ORACLES = {**CORE_ORACLES, **GEO_ORACLES, **LLM_ORACLES, **DML_ORACLES}
 
-__all__ = ["QUERIES", "ORACLES"]
+__all__ = ["QUERIES", "ORACLES", "DRIVER_WINDOW"]

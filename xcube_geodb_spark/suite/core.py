@@ -111,6 +111,29 @@ def head_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "nation").orderBy("n_nationkey").limit(10)
 
 
+def scan_filter_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One driver gate covering four PostgREST grammar shapes at once —
+    nested and()/or(), like+in, ilike, not.in — as a tagged key union, so
+    each shape's exact row membership stays driver-verified while the
+    individual variants live outside the driver's 50-entry window."""
+    nested = scan_filter_nested(spark, sf_dir).select(
+        F.lit("nested").alias("variant"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("key"),
+    )
+    in_like = scan_filter_in_like(spark, sf_dir).select(
+        F.lit("in_like").alias("variant"), F.col("p_partkey").cast("long").alias("key")
+    )
+    ilike = scan_filter_ilike(spark, sf_dir).select(
+        F.lit("ilike").alias("variant"), F.col("c_custkey").cast("long").alias("key")
+    )
+    not_in = scan_filter_not_in(spark, sf_dir).select(
+        F.lit("not_in").alias("variant"), F.col("o_orderkey").cast("long").alias("key")
+    )
+    return nested.unionByName(in_like).unionByName(ilike).unionByName(not_in)
+
+
 CORE_ORACLES_GRAMMAR = {
     "scan_filter_eq_gt": """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -166,6 +189,20 @@ CORE_ORACLES_GRAMMAR = {
                             'table','value','part','hash'], toks_head)
     """,
 }
+
+CORE_ORACLES_GRAMMAR["scan_filter_grammar"] = f"""
+    SELECT 'nested' AS variant, CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS key
+    FROM ({CORE_ORACLES_GRAMMAR["scan_filter_nested"]})
+    UNION ALL
+    SELECT 'in_like' AS variant, CAST(p_partkey AS BIGINT) AS key
+    FROM ({CORE_ORACLES_GRAMMAR["scan_filter_in_like"]})
+    UNION ALL
+    SELECT 'ilike' AS variant, CAST(c_custkey AS BIGINT) AS key
+    FROM ({CORE_ORACLES_GRAMMAR["scan_filter_ilike"]})
+    UNION ALL
+    SELECT 'not_in' AS variant, CAST(o_orderkey AS BIGINT) AS key
+    FROM ({CORE_ORACLES_GRAMMAR["scan_filter_not_in"]})
+"""
 
 # ---------------------------------------------------------------------------
 # raw-SQL (pg) path — same clause builder as the client facade
@@ -786,6 +823,7 @@ CORE_QUERIES = {
     "scan_fts_documents": scan_fts_documents,
     "scan_json_arrow_select": scan_json_arrow_select,
     "scan_cs_cd_tokens": scan_cs_cd_tokens,
+    "scan_filter_grammar": scan_filter_grammar,
     "head_nation": head_nation,
     "pg_groupby_q1": pg_groupby_q1,
     "pg_topk_orders": pg_topk_orders,

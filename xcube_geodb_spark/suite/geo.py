@@ -223,6 +223,30 @@ def geo_bbox_crs_transform(spark, sf_dir):
     return _bbox_query(_points(spark, sf_dir), "contains", box_back)
 
 
+def geo_bbox_modes(spark, sf_dir):
+    """One driver gate for all eight bbox comparison modes (geodb
+    comparison_mode parity, geodb.sql get_by_bbox): a tagged union of each
+    mode's matching keys, so every mode's exact row membership stays
+    driver-verified in a single 50-window slot."""
+    mode_fns = {
+        "contains": geo_bbox_contains_points,
+        "disjoint": geo_bbox_disjoint_points,
+        "intersects": geo_bbox_intersects_squares,
+        "within": geo_bbox_within_squares,
+        "touches": geo_bbox_touches_squares,
+        "overlaps": geo_bbox_overlaps_squares,
+        "equals": geo_bbox_equals_squares,
+        "crosses": geo_bbox_crosses_segments,
+    }
+    out = None
+    for mode, fn in mode_fns.items():
+        part = fn(spark, sf_dir).select(
+            F.lit(mode).alias("mode"), F.col("c_custkey")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def geo_count_by_bbox(spark, sf_dir):
     n = _bbox_query(_squares(spark, sf_dir), "intersects", BOX_SQUARES).count()
     return spark.createDataFrame([(n,)], "n bigint")
@@ -373,8 +397,23 @@ GEO_ORACLES = {
     """,
 }
 
+GEO_ORACLES["geo_bbox_modes"] = "\nUNION ALL\n".join(
+    f"SELECT '{mode}' AS mode, c_custkey FROM ({GEO_ORACLES[f'geo_bbox_{name}']})"
+    for mode, name in [
+        ("contains", "contains_points"),
+        ("disjoint", "disjoint_points"),
+        ("intersects", "intersects_squares"),
+        ("within", "within_squares"),
+        ("touches", "touches_squares"),
+        ("overlaps", "overlaps_squares"),
+        ("equals", "equals_squares"),
+        ("crosses", "crosses_segments"),
+    ]
+)
+
 GEO_QUERIES = {
     "geo_measures_squares": geo_measures_squares,
+    "geo_bbox_modes": geo_bbox_modes,
     "geo_bbox_contains_points": geo_bbox_contains_points,
     "geo_bbox_crs_transform": geo_bbox_crs_transform,
     "geo_bbox_disjoint_points": geo_bbox_disjoint_points,

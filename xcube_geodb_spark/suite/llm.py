@@ -416,6 +416,27 @@ def text_fingerprint(spark, sf_dir):
     return text.with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def text_profile(spark, sf_dir):
+    """One driver gate for the whole text-analysis family: quality scoring,
+    subword token estimate, language id, and fingerprint in a single
+    per-document projection (all column algebra — one pass, no shuffle)."""
+    docs = load(spark, sf_dir, "documents")
+    out = text.with_fingerprint(
+        text.with_lang_id(text.with_token_stats(text.with_quality_score(docs)))
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_subword_est").cast("long").alias("n_subword_est"),
+        "stop_ratio",
+        "alpha_ratio",
+        "punct_ratio",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
 def multimodal_decode(spark, sf_dir):
     docs = attach_binary_payload(load(spark, sf_dir, "documents"), "text")
     return decode_features(docs)
@@ -477,6 +498,21 @@ LLM_TEXT_ORACLES = {
         FROM documents
     """,
     "text_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+    "text_profile": f"""
+        SELECT q.doc_id, q.n_tokens, t.n_subword_est, q.stop_ratio,
+               q.alpha_ratio, q.punct_ratio, q.quality, l.lang_pred,
+               f.fingerprint
+        FROM ({_QUALITY_SQL}) q
+        JOIN (SELECT doc_id,
+                     CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+              FROM documents) t ON q.doc_id = t.doc_id
+        JOIN (SELECT doc_id, {_LANG_CASE} AS lang_pred
+              FROM (SELECT doc_id, {_LANG_SCORES}
+                    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))) l
+          ON q.doc_id = l.doc_id
+        JOIN (SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents) f
+          ON q.doc_id = f.doc_id
+    """,
     "multimodal_decode": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
@@ -533,6 +569,7 @@ LLM_QUERIES = {
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "text_profile": text_profile,
     "multimodal_decode": multimodal_decode,
     "sample_split_documents": sample_split_documents,
     "pack_documents_budget": pack_documents_budget,
