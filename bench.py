@@ -40,7 +40,7 @@ HEADLINE = [
     "dedup_minhash_pairs",          # MinHash LSH candidate join
     "sim_cosine_topk",              # brute-force ANN baseline
     "ann_index_topk",               # warehouse ANN: bucket layout + pruning
-    "text_quality",                 # text scoring projection
+    "text_profile",                 # text scoring/lang/fingerprint projection
     "dml_delete_update_roundtrip",  # warehouse DML round-trip
 ]
 
@@ -135,41 +135,55 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(reps):
-            # materialized .cache() frames from a previous rep would satisfy
-            # an identical plan via the CacheManager and fake the timing
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(reps):
+                # materialized .cache() frames from a previous rep would
+                # satisfy an identical plan via the CacheManager and fake
+                # the timing
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as e:  # one broken query must not zero the bench
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         total += best
-    wh_best: dict[str, float] = {}
-    for _ in range(reps):
-        t = {}
-        _bench_warehouse(spark, sf_dir, t)
-        for k, v in t.items():
-            wh_best[k] = min(wh_best.get(k, float("inf")), v)
-    timings.update(wh_best)
-    total += sum(wh_best.values())
-    total += _bench_ann_probe(spark, sf_dir, timings, reps)
+    try:
+        wh_best: dict[str, float] = {}
+        for _ in range(reps):
+            t = {}
+            _bench_warehouse(spark, sf_dir, t)
+            for k, v in t.items():
+                wh_best[k] = min(wh_best.get(k, float("inf")), v)
+        timings.update(wh_best)
+        total += sum(wh_best.values())
+    except Exception as e:
+        errors["warehouse"] = f"{type(e).__name__}: {str(e)[:200]}"
+        print(f"bench: warehouse FAILED: {errors['warehouse']}", file=sys.stderr)
+    try:
+        total += _bench_ann_probe(spark, sf_dir, timings, reps)
+    except Exception as e:
+        errors["ann_probe"] = f"{type(e).__name__}: {str(e)[:200]}"
+        print(f"bench: ann_probe FAILED: {errors['ann_probe']}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "geodb_spark_suite_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "geodb_spark_suite_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
