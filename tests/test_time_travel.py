@@ -35,9 +35,25 @@ def _ks(client, version=None):
 
 class TestTimeTravel:
     def test_versions_listed(self, client):
-        # v0 (creation) predates any commit; snapshots exist per commit
+        # v0 is the empty creation snapshot; one snapshot per commit after
         vs = [v["version"] for v in client.get_collection_versions("tt")]
-        assert vs == [1, 2, 3]
+        assert vs == [0, 1, 2, 3]
+
+    def test_v0_is_empty_and_restorable(self, client):
+        df = client.catalog.load_df("tt", "t", version=0)
+        assert df.count() == 0
+        assert "k" in df.columns
+        # restore to empty is a metadata-only forward commit
+        client.restore_collection("tt", 0)
+        assert _ks(client) == []
+        assert client.catalog.meta("tt", "t").version == 4
+
+    def test_v0_anchored_change_feed(self, client):
+        from xcube_geodb_spark.operators.changes import collection_changes
+
+        ch = collection_changes(client.catalog, "tt", "t", 0, 1)
+        got = {(r.k, r._change_type) for r in ch.collect()}
+        assert got == {(1, "insert"), (2, "insert")}
 
     def test_read_at_each_version(self, client):
         assert _ks(client, version=1) == [1, 2]
@@ -63,7 +79,7 @@ class TestTimeTravel:
 
     def test_vacuum_expires_old_snapshots(self, client):
         stats = client.vacuum_collection("tt", older_than_seconds=0.0)
-        assert stats["expired_versions"] == [1, 2]
+        assert stats["expired_versions"] == [0, 1, 2]
         with pytest.raises(GeoDBError):
             client.catalog.load_df("tt", "t", version=1)
         assert _ks(client) == [3, 4]  # current untouched
@@ -144,6 +160,22 @@ class TestChangeFeed:
         assert [(r.k, r._change_type, r.name) for r in rows] == [
             (4, "update", None)
         ]
+
+    def test_feed_spans_add_properties_boundary(self, client):
+        # a property added between the two versions has no FROM-side
+        # column; deletes must project a typed NULL for it instead of
+        # crashing on a missing o.<col> reference
+        from xcube_geodb_spark.operators.changes import collection_changes
+
+        v = client.catalog.meta("tt", "t").version
+        client.catalog.add_properties("tt", {"score": "float"}, "t")
+        client.insert_into_collection(
+            "tt", pd.DataFrame({"k": [9], "name": ["i"], "score": [1.5]})
+        )
+        client.delete_from_collection("tt", "k=eq.3")
+        ch = collection_changes(client.catalog, "tt", "t", v)
+        got = {(r.k, r._change_type, r.score) for r in ch.collect()}
+        assert got == {(9, "insert", 1.5), (3, "delete", None)}
 
     def test_bad_version_order_raises(self, client):
         from xcube_geodb_spark.operators.changes import collection_changes

@@ -318,7 +318,13 @@ class GeoDBCatalog:
             "indexes": [{"property": "geometry", "type": "gist"}],
             "stac": {},
         }
+        meta["modified_at"] = meta["created_at"]
         _atomic_write_json(self._meta_path(collection, database), meta)
+        # snapshot the empty v0 manifest so load_df(version=0), restore to
+        # empty, and v0-anchored change feeds work after the first commit
+        hdir = os.path.join(cdir, "history")
+        os.makedirs(hdir, exist_ok=True)
+        _atomic_write_json(os.path.join(hdir, "v0.json"), meta)
 
     def drop_collection(self, collection: str, database: str) -> None:
         if not self.collection_exists(collection, database):

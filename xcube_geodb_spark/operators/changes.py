@@ -85,10 +85,17 @@ def collection_changes(
     )
     # unchanged rows (change IS NULL) drop out of the feed. Side selection
     # is BY CHANGE TYPE, not coalesce: an update that sets a column to
-    # NULL must surface the NULL, not the pre-image value.
+    # NULL must surface the NULL, not the pre-image value. A property
+    # added between the versions has no FROM-side column — substitute a
+    # typed NULL so deletes still project the TO-side schema.
+    new_types = dict(new.dtypes)
+    old_cols = set(old.columns)
     is_delete = F.col("n.id").isNull()
     picked = [
-        F.when(is_delete, F.col(f"o.{c}"))
+        F.when(
+            is_delete,
+            F.col(f"o.{c}") if c in old_cols else F.lit(None).cast(new_types[c]),
+        )
         .otherwise(F.col(f"n.{c}"))
         .alias(c)
         for c in out_cols
