@@ -461,6 +461,20 @@ class TestExport:
         assert back.count() == 4
         assert "geometry" in back.columns
 
+    def test_export_geojson_keeps_null_properties(self, client, land_use, tmp_path):
+        # to_json drops null struct fields by default; export must keep
+        # them or a re-ingest silently changes the schema per line
+        import json as _json
+
+        client.update_collection(land_use, {"d_od": None}, "raba_id=eq.1410")
+        gj = str(tmp_path / "exp_nulls")
+        client.export_collection(land_use, gj, fmt="geojson", query="raba_id=eq.1410")
+        spark = client.spark
+        feats = [_json.loads(r.value) for r in spark.read.text(gj).collect()]
+        assert len(feats) == 2
+        for f in feats:
+            assert "d_od" in f["properties"] and f["properties"]["d_od"] is None
+
     def test_export_bad_format_raises(self, client, land_use, tmp_path):
         with pytest.raises(GeoDBError, match="Unsupported export format"):
             client.export_collection(land_use, str(tmp_path / "x"), fmt="shp")

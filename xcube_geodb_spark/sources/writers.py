@@ -54,7 +54,12 @@ def geojson_feature_column(
         F.lit('{"type": "Feature", "geometry": '),
         F.coalesce(_wkb_to_geojson_geom(F.col(geometry_col)), F.lit("null")),
         F.lit(', "properties": '),
-        F.to_json(F.struct(*[F.col(c) for c in props])),
+        # keep null properties in the Feature (to_json drops null struct
+        # fields by default, which breaks export/re-ingest fidelity)
+        F.to_json(
+            F.struct(*[F.col(c) for c in props]),
+            {"ignoreNullFields": "false"},
+        ),
         F.lit("}"),
     )
 
