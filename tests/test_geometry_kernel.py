@@ -271,3 +271,124 @@ class TestMeasures:
             " POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))"
         )
         assert centroid(mix) == (1.0, 1.0)  # the point is ignored
+
+
+class TestDistance:
+    def g(self, wkt):
+        from xcube_geodb_spark.geometry.geom import parse_wkt
+
+        return parse_wkt(wkt)
+
+    def test_point_point(self):
+        from xcube_geodb_spark.geometry.geom import distance
+
+        assert distance(self.g("POINT (0 0)"), self.g("POINT (3 4)")) == 5.0
+
+    def test_point_segment_interior(self):
+        from xcube_geodb_spark.geometry.geom import distance
+
+        d = distance(self.g("POINT (5 3)"), self.g("LINESTRING (0 0, 10 0)"))
+        assert abs(d - 3.0) < 1e-12
+
+    def test_point_segment_beyond_endpoint(self):
+        from xcube_geodb_spark.geometry.geom import distance
+
+        d = distance(self.g("POINT (13 4)"), self.g("LINESTRING (0 0, 10 0)"))
+        assert abs(d - 5.0) < 1e-12
+
+    def test_point_outside_square_corner(self):
+        from xcube_geodb_spark.geometry.geom import distance
+
+        sq = self.g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        d = distance(self.g("POINT (5 6)"), sq)
+        assert abs(d - 5.0) < 1e-12  # corner (2,2): 3-4-5
+
+    def test_point_inside_polygon_is_zero(self):
+        from xcube_geodb_spark.geometry.geom import distance
+
+        sq = self.g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        assert distance(self.g("POINT (1 1)"), sq) == 0.0
+        assert distance(sq, self.g("POINT (1 1)")) == 0.0
+
+    def test_point_in_hole_uses_hole_boundary(self):
+        from xcube_geodb_spark.geometry.geom import distance
+
+        donut = self.g(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+            " (4 4, 6 4, 6 6, 4 6, 4 4))"
+        )
+        d = distance(self.g("POINT (5 5)"), donut)
+        assert abs(d - 1.0) < 1e-12  # nearest hole edge
+
+    def test_crossing_lines_zero(self):
+        from xcube_geodb_spark.geometry.geom import distance
+
+        a = self.g("LINESTRING (0 0, 10 10)")
+        b = self.g("LINESTRING (0 10, 10 0)")
+        assert distance(a, b) == 0.0
+
+    def test_touching_at_vertex_zero(self):
+        from xcube_geodb_spark.geometry.geom import distance
+
+        a = self.g("LINESTRING (0 0, 5 5)")
+        b = self.g("LINESTRING (5 5, 9 0)")
+        assert distance(a, b) == 0.0
+
+    def test_parallel_segments(self):
+        from xcube_geodb_spark.geometry.geom import distance
+
+        a = self.g("LINESTRING (0 0, 10 0)")
+        b = self.g("LINESTRING (0 2, 10 2)")
+        assert abs(distance(a, b) - 2.0) < 1e-12
+
+    def test_nested_polygons_zero(self):
+        from xcube_geodb_spark.geometry.geom import distance
+
+        outer = self.g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        inner = self.g("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")
+        assert distance(outer, inner) == 0.0
+        assert distance(inner, outer) == 0.0
+
+    def test_polygon_in_hole_positive(self):
+        from xcube_geodb_spark.geometry.geom import distance
+
+        donut = self.g(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+            " (3 3, 7 3, 7 7, 3 7, 3 3))"
+        )
+        island = self.g("POLYGON ((4.5 4.5, 5.5 4.5, 5.5 5.5, 4.5 5.5, 4.5 4.5))")
+        d = distance(donut, island)
+        assert abs(d - 1.5) < 1e-12
+
+    def test_multipoint_to_polygon(self):
+        from xcube_geodb_spark.geometry.geom import distance
+
+        mp = self.g("MULTIPOINT ((20 0), (5 1))")
+        sq = self.g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        assert abs(distance(mp, sq) - 3.0) < 1e-12
+
+
+class TestBufferPoint:
+    def test_buffer_is_regular_polygon(self):
+        from xcube_geodb_spark.geometry.geom import area, buffer_point, perimeter
+
+        import math
+
+        g = buffer_point(2.0, 3.0, 1.0, quad_segs=8)
+        assert g.kind == "Polygon"
+        ring = g.parts[0]
+        assert len(ring) == 33  # 32 vertices + closure
+        # all vertices on the radius circle
+        import numpy as np
+
+        r = np.hypot(ring[:, 0] - 2.0, ring[:, 1] - 3.0)
+        assert np.allclose(r, 1.0)
+        # area of a regular 32-gon inscribed in r=1: (n/2) sin(2*pi/n)
+        assert abs(area(g) - 16 * math.sin(math.pi / 16)) < 1e-12
+
+    def test_buffer_contains_near_point(self):
+        from xcube_geodb_spark.geometry.geom import buffer_point, distance, parse_wkt
+
+        b = buffer_point(0.0, 0.0, 2.0)
+        assert distance(b, parse_wkt("POINT (0.5 0.5)")) == 0.0
+        assert distance(b, parse_wkt("POINT (3 0)")) > 0.9

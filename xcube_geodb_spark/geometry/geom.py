@@ -566,6 +566,160 @@ def centroid(geom: Geometry) -> tuple[float, float]:
     return math.nan, math.nan
 
 
+def _all_vertices(geom: Geometry) -> np.ndarray:
+    """Every coordinate of the geometry as an (n, 2) array."""
+    out = []
+    for leaf in geom.children():
+        if leaf.kind == "Point":
+            out.append(np.asarray(leaf.parts, dtype=np.float64).reshape(1, 2))
+        elif leaf.kind == "LineString":
+            out.append(leaf.parts)
+        elif leaf.kind == "Polygon":
+            out.extend(leaf.parts)
+    if not out:
+        return np.empty((0, 2), dtype=np.float64)
+    return np.concatenate(out, axis=0)
+
+
+def _all_segments(geom: Geometry) -> np.ndarray:
+    """Every line/ring segment as an (n, 4) array of (x0, y0, x1, y1)."""
+    out = []
+    for leaf in geom.children():
+        arrays = []
+        if leaf.kind == "LineString":
+            arrays = [leaf.parts]
+        elif leaf.kind == "Polygon":
+            arrays = leaf.parts
+        for arr in arrays:
+            if len(arr) >= 2:
+                out.append(np.concatenate([arr[:-1], arr[1:]], axis=1))
+    if not out:
+        return np.empty((0, 4), dtype=np.float64)
+    return np.concatenate(out, axis=0)
+
+
+def _point_seg_dist_min(pts: np.ndarray, segs: np.ndarray) -> float:
+    """min over all (point, segment) pairs of point-to-segment distance."""
+    if not len(pts) or not len(segs):
+        return math.inf
+    p = pts[:, None, :]  # (n, 1, 2)
+    a = segs[None, :, 0:2]  # (1, m, 2)
+    ab = segs[None, :, 2:4] - a
+    denom = (ab * ab).sum(-1)  # (1, m)
+    t = (p - a) * ab
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = np.where(denom > 0, t.sum(-1) / denom, 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    proj = a + t[..., None] * ab
+    d = p - proj
+    return float(np.hypot(d[..., 0], d[..., 1]).min())
+
+
+def _segments_cross(sa: np.ndarray, sb: np.ndarray) -> bool:
+    """True iff any segment of ``sa`` properly crosses any of ``sb``
+    (shared endpoints / touching cases are covered by the zero
+    point-to-segment distance, so only proper crossings matter here)."""
+    if not len(sa) or not len(sb):
+        return False
+
+    a0 = sa[:, None, 0:2]
+    a1 = sa[:, None, 2:4]
+    b0 = sb[None, :, 0:2]
+    b1 = sb[None, :, 2:4]
+
+    def cross(o, p, q):
+        return (p[..., 0] - o[..., 0]) * (q[..., 1] - o[..., 1]) - (
+            p[..., 1] - o[..., 1]
+        ) * (q[..., 0] - o[..., 0])
+
+    d1 = cross(a0, a1, b0)
+    d2 = cross(a0, a1, b1)
+    d3 = cross(b0, b1, a0)
+    d4 = cross(b0, b1, a1)
+    proper = (
+        ((d1 > 0) != (d2 > 0))
+        & (d1 != 0)
+        & (d2 != 0)
+        & ((d3 > 0) != (d4 > 0))
+        & (d3 != 0)
+        & (d4 != 0)
+    )
+    return bool(proper.any())
+
+
+def _point_in_rings(x: float, y: float, rings: list[np.ndarray]) -> bool:
+    """Even-odd ray casting over a polygon's rings (holes flip parity)."""
+    inside = False
+    for ring in rings:
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        straddles = (y0 > y) != (y1 > y)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            xs = x0 + (y - y0) / (y1 - y0) * (x1 - x0)
+        hits = straddles & (x < xs)
+        if int(hits.sum()) % 2:
+            inside = not inside
+    return inside
+
+
+def _any_point_inside(geom: Geometry, other: Geometry) -> bool:
+    """True iff a representative point of each connected piece of ``other``
+    lies inside a polygon of ``geom`` (enough for distance-zero detection:
+    if no boundary crossing exists, each piece is entirely in or out)."""
+    polys = [leaf for leaf in geom.children() if leaf.kind == "Polygon"]
+    if not polys:
+        return False
+    for leaf in other.children():
+        if leaf.kind == "Point":
+            x, y = float(leaf.parts[0]), float(leaf.parts[1])
+        else:
+            arr = leaf.parts[0] if leaf.kind == "Polygon" else leaf.parts
+            x, y = float(arr[0, 0]), float(arr[0, 1])
+        for poly in polys:
+            if _point_in_rings(x, y, poly.parts):
+                return True
+    return False
+
+
+def distance(a: Geometry, b: Geometry) -> float:
+    """``ST_Distance``: minimum planar distance between two geometries,
+    0 when they intersect. Cartesian in CRS units, like PostGIS on a
+    geometry (non-geography) column.
+
+    Exact: the minimum between two non-crossing geometries is attained at
+    a vertex of one against a segment (or vertex) of the other, so the
+    vertex/segment sweep below is the complete candidate set; crossings
+    and full containment (either direction) short-circuit to 0.
+    """
+    sa, sb = _all_segments(a), _all_segments(b)
+    if _segments_cross(sa, sb):
+        return 0.0
+    if _any_point_inside(a, b) or _any_point_inside(b, a):
+        return 0.0
+    pa, pb = _all_vertices(a), _all_vertices(b)
+    best = _point_seg_dist_min(pa, sb)
+    best = min(best, _point_seg_dist_min(pb, sa))
+    if len(pa) and len(pb):
+        d = pa[:, None, :] - pb[None, :, :]
+        best = min(best, float(np.hypot(d[..., 0], d[..., 1]).min()))
+    return best if best is not math.inf else math.nan
+
+
+def buffer_point(x: float, y: float, radius: float, quad_segs: int = 8) -> Geometry:
+    """``ST_Buffer`` of a POINT: a regular ``4*quad_segs``-gon inscribed in
+    the radius circle (PostGIS's default quad_segs=8 -> 32 vertices).
+    Buffering lines/polygons needs a Minkowski union the engine does not
+    implement; the point case covers the radius-search idiom
+    ``st_intersects(st_buffer(pt, r), geometry)``."""
+    n = max(4, 4 * int(quad_segs))
+    ang = np.linspace(0.0, 2.0 * math.pi, n, endpoint=False)
+    ring = np.empty((n + 1, 2), dtype=np.float64)
+    ring[:n, 0] = x + radius * np.cos(ang)
+    ring[:n, 1] = y + radius * np.sin(ang)
+    ring[n] = ring[0]
+    return Geometry("Polygon", [ring])
+
+
 def bbox_polygon(
     minx: float, miny: float, maxx: float, maxy: float, srid: int = 0
 ) -> Geometry:

@@ -32,6 +32,7 @@ from xcube_geodb_spark.geometry.geom import (
     to_wkb,
     to_wkt,
 )
+from xcube_geodb_spark.errors import GeoDBError
 from xcube_geodb_spark.geometry.predicates import bbox_predicate
 
 
@@ -85,13 +86,10 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         "equals",
     ):
         spark.udf.register(f"st_{mode}", _pred(mode), T.BooleanType())
-    from xcube_geodb_spark.geometry.geom import (
-        area,
-        centroid,
-        length,
-        perimeter,
-        to_wkb,
-    )
+    # NOTE: do NOT import to_wkb here — a function-local rebinding would turn
+    # the module-global reference in the lambdas ABOVE into an (empty-at-
+    # registration) closure cell, which Spark pickles eagerly.
+    from xcube_geodb_spark.geometry.geom import area, centroid, length, perimeter
     from xcube_geodb_spark.geometry.geom import Geometry as _G
     import numpy as _np
 
@@ -126,3 +124,24 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         else None,
         T.DoubleType(),
     )
+    from xcube_geodb_spark.geometry.geom import buffer_point, distance
+
+    spark.udf.register(
+        "st_distance",
+        lambda a, b: distance(parse_wkb(a), parse_wkb(b))
+        if a is not None and b is not None
+        else None,
+        T.DoubleType(),
+    )
+
+    def _buffer(b: bytes, radius: float):
+        if b is None or radius is None:
+            return None
+        g = parse_wkb(b)
+        if g.kind != "Point":
+            raise GeoDBError(
+                "st_buffer supports Point geometries only (see buffer_point)"
+            )
+        return to_wkb(buffer_point(float(g.parts[0]), float(g.parts[1]), radius))
+
+    spark.udf.register("st_buffer", _buffer, T.BinaryType())

@@ -61,6 +61,7 @@ DRIVER_WINDOW = [
     "geo_count_by_bbox",
     "geo_extent_squares",
     "geo_geometry_types",
+    "geo_distance_knn",
     # dedup
     "dedup_exact",
     "dedup_minhash_pairs",

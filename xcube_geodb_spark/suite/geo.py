@@ -397,6 +397,28 @@ GEO_ORACLES = {
     """,
 }
 
+def geo_distance_knn(spark, sf_dir):
+    """st_distance through the raw-SQL path: k nearest squares to a query
+    point, with exact distances. The squares' closed form (center (x, y),
+    half-width h) gives the oracle the textbook point-to-axis-aligned-box
+    distance: hypot(max(|px-x|-h, 0), max(|py-y|-h, 0)); a square
+    containing the point yields 0 (the kernel's containment path)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("sq_dist")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               round(st_distance(st_geomfromtext('POINT (10 5)'), geometry),
+                     6) AS dist
+        FROM sq_dist
+        ORDER BY dist, c_custkey
+        LIMIT 25
+        """
+    )
+
+
 GEO_ORACLES["geo_bbox_modes"] = "\nUNION ALL\n".join(
     f"SELECT '{mode}' AS mode, c_custkey FROM ({GEO_ORACLES[f'geo_bbox_{name}']})"
     for mode, name in [
@@ -411,9 +433,20 @@ GEO_ORACLES["geo_bbox_modes"] = "\nUNION ALL\n".join(
     ]
 )
 
+GEO_ORACLES["geo_distance_knn"] = f"""
+    SELECT c_custkey,
+           round(sqrt(greatest(abs(10 - x) - h, 0) * greatest(abs(10 - x) - h, 0)
+                      + greatest(abs(5 - y) - h, 0) * greatest(abs(5 - y) - h, 0)),
+                 6) AS dist
+    FROM ({_SQS})
+    ORDER BY dist, c_custkey
+    LIMIT 25
+"""
+
 GEO_QUERIES = {
     "geo_measures_squares": geo_measures_squares,
     "geo_bbox_modes": geo_bbox_modes,
+    "geo_distance_knn": geo_distance_knn,
     "geo_bbox_contains_points": geo_bbox_contains_points,
     "geo_bbox_crs_transform": geo_bbox_crs_transform,
     "geo_bbox_disjoint_points": geo_bbox_disjoint_points,
