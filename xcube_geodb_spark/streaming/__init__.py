@@ -22,6 +22,11 @@ from xcube_geodb_spark.streaming.sink import (
     collection_batch_writer,
     write_stream_to_collection,
 )
+from xcube_geodb_spark.streaming.cdc import (
+    GeoDBVersionsDataSource,
+    register_cdc_source,
+    stream_collection_changes,
+)
 
 __all__ = [
     "tumbling_window_counts",
@@ -32,4 +37,7 @@ __all__ = [
     "running_user_totals",
     "collection_batch_writer",
     "write_stream_to_collection",
+    "GeoDBVersionsDataSource",
+    "register_cdc_source",
+    "stream_collection_changes",
 ]

@@ -84,6 +84,7 @@ DRIVER_WINDOW = [
     "dml_compact_roundtrip",
     "dml_time_travel_roundtrip",
     "dml_changes_feed",
+    "stream_cdc_feed",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]

@@ -136,12 +136,49 @@ def dml_changes_feed(spark, sf_dir) -> DataFrame:
     )
 
 
+def stream_cdc_feed(spark, sf_dir) -> DataFrame:
+    """Streaming CDC end-to-end: the same DML history as dml_changes_feed,
+    consumed through readStream on the geodb_versions source — every commit
+    surfaces as its own per-version diff tagged _commit_version
+    (streaming/cdc.py). The oracle replays the three commits in SQL."""
+    import tempfile as _tf
+
+    from xcube_geodb_spark.streaming.cdc import stream_collection_changes
+
+    c = _fresh_client(spark)
+    c.create_collection(
+        "nats", {"n_nationkey": "int", "n_name": "text", "n_regionkey": "int"}
+    )
+    c.insert_into_collection("nats", _nation_pdf(spark, sf_dir))  # v1
+    c.delete_from_collection("nats", "n_regionkey=eq.2")  # v2
+    c.update_collection("nats", {"n_name": "REDACTED"}, "n_regionkey=eq.1")  # v3
+
+    out = _tf.mkdtemp(prefix="geodb_cdc_out_")
+
+    def _feed(df: DataFrame, batch_id: int) -> None:
+        df.select(
+            "n_nationkey", "n_name", "_change_type", "_commit_version"
+        ).write.mode("append").parquet(out)
+
+    q = stream_collection_changes(
+        c.catalog,
+        "nats",
+        "driver",
+        _feed,
+        checkpoint_dir=_tf.mkdtemp(prefix="geodb_cdc_ck_"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
 DML_QUERIES = {
     "dml_delete_update_roundtrip": dml_delete_update_roundtrip,
     "dml_upsert_roundtrip": dml_upsert_roundtrip,
     "dml_compact_roundtrip": dml_compact_roundtrip,
     "dml_time_travel_roundtrip": dml_time_travel_roundtrip,
     "dml_changes_feed": dml_changes_feed,
+    "stream_cdc_feed": stream_cdc_feed,
 }
 
 # the engine maps the reference's "int" property type to bigint
@@ -177,5 +214,18 @@ DML_ORACLES = {
         UNION ALL
         SELECT CAST(n_nationkey AS BIGINT), n_name, 'delete'
         FROM nation WHERE n_regionkey = 2
+    """,
+    # per-version diffs: v1 inserts everything, v2 deletes region 2
+    # (pre-image), v3 redacts region 1 (post-image)
+    "stream_cdc_feed": """
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               'insert' AS _change_type, CAST(1 AS INT) AS _commit_version
+        FROM nation
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT), n_name, 'delete', CAST(2 AS INT)
+        FROM nation WHERE n_regionkey = 2
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT), 'REDACTED', 'update', CAST(3 AS INT)
+        FROM nation WHERE n_regionkey = 1
     """,
 }
