@@ -109,3 +109,40 @@ class TestFilePruning:
         df = client.get_collection(chunked)
         assert len(df) == 20
         assert df[df["id"] == 1].iloc[0]["v"] == 999
+
+
+class TestScanFilePruning:
+    """Read-path data skipping: get_collection must plan a scan over only
+    the manifest files whose footer stats admit the query's conjunctive
+    constraints (the engine's stand-in for the reference's PK btree)."""
+
+    def test_point_lookup_scans_one_file(self, client, chunked):
+        from xcube_geodb_spark.operators.scan import get_collection
+
+        assert len(_file_set(client, chunked)) >= 2
+        # ids are dense in insert order: 1..10 in the lo file, 11..20 hi
+        df = get_collection(client.catalog, chunked, "id=eq.3", database="pruner")
+        assert len(df.inputFiles()) == 1
+        assert [r.v for r in df.select("v").collect()] == [2]
+
+    def test_value_range_scans_one_file(self, client, chunked):
+        from xcube_geodb_spark.operators.scan import get_collection
+
+        df = get_collection(client.catalog, chunked, "v=gte.100", database="pruner")
+        assert len(df.inputFiles()) == 1
+        assert df.count() == 10
+
+    def test_no_match_scans_zero_files(self, client, chunked):
+        from xcube_geodb_spark.operators.scan import get_collection
+
+        df = get_collection(client.catalog, chunked, "v=eq.50", database="pruner")
+        assert df.inputFiles() == []
+        assert df.count() == 0
+
+    def test_unanalyzable_query_scans_everything_correctly(self, client, chunked):
+        from xcube_geodb_spark.operators.scan import get_collection
+
+        df = get_collection(
+            client.catalog, chunked, "or=(v.eq.5,v.eq.105)", database="pruner"
+        )
+        assert df.count() == 2

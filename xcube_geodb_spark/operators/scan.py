@@ -26,8 +26,32 @@ def get_collection(
     limit: int | None = None,
     offset: int | None = None,
 ) -> DataFrame:
-    """Filtered scan via the PostgREST grammar (``geodb.py:1830-1885``)."""
-    df = catalog.load_df(collection, database)
+    """Filtered scan via the PostgREST grammar (``geodb.py:1830-1885``).
+
+    Selective scans skip manifest files whose footer min/max provably
+    exclude the query's conjunctive constraints (same analysis DML uses
+    for rewrites): a point lookup like ``id=eq.N`` on a clustered
+    collection plans a one-file scan instead of the table — the engine's
+    stand-in for the reference's PK btree (geodb.sql:310)."""
+    from xcube_geodb_spark.catalog import SYSTEM_COLUMNS
+    from xcube_geodb_spark.operators.pruning import (
+        conjunctive_constraints,
+        split_files_by_constraints,
+    )
+
+    constraints = conjunctive_constraints(query)
+    m = catalog.meta(collection, database)
+    if constraints and m.files:
+        cols = sorted({c for c, _, _ in constraints})
+        touched, _ = split_files_by_constraints(
+            catalog.manifest_paths(collection, database, meta=m),
+            cols,
+            constraints,
+        )
+        df = catalog.load_files(collection, database, touched, meta=m)
+        df = df.drop(*[c for c in df.columns if c in SYSTEM_COLUMNS])
+    else:
+        df = catalog.load_df(collection, database)
     return apply_postgrest_query(df, query, limit=limit, offset=offset)
 
 
