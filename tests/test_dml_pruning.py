@@ -146,3 +146,42 @@ class TestScanFilePruning:
             client.catalog, chunked, "or=(v.eq.5,v.eq.105)", database="pruner"
         )
         assert df.count() == 2
+
+
+class TestManifestFileStats:
+    """Commit-time data skipping stats: the manifest carries per-file
+    column min/max so pruning reads no footers at query time."""
+
+    def test_commit_records_stats_for_every_file(self, client, chunked):
+        m = client.catalog.meta(chunked, "pruner")
+        assert set(m.d["file_stats"]) == set(m.files)
+        for st in m.d["file_stats"].values():
+            assert "id" in st and "v" in st
+            lo, hi = st["v"]
+            assert (lo, hi) in {(0, 9), (100, 109)}
+
+    def test_rewrite_drops_stale_stats(self, client, chunked):
+        client.delete_from_collection(chunked, "v=eq.105")
+        m = client.catalog.meta(chunked, "pruner")
+        assert set(m.d["file_stats"]) == set(m.files)
+
+    def test_pruning_uses_manifest_not_footers(self, client, chunked, monkeypatch):
+        # with manifest stats present, footer reads must not happen
+        import xcube_geodb_spark.operators.stats as stats_mod
+
+        def _boom(*a, **k):
+            raise AssertionError("footer read despite manifest stats")
+
+        monkeypatch.setattr(stats_mod, "footer_min_max", _boom)
+        from xcube_geodb_spark.operators.scan import get_collection
+
+        df = get_collection(client.catalog, chunked, "v=eq.5", database="pruner")
+        assert len(df.inputFiles()) == 1
+
+    def test_stats_survive_json_roundtrip(self, client, chunked):
+        import json
+
+        m = client.catalog.meta(chunked, "pruner")
+        with open(m.path) as f:
+            d = json.load(f)
+        assert d["file_stats"] == m.d["file_stats"]

@@ -392,3 +392,16 @@ class TestBufferPoint:
         b = buffer_point(0.0, 0.0, 2.0)
         assert distance(b, parse_wkt("POINT (0.5 0.5)")) == 0.0
         assert distance(b, parse_wkt("POINT (3 0)")) > 0.9
+
+
+class TestCentroidDegenerateRing:
+    def test_zero_area_bowtie_ring_carries_no_weight(self):
+        from xcube_geodb_spark.geometry.geom import centroid, parse_wkt
+
+        # bowtie with zero signed area far from the valid square; its
+        # moments must not skew the sibling polygon's centroid
+        m = parse_wkt(
+            "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)),"
+            " ((100 100, 102 102, 102 100, 100 102, 100 100)))"
+        )
+        assert centroid(m) == (1.0, 1.0)

@@ -618,6 +618,20 @@ class GeoDBCatalog:
             )
         keep = list(keep_files) if keep_files is not None else m.files
         m.d["files"] = keep + new_files
+        # Delta-style data skipping: per-file column min/max embedded in the
+        # manifest, computed ONCE at commit (one footer read per new file),
+        # so selective scans/DML prune files without touching any footer at
+        # query time. Kept files carry their stats forward; dropped files'
+        # stats fall out of the dict.
+        from xcube_geodb_spark.operators.stats import file_column_stats
+
+        fstats = dict(m.d.get("file_stats") or {})
+        for f in new_files:
+            try:
+                fstats[f] = file_column_stats(os.path.join(cdir, f))
+            except Exception:
+                pass  # unreadable stats never block a commit
+        m.d["file_stats"] = {f: fstats[f] for f in m.d["files"] if f in fstats}
         m.d["version"] = m.version + 1
         m.d["modified_at"] = _now_iso()
         if max_id is not None:

@@ -533,6 +533,11 @@ def centroid(geom: Geometry) -> tuple[float, float]:
         if leaf.kind == "Polygon":
             for i, ring in enumerate(leaf.parts):
                 s = _ring_shoelace(ring)
+                if s == 0.0:
+                    # degenerate (zero-area) ring, e.g. a bowtie: it must
+                    # carry zero weight, but its cx/cy moments can be
+                    # nonzero and would skew valid sibling rings
+                    continue
                 # Shell adds, hole subtracts — independent of ring winding,
                 # matching area(). cx/cy carry the ring's own orientation
                 # sign, so normalize by orient before applying shell/hole.

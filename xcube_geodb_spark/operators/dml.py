@@ -223,6 +223,7 @@ def insert_into_collection(
                 catalog.manifest_paths(collection, database),
                 ["id"],
                 [("id", "gte", int(bounds["lo"])), ("id", "lte", int(bounds["hi"]))],
+                stats_map=m.d.get("file_stats"),
             )
         else:
             touched, untouched = list(m.files), []
@@ -299,18 +300,22 @@ def _touched_untouched(
     database: str,
     query: str,
 ) -> tuple[list[str], list[str]]:
-    """Partition manifest files into (maybe-touched, untouched) from parquet
-    footer min/max stats vs the filter's conjunctive interval constraints.
-    Conservative: anything unprovable counts as touched."""
+    """Partition manifest files into (maybe-touched, untouched) from the
+    manifest's commit-time file stats (footer fallback for older commits)
+    vs the filter's conjunctive interval constraints. Conservative:
+    anything unprovable counts as touched."""
     from xcube_geodb_spark.operators.pruning import (
         conjunctive_constraints,
         split_files_by_constraints,
     )
 
     constraints = conjunctive_constraints(query)
-    paths = catalog.manifest_paths(collection, database)
+    m = catalog.meta(collection, database)
+    paths = catalog.manifest_paths(collection, database, meta=m)
     cols = sorted({c for c, _op, _v in constraints})
-    return split_files_by_constraints(paths, cols, constraints)
+    return split_files_by_constraints(
+        paths, cols, constraints, stats_map=m.d.get("file_stats")
+    )
 
 
 def delete_from_collection(

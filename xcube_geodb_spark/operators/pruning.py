@@ -89,18 +89,32 @@ def file_may_match(
 
 
 def split_files_by_constraints(
-    paths: dict[str, str], columns: list[str], constraints
+    paths: dict[str, str],
+    columns: list[str],
+    constraints,
+    stats_map: dict[str, dict] | None = None,
 ) -> tuple[list[str], list[str]]:
     """Partition manifest files into (maybe_touched, untouched).
 
-    ``paths`` maps manifest-relative name -> absolute path."""
+    ``paths`` maps manifest-relative name -> absolute path. ``stats_map``
+    is the manifest's commit-time ``file_stats`` (rel -> {col: [min,
+    max]}); files present there prune without any footer IO — at 100 TB
+    the manifest read replaces N per-query footer reads. Files absent
+    (pre-stats commits) fall back to reading their footer."""
     from xcube_geodb_spark.operators.stats import footer_min_max
 
     if not constraints:
         return list(paths), []
     touched, untouched = [], []
     for rel, absolute in paths.items():
-        stats = footer_min_max([absolute], columns)
+        if stats_map is not None and rel in stats_map:
+            stats = {
+                c: tuple(v)
+                for c, v in stats_map[rel].items()
+                if c in columns
+            }
+        else:
+            stats = footer_min_max([absolute], columns)
         if file_may_match(stats, constraints):
             touched.append(rel)
         else:

@@ -47,6 +47,7 @@ def get_collection(
             catalog.manifest_paths(collection, database, meta=m),
             cols,
             constraints,
+            stats_map=m.d.get("file_stats"),
         )
         df = catalog.load_files(collection, database, touched, meta=m)
         df = df.drop(*[c for c in df.columns if c in SYSTEM_COLUMNS])

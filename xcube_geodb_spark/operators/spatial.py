@@ -164,6 +164,16 @@ def get_collection_bbox(
         return (row["xmin"], row["ymin"], row["xmax"], row["ymax"])
     from xcube_geodb_spark.operators.stats import footer_min_max
 
+    env = ("__xmin", "__ymin", "__xmax", "__ymax")
+    fstats = m.d.get("file_stats") or {}
+    if all(f in fstats and all(c in fstats[f] for c in env) for f in m.files):
+        # manifest stats cover every file: zero-IO extent
+        return (
+            min(fstats[f]["__xmin"][0] for f in m.files),
+            min(fstats[f]["__ymin"][0] for f in m.files),
+            max(fstats[f]["__xmax"][1] for f in m.files),
+            max(fstats[f]["__ymax"][1] for f in m.files),
+        )
     paths = [
         os.path.join(catalog.warehouse, database, collection, f) for f in m.files
     ]

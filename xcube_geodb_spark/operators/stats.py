@@ -19,6 +19,41 @@ def footer_row_count(paths: list[str]) -> int:
     return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
 
 
+def file_column_stats(path: str, max_str: int = 64) -> dict[str, list]:
+    """JSON-safe per-column [min, max] for ONE file, for embedding into the
+    collection manifest at commit time (Delta-style data skipping: pruning
+    then reads the manifest instead of N footers per query).
+
+    Only columns whose every row group carries stats and whose values are
+    JSON-representable (int/float/bool/short str) are recorded; anything
+    else is simply absent, which pruning treats as "maybe matches"."""
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    for i in range(md.num_columns):
+        name = md.schema.column(i).name
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            a, b = st.min, st.max
+            if not isinstance(a, (int, float, str)) or isinstance(a, bool):
+                ok = False
+                break
+            if isinstance(a, str) and (len(a) > max_str or len(str(b)) > max_str):
+                ok = False
+                break
+            if lo is None or a < lo:
+                lo = a
+            if hi is None or b > hi:
+                hi = b
+        if ok and lo is not None:
+            out[name] = [lo, hi]
+    return out
+
+
 def footer_min_max(paths: list[str], columns: list[str]) -> dict[str, tuple]:
     """Per-column (min, max) aggregated over all files' row-group stats.
     Returns only columns whose every row group carries stats."""
