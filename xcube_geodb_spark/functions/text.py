@@ -104,10 +104,10 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id_column(text_col: str = "text") -> Column:
-    """Stopword-vote language id; first-match CASE gives earlier languages
-    the tie-break (a classic n-gram-free heuristic, SQL-replicable)."""
-    toks = tokens(F.col(text_col))
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Stopword-vote language id over an already-materialized token array;
+    first-match CASE gives earlier languages the tie-break (a classic
+    n-gram-free heuristic, SQL-replicable)."""
 
     def _hits(words: tuple[str, ...]) -> Column:
         # single-parameter lambda: two-parameter lambdas become
@@ -126,8 +126,54 @@ def lang_id_column(text_col: str = "text") -> Column:
     return expr.otherwise(F.lit("und"))
 
 
+def lang_id_column(text_col: str = "text") -> Column:
+    return lang_id_from_tokens(tokens(F.col(text_col)))
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", lang_id_column(text_col))
+
+
+def with_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fused single-pass text profile: quality score, token stats, language
+    id, and fingerprint sharing ONE normalization + tokenization per row.
+    The composable ``with_*`` helpers each re-derive the token array
+    (Catalyst inlines single-expression columns), which multiplied the
+    dominant regexp cost 4x on the profile path — this is the hot-path
+    variant; formulas are identical."""
+    text = F.col(text_col)
+    staged = (
+        df.withColumn("__norm", normalized(text))
+        .withColumn("__toks", F.split(F.col("__norm"), " "))
+        .withColumn("__alpha", F.length(F.regexp_replace(text, "[^A-Za-z]", "")))
+        .withColumn("__punct", F.length(F.regexp_replace(text, "[^.,;:!?]", "")))
+    )
+    toks = F.col("__toks")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    alpha_ratio = F.col("__alpha") / F.greatest(n_chars, F.lit(1))
+    punct_ratio = F.col("__punct") / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.lit(0.35) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.35) * stop_ratio
+        + F.lit(0.20) * alpha_ratio
+        + F.lit(0.10) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return (
+        staged.withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "n_subword_est", F.ceil(n_chars / F.lit(4.0)).cast("long")
+        )
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("quality", F.round(score, 6))
+        .withColumn("lang_pred", lang_id_from_tokens(toks))
+        .withColumn("fingerprint", F.md5(F.col("__norm")))
+        .drop("__norm", "__toks", "__alpha", "__punct")
+    )
 
 
 def fingerprint_column(text_col: str = "text") -> Column:

@@ -421,9 +421,7 @@ def text_profile(spark, sf_dir):
     subword token estimate, language id, and fingerprint in a single
     per-document projection (all column algebra — one pass, no shuffle)."""
     docs = load(spark, sf_dir, "documents")
-    out = text.with_fingerprint(
-        text.with_lang_id(text.with_token_stats(text.with_quality_score(docs)))
-    )
+    out = text.with_profile(docs)
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
