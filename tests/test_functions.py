@@ -235,3 +235,63 @@ class TestRotationLSH:
         df = spark.createDataFrame([(vec,)], "embedding array<double>")
         got = df.select(S.rotation_bucket(F.col("embedding"), hp).alias("b")).first()["b"]
         assert got == S.bucket_of(vec, hp)
+
+
+class TestScrubAndRepetition:
+    def test_scrub_redacts_email_url_ip(self, spark):
+        from xcube_geodb_spark.functions import text as T
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at jane.doe+x@corp.example.org today"),
+                (2, "see https://example.com/a?b=1 and http://x.io"),
+                (3, "host 192.168.1.254 is up, 999.1.2.3 is not an ip"),
+                (4, "clean text stays clean"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.text_scrubbed for r in T.with_scrubbed(df).collect()
+        }
+        assert got[1] == "mail me at <EMAIL> today"
+        assert got[2] == "see <URL> and <URL>"
+        assert "192.168.1.254" not in got[3] and "<IP>" in got[3]
+        assert got[4] == "clean text stays clean"
+
+    def test_repetition_ratio(self, spark):
+        from xcube_geodb_spark.functions import text as T
+
+        df = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam"),      # 1 distinct / 4 -> 0.75
+                (2, "all words are different"),  # 0.0
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.rep_ratio for r in T.with_repetition(df).collect()}
+        assert got[1] == 0.75
+        assert got[2] == 0.0
+
+
+class TestStDwithin:
+    def test_dwithin_sql(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        rows = spark.sql(
+            """
+            SELECT
+              st_dwithin(st_geomfromtext('POINT (0 0)'),
+                         st_geomfromtext('POINT (3 4)'), 5.0) AS on_edge,
+              st_dwithin(st_geomfromtext('POINT (0 0)'),
+                         st_geomfromtext('POINT (3 4)'), 4.9) AS outside,
+              st_dwithin(st_geomfromtext('POINT (1 1)'),
+                         st_geomfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                         0.0) AS contained
+            """
+        ).collect()[0]
+        assert rows.on_edge is True
+        assert rows.outside is False
+        assert rows.contained is True

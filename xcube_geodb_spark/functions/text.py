@@ -182,5 +182,39 @@ def fingerprint_column(text_col: str = "text") -> Column:
     return F.md5(normalized(F.col(text_col)))
 
 
+# scrub patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB) so the oracle replays them bit-for-bit
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^ \t\n]+"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def with_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII/URL scrubbing for training corpora: emails, URLs, and IPv4
+    literals replaced with fixed sentinels — pure regexp projections,
+    shuffle-free, and cross-engine reproducible."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, URL_RE, "<URL>")
+    c = F.regexp_replace(c, IPV4_RE, "<IP>")
+    return df.withColumn("text_scrubbed", c)
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signal: fraction of tokens that are repeats
+    of an earlier token (1 - distinct/total). High values flag boilerplate
+    and degenerate generations."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    return df.withColumn(
+        "rep_ratio",
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)),
+            6,
+        ),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint_column(text_col))

@@ -134,6 +134,14 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         T.DoubleType(),
     )
 
+    spark.udf.register(
+        "st_dwithin",
+        lambda a, b, r: (distance(parse_wkb(a), parse_wkb(b)) <= r)
+        if a is not None and b is not None and r is not None
+        else False,
+        T.BooleanType(),
+    )
+
     def _buffer(b: bytes, radius: float):
         if b is None or radius is None:
             return None

@@ -435,6 +435,19 @@ def text_profile(spark, sf_dir):
     )
 
 
+def text_scrub(spark, sf_dir):
+    """PII/URL scrubbing (functions/text.with_scrubbed): regexes chosen to
+    parse identically under Java regex and DuckDB's RE2."""
+    docs = load(spark, sf_dir, "documents")
+    return text.with_scrubbed(docs).select("doc_id", "text_scrubbed")
+
+
+def text_repetition(spark, sf_dir):
+    """Token-repetition quality signal (functions/text.with_repetition)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.with_repetition(docs).select("doc_id", "rep_ratio")
+
+
 def multimodal_decode(spark, sf_dir):
     docs = attach_binary_payload(load(spark, sf_dir, "documents"), "text")
     return decode_features(docs)
@@ -484,6 +497,24 @@ _LANG_CASE = "CASE " + " ".join(
 ) + " ELSE 'und' END"
 
 LLM_TEXT_ORACLES = {
+    "text_scrub": r"""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       'https?://[^ \t\n]+', '<URL>', 'g'),
+                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'
+               ) AS text_scrubbed
+        FROM documents
+    """,
+    "text_repetition": f"""
+        SELECT doc_id,
+               round(1.0 - len(list_distinct(toks)) * 1.0
+                         / greatest(len(toks), 1), 6) AS rep_ratio
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    """,
     "text_quality": _QUALITY_SQL,
     "text_lang_id": f"""
         SELECT doc_id, {_LANG_CASE} AS lang_pred
@@ -568,6 +599,8 @@ LLM_QUERIES = {
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "text_profile": text_profile,
+    "text_scrub": text_scrub,
+    "text_repetition": text_repetition,
     "multimodal_decode": multimodal_decode,
     "sample_split_documents": sample_split_documents,
     "pack_documents_budget": pack_documents_budget,
