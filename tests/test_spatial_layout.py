@@ -61,3 +61,78 @@ def test_bbox_scan_correct_on_clustered_layout(clustered):
         database="layout",
     )
     assert n > 0
+
+
+class TestKnn:
+    """get_knn: exact two-pass envelope-bounded k nearest neighbors."""
+
+    @pytest.fixture()
+    def knn_client(self, spark, tmp_path):
+        import pandas as pd
+
+        from xcube_geodb_spark.client import GeoDBSparkClient
+
+        c = GeoDBSparkClient(spark, warehouse=str(tmp_path / "wh"), user="knn")
+        # 10x10 grid of points at integer coords + one square polygon
+        rows = [
+            {"geometry": f"POINT ({x} {y})", "tag": f"p{x}_{y}"}
+            for x in range(10)
+            for y in range(10)
+        ]
+        rows.append(
+            {"geometry": "POLYGON ((20 20, 22 20, 22 22, 20 22, 20 20))",
+             "tag": "sq"}
+        )
+        c.create_collection("g", {"tag": "text"})
+        c.insert_into_collection("g", pd.DataFrame(rows))
+        return c
+
+    def test_knn_exact_against_brute_force(self, knn_client):
+        from xcube_geodb_spark.operators.spatial import get_knn
+
+        got = get_knn(
+            knn_client.catalog, "g", (3.2, 3.9), k=5, database="knn"
+        ).collect()
+        assert len(got) == 5
+        # brute force over the grid
+        import math
+
+        brute = sorted(
+            (math.hypot(x - 3.2, y - 3.9), f"p{x}_{y}")
+            for x in range(10)
+            for y in range(10)
+        )[:5]
+        assert [r.tag for r in got] == [t for _, t in brute]
+        for r, (d, _) in zip(got, brute):
+            assert abs(r.dist - d) < 1e-9
+
+    def test_knn_point_inside_polygon_distance_zero(self, knn_client):
+        from xcube_geodb_spark.operators.spatial import get_knn
+
+        got = get_knn(
+            knn_client.catalog, "g", (21.0, 21.0), k=1, database="knn"
+        ).collect()
+        assert got[0].tag == "sq" and got[0].dist == 0.0
+
+    def test_knn_k_larger_than_collection(self, knn_client):
+        from xcube_geodb_spark.operators.spatial import get_knn
+
+        got = get_knn(
+            knn_client.catalog, "g", (0.0, 0.0), k=500, database="knn"
+        ).collect()
+        assert len(got) == 101
+
+    def test_knn_empty_collection(self, knn_client):
+        from xcube_geodb_spark.operators.spatial import get_knn
+
+        knn_client.create_collection("empty", {"tag": "text"})
+        got = get_knn(
+            knn_client.catalog, "empty", (0.0, 0.0), k=3, database="knn"
+        )
+        assert got.count() == 0
+        assert "dist" in got.columns
+
+    def test_knn_client_facade(self, knn_client):
+        pdf = knn_client.get_collection_knn("g", (0.1, 0.1), k=3)
+        assert list(pdf["tag"])[0] == "p0_0"
+        assert len(pdf) == 3

@@ -448,6 +448,31 @@ class GeoDBSparkClient:
         self.events.log("read", f"Collection {db}_{collection} read by bbox")
         return self._collect_geo(df, srid)
 
+    def get_collection_knn(
+        self,
+        collection: str,
+        point,
+        k: int = 10,
+        point_crs=4326,
+        database: str | None = None,
+        wsg84_order: str = "lon_lat",
+    ) -> pd.DataFrame:
+        """Exact k nearest features to a point with their distances
+        (engine superset: the PostGIS ``ORDER BY geom <-> q`` idiom)."""
+        db = self._db(database)
+        srid = self.catalog.get_collection_srid(collection, db)
+        df = spatial.get_knn(
+            self.catalog,
+            collection,
+            (float(point[0]), float(point[1])),
+            k=k,
+            database=db,
+            point_crs=point_crs,
+            wsg84_order=wsg84_order,
+        )
+        self.events.log("read", f"Collection {db}_{collection} knn query")
+        return self._collect_geo(df, srid)
+
     def count_collection_rows(
         self,
         collection: str,

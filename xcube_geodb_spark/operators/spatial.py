@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -181,6 +182,97 @@ def get_collection_bbox(
     if len(mm) < 4:
         return None
     return (mm["__xmin"][0], mm["__ymin"][0], mm["__xmax"][1], mm["__ymax"][1])
+
+
+def get_knn(
+    catalog: GeoDBCatalog,
+    collection: str,
+    point: tuple[float, float],
+    k: int = 10,
+    database: str = "public",
+    point_crs=4326,
+    wsg84_order: str = "lon_lat",
+) -> DataFrame:
+    """Exact k nearest neighbors to a point, engine path (the PostGIS
+    ``ORDER BY geom <-> q LIMIT k`` idiom).
+
+    Two-pass envelope-bounded search that stays JVM-side until the final
+    candidate set:
+
+    1. per row, a distance LOWER bound (point-to-envelope box, 0 inside)
+       and UPPER bound (distance to envelope center + half diagonal; the
+       geometry is non-empty inside its tight envelope, so some geometry
+       point is within half a diagonal of the center) — plain Column
+       arithmetic on the persisted ``__xmin..__ymax`` columns;
+    2. threshold T = k-th smallest upper bound (one TakeOrdered job over
+       the bound columns only — no geometry bytes move);
+    3. rows with ``lower_bound <= T`` (a parquet-stat- and file-prunable
+       range predicate on the envelope columns — the same pruning surface
+       as a bbox query with box ``[qx-T, qy-T, qx+T, qy+T]``) get the
+       exact kernel distance in an Arrow-vectorized UDF, then
+       ``ORDER BY dist LIMIT k`` (TakeOrderedAndProject, per-partition
+       heaps).
+
+    At 100 TB, step 3 touches only the files near the query point; the
+    candidate count is O(k) for any non-pathological spatial distribution.
+    """
+    from pyspark.sql import types as T
+
+    from xcube_geodb_spark.geometry.geom import distance, parse_wkb
+    from xcube_geodb_spark.geometry.geom import Geometry
+    import numpy as np
+
+    if point_crs is not None:
+        srid = catalog.get_collection_srid(collection, database)
+        crs = check_crs(point_crs)
+        if crs != srid:
+            x0, y0, _, _ = transform_bbox_crs(
+                (point[0], point[1], point[0], point[1]), crs, srid,
+                wsg84_order=wsg84_order,
+            )
+            point = (x0, y0)
+        elif crs == 4326 and wsg84_order == "lat_lon":
+            point = (point[1], point[0])
+    qx, qy = float(point[0]), float(point[1])
+
+    df = catalog.load_df(collection, database, include_system=True)
+    zero = F.lit(0.0)
+    dx = F.greatest(F.col("__xmin") - qx, F.lit(qx) - F.col("__xmax"), zero)
+    dy = F.greatest(F.col("__ymin") - qy, F.lit(qy) - F.col("__ymax"), zero)
+    lb = F.sqrt(dx * dx + dy * dy)
+    cx = (F.col("__xmin") + F.col("__xmax")) / 2
+    cy = (F.col("__ymin") + F.col("__ymax")) / 2
+    half_diag = (
+        F.sqrt(
+            (F.col("__xmax") - F.col("__xmin")) ** 2
+            + (F.col("__ymax") - F.col("__ymin")) ** 2
+        )
+        / 2
+    )
+    ub = F.sqrt((cx - qx) ** 2 + (cy - qy) ** 2) + half_diag
+
+    bounds = df.select(lb.alias("__lb"), ub.alias("__ub"))
+    kth = bounds.orderBy("__ub").limit(int(k)).agg(F.max("__ub")).collect()[0][0]
+    if kth is None:  # empty collection
+        return df.drop(*SYSTEM_COLUMNS).withColumn(
+            "dist", F.lit(None).cast("double")
+        ).limit(0)
+
+    @F.pandas_udf(T.DoubleType())
+    def _dist(wkb: pd.Series) -> pd.Series:
+        q = Geometry("Point", np.array([qx, qy], dtype=np.float64))
+        return wkb.map(
+            lambda b: distance(parse_wkb(bytes(b)), q) if b is not None else None
+        )
+
+    out = (
+        df.filter(lb <= F.lit(float(kth)))
+        .withColumn("dist", _dist(F.col("geometry")))
+        .drop(*SYSTEM_COLUMNS)
+        .orderBy("dist", "id")
+        .limit(int(k))
+    )
+    return out
 
 
 def get_geometry_types(

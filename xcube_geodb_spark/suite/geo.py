@@ -419,6 +419,41 @@ def geo_distance_knn(spark, sf_dir):
     )
 
 
+def geo_knn_warehouse(spark, sf_dir):
+    """Exact warehouse k-NN (operators/spatial.get_knn): nation points at
+    POINT(k k); the oracle ranks the same closed-form distances."""
+    import tempfile as _tf
+
+    import pandas as _pd
+
+    from xcube_geodb_spark.client import GeoDBSparkClient
+    from xcube_geodb_spark.operators.spatial import get_knn
+
+    c = GeoDBSparkClient(
+        spark, warehouse=_tf.mkdtemp(prefix="geodb_knn_"), user="driver"
+    )
+    c.create_collection("natk", {"n_nationkey": "int"})
+    nat = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey")
+        .toPandas()
+        .sort_values("n_nationkey")
+    )
+    nat["geometry"] = [f"POINT ({k} {k})" for k in nat["n_nationkey"]]
+    c.insert_into_collection("natk", _pd.DataFrame(nat))
+    out = get_knn(c.catalog, "natk", (10.3, 9.7), k=5, database="driver")
+    return out.select("n_nationkey", F.round("dist", 6).alias("dist"))
+
+
+GEO_ORACLES["geo_knn_warehouse"] = """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           round(sqrt((n_nationkey - 10.3) * (n_nationkey - 10.3)
+                      + (n_nationkey - 9.7) * (n_nationkey - 9.7)), 6) AS dist
+    FROM nation
+    ORDER BY dist, n_nationkey
+    LIMIT 5
+"""
+
 GEO_ORACLES["geo_bbox_modes"] = "\nUNION ALL\n".join(
     f"SELECT '{mode}' AS mode, c_custkey FROM ({GEO_ORACLES[f'geo_bbox_{name}']})"
     for mode, name in [
@@ -447,6 +482,7 @@ GEO_QUERIES = {
     "geo_measures_squares": geo_measures_squares,
     "geo_bbox_modes": geo_bbox_modes,
     "geo_distance_knn": geo_distance_knn,
+    "geo_knn_warehouse": geo_knn_warehouse,
     "geo_bbox_contains_points": geo_bbox_contains_points,
     "geo_bbox_crs_transform": geo_bbox_crs_transform,
     "geo_bbox_disjoint_points": geo_bbox_disjoint_points,
