@@ -185,3 +185,69 @@ class TestManifestFileStats:
         with open(m.path) as f:
             d = json.load(f)
         assert d["file_stats"] == m.d["file_stats"]
+
+
+class TestDedupCollection:
+    """client.dedup_collection: the corpus dedup pipeline applied through
+    the table format via the frame-based delete_ids DML."""
+
+    @pytest.fixture()
+    def dup_client(self, spark, tmp_path):
+        c = GeoDBSparkClient(
+            spark, warehouse=str(tmp_path / "whd"), user="pruner"
+        )
+        c.create_collection("d", {"k": "int", "text": "text"})
+        def doc(i):
+            # fully distinct token sets between docs: cross-doc Jaccard 0
+            return " ".join(f"w{i}x{j}" for j in range(12))
+
+        base = [
+            {"k": i, "text": doc(i), "geometry": "POINT (0 0)"}
+            for i in range(20)
+        ]
+        # second commit (separate file, ids 21..26): exact duplicates of
+        # k=0..4 and a near-duplicate of k=5
+        dups = [
+            {"k": 100 + i, "text": doc(i), "geometry": "POINT (0 0)"}
+            for i in range(5)
+        ]
+        dups.append(
+            {"k": 105, "text": doc(5) + " thanks", "geometry": "POINT (0 0)"}
+        )
+        c.insert_into_collection("d", pd.DataFrame(base))
+        c.insert_into_collection("d", pd.DataFrame(dups))
+        return c
+
+    def test_exact_dedup_keeps_min_id(self, dup_client):
+        stats = dup_client.dedup_collection("d", "text", method="exact")
+        assert stats["removed"] == 5
+        ks = sorted(dup_client.get_collection("d")["k"])
+        assert 100 not in ks and 0 in ks and 105 in ks
+        assert len(ks) == 21
+
+    def test_minhash_dedup_removes_near_dup(self, dup_client):
+        stats = dup_client.dedup_collection(
+            "d", "text", method="minhash", jaccard_threshold=0.5
+        )
+        # the 5 exact dups are also near-dups; 105 is near 5
+        assert stats["removed"] == 6
+        ks = sorted(dup_client.get_collection("d")["k"])
+        assert 105 not in ks and 5 in ks
+        assert len(ks) == 20
+
+    def test_unknown_method_raises(self, dup_client):
+        from xcube_geodb_spark.errors import GeoDBError
+
+        with pytest.raises(GeoDBError, match="Unknown dedup method"):
+            dup_client.dedup_collection("d", "text", method="fuzzy")
+
+    def test_delete_ids_prunes_files(self, dup_client, spark):
+        # victims all in the appended file range -> base files untouched
+        from xcube_geodb_spark.operators.dml import delete_ids
+
+        before = set(dup_client.catalog.manifest_paths("d", "pruner"))
+        ids = spark.createDataFrame([(23,), (24,)], "id long")  # ids of k=102,103
+        delete_ids(dup_client.catalog, "d", ids, database="pruner")
+        after = set(dup_client.catalog.manifest_paths("d", "pruner"))
+        assert before & after, "files outside the id range must survive"
+        assert len(dup_client.get_collection("d")) == 24

@@ -570,6 +570,63 @@ class GeoDBSparkClient:
         dml.update_collection(self.catalog, collection, values, query, db)
         self.events.log("rows_updated", f"Rows updated in {db}_{collection}")
 
+    def dedup_collection(
+        self,
+        collection: str,
+        prop: str,
+        method: str = "exact",
+        jaccard_threshold: float = 0.6,
+        database: str | None = None,
+    ) -> dict:
+        """Deduplicate a collection in place on a text property, keeping the
+        minimum-id row of each duplicate group (engine superset: the LLM
+        training-corpus dedup pipeline applied through the table format).
+
+        ``method='exact'`` removes byte-identical duplicates (one md5
+        group-by); ``method='minhash'`` removes near-duplicates via MinHash
+        LSH candidates -> exact n-gram Jaccard verify -> distributed
+        connected components. Victims are deleted through the frame-based
+        ``delete_ids`` DML, so only files whose id range intersects the
+        victim set rewrite. Returns {"removed": n}."""
+        from pyspark.sql import functions as F
+
+        from xcube_geodb_spark.functions.dedup import (
+            duplicate_clusters,
+            ngram_jaccard_pairs,
+        )
+
+        db = self._db(database)
+        df = self.catalog.load_df(collection, db).select("id", prop)
+        if method == "exact":
+            fp = df.select("id", F.md5(F.col(prop)).alias("__fp"))
+            keepers = fp.groupBy("__fp").agg(F.min("id").alias("__keep"))
+            victims = (
+                fp.join(keepers, "__fp")
+                .filter(F.col("id") != F.col("__keep"))
+                .select("id")
+            )
+        elif method == "minhash":
+            pairs = ngram_jaccard_pairs(
+                df, prop, "id", threshold=jaccard_threshold
+            ).select("id_a", "id_b")
+            clusters = duplicate_clusters(pairs)
+            victims = clusters.filter(
+                F.col("doc_id") != F.col("cluster_id")
+            ).select(F.col("doc_id").alias("id"))
+        else:
+            raise GeoDBError(f"Unknown dedup method {method!r}")
+        victims = victims.cache()
+        try:
+            n = victims.count()
+            if n:
+                dml.delete_ids(self.catalog, collection, victims, database=db)
+        finally:
+            victims.unpersist()
+        self.events.log(
+            "rows_dropped", f"{n} duplicate rows removed from {db}_{collection}"
+        )
+        return {"removed": n}
+
     # -- ACL / publish -----------------------------------------------------------
 
     def grant_access_to_collection(

@@ -345,6 +345,46 @@ def delete_from_collection(
     )
 
 
+def delete_ids(
+    catalog: GeoDBCatalog,
+    collection: str,
+    ids_df: DataFrame,
+    database: str = "public",
+    id_col: str = "id",
+) -> None:
+    """Delete an arbitrary (DataFrame-sized) id set — the frame-based
+    counterpart of ``delete_from_collection`` for id sets too large for a
+    filter string (a 100 TB dedup emits millions of victims).
+
+    Files are pruned by the id set's [min, max] against manifest stats
+    (one tiny agg on the id frame); survivors anti-join the victim set,
+    broadcast when small enough for Spark to choose it."""
+    m = catalog.meta(collection, database)
+    ids = ids_df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    bounds = ids.agg(F.min("id").alias("lo"), F.max("id").alias("hi")).collect()[0]
+    if bounds["lo"] is None:
+        return  # empty victim set
+    from xcube_geodb_spark.operators.pruning import split_files_by_constraints
+
+    touched, untouched = split_files_by_constraints(
+        catalog.manifest_paths(collection, database, meta=m),
+        ["id"],
+        [("id", "gte", int(bounds["lo"])), ("id", "lte", int(bounds["hi"]))],
+        stats_map=m.d.get("file_stats"),
+    )
+    if not touched:
+        return
+    df = catalog.load_files(collection, database, touched)
+    keep = df.join(ids, "id", "left_anti")
+    catalog.commit_version(
+        collection,
+        database,
+        keep,
+        keep_files=untouched,
+        expected_version=m.version,
+    )
+
+
 def update_collection(
     catalog: GeoDBCatalog,
     collection: str,

@@ -130,6 +130,14 @@ _FP_CONCAT = " || ".join(
 )
 
 LLM_DEDUP_ORACLES = {
+    # keep min doc_id per identical text; ids were assigned in doc_id
+    # order, so the collection's min-id keeper is the min-doc_id keeper
+    "dedup_collection_roundtrip": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS k
+            FROM ({_AUG_SQL})
+        ) WHERE doc_id = k
+    """,
     "dedup_exact": f"""
         WITH aug AS ({_AUG_SQL})
         SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id,
@@ -448,6 +456,27 @@ def text_repetition(spark, sf_dir):
     return text.with_repetition(docs).select("doc_id", "rep_ratio")
 
 
+def dedup_collection_roundtrip(spark, sf_dir):
+    """Exact dedup applied THROUGH the table format: ingest the documents
+    corpus into a warehouse collection (ordered by doc_id so collection
+    ids rank identically), client.dedup_collection keeps the min-id row
+    per md5(text) group via the frame-based delete_ids DML, scan back."""
+    import tempfile as _tf
+
+    from xcube_geodb_spark.client import GeoDBSparkClient
+
+    c = GeoDBSparkClient(
+        spark, warehouse=_tf.mkdtemp(prefix="geodb_dedup_"), user="driver"
+    )
+    c.create_collection("docs", {"doc_id": "bigint", "text": "text"})
+    src = _augmented(spark, sf_dir).orderBy("doc_id").toPandas()
+    src["geometry"] = "POINT (0 0)"
+    c.insert_into_collection("docs", src)
+    stats = c.dedup_collection("docs", "text", method="exact")
+    assert stats["removed"] > 0, "augmented corpus must contain exact dups"
+    return c.catalog.load_df("docs", "driver").select("doc_id")
+
+
 def multimodal_decode(spark, sf_dir):
     docs = attach_binary_payload(load(spark, sf_dir, "documents"), "text")
     return decode_features(docs)
@@ -601,6 +630,7 @@ LLM_QUERIES = {
     "text_profile": text_profile,
     "text_scrub": text_scrub,
     "text_repetition": text_repetition,
+    "dedup_collection_roundtrip": dedup_collection_roundtrip,
     "multimodal_decode": multimodal_decode,
     "sample_split_documents": sample_split_documents,
     "pack_documents_budget": pack_documents_budget,
