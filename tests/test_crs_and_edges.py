@@ -150,3 +150,33 @@ class TestRectFastPathDegenerate:
                 for i, b in enumerate(wkbs)
             }
             assert got == want, f"mode {mode}: {got} != {want}"
+
+
+class TestStTransform:
+    def test_polygon_roundtrip_4326_3857(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT st_astext(
+                st_transform(
+                    st_transform(
+                        st_geomfromtext('POLYGON ((10 45, 11 45, 11 46, 10 46, 10 45))'),
+                        4326, 3857),
+                    3857, 4326)
+            ) AS wkt,
+            st_x(st_centroid(st_transform(
+                st_geomfromtext('POINT (10 45)'), 4326, 3857))) AS mx
+            """
+        ).collect()[0]
+        # round-trip error far below 1e-6 deg
+        import re
+
+        nums = [float(v) for v in re.findall(r"-?\d+\.?\d*", row.wkt)]
+        expect = [10, 45, 11, 45, 11, 46, 10, 46, 10, 45]
+        assert all(abs(a - b) < 1e-6 for a, b in zip(nums, expect))
+        # web-mercator x of lon 10 = 10/180 * 20037508.34
+        assert abs(row.mx - 10 / 180 * 20037508.342789244) < 1.0

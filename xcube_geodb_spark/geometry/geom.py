@@ -710,6 +710,28 @@ def distance(a: Geometry, b: Geometry) -> float:
     return best if best is not math.inf else math.nan
 
 
+def map_coordinates(geom: Geometry, fn) -> Geometry:
+    """Structure-preserving coordinate transform: ``fn(x, y) -> (x, y)``
+    applied to every vertex (used by st_transform for CRS reprojection)."""
+
+    def _arr(arr: np.ndarray) -> np.ndarray:
+        out = np.empty_like(arr)
+        for i in range(len(arr)):
+            out[i, 0], out[i, 1] = fn(float(arr[i, 0]), float(arr[i, 1]))
+        return out
+
+    if geom.kind == "Point":
+        x, y = fn(float(geom.parts[0]), float(geom.parts[1]))
+        return Geometry("Point", np.array([x, y], dtype=np.float64), geom.srid)
+    if geom.kind == "LineString":
+        return Geometry("LineString", _arr(geom.parts), geom.srid)
+    if geom.kind == "Polygon":
+        return Geometry("Polygon", [_arr(r) for r in geom.parts], geom.srid)
+    return Geometry(
+        geom.kind, [map_coordinates(g, fn) for g in geom.parts], geom.srid
+    )
+
+
 def buffer_point(x: float, y: float, radius: float, quad_segs: int = 8) -> Geometry:
     """``ST_Buffer`` of a POINT: a regular ``4*quad_segs``-gon inscribed in
     the radius circle (PostGIS's default quad_segs=8 -> 32 vertices).

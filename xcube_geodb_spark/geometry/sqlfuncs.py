@@ -153,3 +153,18 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         return to_wkb(buffer_point(float(g.parts[0]), float(g.parts[1]), radius))
 
     spark.udf.register("st_buffer", _buffer, T.BinaryType())
+
+    def _transform(b: bytes, from_srid: int, to_srid: int):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.crs import transform_point
+        from xcube_geodb_spark.geometry.geom import map_coordinates
+
+        out = map_coordinates(
+            parse_wkb(b),
+            lambda x, y: transform_point(x, y, int(from_srid), int(to_srid)),
+        )
+        out.srid = int(to_srid)
+        return to_wkb(out)
+
+    spark.udf.register("st_transform", _transform, T.BinaryType())
