@@ -10,8 +10,8 @@ from xcube_geodb_spark.functions import dedup, similarity, text
 from xcube_geodb_spark.functions.multimodal import (
     attach_binary_payload,
     decode_features,
-    frame_sample_stub,
-    resize_stub,
+    resize_images,
+    sample_frames,
 )
 
 
@@ -182,11 +182,33 @@ class TestMultimodal:
         assert feats["feat0"] == float(ord("t"))
         assert feats["feat1"] == float(ord("h"))
 
-    def test_stubs_raise(self):
-        with pytest.raises(NotImplementedError):
-            resize_stub()
-        with pytest.raises(NotImplementedError):
-            frame_sample_stub()
+    def test_resize_plumbing(self, docs):
+        payloads = attach_binary_payload(docs, "text")
+        out = {
+            r.doc_id: r for r in resize_images(payloads, 64, 48).collect()
+        }
+        r = out[1]
+        assert (r.width, r.height) == (64, 48)
+        assert bytes(r.payload).startswith(b"RSZ")
+        assert r.n_bytes == len(bytes(r.payload))
+
+    def test_frame_sampling_fans_out(self, docs):
+        payloads = attach_binary_payload(docs, "text")
+        frames = sample_frames(payloads, every_n=2).collect()
+        by_doc = {}
+        for r in frames:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # 43-byte payload -> 3 fake frames of 16 bytes -> every 2nd = idx 0, 2
+        assert [r.frame_idx for r in sorted(by_doc[1], key=lambda r: r.frame_idx)] == [0, 2]
+        first = min(by_doc[1], key=lambda r: r.frame_idx)
+        assert bytes(first.frame) == b"the quick brown "
+
+    def test_custom_resizer_injectable(self, docs):
+        payloads = attach_binary_payload(docs, "text")
+        out = resize_images(
+            payloads, 8, 8, resizer=lambda b, w, h: b[: w]
+        ).collect()
+        assert all(r.n_bytes <= 8 for r in out)
 
     def test_custom_decoder(self, docs):
         payloads = attach_binary_payload(docs, "text")

@@ -72,17 +72,84 @@ def decode_features(
     return df.select(id_col, payload_col).mapInPandas(_decode, schema)
 
 
-def resize_stub(*_args, **_kwargs):
-    """Image resize requires a codec library not present in this container."""
-    raise NotImplementedError(
-        "image resize requires PIL/opencv which are not available in this "
-        "environment; wire a decoder into decode_features() instead"
-    )
+def deterministic_fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Codec stand-in for image resize: deterministic bytes derived from
+    the payload head + target dims (a real deployment passes a PIL/opencv
+    thumbnailer with the same ``(bytes, w, h) -> bytes`` signature)."""
+    head = payload[:8]
+    return b"RSZ" + width.to_bytes(2, "big") + height.to_bytes(2, "big") + head
 
 
-def frame_sample_stub(*_args, **_kwargs):
-    """Video frame sampling requires ffmpeg, not present in this container."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg which is not available in this "
-        "environment; wire a decoder into decode_features() instead"
-    )
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Arrow-batched image resize stage: one output row per input with the
+    resized payload + updated metadata. The codec call is injectable
+    (PIL/opencv absent from this container -> deterministic fake); the
+    Spark plumbing — payload-only column pruning, mapInPandas batch
+    iteration, metadata struct rebuild — is real."""
+    resizer = resizer or deterministic_fake_resizer
+    schema = f"{id_col} long, payload binary, width int, height int, n_bytes int"
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame({id_col: pdf[id_col]})
+            resized = pdf[payload_col].map(
+                lambda b: resizer(bytes(b), width, height)
+            )
+            out["payload"] = resized
+            out["width"] = width
+            out["height"] = height
+            out["n_bytes"] = resized.map(len).astype("int32")
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(_resize, schema)
+
+
+def deterministic_fake_frame_sampler(
+    payload: bytes, frame_bytes: int = 16
+) -> list[bytes]:
+    """Codec stand-in for video demux: fixed-width byte windows as
+    "frames" (a real deployment passes an ffmpeg-backed sampler with the
+    same ``bytes -> list[bytes]`` signature)."""
+    return [
+        payload[i : i + frame_bytes]
+        for i in range(0, max(len(payload), 1), frame_bytes)
+    ]
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    sampler: Callable[[bytes], list[bytes]] | None = None,
+) -> DataFrame:
+    """Arrow-batched frame sampling: FAN-OUT stage emitting one row per
+    kept frame (id, frame_idx, frame). The multi-row-per-input batch shape
+    is the part that matters at scale — a 2-hour video becomes thousands
+    of rows inside one task without driver involvement; downstream stages
+    (decode_features on frames, dedup on frame hashes) are ordinary
+    DataFrame ops."""
+    sampler = sampler or deterministic_fake_frame_sampler
+    schema = f"{id_col} long, frame_idx int, frame binary"
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                all_frames = sampler(bytes(payload))
+                for i in range(0, len(all_frames), max(1, int(every_n))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(all_frames[i])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_sample, schema)
