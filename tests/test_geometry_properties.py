@@ -180,3 +180,59 @@ def test_squares_match_interval_oracle(g, box):
         "crosses",
     ):
         assert bbox_predicate(mode, g, box) == _interval_oracle(mode, env, box), mode
+
+
+class TestDistanceProperties:
+    """Invariants of the exact distance kernel for ANY inputs."""
+
+    @given(squares(), squares())
+    @settings(max_examples=150, deadline=None)
+    def test_symmetric_and_nonnegative(self, a, b):
+        from xcube_geodb_spark.geometry.geom import distance
+
+        d1, d2 = distance(a, b), distance(b, a)
+        assert d1 >= 0.0
+        assert abs(d1 - d2) < 1e-9
+
+    @given(squares())
+    @settings(max_examples=50, deadline=None)
+    def test_self_distance_zero(self, g):
+        from xcube_geodb_spark.geometry.geom import distance
+
+        assert distance(g, g) == 0.0
+
+    @given(points(), squares())
+    @settings(max_examples=150, deadline=None)
+    def test_point_to_square_matches_closed_form(self, p, sq):
+        import math
+
+        from xcube_geodb_spark.geometry.geom import distance, envelope
+
+        x0, y0, x1, y1 = envelope(sq)
+        px, py = float(p.parts[0]), float(p.parts[1])
+        dx = max(x0 - px, px - x1, 0.0)
+        dy = max(y0 - py, py - y1, 0.0)
+        assert abs(distance(p, sq) - math.hypot(dx, dy)) < 1e-9
+
+    @given(points(), points(), coord, coord)
+    @settings(max_examples=100, deadline=None)
+    def test_translation_invariance(self, a, b, tx, ty):
+        import numpy as np
+
+        from xcube_geodb_spark.geometry.geom import Geometry, distance
+
+        shift = np.array([tx, ty])
+        a2 = Geometry("Point", a.parts + shift)
+        b2 = Geometry("Point", b.parts + shift)
+        assert abs(distance(a, b) - distance(a2, b2)) < 1e-6
+
+    @given(points(), squares())
+    @settings(max_examples=100, deadline=None)
+    def test_zero_iff_intersects(self, p, sq):
+        from xcube_geodb_spark.geometry.geom import distance, envelope
+
+        x0, y0, x1, y1 = envelope(sq)
+        px, py = float(p.parts[0]), float(p.parts[1])
+        inside_or_on = x0 <= px <= x1 and y0 <= py <= y1
+        d = distance(p, sq)
+        assert (d == 0.0) == inside_or_on
