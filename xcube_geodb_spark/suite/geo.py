@@ -445,6 +445,33 @@ def geo_knn_warehouse(spark, sf_dir):
     return out.select("n_nationkey", F.round("dist", 6).alias("dist"))
 
 
+def geo_transform_points(spark, sf_dir):
+    """st_transform through the raw-SQL path: project the synthesized
+    4326 points to web mercator; the oracle replays the closed-form
+    spherical-mercator equations (a = 6378137)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(spark)
+    _points(spark, sf_dir).createOrReplaceTempView("pts_tx")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               round(st_x(st_transform(geometry, 4326, 3857)), 3) AS mx,
+               round(st_y(st_transform(geometry, 4326, 3857)), 3) AS my
+        FROM pts_tx
+        WHERE c_custkey BETWEEN 1 AND 500
+        """
+    )  # custkey 0 sits exactly on the south pole, outside mercator's domain
+
+
+GEO_ORACLES["geo_transform_points"] = f"""
+    SELECT c_custkey,
+           round(6378137.0 * radians(x), 3) AS mx,
+           round(6378137.0 * ln(tan(pi() / 4 + radians(y) / 2)), 3) AS my
+    FROM ({_PTS})
+    WHERE c_custkey BETWEEN 1 AND 500
+"""
+
 GEO_ORACLES["geo_knn_warehouse"] = """
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
            round(sqrt((n_nationkey - 10.3) * (n_nationkey - 10.3)
@@ -483,6 +510,7 @@ GEO_QUERIES = {
     "geo_bbox_modes": geo_bbox_modes,
     "geo_distance_knn": geo_distance_knn,
     "geo_knn_warehouse": geo_knn_warehouse,
+    "geo_transform_points": geo_transform_points,
     "geo_bbox_contains_points": geo_bbox_contains_points,
     "geo_bbox_crs_transform": geo_bbox_crs_transform,
     "geo_bbox_disjoint_points": geo_bbox_disjoint_points,
