@@ -251,3 +251,21 @@ class TestDedupCollection:
         after = set(dup_client.catalog.manifest_paths("d", "pruner"))
         assert before & after, "files outside the id range must survive"
         assert len(dup_client.get_collection("d")) == 24
+
+
+class TestManifestRowCounts:
+    def test_count_reads_manifest_not_footers(self, client, chunked, monkeypatch):
+        import xcube_geodb_spark.operators.stats as stats_mod
+        from xcube_geodb_spark.operators.scan import count_collection
+
+        def _boom(*a, **k):
+            raise AssertionError("footer read despite manifest row counts")
+
+        monkeypatch.setattr(stats_mod, "footer_row_count", _boom)
+        assert count_collection(client.catalog, chunked, "pruner") == 20
+
+    def test_count_tracks_dml(self, client, chunked):
+        from xcube_geodb_spark.operators.scan import count_collection
+
+        client.delete_from_collection(chunked, "v=lt.5")
+        assert count_collection(client.catalog, chunked, "pruner") == 15

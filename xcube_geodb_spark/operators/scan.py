@@ -238,6 +238,10 @@ def count_collection(
     import os
 
     m = catalog.meta(collection, database)
+    fstats = m.d.get("file_stats") or {}
+    if all(f in fstats and "::rows" in fstats[f] for f in m.files):
+        # commit-time row counts in the manifest: zero-IO exact count
+        return sum(fstats[f]["::rows"][0] for f in m.files)
     paths = [
         os.path.join(catalog.warehouse, database, collection, f) for f in m.files
     ]

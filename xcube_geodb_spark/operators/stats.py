@@ -26,9 +26,11 @@ def file_column_stats(path: str, max_str: int = 64) -> dict[str, list]:
 
     Only columns whose every row group carries stats and whose values are
     JSON-representable (int/float/bool/short str) are recorded; anything
-    else is simply absent, which pruning treats as "maybe matches"."""
+    else is simply absent, which pruning treats as "maybe matches". The
+    reserved ``::rows`` key (not a valid column name) carries the file's
+    row count, so exact counts read the manifest with zero file IO."""
     md = pq.ParquetFile(path).metadata
-    out: dict[str, list] = {}
+    out: dict[str, list] = {"::rows": [md.num_rows, md.num_rows]}
     for i in range(md.num_columns):
         name = md.schema.column(i).name
         lo = hi = None
