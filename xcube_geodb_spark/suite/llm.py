@@ -456,6 +456,23 @@ def text_repetition(spark, sf_dir):
     return text.with_repetition(docs).select("doc_id", "rep_ratio")
 
 
+def multimodal_frames(spark, sf_dir):
+    """Frame-sampling fan-out (functions/multimodal.sample_frames): one row
+    per kept 16-byte fake frame, every 2nd frame. The oracle replays the
+    byte windows with substr over a lateral range."""
+    from xcube_geodb_spark.functions.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = attach_binary_payload(load(spark, sf_dir, "documents"), "text")
+    return sample_frames(docs, every_n=2).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.decode("frame", "UTF-8").alias("frame_text"),
+    )
+
+
 def dedup_collection_roundtrip(spark, sf_dir):
     """Exact dedup applied THROUGH the table format: ingest the documents
     corpus into a warehouse collection (ordered by doc_id so collection
@@ -571,6 +588,17 @@ LLM_TEXT_ORACLES = {
         JOIN (SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents) f
           ON q.doc_id = f.doc_id
     """,
+    "multimodal_frames": """
+        SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+               substr(text, CAST(i * 16 + 1 AS INT), 16) AS frame_text
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, greatest(
+                       CAST(ceil(length(text) / 16.0) AS BIGINT), 1))) AS i
+            FROM documents
+        )
+        WHERE i % 2 = 0
+    """,
     "multimodal_decode": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
@@ -632,6 +660,7 @@ LLM_QUERIES = {
     "text_repetition": text_repetition,
     "dedup_collection_roundtrip": dedup_collection_roundtrip,
     "multimodal_decode": multimodal_decode,
+    "multimodal_frames": multimodal_frames,
     "sample_split_documents": sample_split_documents,
     "pack_documents_budget": pack_documents_budget,
 }
