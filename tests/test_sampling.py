@@ -100,3 +100,51 @@ class TestPacking:
         }
         assert out[1] == 0 and out[2] == 0 and out[3] == 5
         # doc 2 exceeds the budget alone; doc 3 starts a fresh pack
+
+
+class TestChunking:
+    def test_chunks_cover_with_overlap(self, spark):
+        from xcube_geodb_spark.functions.sampling import chunk_by_tokens
+
+        text = " ".join(f"t{i}" for i in range(100))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_by_tokens(df, chunk_size=40, overlap=10).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # stride 30: starts 0, 30, 60; window [60, 100) reaches the end
+        assert [r.chunk_idx for r in rows] == [0, 1, 2]
+        first = rows[0].chunk_text.split(" ")
+        second = rows[1].chunk_text.split(" ")
+        assert first == [f"t{i}" for i in range(40)]
+        assert second[:10] == [f"t{i}" for i in range(30, 40)]  # overlap
+        assert rows[2].chunk_text.split(" ") == [f"t{i}" for i in range(60, 100)]
+
+    def test_short_doc_single_chunk(self, spark):
+        from xcube_geodb_spark.functions.sampling import chunk_by_tokens
+
+        df = spark.createDataFrame([(1, "just a few words")], "doc_id long, text string")
+        rows = chunk_by_tokens(df, chunk_size=64, overlap=16).collect()
+        assert len(rows) == 1
+        assert rows[0].chunk_text == "just a few words"
+
+    def test_bad_overlap_raises(self, spark):
+        from xcube_geodb_spark.functions.sampling import chunk_by_tokens
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            chunk_by_tokens(df, chunk_size=10, overlap=10)
+
+    def test_reassembly_is_faithful(self, spark):
+        # non-overlapping chunks concatenate back to the original text
+        from xcube_geodb_spark.functions.sampling import chunk_by_tokens
+
+        text = " ".join(f"w{i}" for i in range(50))
+        df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_by_tokens(df, chunk_size=20, overlap=0).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        assert " ".join(r.chunk_text for r in rows) == text

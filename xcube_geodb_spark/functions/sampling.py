@@ -23,6 +23,7 @@ __all__ = [
     "hash_sample",
     "train_val_test_split",
     "pack_by_token_budget",
+    "chunk_by_tokens",
 ]
 
 _BUCKETS = 10_000
@@ -70,6 +71,52 @@ def train_val_test_split(
         F.when(b < val_cut, F.lit("val"))
         .when(b < test_cut, F.lit("test"))
         .otherwise(F.lit("train")),
+    )
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    long-document preparation for a fixed-context trainer. Fan-out is pure
+    Column algebra (split -> sequence -> explode -> slice -> join): no
+    Python on the data path, no shuffle, output rows are
+    ``(id, chunk_idx, chunk_text)``.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_size)`` with
+    ``stride = chunk_size - overlap``; the last chunk may be short, and a
+    document shorter than one chunk yields exactly one chunk. Whitespace
+    tokenization preserves the original bytes, so ``array_join`` re-joins
+    chunks faithfully and any SQL engine replays them (DuckDB:
+    ``list_slice`` over ``string_split``)."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # number of windows starting at 0, stride, 2*stride, ... covering n
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("long"), F.lit(1)
+    )
+    staged = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "chunk_idx"
+        ),
+    )
+    chunk = F.array_join(
+        F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_size),
+        " ",
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        chunk.alias("chunk_text"),
     )
 
 

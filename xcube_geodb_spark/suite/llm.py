@@ -640,6 +640,15 @@ def pack_documents_budget(spark, sf_dir):
     ).select("doc_id", "lang", "pack_id")
 
 
+def chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (functions/sampling.chunk_by_tokens):
+    64-token chunks, 16-token overlap, replayed by DuckDB list_slice."""
+    from xcube_geodb_spark.functions.sampling import chunk_by_tokens
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_by_tokens(docs, "text", "doc_id", chunk_size=64, overlap=16)
+
+
 LLM_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -663,9 +672,25 @@ LLM_QUERIES = {
     "multimodal_frames": multimodal_frames,
     "sample_split_documents": sample_split_documents,
     "pack_documents_budget": pack_documents_budget,
+    "chunk_documents": chunk_documents,
 }
 
 LLM_SAMPLING_ORACLES = {
+    # chunk i covers tokens [i*48, i*48 + 64); list_slice is 1-based
+    # inclusive like Spark's slice
+    "chunk_documents": """
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               array_to_string(list_slice(toks, CAST(i * 48 + 1 AS INT),
+                                          CAST(i * 48 + 64 AS INT)), ' ')
+                   AS chunk_text
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, greatest(
+                       CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT), 1))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+        )
+    """,
     "sample_split_documents": """
         SELECT doc_id,
                CASE WHEN b < 500 THEN 'val'
