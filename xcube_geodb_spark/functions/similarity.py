@@ -43,6 +43,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def l2_normalize(a: Column, eps: float = 1e-12) -> Column:
+    """Unit-normalize an embedding column (JVM-side array algebra; the
+    standard ingest step before any cosine/LSH/IVF stage — normalizing
+    once at rest beats re-dividing in every probe)."""
+    n = F.greatest(norm(_to_double(a)), F.lit(eps))
+    return F.transform(_to_double(a), lambda x: x / n)
+
+
+def with_normalized_embedding(
+    df, vec_col: str = "embedding", out_col: str = "embedding_unit"
+):
+    return df.withColumn(out_col, l2_normalize(F.col(vec_col)))
+
+
 def cosine_topk(
     df: DataFrame,
     query_vector: list[float],

@@ -315,6 +315,20 @@ def _hp_bucket_sql(vec_expr: str) -> str:
 _LSH_BUCKET_V = _hp_bucket_sql("v")
 
 LLM_SIM_ORACLES = {
+    "sim_normalize": """
+        SELECT vec_id, round(nb, 6) AS norm_before,
+               round(e[1] / greatest(nb, 1e-12), 6) AS u0,
+               round(sqrt(list_sum(list_transform(
+                   list_transform(e, x -> x / greatest(nb, 1e-12)),
+                   y -> y * y))), 6) AS norm_after
+        FROM (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS nb
+            FROM (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                  FROM embeddings)
+        )
+    """,
     "dedup_embedding_pairs": f"""
         WITH aug AS (
             SELECT vec_id,
@@ -390,6 +404,26 @@ LLM_SIM_ORACLES = {
 }
 
 # --- text analysis ---------------------------------------------------------------
+
+
+def sim_normalize(spark, sf_dir):
+    """Embedding L2 normalization (functions/similarity.l2_normalize),
+    verified through scalar projections (norm before, first component
+    after, norm after == 1) to keep the oracle float-exact."""
+    from xcube_geodb_spark.functions.similarity import (
+        l2_normalize,
+        norm as vnorm,
+        _to_double,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    unit = l2_normalize(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(vnorm(_to_double(F.col("embedding"))), 6).alias("norm_before"),
+        F.round(F.element_at(unit, 1), 6).alias("u0"),
+        F.round(vnorm(unit), 6).alias("norm_after"),
+    )
 
 
 def text_quality(spark, sf_dir):
@@ -657,6 +691,7 @@ LLM_QUERIES = {
     "dedup_pipeline_kept": dedup_pipeline_kept,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_normalize": sim_normalize,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "ann_index_topk": ann_index_topk,
