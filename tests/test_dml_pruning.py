@@ -269,3 +269,88 @@ class TestManifestRowCounts:
 
         client.delete_from_collection(chunked, "v=lt.5")
         assert count_collection(client.catalog, chunked, "pruner") == 15
+
+
+class TestBloomIndex:
+    """Per-file bloom filters: equality pruning on non-clustered columns
+    where min/max intervals overlap between files."""
+
+    @pytest.fixture()
+    def bloom_client(self, spark, tmp_path):
+        c = GeoDBSparkClient(
+            spark, warehouse=str(tmp_path / "whb"), user="pruner"
+        )
+        c.create_collection("b", {"v": "int", "name": "text"})
+        c.create_index("b", "name", kind="bloom")
+        # interleaved v ranges: min/max stats on name/v can't separate the
+        # files, only the bloom can
+        f1 = pd.DataFrame(
+            {
+                "geometry": ["POINT (0 0)"] * 10,
+                "v": list(range(10)),
+                "name": [f"alpha{i}" for i in range(10)],
+            }
+        )
+        f2 = pd.DataFrame(
+            {
+                "geometry": ["POINT (0 0)"] * 10,
+                "v": list(range(10)),
+                "name": [f"zeta{i}" for i in range(10)],
+            }
+        )
+        c.insert_into_collection("b", f1)
+        c.insert_into_collection("b", f2)
+        return c
+
+    def test_blooms_recorded_in_manifest(self, bloom_client):
+        m = bloom_client.catalog.meta("b", "pruner")
+        assert all("::bloom:name" in st for st in m.d["file_stats"].values())
+
+    def test_eq_lookup_scans_one_file(self, bloom_client):
+        from xcube_geodb_spark.operators.scan import get_collection
+
+        df = get_collection(
+            bloom_client.catalog, "b", "name=eq.zeta3", database="pruner"
+        )
+        assert len(df.inputFiles()) == 1
+        assert [r.v for r in df.select("v").collect()] == [3]
+
+    def test_absent_value_scans_zero_files(self, bloom_client):
+        from xcube_geodb_spark.operators.scan import get_collection
+
+        df = get_collection(
+            bloom_client.catalog, "b", "name=eq.nothere", database="pruner"
+        )
+        assert df.inputFiles() == []
+
+    def test_in_list_prunes(self, bloom_client):
+        from xcube_geodb_spark.operators.scan import get_collection
+
+        df = get_collection(
+            bloom_client.catalog, "b", "name=in.(alpha1,alpha2)",
+            database="pruner",
+        )
+        assert len(df.inputFiles()) == 1
+        assert df.count() == 2
+
+    def test_delete_prunes_via_bloom(self, bloom_client):
+        before = _file_set(bloom_client, "b")
+        bloom_client.delete_from_collection("b", "name=eq.alpha5")
+        after = _file_set(bloom_client, "b")
+        assert before & after, "the zeta file must survive untouched"
+        assert len(bloom_client.get_collection("b")) == 19
+
+    def test_bloom_unit_roundtrip(self):
+        from xcube_geodb_spark.operators.stats import (
+            bloom_may_contain,
+            build_bloom,
+        )
+
+        b = build_bloom(["a", "b", None, "c", "a"])
+        assert bloom_may_contain(b, "a") and bloom_may_contain(b, "c")
+        assert not bloom_may_contain(b, "zzz")
+
+    def test_bloom_saturation_returns_none(self):
+        from xcube_geodb_spark.operators.stats import build_bloom
+
+        assert build_bloom((str(i) for i in range(30000))) is None

@@ -342,7 +342,10 @@ class IndexManager:
         """Default kinds mirror the reference (gist for geometry, btree
         otherwise); ``lsh``/``ivf`` declare an ANN layout on an embedding
         column — files are range-clustered by sign-LSH bucket / centroid id
-        on the next rewrite so probes prune at rest.
+        on the next rewrite so probes prune at rest. ``bloom`` declares a
+        per-file bloom filter (built at commit, stored in the manifest)
+        for equality pruning on NON-clustered columns, where min/max
+        intervals overlap and can't skip anything.
 
         lsh options: ``dim`` (required), ``n_bits`` (8), ``seed`` (42).
         ivf options: ``centroids`` (list of vectors) or ``n_centroids``
@@ -350,7 +353,7 @@ class IndexManager:
         m = self.catalog.meta(collection, database)
         if kind is None:
             kind = "gist" if prop == "geometry" else "btree"
-        if kind not in ("gist", "btree", "lsh", "ivf"):
+        if kind not in ("gist", "btree", "lsh", "ivf", "bloom"):
             raise GeoDBError(f"Unknown index type {kind!r}")
         entry = {"property": prop, "type": kind,
                  "name": self.index_name(prop, collection)}

@@ -623,12 +623,25 @@ class GeoDBCatalog:
         # so selective scans/DML prune files without touching any footer at
         # query time. Kept files carry their stats forward; dropped files'
         # stats fall out of the dict.
-        from xcube_geodb_spark.operators.stats import file_column_stats
+        from xcube_geodb_spark.operators.stats import (
+            file_bloom_filters,
+            file_column_stats,
+        )
 
+        bloom_cols = [
+            i["property"]
+            for i in m.d.get("indexes", [])
+            if i.get("type") == "bloom"
+        ]
         fstats = dict(m.d.get("file_stats") or {})
         for f in new_files:
             try:
-                fstats[f] = file_column_stats(os.path.join(cdir, f))
+                st = file_column_stats(os.path.join(cdir, f))
+                if bloom_cols:
+                    st.update(
+                        file_bloom_filters(os.path.join(cdir, f), bloom_cols)
+                    )
+                fstats[f] = st
             except Exception:
                 pass  # unreadable stats never block a commit
         m.d["file_stats"] = {f: fstats[f] for f in m.d["files"] if f in fstats}

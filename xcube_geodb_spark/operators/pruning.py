@@ -74,8 +74,19 @@ def _excludes(op: str, lit, lo, hi) -> bool:
 def file_may_match(
     stats: dict[str, tuple], constraints: list[tuple[str, str, object]]
 ) -> bool:
-    """Footer min/max stats vs the constraint set; missing stats => maybe."""
+    """Footer min/max stats (+ optional ``::bloom:<col>`` filters) vs the
+    constraint set; missing stats => maybe."""
+    from xcube_geodb_spark.operators.stats import bloom_may_contain
+
     for col, op, lit in constraints:
+        bloom = stats.get(f"::bloom:{col}")
+        if bloom is not None:
+            if op == "eq" and not bloom_may_contain(bloom, lit):
+                return False
+            if op == "in" and all(
+                not bloom_may_contain(bloom, v) for v in lit
+            ):
+                return False
         if col not in stats:
             continue
         lo, hi = stats[col]
@@ -108,11 +119,12 @@ def split_files_by_constraints(
     touched, untouched = [], []
     for rel, absolute in paths.items():
         if stats_map is not None and rel in stats_map:
-            stats = {
-                c: tuple(v)
-                for c, v in stats_map[rel].items()
-                if c in columns
-            }
+            stats = {}
+            for c, v in stats_map[rel].items():
+                if c in columns:
+                    stats[c] = tuple(v)
+                elif c.startswith("::bloom:") and c[len("::bloom:"):] in columns:
+                    stats[c] = v  # base64 string, not a (min, max) pair
         else:
             stats = footer_min_max([absolute], columns)
         if file_may_match(stats, constraints):

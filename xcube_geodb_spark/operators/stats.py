@@ -11,7 +11,72 @@ so they never return the pre-ANALYZE −1/NULL sentinels.
 
 from __future__ import annotations
 
+import base64
+import hashlib
+
 import pyarrow.parquet as pq
+
+# per-file bloom filters for equality pruning on NON-clustered columns
+# (min/max ranges overlap there, so interval stats can't skip files):
+# 32768 bits / 4 hashes ≈ 1% false positives at ~3.4k distinct values,
+# capped at 20k distinct (beyond that the filter saturates — omit it and
+# the file simply always scans, never a wrong skip)
+_BLOOM_BITS = 32768
+_BLOOM_K = 4
+_BLOOM_MAX_DISTINCT = 20000
+
+
+def _bloom_positions(value: str) -> list[int]:
+    return [
+        int(hashlib.md5(f"{value}#{i}".encode()).hexdigest()[:8], 16)
+        % _BLOOM_BITS
+        for i in range(_BLOOM_K)
+    ]
+
+
+def build_bloom(values) -> str | None:
+    """Base64 bloom filter over the distinct non-null values, or None when
+    the column is too high-cardinality for the fixed size to be useful."""
+    bits = bytearray(_BLOOM_BITS // 8)
+    seen: set[str] = set()
+    for v in values:
+        if v is None:
+            continue
+        s = str(v)
+        if s in seen:
+            continue
+        seen.add(s)
+        if len(seen) > _BLOOM_MAX_DISTINCT:
+            return None
+        for pos in _bloom_positions(s):
+            bits[pos // 8] |= 1 << (pos % 8)
+    return base64.b64encode(bytes(bits)).decode()
+
+
+def bloom_may_contain(b64: str, value) -> bool:
+    """False means PROVABLY absent; True means maybe present."""
+    raw = base64.b64decode(b64)
+    return all(
+        raw[p // 8] >> (p % 8) & 1 for p in _bloom_positions(str(value))
+    )
+
+
+def file_bloom_filters(path: str, columns: list[str]) -> dict[str, str]:
+    """Build blooms for ``columns`` of one file (single column-projected
+    read at COMMIT time — queries only ever touch the manifest)."""
+    import pyarrow.parquet as _pq
+
+    present = set(_pq.read_schema(path).names)
+    cols = [c for c in columns if c in present]
+    if not cols:
+        return {}
+    table = _pq.read_table(path, columns=cols)
+    out = {}
+    for c in cols:
+        b = build_bloom(table.column(c).to_pylist())
+        if b is not None:
+            out[f"::bloom:{c}"] = b
+    return out
 
 
 def footer_row_count(paths: list[str]) -> int:
