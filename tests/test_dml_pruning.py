@@ -354,3 +354,16 @@ class TestBloomIndex:
         from xcube_geodb_spark.operators.stats import build_bloom
 
         assert build_bloom((str(i) for i in range(30000))) is None
+
+    def test_optimize_rebuilds_blooms(self, bloom_client):
+        from xcube_geodb_spark.operators.scan import get_collection
+
+        bloom_client.optimize_collection("b")
+        m = bloom_client.catalog.meta("b", "pruner")
+        assert all(
+            "::bloom:name" in st for st in m.d["file_stats"].values()
+        )
+        df = get_collection(
+            bloom_client.catalog, "b", "name=eq.nothere", database="pruner"
+        )
+        assert df.inputFiles() == []
