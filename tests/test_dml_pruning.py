@@ -367,3 +367,20 @@ class TestBloomIndex:
             bloom_client.catalog, "b", "name=eq.nothere", database="pruner"
         )
         assert df.inputFiles() == []
+
+
+class TestHeadPruning:
+    def test_head_reads_only_leading_files(self, client, chunked):
+        from xcube_geodb_spark.operators.scan import head_collection
+
+        df = head_collection(client.catalog, chunked, 5, database="pruner")
+        assert len(df.inputFiles()) == 1  # ids 1..10 live in the lo file
+        assert [r.v for r in df.select("v").collect()] == [0, 1, 2, 3, 4]
+
+    def test_head_spanning_files_is_correct(self, client, chunked):
+        from xcube_geodb_spark.operators.scan import head_collection
+
+        rows = head_collection(
+            client.catalog, chunked, 15, database="pruner"
+        ).collect()
+        assert [r.id for r in rows] == list(range(1, 16))

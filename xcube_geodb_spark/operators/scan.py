@@ -62,10 +62,35 @@ def head_collection(
     num_lines: int = 10,
     database: str = "public",
 ) -> DataFrame:
-    """First N rows (``geodb.py:1803-1828``); ordered by id for determinism."""
-    return (
-        catalog.load_df(collection, database).orderBy("id").limit(int(num_lines))
-    )
+    """First N rows (``geodb.py:1803-1828``); ordered by id for determinism.
+
+    Manifest id stats bound the scan: walk files by ascending id-min until
+    the accumulated row count covers N — every id in those files is <= the
+    max of their id-maxes (call it B), so at least N ids are <= B and no
+    file whose id-min exceeds B can contribute to the head. At 100 TB a
+    head-10 reads one file, not the table."""
+    from xcube_geodb_spark.catalog import SYSTEM_COLUMNS
+
+    m = catalog.meta(collection, database)
+    fstats = m.d.get("file_stats") or {}
+    n = int(num_lines)
+    if m.files and all(
+        f in fstats and "id" in fstats[f] and "::rows" in fstats[f]
+        for f in m.files
+    ):
+        by_lo = sorted(m.files, key=lambda f: fstats[f]["id"][0])
+        total = 0
+        bound = None
+        for f in by_lo:
+            total += fstats[f]["::rows"][0]
+            bound = max(bound or fstats[f]["id"][1], fstats[f]["id"][1])
+            if total >= n:
+                break
+        candidates = [f for f in m.files if fstats[f]["id"][0] <= bound]
+        df = catalog.load_files(collection, database, candidates, meta=m)
+        df = df.drop(*[c for c in df.columns if c in SYSTEM_COLUMNS])
+        return df.orderBy("id").limit(n)
+    return catalog.load_df(collection, database).orderBy("id").limit(n)
 
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
