@@ -604,20 +604,31 @@ def _all_segments(geom: Geometry) -> np.ndarray:
 
 
 def _point_seg_dist_min(pts: np.ndarray, segs: np.ndarray) -> float:
-    """min over all (point, segment) pairs of point-to-segment distance."""
+    """min over all (point, segment) pairs of point-to-segment distance.
+
+    Interior projections use the cross-product form |ab x ap| / |ab| —
+    exact (0.0, not ~1e-16) for points lying ON the segment, which the
+    clip-and-project form misses by one rounding of t; clamped cases hit
+    an endpoint exactly either way."""
     if not len(pts) or not len(segs):
         return math.inf
     p = pts[:, None, :]  # (n, 1, 2)
     a = segs[None, :, 0:2]  # (1, m, 2)
     ab = segs[None, :, 2:4] - a
+    ap = p - a
     denom = (ab * ab).sum(-1)  # (1, m)
-    t = (p - a) * ab
+    dots = (ap * ab).sum(-1)
     with np.errstate(invalid="ignore", divide="ignore"):
-        t = np.where(denom > 0, t.sum(-1) / denom, 0.0)
-    t = np.clip(t, 0.0, 1.0)
+        t_raw = np.where(denom > 0, dots / denom, 0.0)
+    interior = (t_raw > 0.0) & (t_raw < 1.0) & (denom > 0)
+    cross = ab[..., 0] * ap[..., 1] - ab[..., 1] * ap[..., 0]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        d_int = np.abs(cross) / np.sqrt(np.where(denom > 0, denom, 1.0))
+    t = np.clip(t_raw, 0.0, 1.0)
     proj = a + t[..., None] * ab
-    d = p - proj
-    return float(np.hypot(d[..., 0], d[..., 1]).min())
+    d_clip = np.hypot(p[..., 0] - proj[..., 0], p[..., 1] - proj[..., 1])
+    d = np.where(interior, d_int, d_clip)
+    return float(d.min())
 
 
 def _segments_cross(sa: np.ndarray, sb: np.ndarray) -> bool:
