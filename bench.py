@@ -81,7 +81,17 @@ def _bench_warehouse(spark, sf_dir: str, timings: dict) -> float:
         out.write.mode("overwrite").format("noop").save()
         dt2 = time.perf_counter() - t0
         timings["warehouse_bbox_query"] = round(dt2, 3)
-        return dt + dt2
+
+        # exact k-NN probe: envelope-bounded two-pass search against the
+        # same ingested collection (the PostGIS ORDER BY <-> LIMIT idiom)
+        t0 = time.perf_counter()
+        knn = spatial.get_knn(
+            catalog, "squares", (10.0, 5.0), k=20, database="bench"
+        )
+        knn.write.mode("overwrite").format("noop").save()
+        dt3 = time.perf_counter() - t0
+        timings["warehouse_knn_query"] = round(dt3, 3)
+        return dt + dt2 + dt3
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
