@@ -22,6 +22,13 @@ produces new files plus a new metadata.json (written to a temp name, then
 ``os.replace`` — atomic on POSIX). Appends therefore never rewrite existing
 data (critical at 100 TB); delete/update/upsert rewrite only as needed.
 
+Note on name resolution: the reference's flat ``{database}_{collection}``
+table names force a longest-database-prefix disambiguation rule on the
+server (``geodb.sql:519-521``). This catalog keys collections by the
+explicit ``(database, collection)`` pair — the client API still takes the
+two names separately, exactly like the reference client, so the ambiguity
+the prefix rule papers over cannot arise here.
+
 Mandatory columns (parity with ``geodb.sql:309-314``):
 ``id`` bigint, ``created_at`` timestamp, ``modified_at`` timestamp,
 ``geometry`` binary WKB — plus engine envelope columns
