@@ -355,6 +355,15 @@ class TestBloomIndex:
 
         assert build_bloom((str(i) for i in range(30000))) is None
 
+    def test_explain_reports_bloom_columns(self, bloom_client):
+        from xcube_geodb_spark.operators.scan import explain_scan
+
+        info = explain_scan(
+            bloom_client.catalog, "b", "name=eq.zeta1", database="pruner"
+        )
+        assert info["bloom_columns"] == ["name"]
+        assert info["files_scanned"] == 1
+
     def test_optimize_rebuilds_blooms(self, bloom_client):
         from xcube_geodb_spark.operators.scan import get_collection
 
@@ -384,3 +393,24 @@ class TestHeadPruning:
             client.catalog, chunked, 15, database="pruner"
         ).collect()
         assert [r.id for r in rows] == list(range(1, 16))
+
+
+class TestExplainScan:
+    def test_explain_reports_pruning(self, client, chunked):
+        from xcube_geodb_spark.operators.scan import explain_scan
+
+        info = explain_scan(client.catalog, chunked, "v=gte.100", database="pruner")
+        assert info["files_total"] == 2
+        assert info["files_scanned"] == 1
+        assert info["files_skipped"] == 1
+        assert info["manifest_stats"] is True
+        assert info["constraints"] == [
+            {"column": "v", "op": "gte", "literal": 100}
+        ]
+
+    def test_explain_unfiltered_scans_all(self, client, chunked):
+        from xcube_geodb_spark.operators.scan import explain_scan
+
+        info = explain_scan(client.catalog, chunked, None, database="pruner")
+        assert info["files_scanned"] == info["files_total"] == 2
+

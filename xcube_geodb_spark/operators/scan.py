@@ -56,6 +56,55 @@ def get_collection(
     return apply_postgrest_query(df, query, limit=limit, offset=offset)
 
 
+def explain_scan(
+    catalog: GeoDBCatalog,
+    collection: str,
+    query: str | None = None,
+    database: str = "public",
+) -> dict:
+    """Pruning introspection for a grammar scan — which manifest files the
+    planned read would touch and why (the engine's answer to EXPLAIN's
+    PushedFilters line, at file granularity). Metadata-only: no Spark job,
+    no footer IO when manifest stats cover the files."""
+    from xcube_geodb_spark.operators.pruning import (
+        conjunctive_constraints,
+        split_files_by_constraints,
+    )
+
+    m = catalog.meta(collection, database)
+    constraints = conjunctive_constraints(query)
+    stats_map = m.d.get("file_stats") or {}
+    if constraints and m.files:
+        touched, skipped = split_files_by_constraints(
+            catalog.manifest_paths(collection, database, meta=m),
+            sorted({c for c, _, _ in constraints}),
+            constraints,
+            stats_map=stats_map,
+        )
+    else:
+        touched, skipped = list(m.files), []
+    bloom_cols = sorted(
+        {
+            k[len("::bloom:"):]
+            for st in stats_map.values()
+            for k in st
+            if k.startswith("::bloom:")
+        }
+    )
+    return {
+        "collection": f"{database}_{collection}",
+        "version": m.version,
+        "constraints": [
+            {"column": c, "op": op, "literal": lit} for c, op, lit in constraints
+        ],
+        "files_total": len(m.files),
+        "files_scanned": len(touched),
+        "files_skipped": len(skipped),
+        "manifest_stats": all(f in stats_map for f in m.files),
+        "bloom_columns": bloom_cols,
+    }
+
+
 def head_collection(
     catalog: GeoDBCatalog,
     collection: str,
