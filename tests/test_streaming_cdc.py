@@ -74,6 +74,34 @@ class TestStreamingCDC:
         _run_feed(client, tmp_path, ckpt="idle")
         assert _run_feed(client, tmp_path, ckpt="idle") == []
 
+    def test_feed_spans_schema_evolution(self, client, tmp_path):
+        # incremental restart AFTER add_properties: the per-version diffs
+        # must project typed NULLs for the new column on old-side rows
+        first = _run_feed(client, tmp_path, ckpt="evo")
+        assert len(first) == 5
+        client.catalog.add_properties("n", {"score": "float"}, "s")
+        client.insert_into_collection(
+            "n", pd.DataFrame({"k": [7], "name": ["g"], "score": [2.5]})
+        )  # v4
+        client.delete_from_collection("n", "k=eq.1")  # v5
+        got = []
+
+        def feed(df, bid):
+            got.extend(df.collect())
+
+        q = stream_collection_changes(
+            client.catalog,
+            "n",
+            "s",
+            feed,
+            checkpoint_dir=str(tmp_path / "evo"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(180)
+        rows = {(r.k, r._change_type): r for r in got}
+        assert rows[(7, "insert")].score == 2.5
+        assert rows[(1, "delete")].score is None  # pre-schema row
+
     def test_deletes_carry_preimage(self, client, tmp_path):
         rows = _run_feed(client, tmp_path)
         # helper returns tuples; re-run keeping names for the delete row
