@@ -1,0 +1,194 @@
+"""Grid-partitioned distributed spatial join (functions/spatial_join).
+
+Reference surface: PostGIS evaluates ``ST_Intersects(a.geom, b.geom)``
+joins inside arbitrary SQL via the passthrough
+(/root/reference/xcube_geodb/sql/geodb.sql:1123-1177); this engine's
+equivalent must also hold at cluster scale, so these tests pin (a) exact
+parity with a brute-force cross join, (b) exactly-once pair emission under
+multi-cell replication, and (c) a shuffle-join physical plan (never a
+cartesian product).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_geodb_spark.functions.spatial_join import (
+    derive_cell_size,
+    spatial_join,
+)
+from xcube_geodb_spark.geometry.udfs import with_envelope_columns
+
+SF = "/root/testdata/sf0.001"
+
+
+def _squares(spark):
+    from xcube_geodb_spark.suite.geo import _squares as f
+
+    return f(spark, SF).select(
+        "c_custkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+    )
+
+
+def _points(spark):
+    from xcube_geodb_spark.suite.geo import _supplier_points as f
+
+    return f(spark, SF).select(
+        "s_suppkey", "px", "py", "geometry",
+        "__xmin", "__ymin", "__xmax", "__ymax",
+    )
+
+
+def _brute_pairs(spark, predicate, d=0.0):
+    sq = _squares(spark).select("c_custkey", "__xmin", "__ymin", "__xmax", "__ymax")
+    pt = _points(spark).select("s_suppkey", "px", "py")
+    out = set()
+    for s in sq.collect():
+        for p in pt.collect():
+            if predicate == "intersects":
+                hit = (s["__xmin"] <= p.px <= s["__xmax"]
+                       and s["__ymin"] <= p.py <= s["__ymax"])
+            else:
+                dx = max(s["__xmin"] - p.px, 0.0, p.px - s["__xmax"])
+                dy = max(s["__ymin"] - p.py, 0.0, p.py - s["__ymax"])
+                hit = math.hypot(dx, dy) <= d
+            if hit:
+                out.add((s.c_custkey, p.s_suppkey))
+    return out
+
+
+class TestSpatialJoin:
+    def test_intersects_matches_brute_force(self, spark):
+        got = {
+            (r.c_custkey, r.s_suppkey)
+            for r in spatial_join(_squares(spark), _points(spark), "intersects")
+            .select("c_custkey", "s_suppkey")
+            .collect()
+        }
+        assert got == _brute_pairs(spark, "intersects")
+
+    def test_dwithin_matches_brute_force(self, spark):
+        got = {
+            (r.c_custkey, r.s_suppkey)
+            for r in spatial_join(
+                _squares(spark), _points(spark), "dwithin", distance=3.0
+            )
+            .select("c_custkey", "s_suppkey")
+            .collect()
+        }
+        assert got == _brute_pairs(spark, "dwithin", 3.0)
+
+    def test_exactly_once_under_multicell_replication(self, spark):
+        # cell far smaller than the squares: every envelope spans many
+        # cells, so any dedup bug would emit duplicate pairs
+        rows = (
+            spatial_join(
+                _squares(spark), _points(spark), "intersects", cell_size=1.5
+            )
+            .groupBy("c_custkey", "s_suppkey")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert rows == 0
+        got = {
+            (r.c_custkey, r.s_suppkey)
+            for r in spatial_join(
+                _squares(spark), _points(spark), "intersects", cell_size=1.5
+            )
+            .select("c_custkey", "s_suppkey")
+            .collect()
+        }
+        assert got == _brute_pairs(spark, "intersects")
+
+    def test_cell_size_invariance(self, spark):
+        expected = _brute_pairs(spark, "intersects")
+        for cell in (2.0, 25.0, 400.0):
+            got = {
+                (r.c_custkey, r.s_suppkey)
+                for r in spatial_join(
+                    _squares(spark), _points(spark), "intersects", cell_size=cell
+                )
+                .select("c_custkey", "s_suppkey")
+                .collect()
+            }
+            assert got == expected, f"cell_size={cell}"
+
+    def test_polygon_polygon_refinement(self, spark):
+        # squares vs squares: diagonal neighbors' envelopes overlap only
+        # when the geometries do (axis-aligned), but shifted copies force
+        # the kernel refinement path (non-point WKB on both sides)
+        sq = _squares(spark)
+        other = sq.select(
+            F.col("c_custkey").alias("o_key"),
+            "geometry", "__xmin", "__ymin", "__xmax", "__ymax",
+        )
+        got = (
+            spatial_join(sq, other, "intersects", cell_size=30.0)
+            .select("c_custkey", "o_key")
+            .collect()
+        )
+        pairs = {(r.c_custkey, r.o_key) for r in got}
+        # self-pairs always intersect
+        keys = [r.c_custkey for r in sq.select("c_custkey").collect()]
+        assert all((k, k) in pairs for k in keys)
+        # symmetric
+        assert all((b, a) in pairs for a, b in pairs)
+        # envelope-overlap == intersects for axis-aligned squares
+        env = {
+            r["c_custkey"]: (r["__xmin"], r["__ymin"], r["__xmax"], r["__ymax"])
+            for r in sq.collect()
+        }
+        brute = {
+            (a, b)
+            for a in keys
+            for b in keys
+            if env[a][0] <= env[b][2]
+            and env[b][0] <= env[a][2]
+            and env[a][1] <= env[b][3]
+            and env[b][1] <= env[a][3]
+        }
+        assert pairs == brute
+
+    def test_plan_is_shuffle_join_not_cartesian(self, spark):
+        plan = (
+            spatial_join(_squares(spark), _points(spark), "intersects", cell_size=10.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+            "BroadcastHashJoin" in plan
+        )
+
+    def test_derive_cell_size_positive_and_bounded(self, spark):
+        sq, pt = _squares(spark), _points(spark)
+        cell = derive_cell_size(sq, pt)
+        assert cell > 0.0
+        # squares are 10-24 units wide; 4x mean extent stays in that decade
+        assert 10.0 < cell < 200.0
+
+    def test_envelope_autocompute(self, spark):
+        # frames without precomputed envelope columns work (with_envelope
+        # path), returning identical pairs
+        sq = _squares(spark).select("c_custkey", "geometry")
+        pt = _points(spark).select("s_suppkey", "geometry")
+        got = {
+            (r.c_custkey, r.s_suppkey)
+            for r in spatial_join(sq, pt, "intersects").select(
+                "c_custkey", "s_suppkey"
+            ).collect()
+        }
+        assert got == _brute_pairs(spark, "intersects")
+
+    def test_bad_args(self, spark):
+        sq, pt = _squares(spark), _points(spark)
+        with pytest.raises(ValueError):
+            spatial_join(sq, pt, "touches")
+        with pytest.raises(ValueError):
+            spatial_join(sq, pt, "dwithin", distance=-1.0)
+        with pytest.raises(ValueError):
+            spatial_join(sq, pt, "intersects", cell_size=0.0)

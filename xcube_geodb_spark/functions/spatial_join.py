@@ -1,0 +1,236 @@
+"""Distributed spatial join: grid-partitioned ``st_intersects`` /
+``st_dwithin`` joins between two geometry DataFrames.
+
+The reference exposes spatial joins only implicitly — PostGIS evaluates
+``ST_Intersects(a.geometry, b.geometry)`` inside a single-node nested-loop
+over GIST indexes (arbitrary SQL through the ``geodb_get_pg`` passthrough,
+/root/reference/xcube_geodb/sql/geodb.sql:1123-1177). At 100 TB neither a
+nested loop nor a broadcast survives, so this engine uses the classic
+partitioned spatial-join plan (the PBSM / SpatialSpark lineage):
+
+1. **Grid assignment** — each row is replicated to every fixed-size grid
+   cell its envelope overlaps (two JVM-side ``explode(sequence(...))``
+   calls; no Python). Cell size defaults to a one-pass heuristic over the
+   envelope columns (average feature extent, clamped so the grid stays
+   bounded) — one tiny agg job, then a pure column plan.
+2. **Equi-join on the cell key** — Spark shuffles both sides by
+   ``(cx, cy)``; the join itself is a hash join on the cell, with the
+   envelope-overlap test applied as an inline join predicate. No
+   broadcast, no cartesian: cost scales with features-per-cell, and AQE
+   re-splits skewed cells.
+3. **Reference-point dedup** — a pair whose envelopes overlap k cells
+   would surface k times; instead of a global ``distinct`` (a second
+   full-width shuffle), each pair is emitted only from the single cell
+   that contains the top-left corner of the envelope intersection. This
+   is plain column arithmetic, so dedup costs zero extra shuffles.
+4. **Exact refinement** — envelope overlap is only a filter; surviving
+   candidates (a tiny fraction of the cross product) run the exact
+   geometry kernel (`geometry/geom.distance`: 0 iff intersecting) through
+   one Arrow-vectorized pandas UDF with a numpy point/point fast path.
+
+``predicate="dwithin"`` generalizes step 2/3 by expanding the left
+envelope by ``distance`` before grid assignment, and step 4 into
+``kernel_distance <= distance``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xcube_geodb_spark.geometry.udfs import with_envelope_columns
+
+_ENV = ("__xmin", "__ymin", "__xmax", "__ymax")
+
+
+def _ensure_env(df: DataFrame, geom: str) -> DataFrame:
+    if all(c in df.columns for c in _ENV):
+        return df
+    return with_envelope_columns(df, geom)
+
+
+def derive_cell_size(left: DataFrame, right: DataFrame) -> float:
+    """One small agg job: cell ≈ 4× the mean feature extent of the denser
+    side, clamped to keep the global grid under ~2^20 cells per axis.
+
+    Heuristic from the partition-based spatial-merge literature: cells a
+    few times the average envelope keep replication (rows × cells) low
+    while still splitting the join into per-cell hash joins.
+    """
+    stats = []
+    for df in (left, right):
+        row = df.select(
+            F.avg(F.col("__xmax") - F.col("__xmin")).alias("w"),
+            F.avg(F.col("__ymax") - F.col("__ymin")).alias("h"),
+            F.min("__xmin").alias("x0"),
+            F.max("__xmax").alias("x1"),
+            F.min("__ymin").alias("y0"),
+            F.max("__ymax").alias("y1"),
+        ).first()
+        stats.append(row)
+    mean_ext = max(
+        max(r["w"] or 0.0, r["h"] or 0.0) for r in stats
+    )
+    span = max(
+        max((r["x1"] or 0.0) - (r["x0"] or 0.0), (r["y1"] or 0.0) - (r["y0"] or 0.0))
+        for r in stats
+    )
+    cell = 4.0 * mean_ext
+    if cell <= 0.0:
+        cell = span / 256.0 if span > 0.0 else 1.0
+    # keep the grid ≤ ~2^20 cells per axis even for tiny features
+    if span > 0.0:
+        cell = max(cell, span / float(1 << 20))
+    return float(cell)
+
+
+def _grid_cells(df: DataFrame, cell: float, pad: float) -> DataFrame:
+    """Replicate each row to every cell its (padded) envelope overlaps —
+    two chained JVM-side explodes, no Python on the path."""
+    inv = 1.0 / cell
+    cx0 = F.floor((F.col("__xmin") - F.lit(pad)) * F.lit(inv))
+    cx1 = F.floor((F.col("__xmax") + F.lit(pad)) * F.lit(inv))
+    cy0 = F.floor((F.col("__ymin") - F.lit(pad)) * F.lit(inv))
+    cy1 = F.floor((F.col("__ymax") + F.lit(pad)) * F.lit(inv))
+    return df.withColumn("__cx", F.explode(F.sequence(cx0, cx1))).withColumn(
+        "__cy", F.explode(F.sequence(cy0, cy1))
+    )
+
+
+def _pair_distance_udf(threshold: float):
+    """Arrow-batched exact refinement: kernel min-distance per WKB pair,
+    with a vectorized fast path when both sides are 2D points."""
+    import numpy as np
+
+    from xcube_geodb_spark.geometry.geom import distance, parse_wkb
+
+    @F.pandas_udf(T.BooleanType())
+    def _ok(lwkb: pd.Series, rwkb: pd.Series) -> pd.Series:
+        lv = lwkb.to_numpy(dtype=object)
+        rv = rwkb.to_numpy(dtype=object)
+        n = len(lv)
+        out = np.zeros(n, dtype=bool)
+        is_pt = np.fromiter(
+            (
+                a is not None
+                and b is not None
+                and len(a) == 21
+                and len(b) == 21
+                and bytes(a[:5]) == b"\x01\x01\x00\x00\x00"
+                and bytes(b[:5]) == b"\x01\x01\x00\x00\x00"
+                for a, b in zip(lv, rv)
+            ),
+            dtype=bool,
+            count=n,
+        )
+        idx = np.nonzero(is_pt)[0]
+        if len(idx):
+            la = np.frombuffer(
+                b"".join(bytes(lv[i][5:21]) for i in idx), dtype="<f8"
+            ).reshape(-1, 2)
+            ra = np.frombuffer(
+                b"".join(bytes(rv[i][5:21]) for i in idx), dtype="<f8"
+            ).reshape(-1, 2)
+            dx = la[:, 0] - ra[:, 0]
+            dy = la[:, 1] - ra[:, 1]
+            # sqrt(dx*dx + dy*dy), not hypot: bit-identical to the SQL
+            # form so oracle comparisons can't flip at the threshold
+            out[idx] = np.sqrt(dx * dx + dy * dy) <= threshold
+        for i in np.nonzero(~is_pt)[0]:
+            a, b = lv[i], rv[i]
+            if a is None or b is None:
+                continue
+            out[i] = distance(parse_wkb(bytes(a)), parse_wkb(bytes(b))) <= threshold
+        return pd.Series(out)
+
+    return _ok
+
+
+def spatial_join(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    distance: float = 0.0,
+    cell_size: float | None = None,
+    left_geom: str = "geometry",
+    right_geom: str = "geometry",
+    rsuffix: str = "_r",
+) -> DataFrame:
+    """Inner spatial join of two geometry DataFrames.
+
+    predicate:
+      - ``"intersects"`` — pairs whose geometries touch or overlap
+        (``ST_Intersects`` semantics: boundary contact counts).
+      - ``"dwithin"`` — pairs whose kernel min-distance is ≤ ``distance``
+        (``ST_DWithin``).
+
+    Output columns: every left column, then every right column with
+    clashing names suffixed by ``rsuffix``. Helper columns are dropped.
+    """
+    if predicate not in ("intersects", "dwithin"):
+        raise ValueError(f"unsupported spatial-join predicate: {predicate!r}")
+    d = float(distance) if predicate == "dwithin" else 0.0
+    if d < 0.0 or not math.isfinite(d):
+        raise ValueError(f"distance must be finite and >= 0, got {distance!r}")
+
+    lf = _ensure_env(left, left_geom)
+    rf = _ensure_env(right, right_geom)
+    if cell_size is None:
+        cell_size = derive_cell_size(lf, rf)
+    cell = float(cell_size)
+    if cell <= 0.0 or not math.isfinite(cell):
+        raise ValueError(f"cell_size must be finite and > 0, got {cell_size!r}")
+
+    # rename right columns that clash (geometry, envelope, user columns)
+    clashes = set(lf.columns) & set(rf.columns)
+    renamed = {c: (c + rsuffix if c in clashes else c) for c in rf.columns}
+    rf = rf.select([F.col(c).alias(n) for c, n in renamed.items()])
+    r_env = [renamed[c] for c in _ENV]
+    r_geom = renamed[right_geom]
+
+    lg = _grid_cells(lf, cell, pad=d).alias("l")
+    rg = (
+        rf.withColumnRenamed(r_env[0], "__xmin")
+        .withColumnRenamed(r_env[1], "__ymin")
+        .withColumnRenamed(r_env[2], "__xmax")
+        .withColumnRenamed(r_env[3], "__ymax")
+    )
+    rg = _grid_cells(rg, cell, pad=0.0)
+    for tmp, orig in zip(_ENV, r_env):
+        rg = rg.withColumnRenamed(tmp, orig)
+    rg = rg.alias("r")
+
+    lx0, ly0 = F.col("l.__xmin") - F.lit(d), F.col("l.__ymin") - F.lit(d)
+    lx1, ly1 = F.col("l.__xmax") + F.lit(d), F.col("l.__ymax") + F.lit(d)
+    rx0, ry0 = F.col(f"r.{r_env[0]}"), F.col(f"r.{r_env[1]}")
+    rx1, ry1 = F.col(f"r.{r_env[2]}"), F.col(f"r.{r_env[3]}")
+
+    overlap: Column = (lx0 <= rx1) & (rx0 <= lx1) & (ly0 <= ry1) & (ry0 <= ly1)
+    # reference point: top-left corner of the (padded) envelope
+    # intersection — exactly one grid cell contains it, so each candidate
+    # pair survives in exactly one of its replicated cells
+    inv = 1.0 / cell
+    ref_ok = (
+        F.floor(F.greatest(lx0, rx0) * F.lit(inv)) == F.col("l.__cx")
+    ) & (F.floor(F.greatest(ly0, ry0) * F.lit(inv)) == F.col("l.__cy"))
+
+    cand = lg.join(
+        rg,
+        (F.col("l.__cx") == F.col("r.__cx"))
+        & (F.col("l.__cy") == F.col("r.__cy"))
+        & overlap
+        & ref_ok,
+        "inner",
+    )
+
+    exact = _pair_distance_udf(d)
+    cand = cand.filter(exact(F.col(f"l.{left_geom}"), F.col(f"r.{r_geom}")))
+
+    keep = [F.col(f"l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"r.{renamed[c]}").alias(renamed[c]) for c in right.columns
+    ]
+    return cand.select(keep)

@@ -40,7 +40,6 @@ DRIVER_WINDOW = [
     "count_lineitem",
     # joins / windows / set ops / aggregates
     "join_revenue_by_nation",
-    "join_q5_asia",
     "skew_salted_join_revenue",
     "window_top_order_per_customer",
     "rollup_lineitem",
@@ -62,6 +61,7 @@ DRIVER_WINDOW = [
     "geo_extent_squares",
     "geo_geometry_types",
     "geo_distance_knn",
+    "geo_spatial_join_points",
     # dedup
     "dedup_exact",
     "dedup_minhash_pairs",

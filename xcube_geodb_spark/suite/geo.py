@@ -505,6 +505,81 @@ GEO_ORACLES["geo_distance_knn"] = f"""
     LIMIT 25
 """
 
+def _supplier_points(spark, sf_dir):
+    """A second, independent point set (supplier-keyed, same closed-form
+    coordinate hash) so spatial joins exercise two distinct inputs."""
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.select(
+            "s_suppkey",
+            ((F.col("s_suppkey") * 7919 % 36000) / 100.0 - 180.0).alias("px"),
+            ((F.col("s_suppkey") * 104729 % 18000) / 100.0 - 90.0).alias("py"),
+        )
+        .withColumn("geometry", _point_wkb("px", "py"))
+        .withColumn("__xmin", F.col("px"))
+        .withColumn("__ymin", F.col("py"))
+        .withColumn("__xmax", F.col("px"))
+        .withColumn("__ymax", F.col("py"))
+    )
+
+
+def geo_spatial_join_points(spark, sf_dir):
+    """Grid-partitioned distributed spatial join (functions/spatial_join):
+    customer squares x supplier points on st_intersects, auto-derived cell
+    size. The oracle is pure interval arithmetic (point-in-axis-aligned
+    square), so every candidate-generation + reference-point-dedup +
+    exact-refinement stage is hash-checked end to end."""
+    from xcube_geodb_spark.functions.spatial_join import spatial_join
+
+    sq = _squares(spark, sf_dir).select(
+        "c_custkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+    )
+    pts = _supplier_points(spark, sf_dir).select(
+        "s_suppkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+    )
+    return spatial_join(sq, pts, "intersects").select("c_custkey", "s_suppkey")
+
+
+def geo_spatial_join_dwithin(spark, sf_dir):
+    """st_dwithin spatial join: customer points within 4.105 units of a
+    supplier point (an explicit cell size forces multi-cell replication,
+    proving the reference-point dedup emits each pair exactly once)."""
+    from xcube_geodb_spark.functions.spatial_join import spatial_join
+
+    cpts = _points(spark, sf_dir).select(
+        "c_custkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+    )
+    spts = _supplier_points(spark, sf_dir).select(
+        "s_suppkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+    )
+    return spatial_join(
+        cpts, spts, "dwithin", distance=4.105, cell_size=3.0
+    ).select("c_custkey", "s_suppkey")
+
+
+_SUPP_PTS = """
+    SELECT s_suppkey,
+           (s_suppkey * 7919 % 36000) / 100.0 - 180.0 AS px,
+           (s_suppkey * 104729 % 18000) / 100.0 - 90.0 AS py
+    FROM supplier
+"""
+
+GEO_ORACLES_JOINS = {
+    "geo_spatial_join_points": f"""
+        SELECT c_custkey, s_suppkey
+        FROM ({_SQS}) sq JOIN ({_SUPP_PTS}) pt
+          ON pt.px >= sq.x - sq.h AND pt.px <= sq.x + sq.h
+         AND pt.py >= sq.y - sq.h AND pt.py <= sq.y + sq.h
+    """,
+    "geo_spatial_join_dwithin": f"""
+        SELECT c_custkey, s_suppkey
+        FROM ({_PTS}) c JOIN ({_SUPP_PTS}) pt
+          ON sqrt((c.x - pt.px) * (c.x - pt.px)
+                  + (c.y - pt.py) * (c.y - pt.py)) <= 4.105
+    """,
+}
+
+
 GEO_QUERIES = {
     "geo_measures_squares": geo_measures_squares,
     "geo_bbox_modes": geo_bbox_modes,
@@ -523,4 +598,8 @@ GEO_QUERIES = {
     "geo_count_by_bbox": geo_count_by_bbox,
     "geo_extent_squares": geo_extent_squares,
     "geo_geometry_types": geo_geometry_types,
+    "geo_spatial_join_points": geo_spatial_join_points,
+    "geo_spatial_join_dwithin": geo_spatial_join_dwithin,
 }
+
+GEO_ORACLES.update(GEO_ORACLES_JOINS)
