@@ -36,6 +36,7 @@ HEADLINE = [
     "geo_bbox_intersects_squares",  # spatial: envelope prefilter + kernel
     "geo_bbox_contains_points",     # spatial: point-in-box
     "geo_extent_squares",           # spatial extent aggregate
+    "geo_spatial_join_points",      # grid-partitioned distributed spatial join
     "dedup_exact",                  # exact dedup (hash agg)
     "dedup_minhash_pairs",          # MinHash LSH candidate join
     "sim_cosine_topk",              # brute-force ANN baseline

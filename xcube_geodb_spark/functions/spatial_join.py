@@ -61,17 +61,20 @@ def derive_cell_size(left: DataFrame, right: DataFrame) -> float:
     few times the average envelope keep replication (rows × cells) low
     while still splitting the join into per-cell hash joins.
     """
-    stats = []
-    for df in (left, right):
-        row = df.select(
+    env = ["__xmin", "__ymin", "__xmax", "__ymax"]
+    both = left.select(env).unionByName(right.select(env))
+    stats = (
+        both.groupBy()  # single job over the union; envelope cols only
+        .agg(
             F.avg(F.col("__xmax") - F.col("__xmin")).alias("w"),
             F.avg(F.col("__ymax") - F.col("__ymin")).alias("h"),
             F.min("__xmin").alias("x0"),
             F.max("__xmax").alias("x1"),
             F.min("__ymin").alias("y0"),
             F.max("__ymax").alias("y1"),
-        ).first()
-        stats.append(row)
+        )
+        .collect()
+    )
     mean_ext = max(
         max(r["w"] or 0.0, r["h"] or 0.0) for r in stats
     )
@@ -101,9 +104,67 @@ def _grid_cells(df: DataFrame, cell: float, pad: float) -> DataFrame:
     )
 
 
+_POINT_HDR = b"\x01\x01\x00\x00\x00"
+# little-endian polygon, 1 ring, 5 points (the 93-byte rectangle form)
+_RECT_HDR = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00"
+
+
+def _classify_boxes(vals):
+    """Vectorized WKB triage: (kind, boxes) where kind is 0=point,
+    1=axis-aligned rectangle, 2=general, and boxes is an (n, 4) array of
+    (xmin, ymin, xmax, ymax) valid for kinds 0 and 1. Points and
+    axis-aligned rectangles are by far the common spatial-join operands,
+    and their min-distance is closed-form interval arithmetic — no kernel.
+    """
+    import numpy as np
+
+    n = len(vals)
+    kind = np.full(n, 2, dtype=np.int8)
+    boxes = np.full((n, 4), np.nan)
+    pt_idx = [
+        i
+        for i, b in enumerate(vals)
+        if b is not None and len(b) == 21 and bytes(b[:5]) == _POINT_HDR
+    ]
+    if pt_idx:
+        coords = np.frombuffer(
+            b"".join(bytes(vals[i][5:21]) for i in pt_idx), dtype="<f8"
+        ).reshape(-1, 2)
+        ii = np.asarray(pt_idx)
+        kind[ii] = 0
+        boxes[ii, 0] = boxes[ii, 2] = coords[:, 0]
+        boxes[ii, 1] = boxes[ii, 3] = coords[:, 1]
+    rc_idx = [
+        i
+        for i, b in enumerate(vals)
+        if b is not None and len(b) == 93 and bytes(b[:13]) == _RECT_HDR
+    ]
+    if rc_idx:
+        ring = np.frombuffer(
+            b"".join(bytes(vals[i][13:93]) for i in rc_idx), dtype="<f8"
+        ).reshape(-1, 5, 2)
+        xs, ys = ring[..., 0], ring[..., 1]
+        x0, x1 = xs.min(axis=1), xs.max(axis=1)
+        y0, y1 = ys.min(axis=1), ys.max(axis=1)
+        # a true axis-aligned rectangle ring: closed, every vertex on a
+        # corner (each coordinate equals its ring min or max)
+        ok = (
+            (ring[:, 0] == ring[:, 4]).all(axis=1)
+            & ((xs == x0[:, None]) | (xs == x1[:, None])).all(axis=1)
+            & ((ys == y0[:, None]) | (ys == y1[:, None])).all(axis=1)
+        )
+        ii = np.asarray(rc_idx)[ok]
+        kind[ii] = 1
+        boxes[ii, 0], boxes[ii, 1] = x0[ok], y0[ok]
+        boxes[ii, 2], boxes[ii, 3] = x1[ok], y1[ok]
+    return kind, boxes
+
+
 def _pair_distance_udf(threshold: float):
-    """Arrow-batched exact refinement: kernel min-distance per WKB pair,
-    with a vectorized fast path when both sides are 2D points."""
+    """Arrow-batched exact refinement: min-distance per WKB pair ≤
+    threshold. Point/rectangle operands (detected per batch) use the
+    closed-form box distance fully vectorized in numpy; only irregular
+    geometries fall back to the per-pair kernel sweep."""
     import numpy as np
 
     from xcube_geodb_spark.geometry.geom import distance, parse_wkb
@@ -114,33 +175,23 @@ def _pair_distance_udf(threshold: float):
         rv = rwkb.to_numpy(dtype=object)
         n = len(lv)
         out = np.zeros(n, dtype=bool)
-        is_pt = np.fromiter(
-            (
-                a is not None
-                and b is not None
-                and len(a) == 21
-                and len(b) == 21
-                and bytes(a[:5]) == b"\x01\x01\x00\x00\x00"
-                and bytes(b[:5]) == b"\x01\x01\x00\x00\x00"
-                for a, b in zip(lv, rv)
-            ),
-            dtype=bool,
-            count=n,
-        )
-        idx = np.nonzero(is_pt)[0]
+        lk, lb = _classify_boxes(lv)
+        rk, rb = _classify_boxes(rv)
+        boxy = (lk < 2) & (rk < 2)
+        idx = np.nonzero(boxy)[0]
         if len(idx):
-            la = np.frombuffer(
-                b"".join(bytes(lv[i][5:21]) for i in idx), dtype="<f8"
-            ).reshape(-1, 2)
-            ra = np.frombuffer(
-                b"".join(bytes(rv[i][5:21]) for i in idx), dtype="<f8"
-            ).reshape(-1, 2)
-            dx = la[:, 0] - ra[:, 0]
-            dy = la[:, 1] - ra[:, 1]
-            # sqrt(dx*dx + dy*dy), not hypot: bit-identical to the SQL
-            # form so oracle comparisons can't flip at the threshold
-            out[idx] = np.sqrt(dx * dx + dy * dy) <= threshold
-        for i in np.nonzero(~is_pt)[0]:
+            # box-to-box min distance: per-axis gap, 0 when intervals
+            # overlap. For two points this reduces to sqrt(dx^2+dy^2) in
+            # the same operation order as the SQL form, so an oracle
+            # comparison can't flip at the threshold.
+            gx = np.maximum(
+                np.maximum(lb[idx, 0] - rb[idx, 2], rb[idx, 0] - lb[idx, 2]), 0.0
+            )
+            gy = np.maximum(
+                np.maximum(lb[idx, 1] - rb[idx, 3], rb[idx, 1] - lb[idx, 3]), 0.0
+            )
+            out[idx] = np.sqrt(gx * gx + gy * gy) <= threshold
+        for i in np.nonzero(~boxy)[0]:
             a, b = lv[i], rv[i]
             if a is None or b is None:
                 continue
