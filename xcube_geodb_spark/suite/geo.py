@@ -557,6 +557,53 @@ def geo_spatial_join_dwithin(spark, sf_dir):
     ).select("c_custkey", "s_suppkey")
 
 
+def geo_tile_counts(spark, sf_dir):
+    """Web-mercator tile aggregation (functions/tiles): features per z6
+    tile, keys from pure JVM column math (no UDF), one map-side-combined
+    hash aggregation. The oracle replays the mercator tile formula."""
+    from xcube_geodb_spark.functions.tiles import tile_counts
+
+    pts = _points(spark, sf_dir)
+    out = tile_counts(pts, zoom=6, lon_col="x", lat_col="y")
+    return out.select(
+        F.col("tile_z").cast("long").alias("tile_z"),
+        "tile_x",
+        "tile_y",
+        "n",
+    )
+
+
+def geo_tile_pyramid(spark, sf_dir):
+    """Tile pyramid z6->z4: the base zoom scans the data once; coarser
+    levels roll up the previous level by integer-halving the tile key
+    (exact: tile scale factors are powers of two). The oracle computes
+    each level directly from the raw points."""
+    from xcube_geodb_spark.functions.tiles import tile_pyramid
+
+    pts = _points(spark, sf_dir)
+    out = tile_pyramid(pts, max_zoom=6, min_zoom=4, lon_col="x", lat_col="y")
+    return out.select(
+        F.col("tile_z").cast("long").alias("tile_z"),
+        "tile_x",
+        "tile_y",
+        "n",
+    )
+
+
+def _tile_oracle_level(z: int) -> str:
+    n = 1 << z
+    return f"""
+        SELECT CAST({z} AS BIGINT) AS tile_z,
+               CAST(floor((x + 180.0) / 360.0 * {n}) AS BIGINT) AS tile_x,
+               CAST(floor((1.0 - ln(tan(radians(y)) + 1.0 / cos(radians(y)))
+                           / pi()) / 2.0 * {n}) AS BIGINT) AS tile_y,
+               count(*) AS n
+        FROM ({_PTS})
+        WHERE y >= -85.05112878 AND y <= 85.05112878
+        GROUP BY 1, 2, 3
+    """
+
+
 _SUPP_PTS = """
     SELECT s_suppkey,
            (s_suppkey * 7919 % 36000) / 100.0 - 180.0 AS px,
@@ -600,6 +647,12 @@ GEO_QUERIES = {
     "geo_geometry_types": geo_geometry_types,
     "geo_spatial_join_points": geo_spatial_join_points,
     "geo_spatial_join_dwithin": geo_spatial_join_dwithin,
+    "geo_tile_counts": geo_tile_counts,
+    "geo_tile_pyramid": geo_tile_pyramid,
 }
 
 GEO_ORACLES.update(GEO_ORACLES_JOINS)
+GEO_ORACLES["geo_tile_counts"] = _tile_oracle_level(6)
+GEO_ORACLES["geo_tile_pyramid"] = "\nUNION ALL\n".join(
+    _tile_oracle_level(z) for z in (6, 5, 4)
+)
