@@ -683,6 +683,71 @@ def chunk_documents(spark, sf_dir):
     return chunk_by_tokens(docs, "text", "doc_id", chunk_size=64, overlap=16)
 
 
+def text_contamination(spark, sf_dir):
+    """Train/test contamination report (functions/contamination): the
+    documents table is the corpus; every 13th document plays the leaked
+    benchmark set. Corpus and benchmark shingle with the dedup family's
+    codegen'd 8-gram plan; the benchmark gram table is broadcast so no
+    corpus-sized shuffle exists; the oracle replays the n-gram join."""
+    from xcube_geodb_spark.functions.contamination import contamination_report
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    return contamination_report(docs, bench, n=8)
+
+
+def text_decontaminated(spark, sf_dir):
+    """The decontamination filter: corpus minus documents sharing >= 1
+    8-gram with the benchmark set (broadcast anti-join)."""
+    from xcube_geodb_spark.functions.contamination import decontaminate
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    return decontaminate(docs, bench, n=8).select("doc_id")
+
+
+# 8-gram shingle list mirroring dedup.shingle_table at n=8 (falls back to
+# the whole normalized text for shorter documents)
+_GRAM8 = (
+    "CASE WHEN len(toks) >= 8 THEN list_distinct(list_transform("
+    "range(1, len(toks) - 6), i -> "
+    + " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(8))
+    + ")) ELSE [t] END"
+)
+
+_CONTAM_CTES = f"""
+    corpus AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    bench AS (SELECT doc_id, t FROM corpus WHERE doc_id % 13 = 0),
+    cg AS (
+        SELECT doc_id, unnest({_GRAM8}) AS gram
+        FROM (SELECT doc_id, string_split(t, ' ') AS toks, t FROM corpus)
+    ),
+    bg AS (
+        SELECT doc_id AS bench_id, unnest({_GRAM8}) AS gram
+        FROM (SELECT doc_id, string_split(t, ' ') AS toks, t FROM bench)
+    ),
+    hits AS (
+        SELECT cg.doc_id,
+               count(DISTINCT cg.gram) AS n_hits,
+               count(DISTINCT bg.bench_id) AS n_bench_docs
+        FROM cg JOIN bg ON cg.gram = bg.gram
+        GROUP BY cg.doc_id
+    )
+"""
+
+LLM_CONTAM_ORACLES = {
+    "text_contamination": f"""
+        WITH {_CONTAM_CTES}
+        SELECT doc_id, n_hits, n_bench_docs FROM hits
+    """,
+    "text_decontaminated": f"""
+        WITH {_CONTAM_CTES}
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE n_hits >= 1)
+    """,
+}
+
+
 LLM_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -702,6 +767,8 @@ LLM_QUERIES = {
     "text_profile": text_profile,
     "text_scrub": text_scrub,
     "text_repetition": text_repetition,
+    "text_contamination": text_contamination,
+    "text_decontaminated": text_decontaminated,
     "dedup_collection_roundtrip": dedup_collection_roundtrip,
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
@@ -758,4 +825,5 @@ LLM_ORACLES = {
     **LLM_SIM_ORACLES,
     **LLM_TEXT_ORACLES,
     **LLM_SAMPLING_ORACLES,
+    **LLM_CONTAM_ORACLES,
 }
