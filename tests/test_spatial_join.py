@@ -192,3 +192,22 @@ class TestSpatialJoin:
             spatial_join(sq, pt, "dwithin", distance=-1.0)
         with pytest.raises(ValueError):
             spatial_join(sq, pt, "intersects", cell_size=0.0)
+
+
+class TestClientSpatialJoin:
+    def test_collection_join_uses_persisted_envelopes(self, spark, tmp_path):
+        from xcube_geodb_spark.client import GeoDBSparkClient
+
+        c = GeoDBSparkClient(spark, warehouse=str(tmp_path), user="sjtest")
+        c.create_collection("sq", {"c_custkey": "int"})
+        c.create_collection("pt", {"s_suppkey": "int"})
+        c.insert_into_collection(
+            "sq", _squares(spark).select("geometry", "c_custkey")
+        )
+        c.insert_into_collection(
+            "pt", _points(spark).select("geometry", "s_suppkey")
+        )
+        out = c.spatial_join_collections("sq", "pt", "intersects")
+        assert not [col for col in out.columns if col.startswith("__")]
+        got = {(r["c_custkey"], r["s_suppkey"]) for r in out.collect()}
+        assert got == _brute_pairs(spark, "intersects")

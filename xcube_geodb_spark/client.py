@@ -473,6 +473,48 @@ class GeoDBSparkClient:
         self.events.log("read", f"Collection {db}_{collection} knn query")
         return self._collect_geo(df, srid)
 
+    def spatial_join_collections(
+        self,
+        left: str,
+        right: str,
+        predicate: str = "intersects",
+        distance: float = 0.0,
+        cell_size: float | None = None,
+        database: str | None = None,
+        right_database: str | None = None,
+        rsuffix: str = "_r",
+    ):
+        """Distributed spatial join of two warehouse collections
+        (``st_intersects`` / ``st_dwithin``, the PostGIS join idiom the
+        reference reaches through raw SQL passthrough — ``geodb.sql:
+        1123-1177``). Both sides reuse their PERSISTED envelope columns,
+        so no geometry is re-parsed for candidate generation; see
+        ``functions/spatial_join`` for the grid-partitioned plan.
+
+        Returns a Spark DataFrame (a join result can be collection-sized;
+        ``.toPandas()`` it only when you know it is small). Right-side
+        column names that clash get ``rsuffix``.
+        """
+        from xcube_geodb_spark.functions.spatial_join import spatial_join
+
+        db = self._db(database)
+        rdb = self._db(right_database) if right_database else db
+        lf = self.catalog.load_df(left, db, include_system=True)
+        rf = self.catalog.load_df(right, rdb, include_system=True)
+        out = spatial_join(
+            lf,
+            rf,
+            predicate=predicate,
+            distance=distance,
+            cell_size=cell_size,
+            rsuffix=rsuffix,
+        )
+        drop = [c for c in out.columns if c.startswith("__")]
+        self.events.log(
+            "read", f"Spatial join {db}_{left} x {rdb}_{right} ({predicate})"
+        )
+        return out.drop(*drop)
+
     def count_collection_rows(
         self,
         collection: str,
