@@ -271,6 +271,77 @@ class TestManifestRowCounts:
         assert count_collection(client.catalog, chunked, "pruner") == 15
 
 
+class TestProfileCollection:
+    """ANALYZE-style per-column profile: manifest fast path vs exact."""
+
+    def test_manifest_profile_is_zero_io(self, client, chunked, monkeypatch):
+        import pyarrow.parquet as pq
+
+        from xcube_geodb_spark.operators.stats import profile_collection
+
+        def _boom(*a, **k):
+            raise AssertionError("file read despite manifest stats")
+
+        monkeypatch.setattr(pq, "ParquetFile", _boom)
+        monkeypatch.setattr(pq, "read_table", _boom)
+        prof = profile_collection(client.catalog, chunked, "pruner")
+        row = prof.set_index("column").loc["v"]
+        assert row["row_count"] == 20
+        assert row["n_nulls"] == 0
+        assert row["vmin"] == 0 and row["vmax"] == 109
+        assert row["n_distinct"] is None  # manifest stores no cardinality
+
+    def test_exact_profile_adds_distincts_and_nulls(self, client):
+        from xcube_geodb_spark.operators.stats import profile_collection
+
+        client.create_collection("p", {"v": "int", "name": "text"})
+        client.insert_into_collection(
+            "p",
+            pd.DataFrame(
+                {
+                    "geometry": [f"POINT ({i} {i})" for i in range(6)],
+                    "v": [1, 1, 2, 3, 3, 3],
+                    "name": ["a", None, "b", None, "c", "c"],
+                }
+            ),
+        )
+        prof = profile_collection(
+            client.catalog, "p", "pruner", exact=True
+        ).set_index("column")
+        assert prof.loc["v"]["n_distinct"] == 3
+        assert prof.loc["v"]["n_nulls"] == 0
+        assert prof.loc["name"]["n_nulls"] == 2
+        assert prof.loc["name"]["n_distinct"] == 3
+        assert prof.loc["name"]["vmin"] == "a" and prof.loc["name"]["vmax"] == "c"
+
+    def test_manifest_null_counts_match_exact(self, client):
+        from xcube_geodb_spark.operators.stats import profile_collection
+
+        client.create_collection("pn", {"v": "int", "name": "text"})
+        client.insert_into_collection(
+            "pn",
+            pd.DataFrame(
+                {
+                    "geometry": [f"POINT ({i} {i})" for i in range(4)],
+                    "v": [1, 2, 3, 4],
+                    "name": ["x", None, None, "y"],
+                }
+            ),
+        )
+        fast = profile_collection(client.catalog, "pn", "pruner").set_index(
+            "column"
+        )
+        assert fast.loc["name"]["n_nulls"] == 2
+
+    def test_profile_tracks_dml(self, client, chunked):
+        client.delete_from_collection(chunked, "v=gt.9")  # drop the hi file
+        prof = client.profile_collection(
+            chunked, database="pruner"
+        ).set_index("column")
+        assert prof.loc["v"]["row_count"] == 10
+        assert prof.loc["v"]["vmax"] == 9
+
+
 class TestBloomIndex:
     """Per-file bloom filters: equality pruning on non-clustered columns
     where min/max intervals overlap between files."""

@@ -525,6 +525,28 @@ class GeoDBSparkClient:
             self.catalog, collection, self._db(database), exact=exact_count
         )
 
+    def profile_collection(
+        self,
+        collection: str,
+        database: str | None = None,
+        exact: bool = False,
+        columns: list | None = None,
+    ) -> pd.DataFrame:
+        """ANALYZE-style per-column profile (row count, null count,
+        min/max, distinct count). The default answers from the manifest's
+        commit-time statistics with ZERO file IO and no Spark job — the
+        engine's analogue of the reference reading planner stats
+        (``pg_class``/``pg_stats``, geodb.sql:1276-1303); ``exact=True``
+        runs one aggregation pass and adds exact distinct counts."""
+        from xcube_geodb_spark.operators.stats import profile_collection
+
+        db = self._db(database)
+        out = profile_collection(
+            self.catalog, collection, db, exact=exact, columns=columns
+        )
+        self.events.log("read", f"Collection {db}_{collection} profiled")
+        return out
+
     def count_collection_by_bbox(
         self,
         collection: str,

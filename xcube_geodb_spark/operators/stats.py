@@ -100,6 +100,13 @@ def file_column_stats(path: str, max_str: int = 64) -> dict[str, list]:
         name = md.schema.column(i).name
         lo = hi = None
         ok = True
+        nulls: int | None = 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or st.null_count is None:
+                nulls = None
+            elif nulls is not None:
+                nulls += st.null_count
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(i).statistics
             if st is None or not st.has_min_max:
@@ -118,7 +125,104 @@ def file_column_stats(path: str, max_str: int = 64) -> dict[str, list]:
                 hi = b
         if ok and lo is not None:
             out[name] = [lo, hi]
+        if nulls is not None:
+            # reserved key (mirrors ::rows / ::bloom:): per-file null count,
+            # so profiles answer null ratios from the manifest with zero IO
+            out[f"::nulls:{name}"] = [nulls, nulls]
     return out
+
+
+def profile_collection(
+    catalog,
+    collection: str,
+    database: str = "public",
+    exact: bool = False,
+    columns: list[str] | None = None,
+):
+    """ANALYZE-style per-column profile: (column, row_count, n_nulls,
+    vmin, vmax, n_distinct) as a pandas DataFrame (one row per column —
+    driver-sized by construction).
+
+    ``exact=False`` answers entirely from the manifest's commit-time
+    stats — ZERO file IO and no Spark job, the engine's analogue of the
+    reference reading planner statistics (``pg_class`` / ``pg_stats``,
+    geodb.sql:1276-1303) — with ``n_distinct`` as None (the manifest does
+    not store cardinalities). Columns the manifest lacks stats for report
+    None min/max. ``exact=True`` runs ONE Spark aggregation computing
+    exact nulls/min/max/distinct per column (map-side partials; a single
+    scan regardless of column count).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    m = catalog.meta(collection, database)
+    cols = columns or [
+        f.name
+        for f in m.spark_schema(include_system=False).fields
+        if f.name != "geometry"
+    ]
+    if not exact:
+        fstats = m.d.get("file_stats") or {}
+        have_all = all(f in fstats and "::rows" in fstats[f] for f in m.files)
+        if not have_all:
+            raise ValueError(
+                "manifest lacks commit-time stats for some files; "
+                "use exact=True"
+            )
+        rows_total = sum(fstats[f]["::rows"][0] for f in m.files)
+        recs = []
+        for c in cols:
+            lo = hi = None
+            seen = True
+            nulls: int | None = 0
+            for f in m.files:
+                st = fstats[f]
+                if st["::rows"][0] == 0:
+                    continue  # empty rewrite: no column stats to contribute
+                if c not in st:
+                    seen = False
+                else:
+                    a, b = st[c]
+                    lo = a if lo is None or a < lo else lo
+                    hi = b if hi is None or b > hi else hi
+                nc = st.get(f"::nulls:{c}")
+                nulls = None if nc is None or nulls is None else nulls + nc[0]
+            recs.append(
+                {
+                    "column": c,
+                    "row_count": rows_total,
+                    "n_nulls": nulls,
+                    "vmin": lo if seen else None,
+                    "vmax": hi if seen else None,
+                    "n_distinct": None,
+                }
+            )
+        return pd.DataFrame(recs)
+
+    df = catalog.load_df(collection, database)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rc_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    return pd.DataFrame(
+        [
+            {
+                "column": c,
+                "row_count": row[f"__rc_{c}"],
+                "n_nulls": row[f"__nn_{c}"],
+                "vmin": row[f"__mn_{c}"],
+                "vmax": row[f"__mx_{c}"],
+                "n_distinct": row[f"__nd_{c}"],
+            }
+            for c in cols
+        ]
+    )
 
 
 def footer_min_max(paths: list[str], columns: list[str]) -> dict[str, tuple]:

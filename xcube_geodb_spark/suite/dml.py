@@ -172,6 +172,49 @@ def stream_cdc_feed(spark, sf_dir) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def dml_profile_stats(spark, sf_dir) -> DataFrame:
+    """ANALYZE-style per-column profile (operators/stats.profile_collection)
+    through the table format: ingest nation with a nullable derived column,
+    profile with exact=True (one aggregation pass), and return the stats
+    table; the oracle recomputes every statistic in SQL. The zero-IO
+    manifest path is covered by test_dml_pruning (joblessness can't be
+    hash-checked)."""
+    from pyspark.sql import functions as F
+
+    from xcube_geodb_spark.operators.stats import profile_collection
+
+    c = _fresh_client(spark)
+    c.create_collection(
+        "natp", {"n_nationkey": "int", "n_name": "text", "score": "float"}
+    )
+    from xcube_geodb_spark.suite.geo import _point_wkb
+
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.when(
+            F.col("n_nationkey") % 3 != 0, F.col("n_nationkey").cast("double")
+        ).alias("score"),
+        _point_wkb(
+            F.col("n_nationkey").cast("double"),
+            F.col("n_nationkey").cast("double"),
+        ).alias("geometry"),
+    )
+    c.insert_into_collection("natp", nat)
+    prof = profile_collection(
+        c.catalog, "natp", "driver", exact=True,
+        columns=["n_nationkey", "score"],
+    )
+    prof = prof.rename(columns={"column": "col_name"})
+    prof["vmin"] = prof["vmin"].astype(float)
+    prof["vmax"] = prof["vmax"].astype(float)
+    schema = (
+        "col_name string, row_count long, n_nulls long, "
+        "vmin double, vmax double, n_distinct long"
+    )
+    return spark.createDataFrame(prof, schema=schema)
+
+
 DML_QUERIES = {
     "dml_delete_update_roundtrip": dml_delete_update_roundtrip,
     "dml_upsert_roundtrip": dml_upsert_roundtrip,
@@ -179,6 +222,7 @@ DML_QUERIES = {
     "dml_time_travel_roundtrip": dml_time_travel_roundtrip,
     "dml_changes_feed": dml_changes_feed,
     "stream_cdc_feed": stream_cdc_feed,
+    "dml_profile_stats": dml_profile_stats,
 }
 
 # the engine maps the reference's "int" property type to bigint
@@ -214,6 +258,28 @@ DML_ORACLES = {
         UNION ALL
         SELECT CAST(n_nationkey AS BIGINT), n_name, 'delete'
         FROM nation WHERE n_regionkey = 2
+    """,
+    "dml_profile_stats": """
+        SELECT 'n_nationkey' AS col_name,
+               count(*) AS row_count,
+               CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(min(n_nationkey) AS DOUBLE) AS vmin,
+               CAST(max(n_nationkey) AS DOUBLE) AS vmax,
+               CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_distinct
+        FROM nation
+        UNION ALL
+        SELECT 'score',
+               count(*),
+               CAST(sum(CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(min(CASE WHEN n_nationkey % 3 <> 0 THEN n_nationkey END)
+                    AS DOUBLE),
+               CAST(max(CASE WHEN n_nationkey % 3 <> 0 THEN n_nationkey END)
+                    AS DOUBLE),
+               CAST(count(DISTINCT CASE WHEN n_nationkey % 3 <> 0
+                                        THEN n_nationkey END) AS BIGINT)
+        FROM nation
     """,
     # per-version diffs: v1 inserts everything, v2 deletes region 2
     # (pre-image), v3 redacts region 1 (post-image)
