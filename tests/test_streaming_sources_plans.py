@@ -262,3 +262,51 @@ class TestWriters:
             for r in back.collect()
         }
         assert got == {1: "POINT (1 2)", 2: "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", 3: None}
+
+
+class TestStreamingTiles:
+    def test_streaming_tile_counts_matches_batch_twin(self, spark, tmp_path):
+        from xcube_geodb_spark.functions.tiles import tile_counts
+        from xcube_geodb_spark.streaming import streaming_tile_counts
+
+        rows = [
+            (i, f"2024-01-01 10:{i % 60:02d}:00",
+             float((i * 7919) % 360 - 180) / 2.0,
+             float((i * 104729) % 170 - 85) / 2.0)
+            for i in range(40)
+        ]
+        batch = spark.createDataFrame(
+            rows, "event_id long, ts string, lon double, lat double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        src = str(tmp_path / "tile_stream_src")
+        batch.write.parquet(src)
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, lon double, lat double"
+            )
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        out = streaming_tile_counts(stream, zoom=5, window="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tile_stream_test")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (str(r["window_start"]), r["tile_x"], r["tile_y"]): r["n_events"]
+                for r in spark.sql("SELECT * FROM tile_stream_test").collect()
+            }
+        finally:
+            q.stop()
+
+        expected = {
+            ("2024-01-01 10:00:00", r["tile_x"], r["tile_y"]): r["n"]
+            for r in tile_counts(batch, 5, "lon", "lat").collect()
+        }
+        assert got == expected
+        assert sum(got.values()) == 40

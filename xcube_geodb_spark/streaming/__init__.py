@@ -12,6 +12,7 @@ from xcube_geodb_spark.streaming.windows import (
     sliding_window_counts,
     session_window_agg,
     streaming_events_source,
+    streaming_tile_counts,
     tumbling_window_counts,
 )
 from xcube_geodb_spark.streaming.stateful import (
@@ -33,6 +34,7 @@ __all__ = [
     "sliding_window_counts",
     "session_window_agg",
     "streaming_events_source",
+    "streaming_tile_counts",
     "dedup_events_stream",
     "running_user_totals",
     "collection_batch_writer",

@@ -101,3 +101,41 @@ def session_window_agg(
             "sum_value",
         )
     )
+
+
+def streaming_tile_counts(
+    events: DataFrame,
+    zoom: int,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Windowed web-mercator tile counts over a geo-event stream: the
+    live-map heatmap query. Tile keys (functions/tiles) are pure column
+    math, so the streaming plan is exactly a windowed hash aggregate —
+    state keyed by (window, tile), bounded by the watermark, incremental
+    partials per micro-batch. The batch twin is
+    ``tile_counts(df.filter(ts window))`` with identical semantics."""
+    from xcube_geodb_spark.functions.tiles import with_tile
+
+    tiled = with_tile(events, zoom, lon_col, lat_col)
+    return (
+        tiled.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window),
+            F.col("tile_z"),
+            F.col("tile_x"),
+            F.col("tile_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "tile_z",
+            "tile_x",
+            "tile_y",
+            "n_events",
+        )
+    )
