@@ -317,3 +317,51 @@ class TestStDwithin:
         assert rows.on_edge is True
         assert rows.outside is False
         assert rows.contained is True
+
+
+class TestQuantization:
+    def test_int8_quantization_error_bound_and_dot(self, spark):
+        import math
+
+        from xcube_geodb_spark.functions.similarity import (
+            dequantize_embedding,
+            with_quantized_embedding,
+        )
+        from xcube_geodb_spark.suite.util import load
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        q = with_quantized_embedding(emb)
+        rows = q.withColumn(
+            "deq", dequantize_embedding(F.col("embedding_q8"), F.col("embedding_scale"))
+        ).collect()
+        assert rows
+        for r in rows:
+            orig = [float(v) for v in r["embedding"]]
+            scale = r["embedding_scale"]
+            # every quantized component fits int8 and reconstructs within
+            # half a quantization step
+            assert all(-127 <= v <= 127 for v in r["embedding_q8"])
+            for a, b in zip(orig, r["deq"]):
+                assert abs(a - b) <= scale / 2 + 1e-12
+            # int8 dot approximates the float dot to quantization order
+            d_f = sum(a * a for a in orig)
+            d_q = sum(b * b for b in r["deq"])
+            dim = len(orig)
+            tol = 2.0 * scale * math.sqrt(d_f) * dim ** 0.5 + scale * scale * dim
+            assert abs(d_f - d_q) <= tol
+
+    def test_quantization_is_jvm_only(self, spark):
+        from xcube_geodb_spark.functions.similarity import with_quantized_embedding
+        from xcube_geodb_spark.suite.util import load
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+        plan = (
+            with_quantized_embedding(emb)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan

@@ -57,6 +57,40 @@ def with_normalized_embedding(
     return df.withColumn(out_col, l2_normalize(F.col(vec_col)))
 
 
+def with_quantized_embedding(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_q8",
+    scale_col: str = "embedding_scale",
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: per-vector ``scale =
+    max|x|/127`` and ``q_i = round(x_i / scale)`` as ``array<tinyint>``.
+
+    The at-rest compression step for 100 TB embedding stores: 4x smaller
+    than float32 (8x vs float64) before parquet encoding, with worst-case
+    per-component error scale/2. Pure JVM array algebra — no UDF — so
+    quantization fuses into the ingest projection; dot products on the
+    int8 arrays times ``scale_a * scale_b`` approximate the float dot
+    for probe-side rescoring.
+    """
+    v = _to_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    df = df.withColumn(
+        scale_col, F.greatest(amax, F.lit(eps)) / F.lit(127.0)
+    )
+    q = F.transform(
+        _to_double(F.col(vec_col)),
+        lambda x: F.round(x / F.col(scale_col)).cast("tinyint"),
+    )
+    return df.withColumn(out_col, q)
+
+
+def dequantize_embedding(q: Column, scale: Column) -> Column:
+    """Reconstruct the float vector from (int8 array, scale)."""
+    return F.transform(q, lambda x: x.cast("double") * scale)
+
+
 def cosine_topk(
     df: DataFrame,
     query_vector: list[float],

@@ -315,6 +315,28 @@ def _hp_bucket_sql(vec_expr: str) -> str:
 _LSH_BUCKET_V = _hp_bucket_sql("v")
 
 LLM_SIM_ORACLES = {
+    "sim_quantize_int8": """
+        SELECT vec_id,
+               round(scale, 9) AS scale_r,
+               CAST(q[1] AS BIGINT) AS q0,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               round(list_max(list_transform(
+                   list_zip(e, q), p -> abs(p[1] - p[2] * scale))), 9
+               ) AS max_abs_err
+        FROM (
+            SELECT vec_id, e, scale,
+                   list_transform(e, x -> round(x / scale)) AS q
+            FROM (
+                SELECT vec_id, e,
+                       greatest(list_max(list_transform(e, x -> abs(x))),
+                                1e-12) / 127.0 AS scale
+                FROM (SELECT vec_id,
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))
+                                 AS e
+                      FROM embeddings)
+            )
+        )
+    """,
     "sim_normalize": """
         SELECT vec_id, round(nb, 6) AS norm_before,
                round(e[1] / greatest(nb, 1e-12), 6) AS u0,
@@ -683,6 +705,37 @@ def chunk_documents(spark, sf_dir):
     return chunk_by_tokens(docs, "text", "doc_id", chunk_size=64, overlap=16)
 
 
+def sim_quantize_int8(spark, sf_dir):
+    """int8 scalar quantization (functions/similarity): per-vector scale,
+    first/summed quantized components, and the max reconstruction error —
+    every value replayed exactly by the DuckDB oracle (same op order;
+    round-half-away-from-zero in both engines)."""
+    from xcube_geodb_spark.functions.similarity import (
+        dequantize_embedding,
+        with_quantized_embedding,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qdf = with_quantized_embedding(emb)
+    deq = dequantize_embedding(F.col("embedding_q8"), F.col("embedding_scale"))
+    err = F.array_max(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            deq,
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    return qdf.select(
+        "vec_id",
+        F.round("embedding_scale", 9).alias("scale_r"),
+        F.element_at("embedding_q8", 1).cast("long").alias("q0"),
+        F.aggregate(
+            "embedding_q8", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_sum"),
+        F.round(err, 9).alias("max_abs_err"),
+    )
+
+
 def text_contamination(spark, sf_dir):
     """Train/test contamination report (functions/contamination): the
     documents table is the corpus; every 13th document plays the leaked
@@ -757,6 +810,7 @@ LLM_QUERIES = {
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_normalize": sim_normalize,
+    "sim_quantize_int8": sim_quantize_int8,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "ann_index_topk": ann_index_topk,
