@@ -365,3 +365,77 @@ class TestQuantization:
         )
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestKnnJoin:
+    def _emb(self, spark):
+        from xcube_geodb_spark.suite.util import load
+
+        return load(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+
+    def test_matches_brute_force(self, spark):
+        from xcube_geodb_spark.functions.similarity import knn_join
+
+        emb = self._emb(spark)
+        queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = knn_join(emb, queries, k=4).collect()
+
+        rows = emb.collect()
+        qrows = queries.collect()
+        import numpy as np
+
+        expected = {}
+        for q in qrows:
+            qv = np.array([float(x) for x in q["embedding"]])
+            sims = []
+            for r in rows:
+                v = np.array([float(x) for x in r["embedding"]])
+                c = float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+                sims.append((round(c, 6), r["vec_id"]))
+            sims.sort(key=lambda t: (-t[0], t[1]))
+            expected[q["query_id"]] = [vid for _, vid in sims[:4]]
+
+        by_q: dict = {}
+        for r in sorted(got, key=lambda r: (-r["cos_sim"], r["vec_id"])):
+            by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+        assert by_q == expected
+
+    def test_k_rows_per_query_and_self_first(self, spark):
+        from xcube_geodb_spark.functions.similarity import knn_join
+
+        emb = self._emb(spark)
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = knn_join(emb, queries, k=5).collect()
+        counts: dict = {}
+        tops: dict = {}
+        for r in out:
+            counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
+            if r["cos_sim"] == 1.0:
+                tops.setdefault(r["query_id"], set()).add(r["vec_id"])
+        assert counts == {0: 5, 1: 5, 2: 5}
+        for qid in (0, 1, 2):
+            assert qid in tops.get(qid, set())  # each query finds itself
+
+    def test_corpus_smaller_than_k(self, spark):
+        from xcube_geodb_spark.functions.similarity import knn_join
+
+        emb = self._emb(spark).filter(F.col("vec_id") < 3)
+        queries = emb.limit(1).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        assert knn_join(emb, queries, k=10).count() == 3
+
+    def test_empty_queries_raises(self, spark):
+        from xcube_geodb_spark.functions.similarity import knn_join
+
+        emb = self._emb(spark)
+        with pytest.raises(ValueError):
+            knn_join(emb, emb.filter(F.col("vec_id") < 0).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ))

@@ -17,6 +17,8 @@ DuckDB oracle matches bit-for-bit (rounded to 6 decimals in outputs).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -105,6 +107,110 @@ def cosine_topk(
         F.col(id_col), F.round(cosine(emb, q), 6).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    local_margin: int = 32,
+) -> DataFrame:
+    """Batch k-NN join: the ``k`` most cosine-similar corpus vectors for
+    EVERY query vector. Returns (query_id, vec_id, cos_sim rounded 6).
+
+    ``queries`` is a DataFrame with (query_id_col, vec_col) — by contract
+    a driver-sized batch (thousands, not billions): it is collected once
+    and shipped to every task, the batch analogue of the single literal
+    query vector in :func:`cosine_topk`.
+
+    Plan, sized for a 100 TB corpus:
+
+    1. **One corpus scan, no corpus shuffle for scoring**: an Arrow
+       ``mapInPandas`` stage scores each batch against the whole query
+       matrix and emits only the local top ``k + local_margin`` rows per
+       query per batch — output is bounded by batches x queries x k,
+       never corpus-sized. The dot/norm accumulation loops over the
+       vector dims with vectorized adds across rows, which reproduces the
+       left-to-right summation order of the JVM ``aggregate`` fold and
+       DuckDB's ``list_dot_product`` EXACTLY, so scores are bit-identical
+       to the oracle's.
+    2. **One narrow shuffle** of the surviving candidates keyed by
+       query_id; a window ranks on (rounded sim desc, id asc) — the same
+       deterministic tie-break every sim_* gate uses. ``local_margin``
+       keeps enough local slack that rounding ties at the k-boundary
+       cannot change the global result.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = [r[0] for r in qrows]
+    qmat = np.array([[float(v) for v in r[1]] for r in qrows], dtype=np.float64)
+    dim = qmat.shape[1]
+    # sequential-order query norms (scalar loop; tiny)
+    qnorm = np.empty(len(qids))
+    for j in range(len(qids)):
+        acc = 0.0
+        for d in range(dim):
+            acc += qmat[j, d] * qmat[j, d]
+        qnorm[j] = math.sqrt(acc)
+
+    keep = k + local_margin
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("__raw_sim", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.array(
+                [[float(x) for x in v] for v in pdf[vec_col]], dtype=np.float64
+            )
+            ids = pdf[id_col].to_numpy()
+            # accumulate over dims: vectorized across rows, sequential
+            # across dims — the exact fold order of the JVM/SQL sum
+            dots = np.zeros((n, len(qids)))
+            vnorm = np.zeros(n)
+            for d in range(dim):
+                dots += mat[:, d : d + 1] * qmat[:, d]
+                vnorm += mat[:, d] * mat[:, d]
+            cos = dots / (np.sqrt(vnorm)[:, None] * qnorm[None, :])
+            m = min(keep, n)
+            for j, qid in enumerate(qids):
+                order = np.lexsort((ids, -cos[:, j]))[:m]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(m, qid, dtype=np.int64),
+                        id_col: ids[order],
+                        "__raw_sim": cos[order, j],
+                    }
+                )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(_score, out_schema)
+    ranked = cand.select(
+        "query_id", id_col, F.round("__raw_sim", 6).alias("cos_sim")
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cos_sim").desc(), F.col(id_col).asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("__rn") <= k).drop("__rn").withColumnRenamed(
+        "query_id", query_id_col
+    )
 
 
 def lsh_hyperplanes(

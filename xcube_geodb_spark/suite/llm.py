@@ -315,6 +315,27 @@ def _hp_bucket_sql(vec_expr: str) -> str:
 _LSH_BUCKET_V = _hp_bucket_sql("v")
 
 LLM_SIM_ORACLES = {
+    "sim_knn_join": """
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) *
+                          sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+            FROM e, q
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+            ) AS rn FROM scored
+        )
+        SELECT query_id, vec_id, cos_sim FROM r WHERE rn <= 5
+    """,
     "sim_quantize_int8": """
         SELECT vec_id,
                round(scale, 9) AS scale_r,
@@ -705,6 +726,21 @@ def chunk_documents(spark, sf_dir):
     return chunk_by_tokens(docs, "text", "doc_id", chunk_size=64, overlap=16)
 
 
+def sim_knn_join(spark, sf_dir):
+    """Batch k-NN join (functions/similarity.knn_join): every 50th vector
+    plays a query; one mapInPandas corpus scan emits bounded local top-k
+    candidates, one narrow shuffle ranks them. Scores reproduce the
+    sequential fold order, so the oracle's list_dot_product replays them
+    bit-identically."""
+    from xcube_geodb_spark.functions.similarity import knn_join
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_join(emb, queries, k=5)
+
+
 def sim_quantize_int8(spark, sf_dir):
     """int8 scalar quantization (functions/similarity): per-vector scale,
     first/summed quantized components, and the max reconstruction error —
@@ -811,6 +847,7 @@ LLM_QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_normalize": sim_normalize,
     "sim_quantize_int8": sim_quantize_int8,
+    "sim_knn_join": sim_knn_join,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "ann_index_topk": ann_index_topk,
