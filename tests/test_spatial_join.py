@@ -40,6 +40,20 @@ def _points(spark):
     )
 
 
+def _cust_points(spark):
+    from xcube_geodb_spark.suite.geo import _points as f
+
+    return f(spark, SF).select(
+        "c_custkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+    )
+
+
+def _points_raw(spark):
+    from xcube_geodb_spark.suite.geo import _points as f
+
+    return f(spark, SF).select("c_custkey", "x", "y")
+
+
 def _brute_pairs(spark, predicate, d=0.0):
     sq = _squares(spark).select("c_custkey", "__xmin", "__ymin", "__xmax", "__ymax")
     pt = _points(spark).select("s_suppkey", "px", "py")
@@ -211,3 +225,64 @@ class TestClientSpatialJoin:
         assert not [col for col in out.columns if col.startswith("__")]
         got = {(r["c_custkey"], r["s_suppkey"]) for r in out.collect()}
         assert got == _brute_pairs(spark, "intersects")
+
+
+class TestSpatialKnnJoin:
+    def _brute_knn(self, spark, k):
+        sq = _points_raw(spark)
+        pt = _points(spark).collect()
+        out = {}
+        for c in sq.collect():
+            ds = sorted(
+                (
+                    (
+                        math.hypot(c["x"] - p["px"], c["y"] - p["py"]),
+                        p["s_suppkey"],
+                    )
+                    for p in pt
+                )
+            )[:k]
+            out[c["c_custkey"]] = [s for _, s in ds]
+        return out
+
+    def test_matches_brute_force(self, spark):
+        from xcube_geodb_spark.functions.spatial_join import spatial_knn_join
+
+        cp = _cust_points(spark)
+        sp = _points(spark).drop("px", "py")
+        got_rows = spatial_knn_join(cp, sp, k=3, left_id="c_custkey").collect()
+        got = {}
+        for r in sorted(got_rows, key=lambda r: (r["c_custkey"], r["dist"], r["s_suppkey"])):
+            got.setdefault(r["c_custkey"], []).append(r["s_suppkey"])
+        assert got == self._brute_knn(spark, 3)
+
+    def test_tiny_initial_radius_forces_expansion_rounds(self, spark):
+        from xcube_geodb_spark.functions.spatial_join import spatial_knn_join
+
+        cp = _cust_points(spark)
+        sp = _points(spark).drop("px", "py")
+        got_rows = spatial_knn_join(
+            cp, sp, k=2, left_id="c_custkey", initial_radius=0.5, growth=8.0
+        ).collect()
+        got = {}
+        for r in sorted(got_rows, key=lambda r: (r["c_custkey"], r["dist"], r["s_suppkey"])):
+            got.setdefault(r["c_custkey"], []).append(r["s_suppkey"])
+        assert got == self._brute_knn(spark, 2)
+
+    def test_right_smaller_than_k_returns_all(self, spark):
+        from xcube_geodb_spark.functions.spatial_join import spatial_knn_join
+
+        cp = _cust_points(spark).limit(5)
+        sp = _points(spark).drop("px", "py").filter(F.col("s_suppkey") <= 2)
+        n_right = sp.count()
+        out = spatial_knn_join(cp, sp, k=10, left_id="c_custkey")
+        counts = (
+            out.groupBy("c_custkey").count().select("count").distinct().collect()
+        )
+        assert [r["count"] for r in counts] == [n_right]
+
+    def test_bad_k(self, spark):
+        from xcube_geodb_spark.functions.spatial_join import spatial_knn_join
+
+        with pytest.raises(ValueError):
+            spatial_knn_join(_cust_points(spark), _points(spark), k=0)

@@ -160,21 +160,21 @@ def _classify_boxes(vals):
     return kind, boxes
 
 
-def _pair_distance_udf(threshold: float):
-    """Arrow-batched exact refinement: min-distance per WKB pair ≤
-    threshold. Point/rectangle operands (detected per batch) use the
-    closed-form box distance fully vectorized in numpy; only irregular
-    geometries fall back to the per-pair kernel sweep."""
+def _pair_distance_udf():
+    """Arrow-batched exact min-distance per WKB pair. Point/rectangle
+    operands (detected per batch) use the closed-form box distance fully
+    vectorized in numpy; only irregular geometries fall back to the
+    per-pair kernel sweep."""
     import numpy as np
 
     from xcube_geodb_spark.geometry.geom import distance, parse_wkb
 
-    @F.pandas_udf(T.BooleanType())
-    def _ok(lwkb: pd.Series, rwkb: pd.Series) -> pd.Series:
+    @F.pandas_udf(T.DoubleType())
+    def _dist(lwkb: pd.Series, rwkb: pd.Series) -> pd.Series:
         lv = lwkb.to_numpy(dtype=object)
         rv = rwkb.to_numpy(dtype=object)
         n = len(lv)
-        out = np.zeros(n, dtype=bool)
+        out = np.full(n, np.nan)
         lk, lb = _classify_boxes(lv)
         rk, rb = _classify_boxes(rv)
         boxy = (lk < 2) & (rk < 2)
@@ -183,22 +183,22 @@ def _pair_distance_udf(threshold: float):
             # box-to-box min distance: per-axis gap, 0 when intervals
             # overlap. For two points this reduces to sqrt(dx^2+dy^2) in
             # the same operation order as the SQL form, so an oracle
-            # comparison can't flip at the threshold.
+            # comparison can't flip at a threshold.
             gx = np.maximum(
                 np.maximum(lb[idx, 0] - rb[idx, 2], rb[idx, 0] - lb[idx, 2]), 0.0
             )
             gy = np.maximum(
                 np.maximum(lb[idx, 1] - rb[idx, 3], rb[idx, 1] - lb[idx, 3]), 0.0
             )
-            out[idx] = np.sqrt(gx * gx + gy * gy) <= threshold
+            out[idx] = np.sqrt(gx * gx + gy * gy)
         for i in np.nonzero(~boxy)[0]:
             a, b = lv[i], rv[i]
             if a is None or b is None:
                 continue
-            out[i] = distance(parse_wkb(bytes(a)), parse_wkb(bytes(b))) <= threshold
+            out[i] = distance(parse_wkb(bytes(a)), parse_wkb(bytes(b)))
         return pd.Series(out)
 
-    return _ok
+    return _dist
 
 
 def spatial_join(
@@ -210,6 +210,7 @@ def spatial_join(
     left_geom: str = "geometry",
     right_geom: str = "geometry",
     rsuffix: str = "_r",
+    include_distance: str | None = None,
 ) -> DataFrame:
     """Inner spatial join of two geometry DataFrames.
 
@@ -221,6 +222,8 @@ def spatial_join(
 
     Output columns: every left column, then every right column with
     clashing names suffixed by ``rsuffix``. Helper columns are dropped.
+    ``include_distance`` names an extra output column carrying the exact
+    pair distance (the refinement computes it anyway).
     """
     if predicate not in ("intersects", "dwithin"):
         raise ValueError(f"unsupported spatial-join predicate: {predicate!r}")
@@ -231,7 +234,10 @@ def spatial_join(
     lf = _ensure_env(left, left_geom)
     rf = _ensure_env(right, right_geom)
     if cell_size is None:
-        cell_size = derive_cell_size(lf, rf)
+        # the dwithin pad widens every left envelope by 2d: folding d into
+        # the cell size bounds replication at <= 3 cells per axis however
+        # large the search radius gets
+        cell_size = max(derive_cell_size(lf, rf), d)
     cell = float(cell_size)
     if cell <= 0.0 or not math.isfinite(cell):
         raise ValueError(f"cell_size must be finite and > 0, got {cell_size!r}")
@@ -278,10 +284,130 @@ def spatial_join(
         "inner",
     )
 
-    exact = _pair_distance_udf(d)
-    cand = cand.filter(exact(F.col(f"l.{left_geom}"), F.col(f"r.{r_geom}")))
+    dist_fn = _pair_distance_udf()
+    cand = cand.withColumn(
+        "__pairdist", dist_fn(F.col(f"l.{left_geom}"), F.col(f"r.{r_geom}"))
+    ).filter(F.col("__pairdist") <= F.lit(d))
 
     keep = [F.col(f"l.{c}").alias(c) for c in left.columns] + [
         F.col(f"r.{renamed[c]}").alias(renamed[c]) for c in right.columns
     ]
+    if include_distance:
+        keep.append(F.col("__pairdist").alias(include_distance))
     return cand.select(keep)
+
+
+def spatial_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 1,
+    left_id: str = "id",
+    initial_radius: float | None = None,
+    growth: float = 4.0,
+    max_rounds: int = 6,
+    cell_size: float | None = None,
+    left_geom: str = "geometry",
+    right_geom: str = "geometry",
+    rsuffix: str = "_r",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """The ``k`` nearest right features for EVERY left feature — the
+    PostGIS lateral ``ORDER BY geom <-> q LIMIT k`` idiom, distributed.
+
+    Expanding-radius plan: a dwithin grid join at radius ``r`` is EXACT
+    for any left row with ≥ k candidates inside ``r`` (its k nearest all
+    lie within ``r`` by definition), so each round resolves the rows the
+    current radius covers and only the remainder re-joins at ``growth×r``.
+    The first radius is estimated from the right side's density so the
+    expected candidate count per left row is ~2k; resolution is typically
+    1-2 rounds, and each later round runs on a geometrically smaller
+    left side. After ``max_rounds`` the stragglers (isolated features)
+    take whatever neighbors their final radius found. Ties rank
+    deterministically by (distance, right id).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    lf = _ensure_env(left, left_geom)
+    rf0 = _ensure_env(right, right_geom)
+
+    env = list(_ENV)
+    both = lf.select(env).unionByName(rf0.select(env))
+    st, st_r = (
+        both.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__xmin").alias("x0"),
+            F.max("__xmax").alias("x1"),
+            F.min("__ymin").alias("y0"),
+            F.max("__ymax").alias("y1"),
+        ).collect()[0],
+        rf0.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("__xmax") - F.min("__xmin")).alias("sx"),
+            (F.max("__ymax") - F.min("__ymin")).alias("sy"),
+        ).collect()[0],
+    )
+    n_r = st_r["n"] or 0
+    if n_r == 0:
+        raise ValueError("right side is empty")
+    # the diagonal of the JOINT extent reaches every right feature from
+    # every left feature: at r_max a round is exhaustive by construction
+    r_max = (
+        math.hypot(
+            (st["x1"] - st["x0"]) or 0.0, (st["y1"] - st["y0"]) or 0.0
+        )
+        + 1.0
+    )
+    if initial_radius is None:
+        area = max((st_r["sx"] or 0.0) * (st_r["sy"] or 0.0), 1e-12)
+        initial_radius = math.sqrt(2.0 * k * area / (math.pi * n_r))
+
+    parts = []
+    pending = lf
+    r = min(float(initial_radius), r_max)
+    right_cols = None
+    for rnd in range(max_rounds):
+        final = rnd == max_rounds - 1 or r >= r_max
+        j = spatial_join(
+            pending,
+            rf0,
+            "dwithin",
+            distance=r,
+            cell_size=cell_size,
+            left_geom=left_geom,
+            right_geom=right_geom,
+            rsuffix=rsuffix,
+            include_distance="__knnd",
+        )
+        if right_cols is None:
+            right_cols = [c for c in j.columns if c not in set(pending.columns) | {"__knnd"}]
+        # deterministic rank; right id columns break exact-distance ties
+        order = [F.col("__knnd").asc()] + [F.col(c).asc() for c in right_cols]
+        w = Window.partitionBy(left_id).orderBy(*order)
+        ranked = j.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__ncand", F.count(F.lit(1)).over(Window.partitionBy(left_id))
+        )
+        cond = F.col("__rn") <= k
+        if not final:
+            cond = cond & (F.col("__ncand") >= k)
+        parts.append(
+            ranked.filter(cond).drop("__rn", "__ncand")
+            .withColumnRenamed("__knnd", dist_col)
+        )
+        if final:
+            break
+        done_ids = (
+            ranked.filter(F.col("__ncand") >= k)
+            .select(left_id)
+            .distinct()
+        )
+        pending = pending.join(done_ids, left_id, "left_anti")
+        if pending.isEmpty():
+            break
+        r = min(r * growth, r_max)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

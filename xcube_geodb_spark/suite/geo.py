@@ -611,7 +611,41 @@ _SUPP_PTS = """
     FROM supplier
 """
 
+def geo_knn_join(spark, sf_dir):
+    """Distributed spatial k-NN join (functions/spatial_join): the 3
+    nearest supplier points for every customer point via expanding-radius
+    dwithin rounds — the PostGIS lateral ``ORDER BY geom <-> q LIMIT k``
+    idiom. The oracle brute-forces the same closed-form distances with a
+    window rank."""
+    from xcube_geodb_spark.functions.spatial_join import spatial_knn_join
+
+    cpts = _points(spark, sf_dir).select(
+        "c_custkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+    )
+    spts = _supplier_points(spark, sf_dir).select(
+        "s_suppkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+    )
+    out = spatial_knn_join(cpts, spts, k=3, left_id="c_custkey")
+    return out.select(
+        "c_custkey", "s_suppkey", F.round("dist", 6).alias("dist")
+    )
+
+
 GEO_ORACLES_JOINS = {
+    "geo_knn_join": f"""
+        SELECT c_custkey, s_suppkey, round(dist, 6) AS dist FROM (
+            SELECT c.c_custkey, pt.s_suppkey,
+                   sqrt((c.x - pt.px) * (c.x - pt.px)
+                        + (c.y - pt.py) * (c.y - pt.py)) AS dist,
+                   row_number() OVER (
+                       PARTITION BY c.c_custkey
+                       ORDER BY sqrt((c.x - pt.px) * (c.x - pt.px)
+                                     + (c.y - pt.py) * (c.y - pt.py)) ASC,
+                                pt.s_suppkey ASC
+                   ) AS rn
+            FROM ({_PTS}) c, ({_SUPP_PTS}) pt
+        ) WHERE rn <= 3
+    """,
     "geo_spatial_join_points": f"""
         SELECT c_custkey, s_suppkey
         FROM ({_SQS}) sq JOIN ({_SUPP_PTS}) pt
@@ -647,6 +681,7 @@ GEO_QUERIES = {
     "geo_geometry_types": geo_geometry_types,
     "geo_spatial_join_points": geo_spatial_join_points,
     "geo_spatial_join_dwithin": geo_spatial_join_dwithin,
+    "geo_knn_join": geo_knn_join,
     "geo_tile_counts": geo_tile_counts,
     "geo_tile_pyramid": geo_tile_pyramid,
 }
