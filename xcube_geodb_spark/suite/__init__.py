@@ -8,13 +8,16 @@ match exactly; float aggregates are rounded identically on both sides.
 
 Ordering matters: the driver records correctness rows for the FIRST 50
 entries only. :data:`DRIVER_WINDOW` is the curated first-50 list — one
-representative of every operator family (grammar scans, pg path, joins,
-windows, aggregates, events/streaming, all geo modes, every dedup /
-similarity / text / sampling / multimodal op, and all five DML
-roundtrips). Family variants demoted past the window keep their combined
-representative inside it (``scan_filter_grammar``, ``geo_bbox_modes``,
-``text_profile`` union the demoted variants' exact results), so no grammar
-shape loses driver verification.
+representative of every operator family (grammar scans, pg path, joins
+incl. the spatial and k-NN joins, windows, aggregates, events/streaming,
+all geo modes, every dedup / similarity / text / sampling / multimodal
+op, and all five DML roundtrips). Family variants demoted past the
+window keep a representative inside it (``scan_filter_grammar``,
+``geo_bbox_modes``, ``text_profile`` union whole families;
+``rollup_lineitem`` covers the set-op family, ``scalar_string_funcs``
+the scalar passthroughs), so no operator family loses driver
+verification; everything demoted stays locally verified via
+``tools/check_correctness.py``.
 """
 
 from xcube_geodb_spark.suite.core import CORE_QUERIES, CORE_ORACLES
@@ -43,9 +46,7 @@ DRIVER_WINDOW = [
     "skew_salted_join_revenue",
     "window_top_order_per_customer",
     "rollup_lineitem",
-    "distinct_mktsegment",
     "scalar_string_funcs",
-    "scalar_date_funcs",
     "agg_median_by_priority",
     # events / temporal / streaming
     "events_tumbling_hour",
@@ -62,6 +63,7 @@ DRIVER_WINDOW = [
     "geo_geometry_types",
     "geo_distance_knn",
     "geo_spatial_join_points",
+    "geo_knn_join",
     # dedup
     "dedup_exact",
     "dedup_minhash_pairs",
@@ -72,6 +74,7 @@ DRIVER_WINDOW = [
     "sim_cosine_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",
+    "sim_knn_join",
     "ann_index_topk",
     # text / multimodal / sampling
     "text_profile",
