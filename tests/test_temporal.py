@@ -93,3 +93,95 @@ class TestRangeJoin:
         )
         got = {(r["trade_id"], r["wname"]) for r in out.collect()}
         assert got == {(1, "w1"), (4, "w2")}
+
+
+class TestFunnel:
+    def _ev(self, spark, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        )
+        return df.withColumn("ts", F.to_timestamp("ts"))
+
+    def test_basic_levels(self, spark):
+        from xcube_geodb_spark.functions.temporal import funnel_levels
+
+        rows = [
+            # u1: full chain within window
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 01:00:00", 1, "click"),
+            (3, "2024-01-01 02:00:00", 1, "purchase"),
+            # u2: purchase BEFORE click -> only level 2
+            (4, "2024-01-01 00:00:00", 2, "view"),
+            (5, "2024-01-01 02:00:00", 2, "purchase"),
+            (6, "2024-01-01 03:00:00", 2, "click"),
+            # u3: only view
+            (7, "2024-01-01 00:00:00", 3, "view"),
+            # u4: click/purchase but never view -> excluded
+            (8, "2024-01-01 00:00:00", 4, "click"),
+            (9, "2024-01-01 01:00:00", 4, "purchase"),
+        ]
+        out = {
+            r["user_id"]: r["funnel_level"]
+            for r in funnel_levels(
+                self._ev(spark, rows), ["view", "click", "purchase"], 86400.0
+            ).collect()
+        }
+        assert out == {1: 3, 2: 2, 3: 1}
+
+    def test_window_bound_excludes_slow_chains(self, spark):
+        from xcube_geodb_spark.functions.temporal import funnel_levels
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 01:00:00", 1, "click"),
+            (3, "2024-01-03 00:00:00", 1, "purchase"),  # > 24h after view
+        ]
+        out = funnel_levels(
+            self._ev(spark, rows), ["view", "click", "purchase"], 86400.0
+        ).collect()
+        assert out[0]["funnel_level"] == 2
+
+    def test_latest_chain_start_wins(self, spark):
+        # the restart case: the chain from the FIRST view misses the
+        # window, the chain from the second view completes — a fold that
+        # kept the earliest start would understate the level
+        from xcube_geodb_spark.functions.temporal import funnel_levels
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 09:00:00", 1, "click"),
+            (3, "2024-01-01 05:00:00", 1, "view"),
+            (4, "2024-01-01 14:00:00", 1, "purchase"),  # 14h > 10h from v1,
+        ]                                               # 9h <= 10h from v2
+        out = funnel_levels(
+            self._ev(spark, rows), ["view", "click", "purchase"],
+            within=10 * 3600.0,
+        ).collect()
+        assert out[0]["funnel_level"] == 3
+
+    def test_funnel_counts_cumulative(self, spark):
+        from xcube_geodb_spark.functions.temporal import funnel_counts
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 01:00:00", 1, "click"),
+            (3, "2024-01-01 02:00:00", 1, "purchase"),
+            (4, "2024-01-01 00:00:00", 2, "view"),
+            (5, "2024-01-01 01:00:00", 2, "click"),
+            (6, "2024-01-01 00:00:00", 3, "view"),
+        ]
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel_counts(
+                self._ev(spark, rows), ["view", "click", "purchase"], 86400.0
+            ).collect()
+        }
+        assert got == {1: 3, 2: 2, 3: 1}
+
+    def test_needs_two_steps(self, spark):
+        import pytest as _pytest
+
+        from xcube_geodb_spark.functions.temporal import funnel_levels
+
+        with _pytest.raises(ValueError):
+            funnel_levels(self._ev(spark, []), ["view"])

@@ -85,3 +85,104 @@ def range_join_events(
     for x in cond[1:]:
         c = c & x
     return left.join(right, c, "inner")
+
+
+def funnel_levels(
+    events: DataFrame,
+    steps: list[str],
+    within: float = 86400.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Windowed funnel (the ClickHouse ``windowFunnel`` / product-analytics
+    idiom): per user, the deepest step ``L`` such that an ordered chain of
+    events matching ``steps[0..L-1]`` exists with strictly increasing
+    timestamps and ``t_L - t_1 <= within`` seconds. Returns
+    (user_col, funnel_level) for users reaching at least step 1.
+
+    Plan: filter to the step types (column/row pruning at the scan), ONE
+    hash shuffle on the user key, then a per-user sorted-array fold in
+    JVM higher-order functions — no UDF, no self-joins. The fold keeps,
+    for each prefix depth, the LATEST chain-start time that reaches it
+    (feasibility-optimal: a later start leaves more window for the
+    remaining steps), so one linear pass decides the exists-a-chain
+    semantics the relational triple-join oracle defines. Assumes one
+    user's step events fit an array — the same bounded-entity-history
+    assumption sessionization makes; hot users beyond that belong in the
+    streaming stateful path.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    k = len(steps)
+    evs = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col),
+        # NTZ first to TIMESTAMP (identity under the UTC session TZ),
+        # then to fractional epoch seconds - microseconds preserved
+        F.col(ts_col).cast("timestamp").cast("double").alias("__t"),
+        F.col(type_col).alias("__tp"),
+    )
+    collected = evs.groupBy(user_col).agg(
+        F.array_sort(F.collect_list(F.struct("__t", "__tp"))).alias("__evs")
+    )
+
+    neg_inf = float("-inf")
+    zero = F.struct(
+        *[F.lit(neg_inf).alias(f"s{j}") for j in range(1, k)],
+        F.lit(0).alias("lvl"),
+    )
+
+    def _step(acc, ev):
+        # s{j}: latest chain start reaching step j (1-based, j < k)
+        t, tp = ev["__t"], ev["__tp"]
+        fields = []
+        for j in range(1, k):
+            sj = acc[f"s{j}"]
+            if j == 1:
+                new = F.when(tp == steps[0], F.greatest(sj, t)).otherwise(sj)
+            else:
+                prev = acc[f"s{j - 1}"]
+                ok = (tp == steps[j - 1]) & (t - prev <= F.lit(within)) & (
+                    prev > F.lit(neg_inf)
+                )
+                new = F.when(ok, F.greatest(sj, prev)).otherwise(sj)
+            fields.append(new.alias(f"s{j}"))
+        reach = acc["lvl"]
+        reach = F.when(tp == steps[0], F.greatest(reach, F.lit(1))).otherwise(reach)
+        for j in range(2, k + 1):
+            prev = acc[f"s{j - 1}"]
+            ok = (tp == steps[j - 1]) & (t - prev <= F.lit(within)) & (
+                prev > F.lit(neg_inf)
+            )
+            reach = F.when(ok, F.greatest(reach, F.lit(j))).otherwise(reach)
+        fields.append(reach.alias("lvl"))
+        return F.struct(*fields)
+
+    out = collected.select(
+        F.col(user_col),
+        F.aggregate("__evs", zero, _step)["lvl"].alias("funnel_level"),
+    )
+    return out.filter(F.col("funnel_level") >= 1)
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    within: float = 86400.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The funnel chart: for each step depth, how many users reached it
+    (cumulative — a user at level 3 counts toward steps 1, 2 and 3)."""
+    lv = funnel_levels(events, steps, within, user_col, ts_col, type_col)
+    k = len(steps)
+    return (
+        lv.select(
+            F.explode(
+                F.sequence(F.lit(1), F.col("funnel_level"))
+            ).alias("step")
+        )
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

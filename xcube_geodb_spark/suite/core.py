@@ -690,6 +690,20 @@ def events_asof_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "prev_event")
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (functions/temporal.funnel_levels): deepest
+    view->click->purchase chain per user within 24h, one shuffle + JVM
+    array fold. The oracle states the same exists-a-chain semantics
+    relationally (self-joins with the window bound) — the fold's
+    latest-feasible-chain-start invariant makes them provably equal."""
+    from xcube_geodb_spark.functions.temporal import funnel_levels
+
+    events = load(spark, sf_dir, "events")
+    return funnel_levels(
+        events, ["view", "click", "purchase"], within=86400.0
+    )
+
+
 def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1h length, 30min slide) in batch form: each event
     lands in two windows; window ids are epoch seconds so both engines
@@ -805,6 +819,30 @@ CORE_ORACLES_EVENTS = {
                count(*) AS n
         FROM events GROUP BY 1
     """,
+    # exists-a-chain funnel semantics stated relationally: level j iff an
+    # ordered event chain for the first j steps fits the 24h window
+    "events_funnel": """
+        WITH lv AS (
+            SELECT DISTINCT user_id, 1 AS l FROM events
+            WHERE event_type = 'view'
+            UNION ALL
+            SELECT DISTINCT a.user_id, 2
+            FROM events a JOIN events b ON b.user_id = a.user_id
+            WHERE a.event_type = 'view' AND b.event_type = 'click'
+              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
+            UNION ALL
+            SELECT DISTINCT a.user_id, 3
+            FROM events a
+            JOIN events b ON b.user_id = a.user_id
+            JOIN events c ON c.user_id = a.user_id
+            WHERE a.event_type = 'view' AND b.event_type = 'click'
+              AND c.event_type = 'purchase'
+              AND b.ts > a.ts AND c.ts > b.ts
+              AND c.ts <= a.ts + INTERVAL 24 HOUR
+        )
+        SELECT user_id, CAST(max(l) AS INT) AS funnel_level
+        FROM lv GROUP BY user_id
+    """,
     "stream_ingest_collection": """
         SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
                value, props
@@ -847,6 +885,7 @@ CORE_QUERIES = {
     "events_sessionization": events_sessionization,
     "events_sliding_30m": events_sliding_30m,
     "events_asof_prev": events_asof_prev,
+    "events_funnel": events_funnel,
     "events_json_extract": events_json_extract,
     "stream_ingest_collection": stream_ingest_collection,
 }
