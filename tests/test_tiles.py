@@ -124,3 +124,53 @@ class TestTilePyramid:
     def test_bad_zoom_order(self, spark):
         with pytest.raises(ValueError):
             tile_pyramid(_pts(spark), 3, 5, lon_col="x", lat_col="y")
+
+
+class TestGeohash:
+    def test_canonical_values(self, spark):
+        from xcube_geodb_spark.functions.tiles import geohash_column
+
+        rows = [
+            (10.40744, 57.64911, "u4pruydqqvj"),  # the classic example
+            (-5.6, 42.6, "ezs42"),
+            (0.0, 0.0, "s0000"),
+            (-180.0, -90.0, "00000"),
+        ]
+        df = spark.createDataFrame(rows, "lon double, lat double, expect string")
+        for r in df.select(
+            "expect", geohash_column(F.col("lon"), F.col("lat"), 11).alias("gh")
+        ).collect():
+            assert r["gh"].startswith(r["expect"]), (r["expect"], r["gh"])
+
+    def test_precision_prefix_nesting(self, spark):
+        # a coarser geohash is exactly the prefix of a finer one
+        from xcube_geodb_spark.functions.tiles import geohash_column
+
+        df = spark.createDataFrame(
+            [(i * 1.7 - 80.0, i * 0.9 - 40.0) for i in range(50)],
+            "lon double, lat double",
+        )
+        out = df.select(
+            geohash_column(F.col("lon"), F.col("lat"), 4).alias("g4"),
+            geohash_column(F.col("lon"), F.col("lat"), 9).alias("g9"),
+        ).collect()
+        assert all(r["g9"].startswith(r["g4"]) for r in out)
+
+    def test_envelope_fallback_and_plan(self, spark):
+        from xcube_geodb_spark.functions.tiles import with_geohash
+
+        out = with_geohash(_pts(spark).drop("geometry"), precision=6)
+        assert "geohash" in out.columns
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_bad_precision(self, spark):
+        import pytest as _pytest
+
+        from xcube_geodb_spark.functions.tiles import with_geohash
+
+        with _pytest.raises(ValueError):
+            with_geohash(_pts(spark), precision=0)
+        with _pytest.raises(ValueError):
+            with_geohash(_pts(spark), precision=13)

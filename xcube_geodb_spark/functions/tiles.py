@@ -128,3 +128,72 @@ def tile_pyramid(
             ).agg(F.sum("n").alias("n"))
         )
     return reduce(DataFrame.unionByName, levels)
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_column(lon: Column, lat: Column, precision: int = 9) -> Column:
+    """``ST_GeoHash`` parity as PURE JVM column math (no UDF): the
+    classic bit-interleaved base32 cell id, here computed by scaling
+    lon/lat to integer cells (one ``floor`` each, like the tile index),
+    then unrolling the bit interleave + base32 lookup into a codegen'd
+    expression tree. Geohash prefixes nest, so ``substr(gh, 1, p)``
+    group-bys give the same coarsen-by-prefix rollups the tile pyramid
+    does — but as strings, interoperable with every geohash consumer.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    total = 5 * precision
+    bits_lon = (total + 1) // 2
+    bits_lat = total // 2
+    ix = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << bits_lon))),
+        F.lit((1 << bits_lon) - 1),
+    ).cast("long")
+    iy = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << bits_lat))),
+        F.lit((1 << bits_lat) - 1),
+    ).cast("long")
+    # interleave from the MSB: even positions (0,2,..) take lon bits
+    inter = F.lit(0).cast("long")
+    for pos in range(total):
+        if pos % 2 == 0:
+            src, src_bits, idx = ix, bits_lon, pos // 2
+        else:
+            src, src_bits, idx = iy, bits_lat, pos // 2
+        bit = F.shiftright(src, src_bits - 1 - idx).bitwiseAND(F.lit(1))
+        inter = inter + F.shiftleft(bit, total - 1 - pos)
+    chars = F.array(*[F.lit(c) for c in _GEOHASH32])
+    out = [
+        F.element_at(
+            chars,
+            (
+                F.shiftright(inter, 5 * (precision - 1 - g)).bitwiseAND(F.lit(31))
+                + F.lit(1)
+            ).cast("int"),
+        )
+        for g in range(precision)
+    ]
+    return F.concat(*out)
+
+
+def with_geohash(
+    df: DataFrame,
+    precision: int = 9,
+    lon_col: str | None = None,
+    lat_col: str | None = None,
+    out_col: str = "geohash",
+) -> DataFrame:
+    """Adds a geohash cell id per feature (envelope midpoint when no
+    explicit lon/lat columns are given, like :func:`with_tile`)."""
+    if lon_col is not None and lat_col is not None:
+        lon, lat = F.col(lon_col), F.col(lat_col)
+    elif all(c in df.columns for c in ("__xmin", "__ymin", "__xmax", "__ymax")):
+        lon = (F.col("__xmin") + F.col("__xmax")) / F.lit(2.0)
+        lat = (F.col("__ymin") + F.col("__ymax")) / F.lit(2.0)
+    else:
+        raise ValueError(
+            "with_geohash needs lon_col/lat_col or persisted envelope columns"
+        )
+    return df.withColumn(out_col, geohash_column(lon, lat, precision))

@@ -557,6 +557,75 @@ def geo_spatial_join_dwithin(spark, sf_dir):
     ).select("c_custkey", "s_suppkey")
 
 
+def geo_zonal_stats(spark, sf_dir):
+    """Zonal statistics: the spatial join composed with aggregation —
+    per customer square (zone), count and value-sum of the supplier
+    points inside it. Proves the join's output feeds Catalyst's
+    partial-aggregate machinery like any relational input."""
+    from xcube_geodb_spark.functions.spatial_join import spatial_join
+
+    sq = _squares(spark, sf_dir).select(
+        "c_custkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+    )
+    pts = _supplier_points(spark, sf_dir).select(
+        "s_suppkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+    )
+    j = spatial_join(sq, pts, "intersects")
+    return j.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("s_suppkey").alias("sum_keys"),
+    )
+
+
+def geo_geohash_points(spark, sf_dir):
+    """st_geohash parity (functions/tiles.geohash_column): base32 cell id
+    per customer point at precision 7, plus the 3-char prefix (geohash
+    prefixes nest, so prefix group-bys are the string-keyed analogue of
+    the tile pyramid). The oracle replays the integer bit-interleave."""
+    from xcube_geodb_spark.functions.tiles import with_geohash
+
+    pts = _points(spark, sf_dir)
+    out = with_geohash(pts, precision=7, lon_col="x", lat_col="y")
+    return out.select(
+        "c_custkey", "geohash", F.substring("geohash", 1, 3).alias("gh3")
+    )
+
+
+def _geohash_oracle_sql(precision: int) -> str:
+    total = 5 * precision
+    bits_lon = (total + 1) // 2
+    bits_lat = total // 2
+    terms = []
+    for pos in range(total):
+        if pos % 2 == 0:
+            src, src_bits, idx = "ix", bits_lon, pos // 2
+        else:
+            src, src_bits, idx = "iy", bits_lat, pos // 2
+        terms.append(
+            f"((({src} >> {src_bits - 1 - idx}) & 1) << {total - 1 - pos})"
+        )
+    inter = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(((inter >> {5 * (precision - 1 - g)}) & 31) + 1 AS INT), 1)"
+        for g in range(precision)
+    )
+    return f"""
+        SELECT c_custkey, ({chars}) AS geohash FROM (
+            SELECT c_custkey, ({inter}) AS inter FROM (
+                SELECT c_custkey,
+                       least(CAST(floor((x + 180.0) / 360.0
+                                 * {float(1 << bits_lon)}) AS BIGINT),
+                             {(1 << bits_lon) - 1}) AS ix,
+                       least(CAST(floor((y + 90.0) / 180.0
+                                 * {float(1 << bits_lat)}) AS BIGINT),
+                             {(1 << bits_lat) - 1}) AS iy
+                FROM ({_PTS})
+            )
+        )
+    """
+
+
 def geo_tile_counts(spark, sf_dir):
     """Web-mercator tile aggregation (functions/tiles): features per z6
     tile, keys from pure JVM column math (no UDF), one map-side-combined
@@ -658,6 +727,14 @@ GEO_ORACLES_JOINS = {
           ON sqrt((c.x - pt.px) * (c.x - pt.px)
                   + (c.y - pt.py) * (c.y - pt.py)) <= 4.105
     """,
+    "geo_zonal_stats": f"""
+        SELECT c_custkey, count(*) AS n_points,
+               CAST(sum(s_suppkey) AS BIGINT) AS sum_keys
+        FROM ({_SQS}) sq JOIN ({_SUPP_PTS}) pt
+          ON pt.px >= sq.x - sq.h AND pt.px <= sq.x + sq.h
+         AND pt.py >= sq.y - sq.h AND pt.py <= sq.y + sq.h
+        GROUP BY c_custkey
+    """,
 }
 
 
@@ -682,11 +759,17 @@ GEO_QUERIES = {
     "geo_spatial_join_points": geo_spatial_join_points,
     "geo_spatial_join_dwithin": geo_spatial_join_dwithin,
     "geo_knn_join": geo_knn_join,
+    "geo_zonal_stats": geo_zonal_stats,
+    "geo_geohash_points": geo_geohash_points,
     "geo_tile_counts": geo_tile_counts,
     "geo_tile_pyramid": geo_tile_pyramid,
 }
 
 GEO_ORACLES.update(GEO_ORACLES_JOINS)
+GEO_ORACLES["geo_geohash_points"] = f"""
+    SELECT c_custkey, geohash, substr(geohash, 1, 3) AS gh3
+    FROM ({_geohash_oracle_sql(7)})
+"""
 GEO_ORACLES["geo_tile_counts"] = _tile_oracle_level(6)
 GEO_ORACLES["geo_tile_pyramid"] = "\nUNION ALL\n".join(
     _tile_oracle_level(z) for z in (6, 5, 4)
