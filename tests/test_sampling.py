@@ -148,3 +148,44 @@ class TestChunking:
             key=lambda r: r.chunk_idx,
         )
         assert " ".join(r.chunk_text for r in rows) == text
+
+
+class TestStratifiedSample:
+    def _docs(self, spark):
+        from xcube_geodb_spark.suite.util import load
+
+        return load(spark, "/root/testdata/sf0.01", "documents").select(
+            "doc_id", "lang"
+        )
+
+    def test_per_stratum_cutoffs(self, spark):
+        from xcube_geodb_spark.functions.sampling import stratified_sample
+
+        docs = self._docs(spark)
+        out = stratified_sample(
+            docs, "doc_id", "lang",
+            {"de": 1.0, "en": 0.25}, default_fraction=0.0, seed="s",
+        )
+        got = {r["lang"]: r["cnt"] for r in
+               out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        totals = {r["lang"]: r["cnt"] for r in
+                  docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        assert got["de"] == totals["de"]          # fraction 1.0 keeps all
+        assert 0 < got.get("en", 0) < totals["en"]
+        assert set(got) == {"de", "en"}           # default 0 drops the rest
+
+    def test_deterministic_and_growth_stable(self, spark):
+        from xcube_geodb_spark.functions.sampling import stratified_sample
+
+        docs = self._docs(spark)
+        kw = dict(fractions={"en": 0.3}, default_fraction=0.2, seed="x")
+        a = {r["doc_id"] for r in
+             stratified_sample(docs, "doc_id", "lang", **kw).collect()}
+        b = {r["doc_id"] for r in
+             stratified_sample(docs, "doc_id", "lang", **kw).collect()}
+        assert a == b
+        # membership of old rows survives data growth
+        half = docs.filter(F.col("doc_id") < 250)
+        c = {r["doc_id"] for r in
+             stratified_sample(half, "doc_id", "lang", **kw).collect()}
+        assert c == {i for i in a if i < 250}

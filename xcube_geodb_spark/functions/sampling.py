@@ -22,6 +22,7 @@ __all__ = [
     "hash_bucket",
     "hash_sample",
     "train_val_test_split",
+    "stratified_sample",
     "pack_by_token_budget",
     "chunk_by_tokens",
 ]
@@ -50,6 +51,30 @@ def hash_sample(
     never changes as the table grows — incremental pipelines resample
     nothing."""
     cut = int(round(fraction * _BUCKETS))
+    return df.filter(hash_bucket(F.col(key_col), seed) < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps its own
+    hash-bucket cutoff (e.g. ``{"en": 0.1, "de": 1.0}`` for
+    language-balanced corpus construction). The cutoff lookup is a
+    codegen'd CASE chain — no join, no shuffle, one scan; membership is
+    per-row auditable and stable under growth like :func:`hash_sample`.
+    Strata absent from ``fractions`` fall back to ``default_fraction``.
+    """
+    cut = F.lit(int(round(default_fraction * _BUCKETS)))
+    for value, frac in sorted(fractions.items()):
+        cut = F.when(
+            F.col(strata_col) == F.lit(value),
+            F.lit(int(round(frac * _BUCKETS))),
+        ).otherwise(cut)
     return df.filter(hash_bucket(F.col(key_col), seed) < cut)
 
 

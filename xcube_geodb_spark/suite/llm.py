@@ -687,6 +687,24 @@ LLM_TEXT_ORACLES = {
     """,
 }
 
+def sample_stratified_lang(spark, sf_dir):
+    """Per-stratum deterministic sampling (functions/sampling): rebalance
+    the corpus by language — keep all German, half the French, a quarter
+    of the English, 10% of everything else. The cutoff is a codegen'd
+    CASE chain (no join); the oracle replays the md5 bucket arithmetic."""
+    from xcube_geodb_spark.functions.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.25, "de": 1.0, "fr": 0.5},
+        default_fraction=0.1,
+        seed="strat",
+    )
+
+
 def sample_split_documents(spark, sf_dir):
     """Deterministic train/val/test split (functions/sampling.py): per-row
     membership is a pure function of md5(seed || doc_id) — auditable and
@@ -864,6 +882,7 @@ LLM_QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
     "sample_split_documents": sample_split_documents,
+    "sample_stratified_lang": sample_stratified_lang,
     "pack_documents_budget": pack_documents_budget,
     "chunk_documents": chunk_documents,
 }
@@ -883,6 +902,17 @@ LLM_SAMPLING_ORACLES = {
             FROM (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM documents)
         )
+    """,
+    "sample_stratified_lang": """
+        SELECT doc_id, lang
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 10000 AS b
+            FROM documents
+        )
+        WHERE b < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 10000
+                            WHEN 'fr' THEN 5000 ELSE 1000 END
     """,
     "sample_split_documents": """
         SELECT doc_id,
