@@ -185,3 +185,42 @@ class TestFunnel:
 
         with _pytest.raises(ValueError):
             funnel_levels(self._ev(spark, []), ["view"])
+
+
+class TestCohortRetention:
+    def test_handcrafted_matrix(self, spark):
+        from xcube_geodb_spark.functions.temporal import cohort_retention
+
+        rows = [
+            # u1 first in week 0, active weeks 0 and 2
+            (1, "2024-01-01 10:00:00", 1, "view"),
+            (2, "2024-01-16 10:00:00", 1, "view"),
+            # u2 first in week 0, active week 0 only (two events, one week)
+            (3, "2024-01-02 10:00:00", 2, "view"),
+            (4, "2024-01-03 10:00:00", 2, "click"),
+            # u3 first in week 2
+            (5, "2024-01-16 10:00:00", 3, "view"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = {
+            (r["cohort_period"], r["period_offset"]): r["n_users"]
+            for r in cohort_retention(df, period_days=7).collect()
+        }
+        cohorts = sorted({c for c, _ in out})
+        c0, c2 = cohorts[0], cohorts[1]
+        assert c2 - c0 == 2
+        assert out == {(c0, 0): 2, (c0, 2): 1, (c2, 0): 1}
+
+    def test_offsets_nonnegative_and_cohort_complete(self, spark):
+        from xcube_geodb_spark.functions.temporal import cohort_retention
+        from xcube_geodb_spark.suite.util import load
+
+        ev = load(spark, "/root/testdata/sf0.001", "events")
+        rows = cohort_retention(ev, period_days=7).collect()
+        assert all(r["period_offset"] >= 0 for r in rows)
+        # offset-0 cell of each cohort counts every member
+        total_users = ev.select("user_id").distinct().count()
+        base = sum(r["n_users"] for r in rows if r["period_offset"] == 0)
+        assert base == total_users

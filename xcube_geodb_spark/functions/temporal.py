@@ -186,3 +186,37 @@ def funnel_counts(
         .groupBy("step")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention (the product-analytics retention matrix): users
+    cohorted by the period of their FIRST event; cell (cohort, offset) =
+    distinct users of that cohort active ``offset`` periods later.
+
+    Pure column algebra over epoch-day buckets (timezone-free integer
+    division — no calendar functions whose week conventions differ
+    between engines). Shuffle plan: one distinct on (user, period), one
+    min-aggregate on user, a user-keyed join (both sides hash-partitioned
+    by user — AQE co-locates), and the final tiny (cohort, offset)
+    aggregate. Nothing events-sized is ever collected or broadcast.
+    """
+    day = F.datediff(
+        F.col(ts_col).cast("timestamp").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    bucket = F.floor(day / F.lit(period_days)).cast("long")
+    ev = events.select(F.col(user_col).alias("__u"), bucket.alias("__p"))
+    active = ev.distinct()
+    first = active.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    return (
+        active.join(first, "__u")
+        .groupBy(
+            F.col("__cohort").alias("cohort_period"),
+            (F.col("__p") - F.col("__cohort")).alias("period_offset"),
+        )
+        .agg(F.countDistinct("__u").alias("n_users"))
+    )

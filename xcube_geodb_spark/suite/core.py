@@ -704,6 +704,17 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (functions/temporal.cohort_retention),
+    daily periods: users cohorted by first-event day, cells count distinct
+    active users per (cohort, offset). Epoch-day integer buckets keep both
+    engines calendar-convention-free."""
+    from xcube_geodb_spark.functions.temporal import cohort_retention
+
+    events = load(spark, sf_dir, "events")
+    return cohort_retention(events, period_days=1)
+
+
 def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1h length, 30min slide) in batch form: each event
     lands in two windows; window ids are epoch seconds so both engines
@@ -819,6 +830,20 @@ CORE_ORACLES_EVENTS = {
                count(*) AS n
         FROM events GROUP BY 1
     """,
+    "events_cohort_retention": """
+        WITH active AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(date_diff('day', DATE '1970-01-01',
+                                        CAST(ts AS DATE)) / 1) AS BIGINT)
+                       AS p
+            FROM events
+        ),
+        first AS (SELECT user_id, min(p) AS cohort FROM active GROUP BY 1)
+        SELECT cohort AS cohort_period, p - cohort AS period_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN first f ON f.user_id = a.user_id
+        GROUP BY 1, 2
+    """,
     # exists-a-chain funnel semantics stated relationally: level j iff an
     # ordered event chain for the first j steps fits the 24h window
     "events_funnel": """
@@ -886,6 +911,7 @@ CORE_QUERIES = {
     "events_sliding_30m": events_sliding_30m,
     "events_asof_prev": events_asof_prev,
     "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
     "events_json_extract": events_json_extract,
     "stream_ingest_collection": stream_ingest_collection,
 }
