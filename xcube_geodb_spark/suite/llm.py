@@ -855,6 +855,90 @@ LLM_CONTAM_ORACLES = {
 }
 
 
+def pipeline_corpus_prep(spark, sf_dir):
+    """The end-to-end training-corpus preparation pipeline, composed from
+    the engine's own operators: near-dup dedup (LSH -> Jaccard verify ->
+    connected components, keep min per cluster) -> benchmark
+    decontamination (8-gram broadcast anti-join) -> quality-score filter
+    -> deterministic train/val/test split. One oracle replays the ENTIRE
+    chain in SQL, so the stages are verified composed, not just alone."""
+    from xcube_geodb_spark.functions.contamination import decontaminate
+    from xcube_geodb_spark.functions.sampling import train_val_test_split
+
+    corpus = _augmented(spark, sf_dir)
+    kept = dedup.dedup_pipeline(corpus, jaccard_threshold=0.5)
+    bench = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 13 == 0
+    ).select("doc_id", "text")
+    clean = decontaminate(kept, bench, n=8)
+    good = text.with_quality_score(clean).filter(F.col("quality") >= 0.45)
+    return train_val_test_split(
+        good.select("doc_id"), "doc_id", 0.05, 0.05, seed="prep"
+    ).select("doc_id", "split")
+
+
+_PREP_QUALITY_SQL = _QUALITY_SQL.replace("FROM documents)", "FROM clean)")
+
+LLM_PIPELINE_ORACLES = {
+    "pipeline_corpus_prep": f"""
+        {_MINHASH_CTES.replace("WITH aug", "WITH RECURSIVE aug", 1)},
+        verified AS (
+            SELECT id_a, id_b FROM (
+                SELECT id_a, id_b,
+                       len(list_intersect(a.sh, b.sh)) * 1.0 /
+                       len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+                FROM pairs
+                JOIN sh a ON a.doc_id = id_a
+                JOIN sh b ON b.doc_id = id_b
+            ) WHERE jaccard >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM verified
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM verified
+        ),
+        reach AS (
+            SELECT src AS id, dst AS r FROM edges
+            UNION
+            SELECT rr.id, e.dst AS r FROM reach rr JOIN edges e ON e.src = rr.r
+        ),
+        losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) < id),
+        kept AS (
+            SELECT doc_id, text FROM aug
+            WHERE doc_id NOT IN (SELECT id FROM losers)
+        ),
+        knorm AS (SELECT doc_id, {_NORM} AS t FROM kept),
+        bnorm AS (
+            SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id % 13 = 0
+        ),
+        cg AS (
+            SELECT doc_id, unnest({_GRAM8}) AS gram
+            FROM (SELECT doc_id, string_split(t, ' ') AS toks, t FROM knorm)
+        ),
+        bg AS (
+            SELECT doc_id AS bench_id, unnest({_GRAM8}) AS gram
+            FROM (SELECT doc_id, string_split(t, ' ') AS toks, t FROM bnorm)
+        ),
+        contaminated AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+        clean AS (
+            SELECT doc_id, text FROM kept
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        qual AS ({_PREP_QUALITY_SQL})
+        SELECT doc_id,
+               CASE WHEN b < 500 THEN 'val'
+                    WHEN b < 1000 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('prep' || CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 10000 AS b
+            FROM qual WHERE quality >= 0.45
+        )
+    """,
+}
+
+
 LLM_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -885,6 +969,7 @@ LLM_QUERIES = {
     "sample_stratified_lang": sample_stratified_lang,
     "pack_documents_budget": pack_documents_budget,
     "chunk_documents": chunk_documents,
+    "pipeline_corpus_prep": pipeline_corpus_prep,
 }
 
 LLM_SAMPLING_ORACLES = {
@@ -947,4 +1032,5 @@ LLM_ORACLES = {
     **LLM_TEXT_ORACLES,
     **LLM_SAMPLING_ORACLES,
     **LLM_CONTAM_ORACLES,
+    **LLM_PIPELINE_ORACLES,
 }
