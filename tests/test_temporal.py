@@ -224,3 +224,60 @@ class TestCohortRetention:
         total_users = ev.select("user_id").distinct().count()
         base = sum(r["n_users"] for r in rows if r["period_offset"] == 0)
         assert base == total_users
+
+
+class TestGapfill:
+    def _ev(self, spark):
+        rows = [
+            (1, "2024-01-01 00:10:00", 1, "click", 2.0),
+            (2, "2024-01-01 00:50:00", 1, "click", 3.0),
+            # hour 1 and 2 empty for click
+            (3, "2024-01-01 03:30:00", 1, "click", 7.0),
+            (4, "2024-01-01 01:00:00", 2, "view", 1.0),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def test_zero_fill_synthesizes_empty_buckets(self, spark):
+        from xcube_geodb_spark.functions.temporal import time_bucket_gapfill
+
+        out = {
+            (r["event_type"], r["bucket_start"]): (r["n_events"], r["agg_value"])
+            for r in time_bucket_gapfill(
+                self._ev(spark), 3600, ["event_type"], fill="zero"
+            ).collect()
+        }
+        base = 1704067200  # 2024-01-01 00:00:00 UTC
+        # grid covers hours 0..3 for BOTH types
+        assert len(out) == 8
+        assert out[("click", base)] == (2, 5.0)
+        assert out[("click", base + 3600)] == (0, 0.0)
+        assert out[("click", base + 2 * 3600)] == (0, 0.0)
+        assert out[("click", base + 3 * 3600)] == (1, 7.0)
+        assert out[("view", base + 3600)] == (1, 1.0)
+        assert out[("view", base)] == (0, 0.0)
+
+    def test_locf_carries_last_value(self, spark):
+        from xcube_geodb_spark.functions.temporal import time_bucket_gapfill
+
+        out = {
+            (r["event_type"], r["bucket_start"]): r["agg_value"]
+            for r in time_bucket_gapfill(
+                self._ev(spark), 3600, ["event_type"], fill="locf"
+            ).collect()
+        }
+        base = 1704067200
+        assert out[("click", base + 3600)] == 5.0      # carried forward
+        assert out[("click", base + 2 * 3600)] == 5.0
+        assert out[("click", base + 3 * 3600)] == 7.0  # new observation
+        assert out[("view", base)] is None             # nothing to carry yet
+
+    def test_bad_fill(self, spark):
+        import pytest as _pytest
+
+        from xcube_geodb_spark.functions.temporal import time_bucket_gapfill
+
+        with _pytest.raises(ValueError):
+            time_bucket_gapfill(self._ev(spark), 3600, ["event_type"], fill="x")

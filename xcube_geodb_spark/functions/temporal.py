@@ -220,3 +220,79 @@ def cohort_retention(
         )
         .agg(F.countDistinct("__u").alias("n_users"))
     )
+
+
+def time_bucket_gapfill(
+    events: DataFrame,
+    bucket_seconds: int,
+    group_cols: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    fill: str = "zero",
+) -> DataFrame:
+    """TimescaleDB's ``time_bucket_gapfill``: per group, a CONTINUOUS
+    bucket series over the data's global time range, with empty buckets
+    synthesized — ``fill="zero"`` (counts 0 / sum NULL->0) or
+    ``fill="locf"`` (last observation carried forward).
+
+    Returns (group_cols..., bucket_start epoch seconds, n_events, agg_value).
+
+    Plan: one aggregation of the real data by (group, bucket); the global
+    bucket range is a 2-value driver fetch; the dense grid is
+    groups x sequence-explode (JVM, proportional to OUTPUT size, not input);
+    a left join pins observations onto the grid and a window carries
+    values forward for locf. Grid size = groups x buckets — the chart/
+    export shape, inherently small relative to the events that fed it.
+    """
+    if fill not in ("zero", "locf"):
+        raise ValueError(f"fill must be 'zero' or 'locf', got {fill!r}")
+    b = (
+        F.floor(
+            F.col(ts_col).cast("timestamp").cast("double") / F.lit(bucket_seconds)
+        ).cast("long")
+        * bucket_seconds
+    )
+    agg = (
+        events.select(*group_cols, b.alias("bucket_start"), F.col(value_col))
+        .groupBy(*group_cols, "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("agg_value"),
+        )
+    )
+    lo, hi = agg.agg(F.min("bucket_start"), F.max("bucket_start")).collect()[0]
+    if lo is None:
+        return agg
+    grid = (
+        events.select(*group_cols)
+        .distinct()
+        .withColumn(
+            "bucket_start",
+            F.explode(
+                F.sequence(
+                    F.lit(int(lo)).cast("long"),
+                    F.lit(int(hi)).cast("long"),
+                    F.lit(int(bucket_seconds)).cast("long"),
+                )
+            ),
+        )
+    )
+    out = grid.join(agg, [*group_cols, "bucket_start"], "left")
+    if fill == "zero":
+        return out.select(
+            *group_cols,
+            "bucket_start",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("agg_value", F.lit(0.0)).alias("agg_value"),
+        )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return out.select(
+        *group_cols,
+        "bucket_start",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("agg_value", ignorenulls=True).over(w).alias("agg_value"),
+    )

@@ -704,6 +704,25 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gapfill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill (functions/temporal): continuous hourly series
+    per event type with empty buckets zero-filled — the TimescaleDB
+    charting idiom. Oracle: generate_series grid + left join."""
+    from xcube_geodb_spark.functions.temporal import time_bucket_gapfill
+
+    events = load(spark, sf_dir, "events")
+    return time_bucket_gapfill(events, 3600, ["event_type"], fill="zero")
+
+
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with last-observation-carried-forward (window
+    last-ignore-nulls on the dense grid)."""
+    from xcube_geodb_spark.functions.temporal import time_bucket_gapfill
+
+    events = load(spark, sf_dir, "events")
+    return time_bucket_gapfill(events, 3600, ["event_type"], fill="locf")
+
+
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (functions/temporal.cohort_retention),
     daily periods: users cohorted by first-event day, cells count distinct
@@ -830,6 +849,49 @@ CORE_ORACLES_EVENTS = {
                count(*) AS n
         FROM events GROUP BY 1
     """,
+    "events_gapfill_zero": """
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                       AS bucket_start,
+                   count(*) AS n_events, round(sum(value), 4) AS agg_value
+            FROM events GROUP BY 1, 2
+        ),
+        rng AS (SELECT min(bucket_start) lo, max(bucket_start) hi FROM agg),
+        grid AS (
+            SELECT t.event_type, gs.g AS bucket_start
+            FROM (SELECT DISTINCT event_type FROM events) t,
+                 (SELECT unnest(generate_series(lo, hi, 3600)) AS g
+                  FROM rng) gs
+        )
+        SELECT g.event_type, g.bucket_start,
+               coalesce(a.n_events, 0) AS n_events,
+               coalesce(a.agg_value, 0.0) AS agg_value
+        FROM grid g LEFT JOIN agg a USING (event_type, bucket_start)
+    """,
+    "events_gapfill_locf": """
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                       AS bucket_start,
+                   count(*) AS n_events, round(sum(value), 4) AS agg_value
+            FROM events GROUP BY 1, 2
+        ),
+        rng AS (SELECT min(bucket_start) lo, max(bucket_start) hi FROM agg),
+        grid AS (
+            SELECT t.event_type, gs.g AS bucket_start
+            FROM (SELECT DISTINCT event_type FROM events) t,
+                 (SELECT unnest(generate_series(lo, hi, 3600)) AS g
+                  FROM rng) gs
+        )
+        SELECT event_type, bucket_start,
+               coalesce(n_events, 0) AS n_events,
+               last_value(agg_value IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS agg_value
+        FROM grid LEFT JOIN agg USING (event_type, bucket_start)
+    """,
     "events_cohort_retention": """
         WITH active AS (
             SELECT DISTINCT user_id,
@@ -912,6 +974,8 @@ CORE_QUERIES = {
     "events_asof_prev": events_asof_prev,
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
+    "events_gapfill_zero": events_gapfill_zero,
+    "events_gapfill_locf": events_gapfill_locf,
     "events_json_extract": events_json_extract,
     "stream_ingest_collection": stream_ingest_collection,
 }
