@@ -405,3 +405,60 @@ class TestCentroidDegenerateRing:
             " ((100 100, 102 102, 102 100, 100 102, 100 100)))"
         )
         assert centroid(m) == (1.0, 1.0)
+
+
+class TestIsValid:
+    def _poly(self, coords):
+        import numpy as np
+
+        from xcube_geodb_spark.geometry.geom import Geometry
+
+        return Geometry("Polygon", [np.array(c, dtype=float) for c in coords])
+
+    def test_validity_matrix(self):
+        import numpy as np
+
+        from xcube_geodb_spark.geometry.geom import Geometry, is_valid
+
+        square = self._poly([[(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]])
+        bowtie = self._poly([[(0, 0), (2, 2), (2, 0), (0, 2), (0, 0)]])
+        unclosed = self._poly([[(0, 0), (2, 0), (2, 2), (0, 2)]])
+        zero_area = self._poly([[(0, 0), (2, 0), (0, 0), (2, 0), (0, 0)]])
+        hole_inside = self._poly(
+            [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)],
+             [(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]]
+        )
+        hole_outside = self._poly(
+            [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)],
+             [(5, 5), (6, 5), (6, 6), (5, 6), (5, 5)]]
+        )
+        assert is_valid(square)
+        assert not is_valid(bowtie)
+        assert not is_valid(unclosed)
+        assert not is_valid(zero_area)
+        assert is_valid(hole_inside)
+        assert not is_valid(hole_outside)
+        # points and lines are always valid (OGC: lines may self-cross)
+        assert is_valid(Geometry("Point", np.array([1.0, 2.0])))
+        zigzag = Geometry(
+            "LineString",
+            np.array([(0, 0), (2, 2), (2, 0), (0, 2)], dtype=float),
+        )
+        assert is_valid(zigzag)
+
+    def test_sql_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT st_isvalid(st_geomfromtext(
+                       'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))')) AS ok,
+                   st_isvalid(st_geomfromtext(
+                       'POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))')) AS bowtie
+            """
+        ).collect()[0]
+        assert row["ok"] is True
+        assert row["bowtie"] is False

@@ -768,3 +768,51 @@ def bbox_polygon(
         dtype=np.float64,
     )
     return Geometry("Polygon", [ring], srid)
+
+
+def _ring_self_intersects(ring: np.ndarray) -> bool:
+    """Proper self-crossing of a closed ring (bowtie detection): any
+    non-adjacent segment pair that strictly crosses. Adjacent segments
+    share an endpoint by construction and are skipped."""
+    n = len(ring) - 1  # closed ring: last point repeats the first
+    if n < 4:
+        return False
+    segs = np.concatenate([ring[:-1], ring[1:]], axis=1)
+    for i in range(n):
+        # skip neighbors (i-1, i, i+1) modulo the ring
+        js = [j for j in range(i + 2, n) if not (i == 0 and j == n - 1)]
+        if js and _segments_cross(segs[i : i + 1], segs[js]):
+            return True
+    return False
+
+
+def is_valid(geom: Geometry) -> bool:
+    """``ST_IsValid`` (the OGC checks that matter for this kernel's
+    operators): rings are closed with >= 4 points, no ring properly
+    self-intersects (bowties), no zero-area rings, and holes lie inside
+    their shell. Points/lines are always valid (OGC: a line may
+    self-intersect)."""
+    for leaf in geom.children():
+        if leaf.kind != "Polygon":
+            continue
+        if not leaf.parts:
+            return False
+        for ring in leaf.parts:
+            if len(ring) < 4:
+                return False
+            if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
+                return False
+            if _ring_shoelace(ring) == 0.0:
+                return False
+            if _ring_self_intersects(ring):
+                return False
+        shell = leaf.parts[0]
+        if leaf.parts[1:]:
+            from xcube_geodb_spark.geometry.predicates import _point_in_ring
+
+            for hole in leaf.parts[1:]:
+                # every hole vertex inside-or-on the shell (0 = outside)
+                for px, py in hole[:-1]:
+                    if _point_in_ring(float(px), float(py), shell) == 0:
+                        return False
+    return True

@@ -124,6 +124,13 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         else None,
         T.DoubleType(),
     )
+    from xcube_geodb_spark.geometry.geom import is_valid
+
+    spark.udf.register(
+        "st_isvalid",
+        lambda b: is_valid(parse_wkb(b)) if b is not None else None,
+        T.BooleanType(),
+    )
     from xcube_geodb_spark.geometry.geom import buffer_point, distance
 
     spark.udf.register(
