@@ -162,3 +162,53 @@ class TestRound4PlanShape:
         df = spark.read.parquet(f"{SF}/documents.parquet")
         plan = executed_plan(with_profile(df))
         assert "Exchange" not in plan  # pure per-row projection
+
+
+class TestRound5PlanShape:
+    def test_spatial_join_pushes_left_filter_through_grid_explode(self, spark):
+        # a selective predicate on the left side must reach the parquet
+        # scan even though the join replicates rows through explode()
+        from xcube_geodb_spark.functions.spatial_join import spatial_join
+        from xcube_geodb_spark.suite.geo import _squares, _supplier_points
+
+        sq = _squares(spark, SF).filter(F.col("c_acctbal") > 0).select(
+            "c_custkey", "c_acctbal", "geometry",
+            "__xmin", "__ymin", "__xmax", "__ymax",
+        )
+        pts = _supplier_points(spark, SF).select(
+            "s_suppkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+        )
+        out = spatial_join(sq, pts, "intersects", cell_size=30.0)
+        assert has_pushed_filter(out, "c_acctbal")
+
+    def test_tile_counts_prunes_to_coordinate_columns(self, spark):
+        from xcube_geodb_spark.functions.tiles import tile_counts
+
+        df = spark.read.parquet(f"{SF}/customer.parquet").select(
+            "c_custkey",
+            ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+        )
+        plan = executed_plan(tile_counts(df, 6, "lon", "lat"))
+        # only the key column feeds the tile math; nothing else is read
+        assert "ReadSchema: struct<c_custkey:bigint>" in plan
+
+    def test_gapfill_aggregates_before_grid_join(self, spark):
+        from xcube_geodb_spark.functions.temporal import time_bucket_gapfill
+        from xcube_geodb_spark.suite.util import load
+
+        ev = load(spark, SF, "events")
+        plan = executed_plan(
+            time_bucket_gapfill(ev, 6 * 3600, ["event_type"], fill="zero")
+        )
+        # the events scan feeds a partial hash aggregate (map-side combine)
+        assert "HashAggregate" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_funnel_filters_step_types_at_scan(self, spark):
+        from xcube_geodb_spark.functions.temporal import funnel_levels
+        from xcube_geodb_spark.suite.util import load
+
+        ev = load(spark, SF, "events")
+        out = funnel_levels(ev, ["view", "click", "purchase"])
+        assert has_pushed_filter(out, "event_type")
