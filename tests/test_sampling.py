@@ -189,3 +189,89 @@ class TestStratifiedSample:
         c = {r["doc_id"] for r in
              stratified_sample(half, "doc_id", "lang", **kw).collect()}
         assert c == {i for i in a if i < 250}
+
+
+class TestCapPerGroup:
+    def test_caps_and_preserves_small_groups(self, spark):
+        from xcube_geodb_spark.functions.sampling import cap_per_group
+
+        rows = [(i, "big" if i < 50 else "small") for i in range(60)]
+        df = spark.createDataFrame(rows, ["id", "grp"])
+        out = cap_per_group(df, "grp", "id", max_rows=10)
+        counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
+            F.count("*").alias("n")).collect()}
+        assert counts == {"big": 10, "small": 10}
+
+    def test_survivors_stable_under_growth(self, spark):
+        from xcube_geodb_spark.functions.sampling import cap_per_group
+
+        small = spark.createDataFrame(
+            [(i, "g") for i in range(100)], ["id", "grp"])
+        grown = spark.createDataFrame(
+            [(i, "g") for i in range(200)], ["id", "grp"])
+        kept_small = {r["id"] for r in cap_per_group(
+            small, "grp", "id", 5, seed="s").collect()}
+        kept_grown = {r["id"] for r in cap_per_group(
+            grown, "grp", "id", 5, seed="s").collect()}
+        # hash order is a fixed preference: new rows can displace old ones
+        # only by hashing earlier, never by arrival order — rerunning on a
+        # superset keeps every survivor that still ranks in the top 5
+        hash_rank = lambda i: __import__("hashlib").md5(
+            f"s{i}".encode()).hexdigest()
+        expect_grown = set(sorted(range(200), key=hash_rank)[:5])
+        assert kept_grown == expect_grown
+        assert kept_small == set(sorted(range(100), key=hash_rank)[:5])
+
+    def test_rejects_zero_cap(self, spark):
+        from xcube_geodb_spark.functions.sampling import cap_per_group
+
+        df = spark.createDataFrame([(1, "g")], ["id", "grp"])
+        with pytest.raises(ValueError):
+            cap_per_group(df, "grp", "id", 0)
+
+
+class TestDeterministicShuffle:
+    def test_is_permutation_and_reproducible(self, spark):
+        from xcube_geodb_spark.functions.sampling import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(500)], ["id"])
+        out = deterministic_shuffle(df, "id", seed="e0")
+        pos = [r["shuffle_pos"] for r in out.collect()]
+        assert sorted(pos) == list(range(500))
+        again = {(r["id"], r["shuffle_pos"]) for r in
+                 deterministic_shuffle(df, "id", seed="e0").collect()}
+        assert again == {(r["id"], r["shuffle_pos"]) for r in out.collect()}
+
+    def test_seed_changes_permutation(self, spark):
+        from xcube_geodb_spark.functions.sampling import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(500)], ["id"])
+        a = {r["id"]: r["shuffle_pos"] for r in
+             deterministic_shuffle(df, "id", seed="a").collect()}
+        b = {r["id"]: r["shuffle_pos"] for r in
+             deterministic_shuffle(df, "id", seed="b").collect()}
+        assert any(a[i] != b[i] for i in a)
+
+    def test_matches_md5_order(self, spark):
+        import hashlib
+
+        from xcube_geodb_spark.functions.sampling import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(64)], ["id"])
+        got = {r["id"]: r["shuffle_pos"] for r in
+               deterministic_shuffle(df, "id", seed="x").collect()}
+        order = sorted(range(64),
+                       key=lambda i: hashlib.md5(f"x{i}".encode()).hexdigest())
+        assert got == {i: p for p, i in enumerate(order)}
+
+    def test_plan_has_no_unpartitioned_window(self, spark):
+        from xcube_geodb_spark.functions.sampling import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(64)], ["id"])
+        plan = deterministic_shuffle(df, "id")._jdf.queryExecution() \
+            .executedPlan().toString()
+        # every Window node must partition by the range-partition id --
+        # an empty partitionBy would serialize the corpus into one task
+        for line in plan.splitlines():
+            if "Window [" in line or "RunningWindowFunction" in line:
+                assert "__pid" in line, line

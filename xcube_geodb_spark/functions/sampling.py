@@ -25,6 +25,8 @@ __all__ = [
     "stratified_sample",
     "pack_by_token_budget",
     "chunk_by_tokens",
+    "cap_per_group",
+    "deterministic_shuffle",
 ]
 
 _BUCKETS = 10_000
@@ -177,4 +179,90 @@ def pack_by_token_budget(
     return df.withColumn(
         "pack_id",
         F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    max_rows: int,
+    seed: str = "",
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group — the per-domain cap of
+    web-corpus curation (a handful of giant domains must not dominate the
+    training mix). Which rows survive is decided by the md5 hash order of
+    ``seed || key``, so the kept subset is a uniform, auditable,
+    engine-replayable draw rather than whatever row order the scan
+    produced, and re-running with more data keeps a stable preference
+    order per group.
+
+    Physically one hash shuffle on ``group_col`` + a per-group
+    row_number; groups far above the cap are exactly the skewed keys the
+    cap exists to shrink, and rank state per task is one counter, so the
+    window does not accumulate memory. Returns the input rows that made
+    the cut (original columns only).
+    """
+    if max_rows < 1:
+        raise ValueError("max_rows must be >= 1")
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    w = Window.partitionBy(F.col(group_col)).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_rows)
+        .drop("__rk")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, seed: str = "", num_partitions: int | None = None
+) -> DataFrame:
+    """Global reproducible shuffle: adds ``shuffle_pos`` (0-based long),
+    the row's position in md5(``seed || key``) order. Training pipelines
+    need corpus order randomized but *replayable* — the position of every
+    document must be derivable years later from the seed alone.
+
+    An unpartitioned ``row_number`` window would serialize the corpus into
+    one task, so positions are assigned in two parallel phases instead:
+    a range-partitioned sort on the hash (uniform by construction, so the
+    ranges are balanced regardless of input skew), then per-partition
+    local ranks plus broadcast prefix-sum offsets — the classic
+    zipWithIndex plan expressed in DataFrame algebra. Only the
+    partition-id row counts touch the driver. A different ``seed`` yields
+    an independent permutation.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.withColumn("__h", h)
+        .repartitionByRange(n_parts, F.col("__h"), F.col(key_col))
+        .sortWithinPartitions(F.col("__h"), F.col(key_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # per-partition row counts -> prefix offsets (one tiny driver row per
+    # partition; positions depend only on the global (hash, key) order, so
+    # they are stable no matter where the sampled range bounds fall)
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+            "__pid int, __off long",
+        )
+    )
+    local = Window.partitionBy("__pid").orderBy(F.col("__h"), F.col(key_col))
+    return (
+        ranged.withColumn("__rk", F.row_number().over(local))
+        .join(off_df, "__pid")
+        .withColumn(
+            "shuffle_pos", (F.col("__off") + F.col("__rk") - F.lit(1)).cast("long")
+        )
+        .drop("__h", "__pid", "__rk", "__off")
     )

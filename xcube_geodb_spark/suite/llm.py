@@ -855,6 +855,108 @@ LLM_CONTAM_ORACLES = {
 }
 
 
+# --- retrieval / corpus curation -------------------------------------------
+
+_BM25_TERMS = ("spark", "hash", "window", "merge")
+
+
+def text_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (functions/retrieval.bm25_topk): top-20 documents
+    for a 4-term query. Per-term tf is a codegen'd higher-order filter
+    (no corpus explode, no (doc, term) shuffle); corpus stats reduce to
+    one driver row; top-k is TakeOrderedAndProject. The oracle replays
+    the identical float expression tree per term."""
+    from xcube_geodb_spark.functions.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, list(_BM25_TERMS), k=20)
+
+
+def corpus_cap_per_source(spark, sf_dir):
+    """Per-domain document cap (functions/sampling.cap_per_group): at most
+    40 docs per source, survivors chosen by md5 hash order — the
+    RefinedWeb-style guard against a few giant domains dominating the
+    training mix. One shuffle on the group key; the oracle replays the
+    row_number over the same hash order."""
+    from xcube_geodb_spark.functions.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", "doc_id", max_rows=40, seed="cap")
+
+
+def corpus_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle (functions/sampling.deterministic_shuffle):
+    every 20th document (to keep the gate result small) with its position
+    in the seeded md5 permutation of the FULL corpus — replayable years
+    later from the seed alone; physically a range-partitioned sort."""
+    from xcube_geodb_spark.functions.sampling import deterministic_shuffle
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", seed="epoch0").filter(
+        F.col("doc_id") % 20 == 0
+    )
+
+
+def _bm25_oracle() -> str:
+    k1, b, n_terms = 1.2, 0.75, len(_BM25_TERMS)
+    tfs = ", ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN len(list_filter(toks, t -> t = '{t}')) > 0"
+        f" THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    # identical float association to functions/retrieval.bm25_score:
+    # idf * ((tf * (k1+1)) / (tf + k1 * ((1-b) + (b * dl) / avgdl)))
+    parts = " + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * ((tf{i} * {k1 + 1.0!r}) / (tf{i} + {k1!r} *"
+        f" ({1.0 - b!r} + ({b!r} * dl) / avgdl)))"
+        for i in range(n_terms)
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks
+                   FROM documents),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl,
+                   {dfs}
+            FROM d
+        )
+        SELECT doc_id, round({parts}, 6) AS bm25
+        FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, {tfs}
+              FROM d) CROSS JOIN stats
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
+    """
+
+
+LLM_RETRIEVAL_ORACLES = {
+    "text_bm25_topk": _bm25_oracle(),
+    "corpus_cap_per_source": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= 40
+    """,
+    "corpus_shuffle": """
+        SELECT doc_id, shuffle_pos FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) - 1 AS BIGINT) AS shuffle_pos
+            FROM documents
+        ) WHERE doc_id % 20 = 0
+    """,
+}
+
+
 def pipeline_corpus_prep(spark, sf_dir):
     """The end-to-end training-corpus preparation pipeline, composed from
     the engine's own operators: near-dup dedup (LSH -> Jaccard verify ->
@@ -970,6 +1072,9 @@ LLM_QUERIES = {
     "pack_documents_budget": pack_documents_budget,
     "chunk_documents": chunk_documents,
     "pipeline_corpus_prep": pipeline_corpus_prep,
+    "text_bm25_topk": text_bm25_topk,
+    "corpus_cap_per_source": corpus_cap_per_source,
+    "corpus_shuffle": corpus_shuffle,
 }
 
 LLM_SAMPLING_ORACLES = {
@@ -1033,4 +1138,5 @@ LLM_ORACLES = {
     **LLM_SAMPLING_ORACLES,
     **LLM_CONTAM_ORACLES,
     **LLM_PIPELINE_ORACLES,
+    **LLM_RETRIEVAL_ORACLES,
 }
