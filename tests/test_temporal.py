@@ -281,3 +281,64 @@ class TestGapfill:
 
         with _pytest.raises(ValueError):
             time_bucket_gapfill(self._ev(spark), 3600, ["event_type"], fill="x")
+
+
+class TestAttributionJoin:
+    def _events(self, spark):
+        rows = [
+            (1, "2024-01-01 10:00:00", 1, "click"),
+            (2, "2024-01-01 10:10:00", 1, "purchase"),   # 10 min after c1
+            (3, "2024-01-01 10:45:00", 1, "purchase"),   # 45 min: outside
+            (4, "2024-01-01 10:05:00", 2, "click"),
+            (5, "2024-01-01 10:20:00", 3, "purchase"),   # other user only
+            (6, "2024-01-01 09:59:00", 1, "purchase"),   # before the click
+            (7, "2024-01-01 10:08:00", 1, "click"),      # also catches e2
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        )
+        return df.withColumn("ts", F.to_timestamp("ts"))
+
+    def test_pairs_within_lag_only(self, spark):
+        from xcube_geodb_spark.functions.temporal import attribution_join
+
+        ev = self._events(spark)
+        out = attribution_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+            max_lag="30 minutes",
+        )
+        got = {(r["click_id"], r["conversion_id"]): r["lag_us"]
+               for r in out.collect()}
+        assert got == {(1, 2): 600_000_000, (7, 2): 120_000_000}
+
+    def test_streaming_matches_batch_twin(self, spark, tmp_path):
+        from xcube_geodb_spark.functions.temporal import attribution_join
+        from xcube_geodb_spark.streaming import stream_attribution_join
+        from xcube_geodb_spark.streaming.windows import streaming_events_source
+
+        ev = self._events(spark).withColumn("value", F.lit(0.0)).withColumn(
+            "props", F.lit("{}"))
+        src = str(tmp_path / "attr_src")
+        ev.write.parquet(src)
+        clicks = streaming_events_source(spark, src).filter(
+            F.col("event_type") == "click")
+        purchases = streaming_events_source(spark, src).filter(
+            F.col("event_type") == "purchase")
+        out = stream_attribution_join(clicks, purchases, max_lag="30 minutes")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("attr_test")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT click_id, conversion_id, lag_us FROM attr_test"
+            ).collect()
+        finally:
+            q.stop()
+        batch = attribution_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+            max_lag="30 minutes",
+        ).select("click_id", "conversion_id", "lag_us").collect()
+        assert {tuple(r) for r in rows} == {tuple(r) for r in batch}

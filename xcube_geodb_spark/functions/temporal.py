@@ -296,3 +296,51 @@ def time_bucket_gapfill(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("agg_value", ignorenulls=True).over(w).alias("agg_value"),
     )
+
+
+def attribution_join(
+    clicks: DataFrame,
+    conversions: DataFrame,
+    key: str = "user_id",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """Interval attribution join: every (click, conversion) pair for the
+    same key where the conversion lands in ``[click_ts, click_ts +
+    max_lag]`` — the ad-attribution / cause-effect pairing. Returns
+    ``(click_id, conversion_id, key, click_ts, conversion_ts, lag_us)``.
+
+    An equi-join on the key carries the interval predicate as a join-level
+    filter, so Spark plans one hash shuffle per side (no O(n*m) interval
+    explosion, no broadcast of either fact table). The identical builder
+    works on streaming inputs: with watermarks on both sides the time-range
+    condition is exactly what Spark's stream-stream join requires to bound
+    state (see streaming/windows.stream_attribution_join).
+    """
+    c = clicks.select(
+        F.col(left_id).alias("click_id"),
+        F.col(key).alias(key),
+        F.col(left_ts).alias("click_ts"),
+    )
+    v = conversions.select(
+        F.col(right_id).alias("conversion_id"),
+        F.col(key).alias(f"__r_{key}"),
+        F.col(right_ts).alias("conversion_ts"),
+    )
+    cond = (
+        (c[key] == v[f"__r_{key}"])
+        & (v["conversion_ts"] >= c["click_ts"])
+        & (v["conversion_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return (
+        c.join(v, cond)
+        .drop(f"__r_{key}")
+        .withColumn(
+            "lag_us",
+            F.unix_micros(F.col("conversion_ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp")),
+        )
+    )

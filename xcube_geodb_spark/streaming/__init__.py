@@ -12,6 +12,7 @@ from xcube_geodb_spark.streaming.windows import (
     sliding_window_counts,
     session_window_agg,
     streaming_events_source,
+    stream_attribution_join,
     streaming_tile_counts,
     tumbling_window_counts,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "session_window_agg",
     "streaming_events_source",
     "streaming_tile_counts",
+    "stream_attribution_join",
     "dedup_events_stream",
     "running_user_totals",
     "collection_batch_writer",

@@ -139,3 +139,33 @@ def streaming_tile_counts(
             "n_events",
         )
     )
+
+
+def stream_attribution_join(
+    clicks: DataFrame,
+    conversions: DataFrame,
+    key: str = "user_id",
+    max_lag: str = "30 minutes",
+    click_watermark: str = "1 hour",
+    conversion_watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream attribution join (functions/temporal.attribution_join
+    on two live streams): every conversion paired with the same-key clicks
+    it trails by at most ``max_lag``.
+
+    Spark's stream-stream inner join requires exactly what the batch
+    builder already provides — watermarks on both inputs plus a time-range
+    join condition — and uses them to bound join state: a buffered click
+    is dropped once the conversion watermark passes ``click_ts +
+    max_lag``, so state is O(events within the lag window), not O(stream).
+    The conversion watermark should exceed the click watermark by at least
+    ``max_lag`` for no-loss semantics."""
+    from xcube_geodb_spark.functions.temporal import attribution_join
+
+    return attribution_join(
+        clicks.withWatermark(ts_col, click_watermark),
+        conversions.withWatermark(ts_col, conversion_watermark),
+        key=key,
+        max_lag=max_lag,
+    )

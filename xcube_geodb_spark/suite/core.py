@@ -704,6 +704,23 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval attribution join (functions/temporal.attribution_join):
+    every purchase paired with the same-user clicks it trails by <= 30
+    minutes. One hash shuffle per side with the interval predicate as a
+    join filter; the identical builder powers the stream-stream join
+    (streaming/windows.stream_attribution_join), so this batch gate is
+    that operator's oracle-checked twin."""
+    from xcube_geodb_spark.functions.temporal import attribution_join
+
+    events = load(spark, sf_dir, "events")
+    return attribution_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        max_lag="30 minutes",
+    ).select("click_id", "conversion_id", "user_id", "lag_us")
+
+
 def events_gapfill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     """time_bucket_gapfill (functions/temporal): continuous hourly series
     per event type with empty buckets zero-filled — the TimescaleDB
@@ -849,6 +866,16 @@ CORE_ORACLES_EVENTS = {
                count(*) AS n
         FROM events GROUP BY 1
     """,
+    "events_attribution": """
+        SELECT c.event_id AS click_id, p.event_id AS conversion_id,
+               c.user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
     "events_gapfill_zero": """
         WITH agg AS (
             SELECT event_type,
@@ -973,6 +1000,7 @@ CORE_QUERIES = {
     "events_sliding_30m": events_sliding_30m,
     "events_asof_prev": events_asof_prev,
     "events_funnel": events_funnel,
+    "events_attribution": events_attribution,
     "events_cohort_retention": events_cohort_retention,
     "events_gapfill_zero": events_gapfill_zero,
     "events_gapfill_locf": events_gapfill_locf,
