@@ -21,7 +21,13 @@ from xcube_geodb_spark.geometry import (
     to_wkb_hex,
     to_wkt,
 )
-from xcube_geodb_spark.geometry.geom import bbox_polygon
+from xcube_geodb_spark.errors import GeoDBError
+from xcube_geodb_spark.geometry.geom import (
+    Geometry,
+    bbox_polygon,
+    is_valid,
+    simplify,
+)
 
 
 class TestCodecs:
@@ -462,3 +468,87 @@ class TestIsValid:
         ).collect()[0]
         assert row["ok"] is True
         assert row["bowtie"] is False
+
+
+class TestSimplify:
+    """st_simplify: Douglas-Peucker parity with PostGIS semantics
+    (reference surface: arbitrary PostGIS via geodb_get_pg passthrough,
+    /root/reference/xcube_geodb/sql/geodb.sql:1123-1177)."""
+
+
+    def test_drops_near_collinear_keeps_corners(self):
+        g = parse_wkt("LINESTRING(0 0, 1 0.01, 2 0, 3 1, 4 0)")
+        out = simplify(g, 0.1)
+        assert to_wkt(out) == "LINESTRING (0 0, 2 0, 3 1, 4 0)"
+
+    def test_zero_tolerance_keeps_everything_noncollinear(self):
+        g = parse_wkt("LINESTRING(0 0, 1 0.5, 2 0, 3 0.5)")
+        assert to_wkt(simplify(g, 0.0)) == to_wkt(g)
+
+    def test_exactly_collinear_dropped_at_zero_tolerance(self):
+        g = parse_wkt("LINESTRING(0 0, 1 0, 2 0, 3 1)")
+        assert to_wkt(simplify(g, 0.0)) == "LINESTRING (0 0, 2 0, 3 1)"
+
+    def test_polygon_ring_stays_closed_and_valid(self):
+        g = parse_wkt("POLYGON((0 0, 5 0.01, 10 0, 10 10, 5 10.01, 0 10, 0 0))")
+        out = simplify(g, 0.1)
+        ring = out.parts[0]
+        assert (ring[0] == ring[-1]).all()
+        assert is_valid(out)
+        assert to_wkt(out) == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+
+    def test_collapsed_hole_dropped_shell_kept(self):
+        g = parse_wkt(
+            "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0),"
+            " (4 4, 4.1 4.05, 4.2 4, 4 4))"
+        )
+        out = simplify(g, 0.5)
+        assert len(out.parts) == 1
+
+    def test_collapsed_shell_returns_none(self):
+        assert simplify(parse_wkt("POLYGON((0 0, 1 0.001, 2 0, 0 0))"), 0.5) is None
+
+    def test_multilinestring_and_point_passthrough(self):
+        m = parse_wkt("MULTILINESTRING((0 0, 1 0.001, 2 0), (0 0, 1 1))")
+        out = simplify(m, 0.1)
+        assert to_wkt(out) == "MULTILINESTRING ((0 0, 2 0), (0 0, 1 1))"
+        p = parse_wkt("POINT(3 4)")
+        assert simplify(p, 100.0) is p
+
+    def test_vertices_within_tolerance_of_result(self):
+        # every dropped vertex must lie within tolerance of the kept chain
+        import numpy as np
+
+        from xcube_geodb_spark.geometry.geom import _all_segments, _point_seg_dist_min
+
+        rng = np.random.default_rng(7)
+        xs = np.cumsum(rng.uniform(0.1, 1.0, 60))
+        ys = rng.uniform(-0.2, 0.2, 60)
+        arr = np.stack([xs, ys], axis=1)
+        g = Geometry("LineString", arr)
+        tol = 0.15
+        out = simplify(g, tol)
+        segs = _all_segments(out)
+        for pt in arr:
+            assert _point_seg_dist_min(pt[None, :], segs) <= tol + 1e-12
+
+    def test_rejects_negative_tolerance(self):
+        with pytest.raises(GeoDBError):
+            simplify(parse_wkt("LINESTRING(0 0, 1 1)"), -1.0)
+
+    def test_sql_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT st_astext(st_simplify(st_geomfromtext(
+                       'LINESTRING (0 0, 1 0.01, 2 0)'), 0.1)) AS line,
+                   st_simplify(st_geomfromtext(
+                       'POLYGON ((0 0, 1 0.001, 2 0, 0 0))'), 0.5) AS collapsed
+            """
+        ).collect()[0]
+        assert row["line"] == "LINESTRING (0 0, 2 0)"
+        assert row["collapsed"] is None

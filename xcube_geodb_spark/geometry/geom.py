@@ -816,3 +816,74 @@ def is_valid(geom: Geometry) -> bool:
                     if _point_in_ring(float(px), float(py), shell) == 0:
                         return False
     return True
+
+
+def _dp_keep_mask(arr: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas-Peucker vertex-keep mask with pinned endpoints, iterative
+    (no recursion limit) and numpy-vectorized per span: the perpendicular
+    distance of every interior point to the anchor chord is one cross
+    product over the span."""
+    n = len(arr)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    tol2 = tolerance * tolerance
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = arr[j] - arr[i]
+        pts = arr[i + 1 : j] - arr[i]
+        l2 = float(seg[0] * seg[0] + seg[1] * seg[1])
+        if l2 == 0.0:
+            # degenerate chord (closed ring anchors): radial distance
+            d2 = pts[:, 0] * pts[:, 0] + pts[:, 1] * pts[:, 1]
+        else:
+            cross = pts[:, 0] * seg[1] - pts[:, 1] * seg[0]
+            d2 = cross * cross / l2
+        k = int(np.argmax(d2))
+        if float(d2[k]) > tol2:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return keep
+
+
+def simplify(geom: Geometry, tolerance: float) -> Geometry | None:
+    """``ST_Simplify`` (Douglas-Peucker, PostGIS semantics): vertices
+    closer than ``tolerance`` to the retained chord are dropped; endpoints
+    are pinned (for rings, the closure point anchors a degenerate chord so
+    the farthest vertex from the start is retained first, mirroring the
+    standard closed-ring treatment). Points/MultiPoints pass through.
+    Collapsed holes (< 4 points after simplification) are dropped;
+    a collapsed shell collapses its polygon, and a geometry whose every
+    part collapses returns ``None`` (SQL NULL) — PostGIS similarly may
+    emit EMPTY/invalid results rather than guaranteeing validity.
+    """
+    if tolerance < 0:
+        raise GeoDBError("simplify tolerance must be >= 0")
+    if geom.kind == "Point":
+        return geom
+    if geom.kind == "LineString":
+        if len(geom.parts) <= 2:
+            return geom
+        out = geom.parts[_dp_keep_mask(geom.parts, tolerance)]
+        return Geometry("LineString", out, geom.srid)
+    if geom.kind == "Polygon":
+        rings = []
+        for idx, ring in enumerate(geom.parts):
+            out = ring[_dp_keep_mask(ring, tolerance)]
+            if len(out) < 4:
+                if idx == 0:
+                    return None  # shell collapsed
+                continue  # hole collapsed: drop it
+            rings.append(out)
+        return Geometry("Polygon", rings, geom.srid)
+    if geom.kind == "MultiPoint":
+        return geom
+    kept = [
+        s for g in geom.parts if (s := simplify(g, tolerance)) is not None
+    ]
+    if not kept:
+        return None
+    return Geometry(geom.kind, kept, geom.srid)

@@ -161,6 +161,16 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     spark.udf.register("st_buffer", _buffer, T.BinaryType())
 
+    from xcube_geodb_spark.geometry.geom import simplify
+
+    def _simplify(b: bytes, tolerance: float):
+        if b is None or tolerance is None:
+            return None
+        out = simplify(parse_wkb(b), float(tolerance))
+        return to_wkb(out) if out is not None else None
+
+    spark.udf.register("st_simplify", _simplify, T.BinaryType())
+
     def _transform(b: bytes, from_srid: int, to_srid: int):
         if b is None:
             return None
