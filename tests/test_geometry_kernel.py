@@ -552,3 +552,67 @@ class TestSimplify:
         ).collect()[0]
         assert row["line"] == "LINESTRING (0 0, 2 0)"
         assert row["collapsed"] is None
+
+
+class TestDistanceSphere:
+    def test_known_values(self):
+        from xcube_geodb_spark.geometry.geom import distance_sphere
+
+        one_deg = distance_sphere(parse_wkt("POINT(0 0)"), parse_wkt("POINT(0 1)"))
+        assert one_deg == pytest.approx(111195.08, abs=0.01)
+        half = distance_sphere(parse_wkt("POINT(0 0)"), parse_wkt("POINT(180 0)"))
+        assert half == pytest.approx(20015114.44, abs=0.01)
+        assert distance_sphere(parse_wkt("POINT(7 7)"), parse_wkt("POINT(7 7)")) == 0.0
+
+    def test_symmetry(self):
+        from xcube_geodb_spark.geometry.geom import distance_sphere
+
+        a, b = parse_wkt("POINT(-73.98 40.75)"), parse_wkt("POINT(2.35 48.85)")
+        assert distance_sphere(a, b) == distance_sphere(b, a)
+        # NYC <-> Paris ~ 5837 km
+        assert distance_sphere(a, b) == pytest.approx(5_837_000, rel=0.01)
+
+    def test_rejects_non_points(self):
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.geometry.geom import distance_sphere
+
+        with pytest.raises(GeoDBError):
+            distance_sphere(
+                parse_wkt("POINT(0 0)"), parse_wkt("LINESTRING(0 0, 1 1)")
+            )
+
+    def test_sql_udf_matches_column_twin(self, spark):
+        from pyspark.sql import functions as F
+
+        from xcube_geodb_spark.geometry.crs import haversine_meters_col
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        df = spark.createDataFrame(
+            [(0.0, 0.0, 10.0, 20.0), (-73.98, 40.75, 2.35, 48.85)],
+            ["x1", "y1", "x2", "y2"],
+        )
+        df.createOrReplaceTempView("sphere_pairs")
+        udf_vals = [
+            r[0]
+            for r in spark.sql(
+                """
+                SELECT st_distancesphere(
+                    st_geomfromtext(concat('POINT (', x1, ' ', y1, ')')),
+                    st_geomfromtext(concat('POINT (', x2, ' ', y2, ')')))
+                FROM sphere_pairs
+                """
+            ).collect()
+        ]
+        col_vals = [
+            r[0]
+            for r in df.select(
+                haversine_meters_col(
+                    F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+                )
+            ).collect()
+        ]
+        for u, c in zip(udf_vals, col_vals):
+            assert u == pytest.approx(c, abs=1e-6)

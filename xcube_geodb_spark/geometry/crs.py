@@ -191,3 +191,24 @@ def transform_bbox_crs(
     if dst == 4326 and wsg84_order == "lat_lon":
         out = (out[1], out[0], out[3], out[2])
     return out
+
+
+def haversine_meters_col(lon1, lat1, lon2, lat2):
+    """Great-circle meters between two (lon, lat) column pairs — the
+    column-algebra twin of ``geom.distance_sphere`` for the 100 TB path:
+    pure JVM math that fuses into whole-stage codegen (geo-distance
+    filters/joins over point tables never need the row UDF). Same fixed
+    float association as the kernel (agreement to libm precision, ~1 ulp
+    per transcendental call)."""
+    from pyspark.sql import functions as F
+
+    from xcube_geodb_spark.geometry.geom import EARTH_RADIUS_M
+
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    h = (
+        F.pow(F.sin(dlat / 2.0), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.pow(F.sin(dlon / 2.0), 2)
+    )
+    return 2.0 * F.lit(EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))

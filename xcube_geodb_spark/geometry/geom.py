@@ -887,3 +887,30 @@ def simplify(geom: Geometry, tolerance: float) -> Geometry | None:
     if not kept:
         return None
     return Geometry(geom.kind, kept, geom.srid)
+
+
+# mean Earth radius (IUGG R1), the constant PostGIS documents for
+# ST_DistanceSphere-style spherical math
+EARTH_RADIUS_M = 6371008.8
+
+
+def distance_sphere(a: Geometry, b: Geometry) -> float:
+    """``ST_DistanceSphere`` for POINT operands: great-circle meters via
+    the haversine formula on the mean-radius sphere. Non-point geometries
+    raise (documented deviation: PostGIS accepts any geometry; the
+    engine's planar ``distance`` covers those — spherical min-distance
+    between arbitrary shapes needs geodesic segment math out of scope for
+    this kernel)."""
+    if a.kind != "Point" or b.kind != "Point":
+        raise GeoDBError("distance_sphere supports Point geometries only")
+    lon1, lat1 = float(a.parts[0]), float(a.parts[1])
+    lon2, lat2 = float(b.parts[0]), float(b.parts[1])
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    h = (
+        math.sin(dlat / 2.0) ** 2
+        + math.cos(math.radians(lat1))
+        * math.cos(math.radians(lat2))
+        * math.sin(dlon / 2.0) ** 2
+    )
+    return 2.0 * EARTH_RADIUS_M * math.asin(math.sqrt(min(h, 1.0)))

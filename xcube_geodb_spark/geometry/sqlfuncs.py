@@ -171,6 +171,16 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     spark.udf.register("st_simplify", _simplify, T.BinaryType())
 
+    from xcube_geodb_spark.geometry.geom import distance_sphere
+
+    spark.udf.register(
+        "st_distancesphere",
+        lambda a, b: distance_sphere(parse_wkb(a), parse_wkb(b))
+        if a is not None and b is not None
+        else None,
+        T.DoubleType(),
+    )
+
     def _transform(b: bytes, from_srid: int, to_srid: int):
         if b is None:
             return None

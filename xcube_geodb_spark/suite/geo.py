@@ -505,6 +505,35 @@ GEO_ORACLES["geo_distance_knn"] = f"""
     LIMIT 25
 """
 
+def geo_distance_sphere(spark, sf_dir):
+    """Great-circle distances (geometry/crs.haversine_meters_col — the
+    JVM column-algebra twin of the st_distancesphere kernel UDF): meters
+    from Greenwich to every synthesized customer point, millimeter
+    rounding. The oracle replays the haversine formula with the same
+    float association; both engines' libm agree far inside the 1e-3
+    rounding margin."""
+    from xcube_geodb_spark.geometry.crs import haversine_meters_col
+
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "c_custkey",
+        F.round(
+            haversine_meters_col(F.lit(0.0), F.lit(51.48), F.col("x"), F.col("y")),
+            3,
+        ).alias("meters"),
+    )
+
+
+GEO_ORACLES["geo_distance_sphere"] = f"""
+    SELECT c_custkey,
+           round(2.0 * 6371008.8 * asin(sqrt(least(
+               pow(sin(radians(y - 51.48) / 2), 2)
+               + cos(radians(51.48)) * cos(radians(y))
+               * pow(sin(radians(x - 0.0) / 2), 2), 1.0))), 3) AS meters
+    FROM ({_PTS})
+"""
+
+
 def _supplier_points(spark, sf_dir):
     """A second, independent point set (supplier-keyed, same closed-form
     coordinate hash) so spatial joins exercise two distinct inputs."""
@@ -742,6 +771,7 @@ GEO_QUERIES = {
     "geo_measures_squares": geo_measures_squares,
     "geo_bbox_modes": geo_bbox_modes,
     "geo_distance_knn": geo_distance_knn,
+    "geo_distance_sphere": geo_distance_sphere,
     "geo_knn_warehouse": geo_knn_warehouse,
     "geo_transform_points": geo_transform_points,
     "geo_bbox_contains_points": geo_bbox_contains_points,
