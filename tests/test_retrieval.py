@@ -80,3 +80,49 @@ class TestBm25:
         plan = bm25_topk(docs, ["spark", "hash"], k=3)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+
+
+class TestBm25Join:
+    QUERIES = [(1, "spark hash"), (2, "window"), (3, "zzz qqq")]
+
+    def _run(self, spark, k=3):
+        from xcube_geodb_spark.functions.retrieval import bm25_join
+
+        docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        q = spark.createDataFrame(self.QUERIES, ["query_id", "query_text"])
+        return bm25_join(docs, q, k=k)
+
+    def test_matches_single_query_scores(self, spark):
+        # per-(query, doc) scores equal the single-query scorer for every
+        # doc that matches at least one term
+        rows = self._run(spark, k=10).collect()
+        got = {(r["query_id"], r["doc_id"]): r["bm25"] for r in rows}
+        for qid, qtext in self.QUERIES:
+            want = _py_bm25(qtext.split())
+            matching = {
+                i for i, t in DOCS
+                if any(term in (t.split() if t else [""])
+                       for term in qtext.split())
+            }
+            for i in matching:
+                assert got[(qid, i)] == pytest.approx(want[i], abs=2e-6)
+            # non-matching docs must not appear at all
+            for i, _ in DOCS:
+                if i not in matching:
+                    assert (qid, i) not in got
+
+    def test_k_bounds_each_query(self, spark):
+        rows = self._run(spark, k=1).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r)
+        assert all(len(v) == 1 for v in per_q.values() if v)
+
+    def test_no_match_query_returns_nothing(self, spark):
+        rows = self._run(spark, k=10).collect()
+        assert not [r for r in rows if r["query_id"] == 3]
+
+    def test_plan_broadcasts_query_terms(self, spark):
+        plan = self._run(spark)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan  # nothing corpus-sized joins by shuffle

@@ -26,12 +26,12 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from xcube_geodb_spark.functions.text import tokens
 
-__all__ = ["term_frequency", "bm25_score", "bm25_topk"]
+__all__ = ["term_frequency", "bm25_score", "bm25_topk", "bm25_join"]
 
 
 def term_frequency(toks: Column, term: str) -> Column:
@@ -106,4 +106,98 @@ def bm25_topk(
         scored.select(id_col, "bm25")
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def bm25_join(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch retrieval: top-``k`` documents per query for a whole query
+    table — the text analog of ``similarity.knn_join``.
+
+    The 100 TB plan is the posting-stream shape contamination detection
+    uses: corpus tokens explode into a posting stream that is immediately
+    **filtered through a broadcast of the (tiny) query-term table**, so
+    the only rows that ever shuffle are postings whose term some query
+    mentions; per-(doc, term) tf aggregates map-side first. Document
+    frequencies come from the matched postings themselves (one extra
+    shrink-aggregation), corpus size / average length from one scalar
+    pass. Non-matching documents never appear (score would be 0), so
+    state is O(matched postings), not O(corpus x queries).
+
+    Per-term scores are rounded to 7 decimals and summed as exact
+    DECIMAL(28,7) — associative, order-independent (and the rounding
+    granularity dwarfs any cross-engine 1-ulp libm drift) — so the final
+    ``bm25`` (rounded to 6) is reproducible by any engine regardless of
+    aggregation order. Returns ``(query_id, doc_id, bm25)``, at most k
+    rows per query (fewer when fewer documents match any term).
+    """
+    toks = tokens(F.col(text_col))
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("t")
+    ).collect()[0]
+    n_docs = int(row["n"])
+    avgdl = int(row["t"]) / n_docs if n_docs else 1.0
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    post = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("double").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    tf = (
+        post.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    part = idf * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / F.lit(avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(F.broadcast(qterms), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(part, 7).cast("decimal(28,7)").alias("part"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("part").cast("double"), 6).alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        agg.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )

@@ -872,6 +872,79 @@ def text_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, list(_BM25_TERMS), k=20)
 
 
+_BM25_QUERIES = (
+    (1, "spark table"),
+    (2, "hash merge batch"),
+    (3, "window sort"),
+)
+
+
+def text_bm25_join(spark, sf_dir):
+    """Batch retrieval (functions/retrieval.bm25_join): top-10 documents
+    for each of three queries. Posting stream filtered through a
+    broadcast of the query-term table before any shuffle; per-term scores
+    summed as exact decimals so the oracle replays them exactly."""
+    from xcube_geodb_spark.functions.retrieval import bm25_join
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, query_text string"
+    )
+    return bm25_join(docs, q, k=10)
+
+
+def _bm25_join_oracle() -> str:
+    k1, b = 1.2, 0.75
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, text in _BM25_QUERIES
+        for t in dict.fromkeys(text.split())
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks
+                   FROM documents),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+            FROM d
+        ),
+        q(query_id, term) AS (VALUES {qvals}),
+        tf AS (
+            SELECT doc_id, term,
+                   CAST(count(*) AS DOUBLE) AS tf,
+                   any_value(dl) AS dl
+            FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                         unnest(toks) AS term
+                  FROM d)
+            WHERE term IN (SELECT term FROM q)
+            GROUP BY doc_id, term
+        ),
+        dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term),
+        scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(round(
+                       ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                       * ((tf * {k1 + 1.0!r}) / (tf + {k1!r} *
+                          ({1.0 - b!r} + ({b!r} * dl) / avgdl))), 7)
+                       AS DECIMAL(28,7)) AS part
+            FROM tf
+            JOIN dft USING (term)
+            JOIN q USING (term)
+            CROSS JOIN stats
+        ),
+        agg AS (
+            SELECT query_id, doc_id,
+                   round(CAST(sum(part) AS DOUBLE), 6) AS bm25
+            FROM scored GROUP BY query_id, doc_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rk
+            FROM agg
+        ) WHERE rk <= 10
+    """
+
+
 def corpus_cap_per_source(spark, sf_dir):
     """Per-domain document cap (functions/sampling.cap_per_group): at most
     40 docs per source, survivors chosen by md5 hash order — the
@@ -935,6 +1008,7 @@ def _bm25_oracle() -> str:
 
 LLM_RETRIEVAL_ORACLES = {
     "text_bm25_topk": _bm25_oracle(),
+    "text_bm25_join": _bm25_join_oracle(),
     "corpus_cap_per_source": """
         SELECT doc_id, source FROM (
             SELECT doc_id, source,
@@ -1073,6 +1147,7 @@ LLM_QUERIES = {
     "chunk_documents": chunk_documents,
     "pipeline_corpus_prep": pipeline_corpus_prep,
     "text_bm25_topk": text_bm25_topk,
+    "text_bm25_join": text_bm25_join,
     "corpus_cap_per_source": corpus_cap_per_source,
     "corpus_shuffle": corpus_shuffle,
 }
