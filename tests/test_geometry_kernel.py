@@ -616,3 +616,49 @@ class TestDistanceSphere:
         ]
         for u, c in zip(udf_vals, col_vals):
             assert u == pytest.approx(c, abs=1e-6)
+
+
+class TestCollectGeometries:
+    def test_homogeneous_points_promote_to_multipoint(self, spark):
+        from xcube_geodb_spark.functions.geo_agg import collect_geometries
+        from xcube_geodb_spark.geometry.geom import parse_wkt
+
+        rows = [
+            (1, 1, to_wkb(parse_wkt("POINT(1 1)"))),
+            (1, 2, to_wkb(parse_wkt("POINT(2 2)"))),
+            (2, 3, to_wkb(parse_wkt("POINT(3 3)"))),
+        ]
+        df = spark.createDataFrame(rows, ["grp", "k", "geometry"])
+        out = {
+            r["grp"]: to_wkt(parse_wkb(bytes(r["geometry"])))
+            for r in collect_geometries(df, ["grp"], order_col="k").collect()
+        }
+        assert out[1] == "MULTIPOINT ((1 1), (2 2))"
+        assert out[2] == "MULTIPOINT ((3 3))"
+
+    def test_mixed_kinds_promote_to_collection(self, spark):
+        from xcube_geodb_spark.functions.geo_agg import collect_geometries
+
+        rows = [
+            (1, 1, to_wkb(parse_wkt("POINT(1 1)"))),
+            (1, 2, to_wkb(parse_wkt("LINESTRING(0 0, 1 1)"))),
+        ]
+        df = spark.createDataFrame(rows, ["grp", "k", "geometry"])
+        (row,) = collect_geometries(df, ["grp"], order_col="k").collect()
+        g = parse_wkb(bytes(row["geometry"]))
+        assert g.kind == "GeometryCollection"
+        assert [c.kind for c in g.parts] == ["Point", "LineString"]
+
+    def test_wkt_collector_matches_kernel(self, spark):
+        from pyspark.sql import functions as F
+
+        from xcube_geodb_spark.functions.geo_agg import collect_points_wkt
+
+        df = spark.createDataFrame(
+            [(1, 2, -14.8, 5.0), (1, 1, 3.25, -2.5)], ["grp", "k", "x", "y"]
+        )
+        (row,) = collect_points_wkt(df, ["grp"], "x", "y", "k", precision=2).collect()
+        assert row["wkt"] == "MULTIPOINT (3.25 -2.50, -14.80 5.00)"
+        plan = collect_points_wkt(df, ["grp"], "x", "y", "k")._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

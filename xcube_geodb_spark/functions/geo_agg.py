@@ -1,0 +1,95 @@
+"""Geometry aggregation: the PostGIS ``ST_Collect`` idiom.
+
+The reference admits ``ST_Collect``/``ST_Union`` through its raw-SQL
+passthrough (``/root/reference/xcube_geodb/sql/geodb.sql:1123-1177``
+interpolates any PostGIS aggregate into ``SELECT``). Two shapes here:
+
+- :func:`collect_points_wkt` — per-group MULTIPOINT as WKT **text built
+  from pure column algebra** (decimal-formatted coordinates, ordered
+  members): stays entirely inside whole-stage codegen, one shuffle on the
+  group key, and is exactly replayable by any SQL engine's ordered
+  ``string_agg`` — which is what the driver gate does.
+- :func:`collect_geometries` — per-group GEOMETRYCOLLECTION (or MULTI*)
+  WKB through the geometry kernel, for arbitrary member geometries: a
+  ``collect_list`` of WKB per group plus one small Arrow-batched UDF that
+  concatenates parsed members. Group payloads are the scale knob — like
+  PostGIS, collecting a giant group materializes it; cap group sizes
+  upstream (``sampling.cap_per_group``) when groups are unbounded.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["collect_points_wkt", "collect_geometries"]
+
+
+def collect_points_wkt(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    order_col: str,
+    precision: int = 6,
+) -> DataFrame:
+    """Per-group ``MULTIPOINT (x y, x y, ...)`` WKT with members in
+    ``order_col`` order and coordinates fixed to ``precision`` decimals
+    (decimal-cast, so the text is engine-independent). Adds ``wkt``."""
+    pt = F.concat_ws(
+        " ",
+        F.col(x_col).cast(f"decimal(24,{precision})").cast("string"),
+        F.col(y_col).cast(f"decimal(24,{precision})").cast("string"),
+    )
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), pt.alias("p")))
+    )
+    wkt = F.concat(
+        F.lit("MULTIPOINT ("),
+        F.array_join(F.transform(arr, lambda s: s["p"]), ", "),
+        F.lit(")"),
+    )
+    return df.groupBy(*group_cols).agg(wkt.alias("wkt"))
+
+
+def collect_geometries(
+    df: DataFrame,
+    group_cols: list[str],
+    geom_col: str = "geometry",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-group geometry collection over WKB members (``ST_Collect``):
+    returns group cols + ``geometry`` WKB. Homogeneous point/line/polygon
+    members collect into the matching MULTI* type, mixed members into a
+    GEOMETRYCOLLECTION — PostGIS's exact promotion rule."""
+    from pyspark.sql import types as T
+
+    from xcube_geodb_spark.geometry.geom import Geometry, parse_wkb, to_wkb
+
+    _MULTI = {"Point": "MultiPoint", "LineString": "MultiLineString",
+              "Polygon": "MultiPolygon"}
+
+    @F.pandas_udf(T.BinaryType())
+    def _collect(wkbs: pd.Series) -> pd.Series:
+        out = []
+        for arr in wkbs:
+            members = [parse_wkb(b) for b in arr if b is not None]
+            if not members:
+                out.append(None)
+                continue
+            kinds = {m.kind for m in members}
+            kind = _MULTI.get(next(iter(kinds)), "GeometryCollection") \
+                if len(kinds) == 1 else "GeometryCollection"
+            out.append(to_wkb(Geometry(kind, members)))
+        return pd.Series(out)
+
+    if order_col is not None:
+        packed = F.sort_array(
+            F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                    F.col(geom_col).alias("g")))
+        )
+        geoms = F.transform(packed, lambda s: s["g"])
+    else:
+        geoms = F.collect_list(F.col(geom_col))
+    return df.groupBy(*group_cols).agg(_collect(geoms).alias("geometry"))

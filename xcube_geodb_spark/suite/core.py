@@ -434,6 +434,27 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE through the raw-SQL passthrough (§2.4 documented
+    superset, like rollup): all four grouping combinations of
+    (returnflag, linestatus) in one pass — Spark expands the grouping
+    sets map-side, so it remains a single shuffle."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
 def distinct_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
 
@@ -583,6 +604,13 @@ CORE_ORACLES_RELATIONAL = {
                coalesce(l_linestatus, 'ALL') AS linestatus,
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_lineitem": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "distinct_mktsegment": "SELECT DISTINCT c_mktsegment FROM customer",
     "agg_distinct_parts": """
@@ -988,6 +1016,7 @@ CORE_QUERIES = {
     "join_q3_shipping": join_q3_shipping,
     "window_top_order_per_customer": window_top_order_per_customer,
     "rollup_lineitem": rollup_lineitem,
+    "cube_lineitem": cube_lineitem,
     "distinct_mktsegment": distinct_mktsegment,
     "agg_distinct_parts": agg_distinct_parts,
     "scalar_string_funcs": scalar_string_funcs,

@@ -534,6 +534,33 @@ GEO_ORACLES["geo_distance_sphere"] = f"""
 """
 
 
+def geo_collect_points(spark, sf_dir):
+    """ST_Collect parity (functions/geo_agg.collect_points_wkt): per-group
+    MULTIPOINT WKT assembled from pure column algebra — decimal-formatted
+    coordinates in key order, one shuffle, no UDF — replayed by the
+    oracle's ordered string_agg."""
+    from xcube_geodb_spark.functions.geo_agg import collect_points_wkt
+
+    pts = _points(spark, sf_dir).withColumn(
+        "grp", (F.col("c_custkey") % 25).cast("long")
+    )
+    return collect_points_wkt(
+        pts, ["grp"], "x", "y", order_col="c_custkey", precision=2
+    )
+
+
+GEO_ORACLES["geo_collect_points"] = f"""
+    SELECT grp,
+           'MULTIPOINT (' || string_agg(
+               CAST(CAST(x AS DECIMAL(24,2)) AS VARCHAR) || ' ' ||
+               CAST(CAST(y AS DECIMAL(24,2)) AS VARCHAR),
+               ', ' ORDER BY c_custkey) || ')' AS wkt
+    FROM (SELECT CAST(c_custkey % 25 AS BIGINT) AS grp, c_custkey, x, y
+          FROM ({_PTS}))
+    GROUP BY grp
+"""
+
+
 def _supplier_points(spark, sf_dir):
     """A second, independent point set (supplier-keyed, same closed-form
     coordinate hash) so spatial joins exercise two distinct inputs."""
@@ -772,6 +799,7 @@ GEO_QUERIES = {
     "geo_bbox_modes": geo_bbox_modes,
     "geo_distance_knn": geo_distance_knn,
     "geo_distance_sphere": geo_distance_sphere,
+    "geo_collect_points": geo_collect_points,
     "geo_knn_warehouse": geo_knn_warehouse,
     "geo_transform_points": geo_transform_points,
     "geo_bbox_contains_points": geo_bbox_contains_points,
