@@ -970,6 +970,94 @@ def corpus_shuffle(spark, sf_dir):
     )
 
 
+_CM_PROBES = (
+    "spark", "hash", "table", "merge", "window", "sort",
+    "row", "scan", "fast", "slow", "value", "zzznotoken",
+)
+
+
+def sketch_token_freq(spark, sf_dir):
+    """Count-min frequency sketch (functions/sketch): 4x256 counter
+    matrix over the exploded token stream, then frequency estimates for
+    12 probe tokens. Sketch output is <= 1024 rows regardless of corpus
+    size; the oracle replays the identical md5 bucket math, so estimates
+    (over-counts included) hash-match exactly."""
+    from xcube_geodb_spark.functions.sketch import count_min_build, count_min_lookup
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(text.tokens(F.col("text"))).alias("token")
+    )
+    sk = count_min_build(toks, "token", depth=4, width=256)
+    probes = spark.createDataFrame(
+        [(t,) for t in _CM_PROBES], "token string"
+    )
+    return count_min_lookup(sk, probes, "token", depth=4, width=256)
+
+
+def sketch_distinct_tokens(spark, sf_dir):
+    """KMV bottom-k distinct sketch (functions/sketch.kmv_distinct):
+    estimated distinct tokens per language, k=128 over 16 hash shards.
+    The estimate is shard-independent (min-k of a union is the min-k of
+    per-shard min-ks), which lets the oracle recompute it from the plain
+    ranked distinct-hash list."""
+    from xcube_geodb_spark.functions.sketch import kmv_distinct
+
+    toks = load(spark, sf_dir, "documents").select(
+        "lang", F.explode(text.tokens(F.col("text"))).alias("token")
+    )
+    return kmv_distinct(toks, "token", ["lang"], k=128, n_shards=16)
+
+
+def _cm_probe_values() -> str:
+    return ", ".join(f"('{t}')" for t in _CM_PROBES)
+
+
+LLM_SKETCH_ORACLES = {
+    "sketch_token_freq": f"""
+        WITH toks AS (
+            SELECT unnest(string_split({_NORM}, ' ')) AS item FROM documents
+        ),
+        rows_(r) AS (VALUES (0), (1), (2), (3)),
+        sk AS (
+            SELECT r, CAST(('0x' || substr(md5('cm' || r || ':' || item),
+                                           1, 8)) AS BIGINT) % 256 AS bucket,
+                   count(*) AS cnt
+            FROM toks CROSS JOIN rows_
+            GROUP BY 1, 2
+        ),
+        probes(item) AS (VALUES {_cm_probe_values()}),
+        coords AS (
+            SELECT item, r,
+                   CAST(('0x' || substr(md5('cm' || r || ':' || item),
+                                        1, 8)) AS BIGINT) % 256 AS bucket
+            FROM probes CROSS JOIN rows_
+        )
+        SELECT item AS token, min(coalesce(cnt, 0)) AS est
+        FROM coords LEFT JOIN sk USING (r, bucket)
+        GROUP BY item
+    """,
+    "sketch_distinct_tokens": f"""
+        WITH t AS (
+            SELECT DISTINCT lang,
+                   CAST(('0x' || substr(md5('kmv:' || item), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS h
+            FROM (SELECT lang, unnest(string_split({_NORM}, ' ')) AS item
+                  FROM documents)
+        ),
+        r AS (SELECT lang, h,
+                     row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+              FROM t),
+        a AS (SELECT lang, count(*) AS n,
+                     max(CASE WHEN rk = 128 THEN h END) AS kth
+              FROM r GROUP BY lang)
+        SELECT lang,
+               round(CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                          ELSE 127.0 / kth END, 6) AS est_distinct
+        FROM a
+    """,
+}
+
+
 def _bm25_oracle() -> str:
     k1, b, n_terms = 1.2, 0.75, len(_BM25_TERMS)
     tfs = ", ".join(
@@ -1148,6 +1236,8 @@ LLM_QUERIES = {
     "pipeline_corpus_prep": pipeline_corpus_prep,
     "text_bm25_topk": text_bm25_topk,
     "text_bm25_join": text_bm25_join,
+    "sketch_token_freq": sketch_token_freq,
+    "sketch_distinct_tokens": sketch_distinct_tokens,
     "corpus_cap_per_source": corpus_cap_per_source,
     "corpus_shuffle": corpus_shuffle,
 }
@@ -1214,4 +1304,5 @@ LLM_ORACLES = {
     **LLM_CONTAM_ORACLES,
     **LLM_PIPELINE_ORACLES,
     **LLM_RETRIEVAL_ORACLES,
+    **LLM_SKETCH_ORACLES,
 }
