@@ -9,14 +9,18 @@ match exactly; float aggregates are rounded identically on both sides.
 Ordering matters: the driver records correctness rows for the FIRST 50
 entries only. :data:`DRIVER_WINDOW` is the curated first-50 list — one
 representative of every operator family (grammar scans, pg path, joins
-incl. the spatial and k-NN joins, windows, aggregates, events/streaming,
-all geo modes, every dedup / similarity / text / sampling / multimodal
-op, and all five DML roundtrips). Family variants demoted past the
-window keep a representative inside it (``scan_filter_grammar``,
-``geo_bbox_modes``, ``text_profile`` union whole families;
-``rollup_lineitem`` covers the set-op family, ``scalar_string_funcs``
-the scalar passthroughs), so no operator family loses driver
-verification; everything demoted stays locally verified via
+incl. the spatial and k-NN joins, windows, aggregates, events/temporal
+incl. the stream-stream attribution twin, all geo modes plus the
+distance/aggregate scalars, every dedup / similarity / retrieval /
+sketch / text / sampling / curation / multimodal op, and all DML +
+change-feed roundtrips). Family variants demoted past the window keep a
+representative inside it (``scan_filter_grammar``, ``geo_bbox_modes``,
+``text_profile`` union whole families; ``rollup_lineitem`` covers the
+set-op family, ``scalar_string_funcs`` the scalar passthroughs;
+``ann_index_topk`` exercises the demoted lsh path end-to-end;
+``events_json_extract`` keeps json extraction covered for the demoted
+arrow-select variant), so no operator family loses driver verification;
+everything demoted stays locally verified via
 ``tools/check_correctness.py``.
 """
 
@@ -34,7 +38,6 @@ DRIVER_WINDOW = [
     "scan_filter_grammar",
     "scan_paging",
     "scan_fts_documents",
-    "scan_json_arrow_select",
     "scan_cs_cd_tokens",
     "head_nation",
     # raw-SQL pg path
@@ -47,11 +50,11 @@ DRIVER_WINDOW = [
     "window_top_order_per_customer",
     "rollup_lineitem",
     "scalar_string_funcs",
-    "agg_median_by_priority",
     # events / temporal / streaming
     "events_tumbling_hour",
     "events_sessionization",
     "events_asof_prev",
+    "events_attribution",
     "events_json_extract",
     "stream_ingest_collection",
     # geo
@@ -60,24 +63,25 @@ DRIVER_WINDOW = [
     "geo_bbox_crs_transform",
     "geo_count_by_bbox",
     "geo_extent_squares",
-    "geo_geometry_types",
     "geo_distance_knn",
+    "geo_distance_sphere",
+    "geo_collect_points",
     "geo_spatial_join_points",
     "geo_knn_join",
     # dedup
     "dedup_exact",
     "dedup_minhash_pairs",
-    "dedup_simhash",
     "dedup_pipeline_kept",
-    "dedup_embedding_pairs",
     # similarity / ANN
     "sim_cosine_topk",
-    "sim_lsh_topk",
     "sim_ivf_topk",
     "sim_knn_join",
     "ann_index_topk",
-    # text / multimodal / sampling
+    # text / retrieval / sketches / multimodal / sampling / curation
     "text_profile",
+    "text_bm25_join",
+    "sketch_token_freq",
+    "corpus_cap_per_source",
     "multimodal_decode",
     "sample_split_documents",
     "pack_documents_budget",
