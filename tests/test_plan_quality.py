@@ -212,3 +212,49 @@ class TestRound5PlanShape:
         ev = load(spark, SF, "events")
         out = funnel_levels(ev, ["view", "click", "purchase"])
         assert has_pushed_filter(out, "event_type")
+
+
+class TestRound6PlanShape:
+    def test_attribution_join_is_hash_join_with_pushed_type_filters(self, spark):
+        from xcube_geodb_spark.functions.temporal import attribution_join
+        from xcube_geodb_spark.suite.util import load
+
+        ev = load(spark, SF, "events")
+        out = attribution_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+            max_lag="30 minutes",
+        )
+        plan = executed_plan(out)
+        # equi join on the key with the interval predicate as a join
+        # filter -- never a nested-loop over the interval
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
+        assert "EqualTo(event_type,click)" in plan
+        assert "EqualTo(event_type,purchase)" in plan
+        # only the four needed columns are read
+        assert "props" not in plan.split("ReadSchema")[1]
+
+    def test_bm25_score_single_projection_no_shuffle(self, spark):
+        from xcube_geodb_spark.functions.retrieval import bm25_score
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        plan = executed_plan(bm25_score(docs, ["spark", "hash"]))
+        assert "Exchange" not in plan  # scoring is one codegen'd projection
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_count_min_build_reads_one_column(self, spark):
+        from xcube_geodb_spark.functions.sketch import count_min_build
+        from xcube_geodb_spark.functions.text import tokens
+
+        toks = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select(F.explode(tokens(F.col("text"))).alias("token"))
+        )
+        plan = executed_plan(count_min_build(toks, "token"))
+        # the sketch build scans only the text column and partial-aggregates
+        assert "ReadSchema: struct<text:string>" in plan
+        assert plan.count("Exchange") == 1  # exactly the one counter shuffle
