@@ -8,7 +8,9 @@ FAMILIES = {
     "scan": "scan_filter_eq_gt",
     "grammar-union": "scan_filter_grammar",
     "fts": "scan_fts_documents",
-    "json-arrow": "scan_json_arrow_select",
+    # json extraction: the arrow-select grammar variant is demoted; the
+    # events json gate keeps the family driver-verified
+    "json-extract": "events_json_extract",
     "pg": "pg_groupby_q1",
     "join": "join_revenue_by_nation",
     "skew": "skew_salted_join_revenue",
@@ -24,13 +26,22 @@ FAMILIES = {
     "geo-distance": "geo_distance_knn",
     "dedup-exact": "dedup_exact",
     "dedup-lsh": "dedup_minhash_pairs",
-    "dedup-simhash": "dedup_simhash",
+    # simhash / embedding near-dup / sign-lsh are demoted variants: the
+    # dedup trio, cosine family, and the lsh-backed warehouse ANN index
+    # keep their families driver-verified
     "dedup-pipeline": "dedup_pipeline_kept",
-    "dedup-embedding": "dedup_embedding_pairs",
     "sim-brute": "sim_cosine_topk",
-    "sim-lsh": "sim_lsh_topk",
     "sim-ivf": "sim_ivf_topk",
+    "sim-knn-join": "sim_knn_join",
     "ann-index": "ann_index_topk",
+    "attribution": "events_attribution",
+    "geo-sphere": "geo_distance_sphere",
+    "geo-collect": "geo_collect_points",
+    "geo-spatial-join": "geo_spatial_join_points",
+    "geo-knn-join": "geo_knn_join",
+    "retrieval": "text_bm25_join",
+    "sketch": "sketch_token_freq",
+    "curation-cap": "corpus_cap_per_source",
     "text": "text_profile",
     "multimodal": "multimodal_decode",
     "sampling": "sample_split_documents",
