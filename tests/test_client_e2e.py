@@ -496,3 +496,29 @@ class TestShimLiteralSafety:
             client.export_collection(
                 land_use, str(tmp_path / "x"), fmt="geojson", query="select=id"
             )
+
+
+class TestGrantsAndCapabilities:
+    def test_list_my_grants_empty(self, client, land_use):
+        df = client.list_my_grants()
+        assert list(df.columns) == ["Grants"]
+        assert df.iloc[0, 0] == "No Grants"
+
+    def test_list_my_grants_rows(self, client, land_use):
+        client.grant_access_to_collection(land_use, "alice")
+        client.publish_collection(land_use)
+        df = client.list_my_grants()
+        got = {(r["collection"], r["grantee"], r["privilege"])
+               for _, r in df.iterrows()}
+        assert (land_use, "alice", "SELECT") in got
+        assert (land_use, "PUBLIC", "SELECT") in got
+
+    def test_capabilities_lists_collection_schemas(self, client, land_use):
+        caps = client.capabilities
+        key = f"tester_{land_use}"
+        assert key in caps["definitions"]
+        props = caps["definitions"][key]["properties"]
+        assert "raba_id" in props
+        # DDL refreshes on next access (reference invalidates its cache)
+        client.add_property(land_use, "new_col", "int")
+        assert "new_col" in client.capabilities["definitions"][key]["properties"]

@@ -892,3 +892,47 @@ class GeoDBSparkClient:
     @property
     def whoami(self) -> str:
         return self.user
+
+    @property
+    def capabilities(self) -> dict:
+        """The reference exposes the PostgREST OpenAPI document
+        (``geodb.py:501-516``), which it mines for collection schemas.
+        The engine equivalent: every collection this user can see with
+        its property schema — the same information ``get_collection_info``
+        reads, refreshed on each access (the reference invalidates its
+        cache on DDL)."""
+        out: dict = {"definitions": {}}
+        for row in self.catalog.get_my_collections(self.user):
+            db, name = row["database"], row["collection"]
+            if not db or not name:
+                continue
+            try:
+                props = self.catalog.get_properties(name, db)
+            except GeoDBError:
+                continue
+            out["definitions"][f"{db}_{name}"] = {
+                "properties": {
+                    p["name"]: {"type": p["type"]} for p in props
+                },
+            }
+        return out
+
+    def list_my_grants(self) -> pd.DataFrame:
+        """All access grants the current user has issued across their
+        collections (``geodb_list_grants``, geodb.py:1009-1030) —
+        including PUBLIC rows for published collections. Returns the
+        reference's "No Grants" single-cell frame when none exist."""
+        rows = []
+        for row in self.catalog.get_my_collections(self.user):
+            db, name = row["database"], row["collection"]
+            if not db or not name:
+                continue
+            try:
+                grants = self.acl.list_grants(name, db)
+            except GeoDBError:
+                continue
+            for g in grants:
+                rows.append({"database": db, "collection": name, **g})
+        if not rows:
+            return pd.DataFrame(data={"Grants": ["No Grants"]})
+        return pd.DataFrame(rows)
