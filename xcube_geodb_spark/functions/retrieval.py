@@ -159,6 +159,9 @@ def bm25_join(
         F.size(toks).cast("double").alias("dl"),
         F.explode(toks).alias("term"),
     )
+    # cache the matched-postings aggregate: it feeds both the document
+    # frequencies and the scoring join, and is small by construction
+    # (docs that contain a query term x matched terms)
     tf = (
         post.join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "term")
@@ -166,6 +169,7 @@ def bm25_join(
             F.count(F.lit(1)).cast("double").alias("tf"),
             F.first("dl").alias("dl"),
         )
+        .cache()
     )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
