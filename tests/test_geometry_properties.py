@@ -236,3 +236,77 @@ class TestDistanceProperties:
         inside_or_on = x0 <= px <= x1 and y0 <= py <= y1
         d = distance(p, sq)
         assert (d == 0.0) == inside_or_on
+
+
+@st.composite
+def polylines(draw):
+    n = draw(st.integers(min_value=2, max_value=40))
+    xs = draw(st.lists(coord, min_size=n, max_size=n))
+    ys = draw(st.lists(coord, min_size=n, max_size=n))
+    arr = np.stack([np.array(xs), np.array(ys)], axis=1)
+    return Geometry("LineString", arr)
+
+
+class TestSimplifyProperties:
+    @given(polylines(), st.floats(min_value=0.0, max_value=100.0))
+    @settings(max_examples=120, deadline=None)
+    def test_dropped_vertices_stay_within_tolerance(self, g, tol):
+        from xcube_geodb_spark.geometry.geom import (
+            _all_segments,
+            _point_seg_dist_min,
+            simplify,
+        )
+
+        out = simplify(g, tol)
+        # endpoints always pinned
+        assert (out.parts[0] == g.parts[0]).all()
+        assert (out.parts[-1] == g.parts[-1]).all()
+        # kept vertices are a subsequence of the input
+        assert len(out.parts) <= len(g.parts)
+        segs = _all_segments(out)
+        if len(segs):
+            for pt in g.parts:
+                assert _point_seg_dist_min(pt[None, :], segs) <= tol + 1e-9
+
+    @given(polylines())
+    @settings(max_examples=60, deadline=None)
+    def test_idempotent(self, g):
+        from xcube_geodb_spark.geometry.geom import simplify, to_wkt as _wkt
+
+        once = simplify(g, 0.5)
+        twice = simplify(once, 0.5)
+        assert _wkt(once) == _wkt(twice)
+
+
+class TestSphereProperties:
+    lonlat = st.tuples(
+        st.floats(min_value=-180, max_value=180, allow_nan=False),
+        st.floats(min_value=-89.9, max_value=89.9, allow_nan=False),
+    )
+
+    @given(lonlat, lonlat)
+    @settings(max_examples=150, deadline=None)
+    def test_symmetric_nonnegative_bounded(self, p, q):
+        from xcube_geodb_spark.geometry.geom import (
+            EARTH_RADIUS_M,
+            Geometry as G,
+            distance_sphere,
+        )
+
+        a = G("Point", np.array(p))
+        b = G("Point", np.array(q))
+        d = distance_sphere(a, b)
+        assert d == distance_sphere(b, a)
+        assert 0.0 <= d <= np.pi * EARTH_RADIUS_M + 1e-6
+        if p == q:
+            assert d == 0.0
+
+    @given(lonlat, lonlat, lonlat)
+    @settings(max_examples=100, deadline=None)
+    def test_triangle_inequality(self, p, q, r):
+        from xcube_geodb_spark.geometry.geom import Geometry as G, distance_sphere
+
+        a, b, c = (G("Point", np.array(v)) for v in (p, q, r))
+        assert distance_sphere(a, c) <= (
+            distance_sphere(a, b) + distance_sphere(b, c) + 1e-6
+        )

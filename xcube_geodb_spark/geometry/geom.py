@@ -839,8 +839,13 @@ def _dp_keep_mask(arr: np.ndarray, tolerance: float) -> np.ndarray:
             # degenerate chord (closed ring anchors): radial distance
             d2 = pts[:, 0] * pts[:, 0] + pts[:, 1] * pts[:, 1]
         else:
-            cross = pts[:, 0] * seg[1] - pts[:, 1] * seg[0]
-            d2 = cross * cross / l2
+            # distance to the chord SEGMENT, not the infinite line (GEOS
+            # semantics): a spike collinear with the chord but beyond its
+            # endpoints must still be retained
+            t = np.clip((pts[:, 0] * seg[0] + pts[:, 1] * seg[1]) / l2, 0.0, 1.0)
+            dx = pts[:, 0] - t * seg[0]
+            dy = pts[:, 1] - t * seg[1]
+            d2 = dx * dx + dy * dy
         k = int(np.argmax(d2))
         if float(d2[k]) > tol2:
             keep[i + 1 + k] = True
