@@ -439,3 +439,30 @@ class TestKnnJoin:
             knn_join(emb, emb.filter(F.col("vec_id") < 0).select(
                 F.col("vec_id").alias("query_id"), "embedding"
             ))
+
+
+class TestTopNgrams:
+    def test_counts_and_order(self, spark):
+        from xcube_geodb_spark.functions.text import top_ngrams
+
+        docs = spark.createDataFrame(
+            [("a b a b c",), ("a b x",), ("zz",)], ["text"]
+        )
+        rows = top_ngrams(docs, n=2, k=3).collect()
+        assert [(r["ngram"], r["n"]) for r in rows] == [
+            ("a b", 3), ("b a", 1), ("b c", 1)]
+
+    def test_short_docs_contribute_nothing(self, spark):
+        from xcube_geodb_spark.functions.text import top_ngrams
+
+        docs = spark.createDataFrame([("one",), ("",)], ["text"])
+        assert top_ngrams(docs, n=2, k=5).count() == 0
+
+    def test_trigram_plan_heap_topk(self, spark):
+        from xcube_geodb_spark.functions.text import top_ngrams
+
+        docs = spark.createDataFrame([("a b c d",)], ["text"])
+        out = top_ngrams(docs, n=3, k=2)
+        assert [r["ngram"] for r in out.collect()] == ["a b c", "b c d"]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan

@@ -275,3 +275,31 @@ class TestDeterministicShuffle:
         for line in plan.splitlines():
             if "Window [" in line or "RunningWindowFunction" in line:
                 assert "__pid" in line, line
+
+
+class TestWeightedSample:
+    def test_extreme_weights(self, spark):
+        from xcube_geodb_spark.functions.sampling import hash_sample_weighted
+
+        rows = [(i, 1.0 if i < 50 else 0.0) for i in range(100)]
+        df = spark.createDataFrame(rows, ["id", "w"])
+        kept = {r["id"] for r in hash_sample_weighted(df, "id", "w").collect()}
+        assert kept == set(range(50))  # weight 1 always kept, 0 never
+
+    def test_fraction_matches_unweighted(self, spark):
+        from xcube_geodb_spark.functions.sampling import (
+            hash_sample,
+            hash_sample_weighted,
+        )
+
+        df = spark.createDataFrame([(i, 0.3) for i in range(500)], ["id", "w"])
+        a = {r["id"] for r in hash_sample_weighted(df, "id", "w", seed="s").collect()}
+        b = {r["id"] for r in hash_sample(df, "id", 0.3, seed="s").collect()}
+        assert a == b  # constant weight == plain hash_sample
+
+    def test_clamps_out_of_range_weights(self, spark):
+        from xcube_geodb_spark.functions.sampling import hash_sample_weighted
+
+        df = spark.createDataFrame([(1, 7.5), (2, -3.0)], ["id", "w"])
+        kept = {r["id"] for r in hash_sample_weighted(df, "id", "w").collect()}
+        assert kept == {1}

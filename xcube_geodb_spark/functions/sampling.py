@@ -27,6 +27,7 @@ __all__ = [
     "chunk_by_tokens",
     "cap_per_group",
     "deterministic_shuffle",
+    "hash_sample_weighted",
 ]
 
 _BUCKETS = 10_000
@@ -266,3 +267,20 @@ def deterministic_shuffle(
         )
         .drop("__h", "__pid", "__rk", "__off")
     )
+
+
+def hash_sample_weighted(
+    df: DataFrame, key_col: str, weight_col: str, seed: str = ""
+) -> DataFrame:
+    """Per-row weighted deterministic sampling: row kept iff its hash
+    bucket falls below ``weight * 10000``, where ``weight_col`` holds a
+    per-row keep probability in [0, 1] (weights outside clamp). The
+    quality-weighted downsampling step of corpus curation — high-quality
+    documents keep with probability ~1, low-quality ones proportionally —
+    with the same growth-stable, engine-replayable membership as
+    :func:`hash_sample` (which is the constant-weight special case)."""
+    cut = F.least(
+        F.greatest(F.round(F.col(weight_col) * _BUCKETS, 0), F.lit(0.0)),
+        F.lit(float(_BUCKETS)),
+    )
+    return df.filter(hash_bucket(F.col(key_col), seed) < cut)

@@ -218,3 +218,32 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint_column(text_col))
+
+
+def top_ngrams(
+    df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with counts — the vocabulary /
+    collocation profile of a training corpus. The n-gram fan-out is the
+    dedup family's codegen'd shingle transform (no Python), the count is
+    one map-side-combined hash aggregate, and the top-k is a
+    TakeOrderedAndProject — so the full pass shuffles only pre-reduced
+    (ngram, partial-count) pairs. Ties break lexicographically for
+    deterministic, engine-replayable output."""
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array())
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+        .limit(k)
+    )

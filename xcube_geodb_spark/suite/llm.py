@@ -1058,6 +1058,52 @@ LLM_SKETCH_ORACLES = {
 }
 
 
+def sample_weighted_quality(spark, sf_dir):
+    """Per-row weighted sampling (functions/sampling.hash_sample_weighted):
+    keep probability proportional to document length (capped at 1) — the
+    quality-weighted downsampling idiom. Pure column algebra; the oracle
+    replays the md5 bucket and the rounded per-row cutoff."""
+    from xcube_geodb_spark.functions.sampling import hash_sample_weighted
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.least(F.col("n_chars") / 800.0, F.lit(1.0))).alias("w")
+    )
+    return hash_sample_weighted(docs, "doc_id", "w", seed="wq").select("doc_id")
+
+
+def text_top_bigrams(spark, sf_dir):
+    """Corpus-wide top-20 bigrams (functions/text.top_ngrams): codegen'd
+    n-gram transform, map-side-combined count, heap top-k with
+    lexicographic tie-break."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    return text.top_ngrams(docs, n=2, k=20)
+
+
+LLM_CORPUS_ORACLES = {
+    "sample_weighted_quality": """
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('wq' || CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 10000 AS b,
+                   round(least(n_chars / 800.0, 1.0) * 10000) AS cut
+            FROM documents
+        ) WHERE b < cut
+    """,
+    "text_top_bigrams": f"""
+        SELECT ngram, count(*) AS n FROM (
+            SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                   ELSE []::VARCHAR[] END) AS ngram
+            FROM (SELECT string_split({_NORM}, ' ') AS toks FROM documents)
+        )
+        GROUP BY ngram
+        ORDER BY n DESC, ngram
+        LIMIT 20
+    """,
+}
+
+
 def _bm25_oracle() -> str:
     k1, b, n_terms = 1.2, 0.75, len(_BM25_TERMS)
     tfs = ", ".join(
@@ -1238,6 +1284,8 @@ LLM_QUERIES = {
     "text_bm25_join": text_bm25_join,
     "sketch_token_freq": sketch_token_freq,
     "sketch_distinct_tokens": sketch_distinct_tokens,
+    "sample_weighted_quality": sample_weighted_quality,
+    "text_top_bigrams": text_top_bigrams,
     "corpus_cap_per_source": corpus_cap_per_source,
     "corpus_shuffle": corpus_shuffle,
 }
@@ -1305,4 +1353,5 @@ LLM_ORACLES = {
     **LLM_PIPELINE_ORACLES,
     **LLM_RETRIEVAL_ORACLES,
     **LLM_SKETCH_ORACLES,
+    **LLM_CORPUS_ORACLES,
 }
