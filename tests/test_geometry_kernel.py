@@ -662,3 +662,43 @@ class TestCollectGeometries:
         plan = collect_points_wkt(df, ["grp"], "x", "y", "k")._jdf \
             .queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPointScalars:
+    def test_makepoint_setsrid_azimuth(self, spark):
+        import math
+
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT st_astext(st_makepoint(3.5, -2.0)) AS wkt,
+                   st_azimuth(st_makepoint(0, 0), st_makepoint(0, 1)) AS north,
+                   st_azimuth(st_makepoint(0, 0), st_makepoint(1, 0)) AS east,
+                   st_azimuth(st_makepoint(0, 0), st_makepoint(0, -1)) AS south,
+                   st_azimuth(st_makepoint(0, 0), st_makepoint(-1, 0)) AS west,
+                   st_azimuth(st_makepoint(2, 2), st_makepoint(2, 2)) AS self_az
+            """
+        ).collect()[0]
+        assert row["wkt"] == "POINT (3.5 -2)"
+        assert row["north"] == 0.0
+        assert row["east"] == pytest.approx(math.pi / 2)
+        assert row["south"] == pytest.approx(math.pi)
+        assert row["west"] == pytest.approx(3 * math.pi / 2)
+        assert row["self_az"] is None
+
+    def test_setsrid_roundtrip(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        (row,) = spark.sql(
+            "SELECT st_setsrid(st_makepoint(1, 2), 3857) AS g"
+        ).collect()
+        g = parse_wkb(bytes(row["g"]))
+        assert g.srid == 3857
+        assert to_wkt(g) == "POINT (1 2)"

@@ -181,6 +181,45 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         T.DoubleType(),
     )
 
+    import math as _math
+
+    import numpy as _np
+
+    from xcube_geodb_spark.geometry.geom import Geometry as _Geometry
+
+    def _makepoint(x, y):
+        if x is None or y is None:
+            return None
+        return to_wkb(_Geometry("Point", _np.array([float(x), float(y)])))
+
+    spark.udf.register("st_makepoint", _makepoint, T.BinaryType())
+    spark.udf.register("st_point", _makepoint, T.BinaryType())
+
+    def _setsrid(b: bytes, srid: int):
+        if b is None:
+            return None
+        g = parse_wkb(b)
+        g.srid = int(srid)
+        return to_wkb(g, srid=int(srid))
+
+    spark.udf.register("st_setsrid", _setsrid, T.BinaryType())
+
+    def _azimuth(a: bytes, b: bytes):
+        """North-based clockwise bearing between two points, radians in
+        [0, 2pi) — PostGIS ST_Azimuth; NULL for coincident points."""
+        if a is None or b is None:
+            return None
+        ga, gb = parse_wkb(a), parse_wkb(b)
+        if ga.kind != "Point" or gb.kind != "Point":
+            raise GeoDBError("st_azimuth supports Point geometries only")
+        dx = float(gb.parts[0]) - float(ga.parts[0])
+        dy = float(gb.parts[1]) - float(ga.parts[1])
+        if dx == 0.0 and dy == 0.0:
+            return None
+        return _math.atan2(dx, dy) % (2.0 * _math.pi)
+
+    spark.udf.register("st_azimuth", _azimuth, T.DoubleType())
+
     def _transform(b: bytes, from_srid: int, to_srid: int):
         if b is None:
             return None
