@@ -342,3 +342,63 @@ class TestAttributionJoin:
             max_lag="30 minutes",
         ).select("click_id", "conversion_id", "lag_us").collect()
         assert {tuple(r) for r in rows} == {tuple(r) for r in batch}
+
+
+class TestRollingZscore:
+    def test_flat_baseline_spike_detected(self, spark):
+        from xcube_geodb_spark.functions.temporal import rolling_zscore
+
+        # 8 buckets of 10 events, one bucket of 11 (tiny variance source),
+        # then a 100-event spike
+        rows = []
+        eid = 0
+        for b in range(10):
+            n = 100 if b == 9 else (11 if b == 4 else 10)
+            for _ in range(n):
+                rows.append((eid, f"2024-01-0{b // 4 + 1} {(b * 6) % 24:02d}:30:00", 1, "click"))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = rolling_zscore(df, bucket_seconds=21600, group_cols=["event_type"],
+                             window_buckets=8)
+        by_bucket = sorted(
+            (r["bucket_start"], r["n_events"], r["z"]) for r in out.collect()
+        )
+        zs = [z for _, _, z in by_bucket]
+        # first 8 buckets: no full baseline -> NULL
+        assert all(z is None for z in zs[:8])
+        # bucket 8 (n=10 vs baseline mean ~10.125): small |z|
+        assert abs(zs[8]) < 1.0
+        # bucket 9 (n=100): extreme positive z
+        assert zs[9] > 10
+
+    def test_zero_variance_baseline_gives_null(self, spark):
+        from xcube_geodb_spark.functions.temporal import rolling_zscore
+
+        rows = [
+            (i * 100 + j, f"2024-01-01 {i:02d}:00:00", 1, "view")
+            for i in range(10) for j in range(5)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = rolling_zscore(df, bucket_seconds=3600, group_cols=["event_type"],
+                             window_buckets=8)
+        assert all(r["z"] is None for r in out.collect())
+
+    def test_groups_are_independent(self, spark):
+        from xcube_geodb_spark.functions.temporal import rolling_zscore
+
+        rows = []
+        for i in range(12):
+            for j in range(5 if i % 2 else 7):
+                rows.append((i * 10 + j, f"2024-01-01 {i:02d}:00:00", 1, "a"))
+            rows.append((1000 + i, f"2024-01-01 {i:02d}:00:00", 1, "b"))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = rolling_zscore(df, bucket_seconds=3600, group_cols=["event_type"],
+                             window_buckets=4)
+        b_rows = [r for r in out.collect() if r["event_type"] == "b"]
+        assert all(r["z"] is None for r in b_rows)  # constant series

@@ -344,3 +344,50 @@ def attribution_join(
             - F.unix_micros(F.col("click_ts").cast("timestamp")),
         )
     )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    bucket_seconds: int = 3600,
+    group_cols: list[str] | None = None,
+    window_buckets: int = 24,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Volume anomaly detection: per (group, time bucket) event counts
+    scored against the trailing ``window_buckets`` observed buckets —
+    z = (n - mean) / std over a ROWS frame ending one bucket earlier
+    (the scored bucket never contaminates its own baseline). ``z`` is
+    NULL until a full baseline window exists or when the baseline has
+    zero variance.
+
+    Scale + determinism notes: one hash aggregate to buckets (map-side
+    combined — the shuffle carries buckets, not events), then a
+    group-partitioned window whose state is ``window_buckets`` rows.
+    Mean and variance are computed from sum / sum-of-squares of integer
+    counts, which are EXACT in doubles — no float-association drift —
+    so any SQL engine replays z bit-for-bit (the driver oracle does).
+    """
+    groups = [F.col(c) for c in (group_cols or [])]
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / bucket_seconds)
+        .cast("long") * bucket_seconds
+    ).alias("bucket_start")
+    agg = events.select(*groups, bucket).groupBy(
+        *(groups + [F.col("bucket_start")])
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col("bucket_start"))
+        .rowsBetween(-window_buckets, -1)
+    )
+    s1 = F.sum("n_events").over(w)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    cnt = F.count("n_events").over(w)
+    mean = s1 / cnt
+    var = (s2 - (s1 * s1) / cnt) / (cnt - 1)
+    z = F.when(
+        (cnt >= window_buckets) & (var > 0),
+        F.round((F.col("n_events") - mean) / F.sqrt(var), 6),
+    )
+    return agg.withColumn("z", z)

@@ -749,6 +749,20 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "conversion_id", "user_id", "lag_us")
 
 
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection (functions/temporal.rolling_zscore):
+    6-hour buckets per event type scored against the trailing 8 observed
+    buckets. Mean/variance come from integer sums (exact in doubles), so
+    the oracle replays z bit-for-bit."""
+    from xcube_geodb_spark.functions.temporal import rolling_zscore
+
+    events = load(spark, sf_dir, "events")
+    return rolling_zscore(
+        events, bucket_seconds=21600, group_cols=["event_type"],
+        window_buckets=8,
+    )
+
+
 def events_gapfill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     """time_bucket_gapfill (functions/temporal): continuous hourly series
     per event type with empty buckets zero-filled — the TimescaleDB
@@ -904,6 +918,34 @@ CORE_ORACLES_EVENTS = {
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
     """,
+    "events_anomaly_zscore": """
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600
+                       AS bucket_start,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT event_type, bucket_start, n_events,
+                   sum(n_events) OVER win AS s1,
+                   sum(n_events * n_events) OVER win AS s2,
+                   count(n_events) OVER win AS cnt
+            FROM agg
+            WINDOW win AS (PARTITION BY event_type ORDER BY bucket_start
+                           ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+        ),
+        v AS (
+            SELECT event_type, bucket_start, n_events, cnt,
+                   s1 / cnt AS mean,
+                   (s2 - (s1 * s1) / cnt) / (cnt - 1) AS var
+            FROM w
+        )
+        SELECT event_type, bucket_start, n_events,
+               CASE WHEN cnt >= 8 AND var > 0
+                    THEN round((n_events - mean) / sqrt(var), 6) END AS z
+        FROM v
+    """,
     "events_gapfill_zero": """
         WITH agg AS (
             SELECT event_type,
@@ -1030,6 +1072,7 @@ CORE_QUERIES = {
     "events_asof_prev": events_asof_prev,
     "events_funnel": events_funnel,
     "events_attribution": events_attribution,
+    "events_anomaly_zscore": events_anomaly_zscore,
     "events_cohort_retention": events_cohort_retention,
     "events_gapfill_zero": events_gapfill_zero,
     "events_gapfill_locf": events_gapfill_locf,
