@@ -702,3 +702,76 @@ class TestPointScalars:
         g = parse_wkb(bytes(row["g"]))
         assert g.srid == 3857
         assert to_wkt(g) == "POINT (1 2)"
+
+
+class TestClipByBox:
+    def test_polygon_corner_clip(self):
+        from xcube_geodb_spark.geometry.geom import area, clip_by_box
+
+        g = parse_wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")
+        c = clip_by_box(g, (5, 5, 20, 20))
+        assert to_wkt(c) == "POLYGON ((5 5, 10 5, 10 10, 5 10, 5 5))"
+        assert area(c) == 25.0
+
+    def test_polygon_with_hole(self):
+        from xcube_geodb_spark.geometry.geom import area, clip_by_box
+
+        g = parse_wkt(
+            "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0),"
+            " (2 2, 4 2, 4 4, 2 4, 2 2))"
+        )
+        # box covers half the hole
+        c = clip_by_box(g, (0, 0, 3, 10))
+        assert len(c.parts) == 2
+        assert area(c) == 30.0 - 2.0  # 3x10 shell minus 1x2 hole part
+
+    def test_line_splits_into_multilinestring(self):
+        from xcube_geodb_spark.geometry.geom import clip_by_box
+
+        l = parse_wkt("LINESTRING(-5 5, 5 5, 5 50, 8 50, 8 5, 20 5)")
+        c = clip_by_box(l, (0, 0, 10, 10))
+        assert c.kind == "MultiLineString"
+        assert len(c.parts) == 2
+
+    def test_outside_returns_none_inside_unchanged(self):
+        from xcube_geodb_spark.geometry.geom import clip_by_box
+
+        assert clip_by_box(parse_wkt("POINT(50 50)"), (0, 0, 10, 10)) is None
+        assert clip_by_box(
+            parse_wkt("POLYGON((90 90, 95 90, 95 95, 90 95, 90 90))"),
+            (0, 0, 10, 10),
+        ) is None
+        p = parse_wkt("POINT(5 5)")
+        assert clip_by_box(p, (0, 0, 10, 10)) is p
+        sq = parse_wkt("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))")
+        assert to_wkt(clip_by_box(sq, (0, 0, 10, 10))) == to_wkt(sq)
+
+    def test_multipolygon_members_clip_independently(self):
+        from xcube_geodb_spark.geometry.geom import clip_by_box
+
+        mp = parse_wkt(
+            "MULTIPOLYGON(((0 0, 4 0, 4 4, 0 4, 0 0)),"
+            " ((20 20, 24 20, 24 24, 20 24, 20 20)),"
+            " ((90 90, 95 90, 95 95, 90 95, 90 90)))"
+        )
+        c = clip_by_box(mp, (2, 2, 22, 22))
+        assert c.kind == "MultiPolygon" and len(c.parts) == 2
+
+    def test_sql_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        (row,) = spark.sql(
+            """
+            SELECT st_area(st_clipbybox2d(
+                       st_geomfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+                       st_makeenvelope(5, 5, 20, 20))) AS a,
+                   st_clipbybox2d(
+                       st_geomfromtext('POINT (50 50)'),
+                       st_makeenvelope(0, 0, 1, 1)) AS outside
+            """
+        ).collect()
+        assert row["a"] == 25.0
+        assert row["outside"] is None

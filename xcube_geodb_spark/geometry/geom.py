@@ -919,3 +919,88 @@ def distance_sphere(a: Geometry, b: Geometry) -> float:
         * math.sin(dlon / 2.0) ** 2
     )
     return 2.0 * EARTH_RADIUS_M * math.asin(math.sqrt(min(h, 1.0)))
+
+
+def clip_by_box(geom: Geometry, box: tuple) -> Geometry | None:
+    """``ST_ClipByBox2D``: geometry ∩ axis-aligned box, computed by the
+    predicate kernel's clipping primitives (Sutherland-Hodgman for rings —
+    the box is convex — Liang-Barsky for segments). Points filter, lines
+    may split into MultiLineString parts, polygons clip per ring with
+    collapsed holes dropped; a fully-outside geometry returns ``None``
+    (SQL NULL). Like PostGIS, this is the fast planar clip: output
+    validity is not guaranteed for pathological inputs."""
+    from xcube_geodb_spark.geometry.predicates import (
+        _clip_ring_to_box,
+        _segment_box_clip,
+    )
+
+    xmin, ymin, xmax, ymax = (float(v) for v in box)
+    bx = (xmin, ymin, xmax, ymax)
+
+    if geom.kind == "Point":
+        x, y = float(geom.parts[0]), float(geom.parts[1])
+        if xmin <= x <= xmax and ymin <= y <= ymax:
+            return geom
+        return None
+
+    if geom.kind == "LineString":
+        parts: list[list] = []
+        cur: list = []
+        coords = geom.parts
+        for i in range(len(coords) - 1):
+            clip = _segment_box_clip(
+                float(coords[i, 0]), float(coords[i, 1]),
+                float(coords[i + 1, 0]), float(coords[i + 1, 1]), bx,
+            )
+            if clip is None:
+                if len(cur) >= 2:
+                    parts.append(cur)
+                cur = []
+                continue
+            t0, t1 = clip
+            ax, ay = float(coords[i, 0]), float(coords[i, 1])
+            dx = float(coords[i + 1, 0]) - ax
+            dy = float(coords[i + 1, 1]) - ay
+            px, py = ax + t0 * dx, ay + t0 * dy
+            qx, qy = ax + t1 * dx, ay + t1 * dy
+            if cur and cur[-1] == (px, py):
+                cur.append((qx, qy))
+            else:
+                if len(cur) >= 2:
+                    parts.append(cur)
+                cur = [(px, py), (qx, qy)]
+        if len(cur) >= 2:
+            parts.append(cur)
+        lines = [
+            Geometry("LineString", np.asarray(p, dtype=np.float64))
+            for p in parts
+            # drop degenerate (single touch point) pieces
+            if not (len(p) == 2 and p[0] == p[1])
+        ]
+        if not lines:
+            return None
+        if len(lines) == 1:
+            lines[0].srid = geom.srid
+            return lines[0]
+        return Geometry("MultiLineString", lines, geom.srid)
+
+    if geom.kind == "Polygon":
+        rings = []
+        for idx, ring in enumerate(geom.parts):
+            out = _clip_ring_to_box(ring, bx)
+            if len(out) < 3:
+                if idx == 0:
+                    return None
+                continue  # hole entirely outside the box
+            closed = np.vstack([out, out[:1]])
+            rings.append(closed)
+        return Geometry("Polygon", rings, geom.srid)
+
+    if geom.kind in _MULTI_KINDS or geom.kind == "GeometryCollection":
+        kept = [
+            c for g in geom.parts if (c := clip_by_box(g, bx)) is not None
+        ]
+        if not kept:
+            return None
+        return Geometry(geom.kind, kept, geom.srid)
+    return None

@@ -220,6 +220,26 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     spark.udf.register("st_azimuth", _azimuth, T.DoubleType())
 
+    from xcube_geodb_spark.geometry.geom import bbox_polygon, clip_by_box
+
+    def _makeenvelope(xmin, ymin, xmax, ymax, srid=None):
+        if None in (xmin, ymin, xmax, ymax):
+            return None
+        g = bbox_polygon(float(xmin), float(ymin), float(xmax), float(ymax))
+        return to_wkb(g, srid=int(srid) if srid else None)
+
+    spark.udf.register("st_makeenvelope", _makeenvelope, T.BinaryType())
+
+    def _clipbybox2d(b: bytes, env: bytes):
+        """PostGIS ST_ClipByBox2D(geom, box2d): the box argument is any
+        geometry's 2D envelope (pair with st_makeenvelope)."""
+        if b is None or env is None:
+            return None
+        out = clip_by_box(parse_wkb(b), envelope(parse_wkb(env)))
+        return to_wkb(out) if out is not None else None
+
+    spark.udf.register("st_clipbybox2d", _clipbybox2d, T.BinaryType())
+
     def _transform(b: bytes, from_srid: int, to_srid: int):
         if b is None:
             return None

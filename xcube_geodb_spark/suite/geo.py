@@ -534,6 +534,39 @@ GEO_ORACLES["geo_distance_sphere"] = f"""
 """
 
 
+def geo_clip_squares(spark, sf_dir):
+    """ST_ClipByBox2D through the raw-SQL path: squares clipped to the
+    standard query box, keyed area of the clipped geometry. The squares'
+    closed form gives the oracle the exact interval-intersection area
+    ``ix * iy``; fully-outside squares clip to NULL on the engine side
+    and are excluded by ``ix, iy > 0`` on both sides (touching squares
+    clip to zero-area slivers, excluded identically)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("sq_clip")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               round(st_area(st_clipbybox2d(
+                   geometry, st_makeenvelope(-50, -30, 50, 30))), 6)
+                   AS clip_area
+        FROM sq_clip
+        """
+    ).filter("clip_area > 0")
+
+
+GEO_ORACLES["geo_clip_squares"] = f"""
+    SELECT c_custkey, round(ix * iy, 6) AS clip_area
+    FROM (
+        SELECT c_custkey,
+               least(50.0, x + h) - greatest(-50.0, x - h) AS ix,
+               least(30.0, y + h) - greatest(-30.0, y - h) AS iy
+        FROM ({_SQS})
+    ) WHERE ix > 0 AND iy > 0 AND round(ix * iy, 6) > 0
+"""
+
+
 def geo_collect_points(spark, sf_dir):
     """ST_Collect parity (functions/geo_agg.collect_points_wkt): per-group
     MULTIPOINT WKT assembled from pure column algebra — decimal-formatted
@@ -800,6 +833,7 @@ GEO_QUERIES = {
     "geo_distance_knn": geo_distance_knn,
     "geo_distance_sphere": geo_distance_sphere,
     "geo_collect_points": geo_collect_points,
+    "geo_clip_squares": geo_clip_squares,
     "geo_knn_warehouse": geo_knn_warehouse,
     "geo_transform_points": geo_transform_points,
     "geo_bbox_contains_points": geo_bbox_contains_points,
