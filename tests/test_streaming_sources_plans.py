@@ -310,3 +310,59 @@ class TestStreamingTiles:
         }
         assert got == expected
         assert sum(got.values()) == 40
+
+
+class TestWatermarkSemantics:
+    def test_late_rows_beyond_watermark_are_dropped(self, spark, tmp_path):
+        """Real late-data behavior, not just plan shape: feed a first
+        micro-batch that advances the watermark far past an old window,
+        then a second batch with an event older than the watermark. In
+        append mode the closed window must emit WITHOUT the late event."""
+        import os
+
+        src = str(tmp_path / "late_src")
+        os.makedirs(src)
+        on_time = spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:10:00", 1, "click", 1.0, "{}"),
+                (2, "2024-01-01 10:20:00", 1, "click", 1.0, "{}"),
+                # far-future event pushes the watermark (2h delay) past
+                # the 10:00 window's end
+                (3, "2024-01-02 00:00:00", 1, "view", 1.0, "{}"),
+            ],
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        on_time.coalesce(1).write.parquet(os.path.join(src, "batch1"))
+
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        out = tumbling_window_counts(stream, "1 hour", "2 hours")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("late_test")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            late = spark.createDataFrame(
+                [(9, "2024-01-01 10:30:00", 2, "click", 1.0, "{}")],
+                "event_id long, ts string, user_id long, event_type string, value double, props string",
+            ).withColumn("ts", F.to_timestamp("ts"))
+            late.coalesce(1).write.parquet(os.path.join(src, "batch2"))
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT window_start, event_type, n_events FROM late_test"
+            ).collect()
+        finally:
+            q.stop()
+        clicks = [
+            r for r in rows
+            if r["event_type"] == "click"
+            and str(r["window_start"]) == "2024-01-01 10:00:00"
+        ]
+        # the 10:00 click window closed with 2 events; the 10:30 straggler
+        # arrived after the watermark passed and must not reopen it
+        assert [r["n_events"] for r in clicks] == [2]
