@@ -775,3 +775,22 @@ class TestClipByBox:
         ).collect()
         assert row["a"] == 25.0
         assert row["outside"] is None
+
+
+class TestSnapToGrid:
+    def test_snap_and_null_cases(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        (row,) = spark.sql(
+            """
+            SELECT st_astext(st_snaptogrid(
+                       st_geomfromtext('LINESTRING (0.26 0.77, 1.24 1.26)'),
+                       0.5)) AS snapped,
+                   st_snaptogrid(st_geomfromtext('POINT (1 1)'), 0) AS bad
+            """
+        ).collect()
+        assert row["snapped"] == "LINESTRING (0.5 1, 1 1.5)"
+        assert row["bad"] is None

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Scale smoke: run the engine's heaviest operators on a 10x-replicated
+sf0.1 dataset (~1.5 M lineitem rows, 50 k documents, 60 k embeddings,
+100 k events) and report wall times + the scaling ratio vs the 1x run.
+
+This is evidence for the 100 TB design claims: the replication keeps key
+cardinality (ids are re-spaced per copy), so join fan-outs, LSH bucket
+sizes, and window state all grow with the data — an operator whose time
+grows super-linearly here would melt on a cluster.
+
+Usage: python tools/scale_smoke.py [replication] [sf_dir]
+Prints one JSON line: {"replication": N, "queries": {name: {"x1": s,
+"xN": s, "ratio": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from xcube_geodb_spark.session import get_spark  # noqa: E402
+from xcube_geodb_spark.suite.util import load  # noqa: E402
+
+
+def _replicate(df: DataFrame, n: int, id_cols: list[str]) -> DataFrame:
+    """Union n copies, re-spacing every id column so keys stay unique
+    (duplicate-density-preserving growth, not a degenerate n-fold dup)."""
+    copies = df.withColumn("__copy", F.explode(F.array(*[F.lit(i) for i in range(n)])))
+    for c in id_cols:
+        copies = copies.withColumn(
+            c, (F.col(c) * n + F.col("__copy")).cast("long")
+        )
+    return copies.drop("__copy")
+
+
+def main() -> None:
+    repl = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark(app_name="scale_smoke")
+
+    docs1 = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    # salt each copy's text with its copy index: replicated corpora must
+    # keep the ORIGINAL duplicate density, or bucket-join outputs (LSH
+    # candidate pairs) grow quadratically by data construction and the
+    # ratio measures the dataset, not the plan
+    # every TOKEN gets the copy suffix: a tail-only salt leaves min-hash
+    # signatures (MIN over shingles) intact and copies still collide
+    salt = (F.col("doc_id") % repl).cast("string")
+    docsN = (
+        _replicate(docs1, repl, ["doc_id"])
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, salt),
+                ),
+                " ",
+            ),
+        )
+        .cache()
+    )
+    emb1 = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    embN = _replicate(emb1, repl, ["vec_id"]).cache()
+    ev1 = load(spark, sf_dir, "events")
+    evN = _replicate(ev1, repl, ["event_id"]).cache()
+    for df in (docsN, embN, evN):
+        df.count()
+
+    def _noop(df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def minhash(d):
+        from xcube_geodb_spark.functions.dedup import minhash_candidate_pairs
+
+        return minhash_candidate_pairs(d)
+
+    def bm25(d):
+        from xcube_geodb_spark.functions.retrieval import bm25_topk
+
+        return bm25_topk(d, ["spark", "hash", "window", "merge"], k=20)
+
+    def cmsketch(d):
+        from xcube_geodb_spark.functions.sketch import count_min_build
+        from xcube_geodb_spark.functions.text import tokens
+
+        return count_min_build(
+            d.select(F.explode(tokens(F.col("text"))).alias("t")), "t"
+        )
+
+    def shuffle_op(d):
+        from xcube_geodb_spark.functions.sampling import deterministic_shuffle
+
+        return deterministic_shuffle(d.select("doc_id"), "doc_id")
+
+    def knn(e):
+        from xcube_geodb_spark.functions.similarity import knn_join
+
+        q = e.filter(F.col("vec_id") % 997 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return knn_join(e, q, k=5)
+
+    def sessionize(ev):
+        from xcube_geodb_spark.suite.core import events_sessionization  # noqa: F401
+        # batch sessionization shape: gap-based sessions per user
+        w = F.window("ts", "1 hour")
+        return (
+            ev.groupBy(F.col("user_id"), w)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    cases = [
+        ("dedup_minhash_pairs", minhash, docs1, docsN),
+        ("bm25_topk", bm25, docs1, docsN),
+        ("count_min_build", cmsketch, docs1, docsN),
+        ("deterministic_shuffle", shuffle_op, docs1, docsN),
+        ("knn_join", knn, emb1, embN),
+        ("events_window_agg", sessionize, ev1, evN),
+    ]
+
+    out = {}
+    for name, fn, one, many in cases:
+        _noop(fn(one))  # warm-up: codegen/plan compilation must not bias x1
+        t0 = time.perf_counter()
+        _noop(fn(one))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _noop(fn(many))
+        tn = time.perf_counter() - t0
+        out[name] = {
+            "x1": round(t1, 3),
+            f"x{repl}": round(tn, 3),
+            "ratio": round(tn / t1, 2) if t1 > 0 else None,
+        }
+        print(f"{name}: x1={t1:.2f}s x{repl}={tn:.2f}s ratio={tn / t1:.2f}",
+              file=sys.stderr)
+
+    print(json.dumps({"replication": repl, "sf_dir": sf_dir, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -124,11 +124,20 @@ def minhash_signatures(
     # slice INSIDE the aggregate: a second projection would be collapsed
     # into the first by CollapseProject and each md5 re-evaluated once per
     # slice (measured slower than the unsliced form); as aggregate inputs
-    # the digests stay bound columns computed once per row
+    # the digests stay bound columns computed once per row.
+    # min over LONG, not the hex string: string aggregation buffers are
+    # immutable so Spark demotes min(string) to a SortAggregate — a
+    # per-partition sort of the whole exploded shingle stream (measured
+    # 4x the cost at 10x scale); the numeric min keeps a mutable buffer
+    # -> HashAggregate with map-side partials. Order is preserved
+    # (fixed-width lowercase hex compares like its numeric value).
     return digests.groupBy(id_col).agg(
         *[
             F.min(
-                F.substring(F.col(f"__d{h // 4}"), (h % 4) * 8 + 1, 8)
+                F.conv(
+                    F.substring(F.col(f"__d{h // 4}"), (h % 4) * 8 + 1, 8),
+                    16, 10,
+                ).cast("long")
             ).alias(f"m{h}")
             for h in range(num_hashes)
         ]

@@ -240,6 +240,23 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     spark.udf.register("st_clipbybox2d", _clipbybox2d, T.BinaryType())
 
+    from xcube_geodb_spark.geometry.geom import map_coordinates
+
+    def _snaptogrid(b: bytes, size: float):
+        """PostGIS ST_SnapToGrid(geom, size): coordinates rounded to the
+        origin-anchored grid. Consecutive duplicate vertices produced by
+        snapping are NOT removed (PostGIS removes them; documented
+        deviation — pair with st_simplify(0) to collapse them)."""
+        if b is None or size is None or float(size) <= 0:
+            return None
+        s = float(size)
+        out = map_coordinates(
+            parse_wkb(b), lambda x, y: (round(x / s) * s, round(y / s) * s)
+        )
+        return to_wkb(out)
+
+    spark.udf.register("st_snaptogrid", _snaptogrid, T.BinaryType())
+
     def _transform(b: bytes, from_srid: int, to_srid: int):
         if b is None:
             return None

@@ -96,14 +96,16 @@ _K, _BANDS, _R = 12, 4, 3
 # each md5 digest yields four independent 8-hex slices, min-reduced
 # separately (mirrors dedup.minhash_signatures' sliced-digest form)
 _SIG_COLS = ", ".join(
-    f"list_min(list_transform(sh, s -> "
-    f"substr(md5(s || '#{j // 4}'), {(j % 4) * 8 + 1}, 8))) AS m{j}"
+    f"list_min(list_transform(sh, s -> CAST(('0x' || "
+    f"substr(md5(s || '#{j // 4}'), {(j % 4) * 8 + 1}, 8)) AS BIGINT))) AS m{j}"
     for j in range(_K)
 )
 _BAND_SELECTS = " UNION ALL ".join(
     "SELECT doc_id, {b} AS band, md5({parts}) AS band_hash FROM sig".format(
         b=b,
-        parts=" || '|' || ".join(f"m{b * _R + r}" for r in range(_R)),
+        parts=" || '|' || ".join(
+            f"CAST(m{b * _R + r} AS VARCHAR)" for r in range(_R)
+        ),
     )
     for b in range(_BANDS)
 )
