@@ -522,3 +522,32 @@ class TestGrantsAndCapabilities:
         # DDL refreshes on next access (reference invalidates its cache)
         client.add_property(land_use, "new_col", "int")
         assert "new_col" in client.capabilities["definitions"][key]["properties"]
+
+
+class TestSearchCollection:
+    def test_ranked_search(self, client):
+        client.create_collection("docs", {"body": "string"})
+        values = pd.DataFrame(
+            {
+                "body": [
+                    "spark shuffle join spark",
+                    "hash table scan",
+                    "spark hash window",
+                    "unrelated words entirely",
+                ],
+            }
+        )
+        client.insert_into_collection("docs", values)
+        out = client.search_collection("docs", "Spark, hash!", "body", k=3)
+        assert list(out.columns[:2]) == ["id", "bm25"]
+        assert len(out) == 3
+        # doc containing both query terms ranks first
+        assert out.iloc[0]["body"] == "spark hash window"
+        assert out.iloc[0]["bm25"] > out.iloc[1]["bm25"]
+        assert "unrelated words entirely" not in set(out["body"].head(3)) or \
+            out.iloc[2]["bm25"] >= 0
+
+    def test_empty_query_raises(self, client):
+        client.create_collection("docs2", {"body": "string"})
+        with pytest.raises(GeoDBError):
+            client.search_collection("docs2", "!!!", "body")

@@ -466,3 +466,37 @@ class TestTopNgrams:
         assert [r["ngram"] for r in out.collect()] == ["a b c", "b c d"]
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestUnigramLogprob:
+    def test_matches_hand_math(self, spark):
+        import math
+
+        from xcube_geodb_spark.functions.text import unigram_logprob
+
+        # corpus: 6 tokens total; "a" x3, "b" x2, "c" x1
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "a b c")], ["doc_id", "text"]
+        )
+        got = {r["doc_id"]: (r["n_tokens"], r["nll"])
+               for r in unigram_logprob(docs).collect()}
+        pa, pb, pc = 3 / 6, 2 / 6, 1 / 6
+        nll1 = round((2 * round(-math.log(pa), 7) + round(-math.log(pb), 7)) / 3, 6)
+        nll2 = round((round(-math.log(pa), 7) + round(-math.log(pb), 7)
+                      + round(-math.log(pc), 7)) / 3, 6)
+        assert got[1] == (3, pytest.approx(nll1, abs=1e-6))
+        assert got[2] == (3, pytest.approx(nll2, abs=1e-6))
+        # rarer tokens -> higher surprisal
+        assert got[2][1] > got[1][1]
+
+    def test_gibberish_scores_higher(self, spark):
+        from xcube_geodb_spark.functions.text import unigram_logprob
+
+        common = "the cat sat on the mat " * 20
+        docs = spark.createDataFrame(
+            [(i, common) for i in range(20)]
+            + [(99, "zxqv wkjh qpzm vvxk zzyy qqpp")],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r["nll"] for r in unigram_logprob(docs).collect()}
+        assert got[99] > got[0] * 2

@@ -691,6 +691,43 @@ class GeoDBSparkClient:
         )
         return {"removed": n}
 
+    def search_collection(
+        self,
+        collection: str,
+        query: str,
+        prop: str,
+        k: int = 10,
+        database: str | None = None,
+    ) -> pd.DataFrame:
+        """Ranked full-text search over a collection property (engine
+        superset: the reference's ``fts`` grammar filter is boolean-only;
+        this returns the BM25 top-k with scores, through
+        functions/retrieval.bm25_topk — corpus stats reduce to one driver
+        row, scoring is a shuffle-free projection, top-k is a heap).
+        Returns the matching rows joined back to all visible columns,
+        best first, with a ``bm25`` score column."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from xcube_geodb_spark.catalog import SYSTEM_COLUMNS
+        from xcube_geodb_spark.functions.retrieval import bm25_topk
+
+        db = self._db(database)
+        df = self.catalog.load_df(collection, db)
+        # same normalization as functions/text.tokens, driver-side
+        terms = [
+            t for t in _re.sub(r"[^a-z0-9 ]", " ", query.lower()).split() if t
+        ]
+        if not terms:
+            raise GeoDBError("search_collection needs a non-empty query")
+        top = bm25_topk(df, list(dict.fromkeys(terms)), k=k,
+                        text_col=prop, id_col="id")
+        out = top.join(df.drop(*SYSTEM_COLUMNS), "id").orderBy(
+            F.col("bm25").desc(), F.col("id")
+        )
+        return out.toPandas()
+
     # -- ACL / publish -----------------------------------------------------------
 
     def grant_access_to_collection(

@@ -247,3 +247,44 @@ def top_ngrams(
         .orderBy(F.col("n").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity-proxy quality signal: per-document mean unigram negative
+    log-probability under the corpus's own unigram model — the cheap
+    stand-in for a KenLM quality filter (fluent, typical documents score
+    low; gibberish and outliers score high).
+
+    Two passes, both shuffle-bounded by the token vocabulary: one
+    aggregation builds the unigram table (map-side combined; output is
+    vocabulary-sized, Zipf-small relative to the corpus), then postings
+    join it on the token (hash join on the vocab key) and re-aggregate
+    per document. Per-token surprisals round to 7 decimals and sum as
+    exact DECIMAL(28,7), so the per-doc mean is independent of
+    aggregation order and replayable by any SQL engine. Returns
+    ``(id, n_tokens, nll)`` with nll rounded to 6.
+    """
+    toks = tokens(F.col(text_col))
+    total = df.agg(F.sum(F.size(toks))).collect()[0][0] or 1
+    post = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    vocab = post.groupBy("__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    # -ln(tf / total): integer inputs, one fixed association
+    surprisal = -F.log(F.col("__tf") / F.lit(float(total)))
+    scored = post.join(vocab, "__tok").select(
+        F.col(id_col),
+        F.round(surprisal, 7).cast("decimal(28,7)").alias("__s"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # decimal sum -> double BEFORE the divide: the sum is exact
+            # in a double (< 2^53 scaled units), so both engines divide
+            # identical operands
+            F.round(
+                F.sum("__s").cast("double") / F.count(F.lit(1)), 6
+            ).alias("nll"),
+        )
+    )

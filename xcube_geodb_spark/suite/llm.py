@@ -1081,7 +1081,29 @@ def text_top_bigrams(spark, sf_dir):
     return text.top_ngrams(docs, n=2, k=20)
 
 
+def text_unigram_nll(spark, sf_dir):
+    """Perplexity-proxy quality (functions/text.unigram_logprob): mean
+    unigram surprisal per document under the corpus's own unigram model.
+    Vocabulary-bounded shuffles; decimal surprisal sums make the mean
+    aggregation-order independent, which the oracle replays."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.unigram_logprob(docs)
+
+
 LLM_CORPUS_ORACLES = {
+    "text_unigram_nll": f"""
+        WITH post AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+            FROM documents
+        ),
+        total AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM post),
+        vocab AS (SELECT tok, count(*) AS tf FROM post GROUP BY tok)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(CAST(sum(CAST(round(-ln(tf / t), 7) AS DECIMAL(28,7)))
+                          AS DOUBLE) / count(*), 6) AS nll
+        FROM post JOIN vocab USING (tok) CROSS JOIN total
+        GROUP BY doc_id
+    """,
     "sample_weighted_quality": """
         SELECT doc_id FROM (
             SELECT doc_id,
@@ -1288,6 +1310,7 @@ LLM_QUERIES = {
     "sketch_distinct_tokens": sketch_distinct_tokens,
     "sample_weighted_quality": sample_weighted_quality,
     "text_top_bigrams": text_top_bigrams,
+    "text_unigram_nll": text_unigram_nll,
     "corpus_cap_per_source": corpus_cap_per_source,
     "corpus_shuffle": corpus_shuffle,
 }
