@@ -485,3 +485,47 @@ class TestExplainScan:
         info = explain_scan(client.catalog, chunked, None, database="pruner")
         assert info["files_scanned"] == info["files_total"] == 2
 
+
+
+class TestHistogram:
+    def test_exact_counts_and_edges(self, spark):
+        from xcube_geodb_spark.operators.stats import histogram_column
+
+        df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+        rows = histogram_column(df, "v", bins=10, bounds=(0.0, 100.0)).collect()
+        assert len(rows) == 10
+        assert all(r["n"] == 10 for r in rows)
+        assert rows[0]["lo"] == 0.0 and rows[0]["hi"] == 10.0
+        assert rows[-1]["hi"] == 100.0
+
+    def test_max_value_lands_in_last_bucket(self, spark):
+        from xcube_geodb_spark.operators.stats import histogram_column
+
+        df = spark.createDataFrame([(0.0,), (10.0,)], ["v"])
+        rows = {r["bucket"]: r["n"] for r in
+                histogram_column(df, "v", bins=5, bounds=(0.0, 10.0)).collect()}
+        assert rows[0] == 1 and rows[4] == 1
+
+    def test_auto_bounds_and_empty_buckets(self, spark):
+        from xcube_geodb_spark.operators.stats import histogram_column
+
+        df = spark.createDataFrame([(1.0,), (1.0,), (9.0,)], ["v"])
+        rows = histogram_column(df, "v", bins=4).collect()
+        assert [r["n"] for r in rows] == [2, 0, 0, 1]
+        assert rows[0]["lo"] == 1.0 and rows[-1]["hi"] == 9.0
+
+    def test_out_of_bounds_rows_excluded(self, spark):
+        from xcube_geodb_spark.operators.stats import histogram_column
+
+        df = spark.createDataFrame([(-5.0,), (5.0,), (50.0,), (None,)], ["v"])
+        rows = histogram_column(df, "v", bins=2, bounds=(0.0, 10.0)).collect()
+        assert sum(r["n"] for r in rows) == 1
+
+    def test_rejects_zero_bins(self, spark):
+        import pytest as _pytest
+
+        from xcube_geodb_spark.operators.stats import histogram_column
+
+        df = spark.createDataFrame([(1.0,)], ["v"])
+        with _pytest.raises(ValueError):
+            histogram_column(df, "v", bins=0)

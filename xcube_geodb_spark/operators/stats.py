@@ -249,3 +249,58 @@ def footer_min_max(paths: list[str], columns: list[str]) -> dict[str, tuple]:
                 if agg[c][1] is None or hi > agg[c][1]:
                     agg[c][1] = hi
     return {c: tuple(agg[c]) for c in columns if ok[c] and agg[c][0] is not None}
+
+
+def histogram_column(
+    df,
+    column: str,
+    bins: int = 10,
+    bounds: tuple | None = None,
+):
+    """Equi-width histogram of a numeric column — the ANALYZE histogram
+    companion to :func:`profile_collection` (the reference's server keeps
+    ``pg_stats`` histograms; here they are computed on demand).
+
+    One pass when ``bounds`` is given, two when the [min, max] must be
+    measured first (both aggregations map-side combined; output is
+    ``bins`` rows). Bucket membership is closed-form —
+    ``least(floor((x - lo) / width), bins - 1)`` with the max value
+    folded into the last bucket — so any SQL engine replays the exact
+    counts. Empty buckets are emitted with zero counts (sequence join,
+    proportional to ``bins``). Returns (bucket, lo, hi, n) with bucket
+    edges rounded to 9 decimals.
+    """
+    from pyspark.sql import functions as F
+
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    c = F.col(column).cast("double")
+    if bounds is None:
+        row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        bounds = (row["lo"], row["hi"])
+    lo, hi = float(bounds[0]), float(bounds[1])
+    if not hi > lo:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+    bucket = F.least(
+        F.floor((c - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(bins - 1),
+    )
+    counts = (
+        df.filter(c.isNotNull() & (c >= lo) & (c <= hi))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(bins).select(F.col("id").alias("bucket"))
+    return (
+        grid.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 9).alias("lo"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 9).alias("hi"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("bucket")
+    )

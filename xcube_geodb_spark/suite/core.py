@@ -434,6 +434,18 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (operators/stats.histogram_column): 20
+    buckets of l_extendedprice over explicit bounds — the pg_stats
+    histogram analogue, closed-form bucket math any engine replays."""
+    from xcube_geodb_spark.operators.stats import histogram_column
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    return histogram_column(
+        lineitem, "l_extendedprice", bins=20, bounds=(0.0, 110000.0)
+    )
+
+
 def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE through the raw-SQL passthrough (§2.4 documented
     superset, like rollup): all four grouping combinations of
@@ -604,6 +616,23 @@ CORE_ORACLES_RELATIONAL = {
                coalesce(l_linestatus, 'ALL') AS linestatus,
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "agg_histogram_price": """
+        SELECT g.bucket,
+               round(0.0 + g.bucket * 5500.0, 9) AS lo,
+               round(0.0 + (g.bucket + 1) * 5500.0, 9) AS hi,
+               coalesce(c.n, 0) AS n
+        FROM (SELECT unnest(range(0, 20)) AS bucket) g
+        LEFT JOIN (
+            SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+                                    / 5500.0) AS BIGINT), 19) AS bucket,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_extendedprice >= 0.0 AND l_extendedprice <= 110000.0
+            GROUP BY 1
+        ) c USING (bucket)
+        ORDER BY g.bucket
     """,
     "cube_lineitem": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -1059,6 +1088,7 @@ CORE_QUERIES = {
     "window_top_order_per_customer": window_top_order_per_customer,
     "rollup_lineitem": rollup_lineitem,
     "cube_lineitem": cube_lineitem,
+    "agg_histogram_price": agg_histogram_price,
     "distinct_mktsegment": distinct_mktsegment,
     "agg_distinct_parts": agg_distinct_parts,
     "scalar_string_funcs": scalar_string_funcs,
