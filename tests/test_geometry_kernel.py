@@ -794,3 +794,46 @@ class TestSnapToGrid:
         ).collect()
         assert row["snapped"] == "LINESTRING (0.5 1, 1 1.5)"
         assert row["bad"] is None
+
+
+class TestEnvelopeExpandIntersection:
+    def test_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT st_astext(st_envelope(st_geomfromtext(
+                       'LINESTRING (1 2, 5 8)'))) AS env,
+                   st_astext(st_expand(st_geomfromtext('POINT (5 5)'), 2)) AS exp,
+                   st_area(st_intersection(
+                       st_geomfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+                       st_makeenvelope(5, 5, 20, 20))) AS a,
+                   st_area(st_intersection(
+                       st_makeenvelope(5, 5, 20, 20),
+                       st_geomfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))')
+                   )) AS a_flipped
+            """
+        ).collect()[0]
+        assert row["env"] == "POLYGON ((1 2, 5 2, 5 8, 1 8, 1 2))"
+        assert row["exp"] == "POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))"
+        assert row["a"] == 25.0 and row["a_flipped"] == 25.0
+
+    def test_general_overlay_raises(self, spark):
+        from pyspark.sql.utils import PythonException
+
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        with pytest.raises(PythonException, match="axis-aligned"):
+            spark.sql(
+                """
+                SELECT st_intersection(
+                    st_geomfromtext('POLYGON ((0 0, 4 0, 2 3, 0 0))'),
+                    st_geomfromtext('POLYGON ((1 1, 5 1, 3 4, 1 1))'))
+                """
+            ).collect()

@@ -257,6 +257,58 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     spark.udf.register("st_snaptogrid", _snaptogrid, T.BinaryType())
 
+    def _envelope_poly(b: bytes):
+        """ST_Envelope: the geometry's axis-aligned bounding rectangle
+        (degenerate inputs still return the 5-point ring, unlike PostGIS
+        which degrades to POINT/LINESTRING — documented deviation)."""
+        if b is None:
+            return None
+        return to_wkb(bbox_polygon(*envelope(parse_wkb(b))))
+
+    spark.udf.register("st_envelope", _envelope_poly, T.BinaryType())
+
+    def _expand(b: bytes, dist: float):
+        """ST_Expand: the envelope grown by ``dist`` on every side."""
+        if b is None or dist is None:
+            return None
+        xmin, ymin, xmax, ymax = envelope(parse_wkb(b))
+        d = float(dist)
+        return to_wkb(bbox_polygon(xmin - d, ymin - d, xmax + d, ymax + d))
+
+    spark.udf.register("st_expand", _expand, T.BinaryType())
+
+    def _is_rect(g) -> bool:
+        if g.kind != "Polygon" or len(g.parts) != 1:
+            return False
+        ring = g.parts[0]
+        if len(ring) != 5:
+            return False
+        xmin, ymin, xmax, ymax = envelope(g)
+        xs = {float(p[0]) for p in ring}
+        ys = {float(p[1]) for p in ring}
+        return xs <= {xmin, xmax} and ys <= {ymin, ymax}
+
+    def _intersection(a: bytes, b: bytes):
+        """ST_Intersection restricted to one axis-aligned rectangular
+        operand (either side) — the bbox-clip case every reference query
+        uses; general polygon∩polygon needs a full overlay the kernel
+        does not implement and raises instead of silently approximating."""
+        if a is None or b is None:
+            return None
+        ga, gb = parse_wkb(a), parse_wkb(b)
+        if _is_rect(gb):
+            out = clip_by_box(ga, envelope(gb))
+        elif _is_rect(ga):
+            out = clip_by_box(gb, envelope(ga))
+        else:
+            raise GeoDBError(
+                "st_intersection supports an axis-aligned rectangular "
+                "operand only (use st_clipbybox2d / st_makeenvelope)"
+            )
+        return to_wkb(out) if out is not None else None
+
+    spark.udf.register("st_intersection", _intersection, T.BinaryType())
+
     def _transform(b: bytes, from_srid: int, to_srid: int):
         if b is None:
             return None
