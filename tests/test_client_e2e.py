@@ -551,3 +551,19 @@ class TestSearchCollection:
         client.create_collection("docs2", {"body": "string"})
         with pytest.raises(GeoDBError):
             client.search_collection("docs2", "!!!", "body")
+
+
+def test_quickstart_example_runs(tmp_path):
+    """The examples/quickstart.py notebook-parity walkthrough must keep
+    executing end-to-end (subprocess: it owns its own SparkSession)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "examples", "quickstart.py")],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "quickstart complete" in r.stdout
