@@ -1090,7 +1090,57 @@ def text_unigram_nll(spark, sf_dir):
     return text.unigram_logprob(docs)
 
 
+def pipeline_corpus_curation(spark, sf_dir):
+    """The round's curation operators verified COMPOSED: per-source cap
+    (<= 60 docs per domain) -> quality-weighted downsampling (keep
+    probability = length-based weight) -> deterministic corpus shuffle of
+    the survivors. One oracle replays the whole chain — hash-rank window,
+    md5 bucket cutoffs, and the global permutation — so stage interfaces
+    stay verified together, not just alone."""
+    from xcube_geodb_spark.functions.sampling import (
+        cap_per_group,
+        deterministic_shuffle,
+        hash_sample_weighted,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.least(F.col("n_chars") / 700.0, F.lit(1.0)).alias("w"),
+    )
+    capped = cap_per_group(docs, "source", "doc_id", max_rows=60, seed="cur")
+    kept = hash_sample_weighted(capped, "doc_id", "w", seed="curw")
+    return deterministic_shuffle(kept.select("doc_id"), "doc_id", seed="cure")
+
+
 LLM_CORPUS_ORACLES = {
+    "pipeline_corpus_curation": """
+        WITH capped AS (
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('cur' || CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 60
+        ),
+        kept AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('curw' ||
+                                CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 10000 AS b,
+                       round(least(n_chars / 700.0, 1.0) * 10000) AS cut
+                FROM capped
+            ) WHERE b < cut
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY md5('cure' || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS BIGINT) AS shuffle_pos
+        FROM kept
+    """,
     "text_unigram_nll": f"""
         WITH post AS (
             SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
@@ -1313,6 +1363,7 @@ LLM_QUERIES = {
     "text_unigram_nll": text_unigram_nll,
     "corpus_cap_per_source": corpus_cap_per_source,
     "corpus_shuffle": corpus_shuffle,
+    "pipeline_corpus_curation": pipeline_corpus_curation,
 }
 
 LLM_SAMPLING_ORACLES = {
