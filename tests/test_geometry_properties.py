@@ -12,6 +12,7 @@ Invariants that must hold for ANY geometry/box pair:
 """
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from xcube_geodb_spark.geometry import (
@@ -310,3 +311,37 @@ class TestSphereProperties:
         assert distance_sphere(a, c) <= (
             distance_sphere(a, b) + distance_sphere(b, c) + 1e-6
         )
+
+
+class TestClipProperties:
+    @given(squares(), boxes())
+    @settings(max_examples=120, deadline=None)
+    def test_clip_stays_inside_and_loses_no_interior(self, g, box):
+        from xcube_geodb_spark.geometry.geom import area, clip_by_box
+
+        out = clip_by_box(g, box)
+        gx0, gy0, gx1, gy1 = envelope(g)
+        ix = min(box[2], gx1) - max(box[0], gx0)
+        iy = min(box[3], gy1) - max(box[1], gy0)
+        want = max(ix, 0.0) * max(iy, 0.0)
+        if out is None:
+            # fully outside (or touching with zero overlap area)
+            assert want <= 1e-9
+            return
+        ex0, ey0, ex1, ey1 = envelope(out)
+        eps = 1e-9
+        assert ex0 >= box[0] - eps and ey0 >= box[1] - eps
+        assert ex1 <= box[2] + eps and ey1 <= box[3] + eps
+        # axis-aligned square: clipped area is the exact interval product
+        assert area(out) == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+    @given(squares(), boxes())
+    @settings(max_examples=60, deadline=None)
+    def test_clip_idempotent(self, g, box):
+        from xcube_geodb_spark.geometry.geom import clip_by_box, to_wkt as _wkt
+
+        once = clip_by_box(g, box)
+        if once is None:
+            return
+        twice = clip_by_box(once, box)
+        assert twice is not None and _wkt(twice) == _wkt(once)
