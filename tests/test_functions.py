@@ -500,3 +500,50 @@ class TestUnigramLogprob:
         )
         got = {r["doc_id"]: r["nll"] for r in unigram_logprob(docs).collect()}
         assert got[99] > got[0] * 2
+
+
+class TestQuantizedTopk:
+    def test_close_to_float_ranking(self, spark):
+        import numpy as np
+
+        from xcube_geodb_spark.functions.similarity import (
+            quantized_topk,
+            with_quantized_embedding,
+        )
+
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(200, 16)).astype("float32")
+        q = vecs[0].tolist()
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        qdf = with_quantized_embedding(df).select(
+            "vec_id", "embedding_q8", "embedding_scale"
+        )
+        got = [r["vec_id"] for r in quantized_topk(qdf, q, k=10).collect()]
+        exact = np.argsort(-(vecs.astype("float64") @ np.array(q)))[:10]
+        # int8 quantization: self-match first, strong overlap with exact
+        assert got[0] == 0
+        assert len(set(got) & set(exact.tolist())) >= 7
+
+    def test_scores_match_integer_replay(self, spark):
+        from xcube_geodb_spark.functions.similarity import (
+            quantized_topk,
+            with_quantized_embedding,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -2.0, 3.0]), (2, [0.5, 0.5, 0.5])],
+            "vec_id long, embedding array<float>",
+        )
+        qdf = with_quantized_embedding(df).select(
+            "vec_id", "embedding_q8", "embedding_scale"
+        )
+        rows = {r["vec_id"]: r["score_q"]
+                for r in quantized_topk(qdf, [1.0, -2.0, 3.0], k=2).collect()}
+        # codes for [1,-2,3] at scale 3/127: [42,-85,127]; query identical
+        s = 3.0 / 127.0
+        expect1 = round((42 * 42 + 85 * 85 + 127 * 127) * s * s, 9)
+        assert rows[1] == expect1
+        assert rows[1] > rows[2]

@@ -476,3 +476,52 @@ def pairwise_cosine_above(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def quantized_topk(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 20,
+    q_col: str = "embedding_q8",
+    scale_col: str = "embedding_scale",
+    id_col: str = "vec_id",
+    query_bits: int = 8,
+) -> DataFrame:
+    """Top-k by approximate dot product computed ENTIRELY in the
+    quantized domain — the memory-bound search path for an int8-at-rest
+    embedding store (see :func:`with_quantized_embedding`): the scan
+    touches only the int8 codes + one scale per vector (4-8x less IO
+    than float), and the inner loop is integer multiply-accumulate.
+
+    The query is symmetrically quantized driver-side to ``query_bits``;
+    score = (int dot of codes) * vector_scale * query_scale. The integer
+    dot is EXACT (no float-association ambiguity), so results replay
+    bit-for-bit in any engine — only the final two scale multiplies are
+    float. Returns (id, score) with score rounded to 9, heap top-k."""
+    import math
+
+    qmax = max(abs(float(v)) for v in query_vector) or 1.0
+    levels = (1 << (query_bits - 1)) - 1
+    qscale = qmax / levels
+    # round half away from zero (like the SQL/Spark data-side round),
+    # not Python's banker's rounding
+    q_int = [
+        int(math.copysign(math.floor(abs(float(v) / qscale) + 0.5), v))
+        for v in query_vector
+    ]
+    q = F.array(*[F.lit(v) for v in q_int])
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col(q_col), q, lambda a, b: a.cast("long") * b.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(
+        int_dot.cast("double") * F.col(scale_col) * F.lit(qscale), 9
+    )
+    return (
+        df.select(F.col(id_col), score.alias("score_q"))
+        .orderBy(F.col("score_q").desc(), F.col(id_col))
+        .limit(k)
+    )

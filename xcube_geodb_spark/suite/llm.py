@@ -792,6 +792,60 @@ def sim_quantize_int8(spark, sf_dir):
     )
 
 
+def sim_quantized_topk(spark, sf_dir):
+    """Quantized-domain search (functions/similarity.quantized_topk):
+    top-20 by approximate dot product over the int8 codes — integer
+    multiply-accumulate, exact and engine-replayable; only the two final
+    scale multiplies are float (rounded at 9)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qdf = similarity.with_quantized_embedding(emb).select(
+        "vec_id", "embedding_q8", "embedding_scale"
+    )
+    return similarity.quantized_topk(qdf, _query_vector(spark, sf_dir), k=20)
+
+
+LLM_QUANT_TOPK_ORACLE = {
+    "sim_quantized_topk": """
+        WITH qv AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id = 0
+        ),
+        qq AS (
+            SELECT v, list_max(list_transform(v, x -> abs(x))) / 127.0
+                       AS qscale
+            FROM qv
+        ),
+        qi AS (
+            SELECT qscale,
+                   list_transform(v, x -> CAST(round(x / qscale) AS BIGINT))
+                       AS qint
+            FROM qq
+        ),
+        enc AS (
+            SELECT vec_id, scale,
+                   list_transform(e, x -> CAST(round(x / scale) AS BIGINT))
+                       AS q
+            FROM (
+                SELECT vec_id, e,
+                       greatest(list_max(list_transform(e, x -> abs(x))),
+                                1e-12) / 127.0 AS scale
+                FROM (SELECT vec_id,
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))
+                                 AS e
+                      FROM embeddings)
+            )
+        )
+        SELECT vec_id,
+               round(CAST(list_sum(list_transform(list_zip(q, qint),
+                                                  p -> p[1] * p[2]))
+                          AS DOUBLE) * scale * qscale, 9) AS score_q
+        FROM enc, qi
+        ORDER BY score_q DESC, vec_id
+        LIMIT 20
+    """,
+}
+
+
 def text_contamination(spark, sf_dir):
     """Train/test contamination report (functions/contamination): the
     documents table is the corpus; every 13th document plays the leaked
@@ -1333,6 +1387,7 @@ LLM_QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_normalize": sim_normalize,
     "sim_quantize_int8": sim_quantize_int8,
+    "sim_quantized_topk": sim_quantized_topk,
     "sim_knn_join": sim_knn_join,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -1430,4 +1485,5 @@ LLM_ORACLES = {
     **LLM_RETRIEVAL_ORACLES,
     **LLM_SKETCH_ORACLES,
     **LLM_CORPUS_ORACLES,
+    **LLM_QUANT_TOPK_ORACLE,
 }
