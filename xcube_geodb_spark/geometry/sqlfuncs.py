@@ -7,12 +7,21 @@ the Spark SQL dialect the same capability — no Catalyst extension needed.
 
 Registered names (PostGIS-compatible lowercase):
 
-- ``st_astext(wkb)`` / ``st_geomfromtext(wkt)``
-- ``st_geometrytype(wkb)``  (returns 'POINT', 'POLYGON', ...)
-- ``st_xmin/st_ymin/st_xmax/st_ymax(wkb)``
-- ``st_within/st_contains/st_intersects/st_touches/st_overlaps/st_crosses/
-  st_disjoint/st_equals (bbox_wkt, wkb)`` — bbox-first argument order like
-  the reference's CASE dispatch (geodb.sql:1204-1214)
+- codecs/constructors: ``st_astext`` / ``st_geomfromtext`` /
+  ``st_makepoint`` / ``st_point`` / ``st_makeenvelope`` / ``st_setsrid``
+- inspectors: ``st_geometrytype`` (returns 'POINT', 'POLYGON', ...),
+  ``st_xmin/st_ymin/st_xmax/st_ymax``, ``st_x/st_y``, ``st_isvalid``
+- predicates: ``st_within/st_contains/st_intersects/st_touches/
+  st_overlaps/st_crosses/st_disjoint/st_equals (bbox_wkt, wkb)`` —
+  bbox-first argument order like the reference's CASE dispatch
+  (geodb.sql:1204-1214) — and ``st_dwithin``
+- measures: ``st_area/st_length/st_perimeter/st_centroid``,
+  ``st_distance`` (planar exact), ``st_distancesphere`` (haversine),
+  ``st_azimuth``
+- transforms: ``st_transform`` (CRS), ``st_buffer`` (points),
+  ``st_simplify`` (Douglas-Peucker), ``st_snaptogrid``, ``st_envelope``,
+  ``st_expand``, ``st_clipbybox2d``, ``st_intersection`` (one
+  axis-aligned rectangular operand)
 
 These are row-at-a-time UDFs (the SQL-string path is a compatibility
 surface, not the hot path — engine operators use the vectorized
