@@ -547,3 +547,92 @@ class TestQuantizedTopk:
         expect1 = round((42 * 42 + 85 * 85 + 127 * 127) * s * s, 9)
         assert rows[1] == expect1
         assert rows[1] > rows[2]
+
+
+class TestProductQuantization:
+    def _data(self, spark, n=300, dim=32, seed=5):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(size=(n, dim)).astype("float32")
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        return df, vecs
+
+    def test_codes_shape_and_bounds(self, spark):
+        from xcube_geodb_spark.functions.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+
+        df, _ = self._data(spark)
+        books = pq_codebooks(df, n_subspaces=4, n_centroids=8)
+        assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 8
+        rows = pq_encode(df, books).select("pq_code").collect()
+        for r in rows:
+            assert len(r["pq_code"]) == 4
+            assert all(0 <= c < 8 for c in r["pq_code"])
+
+    def test_seed_vectors_encode_to_own_codes(self, spark):
+        from xcube_geodb_spark.functions.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+
+        df, _ = self._data(spark)
+        books = pq_codebooks(df, n_subspaces=4, n_centroids=8)
+        rows = {r["vec_id"]: r["pq_code"] for r in
+                pq_encode(df, books).filter("vec_id < 8").collect()}
+        for vid in range(8):
+            # a seed vector's sub-slices ARE centroids -> distance 0
+            assert list(rows[vid]) == [vid] * 4
+
+    def test_adc_recall_vs_brute_force(self, spark):
+        import numpy as np
+
+        from xcube_geodb_spark.functions.similarity import (
+            pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+
+        df, vecs = self._data(spark)
+        books = pq_codebooks(df, n_subspaces=8, n_centroids=8)
+        enc = pq_encode(df, books).select("vec_id", "pq_code")
+        q = vecs[3].astype("float64")
+        got = [r["vec_id"] for r in pq_topk(enc, q.tolist(), books, k=20).collect()]
+        exact = np.argsort(((vecs.astype("float64") - q) ** 2).sum(axis=1))[:20]
+        # coarse 8x8 seeded codebooks: self-match + meaningful overlap
+        assert 3 in got[:3]
+        assert len(set(got) & set(exact.tolist())) >= 5
+
+    def test_no_udf_plan(self, spark):
+        from xcube_geodb_spark.functions.similarity import (
+            pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+
+        df, _ = self._data(spark, n=50)
+        books = pq_codebooks(df, n_subspaces=4, n_centroids=4)
+        out = pq_topk(pq_encode(df, books), [0.0] * 32, books, k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_dimension_mismatch_raises(self, spark):
+        import pytest as _pytest
+
+        from xcube_geodb_spark.functions.similarity import (
+            pq_codebooks,
+            pq_topk,
+        )
+
+        df, _ = self._data(spark, n=20)
+        books = pq_codebooks(df, n_subspaces=4, n_centroids=4)
+        with _pytest.raises(ValueError):
+            pq_topk(df, [0.0] * 7, books)
+        with _pytest.raises(ValueError):
+            pq_codebooks(df, n_subspaces=5, n_centroids=4)  # 32 % 5 != 0

@@ -846,6 +846,73 @@ LLM_QUANT_TOPK_ORACLE = {
 }
 
 
+def sim_pq_topk(spark, sf_dir):
+    """Product quantization end-to-end (functions/similarity.pq_*):
+    deterministic seeded codebooks (8 subspaces x 8 centroids over dim
+    64), per-vector PQ codes via exact-fold argmin, then ADC top-20 —
+    m table lookups + a decimal sum per row. The oracle re-derives the
+    codebooks from the same lowest-id seeds and replays encoding and the
+    distance table relationally."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = similarity.pq_codebooks(emb, n_subspaces=8, n_centroids=8)
+    encoded = similarity.pq_encode(emb, books).select("vec_id", "pq_code")
+    return similarity.pq_topk(
+        encoded, _query_vector(spark, sf_dir), books, k=20
+    )
+
+
+LLM_PQ_ORACLE = {
+    "sim_pq_topk": """
+        WITH vecs AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        seeds AS (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8),
+        cb AS (
+            SELECT j,
+                   row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1
+                       AS code,
+                   list_slice(v, j * 8 + 1, j * 8 + 8) AS c
+            FROM seeds CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+        ),
+        dists AS (
+            SELECT vecs.vec_id, cb.j, cb.code,
+                   list_sum(list_transform(
+                       list_zip(list_slice(v, cb.j * 8 + 1, cb.j * 8 + 8),
+                                cb.c),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+            FROM vecs CROSS JOIN cb
+        ),
+        enc AS (
+            SELECT vec_id, j, code FROM (
+                SELECT vec_id, j, code,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY dist, code) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+        dt AS (
+            SELECT cb.j, cb.code,
+                   CAST(round(list_sum(list_transform(
+                       list_zip(list_slice(qv, cb.j * 8 + 1, cb.j * 8 + 8),
+                                cb.c),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 9)
+                       AS DECIMAL(28,9)) AS d
+            FROM cb CROSS JOIN q
+        )
+        SELECT vec_id, CAST(sum_d AS DOUBLE) AS dist_adc FROM (
+            SELECT e.vec_id, sum(dt.d) AS sum_d
+            FROM enc e JOIN dt ON dt.j = e.j AND dt.code = e.code
+            GROUP BY e.vec_id
+        )
+        ORDER BY dist_adc, vec_id
+        LIMIT 20
+    """,
+}
+
+
 def text_contamination(spark, sf_dir):
     """Train/test contamination report (functions/contamination): the
     documents table is the corpus; every 13th document plays the leaked
@@ -1388,6 +1455,7 @@ LLM_QUERIES = {
     "sim_normalize": sim_normalize,
     "sim_quantize_int8": sim_quantize_int8,
     "sim_quantized_topk": sim_quantized_topk,
+    "sim_pq_topk": sim_pq_topk,
     "sim_knn_join": sim_knn_join,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -1486,4 +1554,5 @@ LLM_ORACLES = {
     **LLM_SKETCH_ORACLES,
     **LLM_CORPUS_ORACLES,
     **LLM_QUANT_TOPK_ORACLE,
+    **LLM_PQ_ORACLE,
 }
