@@ -375,3 +375,121 @@ def simhash_buckets(
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level exact line deduplication (the CCNet / RefinedWeb
+    "remove lines that repeat across the corpus" idiom): drop every line
+    whose exact content occurs ``>= min_count`` times corpus-wide, then
+    reassemble each document from its surviving lines in original order.
+
+    Returns ``(id, text, n_lines, n_removed)``; documents whose lines were
+    ALL removed are dropped entirely (they carry no content).
+
+    Scale shape (100 TB): the line explode is narrow; corpus line
+    frequencies and the banned-line anti-join are both keyed by
+    ``md5(line)`` — a 128-bit uniform key, so no value skew and Catalyst
+    reuses one exchange for the aggregate and the join probe side.
+    Reassembly is one shuffle on the document id. Nothing is ever
+    collected; the banned set stays distributed (it can be corpus-sized
+    for boilerplate-heavy crawls).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
+        F.size(F.split(F.col(text_col), F.lit(sep))).alias("n_lines"),
+    ).withColumn("h", F.md5(F.col("line")))
+    banned = (
+        lines.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    kept = lines.join(banned, "h", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.first("n_lines").alias("__total"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.col("n_kept").alias("n_lines"),
+            (F.col("__total") - F.col("n_kept")).alias("n_removed"),
+        )
+    )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.6,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental dedup: keep only rows of ``new_df`` that are neither
+    exact nor near duplicates of any ``corpus_df`` row (the "dedup each
+    new crawl against the already-ingested corpus" step — the corpus
+    itself is never rewritten).
+
+    Physical shape: one anti-join on ``md5(text)`` removes exact matches;
+    survivors and the corpus are then both banded (MinHash LSH) and joined
+    on ``(band, band_hash)`` — a new-vs-corpus join only, never
+    corpus-vs-corpus, so the fan-out is bounded by the new batch's
+    duplicate density — and candidates are Jaccard-verified on exact
+    shingle sets before the final anti-join. All keys are hashes: no skew,
+    and the typically-huge corpus side is only ever scanned, banded, and
+    hash-joined, never self-joined.
+    """
+    fp = F.md5(F.col(text_col)).alias("fingerprint")
+    corpus_fp = corpus_df.select(fp).distinct()
+    survivors = new_df.join(
+        corpus_fp,
+        F.md5(new_df[text_col]) == F.col("fingerprint"),
+        "left_anti",
+    )
+    nb = minhash_bands(survivors, text_col, id_col, num_hashes, bands, shingle_n)
+    cb = minhash_bands(corpus_df, text_col, id_col, num_hashes, bands, shingle_n)
+    cand = (
+        nb.alias("n")
+        .join(cb.alias("c"), ["band", "band_hash"])
+        .select(
+            F.col(f"n.{id_col}").alias("id_new"),
+            F.col(f"c.{id_col}").alias("id_corpus"),
+        )
+        .distinct()
+    )
+    sh_new = shingle_table(survivors, text_col, id_col, shingle_n)
+    sh_corpus = shingle_table(corpus_df, text_col, id_col, shingle_n)
+    losers = (
+        cand.join(sh_new.alias("sn"), cand.id_new == F.col(f"sn.{id_col}"))
+        .join(sh_corpus.alias("sc"), cand.id_corpus == F.col(f"sc.{id_col}"))
+        .select(
+            "id_new",
+            (
+                F.size(F.array_intersect("sn.sh", "sc.sh"))
+                / F.size(F.array_union("sn.sh", "sc.sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(losers, id_col, "left_anti")

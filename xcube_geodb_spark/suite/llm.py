@@ -70,6 +70,40 @@ def dedup_pipeline_kept(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def _lined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented docs re-laid-out as newline-separated 10-token lines, so
+    the synthetic corpus (which has no newlines) exercises line-level
+    dedup: duplicated/near-duplicated docs share exact lines."""
+    aug = _augmented(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(10.0)).cast("int"), F.lit(1)
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+    )
+    return aug.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+
+
+def dedup_lines_rebuilt(spark, sf_dir):
+    """Corpus-level exact line dedup (CCNet/RefinedWeb): lines occurring
+    >= 2 times corpus-wide removed, documents rebuilt from survivors."""
+    return dedup.line_dedup(_lined(spark, sf_dir), min_count=2)
+
+
+def dedup_incremental_kept(spark, sf_dir):
+    """Incremental dedup of a new batch against an existing corpus: the
+    augmented copies (ids >= 1000000) are the new batch, the originals the
+    corpus; exact md5 anti-join then LSH + Jaccard-verified near-dup
+    anti-join. Returns the surviving new ids."""
+    aug = _augmented(spark, sf_dir)
+    corpus = aug.filter(F.col("doc_id") < 1000000)
+    new = aug.filter(F.col("doc_id") >= 1000000)
+    kept = dedup.dedup_against(new, corpus, jaccard_threshold=0.5)
+    return kept.select("doc_id")
+
+
 # shared SQL fragments mirroring functions/text.normalized and
 # functions/dedup.shingles
 _NORM = (
@@ -194,6 +228,59 @@ LLM_DEDUP_ORACLES = {
         fp AS (SELECT doc_id, {_FP_CONCAT} AS simhash FROM votes)
         SELECT simhash, min(doc_id) AS keeper_id, count(*) AS n_docs
         FROM fp GROUP BY simhash HAVING count(*) > 1
+    """,
+    "dedup_lines_rebuilt": f"""
+        WITH aug AS ({_AUG_SQL}),
+        lined AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       range(0, greatest(
+                           CAST(ceil(len(toks) / 10.0) AS BIGINT), 1)),
+                       i -> array_to_string(
+                           list_slice(toks, CAST(i * 10 + 1 AS INT),
+                                      CAST(i * 10 + 10 AS INT)), ' ')),
+                       chr(10)) AS text
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM aug)
+        ),
+        l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+        lines AS (
+            SELECT doc_id, ls[i] AS line, i AS pos, len(ls) AS n_total
+            FROM l, LATERAL unnest(range(1, len(ls) + 1)) AS t(i)
+        ),
+        freq AS (SELECT md5(line) AS h, count(*) AS c FROM lines GROUP BY 1),
+        kept AS (
+            SELECT doc_id, line, pos, n_total
+            FROM lines JOIN freq ON md5(line) = h WHERE c < 2
+        )
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+               count(*) AS n_lines,
+               CAST(any_value(n_total) - count(*) AS BIGINT) AS n_removed
+        FROM kept GROUP BY doc_id
+    """,
+    "dedup_incremental_kept": f"""
+        {_MINHASH_CTES},
+        exact_removed AS (
+            SELECT DISTINCT doc_id FROM aug
+            WHERE doc_id >= 1000000 AND md5(text) IN
+                  (SELECT md5(text) FROM aug WHERE doc_id < 1000000)
+        ),
+        cross_pairs AS (
+            SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+            FROM bands a JOIN bands b USING (band, band_hash)
+            WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000
+              AND a.doc_id NOT IN (SELECT doc_id FROM exact_removed)
+        ),
+        near_removed AS (
+            SELECT DISTINCT id_new AS doc_id FROM cross_pairs
+            JOIN sh a ON a.doc_id = id_new
+            JOIN sh b ON b.doc_id = id_corpus
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+                  len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        )
+        SELECT doc_id FROM aug
+        WHERE doc_id >= 1000000
+          AND doc_id NOT IN (SELECT doc_id FROM exact_removed)
+          AND doc_id NOT IN (SELECT doc_id FROM near_removed)
     """,
 }
 
@@ -1450,6 +1537,8 @@ LLM_QUERIES = {
     "dedup_jaccard_verified": dedup_jaccard_verified,
     "dedup_simhash": dedup_simhash,
     "dedup_pipeline_kept": dedup_pipeline_kept,
+    "dedup_lines_rebuilt": dedup_lines_rebuilt,
+    "dedup_incremental_kept": dedup_incremental_kept,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_normalize": sim_normalize,
