@@ -529,3 +529,59 @@ class TestHistogram:
         df = spark.createDataFrame([(1.0,)], ["v"])
         with _pytest.raises(ValueError):
             histogram_column(df, "v", bins=0)
+
+
+class TestQuantiles:
+    def test_uniform_data_interpolates_exactly(self, spark):
+        from xcube_geodb_spark.operators.stats import quantiles_column
+
+        # values 1..100 with bins=100 over (0, 100]: value v sits alone in
+        # bucket [v, v+1), and the interpolated fraction is (0, 1]-open, so
+        # the estimate is that bucket's UPPER edge v+1 — one width above
+        # the exact order statistic, inside the documented error bound
+        df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["v"])
+        out = {
+            r["q"]: r["est"]
+            for r in quantiles_column(
+                df, "v", qs=(0.25, 0.5, 0.75, 1.0), bins=100,
+                bounds=(0.0, 100.0),
+            ).collect()
+        }
+        assert out == {0.25: 26.0, 0.5: 51.0, 0.75: 76.0, 1.0: 100.0}
+
+    def test_within_bucket_error_bound(self, spark):
+        from xcube_geodb_spark.operators.stats import quantiles_column
+
+        import random
+
+        rng = random.Random(7)
+        vals = sorted(rng.uniform(0, 1000) for _ in range(2000))
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        out = quantiles_column(
+            df, "v", qs=(0.1, 0.5, 0.9), bins=500, bounds=(0.0, 1000.0)
+        ).collect()
+        width = 1000.0 / 500
+        for r in out:
+            exact = vals[max(int(r["q"] * 2000) - 1, 0)]
+            assert abs(r["est"] - exact) <= 2 * width
+
+    def test_parallelism_invariance(self, spark):
+        from xcube_geodb_spark.operators.stats import quantiles_column
+
+        df = spark.createDataFrame([(float(i % 97),) for i in range(500)], ["v"])
+        a = quantiles_column(df.repartition(1), "v", bins=64).collect()
+        b = quantiles_column(df.repartition(13), "v", bins=64).collect()
+        assert [(r["q"], r["est"]) for r in a] == [(r["q"], r["est"]) for r in b]
+
+    def test_auto_bounds_and_validation(self, spark):
+        import pytest as _pytest
+
+        from xcube_geodb_spark.operators.stats import quantiles_column
+
+        df = spark.createDataFrame([(2.0,), (4.0,), (None,)], ["v"])
+        out = quantiles_column(df, "v", qs=(1.0,), bins=4).collect()
+        assert out[0]["est"] == 4.0  # auto bounds reach the max
+        with _pytest.raises(ValueError):
+            quantiles_column(df, "v", qs=(0.0,))
+        with _pytest.raises(ValueError):
+            quantiles_column(df, "v", bins=0)

@@ -304,3 +304,86 @@ def histogram_column(
         )
         .orderBy("bucket")
     )
+
+
+def quantiles_column(
+    df,
+    column: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+    bins: int = 1024,
+    bounds: tuple | None = None,
+):
+    """Deterministic histogram-interpolated quantiles.
+
+    Spark's ``approx_percentile`` is a merge-order-dependent sketch: its
+    estimates change with partitioning, so no external oracle can replay
+    them. This estimator is exact arithmetic over an equi-width histogram —
+    bucket counts are integers and the interpolation is a fixed expression
+    tree, so results are identical at any parallelism and on any engine.
+    Within-bucket error is bounded by ``(hi - lo) / bins``.
+
+    Physical shape: one ``[min, max]`` aggregation (skipped when ``bounds``
+    is given), one map-side-combined bucket-count aggregation whose output
+    is at most ``bins`` rows, and a cumulative window over those ``bins``
+    rows only — the data itself is never sorted or shuffled beyond the
+    count aggregation. Returns ``(q, est)`` with ``est`` rounded to 6
+    decimals.
+
+    For each q the target rank is ``max(ceil(q * N), 1)``; the estimate
+    interpolates linearly inside the first bucket whose cumulative count
+    reaches the target.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    c = F.col(column).cast("double")
+    if bounds is None:
+        row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        bounds = (row["lo"], row["hi"])
+    lo, hi = float(bounds[0]), float(bounds[1])
+    if not hi > lo:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+    bucket = F.least(
+        F.floor((c - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(bins - 1),
+    )
+    counts = (
+        df.filter(c.isNotNull() & (c >= lo) & (c <= hi))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # both windows run over <= bins rows (the aggregated histogram), never
+    # over the data — a single-partition window here is O(bins)
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = counts.select(
+        "bucket",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    target = F.greatest(
+        F.ceil(F.col("q") * F.col("total")).cast("long"), F.lit(1)
+    )
+    hit = qdf.join(
+        cum,
+        (F.col("cum") >= target) & ((F.col("cum") - F.col("n")) < target),
+    )
+    est = F.round(
+        F.lit(lo)
+        + F.col("bucket") * F.lit(width)
+        + F.lit(width)
+        * ((target - (F.col("cum") - F.col("n"))) / F.col("n")),
+        6,
+    )
+    return hit.select(F.col("q"), est.alias("est")).orderBy("q")

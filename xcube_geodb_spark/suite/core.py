@@ -446,6 +446,24 @@ def agg_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic histogram-interpolated quantiles
+    (operators/stats.quantiles_column): unlike approx_percentile's
+    merge-order-dependent sketch, exact integer bucket counts + a fixed
+    interpolation expression replay identically on any engine. Dyadic
+    width (110000/256 = 429.6875) keeps the float math exact."""
+    from xcube_geodb_spark.operators.stats import quantiles_column
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    return quantiles_column(
+        lineitem,
+        "l_extendedprice",
+        qs=(0.1, 0.25, 0.5, 0.75, 0.95),
+        bins=256,
+        bounds=(0.0, 110000.0),
+    )
+
+
 def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE through the raw-SQL passthrough (§2.4 documented
     superset, like rollup): all four grouping combinations of
@@ -633,6 +651,35 @@ CORE_ORACLES_RELATIONAL = {
             GROUP BY 1
         ) c USING (bucket)
         ORDER BY g.bucket
+    """,
+    "agg_quantiles_price": """
+        WITH c AS (
+            SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+                                    / 429.6875) AS BIGINT), 255) AS bucket,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_extendedprice >= 0.0 AND l_extendedprice <= 110000.0
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT bucket, n, sum(n) OVER (ORDER BY bucket) AS cum,
+                   sum(n) OVER () AS total
+            FROM c
+        ),
+        qv(qd) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.95)),
+        q AS (SELECT CAST(qd AS DOUBLE) AS q FROM qv),
+        hit AS (
+            SELECT q.q, cum.bucket, cum.n, cum.cum,
+                   greatest(CAST(ceil(q.q * cum.total) AS BIGINT), 1) AS t
+            FROM q JOIN cum
+              ON cum.cum >= greatest(CAST(ceil(q.q * cum.total) AS BIGINT), 1)
+             AND (cum.cum - cum.n) <
+                 greatest(CAST(ceil(q.q * cum.total) AS BIGINT), 1)
+        )
+        SELECT q, round(0.0 + bucket * 429.6875 +
+                        429.6875 * ((t - (cum - n)) / n), 6) AS est
+        FROM hit ORDER BY q
     """,
     "cube_lineitem": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -1089,6 +1136,7 @@ CORE_QUERIES = {
     "rollup_lineitem": rollup_lineitem,
     "cube_lineitem": cube_lineitem,
     "agg_histogram_price": agg_histogram_price,
+    "agg_quantiles_price": agg_quantiles_price,
     "distinct_mktsegment": distinct_mktsegment,
     "agg_distinct_parts": agg_distinct_parts,
     "scalar_string_funcs": scalar_string_funcs,
