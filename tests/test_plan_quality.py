@@ -258,3 +258,60 @@ class TestRound6PlanShape:
         # the sketch build scans only the text column and partial-aggregates
         assert "ReadSchema: struct<text:string>" in plan
         assert plan.count("Exchange") == 1  # exactly the one counter shuffle
+
+
+class TestRound7PlanShape:
+    def test_line_dedup_no_udf_and_bounded_shuffles(self, spark):
+        from xcube_geodb_spark.functions.dedup import line_dedup
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        plan = executed_plan(line_dedup(docs))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # three keyed shuffles: line-hash frequency agg, anti-join probe,
+        # doc reassembly — and nothing else
+        assert plan.count("Exchange") == 3
+        # frequency branch is pruned to the text column only
+        assert "ReadSchema: struct<text:string>" in plan
+        # anti-join must stream (sort-merge), not buffer a build side that
+        # can hold a corpus-frequency hot line
+        assert "LeftAnti" in plan
+
+    def test_dedup_against_never_self_joins_corpus(self, spark):
+        from xcube_geodb_spark.functions.dedup import dedup_against
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        plan = executed_plan(dedup_against(new, corpus))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # every join is keyed (anti on fingerprint/id, inner on band keys);
+        # no cartesian fallback anywhere
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_quantiles_windows_run_on_histogram_not_data(self, spark):
+        from xcube_geodb_spark.operators.stats import quantiles_column
+
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        plan = executed_plan(
+            quantiles_column(
+                lineitem, "l_extendedprice", bins=64, bounds=(0.0, 110000.0)
+            )
+        )
+        # the only data-wide operation is the bucket-count aggregate; the
+        # explicit-bounds path never sorts or shuffles the fact table rows
+        assert "ReadSchema: struct<l_extendedprice" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # window operators exist but consume the <= bins aggregated rows:
+        # they sit strictly above the final (merge) HashAggregate
+        agg_pos = plan.index("HashAggregate")
+        assert all(
+            pos < agg_pos
+            for pos in [
+                i for i in range(len(plan)) if plan.startswith("Window", i)
+            ]
+        )

@@ -26,6 +26,9 @@ FAMILIES = {
     "geo-distance": "geo_distance_knn",
     "dedup-exact": "dedup_exact",
     "dedup-lsh": "dedup_minhash_pairs",
+    # corpus-level line dedup (CCNet/RefinedWeb): promoted over the
+    # scan_cs_cd_tokens grammar variant (family rep: scan_filter_grammar)
+    "dedup-lines": "dedup_lines_rebuilt",
     # simhash / embedding near-dup / sign-lsh are demoted variants: the
     # dedup trio, cosine family, and the lsh-backed warehouse ANN index
     # keep their families driver-verified

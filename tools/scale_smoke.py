@@ -133,6 +133,46 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
+    def _as_lines(d):
+        # lay docs out as 10-token lines so line dedup has real line
+        # structure (the synthetic corpus has no newlines); pure column
+        # algebra, identical for both sizes
+        toks = F.split(F.col("text"), " ")
+        n_lines = F.greatest(
+            F.ceil(F.size(toks) / F.lit(10.0)).cast("int"), F.lit(1)
+        )
+        lines = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+        )
+        return d.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+
+    def linededup(d):
+        from xcube_geodb_spark.functions.dedup import line_dedup
+
+        return line_dedup(_as_lines(d))
+
+    def incremental(d):
+        from xcube_geodb_spark.functions.dedup import dedup_against
+
+        return dedup_against(
+            d.filter(F.col("doc_id") % 2 == 1),
+            d.filter(F.col("doc_id") % 2 == 0),
+        )
+
+    li1 = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    liN = _replicate(li1, repl, ["l_orderkey"]).cache()
+    _PINNED.append(liN)
+    liN.count()
+
+    def quantiles(li):
+        from xcube_geodb_spark.operators.stats import quantiles_column
+
+        return quantiles_column(
+            li, "l_extendedprice", qs=(0.25, 0.5, 0.95), bins=256,
+            bounds=(0.0, 110000.0),
+        )
+
     cases = [
         ("dedup_minhash_pairs", minhash, docs1, docsN),
         ("bm25_topk", bm25, docs1, docsN),
@@ -140,6 +180,9 @@ def main() -> None:
         ("deterministic_shuffle", shuffle_op, docs1, docsN),
         ("knn_join", knn, emb1, embN),
         ("events_window_agg", sessionize, ev1, evN),
+        ("line_dedup", linededup, docs1, docsN),
+        ("dedup_against", incremental, docs1, docsN),
+        ("quantiles", quantiles, li1, liN),
     ]
 
     out = {}

@@ -394,11 +394,15 @@ def line_dedup(
 
     Scale shape (100 TB): the line explode is narrow; corpus line
     frequencies and the banned-line anti-join are both keyed by
-    ``md5(line)`` — a 128-bit uniform key, so no value skew and Catalyst
-    reuses one exchange for the aggregate and the join probe side.
-    Reassembly is one shuffle on the document id. Nothing is ever
-    collected; the banned set stays distributed (it can be corpus-sized
-    for boilerplate-heavy crawls).
+    ``md5(line)`` — a 128-bit key, so partitioning is uniform in the
+    number of distinct lines. The frequency aggregate is map-side
+    combined, and the anti-join is a sort-merge LeftAnti that streams
+    sorted runs — a boilerplate line repeated hundreds of millions of
+    times is a long sorted run, never a buffered build side. The source
+    is scanned twice, but the aggregate branch is column-pruned to the
+    line bytes only. Reassembly is one shuffle on the document id.
+    Nothing is ever collected; the banned set stays distributed (it can
+    be corpus-sized for boilerplate-heavy crawls).
     """
     lines = df.select(
         F.col(id_col),

@@ -19,7 +19,10 @@ representative inside it (``scan_filter_grammar``, ``geo_bbox_modes``,
 set-op family, ``scalar_string_funcs`` the scalar passthroughs;
 ``ann_index_topk`` exercises the demoted lsh path end-to-end;
 ``events_json_extract`` keeps json extraction covered for the demoted
-arrow-select variant), so no operator family loses driver verification;
+arrow-select variant; ``scan_cs_cd_tokens`` is a demoted grammar variant
+whose family stays covered by ``scan_filter_grammar`` — its slot promotes
+``dedup_lines_rebuilt``, the corpus-level line-dedup family), so no
+operator family loses driver verification;
 everything demoted stays locally verified via
 ``tools/check_correctness.py``.
 """
@@ -38,7 +41,6 @@ DRIVER_WINDOW = [
     "scan_filter_grammar",
     "scan_paging",
     "scan_fts_documents",
-    "scan_cs_cd_tokens",
     "head_nation",
     # raw-SQL pg path
     "pg_groupby_q1",
@@ -72,6 +74,7 @@ DRIVER_WINDOW = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_pipeline_kept",
+    "dedup_lines_rebuilt",
     # similarity / ANN
     "sim_cosine_topk",
     "sim_ivf_topk",
