@@ -837,3 +837,84 @@ class TestEnvelopeExpandIntersection:
                     st_geomfromtext('POLYGON ((1 1, 5 1, 3 4, 1 1))'))
                 """
             ).collect()
+
+
+class TestConvexHull:
+    """st_convexhull: monotone-chain hull with GEOS degenerate-type parity
+    (reference surface: arbitrary PostGIS via geodb_get_pg passthrough,
+    /root/reference/xcube_geodb/sql/geodb.sql:1123-1177)."""
+
+    def test_point_cloud_hull_is_bounding_triangle(self):
+        from xcube_geodb_spark.geometry.geom import convex_hull
+
+        g = parse_wkt("MULTIPOINT (0 0, 4 0, 2 3, 2 1, 1 1)")
+        assert to_wkt(convex_hull(g)) == "POLYGON ((0 0, 4 0, 2 3, 0 0))"
+
+    def test_square_with_interior_vertex(self):
+        from xcube_geodb_spark.geometry.geom import convex_hull
+
+        g = parse_wkt(
+            "MULTIPOINT (0 0, 10 0, 10 10, 0 10, 5 5, 3 7)"
+        )
+        out = convex_hull(g)
+        assert to_wkt(out) == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+
+    def test_orientation_is_ccw_from_smallest_vertex(self):
+        from xcube_geodb_spark.geometry.geom import _ring_shoelace, convex_hull
+
+        g = parse_wkt("POLYGON ((2 0, 0 2, -2 0, 0 -2, 2 0))")
+        ring = convex_hull(g).parts[0]
+        assert _ring_shoelace(ring) > 0  # CCW shell
+        assert tuple(ring[0]) == (-2.0, 0.0)  # lexicographic start
+
+    def test_collinear_yields_linestring(self):
+        from xcube_geodb_spark.geometry.geom import convex_hull
+
+        g = parse_wkt("MULTIPOINT (0 0, 1 1, 2 2, 3 3)")
+        assert to_wkt(convex_hull(g)) == "LINESTRING (0 0, 3 3)"
+
+    def test_single_and_duplicate_points(self):
+        from xcube_geodb_spark.geometry.geom import convex_hull
+
+        assert to_wkt(convex_hull(parse_wkt("POINT (5 7)"))) == "POINT (5 7)"
+        g = parse_wkt("MULTIPOINT (5 7, 5 7, 5 7)")
+        assert to_wkt(convex_hull(g)) == "POINT (5 7)"
+
+    def test_hull_of_hull_is_identical(self, spark=None):
+        from xcube_geodb_spark.geometry.geom import convex_hull
+
+        g = parse_wkt("MULTIPOINT (0 0, 4 0, 2 3, 2 1, 1 1, 4 4, 0 3)")
+        h1 = convex_hull(g)
+        assert to_wkt(convex_hull(h1)) == to_wkt(h1)
+
+    def test_hull_contains_every_vertex(self):
+        from xcube_geodb_spark.geometry.geom import (
+            _all_vertices,
+            convex_hull,
+            distance,
+        )
+
+        g = parse_wkt(
+            "GEOMETRYCOLLECTION (POINT (9 1), LINESTRING (0 0, 2 8),"
+            " POLYGON ((1 1, 6 2, 4 5, 1 1)))"
+        )
+        hull = convex_hull(g)
+        for x, y in _all_vertices(g):
+            p = Geometry("Point", np.array([x, y]))
+            assert distance(p, hull) == 0.0
+
+    def test_sql_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT st_astext(st_convexhull(st_geomfromtext(
+                       'MULTIPOINT (0 0, 4 0, 2 3, 2 1)'))) AS hull,
+                   st_convexhull(CAST(NULL AS BINARY)) AS null_in
+            """
+        ).collect()[0]
+        assert row["hull"] == "POLYGON ((0 0, 4 0, 2 3, 0 0))"
+        assert row["null_in"] is None

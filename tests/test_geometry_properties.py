@@ -345,3 +345,40 @@ class TestClipProperties:
             return
         twice = clip_by_box(once, box)
         assert twice is not None and _wkt(twice) == _wkt(once)
+
+
+class TestConvexHullProperties:
+    @given(
+        st.lists(
+            st.tuples(coord, coord), min_size=1, max_size=30, unique=True
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_hull_is_convex_contains_all_and_idempotent(self, pts):
+        from xcube_geodb_spark.geometry.geom import (
+            _ring_shoelace,
+            convex_hull,
+            distance,
+        )
+
+        g = Geometry(
+            "MultiPoint",
+            [Geometry("Point", np.array(p, dtype=float)) for p in pts],
+        )
+        hull = convex_hull(g)
+        # every input point lies on or inside the hull
+        for p in pts:
+            assert distance(Geometry("Point", np.array(p, dtype=float)), hull) == 0.0
+        if hull.kind == "Polygon":
+            ring = hull.parts[0]
+            # CCW orientation and convexity: every turn is a left turn
+            assert _ring_shoelace(ring) > 0
+            ext = np.vstack([ring[:-1], ring[:2]])
+            for i in range(len(ring) - 1):
+                o, a, b = ext[i], ext[i + 1], ext[i + 2]
+                cross = (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (
+                    b[0] - o[0]
+                )
+                assert cross > 0
+        # idempotence: the hull of the hull is the hull
+        assert to_wkt(convex_hull(hull)) == to_wkt(hull)

@@ -1004,3 +1004,45 @@ def clip_by_box(geom: Geometry, box: tuple) -> Geometry | None:
             return None
         return Geometry(geom.kind, kept, geom.srid)
     return None
+
+
+def convex_hull(geom: Geometry) -> Geometry | None:
+    """Convex hull via Andrew's monotone chain over every vertex.
+
+    PostGIS/GEOS ``ST_ConvexHull`` degenerate-type parity: a single
+    distinct vertex yields a Point, collinear input a LineString, and
+    anything else a Polygon. The polygon shell is produced
+    counter-clockwise starting at the lexicographically smallest
+    (x, then y) vertex — a deterministic canonical form (GEOS's start
+    vertex / orientation is an implementation detail; documented
+    normalization, not a semantic deviation). Returns ``None`` for an
+    empty geometry.
+
+    Reference surface: arbitrary PostGIS via the raw-SQL passthrough
+    (/root/reference/xcube_geodb/sql/geodb.sql:1123-1177).
+    """
+    pts = _all_vertices(geom)
+    if len(pts) == 0:
+        return None
+    pts = np.unique(pts, axis=0)  # lexicographic sort + dedup
+    if len(pts) == 1:
+        return Geometry("Point", pts[0].copy(), geom.srid)
+
+    def _cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and _cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and _cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) == 2:
+        return Geometry("LineString", np.asarray(hull, dtype=np.float64), geom.srid)
+    ring = np.asarray(hull + [hull[0]], dtype=np.float64)
+    return Geometry("Polygon", [ring], geom.srid)

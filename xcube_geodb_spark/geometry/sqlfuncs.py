@@ -21,7 +21,7 @@ Registered names (PostGIS-compatible lowercase):
 - transforms: ``st_transform`` (CRS), ``st_buffer`` (points),
   ``st_simplify`` (Douglas-Peucker), ``st_snaptogrid``, ``st_envelope``,
   ``st_expand``, ``st_clipbybox2d``, ``st_intersection`` (one
-  axis-aligned rectangular operand)
+  axis-aligned rectangular operand), ``st_convexhull`` (monotone chain)
 
 These are row-at-a-time UDFs (the SQL-string path is a compatibility
 surface, not the hot path — engine operators use the vectorized
@@ -179,6 +179,16 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         return to_wkb(out) if out is not None else None
 
     spark.udf.register("st_simplify", _simplify, T.BinaryType())
+
+    from xcube_geodb_spark.geometry.geom import convex_hull
+
+    def _convexhull(b):
+        if b is None:
+            return None
+        out = convex_hull(parse_wkb(b))
+        return to_wkb(out) if out is not None else None
+
+    spark.udf.register("st_convexhull", _convexhull, T.BinaryType())
 
     from xcube_geodb_spark.geometry.geom import distance_sphere
 
