@@ -585,3 +585,38 @@ class TestQuantiles:
             quantiles_column(df, "v", qs=(0.0,))
         with _pytest.raises(ValueError):
             quantiles_column(df, "v", bins=0)
+
+
+class TestGroupedQuantiles:
+    def test_groups_independent(self, spark):
+        from xcube_geodb_spark.operators.stats import quantiles_column
+
+        rows = [("a", float(i)) for i in range(1, 101)] + [
+            ("b", float(i * 10)) for i in range(1, 11)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {
+            (r["g"], r["q"]): r["est"]
+            for r in quantiles_column(
+                df, "v", qs=(0.5, 1.0), bins=100, bounds=(0.0, 100.0),
+                group_cols=["g"],
+            ).collect()
+        }
+        # group a: values 1..100 (upper-edge estimates, see TestQuantiles)
+        assert out[("a", 0.5)] == 51.0 and out[("a", 1.0)] == 100.0
+        # group b: values 10..100, median = 50 -> bucket [50, 51)
+        assert out[("b", 0.5)] == 51.0 and out[("b", 1.0)] == 100.0
+
+    def test_grouped_matches_ungrouped_on_single_group(self, spark):
+        from xcube_geodb_spark.operators.stats import quantiles_column
+
+        df = spark.createDataFrame(
+            [("x", float(i % 13)) for i in range(200)], "g string, v double"
+        )
+        grouped = quantiles_column(
+            df, "v", bins=64, bounds=(0.0, 13.0), group_cols=["g"]
+        ).collect()
+        flat = quantiles_column(df, "v", bins=64, bounds=(0.0, 13.0)).collect()
+        assert [(r["q"], r["est"]) for r in grouped] == [
+            (r["q"], r["est"]) for r in flat
+        ]

@@ -312,8 +312,9 @@ def quantiles_column(
     qs: tuple = (0.25, 0.5, 0.75),
     bins: int = 1024,
     bounds: tuple | None = None,
+    group_cols: list[str] | None = None,
 ):
-    """Deterministic histogram-interpolated quantiles.
+    """Deterministic histogram-interpolated quantiles, optionally per group.
 
     Spark's ``approx_percentile`` is a merge-order-dependent sketch: its
     estimates change with partitioning, so no external oracle can replay
@@ -323,15 +324,17 @@ def quantiles_column(
     Within-bucket error is bounded by ``(hi - lo) / bins``.
 
     Physical shape: one ``[min, max]`` aggregation (skipped when ``bounds``
-    is given), one map-side-combined bucket-count aggregation whose output
-    is at most ``bins`` rows, and a cumulative window over those ``bins``
-    rows only — the data itself is never sorted or shuffled beyond the
-    count aggregation. Returns ``(q, est)`` with ``est`` rounded to 6
-    decimals.
+    is given; with ``group_cols`` the grid is shared across groups so one
+    global [min, max] still suffices), one map-side-combined bucket-count
+    aggregation whose output is at most ``bins`` rows per group, and
+    cumulative windows over those aggregated rows only (partitioned by the
+    group columns) — the data itself is never sorted or shuffled beyond
+    the count aggregation. Returns ``(*group_cols, q, est)`` with ``est``
+    rounded to 6 decimals.
 
-    For each q the target rank is ``max(ceil(q * N), 1)``; the estimate
-    interpolates linearly inside the first bucket whose cumulative count
-    reaches the target.
+    For each q the target rank is ``max(ceil(q * N), 1)`` (N = the
+    group's row count); the estimate interpolates linearly inside the
+    first bucket whose cumulative count reaches the target.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -340,6 +343,7 @@ def quantiles_column(
         raise ValueError("bins must be >= 1")
     if not qs or any(not 0.0 < q <= 1.0 for q in qs):
         raise ValueError("each q must be in (0, 1]")
+    groups = list(group_cols or [])
     c = F.col(column).cast("double")
     if bounds is None:
         row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
@@ -354,17 +358,19 @@ def quantiles_column(
     )
     counts = (
         df.filter(c.isNotNull() & (c >= lo) & (c <= hi))
-        .select(bucket.alias("bucket"))
-        .groupBy("bucket")
+        .select(*groups, bucket.alias("bucket"))
+        .groupBy(*(groups + ["bucket"]))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # both windows run over <= bins rows (the aggregated histogram), never
-    # over the data — a single-partition window here is O(bins)
-    w_cum = Window.orderBy("bucket").rowsBetween(
+    # both windows run over <= bins rows PER GROUP (the aggregated
+    # histogram), never over the data — ungrouped, that is one
+    # O(bins)-row partition
+    w_cum = Window.partitionBy(*groups).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    w_all = Window.partitionBy()
+    w_all = Window.partitionBy(*groups)
     cum = counts.select(
+        *groups,
         "bucket",
         "n",
         F.sum("n").over(w_cum).alias("cum"),
@@ -386,4 +392,6 @@ def quantiles_column(
         * ((target - (F.col("cum") - F.col("n"))) / F.col("n")),
         6,
     )
-    return hit.select(F.col("q"), est.alias("est")).orderBy("q")
+    return hit.select(*groups, F.col("q"), est.alias("est")).orderBy(
+        *(groups + ["q"])
+    )

@@ -464,6 +464,24 @@ def agg_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic quantiles (p50/p95 of event value per
+    event_type): the grouped form of quantiles_column — shared dyadic
+    grid (500/1000 = 0.5), cumulative windows over <= bins aggregated
+    rows per group."""
+    from xcube_geodb_spark.operators.stats import quantiles_column
+
+    ev = load(spark, sf_dir, "events")
+    return quantiles_column(
+        ev,
+        "value",
+        qs=(0.5, 0.95),
+        bins=1000,
+        bounds=(0.0, 500.0),
+        group_cols=["event_type"],
+    )
+
+
 def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE through the raw-SQL passthrough (§2.4 documented
     superset, like rollup): all four grouping combinations of
@@ -680,6 +698,36 @@ CORE_ORACLES_RELATIONAL = {
         SELECT q, round(0.0 + bucket * 429.6875 +
                         429.6875 * ((t - (cum - n)) / n), 6) AS est
         FROM hit ORDER BY q
+    """,
+    "events_value_quantiles": """
+        WITH c AS (
+            SELECT event_type,
+                   least(CAST(floor((CAST(value AS DOUBLE) - 0.0) / 0.5)
+                              AS BIGINT), 999) AS bucket,
+                   count(*) AS n
+            FROM events
+            WHERE value IS NOT NULL AND value >= 0.0 AND value <= 500.0
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, bucket, n,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+                   sum(n) OVER (PARTITION BY event_type) AS total
+            FROM c
+        ),
+        qv(qd) AS (VALUES (0.5), (0.95)),
+        q AS (SELECT CAST(qd AS DOUBLE) AS q FROM qv),
+        hit AS (
+            SELECT cum.event_type, q.q, cum.bucket, cum.n, cum.cum,
+                   greatest(CAST(ceil(q.q * cum.total) AS BIGINT), 1) AS t
+            FROM q JOIN cum
+              ON cum.cum >= greatest(CAST(ceil(q.q * cum.total) AS BIGINT), 1)
+             AND (cum.cum - cum.n) <
+                 greatest(CAST(ceil(q.q * cum.total) AS BIGINT), 1)
+        )
+        SELECT event_type, q,
+               round(0.0 + bucket * 0.5 + 0.5 * ((t - (cum - n)) / n), 6) AS est
+        FROM hit ORDER BY event_type, q
     """,
     "cube_lineitem": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -1137,6 +1185,7 @@ CORE_QUERIES = {
     "cube_lineitem": cube_lineitem,
     "agg_histogram_price": agg_histogram_price,
     "agg_quantiles_price": agg_quantiles_price,
+    "events_value_quantiles": events_value_quantiles,
     "distinct_mktsegment": distinct_mktsegment,
     "agg_distinct_parts": agg_distinct_parts,
     "scalar_string_funcs": scalar_string_funcs,
