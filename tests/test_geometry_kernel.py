@@ -918,3 +918,95 @@ class TestConvexHull:
         ).collect()[0]
         assert row["hull"] == "POLYGON ((0 0, 4 0, 2 3, 0 0))"
         assert row["null_in"] is None
+
+
+class TestStructuralAccessors:
+    """PostGIS structural accessors on the SQL surface: st_srid,
+    st_npoints, st_numgeometries, line/ring accessors, st_reverse,
+    st_flipcoordinates."""
+
+    def test_counts_and_srid(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT st_npoints(st_geomfromtext(
+                       'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')) AS np,
+                   st_numpoints(st_geomfromtext('POINT (1 2)')) AS np1,
+                   st_srid(st_setsrid(st_makepoint(1, 2), 4326)) AS srid,
+                   st_numgeometries(st_geomfromtext(
+                       'MULTIPOINT (0 0, 1 1, 2 2)')) AS nm,
+                   st_numgeometries(st_geomfromtext('POINT (0 0)')) AS n1
+            """
+        ).collect()[0]
+        assert row["np"] == 5 and row["np1"] == 1
+        assert row["srid"] == 4326
+        assert row["nm"] == 3 and row["n1"] == 1
+
+    def test_line_accessors(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT st_astext(st_startpoint(l)) AS sp,
+                   st_astext(st_endpoint(l)) AS ep,
+                   st_astext(st_pointn(l, 2)) AS p2,
+                   st_astext(st_pointn(l, -2)) AS pm2,
+                   st_pointn(l, 9) AS off_range,
+                   st_startpoint(st_geomfromtext('POINT (1 1)')) AS not_line
+            FROM (SELECT st_geomfromtext(
+                      'LINESTRING (0 0, 1 1, 2 0, 3 2)') AS l)
+            """
+        ).collect()[0]
+        assert row["sp"] == "POINT (0 0)" and row["ep"] == "POINT (3 2)"
+        assert row["p2"] == "POINT (1 1)" and row["pm2"] == "POINT (2 0)"
+        assert row["off_range"] is None and row["not_line"] is None
+
+    def test_ring_accessors(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT st_astext(st_exteriorring(p)) AS shell,
+                   st_numinteriorrings(p) AS holes,
+                   st_astext(st_interiorringn(p, 1)) AS hole1,
+                   st_interiorringn(p, 2) AS off_range,
+                   st_numinteriorrings(st_geomfromtext('POINT (0 0)')) AS np
+            FROM (SELECT st_geomfromtext(
+                'POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 3 2, 3 3, 2 2))'
+                ) AS p)
+            """
+        ).collect()[0]
+        assert row["shell"] == "LINESTRING (0 0, 9 0, 9 9, 0 9, 0 0)"
+        assert row["holes"] == 1
+        assert row["hole1"] == "LINESTRING (2 2, 3 2, 3 3, 2 2)"
+        assert row["off_range"] is None and row["np"] is None
+
+    def test_reverse_and_flip(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT st_astext(st_reverse(st_geomfromtext(
+                       'LINESTRING (0 0, 1 1, 2 0)'))) AS rline,
+                   st_astext(st_reverse(st_geomfromtext(
+                       'MULTILINESTRING ((0 0, 1 0), (5 5, 6 6))'))) AS rmulti,
+                   st_astext(st_flipcoordinates(st_geomfromtext(
+                       'POLYGON ((0 0, 4 0, 4 2, 0 0))'))) AS flipped
+            """
+        ).collect()[0]
+        assert row["rline"] == "LINESTRING (2 0, 1 1, 0 0)"
+        assert row["rmulti"] == "MULTILINESTRING ((1 0, 0 0), (6 6, 5 5))"
+        assert row["flipped"] == "POLYGON ((0 0, 0 4, 2 4, 0 0))"

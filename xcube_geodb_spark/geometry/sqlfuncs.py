@@ -10,7 +10,11 @@ Registered names (PostGIS-compatible lowercase):
 - codecs/constructors: ``st_astext`` / ``st_geomfromtext`` /
   ``st_makepoint`` / ``st_point`` / ``st_makeenvelope`` / ``st_setsrid``
 - inspectors: ``st_geometrytype`` (returns 'POINT', 'POLYGON', ...),
-  ``st_xmin/st_ymin/st_xmax/st_ymax``, ``st_x/st_y``, ``st_isvalid``
+  ``st_xmin/st_ymin/st_xmax/st_ymax``, ``st_x/st_y``, ``st_isvalid``,
+  ``st_srid``, ``st_npoints``/``st_numpoints``, ``st_numgeometries``,
+  ``st_pointn/st_startpoint/st_endpoint``, ``st_exteriorring/
+  st_numinteriorrings/st_interiorringn``
+- structure edits: ``st_reverse``, ``st_flipcoordinates``
 - predicates: ``st_within/st_contains/st_intersects/st_touches/
   st_overlaps/st_crosses/st_disjoint/st_equals (bbox_wkt, wkb)`` —
   bbox-first argument order like the reference's CASE dispatch
@@ -342,3 +346,106 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         return to_wkb(out)
 
     spark.udf.register("st_transform", _transform, T.BinaryType())
+
+    # --- structural accessors (PostGIS basics over the kernel model) ------
+    from xcube_geodb_spark.geometry.geom import _all_vertices
+
+    def _npoints(b):
+        return int(len(_all_vertices(parse_wkb(b)))) if b is not None else None
+
+    spark.udf.register("st_npoints", _npoints, T.IntegerType())
+    spark.udf.register("st_numpoints", _npoints, T.IntegerType())
+
+    def _srid(b):
+        return int(parse_wkb(b).srid) if b is not None else None
+
+    spark.udf.register("st_srid", _srid, T.IntegerType())
+
+    def _numgeometries(b):
+        if b is None:
+            return None
+        g = parse_wkb(b)
+        # PostGIS >= 2.0: 1 for single geometries, member count for Multi*
+        return len(g.parts) if g.kind in (
+            "MultiPoint", "MultiLineString", "MultiPolygon",
+            "GeometryCollection",
+        ) else 1
+
+    spark.udf.register("st_numgeometries", _numgeometries, T.IntegerType())
+
+    def _line_point(b, n):
+        """1-based vertex of a LineString; negative n counts from the end
+        (PostGIS ST_PointN); NULL off-range or for non-lines."""
+        if b is None or n is None or n == 0:
+            return None
+        g = parse_wkb(b)
+        if g.kind != "LineString":
+            return None
+        k = len(g.parts)
+        i = n - 1 if n > 0 else k + n
+        if not 0 <= i < k:
+            return None
+        return to_wkb(_Geometry("Point", g.parts[i].copy(), g.srid))
+
+    spark.udf.register("st_pointn", _line_point, T.BinaryType())
+    spark.udf.register(
+        "st_startpoint", lambda b: _line_point(b, 1), T.BinaryType()
+    )
+    spark.udf.register(
+        "st_endpoint", lambda b: _line_point(b, -1), T.BinaryType()
+    )
+
+    def _exteriorring(b):
+        if b is None:
+            return None
+        g = parse_wkb(b)
+        if g.kind != "Polygon":
+            return None
+        return to_wkb(_Geometry("LineString", g.parts[0].copy(), g.srid))
+
+    spark.udf.register("st_exteriorring", _exteriorring, T.BinaryType())
+
+    def _numinteriorrings(b):
+        if b is None:
+            return None
+        g = parse_wkb(b)
+        return len(g.parts) - 1 if g.kind == "Polygon" else None
+
+    spark.udf.register(
+        "st_numinteriorrings", _numinteriorrings, T.IntegerType()
+    )
+
+    def _interiorringn(b, n):
+        if b is None or n is None or n < 1:
+            return None
+        g = parse_wkb(b)
+        if g.kind != "Polygon" or n >= len(g.parts):
+            return None
+        return to_wkb(_Geometry("LineString", g.parts[n].copy(), g.srid))
+
+    spark.udf.register("st_interiorringn", _interiorringn, T.BinaryType())
+
+    def _reverse_geom(g):
+        if g.kind == "Point":
+            return g
+        if g.kind == "LineString":
+            return _Geometry("LineString", g.parts[::-1].copy(), g.srid)
+        if g.kind == "Polygon":
+            return _Geometry(
+                "Polygon", [r[::-1].copy() for r in g.parts], g.srid
+            )
+        return _Geometry(g.kind, [_reverse_geom(c) for c in g.parts], g.srid)
+
+    def _reverse(b):
+        return to_wkb(_reverse_geom(parse_wkb(b))) if b is not None else None
+
+    spark.udf.register("st_reverse", _reverse, T.BinaryType())
+
+    from xcube_geodb_spark.geometry.geom import map_coordinates as _mapc
+
+    def _flip(b):
+        if b is None:
+            return None
+        return to_wkb(_mapc(parse_wkb(b), lambda x, y: (y, x)))
+
+    spark.udf.register("st_flipcoordinates", _flip, T.BinaryType())
