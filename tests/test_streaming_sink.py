@@ -122,3 +122,97 @@ class TestStreamingSink:
         v = client.catalog.meta("ev", "s").version
         fn(_events(spark, 0, 5).filter("event_id < 0"), 0)
         assert client.catalog.meta("ev", "s").version == v
+
+
+class TestDedupStreamingSink:
+    """Continuously-deduplicated ingest: each micro-batch deduped within
+    itself and against the already-ingested collection before appending."""
+
+    @pytest.fixture()
+    def doc_client(self, spark):
+        c = GeoDBSparkClient(
+            spark, warehouse=tempfile.mkdtemp(prefix="geodb_ddsink_"), user="s"
+        )
+        c.create_collection("docs", {"doc_ref": "bigint", "text": "text"})
+        return c
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_ref long, text string")
+
+    def _texts(self, client):
+        return sorted(
+            r.text
+            for r in client.catalog.load_df("docs", "s").select("text").collect()
+        )
+
+    def test_stream_dedup_across_batches(self, spark, doc_client, tmp_path):
+        from xcube_geodb_spark.streaming import write_stream_dedup_to_collection
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        # first increment: one in-batch duplicate
+        self._docs(
+            spark,
+            [(1, "alpha document"), (2, "beta document"), (3, "alpha document")],
+        ).write.parquet(src)
+        stream = spark.readStream.schema("doc_ref long, text string").parquet(src)
+        q = write_stream_dedup_to_collection(
+            stream, doc_client.catalog, "docs", "s",
+            checkpoint_dir=ckpt, trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        assert self._texts(doc_client) == ["alpha document", "beta document"]
+
+        # second increment: one known text, one new
+        self._docs(
+            spark, [(4, "beta document"), (5, "gamma document")]
+        ).write.mode("append").parquet(src)
+        stream2 = spark.readStream.schema("doc_ref long, text string").parquet(src)
+        q2 = write_stream_dedup_to_collection(
+            stream2, doc_client.catalog, "docs", "s",
+            checkpoint_dir=ckpt, trigger={"availableNow": True},
+        )
+        q2.awaitTermination(120)
+        assert self._texts(doc_client) == [
+            "alpha document", "beta document", "gamma document",
+        ]
+
+    def test_all_duplicate_batch_commits_nothing(self, spark, doc_client):
+        from xcube_geodb_spark.streaming import dedup_batch_writer
+
+        w = dedup_batch_writer(doc_client.catalog, "docs", "s")
+        w(self._docs(spark, [(1, "only doc")]), batch_id=0)
+        v1 = doc_client.catalog.meta("docs", "s").d["version"]
+        w(self._docs(spark, [(2, "only doc")]), batch_id=1)
+        assert doc_client.catalog.meta("docs", "s").d["version"] == v1
+        assert self._texts(doc_client) == ["only doc"]
+        # replaying the committed batch is a no-op too
+        w(self._docs(spark, [(9, "other")]), batch_id=0)
+        assert self._texts(doc_client) == ["only doc"]
+
+    def test_near_dedup_against_corpus(self, spark, doc_client):
+        from xcube_geodb_spark.streaming import dedup_batch_writer
+
+        base = (
+            "the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the warm windowsill every day"
+        )
+        w = dedup_batch_writer(
+            doc_client.catalog, "docs", "s", near=True, jaccard_threshold=0.5
+        )
+        w(self._docs(spark, [(1, base)]), batch_id=0)
+        # near-duplicate (small tail) + genuinely new doc
+        w(
+            self._docs(
+                spark,
+                [
+                    (2, base + " tail"),
+                    (3, "completely unrelated short corpus entry"),
+                ],
+            ),
+            batch_id=1,
+        )
+        texts = self._texts(doc_client)
+        assert base in texts
+        assert "completely unrelated short corpus entry" in texts
+        assert len(texts) == 2  # the near-dup was dropped

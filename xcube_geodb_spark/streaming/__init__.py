@@ -22,6 +22,8 @@ from xcube_geodb_spark.streaming.stateful import (
 )
 from xcube_geodb_spark.streaming.sink import (
     collection_batch_writer,
+    dedup_batch_writer,
+    write_stream_dedup_to_collection,
     write_stream_to_collection,
 )
 from xcube_geodb_spark.streaming.cdc import (
@@ -40,6 +42,8 @@ __all__ = [
     "dedup_events_stream",
     "running_user_totals",
     "collection_batch_writer",
+    "dedup_batch_writer",
+    "write_stream_dedup_to_collection",
     "write_stream_to_collection",
     "GeoDBVersionsDataSource",
     "register_cdc_source",

@@ -109,3 +109,118 @@ def write_stream_to_collection(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def dedup_batch_writer(
+    catalog,
+    collection: str,
+    database: str = "public",
+    *,
+    query_name: str = "stream",
+    text_col: str = "text",
+    near: bool = False,
+    jaccard_threshold: float = 0.6,
+    crs: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function for continuously-deduplicated ingest: each
+    micro-batch is deduplicated within itself, then against everything the
+    collection already holds — exact ``md5(text)`` anti-join, plus
+    optionally MinHash-LSH near-dedup (``near=True``, via
+    :func:`~xcube_geodb_spark.functions.dedup.dedup_against`) — before the
+    survivors append. The "dedup each new crawl increment against the
+    corpus" loop as a live stream.
+
+    Exactly-once composes with the dedup: a replayed batch is skipped by
+    the epoch guard before any dedup runs, and a batch whose rows ALL turn
+    out to be duplicates commits nothing — its replay re-dedups to empty
+    again, so skipping the epoch write is harmless.
+
+    Scale: the corpus side is only scanned and hash-joined (fingerprints
+    keyed by md5; LSH banding new-vs-corpus only) — per-batch cost grows
+    with corpus size only through one keyed join per enabled stage, never
+    a corpus self-join.
+    """
+    from pyspark.sql import functions as F
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        m = catalog.meta(collection, database)
+        done = m.d.get("stream_epochs", {}).get(query_name, -1)
+        if batch_id <= done:
+            return
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.dropDuplicates([text_col])
+        existing = catalog.load_df(collection, database, include_system=True)
+        fp = existing.select(
+            F.md5(F.col(text_col).cast("string")).alias("__fp")
+        ).distinct()
+        batch = batch.join(
+            fp,
+            F.md5(F.col(text_col).cast("string")) == F.col("__fp"),
+            "left_anti",
+        )
+        if near:
+            from xcube_geodb_spark.functions.dedup import dedup_against
+
+            tagged = batch.withColumn(
+                "__nid", F.monotonically_increasing_id()
+            )
+            corpus = existing.select(
+                F.col("id").alias("__nid"), F.col(text_col)
+            )
+            batch = dedup_against(
+                tagged,
+                corpus,
+                text_col=text_col,
+                id_col="__nid",
+                jaccard_threshold=jaccard_threshold,
+            ).drop("__nid")
+        if batch.isEmpty():
+            return  # all duplicates; replay re-dedups to empty (idempotent)
+        insert_into_collection(
+            catalog,
+            collection,
+            batch,
+            crs=crs,
+            database=database,
+            merge_meta={"stream_epochs": {query_name: int(batch_id)}},
+        )
+
+    return _write_batch
+
+
+def write_stream_dedup_to_collection(
+    stream_df: DataFrame,
+    catalog,
+    collection: str,
+    database: str = "public",
+    *,
+    checkpoint_dir: str,
+    query_name: str = "stream",
+    text_col: str = "text",
+    near: bool = False,
+    jaccard_threshold: float = 0.6,
+    crs: int | None = None,
+    trigger: dict | None = None,
+):
+    """Start a continuously-deduplicated ingest stream (see
+    :func:`dedup_batch_writer`). Returns the ``StreamingQuery``."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            dedup_batch_writer(
+                catalog,
+                collection,
+                database,
+                query_name=query_name,
+                text_col=text_col,
+                near=near,
+                jaccard_threshold=jaccard_threshold,
+                crs=crs,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
