@@ -85,15 +85,45 @@ def main() -> None:
     assert knn[0]["vec_id"] == 0 and knn[0]["cos_sim"] == 1.0
     print("similarity ok")
 
+    # --- corpus dedup: line-level + incremental ----------------------------
+    from xcube_geodb_spark.functions.dedup import dedup_against, line_dedup
+
+    lined = spark.createDataFrame(
+        [(1, "a b\ncommon"), (2, "c d\ncommon"), (3, "e f")],
+        "doc_id long, text string",
+    )
+    ld = {r["doc_id"]: r["text"] for r in line_dedup(lined).collect()}
+    assert ld == {1: "a b", 2: "c d", 3: "e f"}, ld
+    kept = dedup_against(
+        docs.select("doc_id", "text").filter("doc_id % 2 = 1"),
+        docs.select("doc_id", "text").filter("doc_id % 2 = 0"),
+    )
+    assert kept.count() > 0  # synthetic docs are distinct: all survive
+    print("corpus dedup ok")
+
+    # --- deterministic quantiles ------------------------------------------
+    from xcube_geodb_spark.operators.stats import quantiles_column
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    qs = quantiles_column(
+        li, "l_extendedprice", qs=(0.5,), bins=64, bounds=(0.0, 110000.0)
+    ).collect()
+    assert len(qs) == 1 and 0.0 < qs[0]["est"] < 110000.0
+    print("quantiles ok")
+
     # --- geometry SQL surface ---------------------------------------------
     from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
 
     register_spatial_sql_functions(spark)
     (r,) = spark.sql(
         "SELECT st_area(st_makeenvelope(0, 0, 2, 3)) AS a, "
-        "st_distance(st_makepoint(0, 0), st_makepoint(3, 4)) AS d"
+        "st_distance(st_makepoint(0, 0), st_makepoint(3, 4)) AS d, "
+        "st_astext(st_convexhull(st_geomfromtext("
+        "'MULTIPOINT (0 0, 2 0, 1 2, 1 1)'))) AS hull, "
+        "st_npoints(st_geomfromtext('LINESTRING (0 0, 1 1, 2 2)')) AS np"
     ).collect()
     assert r["a"] == 6.0 and r["d"] == 5.0
+    assert r["hull"] == "POLYGON ((0 0, 2 0, 1 2, 0 0))" and r["np"] == 3
     print("geometry sql ok")
 
     spark.stop()
