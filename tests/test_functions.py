@@ -725,3 +725,41 @@ class TestDedupAgainst:
         out = dedup.dedup_against(new, corpus)
         assert out.count() == 0
         assert corpus.count() == 1
+
+
+class TestSimhashNearPairs:
+    def test_complete_cover_matches_bruteforce(self, spark, docs):
+        fps = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_fingerprints(docs, bits=16).collect()
+        }
+        k = 3
+        expected = set()
+        ids = sorted(fps)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                ham = sum(x != y for x, y in zip(fps[a], fps[b]))
+                if ham <= k:
+                    expected.add((a, b, ham))
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_near_pairs(
+                docs, bits=16, max_hamming=k
+            ).collect()
+        }
+        assert got == expected  # pigeonhole cover is exact, not a sample
+
+    def test_exact_dups_at_distance_zero(self, spark, docs):
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_near_pairs(
+                docs, bits=16, max_hamming=0
+            ).collect()
+        }
+        assert got.get((1, 2)) == 0
+
+    def test_validates_max_hamming(self, spark, docs):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            dedup.simhash_near_pairs(docs, bits=16, max_hamming=16)

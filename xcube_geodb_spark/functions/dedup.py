@@ -497,3 +497,68 @@ def dedup_against(
         .distinct()
     )
     return survivors.join(losers, id_col, "left_anti")
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs at SimHash Hamming distance <= ``max_hamming``
+    via the pigeonhole block join: the fingerprint splits into
+    ``max_hamming + 1`` blocks, and any pair within distance k must agree
+    on at least one whole block — so candidates join on (block index,
+    block content) and the exact Hamming check runs only on collisions.
+    Unlike MinHash banding this cover is COMPLETE, not probabilistic:
+    the result is exactly every pair with distance <= k.
+
+    Returns ``(id_a, id_b, hamming)``. One keyed self-join on short block
+    strings; fan-out bounded by fingerprint-prefix density (uniform for
+    md5-derived bits), never O(n²).
+    """
+    if max_hamming < 0 or max_hamming >= bits:
+        raise ValueError("max_hamming must be in [0, bits)")
+    fps = simhash_fingerprints(df, text_col, id_col, bits).cache()
+    nb = max_hamming + 1
+    bounds = [round(i * bits / nb) for i in range(nb + 1)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.substring(
+                    "simhash", bounds[i] + 1, bounds[i + 1] - bounds[i]
+                ).alias("val"),
+            )
+            for i in range(nb)
+        ]
+    )
+    banded = fps.select(
+        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("b")
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("b.blk").alias("blk"),
+        F.col("b.val").alias("val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = None
+    for i in range(bits):
+        term = (
+            F.substring(F.col("a.simhash"), i + 1, 1)
+            != F.substring(F.col("b.simhash"), i + 1, 1)
+        ).cast("int")
+        ham = term if ham is None else ham + term
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

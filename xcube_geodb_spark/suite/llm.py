@@ -70,6 +70,15 @@ def dedup_pipeline_kept(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def dedup_simhash_near(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming distance <= 2 via the pigeonhole
+    block join — a COMPLETE cover (unlike probabilistic MinHash banding),
+    so the oracle is simply every fingerprint pair within distance 2."""
+    return dedup.simhash_near_pairs(
+        _augmented(spark, sf_dir), bits=16, max_hamming=2
+    )
+
+
 def _lined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Augmented docs re-laid-out as newline-separated 10-token lines, so
     the synthetic corpus (which has no newlines) exercises line-level
@@ -228,6 +237,22 @@ LLM_DEDUP_ORACLES = {
         fp AS (SELECT doc_id, {_FP_CONCAT} AS simhash FROM votes)
         SELECT simhash, min(doc_id) AS keeper_id, count(*) AS n_docs
         FROM fp GROUP BY simhash HAVING count(*) > 1
+    """,
+    "dedup_simhash_near": f"""
+        WITH aug AS ({_AUG_SQL}),
+        norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
+        tokd AS (
+            SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tok
+            FROM norm
+        ),
+        votes AS (SELECT doc_id, {_VOTE_COLS} FROM tokd GROUP BY doc_id),
+        fp AS (SELECT doc_id, {_FP_CONCAT} AS simhash FROM votes)
+        SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_filter(range(1, 17),
+                       i -> a.simhash[i] <> b.simhash[i])) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        ) WHERE hamming <= 2
     """,
     "dedup_lines_rebuilt": f"""
         WITH aug AS ({_AUG_SQL}),
@@ -1537,6 +1562,7 @@ LLM_QUERIES = {
     "dedup_jaccard_verified": dedup_jaccard_verified,
     "dedup_simhash": dedup_simhash,
     "dedup_pipeline_kept": dedup_pipeline_kept,
+    "dedup_simhash_near": dedup_simhash_near,
     "dedup_lines_rebuilt": dedup_lines_rebuilt,
     "dedup_incremental_kept": dedup_incremental_kept,
     "dedup_embedding_pairs": dedup_embedding_pairs,
