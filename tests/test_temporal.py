@@ -60,6 +60,62 @@ class TestAsofJoin:
         }
         assert out[2] == 100.0  # tie: same-time quote invisible (strict)
 
+    def test_forward(self, trades, quotes):
+        out = {
+            r["trade_id"]: r["px_asof"]
+            for r in asof_join(
+                trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+                value_cols=["px"], direction="forward",
+            ).collect()
+        }
+        assert out[1] == 101.0  # next quote at/after 10:03 is 10:05
+        assert out[2] == 101.0  # tie visible (inclusive forward)
+        assert out[3] == 100.0  # first quote of the morning
+        assert out[4] is None  # nothing after 11:00 for B
+        assert out[5] is None
+
+    def test_forward_strict_skips_tie(self, trades, quotes):
+        out = {
+            r["trade_id"]: r["px_asof"]
+            for r in asof_join(
+                trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+                value_cols=["px"], direction="forward", strict=True,
+            ).collect()
+        }
+        assert out[2] == 102.0  # 10:05 tie invisible; next is 10:10
+
+    def test_nearest_picks_closer_side_ties_backward(self, trades, quotes):
+        out = {
+            r["trade_id"]: r["px_asof"]
+            for r in asof_join(
+                trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+                value_cols=["px"], direction="nearest",
+            ).collect()
+        }
+        assert out[1] == 101.0  # 10:03: 2 min to 10:05 beats 3 min to 10:00
+        assert out[2] == 101.0  # exact hit
+        assert out[3] == 100.0  # only a forward match exists
+        assert out[4] == 50.0  # only a backward match exists
+        assert out[5] is None
+
+    def test_nearest_tie_resolves_backward(self, spark, quotes):
+        mid = spark.createDataFrame(
+            [(9, "A", "2024-01-01 10:02:30")],
+            "trade_id long, sym string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        (row,) = asof_join(
+            mid, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+            value_cols=["px"], direction="nearest",
+        ).collect()
+        assert row["px_asof"] == 100.0  # equidistant: backward wins
+
+    def test_rejects_unknown_direction(self, trades, quotes):
+        with pytest.raises(ValueError):
+            asof_join(
+                trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+                direction="sideways",
+            )
+
     def test_preserves_left_rowcount(self, trades, quotes):
         assert (
             asof_join(

@@ -26,11 +26,22 @@ def asof_join(
     value_cols: list[str] | None = None,
     strict: bool = False,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach ``value_cols`` from the right row with the
-    greatest ``right_ts`` <= ``left_ts`` (or < when ``strict``) within the
-    same ``on`` key. Left rows with no match get NULLs (left-join
-    semantics)."""
+    """For each left row, attach ``value_cols`` from one matching right row
+    within the same ``on`` key. ``direction`` (pandas ``merge_asof``
+    parity): ``backward`` (default) takes the greatest ``right_ts`` <=
+    ``left_ts`` (< when ``strict``); ``forward`` the smallest ``right_ts``
+    >= ``left_ts`` (>); ``nearest`` whichever of the two is closer in
+    time, ties resolved backward. Left rows with no match get NULLs
+    (left-join semantics).
+
+    Physical shape for every direction: union + per-key sorted window
+    carry — one shuffle on the key, state one row per value column, no
+    interval explosion; ``nearest`` runs the two window passes over the
+    SAME union (same exchange) and picks per row."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
@@ -39,30 +50,63 @@ def asof_join(
     l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn(
         "__side", F.lit(1 if not strict else 0)
     )
-    for c in out_cols:
+    for c in out_cols + ["__rt"]:
         l_tagged = l_tagged.withColumn(c, F.lit(None))
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("__t"),
         F.lit(0 if not strict else 1).alias("__side"),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.col(right_ts).alias("__rt"),
     )
     for c in left.columns:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None))
     # inclusive: right sorts before left at equal time (right row visible);
-    # strict: left sorts before right (same-time right rows invisible)
+    # strict: left sorts before right (same-time right rows invisible).
+    # The same __side tags serve both directions: under a DESCENDING time
+    # order the inclusive right row still has to precede its equal-time
+    # left row for the carry to see it.
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = unioned
-    for c in out_cols:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
+
+    def _carry(frame, order_desc: bool, tag: str):
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(
+                F.col("__t").desc() if order_desc else F.col("__t").asc(),
+                F.col("__side").asc(),
+            )
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for c in out_cols + ["__rt"]:
+            frame = frame.withColumn(
+                f"{c}{tag}", F.last(c, ignorenulls=True).over(w)
+            )
+        return frame
+
     is_left = F.col("__side") == (1 if not strict else 0)
-    return carried.filter(is_left).drop("__t", "__side")
+    if direction == "backward":
+        carried = _carry(unioned, False, "__b")
+        picked = [F.col(f"{c}__b").alias(c) for c in out_cols]
+    elif direction == "forward":
+        carried = _carry(unioned, True, "__f")
+        picked = [F.col(f"{c}__f").alias(c) for c in out_cols]
+    else:
+        carried = _carry(_carry(unioned, False, "__b"), True, "__f")
+        t = F.col("__t").cast("double")
+        brt = F.col("__rt__b").cast("double")
+        frt = F.col("__rt__f").cast("double")
+        choose_f = F.col("__rt__f").isNotNull() & (
+            F.col("__rt__b").isNull() | ((frt - t) < (t - brt))
+        )
+        picked = [
+            F.when(choose_f, F.col(f"{c}__f"))
+            .otherwise(F.col(f"{c}__b"))
+            .alias(c)
+            for c in out_cols
+        ]
+    keep = [c for c in left.columns]
+    return carried.filter(is_left).select(*keep, *picked)
 
 
 def range_join_events(

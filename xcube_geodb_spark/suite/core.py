@@ -842,6 +842,27 @@ def events_asof_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "prev_event")
 
 
+def events_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (direction='forward'): for every event, the
+    user's next strictly-later event. (user_id, ts) pairs are unique in
+    the fixture, so a lead() window is an exact oracle."""
+    from xcube_geodb_spark.functions.temporal import asof_join
+
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    out = asof_join(
+        events,
+        events.select("user_id", "ts", F.col("event_id").alias("next_event")),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["next_event"],
+        strict=True,
+        suffix="",
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_event")
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed funnel (functions/temporal.funnel_levels): deepest
     view->click->purchase chain per user within 24h, one shuffle + JVM
@@ -1027,6 +1048,12 @@ CORE_ORACLES_EVENTS = {
         FROM events a
         ASOF LEFT JOIN events b ON a.user_id = b.user_id AND b.ts < a.ts
     """,
+    "events_asof_next": """
+        SELECT event_id, user_id,
+               lead(event_id) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS next_event
+        FROM events
+    """,
     "events_json_extract": """
         SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
                count(*) AS n
@@ -1197,6 +1224,7 @@ CORE_QUERIES = {
     "events_sessionization": events_sessionization,
     "events_sliding_30m": events_sliding_30m,
     "events_asof_prev": events_asof_prev,
+    "events_asof_next": events_asof_next,
     "events_funnel": events_funnel,
     "events_attribution": events_attribution,
     "events_anomaly_zscore": events_anomaly_zscore,
