@@ -763,3 +763,74 @@ class TestSimhashNearPairs:
 
         with _pytest.raises(ValueError):
             dedup.simhash_near_pairs(docs, bits=16, max_hamming=16)
+
+
+class TestImageDims:
+    """Real (codec-free) image header parsing for multimodal columns."""
+
+    @staticmethod
+    def _png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x06" * 3
+        )
+
+    @staticmethod
+    def _jpeg(w, h):
+        app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\0" * 9
+        sof0 = (
+            b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\0" * 9
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    @staticmethod
+    def _gif(w, h):
+        return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+
+    def test_parse_formats(self):
+        from xcube_geodb_spark.functions.multimodal import parse_image_dims
+
+        assert parse_image_dims(self._png(640, 480)) == ("png", 640, 480)
+        assert parse_image_dims(self._jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
+        assert parse_image_dims(self._gif(32, 16)) == ("gif", 32, 16)
+        bmp = b"BM" + b"\0" * 16 + (200).to_bytes(4, "little") + (
+            -100 & 0xFFFFFFFF
+        ).to_bytes(4, "little")
+        assert parse_image_dims(bmp) == ("bmp", 200, 100)  # top-down height
+        assert parse_image_dims(b"not an image at all") is None
+
+    def test_jpeg_skips_non_sof_segments(self):
+        from xcube_geodb_spark.functions.multimodal import parse_image_dims
+
+        # DHT (0xC4) before SOF2 (0xC2, progressive) must be skipped
+        dht = b"\xff\xc4" + (5).to_bytes(2, "big") + b"\0\0\0"
+        sof2 = (
+            b"\xff\xc2" + (17).to_bytes(2, "big") + b"\x08"
+            + (77).to_bytes(2, "big") + (99).to_bytes(2, "big")
+            + b"\x03" + b"\0" * 9
+        )
+        assert parse_image_dims(b"\xff\xd8" + dht + sof2) == ("jpeg", 99, 77)
+
+    def test_with_image_dims_stage(self, spark):
+        from xcube_geodb_spark.functions.multimodal import with_image_dims
+
+        df = spark.createDataFrame(
+            [
+                (1, self._png(10, 20)),
+                (2, self._gif(3, 4)),
+                (3, b"garbage"),
+                (4, None),
+            ],
+            "doc_id long, payload binary",
+        )
+        out = {
+            r["doc_id"]: r["image_meta"]
+            for r in with_image_dims(df).collect()
+        }
+        assert out[1]["format"] == "png" and (out[1]["width"], out[1]["height"]) == (10, 20)
+        assert out[2]["format"] == "gif" and out[2]["height"] == 4
+        assert out[3]["format"] is None
+        assert out[4]["format"] is None
+        # other columns pass through
+        assert set(out) == {1, 2, 3, 4}

