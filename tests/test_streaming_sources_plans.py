@@ -366,3 +366,79 @@ class TestWatermarkSemantics:
         # the 10:00 click window closed with 2 events; the 10:30 straggler
         # arrived after the watermark passed and must not reopen it
         assert [r["n_events"] for r in clicks] == [2]
+
+
+class TestStreamingCountMin:
+    def test_stream_sketch_equals_batch_sketch_per_window(self, spark, tmp_path):
+        from xcube_geodb_spark.functions.sketch import (
+            count_min_build,
+            count_min_lookup,
+        )
+        from xcube_geodb_spark.streaming import streaming_count_min
+
+        toks = ["spark", "hash", "merge", "spark", "spark", "window"]
+        rows = [
+            (i, f"2024-01-01 {10 + (i % 2)}:{(i * 7) % 60:02d}:00",
+             toks[i % len(toks)])
+            for i in range(60)
+        ]
+        batch = spark.createDataFrame(
+            rows, "event_id long, ts string, token string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        src = str(tmp_path / "cm_stream_src")
+        batch.write.parquet(src)
+
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, token string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        out = streaming_count_min(
+            stream, "token", window="1 hour", depth=4, width=64
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cm_stream_test")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (str(r["window_start"]), r["row"], r["bucket"]): r["cnt"]
+                for r in spark.sql("SELECT * FROM cm_stream_test").collect()
+            }
+        finally:
+            q.stop()
+
+        # per window, the streamed sketch is EXACTLY the batch sketch of
+        # that window's rows (deterministic construction, no sampling)
+        expected = {}
+        for hour in (10, 11):
+            win = batch.filter(F.hour("ts") == hour)
+            for r in count_min_build(win, "token", depth=4, width=64).collect():
+                expected[
+                    (f"2024-01-01 {hour}:00:00", r["row"], r["bucket"])
+                ] = r["cnt"]
+        assert got == expected
+        # state bound: never more than depth*width cells per window
+        for hour in (10, 11):
+            cells = [k for k in got if k[0].startswith(f"2024-01-01 {hour}")]
+            assert len(cells) <= 4 * 64
+
+        # the streamed window sketch probes like any batch sketch
+        win10 = spark.createDataFrame(
+            [(k[1], k[2], v) for k, v in got.items()
+             if k[0] == "2024-01-01 10:00:00"],
+            "row int, bucket long, cnt long",
+        )
+        probes = spark.createDataFrame([("spark",), ("absent",)], ["token"])
+        est = {
+            r["token"]: r["est"]
+            for r in count_min_lookup(win10, probes, "token", 4, 64).collect()
+        }
+        true_spark = batch.filter(
+            (F.hour("ts") == 10) & (F.col("token") == "spark")
+        ).count()
+        assert est["spark"] >= true_spark  # CM never undercounts
+        assert est["absent"] == 0

@@ -13,6 +13,7 @@ from xcube_geodb_spark.streaming.windows import (
     session_window_agg,
     streaming_events_source,
     stream_attribution_join,
+    streaming_count_min,
     streaming_tile_counts,
     tumbling_window_counts,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "sliding_window_counts",
     "session_window_agg",
     "streaming_events_source",
+    "streaming_count_min",
     "streaming_tile_counts",
     "stream_attribution_join",
     "dedup_events_stream",

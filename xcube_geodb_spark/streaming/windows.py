@@ -169,3 +169,61 @@ def stream_attribution_join(
         key=key,
         max_lag=max_lag,
     )
+
+
+def streaming_count_min(
+    stream: DataFrame,
+    item_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Windowed count-min sketch over a stream: per time window, the d x w
+    counter matrix tracking item frequencies (trending-token / heavy-hitter
+    monitoring with BOUNDED state — at most ``depth * width`` counters per
+    open window no matter the stream rate, vs unbounded per-item state for
+    an exact windowed count).
+
+    Same deterministic md5 construction as the batch
+    :func:`~xcube_geodb_spark.functions.sketch.count_min_build`, so
+    estimates replay engine-independently and a window's sketch from the
+    stream equals the batch sketch of that window's rows (asserted in
+    tests); :func:`~xcube_geodb_spark.functions.sketch.count_min_lookup`
+    probes each window's rows unchanged. The streaming plan is one
+    windowed hash aggregate: incremental map-side partials per
+    micro-batch, state keyed by (window, row, bucket), expired by the
+    watermark.
+    """
+    from xcube_geodb_spark.functions.sketch import _bucket
+
+    item = F.col(item_col)
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _bucket(item, r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), coords.alias("rb"))
+        .groupBy(
+            F.window(F.col(ts_col), window),
+            F.col("rb.row").alias("row"),
+            F.col("rb.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "row",
+            "bucket",
+            "cnt",
+        )
+    )
