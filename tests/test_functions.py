@@ -834,3 +834,35 @@ class TestImageDims:
         assert out[4]["format"] is None
         # other columns pass through
         assert set(out) == {1, 2, 3, 4}
+
+
+class TestDuplicateSpans:
+    def test_finds_shared_passage_not_whole_doc_dup(self, spark):
+        shared = " ".join(f"w{i}" for i in range(30))  # 30-token passage
+        rows = [
+            (1, "intro one two three " + shared + " outro alpha"),
+            (2, "different lead-in text here " + shared + " tail beta"),
+            (3, "no overlap with anything else at all whatsoever"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.duplicate_spans(df, n=20, stride=10).collect()
+        docs = {r["doc_id"] for r in out}
+        assert docs == {1, 2}  # both holders flagged, doc 3 untouched
+        # shared passage >= n + stride tokens guarantees >= 1 collision
+        assert all(r["n_occurrences"] == 2 for r in out)
+
+    def test_short_docs_hash_whole_document(self, spark):
+        df = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc"), (3, "other tiny")],
+            "doc_id long, text string",
+        )
+        out = dedup.duplicate_spans(df, n=20, stride=10).collect()
+        assert {r["doc_id"] for r in out} == {1, 2}
+        assert all(r["start_tok"] == 0 for r in out)
+
+    def test_validates_params(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            dedup.duplicate_spans(df, n=0)

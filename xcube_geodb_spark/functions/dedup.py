@@ -562,3 +562,60 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    stride: int = 25,
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicate span detection — the bounded, shuffle-friendly relative of
+    exact-substring dedup: overlapping windows of ``n`` tokens taken every
+    ``stride`` tokens are hashed corpus-wide, and every occurrence of a
+    window whose hash repeats ``>= min_count`` times is returned as
+    ``(id, start_tok, span_hash, n_occurrences)``. With ``stride <= n/2``
+    any verbatim shared passage of ``>= n + stride`` tokens is guaranteed
+    to produce at least one colliding window, so this finds cross-document
+    boilerplate passages exact dedup (whole-doc) and line dedup
+    (single-line) both miss. Documents shorter than ``n`` tokens hash as
+    one whole-document window.
+
+    Scale shape: the window explode is narrow and emits ~tokens/stride
+    rows per doc; frequencies and the flagging join are keyed by the
+    128-bit span hash (no value skew, map-side-combined aggregate,
+    streaming sort-merge join) — the same plan family as
+    :func:`line_dedup`, cost linear in corpus tokens.
+    """
+    if n < 1 or stride < 1:
+        raise ValueError("n and stride must be >= 1")
+    tok = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    k = F.size("__toks")
+    n_spans = F.greatest(
+        (F.floor((k - F.lit(n)) / F.lit(stride)) + 1).cast("int"), F.lit(1)
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(F.col("__toks"), i * stride + 1, n))
+        ),
+    )
+    occ = tok.select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "span_hash")
+    ).select(
+        F.col(id_col),
+        (F.col("pos") * stride).cast("long").alias("start_tok"),
+        F.col("span_hash"),
+    )
+    freq = (
+        occ.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    return occ.join(freq, "span_hash").select(
+        id_col, "start_tok", "span_hash", "n_occurrences"
+    )

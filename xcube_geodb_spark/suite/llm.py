@@ -79,6 +79,15 @@ def dedup_simhash_near(spark, sf_dir):
     )
 
 
+def dedup_duplicate_spans(spark, sf_dir):
+    """Duplicate-span detection (ExactSubstr-lite): 20-token windows at
+    stride 10 hashed corpus-wide; occurrences of repeated windows flagged.
+    The augmented copies guarantee shared passages."""
+    return dedup.duplicate_spans(
+        _augmented(spark, sf_dir), n=20, stride=10, min_count=2
+    )
+
+
 def _lined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Augmented docs re-laid-out as newline-separated 10-token lines, so
     the synthetic corpus (which has no newlines) exercises line-level
@@ -237,6 +246,25 @@ LLM_DEDUP_ORACLES = {
         fp AS (SELECT doc_id, {_FP_CONCAT} AS simhash FROM votes)
         SELECT simhash, min(doc_id) AS keeper_id, count(*) AS n_docs
         FROM fp GROUP BY simhash HAVING count(*) > 1
+    """,
+    "dedup_duplicate_spans": f"""
+        WITH aug AS ({_AUG_SQL}),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+        spans AS (
+            SELECT doc_id, CAST(i * 10 AS BIGINT) AS start_tok,
+                   md5(array_to_string(
+                       list_slice(toks, CAST(i * 10 + 1 AS INT),
+                                  CAST(i * 10 + 20 AS INT)), ' ')) AS span_hash
+            FROM tok, LATERAL unnest(range(0, greatest(
+                CAST(floor((len(toks) - 20) * 1.0 / 10) AS BIGINT) + 1, 1
+            ))) AS t(i)
+        ),
+        freq AS (
+            SELECT span_hash, count(*) AS n_occurrences
+            FROM spans GROUP BY 1 HAVING count(*) >= 2
+        )
+        SELECT s.doc_id, s.start_tok, s.span_hash, f.n_occurrences
+        FROM spans s JOIN freq f USING (span_hash)
     """,
     "dedup_simhash_near": f"""
         WITH aug AS ({_AUG_SQL}),
@@ -1563,6 +1591,7 @@ LLM_QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_pipeline_kept": dedup_pipeline_kept,
     "dedup_simhash_near": dedup_simhash_near,
+    "dedup_duplicate_spans": dedup_duplicate_spans,
     "dedup_lines_rebuilt": dedup_lines_rebuilt,
     "dedup_incremental_kept": dedup_incremental_kept,
     "dedup_embedding_pairs": dedup_embedding_pairs,
