@@ -863,6 +863,32 @@ def events_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "next_event")
 
 
+def events_ohlc_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (the financial/monitoring rollup): per (hour, event_type),
+    the value of the earliest event (open), max (high), min (low), and the
+    value of the latest event (close) — min_by/max_by on the timestamp, a
+    single map-side-combinable aggregation. (event_type, ts) pairs are
+    unique in every fixture SF (verified), so the timestamp alone is a
+    deterministic open/close key."""
+    events = load(spark, sf_dir, "events")
+    key = F.col("ts")
+    return (
+        events.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed funnel (functions/temporal.funnel_levels): deepest
     view->click->purchase chain per user within 24h, one shuffle + JVM
@@ -1048,6 +1074,16 @@ CORE_ORACLES_EVENTS = {
         FROM events a
         ASOF LEFT JOIN events b ON a.user_id = b.user_id AND b.ts < a.ts
     """,
+    "events_ohlc_hour": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type,
+               round(arg_min(value, ts), 4) AS open,
+               round(max(value), 4) AS high,
+               round(min(value), 4) AS low,
+               round(arg_max(value, ts), 4) AS close,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
     "events_asof_next": """
         SELECT event_id, user_id,
                lead(event_id) OVER (PARTITION BY user_id ORDER BY ts)
@@ -1225,6 +1261,7 @@ CORE_QUERIES = {
     "events_sliding_30m": events_sliding_30m,
     "events_asof_prev": events_asof_prev,
     "events_asof_next": events_asof_next,
+    "events_ohlc_hour": events_ohlc_hour,
     "events_funnel": events_funnel,
     "events_attribution": events_attribution,
     "events_anomaly_zscore": events_anomaly_zscore,
