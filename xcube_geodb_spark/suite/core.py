@@ -421,6 +421,28 @@ def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window family union in one gate: ntile quartiles, lag/lead
+    neighbors, percent_rank, and a running sum over customers per market
+    segment (deterministic order: (acctbal desc, custkey))."""
+    from pyspark.sql import Window as W
+
+    customer = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    run = w.rowsBetween(W.unboundedPreceding, 0)
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lag("c_custkey").over(w).alias("richer_cust"),
+        F.lead("c_custkey").over(w).alias("poorer_cust"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.sum("c_acctbal").over(run), 2).alias("running_acctbal"),
+    )
+
+
 def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
     return (
@@ -635,6 +657,21 @@ CORE_ORACLES_RELATIONAL = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name
+    """,
+    "window_rank_family": """
+        SELECT c_custkey, c_mktsegment,
+               ntile(4) OVER w AS quartile,
+               lag(c_custkey) OVER w AS richer_cust,
+               lead(c_custkey) OVER w AS poorer_cust,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(sum(c_acctbal) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_acctbal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey ASC)
     """,
     "window_top_order_per_customer": """
         SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
@@ -1244,6 +1281,7 @@ CORE_QUERIES = {
     "skew_salted_join_revenue": skew_salted_join_revenue,
     "join_q3_shipping": join_q3_shipping,
     "window_top_order_per_customer": window_top_order_per_customer,
+    "window_rank_family": window_rank_family,
     "rollup_lineitem": rollup_lineitem,
     "cube_lineitem": cube_lineitem,
     "agg_histogram_price": agg_histogram_price,
