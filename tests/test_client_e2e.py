@@ -567,3 +567,53 @@ def test_quickstart_example_runs(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "quickstart complete" in r.stdout
+
+
+class TestQuantilesCollection:
+    def test_manifest_bounds_used_and_values_sane(self, spark, tmp_path):
+        import pandas as pd
+
+        from xcube_geodb_spark.client import GeoDBSparkClient
+
+        c = GeoDBSparkClient(
+            spark, warehouse=str(tmp_path / "wh"), user="q"
+        )
+        c.create_collection("t", {"v": "float"})
+        c.insert_into_collection(
+            "t",
+            pd.DataFrame(
+                {
+                    "geometry": [f"POINT ({i} 0)" for i in range(100)],
+                    "v": [float(i + 1) for i in range(100)],
+                }
+            ),
+        )
+        out = c.quantiles_collection("t", "v", qs=(0.5, 1.0), bins=100)
+        got = dict(zip(out["q"], out["est"]))
+        # manifest bounds are (1, 100): median lands within one bucket
+        # width of 50, max exactly 100
+        assert abs(got[0.5] - 50.0) <= (99.0 / 100) * 1.5
+        assert got[1.0] == 100.0
+
+    def test_grouped(self, spark, tmp_path):
+        import pandas as pd
+
+        from xcube_geodb_spark.client import GeoDBSparkClient
+
+        c = GeoDBSparkClient(spark, warehouse=str(tmp_path / "wh2"), user="q")
+        c.create_collection("t2", {"v": "float", "g": "text"})
+        c.insert_into_collection(
+            "t2",
+            pd.DataFrame(
+                {
+                    "geometry": ["POINT (0 0)"] * 40,
+                    "v": [float(i % 20 + 1) for i in range(40)],
+                    "g": ["a"] * 20 + ["b"] * 20,
+                }
+            ),
+        )
+        out = c.quantiles_collection(
+            "t2", "v", qs=(1.0,), bins=20, group_by=["g"]
+        )
+        assert sorted(out["g"]) == ["a", "b"]
+        assert set(out["est"]) == {20.0}

@@ -547,6 +547,44 @@ class GeoDBSparkClient:
         self.events.log("read", f"Collection {db}_{collection} profiled")
         return out
 
+    def quantiles_collection(
+        self,
+        collection: str,
+        column: str,
+        qs: tuple = (0.25, 0.5, 0.75),
+        bins: int = 1024,
+        database: str | None = None,
+        group_by: list | None = None,
+    ) -> pd.DataFrame:
+        """Deterministic histogram-interpolated percentiles of a numeric
+        collection property, optionally per group (pg_stats percentile
+        analogue; see operators/stats.quantiles_column). The histogram's
+        grid bounds come FREE from the manifest's commit-time min/max when
+        present — the data pass is then the single bucket-count
+        aggregation."""
+        from xcube_geodb_spark.operators.stats import quantiles_column
+
+        db = self._db(database)
+        m = self.catalog.meta(collection, db)
+        bounds = None
+        fstats = m.d.get("file_stats") or {}
+        if fstats and all(
+            f in fstats and column in fstats[f] for f in m.files
+        ):
+            los = [fstats[f][column][0] for f in m.files]
+            his = [fstats[f][column][1] for f in m.files]
+            if all(v is not None for v in los + his):
+                bounds = (float(min(los)), float(max(his)))
+        df = self.catalog.load_df(collection, db)
+        out = quantiles_column(
+            df, column, qs=qs, bins=bins, bounds=bounds,
+            group_cols=list(group_by) if group_by else None,
+        ).toPandas()
+        self.events.log(
+            "read", f"Collection {db}_{collection} quantiles({column})"
+        )
+        return out
+
     def count_collection_by_bbox(
         self,
         collection: str,
