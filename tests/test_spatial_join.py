@@ -286,3 +286,71 @@ class TestSpatialKnnJoin:
 
         with pytest.raises(ValueError):
             spatial_knn_join(_cust_points(spark), _points(spark), k=0)
+
+
+class TestSpatialDbscan:
+    @staticmethod
+    def _pt(x, y):
+        import numpy as np
+
+        from xcube_geodb_spark.geometry.geom import Geometry, to_wkb
+
+        return to_wkb(Geometry("Point", np.array([float(x), float(y)])))
+
+    @pytest.fixture(scope="class")
+    def labeled(self, spark):
+        from xcube_geodb_spark.functions.spatial_join import spatial_dbscan
+
+        rows = (
+            # chain A: ends are border (2 neighbors incl. self), middle core
+            [(i, self._pt(0.1 * i, 0)) for i in range(5)]
+            + [(10 + i, self._pt(50 + 0.1 * i, 50)) for i in range(4)]
+            + [(99, self._pt(-90, -80)), (98, self._pt(90, 80))]  # noise
+            + [(50, self._pt(0.52, 0))]  # border: near core 4 only
+        )
+        df = spark.createDataFrame(rows, "pid long, geometry binary")
+        out = spatial_dbscan(df, eps=0.15, min_pts=3, id_col="pid")
+        return {r["pid"]: (r["cluster_id"], r["role"]) for r in out.collect()}
+
+    def test_core_border_noise_roles(self, labeled):
+        assert labeled[2] == (1, "core")
+        assert labeled[0] == (1, "border")  # chain end: only 2 in eps-ball
+        assert labeled[50] == (1, "border")  # reachable via core 4 only
+        assert labeled[99] == (None, "noise")
+        assert labeled[98] == (None, "noise")
+
+    def test_clusters_are_separate_and_min_id_labeled(self, labeled):
+        a = {p for p, (c, _) in labeled.items() if c == 1}
+        b = {p for p, (c, _) in labeled.items() if c == 11}
+        assert a == {0, 1, 2, 3, 4, 50}
+        assert b == {10, 11, 12, 13}  # min CORE id labels the cluster
+
+    def test_row_per_input_feature(self, labeled):
+        assert len(labeled) == 12
+
+    def test_isolated_core_is_singleton_cluster(self, spark):
+        from xcube_geodb_spark.functions.spatial_join import spatial_dbscan
+
+        # 3 coincident points: each has 3 neighbors -> all core, one cluster
+        df = spark.createDataFrame(
+            [(7, self._pt(1, 1)), (8, self._pt(1, 1)), (9, self._pt(1, 1))],
+            "pid long, geometry binary",
+        )
+        out = {
+            r["pid"]: (r["cluster_id"], r["role"])
+            for r in spatial_dbscan(
+                df, eps=0.1, min_pts=3, id_col="pid"
+            ).collect()
+        }
+        assert out == {7: (7, "core"), 8: (7, "core"), 9: (7, "core")}
+
+    def test_validates_params(self, spark):
+        from xcube_geodb_spark.functions.spatial_join import spatial_dbscan
+
+        df = spark.createDataFrame(
+            [(1, self._pt(0, 0))], "pid long, geometry binary"
+        )
+        with pytest.raises(ValueError):
+            spatial_dbscan(df, eps=0.0, min_pts=3, id_col="pid")
+        with pytest.raises(ValueError):
+            spatial_dbscan(df, eps=1.0, min_pts=0, id_col="pid")

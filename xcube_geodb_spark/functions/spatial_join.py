@@ -411,3 +411,98 @@ def spatial_knn_join(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def spatial_dbscan(
+    df: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str,
+    geom_col: str = "geometry",
+    cell_size: float | None = None,
+) -> DataFrame:
+    """Distributed DBSCAN over geometry features.
+
+    The classic single-node algorithm region-queries an R-tree per point;
+    re-expressed for Spark as set operations:
+
+    1. all neighbor pairs within ``eps`` via the grid-partitioned
+       ``dwithin`` self-join (PBSM — no O(n²) pass),
+    2. core points: ``|N_eps(p)| >= min_pts`` counting p itself,
+    3. clusters: distributed label-propagation connected components over
+       core-core edges (cluster id = min core id, deterministic),
+    4. border points attach to the smallest cluster id among their core
+       neighbors (deterministic tie-break); everything else is noise.
+
+    Returns ``(id, cluster_id, role)`` with role in core/border/noise and
+    NULL cluster for noise. Scale: one spatial join on the cell grid, one
+    count aggregate, O(cluster diameter) label-propagation rounds — the
+    densest uniform region drives the join fan-out, never the corpus
+    size.
+    """
+    if eps <= 0 or not math.isfinite(eps):
+        raise ValueError(f"eps must be finite and > 0, got {eps!r}")
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts!r}")
+    from xcube_geodb_spark.functions.dedup import duplicate_clusters
+
+    keep = [id_col, geom_col] + [c for c in _ENV if c in df.columns]
+    feats = df.select(*keep)
+    rid = f"{id_col}_r"
+    pairs = spatial_join(
+        feats,
+        feats,
+        predicate="dwithin",
+        distance=eps,
+        cell_size=cell_size,
+        left_geom=geom_col,
+        right_geom=geom_col,
+    ).select(id_col, rid)
+
+    nbr_counts = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    cores = nbr_counts.filter(F.col("__n") >= min_pts).select(id_col)
+
+    core_edges = (
+        pairs.filter(F.col(id_col) != F.col(rid))
+        .join(cores, id_col)
+        .join(cores.select(F.col(id_col).alias(rid)), rid)
+        .filter(F.col(id_col) < F.col(rid))
+        .select(F.col(id_col).alias("id_a"), F.col(rid).alias("id_b"))
+    )
+    linked = duplicate_clusters(core_edges).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    # isolated cores (no core neighbor) form their own singleton cluster
+    core_clusters = (
+        cores.join(linked, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+    border = (
+        pairs.join(cores.select(F.col(id_col).alias(rid)), rid)
+        .join(cores, id_col, "left_anti")
+        .join(
+            core_clusters.select(
+                F.col(id_col).alias(rid), F.col("cluster_id")
+            ),
+            rid,
+        )
+        .groupBy(id_col)
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+
+    labeled = core_clusters.withColumn("role", F.lit("core")).unionByName(
+        border.withColumn("role", F.lit("border"))
+    )
+    return (
+        feats.select(id_col)
+        .join(labeled, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce("role", F.lit("noise")).alias("role"),
+        )
+    )

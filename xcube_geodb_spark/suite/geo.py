@@ -646,6 +646,21 @@ def geo_spatial_join_dwithin(spark, sf_dir):
     ).select("c_custkey", "s_suppkey")
 
 
+def geo_dbscan_points(spark, sf_dir):
+    """Distributed DBSCAN (functions/spatial_join.spatial_dbscan) over the
+    synthesized customer points, eps=3 / min_pts=3: neighbor pairs via the
+    PBSM dwithin self-join, cores by neighborhood count, clusters by
+    label-propagation connected components, deterministic border
+    attachment. The oracle replays the whole thing relationally
+    (brute-force pair distances + recursive-CTE components)."""
+    from xcube_geodb_spark.functions.spatial_join import spatial_dbscan
+
+    pts = _points(spark, sf_dir).select(
+        "c_custkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+    )
+    return spatial_dbscan(pts, eps=3.0, min_pts=3, id_col="c_custkey")
+
+
 def geo_zonal_stats(spark, sf_dir):
     """Zonal statistics: the spatial join composed with aggregation —
     per customer square (zone), count and value-sum of the supplier
@@ -816,6 +831,49 @@ GEO_ORACLES_JOINS = {
           ON sqrt((c.x - pt.px) * (c.x - pt.px)
                   + (c.y - pt.py) * (c.y - pt.py)) <= 4.105
     """,
+    "geo_dbscan_points": f"""
+        WITH RECURSIVE pts AS ({_PTS}),
+        pairs AS (
+            SELECT a.c_custkey AS ida, b.c_custkey AS idb
+            FROM pts a JOIN pts b
+              ON sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)) <= 3.0
+        ),
+        counts AS (SELECT ida, count(*) AS n FROM pairs GROUP BY 1),
+        cores AS (SELECT ida AS id FROM counts WHERE n >= 3),
+        core_edges AS (
+            SELECT ida AS src, idb AS dst FROM pairs
+            WHERE ida <> idb
+              AND ida IN (SELECT id FROM cores)
+              AND idb IN (SELECT id FROM cores)
+        ),
+        reach AS (
+            SELECT src AS id, dst AS r FROM core_edges
+            UNION
+            SELECT rr.id, e.dst FROM reach rr
+            JOIN core_edges e ON e.src = rr.r
+        ),
+        core_cluster AS (
+            SELECT c.id,
+                   least(c.id, coalesce(min(r.r), c.id)) AS cluster_id
+            FROM cores c LEFT JOIN reach r ON r.id = c.id
+            GROUP BY c.id
+        ),
+        border AS (
+            SELECT p.ida AS id, min(cc.cluster_id) AS cluster_id
+            FROM pairs p JOIN core_cluster cc ON cc.id = p.idb
+            WHERE p.ida NOT IN (SELECT id FROM cores)
+            GROUP BY 1
+        )
+        SELECT p.c_custkey,
+               coalesce(cc.cluster_id, b.cluster_id) AS cluster_id,
+               CASE WHEN cc.id IS NOT NULL THEN 'core'
+                    WHEN b.id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role
+        FROM pts p
+        LEFT JOIN core_cluster cc ON cc.id = p.c_custkey
+        LEFT JOIN border b ON b.id = p.c_custkey
+    """,
     "geo_zonal_stats": f"""
         SELECT c_custkey, count(*) AS n_points,
                CAST(sum(s_suppkey) AS BIGINT) AS sum_keys
@@ -850,6 +908,7 @@ GEO_QUERIES = {
     "geo_geometry_types": geo_geometry_types,
     "geo_spatial_join_points": geo_spatial_join_points,
     "geo_spatial_join_dwithin": geo_spatial_join_dwithin,
+    "geo_dbscan_points": geo_dbscan_points,
     "geo_knn_join": geo_knn_join,
     "geo_zonal_stats": geo_zonal_stats,
     "geo_geohash_points": geo_geohash_points,
