@@ -315,3 +315,19 @@ class TestRound7PlanShape:
                 i for i in range(len(plan)) if plan.startswith("Window", i)
             ]
         )
+
+    def test_dbscan_join_is_grid_keyed_no_cartesian(self, spark):
+        from xcube_geodb_spark.functions.spatial_join import spatial_dbscan
+        from xcube_geodb_spark.geometry.udfs import with_envelope_columns
+        from xcube_geodb_spark.suite.geo import _points
+
+        pts = _points(spark, SF).select(
+            "c_custkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+        )
+        plan = executed_plan(
+            spatial_dbscan(pts, eps=3.0, min_pts=3, id_col="c_custkey")
+        )
+        # the eps-neighbor self-join must key on the grid cell, never fall
+        # back to a cartesian/broadcast-nested-loop pass
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
