@@ -617,3 +617,19 @@ class TestQuantilesCollection:
         )
         assert sorted(out["g"]) == ["a", "b"]
         assert set(out["est"]) == {20.0}
+
+
+def test_corpus_pipeline_example_runs(tmp_path):
+    """The examples/corpus_pipeline.py walkthrough must keep executing
+    end-to-end (subprocess: it owns its own SparkSession)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "examples", "corpus_pipeline.py")],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "corpus pipeline complete" in r.stdout
