@@ -633,3 +633,93 @@ def test_corpus_pipeline_example_runs(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "corpus pipeline complete" in r.stdout
+
+
+class TestCheckConstraints:
+    @pytest.fixture()
+    def cc(self, spark, tmp_path):
+        import pandas as pd
+
+        from xcube_geodb_spark.client import GeoDBSparkClient
+
+        c = GeoDBSparkClient(spark, warehouse=str(tmp_path / "wh"), user="k")
+        c.create_collection("t", {"v": "int", "name": "text"})
+        c.insert_into_collection(
+            "t",
+            pd.DataFrame(
+                {
+                    "geometry": ["POINT (0 0)", "POINT (1 1)"],
+                    "v": [5, 10],
+                    "name": ["a", "b"],
+                }
+            ),
+        )
+        return c
+
+    def test_add_validates_existing_rows(self, cc):
+        from xcube_geodb_spark.errors import GeoDBError
+
+        with pytest.raises(GeoDBError, match="existing row"):
+            cc.add_constraint("t", "v_big", "v > 7")
+        cc.add_constraint("t", "v_pos", "v > 0")
+        assert cc.get_constraints("t") == {"v_pos": "v > 0"}
+
+    def test_insert_rejects_violation_and_commits_nothing(self, cc):
+        import pandas as pd
+
+        from xcube_geodb_spark.errors import GeoDBError
+
+        cc.add_constraint("t", "v_pos", "v > 0")
+        with pytest.raises(GeoDBError, match="v_pos"):
+            cc.insert_into_collection(
+                "t",
+                pd.DataFrame(
+                    {"geometry": ["POINT (2 2)"], "v": [-1], "name": ["x"]}
+                ),
+            )
+        assert len(cc.get_collection("t")) == 2  # nothing committed
+        cc.insert_into_collection(
+            "t",
+            pd.DataFrame({"geometry": ["POINT (2 2)"], "v": [3], "name": ["x"]}),
+        )
+        assert len(cc.get_collection("t")) == 3
+
+    def test_update_and_upsert_enforced_null_passes(self, cc):
+        import pandas as pd
+
+        from xcube_geodb_spark.errors import GeoDBError
+
+        cc.add_constraint("t", "v_pos", "v > 0")
+        with pytest.raises(GeoDBError, match="update"):
+            cc.update_collection("t", {"v": -5}, "name=eq.a")
+        # NULL check result passes (Postgres semantics)
+        cc.insert_into_collection(
+            "t",
+            pd.DataFrame(
+                {"geometry": ["POINT (3 3)"], "v": [None], "name": ["n"]}
+            ),
+        )
+        with pytest.raises(GeoDBError, match="upsert"):
+            cc.insert_into_collection(
+                "t",
+                pd.DataFrame(
+                    {
+                        "id": [1],
+                        "geometry": ["POINT (0 0)"],
+                        "v": [-9],
+                        "name": ["a"],
+                    }
+                ),
+                upsert=True,
+            )
+
+    def test_drop_constraint_lifts_enforcement(self, cc):
+        import pandas as pd
+
+        cc.add_constraint("t", "v_pos", "v > 0")
+        cc.drop_constraint("t", "v_pos")
+        cc.insert_into_collection(
+            "t",
+            pd.DataFrame({"geometry": ["POINT (4 4)"], "v": [-2], "name": ["z"]}),
+        )
+        assert len(cc.get_collection("t")) == 3

@@ -414,6 +414,51 @@ class GeoDBCatalog:
             del m.d["properties"][k]
         _atomic_write_json(m.path, m.d)
 
+    def add_constraint(
+        self, collection: str, name: str, expr: str, database: str
+    ) -> None:
+        """CHECK constraint (Postgres parity the table format otherwise
+        lacks): a boolean Spark SQL expression over the collection's
+        columns, validated against all EXISTING rows at add time and
+        enforced by every subsequent insert/update batch (Postgres
+        semantics: a NULL check result passes). Stored in the metadata
+        sidecar under ``constraints``."""
+        from pyspark.sql import functions as F
+
+        m = self.meta(collection, database)
+        cons = m.d.setdefault("constraints", {})
+        if name in cons:
+            raise GeoDBError(f"Constraint {name} already exists")
+        df = self.load_df(collection, database)
+        try:
+            bad = df.filter(
+                ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            ).count()
+        except Exception as e:
+            raise GeoDBError(
+                f"Invalid constraint expression {expr!r}: {e}"
+            ) from None
+        if bad:
+            raise GeoDBError(
+                f"Cannot add constraint {name}: {bad} existing row(s) "
+                f"violate ({expr})"
+            )
+        cons[name] = expr
+        _atomic_write_json(m.path, m.d)
+
+    def drop_constraint(
+        self, collection: str, name: str, database: str
+    ) -> None:
+        m = self.meta(collection, database)
+        cons = m.d.get("constraints", {})
+        if name not in cons:
+            raise GeoDBError(f"Constraint {name} does not exist")
+        del cons[name]
+        _atomic_write_json(m.path, m.d)
+
+    def get_constraints(self, collection: str, database: str) -> dict:
+        return dict(self.meta(collection, database).d.get("constraints", {}))
+
     def get_properties(self, collection: str, database: str) -> list[dict]:
         m = self.meta(collection, database)
         rows = [

@@ -252,6 +252,38 @@ class GeoDBSparkClient:
             f"Properties {list(properties)} added to {db}_{collection}",
         )
 
+    def add_constraint(
+        self,
+        collection: str,
+        name: str,
+        expr: str,
+        database: str | None = None,
+    ) -> None:
+        """CHECK constraint over collection columns (Postgres parity):
+        validated against existing rows now, enforced on every later
+        insert/update; NULL check results pass (Postgres semantics)."""
+        db = self._db(database)
+        self.catalog.add_constraint(collection, name, expr, db)
+        self.events.log(
+            "constraint_added",
+            f"Constraint {name} ({expr}) added to {db}_{collection}",
+        )
+
+    def drop_constraint(
+        self, collection: str, name: str, database: str | None = None
+    ) -> None:
+        db = self._db(database)
+        self.catalog.drop_constraint(collection, name, db)
+        self.events.log(
+            "constraint_dropped",
+            f"Constraint {name} dropped from {db}_{collection}",
+        )
+
+    def get_constraints(
+        self, collection: str, database: str | None = None
+    ) -> dict:
+        return self.catalog.get_constraints(collection, self._db(database))
+
     def drop_property(
         self, collection: str, prop: str, database: str | None = None
     ) -> None:

@@ -125,6 +125,28 @@ def prepare_values_df(
 # ---------------------------------------------------------------------------
 
 
+def _enforce_constraints(m, df: DataFrame, what: str) -> None:
+    """CHECK-constraint enforcement (Postgres semantics: NULL passes).
+    One combined aggregation over the batch; zero cost when the
+    collection declares no constraints."""
+    cons = m.d.get("constraints", {})
+    if not cons:
+        return
+    checks = [
+        F.sum(
+            (~F.coalesce(F.expr(e).cast("boolean"), F.lit(True))).cast("int")
+        ).alias(n)
+        for n, e in cons.items()
+    ]
+    row = df.agg(*checks).collect()[0]
+    viol = {n: row[n] for n in cons if row[n]}
+    if viol:
+        detail = ", ".join(
+            f"{n} ({cons[n]}): {c} row(s)" for n, c in viol.items()
+        )
+        raise GeoDBError(f"CHECK constraint violation on {what}: {detail}")
+
+
 def insert_into_collection(
     catalog: GeoDBCatalog,
     collection: str,
@@ -163,6 +185,7 @@ def insert_into_collection(
         to_write = df.withColumn("created_at", F.current_timestamp()).select(
             *[f.name for f in schema.fields]
         )
+        _enforce_constraints(m, to_write, "insert")
         catalog.commit_version(
             collection,
             database,
@@ -255,6 +278,7 @@ def insert_into_collection(
         merged = fresh[0]
         for p in fresh[1:]:
             merged = merged.unionByName(p)
+        _enforce_constraints(m, merged, "upsert")
         # survivors keep their persisted envelopes; only fresh rows compute
         survivors = old.join(F.broadcast(key_ids), "id", "left_anti")
         merged = survivors.unionByName(with_envelope_columns(merged))
@@ -277,6 +301,7 @@ def insert_into_collection(
         )
     )
     to_write = with_envelope_columns(to_write)
+    _enforce_constraints(m, to_write, "insert")
     catalog.commit_version(
         collection,
         database,
@@ -421,6 +446,7 @@ def update_collection(
     )
     if "geometry" in values:
         df = with_envelope_columns(df.drop(*SYSTEM_COLUMNS))
+    _enforce_constraints(m, df, "update")
     catalog.commit_version(
         collection, database, df, keep_files=untouched, expected_version=m.version
     )
