@@ -866,3 +866,38 @@ class TestDuplicateSpans:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             dedup.duplicate_spans(df, n=0)
+
+
+class TestFuzzyJoin:
+    def test_links_near_matches_across_frames(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, "acme incorporated global logistics division"),
+                (2, "completely unrelated record with other words"),
+            ],
+            "rec_id long, name string",
+        )
+        right = spark.createDataFrame(
+            [
+                (101, "acme incorporated global logistics division plus"),
+                (102, "some third thing entirely different here now"),
+            ],
+            "rid long, label string",
+        )
+        out = dedup.fuzzy_join(
+            left, right, left_text="name", right_text="label",
+            left_id="rec_id", right_id="rid", threshold=0.3, bands=6,
+        ).collect()
+        pairs = {(r["rec_id"], r["rid"]): r["jaccard"] for r in out}
+        assert (1, 101) in pairs and pairs[(1, 101)] >= 0.3
+        assert all(k == (1, 101) for k in pairs)
+
+    def test_colliding_id_names_get_suffixes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the same text appears on both sides here")],
+            "doc_id long, text string",
+        )
+        out = dedup.fuzzy_join(df, df, threshold=0.9)
+        assert set(out.columns) == {"doc_id_l", "doc_id_r", "jaccard"}
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0]["jaccard"] == 1.0

@@ -619,3 +619,58 @@ def duplicate_spans(
     return occ.join(freq, "span_hash").select(
         id_col, "start_tok", "span_hash", "n_occurrences"
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str = "text",
+    right_text: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    threshold: float = 0.6,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Similarity (record-linkage) join between two frames: pairs whose
+    n-gram Jaccard is ``>= threshold``, found via MinHash-LSH banding so
+    only band-colliding pairs are ever scored — never a cross product.
+    Returns ``(left_id, right_id, jaccard)`` (ids aliased ``_l``/``_r``
+    when the names collide).
+
+    This is :func:`dedup_against`'s candidate machinery exposed as a
+    join: entity resolution between two collections, matching a new
+    feed against a master table, etc. Both sides are banded
+    independently; the join shuffles on the tiny ``(band, band_hash)``
+    key and the exact Jaccard verify runs on collisions only.
+    """
+    lid = left_id if left_id != right_id else f"{left_id}_l"
+    rid = right_id if left_id != right_id else f"{right_id}_r"
+    lf = left.select(
+        F.col(left_id).alias(lid), F.col(left_text).alias("__text")
+    )
+    rf = right.select(
+        F.col(right_id).alias(rid), F.col(right_text).alias("__text")
+    )
+    lb = minhash_bands(lf, "__text", lid, num_hashes, bands, shingle_n)
+    rb = minhash_bands(rf, "__text", rid, num_hashes, bands, shingle_n)
+    cand = (
+        lb.join(rb, ["band", "band_hash"]).select(lid, rid).distinct()
+    )
+    sl = shingle_table(lf, "__text", lid, shingle_n)
+    sr = shingle_table(rf, "__text", rid, shingle_n)
+    return (
+        cand.join(sl, lid)
+        .join(sr, rid)
+        .select(
+            lid,
+            rid,
+            F.round(
+                F.size(F.array_intersect(sl.sh, sr.sh))
+                / F.size(F.array_union(sl.sh, sr.sh)),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -88,6 +88,17 @@ def dedup_duplicate_spans(spark, sf_dir):
     )
 
 
+def text_fuzzy_join(spark, sf_dir):
+    """Similarity join between two frames (record linkage): originals vs
+    the near-duplicate copies, LSH banding then exact Jaccard >= 0.4."""
+    aug = _augmented(spark, sf_dir)
+    return dedup.fuzzy_join(
+        aug.filter(F.col("doc_id") < 1000000),
+        aug.filter(F.col("doc_id") >= 2000000),
+        threshold=0.4,
+    )
+
+
 def _lined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Augmented docs re-laid-out as newline-separated 10-token lines, so
     the synthetic corpus (which has no newlines) exercises line-level
@@ -246,6 +257,23 @@ LLM_DEDUP_ORACLES = {
         fp AS (SELECT doc_id, {_FP_CONCAT} AS simhash FROM votes)
         SELECT simhash, min(doc_id) AS keeper_id, count(*) AS n_docs
         FROM fp GROUP BY simhash HAVING count(*) > 1
+    """,
+    "text_fuzzy_join": f"""
+        {_MINHASH_CTES},
+        cross_pairs AS (
+            SELECT DISTINCT a.doc_id AS idl, b.doc_id AS idr
+            FROM bands a JOIN bands b USING (band, band_hash)
+            WHERE a.doc_id < 1000000 AND b.doc_id >= 2000000
+        )
+        SELECT doc_id_l, doc_id_r, jaccard FROM (
+            SELECT idl AS doc_id_l, idr AS doc_id_r,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                         len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                       AS jaccard
+            FROM cross_pairs
+            JOIN sh a ON a.doc_id = idl
+            JOIN sh b ON b.doc_id = idr
+        ) WHERE jaccard >= 0.4
     """,
     "dedup_duplicate_spans": f"""
         WITH aug AS ({_AUG_SQL}),
@@ -1592,6 +1620,7 @@ LLM_QUERIES = {
     "dedup_pipeline_kept": dedup_pipeline_kept,
     "dedup_simhash_near": dedup_simhash_near,
     "dedup_duplicate_spans": dedup_duplicate_spans,
+    "text_fuzzy_join": text_fuzzy_join,
     "dedup_lines_rebuilt": dedup_lines_rebuilt,
     "dedup_incremental_kept": dedup_incremental_kept,
     "dedup_embedding_pairs": dedup_embedding_pairs,
