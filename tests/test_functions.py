@@ -901,3 +901,37 @@ class TestFuzzyJoin:
         assert set(out.columns) == {"doc_id_l", "doc_id_r", "jaccard"}
         rows = out.collect()
         assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
+
+
+class TestBigramLogprob:
+    def test_hand_math_two_docs(self, spark):
+        import math
+
+        # corpus: "a b" and "a c"; N=4, tf(a)=2, tf(b)=tf(c)=1
+        # bigrams: (a,b) c12=1, (a,c) c12=1, c(a,.)=2
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a c")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in text.bigram_logprob(df).collect()}
+        s_first = round(-math.log(2 / 4), 7)  # 'a' under the unigram
+        s_b = round(-math.log(0.75 * (1 / 2) + 0.25 * (1 / 4)), 7)
+        for d in (1, 2):
+            assert out[d]["n_tokens"] == 2
+            assert out[d]["nll2"] == round((s_first + s_b) / 2, 6)
+
+    def test_improbable_transitions_score_higher(self, spark):
+        # same unigram profile, scrambled transitions
+        fluent = "the cat sat on the mat and the cat sat on the mat again"
+        rows = [(i, fluent) for i in range(8)] + [
+            (100, "mat the on sat cat the and mat the on sat cat the again")
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["nll2"] for r in text.bigram_logprob(df).collect()}
+        assert out[100] > out[0]
+
+    def test_single_token_doc_scores_unigram_only(self, spark):
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, "solo pair")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in text.bigram_logprob(df).collect()}
+        assert out[1]["n_tokens"] == 1

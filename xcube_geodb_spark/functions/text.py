@@ -288,3 +288,79 @@ def unigram_logprob(
             ).alias("nll"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated-bigram perplexity proxy — one modeling step past
+    :func:`unigram_logprob` toward a KenLM-style quality filter:
+    ``P(w2|w1) = lam * c(w1,w2)/c(w1,.) + (1-lam) * tf(w2)/N`` with the
+    document's first token scored by the unigram alone. Word-salad text
+    with plausible unigrams but improbable transitions now scores high.
+
+    Same scale/replay design as the unigram: every join/aggregate is
+    keyed by the unigram or bigram TYPE vocabulary (Zipf-small relative
+    to the corpus, map-side combined), per-token surprisals round to 7
+    decimals and sum as exact DECIMAL(28,7), so results are
+    aggregation-order independent and any SQL engine replays them.
+    Returns ``(id, n_tokens, nll2)`` with nll2 rounded to 6.
+    """
+    toks_arr = tokens(F.col(text_col))
+    tok = df.select(F.col(id_col), toks_arr.alias("__toks"))
+    post = tok.select(
+        F.col(id_col), F.posexplode(F.col("__toks")).alias("pos", "w")
+    )
+    n_total = float(df.agg(F.sum(F.size(toks_arr))).collect()[0][0] or 1)
+    uni = post.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+
+    k = F.size("__toks")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.element_at(F.col("__toks"), i).alias("w1"),
+            F.element_at(F.col("__toks"), i + 1).alias("w2"),
+        ),
+    )
+    big = tok.select(
+        F.col(id_col),
+        F.explode(F.when(k >= 2, pairs).otherwise(F.array())).alias("b"),
+    ).select(F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    btab = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    w1dot = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+
+    surp2 = -F.log(
+        F.lit(lam) * (F.col("c12") / F.col("c1"))
+        + F.lit(1.0 - lam) * (F.col("tf") / F.lit(n_total))
+    )
+    scored2 = (
+        big.join(btab, ["w1", "w2"])
+        .join(w1dot, "w1")
+        .join(uni.select(F.col("w").alias("w2"), "tf"), "w2")
+        .select(
+            F.col(id_col),
+            F.round(surp2, 7).cast("decimal(28,7)").alias("__s"),
+        )
+    )
+    surp1 = -F.log(F.col("tf") / F.lit(n_total))
+    scored1 = (
+        post.filter(F.col("pos") == 0)
+        .join(uni, "w")
+        .select(
+            F.col(id_col),
+            F.round(surp1, 7).cast("decimal(28,7)").alias("__s"),
+        )
+    )
+    return (
+        scored1.unionByName(scored2)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("__s").cast("double") / F.count(F.lit(1)), 6
+            ).alias("nll2"),
+        )
+    )

@@ -88,6 +88,14 @@ def dedup_duplicate_spans(spark, sf_dir):
     )
 
 
+def text_bigram_nll(spark, sf_dir):
+    """Interpolated-bigram NLL quality signal (functions/text.bigram_logprob)
+    under the corpus's own model; oracle replays counts + the fixed float
+    interpolation expression + decimal surprisal sums."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bigram_logprob(docs)
+
+
 def text_fuzzy_join(spark, sf_dir):
     """Similarity join between two frames (record linkage): originals vs
     the near-duplicate copies, LSH banding then exact Jaccard >= 0.4."""
@@ -1443,6 +1451,44 @@ LLM_CORPUS_ORACLES = {
         FROM post JOIN vocab USING (tok) CROSS JOIN total
         GROUP BY doc_id
     """,
+    "text_bigram_nll": f"""
+        WITH tok AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+        ),
+        post AS (
+            SELECT doc_id, toks[i] AS w, i
+            FROM tok, LATERAL unnest(range(1, len(toks) + 1)) AS t(i)
+        ),
+        total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM post),
+        uni AS (SELECT w, count(*) AS tf FROM post GROUP BY w),
+        big AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM tok, LATERAL unnest(range(1, len(toks))) AS t(i)
+            WHERE len(toks) >= 2
+        ),
+        btab AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        w1dot AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        s2 AS (
+            SELECT b.doc_id,
+                   CAST(round(-ln(0.75 * (c12 / c1) + 0.25 * (tf / n)), 7)
+                        AS DECIMAL(28,7)) AS s
+            FROM big b
+            JOIN btab USING (w1, w2)
+            JOIN w1dot USING (w1)
+            JOIN uni ON uni.w = b.w2
+            CROSS JOIN total
+        ),
+        s1 AS (
+            SELECT p.doc_id,
+                   CAST(round(-ln(tf / n), 7) AS DECIMAL(28,7)) AS s
+            FROM post p JOIN uni USING (w) CROSS JOIN total
+            WHERE p.i = 1
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS nll2
+        FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        GROUP BY doc_id
+    """,
     "sample_weighted_quality": """
         SELECT doc_id FROM (
             SELECT doc_id,
@@ -1657,6 +1703,7 @@ LLM_QUERIES = {
     "sample_weighted_quality": sample_weighted_quality,
     "text_top_bigrams": text_top_bigrams,
     "text_unigram_nll": text_unigram_nll,
+    "text_bigram_nll": text_bigram_nll,
     "corpus_cap_per_source": corpus_cap_per_source,
     "corpus_shuffle": corpus_shuffle,
     "pipeline_corpus_curation": pipeline_corpus_curation,
