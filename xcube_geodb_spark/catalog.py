@@ -511,6 +511,29 @@ class GeoDBCatalog:
             out.append({"version": m.version, "modified_at": m.d.get("modified_at")})
         return sorted(out, key=lambda o: o["version"])
 
+    def version_at_timestamp(self, collection: str, database: str, ts) -> int:
+        """Delta ``TIMESTAMP AS OF`` semantics: the newest retained version
+        committed at or before ``ts`` (ISO ``YYYY-MM-DDTHH:MM:SS`` UTC
+        string or a datetime). Raises when ``ts`` precedes the oldest
+        retained snapshot (or vacuum expired everything older)."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            ts = ts.strftime("%Y-%m-%dT%H:%M:%S")
+        versions = self.list_versions(collection, database)
+        cands = [
+            v["version"]
+            for v in versions
+            if v.get("modified_at") and v["modified_at"] <= ts
+        ]
+        if not cands:
+            oldest = versions[0]["modified_at"] if versions else None
+            raise GeoDBError(
+                f"No snapshot of {database}_{collection} at or before {ts} "
+                f"(oldest retained: {oldest})"
+            )
+        return max(cands)
+
     def restore_collection(
         self, collection: str, database: str, version: int
     ) -> None:

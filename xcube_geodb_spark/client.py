@@ -370,6 +370,16 @@ class GeoDBSparkClient:
         """Retained time-travel snapshots (oldest first)."""
         return self.catalog.list_versions(collection, self._db(database))
 
+    def get_collection_at_timestamp(
+        self, collection: str, ts, database: str | None = None
+    ) -> pd.DataFrame:
+        """Collection content as of a wall-clock instant (Delta
+        ``TIMESTAMP AS OF``): resolves to the newest snapshot committed at
+        or before ``ts`` and reads that version."""
+        db = self._db(database)
+        version = self.catalog.version_at_timestamp(collection, db, ts)
+        return self.get_collection_at_version(collection, version, database)
+
     def get_collection_at_version(
         self, collection: str, version: int, database: str | None = None
     ) -> pd.DataFrame:
