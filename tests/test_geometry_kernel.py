@@ -1010,3 +1010,56 @@ class TestStructuralAccessors:
         assert row["rline"] == "LINESTRING (2 0, 1 1, 0 0)"
         assert row["rmulti"] == "MULTILINESTRING ((1 0, 0 0), (6 6, 5 5))"
         assert row["flipped"] == "POLYGON ((0 0, 0 4, 2 4, 0 0))"
+
+
+class TestSphereLength:
+    def test_meridian_segment_and_additivity(self):
+        from xcube_geodb_spark.geometry.geom import (
+            distance_sphere,
+            length_sphere,
+        )
+
+        # one degree of meridian, split into two half-degree segments:
+        # haversine is additive along a meridian
+        one = parse_wkt("LINESTRING (0 0, 0 1)")
+        split = parse_wkt("LINESTRING (0 0, 0 0.5, 0 1)")
+        d = distance_sphere(parse_wkt("POINT (0 0)"), parse_wkt("POINT (0 1)"))
+        assert abs(length_sphere(one) - d) < 1e-6
+        assert abs(length_sphere(split) - d) < 1e-6
+        assert 111000 < d < 112000  # ~111.2 km per degree
+
+    def test_points_and_polygons_contribute_zero(self):
+        from xcube_geodb_spark.geometry.geom import length_sphere
+
+        assert length_sphere(parse_wkt("POINT (5 5)")) == 0.0
+        assert length_sphere(
+            parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 0))")
+        ) == 0.0
+
+    def test_perimeter_sphere_counts_rings(self):
+        from xcube_geodb_spark.geometry.geom import (
+            distance_sphere,
+            perimeter_sphere,
+        )
+
+        # a 1-degree "bigon" out and back along the equator
+        g = parse_wkt("POLYGON ((0 0, 1 0, 0 0))")
+        d = distance_sphere(parse_wkt("POINT (0 0)"), parse_wkt("POINT (1 0)"))
+        assert abs(perimeter_sphere(g) - 2 * d) < 1e-6
+
+    def test_sql_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT st_lengthsphere(st_geomfromtext(
+                       'LINESTRING (0 0, 0 1)')) AS l,
+                   st_perimetersphere(st_geomfromtext(
+                       'POLYGON ((0 0, 1 0, 0 0))')) AS p
+            """
+        ).collect()[0]
+        assert 111000 < row["l"] < 112000
+        assert 222000 < row["p"] < 224000

@@ -1046,3 +1046,52 @@ def convex_hull(geom: Geometry) -> Geometry | None:
         return Geometry("LineString", np.asarray(hull, dtype=np.float64), geom.srid)
     ring = np.asarray(hull + [hull[0]], dtype=np.float64)
     return Geometry("Polygon", [ring], geom.srid)
+
+
+def _sphere_seg_m(lon1, lat1, lon2, lat2) -> float:
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    h = (
+        math.sin(dlat / 2.0) ** 2
+        + math.cos(math.radians(lat1))
+        * math.cos(math.radians(lat2))
+        * math.sin(dlon / 2.0) ** 2
+    )
+    return 2.0 * EARTH_RADIUS_M * math.asin(math.sqrt(min(h, 1.0)))
+
+
+def length_sphere(geom: Geometry) -> float:
+    """``ST_LengthSpheroid``-family companion to :func:`distance_sphere`:
+    great-circle meters summed over every line segment (haversine per
+    segment on the mean-radius sphere — each vertex pair joined by its
+    geodesic, the standard GIS approximation for lon/lat linework).
+    Points contribute 0; polygons contribute their ring perimeters
+    (PostGIS ST_LengthSphere measures lines only and returns 0 for
+    polygons — use :func:`perimeter_sphere` semantics explicitly here:
+    this function measures LineString/MultiLineString, returns 0 for
+    points and polygons, matching PostGIS ST_Length(geography) applied
+    to lines)."""
+    total = 0.0
+    for leaf in geom.children():
+        if leaf.kind == "LineString":
+            arr = leaf.parts
+            for i in range(len(arr) - 1):
+                total += _sphere_seg_m(
+                    float(arr[i, 0]), float(arr[i, 1]),
+                    float(arr[i + 1, 0]), float(arr[i + 1, 1]),
+                )
+    return total
+
+
+def perimeter_sphere(geom: Geometry) -> float:
+    """Great-circle meters around every polygon ring (outer + holes)."""
+    total = 0.0
+    for leaf in geom.children():
+        if leaf.kind == "Polygon":
+            for ring in leaf.parts:
+                for i in range(len(ring) - 1):
+                    total += _sphere_seg_m(
+                        float(ring[i, 0]), float(ring[i, 1]),
+                        float(ring[i + 1, 0]), float(ring[i + 1, 1]),
+                    )
+    return total

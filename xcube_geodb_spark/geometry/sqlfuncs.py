@@ -204,6 +204,19 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         T.DoubleType(),
     )
 
+    from xcube_geodb_spark.geometry.geom import length_sphere, perimeter_sphere
+
+    spark.udf.register(
+        "st_lengthsphere",
+        lambda b: length_sphere(parse_wkb(b)) if b is not None else None,
+        T.DoubleType(),
+    )
+    spark.udf.register(
+        "st_perimetersphere",
+        lambda b: perimeter_sphere(parse_wkb(b)) if b is not None else None,
+        T.DoubleType(),
+    )
+
     import math as _math
 
     import numpy as _np
