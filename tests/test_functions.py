@@ -836,20 +836,40 @@ class TestImageDims:
         assert set(out) == {1, 2, 3, 4}
 
 
+def _anchor_token(stride: int, prefix: str = "anchor") -> str:
+    """A token the content-defined anchor rule selects (md5 slice == 0 mod
+    stride) — the same replayable rule duplicate_spans uses."""
+    import hashlib
+
+    j = 0
+    while True:
+        t = f"{prefix}{j}"
+        if int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % stride == 0:
+            return t
+        j += 1
+
+
 class TestDuplicateSpans:
-    def test_finds_shared_passage_not_whole_doc_dup(self, spark):
-        shared = " ".join(f"w{i}" for i in range(30))  # 30-token passage
+    def test_finds_shared_passage_at_any_offsets(self, spark):
+        # plant an anchor early in the shared passage: content-defined
+        # starts make collisions alignment-independent (a fixed stride
+        # grid would need the offsets to agree mod stride)
+        shared = _anchor_token(10) + " " + " ".join(
+            f"w{i}" for i in range(25)
+        )
         rows = [
             (1, "intro one two three " + shared + " outro alpha"),
-            (2, "different lead-in text here " + shared + " tail beta"),
+            (2, "different lead-in text here now " + shared + " tail beta"),
             (3, "no overlap with anything else at all whatsoever"),
         ]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         out = dedup.duplicate_spans(df, n=20, stride=10).collect()
         docs = {r["doc_id"] for r in out}
         assert docs == {1, 2}  # both holders flagged, doc 3 untouched
-        # shared passage >= n + stride tokens guarantees >= 1 collision
         assert all(r["n_occurrences"] == 2 for r in out)
+        # the colliding spans sit at DIFFERENT offsets in each doc
+        starts = {r["doc_id"]: r["start_tok"] for r in out}
+        assert starts[1] != starts[2]
 
     def test_short_docs_hash_whole_document(self, spark):
         df = spark.createDataFrame(
@@ -858,7 +878,8 @@ class TestDuplicateSpans:
         )
         out = dedup.duplicate_spans(df, n=20, stride=10).collect()
         assert {r["doc_id"] for r in out} == {1, 2}
-        assert all(r["start_tok"] == 0 for r in out)
+        # the position-0 fallback anchor always hashes the whole short doc
+        assert any(r["start_tok"] == 0 for r in out)
 
     def test_validates_params(self, spark):
         import pytest as _pytest
@@ -935,3 +956,63 @@ class TestBigramLogprob:
         )
         out = {r["doc_id"]: r for r in text.bigram_logprob(df).collect()}
         assert out[1]["n_tokens"] == 1
+
+
+class TestDedupProperties:
+    """Hypothesis invariants for the corpus dedup operators."""
+
+    def test_line_dedup_identity_when_threshold_unreachable(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        word = st.text(alphabet="abcdef", min_size=1, max_size=5)
+        line = st.lists(word, min_size=1, max_size=4).map(" ".join)
+        docs_strategy = st.lists(
+            st.lists(line, min_size=1, max_size=5).map("\n".join),
+            min_size=1,
+            max_size=6,
+        )
+
+        @given(docs_strategy)
+        @settings(max_examples=12, deadline=None)
+        def check(texts):
+            df = spark.createDataFrame(
+                list(enumerate(texts)), "doc_id long, text string"
+            )
+            out = {
+                r["doc_id"]: r
+                for r in dedup.line_dedup(df, min_count=10**6).collect()
+            }
+            # no line can repeat a million times: identity, nothing removed
+            assert len(out) == len(texts)
+            for i, t in enumerate(texts):
+                assert out[i]["text"] == t
+                assert out[i]["n_removed"] == 0
+
+        check()
+
+    def test_duplicate_spans_anchor_guarantee(self, spark):
+        import random
+
+        rng = random.Random(11)
+        n, stride = 12, 6
+        anchor = _anchor_token(stride)
+        for trial in range(4):
+            # an anchored token within the passage's first len-n+1 tokens
+            # guarantees a collision at ANY document offsets
+            shared = anchor + " " + " ".join(
+                f"s{trial}w{i}" for i in range(n + 2)
+            )
+            pre_a = " ".join(f"a{i}" for i in range(rng.randint(0, 9)))
+            pre_b = " ".join(f"b{i}" for i in range(rng.randint(0, 9)))
+            df = spark.createDataFrame(
+                [
+                    (1, (pre_a + " " + shared).strip()),
+                    (2, (pre_b + " " + shared).strip()),
+                ],
+                "doc_id long, text string",
+            )
+            out = dedup.duplicate_spans(df, n=n, stride=stride).collect()
+            assert {r["doc_id"] for r in out} == {1, 2}, (
+                f"trial {trial}: no collision for offsets "
+                f"{len(pre_a.split())}/{len(pre_b.split())}"
+            )

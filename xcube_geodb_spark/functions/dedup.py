@@ -573,21 +573,27 @@ def duplicate_spans(
     min_count: int = 2,
 ) -> DataFrame:
     """Duplicate span detection — the bounded, shuffle-friendly relative of
-    exact-substring dedup: overlapping windows of ``n`` tokens taken every
-    ``stride`` tokens are hashed corpus-wide, and every occurrence of a
-    window whose hash repeats ``>= min_count`` times is returned as
-    ``(id, start_tok, span_hash, n_occurrences)``. With ``stride <= n/2``
-    any verbatim shared passage of ``>= n + stride`` tokens is guaranteed
-    to produce at least one colliding window, so this finds cross-document
-    boilerplate passages exact dedup (whole-doc) and line dedup
-    (single-line) both miss. Documents shorter than ``n`` tokens hash as
-    one whole-document window.
+    exact-substring dedup, with CONTENT-DEFINED span starts (the winnowing
+    idea): a window of ``n`` tokens begins at every *anchor* position — a
+    token whose md5 is ``0 mod stride`` — plus position 0 as a fallback, and
+    every occurrence of a window whose hash repeats ``>= min_count`` times
+    corpus-wide is returned as ``(id, start_tok, span_hash,
+    n_occurrences)``.
 
-    Scale shape: the window explode is narrow and emits ~tokens/stride
-    rows per doc; frequencies and the flagging join are keyed by the
-    128-bit span hash (no value skew, map-side-combined aggregate,
-    streaming sort-merge join) — the same plan family as
-    :func:`line_dedup`, cost linear in corpus tokens.
+    Anchors depend only on token content, never on document offsets, so two
+    documents sharing a verbatim passage emit IDENTICAL windows wherever
+    the passage sits in each document — a fixed stride grid cannot do this
+    (offsets must agree mod stride, which cross-document boilerplate never
+    guarantees). A shared passage collides exactly when an anchor token
+    occurs among its first ``len - n + 1`` tokens; anchors land every
+    ``stride`` tokens in expectation. Documents shorter than ``n`` tokens
+    hash from their anchors to the end (clamped windows).
+
+    Scale shape: expected ~``tokens / stride`` windows per document;
+    frequencies and the flagging join are keyed by the 128-bit span hash
+    (no value skew, map-side-combined aggregate, streaming sort-merge
+    join) — the same plan family as :func:`line_dedup`, cost linear in
+    corpus tokens.
     """
     if n < 1 or stride < 1:
         raise ValueError("n and stride must be >= 1")
@@ -595,21 +601,29 @@ def duplicate_spans(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
     )
     k = F.size("__toks")
-    n_spans = F.greatest(
-        (F.floor((k - F.lit(n)) / F.lit(stride)) + 1).cast("int"), F.lit(1)
-    )
+    is_anchor = lambda i: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.element_at(F.col("__toks"), i)), 1, 8), 16, 10
+        ).cast("long")
+        % stride
+        == 0
+    ) | (i == 1)
+    anchors = F.filter(F.sequence(F.lit(1), k), is_anchor)
     spans = F.transform(
-        F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.md5(
-            F.concat_ws(" ", F.slice(F.col("__toks"), i * stride + 1, n))
+        anchors,
+        lambda i: F.struct(
+            (i - 1).cast("long").alias("start_tok"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("__toks"), i, n))
+            ).alias("span_hash"),
         ),
     )
     occ = tok.select(
-        F.col(id_col), F.posexplode(spans).alias("pos", "span_hash")
+        F.col(id_col), F.explode(spans).alias("sp")
     ).select(
         F.col(id_col),
-        (F.col("pos") * stride).cast("long").alias("start_tok"),
-        F.col("span_hash"),
+        F.col("sp.start_tok").alias("start_tok"),
+        F.col("sp.span_hash").alias("span_hash"),
     )
     freq = (
         occ.groupBy("span_hash")

@@ -286,14 +286,19 @@ LLM_DEDUP_ORACLES = {
     "dedup_duplicate_spans": f"""
         WITH aug AS ({_AUG_SQL}),
         tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+        anch AS (
+            SELECT doc_id, toks,
+                   list_filter(range(1, len(toks) + 1),
+                       i -> (CAST(('0x' || substr(md5(toks[i]), 1, 8))
+                                  AS BIGINT) % 10 = 0) OR i = 1) AS anchors
+            FROM tok
+        ),
         spans AS (
-            SELECT doc_id, CAST(i * 10 AS BIGINT) AS start_tok,
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS start_tok,
                    md5(array_to_string(
-                       list_slice(toks, CAST(i * 10 + 1 AS INT),
-                                  CAST(i * 10 + 20 AS INT)), ' ')) AS span_hash
-            FROM tok, LATERAL unnest(range(0, greatest(
-                CAST(floor((len(toks) - 20) * 1.0 / 10) AS BIGINT) + 1, 1
-            ))) AS t(i)
+                       list_slice(toks, CAST(i AS INT),
+                                  CAST(i + 19 AS INT)), ' ')) AS span_hash
+            FROM anch, LATERAL unnest(anchors) AS t(i)
         ),
         freq AS (
             SELECT span_hash, count(*) AS n_occurrences
