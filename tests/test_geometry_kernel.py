@@ -1063,3 +1063,67 @@ class TestSphereLength:
         ).collect()[0]
         assert 111000 < row["l"] < 112000
         assert 222000 < row["p"] < 224000
+
+
+class TestProject:
+    """st_project: great-circle destination point (inverse of
+    st_azimuth + st_distancesphere)."""
+
+    def test_cardinal_directions(self):
+        import math
+
+        from xcube_geodb_spark.geometry.geom import (
+            distance_sphere,
+            project_point,
+        )
+
+        # due north from the equator by one degree of meridian
+        d = distance_sphere(parse_wkt("POINT (0 0)"), parse_wkt("POINT (0 1)"))
+        lon, lat = project_point(0.0, 0.0, d, 0.0)
+        assert abs(lon) < 1e-9 and abs(lat - 1.0) < 1e-9
+        # due east along the equator
+        lon, lat = project_point(0.0, 0.0, d, math.pi / 2)
+        assert abs(lon - 1.0) < 1e-9 and abs(lat) < 1e-9
+
+    def test_roundtrip_distance_and_azimuth(self):
+        import math
+
+        from xcube_geodb_spark.geometry.geom import (
+            Geometry,
+            distance_sphere,
+            project_point,
+        )
+        import numpy as np
+
+        for az in (0.3, 1.2, 2.5, 4.0, 5.9):
+            lon, lat = project_point(8.0, 47.0, 250_000.0, az)
+            back = distance_sphere(
+                Geometry("Point", np.array([8.0, 47.0])),
+                Geometry("Point", np.array([lon, lat])),
+            )
+            assert abs(back - 250_000.0) < 1.0  # sub-meter roundtrip
+
+    def test_antimeridian_normalization(self):
+        import math
+
+        from xcube_geodb_spark.geometry.geom import project_point
+
+        lon, lat = project_point(179.5, 0.0, 200_000.0, math.pi / 2)
+        assert -180.0 <= lon <= 180.0 and lon < -178.0  # wrapped past +180
+
+    def test_sql_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT st_astext(st_project(st_makepoint(0, 0),
+                       st_distancesphere(st_makepoint(0, 0),
+                                         st_makepoint(0, 1)),
+                       0.0)) AS north
+            """
+        ).collect()[0]
+        assert row["north"].startswith("POINT (")
+        assert "1" in row["north"]

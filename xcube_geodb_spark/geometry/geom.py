@@ -1095,3 +1095,23 @@ def perimeter_sphere(geom: Geometry) -> float:
                         float(ring[i + 1, 0]), float(ring[i + 1, 1]),
                     )
     return total
+
+
+def project_point(lon: float, lat: float, distance_m: float, azimuth_rad: float):
+    """``ST_Project(geography)``: the destination point ``distance_m``
+    meters from (lon, lat) along the given north-based clockwise bearing,
+    on the mean-radius sphere (the closed-form great-circle destination
+    formula — inverse of :func:`distance_sphere` + st_azimuth)."""
+    d = distance_m / EARTH_RADIUS_M
+    lat1 = math.radians(lat)
+    lon1 = math.radians(lon)
+    lat2 = math.asin(
+        math.sin(lat1) * math.cos(d)
+        + math.cos(lat1) * math.sin(d) * math.cos(azimuth_rad)
+    )
+    lon2 = lon1 + math.atan2(
+        math.sin(azimuth_rad) * math.sin(d) * math.cos(lat1),
+        math.cos(d) - math.sin(lat1) * math.sin(lat2),
+    )
+    lon2 = (lon2 + math.pi) % (2.0 * math.pi) - math.pi  # normalize to ±180
+    return math.degrees(lon2), math.degrees(lat2)

@@ -217,6 +217,25 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         T.DoubleType(),
     )
 
+    from xcube_geodb_spark.geometry.geom import project_point
+
+    def _project(b, dist, azimuth):
+        if b is None or dist is None or azimuth is None:
+            return None
+        g = parse_wkb(b)
+        if g.kind != "Point":
+            raise GeoDBError("st_project supports Point geometries only")
+        import numpy as __np
+
+        x, y = project_point(
+            float(g.parts[0]), float(g.parts[1]), float(dist), float(azimuth)
+        )
+        from xcube_geodb_spark.geometry.geom import Geometry as __G
+
+        return to_wkb(__G("Point", __np.array([x, y]), g.srid))
+
+    spark.udf.register("st_project", _project, T.BinaryType())
+
     import math as _math
 
     import numpy as _np
