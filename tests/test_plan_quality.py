@@ -331,3 +331,21 @@ class TestRound7PlanShape:
         # back to a cartesian/broadcast-nested-loop pass
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_fuzzy_join_never_cross_products(self, spark):
+        from xcube_geodb_spark.functions.dedup import fuzzy_join
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        plan = executed_plan(
+            fuzzy_join(
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+            )
+        )
+        # candidates must come from the (band, band_hash) equi-join; the
+        # exact Jaccard verify must only ever run on those collisions
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
