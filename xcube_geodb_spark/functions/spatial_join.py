@@ -449,15 +449,22 @@ def spatial_dbscan(
     keep = [id_col, geom_col] + [c for c in _ENV if c in df.columns]
     feats = df.select(*keep)
     rid = f"{id_col}_r"
-    pairs = spatial_join(
-        feats,
-        feats,
-        predicate="dwithin",
-        distance=eps,
-        cell_size=cell_size,
-        left_geom=geom_col,
-        right_geom=geom_col,
-    ).select(id_col, rid)
+    # materialize the neighbor pairs once: four downstream branches
+    # (counts, core edges, border attachment, final anti-join) would each
+    # re-run the grid join + Arrow refinement otherwise
+    pairs = (
+        spatial_join(
+            feats,
+            feats,
+            predicate="dwithin",
+            distance=eps,
+            cell_size=cell_size,
+            left_geom=geom_col,
+            right_geom=geom_col,
+        )
+        .select(id_col, rid)
+        .localCheckpoint(eager=True)
+    )
 
     nbr_counts = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     cores = nbr_counts.filter(F.col("__n") >= min_pts).select(id_col)
