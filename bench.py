@@ -39,6 +39,7 @@ HEADLINE = [
     "geo_spatial_join_points",      # grid-partitioned distributed spatial join
     "dedup_exact",                  # exact dedup (hash agg)
     "dedup_minhash_pairs",          # MinHash LSH candidate join
+    "dedup_lines_rebuilt",          # corpus line dedup + doc reassembly
     "sim_cosine_topk",              # brute-force ANN baseline
     "ann_index_topk",               # warehouse ANN: bucket layout + pruning
     "text_profile",                 # text scoring/lang/fingerprint projection

@@ -1016,3 +1016,31 @@ class TestDedupProperties:
                 f"trial {trial}: no collision for offsets "
                 f"{len(pre_a.split())}/{len(pre_b.split())}"
             )
+
+
+class TestDeepComponents:
+    def test_long_chain_converges_via_pointer_jumping(self, spark):
+        # a 3000-node path: diameter 2999. Plain label propagation moves
+        # the min one hop per round and could never converge in 20 rounds;
+        # pointer jumping halves the remaining distance each round.
+        n = 3000
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+        )
+        out = dedup.duplicate_clusters(pairs)
+        labels = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+        assert len(labels) == n
+        assert set(labels.values()) == {1}  # one component, min-id label
+
+    def test_many_small_components_stay_separate(self, spark):
+        pairs = spark.createDataFrame(
+            [(10 * c + 1, 10 * c + 2) for c in range(200)]
+            + [(10 * c + 2, 10 * c + 3) for c in range(200)],
+            "id_a long, id_b long",
+        )
+        out = dedup.duplicate_clusters(pairs)
+        labels = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+        assert len(set(labels.values())) == 200
+        for c in range(0, 200, 37):
+            base = 10 * c + 1
+            assert labels[base + 1] == base and labels[base + 2] == base
