@@ -481,7 +481,12 @@ def dedup_against(
     duplicate density — and candidates are Jaccard-verified on exact
     shingle sets before the final anti-join. All keys are hashes: no skew,
     and the typically-huge corpus side is only ever scanned, banded, and
-    hash-joined, never self-joined.
+    hash-joined, never self-joined (it is read twice: once for bands,
+    once for the verify shingles — both single passes). The
+    exact-survivor set feeds three consumers (its bands, its shingles,
+    the returned rows), so it is materialized once with
+    ``localCheckpoint`` instead of re-running the anti-join per branch;
+    the new batch is the small side, so this is cheap.
     """
     fp = F.md5(F.col(text_col)).alias("fingerprint")
     corpus_fp = corpus_df.select(fp).distinct()
@@ -489,7 +494,7 @@ def dedup_against(
         corpus_fp,
         F.md5(new_df[text_col]) == F.col("fingerprint"),
         "left_anti",
-    )
+    ).localCheckpoint(eager=True)
     nb = minhash_bands(survivors, text_col, id_col, num_hashes, bands, shingle_n)
     cb = minhash_bands(corpus_df, text_col, id_col, num_hashes, bands, shingle_n)
     cand = (
