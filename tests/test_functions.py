@@ -1044,3 +1044,31 @@ class TestDeepComponents:
         for c in range(0, 200, 37):
             base = 10 * c + 1
             assert labels[base + 1] == base and labels[base + 2] == base
+
+
+class TestLineDedupGrouped:
+    def test_frequency_counts_within_group_only(self, spark):
+        rows = [
+            (1, "siteA", "footer\nunique one"),
+            (2, "siteA", "footer\nunique two"),
+            # the same "footer" line on an unrelated source must survive
+            (3, "siteB", "footer\nother content"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {
+            r["doc_id"]: r
+            for r in dedup.line_dedup(df, group_cols=["source"]).collect()
+        }
+        assert out[1]["text"] == "unique one" and out[1]["n_removed"] == 1
+        assert out[2]["text"] == "unique two"
+        assert out[3]["text"] == "footer\nother content"
+        assert out[3]["n_removed"] == 0
+
+    def test_ungrouped_still_bans_globally(self, spark):
+        rows = [
+            (1, "siteA", "footer\nunique one"),
+            (3, "siteB", "footer\nother content"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {r["doc_id"]: r["text"] for r in dedup.line_dedup(df).collect()}
+        assert out == {1: "unique one", 3: "other content"}

@@ -404,11 +404,15 @@ def line_dedup(
     id_col: str = "doc_id",
     min_count: int = 2,
     sep: str = "\n",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Corpus-level exact line deduplication (the CCNet / RefinedWeb
     "remove lines that repeat across the corpus" idiom): drop every line
     whose exact content occurs ``>= min_count`` times corpus-wide, then
     reassemble each document from its surviving lines in original order.
+    With ``group_cols`` (typically the source domain) line frequencies
+    count WITHIN each group only — site boilerplate repeats per site, and
+    a line legitimately shared across unrelated sources should survive.
 
     Returns ``(id, text, n_lines, n_removed)``; documents whose lines were
     ALL removed are dropped entirely (they carry no content).
@@ -425,18 +429,21 @@ def line_dedup(
     Nothing is ever collected; the banned set stays distributed (it can
     be corpus-sized for boilerplate-heavy crawls).
     """
+    groups = list(group_cols or [])
     lines = df.select(
         F.col(id_col),
+        *groups,
         F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
         F.size(F.split(F.col(text_col), F.lit(sep))).alias("n_lines"),
     ).withColumn("h", F.md5(F.col("line")))
+    freq_keys = groups + ["h"]
     banned = (
-        lines.groupBy("h")
+        lines.groupBy(*freq_keys)
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
-        .select("h")
+        .select(*freq_keys)
     )
-    kept = lines.join(banned, "h", "left_anti")
+    kept = lines.join(banned, freq_keys, "left_anti")
     return (
         kept.groupBy(id_col)
         .agg(

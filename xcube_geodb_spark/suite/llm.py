@@ -129,6 +129,20 @@ def dedup_lines_rebuilt(spark, sf_dir):
     return dedup.line_dedup(_lined(spark, sf_dir), min_count=2)
 
 
+def dedup_lines_by_source(spark, sf_dir):
+    """Per-source line dedup: frequencies count within each source only
+    (site boilerplate repeats per site). Augmented copies inherit their
+    base document's source, so within-source repeats exist."""
+    lined = _lined(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("__bid"), "source"
+    )
+    with_src = lined.join(
+        src, (F.col("doc_id") % 1000000) == F.col("__bid")
+    ).drop("__bid")
+    return dedup.line_dedup(with_src, min_count=2, group_cols=["source"])
+
+
 def dedup_incremental_kept(spark, sf_dir):
     """Incremental dedup of a new batch against an existing corpus: the
     augmented copies (ids >= 1000000) are the new batch, the originals the
@@ -345,6 +359,46 @@ LLM_DEDUP_ORACLES = {
         kept AS (
             SELECT doc_id, line, pos, n_total
             FROM lines JOIN freq ON md5(line) = h WHERE c < 2
+        )
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+               count(*) AS n_lines,
+               CAST(any_value(n_total) - count(*) AS BIGINT) AS n_removed
+        FROM kept GROUP BY doc_id
+    """,
+    "dedup_lines_by_source": f"""
+        WITH aug AS ({_AUG_SQL}),
+        aug2 AS (
+            SELECT a.doc_id, a.text, d.source
+            FROM aug a JOIN documents d ON a.doc_id % 1000000 = d.doc_id
+        ),
+        lined AS (
+            SELECT doc_id, source,
+                   array_to_string(list_transform(
+                       range(0, greatest(
+                           CAST(ceil(len(toks) / 10.0) AS BIGINT), 1)),
+                       i -> array_to_string(
+                           list_slice(toks, CAST(i * 10 + 1 AS INT),
+                                      CAST(i * 10 + 10 AS INT)), ' ')),
+                       chr(10)) AS text
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+                  FROM aug2)
+        ),
+        l AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+              FROM lined),
+        lines AS (
+            SELECT doc_id, source, ls[i] AS line, i AS pos,
+                   len(ls) AS n_total
+            FROM l, LATERAL unnest(range(1, len(ls) + 1)) AS t(i)
+        ),
+        freq AS (
+            SELECT source, md5(line) AS h, count(*) AS c
+            FROM lines GROUP BY 1, 2
+        ),
+        kept AS (
+            SELECT doc_id, line, pos, n_total
+            FROM lines JOIN freq
+              ON freq.source = lines.source AND md5(line) = h
+            WHERE c < 2
         )
         SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
                count(*) AS n_lines,
@@ -1673,6 +1727,7 @@ LLM_QUERIES = {
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "text_fuzzy_join": text_fuzzy_join,
     "dedup_lines_rebuilt": dedup_lines_rebuilt,
+    "dedup_lines_by_source": dedup_lines_by_source,
     "dedup_incremental_kept": dedup_incremental_kept,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "sim_cosine_topk": sim_cosine_topk,
