@@ -440,6 +440,14 @@ class TestKnnJoin:
                 F.col("vec_id").alias("query_id"), "embedding"
             ))
 
+    def test_oversized_query_batch_raises(self, spark):
+        from xcube_geodb_spark.functions.similarity import knn_join
+
+        emb = self._emb(spark)
+        queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+        with pytest.raises(ValueError, match="max_batch"):
+            knn_join(emb, queries, k=2, max_batch=2)
+
 
 class TestTopNgrams:
     def test_counts_and_order(self, spark):
@@ -794,11 +802,27 @@ class TestImageDims:
         assert parse_image_dims(self._png(640, 480)) == ("png", 640, 480)
         assert parse_image_dims(self._jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
         assert parse_image_dims(self._gif(32, 16)) == ("gif", 32, 16)
-        bmp = b"BM" + b"\0" * 16 + (200).to_bytes(4, "little") + (
-            -100 & 0xFFFFFFFF
-        ).to_bytes(4, "little")
+        bmp = (
+            b"BM" + b"\0" * 12 + (40).to_bytes(4, "little")
+            + (200).to_bytes(4, "little")
+            + (-100 & 0xFFFFFFFF).to_bytes(4, "little")
+        )
         assert parse_image_dims(bmp) == ("bmp", 200, 100)  # top-down height
         assert parse_image_dims(b"not an image at all") is None
+
+    def test_bmp_core_header_and_unknown_dib(self):
+        from xcube_geodb_spark.functions.multimodal import parse_image_dims
+
+        # BITMAPCOREHEADER (OS/2): 12-byte DIB, 16-bit dims at 18/20
+        core = (
+            b"BM" + b"\0" * 12 + (12).to_bytes(4, "little")
+            + (320).to_bytes(2, "little") + (240).to_bytes(2, "little")
+            + b"\x01\x00\x18\x00"
+        )
+        assert parse_image_dims(core) == ("bmp", 320, 240)
+        # unknown DIB header size -> None, not garbage dims
+        weird = b"BM" + b"\0" * 12 + (17).to_bytes(4, "little") + b"\0" * 8
+        assert parse_image_dims(weird) is None
 
     def test_jpeg_skips_non_sof_segments(self):
         from xcube_geodb_spark.functions.multimodal import parse_image_dims
@@ -1032,6 +1056,30 @@ class TestDeepComponents:
         assert len(labels) == n
         assert set(labels.values()) == {1}  # one component, min-id label
 
+    def test_releases_superseded_checkpoint_blocks(self, spark):
+        # multi-round convergence must not accumulate one checkpointed
+        # frame per round: after the result materializes, only the final
+        # labels checkpoint may remain persistent (edges + old rounds
+        # released) — O(|V|) block storage, not O(rounds x |V|).
+        before = {
+            int(i)
+            for i in spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet()
+            .toArray()
+        }
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 300)], "id_a long, id_b long"
+        )
+        out = dedup.duplicate_clusters(pairs)
+        assert out.count() == 300
+        after = {
+            int(i)
+            for i in spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet()
+            .toArray()
+        }
+        assert len(after - before) <= 1
+
     def test_many_small_components_stay_separate(self, spark):
         pairs = spark.createDataFrame(
             [(10 * c + 1, 10 * c + 2) for c in range(200)]
@@ -1072,3 +1120,23 @@ class TestLineDedupGrouped:
         df = spark.createDataFrame(rows, "doc_id long, source string, text string")
         out = {r["doc_id"]: r["text"] for r in dedup.line_dedup(df).collect()}
         assert out == {1: "unique one", 3: "other content"}
+
+    def test_regex_metachar_separator_splits_literally(self, spark):
+        # '||' is a Java regex alternation that would split every char;
+        # the escaped literal must round-trip content exactly
+        rows = [(1, "dup||keep one"), (2, "dup||keep two")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["text"]
+            for r in dedup.line_dedup(df, sep="||").collect()
+        }
+        assert out == {1: "keep one", 2: "keep two"}
+        # '.' separator: identity when nothing repeats
+        df2 = spark.createDataFrame(
+            [(1, "alpha.beta"), (2, "gamma.delta")], "doc_id long, text string"
+        )
+        out2 = {
+            r["doc_id"]: r["text"]
+            for r in dedup.line_dedup(df2, sep=".").collect()
+        }
+        assert out2 == {1: "alpha.beta", 2: "gamma.delta"}

@@ -125,6 +125,24 @@ class TestAsofJoin:
         )
 
 
+class TestAsofCollision:
+    def test_empty_suffix_collision_raises(self, trades, quotes):
+        # suffix='' on same-schema frames would silently produce two
+        # columns named 'px'; must raise instead
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(
+                quotes, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+                value_cols=["px"], suffix="",
+            )
+
+    def test_nonconflicting_empty_suffix_ok(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+            value_cols=["px"], suffix="",
+        )
+        assert out.columns.count("px") == 1
+
+
 class TestRangeJoin:
     def test_interval_containment(self, spark, trades):
         intervals = spark.createDataFrame(

@@ -242,6 +242,17 @@ class TestTimestampTravel:
         # before the collection existed: error
         with pytest.raises(GeoDBError, match="No snapshot"):
             c.catalog.version_at_timestamp("t", "tt", "2000-01-01T00:00:00")
+        # tz-aware datetimes convert to UTC before comparing: the same
+        # instant expressed at UTC+10 must resolve identically
+        import datetime as dt
+
+        naive = dt.datetime.strptime(
+            latest["modified_at"], "%Y-%m-%dT%H:%M:%S"
+        )
+        utc = naive.replace(tzinfo=dt.timezone.utc)
+        plus10 = utc.astimezone(dt.timezone(dt.timedelta(hours=10)))
+        assert c.catalog.version_at_timestamp("t", "tt", plus10) == got
+        assert c.catalog.version_at_timestamp("t", "tt", utc) == got
 
     def test_client_reads_historic_content(self, spark, tmp_path):
         import pandas as pd

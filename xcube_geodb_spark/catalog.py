@@ -519,6 +519,10 @@ class GeoDBCatalog:
         import datetime as _dt
 
         if isinstance(ts, _dt.datetime):
+            # modified_at strings are UTC (time.gmtime): align tz-aware
+            # datetimes to UTC before comparing; naive ones assume UTC.
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(_dt.timezone.utc)
             ts = ts.strftime("%Y-%m-%dT%H:%M:%S")
         versions = self.list_versions(collection, database)
         cands = [

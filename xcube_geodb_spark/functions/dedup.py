@@ -19,6 +19,8 @@ everything below is JVM-side column algebra (no Python UDFs).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -301,8 +303,33 @@ def duplicate_clusters(
     measured 4x-per-round runtime blowup ending in driver OOM on a
     95k-edge percolated graph. No driver-side union-find: state is one
     (id, label) row per vertex however many billions of pairs stream in.
+
+    Each round's checkpoint blocks are RELEASED once the successor round
+    materializes (tracked via ``getPersistentRDDs`` id deltas), so block
+    storage stays O(|V| + |E|), not O(rounds x |V|). Caveat (inherent to
+    ``localCheckpoint``): blocks live on executors, so losing an executor
+    mid-computation (e.g. dynamic allocation) fails the job unrecoverably
+    — configure a reliable ``sparkContext.setCheckpointDir`` cluster-side
+    if executors are preemptible.
     """
-    edges = (
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_ids():
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _checkpoint_tracked(frame):
+        before = _persistent_ids()
+        out = frame.localCheckpoint(eager=True)
+        return out, _persistent_ids() - before
+
+    def _release(ids):
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    edges, edge_ids = _checkpoint_tracked(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(
@@ -310,13 +337,11 @@ def duplicate_clusters(
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels, label_ids = _checkpoint_tracked(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -341,9 +366,8 @@ def duplicate_clusters(
         jump = labels.select(
             F.col("id").alias("__jid"), F.col("cluster_id").alias("__jcl")
         )
-        new_labels = (
-            cand.join(jump, cand.__cand == F.col("__jid"), "left")
-            .select(
+        new_labels, new_ids = _checkpoint_tracked(
+            cand.join(jump, cand.__cand == F.col("__jid"), "left").select(
                 "id",
                 F.least(
                     F.col("__cand"),
@@ -357,12 +381,15 @@ def duplicate_clusters(
                     < F.col("__old")
                 ).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = new_labels.agg(F.max("__changed")).collect()[0][0]
-        labels = new_labels.drop("__changed")
+        _release(label_ids)
+        labels, label_ids = new_labels.drop("__changed"), new_ids
         if not changed:
             break
+    # final labels are re-materialized by the caller's action; releasing
+    # the last checkpoint would drop them, so only edges are freed here.
+    _release(edge_ids)
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
@@ -430,11 +457,17 @@ def line_dedup(
     be corpus-sized for boilerplate-heavy crawls).
     """
     groups = list(group_cols or [])
+    # F.split treats the separator as a Java regex while concat_ws
+    # reassembles it literally: regex-escape so a sep of '.', '|', '||'
+    # splits on the literal characters and rebuilds identical content.
+    sep_re = re.escape(sep)
     lines = df.select(
         F.col(id_col),
         *groups,
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
-        F.size(F.split(F.col(text_col), F.lit(sep))).alias("n_lines"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep_re))).alias(
+            "pos", "line"
+        ),
+        F.size(F.split(F.col(text_col), F.lit(sep_re))).alias("n_lines"),
     ).withColumn("h", F.md5(F.col("line")))
     freq_keys = groups + ["h"]
     banned = (

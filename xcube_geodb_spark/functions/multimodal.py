@@ -196,11 +196,23 @@ def parse_image_dims(b: bytes) -> tuple[str, int, int] | None:
             int.from_bytes(b[8:10], "little"),
         )
     if b[:2] == b"BM" and len(b) >= 26:
-        return (
-            "bmp",
-            int.from_bytes(b[18:22], "little", signed=True),
-            abs(int.from_bytes(b[22:26], "little", signed=True)),
-        )
+        # dispatch on the DIB header size at offset 14: 12 =
+        # BITMAPCOREHEADER (OS/2, 16-bit dims), >= 40 = BITMAPINFOHEADER
+        # family (32-bit dims, height may be negative for top-down rows)
+        dib = int.from_bytes(b[14:18], "little")
+        if dib == 12:
+            return (
+                "bmp",
+                int.from_bytes(b[18:20], "little"),
+                int.from_bytes(b[20:22], "little"),
+            )
+        if dib >= 40:
+            return (
+                "bmp",
+                int.from_bytes(b[18:22], "little", signed=True),
+                abs(int.from_bytes(b[22:26], "little", signed=True)),
+            )
+        return None
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 30:
         chunk = b[12:16]
         if chunk == b"VP8X":

@@ -117,6 +117,7 @@ def knn_join(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     local_margin: int = 32,
+    max_batch: int = 100_000,
 ) -> DataFrame:
     """Batch k-NN join: the ``k`` most cosine-similar corpus vectors for
     EVERY query vector. Returns (query_id, vec_id, cos_sim rounded 6).
@@ -146,7 +147,16 @@ def knn_join(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    qrows = queries.select(query_id_col, vec_col).collect()
+    # guard the driver-sized-batch contract: probe one row past the limit
+    # so an oversized query frame fails fast instead of OOMing the driver.
+    probe = queries.select(query_id_col, vec_col).limit(max_batch + 1)
+    qrows = probe.collect()
+    if len(qrows) > max_batch:
+        raise ValueError(
+            f"knn_join query batch exceeds max_batch={max_batch} rows; "
+            "split the queries into batches or use an LSH/IVF similarity "
+            "join for corpus-sized query sets"
+        )
     if not qrows:
         raise ValueError("queries is empty")
     qids = [r[0] for r in qrows]

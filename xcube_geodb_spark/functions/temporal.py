@@ -46,6 +46,12 @@ def asof_join(
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
     out_cols = [f"{c}{suffix}" for c in value_cols]
+    collided = sorted(set(out_cols) & set(left.columns))
+    if collided:
+        raise ValueError(
+            "asof_join output column(s) collide with left columns: "
+            f"{collided}; pass a non-empty suffix or rename the left columns"
+        )
 
     l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn(
         "__side", F.lit(1 if not strict else 0)
