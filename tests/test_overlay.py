@@ -1,0 +1,261 @@
+"""General polygon overlay kernel: intersection / union / difference /
+symmetric difference over arbitrary polygons (geometry/overlay.py), plus
+the st_union / st_difference / st_symdifference SQL surface.
+
+Reference parity: /root/reference/xcube_geodb/sql/geodb.sql:1123-1177
+admits arbitrary PostGIS overlay calls through the raw-SQL path."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xcube_geodb_spark.errors import GeoDBError
+from xcube_geodb_spark.geometry.geom import area, parse_wkt, to_wkt
+from xcube_geodb_spark.geometry.overlay import overlay, union_all
+
+
+def P(wkt):
+    return parse_wkt(wkt)
+
+
+def sq(x0, y0, x1, y1):
+    return P(
+        f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+    )
+
+
+A = sq(0, 0, 2, 2)
+B = sq(1, 1, 3, 3)
+
+
+class TestBasicOps:
+    @pytest.mark.parametrize(
+        "op,expected",
+        [
+            ("intersection", 1.0),
+            ("union", 7.0),
+            ("difference", 3.0),
+            ("symdifference", 6.0),
+        ],
+    )
+    def test_offset_squares(self, op, expected):
+        assert area(overlay(A, B, op)) == pytest.approx(expected, abs=1e-9)
+
+    def test_intersection_vertices_exact(self):
+        got = to_wkt(overlay(A, B, "intersection"))
+        assert got == "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"
+
+    def test_disjoint(self):
+        C = sq(10, 10, 11, 11)
+        assert overlay(A, C, "intersection") is None
+        assert area(overlay(A, C, "union")) == pytest.approx(5.0)
+        assert area(overlay(A, C, "difference")) == pytest.approx(4.0)
+        u = overlay(A, C, "union")
+        assert u.kind == "MultiPolygon"
+
+    def test_identical(self):
+        assert area(overlay(A, A, "intersection")) == pytest.approx(4.0)
+        assert area(overlay(A, A, "union")) == pytest.approx(4.0)
+        assert overlay(A, A, "difference") is None
+        assert overlay(A, A, "symdifference") is None
+
+    def test_shared_edge_adjacency(self):
+        D = sq(2, 0, 4, 2)
+        # interiors touch along x=2: union merges (edge interiorized),
+        # intersection is lower-dimensional -> empty, difference = A
+        assert area(overlay(A, D, "union")) == pytest.approx(8.0)
+        assert overlay(A, D, "intersection") is None
+        assert area(overlay(A, D, "difference")) == pytest.approx(4.0)
+        assert area(overlay(A, D, "symdifference")) == pytest.approx(8.0)
+
+    def test_containment_produces_hole(self):
+        inner = sq(0.5, 0.5, 1.5, 1.5)
+        d = overlay(A, inner, "difference")
+        assert d.kind == "Polygon" and len(d.parts) == 2  # shell + hole
+        assert area(d) == pytest.approx(3.0)
+        # intersection of container with contained = contained
+        assert area(overlay(A, inner, "intersection")) == pytest.approx(1.0)
+        # union = container
+        assert area(overlay(A, inner, "union")) == pytest.approx(4.0)
+
+    def test_rotated_operand(self):
+        # concentric square (half-width 1) and diamond (radius 1.5):
+        # closed form 2r^2 - 4(r-h)^2
+        diamond = P("POLYGON ((1.5 1, 3 2.5, 1.5 4, 0 2.5, 1.5 1))")
+        square = sq(0.5, 1.5, 2.5, 3.5)
+        expect = 2 * 1.5**2 - 4 * 0.5**2
+        assert area(overlay(square, diamond, "intersection")) == pytest.approx(
+            expect
+        )
+        assert area(overlay(square, diamond, "union")) == pytest.approx(
+            4 + 2 * 1.5**2 - expect
+        )
+        assert area(overlay(square, diamond, "difference")) == pytest.approx(
+            4 - expect
+        )
+
+    def test_triangles_additivity(self):
+        t1 = P("POLYGON ((0 0, 4 0, 0 4, 0 0))")
+        t2 = P("POLYGON ((1 -1, 5 -1, 1 3, 1 -1))")
+        ai = area(overlay(t1, t2, "intersection"))
+        assert ai == pytest.approx(4.5)
+        assert area(overlay(t1, t2, "union")) == pytest.approx(
+            area(t1) + area(t2) - ai
+        )
+        assert area(overlay(t1, t2, "difference")) == pytest.approx(
+            area(t1) - ai
+        )
+
+
+class TestHolesAndMulti:
+    H = P(
+        "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))"
+    )  # area 32
+    S = sq(1, 1, 3, 3)  # overlaps 1x1 of the hole
+
+    def test_hole_interactions(self):
+        assert area(overlay(self.H, self.S, "intersection")) == pytest.approx(3.0)
+        assert area(overlay(self.H, self.S, "union")) == pytest.approx(33.0)
+        assert area(overlay(self.H, self.S, "difference")) == pytest.approx(29.0)
+
+    def test_hole_fully_covering_operand(self):
+        inside_hole = sq(2.5, 2.5, 3.5, 3.5)
+        assert overlay(self.H, inside_hole, "intersection") is None
+        assert area(overlay(self.H, inside_hole, "union")) == pytest.approx(33.0)
+
+    def test_multipolygon_operand(self):
+        m = P(
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)),"
+            " ((5 5, 6 5, 6 6, 5 6, 5 5)))"
+        )
+        big = sq(-1, -1, 7, 7)
+        assert area(overlay(m, big, "intersection")) == pytest.approx(2.0)
+        assert area(overlay(big, m, "difference")) == pytest.approx(64 - 2)
+
+    def test_reject_non_polygonal(self):
+        with pytest.raises(GeoDBError, match="polygonal"):
+            overlay(P("POINT (0 0)"), A, "union")
+        with pytest.raises(GeoDBError, match="unknown overlay op"):
+            overlay(A, B, "frobnicate")
+
+    def test_empty_operands(self):
+        assert overlay(None, B, "intersection") is None
+        assert area(overlay(None, B, "union")) == pytest.approx(4.0)
+        assert overlay(None, B, "difference") is None
+        assert area(overlay(A, None, "difference")) == pytest.approx(4.0)
+
+
+class TestUnionAll:
+    def test_dissolve_chain(self):
+        chain = [sq(c - 1, 0, c + 1, 2) for c in (0.0, 1.5, 3.0)]
+        # consecutive overlap 0.5 wide x 2 high, no triple overlap
+        assert area(union_all(chain)) == pytest.approx(3 * 4 - 2 * 1.0)
+        assert union_all(chain).kind == "Polygon"
+
+    def test_dissolve_disjoint_and_empty(self):
+        assert union_all([]) is None
+        assert union_all([None, None]) is None
+        m = union_all([sq(0, 0, 1, 1), None, sq(5, 5, 6, 6)])
+        assert m.kind == "MultiPolygon" and area(m) == pytest.approx(2.0)
+
+
+def _convex_poly(cx, cy, radii, angles):
+    pts = [
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+        for r, a in zip(radii, angles)
+    ]
+    ring = ", ".join(f"{x} {y}" for x, y in pts) + f", {pts[0][0]} {pts[0][1]}"
+    return P(f"POLYGON (({ring}))")
+
+
+@st.composite
+def convex_polys(draw):
+    cx = draw(st.floats(-3, 3))
+    cy = draw(st.floats(-3, 3))
+    n = draw(st.integers(3, 8))
+    base = draw(st.floats(0, 2 * math.pi))
+    # strictly increasing angles with every normalized gap < pi -> the
+    # chord between consecutive vertices stays inside its angular wedge,
+    # so the star polygon is always simple (gap > pi would let an edge
+    # cross other wedges and self-intersect)
+    gaps = draw(
+        st.lists(st.floats(0.6, 1.0), min_size=n, max_size=n)
+    )
+    total = sum(gaps)
+    angles = []
+    acc = base
+    for g in gaps:
+        acc += g / total * 2 * math.pi
+        angles.append(acc)
+    radii = draw(st.lists(st.floats(0.5, 3.0), min_size=n, max_size=n))
+    # star polygons about a center are always simple; convex not required
+    return _convex_poly(cx, cy, radii, angles)
+
+
+class TestOverlayInvariants:
+    @settings(max_examples=40, deadline=None)
+    @given(convex_polys(), convex_polys())
+    def test_area_additivity(self, ga, gb):
+        inter = overlay(ga, gb, "intersection")
+        diff = overlay(ga, gb, "difference")
+        uni = overlay(ga, gb, "union")
+        ai = area(inter) if inter else 0.0
+        ad = area(diff) if diff else 0.0
+        au = area(uni) if uni else 0.0
+        scale = max(area(ga), area(gb), 1.0)
+        # A∩B + A\B = A
+        assert ai + ad == pytest.approx(area(ga), rel=1e-6, abs=1e-6 * scale)
+        # |A∪B| = |A| + |B| - |A∩B|
+        assert au == pytest.approx(
+            area(ga) + area(gb) - ai, rel=1e-6, abs=1e-6 * scale
+        )
+
+    @settings(max_examples=25, deadline=None)
+    @given(convex_polys(), convex_polys())
+    def test_commutativity_and_bounds(self, ga, gb):
+        i1 = overlay(ga, gb, "intersection")
+        i2 = overlay(gb, ga, "intersection")
+        a1 = area(i1) if i1 else 0.0
+        a2 = area(i2) if i2 else 0.0
+        assert a1 == pytest.approx(a2, rel=1e-6, abs=1e-9)
+        assert a1 <= min(area(ga), area(gb)) + 1e-6
+
+
+class TestOverlaySQL:
+    def test_sql_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT
+              round(st_area(st_intersection(
+                st_geomfromtext('POLYGON ((0 0, 4 0, 0 4, 0 0))'),
+                st_geomfromtext('POLYGON ((1 -1, 5 -1, 1 3, 1 -1))'))), 6)
+                AS inter,
+              round(st_area(st_union(
+                st_geomfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                st_geomfromtext('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))'))), 6)
+                AS uni,
+              round(st_area(st_difference(
+                st_geomfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                st_geomfromtext('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))'))), 6)
+                AS diff,
+              round(st_area(st_symdifference(
+                st_geomfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                st_geomfromtext('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))'))), 6)
+                AS sym,
+              st_union(st_geomfromtext('POINT (1 1)'), CAST(NULL AS BINARY))
+                AS u_null
+            """
+        ).collect()[0]
+        assert row["inter"] == 4.5
+        assert row["uni"] == 7.0
+        assert row["diff"] == 3.0
+        assert row["sym"] == 6.0
+        assert row["u_null"] is not None  # ST_Union(g, NULL) = g

@@ -24,8 +24,10 @@ Registered names (PostGIS-compatible lowercase):
   ``st_azimuth``
 - transforms: ``st_transform`` (CRS), ``st_buffer`` (points),
   ``st_simplify`` (Douglas-Peucker), ``st_snaptogrid``, ``st_envelope``,
-  ``st_expand``, ``st_clipbybox2d``, ``st_intersection`` (one
-  axis-aligned rectangular operand), ``st_convexhull`` (monotone chain)
+  ``st_expand``, ``st_clipbybox2d``, ``st_convexhull`` (monotone chain)
+- overlay (geometry/overlay.py planar boolean kernel):
+  ``st_intersection`` (rect operand -> fast clip, else general polygon
+  overlay), ``st_union``, ``st_difference``, ``st_symdifference``
 
 These are row-at-a-time UDFs (the SQL-string path is a compatibility
 surface, not the hot path — engine operators use the vectorized
@@ -344,10 +346,10 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         return xs <= {xmin, xmax} and ys <= {ymin, ymax}
 
     def _intersection(a: bytes, b: bytes):
-        """ST_Intersection restricted to one axis-aligned rectangular
-        operand (either side) — the bbox-clip case every reference query
-        uses; general polygon∩polygon needs a full overlay the kernel
-        does not implement and raises instead of silently approximating."""
+        """ST_Intersection: an axis-aligned rectangular operand (either
+        side) takes the fast clip path for ANY geometry kind; otherwise
+        the general polygon overlay kernel (geometry/overlay.py) computes
+        the boolean — polygonal operands, polygonal output."""
         if a is None or b is None:
             return None
         ga, gb = parse_wkb(a), parse_wkb(b)
@@ -356,13 +358,35 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         elif _is_rect(ga):
             out = clip_by_box(gb, envelope(ga))
         else:
-            raise GeoDBError(
-                "st_intersection supports an axis-aligned rectangular "
-                "operand only (use st_clipbybox2d / st_makeenvelope)"
-            )
+            from xcube_geodb_spark.geometry.overlay import overlay
+
+            out = overlay(ga, gb, "intersection")
         return to_wkb(out) if out is not None else None
 
     spark.udf.register("st_intersection", _intersection, T.BinaryType())
+
+    def _overlay_udf(op: str):
+        from xcube_geodb_spark.geometry.overlay import overlay
+
+        def f(a: bytes, b: bytes):
+            if a is None or b is None:
+                # ST_Union(g, NULL) = g per PostGIS; intersection-like
+                # ops return NULL
+                if op == "union":
+                    return a if a is not None else b
+                if op == "difference" and a is not None:
+                    return a
+                return None
+            out = overlay(parse_wkb(a), parse_wkb(b), op)
+            return to_wkb(out) if out is not None else None
+
+        return f
+
+    spark.udf.register("st_union", _overlay_udf("union"), T.BinaryType())
+    spark.udf.register("st_difference", _overlay_udf("difference"), T.BinaryType())
+    spark.udf.register(
+        "st_symdifference", _overlay_udf("symdifference"), T.BinaryType()
+    )
 
     def _transform(b: bytes, from_srid: int, to_srid: int):
         if b is None:
