@@ -23,7 +23,11 @@ FAMILIES = {
     "geo-measures": "geo_measures_squares",
     "geo-modes": "geo_bbox_modes",
     "geo-crs": "geo_bbox_crs_transform",
-    "geo-distance": "geo_distance_knn",
+    # distance top-k demoted r5: ordering covered by scan_paging /
+    # geo_knn_join, distance scalars by geo_distance_sphere; the new
+    # general-overlay kernel takes the slot
+    "geo-distance": "geo_distance_sphere",
+    "geo-overlay": "geo_overlay_diamond",
     "dedup-exact": "dedup_exact",
     "dedup-lsh": "dedup_minhash_pairs",
     # corpus-level line dedup (CCNet/RefinedWeb): promoted over the
@@ -39,7 +43,9 @@ FAMILIES = {
     "ann-index": "ann_index_topk",
     "attribution": "events_attribution",
     "geo-sphere": "geo_distance_sphere",
-    "geo-collect": "geo_collect_points",
+    # geometry aggregation rep is now the dissolve (aggregate ST_Union);
+    # geo_collect_points demotes but stays locally verified
+    "geo-collect": "geo_dissolve_chain",
     "geo-spatial-join": "geo_spatial_join_points",
     "geo-knn-join": "geo_knn_join",
     "retrieval": "text_bm25_join",

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["collect_points_wkt", "collect_geometries"]
+__all__ = ["collect_points_wkt", "collect_geometries", "dissolve"]
 
 
 def collect_points_wkt(
@@ -93,3 +93,47 @@ def collect_geometries(
     else:
         geoms = F.collect_list(F.col(geom_col))
     return df.groupBy(*group_cols).agg(_collect(geoms).alias("geometry"))
+
+
+def dissolve(
+    df: DataFrame,
+    group_cols: list[str],
+    geom_col: str = "geometry",
+    max_group_size: int = 100_000,
+) -> DataFrame:
+    """Per-group aggregate boolean union — PostGIS ``ST_Union(geometry)``
+    dissolve over polygonal WKB members.  Returns group cols +
+    ``geometry`` (unioned WKB, NULL for all-NULL groups) + ``n_members``.
+
+    Physical shape: one shuffle keyed by the group columns; each group's
+    members fold through the planar overlay kernel with a BALANCED
+    pairwise merge (O(log n) fold depth — geometry/overlay.union_all), in
+    an Arrow-batched pandas UDF.  Like PostGIS' ``ST_Union`` aggregate,
+    a group materializes on one task: for unbounded groups pre-union
+    per partition first (two-level dissolve) or cap with
+    ``max_group_size`` — exceeding it raises instead of silently
+    stalling a straggler task at 100 TB."""
+    from pyspark.sql import types as T
+
+    from xcube_geodb_spark.geometry.geom import parse_wkb, to_wkb
+    from xcube_geodb_spark.geometry.overlay import union_all
+
+    @F.pandas_udf(T.BinaryType())
+    def _dissolve(wkbs: pd.Series) -> pd.Series:
+        out = []
+        for arr in wkbs:
+            members = [parse_wkb(b) for b in arr if b is not None]
+            if len(members) > max_group_size:
+                raise ValueError(
+                    f"dissolve group exceeds max_group_size="
+                    f"{max_group_size}; pre-aggregate or raise the cap"
+                )
+            merged = union_all(members)
+            out.append(to_wkb(merged) if merged is not None else None)
+        return pd.Series(out)
+
+    geoms = F.collect_list(F.col(geom_col))
+    return df.groupBy(*group_cols).agg(
+        _dissolve(geoms).alias("geometry"),
+        F.count(F.col(geom_col)).alias("n_members"),
+    )

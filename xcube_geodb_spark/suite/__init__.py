@@ -21,7 +21,13 @@ set-op family, ``scalar_string_funcs`` the scalar passthroughs;
 ``events_json_extract`` keeps json extraction covered for the demoted
 arrow-select variant; ``scan_cs_cd_tokens`` is a demoted grammar variant
 whose family stays covered by ``scan_filter_grammar`` — its slot promotes
-``dedup_lines_rebuilt``, the corpus-level line-dedup family), so no
+``dedup_lines_rebuilt``, the corpus-level line-dedup family; round 5
+promotes the new general-overlay gates ``geo_overlay_diamond`` and
+``geo_dissolve_chain`` — ``geo_distance_knn`` demotes (top-k ordering
+stays covered by ``scan_paging``/``geo_knn_join``, distance scalars by
+``geo_distance_sphere``/``geo_measures_squares``) and
+``geo_collect_points`` demotes with ``geo_dissolve_chain`` taking over
+as the geometry-aggregation representative), so no
 operator family loses driver verification;
 everything demoted stays locally verified via
 ``tools/check_correctness.py``.
@@ -65,9 +71,9 @@ DRIVER_WINDOW = [
     "geo_bbox_crs_transform",
     "geo_count_by_bbox",
     "geo_extent_squares",
-    "geo_distance_knn",
+    "geo_overlay_diamond",
     "geo_distance_sphere",
-    "geo_collect_points",
+    "geo_dissolve_chain",
     "geo_spatial_join_points",
     "geo_knn_join",
     # dedup

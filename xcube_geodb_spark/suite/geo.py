@@ -885,6 +885,139 @@ GEO_ORACLES_JOINS = {
 }
 
 
+@F.pandas_udf(T.BinaryType())
+def _diamond_wkb(x: pd.Series, y: pd.Series, r: pd.Series) -> pd.Series:
+    # batch-assembled 93-byte diamond-polygon WKB (vertices at +-r along
+    # the axes from the center: a rotated square, NOT axis-aligned, so
+    # st_intersection takes the general overlay kernel, never the clip
+    # fast path)
+    import numpy as np
+
+    n = len(x)
+    xv = x.to_numpy(dtype=np.float64)
+    yv = y.to_numpy(dtype=np.float64)
+    rv = r.to_numpy(dtype=np.float64)
+    ring = np.empty((n, 10), dtype=np.float64)
+    ring[:, 0], ring[:, 1] = xv + rv, yv
+    ring[:, 2], ring[:, 3] = xv, yv + rv
+    ring[:, 4], ring[:, 5] = xv - rv, yv
+    ring[:, 6], ring[:, 7] = xv, yv - rv
+    ring[:, 8], ring[:, 9] = xv + rv, yv
+    arr = np.empty((n, 93), dtype=np.uint8)
+    arr[:, :13] = np.frombuffer(
+        b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00", dtype=np.uint8
+    )
+    arr[:, 13:] = ring.view(np.uint8).reshape(n, 80)
+    return pd.Series([arr[i].tobytes() for i in range(n)])
+
+
+def geo_overlay_diamond(spark, sf_dir):
+    """General polygon overlay (geometry/overlay.py) through the SQL
+    surface: each square intersected/unioned/differenced with a CONCENTRIC
+    DIAMOND of radius r = key %% 11 + 3 — a rotated operand, so none of
+    these take the rectangular clip fast path. The concentric geometry
+    gives the oracle a closed form: |sq ∩ dia| = 2r² when r<=h (diamond
+    inside), 2r² - 4(r-h)² while r<=2h (four diamond tips clipped), else
+    4h² (square inside diamond); union and difference follow by
+    inclusion-exclusion. Integer h, r land exact-touch degeneracies
+    (r=h: diamond vertices ON square edges; r=2h: diamond edges through
+    square corners) on many keys — the kernel's snapped planar graph and
+    the closed form must classify them identically. Key filter %% 13 keeps
+    the row-at-a-time SQL path off the bench hot path (the engine's
+    vectorized operators are the scale story; this is the passthrough
+    compatibility surface, like PostGIS parity demands)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(spark)
+    sq = (
+        _squares(spark, sf_dir)
+        .filter(F.col("c_custkey") % 13 == 1)
+        .withColumn("r", (F.col("c_custkey") % 11 + 3).cast("double"))
+        .withColumn("diamond", _diamond_wkb("x", "y", "r"))
+    )
+    sq.createOrReplaceTempView("sq_overlay")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               round(st_area(st_intersection(geometry, diamond)), 6)
+                   AS inter_area,
+               round(st_area(st_union(geometry, diamond)), 6) AS union_area,
+               round(coalesce(st_area(st_difference(geometry, diamond)), 0.0),
+                     6) AS diff_area,
+               round(coalesce(st_area(st_symdifference(geometry, diamond)),
+                              0.0), 6) AS sym_area
+        FROM sq_overlay
+        """
+    )
+
+
+GEO_ORACLES["geo_overlay_diamond"] = f"""
+    SELECT c_custkey,
+           round(inter, 6) AS inter_area,
+           round(4*h*h + 2*r*r - inter, 6) AS union_area,
+           round(4*h*h - inter, 6) AS diff_area,
+           round(4*h*h + 2*r*r - 2*inter, 6) AS sym_area
+    FROM (
+        SELECT c_custkey, h, r,
+               CASE WHEN r <= h THEN 2*r*r
+                    WHEN r <= 2*h THEN 2*r*r - 4*(r-h)*(r-h)
+                    ELSE 4*h*h END AS inter
+        FROM (SELECT *, CAST(c_custkey % 11 + 3 AS DOUBLE) AS r
+              FROM ({_SQS}) WHERE c_custkey % 13 = 1)
+    )
+"""
+
+
+def geo_dissolve_chain(spark, sf_dir):
+    """Aggregate dissolve (``ST_Union(geometry)``, functions/geo_agg.
+    dissolve): per group, a CHAIN of overlapping unit-half-width squares
+    spaced 1.5 apart (consecutive overlap 0.5 x 2 = 1.0, no triple
+    overlap), so the oracle's union area is the closed form 4n - (n-1).
+    One shuffle on the group key; the per-group balanced overlay fold is
+    the PostGIS-parity dissolve. Rank cap 8 bounds group size at every
+    SF — the unbounded-group scale path is documented two-level
+    pre-union in the function docstring."""
+    from pyspark.sql import Window
+
+    from xcube_geodb_spark.functions.geo_agg import dissolve
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(spark)
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy(F.col("c_custkey") % 50).orderBy("c_custkey")
+    chain = (
+        c.select("c_custkey", (F.col("c_custkey") % 50).alias("grp"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 8)
+        .withColumn("cx", F.col("grp") * 1000.0 + F.col("rnk") * 1.5)
+        .withColumn("cy", F.lit(0.0))
+        .withColumn("h", F.lit(1.0))
+        .withColumn("geometry", _square_wkb("cx", "cy", "h"))
+    )
+    out = dissolve(chain, ["grp"])
+    return out.select(
+        "grp",
+        "n_members",
+        F.round(F.expr("st_area(geometry)"), 6).alias("union_area"),
+    )
+
+
+GEO_ORACLES["geo_dissolve_chain"] = """
+    SELECT grp, n AS n_members,
+           round(4.0*n - (n-1), 6) AS union_area
+    FROM (
+        SELECT grp, count(*) AS n
+        FROM (
+            SELECT c_custkey % 50 AS grp,
+                   row_number() OVER (PARTITION BY c_custkey % 50
+                                      ORDER BY c_custkey) AS rnk
+            FROM customer
+        ) WHERE rnk <= 8
+        GROUP BY grp
+    )
+"""
+
+
 GEO_QUERIES = {
     "geo_measures_squares": geo_measures_squares,
     "geo_bbox_modes": geo_bbox_modes,
@@ -906,6 +1039,8 @@ GEO_QUERIES = {
     "geo_count_by_bbox": geo_count_by_bbox,
     "geo_extent_squares": geo_extent_squares,
     "geo_geometry_types": geo_geometry_types,
+    "geo_overlay_diamond": geo_overlay_diamond,
+    "geo_dissolve_chain": geo_dissolve_chain,
     "geo_spatial_join_points": geo_spatial_join_points,
     "geo_spatial_join_dwithin": geo_spatial_join_dwithin,
     "geo_dbscan_points": geo_dbscan_points,
