@@ -821,22 +821,24 @@ class TestEnvelopeExpandIntersection:
         assert row["exp"] == "POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))"
         assert row["a"] == 25.0 and row["a_flipped"] == 25.0
 
-    def test_general_overlay_raises(self, spark):
-        from pyspark.sql.utils import PythonException
-
+    def test_general_overlay_via_kernel(self, spark):
+        # non-rectangular operands route to the general overlay kernel
+        # (geometry/overlay.py) instead of raising — round 5 closed the
+        # last PostGIS-passthrough gap
         from xcube_geodb_spark.geometry.sqlfuncs import (
             register_spatial_sql_functions,
         )
 
         register_spatial_sql_functions(spark)
-        with pytest.raises(PythonException, match="axis-aligned"):
-            spark.sql(
-                """
-                SELECT st_intersection(
-                    st_geomfromtext('POLYGON ((0 0, 4 0, 2 3, 0 0))'),
-                    st_geomfromtext('POLYGON ((1 1, 5 1, 3 4, 1 1))'))
-                """
-            ).collect()
+        row = spark.sql(
+            """
+            SELECT round(st_area(st_intersection(
+                st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),
+                st_geomfromtext('POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))'))), 6)
+                AS a
+            """
+        ).collect()[0]
+        assert row["a"] == 4.0
 
 
 class TestConvexHull:
@@ -1127,3 +1129,110 @@ class TestProject:
         ).collect()[0]
         assert row["north"].startswith("POINT (")
         assert "1" in row["north"]
+
+
+class TestSphereAreaAndSpheroid:
+    """Geodesic area (spherical excess, van Oosterom & Strackee signed
+    solid angle) and WGS84 Vincenty distance — the sphere-family closers
+    (PostGIS geography passthrough parity, geodb.sql:1123-1177)."""
+
+    def test_octant_exact(self):
+        import math
+
+        from xcube_geodb_spark.geometry.geom import EARTH_RADIUS_M, area_sphere
+
+        octant = parse_wkt("POLYGON ((0 0, 90 0, 0 90, 0 0))")
+        assert area_sphere(octant) == pytest.approx(
+            math.pi / 2 * EARTH_RADIUS_M**2, rel=1e-12
+        )
+
+    def test_equator_quad_matches_band(self):
+        import math
+
+        from xcube_geodb_spark.geometry.geom import EARTH_RADIUS_M, area_sphere
+
+        quad = parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        band = EARTH_RADIUS_M**2 * math.radians(1) * math.sin(math.radians(1))
+        # geodesic-edge quad vs parallel-bounded band: tiny known gap
+        assert area_sphere(quad) == pytest.approx(band, rel=1e-4)
+        assert 1.2e10 < area_sphere(quad) < 1.25e10  # ~12,364 km^2
+
+    def test_orientation_invariant_and_holes(self):
+        from xcube_geodb_spark.geometry.geom import area_sphere
+
+        cw = parse_wkt("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))")
+        ccw = parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        assert area_sphere(cw) == pytest.approx(area_sphere(ccw), rel=1e-12)
+        holed = parse_wkt(
+            "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0),"
+            " (0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"
+        )
+        full = parse_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        inner = parse_wkt(
+            "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"
+        )
+        assert area_sphere(holed) == pytest.approx(
+            area_sphere(full) - area_sphere(inner), rel=1e-12
+        )
+        assert area_sphere(parse_wkt("POINT (3 3)")) == 0.0
+
+    def test_vincenty_known_values(self):
+        from xcube_geodb_spark.geometry.geom import distance_spheroid
+
+        p = lambda lon, lat: parse_wkt(f"POINT ({lon} {lat})")
+        # one degree along the equator: a * pi/180 = 111319.4908 m
+        assert distance_spheroid(p(0, 0), p(1, 0)) == pytest.approx(
+            111319.4908, abs=1e-3
+        )
+        # quarter meridian (WGS84): 10001965.729 m
+        assert distance_spheroid(p(0, 0), p(0, 90)) == pytest.approx(
+            10001965.729, abs=1e-2
+        )
+        assert distance_spheroid(p(7, 7), p(7, 7)) == 0.0
+        # symmetric
+        a, b = p(2.3522, 48.8566), p(-74.006, 40.7128)
+        assert distance_spheroid(a, b) == distance_spheroid(b, a)
+        # spheroid vs sphere differ by < 0.5% but are NOT equal
+        from xcube_geodb_spark.geometry.geom import distance_sphere
+
+        ds = distance_sphere(a, b)
+        dv = distance_spheroid(a, b)
+        assert abs(dv - ds) / ds < 0.005 and dv != ds
+
+    def test_vincenty_near_antipodal_falls_back(self):
+        from xcube_geodb_spark.geometry.geom import distance_spheroid
+
+        p = lambda lon, lat: parse_wkt(f"POINT ({lon} {lat})")
+        d = distance_spheroid(p(0, 0), p(179.5, 0.5))
+        assert 1.9e7 < d < 2.1e7  # ~half circumference, no crash
+
+    def test_non_point_operands_raise(self):
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.geometry.geom import distance_spheroid
+
+        with pytest.raises(GeoDBError, match="Point operands"):
+            distance_spheroid(
+                parse_wkt("LINESTRING (0 0, 1 1)"), parse_wkt("POINT (0 0)")
+            )
+
+    def test_sql_surface(self, spark):
+        import math
+
+        from xcube_geodb_spark.geometry.geom import EARTH_RADIUS_M
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT st_areasphere(st_geomfromtext(
+                       'POLYGON ((0 0, 90 0, 0 90, 0 0))')) AS a,
+                   st_distancespheroid(st_geomfromtext('POINT (0 0)'),
+                                       st_geomfromtext('POINT (1 0)')) AS d
+            """
+        ).collect()[0]
+        assert row["a"] == pytest.approx(
+            math.pi / 2 * EARTH_RADIUS_M**2, rel=1e-9
+        )
+        assert row["d"] == pytest.approx(111319.4908, abs=1e-3)

@@ -1097,6 +1097,136 @@ def perimeter_sphere(geom: Geometry) -> float:
     return total
 
 
+def _ring_solid_angle(ring: np.ndarray) -> float:
+    """Signed solid angle (steradians) subtended by a lon/lat ring whose
+    vertices are joined by great-circle arcs: fan triangulation from the
+    first vertex, each triangle's SIGNED spherical excess via the
+    van Oosterom & Strackee formula ``tan(Ω/2) = a·(b×c) /
+    (1 + a·b + b·c + c·a)`` over the unit vectors — exact for
+    geodesic-edge polygons (an octant triangle yields exactly π/2),
+    orientation-signed like the planar shoelace."""
+    lon = np.radians(ring[:, 0])
+    lat = np.radians(ring[:, 1])
+    v = np.column_stack(
+        [np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon), np.sin(lat)]
+    )
+    if np.array_equal(v[0], v[-1]):
+        v = v[:-1]
+    if len(v) < 3:
+        return 0.0
+    a = v[0]
+    total = 0.0
+    for i in range(1, len(v) - 1):
+        b, c = v[i], v[i + 1]
+        num = float(np.dot(a, np.cross(b, c)))
+        den = 1.0 + float(np.dot(a, b)) + float(np.dot(b, c)) + float(np.dot(c, a))
+        total += 2.0 * math.atan2(num, den)
+    return total
+
+
+def area_sphere(geom: Geometry) -> float:
+    """Geodesic area in m² on the mean-radius sphere (``ST_Area`` on a
+    geography column, sphere mode): spherical excess per ring — outer
+    rings contribute, holes subtract. Exact for polygons whose edges are
+    great-circle arcs and smaller than a hemisphere; PostGIS geography
+    defaults to the WGS84 spheroid (GeographicLib), a ≤0.3% deviation
+    documented in COVERAGE.md. Points/lines contribute 0."""
+    total = 0.0
+    for leaf in geom.children():
+        if leaf.kind == "Polygon":
+            rings = leaf.parts
+            if not rings:
+                continue
+            total += abs(_ring_solid_angle(rings[0])) * EARTH_RADIUS_M**2
+            for hole in rings[1:]:
+                total -= abs(_ring_solid_angle(hole)) * EARTH_RADIUS_M**2
+    return total
+
+
+# WGS84 ellipsoid
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+
+
+def distance_spheroid(a: Geometry, b: Geometry) -> float:
+    """``ST_DistanceSpheroid``: geodesic meters between two POINTS on the
+    WGS84 ellipsoid — Vincenty's inverse formula (sub-millimeter except
+    near-antipodal pairs, which fall back to the sphere). Non-point
+    operands raise: spheroid distance between extended geometries needs
+    a geodesic overlay this kernel scopes out (use st_distancesphere for
+    the sphere approximation)."""
+    if a.kind != "Point" or b.kind != "Point":
+        raise GeoDBError(
+            "st_distancespheroid requires Point operands "
+            f"(got {a.kind}, {b.kind})"
+        )
+    lon1, lat1 = float(a.parts[0]), float(a.parts[1])
+    lon2, lat2 = float(b.parts[0]), float(b.parts[1])
+    if lon1 == lon2 and lat1 == lat2:
+        return 0.0
+    f = _WGS84_F
+    b_axis = _WGS84_A * (1.0 - f)
+    u1 = math.atan((1.0 - f) * math.tan(math.radians(lat1)))
+    u2 = math.atan((1.0 - f) * math.tan(math.radians(lat2)))
+    big_l = math.radians(lon2 - lon1)
+    sin_u1, cos_u1 = math.sin(u1), math.cos(u1)
+    sin_u2, cos_u2 = math.sin(u2), math.cos(u2)
+    lam = big_l
+    for _ in range(200):
+        sin_lam, cos_lam = math.sin(lam), math.cos(lam)
+        sin_sigma = math.sqrt(
+            (cos_u2 * sin_lam) ** 2
+            + (cos_u1 * sin_u2 - sin_u1 * cos_u2 * cos_lam) ** 2
+        )
+        if sin_sigma == 0.0:
+            return 0.0
+        cos_sigma = sin_u1 * sin_u2 + cos_u1 * cos_u2 * cos_lam
+        sigma = math.atan2(sin_sigma, cos_sigma)
+        sin_alpha = cos_u1 * cos_u2 * sin_lam / sin_sigma
+        cos2_alpha = 1.0 - sin_alpha * sin_alpha
+        if cos2_alpha == 0.0:  # equatorial line
+            cos_2sm = 0.0
+        else:
+            cos_2sm = cos_sigma - 2.0 * sin_u1 * sin_u2 / cos2_alpha
+        c = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+        lam_prev = lam
+        lam = big_l + (1.0 - c) * f * sin_alpha * (
+            sigma
+            + c
+            * sin_sigma
+            * (cos_2sm + c * cos_sigma * (-1.0 + 2.0 * cos_2sm * cos_2sm))
+        )
+        if abs(lam - lam_prev) < 1e-12:
+            break
+    else:
+        # Vincenty fails to converge only near-antipodally: the sphere
+        # answer is within ~0.5% there, better than failing the query
+        return distance_sphere(a, b)
+    u_sq = cos2_alpha * (_WGS84_A**2 - b_axis**2) / b_axis**2
+    big_a = 1.0 + u_sq / 16384.0 * (
+        4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq))
+    )
+    big_b = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+    delta_sigma = (
+        big_b
+        * sin_sigma
+        * (
+            cos_2sm
+            + big_b
+            / 4.0
+            * (
+                cos_sigma * (-1.0 + 2.0 * cos_2sm**2)
+                - big_b
+                / 6.0
+                * cos_2sm
+                * (-3.0 + 4.0 * sin_sigma**2)
+                * (-3.0 + 4.0 * cos_2sm**2)
+            )
+        )
+    )
+    return b_axis * big_a * (sigma - delta_sigma)
+
+
 def project_point(lon: float, lat: float, distance_m: float, azimuth_rad: float):
     """``ST_Project(geography)``: the destination point ``distance_m``
     meters from (lon, lat) along the given north-based clockwise bearing,

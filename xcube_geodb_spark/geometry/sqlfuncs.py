@@ -21,7 +21,8 @@ Registered names (PostGIS-compatible lowercase):
   (geodb.sql:1204-1214) — and ``st_dwithin``
 - measures: ``st_area/st_length/st_perimeter/st_centroid``,
   ``st_distance`` (planar exact), ``st_distancesphere`` (haversine),
-  ``st_azimuth``
+  ``st_distancespheroid`` (WGS84 Vincenty), ``st_areasphere``
+  (spherical-excess geodesic area), ``st_azimuth``
 - transforms: ``st_transform`` (CRS), ``st_buffer`` (points),
   ``st_simplify`` (Douglas-Peucker), ``st_snaptogrid``, ``st_envelope``,
   ``st_expand``, ``st_clipbybox2d``, ``st_convexhull`` (monotone chain)
@@ -216,6 +217,21 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     spark.udf.register(
         "st_perimetersphere",
         lambda b: perimeter_sphere(parse_wkb(b)) if b is not None else None,
+        T.DoubleType(),
+    )
+
+    from xcube_geodb_spark.geometry.geom import area_sphere, distance_spheroid
+
+    spark.udf.register(
+        "st_areasphere",
+        lambda b: area_sphere(parse_wkb(b)) if b is not None else None,
+        T.DoubleType(),
+    )
+    spark.udf.register(
+        "st_distancespheroid",
+        lambda a, b: distance_spheroid(parse_wkb(a), parse_wkb(b))
+        if a is not None and b is not None
+        else None,
         T.DoubleType(),
     )
 
