@@ -47,6 +47,71 @@ HEADLINE = [
 ]
 
 
+# headline queries whose DuckDB oracle runs standalone on the parquet
+# tables (no warehouse temp state): the oracle side IS the absolute
+# baseline — BASELINE.md publishes no reference numbers (the reference is
+# an HTTP client over Postgres), so a strong single-node columnar engine
+# executing the semantically-identical SQL on the same files anchors
+# "bench_vs_baseline" as engine_total / duckdb_total over this set.
+ORACLE_BASELINE = [
+    "pg_groupby_q1",
+    "scan_filter_eq_gt",
+    "scan_filter_nested",
+    "join_revenue_by_nation",
+    "join_q5_asia",
+    "join_q3_shipping",
+    "window_top_order_per_customer",
+    "events_tumbling_hour",
+    "geo_bbox_intersects_squares",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_lines_rebuilt",
+    "sim_cosine_topk",
+    "text_profile",
+]
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _bench_duckdb_oracles(sf_dir: str, reps: int, timings: dict) -> dict:
+    """Time the DuckDB side of each ORACLE_BASELINE query on the same
+    parquet (best-of-reps, results fetched — they are driver-small on
+    both engines).  Returns {name: best_sec}."""
+    import duckdb
+
+    from xcube_geodb_spark.suite import ORACLES
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out: dict[str, float] = {}
+    for name in ORACLE_BASELINE:
+        sql = ORACLES.get(name)
+        if sql is None:
+            continue
+        try:
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        except Exception as e:
+            print(
+                f"bench: duckdb {name} FAILED: {type(e).__name__}: "
+                f"{str(e)[:160]}",
+                file=sys.stderr,
+            )
+    return out
+
+
 def _bench_warehouse(spark, sf_dir: str, timings: dict) -> float:
     """End-to-end table-format path: distributed ingest of the customer
     table with synthesized geometry into a warehouse collection (envelope
@@ -200,6 +265,43 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    try:
+        duck = _bench_duckdb_oracles(sf_dir, reps, timings)
+        common = [n for n in duck if n in timings]
+        if common:
+            eng = sum(timings[n] for n in common)
+            ora = sum(duck[n] for n in common)
+            result["baseline"] = {
+                "engine": "duckdb",
+                "note": (
+                    "absolute single-node anchor: DuckDB executing the "
+                    "semantically-identical oracle SQL on the same parquet. "
+                    "At sf0.1 most queries sit below Spark's ~0.2-0.4s "
+                    "per-query scheduling/codegen floor, which amortizes "
+                    "away at the 100TB design point; track this ratio "
+                    "round-over-round, not as a distributed-engine verdict."
+                ),
+                "common_queries": len(common),
+                "engine_sec": round(eng, 3),
+                "duckdb_sec": round(ora, 3),
+                "vs_duckdb": round(eng / ora, 3) if ora > 0 else None,
+                "per_query": {
+                    n: {
+                        "engine": timings[n],
+                        "duckdb": duck[n],
+                        "ratio": round(timings[n] / duck[n], 2)
+                        if duck[n] > 0
+                        else None,
+                    }
+                    for n in common
+                },
+            }
+    except Exception as e:
+        errors["duckdb_baseline"] = f"{type(e).__name__}: {str(e)[:200]}"
+        print(
+            f"bench: duckdb baseline FAILED: {errors['duckdb_baseline']}",
+            file=sys.stderr,
+        )
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
