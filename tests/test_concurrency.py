@@ -1,0 +1,173 @@
+"""Optimistic-concurrency commit guard (SURVEY §7 hard part: mutable
+tables under multiple writers): the commit point is an exclusive
+hard-link of the manifest into ``history/v{N}.json`` — exactly one winner
+per version, the loser raises, and a crash between the link and the
+``metadata.json`` pointer swap is rolled forward by the next committer."""
+
+import json
+import os
+import threading
+
+import pandas as pd
+import pytest
+
+from xcube_geodb_spark.client import GeoDBSparkClient
+from xcube_geodb_spark.errors import GeoDBError
+
+
+def _mk(spark, tmp_path, user="cc"):
+    c = GeoDBSparkClient(spark, warehouse=str(tmp_path / "wh"), user=user)
+    c.create_collection("t", {"v": "int"})
+    c.insert_into_collection(
+        "t", pd.DataFrame({"geometry": ["POINT (0 0)"], "v": [1]})
+    )
+    return c
+
+
+class TestCommitRace:
+    def test_two_concurrent_commits_one_wins(self, spark, tmp_path):
+        c = _mk(spark, tmp_path)
+        cat = c.catalog
+        base = cat.meta("t", "cc").version
+
+        # synchronize both writers onto the SAME base snapshot right
+        # before the commit link: each commit_version call reads meta 3x
+        # (roll-forward probe, entry check, pre-link re-read) — the
+        # barrier on the 3rd read guarantees neither has linked yet when
+        # both have chosen the same next version.
+        orig_meta = cat.meta
+        barrier = threading.Barrier(2, timeout=30)
+        local = threading.local()
+
+        def patched(collection, database):
+            m = orig_meta(collection, database)
+            n = getattr(local, "n", 0)
+            local.n = n + 1
+            if n == 2:
+                barrier.wait()
+            return m
+
+        cat.meta = patched
+        results: dict[str, object] = {}
+
+        def commit(tag):
+            try:
+                cat.commit_version(
+                    "t", "cc", None, extra_meta={"who": tag}
+                )
+                results[tag] = "ok"
+            except GeoDBError as e:
+                results[tag] = e
+            except Exception as e:  # pragma: no cover - diagnostics
+                results[tag] = e
+
+        t1 = threading.Thread(target=commit, args=("a",))
+        t2 = threading.Thread(target=commit, args=("b",))
+        t1.start(), t2.start()
+        t1.join(60), t2.join(60)
+        cat.meta = orig_meta
+
+        outcomes = sorted(
+            "win" if v == "ok" else "lose" for v in results.values()
+        )
+        assert outcomes == ["lose", "win"], f"results: {results}"
+        loser = next(v for v in results.values() if v != "ok")
+        assert isinstance(loser, GeoDBError)
+        assert "Concurrent modification" in str(loser)
+
+        # table consistent: exactly one new version; pointer cache matches
+        # the durable history snapshot; winner's metadata landed
+        m = cat.meta("t", "cc")
+        assert m.version == base + 1
+        hist = os.path.join(
+            cat._coll_dir("t", "cc"), "history", f"v{base + 1}.json"
+        )
+        with open(hist) as f:
+            assert json.load(f) == m.d
+        winner = next(k for k, v in results.items() if v == "ok")
+        assert m.d["who"] == winner
+        assert not os.path.exists(
+            os.path.join(
+                cat._coll_dir("t", "cc"), "history", f"v{base + 2}.json"
+            )
+        )
+        # data still readable (client returns a pandas frame)
+        assert len(c.get_collection("t")) == 1
+
+    def test_loser_cleans_up_orphan_data_files(self, spark, tmp_path):
+        c = _mk(spark, tmp_path)
+        cat = c.catalog
+        base_meta = cat.meta("t", "cc")
+        cdir = cat._coll_dir("t", "cc")
+
+        # simulate a racer that links the next version AFTER this commit
+        # has already written its data files: inject the racer's history
+        # link at the pre-link re-read (the 2nd meta() call made directly
+        # from commit_version — entry check is the 1st)
+        import inspect
+
+        orig_meta = cat.meta
+        state = {"cv": 0}
+
+        def patched(collection, database):
+            m = orig_meta(collection, database)
+            caller = inspect.stack()[1].function
+            if caller == "commit_version":
+                state["cv"] += 1
+                if state["cv"] == 2:
+                    d = dict(m.d)
+                    d["version"] = m.version + 1
+                    d["who"] = "racer"
+                    hist = os.path.join(
+                        cdir, "history", f"v{m.version + 1}.json"
+                    )
+                    os.makedirs(os.path.dirname(hist), exist_ok=True)
+                    with open(hist, "w") as f:
+                        json.dump(d, f)
+            return m
+
+        cat.meta = patched
+        before_files = set(base_meta.files)
+        with pytest.raises(GeoDBError, match="Concurrent modification"):
+            c.insert_into_collection(
+                "t", pd.DataFrame({"geometry": ["POINT (1 1)"], "v": [99]})
+            )
+        cat.meta = orig_meta
+        assert state["cv"] >= 2  # the injection actually fired
+
+        # the loser's freshly-written parquet files must not linger
+        m = orig_meta("t", "cc")
+        on_disk = set()
+        data_dir = os.path.join(cdir, "data")
+        for root, _, files in os.walk(data_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, fn), cdir)
+                    on_disk.add(rel)
+        assert on_disk == before_files
+
+
+class TestCrashRollForward:
+    def test_orphaned_history_rolls_forward(self, spark, tmp_path):
+        c = _mk(spark, tmp_path)
+        cat = c.catalog
+        m = cat.meta("t", "cc")
+        base = m.version
+        # simulate a crashed commit: durable history link, no pointer swap
+        d = dict(m.d)
+        d["version"] = base + 1
+        d["who"] = "crashed"
+        hist = os.path.join(
+            cat._coll_dir("t", "cc"), "history", f"v{base + 1}.json"
+        )
+        with open(hist, "w") as f:
+            json.dump(d, f)
+        assert cat.meta("t", "cc").version == base  # pointer still stale
+
+        # next commit first completes the crashed one, then applies its own
+        cat.commit_version("t", "cc", None, extra_meta={"who": "next"})
+        m2 = cat.meta("t", "cc")
+        assert m2.version == base + 2
+        assert m2.d["who"] == "next"
+        # the crashed snapshot is preserved in the history chain
+        assert cat.meta_at_version("t", "cc", base + 1).d["who"] == "crashed"

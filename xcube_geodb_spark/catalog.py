@@ -648,8 +648,20 @@ class GeoDBCatalog:
         merge_meta: dict | None = None,
     ) -> None:
         """Write ``new_df`` (if any) as new data files; the next snapshot is
-        ``keep_files + written files``. Atomic metadata swap; optimistic
-        version check for single-writer safety.
+        ``keep_files + written files``.
+
+        Multi-writer safety (optimistic concurrency, Delta-style): the
+        commit POINT is an exclusive hard-link of the serialized manifest
+        into ``history/v{N}.json`` — the filesystem arbitrates exactly one
+        winner per version; the loser gets ``FileExistsError``, removes
+        its orphaned data files, and raises a concurrent-modification
+        error. ``metadata.json`` is the atomically-swapped pointer cache,
+        updated after the link; a crash in between leaves an orphaned
+        history file that the next committer ROLLS FORWARD (pointer swap
+        to the already-durable snapshot) before proceeding, so no commit
+        is ever half-applied. ``expected_version`` additionally pins the
+        base snapshot the caller computed against (read-modify-write DML
+        uses it so a racing append can't be silently dropped).
 
         ``extra_meta`` keys REPLACE top-level metadata keys in the same
         atomic swap (restore uses it to roll schema back). ``merge_meta``
@@ -658,6 +670,7 @@ class GeoDBCatalog:
         watermark this way, so two streams feeding one collection can
         never clobber each other's epochs with a stale driver-side read,
         and data + epoch cannot diverge across a crash."""
+        self._roll_forward_crashed_commit(collection, database)
         m = self.meta(collection, database)
         if expected_version is not None and m.version != expected_version:
             raise GeoDBError(
@@ -735,16 +748,57 @@ class GeoDBCatalog:
                 merged = dict(m.d.get(k) or {})
                 merged.update(v)
                 m.d[k] = merged
-        _atomic_write_json(m.path, m.d)
-        # snapshot the manifest for time travel (load_df(version=...),
-        # restore_collection). Files dropped from the current manifest stay
-        # on disk — they're still referenced by older snapshots — until
-        # vacuum_collection expires snapshots past its retention window.
+        # COMMIT POINT: exclusive hard-link of the serialized manifest into
+        # the history slot — the filesystem admits exactly one v{N} writer.
+        # The history snapshot also serves time travel (load_df(version=...),
+        # restore_collection); files dropped from the current manifest stay
+        # on disk — still referenced by older snapshots — until
+        # vacuum_collection expires them.
         hdir = os.path.join(cdir, "history")
         os.makedirs(hdir, exist_ok=True)
-        _atomic_write_json(
-            os.path.join(hdir, f"v{m.d['version']}.json"), m.d
+        hist_path = os.path.join(hdir, f"v{m.d['version']}.json")
+        tmp = f"{hist_path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(m.d, f, indent=1, default=str)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, hist_path)
+        except FileExistsError:
+            for f in new_files:
+                try:
+                    os.remove(os.path.join(cdir, f))
+                except OSError:
+                    pass
+            raise GeoDBError(
+                f"Concurrent modification of {database}_{collection}: "
+                f"another writer committed v{m.d['version']} first; "
+                "re-read and retry"
+            )
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+        # pointer cache swap — a crash before this is repaired by the next
+        # committer's roll-forward
+        _atomic_write_json(m.path, m.d)
+
+    def _roll_forward_crashed_commit(self, collection: str, database: str) -> None:
+        """Complete a commit that durably linked ``history/v{N}.json`` but
+        crashed before swapping the ``metadata.json`` pointer: swap the
+        pointer to the already-committed snapshot (idempotent — a live
+        winner doing its own swap writes identical content)."""
+        m = self.meta(collection, database)
+        nxt = os.path.join(
+            self._coll_dir(collection, database),
+            "history",
+            f"v{m.version + 1}.json",
         )
+        if os.path.exists(nxt):
+            with open(nxt) as f:
+                d = json.load(f)
+            _atomic_write_json(m.path, d)
 
     def _apply_clustering(self, df: DataFrame, m: CollectionMeta) -> DataFrame:
         """Honor declared indexes as physical layout: a btree index on a
