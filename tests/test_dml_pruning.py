@@ -154,8 +154,8 @@ class TestManifestFileStats:
 
     def test_commit_records_stats_for_every_file(self, client, chunked):
         m = client.catalog.meta(chunked, "pruner")
-        assert set(m.d["file_stats"]) == set(m.files)
-        for st in m.d["file_stats"].values():
+        assert set(m.file_stats()) == set(m.files)
+        for st in m.file_stats().values():
             assert "id" in st and "v" in st
             lo, hi = st["v"]
             assert (lo, hi) in {(0, 9), (100, 109)}
@@ -163,7 +163,7 @@ class TestManifestFileStats:
     def test_rewrite_drops_stale_stats(self, client, chunked):
         client.delete_from_collection(chunked, "v=eq.105")
         m = client.catalog.meta(chunked, "pruner")
-        assert set(m.d["file_stats"]) == set(m.files)
+        assert set(m.file_stats()) == set(m.files)
 
     def test_pruning_uses_manifest_not_footers(self, client, chunked, monkeypatch):
         # with manifest stats present, footer reads must not happen
@@ -178,13 +178,23 @@ class TestManifestFileStats:
         df = get_collection(client.catalog, chunked, "v=eq.5", database="pruner")
         assert len(df.inputFiles()) == 1
 
-    def test_stats_survive_json_roundtrip(self, client, chunked):
+    def test_stats_live_in_sidecar_shards_not_manifest(self, client, chunked):
         import json
+        import os
 
         m = client.catalog.meta(chunked, "pruner")
         with open(m.path) as f:
             d = json.load(f)
-        assert d["file_stats"] == m.d["file_stats"]
+        # the manifest pointer stays small: stats are sharded sidecars
+        assert "file_stats" not in d
+        assert d["stats_files"], "commit must record stats shards"
+        cdir = os.path.dirname(m.path)
+        merged = {}
+        for s in d["stats_files"]:
+            with open(os.path.join(cdir, s)) as f:
+                merged.update(json.load(f))
+        assert set(m.files) <= set(merged)
+        assert m.file_stats() == {f: merged[f] for f in m.files}
 
 
 class TestDedupCollection:
@@ -375,7 +385,7 @@ class TestBloomIndex:
 
     def test_blooms_recorded_in_manifest(self, bloom_client):
         m = bloom_client.catalog.meta("b", "pruner")
-        assert all("::bloom:name" in st for st in m.d["file_stats"].values())
+        assert all("::bloom:name" in st for st in m.file_stats().values())
 
     def test_eq_lookup_scans_one_file(self, bloom_client):
         from xcube_geodb_spark.operators.scan import get_collection
@@ -441,7 +451,7 @@ class TestBloomIndex:
         bloom_client.optimize_collection("b")
         m = bloom_client.catalog.meta("b", "pruner")
         assert all(
-            "::bloom:name" in st for st in m.d["file_stats"].values()
+            "::bloom:name" in st for st in m.file_stats().values()
         )
         df = get_collection(
             bloom_client.catalog, "b", "name=eq.nothere", database="pruner"
@@ -620,3 +630,171 @@ class TestGroupedQuantiles:
         assert [(r["q"], r["est"]) for r in grouped] == [
             (r["q"], r["est"]) for r in flat
         ]
+
+
+class TestManifestScalability:
+    """10^5-file collections: the stats sidecar must keep the manifest
+    pointer small, commits O(new files), and probes cache-hot — the
+    metadata path that becomes the probe bottleneck at 100 TB."""
+
+    N = 100_000
+
+    @pytest.fixture()
+    def big(self, client):
+        """Synthesize a 100k-file manifest + one stats shard without
+        writing 100k parquet files (the metadata path is what's under
+        test)."""
+        import json
+        import os
+
+        from xcube_geodb_spark.catalog import _atomic_write_json
+
+        client.create_collection("big", {"id": "int", "v": "int"})
+        cat = client.catalog
+        m = cat.meta("big", "pruner")
+        cdir = cat._coll_dir("big", "pruner")
+        files = [f"data/x/{i:06d}.parquet" for i in range(self.N)]
+        shard_rel = os.path.join("stats", "seed.json")
+        os.makedirs(os.path.join(cdir, "stats"), exist_ok=True)
+        stats = {
+            f: {"id": [i * 10, i * 10 + 9], "::rows": [10, 10]}
+            for i, f in enumerate(files)
+        }
+        with open(os.path.join(cdir, shard_rel), "w") as fh:
+            json.dump(stats, fh)
+        m.d["files"] = files
+        m.d["stats_files"] = [shard_rel]
+        _atomic_write_json(m.path, m.d)
+        return cat
+
+    def test_probe_parses_each_shard_once(self, big, monkeypatch):
+        import json as json_mod
+
+        import xcube_geodb_spark.catalog as cat_mod
+
+        loads = {"n": 0}
+        orig = cat_mod.json.load
+
+        def counting(fh, *a, **k):
+            if "stats" in getattr(fh, "name", ""):
+                loads["n"] += 1
+            return orig(fh, *a, **k)
+
+        monkeypatch.setattr(cat_mod.json, "load", counting)
+        # first probe: parses the one shard
+        fs1 = big.meta("big", "pruner").file_stats()
+        assert len(fs1) == self.N
+        first = loads["n"]
+        assert first == 1
+        # steady state: fresh meta() reads, ZERO shard re-parses
+        for _ in range(5):
+            fs = big.meta("big", "pruner").file_stats()
+            assert len(fs) == self.N
+        assert loads["n"] == first
+
+    def test_pruning_selects_one_file_from_manifest(self, big):
+        from xcube_geodb_spark.operators.pruning import (
+            conjunctive_constraints,
+            file_may_match,
+        )
+
+        m = big.meta("big", "pruner")
+        fs = m.file_stats()
+        cons = conjunctive_constraints("id=eq.500005")
+        hit = [f for f in m.files if file_may_match(fs.get(f, {}), cons)]
+        assert hit == ["data/x/050000.parquet"]
+
+    def test_delta_commit_parses_only_new_shard(self, big, monkeypatch):
+        import json as json_mod
+        import os
+
+        import xcube_geodb_spark.catalog as cat_mod
+        from xcube_geodb_spark.catalog import _atomic_write_json
+
+        # warm the cache
+        big.meta("big", "pruner").file_stats()
+        # simulate a delta commit: one new file + one small delta shard
+        m = big.meta("big", "pruner")
+        cdir = big._coll_dir("big", "pruner")
+        delta_rel = os.path.join("stats", "delta1.json")
+        with open(os.path.join(cdir, delta_rel), "w") as fh:
+            json_mod.dump(
+                {"data/x/new.parquet": {"id": [1, 2], "::rows": [5, 5]}}, fh
+            )
+        m.d["files"] = m.d["files"] + ["data/x/new.parquet"]
+        m.d["stats_files"] = m.d["stats_files"] + [delta_rel]
+        _atomic_write_json(m.path, m.d)
+
+        loads = {"n": 0}
+        orig = cat_mod.json.load
+
+        def counting(fh, *a, **k):
+            if "stats" in getattr(fh, "name", ""):
+                loads["n"] += 1
+            return orig(fh, *a, **k)
+
+        monkeypatch.setattr(cat_mod.json, "load", counting)
+        fs = big.meta("big", "pruner").file_stats()
+        assert len(fs) == self.N + 1
+        assert loads["n"] == 1  # only the delta shard parsed; seed cached
+
+    def test_shard_chain_merges_past_threshold(self, client):
+        import json
+        import os
+
+        from xcube_geodb_spark.catalog import _atomic_write_json
+
+        client.create_collection("m", {"id": "int"})
+        cat = client.catalog
+        m = cat.meta("m", "pruner")
+        cdir = cat._coll_dir("m", "pruner")
+        os.makedirs(os.path.join(cdir, "stats"), exist_ok=True)
+        files, shards = [], []
+        for i in range(70):
+            f = f"data/c/{i}.parquet"
+            rel = os.path.join("stats", f"s{i}.json")
+            with open(os.path.join(cdir, rel), "w") as fh:
+                json.dump({f: {"id": [i, i], "::rows": [1, 1]}}, fh)
+            files.append(f)
+            shards.append(rel)
+        m.d["files"] = files
+        m.d["stats_files"] = shards
+        _atomic_write_json(m.path, m.d)
+
+        # a metadata-only commit compacts the 70-shard chain to one
+        cat.commit_version("m", "pruner", None)
+        m2 = cat.meta("m", "pruner")
+        assert len(m2.d["stats_files"]) == 1
+        fs = m2.file_stats()
+        assert len(fs) == 70 and fs["data/c/7.parquet"]["id"] == [7, 7]
+
+    def test_vacuum_expires_superseded_shards(self, client):
+        import json
+        import os
+        import time as time_mod
+
+        from xcube_geodb_spark.catalog import _atomic_write_json
+        from xcube_geodb_spark.operators.maintenance import vacuum_collection
+
+        client.create_collection("vx", {"id": "int"})
+        cat = client.catalog
+        m = cat.meta("vx", "pruner")
+        cdir = cat._coll_dir("vx", "pruner")
+        os.makedirs(os.path.join(cdir, "stats"), exist_ok=True)
+        dead_rel = os.path.join("stats", "dead.json")
+        live_rel = os.path.join("stats", "live.json")
+        for rel in (dead_rel, live_rel):
+            with open(os.path.join(cdir, rel), "w") as fh:
+                json.dump({}, fh)
+        old = time_mod.time() - 7200
+        os.utime(os.path.join(cdir, dead_rel), (old, old))
+        os.utime(os.path.join(cdir, live_rel), (old, old))
+        m.d["stats_files"] = [live_rel]
+        _atomic_write_json(m.path, m.d)
+
+        out = vacuum_collection(
+            cat, "vx", "pruner", older_than_seconds=3600
+        )
+        assert dead_rel in out["removed"]
+        assert os.path.exists(os.path.join(cdir, live_rel))
+        assert not os.path.exists(os.path.join(cdir, dead_rel))

@@ -208,6 +208,73 @@ def main() -> None:
         print(f"{name}: x1={t1:.2f}s x{repl}={tn:.2f}s ratio={tn / t1:.2f}",
               file=sys.stderr)
 
+    # metadata path: probe latency over synthetic 10k / 100k-file
+    # manifests (stats sidecar shards + catalog shard cache). cold = first
+    # probe (parses shards once); warm = steady state (fresh meta() read,
+    # cached shards, full prune scan). The old inline-JSON design paid the
+    # cold cost on EVERY probe.
+    def _manifest_probe(n_files: int) -> dict:
+        import shutil
+        import tempfile
+
+        from xcube_geodb_spark.catalog import GeoDBCatalog, _atomic_write_json
+        from xcube_geodb_spark.operators.pruning import (
+            conjunctive_constraints,
+            file_may_match,
+        )
+
+        wh = tempfile.mkdtemp(prefix="geodb_scale_meta_")
+        try:
+            cat = GeoDBCatalog(spark, wh, user="scale")
+            cat.create_database("scale")
+            cat.create_collection("m", {"id": "int"}, database="scale")
+            m = cat.meta("m", "scale")
+            cdir = cat._coll_dir("m", "scale")
+            os.makedirs(os.path.join(cdir, "stats"), exist_ok=True)
+            files = [f"data/x/{i:06d}.parquet" for i in range(n_files)]
+            stats = {
+                f: {"id": [i * 10, i * 10 + 9], "::rows": [10, 10]}
+                for i, f in enumerate(files)
+            }
+            shard = os.path.join("stats", "seed.json")
+            _atomic_write_json(os.path.join(cdir, shard), stats)
+            m.d["files"] = files
+            m.d["stats_files"] = [shard]
+            _atomic_write_json(m.path, m.d)
+
+            cons = conjunctive_constraints(f"id=eq.{n_files * 5}")
+
+            def probe():
+                mm = cat.meta("m", "scale")
+                fs = mm.file_stats()
+                return [
+                    f for f in mm.files if file_may_match(fs.get(f, {}), cons)
+                ]
+
+            t0 = time.perf_counter()
+            hit = probe()
+            cold = time.perf_counter() - t0
+            assert len(hit) == 1
+            warm = min(
+                (lambda: (lambda t: (probe(), time.perf_counter() - t)[1])(
+                    time.perf_counter()
+                ))()
+                for _ in range(5)
+            )
+            return {"cold_s": round(cold, 4), "warm_s": round(warm, 4)}
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+    meta_bench = {
+        "files_10k": _manifest_probe(10_000),
+        "files_100k": _manifest_probe(100_000),
+    }
+    w10 = meta_bench["files_10k"]["warm_s"]
+    w100 = meta_bench["files_100k"]["warm_s"]
+    meta_bench["warm_ratio_10x_files"] = round(w100 / w10, 2) if w10 > 0 else None
+    out["manifest_probe"] = meta_bench
+    print(f"manifest_probe: {meta_bench}", file=sys.stderr)
+
     print(json.dumps({"replication": repl, "sf_dir": sf_dir, "queries": out}))
     spark.stop()
 

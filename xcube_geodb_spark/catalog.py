@@ -124,11 +124,39 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 
 
 class CollectionMeta:
-    """In-memory view of a collection's metadata.json."""
+    """In-memory view of a collection's metadata.json.
 
-    def __init__(self, d: dict, path: str):
+    Per-file column stats do NOT live inline: at 10^5 files a single
+    JSON manifest becomes a multi-MB parse on every probe.  They live in
+    immutable sidecar SHARDS under ``stats/`` (one delta shard per
+    commit, merged when the shard list grows), listed in
+    ``stats_files``; :meth:`file_stats` lazily loads them through the
+    catalog's shard cache (immutable files -> cache never invalidates),
+    so steady-state probe latency is a dict lookup regardless of file
+    count or commit history."""
+
+    def __init__(self, d: dict, path: str, stats_loader=None):
         self._d = d
         self.path = path
+        self._stats_loader = stats_loader
+        self._stats_cache: dict | None = None
+
+    def file_stats(self) -> dict:
+        """Per-file column stats for the CURRENT snapshot's files:
+        ``rel_path -> {col: [min, max], "::rows": [n, n], ...}`` — merged
+        from the sidecar shards plus any legacy inline block, filtered to
+        the manifest's live files (shards are append-only and may carry
+        entries for files dropped by later commits)."""
+        if self._stats_cache is None:
+            merged: dict = {}
+            if self._stats_loader is not None:
+                merged.update(
+                    self._stats_loader(self._d.get("stats_files") or [])
+                )
+            merged.update(self._d.get("file_stats") or {})
+            files = set(self._d.get("files") or [])
+            self._stats_cache = {f: s for f, s in merged.items() if f in files}
+        return self._stats_cache
 
     # -- raw access ---------------------------------------------------------
     @property
@@ -193,6 +221,9 @@ class GeoDBCatalog:
         os.makedirs(self.warehouse, exist_ok=True)
         self._db_registry_path = os.path.join(self.warehouse, "_databases.json")
         self._groups_path = os.path.join(self.warehouse, "_groups.json")
+        # stats sidecar shards are immutable (uuid-named): parsed once,
+        # cached for the catalog's lifetime
+        self._stats_shard_cache: dict[str, dict] = {}
 
     # ------------------------------------------------------------------
     # databases (namespace registry — geodb.sql:150-214)
@@ -254,7 +285,33 @@ class GeoDBCatalog:
         if not os.path.exists(p):
             raise GeoDBError(f"Collection {database}_{collection} does not exist")
         with open(p) as f:
-            return CollectionMeta(json.load(f), p)
+            return CollectionMeta(
+                json.load(f), p, self._stats_loader(collection, database)
+            )
+
+    def _stats_loader(self, collection: str, database: str):
+        """Loader for stats sidecar shards with a catalog-level cache:
+        shard files are content-immutable (uuid names), so a cached parse
+        stays valid forever — repeated probes of a 10^5-file collection
+        pay the JSON parse once per shard, not once per query."""
+        cdir = self._coll_dir(collection, database)
+
+        def load(shard_names: list[str]) -> dict:
+            out: dict = {}
+            for s in shard_names:
+                path = os.path.join(cdir, s)
+                cached = self._stats_shard_cache.get(path)
+                if cached is None:
+                    try:
+                        with open(path) as f:
+                            cached = json.load(f)
+                    except (OSError, ValueError):
+                        cached = {}
+                    self._stats_shard_cache[path] = cached
+                out.update(cached)
+            return out
+
+        return load
 
     def list_collections(self, database: str) -> list[str]:
         base = os.path.join(self.warehouse, database)
@@ -492,7 +549,9 @@ class GeoDBCatalog:
                 f"or was expired by vacuum (current: v{m.version})"
             )
         with open(p) as f:
-            return CollectionMeta(json.load(f), p)
+            return CollectionMeta(
+                json.load(f), p, self._stats_loader(collection, database)
+            )
 
     def list_versions(self, collection: str, database: str) -> list[dict]:
         """Retained snapshots, oldest first: version + commit timestamp."""
@@ -710,11 +769,14 @@ class GeoDBCatalog:
             )
         keep = list(keep_files) if keep_files is not None else m.files
         m.d["files"] = keep + new_files
-        # Delta-style data skipping: per-file column min/max embedded in the
-        # manifest, computed ONCE at commit (one footer read per new file),
-        # so selective scans/DML prune files without touching any footer at
-        # query time. Kept files carry their stats forward; dropped files'
-        # stats fall out of the dict.
+        # Delta-style data skipping: per-file column min/max computed ONCE
+        # at commit (one footer read per new file), so selective scans/DML
+        # prune files without touching any footer at query time. Stats are
+        # NOT inlined in the manifest: each commit writes one immutable
+        # DELTA shard under stats/ covering only its new files — commit
+        # cost is O(new files) however many the collection holds, and the
+        # manifest pointer stays small at 10^5 files. The shard list merges
+        # down when it grows so reads stay O(shards) bounded.
         from xcube_geodb_spark.operators.stats import (
             file_bloom_filters,
             file_column_stats,
@@ -725,7 +787,7 @@ class GeoDBCatalog:
             for i in m.d.get("indexes", [])
             if i.get("type") == "bloom"
         ]
-        fstats = dict(m.d.get("file_stats") or {})
+        delta_stats: dict[str, dict] = {}
         for f in new_files:
             try:
                 st = file_column_stats(os.path.join(cdir, f))
@@ -733,10 +795,34 @@ class GeoDBCatalog:
                     st.update(
                         file_bloom_filters(os.path.join(cdir, f), bloom_cols)
                     )
-                fstats[f] = st
+                delta_stats[f] = st
             except Exception:
                 pass  # unreadable stats never block a commit
-        m.d["file_stats"] = {f: fstats[f] for f in m.d["files"] if f in fstats}
+        # legacy inline stats (pre-shard collections) migrate into the
+        # delta shard once, shrinking the manifest permanently
+        inline = m.d.pop("file_stats", None)
+        if inline:
+            delta_stats = {**inline, **delta_stats}
+        shards = list(m.d.get("stats_files") or [])
+        sdir = os.path.join(cdir, "stats")
+        if delta_stats:
+            os.makedirs(sdir, exist_ok=True)
+            sname = os.path.join("stats", f"{uuid.uuid4().hex}.json")
+            _atomic_write_json(os.path.join(cdir, sname), delta_stats)
+            shards.append(sname)
+        if len(shards) > 64:
+            # amortized compaction of the shard chain: one merged shard
+            # filtered to live files; superseded shards stay on disk for
+            # older snapshots until vacuum expires them
+            loader = self._stats_loader(collection, database)
+            full = loader(shards)
+            live = set(m.d["files"])
+            merged = {f: s for f, s in full.items() if f in live}
+            os.makedirs(sdir, exist_ok=True)
+            sname = os.path.join("stats", f"{uuid.uuid4().hex}.json")
+            _atomic_write_json(os.path.join(cdir, sname), merged)
+            shards = [sname]
+        m.d["stats_files"] = shards
         m.d["version"] = m.version + 1
         m.d["modified_at"] = _now_iso()
         if max_id is not None:

@@ -609,7 +609,7 @@ class GeoDBSparkClient:
         db = self._db(database)
         m = self.catalog.meta(collection, db)
         bounds = None
-        fstats = m.d.get("file_stats") or {}
+        fstats = m.file_stats()
         if fstats and all(
             f in fstats and column in fstats[f] for f in m.files
         ):

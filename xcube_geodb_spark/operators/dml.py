@@ -246,7 +246,7 @@ def insert_into_collection(
                 catalog.manifest_paths(collection, database),
                 ["id"],
                 [("id", "gte", int(bounds["lo"])), ("id", "lte", int(bounds["hi"]))],
-                stats_map=m.d.get("file_stats"),
+                stats_map=m.file_stats(),
             )
         else:
             touched, untouched = list(m.files), []
@@ -339,7 +339,7 @@ def _touched_untouched(
     paths = catalog.manifest_paths(collection, database, meta=m)
     cols = sorted({c for c, _op, _v in constraints})
     return split_files_by_constraints(
-        paths, cols, constraints, stats_map=m.d.get("file_stats")
+        paths, cols, constraints, stats_map=m.file_stats()
     )
 
 
@@ -395,7 +395,7 @@ def delete_ids(
         catalog.manifest_paths(collection, database, meta=m),
         ["id"],
         [("id", "gte", int(bounds["lo"])), ("id", "lte", int(bounds["hi"]))],
-        stats_map=m.d.get("file_stats"),
+        stats_map=m.file_stats(),
     )
     if not touched:
         return

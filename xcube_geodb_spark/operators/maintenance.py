@@ -117,6 +117,7 @@ def vacuum_collection(
     m = catalog.meta(collection, database)
     cdir = catalog._coll_dir(collection, database)
     live = set(m.files)
+    live_shards = set(m.d.get("stats_files") or [])
     now = time.time()
     expired_versions: list[int] = []
     hdir = os.path.join(cdir, "history")
@@ -133,7 +134,9 @@ def vacuum_collection(
             if ver == m.version or fresh:
                 # retained snapshot: every file it references stays live
                 with open(p) as fh:
-                    live.update(json.load(fh).get("files", []))
+                    snap = json.load(fh)
+                live.update(snap.get("files", []))
+                live_shards.update(snap.get("stats_files") or [])
             else:
                 expired_versions.append(ver)
                 if not dry_run:
@@ -175,6 +178,27 @@ def vacuum_collection(
                     os.rmdir(root)
                 except OSError:
                     pass
+    # stats sidecar shards referenced by no retained snapshot expire with
+    # the snapshots that pointed at them
+    sdir = os.path.join(cdir, "stats")
+    if os.path.isdir(sdir):
+        for fn in os.listdir(sdir):
+            rel = os.path.join("stats", fn)
+            if rel in live_shards or not fn.endswith(".json"):
+                continue
+            p = os.path.join(sdir, fn)
+            try:
+                if now - os.path.getmtime(p) < older_than_seconds:
+                    retained += 1
+                    continue
+            except OSError:
+                continue
+            if not dry_run:
+                try:
+                    os.remove(p)
+                except OSError:
+                    continue
+            removed.append(rel)
     return {
         "removed": sorted(removed),
         "expired_versions": expired_versions,

@@ -47,7 +47,7 @@ def get_collection(
             catalog.manifest_paths(collection, database, meta=m),
             cols,
             constraints,
-            stats_map=m.d.get("file_stats"),
+            stats_map=m.file_stats(),
         )
         df = catalog.load_files(collection, database, touched, meta=m)
         df = df.drop(*[c for c in df.columns if c in SYSTEM_COLUMNS])
@@ -73,7 +73,7 @@ def explain_scan(
 
     m = catalog.meta(collection, database)
     constraints = conjunctive_constraints(query)
-    stats_map = m.d.get("file_stats") or {}
+    stats_map = m.file_stats()
     if constraints and m.files:
         touched, skipped = split_files_by_constraints(
             catalog.manifest_paths(collection, database, meta=m),
@@ -121,7 +121,7 @@ def head_collection(
     from xcube_geodb_spark.catalog import SYSTEM_COLUMNS
 
     m = catalog.meta(collection, database)
-    fstats = m.d.get("file_stats") or {}
+    fstats = m.file_stats()
     n = int(num_lines)
     if m.files and all(
         f in fstats and "id" in fstats[f] and "::rows" in fstats[f]
@@ -312,7 +312,7 @@ def count_collection(
     import os
 
     m = catalog.meta(collection, database)
-    fstats = m.d.get("file_stats") or {}
+    fstats = m.file_stats()
     if all(f in fstats and "::rows" in fstats[f] for f in m.files):
         # commit-time row counts in the manifest: zero-IO exact count
         return sum(fstats[f]["::rows"][0] for f in m.files)

@@ -166,7 +166,7 @@ def get_collection_bbox(
     from xcube_geodb_spark.operators.stats import footer_min_max
 
     env = ("__xmin", "__ymin", "__xmax", "__ymax")
-    fstats = m.d.get("file_stats") or {}
+    fstats = m.file_stats()
     if all(f in fstats and all(c in fstats[f] for c in env) for f in m.files):
         # manifest stats cover every file: zero-IO extent
         return (

@@ -162,7 +162,7 @@ def profile_collection(
         if f.name != "geometry"
     ]
     if not exact:
-        fstats = m.d.get("file_stats") or {}
+        fstats = m.file_stats()
         have_all = all(f in fstats and "::rows" in fstats[f] for f in m.files)
         if not have_all:
             raise ValueError(
