@@ -125,3 +125,80 @@ class TestIvfLayout:
         got = sorted((r["id"], r["cos_sim"]) for r in via_index.collect())
         want = sorted((r["id"], r["cos_sim"]) for r in full.collect())
         assert got == want and len(got) > 0
+
+
+class TestIvfPqLayout:
+    """The composed index (VERDICT r4 #9): coarse-centroid file clustering
+    + persisted PQ codes. The probe must (a) read a strict subset of data
+    files and (b) scan ONLY the code columns — the embedding column stays
+    in parquet."""
+
+    @pytest.fixture(scope="class")
+    def ivfpq_cat(self, spark, tmp_path_factory):
+        wh = str(tmp_path_factory.mktemp("annwh_ivfpq"))
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        cents = S.seed_centroids(emb, n_centroids=8)
+        books = S.pq_codebooks(emb, n_subspaces=8, n_centroids=8)
+        cat = _make_collection(
+            spark, wh, "emb_ivfpq", "ivfpq",
+            {"centroids": cents, "codebooks": books},
+        )
+        return cat, cents, books
+
+    def test_probe_reads_strict_file_subset(self, ivfpq_cat, spark):
+        cat, _, _ = ivfpq_cat
+        q = _query_vec(spark)
+        touched, pruned = ann_probe_files(
+            cat, "emb_ivfpq", q, database="anndb", n_probe=2
+        )
+        total = len(cat.meta("emb_ivfpq", "anndb").files)
+        assert len(touched) + len(pruned) == total
+        assert 0 < len(touched) < total
+
+    def test_probe_scans_only_code_columns(self, ivfpq_cat, spark):
+        from xcube_geodb_spark.operators.ann import ann_ivfpq_topk
+
+        cat, _, _ = ivfpq_cat
+        q = _query_vec(spark)
+        out = ann_ivfpq_topk(
+            cat, "emb_ivfpq", q, k=10, database="anndb", n_probe=2
+        )
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        read_schema = next(
+            ln for ln in plan.splitlines() if ln.startswith("ReadSchema:")
+        )
+        assert "embedding" not in read_schema
+        assert "__pqcode" in read_schema and "__annbucket" in read_schema
+        # the coarse-list membership filter reaches the parquet scan
+        assert "PushedFilters: [In(__annbucket" in plan
+
+    def test_probe_matches_unpruned_adc(self, ivfpq_cat, spark):
+        """File pruning + code-only scan must not change the ADC result:
+        the probe equals PQ top-k over a full-table re-encode restricted
+        to the same probed lists."""
+        from xcube_geodb_spark.functions.similarity import (
+            pq_encode,
+            pq_topk,
+            probe_ids,
+            with_centroid_assignment,
+        )
+        from xcube_geodb_spark.operators.ann import ann_ivfpq_topk
+
+        cat, cents, books = ivfpq_cat
+        q = _query_vec(spark)
+        via_index = ann_ivfpq_topk(
+            cat, "emb_ivfpq", q, k=10, database="anndb", n_probe=2
+        )
+        full = cat.load_df("emb_ivfpq", "anndb")
+        probes = probe_ids(q, cents, 2)
+        cand = with_centroid_assignment(full, cents).filter(
+            F.col("centroid_id").isin(probes)
+        )
+        want_df = pq_topk(pq_encode(cand, books), q, books, k=10, id_col="id")
+        got = sorted((r["id"], r["dist_adc"]) for r in via_index.collect())
+        want = sorted((r["id"], r["dist_adc"]) for r in want_df.collect())
+        assert got == want and len(got) == 10

@@ -349,11 +349,18 @@ class IndexManager:
 
         lsh options: ``dim`` (required), ``n_bits`` (8), ``seed`` (42).
         ivf options: ``centroids`` (list of vectors) or ``n_centroids``
-        (derived from the deterministic lowest-id sample)."""
+        (derived from the deterministic lowest-id sample).
+        ivfpq options: the ivf options plus ``codebooks``
+        ([subspace][centroid][dim] floats) or ``n_subspaces`` (8) /
+        ``pq_centroids`` (8) to derive deterministic codebooks from the
+        lowest-id sample — the composed 100 TB vector layout: the coarse
+        quantizer range-clusters files (probe prunes at rest), and every
+        row additionally persists an m-byte ``__pqcode`` so the probe
+        scan reads codes, never the raw embedding column."""
         m = self.catalog.meta(collection, database)
         if kind is None:
             kind = "gist" if prop == "geometry" else "btree"
-        if kind not in ("gist", "btree", "lsh", "ivf", "bloom"):
+        if kind not in ("gist", "btree", "lsh", "ivf", "ivfpq", "bloom"):
             raise GeoDBError(f"Unknown index type {kind!r}")
         entry = {"property": prop, "type": kind,
                  "name": self.index_name(prop, collection)}
@@ -366,7 +373,7 @@ class IndexManager:
                 n_bits=int(opts.get("n_bits", 8)),
                 seed=int(opts.get("seed", 42)),
             )
-        elif kind == "ivf":
+        elif kind in ("ivf", "ivfpq"):
             cents = opts.get("centroids")
             if cents is None:
                 from xcube_geodb_spark.functions.similarity import seed_centroids
@@ -377,9 +384,33 @@ class IndexManager:
                 )
                 if not cents:
                     raise GeoDBError(
-                        "ivf index needs data or explicit options={'centroids': ...}"
+                        f"{kind} index needs data or explicit"
+                        " options={'centroids': ...}"
                     )
             entry["centroids"] = [[float(x) for x in c] for c in cents]
+            if kind == "ivfpq":
+                books = opts.get("codebooks")
+                if books is None:
+                    from xcube_geodb_spark.functions.similarity import (
+                        pq_codebooks,
+                    )
+
+                    df = self.catalog.load_df(collection, database)
+                    if df.limit(1).count() == 0:
+                        raise GeoDBError(
+                            "ivfpq index needs data or explicit"
+                            " options={'codebooks': ...}"
+                        )
+                    books = pq_codebooks(
+                        df,
+                        int(opts.get("n_subspaces", 8)),
+                        int(opts.get("pq_centroids", 8)),
+                        vec_col=prop,
+                        id_col="id",
+                    )
+                entry["codebooks"] = [
+                    [[float(x) for x in c] for c in sub] for sub in books
+                ]
         if any(i["property"] == prop for i in m.d["indexes"]):
             raise GeoDBError(f"Index on {prop} already exists")
         m.d["indexes"].append(entry)

@@ -906,7 +906,8 @@ class GeoDBCatalog:
             (
                 i
                 for i in m.d.get("indexes", [])
-                if i["type"] in ("lsh", "ivf") and i["property"] in df.columns
+                if i["type"] in ("lsh", "ivf", "ivfpq")
+                and i["property"] in df.columns
             ),
             None,
         )
@@ -937,6 +938,20 @@ class GeoDBCatalog:
                 df = with_centroid_assignment(
                     df, ann["centroids"], vec_col=ann["property"]
                 ).withColumnRenamed("centroid_id", "__annbucket")
+                if ann["type"] == "ivfpq":
+                    # composed IVF-PQ layout: persist the m-byte PQ code
+                    # next to the coarse bucket so a probe scan reads only
+                    # (id, __annbucket, __pqcode) — never the raw vectors.
+                    from xcube_geodb_spark.functions.similarity import (
+                        pq_encode,
+                    )
+
+                    df = pq_encode(
+                        df,
+                        ann["codebooks"],
+                        vec_col=ann["property"],
+                        out_col="__pqcode",
+                    )
             return df.repartitionByRange("__annbucket").sortWithinPartitions(
                 "__annbucket"
             )

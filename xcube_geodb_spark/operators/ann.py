@@ -35,11 +35,16 @@ from xcube_geodb_spark.operators.pruning import split_files_by_constraints
 
 def _ann_index(m, collection: str, database: str) -> dict:
     idx = next(
-        (i for i in m.d.get("indexes", []) if i["type"] in ("lsh", "ivf")), None
+        (
+            i
+            for i in m.d.get("indexes", [])
+            if i["type"] in ("lsh", "ivf", "ivfpq")
+        ),
+        None,
     )
     if idx is None:
         raise GeoDBError(
-            f"Collection {database}_{collection} has no lsh/ivf index"
+            f"Collection {database}_{collection} has no lsh/ivf/ivfpq index"
         )
     return idx
 
@@ -63,7 +68,7 @@ def ann_probe_files(
             int(idx["dim"]), int(idx.get("n_bits", 8)), int(idx.get("seed", 42))
         )
         constraints = [("__annbucket", "eq", bucket_of(query_vector, hp))]
-    else:
+    else:  # ivf and ivfpq share the coarse-quantizer probe
         probes = probe_ids(query_vector, idx["centroids"], n_probe)
         constraints = [("__annbucket", "in", [int(p) for p in probes])]
     return split_files_by_constraints(
@@ -109,5 +114,81 @@ def ann_topk(
         k=k,
         n_probe=n_probe,
         vec_col=prop,
+        id_col=id_col,
+    )
+
+
+def ann_ivfpq_topk(
+    catalog: GeoDBCatalog,
+    collection: str,
+    query_vector: list[float],
+    k: int = 20,
+    database: str = "public",
+    n_probe: int = 2,
+    id_col: str = "id",
+) -> DataFrame:
+    """Composed IVF-PQ probe — the realistic 100 TB vector-search layout:
+
+    1. the coarse quantizer prunes whole data files from manifest footer
+       stats (``__annbucket`` min/max vs the ``n_probe`` nearest centroid
+       ids — no Spark job),
+    2. the surviving files are read with an explicit 3-column schema
+       ``(id, __annbucket, __pqcode)`` — the raw embedding column never
+       leaves parquet (at dim 64 float32 vs m=8 int8-sized codes that is
+       a ~32x scan-byte reduction on the probed lists),
+    3. rows are re-filtered to the probed lists exactly (file pruning is
+       conservative), and ADC top-k scores the m-byte codes against the
+       query's driver-side distance table (:func:`pq_topk`).
+
+    Returns ``(id_col, dist_adc)`` ascending. Approximate by design (PQ
+    quantization error); recall vs the exact scan is covered in
+    tests/test_ann_layout.py."""
+    from pyspark.sql import functions as F, types as T
+
+    from xcube_geodb_spark.functions.similarity import pq_topk
+
+    m = catalog.meta(collection, database)
+    idx = _ann_index(m, collection, database)
+    if idx["type"] != "ivfpq":
+        raise GeoDBError(
+            f"Collection {database}_{collection} has no ivfpq index"
+        )
+    probes = probe_ids(query_vector, idx["centroids"], n_probe)
+    touched, _pruned = ann_probe_files(
+        catalog, collection, query_vector, database, n_probe, meta=m
+    )
+    declared = {f.name: f.dataType for f in m.spark_schema()}
+    if id_col not in declared:
+        raise GeoDBError(f"Unknown id column {id_col!r}")
+    probe_schema = T.StructType(
+        [
+            T.StructField(id_col, declared[id_col], True),
+            T.StructField("__annbucket", T.IntegerType(), True),
+            T.StructField(
+                "__pqcode", T.ArrayType(T.IntegerType()), True
+            ),
+        ]
+    )
+    paths = catalog.manifest_paths(collection, database, meta=m)
+    if not touched:
+        return catalog.spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, declared[id_col], True),
+                    T.StructField("dist_adc", T.DoubleType(), True),
+                ]
+            ),
+        )
+    sub = catalog.spark.read.schema(probe_schema).parquet(
+        *[paths[f] for f in touched]
+    )
+    cand = sub.filter(F.col("__annbucket").isin([int(p) for p in probes]))
+    return pq_topk(
+        cand,
+        query_vector,
+        idx["codebooks"],
+        k=k,
+        code_col="__pqcode",
         id_col=id_col,
     )

@@ -27,7 +27,10 @@ promotes the new general-overlay gates ``geo_overlay_diamond`` and
 stays covered by ``scan_paging``/``geo_knn_join``, distance scalars by
 ``geo_distance_sphere``/``geo_measures_squares``) and
 ``geo_collect_points`` demotes with ``geo_dissolve_chain`` taking over
-as the geometry-aggregation representative), so no
+as the geometry-aggregation representative; ``ann_ivfpq_topk`` — the
+composed IVF-PQ warehouse probe — replaces ``sim_ivf_topk``, which it
+strictly supersedes: the same seeded coarse quantizer + probing, plus
+PQ codes at rest and footer file-pruning), so no
 operator family loses driver verification;
 everything demoted stays locally verified via
 ``tools/check_correctness.py``.
@@ -83,7 +86,7 @@ DRIVER_WINDOW = [
     "dedup_lines_rebuilt",
     # similarity / ANN
     "sim_cosine_topk",
-    "sim_ivf_topk",
+    "ann_ivfpq_topk",
     "sim_knn_join",
     "ann_index_topk",
     # text / retrieval / sketches / multimodal / sampling / curation

@@ -499,6 +499,45 @@ def ann_index_topk(spark, sf_dir):
     return out.select("vec_id", "cos_sim")
 
 
+def ann_ivfpq_topk(spark, sf_dir):
+    """Composed IVF-PQ warehouse ANN (operators/ann.ann_ivfpq_topk): an
+    ``ivfpq`` index range-clusters files by coarse-centroid id AND
+    persists per-row PQ codes, so the probe prunes files from footer
+    stats and then reads ONLY ``(vec_id, __annbucket, __pqcode)`` —
+    the raw embedding column never leaves parquet. ADC scores the codes
+    against the query's driver-side distance table. Centroids and
+    codebooks both seed from the 8 lowest-vec_id vectors, so the oracle
+    re-derives the full index relationally."""
+    import tempfile
+
+    from xcube_geodb_spark.client import GeoDBSparkClient
+    from xcube_geodb_spark.operators.ann import ann_ivfpq_topk as _probe
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = similarity.seed_centroids(emb, n_centroids=8)
+    books = similarity.pq_codebooks(emb, n_subspaces=8, n_centroids=8)
+    c = GeoDBSparkClient(
+        spark, warehouse=tempfile.mkdtemp(prefix="geodb_ivfpq_"), user="driver"
+    )
+    c.create_collection("emb", {"vec_id": "int", "embedding": "float[]"})
+    c.create_index(
+        "emb",
+        "embedding",
+        kind="ivfpq",
+        options={"centroids": cents, "codebooks": books},
+    )
+    c.insert_into_collection("emb", emb)
+    return _probe(
+        c.catalog,
+        "emb",
+        _query_vector(spark, sf_dir),
+        k=20,
+        database="driver",
+        n_probe=2,
+        id_col="vec_id",
+    )
+
+
 def sim_lsh_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, _query_vector(spark, sf_dir), k=20)
@@ -1145,6 +1184,87 @@ LLM_PQ_ORACLE = {
         ORDER BY dist_adc, vec_id
         LIMIT 20
     """,
+    # the composed index: IVF coarse assignment (same 8 lowest-id seeds as
+    # sim_ivf_topk) restricts the candidate set to the query's 2 probed
+    # lists, then the PQ encode + ADC table replay scores only candidates.
+    # vec_id maps through the warehouse int property -> BIGINT.
+    "ann_ivfpq_topk": """
+        WITH vecs AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        seeds AS (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8),
+        cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+            FROM seeds
+        ),
+        q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+        probes AS (
+            SELECT cid FROM cents, q
+            ORDER BY list_dot_product(cv, qv) /
+                     (sqrt(list_dot_product(cv, cv)) *
+                      sqrt(list_dot_product(qv, qv))) DESC, cid ASC
+            LIMIT 2
+        ),
+        assign AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT s.vec_id, s.v, c.cid,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY list_dot_product(s.v, c.cv) /
+                                    (sqrt(list_dot_product(s.v, s.v)) *
+                                     sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                           c.cid ASC
+                       ) AS rn
+                FROM vecs s CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        cand AS (
+            SELECT vec_id, v FROM assign
+            WHERE cid IN (SELECT cid FROM probes)
+        ),
+        cb AS (
+            SELECT j,
+                   row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1
+                       AS code,
+                   list_slice(v, j * 8 + 1, j * 8 + 8) AS c
+            FROM seeds CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+        ),
+        dists AS (
+            SELECT cand.vec_id, cb.j, cb.code,
+                   list_sum(list_transform(
+                       list_zip(list_slice(v, cb.j * 8 + 1, cb.j * 8 + 8),
+                                cb.c),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+            FROM cand CROSS JOIN cb
+        ),
+        enc AS (
+            SELECT vec_id, j, code FROM (
+                SELECT vec_id, j, code,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY dist, code) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        dt AS (
+            SELECT cb.j, cb.code,
+                   CAST(round(list_sum(list_transform(
+                       list_zip(list_slice(qv, cb.j * 8 + 1, cb.j * 8 + 8),
+                                cb.c),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 9)
+                       AS DECIMAL(28,9)) AS d
+            FROM cb CROSS JOIN q
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(sum_d AS DOUBLE) AS dist_adc FROM (
+            SELECT e.vec_id, sum(dt.d) AS sum_d
+            FROM enc e JOIN dt ON dt.j = e.j AND dt.code = e.code
+            GROUP BY e.vec_id
+        )
+        ORDER BY dist_adc, vec_id
+        LIMIT 20
+    """,
 }
 
 
@@ -1739,6 +1859,7 @@ LLM_QUERIES = {
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "ann_index_topk": ann_index_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
