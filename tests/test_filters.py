@@ -151,7 +151,8 @@ class TestGrammar:
 
 class TestContainmentAndFts:
     """cs/cd (array containment) + fts family (PostgREST v6 full set;
-    geodb.py:1335 pins the contract). No stemming — documented deviation."""
+    geodb.py:1335 pins the contract). The fts(english) tag applies the
+    built-in Porter stemmer; untagged/simple = exact token match."""
 
     @pytest.fixture(scope="class")
     def docs(self, spark):
@@ -183,8 +184,27 @@ class TestContainmentAndFts:
         # &-conjunction, |-alternative, !-negation; %26 is the URL-encoded &
         assert self.ids(docs, "text=fts.spark%26data|window%26!hash") == [1, 3]
 
-    def test_fts_language_tag_ignored(self, docs):
-        assert self.ids(docs, "text=fts(english).parquet") == [2]
+    def test_fts_english_tag_stems(self, docs):
+        # 'scanning' is no document token; its stem 'scan' matches doc 2's
+        # token 'scans' (stem 'scan') — the exact matcher returns nothing
+        assert self.ids(docs, "text=fts.scanning") == []
+        assert self.ids(docs, "text=fts(english).scanning") == [2]
+        # stemming applies to every family member
+        assert self.ids(docs, "text=plfts(english).ranked windowing") == [3]
+        assert self.ids(docs, "text=phfts(english).window function") == [3]
+        assert self.ids(
+            docs, 'text=wfts(english).aggregation -ranking'
+        ) == [4]
+        # negated stemmed term
+        assert self.ids(docs, "text=fts(english).window%26!hashes") == [3]
+
+    def test_fts_simple_tag_exact(self, docs):
+        assert self.ids(docs, "text=fts(simple).scanning") == []
+        assert self.ids(docs, "text=fts(simple).scans") == [2]
+
+    def test_fts_unknown_dictionary_rejected(self, docs):
+        with pytest.raises(GeoDBError):
+            apply_postgrest_query(docs, "text=fts(french).le")
 
     def test_plfts_all_words(self, docs):
         assert self.ids(docs, "text=plfts.window rank") == [3]

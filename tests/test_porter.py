@@ -1,0 +1,130 @@
+"""Porter stemmer: the pure-Python reference against classic vectors, and
+three-way backend parity (python == generated DuckDB SQL == Spark Column
+tree) on corpus tokens, crafted suffix families, and random fuzz.
+
+The stemmer backs the fts(english) dictionary (filters._fts); parity is
+what makes the driver's DuckDB oracle able to replay stemmed fts gates."""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_geodb_spark.functions.porter import (
+    porter_col,
+    porter_py,
+    porter_sql,
+)
+
+# classic full-pipeline vectors (Porter 1980; step-table examples composed
+# through the whole pipeline)
+VECTORS = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti",
+    "caress": "caress", "cats": "cat", "feed": "feed", "agreed": "agre",
+    "plastered": "plaster", "bled": "bled", "motoring": "motor",
+    "sing": "sing", "conflated": "conflat", "troubled": "troubl",
+    "sized": "size", "hopping": "hop", "tanned": "tan", "falling": "fall",
+    "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file", "happy": "happi", "sky": "sky",
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+    "radicalli": "radic", "vileli": "vile", "analogousli": "analog",
+    "vietnamization": "vietnam", "predication": "predic",
+    "operator": "oper", "feudalism": "feudal", "decisiveness": "decis",
+    "hopefulness": "hope", "callousness": "callous", "formaliti": "formal",
+    "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electrical": "electr", "hopeful": "hope", "goodness": "good",
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+    "adoption": "adopt", "communism": "commun", "activate": "activ",
+    "angulariti": "angular", "homologous": "homolog",
+    "effective": "effect", "bowdlerize": "bowdler", "probate": "probat",
+    "rate": "rate", "cease": "ceas", "controll": "control", "roll": "roll",
+    # engine-corpus words the gates rely on
+    "querying": "queri", "query": "queri", "tables": "tabl",
+    "table": "tabl", "merges": "merg", "merge": "merg",
+    "windows": "window", "values": "valu", "value": "valu",
+    # guards
+    "as": "as", "is": "is", "a": "a", "": "",
+}
+
+
+def _word_pool() -> list[str]:
+    corpus = [
+        r[0]
+        for r in duckdb.sql(
+            "select distinct unnest(string_split_regex(lower(text),"
+            " '[^a-z0-9]+')) from"
+            " '/root/testdata/sf0.01/documents.parquet'"
+        ).fetchall()
+        if r[0]
+    ]
+    rng = random.Random(7)
+    fuzz = [
+        "".join(
+            rng.choice("abcdefgilmnorstuyz")
+            for _ in range(rng.randint(1, 14))
+        )
+        for _ in range(2000)
+    ]
+    crafted = [
+        stem + suf
+        for stem in ("run", "runn", "hope", "happ", "rat", "ration",
+                     "yyz", "syzygy", "tr", "abl", "s")
+        for suf in ("ing", "ed", "s", "ies", "ation", "iveness", "abli",
+                    "ement", "ll", "e", "y", "yy", "yyy", "sses", "eed")
+    ]
+    return sorted(set(list(VECTORS) + corpus + fuzz + crafted))
+
+
+class TestPorterPython:
+    def test_classic_vectors(self):
+        bad = {
+            w: (porter_py(w), want)
+            for w, want in VECTORS.items()
+            if porter_py(w) != want
+        }
+        assert not bad
+
+    def test_idempotent_on_common_words(self):
+        # stemming a stem must not drift for the corpus vocabulary
+        for w in ("queri", "tabl", "merg", "window", "valu", "scan"):
+            assert porter_py(porter_py(w)) == porter_py(w)
+
+
+class TestPorterBackendParity:
+    def test_duckdb_matches_python(self):
+        words = _word_pool()
+        con = duckdb.connect()
+        con.execute("create table w(t varchar)")
+        con.executemany("insert into w values (?)", [(x,) for x in words])
+        got = dict(
+            con.execute(f"select t, {porter_sql('t')} from w").fetchall()
+        )
+        mism = [
+            (w, got[w], porter_py(w)) for w in words if got[w] != porter_py(w)
+        ]
+        assert not mism, mism[:5]
+
+    def test_spark_matches_python(self, spark):
+        words = _word_pool()
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        out = df.select("w", porter_col(F.col("w")).alias("s")).collect()
+        mism = [
+            (r["w"], r["s"], porter_py(r["w"]))
+            for r in out
+            if r["s"] != porter_py(r["w"])
+        ]
+        assert not mism, mism[:5]
+
+    def test_spark_inside_transform_lambda(self, spark):
+        words = _word_pool()[:80]
+        df = spark.createDataFrame([(words,)], "toks array<string>")
+        out = df.select(
+            F.transform("toks", lambda t: porter_col(t)).alias("st")
+        ).collect()[0]["st"]
+        assert out == [porter_py(w) for w in words]

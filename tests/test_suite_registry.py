@@ -38,7 +38,11 @@ FAMILIES = {
     # keep their families driver-verified
     "dedup-pipeline": "dedup_pipeline_kept",
     "sim-brute": "sim_cosine_topk",
-    "sim-ivf": "sim_ivf_topk",
+    # r5: the composed IVF-PQ warehouse probe supersedes the direct ivf
+    # scan as the family representative (same seeded coarse quantizer and
+    # probing, plus PQ codes at rest and footer file-pruning);
+    # sim_ivf_topk stays registered and locally verified
+    "sim-ivf": "ann_ivfpq_topk",
     "sim-knn-join": "sim_knn_join",
     "ann-index": "ann_index_topk",
     "attribution": "events_attribution",

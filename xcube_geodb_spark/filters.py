@@ -20,8 +20,12 @@ notebooks — see SURVEY.md §2.2):
 - full-text search ``col=fts.a&b|!c`` (tsquery &/|/! over lower-cased
   alphanumeric tokens), ``plfts`` (plain: all words), ``phfts`` (phrase:
   consecutive tokens), ``wfts`` (websearch: words, ``-`` negation, ``or``,
-  quoted phrases); an optional ``fts(lang).`` language tag is accepted and
-  ignored — no stemming dictionaries in the engine (documented deviation)
+  quoted phrases); the ``fts(english).`` language tag applies the built-in
+  Porter stemmer (functions/porter.py, pure Column tree — no UDF) to both
+  document tokens and query terms, matching PG's english dictionary
+  semantics; ``fts(simple).`` / no tag = exact token match; other
+  dictionary names fail the parse (stopword elision not applied —
+  documented deviation)
 - json arrows in column references: ``props->>k=eq.7``,
   ``order=props->>k.desc``, ``select=props->a->>b``, array index ``->2``
 - ``select`` elements ``alias:column->json_path::cast`` (every segment
@@ -179,6 +183,7 @@ def _compile_op(
     value: str,
     negate: bool,
     schema: dict[str, T.DataType] | None = None,
+    fts_lang: str | None = None,
 ) -> Column:
     c, dtype = _col_ref(column, schema)
     if op == "eq":
@@ -218,7 +223,7 @@ def _compile_op(
     elif op in ("cs", "cd"):
         expr = _containment(c, op, value, dtype)
     elif op in ("fts", "plfts", "phfts", "wfts"):
-        expr = _fts(c, op, value)
+        expr = _fts(c, op, value, fts_lang)
     else:
         raise GeoDBError(f"Unsupported filter operator: {op!r}")
     return ~expr if negate else expr
@@ -246,8 +251,9 @@ def _containment(c: Column, op: str, value: str, dtype) -> Column:
 
 
 def _fts_tokens(c: Column) -> Column:
-    """to_tsvector stand-in: lower-cased alphanumeric word tokens (no
-    stemming — the engine carries no language dictionaries)."""
+    """to_tsvector tokenizer stand-in: lower-cased alphanumeric word
+    tokens. Stemming (the ``english`` dictionary) is applied on top by
+    :func:`_fts` when the filter carries a language tag."""
     return F.array_remove(F.split(F.lower(c), "[^a-z0-9]+"), "")
 
 
@@ -255,36 +261,53 @@ def _fts_norm(term: str) -> str:
     return " ".join(t for t in re.split(r"[^a-z0-9]+", term.lower()) if t)
 
 
-def _fts_phrase(c: Column, phrase: str) -> Column:
-    joined = F.concat(F.lit(" "), F.array_join(_fts_tokens(c), " "), F.lit(" "))
-    return joined.contains(f" {_fts_norm(phrase)} ")
-
-
-def _fts(c: Column, op: str, value: str) -> Column:
+def _fts(c: Column, op: str, value: str, lang: str | None = None) -> Column:
     """tsquery evaluation over :func:`_fts_tokens`.
 
     fts: ``a&b|!c`` — ``|`` (lowest precedence) over ``&`` groups of
     optionally ``!``-negated terms. plfts: every word required. phfts:
     consecutive-token phrase. wfts: websearch — bare words ANDed, ``-word``
-    negated, ``or`` separates alternatives, quoted phrases kept whole."""
+    negated, ``or`` separates alternatives, quoted phrases kept whole.
+
+    ``lang`` in ``("english", "en")`` stems document tokens with the pure
+    Column-tree Porter stemmer (functions/porter.py — JVM-evaluated inside
+    the scan, no UDF) and query terms with its Python twin, so
+    ``fts(english).connection`` matches "connections"/"connected" exactly
+    as PG's english tsvector does. No tag (or ``simple``) keeps exact
+    token matching."""
+    stemmed = lang in _STEM_DICTS
     toks = _fts_tokens(c)
+    if stemmed:
+        from xcube_geodb_spark.functions.porter import porter_col, porter_py
+
+        toks = F.transform(toks, porter_col)
+
+    def norm_words(t: str) -> str:
+        words = _fts_norm(t).split(" ") if _fts_norm(t) else []
+        if stemmed:
+            words = [porter_py(w) for w in words]
+        return " ".join(words)
+
+    def phrase_match(phrase_normed: str) -> Column:
+        joined = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+        return joined.contains(f" {phrase_normed} ")
 
     def term(t: str) -> Column:
         neg = t.startswith("!") or t.startswith("-")
-        body = _fts_norm(t.lstrip("!-"))
+        body = norm_words(t.lstrip("!-"))
         if not body:
             raise GeoDBError(f"Empty term in {op} filter: {value!r}")
         e = (
             F.array_contains(toks, body)
             if " " not in body
-            else _fts_phrase(c, body)
+            else phrase_match(body)
         )
         return ~e if neg else e
 
     if op == "phfts":
         if not _fts_norm(value):
             raise GeoDBError(f"Empty phrase in phfts filter: {value!r}")
-        return _fts_phrase(c, value)
+        return phrase_match(norm_words(value))
     if op == "plfts":
         words = _fts_norm(value).split(" ")
         out = term(words[0])
@@ -326,11 +349,30 @@ def _fts(c: Column, op: str, value: str) -> Column:
     return out
 
 
-def _norm_op(op: str) -> str:
-    """Strip an fts-family language tag: ``fts(english)`` -> ``fts`` (the
-    tag selects a stemming dictionary in PG; the engine has none)."""
-    base = op.split("(", 1)[0]
-    return base if base in ("fts", "plfts", "phfts", "wfts") else op
+_STEM_DICTS = ("english", "en")
+_PLAIN_DICTS = ("simple",)
+
+
+def _norm_op(op: str) -> tuple[str, str | None]:
+    """Split an fts-family language tag: ``fts(english)`` ->
+    ``("fts", "english")``. The tag selects the stemming dictionary, as in
+    PG: ``english`` applies the built-in Porter stemmer
+    (functions/porter.py) to both document tokens and query terms;
+    ``simple`` (and no tag) means exact token match. Other dictionary
+    names fail the parse — the engine ships only the english stemmer.
+    PG's stopword elision is not applied (documented deviation: a query
+    term that IS a stopword still requires a literal match)."""
+    base, _, tag = op.partition("(")
+    if base not in ("fts", "plfts", "phfts", "wfts"):
+        return op, None
+    lang = tag[:-1].strip().lower() if tag.endswith(")") else None
+    if tag and not tag.endswith(")"):
+        raise GeoDBError(f"Malformed fts language tag in {op!r}")
+    if lang is not None and lang not in _STEM_DICTS + _PLAIN_DICTS:
+        raise GeoDBError(
+            f"Unknown fts dictionary {lang!r} (available: english, simple)"
+        )
+    return base, lang
 
 
 def _compile_condition(
@@ -353,11 +395,11 @@ def _compile_condition(
     column = parts[0]
     negate = parts[1].lower() == "not"
     idx = 2 if negate else 1
-    op = _norm_op(parts[idx].lower())
+    op, fts_lang = _norm_op(parts[idx].lower())
     if op not in _OPS:
         raise GeoDBError(f"Unknown operator {op!r} in condition {token!r}")
     value = ".".join(parts[idx + 1 :])
-    return _compile_op(column, op, value, negate, schema)
+    return _compile_op(column, op, value, negate, schema, fts_lang)
 
 
 def _compile_group(
@@ -437,11 +479,11 @@ def parse_postgrest_query(
             idx = 1 if negate else 0
             if len(bits) <= idx:
                 raise GeoDBError(f"Invalid filter for column {key!r}: {value!r}")
-            op = _norm_op(bits[idx].lower())
+            op, fts_lang = _norm_op(bits[idx].lower())
             if op not in _OPS:
                 raise GeoDBError(f"Unknown operator {op!r} for column {key!r}")
             val = ".".join(bits[idx + 1 :])
-            preds.append(_compile_op(key, op, val, negate, schema))
+            preds.append(_compile_op(key, op, val, negate, schema, fts_lang))
     if preds:
         pred = preds[0]
         for p in preds[1:]:

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xcube_geodb_spark.filters import apply_postgrest_query
+from xcube_geodb_spark.functions.porter import porter_py, porter_sql
 from xcube_geodb_spark.operators.scan import build_pg_sql
 from xcube_geodb_spark.suite.util import load, register_views
 
@@ -63,11 +64,26 @@ def scan_filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def scan_fts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fts-family tsquery over the documents corpus: &-conjunction, a
-    |-alternative and a ! negation (filters._fts)."""
+    """fts-family tsquery over the documents corpus, tagged union of two
+    dictionaries: ``plain`` — exact token match with &-conjunction, a
+    |-alternative and a ! negation (filters._fts); ``stemmed`` — the
+    ``fts(english)`` tag runs the built-in Porter stemmer (pure Column
+    tree, functions/porter.py) over document tokens AND query terms, so
+    ``querying``/``tables``/``merges`` (none a literal corpus token —
+    the plain matcher returns zero rows for them) match ``query``/
+    ``table``/``merge`` documents. The oracle replays the identical
+    stemmer as one generated DuckDB scalar expression."""
     df = load(spark, sf_dir, "documents")
-    return apply_postgrest_query(
+    plain = apply_postgrest_query(
         df, "text=fts.data%26spark|window%26!hash&select=doc_id"
+    )
+    stemmed = apply_postgrest_query(
+        df,
+        "text=fts(english).querying%26tables|merges%26!windows"
+        "&select=doc_id",
+    )
+    return plain.select(F.lit("plain").alias("variant"), "doc_id").unionAll(
+        stemmed.select(F.lit("stemmed").alias("variant"), "doc_id")
     )
 
 
@@ -165,8 +181,12 @@ CORE_ORACLES_GRAMMAR = {
         FROM events
         WHERE regexp_extract(props, '"k":\\s*(\\d+)', 1) = '7'
     """,
-    "scan_fts_documents": """
-        SELECT doc_id FROM (
+    # the stemmed leg embeds the SAME Porter pipeline twice: document
+    # tokens through the generated DuckDB scalar expression
+    # (porter.porter_sql — bit-identical to the Spark Column tree by
+    # construction), query terms through porter_py at import time.
+    "scan_fts_documents": f"""
+        SELECT 'plain' AS variant, doc_id FROM (
             SELECT doc_id,
                    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                t -> t != '') AS toks
@@ -174,6 +194,20 @@ CORE_ORACLES_GRAMMAR = {
         )
         WHERE (list_contains(toks, 'data') AND list_contains(toks, 'spark'))
            OR (list_contains(toks, 'window') AND NOT list_contains(toks, 'hash'))
+        UNION ALL
+        SELECT 'stemmed' AS variant, doc_id FROM (
+            SELECT doc_id,
+                   list_transform(
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t != ''),
+                       t -> {porter_sql("t")}) AS toks
+            FROM documents
+        )
+        WHERE (list_contains(toks, '{porter_py("querying")}')
+               AND list_contains(toks, '{porter_py("tables")}'))
+           OR (list_contains(toks, '{porter_py("merges")}')
+               AND NOT list_contains(toks, '{porter_py("windows")}'))
     """,
     "scan_cs_cd_tokens": """
         SELECT doc_id FROM (
