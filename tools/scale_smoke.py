@@ -1,16 +1,23 @@
 #!/usr/bin/env python
-"""Scale smoke: run the engine's heaviest operators on a 10x-replicated
-sf0.1 dataset (~1.5 M lineitem rows, 50 k documents, 60 k embeddings,
-100 k events) and report wall times + the scaling ratio vs the 1x run.
+"""Scale smoke: run the engine's heaviest operators on replicated sf0.1
+data and report wall times + the scaling ratio vs the 1x run.
 
-This is evidence for the 100 TB design claims: the replication keeps key
-cardinality (ids are re-spaced per copy), so join fan-outs, LSH bucket
-sizes, and window state all grow with the data — an operator whose time
-grows super-linearly here would melt on a cluster.
+The HEAVY dedup/retrieval family (minhash pairs, line dedup, incremental
+dedup-against, bm25, count-min) replicates 100x by default (~500 k
+documents from sf0.1's 5 k — the shape of a corpus-prep job on a real
+cluster); the remaining operators replicate 10x. Replication keeps key
+cardinality (ids re-spaced per copy, every token salted with the copy
+index) so duplicate density, LSH bucket sizes, join fan-outs, and window
+state all grow with the data — an operator whose time grows
+super-linearly here would melt on a cluster.
 
-Usage: python tools/scale_smoke.py [replication] [sf_dir]
-Prints one JSON line: {"replication": N, "queries": {name: {"x1": s,
-"xN": s, "ratio": r}}}.
+Each case asserts time(xN)/time(x1) <= N * SLACK (sub-linear-or-linear
+growth); the JSON line prints before the assertion exit code so a
+violation is still recorded.
+
+Usage: python tools/scale_smoke.py [light_repl] [sf_dir] [heavy_repl]
+Prints one JSON line: {"replication": N, "heavy_replication": M,
+"queries": {name: {"x1": s, "xN": s, "ratio": r, "linear_ok": b}}}.
 """
 
 from __future__ import annotations
@@ -53,40 +60,60 @@ def _replicate(df: DataFrame, n: int, id_cols: list[str]) -> DataFrame:
     return copies.drop("__copy")
 
 
+HEAVY = {
+    "dedup_minhash_pairs",
+    "bm25_topk",
+    "count_min_build",
+    "line_dedup",
+    "dedup_against",
+}
+
+# growth tolerance: time(xN) may be at most N * SLACK times time(x1).
+# (Per-byte work should not grow at all; the slack absorbs shuffle-spill
+# and GC regime changes between the sizes.)
+SLACK = 1.25
+
+
 def main() -> None:
     repl = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    heavy_repl = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     spark = get_spark(app_name="scale_smoke")
 
     docs1 = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+
     # salt each copy's text with its copy index: replicated corpora must
     # keep the ORIGINAL duplicate density, or bucket-join outputs (LSH
     # candidate pairs) grow quadratically by data construction and the
     # ratio measures the dataset, not the plan
     # every TOKEN gets the copy suffix: a tail-only salt leaves min-hash
     # signatures (MIN over shingles) intact and copies still collide
-    salt = (F.col("doc_id") % repl).cast("string")
-    docsN = (
-        _replicate(docs1, repl, ["doc_id"])
-        .withColumn(
-            "text",
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda t: F.concat(t, salt),
+    def _salted_docs(n: int) -> DataFrame:
+        salt = (F.col("doc_id") % n).cast("string")
+        return (
+            _replicate(docs1, n, ["doc_id"])
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, salt),
+                    ),
+                    " ",
                 ),
-                " ",
-            ),
+            )
+            .cache()
         )
-        .cache()
-    )
+
+    docsN = _salted_docs(repl)
+    docsH = docsN if heavy_repl == repl else _salted_docs(heavy_repl)
     emb1 = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     embN = _replicate(emb1, repl, ["vec_id"]).cache()
     ev1 = load(spark, sf_dir, "events")
     evN = _replicate(ev1, repl, ["event_id"]).cache()
-    _PINNED.extend([docsN, embN, evN])
+    _PINNED.extend([docsN, docsH, embN, evN])
     for df in _PINNED:
         df.count()
 
@@ -174,19 +201,21 @@ def main() -> None:
         )
 
     cases = [
-        ("dedup_minhash_pairs", minhash, docs1, docsN),
-        ("bm25_topk", bm25, docs1, docsN),
-        ("count_min_build", cmsketch, docs1, docsN),
+        ("dedup_minhash_pairs", minhash, docs1, docsH),
+        ("bm25_topk", bm25, docs1, docsH),
+        ("count_min_build", cmsketch, docs1, docsH),
         ("deterministic_shuffle", shuffle_op, docs1, docsN),
         ("knn_join", knn, emb1, embN),
         ("events_window_agg", sessionize, ev1, evN),
-        ("line_dedup", linededup, docs1, docsN),
-        ("dedup_against", incremental, docs1, docsN),
+        ("line_dedup", linededup, docs1, docsH),
+        ("dedup_against", incremental, docs1, docsH),
         ("quantiles", quantiles, li1, liN),
     ]
 
     out = {}
+    failures = []
     for name, fn, one, many in cases:
+        n = heavy_repl if name in HEAVY else repl
         # warm BOTH sizes once (codegen compilation and first-allocation
         # GC growth are fixed per plan shape, not per byte), then time
         # with operator-internal caches dropped — same isolation bench.py
@@ -200,12 +229,18 @@ def main() -> None:
 
         t1 = _timed(lambda: fn(one))
         tn = _timed(lambda: fn(many))
+        ratio = tn / t1 if t1 > 0 else None
+        linear_ok = ratio is not None and ratio <= n * SLACK
+        if not linear_ok:
+            failures.append(f"{name}: ratio {ratio:.2f} > {n} * {SLACK}")
         out[name] = {
             "x1": round(t1, 3),
-            f"x{repl}": round(tn, 3),
-            "ratio": round(tn / t1, 2) if t1 > 0 else None,
+            f"x{n}": round(tn, 3),
+            "ratio": round(ratio, 2) if ratio is not None else None,
+            "linear_ok": linear_ok,
         }
-        print(f"{name}: x1={t1:.2f}s x{repl}={tn:.2f}s ratio={tn / t1:.2f}",
+        print(f"{name}: x1={t1:.2f}s x{n}={tn:.2f}s ratio={ratio:.2f} "
+              f"(limit {n * SLACK:.0f})",
               file=sys.stderr)
 
     # metadata path: probe latency over synthetic 10k / 100k-file
@@ -275,8 +310,15 @@ def main() -> None:
     out["manifest_probe"] = meta_bench
     print(f"manifest_probe: {meta_bench}", file=sys.stderr)
 
-    print(json.dumps({"replication": repl, "sf_dir": sf_dir, "queries": out}))
+    print(json.dumps({
+        "replication": repl,
+        "heavy_replication": heavy_repl,
+        "sf_dir": sf_dir,
+        "queries": out,
+    }))
     spark.stop()
+    if failures:
+        raise SystemExit("super-linear growth: " + "; ".join(failures))
 
 
 if __name__ == "__main__":
