@@ -347,6 +347,12 @@ class IndexManager:
         for equality pruning on NON-clustered columns, where min/max
         intervals overlap and can't skip anything.
 
+        ``fts`` declares a per-file token bloom on a text column (built
+        at commit like ``bloom``, but over the column's tokenized — and,
+        with the default ``english`` dictionary, Porter-stemmed —
+        vocabulary), so fts-family scans prune whole files from the
+        manifest: the 100 TB stand-in for a tsvector GIN index.
+
         lsh options: ``dim`` (required), ``n_bits`` (8), ``seed`` (42).
         ivf options: ``centroids`` (list of vectors) or ``n_centroids``
         (derived from the deterministic lowest-id sample).
@@ -360,7 +366,8 @@ class IndexManager:
         m = self.catalog.meta(collection, database)
         if kind is None:
             kind = "gist" if prop == "geometry" else "btree"
-        if kind not in ("gist", "btree", "lsh", "ivf", "ivfpq", "bloom"):
+        if kind not in ("gist", "btree", "lsh", "ivf", "ivfpq", "bloom",
+                        "fts"):
             raise GeoDBError(f"Unknown index type {kind!r}")
         entry = {"property": prop, "type": kind,
                  "name": self.index_name(prop, collection)}
@@ -411,6 +418,14 @@ class IndexManager:
                 entry["codebooks"] = [
                     [[float(x) for x in c] for c in sub] for sub in books
                 ]
+        if kind == "fts":
+            dic = str(opts.get("dictionary", "english")).lower()
+            if dic not in ("english", "simple"):
+                raise GeoDBError(
+                    f"Unknown fts dictionary {dic!r} (available: english,"
+                    " simple)"
+                )
+            entry["dictionary"] = dic
         if any(i["property"] == prop for i in m.d["indexes"]):
             raise GeoDBError(f"Index on {prop} already exists")
         m.d["indexes"].append(entry)

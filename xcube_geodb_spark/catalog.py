@@ -780,6 +780,7 @@ class GeoDBCatalog:
         from xcube_geodb_spark.operators.stats import (
             file_bloom_filters,
             file_column_stats,
+            file_fts_blooms,
         )
 
         bloom_cols = [
@@ -787,6 +788,11 @@ class GeoDBCatalog:
             for i in m.d.get("indexes", [])
             if i.get("type") == "bloom"
         ]
+        fts_cols = {
+            i["property"]: i.get("dictionary", "english")
+            for i in m.d.get("indexes", [])
+            if i.get("type") == "fts"
+        }
         delta_stats: dict[str, dict] = {}
         for f in new_files:
             try:
@@ -794,6 +800,10 @@ class GeoDBCatalog:
                 if bloom_cols:
                     st.update(
                         file_bloom_filters(os.path.join(cdir, f), bloom_cols)
+                    )
+                if fts_cols:
+                    st.update(
+                        file_fts_blooms(os.path.join(cdir, f), fts_cols)
                     )
                 delta_stats[f] = st
             except Exception:

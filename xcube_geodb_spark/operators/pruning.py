@@ -51,6 +51,96 @@ def conjunctive_constraints(query: str | None) -> list[tuple[str, str, object]]:
     return out
 
 
+def fts_term_groups(
+    query: str | None, fts_indexes: dict[str, str]
+) -> list[tuple[str, list[list[str]]]]:
+    """Required-term groups for fts-family filters on fts-indexed columns:
+    ``[(column, [[terms of group 1], [terms of group 2], ...])]`` where the
+    filter matches a row only if SOME group has ALL its terms present.
+    A file may be skipped only when EVERY group has at least one term
+    provably absent from the file's token bloom.
+
+    Conservative by construction: negated filters and negated terms
+    contribute nothing; a group that ends up with no positive terms
+    renders its whole filter un-prunable (an empty-group marker is kept
+    so the file-match check sees a satisfiable group). Terms are stemmed
+    iff the INDEX dictionary is english (a raw token's stem is always in
+    an english bloom, so this is safe for untagged queries too); a tagged
+    english query on a 'simple' index can't be pruned and is skipped."""
+    if not query or not fts_indexes:
+        return []
+    from xcube_geodb_spark.filters import _fts_norm, _norm_op
+
+    out = []
+    for key, value in _split_pairs(query):
+        if key.lower() in _RESERVED or key not in fts_indexes:
+            continue
+        bits = value.split(".")
+        if bits[0].lower() == "not":
+            continue  # negated fts: no safe constraint
+        try:
+            op, lang = _norm_op(bits[0].lower())
+        except Exception:
+            continue
+        if op not in ("fts", "plfts", "phfts", "wfts"):
+            continue
+        dic = fts_indexes[key]
+        if dic == "simple" and lang in ("english", "en"):
+            continue  # stemmed query terms have no raw-token preimage
+        raw = ".".join(bits[1:])
+        groups_raw: list[list[str]] = []
+        if op in ("plfts", "phfts"):
+            groups_raw = [[t for t in _fts_norm(raw).split(" ") if t]]
+        elif op == "wfts":
+            import re as _re
+
+            cur: list[str] = []
+            groups_raw = [cur]
+            for t in _re.findall(r'-?"[^"]+"|\S+', raw):
+                if t.lower() == "or":
+                    cur = []
+                    groups_raw.append(cur)
+                elif not t.startswith("-"):
+                    cur.extend(
+                        w for w in _fts_norm(t.replace('"', "")).split(" ")
+                        if w
+                    )
+        else:  # fts: | over & groups
+            for group in raw.split("|"):
+                terms: list[str] = []
+                for t in group.split("&"):
+                    t = t.strip()
+                    if not t or t.startswith("!"):
+                        continue
+                    terms.extend(w for w in _fts_norm(t).split(" ") if w)
+                groups_raw.append(terms)
+        if dic == "english":
+            from xcube_geodb_spark.functions.porter import porter_py
+
+            groups_raw = [[porter_py(w) for w in g] for g in groups_raw]
+        out.append((key, groups_raw))
+    return out
+
+
+def fts_file_may_match(
+    stats: dict, fts_groups: list[tuple[str, list[list[str]]]]
+) -> bool:
+    """Token-bloom check: for each fts filter, the file survives if SOME
+    group's terms are all maybe-present. A group with no positive terms is
+    trivially satisfiable; a file without the bloom always survives."""
+    from xcube_geodb_spark.operators.stats import bloom_may_contain
+
+    for col, groups in fts_groups:
+        bloom = stats.get(f"::bloom:fts:{col}")
+        if bloom is None or not groups:
+            continue
+        if not any(
+            all(bloom_may_contain(bloom, t) for t in g) for g in groups
+        ):
+            return False
+    return True
+
+
 def _excludes(op: str, lit, lo, hi) -> bool:
     """True when `col op lit` can match NO value in [lo, hi]."""
     try:
@@ -104,6 +194,7 @@ def split_files_by_constraints(
     columns: list[str],
     constraints,
     stats_map: dict[str, dict] | None = None,
+    fts_groups: list[tuple[str, list[list[str]]]] | None = None,
 ) -> tuple[list[str], list[str]]:
     """Partition manifest files into (maybe_touched, untouched).
 
@@ -114,7 +205,7 @@ def split_files_by_constraints(
     (pre-stats commits) fall back to reading their footer."""
     from xcube_geodb_spark.operators.stats import footer_min_max
 
-    if not constraints:
+    if not constraints and not fts_groups:
         return list(paths), []
     touched, untouched = [], []
     for rel, absolute in paths.items():
@@ -123,11 +214,15 @@ def split_files_by_constraints(
             for c, v in stats_map[rel].items():
                 if c in columns:
                     stats[c] = tuple(v)
+                elif c.startswith("::bloom:fts:"):
+                    stats[c] = v  # probed by fts_file_may_match
                 elif c.startswith("::bloom:") and c[len("::bloom:"):] in columns:
                     stats[c] = v  # base64 string, not a (min, max) pair
         else:
             stats = footer_min_max([absolute], columns)
-        if file_may_match(stats, constraints):
+        if file_may_match(stats, constraints) and (
+            not fts_groups or fts_file_may_match(stats, fts_groups)
+        ):
             touched.append(rel)
         else:
             untouched.append(rel)

@@ -36,24 +36,36 @@ def get_collection(
     from xcube_geodb_spark.catalog import SYSTEM_COLUMNS
     from xcube_geodb_spark.operators.pruning import (
         conjunctive_constraints,
+        fts_term_groups,
         split_files_by_constraints,
     )
 
     constraints = conjunctive_constraints(query)
     m = catalog.meta(collection, database)
-    if constraints and m.files:
+    fts_groups = fts_term_groups(query, _fts_indexes(m))
+    if (constraints or fts_groups) and m.files:
         cols = sorted({c for c, _, _ in constraints})
         touched, _ = split_files_by_constraints(
             catalog.manifest_paths(collection, database, meta=m),
             cols,
             constraints,
             stats_map=m.file_stats(),
+            fts_groups=fts_groups,
         )
         df = catalog.load_files(collection, database, touched, meta=m)
         df = df.drop(*[c for c in df.columns if c in SYSTEM_COLUMNS])
     else:
         df = catalog.load_df(collection, database)
     return apply_postgrest_query(df, query, limit=limit, offset=offset)
+
+
+def _fts_indexes(m) -> dict[str, str]:
+    """column -> dictionary for the collection's fts token-bloom indexes."""
+    return {
+        i["property"]: i.get("dictionary", "english")
+        for i in m.d.get("indexes", [])
+        if i.get("type") == "fts"
+    }
 
 
 def explain_scan(
@@ -68,18 +80,21 @@ def explain_scan(
     no footer IO when manifest stats cover the files."""
     from xcube_geodb_spark.operators.pruning import (
         conjunctive_constraints,
+        fts_term_groups,
         split_files_by_constraints,
     )
 
     m = catalog.meta(collection, database)
     constraints = conjunctive_constraints(query)
+    fts_groups = fts_term_groups(query, _fts_indexes(m))
     stats_map = m.file_stats()
-    if constraints and m.files:
+    if (constraints or fts_groups) and m.files:
         touched, skipped = split_files_by_constraints(
             catalog.manifest_paths(collection, database, meta=m),
             sorted({c for c, _, _ in constraints}),
             constraints,
             stats_map=stats_map,
+            fts_groups=fts_groups,
         )
     else:
         touched, skipped = list(m.files), []
@@ -96,6 +111,9 @@ def explain_scan(
         "version": m.version,
         "constraints": [
             {"column": c, "op": op, "literal": lit} for c, op, lit in constraints
+        ],
+        "fts_constraints": [
+            {"column": c, "required_term_groups": g} for c, g in fts_groups
         ],
         "files_total": len(m.files),
         "files_scanned": len(touched),

@@ -26,18 +26,32 @@ _BLOOM_K = 4
 _BLOOM_MAX_DISTINCT = 20000
 
 
-def _bloom_positions(value: str) -> list[int]:
+# fts token blooms carry a whole per-file vocabulary, so they get 4x the
+# bits (16 KiB each; ~13k distinct stems at ~1% FP) — a manifest-sidecar
+# cost of ~1.6 GB per 10^5 files, comparable to parquet's own per-chunk
+# bloom footprint and read only by the sharded stats loader
+_FTS_BLOOM_BITS = 131072
+# beyond ~32k distinct stems the 131072-bit filter saturates past ~15% FP
+# and stops earning its bytes — omit it and the file simply always scans
+_FTS_BLOOM_MAX_DISTINCT = 32000
+
+
+def _bloom_positions(value: str, bits: int = _BLOOM_BITS) -> list[int]:
     return [
         int(hashlib.md5(f"{value}#{i}".encode()).hexdigest()[:8], 16)
-        % _BLOOM_BITS
+        % bits
         for i in range(_BLOOM_K)
     ]
 
 
-def build_bloom(values) -> str | None:
+def build_bloom(
+    values,
+    bits: int = _BLOOM_BITS,
+    max_distinct: int = _BLOOM_MAX_DISTINCT,
+) -> str | None:
     """Base64 bloom filter over the distinct non-null values, or None when
     the column is too high-cardinality for the fixed size to be useful."""
-    bits = bytearray(_BLOOM_BITS // 8)
+    buf = bytearray(bits // 8)
     seen: set[str] = set()
     for v in values:
         if v is None:
@@ -46,18 +60,22 @@ def build_bloom(values) -> str | None:
         if s in seen:
             continue
         seen.add(s)
-        if len(seen) > _BLOOM_MAX_DISTINCT:
+        if len(seen) > max_distinct:
             return None
-        for pos in _bloom_positions(s):
-            bits[pos // 8] |= 1 << (pos % 8)
-    return base64.b64encode(bytes(bits)).decode()
+        for pos in _bloom_positions(s, bits):
+            buf[pos // 8] |= 1 << (pos % 8)
+    return base64.b64encode(bytes(buf)).decode()
 
 
 def bloom_may_contain(b64: str, value) -> bool:
-    """False means PROVABLY absent; True means maybe present."""
+    """False means PROVABLY absent; True means maybe present. The filter
+    size is carried by the encoding itself (len * 8 bits), so one probe
+    function serves both the equality and the fts-token blooms."""
     raw = base64.b64decode(b64)
+    bits = len(raw) * 8
     return all(
-        raw[p // 8] >> (p % 8) & 1 for p in _bloom_positions(str(value))
+        raw[p // 8] >> (p % 8) & 1
+        for p in _bloom_positions(str(value), bits)
     )
 
 
@@ -76,6 +94,54 @@ def file_bloom_filters(path: str, columns: list[str]) -> dict[str, str]:
         b = build_bloom(table.column(c).to_pylist())
         if b is not None:
             out[f"::bloom:{c}"] = b
+    return out
+
+
+def file_fts_blooms(path: str, fts_cols: dict[str, str]) -> dict[str, str]:
+    """Per-file token blooms for fts-indexed text columns: ``fts_cols``
+    maps column -> dictionary ('english' stems every token with the same
+    Porter pipeline the fts(english) filter applies; 'simple' stores raw
+    tokens). Built once at COMMIT time from one column-projected read;
+    stored under ``::bloom:fts:<col>`` so fts scans prune whole files
+    from the manifest — the 100 TB answer to a tsvector GIN index.
+
+    A raw-token query term t requires the literal token t, whose stem is
+    in an english bloom — probing stem(t) is conservative for both tagged
+    and untagged queries against an english index."""
+    import re as _re
+
+    import pyarrow.parquet as _pq
+
+    from xcube_geodb_spark.functions.porter import porter_py
+
+    present = set(_pq.read_schema(path).names)
+    cols = {c: d for c, d in fts_cols.items() if c in present}
+    if not cols:
+        return {}
+    table = _pq.read_table(path, columns=list(cols))
+    out = {}
+    stem_cache: dict[str, str] = {}
+    for c, dic in cols.items():
+        vocab: set[str] = set()
+        for text in table.column(c).to_pylist():
+            if text is None:
+                continue
+            for t in _re.split(r"[^a-z0-9]+", text.lower()):
+                if t:
+                    vocab.add(t)
+        if dic == "english":
+            stemmed = set()
+            for t in vocab:
+                st = stem_cache.get(t)
+                if st is None:
+                    st = stem_cache[t] = porter_py(t)
+                stemmed.add(st)
+            vocab = stemmed
+        b = build_bloom(
+            vocab, bits=_FTS_BLOOM_BITS, max_distinct=_FTS_BLOOM_MAX_DISTINCT
+        )
+        if b is not None:
+            out[f"::bloom:fts:{c}"] = b
     return out
 
 

@@ -87,6 +87,36 @@ def scan_fts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_fts_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stemmed fts query through the WAREHOUSE path with an ``fts``
+    token-bloom index declared: commit builds per-file blooms over the
+    Porter-stemmed vocabulary, and get_collection prunes files through
+    them before the scan (operators/pruning.fts_term_groups). Logical
+    result must equal the direct stemmed scan, so the same oracle
+    applies — this gate proves bloom pruning never changes results."""
+    import tempfile
+
+    from xcube_geodb_spark.client import GeoDBSparkClient
+
+    c = GeoDBSparkClient(
+        spark, warehouse=tempfile.mkdtemp(prefix="geodb_fts_"), user="driver"
+    )
+    c.create_collection("docs", {"doc_id": "int", "text": "text"})
+    c.create_index("docs", "text", kind="fts", options={"dictionary": "english"})
+    c.insert_into_collection(
+        "docs", load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    from xcube_geodb_spark.operators.scan import get_collection
+
+    return get_collection(
+        c.catalog,
+        "docs",
+        "text=fts(english).querying%26tables|merges%26!windows"
+        "&select=doc_id",
+        database="driver",
+    )
+
+
 def scan_cs_cd_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array containment (cs = ⊇, cd = ⊆) over token-array columns derived
     from the documents table (the engine's array property type)."""
@@ -196,6 +226,21 @@ CORE_ORACLES_GRAMMAR = {
            OR (list_contains(toks, 'window') AND NOT list_contains(toks, 'hash'))
         UNION ALL
         SELECT 'stemmed' AS variant, doc_id FROM (
+            SELECT doc_id,
+                   list_transform(
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t != ''),
+                       t -> {porter_sql("t")}) AS toks
+            FROM documents
+        )
+        WHERE (list_contains(toks, '{porter_py("querying")}')
+               AND list_contains(toks, '{porter_py("tables")}'))
+           OR (list_contains(toks, '{porter_py("merges")}')
+               AND NOT list_contains(toks, '{porter_py("windows")}'))
+    """,
+    "scan_fts_indexed": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (
             SELECT doc_id,
                    list_transform(
                        list_filter(
@@ -1303,6 +1348,7 @@ CORE_QUERIES = {
     "scan_fts_documents": scan_fts_documents,
     "scan_json_arrow_select": scan_json_arrow_select,
     "scan_cs_cd_tokens": scan_cs_cd_tokens,
+    "scan_fts_indexed": scan_fts_indexed,
     "scan_filter_grammar": scan_filter_grammar,
     "head_nation": head_nation,
     "pg_groupby_q1": pg_groupby_q1,
