@@ -128,3 +128,41 @@ class TestPorterBackendParity:
             F.transform("toks", lambda t: porter_col(t)).alias("st")
         ).collect()[0]["st"]
         assert out == [porter_py(w) for w in words]
+
+
+class TestTextSqlSurface:
+    """PG text-search family on the raw-SQL path (functions/textsql)."""
+
+    def test_tsvector_family(self, spark):
+        from xcube_geodb_spark.functions.textsql import (
+            register_text_sql_functions,
+        )
+
+        register_text_sql_functions(spark)
+        row = spark.sql(
+            "SELECT geodb_stem('running') AS st,"
+            " to_tsvector('english', 'Running the queries, querying!') AS v,"
+            " plainto_tsquery('english', 'queried runs') AS q,"
+            " to_tsvector('simple', 'Running runs') AS vs"
+        ).collect()[0]
+        assert row["st"] == "run"
+        assert row["v"] == sorted({"run", "the", "queri"})
+        assert row["q"] == ["queri", "run"]
+        assert row["vs"] == ["running", "runs"]
+        m = spark.sql(
+            "SELECT ts_match_all(array('run','queri'), array('queri')) AS a,"
+            " ts_match_all(array('run'), array('queri','run')) AS b,"
+            " ts_match_any(array('run'), array('queri','run')) AS c"
+        ).collect()[0]
+        assert (m["a"], m["b"], m["c"]) == (True, False, True)
+
+    def test_unknown_config_rejected(self, spark):
+        from xcube_geodb_spark.functions.textsql import (
+            register_text_sql_functions,
+        )
+
+        register_text_sql_functions(spark)
+        with pytest.raises(Exception):
+            spark.sql(
+                "SELECT to_tsvector('german', 'wort')"
+            ).collect()

@@ -294,10 +294,14 @@ def get_collection_pg(
 ) -> DataFrame:
     """Raw-SQL scan (``geodb_get_pg``). Spark SQL parses/optimizes the
     statement (dialect deviation from Postgres documented in SURVEY.md §7);
-    PostGIS-style ``st_*`` functions are available in all clauses."""
+    PostGIS-style ``st_*`` functions and the PG text-search family
+    (``to_tsvector``/``plainto_tsquery``/``ts_match_all`` — the dialect's
+    spelling of ``@@``) are available in all clauses."""
+    from xcube_geodb_spark.functions.textsql import register_text_sql_functions
     from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
 
     register_spatial_sql_functions(catalog.spark)
+    register_text_sql_functions(catalog.spark)
     df = catalog.load_df(collection, database)
     view = _view_name(database, collection)
     df.createOrReplaceTempView(view)

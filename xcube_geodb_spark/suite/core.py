@@ -239,6 +239,20 @@ CORE_ORACLES_GRAMMAR = {
            OR (list_contains(toks, '{porter_py("merges")}')
                AND NOT list_contains(toks, '{porter_py("windows")}'))
     """,
+    "pg_fts_tsvector": f"""
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   list_transform(
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t != ''),
+                       t -> {porter_sql("t")}) AS toks
+            FROM documents
+        )
+        WHERE list_contains(toks, '{porter_py("querying")}')
+          AND list_contains(toks, '{porter_py("tables")}')
+        ORDER BY doc_id
+    """,
     "scan_fts_indexed": f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (
             SELECT doc_id,
@@ -310,6 +324,28 @@ def pg_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         where="l_shipdate <= timestamp '1998-09-02 00:00:00'",
         group="l_returnflag, l_linestatus",
         order="l_returnflag, l_linestatus",
+    )
+    return spark.sql(sql)
+
+
+def pg_fts_tsvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG text-search family on the raw-SQL path (functions/textsql):
+    ``to_tsvector('english', text)`` + ``plainto_tsquery`` +
+    ``ts_match_all`` (the dialect's spelling of ``@@`` — SURVEY.md §7).
+    The query words ('querying tables') are no literal corpus tokens; only
+    stemming matches them. The oracle replays the generated Porter SQL."""
+    from xcube_geodb_spark.functions.textsql import register_text_sql_functions
+
+    register_text_sql_functions(spark)
+    register_views(spark, sf_dir, "documents")
+    sql = build_pg_sql(
+        "documents",
+        select="doc_id",
+        where=(
+            "ts_match_all(to_tsvector('english', text), "
+            "plainto_tsquery('english', 'querying tables'))"
+        ),
+        order="doc_id",
     )
     return spark.sql(sql)
 
@@ -1349,6 +1385,7 @@ CORE_QUERIES = {
     "scan_json_arrow_select": scan_json_arrow_select,
     "scan_cs_cd_tokens": scan_cs_cd_tokens,
     "scan_fts_indexed": scan_fts_indexed,
+    "pg_fts_tsvector": pg_fts_tsvector,
     "scan_filter_grammar": scan_filter_grammar,
     "head_nation": head_nation,
     "pg_groupby_q1": pg_groupby_q1,
