@@ -171,3 +171,72 @@ class TestCrashRollForward:
         assert m2.d["who"] == "next"
         # the crashed snapshot is preserved in the history chain
         assert cat.meta_at_version("t", "cc", base + 1).d["who"] == "crashed"
+
+
+class TestAppendRetry:
+    def test_insert_retries_commute_with_concurrent_writer(
+        self, spark, tmp_path
+    ):
+        """Plain appends commute: a version conflict redoes the insert
+        against the fresh snapshot (fresh ids, fresh base version)."""
+        c = _mk(spark, tmp_path)
+        other = GeoDBSparkClient(
+            spark, warehouse=str(tmp_path / "wh"), user="cc"
+        )
+        cat = c.catalog
+        orig_meta = cat.meta
+        fired = {"done": False}
+
+        def stale_once(collection, database):
+            m = orig_meta(collection, database)
+            if not fired["done"]:
+                fired["done"] = True
+                # another writer lands a commit AFTER our snapshot read:
+                # our first attempt must conflict, the retry must win
+                other.insert_into_collection(
+                    "t", pd.DataFrame({"geometry": ["POINT (1 1)"], "v": [2]})
+                )
+            return m
+
+        cat.meta = stale_once
+        from xcube_geodb_spark.operators import dml
+
+        n = dml.insert_into_collection(
+            cat, "t",
+            pd.DataFrame({"geometry": ["POINT (2 2)"], "v": [3]}),
+            database="cc", retries=2,
+        )
+        cat.meta = orig_meta
+        assert n == 1
+        rows = c.get_collection("t")
+        assert sorted(rows["v"]) == [1, 2, 3]
+        assert rows["id"].is_unique
+
+    def test_insert_without_retries_still_raises(self, spark, tmp_path):
+        c = _mk(spark, tmp_path)
+        other = GeoDBSparkClient(
+            spark, warehouse=str(tmp_path / "wh"), user="cc"
+        )
+        cat = c.catalog
+        orig_meta = cat.meta
+        fired = {"done": False}
+
+        def stale_once(collection, database):
+            m = orig_meta(collection, database)
+            if not fired["done"]:
+                fired["done"] = True
+                other.insert_into_collection(
+                    "t", pd.DataFrame({"geometry": ["POINT (1 1)"], "v": [2]})
+                )
+            return m
+
+        cat.meta = stale_once
+        from xcube_geodb_spark.operators import dml
+
+        with pytest.raises(GeoDBError, match="Concurrent modification"):
+            dml.insert_into_collection(
+                cat, "t",
+                pd.DataFrame({"geometry": ["POINT (2 2)"], "v": [3]}),
+                database="cc",
+            )
+        cat.meta = orig_meta

@@ -155,10 +155,36 @@ def insert_into_collection(
     crs: int | None = None,
     database: str = "public",
     merge_meta: dict | None = None,
+    retries: int = 0,
 ) -> int:
     """Returns the number of rows written. ``merge_meta`` one-level-merges
     into dict-valued collection metadata keys in the same atomic commit
-    (streaming-sink epochs; see catalog.commit_version)."""
+    (streaming-sink epochs; see catalog.commit_version).
+
+    ``retries``: plain appends COMMUTE with any concurrent commit, so on a
+    version conflict (another writer won the race) the insert can simply
+    redo itself against the fresh snapshot — ids re-assigned past the new
+    max_id, files rewritten, up to ``retries`` extra attempts with
+    jittered backoff. Upserts do NOT auto-retry (a merge decision taken
+    against a stale snapshot must be re-validated by the caller)."""
+    if retries and not upsert:
+        import random
+        import time as _time
+
+        last: Exception | None = None
+        for attempt in range(retries + 1):
+            try:
+                return insert_into_collection(
+                    catalog, collection, values, upsert, crs, database,
+                    merge_meta, retries=0,
+                )
+            except GeoDBError as e:
+                if "Concurrent modification" not in str(e):
+                    raise
+                last = e
+                if attempt < retries:
+                    _time.sleep(random.uniform(0.02, 0.1) * (attempt + 1))
+        raise last
     m = catalog.meta(collection, database)
     if isinstance(values, pd.DataFrame) and not upsert:
         # fast path: the rows are already driver-side — assign ids AND
