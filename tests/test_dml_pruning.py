@@ -385,7 +385,13 @@ class TestBloomIndex:
 
     def test_blooms_recorded_in_manifest(self, bloom_client):
         m = bloom_client.catalog.meta("b", "pruner")
-        assert all("::bloom:name" in st for st in m.file_stats().values())
+        # blooms live in their own sidecar family, off the stats hot path
+        assert all("::bloom:name" in b for b in m.file_blooms().values())
+        assert not any(
+            k.startswith("::bloom:")
+            for st in m.file_stats().values()
+            for k in st
+        )
 
     def test_eq_lookup_scans_one_file(self, bloom_client):
         from xcube_geodb_spark.operators.scan import get_collection
@@ -451,7 +457,7 @@ class TestBloomIndex:
         bloom_client.optimize_collection("b")
         m = bloom_client.catalog.meta("b", "pruner")
         assert all(
-            "::bloom:name" in st for st in m.file_stats().values()
+            "::bloom:name" in b for b in m.file_blooms().values()
         )
         df = get_collection(
             bloom_client.catalog, "b", "name=eq.nothere", database="pruner"

@@ -159,10 +159,63 @@ class TestDictionaryCompatibility:
 
 
 class TestBloomBuild:
-    def test_fts_bloom_in_stats(self, english_cat):
+    def test_blooms_live_in_own_sidecar_family(self, english_cat):
+        # bloom payloads must NOT sit in the interval-stats hot path: the
+        # stats shards stay bloom-free, file_blooms() carries them
         m = english_cat.meta("docs", "ftsdb")
         stats = m.file_stats()
-        assert all("::bloom:fts:text" in stats[f] for f in m.files)
+        assert not any(
+            k.startswith("::bloom:") for st in stats.values() for k in st
+        )
+        blooms = m.file_blooms()
+        assert all("::bloom:fts:text" in blooms[f] for f in m.files)
+        assert m.d.get("bloom_files"), "bloom shard family must be tracked"
+
+    def test_interval_probe_never_parses_bloom_shards(self, english_cat):
+        # an interval-only scan must not load the (kilobytes x files)
+        # bloom shards: the catalog shard cache sees no bloom path
+        import os
+
+        from xcube_geodb_spark.operators.scan import explain_scan
+
+        english_cat._stats_shard_cache.clear()
+        explain_scan(english_cat, "docs", "n=eq.5", database="ftsdb")
+        assert not any(
+            os.sep + "blooms" + os.sep in p
+            for p in english_cat._stats_shard_cache
+        )
+        # an fts probe DOES load them (and they get cached)
+        explain_scan(
+            english_cat, "docs", "text=fts(english).volcano", database="ftsdb"
+        )
+        assert any(
+            os.sep + "blooms" + os.sep in p
+            for p in english_cat._stats_shard_cache
+        )
+
+    def test_legacy_inline_blooms_still_served(self, english_cat):
+        # pre-split shards carried ::bloom: keys inline in the stats — the
+        # bloom view must surface them unchanged
+        from xcube_geodb_spark.catalog import CollectionMeta
+
+        m = english_cat.meta("docs", "ftsdb")
+        legacy = CollectionMeta(
+            {
+                "files": ["data/a.parquet"],
+                "file_stats": {
+                    "data/a.parquet": {
+                        "id": [1, 9],
+                        "::bloom:fts:text": "QUJD",
+                    }
+                },
+            },
+            path="/dev/null",
+        )
+        assert (
+            legacy.file_blooms()["data/a.parquet"]["::bloom:fts:text"]
+            == "QUJD"
+        )
+        assert m is not legacy
 
     def test_rewrite_preserves_fts_blooms(self, english_cat, spark):
         # DML rewrite commits must rebuild the blooms for rewritten files

@@ -140,6 +140,7 @@ class CollectionMeta:
         self.path = path
         self._stats_loader = stats_loader
         self._stats_cache: dict | None = None
+        self._bloom_cache: dict | None = None
 
     def file_stats(self) -> dict:
         """Per-file column stats for the CURRENT snapshot's files:
@@ -157,6 +158,36 @@ class CollectionMeta:
             files = set(self._d.get("files") or [])
             self._stats_cache = {f: s for f, s in merged.items() if f in files}
         return self._stats_cache
+
+    def file_blooms(self) -> dict:
+        """Per-file bloom filters (``::bloom:<col>`` equality,
+        ``::bloom:fts:<col>`` token vocab) for the CURRENT snapshot.
+
+        Blooms are kilobyte-sized payloads per file — at 10^5 files they
+        would dominate the stats parse, so commits write them into their
+        own ``blooms/`` shard family (``bloom_files``), loaded ONLY when
+        a query actually carries a bloom-answerable constraint; the
+        interval-pruning hot path never pays for them. Legacy shards
+        with inline ``::bloom:`` keys are surfaced here too."""
+        if self._bloom_cache is None:
+            merged: dict = {}
+            if self._stats_loader is not None:
+                merged.update(
+                    self._stats_loader(self._d.get("bloom_files") or [])
+                )
+            files = set(self._d.get("files") or [])
+            out = {f: dict(b) for f, b in merged.items() if f in files}
+            # legacy: blooms inline in the stats shards (pre-split commits)
+            for f, st in self.file_stats().items():
+                legacy = {
+                    k: v for k, v in st.items() if k.startswith("::bloom:")
+                }
+                if legacy:
+                    out.setdefault(f, {}).update(
+                        {k: v for k, v in legacy.items() if k not in out[f]}
+                    )
+            self._bloom_cache = out
+        return self._bloom_cache
 
     # -- raw access ---------------------------------------------------------
     @property
@@ -794,18 +825,25 @@ class GeoDBCatalog:
             if i.get("type") == "fts"
         }
         delta_stats: dict[str, dict] = {}
+        # bloom payloads (kilobytes per file) go to their OWN shard family
+        # so the interval-stats hot path stays small at 10^5 files; they
+        # are loaded only by queries that carry bloom-answerable filters
+        delta_blooms: dict[str, dict] = {}
         for f in new_files:
             try:
                 st = file_column_stats(os.path.join(cdir, f))
+                bl: dict = {}
                 if bloom_cols:
-                    st.update(
+                    bl.update(
                         file_bloom_filters(os.path.join(cdir, f), bloom_cols)
                     )
                 if fts_cols:
-                    st.update(
+                    bl.update(
                         file_fts_blooms(os.path.join(cdir, f), fts_cols)
                     )
                 delta_stats[f] = st
+                if bl:
+                    delta_blooms[f] = bl
             except Exception:
                 pass  # unreadable stats never block a commit
         # legacy inline stats (pre-shard collections) migrate into the
@@ -833,6 +871,24 @@ class GeoDBCatalog:
             _atomic_write_json(os.path.join(cdir, sname), merged)
             shards = [sname]
         m.d["stats_files"] = shards
+        bshards = list(m.d.get("bloom_files") or [])
+        bdir = os.path.join(cdir, "blooms")
+        if delta_blooms:
+            os.makedirs(bdir, exist_ok=True)
+            bname = os.path.join("blooms", f"{uuid.uuid4().hex}.json")
+            _atomic_write_json(os.path.join(cdir, bname), delta_blooms)
+            bshards.append(bname)
+        if len(bshards) > 64:
+            loader = self._stats_loader(collection, database)
+            full = loader(bshards)
+            live = set(m.d["files"])
+            merged = {f: b for f, b in full.items() if f in live}
+            os.makedirs(bdir, exist_ok=True)
+            bname = os.path.join("blooms", f"{uuid.uuid4().hex}.json")
+            _atomic_write_json(os.path.join(cdir, bname), merged)
+            bshards = [bname]
+        if bshards:
+            m.d["bloom_files"] = bshards
         m.d["version"] = m.version + 1
         m.d["modified_at"] = _now_iso()
         if max_id is not None:

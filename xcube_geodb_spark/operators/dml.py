@@ -356,6 +356,7 @@ def _touched_untouched(
     vs the filter's conjunctive interval constraints. Conservative:
     anything unprovable counts as touched."""
     from xcube_geodb_spark.operators.pruning import (
+        bloom_columns_needed,
         conjunctive_constraints,
         split_files_by_constraints,
     )
@@ -364,8 +365,18 @@ def _touched_untouched(
     m = catalog.meta(collection, database)
     paths = catalog.manifest_paths(collection, database, meta=m)
     cols = sorted({c for c, _op, _v in constraints})
+    bloom_idx = {
+        i["property"]
+        for i in m.d.get("indexes", [])
+        if i.get("type") == "bloom"
+    }
     return split_files_by_constraints(
-        paths, cols, constraints, stats_map=m.file_stats()
+        paths, cols, constraints, stats_map=m.file_stats(),
+        blooms_map=(
+            m.file_blooms()
+            if bloom_columns_needed(constraints, None, bloom_idx)
+            else None
+        ),
     )
 
 

@@ -117,7 +117,9 @@ def vacuum_collection(
     m = catalog.meta(collection, database)
     cdir = catalog._coll_dir(collection, database)
     live = set(m.files)
-    live_shards = set(m.d.get("stats_files") or [])
+    live_shards = set(m.d.get("stats_files") or []) | set(
+        m.d.get("bloom_files") or []
+    )
     now = time.time()
     expired_versions: list[int] = []
     hdir = os.path.join(cdir, "history")
@@ -137,6 +139,7 @@ def vacuum_collection(
                     snap = json.load(fh)
                 live.update(snap.get("files", []))
                 live_shards.update(snap.get("stats_files") or [])
+                live_shards.update(snap.get("bloom_files") or [])
             else:
                 expired_versions.append(ver)
                 if not dry_run:
@@ -178,12 +181,14 @@ def vacuum_collection(
                     os.rmdir(root)
                 except OSError:
                     pass
-    # stats sidecar shards referenced by no retained snapshot expire with
-    # the snapshots that pointed at them
-    sdir = os.path.join(cdir, "stats")
-    if os.path.isdir(sdir):
+    # stats/bloom sidecar shards referenced by no retained snapshot expire
+    # with the snapshots that pointed at them
+    for family in ("stats", "blooms"):
+        sdir = os.path.join(cdir, family)
+        if not os.path.isdir(sdir):
+            continue
         for fn in os.listdir(sdir):
-            rel = os.path.join("stats", fn)
+            rel = os.path.join(family, fn)
             if rel in live_shards or not fn.endswith(".json"):
                 continue
             p = os.path.join(sdir, fn)

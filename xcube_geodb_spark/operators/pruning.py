@@ -189,12 +189,27 @@ def file_may_match(
     return True
 
 
+def bloom_columns_needed(
+    constraints, fts_groups, bloom_indexed: set[str]
+) -> bool:
+    """Whether the query carries any bloom-answerable filter — callers
+    load the bloom sidecar shards ONLY then; interval-only probes never
+    pay the (kilobytes x files) bloom parse."""
+    if fts_groups:
+        return True
+    return any(
+        op in ("eq", "in") and col in bloom_indexed
+        for col, op, _ in (constraints or [])
+    )
+
+
 def split_files_by_constraints(
     paths: dict[str, str],
     columns: list[str],
     constraints,
     stats_map: dict[str, dict] | None = None,
     fts_groups: list[tuple[str, list[list[str]]]] | None = None,
+    blooms_map: dict[str, dict] | None = None,
 ) -> tuple[list[str], list[str]]:
     """Partition manifest files into (maybe_touched, untouched).
 
@@ -202,7 +217,10 @@ def split_files_by_constraints(
     is the manifest's commit-time ``file_stats`` (rel -> {col: [min,
     max]}); files present there prune without any footer IO — at 100 TB
     the manifest read replaces N per-query footer reads. Files absent
-    (pre-stats commits) fall back to reading their footer."""
+    (pre-stats commits) fall back to reading their footer. ``blooms_map``
+    (``meta.file_blooms()``) supplies the per-file bloom payloads when
+    the caller determined the query needs them
+    (:func:`bloom_columns_needed`)."""
     from xcube_geodb_spark.operators.stats import footer_min_max
 
     if not constraints and not fts_groups:
@@ -215,9 +233,11 @@ def split_files_by_constraints(
                 if c in columns:
                     stats[c] = tuple(v)
                 elif c.startswith("::bloom:fts:"):
-                    stats[c] = v  # probed by fts_file_may_match
+                    stats[c] = v  # legacy inline; probed by fts_file_may_match
                 elif c.startswith("::bloom:") and c[len("::bloom:"):] in columns:
                     stats[c] = v  # base64 string, not a (min, max) pair
+            if blooms_map is not None and rel in blooms_map:
+                stats.update(blooms_map[rel])
         else:
             stats = footer_min_max([absolute], columns)
         if file_may_match(stats, constraints) and (

@@ -35,6 +35,7 @@ def get_collection(
     stand-in for the reference's PK btree (geodb.sql:310)."""
     from xcube_geodb_spark.catalog import SYSTEM_COLUMNS
     from xcube_geodb_spark.operators.pruning import (
+        bloom_columns_needed,
         conjunctive_constraints,
         fts_term_groups,
         split_files_by_constraints,
@@ -51,6 +52,13 @@ def get_collection(
             constraints,
             stats_map=m.file_stats(),
             fts_groups=fts_groups,
+            blooms_map=(
+                m.file_blooms()
+                if bloom_columns_needed(
+                    constraints, fts_groups, _bloom_indexed(m)
+                )
+                else None
+            ),
         )
         df = catalog.load_files(collection, database, touched, meta=m)
         df = df.drop(*[c for c in df.columns if c in SYSTEM_COLUMNS])
@@ -68,6 +76,14 @@ def _fts_indexes(m) -> dict[str, str]:
     }
 
 
+def _bloom_indexed(m) -> set[str]:
+    return {
+        i["property"]
+        for i in m.d.get("indexes", [])
+        if i.get("type") == "bloom"
+    }
+
+
 def explain_scan(
     catalog: GeoDBCatalog,
     collection: str,
@@ -79,6 +95,7 @@ def explain_scan(
     PushedFilters line, at file granularity). Metadata-only: no Spark job,
     no footer IO when manifest stats cover the files."""
     from xcube_geodb_spark.operators.pruning import (
+        bloom_columns_needed,
         conjunctive_constraints,
         fts_term_groups,
         split_files_by_constraints,
@@ -95,11 +112,23 @@ def explain_scan(
             constraints,
             stats_map=stats_map,
             fts_groups=fts_groups,
+            blooms_map=(
+                m.file_blooms()
+                if bloom_columns_needed(
+                    constraints, fts_groups, _bloom_indexed(m)
+                )
+                else None
+            ),
         )
     else:
         touched, skipped = list(m.files), []
     bloom_cols = sorted(
         {
+            i["property"]
+            for i in m.d.get("indexes", [])
+            if i.get("type") in ("bloom", "fts")
+        }
+        | {
             k[len("::bloom:"):]
             for st in stats_map.values()
             for k in st
