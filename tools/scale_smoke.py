@@ -300,9 +300,94 @@ def main() -> None:
         finally:
             shutil.rmtree(wh, ignore_errors=True)
 
+    def _bloom_isolation_probe(n_files: int) -> dict:
+        """Interval-probe latency must be INDEPENDENT of bloom payload
+        size: blooms live in their own shard family and only
+        bloom-answerable queries parse them. Builds a manifest whose
+        bloom shard is ~n_files x 2 KiB and measures (a) a warm interval
+        probe (never touches blooms), (b) the cold fts probe that pays
+        the bloom parse once, (c) the warm fts probe after caching."""
+        import base64
+        import shutil
+        import tempfile
+
+        from xcube_geodb_spark.catalog import GeoDBCatalog, _atomic_write_json
+        from xcube_geodb_spark.operators.pruning import (
+            conjunctive_constraints,
+            file_may_match,
+            fts_file_may_match,
+        )
+
+        wh = tempfile.mkdtemp(prefix="geodb_scale_bloom_")
+        try:
+            cat = GeoDBCatalog(spark, wh, user="scale")
+            cat.create_database("scale")
+            cat.create_collection("b", {"id": "int", "text": "text"},
+                                  database="scale")
+            m = cat.meta("b", "scale")
+            cdir = cat._coll_dir("b", "scale")
+            os.makedirs(os.path.join(cdir, "stats"), exist_ok=True)
+            os.makedirs(os.path.join(cdir, "blooms"), exist_ok=True)
+            files = [f"data/x/{i:06d}.parquet" for i in range(n_files)]
+            stats = {
+                f: {"id": [i * 10, i * 10 + 9], "::rows": [10, 10]}
+                for i, f in enumerate(files)
+            }
+            fat = base64.b64encode(b"\x00" * 1536).decode()
+            blooms = {f: {"::bloom:fts:text": fat} for f in files}
+            _atomic_write_json(
+                os.path.join(cdir, "stats", "seed.json"), stats
+            )
+            _atomic_write_json(
+                os.path.join(cdir, "blooms", "seed.json"), blooms
+            )
+            m.d["files"] = files
+            m.d["stats_files"] = [os.path.join("stats", "seed.json")]
+            m.d["bloom_files"] = [os.path.join("blooms", "seed.json")]
+            _atomic_write_json(m.path, m.d)
+
+            cons = conjunctive_constraints(f"id=eq.{n_files * 5}")
+            groups = [("text", [["zzz"]])]
+
+            def interval_probe():
+                mm = cat.meta("b", "scale")
+                fs = mm.file_stats()
+                return [
+                    f for f in mm.files if file_may_match(
+                        {k: tuple(v) for k, v in fs.get(f, {}).items()
+                         if k == "id"}, cons)
+                ]
+
+            def fts_probe():
+                mm = cat.meta("b", "scale")
+                bl = mm.file_blooms()
+                return [
+                    f for f in mm.files
+                    if fts_file_may_match(bl.get(f, {}), groups)
+                ]
+
+            interval_probe()  # parses the (small) stats shard once
+            t0 = time.perf_counter()
+            interval_probe()
+            interval_warm = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fts_probe()
+            fts_cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fts_probe()
+            fts_warm = time.perf_counter() - t0
+            return {
+                "interval_warm_s": round(interval_warm, 4),
+                "fts_cold_s": round(fts_cold, 4),
+                "fts_warm_s": round(fts_warm, 4),
+            }
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
     meta_bench = {
         "files_10k": _manifest_probe(10_000),
         "files_100k": _manifest_probe(100_000),
+        "bloom_isolation_10k": _bloom_isolation_probe(10_000),
     }
     w10 = meta_bench["files_10k"]["warm_s"]
     w100 = meta_bench["files_100k"]["warm_s"]
