@@ -126,3 +126,94 @@ class TestBm25Join:
         plan = self._run(spark)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan  # nothing corpus-sized joins by shuffle
+
+
+class TestInvertedIndex:
+    """At-rest inverted index: postings rows, bit-identical scores, and
+    token-range file pruning on the warehouse layout."""
+
+    TERMS = ["spark", "hash", "window", "merge"]
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return (
+            spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .select("doc_id", "text")
+        )
+
+    def test_index_path_matches_direct_scan(self, docs):
+        from xcube_geodb_spark.functions.retrieval import (
+            bm25_topk,
+            bm25_topk_from_index,
+            corpus_totals,
+            inverted_index,
+        )
+
+        direct = [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_topk(docs, self.TERMS, k=20).collect()
+        ]
+        n, dl = corpus_totals(docs)
+        via = [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_topk_from_index(
+                inverted_index(docs), n, dl, self.TERMS, k=20
+            ).collect()
+        ]
+        assert direct == via and len(direct) == 20
+
+    def test_missing_term_idf_matches_direct(self, docs):
+        from xcube_geodb_spark.functions.retrieval import (
+            bm25_topk,
+            bm25_topk_from_index,
+            corpus_totals,
+            inverted_index,
+        )
+
+        terms = ["spark", "zzzabsent"]
+        direct = [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_topk(docs, terms, k=10).collect()
+        ]
+        n, dl = corpus_totals(docs)
+        via = [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_topk_from_index(
+                inverted_index(docs), n, dl, terms, k=10
+            ).collect()
+        ]
+        assert direct == via
+
+    def test_warehouse_layout_prunes_token_files(self, docs, spark, tmp_path):
+        from xcube_geodb_spark.catalog import GeoDBCatalog
+        from xcube_geodb_spark.functions.retrieval import (
+            bm25_collection_topk,
+            bm25_topk,
+            build_bm25_collection,
+        )
+        from xcube_geodb_spark.operators.scan import explain_scan
+
+        cat = GeoDBCatalog(spark, str(tmp_path / "wh"), user="t")
+        cat.create_database("t")
+        # multi-file token-clustered layout straight from the build
+        build_bm25_collection(
+            cat, "postings", docs, database="t", max_file_rows=500
+        )
+        m = cat.meta("postings", "t")
+        assert len(m.files) >= 3, "postings must span multiple files"
+        ex = explain_scan(
+            cat, "postings", 'token=in.("spark","hash","window","merge")',
+            database="t",
+        )
+        assert ex["files_skipped"] > 0, ex
+        got = [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_collection_topk(
+                cat, "postings", self.TERMS, k=20, database="t"
+            ).collect()
+        ]
+        want = [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_topk(docs, self.TERMS, k=20).collect()
+        ]
+        assert got == want

@@ -31,7 +31,17 @@ from pyspark.sql import functions as F
 
 from xcube_geodb_spark.functions.text import tokens
 
-__all__ = ["term_frequency", "bm25_score", "bm25_topk", "bm25_join"]
+__all__ = [
+    "term_frequency",
+    "bm25_score",
+    "bm25_topk",
+    "bm25_join",
+    "inverted_index",
+    "corpus_totals",
+    "bm25_topk_from_index",
+    "build_bm25_collection",
+    "bm25_collection_topk",
+]
 
 
 def term_frequency(toks: Column, term: str) -> Column:
@@ -204,4 +214,188 @@ def bm25_join(
         agg.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# at-rest inverted index: the retrieval layout for a 100 TB corpus
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Postings TABLE ``(token, doc_id, tf, dl, df)`` — one row per
+    (token, document), denormalized with the document length and the
+    token's document frequency so scoring needs no second corpus pass.
+
+    Rows, not per-token arrays: a stopword's postings can be
+    corpus-sized, and a row-per-posting layout shards it across files
+    naturally, while ``collect_list`` would have to materialize it in one
+    executor. Range-clustered by ``token`` at rest (``btree`` index in
+    :func:`build_bm25_collection`), a query's terms map to a handful of
+    pruned files — the scan cost is O(matching postings), not O(corpus).
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("__t")).select(
+        F.col(id_col),
+        F.size("__t").alias("dl"),
+        F.explode("__t").alias("token"),
+    )
+    tf = base.groupBy("token", id_col, "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tok = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(df_tok, "token").select(
+        "token", F.col(id_col), "tf", "dl", "df"
+    )
+
+
+def corpus_totals(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[int, int]:
+    """(n_docs, total_token_count) — the two corpus scalars BM25 needs
+    beyond the postings; one aggregation to a single driver row."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("__dl"),
+    ).collect()[0]
+    return int(row["__n"]), int(row["__dl"] or 0)
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    n_docs: int,
+    total_dl: int,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k by BM25 reading ONLY the query terms' postings.
+
+    Bit-identical to :func:`bm25_topk` for every document containing at
+    least one query term: tf/dl/df/N are the same integers, idf the same
+    driver-side float, and the per-term score expression and summation
+    order are structurally identical (term pivot columns, not an
+    unordered float SUM over rows). Documents containing NO query term
+    (direct-path score 0.0) are absent here — callers wanting the direct
+    path's zero-score tail at k > matches must fall back to the full
+    scan."""
+    if not terms:
+        raise ValueError("bm25_topk_from_index needs at least one query term")
+    avgdl = total_dl / n_docs if n_docs else 1.0
+    sub = postings.filter(F.col("token").isin(list(terms)))
+    dfs = {
+        r["token"]: int(r["df"])
+        for r in sub.groupBy("token").agg(F.first("df").alias("df")).collect()
+    }
+    per_doc = sub.groupBy(id_col, "dl").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("token") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    dl = F.col("dl").cast("double")
+    score = None
+    for i, term in enumerate(terms):
+        dfv = dfs.get(term, 0)
+        idf = math.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        tf = F.col(f"__tf{i}").cast("double")
+        part = F.lit(idf) * (
+            tf * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl)))
+        )
+        score = part if score is None else score + part
+    return (
+        per_doc.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_bm25_collection(
+    catalog,
+    name: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    database: str = "public",
+    max_file_rows: int | None = None,
+) -> None:
+    """Materialize the inverted index as a warehouse collection
+    range-clustered by token (btree index), with the corpus scalars in
+    the collection metadata — committed atomically WITH the postings, so
+    a reader never sees postings from one corpus snapshot and totals
+    from another."""
+    from xcube_geodb_spark.admin import IndexManager
+    from xcube_geodb_spark.operators.dml import insert_into_collection
+
+    catalog.create_collection(
+        name,
+        {
+            "token": "text",
+            id_col: "bigint",
+            "tf": "int",
+            "dl": "int",
+            "df": "int",
+        },
+        database=database,
+    )
+    if max_file_rows is not None:
+        from xcube_geodb_spark.catalog import _atomic_write_json
+
+        m = catalog.meta(name, database)
+        m.d["max_file_rows"] = int(max_file_rows)
+        _atomic_write_json(m.path, m.d)
+    IndexManager(catalog).create_index(name, "token", database, kind="btree")
+    n_docs, total_dl = corpus_totals(docs, text_col)
+    insert_into_collection(
+        catalog,
+        name,
+        inverted_index(docs, text_col, id_col),
+        database=database,
+        merge_meta={"bm25_stats": {"n_docs": n_docs, "total_dl": total_dl}},
+    )
+
+
+def bm25_collection_topk(
+    catalog,
+    name: str,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    database: str = "public",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against an at-rest inverted-index collection: the
+    ``token=in.(...)`` scan prunes to the files whose token range admits
+    the query terms (btree clustering + manifest stats) before any
+    scoring runs — at 100 TB the probe reads a few postings files, never
+    the corpus."""
+    from xcube_geodb_spark.operators.scan import get_collection
+
+    m = catalog.meta(name, database)
+    stats = (m.d.get("bm25_stats") or {})
+    if not stats:
+        raise ValueError(
+            f"Collection {database}_{name} carries no bm25_stats metadata"
+        )
+    quoted = ",".join(f'"{t}"' for t in terms)
+    sub = get_collection(
+        catalog, name, f"token=in.({quoted})", database=database
+    )
+    return bm25_topk_from_index(
+        sub,
+        int(stats["n_docs"]),
+        int(stats["total_dl"]),
+        terms,
+        k=k,
+        id_col=id_col,
+        k1=k1,
+        b=b,
     )

@@ -1350,6 +1350,33 @@ def text_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, list(_BM25_TERMS), k=20)
 
 
+def text_bm25_indexed(spark, sf_dir):
+    """BM25 over the AT-REST inverted index
+    (functions/retrieval.inverted_index / build_bm25_collection): postings
+    rows (token, doc_id, tf, dl, df) stored as a warehouse collection
+    range-clustered by token, corpus scalars committed atomically in the
+    collection metadata; the probe scans only the query terms' postings
+    (token=in.(...) file pruning) and must replay the direct
+    bm25_topk scores bit-for-bit — same oracle."""
+    import tempfile
+
+    from xcube_geodb_spark.catalog import GeoDBCatalog
+    from xcube_geodb_spark.functions.retrieval import (
+        bm25_collection_topk,
+        build_bm25_collection,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cat = GeoDBCatalog(
+        spark, tempfile.mkdtemp(prefix="geodb_bm25_"), user="driver"
+    )
+    cat.create_database("driver")
+    build_bm25_collection(cat, "postings", docs, database="driver")
+    return bm25_collection_topk(
+        cat, "postings", list(_BM25_TERMS), k=20, database="driver"
+    )
+
+
 _BM25_QUERIES = (
     (1, "spark table"),
     (2, "hash merge batch"),
@@ -1730,6 +1757,8 @@ def _bm25_oracle() -> str:
 
 LLM_RETRIEVAL_ORACLES = {
     "text_bm25_topk": _bm25_oracle(),
+    # the indexed path must reproduce the scan path bit-for-bit
+    "text_bm25_indexed": _bm25_oracle(),
     "text_bm25_join": _bm25_join_oracle(),
     "corpus_cap_per_source": """
         SELECT doc_id, source FROM (
@@ -1878,6 +1907,7 @@ LLM_QUERIES = {
     "chunk_documents": chunk_documents,
     "pipeline_corpus_prep": pipeline_corpus_prep,
     "text_bm25_topk": text_bm25_topk,
+    "text_bm25_indexed": text_bm25_indexed,
     "text_bm25_join": text_bm25_join,
     "sketch_token_freq": sketch_token_freq,
     "sketch_distinct_tokens": sketch_distinct_tokens,
