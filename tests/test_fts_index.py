@@ -234,3 +234,22 @@ class TestBloomBuild:
             english_cat, "docs", "text=fts(english).zebra", database="ftsdb"
         )
         assert [r["n"] for r in out.collect()] == [5]
+
+
+class TestFtsDmlPruning:
+    def test_delete_by_fts_rewrites_only_matching_files(
+        self, spark, tmp_path_factory
+    ):
+        wh = str(tmp_path_factory.mktemp("ftswh_dml"))
+        cat = _mk(spark, wh, "docs_d", "english")
+        before = set(cat.meta("docs_d", "ftsdb").files)
+        dml.delete_from_collection(
+            cat, "docs_d", "text=fts(english).volcano", database="ftsdb"
+        )
+        m = cat.meta("docs_d", "ftsdb")
+        # the non-matching band files survive UNREWRITTEN (same physical
+        # file names); only the volcano band was touched
+        untouched = before & set(m.files)
+        assert untouched, "non-matching files must not rewrite"
+        out = get_collection(cat, "docs_d", database="ftsdb")
+        assert sorted(r["n"] for r in out.collect()) == list(range(0, 80))

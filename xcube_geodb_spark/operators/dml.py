@@ -358,11 +358,20 @@ def _touched_untouched(
     from xcube_geodb_spark.operators.pruning import (
         bloom_columns_needed,
         conjunctive_constraints,
+        fts_term_groups,
         split_files_by_constraints,
     )
 
     constraints = conjunctive_constraints(query)
     m = catalog.meta(collection, database)
+    fts_idx = {
+        i["property"]: i.get("dictionary", "english")
+        for i in m.d.get("indexes", [])
+        if i.get("type") == "fts"
+    }
+    # a delete/update keyed on an fts filter (e.g. purge boilerplate docs)
+    # rewrites only files whose token blooms admit the terms
+    fts_groups = fts_term_groups(query, fts_idx)
     paths = catalog.manifest_paths(collection, database, meta=m)
     cols = sorted({c for c, _op, _v in constraints})
     bloom_idx = {
@@ -372,9 +381,10 @@ def _touched_untouched(
     }
     return split_files_by_constraints(
         paths, cols, constraints, stats_map=m.file_stats(),
+        fts_groups=fts_groups,
         blooms_map=(
             m.file_blooms()
-            if bloom_columns_needed(constraints, None, bloom_idx)
+            if bloom_columns_needed(constraints, fts_groups, bloom_idx)
             else None
         ),
     )
