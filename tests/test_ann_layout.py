@@ -202,3 +202,52 @@ class TestIvfPqLayout:
         got = sorted((r["id"], r["dist_adc"]) for r in via_index.collect())
         want = sorted((r["id"], r["dist_adc"]) for r in want_df.collect())
         assert got == want and len(got) == 10
+
+
+class TestIvfPqRefine:
+    def test_refined_matches_exact_over_candidates(self, spark, tmp_path):
+        """The refine stage must equal exact cosine over the ADC
+        candidate set, and improve (or match) exact-metric agreement vs
+        raw ADC ordering."""
+        from xcube_geodb_spark.operators.ann import (
+            ann_ivfpq_topk,
+            ann_ivfpq_topk_refined,
+        )
+
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        cents = S.seed_centroids(emb, n_centroids=8)
+        books = S.pq_codebooks(emb, n_subspaces=8, n_centroids=8)
+        cat = _make_collection(
+            spark, str(tmp_path / "wh"), "emb_r", "ivfpq",
+            {"centroids": cents, "codebooks": books},
+        )
+        q = _query_vec(spark)
+        refined = ann_ivfpq_topk_refined(
+            cat, "emb_r", q, k=10, database="anndb", expand=3
+        )
+        cand = ann_ivfpq_topk(cat, "emb_r", q, k=30, database="anndb")
+        cand_ids = {r["id"] for r in cand.collect()}
+        full = cat.load_df("emb_r", "anndb")
+        want = S.cosine_topk(
+            full.filter(F.col("id").isin(list(cand_ids))), q, k=10,
+            id_col="id",
+        )
+        got = [(r["id"], r["cos_sim"]) for r in refined.collect()]
+        assert got == [(r["id"], r["cos_sim"]) for r in want.collect()]
+        assert len(got) == 10
+
+    def test_expand_guard(self, spark, tmp_path):
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.operators.ann import ann_ivfpq_topk_refined
+
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        cents = S.seed_centroids(emb, n_centroids=8)
+        books = S.pq_codebooks(emb, n_subspaces=8, n_centroids=8)
+        cat = _make_collection(
+            spark, str(tmp_path / "wh2"), "emb_g", "ivfpq",
+            {"centroids": cents, "codebooks": books},
+        )
+        with pytest.raises(GeoDBError):
+            ann_ivfpq_topk_refined(
+                cat, "emb_g", _query_vec(spark), database="anndb", expand=0
+            )

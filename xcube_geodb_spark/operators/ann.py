@@ -192,3 +192,49 @@ def ann_ivfpq_topk(
         code_col="__pqcode",
         id_col=id_col,
     )
+
+
+def ann_ivfpq_topk_refined(
+    catalog: GeoDBCatalog,
+    collection: str,
+    query_vector: list[float],
+    k: int = 20,
+    database: str = "public",
+    n_probe: int = 2,
+    id_col: str = "id",
+    expand: int = 3,
+) -> DataFrame:
+    """Two-stage IVF-PQ probe with exact re-ranking — the standard recipe
+    that recovers exact-metric ordering at PQ scan cost:
+
+    1. ADC over the code-only scan selects ``k * expand`` candidates
+       (:func:`ann_ivfpq_topk` — file-pruned, never reads embeddings),
+    2. ONLY those candidate rows' raw embeddings are read back (an
+       ``id IN (...)`` point-lookup over the probed files — pushed to the
+       parquet scan, and one footer-pruned file on an id-clustered
+       layout) and exact cosine re-ranks them to the final k.
+
+    The candidate id list is k*expand values — driver-sized by
+    construction. Returns ``(id_col, cos_sim)`` descending."""
+    from pyspark.sql import functions as F
+
+    from xcube_geodb_spark.functions.similarity import cosine_topk
+
+    if expand < 1:
+        raise GeoDBError("expand must be >= 1")
+    cand = ann_ivfpq_topk(
+        catalog, collection, query_vector, k=k * expand,
+        database=database, n_probe=n_probe, id_col=id_col,
+    )
+    ids = [r[id_col] for r in cand.collect()]
+    m = catalog.meta(collection, database)
+    idx = _ann_index(m, collection, database)
+    touched, _ = ann_probe_files(
+        catalog, collection, query_vector, database, n_probe, meta=m
+    )
+    rows = catalog.load_files(collection, database, touched, meta=m).filter(
+        F.col(id_col).isin(ids)
+    )
+    return cosine_topk(
+        rows, query_vector, k, vec_col=idx["property"], id_col=id_col
+    )

@@ -538,6 +538,44 @@ def ann_ivfpq_topk(spark, sf_dir):
     )
 
 
+def ann_ivfpq_refined(spark, sf_dir):
+    """Two-stage IVF-PQ: ADC top-60 over codes, then exact cosine
+    re-ranking of ONLY those 60 candidates' raw vectors (point lookups
+    over the probed files) to the final 20
+    (operators/ann.ann_ivfpq_topk_refined). The oracle replays ADC
+    candidate selection and the exact rerank."""
+    import tempfile
+
+    from xcube_geodb_spark.client import GeoDBSparkClient
+    from xcube_geodb_spark.operators.ann import ann_ivfpq_topk_refined
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = similarity.seed_centroids(emb, n_centroids=8)
+    books = similarity.pq_codebooks(emb, n_subspaces=8, n_centroids=8)
+    c = GeoDBSparkClient(
+        spark, warehouse=tempfile.mkdtemp(prefix="geodb_ivfpqr_"),
+        user="driver",
+    )
+    c.create_collection("emb", {"vec_id": "int", "embedding": "float[]"})
+    c.create_index(
+        "emb",
+        "embedding",
+        kind="ivfpq",
+        options={"centroids": cents, "codebooks": books},
+    )
+    c.insert_into_collection("emb", emb)
+    return ann_ivfpq_topk_refined(
+        c.catalog,
+        "emb",
+        _query_vector(spark, sf_dir),
+        k=20,
+        database="driver",
+        n_probe=2,
+        id_col="vec_id",
+        expand=3,
+    ).select("vec_id", "cos_sim")
+
+
 def sim_lsh_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, _query_vector(spark, sf_dir), k=20)
@@ -1267,6 +1305,32 @@ LLM_PQ_ORACLE = {
     """,
 }
 
+# Two-stage refine oracle: the ADC query (widened to 60 candidates by
+# replacing its final LIMIT) feeds an exact-cosine rerank over only those
+# candidates' raw vectors — derived from the ADC oracle so the candidate
+# selection can never drift between the two gates.
+_ADC_60 = LLM_PQ_ORACLE["ann_ivfpq_topk"].rstrip().rstrip("\n")
+assert _ADC_60.endswith("LIMIT 20"), "ADC oracle shape changed"
+_ADC_60 = _ADC_60[: -len("LIMIT 20")] + "LIMIT 60"
+LLM_PQ_ORACLE["ann_ivfpq_refined"] = f"""
+    WITH cand AS (
+{_ADC_60}
+    ),
+    s2 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q2 AS (SELECT v AS qv FROM s2 WHERE vec_id = 0)
+    SELECT c.vec_id,
+           round(list_dot_product(s2.v, qv) /
+                 (sqrt(list_dot_product(s2.v, s2.v)) *
+                  sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+    FROM cand c JOIN s2 ON CAST(s2.vec_id AS BIGINT) = c.vec_id, q2
+    ORDER BY cos_sim DESC, c.vec_id ASC
+    LIMIT 20
+"""
+
 
 def text_contamination(spark, sf_dir):
     """Train/test contamination report (functions/contamination): the
@@ -1889,6 +1953,7 @@ LLM_QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "ann_index_topk": ann_index_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_refined": ann_ivfpq_refined,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
