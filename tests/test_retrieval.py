@@ -217,3 +217,35 @@ class TestInvertedIndex:
             for r in bm25_topk(docs, self.TERMS, k=20).collect()
         ]
         assert got == want
+
+    def test_incremental_extension_equals_full_rebuild(
+        self, docs, spark, tmp_path
+    ):
+        """Index half the corpus, extend with the other half: queries must
+        equal the direct BM25 over the FULL corpus (df derived at query
+        time can't go stale; totals advance atomically)."""
+        from xcube_geodb_spark.catalog import GeoDBCatalog
+        from xcube_geodb_spark.functions.retrieval import (
+            bm25_collection_topk,
+            bm25_topk,
+            build_bm25_collection,
+            extend_bm25_collection,
+        )
+
+        first = docs.filter(F.col("doc_id") % 2 == 0)
+        second = docs.filter(F.col("doc_id") % 2 == 1)
+        cat = GeoDBCatalog(spark, str(tmp_path / "whx"), user="t")
+        cat.create_database("t")
+        build_bm25_collection(cat, "p2", first, database="t")
+        extend_bm25_collection(cat, "p2", second, database="t")
+        got = [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_collection_topk(
+                cat, "p2", self.TERMS, k=20, database="t"
+            ).collect()
+        ]
+        want = [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_topk(docs, self.TERMS, k=20).collect()
+        ]
+        assert got == want

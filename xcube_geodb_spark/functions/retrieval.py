@@ -225,9 +225,15 @@ def bm25_join(
 def inverted_index(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Postings TABLE ``(token, doc_id, tf, dl, df)`` — one row per
-    (token, document), denormalized with the document length and the
-    token's document frequency so scoring needs no second corpus pass.
+    """Postings TABLE ``(token, doc_id, tf, dl)`` — one row per
+    (token, document), with the document length denormalized.
+
+    Document frequency is deliberately NOT stored: ``df(token)`` equals
+    the number of posting rows for that token, and a query scans ALL
+    rows of its terms anyway, so the scorer derives df exactly from the
+    scanned subset. A stored df would go stale on every incremental
+    append (:func:`extend_bm25_collection`) and need a full-index
+    rewrite to fix.
 
     Rows, not per-token arrays: a stopword's postings can be
     corpus-sized, and a row-per-posting layout shards it across files
@@ -242,13 +248,9 @@ def inverted_index(
         F.size("__t").alias("dl"),
         F.explode("__t").alias("token"),
     )
-    tf = base.groupBy("token", id_col, "dl").agg(
+    return base.groupBy("token", id_col, "dl").agg(
         F.count(F.lit(1)).alias("tf")
-    )
-    df_tok = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    return tf.join(df_tok, "token").select(
-        "token", F.col(id_col), "tf", "dl", "df"
-    )
+    ).select("token", F.col(id_col), "tf", "dl")
 
 
 def corpus_totals(
@@ -287,9 +289,14 @@ def bm25_topk_from_index(
         raise ValueError("bm25_topk_from_index needs at least one query term")
     avgdl = total_dl / n_docs if n_docs else 1.0
     sub = postings.filter(F.col("token").isin(list(terms)))
+    # df(token) == posting-row count for the token; the filter already
+    # scans every such row, so this one small aggregate is exact — and
+    # stays exact across incremental index appends
     dfs = {
         r["token"]: int(r["df"])
-        for r in sub.groupBy("token").agg(F.first("df").alias("df")).collect()
+        for r in sub.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
     }
     per_doc = sub.groupBy(id_col, "dl").agg(
         *[
@@ -341,7 +348,6 @@ def build_bm25_collection(
             id_col: "bigint",
             "tf": "int",
             "dl": "int",
-            "df": "int",
         },
         database=database,
     )
@@ -359,6 +365,45 @@ def build_bm25_collection(
         inverted_index(docs, text_col, id_col),
         database=database,
         merge_meta={"bm25_stats": {"n_docs": n_docs, "total_dl": total_dl}},
+    )
+
+
+def extend_bm25_collection(
+    catalog,
+    name: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    database: str = "public",
+) -> None:
+    """Incrementally index a new document batch: its postings APPEND (new
+    doc ids make the (token, doc) rows disjoint from the existing index),
+    and the corpus scalars advance additively in the same atomic commit —
+    a reader always scores against a consistent (postings, totals) pair.
+    df needs no maintenance at all (derived at query time from the
+    scanned rows). The at-rest token clustering degrades as appends
+    interleave token ranges; ``optimize_collection`` restores it without
+    changing any result."""
+    from xcube_geodb_spark.operators.dml import insert_into_collection
+
+    m = catalog.meta(name, database)
+    stats = m.d.get("bm25_stats") or {}
+    if not stats:
+        raise ValueError(
+            f"Collection {database}_{name} carries no bm25_stats metadata"
+        )
+    d_n, d_dl = corpus_totals(new_docs, text_col)
+    insert_into_collection(
+        catalog,
+        name,
+        inverted_index(new_docs, text_col, id_col),
+        database=database,
+        merge_meta={
+            "bm25_stats": {
+                "n_docs": int(stats["n_docs"]) + d_n,
+                "total_dl": int(stats["total_dl"]) + d_dl,
+            }
+        },
     )
 
 
