@@ -375,6 +375,7 @@ def extend_bm25_collection(
     text_col: str = "text",
     id_col: str = "doc_id",
     database: str = "public",
+    extra_merge_meta: dict | None = None,
 ) -> None:
     """Incrementally index a new document batch: its postings APPEND (new
     doc ids make the (token, doc) rows disjoint from the existing index),
@@ -393,17 +394,19 @@ def extend_bm25_collection(
             f"Collection {database}_{name} carries no bm25_stats metadata"
         )
     d_n, d_dl = corpus_totals(new_docs, text_col)
+    merge = {
+        "bm25_stats": {
+            "n_docs": int(stats["n_docs"]) + d_n,
+            "total_dl": int(stats["total_dl"]) + d_dl,
+        }
+    }
+    merge.update(extra_merge_meta or {})
     insert_into_collection(
         catalog,
         name,
         inverted_index(new_docs, text_col, id_col),
         database=database,
-        merge_meta={
-            "bm25_stats": {
-                "n_docs": int(stats["n_docs"]) + d_n,
-                "total_dl": int(stats["total_dl"]) + d_dl,
-            }
-        },
+        merge_meta=merge,
     )
 
 

@@ -26,6 +26,8 @@ from xcube_geodb_spark.streaming.sink import (
     dedup_batch_writer,
     write_stream_dedup_to_collection,
     write_stream_to_collection,
+    bm25_index_batch_writer,
+    write_stream_to_bm25_index,
 )
 from xcube_geodb_spark.streaming.cdc import (
     GeoDBVersionsDataSource,
@@ -47,6 +49,8 @@ __all__ = [
     "dedup_batch_writer",
     "write_stream_dedup_to_collection",
     "write_stream_to_collection",
+    "bm25_index_batch_writer",
+    "write_stream_to_bm25_index",
     "GeoDBVersionsDataSource",
     "register_cdc_source",
     "stream_collection_changes",

@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame
 
 from xcube_geodb_spark.operators.dml import insert_into_collection
 
-__all__ = ["collection_batch_writer", "write_stream_to_collection"]
+__all__ = [
+    "collection_batch_writer",
+    "write_stream_to_collection",
+    "bm25_index_batch_writer",
+    "write_stream_to_bm25_index",
+]
 
 
 def collection_batch_writer(
@@ -216,6 +221,86 @@ def write_stream_dedup_to_collection(
                 near=near,
                 jaccard_threshold=jaccard_threshold,
                 crs=crs,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def bm25_index_batch_writer(
+    catalog,
+    collection: str,
+    database: str = "public",
+    *,
+    query_name: str = "bm25_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function maintaining an at-rest BM25 inverted
+    index continuously: each micro-batch's postings append and the corpus
+    scalars advance in the SAME atomic commit as the epoch record —
+    exactly-once despite replays, and a reader always scores against a
+    consistent (postings, totals) pair.
+
+    The additive totals update assumes ONE indexing stream per
+    collection (which the single epoch key already implies); concurrent
+    batch extenders should serialize through the commit-conflict error.
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from xcube_geodb_spark.functions.retrieval import (
+            extend_bm25_collection,
+        )
+
+        m = catalog.meta(collection, database)
+        done = m.d.get("stream_epochs", {}).get(query_name, -1)
+        if batch_id <= done:
+            return  # replayed batch: already durably committed
+        if batch_df.isEmpty():
+            return
+        extend_bm25_collection(
+            catalog,
+            collection,
+            batch_df,
+            text_col,
+            id_col,
+            database,
+            extra_merge_meta={
+                "stream_epochs": {query_name: int(batch_id)}
+            },
+        )
+
+    return _write_batch
+
+
+def write_stream_to_bm25_index(
+    stream_df: DataFrame,
+    catalog,
+    collection: str,
+    database: str = "public",
+    *,
+    checkpoint_dir: str,
+    query_name: str = "bm25_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger: dict | None = None,
+):
+    """Continuously index a document stream into a BM25 postings
+    collection built by ``build_bm25_collection`` (start from an empty
+    corpus frame for a from-scratch index). Returns the StreamingQuery."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            bm25_index_batch_writer(
+                catalog,
+                collection,
+                database,
+                query_name=query_name,
+                text_col=text_col,
+                id_col=id_col,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

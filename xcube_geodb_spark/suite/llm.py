@@ -1441,6 +1441,52 @@ def text_bm25_indexed(spark, sf_dir):
     )
 
 
+def stream_bm25_index(spark, sf_dir):
+    """Continuously-maintained BM25 index: documents flow through a real
+    readStream file source in several micro-batches, each appending its
+    postings + advancing the corpus totals exactly-once
+    (streaming/sink.write_stream_to_bm25_index); the final index answers
+    the standard 4-term query bit-identically to the direct corpus scan —
+    same oracle as text_bm25_topk."""
+    import tempfile
+
+    from xcube_geodb_spark.catalog import GeoDBCatalog
+    from xcube_geodb_spark.functions.retrieval import (
+        bm25_collection_topk,
+        build_bm25_collection,
+    )
+    from xcube_geodb_spark.streaming import write_stream_to_bm25_index
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cat = GeoDBCatalog(
+        spark, tempfile.mkdtemp(prefix="geodb_sbm25_"), user="driver"
+    )
+    cat.create_database("driver")
+    # from-scratch index: empty seed corpus, all content arrives streamed
+    build_bm25_collection(
+        cat, "postings", docs.limit(0), database="driver"
+    )
+    src = tempfile.mkdtemp(prefix="geodb_sbm25_src_")
+    docs.repartition(6).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = write_stream_to_bm25_index(
+        stream,
+        cat,
+        "postings",
+        "driver",
+        checkpoint_dir=tempfile.mkdtemp(prefix="geodb_sbm25_ckpt_"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    return bm25_collection_topk(
+        cat, "postings", list(_BM25_TERMS), k=20, database="driver"
+    )
+
+
 _BM25_QUERIES = (
     (1, "spark table"),
     (2, "hash merge batch"),
@@ -1823,6 +1869,8 @@ LLM_RETRIEVAL_ORACLES = {
     "text_bm25_topk": _bm25_oracle(),
     # the indexed path must reproduce the scan path bit-for-bit
     "text_bm25_indexed": _bm25_oracle(),
+    # the continuously-built index must agree with the batch scan too
+    "stream_bm25_index": _bm25_oracle(),
     "text_bm25_join": _bm25_join_oracle(),
     "corpus_cap_per_source": """
         SELECT doc_id, source FROM (
@@ -1973,6 +2021,7 @@ LLM_QUERIES = {
     "pipeline_corpus_prep": pipeline_corpus_prep,
     "text_bm25_topk": text_bm25_topk,
     "text_bm25_indexed": text_bm25_indexed,
+    "stream_bm25_index": stream_bm25_index,
     "text_bm25_join": text_bm25_join,
     "sketch_token_freq": sketch_token_freq,
     "sketch_distinct_tokens": sketch_distinct_tokens,
