@@ -249,3 +249,75 @@ class TestInvertedIndex:
             for r in bm25_topk(docs, self.TERMS, k=20).collect()
         ]
         assert got == want
+
+
+class TestFtsFromIndex:
+    """Boolean fts from the postings index must equal the filter-grammar
+    scan for every query shape, and reject what a bag-of-words index
+    can't answer."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "spark shuffles data across the cluster"),
+                (2, "duckdb scans parquet fast"),
+                (3, "window functions rank rows"),
+                (4, "hash joins and window aggregates"),
+                (5, "plain text with no keywords"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def _scan_ids(self, corpus, q, lang=""):
+        from xcube_geodb_spark.filters import apply_postgrest_query
+
+        tag = f"({lang})" if lang else ""
+        out = apply_postgrest_query(
+            corpus, f"text=fts{tag}.{q.replace('&', '%26')}"
+        )
+        return sorted(r["doc_id"] for r in out.collect())
+
+    def test_matches_scan_for_boolean_shapes(self, corpus):
+        from xcube_geodb_spark.functions.retrieval import (
+            fts_docs_from_index,
+            inverted_index,
+        )
+
+        idx = inverted_index(corpus)
+        for q in ("spark", "window&!hash", "spark&data|window&rank",
+                  "!spark&parquet"):
+            got = sorted(
+                r["doc_id"]
+                for r in fts_docs_from_index(idx, q).collect()
+            )
+            assert got == self._scan_ids(corpus, q), q
+
+    def test_stemmed_matches_stemmed_scan(self, corpus):
+        from xcube_geodb_spark.functions.retrieval import (
+            fts_docs_from_index,
+            inverted_index,
+        )
+
+        idx = inverted_index(corpus, stemmed=True)
+        for q in ("scanning", "windowing&!hashes", "sparked|ranked"):
+            got = sorted(
+                r["doc_id"]
+                for r in fts_docs_from_index(
+                    idx, q, stemmed=True
+                ).collect()
+            )
+            assert got == self._scan_ids(corpus, q, "english"), q
+
+    def test_phrase_and_pure_negation_rejected(self, corpus):
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.functions.retrieval import (
+            fts_docs_from_index,
+            inverted_index,
+        )
+
+        idx = inverted_index(corpus)
+        with pytest.raises(GeoDBError):
+            fts_docs_from_index(idx, "!spark")
+        with pytest.raises(GeoDBError):
+            fts_docs_from_index(idx, '"window functions"')

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from xcube_geodb_spark.functions.text import tokens
 
 __all__ = [
+    "fts_docs_from_index",
     "term_frequency",
     "bm25_score",
     "bm25_topk",
@@ -223,7 +224,10 @@ def bm25_join(
 
 
 def inverted_index(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stemmed: bool = False,
 ) -> DataFrame:
     """Postings TABLE ``(token, doc_id, tf, dl)`` — one row per
     (token, document), with the document length denormalized.
@@ -243,6 +247,10 @@ def inverted_index(
     pruned files — the scan cost is O(matching postings), not O(corpus).
     """
     toks = tokens(F.col(text_col))
+    if stemmed:
+        from xcube_geodb_spark.functions.porter import porter_col
+
+        toks = F.transform(toks, porter_col)
     base = docs.select(F.col(id_col), toks.alias("__t")).select(
         F.col(id_col),
         F.size("__t").alias("dl"),
@@ -447,3 +455,74 @@ def bm25_collection_topk(
         k1=k1,
         b=b,
     )
+
+
+def fts_docs_from_index(
+    postings: DataFrame,
+    tsquery: str,
+    id_col: str = "doc_id",
+    stemmed: bool = False,
+) -> DataFrame:
+    """Boolean fts evaluated ENTIRELY from the postings index — the GIN
+    path: matching document ids for an ``a&b|!c``-grammar tsquery
+    (filters._fts semantics: ``|`` lowest precedence over ``&`` groups of
+    optionally ``!``-negated single-word terms) without ever scanning the
+    text column. ``stemmed`` stems query terms with the same Porter
+    pipeline the index was built with (``inverted_index(stemmed=True)``).
+
+    Physical shape per OR-group: one scan of the group's terms' postings
+    (token-range file pruning applies at rest), a per-doc distinct-term
+    count equality for the AND, and an anti-join against the negated
+    terms' postings. Groups union DISTINCT. Phrases are not expressible
+    from a bag-of-words index (no positions) and raise — exactly PG's
+    GIN recheck boundary.
+    """
+    from xcube_geodb_spark.filters import _fts_norm
+    from xcube_geodb_spark.errors import GeoDBError
+
+    def norm_term(t: str) -> str:
+        body = _fts_norm(t)
+        if not body:
+            raise GeoDBError(f"Empty term in tsquery: {tsquery!r}")
+        if " " in body:
+            raise GeoDBError(
+                "phrase terms need positions — not answerable from a "
+                "bag-of-words postings index"
+            )
+        if stemmed:
+            from xcube_geodb_spark.functions.porter import porter_py
+
+            body = porter_py(body)
+        return body
+
+    result = None
+    for group in tsquery.split("|"):
+        pos: list[str] = []
+        neg: list[str] = []
+        for t in group.split("&"):
+            t = t.strip()
+            if not t:
+                raise GeoDBError(f"Empty group in tsquery: {tsquery!r}")
+            if t.startswith("!"):
+                neg.append(norm_term(t[1:]))
+            else:
+                pos.append(norm_term(t))
+        if not pos:
+            raise GeoDBError(
+                "a pure-negation group needs the full corpus id set — "
+                "evaluate it against the documents table instead"
+            )
+        hits = (
+            postings.filter(F.col("token").isin(pos))
+            .groupBy(id_col)
+            .agg(F.count_distinct(F.col("token")).alias("__nt"))
+            .filter(F.col("__nt") == len(pos))
+            .select(id_col)
+        )
+        if neg:
+            banned = postings.filter(F.col("token").isin(neg)).select(
+                id_col
+            )
+            hits = hits.join(banned, id_col, "left_anti")
+        result = hits if result is None else result.unionByName(hits)
+    return result.distinct()

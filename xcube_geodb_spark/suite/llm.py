@@ -1441,6 +1441,25 @@ def text_bm25_indexed(spark, sf_dir):
     )
 
 
+def text_fts_via_index(spark, sf_dir):
+    """Boolean fts answered ENTIRELY from the stemmed postings index
+    (functions/retrieval.fts_docs_from_index — the GIN path): the same
+    stemmed tsquery the scan gates use, evaluated as per-group
+    distinct-term-count semi-joins + negation anti-joins over postings
+    rows, never scanning the text column. Must equal the direct stemmed
+    scan — same oracle as scan_fts_indexed."""
+    from xcube_geodb_spark.functions.retrieval import (
+        fts_docs_from_index,
+        inverted_index,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = inverted_index(docs, stemmed=True)
+    return fts_docs_from_index(
+        postings, "querying&tables|merges&!windows", stemmed=True
+    )
+
+
 def stream_bm25_index(spark, sf_dir):
     """Continuously-maintained BM25 index: documents flow through a real
     readStream file source in several micro-batches, each appending its
@@ -1865,7 +1884,29 @@ def _bm25_oracle() -> str:
     """
 
 
+from xcube_geodb_spark.functions.porter import (  # noqa: E402
+    porter_py as _pstem,
+    porter_sql as _pstem_sql,
+)
+
 LLM_RETRIEVAL_ORACLES = {
+    # must equal the direct stemmed scan (scan_fts_indexed's semantics);
+    # DISTINCT because the index path unions OR-groups distinctly
+    "text_fts_via_index": f"""
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id,
+                   list_transform(
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t != ''),
+                       t -> {_pstem_sql("t")}) AS toks
+            FROM documents
+        )
+        WHERE (list_contains(toks, '{_pstem("querying")}')
+               AND list_contains(toks, '{_pstem("tables")}'))
+           OR (list_contains(toks, '{_pstem("merges")}')
+               AND NOT list_contains(toks, '{_pstem("windows")}'))
+    """,
     "text_bm25_topk": _bm25_oracle(),
     # the indexed path must reproduce the scan path bit-for-bit
     "text_bm25_indexed": _bm25_oracle(),
@@ -2022,6 +2063,7 @@ LLM_QUERIES = {
     "text_bm25_topk": text_bm25_topk,
     "text_bm25_indexed": text_bm25_indexed,
     "stream_bm25_index": stream_bm25_index,
+    "text_fts_via_index": text_fts_via_index,
     "text_bm25_join": text_bm25_join,
     "sketch_token_freq": sketch_token_freq,
     "sketch_distinct_tokens": sketch_distinct_tokens,
