@@ -166,3 +166,36 @@ class TestTextSqlSurface:
             spark.sql(
                 "SELECT to_tsvector('german', 'wort')"
             ).collect()
+
+    def test_ts_headline(self, spark):
+        from xcube_geodb_spark.functions.textsql import (
+            register_text_sql_functions,
+        )
+
+        register_text_sql_functions(spark)
+        row = spark.sql(
+            "SELECT ts_headline('english',"
+            " 'He runs while running very fast indeed.',"
+            " plainto_tsquery('english', 'run')) AS h,"
+            " ts_headline('simple', 'a b c', plainto_tsquery('simple','z'))"
+            " AS miss"
+        ).collect()[0]
+        assert row["h"] == (
+            "He <b>runs</b> while <b>running</b> very fast indeed."
+        )
+        assert row["miss"] == "a b c"
+
+    def test_ts_headline_crops_window(self, spark):
+        from xcube_geodb_spark.functions.textsql import (
+            register_text_sql_functions,
+        )
+
+        register_text_sql_functions(spark)
+        text = " ".join(f"w{i}" for i in range(100)) + " target tail"
+        row = spark.sql(
+            f"SELECT ts_headline('simple', '{text}',"
+            " plainto_tsquery('simple', 'target')) AS h"
+        ).collect()[0]
+        assert row["h"].startswith("... ")
+        assert "<b>target</b>" in row["h"]
+        assert len(row["h"].split()) <= 35 + 2

@@ -21,6 +21,11 @@ Registered names:
 - ``ts_match_all(vec, query_lexemes)`` — every lexeme present (PG
   ``vec @@ plainto_tsquery(...)`` semantics: plainto ANDs its words)
 - ``ts_match_any(vec, query_lexemes)`` — at least one lexeme present
+- ``ts_headline(config, text, query_lexemes)`` — a highlighted fragment:
+  words whose lexeme matches the query wrap in ``<b>...</b>``, cropped
+  to a window around the first match (simplified PG defaults: ~35 words,
+  StartSel/StopSel fixed; cover-density ranking of fragments is not
+  implemented — documented deviation)
 """
 
 from __future__ import annotations
@@ -51,6 +56,31 @@ def _lexemes(config: str, text: str | None) -> list[str] | None:
     return toks
 
 
+_HEAD_MAX_WORDS = 35
+_HEAD_LEAD_WORDS = 7
+
+
+def _headline(config: str, text: str | None, query: list[str] | None):
+    if text is None or query is None:
+        return None
+    qset = set(query)
+    words = text.split()
+    cfg = (config or "english").lower()
+    marked = []
+    first = None
+    for i, w in enumerate(words):
+        lex = _lexemes(cfg, w)
+        hit = bool(lex) and any(t in qset for t in lex)
+        if hit and first is None:
+            first = i
+        marked.append(f"<b>{w}</b>" if hit else w)
+    start = max(0, (first or 0) - _HEAD_LEAD_WORDS)
+    frag = marked[start : start + _HEAD_MAX_WORDS]
+    head = "... " if start > 0 else ""
+    tail = " ..." if start + _HEAD_MAX_WORDS < len(marked) else ""
+    return head + " ".join(frag) + tail
+
+
 def register_text_sql_functions(spark: SparkSession) -> None:
     """Idempotent registration into the session's SQL dialect."""
     arr = T.ArrayType(T.StringType())
@@ -76,6 +106,7 @@ def register_text_sql_functions(spark: SparkSession) -> None:
         ),
         T.BooleanType(),
     )
+    spark.udf.register("ts_headline", _headline, T.StringType())
     spark.udf.register(
         "ts_match_any",
         lambda vec, q: (
