@@ -321,3 +321,44 @@ class TestFtsFromIndex:
             fts_docs_from_index(idx, "!spark")
         with pytest.raises(GeoDBError):
             fts_docs_from_index(idx, '"window functions"')
+
+
+class TestNewOperatorPlans:
+    """Plan pins for the round's additions: pure-codegen stemming and
+    heap top-k on the index path — no Python in any hot path."""
+
+    def test_stemmed_fts_filter_plan_has_no_python(self, spark):
+        from xcube_geodb_spark.filters import apply_postgrest_query
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        out = apply_postgrest_query(df, "text=fts(english).querying%26tables")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_index_topk_plan_heap_and_no_python(self, spark):
+        from xcube_geodb_spark.functions.retrieval import (
+            bm25_topk_from_index,
+            inverted_index,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "b c")], "doc_id long, text string"
+        )
+        out = bm25_topk_from_index(
+            inverted_index(docs), 2, 4, ["a", "b"], k=2
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_stemmed_index_build_plan_has_no_python(self, spark):
+        from xcube_geodb_spark.functions.retrieval import inverted_index
+
+        docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+        plan = (
+            inverted_index(docs, stemmed=True)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
