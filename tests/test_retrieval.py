@@ -362,3 +362,61 @@ class TestNewOperatorPlans:
             .toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPostingsMaintenance:
+    TERMS = ["spark", "hash", "window", "merge"]
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return (
+            spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .select("doc_id", "text")
+        )
+
+    def test_optimize_restores_postings_clustering(
+        self, docs, spark, tmp_path
+    ):
+        """Incremental appends interleave token ranges across files;
+        optimize_collection re-clusters by the btree(token) layout so
+        token-range pruning returns — results unchanged throughout."""
+        from xcube_geodb_spark.catalog import GeoDBCatalog
+        from xcube_geodb_spark.functions.retrieval import (
+            bm25_collection_topk,
+            bm25_topk,
+            build_bm25_collection,
+            extend_bm25_collection,
+        )
+        from xcube_geodb_spark.operators.maintenance import (
+            optimize_collection,
+        )
+        from xcube_geodb_spark.operators.scan import explain_scan
+
+        cat = GeoDBCatalog(spark, str(tmp_path / "who"), user="t")
+        cat.create_database("t")
+        build_bm25_collection(
+            cat, "p3", docs.filter(F.col("doc_id") % 3 == 0),
+            database="t", max_file_rows=800,
+        )
+        for r in (1, 2):
+            extend_bm25_collection(
+                cat, "p3", docs.filter(F.col("doc_id") % 3 == r),
+                database="t",
+            )
+        optimize_collection(cat, "p3", "t")
+        q = 'token=in.("spark","hash","window","merge")'
+        m = cat.meta("p3", "t")
+        if len(m.files) > 1:
+            ex = explain_scan(cat, "p3", q, database="t")
+            assert ex["files_skipped"] > 0, ex
+        got = [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_collection_topk(
+                cat, "p3", self.TERMS, k=20, database="t"
+            ).collect()
+        ]
+        want = [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_topk(docs, self.TERMS, k=20).collect()
+        ]
+        assert got == want
