@@ -34,6 +34,13 @@ PQ codes at rest and footer file-pruning), so no
 operator family loses driver verification;
 everything demoted stays locally verified via
 ``tools/check_correctness.py``.
+
+Beyond-window round-5 additions (all oracle-paired, locally verified):
+``ann_ivfpq_refined`` (two-stage ADC + exact rerank), ``scan_fts_indexed``
+(token-bloom-pruned stemmed scan), ``pg_fts_tsvector`` (raw-SQL
+to_tsvector family), ``text_bm25_indexed`` / ``stream_bm25_index``
+(at-rest and continuously-maintained inverted index) and
+``text_fts_via_index`` (boolean fts from postings — the GIN path).
 """
 
 from xcube_geodb_spark.suite.core import CORE_QUERIES, CORE_ORACLES
