@@ -5,7 +5,8 @@ end to end on the synthetic documents table.
 Stages (each one a first-class, oracle-gated engine operator):
 dedup (exact -> near -> line-level -> span detection) -> benchmark
 decontamination -> quality profile + percentile fences -> stratified
-sampling -> deterministic split -> token-budget packing -> BM25 search.
+sampling -> deterministic split -> token-budget packing -> BM25 search
+(direct scan AND the at-rest inverted index, verified identical).
 
 Run: python examples/corpus_pipeline.py [sf_dir]   (default sf0.001)
 """
@@ -96,6 +97,23 @@ def main() -> None:
 
     hits = bm25_topk(filtered, ["spark", "window", "merge"], k=3).collect()
     print("bm25 top-3:", [int(r["doc_id"]) for r in hits])
+
+    # the same query over the AT-REST inverted index (what a 100 TB corpus
+    # would serve from): postings rows + corpus scalars, bit-identical
+    from xcube_geodb_spark.functions.retrieval import (
+        bm25_topk_from_index,
+        corpus_totals,
+        inverted_index,
+    )
+
+    n, dl = corpus_totals(filtered)
+    idx_hits = bm25_topk_from_index(
+        inverted_index(filtered), n, dl, ["spark", "window", "merge"], k=3
+    ).collect()
+    assert [int(r["doc_id"]) for r in idx_hits] == [
+        int(r["doc_id"]) for r in hits
+    ]
+    print("bm25 via inverted index: identical top-3")
     spark.stop()
     print("corpus pipeline complete")
 
