@@ -420,3 +420,22 @@ class TestPostingsMaintenance:
             for r in bm25_topk(docs, self.TERMS, k=20).collect()
         ]
         assert got == want
+
+    def test_collection_topk_rejects_non_token_terms(
+        self, docs, spark, tmp_path
+    ):
+        from xcube_geodb_spark.catalog import GeoDBCatalog
+        from xcube_geodb_spark.functions.retrieval import (
+            bm25_collection_topk,
+            build_bm25_collection,
+        )
+
+        cat = GeoDBCatalog(spark, str(tmp_path / "whq"), user="t")
+        cat.create_database("t")
+        build_bm25_collection(
+            cat, "p4", docs.limit(5), database="t"
+        )
+        with pytest.raises(ValueError):
+            bm25_collection_topk(cat, "p4", ['a"b'], database="t")
+        with pytest.raises(ValueError):
+            bm25_collection_topk(cat, "p4", ["Spark"], database="t")

@@ -25,6 +25,7 @@ and a final ``round(score, 6)``.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -441,6 +442,14 @@ def bm25_collection_topk(
         raise ValueError(
             f"Collection {database}_{name} carries no bm25_stats metadata"
         )
+    for t in terms:
+        # postings tokens come from the [a-z0-9]+ tokenizer; anything else
+        # can't match and would only risk mis-quoting the filter literal
+        if not re.fullmatch(r"[a-z0-9]+", t):
+            raise ValueError(
+                f"query term {t!r} is not a tokenizer-normal token"
+                " (lower-case [a-z0-9]+)"
+            )
     quoted = ",".join(f'"{t}"' for t in terms)
     sub = get_collection(
         catalog, name, f"token=in.({quoted})", database=database
