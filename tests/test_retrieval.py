@@ -309,6 +309,44 @@ class TestFtsFromIndex:
             )
             assert got == self._scan_ids(corpus, q, "english"), q
 
+    def test_plfts_and_wfts_match_scan(self, corpus):
+        from xcube_geodb_spark.filters import apply_postgrest_query
+        from xcube_geodb_spark.functions.retrieval import (
+            fts_docs_from_index,
+            inverted_index,
+        )
+
+        idx = inverted_index(corpus)
+        for op, q in (
+            ("plfts", "window rank"),
+            ("wfts", "window -hash or parquet"),
+            ("wfts", "spark data"),
+        ):
+            got = sorted(
+                r["doc_id"]
+                for r in fts_docs_from_index(idx, q, op=op).collect()
+            )
+            want = sorted(
+                r["doc_id"]
+                for r in apply_postgrest_query(
+                    corpus, f"text={op}.{q}"
+                ).collect()
+            )
+            assert got == want, (op, q)
+
+    def test_duplicate_positive_terms(self, corpus):
+        from xcube_geodb_spark.functions.retrieval import (
+            fts_docs_from_index,
+            inverted_index,
+        )
+
+        idx = inverted_index(corpus)
+        got = sorted(
+            r["doc_id"]
+            for r in fts_docs_from_index(idx, "spark&spark").collect()
+        )
+        assert got == [1]
+
     def test_phrase_and_pure_negation_rejected(self, corpus):
         from xcube_geodb_spark.errors import GeoDBError
         from xcube_geodb_spark.functions.retrieval import (
@@ -321,6 +359,10 @@ class TestFtsFromIndex:
             fts_docs_from_index(idx, "!spark")
         with pytest.raises(GeoDBError):
             fts_docs_from_index(idx, '"window functions"')
+        with pytest.raises(GeoDBError):
+            fts_docs_from_index(idx, '"window functions" rank', op="wfts")
+        with pytest.raises(GeoDBError):
+            fts_docs_from_index(idx, "window", op="phfts")
 
 
 class TestNewOperatorPlans:

@@ -471,23 +471,28 @@ def fts_docs_from_index(
     tsquery: str,
     id_col: str = "doc_id",
     stemmed: bool = False,
+    op: str = "fts",
 ) -> DataFrame:
     """Boolean fts evaluated ENTIRELY from the postings index — the GIN
-    path: matching document ids for an ``a&b|!c``-grammar tsquery
-    (filters._fts semantics: ``|`` lowest precedence over ``&`` groups of
-    optionally ``!``-negated single-word terms) without ever scanning the
-    text column. ``stemmed`` stems query terms with the same Porter
-    pipeline the index was built with (``inverted_index(stemmed=True)``).
+    path: matching document ids for a filters._fts-semantics query
+    without ever scanning the text column. ``op`` selects the grammar:
+    ``fts`` (``a&b|!c`` — ``|`` lowest precedence over ``&`` groups of
+    optionally ``!``-negated terms), ``plfts`` (plain: every word
+    required), or ``wfts`` (websearch: bare words ANDed, ``-word``
+    negated, ``or`` separates alternatives). ``stemmed`` stems query
+    terms with the same Porter pipeline the index was built with
+    (``inverted_index(stemmed=True)``).
 
     Physical shape per OR-group: one scan of the group's terms' postings
     (token-range file pruning applies at rest), a per-doc distinct-term
     count equality for the AND, and an anti-join against the negated
-    terms' postings. Groups union DISTINCT. Phrases are not expressible
-    from a bag-of-words index (no positions) and raise — exactly PG's
-    GIN recheck boundary.
+    terms' postings. Groups union DISTINCT. Phrases (``phfts``, quoted
+    websearch phrases, multi-word terms) are not expressible from a
+    bag-of-words index (no positions) and raise — exactly PG's GIN
+    recheck boundary.
     """
-    from xcube_geodb_spark.filters import _fts_norm
     from xcube_geodb_spark.errors import GeoDBError
+    from xcube_geodb_spark.filters import _fts_norm
 
     def norm_term(t: str) -> str:
         body = _fts_norm(t)
@@ -504,18 +509,56 @@ def fts_docs_from_index(
             body = porter_py(body)
         return body
 
-    result = None
-    for group in tsquery.split("|"):
-        pos: list[str] = []
-        neg: list[str] = []
-        for t in group.split("&"):
-            t = t.strip()
-            if not t:
-                raise GeoDBError(f"Empty group in tsquery: {tsquery!r}")
-            if t.startswith("!"):
-                neg.append(norm_term(t[1:]))
+    # parse to [(positive terms, negated terms)] OR-groups per grammar
+    groups: list[tuple[list[str], list[str]]] = []
+    if op == "plfts":
+        words = _fts_norm(tsquery).split(" ") if _fts_norm(tsquery) else []
+        if not words:
+            raise GeoDBError(f"Empty plfts query: {tsquery!r}")
+        groups.append(([norm_term(w) for w in words], []))
+    elif op == "wfts":
+        raw_groups: list[list[str]] = [[]]
+        for t in re.findall(r'-?"[^"]+"|\S+', tsquery):
+            if t.lower() == "or":
+                raw_groups.append([])
             else:
-                pos.append(norm_term(t))
+                raw_groups[-1].append(t)
+        for g in [g for g in raw_groups if g]:
+            pos, neg = [], []
+            for t in g:
+                if '"' in t:
+                    raise GeoDBError(
+                        "websearch phrases need positions — not "
+                        "answerable from a bag-of-words postings index"
+                    )
+                if t.startswith("-"):
+                    neg.append(norm_term(t[1:]))
+                else:
+                    pos.append(norm_term(t))
+            groups.append((pos, neg))
+        if not groups:
+            raise GeoDBError(f"Empty wfts query: {tsquery!r}")
+    elif op == "fts":
+        for group in tsquery.split("|"):
+            pos, neg = [], []
+            for t in group.split("&"):
+                t = t.strip()
+                if not t:
+                    raise GeoDBError(
+                        f"Empty group in tsquery: {tsquery!r}"
+                    )
+                if t.startswith("!"):
+                    neg.append(norm_term(t[1:]))
+                else:
+                    pos.append(norm_term(t))
+            groups.append((pos, neg))
+    else:
+        raise GeoDBError(
+            f"op must be fts/plfts/wfts (phfts needs positions), got {op!r}"
+        )
+
+    result = None
+    for pos, neg in groups:
         if not pos:
             raise GeoDBError(
                 "a pure-negation group needs the full corpus id set — "
@@ -525,7 +568,7 @@ def fts_docs_from_index(
             postings.filter(F.col("token").isin(pos))
             .groupBy(id_col)
             .agg(F.count_distinct(F.col("token")).alias("__nt"))
-            .filter(F.col("__nt") == len(pos))
+            .filter(F.col("__nt") == len(set(pos)))
             .select(id_col)
         )
         if neg:
