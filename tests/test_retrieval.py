@@ -481,3 +481,58 @@ class TestPostingsMaintenance:
             bm25_collection_topk(cat, "p4", ['a"b'], database="t")
         with pytest.raises(ValueError):
             bm25_collection_topk(cat, "p4", ["Spark"], database="t")
+
+    def test_fts_collection_docs_prunes_and_matches(
+        self, docs, spark, tmp_path
+    ):
+        """Warehouse GIN path: boolean fts over the at-rest stemmed
+        postings, file-pruned by token range, equals the direct stemmed
+        scan."""
+        from xcube_geodb_spark.catalog import (
+            GeoDBCatalog,
+            _atomic_write_json,
+        )
+        from xcube_geodb_spark.admin import IndexManager
+        from xcube_geodb_spark.filters import apply_postgrest_query
+        from xcube_geodb_spark.functions.retrieval import (
+            fts_collection_docs,
+            inverted_index,
+        )
+        from xcube_geodb_spark.operators import dml
+
+        cat = GeoDBCatalog(spark, str(tmp_path / "whg"), user="t")
+        cat.create_database("t")
+        cat.create_collection(
+            "gin",
+            {"token": "text", "doc_id": "bigint", "tf": "int", "dl": "int"},
+            database="t",
+        )
+        m = cat.meta("gin", "t")
+        m.d["max_file_rows"] = 2000
+        _atomic_write_json(m.path, m.d)
+        IndexManager(cat).create_index("gin", "token", "t", kind="btree")
+        dml.insert_into_collection(
+            cat, "gin", inverted_index(docs, stemmed=True), database="t"
+        )
+        assert len(cat.meta("gin", "t").files) >= 3
+        q = "querying&tables|merges&!windows"
+        got = sorted(
+            r["doc_id"]
+            for r in fts_collection_docs(
+                cat, "gin", q, database="t"
+            ).collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in apply_postgrest_query(
+                docs, f"text=fts(english).{q.replace('&', '%26')}"
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+        from xcube_geodb_spark.operators.scan import explain_scan
+
+        ex = explain_scan(
+            cat, "gin",
+            'token=in.("queri","tabl","merg","window")', database="t",
+        )
+        assert ex["files_skipped"] > 0, ex

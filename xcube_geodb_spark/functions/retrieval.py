@@ -34,6 +34,7 @@ from xcube_geodb_spark.functions.text import tokens
 
 __all__ = [
     "fts_docs_from_index",
+    "fts_collection_docs",
     "term_frequency",
     "bm25_score",
     "bm25_topk",
@@ -578,3 +579,61 @@ def fts_docs_from_index(
             hits = hits.join(banned, id_col, "left_anti")
         result = hits if result is None else result.unionByName(hits)
     return result.distinct()
+
+
+def fts_collection_docs(
+    catalog,
+    name: str,
+    tsquery: str,
+    id_col: str = "doc_id",
+    database: str = "public",
+    stemmed: bool = True,
+    op: str = "fts",
+) -> DataFrame:
+    """The GIN path against an AT-REST postings collection (built from
+    ``inverted_index(stemmed=...)`` via the warehouse insert): ONE
+    ``token=in.(...)`` scan covering every term the query mentions —
+    positive and negated alike, since the anti-join needs the negated
+    postings too — pruned to the files whose token range admits them,
+    then :func:`fts_docs_from_index` evaluates the boolean tree on the
+    scanned subset. The text column is never read."""
+    from xcube_geodb_spark.errors import GeoDBError
+    from xcube_geodb_spark.filters import _fts_norm
+    from xcube_geodb_spark.operators.scan import get_collection
+
+    def norm(t: str) -> str:
+        body = _fts_norm(t)
+        if stemmed and body and " " not in body:
+            from xcube_geodb_spark.functions.porter import porter_py
+
+            body = porter_py(body)
+        return body
+
+    mentioned: set[str] = set()
+    if op == "plfts":
+        mentioned.update(
+            norm(w) for w in _fts_norm(tsquery).split(" ") if w
+        )
+    elif op == "wfts":
+        for t in re.findall(r'-?"[^"]+"|\S+', tsquery):
+            if t.lower() != "or":
+                mentioned.add(norm(t.lstrip("-")))
+    elif op == "fts":
+        for group in tsquery.split("|"):
+            for t in group.split("&"):
+                mentioned.add(norm(t.strip().lstrip("!")))
+    else:
+        raise GeoDBError(f"op must be fts/plfts/wfts, got {op!r}")
+    mentioned.discard("")
+    for t in mentioned:
+        if not re.fullmatch(r"[a-z0-9]+", t):
+            raise GeoDBError(
+                f"query term {t!r} is not a tokenizer-normal token"
+            )
+    quoted = ",".join(f'"{t}"' for t in sorted(mentioned))
+    sub = get_collection(
+        catalog, name, f"token=in.({quoted})", database=database
+    )
+    return fts_docs_from_index(
+        sub, tsquery, id_col=id_col, stemmed=stemmed, op=op
+    )
