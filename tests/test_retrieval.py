@@ -536,3 +536,99 @@ class TestPostingsMaintenance:
             'token=in.("queri","tabl","merg","window")', database="t",
         )
         assert ex["files_skipped"] > 0, ex
+
+
+class TestPositionalIndex:
+    """Phrase queries from a positional index must equal the phfts scan
+    — consecutive-token semantics, stemmed and raw."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "window functions rank rows"),
+                (2, "functions window rank"),          # words, wrong order
+                (3, "the window the functions meet"),  # not consecutive
+                (4, "big window functions window functions rank"),
+                (5, "window"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def _scan_ids(self, corpus, phrase, lang=""):
+        from xcube_geodb_spark.filters import apply_postgrest_query
+
+        tag = f"({lang})" if lang else ""
+        out = apply_postgrest_query(corpus, f"text=phfts{tag}.{phrase}")
+        return sorted(r["doc_id"] for r in out.collect())
+
+    def test_phrase_matches_scan(self, corpus):
+        from xcube_geodb_spark.functions.retrieval import (
+            phrase_docs_from_index,
+            positional_index,
+        )
+
+        idx = positional_index(corpus)
+        for phrase in ("window functions", "window functions rank",
+                       "functions window", "window", "rank rows"):
+            got = sorted(
+                r["doc_id"]
+                for r in phrase_docs_from_index(idx, phrase).collect()
+            )
+            assert got == self._scan_ids(corpus, phrase), phrase
+
+    def test_stemmed_phrase_matches_stemmed_scan(self, corpus):
+        from xcube_geodb_spark.functions.retrieval import (
+            phrase_docs_from_index,
+            positional_index,
+        )
+
+        idx = positional_index(corpus, stemmed=True)
+        for phrase in ("windows function", "ranked rows"):
+            got = sorted(
+                r["doc_id"]
+                for r in phrase_docs_from_index(
+                    idx, phrase, stemmed=True
+                ).collect()
+            )
+            assert got == self._scan_ids(corpus, phrase, "english"), phrase
+
+    def test_repeated_word_phrase(self, corpus):
+        from xcube_geodb_spark.functions.retrieval import (
+            phrase_docs_from_index,
+            positional_index,
+        )
+
+        corpus2 = corpus.sparkSession.createDataFrame(
+            [(1, "the the end"), (2, "the end the")],
+            "doc_id long, text string",
+        )
+        idx = positional_index(corpus2)
+        got = sorted(
+            r["doc_id"]
+            for r in phrase_docs_from_index(idx, "the the").collect()
+        )
+        assert got == [1]
+
+    def test_requires_positions(self, corpus):
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.functions.retrieval import (
+            fts_docs_from_index,  # noqa: F401
+            inverted_index,
+            phrase_docs_from_index,
+        )
+
+        with pytest.raises(GeoDBError):
+            phrase_docs_from_index(inverted_index(corpus), "window")
+
+    def test_plan_no_python(self, corpus):
+        from xcube_geodb_spark.functions.retrieval import (
+            phrase_docs_from_index,
+            positional_index,
+        )
+
+        out = phrase_docs_from_index(
+            positional_index(corpus), "window functions"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -35,6 +35,8 @@ from xcube_geodb_spark.functions.text import tokens
 __all__ = [
     "fts_docs_from_index",
     "fts_collection_docs",
+    "positional_index",
+    "phrase_docs_from_index",
     "term_frequency",
     "bm25_score",
     "bm25_topk",
@@ -636,4 +638,93 @@ def fts_collection_docs(
     )
     return fts_docs_from_index(
         sub, tsquery, id_col=id_col, stemmed=stemmed, op=op
+    )
+
+
+def positional_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stemmed: bool = False,
+) -> DataFrame:
+    """Postings WITH positions: ``(token, doc_id, tf, dl, positions)``
+    where ``positions`` are the token's 0-based offsets in the document's
+    token stream — what phrase queries need (PG stores these in the
+    tsvector; a GIN index over it answers phrases without recheck only
+    with positions). Row size grows with tf, still bounded by the
+    document length; everything else matches :func:`inverted_index`."""
+    toks = tokens(F.col(text_col))
+    if stemmed:
+        from xcube_geodb_spark.functions.porter import porter_col
+
+        toks = F.transform(toks, porter_col)
+    base = docs.select(F.col(id_col), toks.alias("__t")).select(
+        F.col(id_col),
+        F.size("__t").alias("dl"),
+        F.posexplode("__t").alias("pos", "token"),
+    )
+    return base.groupBy("token", id_col, "dl").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_sort(F.collect_list("pos")).alias("positions"),
+    ).select("token", F.col(id_col), "tf", "dl", "positions")
+
+
+def phrase_docs_from_index(
+    postings: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    stemmed: bool = False,
+) -> DataFrame:
+    """``phfts`` evaluated from a positional index: documents containing
+    the phrase's tokens CONSECUTIVELY. One scan of the phrase terms'
+    postings, a per-doc pivot to one position array per phrase slot, then
+    a pure-codegen intersection of offset-shifted arrays — the phrase
+    occurs iff some position p has word i at p+i for every i.
+
+    Matches filters._fts phrase semantics exactly (consecutive tokens in
+    the normalized token stream). Requires :func:`positional_index`
+    postings (a ``positions`` column)."""
+    from xcube_geodb_spark.errors import GeoDBError
+    from xcube_geodb_spark.filters import _fts_norm
+
+    if "positions" not in postings.columns:
+        raise GeoDBError(
+            "phrase_docs_from_index needs a positional_index (no"
+            " 'positions' column in the postings)"
+        )
+    words = _fts_norm(phrase).split(" ") if _fts_norm(phrase) else []
+    if not words:
+        raise GeoDBError(f"Empty phrase: {phrase!r}")
+    if stemmed:
+        from xcube_geodb_spark.functions.porter import porter_py
+
+        words = [porter_py(w) for w in words]
+    sub = postings.filter(F.col("token").isin(list(set(words))))
+    per_doc = sub.groupBy(id_col).agg(
+        *[
+            F.first(
+                F.when(F.col("token") == w, F.col("positions")),
+                ignorenulls=True,
+            ).alias(f"__p{i}")
+            for i, w in enumerate(words)
+        ]
+    )
+    # every slot must exist, and the offset-shifted arrays must share a
+    # start position
+    def _shifted(col_name: str, offset: int):
+        # NOTE: the lambda must stay single-argument — F.transform treats
+        # a two-argument lambda as (element, array_index)
+        off = F.lit(offset)
+        return F.transform(F.col(col_name), lambda x: x - off)
+
+    cond = F.col("__p0").isNotNull()
+    common = F.col("__p0")
+    for i in range(1, len(words)):
+        cond = cond & F.col(f"__p{i}").isNotNull()
+        common = F.array_intersect(common, _shifted(f"__p{i}", i))
+    return (
+        per_doc.filter(cond)
+        .filter(F.size(common) > 0)
+        .select(id_col)
+        .distinct()
     )

@@ -1460,6 +1460,24 @@ def text_fts_via_index(spark, sf_dir):
     )
 
 
+def text_phrase_via_index(spark, sf_dir):
+    """phfts from a POSITIONAL postings index
+    (functions/retrieval.positional_index / phrase_docs_from_index): the
+    phrase occurs iff the per-term position arrays share a start after
+    offset shifting — pure-codegen array intersection, text column never
+    scanned. The oracle checks consecutive tokens in the normalized
+    stream directly."""
+    from xcube_geodb_spark.functions.retrieval import (
+        phrase_docs_from_index,
+        positional_index,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_docs_from_index(
+        positional_index(docs), "table table"
+    )
+
+
 def stream_bm25_index(spark, sf_dir):
     """Continuously-maintained BM25 index: documents flow through a real
     readStream file source in several micro-batches, each appending its
@@ -1890,6 +1908,17 @@ from xcube_geodb_spark.functions.porter import (  # noqa: E402
 )
 
 LLM_RETRIEVAL_ORACLES = {
+    "text_phrase_via_index": """
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t != '') AS toks
+            FROM documents
+        )
+        WHERE len(list_filter(range(1, len(toks)),
+                              i -> toks[i] = 'table'
+                                   AND toks[i + 1] = 'table')) > 0
+    """,
     # must equal the direct stemmed scan (scan_fts_indexed's semantics);
     # DISTINCT because the index path unions OR-groups distinctly
     "text_fts_via_index": f"""
@@ -2064,6 +2093,7 @@ LLM_QUERIES = {
     "text_bm25_indexed": text_bm25_indexed,
     "stream_bm25_index": stream_bm25_index,
     "text_fts_via_index": text_fts_via_index,
+    "text_phrase_via_index": text_phrase_via_index,
     "text_bm25_join": text_bm25_join,
     "sketch_token_freq": sketch_token_freq,
     "sketch_distinct_tokens": sketch_distinct_tokens,
