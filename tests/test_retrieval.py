@@ -632,3 +632,58 @@ class TestPositionalIndex:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_warehouse_phrase_search_prunes_and_matches(
+        self, corpus, spark, tmp_path
+    ):
+        from xcube_geodb_spark.admin import IndexManager
+        from xcube_geodb_spark.catalog import (
+            GeoDBCatalog,
+            _atomic_write_json,
+        )
+        from xcube_geodb_spark.functions.retrieval import (
+            phrase_collection_docs,
+            positional_index,
+        )
+        from xcube_geodb_spark.operators import dml
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        ).select("doc_id", "text")
+        cat = GeoDBCatalog(spark, str(tmp_path / "whp"), user="t")
+        cat.create_database("t")
+        cat.create_collection(
+            "pos",
+            {"token": "text", "doc_id": "bigint", "tf": "int",
+             "dl": "int", "positions": "int[]"},
+            database="t",
+        )
+        m = cat.meta("pos", "t")
+        m.d["max_file_rows"] = 2000
+        _atomic_write_json(m.path, m.d)
+        IndexManager(cat).create_index("pos", "token", "t", kind="btree")
+        dml.insert_into_collection(
+            cat, "pos", positional_index(docs, stemmed=True), database="t"
+        )
+        assert len(cat.meta("pos", "t").files) >= 3
+        got = sorted(
+            r["doc_id"]
+            for r in phrase_collection_docs(
+                cat, "pos", "tables tables", database="t"
+            ).collect()
+        )
+        from xcube_geodb_spark.filters import apply_postgrest_query
+
+        want = sorted(
+            r["doc_id"]
+            for r in apply_postgrest_query(
+                docs, "text=phfts(english).tables tables"
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+        from xcube_geodb_spark.operators.scan import explain_scan
+
+        ex = explain_scan(
+            cat, "pos", 'token=in.("tabl")', database="t"
+        )
+        assert ex["files_skipped"] > 0

@@ -37,6 +37,7 @@ __all__ = [
     "fts_collection_docs",
     "positional_index",
     "phrase_docs_from_index",
+    "phrase_collection_docs",
     "term_frequency",
     "bm25_score",
     "bm25_topk",
@@ -727,4 +728,44 @@ def phrase_docs_from_index(
         .filter(F.size(common) > 0)
         .select(id_col)
         .distinct()
+    )
+
+
+def phrase_collection_docs(
+    catalog,
+    name: str,
+    phrase: str,
+    id_col: str = "doc_id",
+    database: str = "public",
+    stemmed: bool = True,
+) -> DataFrame:
+    """Warehouse phrase search: ``phfts`` against an at-rest POSITIONAL
+    postings collection (``positional_index`` inserted under a
+    btree(token) layout) — one ``token=in.(...)`` scan of the phrase's
+    terms, file-pruned by token range, then the offset-shift
+    intersection. Neither the text column nor any non-phrase posting is
+    read."""
+    from xcube_geodb_spark.errors import GeoDBError
+    from xcube_geodb_spark.filters import _fts_norm
+    from xcube_geodb_spark.operators.scan import get_collection
+
+    words = _fts_norm(phrase).split(" ") if _fts_norm(phrase) else []
+    if not words:
+        raise GeoDBError(f"Empty phrase: {phrase!r}")
+    if stemmed:
+        from xcube_geodb_spark.functions.porter import porter_py
+
+        words = [porter_py(w) for w in words]
+    for t in words:
+        if not re.fullmatch(r"[a-z0-9]+", t):
+            raise GeoDBError(
+                f"phrase word {t!r} is not a tokenizer-normal token"
+            )
+    quoted = ",".join(f'"{t}"' for t in sorted(set(words)))
+    sub = get_collection(
+        catalog, name, f"token=in.({quoted})", database=database
+    )
+    # terms are pre-normalized above; the evaluator must not re-stem
+    return phrase_docs_from_index(
+        sub, " ".join(words), id_col=id_col, stemmed=False
     )
