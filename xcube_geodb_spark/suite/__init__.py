@@ -39,8 +39,9 @@ Beyond-window round-5 additions (all oracle-paired, locally verified):
 ``ann_ivfpq_refined`` (two-stage ADC + exact rerank), ``scan_fts_indexed``
 (token-bloom-pruned stemmed scan), ``pg_fts_tsvector`` (raw-SQL
 to_tsvector family), ``text_bm25_indexed`` / ``stream_bm25_index``
-(at-rest and continuously-maintained inverted index) and
-``text_fts_via_index`` (boolean fts from postings — the GIN path).
+(at-rest and continuously-maintained inverted index),
+``text_fts_via_index`` (boolean fts from postings — the GIN path) and
+``text_phrase_via_index`` (phfts from positional postings).
 """
 
 from xcube_geodb_spark.suite.core import CORE_QUERIES, CORE_ORACLES
