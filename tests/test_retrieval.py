@@ -687,3 +687,29 @@ class TestPositionalIndex:
             cat, "pos", 'token=in.("tabl")', database="t"
         )
         assert ex["files_skipped"] > 0
+
+
+class TestTsStat:
+    def test_ts_stat_counts(self, spark):
+        from xcube_geodb_spark.functions.retrieval import ts_stat
+
+        docs = spark.createDataFrame(
+            [(1, "a b a"), (2, "a c")], "doc_id long, text string"
+        )
+        rows = {
+            r["word"]: (r["ndoc"], r["nentry"])
+            for r in ts_stat(docs).collect()
+        }
+        assert rows == {"a": (2, 3), "b": (1, 1), "c": (1, 1)}
+
+    def test_ts_stat_stemmed_merges_forms(self, spark):
+        from xcube_geodb_spark.functions.retrieval import ts_stat
+
+        docs = spark.createDataFrame(
+            [(1, "running runs"), (2, "run")], "doc_id long, text string"
+        )
+        rows = {
+            r["word"]: (r["ndoc"], r["nentry"])
+            for r in ts_stat(docs, stemmed=True).collect()
+        }
+        assert rows == {"run": (2, 3)}

@@ -43,6 +43,7 @@ __all__ = [
     "bm25_topk",
     "bm25_join",
     "inverted_index",
+    "ts_stat",
     "corpus_totals",
     "bm25_topk_from_index",
     "build_bm25_collection",
@@ -768,4 +769,26 @@ def phrase_collection_docs(
     # terms are pre-normalized above; the evaluator must not re-stem
     return phrase_docs_from_index(
         sub, " ".join(words), id_col=id_col, stemmed=False
+    )
+
+
+def ts_stat(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stemmed: bool = False,
+) -> DataFrame:
+    """PG ``ts_stat`` parity: per-lexeme corpus statistics ``(word, ndoc,
+    nentry)`` — the number of documents containing the lexeme and its
+    total occurrence count. One aggregation over the posting stream
+    (map-side combined); with ``stemmed`` the english dictionary applies,
+    matching ``ts_stat('SELECT to_tsvector(...) ...')``. Output size is
+    the vocabulary, never the corpus."""
+    return (
+        inverted_index(docs, text_col, id_col, stemmed=stemmed)
+        .groupBy(F.col("token").alias("word"))
+        .agg(
+            F.count(F.lit(1)).alias("ndoc"),
+            F.sum("tf").alias("nentry"),
+        )
     )

@@ -1460,6 +1460,20 @@ def text_fts_via_index(spark, sf_dir):
     )
 
 
+def text_ts_stat(spark, sf_dir):
+    """PG ts_stat parity (functions/retrieval.ts_stat): per-stemmed-lexeme
+    (word, ndoc, nentry) over the corpus, top-20 by total occurrences —
+    one map-side-combined aggregation over the posting stream."""
+    from xcube_geodb_spark.functions.retrieval import ts_stat
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        ts_stat(docs, stemmed=True)
+        .orderBy(F.col("nentry").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
 def text_phrase_via_index(spark, sf_dir):
     """phfts from a POSITIONAL postings index
     (functions/retrieval.positional_index / phrase_docs_from_index): the
@@ -1908,6 +1922,26 @@ from xcube_geodb_spark.functions.porter import (  # noqa: E402
 )
 
 LLM_RETRIEVAL_ORACLES = {
+    "text_ts_stat": f"""
+        SELECT word, ndoc, nentry FROM (
+            SELECT tok AS word,
+                   count(DISTINCT doc_id) AS ndoc,
+                   count(*) AS nentry
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           list_filter(
+                               string_split_regex(lower(text),
+                                                  '[^a-z0-9]+'),
+                               t -> t != ''),
+                           t -> {_pstem_sql("t")})) AS tok
+                FROM documents
+            )
+            GROUP BY tok
+        )
+        ORDER BY nentry DESC, word
+        LIMIT 20
+    """,
     "text_phrase_via_index": """
         SELECT DISTINCT doc_id FROM (
             SELECT doc_id,
@@ -2094,6 +2128,7 @@ LLM_QUERIES = {
     "stream_bm25_index": stream_bm25_index,
     "text_fts_via_index": text_fts_via_index,
     "text_phrase_via_index": text_phrase_via_index,
+    "text_ts_stat": text_ts_stat,
     "text_bm25_join": text_bm25_join,
     "sketch_token_freq": sketch_token_freq,
     "sketch_distinct_tokens": sketch_distinct_tokens,
