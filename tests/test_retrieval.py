@@ -713,3 +713,55 @@ class TestTsStat:
             for r in ts_stat(docs, stemmed=True).collect()
         }
         assert rows == {"run": (2, 3)}
+
+
+class TestFtsIndexExhaustive:
+    """Exhaustive boolean-shape sweep: every and/or/not combination over
+    a 3-token vocabulary, index path vs filter-grammar scan. The corpus
+    enumerates all 8 subsets of {a,b,c} so every truth assignment exists."""
+
+    def test_all_boolean_shapes(self, spark):
+        from itertools import product
+
+        from xcube_geodb_spark.filters import apply_postgrest_query
+        from xcube_geodb_spark.functions.retrieval import (
+            fts_docs_from_index,
+            inverted_index,
+        )
+
+        rows = []
+        for i, bits in enumerate(product([0, 1], repeat=3)):
+            words = [w for w, b in zip(("aa", "bb", "cc"), bits) if b]
+            rows.append((i, " ".join(words) if words else "zz"))
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = inverted_index(corpus).cache()
+        idx.count()
+
+        # every 2-term and 3-term combination of plain/negated terms in
+        # one or two OR-groups (pure-negation groups excluded: rejected
+        # by design)
+        terms = ["aa", "bb", "cc", "!aa", "!bb"]
+        queries = set()
+        for t1, t2 in product(terms, terms):
+            if not (t1.startswith("!") and t2.startswith("!")):
+                queries.add(f"{t1}&{t2}")
+            if not t1.startswith("!") and not t2.startswith("!"):
+                queries.add(f"{t1}|{t2}")
+        for t1, t2, t3 in product(["aa", "!aa"], ["bb", "!bb"], ["cc"]):
+            if not (t1.startswith("!") and t2.startswith("!")):
+                queries.add(f"{t1}&{t2}|{t3}")
+
+        mismatches = []
+        for q in sorted(queries):
+            got = sorted(
+                r["doc_id"] for r in fts_docs_from_index(idx, q).collect()
+            )
+            want = sorted(
+                r["doc_id"]
+                for r in apply_postgrest_query(
+                    corpus, f"text=fts.{q.replace('&', '%26')}"
+                ).collect()
+            )
+            if got != want:
+                mismatches.append((q, got, want))
+        assert not mismatches, mismatches[:5]
