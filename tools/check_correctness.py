@@ -4,6 +4,7 @@ entry on Spark and its oracle_sql() on DuckDB, compare row count, column
 names, and an order-insensitive value hash.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py [sf_dir] --window   # the driver's 50
 """
 
 from __future__ import annotations
@@ -49,6 +50,11 @@ def value_hash(df: pd.DataFrame) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if "--window" in only:
+        # convenience: exactly the driver's 50-entry correctness window
+        from xcube_geodb_spark.suite import DRIVER_WINDOW
+
+        only = (only - {"--window"}) | set(DRIVER_WINDOW)
 
     import __spark_entry__ as entrymod
     from xcube_geodb_spark.session import get_spark
