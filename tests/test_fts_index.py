@@ -135,6 +135,30 @@ class TestFtsBloomPruning:
         )
         assert ex["files_skipped"] == 0
 
+    def test_mixed_negation_prefixes_never_prune_matching_files(
+        self, english_cat
+    ):
+        """filters._fts.term negates BOTH '!' and '-' in every grammar;
+        the bloom extractor must skip both spellings — a '-'-negated fts
+        term (or '!'-negated wfts term) treated as a required positive
+        would prune the files that DO match (advice r5, high)."""
+        # fts with '-' negation: aurora is band 0; '-volcano' must NOT
+        # become a required token (band 0's bloom has no volcano)
+        q = "text=fts(english).aurora%26-volcano"
+        out = get_collection(english_cat, "docs", q, database="ftsdb")
+        assert sorted(r["n"] for r in out.collect()) == list(range(0, 40))
+        # wfts with '!' negation, same shape
+        q = "text=wfts(english).aurora !volcano"
+        out = get_collection(english_cat, "docs", q, database="ftsdb")
+        assert sorted(r["n"] for r in out.collect()) == list(range(0, 40))
+        # purely-negated groups in either spelling disable pruning
+        for q in (
+            "text=fts(english).-volcano",
+            "text=wfts(english).!volcano",
+        ):
+            ex = explain_scan(english_cat, "docs", q, database="ftsdb")
+            assert ex["files_skipped"] == 0, q
+
 
 class TestDictionaryCompatibility:
     def test_simple_index_prunes_raw_queries(self, simple_cat):

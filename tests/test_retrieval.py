@@ -251,6 +251,59 @@ class TestInvertedIndex:
         assert got == want
 
 
+class TestBm25ConcurrentExtend:
+    def test_racing_extender_conflicts_not_lost(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The corpus totals an extender commits are ABSOLUTE values
+        derived from its stats-read snapshot; a commit landing between
+        that read and the extender's own commit must surface as the
+        concurrent-modification error — not silently overwrite the other
+        writer's delta (advice r5: lost update). Retrying after the
+        conflict re-derives and lands; final totals = full corpus."""
+        import pytest as _pytest
+
+        import xcube_geodb_spark.functions.retrieval as R
+        from xcube_geodb_spark.catalog import GeoDBCatalog
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.functions.retrieval import (
+            build_bm25_collection,
+            corpus_totals,
+            extend_bm25_collection,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i} common words here {i}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        base = docs.filter(F.col("doc_id") < 10)
+        mine = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+        theirs = docs.filter(F.col("doc_id") >= 20)
+        cat = GeoDBCatalog(spark, str(tmp_path / "whrace"), user="t")
+        cat.create_database("t")
+        build_bm25_collection(cat, "p3", base, database="t")
+
+        orig = R.corpus_totals
+        raced = {"done": False}
+
+        def racing(df, text_col="text"):
+            out = orig(df, text_col)
+            if not raced["done"]:
+                raced["done"] = True
+                # another extender lands between our stats read and commit
+                extend_bm25_collection(cat, "p3", theirs, database="t")
+            return out
+
+        monkeypatch.setattr(R, "corpus_totals", racing)
+        with _pytest.raises(GeoDBError, match="Concurrent modification"):
+            extend_bm25_collection(cat, "p3", mine, database="t")
+        # conflict surfaced; re-derive and retry — now both deltas land
+        extend_bm25_collection(cat, "p3", mine, database="t")
+        stats = cat.meta("p3", "t").d["bm25_stats"]
+        n, dl = corpus_totals(docs)
+        assert (int(stats["n_docs"]), int(stats["total_dl"])) == (n, dl)
+
+
 class TestFtsFromIndex:
     """Boolean fts from the postings index must equal the filter-grammar
     scan for every query shape, and reject what a bag-of-words index
@@ -330,6 +383,36 @@ class TestFtsFromIndex:
                 r["doc_id"]
                 for r in apply_postgrest_query(
                     corpus, f"text={op}.{q}"
+                ).collect()
+            )
+            assert got == want, (op, q)
+
+    def test_mixed_negation_prefixes_match_scan(self, corpus):
+        """The scan grammar negates both '!' and '-' in fts AND wfts
+        (filters._fts.term); the index path must agree for both spellings
+        (advice r5: 'a&-b' evaluated '-b' as positive, '!word' in wfts
+        likewise)."""
+        from xcube_geodb_spark.filters import apply_postgrest_query
+        from xcube_geodb_spark.functions.retrieval import (
+            fts_docs_from_index,
+            inverted_index,
+        )
+
+        idx = inverted_index(corpus)
+        for op, q in (
+            ("fts", "window&-hash"),
+            ("fts", "spark&-parquet|window&-rank"),
+            ("wfts", "window !hash"),
+            ("wfts", "spark !data or window"),
+        ):
+            got = sorted(
+                r["doc_id"]
+                for r in fts_docs_from_index(idx, q, op=op).collect()
+            )
+            want = sorted(
+                r["doc_id"]
+                for r in apply_postgrest_query(
+                    corpus, f"text={op}.{q.replace('&', '%26')}"
                 ).collect()
             )
             assert got == want, (op, q)

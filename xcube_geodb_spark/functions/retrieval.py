@@ -415,12 +415,17 @@ def extend_bm25_collection(
         }
     }
     merge.update(extra_merge_meta or {})
+    # the absolute totals above were derived from the m.version snapshot;
+    # pin the commit to it so a commit landing in between surfaces as the
+    # concurrent-modification error instead of silently losing the other
+    # writer's delta (concurrent extenders serialize through that error)
     insert_into_collection(
         catalog,
         name,
         inverted_index(new_docs, text_col, id_col),
         database=database,
         merge_meta=merge,
+        expected_version=m.version,
     )
 
 
@@ -482,9 +487,10 @@ def fts_docs_from_index(
     path: matching document ids for a filters._fts-semantics query
     without ever scanning the text column. ``op`` selects the grammar:
     ``fts`` (``a&b|!c`` — ``|`` lowest precedence over ``&`` groups of
-    optionally ``!``-negated terms), ``plfts`` (plain: every word
-    required), or ``wfts`` (websearch: bare words ANDed, ``-word``
-    negated, ``or`` separates alternatives). ``stemmed`` stems query
+    optionally negated terms; ``!`` and ``-`` prefixes both negate,
+    exactly as filters._fts.term), ``plfts`` (plain: every word
+    required), or ``wfts`` (websearch: bare words ANDed, ``-word`` /
+    ``!word`` negated, ``or`` separates alternatives). ``stemmed`` stems query
     terms with the same Porter pipeline the index was built with
     (``inverted_index(stemmed=True)``).
 
@@ -536,8 +542,10 @@ def fts_docs_from_index(
                         "websearch phrases need positions — not "
                         "answerable from a bag-of-words postings index"
                     )
-                if t.startswith("-"):
-                    neg.append(norm_term(t[1:]))
+                if t.startswith(("-", "!")):
+                    # filters._fts.term accepts BOTH negation spellings in
+                    # every grammar — the index path must match the scan.
+                    neg.append(norm_term(t.lstrip("!-")))
                 else:
                     pos.append(norm_term(t))
             groups.append((pos, neg))
@@ -552,8 +560,8 @@ def fts_docs_from_index(
                     raise GeoDBError(
                         f"Empty group in tsquery: {tsquery!r}"
                     )
-                if t.startswith("!"):
-                    neg.append(norm_term(t[1:]))
+                if t.startswith(("!", "-")):
+                    neg.append(norm_term(t.lstrip("!-")))
                 else:
                     pos.append(norm_term(t))
             groups.append((pos, neg))

@@ -156,10 +156,23 @@ def insert_into_collection(
     database: str = "public",
     merge_meta: dict | None = None,
     retries: int = 0,
+    expected_version: int | None = None,
 ) -> int:
     """Returns the number of rows written. ``merge_meta`` one-level-merges
     into dict-valued collection metadata keys in the same atomic commit
     (streaming-sink epochs; see catalog.commit_version).
+
+    ``expected_version`` pins the commit's base snapshot to a version the
+    CALLER read (instead of this function's own fresh meta read). Pass it
+    whenever the written rows or ``merge_meta`` were DERIVED from an
+    earlier snapshot read — e.g. extend_bm25_collection computes absolute
+    corpus totals from its stats read; without the pin, a commit landing
+    between that read and this one would pass the version check and the
+    stale-based totals would silently overwrite the other writer's delta.
+    A pinned version that is no longer current raises the
+    concurrent-modification error (do not combine with ``retries``: the
+    retry would re-insert against the same stale pin and fail again —
+    re-derive and re-call instead).
 
     ``retries``: plain appends COMMUTE with any concurrent commit, so on a
     version conflict (another writer won the race) the insert can simply
@@ -167,6 +180,12 @@ def insert_into_collection(
     max_id, files rewritten, up to ``retries`` extra attempts with
     jittered backoff. Upserts do NOT auto-retry (a merge decision taken
     against a stale snapshot must be re-validated by the caller)."""
+    if retries and expected_version is not None:
+        raise ValueError(
+            "retries and expected_version are mutually exclusive: a retry "
+            "against a stale pin can never succeed — re-derive the pinned "
+            "state and call again"
+        )
     if retries and not upsert:
         import random
         import time as _time
@@ -186,6 +205,7 @@ def insert_into_collection(
                     _time.sleep(random.uniform(0.02, 0.1) * (attempt + 1))
         raise last
     m = catalog.meta(collection, database)
+    base_version = m.version if expected_version is None else expected_version
     if isinstance(values, pd.DataFrame) and not upsert:
         # fast path: the rows are already driver-side — assign ids AND
         # envelopes in pandas, skipping every Python-worker round-trip
@@ -218,7 +238,7 @@ def insert_into_collection(
             to_write,
             keep_files=None,
             max_id=m.max_id + len(pdf),
-            expected_version=m.version,
+            expected_version=base_version,
             merge_meta=merge_meta,
         )
         return len(pdf)
@@ -315,7 +335,7 @@ def insert_into_collection(
             merged,
             keep_files=untouched,
             max_id=max(m.max_id, int(max_new)),
-            expected_version=m.version,
+            expected_version=base_version,
             merge_meta=merge_meta,
         )
         return int(df.count())
@@ -334,7 +354,7 @@ def insert_into_collection(
         to_write,
         keep_files=None,  # keep all existing
         max_id=m.max_id + n_no_id,
-        expected_version=m.version,
+        expected_version=base_version,
         merge_meta=merge_meta,
     )
     return n_no_id

@@ -100,7 +100,9 @@ def fts_term_groups(
                 if t.lower() == "or":
                     cur = []
                     groups_raw.append(cur)
-                elif not t.startswith("-"):
+                elif not t.startswith(("-", "!")):
+                    # filters._fts.term negates BOTH '-' and '!' prefixes;
+                    # a negated term must contribute nothing to pruning.
                     cur.extend(
                         w for w in _fts_norm(t.replace('"', "")).split(" ")
                         if w
@@ -110,8 +112,8 @@ def fts_term_groups(
                 terms: list[str] = []
                 for t in group.split("&"):
                     t = t.strip()
-                    if not t or t.startswith("!"):
-                        continue
+                    if not t or t.startswith(("!", "-")):
+                        continue  # both negation spellings (filters._fts.term)
                     terms.extend(w for w in _fts_norm(t).split(" ") if w)
                 groups_raw.append(terms)
         if dic == "english":
