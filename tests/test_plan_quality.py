@@ -349,3 +349,67 @@ class TestRound7PlanShape:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestVectorizedSqlSurface:
+    """The st_* SQL surface must be Arrow-batched (pandas UDFs), never
+    row-at-a-time pickled Python — a get_collection_pg user chaining
+    st_area(st_intersection(...)) over a large collection gets Arrow
+    column transfer, not per-value serialization (verdict r5 task 1)."""
+
+    def test_chained_st_calls_are_arrow_eval(self, client):
+        from xcube_geodb_spark.operators.scan import get_collection_pg
+
+        out = get_collection_pg(
+            client.catalog,
+            "pts",
+            select=(
+                "id, st_area(st_intersection(geometry, "
+                "st_makeenvelope(0.0, 0.0, 50.0, 25.0))) as a, "
+                "st_astext(st_centroid(geometry)) as c"
+            ),
+            where="st_intersects('POLYGON((0 0,90 0,90 45,0 45,0 0))', geometry)",
+            database="planner",
+        )
+        plan = executed_plan(out)
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+        assert out.count() > 0
+
+    def test_all_registered_names_are_arrow(self, spark):
+        """Every registered st_* name must plan as ArrowEvalPython; a
+        single row-UDF registration regression fails here by name."""
+        import pandas as pd
+
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        poly = "POLYGON((0 0,2 0,2 2,0 2,0 0))"
+        one = spark.createDataFrame(pd.DataFrame({"n": [1]}))
+        one.createOrReplaceTempView("__one")
+        calls = {
+            "st_astext": f"st_astext(st_geomfromtext('{poly}'))",
+            "st_geomfromtext": f"st_geomfromtext('{poly}')",
+            "st_geometrytype": f"st_geometrytype(st_geomfromtext('{poly}'))",
+            "st_makepoint": "st_makepoint(1.0, 2.0)",
+            "st_intersection": (
+                f"st_intersection(st_geomfromtext('{poly}'),"
+                f" st_geomfromtext('{poly}'))"
+            ),
+            "st_dwithin": (
+                "st_dwithin(st_makepoint(0.0,0.0), st_makepoint(1.0,1.0), 5.0)"
+            ),
+            "st_pointn": (
+                "st_pointn(st_geomfromtext('LINESTRING(0 0,1 1)'), 1)"
+            ),
+            "st_area": f"st_area(st_geomfromtext('{poly}'))",
+            "st_srid": f"st_srid(st_geomfromtext('{poly}'))",
+            "st_isvalid": f"st_isvalid(st_geomfromtext('{poly}'))",
+        }
+        for name, expr in calls.items():
+            df = spark.sql(f"select {expr} as v from __one")
+            plan = executed_plan(df)
+            assert "ArrowEvalPython" in plan, name
+            assert "BatchEvalPython" not in plan, name

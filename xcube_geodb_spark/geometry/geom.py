@@ -179,6 +179,34 @@ def parse_wkb(buf: bytes) -> Geometry:
     return _Reader(bytes(buf)).geometry()
 
 
+_PARSE_CACHE: "OrderedDict[bytes, Geometry]" = __import__(
+    "collections"
+).OrderedDict()
+_PARSE_CACHE_MAX = 8192
+
+
+def parse_wkb_cached(buf: bytes) -> Geometry:
+    """:func:`parse_wkb` through a bounded per-process LRU keyed by the
+    raw WKB bytes. Chained SQL calls — ``st_area(g), st_perimeter(g)`` or
+    ``st_area(st_intersection(g, d))`` — re-parse the same buffer once
+    per expression; within one Arrow batch (and across the UDFs of one
+    projection, which share the Python worker) the repeat parses become
+    dict hits. Returns a FRESH ``Geometry`` wrapper per call (kind/parts
+    shared, ``srid`` private) so callers that set ``.srid``
+    (st_setsrid/st_transform) cannot pollute the cache; kernel code never
+    mutates ``parts`` in place (accessors copy)."""
+    b = bytes(buf) if not isinstance(buf, bytes) else buf
+    g = _PARSE_CACHE.get(b)
+    if g is None:
+        g = parse_wkb(b)
+        _PARSE_CACHE[b] = g
+        if len(_PARSE_CACHE) > _PARSE_CACHE_MAX:
+            _PARSE_CACHE.popitem(last=False)
+    else:
+        _PARSE_CACHE.move_to_end(b)
+    return Geometry(g.kind, g.parts, g.srid)
+
+
 def parse_wkb_hex(s: str) -> Geometry:
     return parse_wkb(bytes.fromhex(s))
 

@@ -30,20 +30,25 @@ Registered names (PostGIS-compatible lowercase):
   ``st_intersection`` (rect operand -> fast clip, else general polygon
   overlay), ``st_union``, ``st_difference``, ``st_symdifference``
 
-These are row-at-a-time UDFs (the SQL-string path is a compatibility
-surface, not the hot path — engine operators use the vectorized
-pandas-UDF kernel in udfs.py).
+Every function is registered as an Arrow-batched ``pandas_udf`` (scalar
+kernels applied per batch element): the plan shows ``ArrowEvalPython``,
+values cross the JVM/Python boundary as Arrow columns, and WKB parses are
+amortized across chained calls by :func:`geom.parse_wkb_cached` — no
+per-value pickling anywhere on the SQL path. (Engine operators still use
+the dedicated vectorized kernels in udfs.py.)
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from xcube_geodb_spark.geometry.geom import (
     envelope,
     geometry_type_wkb,
-    parse_wkb,
+    parse_wkb_cached as parse_wkb,
     parse_wkt,
     to_wkb,
     to_wkt,
@@ -62,6 +67,38 @@ def _pred(mode: str):
     return f
 
 
+def _pylist(c: pd.Series) -> list:
+    """Series -> plain Python values with missing normalized to None (a
+    nullable numeric arg arrives from Arrow as float NaN; the scalar
+    kernels test ``is None``)."""
+    return [
+        None if v is None or (isinstance(v, float) and v != v) else v
+        for v in c.tolist()
+    ]
+
+
+def _vec(fn, ret: T.DataType):
+    """Arrow-batched wrapper around a scalar kernel: one pandas_udf call
+    per batch, the kernel applied element-wise inside it. This keeps the
+    (audited, shared-with-the-engine) scalar kernels as the single source
+    of truth while moving serialization from per-value pickle to Arrow
+    columns — the per-row Python remains, the per-row *boundary cost*
+    does not."""
+    if isinstance(ret, T.DoubleType):
+        dtype = "float64"
+    elif isinstance(ret, T.IntegerType):
+        dtype = "Int32"  # pandas nullable int: None survives to Arrow
+    else:
+        dtype = "object"  # bytes / str / bool (+ None)
+
+    @pandas_udf(ret)
+    def v(*cols: pd.Series) -> pd.Series:
+        args = [_pylist(c) for c in cols]
+        return pd.Series([fn(*row) for row in zip(*args)], dtype=dtype)
+
+    return v
+
+
 _REGISTERED: set[int] = set()
 
 
@@ -71,22 +108,26 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     if key in _REGISTERED:
         return
     _REGISTERED.add(key)
-    spark.udf.register(
+
+    def _register(name: str, fn, ret: T.DataType) -> None:
+        spark.udf.register(name, _vec(fn, ret))
+
+    _register(
         "st_astext", lambda b: to_wkt(parse_wkb(b)) if b is not None else None,
         T.StringType(),
     )
-    spark.udf.register(
+    _register(
         "st_geomfromtext",
         lambda s: to_wkb(parse_wkt(s)) if s is not None else None,
         T.BinaryType(),
     )
-    spark.udf.register(
+    _register(
         "st_geometrytype",
         lambda b: geometry_type_wkb(b) if b is not None else None,
         T.StringType(),
     )
     for i, name in enumerate(("st_xmin", "st_ymin", "st_xmax", "st_ymax")):
-        spark.udf.register(
+        _register(
             name,
             (lambda i: lambda b: envelope(parse_wkb(b))[i] if b is not None else None)(i),
             T.DoubleType(),
@@ -101,7 +142,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         "disjoint",
         "equals",
     ):
-        spark.udf.register(f"st_{mode}", _pred(mode), T.BooleanType())
+        _register(f"st_{mode}", _pred(mode), T.BooleanType())
     # NOTE: do NOT import to_wkb here — a function-local rebinding would turn
     # the module-global reference in the lambdas ABOVE into an (empty-at-
     # registration) closure cell, which Spark pickles eagerly.
@@ -114,26 +155,26 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         ("st_length", length),
         ("st_perimeter", perimeter),
     ):
-        spark.udf.register(
+        _register(
             name,
             (lambda fn: lambda b: fn(parse_wkb(b)) if b is not None else None)(fn),
             T.DoubleType(),
         )
-    spark.udf.register(
+    _register(
         "st_centroid",
         lambda b: to_wkb(_G("Point", _np.array(centroid(parse_wkb(b)))))
         if b is not None
         else None,
         T.BinaryType(),
     )
-    spark.udf.register(
+    _register(
         "st_x",
         lambda b: float(parse_wkb(b).parts[0])
         if b is not None and parse_wkb(b).kind == "Point"
         else None,
         T.DoubleType(),
     )
-    spark.udf.register(
+    _register(
         "st_y",
         lambda b: float(parse_wkb(b).parts[1])
         if b is not None and parse_wkb(b).kind == "Point"
@@ -142,14 +183,14 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     )
     from xcube_geodb_spark.geometry.geom import is_valid
 
-    spark.udf.register(
+    _register(
         "st_isvalid",
         lambda b: is_valid(parse_wkb(b)) if b is not None else None,
         T.BooleanType(),
     )
     from xcube_geodb_spark.geometry.geom import buffer_point, distance
 
-    spark.udf.register(
+    _register(
         "st_distance",
         lambda a, b: distance(parse_wkb(a), parse_wkb(b))
         if a is not None and b is not None
@@ -157,7 +198,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         T.DoubleType(),
     )
 
-    spark.udf.register(
+    _register(
         "st_dwithin",
         lambda a, b, r: (distance(parse_wkb(a), parse_wkb(b)) <= r)
         if a is not None and b is not None and r is not None
@@ -175,7 +216,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             )
         return to_wkb(buffer_point(float(g.parts[0]), float(g.parts[1]), radius))
 
-    spark.udf.register("st_buffer", _buffer, T.BinaryType())
+    _register("st_buffer", _buffer, T.BinaryType())
 
     from xcube_geodb_spark.geometry.geom import simplify
 
@@ -185,7 +226,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         out = simplify(parse_wkb(b), float(tolerance))
         return to_wkb(out) if out is not None else None
 
-    spark.udf.register("st_simplify", _simplify, T.BinaryType())
+    _register("st_simplify", _simplify, T.BinaryType())
 
     from xcube_geodb_spark.geometry.geom import convex_hull
 
@@ -195,11 +236,11 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         out = convex_hull(parse_wkb(b))
         return to_wkb(out) if out is not None else None
 
-    spark.udf.register("st_convexhull", _convexhull, T.BinaryType())
+    _register("st_convexhull", _convexhull, T.BinaryType())
 
     from xcube_geodb_spark.geometry.geom import distance_sphere
 
-    spark.udf.register(
+    _register(
         "st_distancesphere",
         lambda a, b: distance_sphere(parse_wkb(a), parse_wkb(b))
         if a is not None and b is not None
@@ -209,12 +250,12 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     from xcube_geodb_spark.geometry.geom import length_sphere, perimeter_sphere
 
-    spark.udf.register(
+    _register(
         "st_lengthsphere",
         lambda b: length_sphere(parse_wkb(b)) if b is not None else None,
         T.DoubleType(),
     )
-    spark.udf.register(
+    _register(
         "st_perimetersphere",
         lambda b: perimeter_sphere(parse_wkb(b)) if b is not None else None,
         T.DoubleType(),
@@ -222,12 +263,12 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     from xcube_geodb_spark.geometry.geom import area_sphere, distance_spheroid
 
-    spark.udf.register(
+    _register(
         "st_areasphere",
         lambda b: area_sphere(parse_wkb(b)) if b is not None else None,
         T.DoubleType(),
     )
-    spark.udf.register(
+    _register(
         "st_distancespheroid",
         lambda a, b: distance_spheroid(parse_wkb(a), parse_wkb(b))
         if a is not None and b is not None
@@ -252,7 +293,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
         return to_wkb(__G("Point", __np.array([x, y]), g.srid))
 
-    spark.udf.register("st_project", _project, T.BinaryType())
+    _register("st_project", _project, T.BinaryType())
 
     import math as _math
 
@@ -265,8 +306,8 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             return None
         return to_wkb(_Geometry("Point", _np.array([float(x), float(y)])))
 
-    spark.udf.register("st_makepoint", _makepoint, T.BinaryType())
-    spark.udf.register("st_point", _makepoint, T.BinaryType())
+    _register("st_makepoint", _makepoint, T.BinaryType())
+    _register("st_point", _makepoint, T.BinaryType())
 
     def _setsrid(b: bytes, srid: int):
         if b is None:
@@ -275,7 +316,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         g.srid = int(srid)
         return to_wkb(g, srid=int(srid))
 
-    spark.udf.register("st_setsrid", _setsrid, T.BinaryType())
+    _register("st_setsrid", _setsrid, T.BinaryType())
 
     def _azimuth(a: bytes, b: bytes):
         """North-based clockwise bearing between two points, radians in
@@ -291,7 +332,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             return None
         return _math.atan2(dx, dy) % (2.0 * _math.pi)
 
-    spark.udf.register("st_azimuth", _azimuth, T.DoubleType())
+    _register("st_azimuth", _azimuth, T.DoubleType())
 
     from xcube_geodb_spark.geometry.geom import bbox_polygon, clip_by_box
 
@@ -301,7 +342,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         g = bbox_polygon(float(xmin), float(ymin), float(xmax), float(ymax))
         return to_wkb(g, srid=int(srid) if srid else None)
 
-    spark.udf.register("st_makeenvelope", _makeenvelope, T.BinaryType())
+    _register("st_makeenvelope", _makeenvelope, T.BinaryType())
 
     def _clipbybox2d(b: bytes, env: bytes):
         """PostGIS ST_ClipByBox2D(geom, box2d): the box argument is any
@@ -311,7 +352,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         out = clip_by_box(parse_wkb(b), envelope(parse_wkb(env)))
         return to_wkb(out) if out is not None else None
 
-    spark.udf.register("st_clipbybox2d", _clipbybox2d, T.BinaryType())
+    _register("st_clipbybox2d", _clipbybox2d, T.BinaryType())
 
     from xcube_geodb_spark.geometry.geom import map_coordinates
 
@@ -328,7 +369,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         )
         return to_wkb(out)
 
-    spark.udf.register("st_snaptogrid", _snaptogrid, T.BinaryType())
+    _register("st_snaptogrid", _snaptogrid, T.BinaryType())
 
     def _envelope_poly(b: bytes):
         """ST_Envelope: the geometry's axis-aligned bounding rectangle
@@ -338,7 +379,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             return None
         return to_wkb(bbox_polygon(*envelope(parse_wkb(b))))
 
-    spark.udf.register("st_envelope", _envelope_poly, T.BinaryType())
+    _register("st_envelope", _envelope_poly, T.BinaryType())
 
     def _expand(b: bytes, dist: float):
         """ST_Expand: the envelope grown by ``dist`` on every side."""
@@ -348,7 +389,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         d = float(dist)
         return to_wkb(bbox_polygon(xmin - d, ymin - d, xmax + d, ymax + d))
 
-    spark.udf.register("st_expand", _expand, T.BinaryType())
+    _register("st_expand", _expand, T.BinaryType())
 
     def _is_rect(g) -> bool:
         if g.kind != "Polygon" or len(g.parts) != 1:
@@ -379,7 +420,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             out = overlay(ga, gb, "intersection")
         return to_wkb(out) if out is not None else None
 
-    spark.udf.register("st_intersection", _intersection, T.BinaryType())
+    _register("st_intersection", _intersection, T.BinaryType())
 
     def _overlay_udf(op: str):
         from xcube_geodb_spark.geometry.overlay import overlay
@@ -398,9 +439,9 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
         return f
 
-    spark.udf.register("st_union", _overlay_udf("union"), T.BinaryType())
-    spark.udf.register("st_difference", _overlay_udf("difference"), T.BinaryType())
-    spark.udf.register(
+    _register("st_union", _overlay_udf("union"), T.BinaryType())
+    _register("st_difference", _overlay_udf("difference"), T.BinaryType())
+    _register(
         "st_symdifference", _overlay_udf("symdifference"), T.BinaryType()
     )
 
@@ -417,7 +458,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         out.srid = int(to_srid)
         return to_wkb(out)
 
-    spark.udf.register("st_transform", _transform, T.BinaryType())
+    _register("st_transform", _transform, T.BinaryType())
 
     # --- structural accessors (PostGIS basics over the kernel model) ------
     from xcube_geodb_spark.geometry.geom import _all_vertices
@@ -425,13 +466,13 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     def _npoints(b):
         return int(len(_all_vertices(parse_wkb(b)))) if b is not None else None
 
-    spark.udf.register("st_npoints", _npoints, T.IntegerType())
-    spark.udf.register("st_numpoints", _npoints, T.IntegerType())
+    _register("st_npoints", _npoints, T.IntegerType())
+    _register("st_numpoints", _npoints, T.IntegerType())
 
     def _srid(b):
         return int(parse_wkb(b).srid) if b is not None else None
 
-    spark.udf.register("st_srid", _srid, T.IntegerType())
+    _register("st_srid", _srid, T.IntegerType())
 
     def _numgeometries(b):
         if b is None:
@@ -443,13 +484,14 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             "GeometryCollection",
         ) else 1
 
-    spark.udf.register("st_numgeometries", _numgeometries, T.IntegerType())
+    _register("st_numgeometries", _numgeometries, T.IntegerType())
 
     def _line_point(b, n):
         """1-based vertex of a LineString; negative n counts from the end
         (PostGIS ST_PointN); NULL off-range or for non-lines."""
         if b is None or n is None or n == 0:
             return None
+        n = int(n)
         g = parse_wkb(b)
         if g.kind != "LineString":
             return None
@@ -459,11 +501,11 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             return None
         return to_wkb(_Geometry("Point", g.parts[i].copy(), g.srid))
 
-    spark.udf.register("st_pointn", _line_point, T.BinaryType())
-    spark.udf.register(
+    _register("st_pointn", _line_point, T.BinaryType())
+    _register(
         "st_startpoint", lambda b: _line_point(b, 1), T.BinaryType()
     )
-    spark.udf.register(
+    _register(
         "st_endpoint", lambda b: _line_point(b, -1), T.BinaryType()
     )
 
@@ -475,7 +517,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             return None
         return to_wkb(_Geometry("LineString", g.parts[0].copy(), g.srid))
 
-    spark.udf.register("st_exteriorring", _exteriorring, T.BinaryType())
+    _register("st_exteriorring", _exteriorring, T.BinaryType())
 
     def _numinteriorrings(b):
         if b is None:
@@ -483,19 +525,20 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         g = parse_wkb(b)
         return len(g.parts) - 1 if g.kind == "Polygon" else None
 
-    spark.udf.register(
+    _register(
         "st_numinteriorrings", _numinteriorrings, T.IntegerType()
     )
 
     def _interiorringn(b, n):
         if b is None or n is None or n < 1:
             return None
+        n = int(n)
         g = parse_wkb(b)
         if g.kind != "Polygon" or n >= len(g.parts):
             return None
         return to_wkb(_Geometry("LineString", g.parts[n].copy(), g.srid))
 
-    spark.udf.register("st_interiorringn", _interiorringn, T.BinaryType())
+    _register("st_interiorringn", _interiorringn, T.BinaryType())
 
     def _reverse_geom(g):
         if g.kind == "Point":
@@ -511,7 +554,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     def _reverse(b):
         return to_wkb(_reverse_geom(parse_wkb(b))) if b is not None else None
 
-    spark.udf.register("st_reverse", _reverse, T.BinaryType())
+    _register("st_reverse", _reverse, T.BinaryType())
 
     from xcube_geodb_spark.geometry.geom import map_coordinates as _mapc
 
@@ -520,4 +563,4 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             return None
         return to_wkb(_mapc(parse_wkb(b), lambda x, y: (y, x)))
 
-    spark.udf.register("st_flipcoordinates", _flip, T.BinaryType())
+    _register("st_flipcoordinates", _flip, T.BinaryType())
