@@ -148,6 +148,45 @@ def chunk_by_tokens(
     )
 
 
+def _deterministic_range_pid(
+    df: DataFrame, order_col: str, n_buckets: int | None = None
+) -> tuple[DataFrame, int]:
+    """Add ``__pid``: a range-bucket id in order-column order that is a
+    PURE FUNCTION of the row. ``repartitionByRange`` cannot serve here:
+    its range bounds come from a sample seeded by the execution's RDD id,
+    so two jobs over the same frame draw DIFFERENT bounds — any plan that
+    collects per-partition summaries in one job and uses them in another
+    mis-assigns rows near every boundary (this bug shipped in r5's
+    deterministic_shuffle; caught by the permutation test). Boundaries
+    here are quantiles of a fixed-seed sample, baked into the plan as
+    literals, so every job agrees on every row's bucket by construction.
+
+    Returns (frame + __pid, bucket count). Two tiny driver-side jobs
+    (count + boundary-sample collect of ~40 keys/bucket); null order keys
+    bucket to 0, matching Spark's nulls-first ascending sort."""
+    spark = df.sparkSession
+    k = max(n_buckets or spark.sparkContext.defaultParallelism, 1)
+    n = df.count()
+    if n == 0:
+        return df.withColumn("__pid", F.lit(0)), 1
+    frac = min(1.0, (40.0 * k) / n)
+    keys = sorted(
+        r[0]
+        for r in df.select(order_col).sample(False, frac, seed=7).collect()
+        if r[0] is not None
+    )
+    bounds = (
+        [keys[int(i * len(keys) / k)] for i in range(1, k)] if keys else []
+    )
+    if not bounds:
+        return df.withColumn("__pid", F.lit(0)), 1
+    arr = F.array(*[F.lit(b) for b in bounds])
+    # bucket = number of boundaries strictly below the key: equal keys
+    # always share a bucket (RANGE-frame peers never split)
+    pid = F.size(F.filter(arr, lambda b: b < F.col(order_col)))
+    return df.withColumn("__pid", pid), len(bounds) + 1
+
+
 def pack_by_token_budget(
     df: DataFrame,
     token_col: str,
@@ -162,24 +201,58 @@ def pack_by_token_budget(
     docs whose PRECEDING total fits the budget; a document longer than the
     budget gets a pack of its own rather than being dropped).
 
-    Deterministic given the ordering column, and SQL-replayable (one
-    window cumsum — the DuckDB oracle is the same expression). With
-    ``partition_cols`` the cumsum windows per group (e.g. per language),
-    which is also what bounds the window state at 100 TB: prefer packing
-    within natural shards over one global ordering, because a single
-    unpartitioned window serializes into one task in any engine.
+    Deterministic given the ordering column, and SQL-replayable (the
+    DuckDB oracle is the plain window cumsum — both paths below compute
+    the identical value). With ``partition_cols`` the cumsum windows per
+    group (e.g. per language): one hash shuffle, window state bounded by
+    the group. WITHOUT them, a naive global window would serialize the
+    corpus into a single task, so the global path runs the same two-phase
+    plan as :func:`deterministic_shuffle` instead: range-partition on the
+    order column, per-partition partial sums to the driver (one tiny row
+    per partition), then local RANGE-frame cumsums plus broadcast prefix
+    offsets — every phase parallel, driver state O(partitions). Tie
+    semantics are preserved exactly (the default RANGE frame gives equal
+    order keys a shared cumsum; the range partitioner never splits equal
+    keys across partitions, so local windows see whole peer groups).
     Returns the input plus ``pack_id`` (long).
     """
-    parts = [F.col(c) for c in (partition_cols or [])]
-    w = (
-        Window.partitionBy(*parts).orderBy(F.col(order_col))
-        if parts
-        else Window.orderBy(F.col(order_col))
+    if partition_cols:
+        w = Window.partitionBy(*[F.col(c) for c in partition_cols]).orderBy(
+            F.col(order_col)
+        )
+        cum = F.sum(F.col(token_col)).over(w)
+        return df.withColumn(
+            "pack_id",
+            F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
+        )
+    staged, _k = _deterministic_range_pid(df, order_col)
+    # per-bucket token sums -> prefix offsets: one tiny driver row per
+    # bucket; safe as a separate job because __pid is a pure function of
+    # the row (see _deterministic_range_pid)
+    sums = {
+        r["__pid"]: r["s"]
+        for r in staged.groupBy("__pid")
+        .agg(F.sum(F.col(token_col)).alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += sums[pid] or 0
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "__pid int, __off long"
+        )
     )
-    cum = F.sum(F.col(token_col)).over(w)
-    return df.withColumn(
-        "pack_id",
-        F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
+    local = Window.partitionBy("__pid").orderBy(F.col(order_col))
+    cum = F.sum(F.col(token_col)).over(local) + F.col("__off")
+    return (
+        staged.join(off_df, "__pid")
+        .withColumn(
+            "pack_id",
+            F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
+        )
+        .drop("__pid", "__off")
     )
 
 
@@ -225,42 +298,35 @@ def deterministic_shuffle(
 
     An unpartitioned ``row_number`` window would serialize the corpus into
     one task, so positions are assigned in two parallel phases instead:
-    a range-partitioned sort on the hash (uniform by construction, so the
-    ranges are balanced regardless of input skew), then per-partition
-    local ranks plus broadcast prefix-sum offsets — the classic
-    zipWithIndex plan expressed in DataFrame algebra. Only the
-    partition-id row counts touch the driver. A different ``seed`` yields
-    an independent permutation.
+    hash-range bucketing on the hash via :func:`_deterministic_range_pid`
+    (uniform by construction, so buckets are balanced regardless of input
+    skew; the bucket id is a pure function of the row, NOT
+    ``repartitionByRange``, whose per-execution sampled bounds would
+    desynchronize the count job from the rank job), then per-bucket local
+    ranks plus broadcast prefix-sum offsets — the classic zipWithIndex
+    plan expressed in DataFrame algebra. Only the bucket row counts touch
+    the driver. A different ``seed`` yields an independent permutation.
     """
     h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
-    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.withColumn("__h", h)
-        .repartitionByRange(n_parts, F.col("__h"), F.col(key_col))
-        .sortWithinPartitions(F.col("__h"), F.col(key_col))
-        .withColumn("__pid", F.spark_partition_id())
+    staged, _k = _deterministic_range_pid(
+        df.withColumn("__h", h), "__h", num_partitions
     )
-    # per-partition row counts -> prefix offsets (one tiny driver row per
-    # partition; positions depend only on the global (hash, key) order, so
-    # they are stable no matter where the sampled range bounds fall)
     counts = {
         r["__pid"]: r["n"]
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in staged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    spark = df.sparkSession
     off_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
-            "__pid int, __off long",
+        df.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "__pid int, __off long"
         )
     )
     local = Window.partitionBy("__pid").orderBy(F.col("__h"), F.col(key_col))
     return (
-        ranged.withColumn("__rk", F.row_number().over(local))
+        staged.withColumn("__rk", F.row_number().over(local))
         .join(off_df, "__pid")
         .withColumn(
             "shuffle_pos", (F.col("__off") + F.col("__rk") - F.lit(1)).cast("long")
