@@ -413,3 +413,18 @@ class TestVectorizedSqlSurface:
             plan = executed_plan(df)
             assert "ArrowEvalPython" in plan, name
             assert "BatchEvalPython" not in plan, name
+
+
+class TestQ5BroadcastHints:
+    def test_only_fixed_size_dims_are_hinted(self, spark):
+        """join_q5_asia must hint broadcast ONLY for nation (25 rows) and
+        region (5 rows): customer scales with SF, so a forced broadcast
+        of the customer-derived dims side would OOM the build side at
+        large SF — AQE decides that join from runtime sizes instead."""
+        from xcube_geodb_spark.suite.core import join_q5_asia
+
+        df = join_q5_asia(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == 2, analyzed
+        rows = {tuple(r) for r in df.collect()}
+        assert rows  # still computes

@@ -505,6 +505,11 @@ def join_q5_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
+    # broadcast hints ONLY on the fixed-size dims (nation 25 rows, region
+    # 5): customer scales with SF, so a forced broadcast of the derived
+    # dims side would OOM the build side at large SF — AQE picks the
+    # customer-join strategy from runtime sizes instead (broadcast at
+    # small SF, shuffle-hash beyond the threshold)
     dims = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -512,7 +517,7 @@ def join_q5_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0)
