@@ -244,18 +244,25 @@ def main() -> None:
               file=sys.stderr)
 
     # metadata path: probe latency over synthetic 10k / 100k-file
-    # manifests (stats sidecar shards + catalog shard cache). cold = first
-    # probe (parses shards once); warm = steady state (fresh meta() read,
-    # cached shards, full prune scan). The old inline-JSON design paid the
-    # cold cost on EVERY probe.
+    # manifests laid out exactly as compaction writes them — clustered
+    # ~1k-file stats shards, each with a manifest-level min/max hull
+    # (the STATS TREE). The probe runs the real engine path
+    # (split_files_by_constraints with meta): a point probe checks
+    # O(shards) hulls and loads/iterates ONE shard, so cold cost is one
+    # shard parse and warm cost stops scaling with file count.
     def _manifest_probe(n_files: int) -> dict:
         import shutil
         import tempfile
 
-        from xcube_geodb_spark.catalog import GeoDBCatalog, _atomic_write_json
+        from xcube_geodb_spark.catalog import (
+            STATS_SHARD_CHUNK_FILES,
+            GeoDBCatalog,
+            _atomic_write_json,
+        )
         from xcube_geodb_spark.operators.pruning import (
             conjunctive_constraints,
-            file_may_match,
+            shard_summary,
+            split_files_by_constraints,
         )
 
         wh = tempfile.mkdtemp(prefix="geodb_scale_meta_")
@@ -271,20 +278,30 @@ def main() -> None:
                 f: {"id": [i * 10, i * 10 + 9], "::rows": [10, 10]}
                 for i, f in enumerate(files)
             }
-            shard = os.path.join("stats", "seed.json")
-            _atomic_write_json(os.path.join(cdir, shard), stats)
+            shard_names, summaries = [], {}
+            items = list(stats.items())
+            for i in range(0, len(items), STATS_SHARD_CHUNK_FILES):
+                part = dict(items[i : i + STATS_SHARD_CHUNK_FILES])
+                sname = os.path.join("stats", f"chunk{i:08d}.json")
+                _atomic_write_json(os.path.join(cdir, sname), part)
+                shard_names.append(sname)
+                summaries[sname] = shard_summary(part)
             m.d["files"] = files
-            m.d["stats_files"] = [shard]
+            m.d["stats_files"] = shard_names
+            m.d["stats_summaries"] = summaries
+            m.d["stats_complete"] = True
             _atomic_write_json(m.path, m.d)
 
             cons = conjunctive_constraints(f"id=eq.{n_files * 5}")
 
             def probe():
+                # exactly get_collection's pruning sequence
                 mm = cat.meta("m", "scale")
-                fs = mm.file_stats()
-                return [
-                    f for f in mm.files if file_may_match(fs.get(f, {}), cons)
-                ]
+                paths = cat.manifest_paths("m", "scale", meta=mm)
+                touched, _ = split_files_by_constraints(
+                    paths, ["id"], cons, meta=mm, need_untouched=False
+                )
+                return touched
 
             t0 = time.perf_counter()
             hit = probe()
@@ -296,7 +313,11 @@ def main() -> None:
                 ))()
                 for _ in range(5)
             )
-            return {"cold_s": round(cold, 4), "warm_s": round(warm, 4)}
+            return {
+                "cold_s": round(cold, 4),
+                "warm_s": round(warm, 4),
+                "shards": len(shard_names),
+            }
         finally:
             shutil.rmtree(wh, ignore_errors=True)
 

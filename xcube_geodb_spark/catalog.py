@@ -123,6 +123,14 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
+# stats-tree tuning: compaction triggers when the shard chain exceeds
+# STATS_SHARD_COMPACT_AT and re-shards live files into clustered chunks of
+# STATS_SHARD_CHUNK_FILES, each summarized in the manifest (probe skips
+# whole chunks by hull).
+STATS_SHARD_COMPACT_AT = 64
+STATS_SHARD_CHUNK_FILES = 1024
+
+
 class CollectionMeta:
     """In-memory view of a collection's metadata.json.
 
@@ -135,12 +143,17 @@ class CollectionMeta:
     so steady-state probe latency is a dict lookup regardless of file
     count or commit history."""
 
-    def __init__(self, d: dict, path: str, stats_loader=None):
+    def __init__(self, d: dict, path: str, stats_loader=None, derived=None):
         self._d = d
         self.path = path
         self._stats_loader = stats_loader
         self._stats_cache: dict | None = None
         self._bloom_cache: dict | None = None
+        # per-manifest-VERSION memo shared by every CollectionMeta read of
+        # the same snapshot (lives in the catalog's meta parse cache):
+        # holds O(files) derivations — the absolute-path map, the live-file
+        # set — that would otherwise rebuild on every probe
+        self._derived: dict = derived if derived is not None else {}
 
     def file_stats(self) -> dict:
         """Per-file column stats for the CURRENT snapshot's files:
@@ -158,6 +171,34 @@ class CollectionMeta:
             files = set(self._d.get("files") or [])
             self._stats_cache = {f: s for f, s in merged.items() if f in files}
         return self._stats_cache
+
+    @property
+    def stats_complete(self) -> bool:
+        """True when every live file is known to be covered by some stats
+        shard — the precondition for the stats-tree probe fast path
+        (pruning.split_files_by_constraints), which classifies files of
+        summary-excluded shards as untouched WITHOUT loading them.
+        Maintained at commit (new files all got stats) and healed by
+        compaction (merged coverage re-checked against live files);
+        legacy manifests without the flag default to the safe slow
+        path."""
+        return bool(self._d.get("stats_complete"))
+
+    def stats_shards(self) -> list:
+        """[(shard_name, summary_or_None)] in manifest order; summaries
+        are the shard-level min/max hulls (pruning.shard_summary) kept in
+        the manifest so probes can skip whole shards unloaded."""
+        summaries = self._d.get("stats_summaries") or {}
+        return [
+            (s, summaries.get(s)) for s in self._d.get("stats_files") or []
+        ]
+
+    def load_stats_shard(self, name: str) -> dict:
+        """One shard's raw per-file stats through the catalog shard cache
+        (immutable file -> parse once per process)."""
+        if self._stats_loader is None:
+            return {}
+        return self._stats_loader([name])
 
     def file_blooms(self) -> dict:
         """Per-file bloom filters (``::bloom:<col>`` equality,
@@ -255,6 +296,12 @@ class GeoDBCatalog:
         # stats sidecar shards are immutable (uuid-named): parsed once,
         # cached for the catalog's lifetime
         self._stats_shard_cache: dict[str, dict] = {}
+        # manifest pointer parse cache keyed by (inode, mtime_ns, size):
+        # metadata.json is atomically replaced on every commit (fresh
+        # inode), so an unchanged stat key proves the bytes are unchanged
+        # and the parse can be reused — at 10^5 files the "files" list
+        # alone is a ~50 ms JSON parse per probe otherwise
+        self._meta_parse_cache: dict[str, tuple] = {}
 
     # ------------------------------------------------------------------
     # databases (namespace registry — geodb.sql:150-214)
@@ -313,12 +360,32 @@ class GeoDBCatalog:
 
     def meta(self, collection: str, database: str) -> CollectionMeta:
         p = self._meta_path(collection, database)
-        if not os.path.exists(p):
-            raise GeoDBError(f"Collection {database}_{collection} does not exist")
-        with open(p) as f:
-            return CollectionMeta(
-                json.load(f), p, self._stats_loader(collection, database)
+        try:
+            st = os.stat(p)
+        except OSError:
+            raise GeoDBError(
+                f"Collection {database}_{collection} does not exist"
             )
+        key = (st.st_ino, st.st_mtime_ns, st.st_size)
+        hit = self._meta_parse_cache.get(p)
+        if hit is None or hit[0] != key:
+            with open(p) as f:
+                pristine = json.load(f)
+            hit = (key, pristine, {})
+            self._meta_parse_cache[p] = hit
+        pristine, derived = hit[1], hit[2]
+        # callers mutate meta.d (commit_version, index/STAC admin) before
+        # the atomic write, so each CollectionMeta gets its own copy: a
+        # deep copy of everything except the (immutable-string, possibly
+        # huge) file list, which copies shallowly
+        import copy as _copy
+
+        d = _copy.deepcopy({k: v for k, v in pristine.items() if k != "files"})
+        if "files" in pristine:
+            d["files"] = list(pristine["files"])
+        return CollectionMeta(
+            d, p, self._stats_loader(collection, database), derived=derived
+        )
 
     def _stats_loader(self, collection: str, database: str):
         """Loader for stats sidecar shards with a catalog-level cache:
@@ -412,6 +479,9 @@ class GeoDBCatalog:
             "acl": {"owner": self.user, "grants": {}, "published": False},
             "indexes": [{"property": "geometry", "type": "gist"}],
             "stac": {},
+            # no files yet -> stats coverage vacuously complete; enables
+            # the stats-tree probe fast path from the first commit
+            "stats_complete": True,
         }
         meta["modified_at"] = meta["created_at"]
         _atomic_write_json(self._meta_path(collection, database), meta)
@@ -720,10 +790,20 @@ class GeoDBCatalog:
         database: str,
         meta: CollectionMeta | None = None,
     ) -> dict[str, str]:
-        """manifest-relative name -> absolute path for the current snapshot."""
+        """manifest-relative name -> absolute path for the current snapshot.
+
+        Plain string concatenation, not os.path.join: at 10^5 files the
+        per-file join dominates warm probe latency (profiled ~0.2 s per
+        call); manifest-relative names are always separator-free-rooted
+        uuid paths written by this catalog."""
         m = meta if meta is not None else self.meta(collection, database)
-        cdir = self._coll_dir(collection, database)
-        return {f: os.path.join(cdir, f) for f in m.files}
+        cached = m._derived.get("paths")
+        if cached is not None:
+            return cached
+        base = self._coll_dir(collection, database).rstrip(os.sep) + os.sep
+        paths = {f: base + f for f in m.files}
+        m._derived["paths"] = paths
+        return paths
 
     def commit_version(
         self,
@@ -846,31 +926,63 @@ class GeoDBCatalog:
                     delta_blooms[f] = bl
             except Exception:
                 pass  # unreadable stats never block a commit
+        from xcube_geodb_spark.operators.pruning import shard_summary
+
+        # stats_complete: the stats-tree probe precondition — every live
+        # file covered by some shard. Advanced per commit (all new files
+        # produced stats), healed by compaction (coverage re-checked).
+        new_complete = bool(m.d.get("stats_complete")) and all(
+            f in delta_stats for f in new_files
+        )
         # legacy inline stats (pre-shard collections) migrate into the
         # delta shard once, shrinking the manifest permanently
         inline = m.d.pop("file_stats", None)
         if inline:
             delta_stats = {**inline, **delta_stats}
         shards = list(m.d.get("stats_files") or [])
+        summaries = dict(m.d.get("stats_summaries") or {})
         sdir = os.path.join(cdir, "stats")
         if delta_stats:
             os.makedirs(sdir, exist_ok=True)
             sname = os.path.join("stats", f"{uuid.uuid4().hex}.json")
             _atomic_write_json(os.path.join(cdir, sname), delta_stats)
             shards.append(sname)
-        if len(shards) > 64:
-            # amortized compaction of the shard chain: one merged shard
-            # filtered to live files; superseded shards stay on disk for
-            # older snapshots until vacuum expires them
+            summaries[sname] = shard_summary(delta_stats)
+        if len(shards) > STATS_SHARD_COMPACT_AT:
+            # amortized compaction of the shard chain: live files re-shard
+            # into ~1k-file CLUSTERED chunks (ordered by each file's id
+            # min, the write-clustering order), each with its own manifest
+            # summary — the stats TREE: a selective probe checks O(shards)
+            # hulls and loads one chunk, however many files are live.
+            # Superseded shards stay on disk for older snapshots until
+            # vacuum expires them.
             loader = self._stats_loader(collection, database)
             full = loader(shards)
             live = set(m.d["files"])
             merged = {f: s for f, s in full.items() if f in live}
+
+            def _id_lo(item):
+                v = (item[1].get("id") or [None, None])[0]
+                return (0, v, item[0]) if isinstance(v, (int, float)) else (
+                    1, 0, item[0]
+                )
+
+            ordered = sorted(merged.items(), key=_id_lo)
+            chunk = STATS_SHARD_CHUNK_FILES
+            shards, summaries = [], {}
             os.makedirs(sdir, exist_ok=True)
-            sname = os.path.join("stats", f"{uuid.uuid4().hex}.json")
-            _atomic_write_json(os.path.join(cdir, sname), merged)
-            shards = [sname]
+            for i in range(0, len(ordered), chunk):
+                part = dict(ordered[i : i + chunk])
+                sname = os.path.join("stats", f"{uuid.uuid4().hex}.json")
+                _atomic_write_json(os.path.join(cdir, sname), part)
+                shards.append(sname)
+                summaries[sname] = shard_summary(part)
+            new_complete = set(merged) >= live
         m.d["stats_files"] = shards
+        m.d["stats_summaries"] = {
+            s: v for s, v in summaries.items() if s in set(shards)
+        }
+        m.d["stats_complete"] = new_complete
         bshards = list(m.d.get("bloom_files") or [])
         bdir = os.path.join(cdir, "blooms")
         if delta_blooms:
@@ -878,7 +990,7 @@ class GeoDBCatalog:
             bname = os.path.join("blooms", f"{uuid.uuid4().hex}.json")
             _atomic_write_json(os.path.join(cdir, bname), delta_blooms)
             bshards.append(bname)
-        if len(bshards) > 64:
+        if len(bshards) > STATS_SHARD_COMPACT_AT:
             loader = self._stats_loader(collection, database)
             full = loader(bshards)
             live = set(m.d["files"])

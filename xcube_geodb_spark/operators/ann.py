@@ -72,7 +72,7 @@ def ann_probe_files(
         probes = probe_ids(query_vector, idx["centroids"], n_probe)
         constraints = [("__annbucket", "in", [int(p) for p in probes])]
     return split_files_by_constraints(
-        paths, ["__annbucket"], constraints, stats_map=m.file_stats()
+        paths, ["__annbucket"], constraints, meta=m
     )
 
 

@@ -292,7 +292,7 @@ def insert_into_collection(
                 catalog.manifest_paths(collection, database),
                 ["id"],
                 [("id", "gte", int(bounds["lo"])), ("id", "lte", int(bounds["hi"]))],
-                stats_map=m.file_stats(),
+                meta=m,
             )
         else:
             touched, untouched = list(m.files), []
@@ -400,7 +400,7 @@ def _touched_untouched(
         if i.get("type") == "bloom"
     }
     return split_files_by_constraints(
-        paths, cols, constraints, stats_map=m.file_stats(),
+        paths, cols, constraints, meta=m,
         fts_groups=fts_groups,
         blooms_map=(
             m.file_blooms()
@@ -462,7 +462,7 @@ def delete_ids(
         catalog.manifest_paths(collection, database, meta=m),
         ["id"],
         [("id", "gte", int(bounds["lo"])), ("id", "lte", int(bounds["hi"]))],
-        stats_map=m.file_stats(),
+        meta=m,
     )
     if not touched:
         return

@@ -50,7 +50,8 @@ def get_collection(
             catalog.manifest_paths(collection, database, meta=m),
             cols,
             constraints,
-            stats_map=m.file_stats(),
+            meta=m,
+            need_untouched=False,
             fts_groups=fts_groups,
             blooms_map=(
                 m.file_blooms()
