@@ -146,7 +146,9 @@ class TestTextSqlSurface:
             " to_tsvector('simple', 'Running runs') AS vs"
         ).collect()[0]
         assert row["st"] == "run"
-        assert row["v"] == sorted({"run", "the", "queri"})
+        # 'the' elided: PG's english config drops stopwords before
+        # stemming (functions/stopwords.py)
+        assert row["v"] == sorted({"run", "queri"})
         assert row["q"] == ["queri", "run"]
         assert row["vs"] == ["running", "runs"]
         m = spark.sql(

@@ -269,22 +269,35 @@ def _fts(c: Column, op: str, value: str, lang: str | None = None) -> Column:
     consecutive-token phrase. wfts: websearch — bare words ANDed, ``-word``
     negated, ``or`` separates alternatives, quoted phrases kept whole.
 
-    ``lang`` in ``("english", "en")`` stems document tokens with the pure
-    Column-tree Porter stemmer (functions/porter.py — JVM-evaluated inside
-    the scan, no UDF) and query terms with its Python twin, so
-    ``fts(english).connection`` matches "connections"/"connected" exactly
-    as PG's english tsvector does. No tag (or ``simple``) keeps exact
-    token matching."""
+    ``lang`` in ``("english", "en")`` runs PG's english-dictionary
+    pipeline on both sides: Snowball STOPWORDS are elided first
+    (functions/stopwords.py — document tokens filtered in the Column
+    tree, query terms dropped from their groups exactly as
+    ``to_tsquery`` does: a group left empty disappears, a query left
+    with no groups matches nothing), then the Porter stemmer applies
+    (pure Column tree, functions/porter.py — JVM-evaluated inside the
+    scan, no UDF; query terms through its Python twin), so
+    ``fts(english).connection`` matches "connections"/"connected" and
+    ``fts(english).the.cat`` behaves like PG's ``'the & cat'`` ->
+    ``'cat'``. No tag (or ``simple``) keeps exact token matching with
+    no elision."""
     stemmed = lang in _STEM_DICTS
     toks = _fts_tokens(c)
     if stemmed:
         from xcube_geodb_spark.functions.porter import porter_col, porter_py
+        from xcube_geodb_spark.functions.stopwords import (
+            ENGLISH_STOPWORDS,
+            ENGLISH_STOPWORDS_SORTED,
+        )
 
+        stop_list = list(ENGLISH_STOPWORDS_SORTED)
+        toks = F.filter(toks, lambda t: ~t.isin(stop_list))
         toks = F.transform(toks, porter_col)
 
     def norm_words(t: str) -> str:
         words = _fts_norm(t).split(" ") if _fts_norm(t) else []
         if stemmed:
+            words = [w for w in words if w not in ENGLISH_STOPWORDS]
             words = [porter_py(w) for w in words]
         return " ".join(words)
 
@@ -292,11 +305,17 @@ def _fts(c: Column, op: str, value: str, lang: str | None = None) -> Column:
         joined = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
         return joined.contains(f" {phrase_normed} ")
 
-    def term(t: str) -> Column:
+    def term(t: str) -> Column | None:
+        """None = the term elided entirely (english stopword), exactly
+        PG's to_tsquery behavior; raises only on syntactically empty
+        terms."""
         neg = t.startswith("!") or t.startswith("-")
-        body = norm_words(t.lstrip("!-"))
-        if not body:
+        raw = t.lstrip("!-")
+        if not _fts_norm(raw):
             raise GeoDBError(f"Empty term in {op} filter: {value!r}")
+        body = norm_words(raw)
+        if not body:
+            return None
         e = (
             F.array_contains(toks, body)
             if " " not in body
@@ -304,16 +323,25 @@ def _fts(c: Column, op: str, value: str, lang: str | None = None) -> Column:
         )
         return ~e if neg else e
 
+    def conj(exprs: list) -> Column | None:
+        kept = [e for e in exprs if e is not None]
+        if not kept:
+            return None  # whole group elided
+        out = kept[0]
+        for e in kept[1:]:
+            out = out & e
+        return out
+
     if op == "phfts":
         if not _fts_norm(value):
             raise GeoDBError(f"Empty phrase in phfts filter: {value!r}")
-        return phrase_match(norm_words(value))
+        ph = norm_words(value)
+        if not ph:
+            return F.lit(False)  # all-stopword phrase: empty tsquery
+        return phrase_match(ph)
     if op == "plfts":
-        words = _fts_norm(value).split(" ")
-        out = term(words[0])
-        for w in words[1:]:
-            out = out & term(w)
-        return out
+        out = conj([term(w) for w in _fts_norm(value).split(" ")])
+        return out if out is not None else F.lit(False)
     if op == "wfts":
         groups: list[list[str]] = [[]]
         for t in re.findall(r'-?"[^"]+"|\S+', value):
@@ -321,14 +349,15 @@ def _fts(c: Column, op: str, value: str, lang: str | None = None) -> Column:
                 groups.append([])
             else:
                 groups[-1].append(t.replace('"', ""))
-        group_cols = []
-        for g in [g for g in groups if g]:
-            e = term(g[0])
-            for t in g[1:]:
-                e = e & term(t)
-            group_cols.append(e)
-        if not group_cols:
+        raw_groups = [g for g in groups if g]
+        if not raw_groups:
             raise GeoDBError(f"Empty wfts query: {value!r}")
+        group_cols = [
+            e for e in (conj([term(t) for t in g]) for g in raw_groups)
+            if e is not None
+        ]
+        if not group_cols:
+            return F.lit(False)  # every group elided: empty tsquery
         out = group_cols[0]
         for e in group_cols[1:]:
             out = out | e
@@ -339,10 +368,11 @@ def _fts(c: Column, op: str, value: str, lang: str | None = None) -> Column:
         terms = [t for t in group.split("&") if t.strip()]
         if not terms:
             raise GeoDBError(f"Empty group in fts filter: {value!r}")
-        e = term(terms[0])
-        for t in terms[1:]:
-            e = e & term(t)
-        or_cols.append(e)
+        e = conj([term(t) for t in terms])
+        if e is not None:
+            or_cols.append(e)
+    if not or_cols:
+        return F.lit(False)  # every group elided: empty tsquery
     out = or_cols[0]
     for e in or_cols[1:]:
         out = out | e
@@ -360,8 +390,8 @@ def _norm_op(op: str) -> tuple[str, str | None]:
     (functions/porter.py) to both document tokens and query terms;
     ``simple`` (and no tag) means exact token match. Other dictionary
     names fail the parse — the engine ships only the english stemmer.
-    PG's stopword elision is not applied (documented deviation: a query
-    term that IS a stopword still requires a literal match)."""
+    The english dictionary also applies PG's stopword elision (Snowball
+    list, functions/stopwords.py) to document tokens and query terms."""
     base, _, tag = op.partition("(")
     if base not in ("fts", "plfts", "phfts", "wfts"):
         return op, None

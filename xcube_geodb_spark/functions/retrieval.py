@@ -255,7 +255,14 @@ def inverted_index(
     toks = tokens(F.col(text_col))
     if stemmed:
         from xcube_geodb_spark.functions.porter import porter_col
+        from xcube_geodb_spark.functions.stopwords import (
+            ENGLISH_STOPWORDS_SORTED,
+        )
 
+        # stopword elision then stemming — the same english document
+        # pipeline as filters._fts, so index answers equal scan answers
+        stop = list(ENGLISH_STOPWORDS_SORTED)
+        toks = F.filter(toks, lambda t: ~t.isin(stop))
         toks = F.transform(toks, porter_col)
     base = docs.select(F.col(id_col), toks.alias("__t")).select(
         F.col(id_col),
@@ -505,7 +512,9 @@ def fts_docs_from_index(
     from xcube_geodb_spark.errors import GeoDBError
     from xcube_geodb_spark.filters import _fts_norm
 
-    def norm_term(t: str) -> str:
+    def norm_term(t: str):
+        """None = term elided (english stopword under ``stemmed``) —
+        the same to_tsquery elision filters._fts applies."""
         body = _fts_norm(t)
         if not body:
             raise GeoDBError(f"Empty term in tsquery: {tsquery!r}")
@@ -516,7 +525,10 @@ def fts_docs_from_index(
             )
         if stemmed:
             from xcube_geodb_spark.functions.porter import porter_py
+            from xcube_geodb_spark.functions.stopwords import is_stopword
 
+            if is_stopword(body):
+                return None
             body = porter_py(body)
         return body
 
@@ -526,7 +538,9 @@ def fts_docs_from_index(
         words = _fts_norm(tsquery).split(" ") if _fts_norm(tsquery) else []
         if not words:
             raise GeoDBError(f"Empty plfts query: {tsquery!r}")
-        groups.append(([norm_term(w) for w in words], []))
+        groups.append(
+            ([b for b in (norm_term(w) for w in words) if b is not None], [])
+        )
     elif op == "wfts":
         raw_groups: list[list[str]] = [[]]
         for t in re.findall(r'-?"[^"]+"|\S+', tsquery):
@@ -545,10 +559,15 @@ def fts_docs_from_index(
                 if t.startswith(("-", "!")):
                     # filters._fts.term accepts BOTH negation spellings in
                     # every grammar — the index path must match the scan.
-                    neg.append(norm_term(t.lstrip("!-")))
+                    b = norm_term(t.lstrip("!-"))
+                    if b is not None:
+                        neg.append(b)
                 else:
-                    pos.append(norm_term(t))
-            groups.append((pos, neg))
+                    b = norm_term(t)
+                    if b is not None:
+                        pos.append(b)
+            if pos or neg:
+                groups.append((pos, neg))
         if not groups:
             raise GeoDBError(f"Empty wfts query: {tsquery!r}")
     elif op == "fts":
@@ -561,15 +580,24 @@ def fts_docs_from_index(
                         f"Empty group in tsquery: {tsquery!r}"
                     )
                 if t.startswith(("!", "-")):
-                    neg.append(norm_term(t.lstrip("!-")))
+                    b = norm_term(t.lstrip("!-"))
+                    if b is not None:
+                        neg.append(b)
                 else:
-                    pos.append(norm_term(t))
-            groups.append((pos, neg))
+                    b = norm_term(t)
+                    if b is not None:
+                        pos.append(b)
+            if pos or neg:
+                groups.append((pos, neg))
     else:
         raise GeoDBError(
             f"op must be fts/plfts/wfts (phfts needs positions), got {op!r}"
         )
 
+    if not groups:
+        # every group elided (all-stopword query): the empty tsquery —
+        # matches no document (PG semantics)
+        return postings.select(id_col).filter(F.lit(False)).distinct()
     result = None
     for pos, neg in groups:
         if not pos:
@@ -666,7 +694,14 @@ def positional_index(
     toks = tokens(F.col(text_col))
     if stemmed:
         from xcube_geodb_spark.functions.porter import porter_col
+        from xcube_geodb_spark.functions.stopwords import (
+            ENGLISH_STOPWORDS_SORTED,
+        )
 
+        # elide then stem: positions are offsets in the stopword-FREE
+        # token stream, matching the scan's phrase matcher exactly
+        stop = list(ENGLISH_STOPWORDS_SORTED)
+        toks = F.filter(toks, lambda t: ~t.isin(stop))
         toks = F.transform(toks, porter_col)
     base = docs.select(F.col(id_col), toks.alias("__t")).select(
         F.col(id_col),
@@ -707,8 +742,16 @@ def phrase_docs_from_index(
         raise GeoDBError(f"Empty phrase: {phrase!r}")
     if stemmed:
         from xcube_geodb_spark.functions.porter import porter_py
+        from xcube_geodb_spark.functions.stopwords import ENGLISH_STOPWORDS
 
-        words = [porter_py(w) for w in words]
+        # elide stopwords exactly as the scan's phrase matcher does (the
+        # positional index stores offsets in the stopword-free stream);
+        # an all-stopword phrase is the empty tsquery: matches nothing
+        words = [
+            porter_py(w) for w in words if w not in ENGLISH_STOPWORDS
+        ]
+        if not words:
+            return postings.select(id_col).filter(F.lit(False)).distinct()
     sub = postings.filter(F.col("token").isin(list(set(words))))
     per_doc = sub.groupBy(id_col).agg(
         *[

@@ -52,7 +52,13 @@ def _lexemes(config: str, text: str | None) -> list[str] | None:
         )
     toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
     if cfg in ("english", "en"):
-        toks = [porter_py(t) for t in toks]
+        from xcube_geodb_spark.functions.stopwords import ENGLISH_STOPWORDS
+
+        # PG's english config elides stopwords in BOTH to_tsvector and
+        # plainto_tsquery before stemming
+        toks = [
+            porter_py(t) for t in toks if t not in ENGLISH_STOPWORDS
+        ]
     return toks
 
 

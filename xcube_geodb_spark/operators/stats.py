@@ -130,8 +130,17 @@ def file_fts_blooms(path: str, fts_cols: dict[str, str]) -> dict[str, str]:
                 if t:
                     vocab.add(t)
         if dic == "english":
+            from xcube_geodb_spark.functions.stopwords import (
+                ENGLISH_STOPWORDS,
+            )
+
+            # stopword elision BEFORE stemming, matching filters._fts's
+            # document pipeline (stopwords never become required query
+            # terms — fts_term_groups elides them symmetrically)
             stemmed = set()
             for t in vocab:
+                if t in ENGLISH_STOPWORDS:
+                    continue
                 st = stem_cache.get(t)
                 if st is None:
                     st = stem_cache[t] = porter_py(t)

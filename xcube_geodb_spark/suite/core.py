@@ -13,6 +13,18 @@ from pyspark.sql import functions as F
 
 from xcube_geodb_spark.filters import apply_postgrest_query
 from xcube_geodb_spark.functions.porter import porter_py, porter_sql
+from xcube_geodb_spark.functions.stopwords import stopword_sql_list
+
+# english-dictionary document pipeline as one DuckDB expression: tokenize,
+# elide Snowball stopwords, Porter-stem — the oracle twin of the
+# fts(english) Column tree (filters._fts)
+_ENGLISH_TOKS_SQL = f"""list_transform(
+                       list_filter(
+                           list_filter(
+                               string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t != ''),
+                           t -> NOT list_contains({stopword_sql_list()}, t)),
+                       t -> {porter_sql("t")})"""
 from xcube_geodb_spark.operators.scan import build_pg_sql
 from xcube_geodb_spark.suite.util import load, register_views
 
@@ -71,8 +83,11 @@ def scan_fts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree, functions/porter.py) over document tokens AND query terms, so
     ``querying``/``tables``/``merges`` (none a literal corpus token —
     the plain matcher returns zero rows for them) match ``query``/
-    ``table``/``merge`` documents. The oracle replays the identical
-    stemmer as one generated DuckDB scalar expression."""
+    ``table``/``merge`` documents; ``stopworded`` — stopword elision:
+    ``the``/``once`` in the query drop exactly as PG's english
+    dictionary drops them, leaving ``querying&tables``. The oracle
+    replays the identical stopword+stemmer pipeline as one generated
+    DuckDB scalar expression."""
     df = load(spark, sf_dir, "documents")
     plain = apply_postgrest_query(
         df, "text=fts.data%26spark|window%26!hash&select=doc_id"
@@ -82,8 +97,16 @@ def scan_fts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text=fts(english).querying%26tables|merges%26!windows"
         "&select=doc_id",
     )
-    return plain.select(F.lit("plain").alias("variant"), "doc_id").unionAll(
-        stemmed.select(F.lit("stemmed").alias("variant"), "doc_id")
+    stopworded = apply_postgrest_query(
+        df,
+        "text=fts(english).the%26querying%26once%26tables&select=doc_id",
+    )
+    return (
+        plain.select(F.lit("plain").alias("variant"), "doc_id")
+        .unionAll(stemmed.select(F.lit("stemmed").alias("variant"), "doc_id"))
+        .unionAll(
+            stopworded.select(F.lit("stopworded").alias("variant"), "doc_id")
+        )
     )
 
 
@@ -227,26 +250,26 @@ CORE_ORACLES_GRAMMAR = {
         UNION ALL
         SELECT 'stemmed' AS variant, doc_id FROM (
             SELECT doc_id,
-                   list_transform(
-                       list_filter(
-                           string_split_regex(lower(text), '[^a-z0-9]+'),
-                           t -> t != ''),
-                       t -> {porter_sql("t")}) AS toks
+                   {_ENGLISH_TOKS_SQL} AS toks
             FROM documents
         )
         WHERE (list_contains(toks, '{porter_py("querying")}')
                AND list_contains(toks, '{porter_py("tables")}'))
            OR (list_contains(toks, '{porter_py("merges")}')
                AND NOT list_contains(toks, '{porter_py("windows")}'))
+        UNION ALL
+        SELECT 'stopworded' AS variant, doc_id FROM (
+            SELECT doc_id,
+                   {_ENGLISH_TOKS_SQL} AS toks
+            FROM documents
+        )
+        WHERE list_contains(toks, '{porter_py("querying")}')
+          AND list_contains(toks, '{porter_py("tables")}')
     """,
     "pg_fts_tsvector": f"""
         SELECT doc_id FROM (
             SELECT doc_id,
-                   list_transform(
-                       list_filter(
-                           string_split_regex(lower(text), '[^a-z0-9]+'),
-                           t -> t != ''),
-                       t -> {porter_sql("t")}) AS toks
+                   {_ENGLISH_TOKS_SQL} AS toks
             FROM documents
         )
         WHERE list_contains(toks, '{porter_py("querying")}')
@@ -256,11 +279,7 @@ CORE_ORACLES_GRAMMAR = {
     "scan_fts_indexed": f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (
             SELECT doc_id,
-                   list_transform(
-                       list_filter(
-                           string_split_regex(lower(text), '[^a-z0-9]+'),
-                           t -> t != ''),
-                       t -> {porter_sql("t")}) AS toks
+                   {_ENGLISH_TOKS_SQL} AS toks
             FROM documents
         )
         WHERE (list_contains(toks, '{porter_py("querying")}')

@@ -1920,6 +1920,20 @@ from xcube_geodb_spark.functions.porter import (  # noqa: E402
     porter_py as _pstem,
     porter_sql as _pstem_sql,
 )
+from xcube_geodb_spark.functions.stopwords import (  # noqa: E402
+    stopword_sql_list as _stop_sql_list,
+)
+
+# english document pipeline twin: tokenize -> elide Snowball stopwords ->
+# Porter-stem (matches filters._fts / retrieval's stemmed index builds)
+_ENG_TOKS = f"""list_transform(
+                           list_filter(
+                               list_filter(
+                                   string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   t -> t != ''),
+                               t -> NOT list_contains({_stop_sql_list()}, t)),
+                           t -> {_pstem_sql("t")})"""
 
 LLM_RETRIEVAL_ORACLES = {
     "text_ts_stat": f"""
@@ -1928,13 +1942,7 @@ LLM_RETRIEVAL_ORACLES = {
                    count(DISTINCT doc_id) AS ndoc,
                    count(*) AS nentry
             FROM (
-                SELECT doc_id,
-                       unnest(list_transform(
-                           list_filter(
-                               string_split_regex(lower(text),
-                                                  '[^a-z0-9]+'),
-                               t -> t != ''),
-                           t -> {_pstem_sql("t")})) AS tok
+                SELECT doc_id, unnest({_ENG_TOKS}) AS tok
                 FROM documents
             )
             GROUP BY tok
@@ -1957,12 +1965,7 @@ LLM_RETRIEVAL_ORACLES = {
     # DISTINCT because the index path unions OR-groups distinctly
     "text_fts_via_index": f"""
         SELECT DISTINCT doc_id FROM (
-            SELECT doc_id,
-                   list_transform(
-                       list_filter(
-                           string_split_regex(lower(text), '[^a-z0-9]+'),
-                           t -> t != ''),
-                       t -> {_pstem_sql("t")}) AS toks
+            SELECT doc_id, {_ENG_TOKS} AS toks
             FROM documents
         )
         WHERE (list_contains(toks, '{_pstem("querying")}')
