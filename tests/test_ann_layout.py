@@ -251,3 +251,108 @@ class TestIvfPqRefine:
             ann_ivfpq_topk_refined(
                 cat, "emb_g", _query_vec(spark), database="anndb", expand=0
             )
+
+
+class TestAnnRecall:
+    """Index QUALITY gate (verdict r5 task 7): recall@k of each probe
+    path vs the exact cosine top-k over the whole collection. The
+    layout/plumbing tests above prove the probe computes what it claims;
+    this catches regressions in what it claims (centroid seeding, PQ
+    codebooks, ADC math, candidate expansion).
+
+    Threshold notes: the fixture embeddings are uniform-random UNIT
+    vectors — no cluster structure — so coarse-IVF candidate recall at
+    n_probe=2 of 8 centroids is bounded by bucket coverage plus weak
+    query-bucket affinity (~0.85 measured), and PQ (8 subspaces x 16
+    centroids over 64-d random data) adds quantization noise that
+    concentrates distances. Real embedding corpora cluster far better;
+    the thresholds below are regression floors calibrated to this
+    adversarial fixture, not aspirations."""
+
+    K = 10
+    N_QUERIES = 10
+
+    @pytest.fixture(scope="class")
+    def recall_cat(self, spark, tmp_path_factory):
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        cents = S.seed_centroids(emb, n_centroids=8)
+        books = S.pq_codebooks(emb, n_subspaces=8, n_centroids=16)
+        wh = str(tmp_path_factory.mktemp("annwh_recall"))
+        cat = _make_collection(
+            spark, wh, "emb_rec", "ivfpq",
+            {"centroids": cents, "codebooks": books},
+        )
+        qvecs = [
+            [float(v) for v in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < self.N_QUERIES).collect()
+        ]
+        full = cat.load_df("emb_rec", "anndb")
+        exact = {
+            i: {
+                r["id"]
+                for r in S.cosine_topk(
+                    full, v, self.K, vec_col="embedding", id_col="id"
+                ).collect()
+            }
+            for i, v in enumerate(qvecs)
+        }
+        return cat, qvecs, exact
+
+    def _recall(self, qvecs, exact, fn):
+        total = 0.0
+        for i, v in enumerate(qvecs):
+            got = {r["id"] for r in fn(v).collect()}
+            total += len(exact[i] & got) / self.K
+        return total / len(qvecs)
+
+    def test_coarse_ivf_recall(self, recall_cat):
+        from xcube_geodb_spark.operators.ann import ann_topk
+
+        cat, qvecs, exact = recall_cat
+        r2 = self._recall(
+            qvecs, exact,
+            lambda v: ann_topk(
+                cat, "emb_rec", v, k=self.K, database="anndb", n_probe=2
+            ),
+        )
+        r4 = self._recall(
+            qvecs, exact,
+            lambda v: ann_topk(
+                cat, "emb_rec", v, k=self.K, database="anndb", n_probe=4
+            ),
+        )
+        assert r2 >= 0.75, f"ivf recall@10 n_probe=2 regressed: {r2}"
+        assert r4 >= 0.9, f"ivf recall@10 n_probe=4 regressed: {r4}"
+        assert r4 >= r2, "more probes must never lose recall"
+
+    def test_refined_beats_adc_and_holds_floor(self, recall_cat):
+        from xcube_geodb_spark.operators.ann import (
+            ann_ivfpq_topk,
+            ann_ivfpq_topk_refined,
+        )
+
+        cat, qvecs, exact = recall_cat
+        adc = self._recall(
+            qvecs, exact,
+            lambda v: ann_ivfpq_topk(
+                cat, "emb_rec", v, k=self.K, database="anndb", n_probe=2
+            ),
+        )
+        refined = self._recall(
+            qvecs, exact,
+            lambda v: ann_ivfpq_topk_refined(
+                cat, "emb_rec", v, k=self.K, database="anndb", n_probe=2,
+                expand=10,
+            ),
+        )
+        # exact re-rank must strictly repair ADC quantization error
+        assert refined > adc, (refined, adc)
+        assert refined >= 0.7, f"refined recall@10 regressed: {refined}"
+        r4 = self._recall(
+            qvecs, exact,
+            lambda v: ann_ivfpq_topk_refined(
+                cat, "emb_rec", v, k=self.K, database="anndb", n_probe=4,
+                expand=10,
+            ),
+        )
+        assert r4 >= 0.8, f"refined recall@10 n_probe=4 regressed: {r4}"

@@ -416,6 +416,101 @@ def main() -> None:
     out["manifest_probe"] = meta_bench
     print(f"manifest_probe: {meta_bench}", file=sys.stderr)
 
+    # ANN index QUALITY (verdict r5 task 7): recall@10 of each probe path
+    # vs exact cosine top-k, on the sf embeddings (unit-norm random
+    # vectors: an adversarial, structure-free fixture — regression
+    # floors, not aspirations; see tests/test_ann_layout.py TestAnnRecall)
+    def _ann_recall() -> dict:
+        import shutil
+        import tempfile
+
+        from xcube_geodb_spark.admin import IndexManager
+        from xcube_geodb_spark.catalog import GeoDBCatalog, _atomic_write_json
+        from xcube_geodb_spark.functions import similarity as S
+        from xcube_geodb_spark.operators import dml
+        from xcube_geodb_spark.operators.ann import (
+            ann_ivfpq_topk,
+            ann_ivfpq_topk_refined,
+            ann_topk,
+        )
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        cents = S.seed_centroids(emb, n_centroids=8)
+        books = S.pq_codebooks(emb, n_subspaces=8, n_centroids=16)
+        wh = tempfile.mkdtemp(prefix="geodb_scale_ann_")
+        try:
+            cat = GeoDBCatalog(spark, wh, user="scale")
+            cat.create_database("anndb")
+            cat.create_collection(
+                "e", {"embedding": "float[]"}, database="anndb"
+            )
+            m = cat.meta("e", "anndb")
+            m.d["max_file_rows"] = 256
+            _atomic_write_json(m.path, m.d)
+            IndexManager(cat).create_index(
+                "e", "embedding", "anndb", kind="ivfpq",
+                options={"centroids": cents, "codebooks": books},
+            )
+            dml.insert_into_collection(
+                cat, "e", emb.select("embedding"), database="anndb"
+            )
+            qvecs = [
+                [float(v) for v in r["embedding"]]
+                for r in emb.filter(F.col("vec_id") < 10).collect()
+            ]
+            full = cat.load_df("e", "anndb")
+            k = 10
+            exact = [
+                {
+                    r["id"]
+                    for r in S.cosine_topk(
+                        full, v, k, vec_col="embedding", id_col="id"
+                    ).collect()
+                }
+                for v in qvecs
+            ]
+
+            def recall(fn):
+                return round(
+                    sum(
+                        len(exact[i] & {r["id"] for r in fn(v).collect()}) / k
+                        for i, v in enumerate(qvecs)
+                    )
+                    / len(qvecs),
+                    3,
+                )
+
+            return {
+                "k": k,
+                "n_queries": len(qvecs),
+                "ivf_np2": recall(
+                    lambda v: ann_topk(
+                        cat, "e", v, k=k, database="anndb", n_probe=2
+                    )
+                ),
+                "ivf_np4": recall(
+                    lambda v: ann_topk(
+                        cat, "e", v, k=k, database="anndb", n_probe=4
+                    )
+                ),
+                "ivfpq_adc_np2": recall(
+                    lambda v: ann_ivfpq_topk(
+                        cat, "e", v, k=k, database="anndb", n_probe=2
+                    )
+                ),
+                "ivfpq_refined_np2": recall(
+                    lambda v: ann_ivfpq_topk_refined(
+                        cat, "e", v, k=k, database="anndb", n_probe=2,
+                        expand=10,
+                    )
+                ),
+            }
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+    out["ann_recall"] = _ann_recall()
+    print(f"ann_recall: {out['ann_recall']}", file=sys.stderr)
+
     print(json.dumps({
         "replication": repl,
         "heavy_replication": heavy_repl,
