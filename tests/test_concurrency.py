@@ -240,3 +240,96 @@ class TestAppendRetry:
                 database="cc",
             )
         cat.meta = orig_meta
+
+
+class TestRebaseOnDisjoint:
+    """File-rewrite commits (delete/update/compaction) REBASE instead of
+    aborting when the racing commit touched a disjoint file set
+    (catalog.commit_version rebase_on_disjoint) — Delta-style
+    WriteSerializable."""
+
+    def _mk_files(self, spark, tmp_path):
+        """btree(id)-clustered collection: 3 small files (10 rows each)
+        + 1 full file (20 rows) — optimize targets the small ones."""
+        from xcube_geodb_spark.catalog import GeoDBCatalog, _atomic_write_json
+        from xcube_geodb_spark.operators import dml
+
+        cat = GeoDBCatalog(spark, str(tmp_path / "whr"), user="cc")
+        cat.create_database("d")
+        cat.create_collection("c", {"v": "int"}, database="d")
+        m = cat.meta("c", "d")
+        m.d["max_file_rows"] = 20
+        _atomic_write_json(m.path, m.d)
+        import pandas as pd
+
+        for n in (10, 10, 10, 20):
+            dml.insert_into_collection(
+                cat, "c", pd.DataFrame({"v": list(range(n))}), database="d"
+            )
+        assert len(cat.meta("c", "d").files) == 4
+        return cat
+
+    def test_optimize_and_update_both_land(self, spark, tmp_path, monkeypatch):
+        from xcube_geodb_spark.catalog import GeoDBCatalog
+        from xcube_geodb_spark.operators.dml import update_collection
+        from xcube_geodb_spark.operators.maintenance import optimize_collection
+
+        cat = self._mk_files(spark, tmp_path)
+        base_version = cat.meta("c", "d").version
+        # the 20-row file holds ids 31..50 (3 batches of 10 first)
+        orig_load = GeoDBCatalog.load_files
+        fired = {"done": False}
+
+        def hooked(self, coll, db, files, meta=None):
+            if not fired["done"]:
+                fired["done"] = True
+                # the racing update lands BETWEEN optimize's snapshot
+                # read and its commit; it rewrites only the big file
+                update_collection(
+                    cat, "c", {"v": 999}, "id=eq.45", database="d"
+                )
+            return orig_load(self, coll, db, files, meta=meta)
+
+        monkeypatch.setattr(GeoDBCatalog, "load_files", hooked)
+        stats = optimize_collection(
+            cat, "c", "d", small_file_rows=15
+        )
+        monkeypatch.undo()
+        assert stats["compacted"] == 3
+        m = cat.meta("c", "d")
+        # BOTH commits landed
+        assert m.version == base_version + 2
+        df = cat.load_df("c", "d")
+        assert df.count() == 50
+        assert df.filter("v = 999").count() == 1  # update survived
+        assert len(m.files) < 4 + 1  # compaction shrank the small set
+
+    def test_overlapping_race_still_raises(self, spark, tmp_path, monkeypatch):
+        """A racer that rewrites a file the compaction READ is a true
+        conflict: rebase must refuse and the abort must surface."""
+        from xcube_geodb_spark.catalog import GeoDBCatalog
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.operators.dml import update_collection
+        from xcube_geodb_spark.operators.maintenance import optimize_collection
+
+        cat = self._mk_files(spark, tmp_path)
+        orig_load = GeoDBCatalog.load_files
+        fired = {"done": False}
+
+        def hooked(self, coll, db, files, meta=None):
+            if not fired["done"]:
+                fired["done"] = True
+                # id=5 lives in a SMALL file optimize is compacting
+                update_collection(
+                    cat, "c", {"v": 888}, "id=eq.5", database="d"
+                )
+            return orig_load(self, coll, db, files, meta=meta)
+
+        monkeypatch.setattr(GeoDBCatalog, "load_files", hooked)
+        with pytest.raises(GeoDBError, match="Concurrent modification"):
+            optimize_collection(cat, "c", "d", small_file_rows=15)
+        monkeypatch.undo()
+        # the update's result survived; the table is consistent
+        df = cat.load_df("c", "d")
+        assert df.filter("v = 888").count() == 1
+        assert df.count() == 50

@@ -1236,3 +1236,117 @@ class TestSphereAreaAndSpheroid:
             math.pi / 2 * EARTH_RADIUS_M**2, rel=1e-9
         )
         assert row["d"] == pytest.approx(111319.4908, abs=1e-3)
+
+
+class TestSpheroidArea:
+    """WGS84 ellipsoidal polygon area via the authalic transformation
+    (geom.area_spheroid — Snyder PP 1395 eqs. 3-11/3-12). Fixtures are
+    independent closed forms on the ellipsoid, not the kernel's own
+    math."""
+
+    A = 6378137.0
+    F = 1.0 / 298.257223563
+
+    def _q(self, s):
+        import math
+
+        e2 = self.F * (2 - self.F)
+        e = math.sqrt(e2)
+        return (1 - e2) * (s / (1 - e2 * s * s) + math.atanh(e * s) / e)
+
+    def test_total_ellipsoid_area_is_published_value(self):
+        import math
+
+        # WGS84 surface area, a public reference value: 510,065,621.72 km²
+        total = 2 * math.pi * self.A**2 * self._q(1.0)
+        assert total / 1e6 == pytest.approx(510_065_621.724, abs=0.01)
+
+    def test_octant_is_exactly_one_eighth(self):
+        import math
+
+        from xcube_geodb_spark.geometry.geom import area_spheroid
+
+        octant = parse_wkt("POLYGON ((0 0, 90 0, 0 90, 0 0))")
+        total = 2 * math.pi * self.A**2 * self._q(1.0)
+        # meridian/equator edges map to great circles: exact by design
+        assert area_spheroid(octant) == pytest.approx(total / 8, rel=1e-12)
+
+    def test_polar_cap_matches_zone_closed_form(self):
+        import math
+
+        import numpy as np
+
+        from xcube_geodb_spark.geometry.geom import Geometry, area_spheroid
+
+        n = 720
+        ring = np.array(
+            [[i * 360.0 / n, 30.0] for i in range(n)] + [[0.0, 30.0]]
+        )
+        got = area_spheroid(Geometry("Polygon", [ring]))
+        exact = (
+            math.pi
+            * self.A**2
+            * (self._q(1.0) - self._q(math.sin(math.radians(30.0))))
+        )
+        # chords vs the true parallel: sub-1e-5 at 720 vertices
+        assert got == pytest.approx(exact, rel=2e-5)
+
+    def test_graticule_cell_matches_numeric_integral(self):
+        """Independent oracle: area = ∫∫ M·N·cosφ dφ dλ integrated
+        numerically over the cell — the kernel must land within 1e-6
+        where the sphere kernel is off by ~0.23%."""
+        import math
+
+        import numpy as np
+
+        from xcube_geodb_spark.geometry.geom import (
+            Geometry,
+            area_sphere,
+            area_spheroid,
+        )
+
+        lon0, lon1, lat0, lat1 = 10.0, 11.0, 45.0, 46.0
+
+        def seg(a, b, n=64):
+            return [
+                (a[0] + (b[0] - a[0]) * t / n, a[1] + (b[1] - a[1]) * t / n)
+                for t in range(n)
+            ]
+
+        pts = (
+            seg((lon0, lat0), (lon1, lat0))
+            + seg((lon1, lat0), (lon1, lat1))
+            + seg((lon1, lat1), (lon0, lat1))
+            + seg((lon0, lat1), (lon0, lat0))
+            + [(lon0, lat0)]
+        )
+        rect = Geometry("Polygon", [np.array(pts)])
+        e2 = self.F * (2 - self.F)
+        phis = np.linspace(math.radians(lat0), math.radians(lat1), 20001)
+        m_rad = self.A * (1 - e2) / (1 - e2 * np.sin(phis) ** 2) ** 1.5
+        n_rad = self.A / np.sqrt(1 - e2 * np.sin(phis) ** 2)
+        exact = float(
+            np.trapz(m_rad * n_rad * np.cos(phis), phis)
+        ) * math.radians(lon1 - lon0)
+        assert area_spheroid(rect) == pytest.approx(exact, rel=1e-6)
+        # and it genuinely improves on the sphere
+        sphere_err = abs(area_sphere(rect) - exact) / exact
+        spheroid_err = abs(area_spheroid(rect) - exact) / exact
+        assert spheroid_err < sphere_err / 100
+
+    def test_holes_and_nonpolygons(self):
+        from xcube_geodb_spark.geometry.geom import area_spheroid
+
+        holed = parse_wkt(
+            "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0),"
+            " (0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"
+        )
+        full = parse_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        inner = parse_wkt(
+            "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"
+        )
+        assert area_spheroid(holed) == pytest.approx(
+            area_spheroid(full) - area_spheroid(inner), rel=1e-12
+        )
+        assert area_spheroid(parse_wkt("POINT (1 2)")) == 0.0
+        assert area_spheroid(parse_wkt("LINESTRING (0 0, 1 1)")) == 0.0

@@ -816,6 +816,7 @@ class GeoDBCatalog:
         expected_version: int | None = None,
         extra_meta: dict | None = None,
         merge_meta: dict | None = None,
+        rebase_on_disjoint: bool = False,
     ) -> None:
         """Write ``new_df`` (if any) as new data files; the next snapshot is
         ``keep_files + written files``.
@@ -839,14 +840,54 @@ class GeoDBCatalog:
         post-write metadata read — the streaming sink records its epoch
         watermark this way, so two streams feeding one collection can
         never clobber each other's epochs with a stale driver-side read,
-        and data + epoch cannot diverge across a crash."""
+        and data + epoch cannot diverge across a crash.
+
+        ``rebase_on_disjoint`` (file-rewrite commits only — delete /
+        update / compaction): when the version pin fails but every file
+        THIS commit replaces is still live in the fresh manifest (the
+        concurrent commits touched a disjoint file set) and the schema is
+        unchanged, the commit REBASES — keep_files recomputes against the
+        fresh snapshot and the commit proceeds, so a compaction and an
+        update racing on different files both land instead of one
+        aborting. Delta-style WriteSerializable: the rebased operation
+        applies to the snapshot it read; disjoint concurrent commits
+        serialize around it. Never set for commits whose PAYLOAD depends
+        on whole-table state (upsert merges, bm25 totals)."""
+
+        def _try_rebase(fresh) -> bool:
+            nonlocal keep_files, expected_version
+            if (
+                not rebase_on_disjoint
+                or keep_files is None
+                or expected_version is None
+            ):
+                return False
+            try:
+                base = self.meta_at_version(
+                    collection, database, expected_version
+                )
+            except GeoDBError:
+                return False
+            if (
+                base.d.get("properties") != fresh.d.get("properties")
+                or base.d.get("srid") != fresh.d.get("srid")
+            ):
+                return False
+            ours = set(base.files) - set(keep_files)
+            if not ours <= set(fresh.files):
+                return False  # a racer rewrote a file we read: true conflict
+            keep_files = [f for f in fresh.files if f not in ours]
+            expected_version = fresh.version
+            return True
+
         self._roll_forward_crashed_commit(collection, database)
         m = self.meta(collection, database)
         if expected_version is not None and m.version != expected_version:
-            raise GeoDBError(
-                f"Concurrent modification of {database}_{collection}: "
-                f"expected v{expected_version}, found v{m.version}"
-            )
+            if not _try_rebase(m):
+                raise GeoDBError(
+                    f"Concurrent modification of {database}_{collection}: "
+                    f"expected v{expected_version}, found v{m.version}"
+                )
         cdir = self._coll_dir(collection, database)
         new_files: list[str] = []
         if new_df is not None:
@@ -869,15 +910,16 @@ class GeoDBCatalog:
         # files silently dropped from the manifest (lost update).
         m = self.meta(collection, database)
         if expected_version is not None and m.version != expected_version:
-            for f in new_files:
-                try:
-                    os.remove(os.path.join(cdir, f))
-                except OSError:
-                    pass
-            raise GeoDBError(
-                f"Concurrent modification of {database}_{collection}: "
-                f"expected v{expected_version}, found v{m.version}"
-            )
+            if not _try_rebase(m):
+                for f in new_files:
+                    try:
+                        os.remove(os.path.join(cdir, f))
+                    except OSError:
+                        pass
+                raise GeoDBError(
+                    f"Concurrent modification of {database}_{collection}: "
+                    f"expected v{expected_version}, found v{m.version}"
+                )
         keep = list(keep_files) if keep_files is not None else m.files
         m.d["files"] = keep + new_files
         # Delta-style data skipping: per-file column min/max computed ONCE

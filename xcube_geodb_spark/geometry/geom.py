@@ -1176,6 +1176,55 @@ _WGS84_A = 6378137.0
 _WGS84_F = 1.0 / 298.257223563
 
 
+def area_spheroid(geom: Geometry) -> float:
+    """Polygon area in m² on the WGS84 ELLIPSOID (PostGIS
+    ``ST_Area(geography)`` default mode) via the authalic
+    transformation — public math from Snyder, *Map Projections: A
+    Working Manual* (USGS PP 1395, eqs. 3-11/3-12): geodetic latitude
+    maps to authalic latitude ``β = asin(q(φ)/q_p)``, which by
+    construction preserves the area of any region between parallels;
+    the spherical-excess kernel then runs on the authalic sphere
+    ``R_A² = a²·q_p/2``.
+
+    Exactness: meridians and the equator map to great circles, so
+    regions bounded by meridians/parallels (graticule cells, caps,
+    zones) are EXACT (the WGS84 octant evaluates to exactly 1/8 of the
+    ellipsoid's 510 065 621.72 km²). General geodesic edges differ from
+    the mapped great-circle edges by O(f·sagitta) — orders of magnitude
+    under the ≤0.3 % whole-sphere error of :func:`area_sphere`, and
+    vanishing as edges shorten. Points/lines contribute 0."""
+    e2 = _WGS84_F * (2.0 - _WGS84_F)
+    e = math.sqrt(e2)
+
+    def _q(s: float) -> float:
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s) + math.atanh(e * s) / e
+        )
+
+    qp = _q(1.0)
+    r_a2 = _WGS84_A * _WGS84_A * qp / 2.0
+
+    def _authalic(ring: np.ndarray) -> np.ndarray:
+        out = ring.copy()
+        s = np.sin(np.radians(ring[:, 1]))
+        qv = (1.0 - e2) * (
+            s / (1.0 - e2 * s * s) + np.arctanh(e * s) / e
+        )
+        out[:, 1] = np.degrees(np.arcsin(np.clip(qv / qp, -1.0, 1.0)))
+        return out
+
+    total = 0.0
+    for leaf in geom.children():
+        if leaf.kind == "Polygon":
+            rings = leaf.parts
+            if not rings:
+                continue
+            total += abs(_ring_solid_angle(_authalic(rings[0]))) * r_a2
+            for hole in rings[1:]:
+                total -= abs(_ring_solid_angle(_authalic(hole))) * r_a2
+    return total
+
+
 def distance_spheroid(a: Geometry, b: Geometry) -> float:
     """``ST_DistanceSpheroid``: geodesic meters between two POINTS on the
     WGS84 ellipsoid — Vincenty's inverse formula (sub-millimeter except

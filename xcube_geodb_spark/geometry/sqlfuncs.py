@@ -261,11 +261,20 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         T.DoubleType(),
     )
 
-    from xcube_geodb_spark.geometry.geom import area_sphere, distance_spheroid
+    from xcube_geodb_spark.geometry.geom import (
+        area_sphere,
+        area_spheroid,
+        distance_spheroid,
+    )
 
     _register(
         "st_areasphere",
         lambda b: area_sphere(parse_wkb(b)) if b is not None else None,
+        T.DoubleType(),
+    )
+    _register(
+        "st_areaspheroid",
+        lambda b: area_spheroid(parse_wkb(b)) if b is not None else None,
         T.DoubleType(),
     )
     _register(

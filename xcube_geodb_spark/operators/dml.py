@@ -434,6 +434,7 @@ def delete_from_collection(
         keep,
         keep_files=untouched,
         expected_version=m.version,
+        rebase_on_disjoint=True,
     )
 
 
@@ -474,6 +475,7 @@ def delete_ids(
         keep,
         keep_files=untouched,
         expected_version=m.version,
+        rebase_on_disjoint=True,
     )
 
 
@@ -515,5 +517,6 @@ def update_collection(
         df = with_envelope_columns(df.drop(*SYSTEM_COLUMNS))
     _enforce_constraints(m, df, "update")
     catalog.commit_version(
-        collection, database, df, keep_files=untouched, expected_version=m.version
+        collection, database, df, keep_files=untouched,
+        expected_version=m.version, rebase_on_disjoint=True,
     )

@@ -88,6 +88,7 @@ def optimize_collection(
         df,
         keep_files=keep,
         expected_version=m.version,
+        rebase_on_disjoint=True,
     )
     stats["files_after"] = len(catalog.meta(collection, database).files)
     return stats
