@@ -112,6 +112,189 @@ def _bench_duckdb_oracles(sf_dir: str, reps: int, timings: dict) -> dict:
     return out
 
 
+# data-dominant queries re-anchored at 10x data (~sf1): at sf0.1 most
+# per-query times sit at Spark's scheduling/codegen floor, so the
+# vs_duckdb ratio there measures fixed overhead; this section demonstrates
+# the amortization claim WITH DATA instead of asserting it (verdict r5
+# task 10). Replication preserves key cardinality and duplicate density
+# (ids re-spaced, document tokens salted per copy — scale_smoke's recipe).
+SCALED_QUERIES = [
+    "pg_groupby_q1",
+    "join_revenue_by_nation",
+    "window_top_order_per_customer",
+    "events_tumbling_hour",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_lines_rebuilt",
+    "text_profile",
+    "sim_cosine_topk",
+]
+
+_SCALED_COPY = ["region", "nation", "customer", "supplier", "part"]
+_SCALED_REPL = {
+    # table -> key column re-spaced as key*R + copy
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "embeddings": "vec_id",
+    "documents": "doc_id",
+}
+
+
+def _prep_scaled_dir(sf_dir: str, repl: int) -> str:
+    """Materialize a repl-x copy of the tables as single parquet files
+    (DuckDB COPY — both engines then read identical bytes)."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    out = tempfile.mkdtemp(prefix="geodb_bench_scaled_")
+    for t in _SCALED_COPY:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t, key in _SCALED_REPL.items():
+        if t == "documents":
+            # token-level salt per copy keeps near-dup density constant
+            # under replication (unsalted copies would be exact dups and
+            # quadratically inflate LSH candidate pairs)
+            repl_expr = (
+                f"{key} * {repl} + cp AS {key}, "
+                "array_to_string(list_transform(string_split(text, ' '), "
+                "x -> x || CAST(cp AS VARCHAR)), ' ') AS text"
+            )
+            con.execute(
+                f"COPY (SELECT * EXCLUDE (cp, {key}, text), {repl_expr} "
+                f"FROM read_parquet('{sf_dir}/{t}.parquet'), "
+                f"range({repl}) r(cp)) "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * EXCLUDE (cp, {key}), "
+                f"{key} * {repl} + cp AS {key} "
+                f"FROM read_parquet('{sf_dir}/{t}.parquet'), "
+                f"range({repl}) r(cp)) "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return out
+
+
+def _bench_scaled(spark, sf_dir: str, repl: int = 10) -> dict:
+    """Engine vs DuckDB on the repl-x data for SCALED_QUERIES (one warm
+    rep + one timed rep per side — this section bounds bench wall time,
+    the main sf0.1 section carries the best-of-reps precision)."""
+    import shutil
+
+    import duckdb
+
+    from xcube_geodb_spark.suite import ORACLES, QUERIES
+
+    scaled_dir = _prep_scaled_dir(sf_dir, repl)
+    try:
+        eng: dict[str, float] = {}
+        for name in SCALED_QUERIES:
+            fn = QUERIES[name]
+            try:
+                spark.catalog.clearCache()
+                fn(spark, scaled_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, scaled_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                eng[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:
+                print(
+                    f"bench: scaled {name} FAILED: {type(e).__name__}: "
+                    f"{str(e)[:160]}",
+                    file=sys.stderr,
+                )
+        con = duckdb.connect()
+        con.execute(
+            f"PRAGMA threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}"
+        )
+        for t in _TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{scaled_dir}/{t}.parquet')"
+            )
+        duck: dict[str, float] = {}
+        for name in SCALED_QUERIES:
+            sql = ORACLES.get(name)
+            if sql is None or name not in eng:
+                continue
+            try:
+                con.execute(sql).fetchall()
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                duck[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:
+                print(
+                    f"bench: scaled duckdb {name} FAILED: "
+                    f"{type(e).__name__}: {str(e)[:160]}",
+                    file=sys.stderr,
+                )
+        con.close()
+        common = [n for n in duck if n in eng]
+        e_tot = sum(eng[n] for n in common)
+        d_tot = sum(duck[n] for n in common)
+        return {
+            "replication": repl,
+            "common_queries": len(common),
+            "engine_sec": round(e_tot, 3),
+            "duckdb_sec": round(d_tot, 3),
+            "vs_duckdb": round(e_tot / d_tot, 3) if d_tot > 0 else None,
+            "per_query": {
+                n: {
+                    "engine": eng[n],
+                    "duckdb": duck[n],
+                    "ratio": round(eng[n] / duck[n], 2)
+                    if duck[n] > 0
+                    else None,
+                }
+                for n in common
+            },
+        }
+    finally:
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+
+
+def _bench_chained_st(spark, sf_dir: str, timings: dict, reps: int) -> float:
+    """Chained st_* SQL over every square geometry: the path the
+    Arrow-batched registration + WKB parse cache (geometry/sqlfuncs,
+    geom.parse_wkb_cached) optimizes — each row's WKB feeds three
+    st_* calls; before r6 this ran row-at-a-time pickled Python with a
+    parse per call."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.suite.geo import _squares
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("__bench_sq")
+    sql = (
+        "SELECT sum(st_area(st_intersection(geometry, "
+        "st_makeenvelope(-90.0, -45.0, 90.0, 45.0)))) AS a, "
+        "count(st_astext(st_centroid(geometry))) AS n "
+        "FROM __bench_sq "
+        "WHERE st_intersects("
+        "'POLYGON((-120 -60,120 -60,120 60,-120 60,-120 -60))', geometry)"
+    )
+    best = float("inf")
+    spark.sql(sql).collect()
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        spark.sql(sql).collect()
+        best = min(best, time.perf_counter() - t0)
+    timings["geo_chained_st"] = round(best, 3)
+    return best
+
+
 def _bench_warehouse(spark, sf_dir: str, timings: dict) -> float:
     """End-to-end table-format path: distributed ingest of the customer
     table with synthesized geometry into a warehouse collection (envelope
@@ -257,6 +440,14 @@ def main() -> None:
     except Exception as e:
         errors["ann_probe"] = f"{type(e).__name__}: {str(e)[:200]}"
         print(f"bench: ann_probe FAILED: {errors['ann_probe']}", file=sys.stderr)
+    try:
+        total += _bench_chained_st(spark, sf_dir, timings, reps)
+    except Exception as e:
+        errors["geo_chained_st"] = f"{type(e).__name__}: {str(e)[:200]}"
+        print(
+            f"bench: geo_chained_st FAILED: {errors['geo_chained_st']}",
+            file=sys.stderr,
+        )
 
     result = {
         "metric": "geodb_spark_suite_total",
@@ -302,6 +493,16 @@ def main() -> None:
             f"bench: duckdb baseline FAILED: {errors['duckdb_baseline']}",
             file=sys.stderr,
         )
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALED", "1") != "0":
+        try:
+            result["baseline_scaled"] = _bench_scaled(spark, sf_dir)
+        except Exception as e:
+            errors["baseline_scaled"] = f"{type(e).__name__}: {str(e)[:200]}"
+            print(
+                f"bench: scaled baseline FAILED: "
+                f"{errors['baseline_scaled']}",
+                file=sys.stderr,
+            )
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
