@@ -201,3 +201,84 @@ class TestTextSqlSurface:
         assert row["h"].startswith("... ")
         assert "<b>target</b>" in row["h"]
         assert len(row["h"].split()) <= 35 + 2
+
+
+class TestTsRank:
+    """ts_rank (word-frequency n/(n+1)) and ts_rank_cd (cover density)
+    — hand-computed fixtures over the english lexeme stream."""
+
+    def test_rank_frequency_weights(self):
+        from xcube_geodb_spark.functions.textsql import _ts_rank
+
+        # stream: [cat, cat, dog] (the/a elided) -> cat n=2, dog n=1
+        text = "the cat a cat dog"
+        assert _ts_rank("english", text, ["cat"]) == pytest.approx(2 / 3)
+        assert _ts_rank("english", text, ["cat", "dog"]) == pytest.approx(
+            2 / 3 + 1 / 2
+        )
+        assert _ts_rank("english", text, ["fox"]) == 0.0
+        # duplicate query terms count once (distinct semantics)
+        assert _ts_rank("english", text, ["cat", "cat"]) == pytest.approx(
+            2 / 3
+        )
+        assert _ts_rank("english", None, ["cat"]) is None
+        assert _ts_rank("english", text, None) is None
+
+    def test_rank_normalization_bits(self):
+        import math
+
+        from xcube_geodb_spark.functions.textsql import _ts_rank
+
+        text = "cat cat dog"
+        base = 2 / 3
+        assert _ts_rank("english", text, ["cat"], 1) == pytest.approx(
+            base / (1 + math.log(3))
+        )
+        assert _ts_rank("english", text, ["cat"], 2) == pytest.approx(
+            base / 3
+        )
+
+    def test_rank_cd_minimal_covers(self):
+        from xcube_geodb_spark.functions.textsql import _ts_rank_cd
+
+        # stream: [cat, x1, dog] -> one cover of width 3
+        assert _ts_rank_cd(
+            "simple", "cat x1 dog", ["cat", "dog"]
+        ) == pytest.approx(1 / 3)
+        # adjacent -> width 2
+        assert _ts_rank_cd(
+            "simple", "cat dog", ["cat", "dog"]
+        ) == pytest.approx(1 / 2)
+        # THREE minimal covers: [cat0,dog1] w2, [dog1..cat3] w3,
+        # [cat3,dog4] w2 — the straddling window is minimal too (PG's
+        # Cover() enumerates it as well) -> 1/2 + 1/3 + 1/2
+        assert _ts_rank_cd(
+            "simple", "cat dog zz cat dog", ["cat", "dog"]
+        ) == pytest.approx(4 / 3)
+        # tighter cover wins: cat cat dog -> cover [cat(1), dog] width 2
+        assert _ts_rank_cd(
+            "simple", "cat cat dog", ["cat", "dog"]
+        ) == pytest.approx(1 / 2)
+        # a term absent -> 0
+        assert _ts_rank_cd("simple", "cat cat", ["cat", "dog"]) == 0.0
+        # single-term query: every occurrence is a width-1 cover
+        assert _ts_rank_cd("simple", "cat zz cat", ["cat"]) == pytest.approx(
+            2.0
+        )
+
+    def test_sql_surface_arrow(self, spark):
+        from xcube_geodb_spark.functions.textsql import (
+            register_text_sql_functions,
+        )
+
+        register_text_sql_functions(spark)
+        df = spark.sql(
+            "SELECT ts_rank('english', 'the cat a cat dog',"
+            " array('cat','dog')) AS r,"
+            " ts_rank_cd('simple', 'cat dog', array('cat','dog')) AS rc"
+        )
+        row = df.collect()[0]
+        assert row["r"] == pytest.approx(2 / 3 + 1 / 2)
+        assert row["rc"] == pytest.approx(0.5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan

@@ -7,10 +7,11 @@ has no ``@@`` operator, so matching is exposed as boolean functions
 (``ts_match_all`` / ``ts_match_any``), the same dialect deviation as the
 ``::``/``~`` shims documented in SURVEY.md §7.
 
-Like the spatial surface (geometry/sqlfuncs.py), these are row-at-a-time
-UDFs: a compatibility surface for ad-hoc SQL, not the hot path. The
-engine's fts filters and the fts token-bloom index use the pure Column
-tree in functions/porter.py instead.
+Like the spatial surface (geometry/sqlfuncs.py), every function is
+registered as an Arrow-batched ``pandas_udf`` wrapping the scalar
+kernels — Arrow column transfer, never per-value pickling. (The engine's
+fts filters and the fts token-bloom index use the pure Column tree in
+functions/porter.py and never touch this surface at all.)
 
 Registered names:
 
@@ -21,6 +22,11 @@ Registered names:
 - ``ts_match_all(vec, query_lexemes)`` — every lexeme present (PG
   ``vec @@ plainto_tsquery(...)`` semantics: plainto ANDs its words)
 - ``ts_match_any(vec, query_lexemes)`` — at least one lexeme present
+- ``ts_rank(config, text, query_lexemes [, normalization])`` — PG
+  word-frequency rank: n/(n+1) per matched distinct term (uniform
+  weights; normalization bits 1 and 2 supported)
+- ``ts_rank_cd(config, text, query_lexemes [, normalization])`` — cover
+  density: 1/width per minimal window containing all query terms
 - ``ts_headline(config, text, query_lexemes)`` — a highlighted fragment:
   words whose lexeme matches the query wrap in ``<b>...</b>``, cropped
   to a window around the first match (simplified PG defaults: ~35 words,
@@ -87,23 +93,120 @@ def _headline(config: str, text: str | None, query: list[str] | None):
     return head + " ".join(frag) + tail
 
 
+def _lexeme_stream(config: str, text: str | None) -> list[str] | None:
+    """Positional lexeme stream (duplicates kept, elision applied) — what
+    ts_rank/ts_rank_cd need beyond the distinct-lexeme tsvector."""
+    if text is None:
+        return None
+    cfg = (config or "english").lower()
+    if cfg not in _CONFIGS:
+        raise GeoDBError(
+            f"Unknown text search configuration {config!r} "
+            "(available: english, simple)"
+        )
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    if cfg in ("english", "en"):
+        from xcube_geodb_spark.functions.stopwords import ENGLISH_STOPWORDS
+
+        toks = [porter_py(t) for t in toks if t not in ENGLISH_STOPWORDS]
+    return toks
+
+
+def _ts_rank(config: str, text: str | None, query: list | None,
+             normalization: int = 0) -> float | None:
+    """PG ``ts_rank`` core: each matched query term contributes
+    ``n/(n+1)`` where n is its occurrence count (tsrank.c's
+    word-frequency weight with uniform D-weights — position/weight-label
+    structure is not modeled; documented deviation). Normalization bits
+    supported: 1 (divide by 1+log(length)), 2 (divide by length)."""
+    import math
+
+    if text is None or query is None:
+        return None
+    stream = _lexeme_stream(config, text)
+    counts: dict[str, int] = {}
+    for t in stream:
+        counts[t] = counts.get(t, 0) + 1
+    rank = 0.0
+    for q in dict.fromkeys(query):  # distinct, order-preserving
+        n = counts.get(q, 0)
+        if n:
+            rank += n / (n + 1.0)
+    norm = int(normalization or 0)
+    if norm & 1:
+        rank /= 1.0 + math.log(max(len(stream), 1))
+    if norm & 2:
+        rank /= max(len(stream), 1)
+    return round(rank, 9)
+
+
+def _ts_rank_cd(config: str, text: str | None, query: list | None,
+                normalization: int = 0) -> float | None:
+    """PG ``ts_rank_cd`` (cover density, Clarke et al.): every MINIMAL
+    window of the lexeme stream containing ALL query terms contributes
+    ``1/width``; the standard two-pointer sweep enumerates the minimal
+    covers. Weight labels are not modeled (uniform weights — PG default
+    D=0.1 scaling omitted so ranks are pure cover density; documented
+    deviation). Normalization bits 1 and 2 as in :func:`_ts_rank`."""
+    import math
+
+    if text is None or query is None:
+        return None
+    stream = _lexeme_stream(config, text)
+    need = set(query)
+    if not need or not need <= set(stream):
+        rank = 0.0
+    else:
+        # minimal covers: for each right endpoint completing a cover,
+        # shrink the left edge maximally
+        last: dict[str, int] = {}
+        rank = 0.0
+        for i, t in enumerate(stream):
+            if t not in need:
+                continue
+            last[t] = i
+            if len(last) == len(need):
+                left = min(last.values())
+                width = i - left + 1
+                rank += 1.0 / width
+                # only the TIGHTEST cover per right-completion counts:
+                # drop the term at the left edge so the next completion
+                # finds a fresh minimal window
+                for k, v in list(last.items()):
+                    if v == left:
+                        del last[k]
+    norm = int(normalization or 0)
+    if norm & 1:
+        rank /= 1.0 + math.log(max(len(stream), 1))
+    if norm & 2:
+        rank /= max(len(stream), 1)
+    return round(rank, 9)
+
+
 def register_text_sql_functions(spark: SparkSession) -> None:
-    """Idempotent registration into the session's SQL dialect."""
+    """Idempotent registration into the session's SQL dialect (each name
+    Arrow-batched via geometry.sqlfuncs._vec — see that module's note on
+    why the scalar kernels stay the single source of truth)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import _vec
+
     arr = T.ArrayType(T.StringType())
 
-    spark.udf.register(
+    def _register(name, fn, ret):
+        spark.udf.register(name, _vec(fn, ret))
+
+    _register(
         "geodb_stem", lambda w: porter_py(w) if w is not None else None,
         T.StringType(),
     )
-    spark.udf.register(
+    _register(
         "to_tsvector",
         lambda cfg, text: (
             sorted(set(_lexemes(cfg, text))) if text is not None else None
         ),
         arr,
     )
-    spark.udf.register("plainto_tsquery", _lexemes, arr)
-    spark.udf.register(
+    _register("plainto_tsquery", _lexemes, arr)
+    _register(
         "ts_match_all",
         lambda vec, q: (
             None
@@ -112,8 +215,10 @@ def register_text_sql_functions(spark: SparkSession) -> None:
         ),
         T.BooleanType(),
     )
-    spark.udf.register("ts_headline", _headline, T.StringType())
-    spark.udf.register(
+    _register("ts_headline", _headline, T.StringType())
+    _register("ts_rank", _ts_rank, T.DoubleType())
+    _register("ts_rank_cd", _ts_rank_cd, T.DoubleType())
+    _register(
         "ts_match_any",
         lambda vec, q: (
             None

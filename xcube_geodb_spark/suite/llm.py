@@ -1460,6 +1460,37 @@ def text_fts_via_index(spark, sf_dir):
     )
 
 
+def text_ts_rank(spark, sf_dir):
+    """PG ts_rank/ts_rank_cd on the SQL surface (functions/textsql):
+    word-frequency rank n/(n+1) per matched distinct query term and the
+    cover-density variant, both over the english (stopword-elided,
+    Porter-stemmed) lexeme stream; matching documents ranked
+    deterministically. Arrow-batched UDFs — the oracle replays the
+    frequency rank exactly; rank_cd is pytest-verified (minimal covers
+    are not reasonably expressible in one SQL expression)."""
+    from xcube_geodb_spark.functions.textsql import (
+        register_text_sql_functions,
+    )
+
+    register_text_sql_functions(spark)
+    load(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("__docs_rank")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               round(ts_rank('english', text,
+                     plainto_tsquery('english', 'querying tables')), 6)
+                   AS rank
+        FROM __docs_rank
+        WHERE ts_match_any(to_tsvector('english', text),
+                           plainto_tsquery('english', 'querying tables'))
+        ORDER BY rank DESC, doc_id
+        LIMIT 25
+        """
+    )
+
+
 def text_ts_stat(spark, sf_dir):
     """PG ts_stat parity (functions/retrieval.ts_stat): per-stemmed-lexeme
     (word, ndoc, nentry) over the corpus, top-20 by total occurrences —
@@ -1936,6 +1967,24 @@ _ENG_TOKS = f"""list_transform(
                            t -> {_pstem_sql("t")})"""
 
 LLM_RETRIEVAL_ORACLES = {
+    "text_ts_rank": f"""
+        SELECT doc_id, round(rank, 6) AS rank FROM (
+            SELECT doc_id,
+                   round(coalesce(sum(n / (n + 1.0)), 0), 9) AS rank
+            FROM (
+                SELECT doc_id, tok, count(*) AS n FROM (
+                    SELECT doc_id, unnest({_ENG_TOKS}) AS tok
+                    FROM documents
+                )
+                GROUP BY doc_id, tok
+            )
+            WHERE tok IN ('{_pstem("querying")}', '{_pstem("tables")}')
+            GROUP BY doc_id
+        )
+        WHERE rank > 0
+        ORDER BY rank DESC, doc_id
+        LIMIT 25
+    """,
     "text_ts_stat": f"""
         SELECT word, ndoc, nentry FROM (
             SELECT tok AS word,
@@ -2132,6 +2181,7 @@ LLM_QUERIES = {
     "text_fts_via_index": text_fts_via_index,
     "text_phrase_via_index": text_phrase_via_index,
     "text_ts_stat": text_ts_stat,
+    "text_ts_rank": text_ts_rank,
     "text_bm25_join": text_bm25_join,
     "sketch_token_freq": sketch_token_freq,
     "sketch_distinct_tokens": sketch_distinct_tokens,
