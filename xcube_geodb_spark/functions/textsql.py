@@ -93,23 +93,10 @@ def _headline(config: str, text: str | None, query: list[str] | None):
     return head + " ".join(frag) + tail
 
 
-def _lexeme_stream(config: str, text: str | None) -> list[str] | None:
-    """Positional lexeme stream (duplicates kept, elision applied) — what
-    ts_rank/ts_rank_cd need beyond the distinct-lexeme tsvector."""
-    if text is None:
-        return None
-    cfg = (config or "english").lower()
-    if cfg not in _CONFIGS:
-        raise GeoDBError(
-            f"Unknown text search configuration {config!r} "
-            "(available: english, simple)"
-        )
-    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
-    if cfg in ("english", "en"):
-        from xcube_geodb_spark.functions.stopwords import ENGLISH_STOPWORDS
-
-        toks = [porter_py(t) for t in toks if t not in ENGLISH_STOPWORDS]
-    return toks
+# positional lexeme stream (duplicates kept, elision applied) — what
+# ts_rank/ts_rank_cd need; _lexemes already preserves duplicates (the
+# distinct-set happens in to_tsvector's registration)
+_lexeme_stream = _lexemes
 
 
 def _ts_rank(config: str, text: str | None, query: list | None,
