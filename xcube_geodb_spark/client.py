@@ -37,6 +37,8 @@ class GeoDBSparkClient:
         warehouse: str = "./geodb_warehouse",
         user: str = "geodb",
         database: str | None = None,
+        gs_url: str | None = None,
+        gs_token: str | None = None,
     ):
         self.spark = spark or get_spark()
         self.user = user
@@ -49,6 +51,19 @@ class GeoDBSparkClient:
         self.database = database or user
         if not self.catalog.database_exists(self.database):
             self.catalog.create_database(self.database, owner=user)
+        # optional geoserver-manager service (reference wire shapes);
+        # unset -> publishing is the offline catalog flag only
+        import os as _os
+
+        gs_url = gs_url or _os.environ.get("GEODB_SPARK_GS_URL")
+        if gs_url:
+            from xcube_geodb_spark.gs import GeoserviceHTTP
+
+            self.gs = GeoserviceHTTP(
+                gs_url, gs_token or _os.environ.get("GEODB_SPARK_GS_TOKEN")
+            )
+        else:
+            self.gs = None
 
     # -- helpers -----------------------------------------------------------
 
@@ -948,22 +963,33 @@ class GeoDBSparkClient:
         self.stac.set_metadata_field(collection, field, value, self._db(database))
 
     # -- GeoServer publishing (reference geodb.py:2151-2284) ---------------------------
-    # Out of scope for the analytics core (SURVEY.md §2.1): recorded as a
-    # catalog flag so API consumers can track publication state.
+    # Publication state lives in the catalog (offline source of truth).
+    # With a geoservice configured (gs_url= / GEODB_SPARK_GS_URL), the
+    # reference's exact wire calls fire FIRST (xcube_geodb_spark.gs) and
+    # the flag records the service's acknowledgment — a failed PUT/DELETE
+    # raises before any local state changes.
 
     def publish_gs(self, collection: str, database: str | None = None) -> dict:
         db = self._db(database)
         m = self.catalog.meta(collection, db)
+        remote = None
+        if self.gs is not None:
+            remote = self.gs.publish(db, collection)
         m.d.setdefault("gs", {})["published"] = True
         from xcube_geodb_spark.catalog import _atomic_write_json
 
         _atomic_write_json(m.path, m.d)
         self.events.log("published_gs", f"Collection {db}_{collection} published to gs")
-        return {"collection": collection, "database": db, "published": True}
+        out = {"collection": collection, "database": db, "published": True}
+        if remote is not None:
+            out["geoservice"] = remote
+        return out
 
     def unpublish_gs(self, collection: str, database: str | None = None) -> None:
         db = self._db(database)
         m = self.catalog.meta(collection, db)
+        if self.gs is not None:
+            self.gs.unpublish(db, collection)
         m.d.setdefault("gs", {})["published"] = False
         from xcube_geodb_spark.catalog import _atomic_write_json
 
@@ -974,6 +1000,14 @@ class GeoDBSparkClient:
 
     def get_published_gs(self, database: str | None = None) -> pd.DataFrame:
         db = self._db(database)
+        if self.gs is not None:
+            # the service's view is authoritative when configured
+            # (reference GETs .../collections and frames the JSON)
+            rows = self.gs.list_published(db)
+            if rows and isinstance(rows, list) and isinstance(rows[0], str):
+                rows = [{"database": db, "collection": c} for c in rows]
+            return pd.DataFrame(rows or [], columns=None if rows else
+                                ["collection"])
         rows = [
             {"database": db, "collection": coll}
             for coll in self.catalog.list_collections(db)
