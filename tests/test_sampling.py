@@ -363,3 +363,58 @@ class TestWeightedSample:
         df = spark.createDataFrame([(1, 7.5), (2, -3.0)], ["id", "w"])
         kept = {r["id"] for r in hash_sample_weighted(df, "id", "w").collect()}
         assert kept == {1}
+
+
+class TestTokenCap:
+    def test_budget_fills_greedily_and_first_row_survives(self, spark):
+        from xcube_geodb_spark.functions.sampling import cap_tokens_per_group
+
+        df = spark.createDataFrame(
+            [(i, "a" if i < 6 else "b", 100) for i in range(10)],
+            "id long, grp string, toks long",
+        )
+        out = cap_tokens_per_group(df, "grp", "id", "toks", 250, seed="s")
+        counts = {
+            r["grp"]: r["n"]
+            for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+        }
+        # 100-token rows against a 250 budget: rows at cum 100, 200, 300
+        # -> cum-toks = 0, 100, 200 < 250 -> exactly 3 kept per group
+        assert counts == {"a": 3, "b": 3}
+
+    def test_oversized_first_row_kept(self, spark):
+        from xcube_geodb_spark.functions.sampling import cap_tokens_per_group
+
+        df = spark.createDataFrame(
+            [(1, "a", 9999), (2, "a", 10)], "id long, grp string, toks long"
+        )
+        out = cap_tokens_per_group(df, "grp", "id", "toks", 100, seed="s")
+        # whichever row the hash orders first survives (cum-toks = 0);
+        # the second exceeds the spent budget
+        assert out.count() == 1
+
+    def test_deterministic_and_stable_under_growth(self, spark):
+        from xcube_geodb_spark.functions.sampling import cap_tokens_per_group
+
+        df = spark.createDataFrame(
+            [(i, "g", 50) for i in range(40)], "id long, grp string, toks long"
+        )
+        kept1 = {r["id"] for r in
+                 cap_tokens_per_group(df, "grp", "id", "toks", 500).collect()}
+        kept2 = {r["id"] for r in
+                 cap_tokens_per_group(df, "grp", "id", "toks", 500).collect()}
+        assert kept1 == kept2 and len(kept1) == 10
+        # widening the budget only ADDS rows (prefix property of the
+        # hash order)
+        wider = {r["id"] for r in
+                 cap_tokens_per_group(df, "grp", "id", "toks", 1000).collect()}
+        assert kept1 <= wider
+
+    def test_rejects_nonpositive_budget(self, spark):
+        import pytest as _pytest
+
+        from xcube_geodb_spark.functions.sampling import cap_tokens_per_group
+
+        df = spark.createDataFrame([(1, "a", 5)], "id long, grp string, toks long")
+        with _pytest.raises(ValueError):
+            cap_tokens_per_group(df, "grp", "id", "toks", 0)

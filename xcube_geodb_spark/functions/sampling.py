@@ -26,6 +26,7 @@ __all__ = [
     "pack_by_token_budget",
     "chunk_by_tokens",
     "cap_per_group",
+    "cap_tokens_per_group",
     "deterministic_shuffle",
     "hash_sample_weighted",
 ]
@@ -285,6 +286,41 @@ def cap_per_group(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= max_rows)
         .drop("__rk")
+    )
+
+
+def cap_tokens_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    token_col: str,
+    max_tokens: int,
+    seed: str = "",
+) -> DataFrame:
+    """Keep rows per group until the group's TOKEN budget fills — the
+    "at most N tokens per domain" step of training-mix curation
+    (row-count caps over-sample domains with short documents;
+    :func:`cap_per_group` is the row-count sibling). Rows fill the
+    budget in md5(``seed || key``) order, so the kept subset is a
+    uniform, auditable, engine-replayable draw; a row survives iff the
+    tokens BEFORE it fit the budget (greedy fill, same convention as
+    :func:`pack_by_token_budget`: the boundary row may overshoot, and a
+    group's first row always survives — a single document larger than
+    the whole budget is kept, not silently dropped).
+
+    Physically one hash shuffle on ``group_col`` + a per-group
+    RANGE-frame cumsum; window state per task is one running sum.
+    Returns the input rows that made the cut (original columns only).
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    w = Window.partitionBy(F.col(group_col)).orderBy(h, F.col(key_col))
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("__cum", cum)
+        .filter(F.col("__cum") - F.col(token_col) < max_tokens)
+        .drop("__cum")
     )
 
 

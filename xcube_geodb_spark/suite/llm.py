@@ -1654,6 +1654,26 @@ def corpus_cap_per_source(spark, sf_dir):
     return cap_per_group(docs, "source", "doc_id", max_rows=40, seed="cap")
 
 
+def corpus_cap_tokens_per_source(spark, sf_dir):
+    """Per-domain TOKEN budget (functions/sampling.cap_tokens_per_group):
+    each source keeps documents in md5 hash order until 600 whitespace
+    tokens fill — row-count caps over-sample short-document domains;
+    token caps equalize the actual training contribution. Greedy fill:
+    the boundary document may overshoot, a domain's first document
+    always survives. The oracle replays the same RANGE-frame cumsum
+    over the same hash order."""
+    from xcube_geodb_spark.functions.sampling import cap_tokens_per_group
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+    )
+    return cap_tokens_per_group(
+        docs, "source", "doc_id", "toks", max_tokens=600, seed="tcap"
+    )
+
+
 def corpus_shuffle(spark, sf_dir):
     """Deterministic corpus shuffle (functions/sampling.deterministic_shuffle):
     every 20th document (to keep the gate result small) with its position
@@ -2028,6 +2048,20 @@ LLM_RETRIEVAL_ORACLES = {
     # the continuously-built index must agree with the batch scan too
     "stream_bm25_index": _bm25_oracle(),
     "text_bm25_join": _bm25_join_oracle(),
+    "corpus_cap_tokens_per_source": """
+        SELECT doc_id, source, toks FROM (
+            SELECT doc_id, source, toks,
+                   sum(toks) OVER (
+                       PARTITION BY source
+                       ORDER BY md5('tcap' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS cum
+            FROM (
+                SELECT doc_id, source,
+                       len(string_split(text, ' ')) AS toks
+                FROM documents
+            )
+        ) WHERE cum - toks < 600
+    """,
     "corpus_cap_per_source": """
         SELECT doc_id, source FROM (
             SELECT doc_id, source,
@@ -2190,6 +2224,7 @@ LLM_QUERIES = {
     "text_unigram_nll": text_unigram_nll,
     "text_bigram_nll": text_bigram_nll,
     "corpus_cap_per_source": corpus_cap_per_source,
+    "corpus_cap_tokens_per_source": corpus_cap_tokens_per_source,
     "corpus_shuffle": corpus_shuffle,
     "pipeline_corpus_curation": pipeline_corpus_curation,
 }
