@@ -198,3 +198,47 @@ class TestCompaction:
         assert not m2.stats_complete
         out = get_collection(cat, "c", "v=eq.7", database="t")
         assert [r["v"] for r in out.collect()] == [7]
+
+
+class TestRestoreCoverage:
+    def test_restore_past_compaction_rederives_completeness(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Restore is the one commit that can resurrect files a later
+        compaction dropped from the shard chain; stats_complete must be
+        re-derived from actual coverage, or the tree probe would
+        silently skip the restored files."""
+        monkeypatch.setattr(catmod, "STATS_SHARD_COMPACT_AT", 2)
+        monkeypatch.setattr(catmod, "STATS_SHARD_CHUNK_FILES", 2)
+        cat = GeoDBCatalog(spark, str(tmp_path / "whr"), user="tree")
+        cat.create_database("t")
+        cat.create_collection("c", {"v": "int"}, database="t")
+        m = cat.meta("c", "t")
+        m.d["max_file_rows"] = 10
+        _atomic_write_json(m.path, m.d)
+        dml.insert_into_collection(
+            cat, "c", pd.DataFrame({"v": list(range(20))}), database="t"
+        )
+        v1 = cat.meta("c", "t").version
+        # delete the high half (drops a file), then insert until the
+        # shard chain compacts (compaction drops dead files' stats)
+        dml.delete_from_collection(cat, "c", "v=gte.10", database="t")
+        for b in range(3):
+            dml.insert_into_collection(
+                cat, "c",
+                pd.DataFrame({"v": [100 + b * 10 + i for i in range(10)]}),
+                database="t",
+            )
+        cat.restore_collection("c", "t", v1)
+        m = cat.meta("c", "t")
+        from xcube_geodb_spark.operators.scan import get_collection
+
+        out = get_collection(cat, "c", "v=gte.10", database="t")
+        got = sorted(r["v"] for r in out.collect())
+        assert got == list(range(10, 20)), (
+            "restored rows must be visible through the probed scan "
+            f"(stats_complete={m.stats_complete})"
+        )
+        # the flag must only be True when coverage really holds
+        if m.stats_complete:
+            assert set(m.files) <= set(m.file_stats())

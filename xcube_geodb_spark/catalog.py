@@ -721,6 +721,15 @@ class GeoDBCatalog:
                 f"Cannot restore {database}_{collection} to v{version}: "
                 f"{len(missing)} data files already vacuumed"
             )
+        # restore is the ONE commit whose keep set can contain files
+        # outside the previous live set; a compaction since `version` may
+        # have dropped their stats entries, so the stats-tree
+        # completeness flag must be re-derived from actual shard
+        # coverage, never carried forward (a wrong True would let the
+        # tree probe silently skip restored files)
+        loader = self._stats_loader(collection, database)
+        covered = set(loader(cur.d.get("stats_files") or []))
+        covered.update(cur.d.get("file_stats") or {})
         self.commit_version(
             collection,
             database,
@@ -728,7 +737,11 @@ class GeoDBCatalog:
             keep_files=old.files,
             max_id=old.max_id,
             expected_version=cur.version,
-            extra_meta={"properties": old.properties, "srid": old.srid},
+            extra_meta={
+                "properties": old.properties,
+                "srid": old.srid,
+                "stats_complete": set(old.files) <= covered,
+            },
         )
 
     def load_df(
