@@ -356,3 +356,55 @@ class TestAnnRecall:
             ),
         )
         assert r4 >= 0.8, f"refined recall@10 n_probe=4 regressed: {r4}"
+
+
+class TestTrainedCodebooks:
+    def test_lloyd_books_never_worse_than_seeding(self, spark, tmp_path):
+        """pq_codebooks_trained (per-subspace Lloyd in the ADC metric)
+        must dominate raw lowest-id seeding on ADC recall — on this
+        structure-free fixture the gap is small (0.41 vs 0.38 measured);
+        on clustered corpora it is the difference that matters. Also
+        pins determinism (no RNG: two trainings are identical) and that
+        every code stays live (dead clusters re-seeded)."""
+        from xcube_geodb_spark.operators.ann import ann_ivfpq_topk
+
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        naive = S.pq_codebooks(emb, n_subspaces=8, n_centroids=16)
+        trained = S.pq_codebooks_trained(emb, n_subspaces=8, n_centroids=16)
+        again = S.pq_codebooks_trained(emb, n_subspaces=8, n_centroids=16)
+        assert trained == again  # deterministic
+        cents = S.seed_centroids(emb, n_centroids=8)
+        qvecs = [
+            [float(v) for v in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < 10).collect()
+        ]
+
+        def recall(books, name):
+            cat = _make_collection(
+                spark, str(tmp_path / name), name, "ivfpq",
+                {"centroids": cents, "codebooks": books},
+            )
+            full = cat.load_df(name, "anndb")
+            total = 0.0
+            for v in qvecs:
+                exact = {
+                    r["id"]
+                    for r in S.cosine_topk(
+                        full, v, 10, vec_col="embedding", id_col="id"
+                    ).collect()
+                }
+                got = {
+                    r["id"]
+                    for r in ann_ivfpq_topk(
+                        cat, name, v, k=10, database="anndb", n_probe=2
+                    ).collect()
+                }
+                total += len(exact & got) / 10
+            return total / len(qvecs)
+
+        r_naive = recall(naive, "eb_naive")
+        r_trained = recall(trained, "eb_trained")
+        assert r_trained >= r_naive, (r_trained, r_naive)
+        # all codes live in every subspace
+        for book in trained:
+            assert len({tuple(c) for c in book}) == len(book)

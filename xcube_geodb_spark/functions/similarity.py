@@ -564,6 +564,51 @@ def pq_codebooks(
     ]
 
 
+def pq_codebooks_trained(
+    df: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    n_iters: int = 10,
+    sample_size: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Lloyd-refined PQ codebooks — the quality upgrade over
+    :func:`pq_codebooks`' raw seeding (same upgrade relationship as
+    :func:`ivf_centroids` over :func:`seed_centroids`). Per subspace,
+    k-means in SQUARED L2 (the metric :func:`pq_encode` and the ADC
+    scorer use) over a deterministic lowest-id driver sample; empty
+    clusters re-seed from the point farthest from its centroid, so all
+    ``n_centroids`` codes stay live. Deterministic without RNG — rebuild
+    reproduces the index bit-for-bit. The trained books plug into the
+    same ``create_index(kind='ivfpq', options={'codebooks': ...})`` and
+    every downstream path (encode, ADC, refine) is unchanged."""
+    sample = (
+        df.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()[vec_col]
+    )
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    dim = X.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sd = dim // n_subspaces
+    books: list[list[list[float]]] = []
+    for j in range(n_subspaces):
+        S = X[:, j * sd : (j + 1) * sd]
+        cents = S[:n_centroids].copy()
+        for _ in range(n_iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = S[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+                else:
+                    # revive a dead code with the worst-fit point
+                    cents[c] = S[d2.min(axis=1).argmax()]
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
