@@ -428,3 +428,19 @@ class TestQ5BroadcastHints:
         assert analyzed.count("ResolvedHint") == 2, analyzed
         rows = {tuple(r) for r in df.collect()}
         assert rows  # still computes
+
+
+class TestTokenCapPlan:
+    def test_single_group_shuffle_no_python(self, spark):
+        from xcube_geodb_spark.functions.sampling import cap_tokens_per_group
+
+        df = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+        )
+        out = cap_tokens_per_group(df, "source", "doc_id", "toks", 600)
+        plan = executed_plan(out)
+        assert "EvalPython" not in plan
+        # exactly one exchange: the hash shuffle on the group key
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in plan
