@@ -57,12 +57,22 @@ from xcube_geodb_spark.errors import GeoDBError
 from xcube_geodb_spark.geometry.predicates import bbox_predicate
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _box_of_wkt(bbox_wkt: str):
+    """Envelope of a WKT box argument — the box side of every st_*
+    predicate call is almost always a per-query CONSTANT, re-sent for
+    every row of the batch; without this cache each row re-parses it."""
+    return envelope(parse_wkt(bbox_wkt))
+
+
 def _pred(mode: str):
     def f(bbox_wkt: str, wkb: bytes) -> bool:
         if bbox_wkt is None or wkb is None:
             return False
-        box = envelope(parse_wkt(bbox_wkt))
-        return bbox_predicate(mode, parse_wkb(wkb), box)
+        return bbox_predicate(mode, parse_wkb(wkb), _box_of_wkt(bbox_wkt))
 
     return f
 
