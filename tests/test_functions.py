@@ -1140,3 +1140,124 @@ class TestLineDedupGrouped:
             for r in dedup.line_dedup(df2, sep=".").collect()
         }
         assert out2 == {1: "alpha.beta", 2: "gamma.delta"}
+
+
+class TestRealCodecs:
+    """The library-free REAL codecs (PCM WAV + 24-bit BMP): full
+    sample/pixel decodes with independently-constructed fixtures, plus
+    the Spark injection points running them distributed."""
+
+    @staticmethod
+    def _wav_bytes(sr=8000, freq=440.0, seconds=0.5, amp=0.5):
+        import io
+        import math
+        import struct
+        import wave
+
+        n = int(sr * seconds)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            frames = b"".join(
+                struct.pack(
+                    "<h", int(amp * 32767 * math.sin(2 * math.pi * freq * i / sr))
+                )
+                for i in range(n)
+            )
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    def test_wav_decode_matches_signal_math(self):
+        import math
+
+        from xcube_geodb_spark.functions.multimodal import decode_wav_features
+
+        dur, sr, nch, rms, peak = decode_wav_features(
+            self._wav_bytes(sr=8000, freq=440.0, seconds=0.5, amp=0.5)
+        )
+        assert (dur, sr, nch) == (0.5, 8000.0, 1.0)
+        # a 0.5-amplitude sine has rms amp/sqrt(2) and peak ~= amp
+        assert rms == pytest.approx(0.5 / math.sqrt(2), rel=2e-3)
+        assert peak == pytest.approx(0.5, rel=2e-3)
+
+    def test_wav_rejects_non_wav(self):
+        from xcube_geodb_spark.functions.multimodal import decode_wav_features
+
+        with pytest.raises(Exception):
+            decode_wav_features(b"not a wav at all")
+
+    def test_bmp_roundtrip_decode_resize(self):
+        import numpy as np
+
+        from xcube_geodb_spark.functions.multimodal import (
+            _bmp24_pixels,
+            decode_bmp_features,
+            encode_bmp24,
+            parse_image_dims,
+            resize_bmp,
+        )
+
+        px = np.zeros((4, 6, 3), dtype=np.uint8)
+        px[:, :, 0] = 200  # red plane
+        px[0, 0] = (10, 20, 30)
+        payload = encode_bmp24(px)
+        assert parse_image_dims(payload) == ("bmp", 6, 4)
+        back = _bmp24_pixels(payload)
+        assert (back == px).all()
+        w, h, mr, mg, mb = decode_bmp_features(payload)
+        assert (w, h) == (6.0, 4.0)
+        assert mr == pytest.approx(px[:, :, 0].mean())
+        assert mb == pytest.approx(px[:, :, 2].mean())
+        # nearest-neighbor 2x upscale: every source pixel duplicated
+        up = _bmp24_pixels(resize_bmp(payload, 12, 8))
+        assert up.shape == (8, 12, 3)
+        assert (up[0, 0] == px[0, 0]).all()
+        assert (up[1, 1] == px[0, 0]).all()
+        assert (up[::2, ::2] == px).all()
+
+    def test_bmp_row_padding_and_rejects(self):
+        import numpy as np
+
+        from xcube_geodb_spark.functions.multimodal import (
+            _bmp24_pixels,
+            encode_bmp24,
+        )
+
+        # width 3 -> 9-byte rows padded to 12: padding must not leak
+        px = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3)
+        assert (_bmp24_pixels(encode_bmp24(px)) == px).all()
+        with pytest.raises(ValueError):
+            _bmp24_pixels(b"PNG nope")
+
+    def test_real_codecs_through_spark_injection(self, spark):
+        import numpy as np
+
+        from xcube_geodb_spark.functions.multimodal import (
+            decode_bmp_features,
+            decode_features,
+            encode_bmp24,
+            resize_bmp,
+            resize_images,
+        )
+
+        imgs = [
+            (i, encode_bmp24(np.full((4, 4, 3), i * 10, dtype=np.uint8)))
+            for i in range(1, 4)
+        ]
+        df = spark.createDataFrame(imgs, "doc_id long, payload binary")
+        feats = {
+            r["doc_id"]: r
+            for r in decode_features(
+                df, decoder=decode_bmp_features, n_features=5
+            ).collect()
+        }
+        assert feats[2]["feat2"] == pytest.approx(20.0)  # mean red
+        resized = {
+            r["doc_id"]: bytes(r["payload"])
+            for r in resize_images(df, 2, 2, resizer=resize_bmp).collect()
+        }
+        from xcube_geodb_spark.functions.multimodal import parse_image_dims
+
+        assert parse_image_dims(resized[1]) == ("bmp", 2, 2)

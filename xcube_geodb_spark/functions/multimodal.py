@@ -2,11 +2,14 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling run
-as Arrow-batched ``mapInPandas`` stages. The decode libraries (PIL,
-ffmpeg, ...) are not in this container, so the actual codec call is STUBBED
-behind ``decoder=`` — the Spark-side plumbing (schema, batch iteration,
-partition-parallel execution, deterministic fake features for testing) is
-real and tested.
+as Arrow-batched ``mapInPandas`` stages behind injectable ``decoder=`` /
+``resizer=`` callables. Library-free formats decode FOR REAL here — PCM
+WAV samples (:func:`decode_wav_features`) and uncompressed 24-bit BMP
+pixels (:func:`decode_bmp_features` / :func:`resize_bmp`), stdlib+numpy
+only — plus real header sniffing for png/jpeg/gif/bmp/webp
+(:func:`parse_image_dims`). Codec-library formats (jpeg pixels, video)
+stay behind the injection points with deterministic fakes for tests; a
+deployment passes its PIL/ffmpeg callable with the same signature.
 
 At 100 TB: binary payloads stay in their parquet row groups until the
 mapInPandas stage touches them; metadata-only queries never deserialize
@@ -258,3 +261,129 @@ def with_image_dims(
         )
 
     return df.withColumn(meta_col, _dims(F.col(payload_col)))
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs for library-free formats: PCM WAV + uncompressed 24-bit BMP.
+# These are full decodes (samples / pixels), not header sniffs — stdlib +
+# numpy only, so they run in any environment and plug straight into the
+# ``decoder=`` / ``resizer=`` injection points the stubbed paths document.
+# ---------------------------------------------------------------------------
+
+
+def decode_wav_features(payload: bytes) -> list[float]:
+    """REAL audio decode for PCM WAV: ``[duration_s, sample_rate,
+    n_channels, rms, peak]`` computed from the actual samples (stdlib
+    ``wave`` container parse + numpy over the PCM frames; 8/16/32-bit
+    integer PCM). The shape matches ``decode_features(n_features=5)``.
+    Raises on non-WAV payloads — callers route by sniffed content type."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload))) as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        n = w.getnframes()
+        sw = w.getsampwidth()
+        raw = w.readframes(n)
+    if sw == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        full = 127.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        full = 32767.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+        full = 2147483647.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {sw}")
+    if len(x) == 0:
+        return [0.0, float(sr), float(nch), 0.0, 0.0]
+    x = x / full
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    return [n / sr, float(sr), float(nch), rms, peak]
+
+
+def _bmp24_pixels(payload: bytes):
+    """Pixel array (h, w, 3 RGB) from an uncompressed 24-bit
+    BITMAPINFOHEADER BMP; handles bottom-up and top-down row order and
+    4-byte row padding."""
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(b[10:14], "little")
+    dib = int.from_bytes(b[14:18], "little")
+    if dib < 40:
+        raise ValueError("BITMAPCOREHEADER BMP not supported by the decoder")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP (got {bpp}bpp/c{comp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp24(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed bottom-up 24-bit BMP bytes."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+    data = body.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def decode_bmp_features(payload: bytes) -> list[float]:
+    """REAL image decode for 24-bit BMP: ``[width, height, mean_r,
+    mean_g, mean_b]`` from the actual pixel array."""
+    px = _bmp24_pixels(payload)
+    h, w, _ = px.shape
+    means = px.reshape(-1, 3).mean(axis=0)
+    return [float(w), float(h), float(means[0]), float(means[1]),
+            float(means[2])]
+
+
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize for 24-bit BMP: nearest-neighbor resample of the
+    actual pixels, re-encoded as a valid BMP — the ``(bytes, w, h) ->
+    bytes`` signature :func:`resize_images` injects."""
+    import numpy as np
+
+    px = _bmp24_pixels(payload)
+    h, w, _ = px.shape
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_bmp24(px[yi][:, xi])
