@@ -282,3 +282,32 @@ class TestTsRank:
         assert row["rc"] == pytest.approx(0.5)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+class TestHeadlineCover:
+    def test_window_centers_on_best_cover_not_first_match(self, spark):
+        """'cat' appears early, but the only window containing BOTH
+        terms is far into the document: the fragment must move there
+        (PG's cover-density fragment choice), not stick to the first
+        hit."""
+        from xcube_geodb_spark.functions.textsql import _headline
+
+        filler = " ".join(f"w{i}" for i in range(60))
+        text = f"cat {filler} cat dog tail"
+        out = _headline("simple", text, ["cat", "dog"])
+        assert "<b>cat</b> <b>dog</b>" in out
+        assert out.startswith("... ")  # moved past the leading words
+
+    def test_partial_match_falls_back_to_first_hit(self, spark):
+        from xcube_geodb_spark.functions.textsql import _headline
+
+        filler = " ".join(f"w{i}" for i in range(50))
+        text = f"{filler} cat more words"
+        out = _headline("simple", text, ["cat", "dog"])
+        assert "<b>cat</b>" in out
+
+    def test_no_match_returns_leading_words(self, spark):
+        from xcube_geodb_spark.functions.textsql import _headline
+
+        out = _headline("simple", "a b c", ["zzz"])
+        assert out == "a b c"

@@ -28,10 +28,11 @@ Registered names:
 - ``ts_rank_cd(config, text, query_lexemes [, normalization])`` — cover
   density: 1/width per minimal window containing all query terms
 - ``ts_headline(config, text, query_lexemes)`` — a highlighted fragment:
-  words whose lexeme matches the query wrap in ``<b>...</b>``, cropped
-  to a window around the first match (simplified PG defaults: ~35 words,
-  StartSel/StopSel fixed; cover-density ranking of fragments is not
-  implemented — documented deviation)
+  words whose lexeme matches the query wrap in ``<b>...</b>``; the
+  window centers on the BEST COVER (the tightest span containing every
+  query term present — PG's cover-density fragment choice, ties to the
+  earliest cover), falling back to the first match when no full cover
+  exists (simplified PG defaults: ~35 words, StartSel/StopSel fixed)
 """
 
 from __future__ import annotations
@@ -73,20 +74,54 @@ _HEAD_LEAD_WORDS = 7
 
 
 def _headline(config: str, text: str | None, query: list[str] | None):
+    """Highlighted fragment with PG-style COVER selection: the window
+    centers on the best cover — the tightest word span containing every
+    distinct query term that appears in the document (ts_headline's
+    cover-density fragment choice; ties -> earliest). Documents where no
+    full cover exists fall back to the first matching word; no match at
+    all returns the leading words unmarked."""
     if text is None or query is None:
         return None
     qset = set(query)
     words = text.split()
     cfg = (config or "english").lower()
     marked = []
-    first = None
-    for i, w in enumerate(words):
+    hit_terms: list[set | None] = []
+    for w in words:
         lex = _lexemes(cfg, w)
-        hit = bool(lex) and any(t in qset for t in lex)
-        if hit and first is None:
-            first = i
-        marked.append(f"<b>{w}</b>" if hit else w)
-    start = max(0, (first or 0) - _HEAD_LEAD_WORDS)
+        terms = {t for t in lex if t in qset} if lex else set()
+        hit_terms.append(terms or None)
+        marked.append(f"<b>{w}</b>" if terms else w)
+    present = set().union(*(t for t in hit_terms if t)) if any(
+        hit_terms
+    ) else set()
+    anchor, anchor_end = None, None
+    if present:
+        # tightest cover of ALL present terms: same two-pointer sweep as
+        # ts_rank_cd, tracking the minimal width
+        last: dict[str, int] = {}
+        best = None  # (width, start, end)
+        for i, terms in enumerate(hit_terms):
+            if not terms:
+                continue
+            for t in terms:
+                last[t] = i
+            if len(last) == len(present):
+                left = min(last.values())
+                cand = (i - left + 1, left, i)
+                if best is None or cand < best:
+                    best = cand
+        if best is not None:
+            anchor, anchor_end = best[1], best[2]
+        else:
+            anchor = next(i for i, t in enumerate(hit_terms) if t)
+            anchor_end = anchor
+    if anchor is None:
+        anchor, anchor_end = 0, 0
+    # window: lead-in before the cover, cropped to the word budget
+    start = max(0, anchor - _HEAD_LEAD_WORDS)
+    if anchor_end - start + 1 > _HEAD_MAX_WORDS:
+        start = anchor  # cover wider than the budget: start at its head
     frag = marked[start : start + _HEAD_MAX_WORDS]
     head = "... " if start > 0 else ""
     tail = " ..." if start + _HEAD_MAX_WORDS < len(marked) else ""
