@@ -242,3 +242,54 @@ class TestRestoreCoverage:
         # the flag must only be True when coverage really holds
         if m.stats_complete:
             assert set(m.files) <= set(m.file_stats())
+
+
+class TestSummaryConservativeness:
+    def test_hull_exclusion_implies_every_file_excluded(self):
+        """THE tree-safety invariant, fuzzed: whenever the shard hull
+        excludes a constraint set, every individual file's stats must
+        exclude it too (a hull that skips a shard containing one
+        matching file would silently drop rows)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from xcube_geodb_spark.operators.pruning import file_may_match
+
+        val = st.one_of(
+            st.integers(-50, 50),
+            st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+            st.none(),
+        )
+        interval = st.tuples(val, val).map(
+            lambda t: [t[0], t[1]]
+            if t[0] is None or t[1] is None or t[0] <= t[1]
+            else [t[1], t[0]]
+        )
+        file_stats = st.dictionaries(
+            st.sampled_from(["a", "b"]), interval, min_size=0, max_size=2
+        )
+        shard = st.dictionaries(
+            st.text("xyz", min_size=1, max_size=3), file_stats,
+            min_size=1, max_size=6,
+        )
+        op = st.sampled_from(["eq", "gt", "gte", "lt", "lte"])
+        constraint = st.tuples(st.sampled_from(["a", "b", "c"]), op,
+                               st.integers(-60, 60))
+        constraints = st.lists(constraint, min_size=1, max_size=3)
+
+        @settings(max_examples=300, deadline=None)
+        @given(shard, constraints)
+        def check(stats, cons):
+            summary = shard_summary(stats)
+            if summary_excludes(summary, cons):
+                for rel, raw in stats.items():
+                    fs = {
+                        c: tuple(v)
+                        for c, v in raw.items()
+                        if not c.startswith("::")
+                    }
+                    assert not file_may_match(fs, cons), (
+                        stats, cons, summary, rel
+                    )
+
+        check()
