@@ -1350,3 +1350,69 @@ class TestSpheroidArea:
         )
         assert area_spheroid(parse_wkt("POINT (1 2)")) == 0.0
         assert area_spheroid(parse_wkt("LINESTRING (0 0, 1 1)")) == 0.0
+
+
+class TestSpheroidLength:
+    def test_line_equals_sum_of_vincenty_segments(self):
+        from xcube_geodb_spark.geometry.geom import (
+            distance_spheroid,
+            length_spheroid,
+        )
+
+        line = parse_wkt("LINESTRING (0 0, 1 0.5, 2.5 1.5)")
+        segs = [("0 0", "1 0.5"), ("1 0.5", "2.5 1.5")]
+        want = sum(
+            distance_spheroid(
+                parse_wkt(f"POINT ({a})"), parse_wkt(f"POINT ({b})")
+            )
+            for a, b in segs
+        )
+        assert length_spheroid(line) == pytest.approx(want, rel=1e-12)
+        assert length_spheroid(parse_wkt("POINT (1 2)")) == 0.0
+
+    def test_meridian_quarter_is_published_value(self):
+        from xcube_geodb_spark.geometry.geom import length_spheroid
+
+        # equator->pole along a meridian: the WGS84 meridian quadrant,
+        # published value 10,001,965.729 m (the historic "10000 km")
+        line = parse_wkt("LINESTRING (0 0, 0 90)")
+        assert length_spheroid(line) == pytest.approx(10_001_965.729, abs=1.0)
+
+    def test_equator_degree(self):
+        from xcube_geodb_spark.geometry.geom import length_spheroid
+
+        # one degree of longitude on the equator: a*pi/180
+        import math
+
+        line = parse_wkt("LINESTRING (0 0, 1 0)")
+        assert length_spheroid(line) == pytest.approx(
+            6378137.0 * math.pi / 180.0, rel=1e-9
+        )
+
+    def test_perimeter_spheroid_vs_sphere(self):
+        from xcube_geodb_spark.geometry.geom import (
+            perimeter_sphere,
+            perimeter_spheroid,
+        )
+
+        poly = parse_wkt("POLYGON ((10 45, 11 45, 11 46, 10 46, 10 45))")
+        sphere = perimeter_sphere(poly)
+        spheroid = perimeter_spheroid(poly)
+        # within the flattening's ~0.3%, but NOT identical
+        assert abs(spheroid - sphere) / sphere < 0.005
+        assert spheroid != sphere
+
+    def test_sql_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            "SELECT st_lengthspheroid(st_geomfromtext("
+            "'LINESTRING(0 0, 0 90)')) AS l,"
+            " st_perimeterspheroid(st_geomfromtext("
+            "'POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))')) AS p"
+        ).collect()[0]
+        assert row["l"] == pytest.approx(10_001_965.729, abs=1.0)
+        assert row["p"] > 4.4e5

@@ -1237,8 +1237,15 @@ def distance_spheroid(a: Geometry, b: Geometry) -> float:
             "st_distancespheroid requires Point operands "
             f"(got {a.kind}, {b.kind})"
         )
-    lon1, lat1 = float(a.parts[0]), float(a.parts[1])
-    lon2, lat2 = float(b.parts[0]), float(b.parts[1])
+    return _vincenty_m(
+        float(a.parts[0]), float(a.parts[1]),
+        float(b.parts[0]), float(b.parts[1]),
+    )
+
+
+def _vincenty_m(lon1: float, lat1: float, lon2: float, lat2: float) -> float:
+    """Vincenty inverse between lon/lat pairs on WGS84 (meters);
+    near-antipodal non-convergence falls back to the haversine sphere."""
     if lon1 == lon2 and lat1 == lat2:
         return 0.0
     f = _WGS84_F
@@ -1278,7 +1285,7 @@ def distance_spheroid(a: Geometry, b: Geometry) -> float:
     else:
         # Vincenty fails to converge only near-antipodally: the sphere
         # answer is within ~0.5% there, better than failing the query
-        return distance_sphere(a, b)
+        return _sphere_seg_m(lon1, lat1, lon2, lat2)
     u_sq = cos2_alpha * (_WGS84_A**2 - b_axis**2) / b_axis**2
     big_a = 1.0 + u_sq / 16384.0 * (
         4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq))
@@ -1302,6 +1309,38 @@ def distance_spheroid(a: Geometry, b: Geometry) -> float:
         )
     )
     return b_axis * big_a * (sigma - delta_sigma)
+
+
+def length_spheroid(geom: Geometry) -> float:
+    """``ST_LengthSpheroid``: WGS84 geodesic meters summed over every
+    LineString segment (Vincenty per vertex pair — the standard GIS
+    spheroidal line measure); points and polygons contribute 0 like
+    :func:`length_sphere`."""
+    total = 0.0
+    for leaf in geom.children():
+        if leaf.kind == "LineString":
+            arr = leaf.parts
+            for i in range(len(arr) - 1):
+                total += _vincenty_m(
+                    float(arr[i, 0]), float(arr[i, 1]),
+                    float(arr[i + 1, 0]), float(arr[i + 1, 1]),
+                )
+    return total
+
+
+def perimeter_spheroid(geom: Geometry) -> float:
+    """WGS84 geodesic meters around every polygon ring (outer + holes) —
+    the spheroidal companion of :func:`perimeter_sphere`."""
+    total = 0.0
+    for leaf in geom.children():
+        if leaf.kind == "Polygon":
+            for ring in leaf.parts:
+                for i in range(len(ring) - 1):
+                    total += _vincenty_m(
+                        float(ring[i, 0]), float(ring[i, 1]),
+                        float(ring[i + 1, 0]), float(ring[i + 1, 1]),
+                    )
+    return total
 
 
 def project_point(lon: float, lat: float, distance_m: float, azimuth_rad: float):

@@ -21,8 +21,11 @@ Registered names (PostGIS-compatible lowercase):
   (geodb.sql:1204-1214) — and ``st_dwithin``
 - measures: ``st_area/st_length/st_perimeter/st_centroid``,
   ``st_distance`` (planar exact), ``st_distancesphere`` (haversine),
-  ``st_distancespheroid`` (WGS84 Vincenty), ``st_areasphere``
-  (spherical-excess geodesic area), ``st_azimuth``
+  ``st_distancespheroid`` (WGS84 Vincenty), ``st_lengthsphere`` /
+  ``st_lengthspheroid`` / ``st_perimetersphere`` /
+  ``st_perimeterspheroid`` (per-segment geodesics), ``st_areasphere``
+  (spherical-excess geodesic area), ``st_areaspheroid`` (authalic WGS84
+  ellipsoid area), ``st_azimuth``
 - transforms: ``st_transform`` (CRS), ``st_buffer`` (points),
   ``st_simplify`` (Douglas-Peucker), ``st_snaptogrid``, ``st_envelope``,
   ``st_expand``, ``st_clipbybox2d``, ``st_convexhull`` (monotone chain)
@@ -258,7 +261,12 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         T.DoubleType(),
     )
 
-    from xcube_geodb_spark.geometry.geom import length_sphere, perimeter_sphere
+    from xcube_geodb_spark.geometry.geom import (
+        length_sphere,
+        length_spheroid,
+        perimeter_sphere,
+        perimeter_spheroid,
+    )
 
     _register(
         "st_lengthsphere",
@@ -268,6 +276,16 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     _register(
         "st_perimetersphere",
         lambda b: perimeter_sphere(parse_wkb(b)) if b is not None else None,
+        T.DoubleType(),
+    )
+    _register(
+        "st_lengthspheroid",
+        lambda b: length_spheroid(parse_wkb(b)) if b is not None else None,
+        T.DoubleType(),
+    )
+    _register(
+        "st_perimeterspheroid",
+        lambda b: perimeter_spheroid(parse_wkb(b)) if b is not None else None,
         T.DoubleType(),
     )
 
