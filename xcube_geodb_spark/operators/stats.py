@@ -67,15 +67,40 @@ def build_bloom(
     return base64.b64encode(bytes(buf)).decode()
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8192)
+def _bloom_bytes(b64: str) -> bytes:
+    """Decoded bloom payload, cached per b64 string. Probes hit the same
+    payload once per (file, term, query); the b64 strings live in the
+    immutable shard cache, so their str-hash is computed once and lookup
+    is O(1) — without this, a warm fts probe re-decodes every file's
+    ~16 KiB bloom on every query (the linear term in SCALE's
+    bloom-isolation probe). 8192 entries x 16 KiB bounds the cache at
+    ~128 MiB."""
+    return base64.b64decode(b64)
+
+
+@lru_cache(maxsize=4096)
+def _probe_positions(value: str, bits: int) -> tuple[int, ...]:
+    """Probe-side twin of :func:`_bloom_positions`, cached: a query
+    probes the SAME few terms against every file's bloom, so the k md5
+    hashes per term compute once per query instead of once per file.
+    (The build path stays uncached — it hashes millions of distinct
+    values exactly once each.)"""
+    return tuple(_bloom_positions(value, bits))
+
+
 def bloom_may_contain(b64: str, value) -> bool:
     """False means PROVABLY absent; True means maybe present. The filter
     size is carried by the encoding itself (len * 8 bits), so one probe
     function serves both the equality and the fts-token blooms."""
-    raw = base64.b64decode(b64)
+    raw = _bloom_bytes(b64)
     bits = len(raw) * 8
     return all(
         raw[p // 8] >> (p % 8) & 1
-        for p in _bloom_positions(str(value), bits)
+        for p in _probe_positions(str(value), bits)
     )
 
 
