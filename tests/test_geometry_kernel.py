@@ -1416,3 +1416,29 @@ class TestSpheroidLength:
         ).collect()[0]
         assert row["l"] == pytest.approx(10_001_965.729, abs=1.0)
         assert row["p"] > 4.4e5
+
+
+class TestGeoJsonSql:
+    def test_roundtrip_and_nulls(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """SELECT st_asgeojson(st_makepoint(1.5, 2.5)) AS j,
+                      st_astext(st_geomfromgeojson(
+                        '{"type":"LineString",'
+                        '"coordinates":[[0,0],[1,1]]}')) AS w,
+                      st_asgeojson(cast(null as binary)) AS nj,
+                      st_geomfromgeojson(cast(null as string)) AS ng"""
+        ).collect()[0]
+        assert row["j"] == '{"type":"Point","coordinates":[1.5,2.5]}'
+        assert row["w"] == "LINESTRING (0 0, 1 1)"
+        assert row["nj"] is None and row["ng"] is None
+        # roundtrip through both codecs preserves the geometry
+        rt = spark.sql(
+            "SELECT st_astext(st_geomfromgeojson(st_asgeojson("
+            "st_geomfromtext('POLYGON((0 0,2 0,2 2,0 2,0 0))')))) AS w"
+        ).collect()[0]
+        assert rt["w"] == "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"

@@ -8,7 +8,8 @@ the Spark SQL dialect the same capability — no Catalyst extension needed.
 Registered names (PostGIS-compatible lowercase):
 
 - codecs/constructors: ``st_astext`` / ``st_geomfromtext`` /
-  ``st_makepoint`` / ``st_point`` / ``st_makeenvelope`` / ``st_setsrid``
+  ``st_asgeojson`` / ``st_geomfromgeojson`` / ``st_makepoint`` /
+  ``st_point`` / ``st_makeenvelope`` / ``st_setsrid``
 - inspectors: ``st_geometrytype`` (returns 'POINT', 'POLYGON', ...),
   ``st_xmin/st_ymin/st_xmax/st_ymax``, ``st_x/st_y``, ``st_isvalid``,
   ``st_srid``, ``st_npoints``/``st_numpoints``, ``st_numgeometries``,
@@ -134,6 +135,27 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         lambda s: to_wkb(parse_wkt(s)) if s is not None else None,
         T.BinaryType(),
     )
+
+    def _as_geojson(b):
+        if b is None:
+            return None
+        import json as _json
+
+        from xcube_geodb_spark.geometry.geom import to_geojson
+
+        return _json.dumps(to_geojson(parse_wkb(b)), separators=(",", ":"))
+
+    def _from_geojson(s):
+        if s is None:
+            return None
+        import json as _json
+
+        from xcube_geodb_spark.geometry.geom import from_geojson
+
+        return to_wkb(from_geojson(_json.loads(s)))
+
+    _register("st_asgeojson", _as_geojson, T.StringType())
+    _register("st_geomfromgeojson", _from_geojson, T.BinaryType())
     _register(
         "st_geometrytype",
         lambda b: geometry_type_wkb(b) if b is not None else None,
