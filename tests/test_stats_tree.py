@@ -293,3 +293,14 @@ class TestSummaryConservativeness:
                     )
 
         check()
+
+
+class TestExplainTree:
+    def test_explain_reports_shard_skips(self, tree_cat):
+        ex = explain_scan(tree_cat, "c", "id=eq.3", database="t")
+        t = ex["stats_tree"]
+        assert t["complete"] is True
+        assert t["shards_total"] == 4
+        assert 1 <= t["shards_skipped"] <= 3  # point probe keeps 1 shard
+        ex2 = explain_scan(tree_cat, "c", None, database="t")
+        assert ex2["stats_tree"]["shards_skipped"] == 0

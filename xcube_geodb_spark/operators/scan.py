@@ -100,6 +100,7 @@ def explain_scan(
         conjunctive_constraints,
         fts_term_groups,
         split_files_by_constraints,
+        summary_excludes,
     )
 
     m = catalog.meta(collection, database)
@@ -150,6 +151,24 @@ def explain_scan(
         "files_skipped": len(skipped),
         "manifest_stats": all(f in stats_map for f in m.files),
         "bloom_columns": bloom_cols,
+        # stats-tree view: how many shard hulls a probing scan would skip
+        # WITHOUT loading (get_collection's fast path; this introspection
+        # itself loads everything to report per-file detail)
+        "stats_tree": {
+            "complete": m.stats_complete,
+            "shards_total": len(m.stats_shards()),
+            "shards_skipped": (
+                sum(
+                    1
+                    for _n, summary in m.stats_shards()
+                    if summary is not None
+                    and constraints
+                    and summary_excludes(summary, constraints)
+                )
+                if m.stats_complete
+                else 0
+            ),
+        },
     }
 
 
