@@ -333,3 +333,84 @@ class TestRebaseOnDisjoint:
         df = cat.load_df("c", "d")
         assert df.filter("v = 888").count() == 1
         assert df.count() == 50
+
+
+class TestRebaseConstraintGuard:
+    def test_rebase_refuses_when_constraints_changed(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A concurrently added CHECK constraint was never enforced
+        against the rebasing commit's rows: rebase must refuse (review
+        r6 finding: properties/srid alone were compared)."""
+        import pandas as pd
+
+        from xcube_geodb_spark.catalog import GeoDBCatalog, _atomic_write_json
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.operators import dml
+        from xcube_geodb_spark.operators.dml import update_collection
+
+        cat = GeoDBCatalog(spark, str(tmp_path / "whcg"), user="cc")
+        cat.create_database("d")
+        cat.create_collection("c", {"v": "int"}, database="d")
+        m = cat.meta("c", "d")
+        m.d["max_file_rows"] = 10
+        _atomic_write_json(m.path, m.d)
+        for n in (10, 10):
+            dml.insert_into_collection(
+                cat, "c", pd.DataFrame({"v": list(range(n))}), database="d"
+            )
+        orig_load = GeoDBCatalog.load_files
+        fired = {"done": False}
+
+        def hooked(self, coll, db, files, meta=None):
+            if not fired["done"]:
+                fired["done"] = True
+                # racer adds a CHECK constraint (touches no files)
+                cat.add_constraint("c", "v_nonneg", "v >= 0", "d")
+            return orig_load(self, coll, db, files, meta=meta)
+
+        monkeypatch.setattr(GeoDBCatalog, "load_files", hooked)
+        with pytest.raises(GeoDBError, match="Concurrent modification"):
+            update_collection(cat, "c", {"v": -5}, "id=eq.1", database="d")
+        monkeypatch.undo()
+        # the constraint landed; the violating update did not
+        df = cat.load_df("c", "d")
+        assert df.filter("v < 0").count() == 0
+
+
+class TestPublishFlagCommit:
+    def test_publish_during_concurrent_insert_loses_nothing(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """publish_gs's flag write is a versioned commit against the
+        POST-HTTP meta read; a commit landing during the (slow)
+        geoservice round-trip must survive (review r6 finding: the old
+        stale metadata.json swap dropped it)."""
+        import pandas as pd
+
+        from xcube_geodb_spark.client import GeoDBSparkClient
+
+        c = GeoDBSparkClient(
+            spark, warehouse=str(tmp_path / "whpub"), user="pu"
+        )
+        c.create_collection("t", {"v": "int"})
+        c.insert_into_collection(
+            "t", pd.DataFrame({"geometry": ["POINT (0 0)"], "v": [1]})
+        )
+
+        class SlowGS:
+            def publish(self, db, coll):
+                # a commit lands while the HTTP call is in flight
+                c.insert_into_collection(
+                    "t",
+                    pd.DataFrame({"geometry": ["POINT (1 1)"], "v": [2]}),
+                )
+                return {"status": "published"}
+
+        c.gs = SlowGS()
+        out = c.publish_gs("t")
+        assert out["published"] is True
+        m = c.catalog.meta("t", "pu")
+        assert m.d["gs"]["published"] is True
+        # the mid-flight insert survived the flag commit
+        assert c.catalog.load_df("t", "pu").count() == 2

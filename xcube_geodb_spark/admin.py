@@ -426,18 +426,26 @@ class IndexManager:
                     " simple)"
                 )
             entry["dictionary"] = dic
-        if any(i["property"] == prop for i in m.d["indexes"]):
-            raise GeoDBError(f"Index on {prop} already exists")
-        m.d["indexes"].append(entry)
-        _atomic_write_json(m.path, m.d)
+        def mutate(fresh):
+            idx = list(fresh.d["indexes"])
+            if any(i["property"] == prop for i in idx):
+                raise GeoDBError(f"Index on {prop} already exists")
+            return {"indexes": idx + [entry]}
+
+        # versioned commit (catalog.commit_meta_change): index
+        # declarations drive physical clustering + per-file bloom builds
+        # at commit time, so a DML batch racing this change must conflict
+        # rather than write files laid out for a stale declaration
+        self.catalog.commit_meta_change(collection, database, mutate)
 
     def remove_index(self, collection: str, prop: str, database: str) -> None:
-        m = self.catalog.meta(collection, database)
-        before = len(m.d["indexes"])
-        m.d["indexes"] = [i for i in m.d["indexes"] if i["property"] != prop]
-        if len(m.d["indexes"]) == before:
-            raise GeoDBError(f"No index on {prop}")
-        _atomic_write_json(m.path, m.d)
+        def mutate(fresh):
+            idx = [i for i in fresh.d["indexes"] if i["property"] != prop]
+            if len(idx) == len(fresh.d["indexes"]):
+                raise GeoDBError(f"No index on {prop}")
+            return {"indexes": idx}
+
+        self.catalog.commit_meta_change(collection, database, mutate)
 
     def show_indexes(self, collection: str, database: str) -> list[dict]:
         return list(self.catalog.meta(collection, database).d["indexes"])

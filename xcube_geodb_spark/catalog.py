@@ -544,33 +544,73 @@ class GeoDBCatalog:
         m.d["database"] = new_database
         _atomic_write_json(self._meta_path(new_name, new_database), m.d)
 
+    def commit_meta_change(
+        self, collection: str, database: str, mutate, retries: int = 3
+    ) -> None:
+        """VERSIONED metadata-only change: ``mutate(meta) -> extra_meta``
+        computed against a pinned snapshot, committed through the normal
+        CAS protocol. Schema, constraint, and index changes go through
+        here — a plain metadata.json swap would be INVISIBLE to the
+        optimistic-concurrency version check, so a DML commit racing the
+        change could enforce a stale schema/constraint set (and the
+        change could clobber the DML's manifest). On a version conflict
+        the mutation re-derives against the fresh snapshot and
+        retries."""
+        last: Exception | None = None
+        for attempt in range(retries + 1):
+            m = self.meta(collection, database)
+            extra = mutate(m)
+            try:
+                self.commit_version(
+                    collection,
+                    database,
+                    None,
+                    extra_meta=extra,
+                    expected_version=m.version,
+                )
+                return
+            except GeoDBError as e:
+                if "Concurrent modification" not in str(e):
+                    raise
+                last = e
+        raise last
+
     def add_properties(
         self, collection: str, properties: dict[str, str], database: str
     ) -> None:
         """Schema evolution without data rewrite: new columns materialize as
         NULL on read (``geodb_add_properties``, geodb.sql:216-229)."""
-        m = self.meta(collection, database)
-        for k, v in properties.items():
-            k = k.lower()
-            if k in MANDATORY_PROPERTIES or k in m.d["properties"]:
-                raise GeoDBError(f"Property {k} already exists")
-            pg_type_to_spark(v)
-            m.d["properties"][k] = v
-        _atomic_write_json(m.path, m.d)
+
+        def mutate(m):
+            props = dict(m.d["properties"])
+            for k, v in properties.items():
+                k = k.lower()
+                if k in MANDATORY_PROPERTIES or k in props:
+                    raise GeoDBError(f"Property {k} already exists")
+                pg_type_to_spark(v)
+                props[k] = v
+            return {"properties": props}
+
+        self.commit_meta_change(collection, database, mutate)
 
     def drop_properties(
         self, collection: str, properties: Iterable[str], database: str
     ) -> None:
-        m = self.meta(collection, database)
-        for k in properties:
-            k = k.lower()
-            if k in MANDATORY_PROPERTIES:
-                # client guards these at geodb.py:1170-1173
-                raise GeoDBError(f"Cannot drop mandatory property {k}")
-            if k not in m.d["properties"]:
-                raise GeoDBError(f"Property {k} does not exist")
-            del m.d["properties"][k]
-        _atomic_write_json(m.path, m.d)
+        props_in = list(properties)
+
+        def mutate(m):
+            props = dict(m.d["properties"])
+            for k in props_in:
+                k = k.lower()
+                if k in MANDATORY_PROPERTIES:
+                    # client guards these at geodb.py:1170-1173
+                    raise GeoDBError(f"Cannot drop mandatory property {k}")
+                if k not in props:
+                    raise GeoDBError(f"Property {k} does not exist")
+                del props[k]
+            return {"properties": props}
+
+        self.commit_meta_change(collection, database, mutate)
 
     def add_constraint(
         self, collection: str, name: str, expr: str, database: str
@@ -583,36 +623,44 @@ class GeoDBCatalog:
         sidecar under ``constraints``."""
         from pyspark.sql import functions as F
 
-        m = self.meta(collection, database)
-        cons = m.d.setdefault("constraints", {})
-        if name in cons:
-            raise GeoDBError(f"Constraint {name} already exists")
-        df = self.load_df(collection, database)
-        try:
-            bad = df.filter(
-                ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
-            ).count()
-        except Exception as e:
-            raise GeoDBError(
-                f"Invalid constraint expression {expr!r}: {e}"
-            ) from None
-        if bad:
-            raise GeoDBError(
-                f"Cannot add constraint {name}: {bad} existing row(s) "
-                f"violate ({expr})"
-            )
-        cons[name] = expr
-        _atomic_write_json(m.path, m.d)
+        def mutate(m):
+            cons = dict(m.d.get("constraints") or {})
+            if name in cons:
+                raise GeoDBError(f"Constraint {name} already exists")
+            df = self.load_df(collection, database)
+            try:
+                bad = df.filter(
+                    ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+                ).count()
+            except Exception as e:
+                raise GeoDBError(
+                    f"Invalid constraint expression {expr!r}: {e}"
+                ) from None
+            if bad:
+                raise GeoDBError(
+                    f"Cannot add constraint {name}: {bad} existing row(s) "
+                    f"violate ({expr})"
+                )
+            cons[name] = expr
+            return {"constraints": cons}
+
+        # versioned commit: a DML batch racing this sees the version
+        # bump and conflicts (its _enforce_constraints ran against the
+        # pre-constraint snapshot), instead of silently committing
+        # violating rows past an invisible metadata swap
+        self.commit_meta_change(collection, database, mutate)
 
     def drop_constraint(
         self, collection: str, name: str, database: str
     ) -> None:
-        m = self.meta(collection, database)
-        cons = m.d.get("constraints", {})
-        if name not in cons:
-            raise GeoDBError(f"Constraint {name} does not exist")
-        del cons[name]
-        _atomic_write_json(m.path, m.d)
+        def mutate(m):
+            cons = dict(m.d.get("constraints") or {})
+            if name not in cons:
+                raise GeoDBError(f"Constraint {name} does not exist")
+            del cons[name]
+            return {"constraints": cons}
+
+        self.commit_meta_change(collection, database, mutate)
 
     def get_constraints(self, collection: str, database: str) -> dict:
         return dict(self.meta(collection, database).d.get("constraints", {}))
@@ -884,6 +932,13 @@ class GeoDBCatalog:
             if (
                 base.d.get("properties") != fresh.d.get("properties")
                 or base.d.get("srid") != fresh.d.get("srid")
+                # a concurrently added/changed CHECK constraint was not
+                # enforced against THIS commit's rows, and index
+                # declarations drive the clustering the already-written
+                # files were laid out with — either change is a true
+                # conflict, never rebasable
+                or base.d.get("constraints") != fresh.d.get("constraints")
+                or base.d.get("indexes") != fresh.d.get("indexes")
             ):
                 return False
             ours = set(base.files) - set(keep_files)

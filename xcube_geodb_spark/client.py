@@ -969,16 +969,38 @@ class GeoDBSparkClient:
     # the flag records the service's acknowledgment — a failed PUT/DELETE
     # raises before any local state changes.
 
+    def _set_gs_flag(self, collection: str, db: str, published: bool) -> None:
+        """Record publication state as a PROPER versioned commit
+        (merge_meta against the fresh post-HTTP meta read, CAS-arbitrated
+        with a short retry): a plain metadata.json swap computed from a
+        pre-HTTP snapshot would clobber any commit that landed during the
+        geoservice round-trip — version regression + lost files."""
+        from xcube_geodb_spark.errors import GeoDBError
+
+        last: Exception | None = None
+        for _ in range(3):
+            try:
+                self.catalog.commit_version(
+                    collection, db, None,
+                    merge_meta={"gs": {"published": published}},
+                )
+                return
+            except GeoDBError as e:
+                if "Concurrent modification" not in str(e) and (
+                    "another writer" not in str(e)
+                ):
+                    raise
+                last = e
+        raise last
+
     def publish_gs(self, collection: str, database: str | None = None) -> dict:
         db = self._db(database)
-        m = self.catalog.meta(collection, db)
+        self.catalog.meta(collection, db)  # existence check before HTTP
         remote = None
         if self.gs is not None:
+            # service call FIRST: a failed PUT leaves no local state
             remote = self.gs.publish(db, collection)
-        m.d.setdefault("gs", {})["published"] = True
-        from xcube_geodb_spark.catalog import _atomic_write_json
-
-        _atomic_write_json(m.path, m.d)
+        self._set_gs_flag(collection, db, True)
         self.events.log("published_gs", f"Collection {db}_{collection} published to gs")
         out = {"collection": collection, "database": db, "published": True}
         if remote is not None:
@@ -987,13 +1009,10 @@ class GeoDBSparkClient:
 
     def unpublish_gs(self, collection: str, database: str | None = None) -> None:
         db = self._db(database)
-        m = self.catalog.meta(collection, db)
+        self.catalog.meta(collection, db)
         if self.gs is not None:
             self.gs.unpublish(db, collection)
-        m.d.setdefault("gs", {})["published"] = False
-        from xcube_geodb_spark.catalog import _atomic_write_json
-
-        _atomic_write_json(m.path, m.d)
+        self._set_gs_flag(collection, db, False)
         self.events.log(
             "unpublished_gs", f"Collection {db}_{collection} unpublished from gs"
         )
@@ -1002,12 +1021,18 @@ class GeoDBSparkClient:
         db = self._db(database)
         if self.gs is not None:
             # the service's view is authoritative when configured
-            # (reference GETs .../collections and frames the JSON)
+            # (reference GETs .../collections and frames the JSON);
+            # normalize the shapes a service may answer with — list of
+            # rows, list of names, or a dict wrapper — into the same
+            # (database, collection) frame the offline path produces
             rows = self.gs.list_published(db)
+            if isinstance(rows, dict):
+                rows = rows.get("collections") or rows.get("rows") or []
             if rows and isinstance(rows, list) and isinstance(rows[0], str):
                 rows = [{"database": db, "collection": c} for c in rows]
-            return pd.DataFrame(rows or [], columns=None if rows else
-                                ["collection"])
+            if not rows:
+                return pd.DataFrame(columns=["database", "collection"])
+            return pd.DataFrame(rows)
         rows = [
             {"database": db, "collection": coll}
             for coll in self.catalog.list_collections(db)

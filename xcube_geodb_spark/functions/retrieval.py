@@ -601,6 +601,10 @@ def fts_docs_from_index(
     result = None
     for pos, neg in groups:
         if not pos:
+            # also reachable when english elision drops every positive
+            # term (e.g. 'the & !cat' -> '!cat', exactly PG's to_tsquery
+            # result): valid for the scan path, but a bag-of-words index
+            # cannot answer it — PG's GIN has the same recheck boundary
             raise GeoDBError(
                 "a pure-negation group needs the full corpus id set — "
                 "evaluate it against the documents table instead"

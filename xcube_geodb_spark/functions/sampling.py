@@ -308,14 +308,22 @@ def cap_tokens_per_group(
     group's first row always survives — a single document larger than
     the whole budget is kept, not silently dropped).
 
-    Physically one hash shuffle on ``group_col`` + a per-group
-    RANGE-frame cumsum; window state per task is one running sum.
+    Physically one hash shuffle on ``group_col`` + a per-group ROWS-frame
+    cumsum; window state per task is one running sum. ``key_col`` must
+    identify rows uniquely within a group (it is the document id): the
+    explicit ROWS frame means even pathological duplicate keys fill the
+    budget one row at a time instead of becoming RANGE-frame peers that
+    share a cumsum and could all overshoot together.
     Returns the input rows that made the cut (original columns only).
     """
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
     h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
-    w = Window.partitionBy(F.col(group_col)).orderBy(h, F.col(key_col))
+    w = (
+        Window.partitionBy(F.col(group_col))
+        .orderBy(h, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum(F.col(token_col)).over(w)
     return (
         df.withColumn("__cum", cum)
