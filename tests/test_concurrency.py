@@ -414,3 +414,71 @@ class TestPublishFlagCommit:
         assert m.d["gs"]["published"] is True
         # the mid-flight insert survived the flag commit
         assert c.catalog.load_df("t", "pu").count() == 2
+
+
+class TestAclStacVersionedCommit:
+    """ACL grants and STAC fields are versioned CAS commits (round-6
+    review follow-up): a snapshot-based metadata.json swap would revert
+    the manifest pointer of any commit landing between the ACL read and
+    write — the data survives roll-forward, but the grant itself is lost
+    and reads see a stale manifest until the next commit."""
+
+    def test_grant_racing_insert_both_land(self, spark, tmp_path):
+        c = _mk(spark, tmp_path, user="au")
+        v0 = c.catalog.meta("t", "au").version
+
+        fired = {"done": False}
+        orig_meta = c.catalog.meta
+
+        def meta_with_race(coll, db, *a, **k):
+            m = orig_meta(coll, db, *a, **k)
+            # a DML commit lands after the grant's snapshot read: the
+            # grant's CAS must conflict and re-derive, never clobber
+            if not fired["done"]:
+                fired["done"] = True
+                c.insert_into_collection(
+                    "t", pd.DataFrame({"geometry": ["POINT (2 2)"], "v": [7]})
+                )
+            return m
+
+        c.catalog.meta = meta_with_race
+        try:
+            c.acl.grant_access("t", "bob", "au", "SELECT")
+        finally:
+            c.catalog.meta = orig_meta
+
+        m = c.catalog.meta("t", "au")
+        assert "bob" in m.d["acl"]["grants"]                 # grant landed
+        assert c.catalog.load_df("t", "au").count() == 2     # insert survived
+        assert m.version >= v0 + 2                           # both committed
+
+    def test_stac_field_racing_insert_both_land(self, spark, tmp_path):
+        c = _mk(spark, tmp_path, user="au2")
+
+        fired = {"done": False}
+        orig_meta = c.catalog.meta
+
+        def meta_with_race(coll, db, *a, **k):
+            m = orig_meta(coll, db, *a, **k)
+            if not fired["done"]:
+                fired["done"] = True
+                c.insert_into_collection(
+                    "t", pd.DataFrame({"geometry": ["POINT (3 3)"], "v": [9]})
+                )
+            return m
+
+        c.catalog.meta = meta_with_race
+        try:
+            c.stac.set_metadata_field("t", "title", "races", "au2")
+        finally:
+            c.catalog.meta = orig_meta
+
+        m = c.catalog.meta("t", "au2")
+        assert m.d["stac"]["title"] == "races"
+        assert c.catalog.load_df("t", "au2").count() == 2
+
+    def test_owner_recheck_against_fresh_snapshot(self, spark, tmp_path):
+        c = _mk(spark, tmp_path, user="au3")
+        c.acl.create_group("g")
+        with pytest.raises(GeoDBError, match="must be owner"):
+            c.acl.publish_collection_to_group("t", "g", "au3", "not_owner")

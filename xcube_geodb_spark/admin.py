@@ -179,24 +179,64 @@ class AccessControl:
             )
         return m
 
+    def _commit_acl(
+        self,
+        collection: str,
+        database: str,
+        mutate_acl,
+        *,
+        owner: str | None = None,
+        verb: str = "modify",
+    ) -> None:
+        """Apply ``mutate_acl(acl_dict)`` through the VERSIONED metadata
+        commit: a plain metadata.json swap computed from a snapshot would
+        silently revert the manifest pointer of any DML commit that landed
+        between the read and the write (the DML's data survives via
+        roll-forward, but the ACL change itself is lost and reads see a
+        stale snapshot until the next commit). Routing through
+        ``commit_meta_change`` makes the grant a CAS commit that re-derives
+        against the fresh snapshot on conflict — same protocol as schema
+        and index changes. Ownership is re-checked against the fresh
+        snapshot inside the retry loop."""
+        import copy
+
+        def mutate(m):
+            if owner is not None and m.owner != owner:
+                raise GeoDBError(
+                    f"User {owner} must be owner of collection "
+                    f"{database}_{collection} to {verb}."
+                )
+            acl = copy.deepcopy(m.d["acl"])
+            mutate_acl(acl)
+            return {"acl": acl}
+
+        self.catalog.commit_meta_change(collection, database, mutate)
+
     def publish_collection_to_group(
         self, collection: str, group: str, database: str, user: str
     ) -> None:
         """Group members get read and write access, but no grant rights
         (``geodb_group_publish_collection``, geodb.py:2369-2413)."""
         self._require_group(group)
-        m = self._require_owner(collection, database, user, "publish")
-        grants = m.d["acl"]["grants"]
-        grants[group] = list(self.GROUP_PRIVILEGES)
-        _atomic_write_json(m.path, m.d)
+
+        def mutate_acl(acl):
+            acl["grants"][group] = list(self.GROUP_PRIVILEGES)
+
+        self._commit_acl(
+            collection, database, mutate_acl, owner=user, verb="publish"
+        )
 
     def unpublish_collection_from_group(
         self, collection: str, group: str, database: str, user: str
     ) -> None:
         self._require_group(group)
-        m = self._require_owner(collection, database, user, "unpublish")
-        m.d["acl"]["grants"].pop(group, None)
-        _atomic_write_json(m.path, m.d)
+
+        def mutate_acl(acl):
+            acl["grants"].pop(group, None)
+
+        self._commit_acl(
+            collection, database, mutate_acl, owner=user, verb="unpublish"
+        )
 
     def publish_database_to_group(
         self, database: str, group: str, user: str
@@ -256,34 +296,36 @@ class AccessControl:
     def grant_access(
         self, collection: str, user: str, database: str, privilege: str = "SELECT"
     ) -> None:
-        m = self.catalog.meta(collection, database)
-        grants = m.d["acl"]["grants"]
-        grants.setdefault(user, [])
-        if privilege not in grants[user]:
-            grants[user].append(privilege)
-        _atomic_write_json(m.path, m.d)
+        def mutate_acl(acl):
+            grants = acl["grants"]
+            grants.setdefault(user, [])
+            if privilege not in grants[user]:
+                grants[user].append(privilege)
+
+        self._commit_acl(collection, database, mutate_acl)
 
     def revoke_access(
         self, collection: str, user: str, database: str, privilege: str = "SELECT"
     ) -> None:
-        m = self.catalog.meta(collection, database)
-        grants = m.d["acl"]["grants"]
-        if user in grants and privilege in grants[user]:
-            grants[user].remove(privilege)
-            if not grants[user]:
-                del grants[user]
-        _atomic_write_json(m.path, m.d)
+        def mutate_acl(acl):
+            grants = acl["grants"]
+            if user in grants and privilege in grants[user]:
+                grants[user].remove(privilege)
+                if not grants[user]:
+                    del grants[user]
+
+        self._commit_acl(collection, database, mutate_acl)
 
     def publish_collection(self, collection: str, database: str) -> None:
         """= GRANT SELECT TO PUBLIC (geodb.py:789-821)."""
-        m = self.catalog.meta(collection, database)
-        m.d["acl"]["published"] = True
-        _atomic_write_json(m.path, m.d)
+        self._commit_acl(
+            collection, database, lambda acl: acl.__setitem__("published", True)
+        )
 
     def unpublish_collection(self, collection: str, database: str) -> None:
-        m = self.catalog.meta(collection, database)
-        m.d["acl"]["published"] = False
-        _atomic_write_json(m.path, m.d)
+        self._commit_acl(
+            collection, database, lambda acl: acl.__setitem__("published", False)
+        )
 
     def list_grants(self, collection: str, database: str) -> list[dict]:
         m = self.catalog.meta(collection, database)
@@ -509,9 +551,16 @@ class StacMetadata:
                 f"Invalid metadata field {field!r}; valid: {', '.join(STAC_FIELDS)}"
             )
         self._validate(field, value)
-        m = self.catalog.meta(collection, database)
-        m.d.setdefault("stac", {})[field] = value
-        _atomic_write_json(m.path, m.d)
+
+        # versioned merge commit: a snapshot-based metadata.json swap would
+        # revert a concurrently-landed DML commit's manifest pointer and
+        # lose this field on roll-forward (same rationale as ACL grants)
+        def mutate(m):
+            stac = dict(m.d.get("stac") or {})
+            stac[field] = value
+            return {"stac": stac}
+
+        self.catalog.commit_meta_change(collection, database, mutate)
 
     @staticmethod
     def _validate(field: str, value) -> None:

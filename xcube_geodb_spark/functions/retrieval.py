@@ -373,11 +373,12 @@ def build_bm25_collection(
         database=database,
     )
     if max_file_rows is not None:
-        from xcube_geodb_spark.catalog import _atomic_write_json
-
-        m = catalog.meta(name, database)
-        m.d["max_file_rows"] = int(max_file_rows)
-        _atomic_write_json(m.path, m.d)
+        # versioned commit (not a raw metadata.json swap): keeps the
+        # max_file_rows knob from ever reverting a concurrent commit's
+        # manifest pointer, same protocol as every other metadata change
+        catalog.commit_meta_change(
+            name, database, lambda m: {"max_file_rows": int(max_file_rows)}
+        )
     IndexManager(catalog).create_index(name, "token", database, kind="btree")
     n_docs, total_dl = corpus_totals(docs, text_col)
     insert_into_collection(
