@@ -35,7 +35,7 @@ def _query_vec(spark):
     return [float(v) for v in row["embedding"]]
 
 
-def _make_collection(spark, wh, name, index_kind, options):
+def _make_collection(spark, wh, name, index_kind, options, source=None):
     cat = GeoDBCatalog(spark, wh, user="ann")
     if not cat.database_exists("anndb"):
         cat.create_database("anndb")
@@ -46,7 +46,11 @@ def _make_collection(spark, wh, name, index_kind, options):
     IndexManager(cat).create_index(
         name, "embedding", "anndb", kind=index_kind, options=options
     )
-    dml.insert_into_collection(cat, name, _source(spark), database="anndb")
+    dml.insert_into_collection(
+        cat, name,
+        _source(spark) if source is None else source,
+        database="anndb",
+    )
     return cat
 
 
@@ -408,3 +412,172 @@ class TestTrainedCodebooks:
         # all codes live in every subspace
         for book in trained:
             assert len({tuple(c) for c in book}) == len(book)
+
+
+class TestResidualIvfpq:
+    """IVFADC (residual-encoded IVF-PQ): ``__pqcode`` quantizes
+    ``v - centroid[bucket]`` and ADC builds one query-residual table per
+    probed list. On a clustered corpus — the case the residual trick
+    exists for — residual ADC recall must strictly beat raw-vector PQ at
+    the same code size; on the structure-free uniform fixture the two
+    are statistically indistinguishable (residuals there are not smaller
+    than the vectors), so the quality assertion uses a deterministic
+    clustered synthetic."""
+
+    K = 10
+    N_QUERIES = 10
+
+    @staticmethod
+    def _clustered_embeddings(spark, n=4000, n_clusters=8, dim=64,
+                              sigma=0.04, seed=7):
+        import numpy as np
+        from pyspark.sql import types as T
+
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        lab = rng.integers(0, n_clusters, n)
+        X = centers[lab] + sigma * rng.normal(size=(n, dim))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        rows = [(int(i), [float(x) for x in X[i]]) for i in range(n)]
+        return spark.createDataFrame(
+            rows,
+            T.StructType([
+                T.StructField("vec_id", T.IntegerType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]),
+        )
+
+    def test_residual_beats_raw_on_clustered_corpus(self, spark, tmp_path):
+        """Quantization-quality comparison on the metrics residual
+        encoding actually improves, both deterministic (pure numpy given
+        the deterministic codebooks — recall@k through the engine is NOT
+        a stable comparator here, because raw PQ on tight clusters
+        collapses whole clusters onto identical codes and top-k
+        tie-breaking by warehouse id turns raw recall into a lottery):
+
+        1. reconstruction MSE: residual books quantize the corpus with
+           strictly lower squared error at the same code size, and
+        2. ADC fidelity: |adc(q, v) - true squared L2| over each query's
+           true neighborhood is strictly smaller — ADC ranks what it
+           claims to rank."""
+        import numpy as np
+
+        emb = self._clustered_embeddings(spark)
+        emb = emb.cache()
+        cents = S.ivf_centroids(emb, n_centroids=8)
+        books_raw = S.pq_codebooks_trained(
+            emb, n_subspaces=8, n_centroids=16
+        )
+        books_res = S.pq_codebooks_trained_residual(
+            emb, cents, n_subspaces=8, n_centroids=16
+        )
+        X = np.asarray(
+            [np.asarray(r["embedding"], dtype=np.float64)
+             for r in emb.orderBy("vec_id").collect()]
+        )
+        emb.unpersist()
+        C = np.asarray(cents)
+        sims = (X @ C.T) / (
+            np.linalg.norm(X, axis=1, keepdims=True)
+            * np.linalg.norm(C, axis=1)
+        )
+        assign = sims.argmax(axis=1)
+        R = X - C[assign]
+
+        def encode(V, books):
+            m, sd = len(books), len(books[0][0])
+            codes = np.empty((len(V), m), dtype=int)
+            for j in range(m):
+                Sj = V[:, j * sd : (j + 1) * sd]
+                B = np.asarray(books[j])
+                d2 = ((Sj[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            return codes
+
+        def decode(codes, books, anchor=None):
+            m = len(books)
+            out = np.concatenate(
+                [np.asarray(books[j])[codes[:, j]] for j in range(m)],
+                axis=1,
+            )
+            return out if anchor is None else out + anchor
+
+        rec_raw = decode(encode(X, books_raw), books_raw)
+        rec_res = decode(encode(R, books_res), books_res, anchor=C[assign])
+        mse_raw = ((X - rec_raw) ** 2).sum(axis=1).mean()
+        mse_res = ((X - rec_res) ** 2).sum(axis=1).mean()
+        assert mse_res < mse_raw, (mse_res, mse_raw)
+
+        # ADC fidelity on each query's true 50-NN neighborhood
+        err_raw, err_res = [], []
+        for qi in range(self.N_QUERIES):
+            q = X[qi]
+            true_d2 = ((X - q) ** 2).sum(axis=1)
+            nn = np.argsort(true_d2)[: 50]
+            # adc(q, v) = sum_j || q_j - books[code_j] ||^2 (raw);
+            # residual: tables from (q - c_list), codes of (v - c_v)
+            adc_r = ((q - rec_raw[nn]) ** 2).sum(axis=1)
+            adc_s = ((q - rec_res[nn]) ** 2).sum(axis=1)
+            err_raw.append(np.abs(adc_r - true_d2[nn]).mean())
+            err_res.append(np.abs(adc_s - true_d2[nn]).mean())
+        assert np.mean(err_res) < np.mean(err_raw), (
+            np.mean(err_res), np.mean(err_raw)
+        )
+
+    def test_residual_encode_matches_numpy(self, spark, tmp_path):
+        """At-rest residual codes equal an independent numpy derivation
+        (assignment by cosine, residual vs assigned centroid, argmin of
+        squared L2 per subspace slice)."""
+        import numpy as np
+
+        emb = self._clustered_embeddings(spark, n=300)
+        cents = S.seed_centroids(emb, n_centroids=8)
+        books = S.pq_codebooks_residual(
+            emb, cents, n_subspaces=8, n_centroids=8
+        )
+        cat = _make_collection(
+            spark, str(tmp_path / "rescheck"), "rescheck", "ivfpq",
+            {"centroids": cents, "codebooks": books, "residual": True},
+            source=emb.select("embedding"),
+        )
+        paths = cat.manifest_paths("rescheck", "anndb")
+        sub = cat.spark.read.parquet(*paths.values())
+        C = np.array(cents)
+        for row in sub.orderBy("id").limit(20).collect():
+            v = np.array(row["embedding"], dtype=np.float64)
+            resid = v - C[row["__annbucket"]]
+            exp = []
+            for j in range(8):
+                s = resid[j * 8 : (j + 1) * 8]
+                d = [((s - np.array(c)) ** 2).sum() for c in books[j]]
+                exp.append(int(np.argmin(d)))
+            assert list(row["__pqcode"]) == exp
+
+    def test_refined_inherits_residual_candidates(self, spark, tmp_path):
+        """ann_ivfpq_topk_refined over a residual index re-ranks
+        residual-ADC candidates exactly — output schema and floor hold."""
+        from xcube_geodb_spark.operators.ann import (
+            ann_ivfpq_topk_refined,
+        )
+
+        emb = self._clustered_embeddings(spark, n=1000)
+        cents = S.ivf_centroids(emb, n_centroids=8)
+        books = S.pq_codebooks_trained_residual(
+            emb, cents, n_subspaces=8, n_centroids=16
+        )
+        cat = _make_collection(
+            spark, str(tmp_path / "resref"), "resref", "ivfpq",
+            {"centroids": cents, "codebooks": books, "residual": True},
+            source=emb.select("embedding"),
+        )
+        q = [float(v) for v in emb.filter(F.col("vec_id") == 3)
+             .first()["embedding"]]
+        out = ann_ivfpq_topk_refined(
+            cat, "resref", q, k=5, database="anndb", n_probe=2, expand=5
+        )
+        rows = out.collect()
+        assert [c for c in out.columns] == ["id", "cos_sim"]
+        assert len(rows) == 5
+        # the query vector itself is in the collection: top hit ~1.0
+        assert rows[0]["cos_sim"] > 0.999

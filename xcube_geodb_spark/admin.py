@@ -404,7 +404,11 @@ class IndexManager:
         lowest-id sample — the composed 100 TB vector layout: the coarse
         quantizer range-clusters files (probe prunes at rest), and every
         row additionally persists an m-byte ``__pqcode`` so the probe
-        scan reads codes, never the raw embedding column."""
+        scan reads codes, never the raw embedding column. Add
+        ``residual: True`` (IVFADC) to quantize ``v - centroid[bucket]``
+        instead of the raw vector — markedly better ADC recall at the
+        same code size; auto-derived codebooks then seed from residual
+        space, and explicit ``codebooks`` must be residual-trained."""
         m = self.catalog.meta(collection, database)
         if kind is None:
             kind = "gist" if prop == "geometry" else "btree"
@@ -438,10 +442,12 @@ class IndexManager:
                     )
             entry["centroids"] = [[float(x) for x in c] for c in cents]
             if kind == "ivfpq":
+                residual = bool(opts.get("residual", False))
                 books = opts.get("codebooks")
                 if books is None:
                     from xcube_geodb_spark.functions.similarity import (
                         pq_codebooks,
+                        pq_codebooks_residual,
                     )
 
                     df = self.catalog.load_df(collection, database)
@@ -450,16 +456,30 @@ class IndexManager:
                             "ivfpq index needs data or explicit"
                             " options={'codebooks': ...}"
                         )
-                    books = pq_codebooks(
-                        df,
-                        int(opts.get("n_subspaces", 8)),
-                        int(opts.get("pq_centroids", 8)),
-                        vec_col=prop,
-                        id_col="id",
-                    )
+                    if residual:
+                        books = pq_codebooks_residual(
+                            df,
+                            entry["centroids"],
+                            int(opts.get("n_subspaces", 8)),
+                            int(opts.get("pq_centroids", 8)),
+                            vec_col=prop,
+                            id_col="id",
+                        )
+                    else:
+                        books = pq_codebooks(
+                            df,
+                            int(opts.get("n_subspaces", 8)),
+                            int(opts.get("pq_centroids", 8)),
+                            vec_col=prop,
+                            id_col="id",
+                        )
                 entry["codebooks"] = [
                     [[float(x) for x in c] for c in sub] for sub in books
                 ]
+                if residual:
+                    # IVFADC: __pqcode quantizes v - centroid[bucket];
+                    # probes must build per-list query-residual tables
+                    entry["residual"] = True
         if kind == "fts":
             dic = str(opts.get("dictionary", "english")).lower()
             if dic not in ("english", "simple"):

@@ -1230,6 +1230,8 @@ class GeoDBCatalog:
                     # composed IVF-PQ layout: persist the m-byte PQ code
                     # next to the coarse bucket so a probe scan reads only
                     # (id, __annbucket, __pqcode) — never the raw vectors.
+                    # With residual=true the code quantizes
+                    # v - centroid[bucket] (IVFADC), same scan shape.
                     from xcube_geodb_spark.functions.similarity import (
                         pq_encode,
                     )
@@ -1239,6 +1241,12 @@ class GeoDBCatalog:
                         ann["codebooks"],
                         vec_col=ann["property"],
                         out_col="__pqcode",
+                        centroids=(
+                            ann["centroids"]
+                            if ann.get("residual")
+                            else None
+                        ),
+                        bucket_col="__annbucket",
                     )
             return df.repartitionByRange("__annbucket").sortWithinPartitions(
                 "__annbucket"

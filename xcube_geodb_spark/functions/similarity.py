@@ -609,16 +609,136 @@ def pq_codebooks_trained(
     return books
 
 
+def assigned_centroid_arr(
+    centroids: list[list[float]], bucket_col: str
+) -> Column:
+    """``array<double>`` literal lookup: the centroid vector of the row's
+    coarse bucket. The nested-array literal is k_c * dim doubles —
+    driver-sized, constant-folded into codegen (no join, no broadcast
+    variable plumbing)."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    return F.element_at(cents, F.col(bucket_col) + 1)
+
+
+def residual_of(
+    vec_col: str, centroids: list[list[float]], bucket_col: str
+) -> Column:
+    """``v - centroids[bucket]`` as pure Column algebra (the IVFADC
+    residual, Jegou et al. 2011: quantizing the residual instead of the
+    raw vector concentrates the PQ codebook's dynamic range on the
+    within-list displacement, which is what ADC actually ranks)."""
+    return F.zip_with(
+        _to_double(F.col(vec_col)),
+        assigned_centroid_arr(centroids, bucket_col),
+        lambda a, b: a - b,
+    )
+
+
+def _py_assign(v: list[float], centroids: list[list[float]]) -> int:
+    """Driver-side replica of :func:`with_centroid_assignment`'s
+    argmax-cosine (ties -> lowest cid), same fold order."""
+    return probe_ids(v, centroids, 1)[0]
+
+
+def pq_codebooks_residual(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_subspaces: int = 8,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Deterministic RESIDUAL codebooks: like :func:`pq_codebooks`, but
+    each seed is the lowest-id vectors' residual vs its assigned coarse
+    centroid — the right seeding when :func:`pq_encode` quantizes
+    residuals (raw-vector seeds live at the wrong scale for residual
+    space, which is centered near zero). Plain double subtraction on the
+    driver, so a SQL oracle re-derives identical seeds relationally."""
+    rows = (
+        df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    seeds = []
+    for r in rows:
+        v = [float(x) for x in r[vec_col]]
+        c = centroids[_py_assign(v, centroids)]
+        seeds.append([a - b for a, b in zip(v, c)])
+    dim = len(seeds[0])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sd = dim // n_subspaces
+    return [
+        [seed[j * sd : (j + 1) * sd] for seed in seeds]
+        for j in range(n_subspaces)
+    ]
+
+
+def pq_codebooks_trained_residual(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    n_iters: int = 10,
+    sample_size: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Lloyd-refined codebooks over RESIDUAL space: the deterministic
+    lowest-id sample is re-expressed as residuals vs the coarse
+    quantizer before per-subspace k-means — the composition FAISS calls
+    IVFADC training. Same determinism guarantees as
+    :func:`pq_codebooks_trained` (no RNG, dead codes revived)."""
+    sample = (
+        df.orderBy(id_col)
+        .limit(sample_size)
+        .select(vec_col)
+        .toPandas()[vec_col]
+    )
+    res = []
+    for v in sample:
+        vv = [float(x) for x in v]
+        c = centroids[_py_assign(vv, centroids)]
+        res.append([a - b for a, b in zip(vv, c)])
+    X = np.asarray(res, dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sd = dim // n_subspaces
+    books: list[list[list[float]]] = []
+    for j in range(n_subspaces):
+        S = X[:, j * sd : (j + 1) * sd]
+        cents = S[:n_centroids].copy()
+        for _ in range(n_iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = S[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+                else:
+                    cents[c] = S[d2.min(axis=1).argmax()]
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    centroids: list[list[float]] | None = None,
+    bucket_col: str = "centroid_id",
 ) -> DataFrame:
     """Adds ``pq_code``: per subspace, the index of the nearest codebook
     centroid (squared L2; ties -> lowest code). The at-rest form for
     PQ-compressed embedding stores: m bytes per vector instead of
     4*dim — 32x smaller than float32 at m=8, dim=64.
+
+    With ``centroids`` set, the RESIDUAL ``v - centroids[bucket_col]``
+    is encoded instead of the raw vector (IVFADC) — same Column algebra,
+    one extra zip_with subtraction, still replayed bit-for-bit by the
+    SQL oracle.
 
     Pure Column algebra: every (subspace, centroid) distance is a
     sequential left-fold of squared differences (the association the SQL
@@ -627,7 +747,13 @@ def pq_encode(
     idiom assignment uses. No UDF, no shuffle."""
     m = len(codebooks)
     sd = len(codebooks[0][0])
-    v = _to_double(F.col(vec_col))
+    if centroids is not None:
+        df = df.withColumn(
+            "__pqresid", residual_of(vec_col, centroids, bucket_col)
+        )
+        v = F.col("__pqresid")
+    else:
+        v = _to_double(F.col(vec_col))
     codes = []
     for j in range(m):
         entries = []
@@ -644,7 +770,8 @@ def pq_encode(
             )
         best = F.array_max(F.array(*entries))
         codes.append((-best["negc"]).cast("int"))
-    return df.withColumn(out_col, F.array(*codes))
+    out = df.withColumn(out_col, F.array(*codes))
+    return out.drop("__pqresid") if centroids is not None else out
 
 
 def pq_topk(
@@ -666,6 +793,30 @@ def pq_topk(
     sd = len(codebooks[0][0])
     if len(query_vector) != m * sd:
         raise ValueError("query dimension does not match the codebooks")
+    tables = _adc_table(query_vector, codebooks)
+    score = None
+    for j in range(m):
+        arr = F.array(*[F.lit(t) for t in tables[j]])
+        part = F.element_at(arr, F.col(code_col)[j] + 1).cast("decimal(28,9)")
+        score = part if score is None else score + part
+    return (
+        df.select(
+            F.col(id_col), score.cast("double").alias("dist_adc")
+        )
+        .orderBy(F.col("dist_adc").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _adc_table(
+    query_vector: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """The m x k ADC distance table for one query vector: per (subspace,
+    code), the squared L2 between the query's subspace slice and the
+    codebook entry, accumulated left-to-right and rounded to 9 decimals
+    so any engine replays the ranking exactly."""
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
     tables = []
     for j in range(m):
         qs = [float(x) for x in query_vector[j * sd : (j + 1) * sd]]
@@ -677,15 +828,50 @@ def pq_topk(
                 acc = acc + d * d
             row.append(round(acc, 9))
         tables.append(row)
+    return tables
+
+
+def pq_topk_residual(
+    df: DataFrame,
+    query_vector: list[float],
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    probes: list[int],
+    k: int = 20,
+    code_col: str = "pq_code",
+    id_col: str = "vec_id",
+    bucket_col: str = "centroid_id",
+) -> DataFrame:
+    """Residual ADC top-k (the IVFADC search half): codes quantize
+    ``v - centroids[bucket]``, so the query side needs ONE distance table
+    per probed list, built from the query's residual vs that list's
+    centroid (``q - centroids[p]``). Scoring stays m table lookups + a
+    decimal sum per row — the per-row table is selected by the row's
+    coarse bucket via a chained CASE over the (few) probed lists, all
+    inside codegen. ``df`` must already be filtered to the probed lists
+    and carry ``bucket_col``. Returns (id, dist_adc) ascending."""
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
+    if len(query_vector) != m * sd:
+        raise ValueError("query dimension does not match the codebooks")
+    q = [float(x) for x in query_vector]
+    tables = {
+        int(p): _adc_table(
+            [a - b for a, b in zip(q, centroids[p])], codebooks
+        )
+        for p in probes
+    }
     score = None
     for j in range(m):
-        arr = F.array(*[F.lit(t) for t in tables[j]])
-        part = F.element_at(arr, F.col(code_col)[j] + 1).cast("decimal(28,9)")
+        sel = None
+        for p in probes:
+            arr = F.array(*[F.lit(t) for t in tables[int(p)][j]])
+            cond = F.col(bucket_col) == int(p)
+            sel = F.when(cond, arr) if sel is None else sel.when(cond, arr)
+        part = F.element_at(sel, F.col(code_col)[j] + 1).cast("decimal(28,9)")
         score = part if score is None else score + part
     return (
-        df.select(
-            F.col(id_col), score.cast("double").alias("dist_adc")
-        )
+        df.select(F.col(id_col), score.cast("double").alias("dist_adc"))
         .orderBy(F.col("dist_adc").asc(), F.col(id_col))
         .limit(k)
     )

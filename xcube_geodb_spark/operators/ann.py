@@ -138,14 +138,19 @@ def ann_ivfpq_topk(
        a ~32x scan-byte reduction on the probed lists),
     3. rows are re-filtered to the probed lists exactly (file pruning is
        conservative), and ADC top-k scores the m-byte codes against the
-       query's driver-side distance table (:func:`pq_topk`).
+       query's driver-side distance table (:func:`pq_topk`; for a
+       ``residual: true`` index, :func:`pq_topk_residual` builds one
+       table per probed list from ``q - centroid[list]`` — IVFADC).
 
     Returns ``(id_col, dist_adc)`` ascending. Approximate by design (PQ
     quantization error); recall vs the exact scan is covered in
     tests/test_ann_layout.py."""
     from pyspark.sql import functions as F, types as T
 
-    from xcube_geodb_spark.functions.similarity import pq_topk
+    from xcube_geodb_spark.functions.similarity import (
+        pq_topk,
+        pq_topk_residual,
+    )
 
     m = catalog.meta(collection, database)
     idx = _ann_index(m, collection, database)
@@ -184,6 +189,18 @@ def ann_ivfpq_topk(
         *[paths[f] for f in touched]
     )
     cand = sub.filter(F.col("__annbucket").isin([int(p) for p in probes]))
+    if idx.get("residual"):
+        return pq_topk_residual(
+            cand,
+            query_vector,
+            idx["codebooks"],
+            idx["centroids"],
+            [int(p) for p in probes],
+            k=k,
+            code_col="__pqcode",
+            id_col=id_col,
+            bucket_col="__annbucket",
+        )
     return pq_topk(
         cand,
         query_vector,

@@ -576,6 +576,51 @@ def ann_ivfpq_refined(spark, sf_dir):
     ).select("vec_id", "cos_sim")
 
 
+def ann_ivfpq_residual(spark, sf_dir):
+    """IVFADC — residual-encoded IVF-PQ (Jegou et al. 2011): ``__pqcode``
+    quantizes ``embedding - centroid[bucket]`` instead of the raw vector,
+    so the codebook's dynamic range covers only the within-list
+    displacement (markedly better recall at the same m bytes/row on
+    clustered corpora — tests/test_ann_layout.py measures it). The probe
+    is the same footer-pruned 3-column scan as ann_ivfpq_topk, but ADC
+    builds one distance table per probed list from the QUERY's residual
+    ``q - centroid[list]``, selected per row by coarse bucket inside
+    codegen. Centroids seed from the 8 lowest-vec_id vectors and
+    codebooks from those vectors' residuals, so the oracle re-derives
+    the full residual index relationally."""
+    import tempfile
+
+    from xcube_geodb_spark.client import GeoDBSparkClient
+    from xcube_geodb_spark.operators.ann import ann_ivfpq_topk as _probe
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = similarity.seed_centroids(emb, n_centroids=8)
+    books = similarity.pq_codebooks_residual(
+        emb, cents, n_subspaces=8, n_centroids=8
+    )
+    c = GeoDBSparkClient(
+        spark, warehouse=tempfile.mkdtemp(prefix="geodb_ivfadc_"),
+        user="driver",
+    )
+    c.create_collection("emb", {"vec_id": "int", "embedding": "float[]"})
+    c.create_index(
+        "emb",
+        "embedding",
+        kind="ivfpq",
+        options={"centroids": cents, "codebooks": books, "residual": True},
+    )
+    c.insert_into_collection("emb", emb)
+    return _probe(
+        c.catalog,
+        "emb",
+        _query_vector(spark, sf_dir),
+        k=20,
+        database="driver",
+        n_probe=2,
+        id_col="vec_id",
+    )
+
+
 def sim_lsh_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, _query_vector(spark, sf_dir), k=20)
@@ -1304,6 +1349,102 @@ LLM_PQ_ORACLE = {
         LIMIT 20
     """,
 }
+
+# IVFADC: identical probe/assign skeleton, but codebooks seed from the 8
+# lowest-id vectors' RESIDUALS vs their assigned centroid, candidates
+# encode their residuals, and the ADC table is per probed list from the
+# query's residual vs that list's centroid. Every arithmetic step is the
+# same left-fold double algebra the engine's Column tree executes.
+LLM_PQ_ORACLE["ann_ivfpq_residual"] = """
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    seeds AS (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM seeds
+    ),
+    q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+    probes AS (
+        SELECT cid FROM cents, q
+        ORDER BY list_dot_product(cv, qv) /
+                 (sqrt(list_dot_product(cv, cv)) *
+                  sqrt(list_dot_product(qv, qv))) DESC, cid ASC
+        LIMIT 2
+    ),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT s.vec_id, s.v, c.cid,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY list_dot_product(s.v, c.cv) /
+                                (sqrt(list_dot_product(s.v, s.v)) *
+                                 sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                       c.cid ASC
+                   ) AS rn
+            FROM vecs s CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    rvecs AS (
+        SELECT a.vec_id, a.cid,
+               list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS rv
+        FROM assign a JOIN cents c ON c.cid = a.cid
+    ),
+    rseeds AS (SELECT vec_id, rv FROM rvecs ORDER BY vec_id LIMIT 8),
+    cb AS (
+        SELECT j,
+               row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1
+                   AS code,
+               list_slice(rv, j * 8 + 1, j * 8 + 8) AS c
+        FROM rseeds CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+    ),
+    cand AS (
+        SELECT vec_id, cid, rv FROM rvecs
+        WHERE cid IN (SELECT cid FROM probes)
+    ),
+    dists AS (
+        SELECT cand.vec_id, cb.j, cb.code,
+               list_sum(list_transform(
+                   list_zip(list_slice(rv, cb.j * 8 + 1, cb.j * 8 + 8),
+                            cb.c),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        FROM cand CROSS JOIN cb
+    ),
+    enc AS (
+        SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dist, code) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    rq AS (
+        SELECT p.cid,
+               list_transform(list_zip(qv, c.cv), x -> x[1] - x[2]) AS rqv
+        FROM probes p JOIN cents c ON c.cid = p.cid, q
+    ),
+    dt AS (
+        SELECT rq.cid, cb.j, cb.code,
+               CAST(round(list_sum(list_transform(
+                   list_zip(list_slice(rqv, cb.j * 8 + 1, cb.j * 8 + 8),
+                            cb.c),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))), 9)
+                   AS DECIMAL(28,9)) AS d
+        FROM cb CROSS JOIN rq
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(sum_d AS DOUBLE) AS dist_adc FROM (
+        SELECT e.vec_id, sum(dt.d) AS sum_d
+        FROM enc e
+        JOIN cand ON cand.vec_id = e.vec_id
+        JOIN dt ON dt.cid = cand.cid AND dt.j = e.j AND dt.code = e.code
+        GROUP BY e.vec_id
+    )
+    ORDER BY dist_adc, vec_id
+    LIMIT 20
+"""
 
 # Two-stage refine oracle: the ADC query (widened to 60 candidates by
 # replacing its final LIMIT) feeds an exact-cosine rerank over only those
@@ -2192,6 +2333,7 @@ LLM_QUERIES = {
     "ann_index_topk": ann_index_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_refined": ann_ivfpq_refined,
+    "ann_ivfpq_residual": ann_ivfpq_residual,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
