@@ -437,40 +437,50 @@ def main() -> None:
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         cents = S.seed_centroids(emb, n_centroids=8)
         books = S.pq_codebooks(emb, n_subspaces=8, n_centroids=16)
+        books_res = S.pq_codebooks_trained_residual(
+            emb, cents, n_subspaces=8, n_centroids=16
+        )
         wh = tempfile.mkdtemp(prefix="geodb_scale_ann_")
         try:
             cat = GeoDBCatalog(spark, wh, user="scale")
             cat.create_database("anndb")
-            cat.create_collection(
-                "e", {"embedding": "float[]"}, database="anndb"
-            )
-            m = cat.meta("e", "anndb")
-            m.d["max_file_rows"] = 256
-            _atomic_write_json(m.path, m.d)
-            IndexManager(cat).create_index(
-                "e", "embedding", "anndb", kind="ivfpq",
-                options={"centroids": cents, "codebooks": books},
-            )
-            dml.insert_into_collection(
-                cat, "e", emb.select("embedding"), database="anndb"
-            )
+            for name, opts in (
+                ("e", {"centroids": cents, "codebooks": books}),
+                ("eres", {"centroids": cents, "codebooks": books_res,
+                          "residual": True}),
+            ):
+                cat.create_collection(
+                    name, {"embedding": "float[]"}, database="anndb"
+                )
+                m = cat.meta(name, "anndb")
+                m.d["max_file_rows"] = 256
+                _atomic_write_json(m.path, m.d)
+                IndexManager(cat).create_index(
+                    name, "embedding", "anndb", kind="ivfpq", options=opts
+                )
+                dml.insert_into_collection(
+                    cat, name, emb.select("embedding"), database="anndb"
+                )
             qvecs = [
                 [float(v) for v in r["embedding"]]
                 for r in emb.filter(F.col("vec_id") < 10).collect()
             ]
-            full = cat.load_df("e", "anndb")
             k = 10
-            exact = [
-                {
-                    r["id"]
-                    for r in S.cosine_topk(
-                        full, v, k, vec_col="embedding", id_col="id"
-                    ).collect()
-                }
-                for v in qvecs
-            ]
+            exact_by = {}
+            for name in ("e", "eres"):
+                full = cat.load_df(name, "anndb")
+                exact_by[name] = [
+                    {
+                        r["id"]
+                        for r in S.cosine_topk(
+                            full, v, k, vec_col="embedding", id_col="id"
+                        ).collect()
+                    }
+                    for v in qvecs
+                ]
 
-            def recall(fn):
+            def recall(fn, name="e"):
+                exact = exact_by[name]
                 return round(
                     sum(
                         len(exact[i] & {r["id"] for r in fn(v).collect()}) / k
@@ -503,6 +513,22 @@ def main() -> None:
                         cat, "e", v, k=k, database="anndb", n_probe=2,
                         expand=10,
                     )
+                ),
+                # residual (IVFADC) variants — parity expected on this
+                # structure-free fixture; the clustered-corpus win is
+                # asserted in tests/test_ann_layout.py TestResidualIvfpq
+                "ivfadc_np2": recall(
+                    lambda v: ann_ivfpq_topk(
+                        cat, "eres", v, k=k, database="anndb", n_probe=2
+                    ),
+                    name="eres",
+                ),
+                "ivfadc_refined_np2": recall(
+                    lambda v: ann_ivfpq_topk_refined(
+                        cat, "eres", v, k=k, database="anndb", n_probe=2,
+                        expand=10,
+                    ),
+                    name="eres",
                 ),
             }
         finally:
