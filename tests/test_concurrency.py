@@ -482,3 +482,77 @@ class TestAclStacVersionedCommit:
         c.acl.create_group("g")
         with pytest.raises(GeoDBError, match="must be owner"):
             c.acl.publish_collection_to_group("t", "g", "au3", "not_owner")
+
+
+class TestRebaseConstraintNormalization:
+    def test_constraint_roundtrip_is_not_a_conflict(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A fresh collection has NO 'constraints' key; add_constraint +
+        drop_constraint leaves 'constraints': {}. The rebase guard must
+        normalize None vs {} — the effective constraint set is identical,
+        so a disjoint-file update racing the round-trip REBASES instead
+        of aborting (review r6.2 finding)."""
+        import pandas as pd
+
+        from xcube_geodb_spark.catalog import GeoDBCatalog, _atomic_write_json
+        from xcube_geodb_spark.operators import dml
+        from xcube_geodb_spark.operators.dml import update_collection
+
+        cat = GeoDBCatalog(spark, str(tmp_path / "whcn"), user="cc")
+        cat.create_database("d")
+        cat.create_collection("c", {"v": "int"}, database="d")
+        m = cat.meta("c", "d")
+        m.d["max_file_rows"] = 10
+        _atomic_write_json(m.path, m.d)
+        for n in (10, 10):
+            dml.insert_into_collection(
+                cat, "c", pd.DataFrame({"v": list(range(n))}), database="d"
+            )
+        assert "constraints" not in cat.meta("c", "d").d
+        orig_load = GeoDBCatalog.load_files
+        fired = {"done": False}
+
+        def hooked(self, coll, db, files, meta=None):
+            if not fired["done"]:
+                fired["done"] = True
+                cat.add_constraint("c", "v_nonneg", "v >= 0", "d")
+                cat.drop_constraint("c", "v_nonneg", "d")
+                assert cat.meta("c", "d").d.get("constraints") == {}
+            return orig_load(self, coll, db, files, meta=meta)
+
+        monkeypatch.setattr(GeoDBCatalog, "load_files", hooked)
+        # must NOT raise: effective constraints unchanged, files disjoint
+        update_collection(cat, "c", {"v": 42}, "id=eq.1", database="d")
+        monkeypatch.undo()
+        df = cat.load_df("c", "d")
+        assert df.filter("v = 42").count() == 1
+        assert df.count() == 20
+
+
+class TestMetaChangeNoop:
+    def test_idempotent_grant_commits_nothing(self, spark, tmp_path):
+        """Re-granting a privilege the user already holds is a no-op:
+        no version bump, no history snapshot (review r6.2 finding —
+        every idempotent admin call used to commit a full new version,
+        pushing concurrent DML through conflict/rebase for no change)."""
+        c = _mk(spark, tmp_path, user="ni")
+        c.acl.grant_access("t", "bob", "ni", "SELECT")
+        v1 = c.catalog.meta("t", "ni").version
+        c.acl.grant_access("t", "bob", "ni", "SELECT")  # already held
+        assert c.catalog.meta("t", "ni").version == v1
+        c.acl.revoke_access("t", "nobody", "ni", "SELECT")  # absent
+        assert c.catalog.meta("t", "ni").version == v1
+        c.acl.revoke_access("t", "bob", "ni", "SELECT")  # real change
+        assert c.catalog.meta("t", "ni").version == v1 + 1
+
+    def test_idempotent_gs_flag_commits_nothing(self, spark, tmp_path):
+        c = _mk(spark, tmp_path, user="ng")
+        c.publish_gs("t")
+        v1 = c.catalog.meta("t", "ng").version
+        c.publish_gs("t")  # already published
+        assert c.catalog.meta("t", "ng").version == v1
+        c.unpublish_gs("t")
+        assert c.catalog.meta("t", "ng").version == v1 + 1
+        c.unpublish_gs("t")  # already unpublished
+        assert c.catalog.meta("t", "ng").version == v1 + 1

@@ -151,3 +151,46 @@ class TestClientIntegration:
             "collection": "roads", "database": "gsu", "published": True
         }
         assert list(c.get_published_gs()["collection"]) == ["roads"]
+
+
+class TestServiceRowShapes:
+    """get_published_gs must frame EVERY service answer shape into the
+    same (database, collection) columns the offline path produces —
+    including dict rows that omit the database key (review r6.2
+    finding: those passed through unframed, so get_all_published_gs
+    concat produced NaN database values)."""
+
+    def _client(self, spark, tmp_path, rows):
+        from xcube_geodb_spark.client import GeoDBSparkClient
+
+        c = GeoDBSparkClient(
+            spark, warehouse=str(tmp_path / "whgs"), user="gu"
+        )
+
+        class FakeGS:
+            def list_published(self, db):
+                return rows
+
+        c.gs = FakeGS()
+        return c
+
+    def test_dict_rows_without_database_are_framed(self, spark, tmp_path):
+        c = self._client(spark, tmp_path, [{"collection": "roads"}])
+        df = c.get_published_gs()
+        assert list(df.columns[:2]) == ["database", "collection"]
+        assert df.iloc[0]["database"] == "gu"
+        assert df.iloc[0]["collection"] == "roads"
+
+    def test_dict_rows_with_database_keep_it(self, spark, tmp_path):
+        c = self._client(
+            spark, tmp_path,
+            [{"database": "other", "collection": "land"}],
+        )
+        df = c.get_published_gs()
+        assert df.iloc[0]["database"] == "other"
+
+    def test_string_rows_and_wrapper(self, spark, tmp_path):
+        c = self._client(spark, tmp_path, {"collections": ["a", "b"]})
+        df = c.get_published_gs()
+        assert list(df["collection"]) == ["a", "b"]
+        assert set(df["database"]) == {"gu"}

@@ -208,6 +208,12 @@ class AccessControl:
                 )
             acl = copy.deepcopy(m.d["acl"])
             mutate_acl(acl)
+            if acl == m.d["acl"]:
+                # idempotent grant/revoke: nothing changed, commit
+                # nothing — a version bump would snapshot the full
+                # history manifest and push concurrent DML through the
+                # conflict/rebase path for no effect
+                return None
             return {"acl": acl}
 
         self.catalog.commit_meta_change(collection, database, mutate)
@@ -409,7 +415,10 @@ class IndexManager:
         instead of the raw vector — markedly better ADC recall at the
         same code size; auto-derived codebooks then seed from residual
         space, and explicit ``codebooks`` must be residual-trained."""
-        m = self.catalog.meta(collection, database)
+        # early existence check (raises) before any expensive
+        # centroid/codebook derivation; validation itself happens inside
+        # the CAS mutate against the fresh snapshot
+        self.catalog.meta(collection, database)
         if kind is None:
             kind = "gist" if prop == "geometry" else "btree"
         if kind not in ("gist", "btree", "lsh", "ivf", "ivfpq", "bloom",

@@ -555,11 +555,24 @@ class GeoDBCatalog:
         change could enforce a stale schema/constraint set (and the
         change could clobber the DML's manifest). On a version conflict
         the mutation re-derives against the fresh snapshot and
-        retries."""
+        retries (jittered backoff, same as the DML append retry — under
+        sustained load back-to-back attempts would all lose the same
+        link race).
+
+        ``mutate`` may return ``None`` to signal a no-op (the change is
+        already in effect): nothing is committed, so idempotent admin
+        calls don't bump versions or snapshot full history manifests."""
+        import random
+        import time
+
         last: Exception | None = None
         for attempt in range(retries + 1):
+            if attempt:
+                time.sleep(random.uniform(0.02, 0.1) * attempt)
             m = self.meta(collection, database)
             extra = mutate(m)
+            if extra is None:
+                return
             try:
                 self.commit_version(
                     collection,
@@ -936,9 +949,14 @@ class GeoDBCatalog:
                 # enforced against THIS commit's rows, and index
                 # declarations drive the clustering the already-written
                 # files were laid out with — either change is a true
-                # conflict, never rebasable
-                or base.d.get("constraints") != fresh.d.get("constraints")
-                or base.d.get("indexes") != fresh.d.get("indexes")
+                # conflict, never rebasable. Normalize missing keys to
+                # their empty value: a collection has no 'constraints'
+                # key until the first add_constraint, so None vs {} after
+                # an add+drop round-trip is NOT a conflict.
+                or (base.d.get("constraints") or {})
+                != (fresh.d.get("constraints") or {})
+                or (base.d.get("indexes") or [])
+                != (fresh.d.get("indexes") or [])
             ):
                 return False
             ours = set(base.files) - set(keep_files)

@@ -970,28 +970,21 @@ class GeoDBSparkClient:
     # raises before any local state changes.
 
     def _set_gs_flag(self, collection: str, db: str, published: bool) -> None:
-        """Record publication state as a PROPER versioned commit
-        (merge_meta against the fresh post-HTTP meta read, CAS-arbitrated
-        with a short retry): a plain metadata.json swap computed from a
+        """Record publication state as a PROPER versioned commit through
+        the one CAS retry loop (catalog.commit_meta_change, fresh
+        post-HTTP meta read): a plain metadata.json swap computed from a
         pre-HTTP snapshot would clobber any commit that landed during the
-        geoservice round-trip — version regression + lost files."""
-        from xcube_geodb_spark.errors import GeoDBError
+        geoservice round-trip — version regression + lost files. A no-op
+        flag write (already published/unpublished) commits nothing."""
 
-        last: Exception | None = None
-        for _ in range(3):
-            try:
-                self.catalog.commit_version(
-                    collection, db, None,
-                    merge_meta={"gs": {"published": published}},
-                )
-                return
-            except GeoDBError as e:
-                if "Concurrent modification" not in str(e) and (
-                    "another writer" not in str(e)
-                ):
-                    raise
-                last = e
-        raise last
+        def mutate(m):
+            gs = dict(m.d.get("gs") or {})
+            if gs.get("published", False) == published:
+                return None
+            gs["published"] = published
+            return {"gs": gs}
+
+        self.catalog.commit_meta_change(collection, db, mutate)
 
     def publish_gs(self, collection: str, database: str | None = None) -> dict:
         db = self._db(database)
@@ -1030,6 +1023,11 @@ class GeoDBSparkClient:
                 rows = rows.get("collections") or rows.get("rows") or []
             if rows and isinstance(rows, list) and isinstance(rows[0], str):
                 rows = [{"database": db, "collection": c} for c in rows]
+            elif rows and isinstance(rows, list) and isinstance(rows[0], dict):
+                # dict rows may omit the database — default it so every
+                # service shape yields the same (database, collection)
+                # frame and get_all_published_gs can concat/dedup cleanly
+                rows = [{"database": db, **r} for r in rows]
             if not rows:
                 return pd.DataFrame(columns=["database", "collection"])
             return pd.DataFrame(rows)

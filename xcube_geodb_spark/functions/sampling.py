@@ -309,11 +309,15 @@ def cap_tokens_per_group(
     the whole budget is kept, not silently dropped).
 
     Physically one hash shuffle on ``group_col`` + a per-group ROWS-frame
-    cumsum; window state per task is one running sum. ``key_col`` must
+    cumsum; window state per task is one running sum. ``key_col`` MUST
     identify rows uniquely within a group (it is the document id): the
     explicit ROWS frame means even pathological duplicate keys fill the
     budget one row at a time instead of becoming RANGE-frame peers that
-    share a cumsum and could all overshoot together.
+    share a cumsum and could all overshoot together — but duplicate keys
+    hash identically, their relative order inside the frame is
+    execution-dependent, and if they carry different token counts the
+    kept SET is too; the replayability guarantee above holds only for
+    unique keys.
     Returns the input rows that made the cut (original columns only).
     """
     if max_tokens < 1:
