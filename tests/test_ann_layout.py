@@ -581,3 +581,58 @@ class TestResidualIvfpq:
         assert len(rows) == 5
         # the query vector itself is in the collection: top hit ~1.0
         assert rows[0]["cos_sim"] > 0.999
+
+
+class TestMultiProbeLsh:
+    """Multi-probe LSH (Lv et al. 2007): lsh_n_probe > 1 widens the scan
+    to the buckets differing in the lowest-|margin| bits. Candidates are
+    a strict superset of the single-probe scan, so recall is monotone;
+    file pruning must admit all probed buckets yet stay a strict subset
+    of the table."""
+
+    def test_probe_set_shape(self):
+        hp = S.lsh_hyperplanes(DIM, 8, 42)
+        q = [0.1] * DIM
+        p1 = S.lsh_probe_buckets(q, hp, 1)
+        p3 = S.lsh_probe_buckets(q, hp, 3)
+        assert p1 == [S.bucket_of(q, hp)]
+        assert p3[0] == p1[0] and len(p3) == 3 == len(set(p3))
+        # each extra probe differs from the base in exactly one bit
+        for b in p3[1:]:
+            assert sum(x != y for x, y in zip(b, p3[0])) == 1
+
+    def test_multiprobe_prunes_files_and_superset(self, lsh_cat, spark):
+        cat, _ = lsh_cat
+        q = _query_vec(spark)
+        t1, _ = ann_probe_files(cat, "emb_lsh", q, database="anndb")
+        t3, p3 = ann_probe_files(
+            cat, "emb_lsh", q, database="anndb", lsh_n_probe=3
+        )
+        total = len(cat.meta("emb_lsh", "anndb").files)
+        assert set(t1) <= set(t3)
+        assert 0 < len(t3) < total, "multi-probe must still prune at rest"
+
+    def test_recall_monotone_in_probes(self, lsh_cat, spark):
+        cat, _ = lsh_cat
+        q = _query_vec(spark)
+        full = cat.load_df("emb_lsh", "anndb")
+        exact = {
+            r["id"]
+            for r in S.cosine_topk(
+                full, q, 10, vec_col="embedding", id_col="id"
+            ).collect()
+        }
+
+        def rec(n):
+            got = {
+                r["id"]
+                for r in ann_topk(
+                    cat, "emb_lsh", q, k=10, database="anndb",
+                    lsh_n_probe=n,
+                ).collect()
+            }
+            return len(exact & got) / 10
+
+        r1, r3, r5 = rec(1), rec(3), rec(5)
+        assert r1 <= r3 <= r5
+        assert r5 > r1, "probing more buckets must add candidates here"

@@ -448,6 +448,7 @@ def main() -> None:
                 ("e", {"centroids": cents, "codebooks": books}),
                 ("eres", {"centroids": cents, "codebooks": books_res,
                           "residual": True}),
+                ("elsh", {"dim": 64}),
             ):
                 cat.create_collection(
                     name, {"embedding": "float[]"}, database="anndb"
@@ -456,7 +457,9 @@ def main() -> None:
                 m.d["max_file_rows"] = 256
                 _atomic_write_json(m.path, m.d)
                 IndexManager(cat).create_index(
-                    name, "embedding", "anndb", kind="ivfpq", options=opts
+                    name, "embedding", "anndb",
+                    kind="lsh" if name == "elsh" else "ivfpq",
+                    options=opts,
                 )
                 dml.insert_into_collection(
                     cat, name, emb.select("embedding"), database="anndb"
@@ -467,7 +470,7 @@ def main() -> None:
             ]
             k = 10
             exact_by = {}
-            for name in ("e", "eres"):
+            for name in ("e", "eres", "elsh"):
                 full = cat.load_df(name, "anndb")
                 exact_by[name] = [
                     {
@@ -529,6 +532,22 @@ def main() -> None:
                         expand=10,
                     ),
                     name="eres",
+                ),
+                # multi-probe LSH: recall monotone in probes by
+                # construction (candidate superset)
+                "lsh_np1": recall(
+                    lambda v: ann_topk(
+                        cat, "elsh", v, k=k, database="anndb",
+                        lsh_n_probe=1,
+                    ),
+                    name="elsh",
+                ),
+                "lsh_np3": recall(
+                    lambda v: ann_topk(
+                        cat, "elsh", v, k=k, database="anndb",
+                        lsh_n_probe=3,
+                    ),
+                    name="elsh",
                 ),
             }
         finally:

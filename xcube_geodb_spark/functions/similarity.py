@@ -272,6 +272,33 @@ def sign_lsh_bucket(vec_col: str = "embedding", n_bits: int = 8) -> Column:
     )
 
 
+def lsh_probe_buckets(
+    query_vector: list[float],
+    hyperplanes: list[list[float]],
+    n_probe: int = 1,
+) -> list[str]:
+    """Multi-probe LSH (Lv et al. 2007, 1-step probing): the query's own
+    bucket plus the buckets that differ in the lowest-|margin| bits —
+    the hyperplanes the query is closest to, where a true neighbor most
+    likely landed on the other side. Raises recall without growing the
+    index (vs more tables/bits), at n_probe/2^b of the data scanned.
+    Ties on |margin| break by bit index; all arithmetic is the same
+    left-fold double algebra as :func:`bucket_of`, so a SQL oracle
+    derives the identical probe set."""
+    q = [float(x) for x in query_vector]
+    base = bucket_of(q, hyperplanes)
+    margins = sorted(
+        (abs(_py_dot(q, [float(c) for c in r])), i)
+        for i, r in enumerate(hyperplanes)
+    )
+    probes = [base]
+    for _m, i in margins[: max(0, int(n_probe) - 1)]:
+        probes.append(
+            base[:i] + ("0" if base[i] == "1" else "1") + base[i + 1 :]
+        )
+    return probes
+
+
 def lsh_topk(
     df: DataFrame,
     query_vector: list[float],
@@ -281,15 +308,19 @@ def lsh_topk(
     n_bits: int = 8,
     seed: int = 42,
     hyperplanes: list[list[float]] | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """ANN: restrict the cosine scan to the query's seeded-rotation sign-LSH
     bucket. At scale the bucket is a partition key, so this prunes
-    ~(1 - 2^-b) of the data before any arithmetic runs."""
+    ~(1 - 2^-b) of the data before any arithmetic runs. ``n_probe > 1``
+    additionally scans the nearest neighboring buckets
+    (:func:`lsh_probe_buckets`) — strictly more candidates, so recall is
+    monotone in ``n_probe``."""
     hp = hyperplanes or lsh_hyperplanes(len(query_vector), n_bits, seed)
-    qbits = bucket_of(query_vector, hp)
+    probes = lsh_probe_buckets(query_vector, hp, n_probe)
     bucketed = (
         df.select("*", _to_double(F.col(vec_col)).alias("__v"))
-        .filter(rotation_bucket(F.col("__v"), hp) == qbits)
+        .filter(rotation_bucket(F.col("__v"), hp).isin(probes))
         .drop("__v")
     )
     return cosine_topk(bucketed, query_vector, k, vec_col, id_col)

@@ -27,6 +27,7 @@ from xcube_geodb_spark.functions.similarity import (
     bucket_of,
     ivf_topk_seeded,
     lsh_hyperplanes,
+    lsh_probe_buckets,
     lsh_topk,
     probe_ids,
 )
@@ -56,10 +57,15 @@ def ann_probe_files(
     database: str = "public",
     n_probe: int = 2,
     meta=None,
+    lsh_n_probe: int = 1,
 ) -> tuple[list[str], list[str]]:
     """(touched, pruned) manifest files for a query vector — footer-stat
     pruning only, no Spark job. Exposed for tests and EXPLAIN-style
-    introspection. ``meta`` reuses an already-read manifest."""
+    introspection. ``meta`` reuses an already-read manifest.
+    ``n_probe`` is the ivf/ivfpq coarse-list count; ``lsh_n_probe``
+    controls multi-probe LSH separately (default 1 = the classic
+    own-bucket probe) so the two index families keep independent
+    defaults."""
     m = meta if meta is not None else catalog.meta(collection, database)
     idx = _ann_index(m, collection, database)
     paths = catalog.manifest_paths(collection, database, meta=m)
@@ -67,7 +73,14 @@ def ann_probe_files(
         hp = lsh_hyperplanes(
             int(idx["dim"]), int(idx.get("n_bits", 8)), int(idx.get("seed", 42))
         )
-        constraints = [("__annbucket", "eq", bucket_of(query_vector, hp))]
+        if lsh_n_probe > 1:
+            # multi-probe LSH: the base bucket + lowest-margin bit flips
+            buckets = lsh_probe_buckets(query_vector, hp, lsh_n_probe)
+            constraints = [("__annbucket", "in", buckets)]
+        else:
+            constraints = [
+                ("__annbucket", "eq", bucket_of(query_vector, hp))
+            ]
     else:  # ivf and ivfpq share the coarse-quantizer probe
         probes = probe_ids(query_vector, idx["centroids"], n_probe)
         constraints = [("__annbucket", "in", [int(p) for p in probes])]
@@ -84,6 +97,7 @@ def ann_topk(
     database: str = "public",
     n_probe: int = 2,
     id_col: str = "id",
+    lsh_n_probe: int = 1,
 ) -> DataFrame:
     """Top-k cosine neighbors via the declared ANN index, scanning only the
     files whose at-rest bucket range admits the probe. File pruning is
@@ -97,7 +111,8 @@ def ann_topk(
     idx = _ann_index(m, collection, database)
     prop = idx["property"]
     touched, _pruned = ann_probe_files(
-        catalog, collection, query_vector, database, n_probe, meta=m
+        catalog, collection, query_vector, database, n_probe, meta=m,
+        lsh_n_probe=lsh_n_probe,
     )
     sub = catalog.load_files(collection, database, touched, meta=m)
     if idx["type"] == "lsh":
@@ -105,7 +120,8 @@ def ann_topk(
             int(idx["dim"]), int(idx.get("n_bits", 8)), int(idx.get("seed", 42))
         )
         return lsh_topk(
-            sub, query_vector, k, vec_col=prop, id_col=id_col, hyperplanes=hp
+            sub, query_vector, k, vec_col=prop, id_col=id_col,
+            hyperplanes=hp, n_probe=lsh_n_probe,
         )
     return ivf_topk_seeded(
         sub,

@@ -621,6 +621,36 @@ def ann_ivfpq_residual(spark, sf_dir):
     )
 
 
+def ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH through the warehouse index (Lv et al. 2007):
+    the probe scans the query's own bucket PLUS the 2 buckets differing
+    in the lowest-|margin| bits — the hyperplanes the query sits closest
+    to, where a true neighbor most likely fell on the other side. File
+    pruning admits all 3 buckets (an IN constraint over footer stats);
+    recall is monotone in the probe count at probes/2^b of the data
+    scanned. The oracle derives the identical probe set relationally
+    (margins, flips, bucket membership)."""
+    import tempfile
+
+    from xcube_geodb_spark.client import GeoDBSparkClient
+    from xcube_geodb_spark.operators.ann import ann_topk
+
+    c = GeoDBSparkClient(
+        spark, warehouse=tempfile.mkdtemp(prefix="geodb_annmp_"),
+        user="driver",
+    )
+    c.create_collection("emb", {"vec_id": "int", "embedding": "float[]"})
+    c.create_index("emb", "embedding", kind="lsh", options={"dim": 64})
+    c.insert_into_collection(
+        "emb", load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    out = ann_topk(
+        c.catalog, "emb", _query_vector(spark, sf_dir), k=20,
+        database="driver", id_col="vec_id", lsh_n_probe=3,
+    )
+    return out.select("vec_id", "cos_sim")
+
+
 def sim_lsh_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, _query_vector(spark, sf_dir), k=20)
@@ -769,6 +799,36 @@ LLM_SIM_ORACLES = {
         SELECT CAST(vec_id AS BIGINT) AS vec_id, {_COS_EXPR} AS cos_sim
         FROM s, q
         WHERE ({_hp_bucket_sql("v")}) = (SELECT {_hp_bucket_sql("qv")} FROM q)
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+    """,
+    # multi-probe LSH: probe set = base bucket + the buckets differing in
+    # the (n_probe-1) lowest-|margin| bits (ties -> lowest bit index);
+    # margins per hyperplane are enumerated as VALUES rows so the flips
+    # and the string bit-surgery replay the engine's driver-side
+    # lsh_probe_buckets exactly
+    "ann_lsh_multiprobe": f"""
+        {_COS_CTES},
+        mp AS (
+            SELECT t.i, abs(list_dot_product(qv, t.h)) AS m
+            FROM q, (VALUES {", ".join(
+                f"({i}, [{', '.join(f'{c:.1f}' for c in r)}])"
+                for i, r in enumerate(_HP)
+            )}) AS t(i, h)
+        ),
+        flips AS (SELECT i FROM mp ORDER BY m ASC, i ASC LIMIT 2),
+        base AS (SELECT ({_hp_bucket_sql("qv")}) AS b FROM q),
+        probes AS (
+            SELECT b FROM base
+            UNION ALL
+            SELECT substr(b, 1, i)
+                   || (CASE substr(b, i + 1, 1) WHEN '1' THEN '0'
+                       ELSE '1' END)
+                   || substr(b, i + 2) AS b
+            FROM base, flips
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, {_COS_EXPR} AS cos_sim
+        FROM s, q
+        WHERE ({_hp_bucket_sql("v")}) IN (SELECT b FROM probes)
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
     """,
     "sim_ivf_topk": f"""
@@ -2331,6 +2391,7 @@ LLM_QUERIES = {
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "ann_index_topk": ann_index_topk,
+    "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_refined": ann_ivfpq_refined,
     "ann_ivfpq_residual": ann_ivfpq_residual,
