@@ -5,6 +5,8 @@ Mirrors the semantics the reference pins in
 extent strings, geometry types) — evaluated against our pure-Python kernel.
 """
 
+import math
+
 import numpy as np
 import pytest
 
@@ -24,6 +26,7 @@ from xcube_geodb_spark.geometry import (
 from xcube_geodb_spark.errors import GeoDBError
 from xcube_geodb_spark.geometry.geom import (
     Geometry,
+    area,
     bbox_polygon,
     is_valid,
     simplify,
@@ -1442,3 +1445,142 @@ class TestGeoJsonSql:
             "st_geomfromtext('POLYGON((0 0,2 0,2 2,0 2,0 0))')))) AS w"
         ).collect()[0]
         assert rt["w"] == "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+
+
+class TestBufferGeometry:
+    """General ST_Buffer (geometry/overlay.buffer_geometry): offset
+    rectangles + convex-vertex fans dissolved through the overlay union
+    kernel. Convex inputs have an exact closed-form area (A + P*r +
+    corner wedges of nseg * r^2/2 * sin(sweep/nseg)) — the same formula
+    the geo_buffer_squares oracle replays."""
+
+    @staticmethod
+    def _contains(geom, x, y):
+        from xcube_geodb_spark.geometry.geom import _point_in_rings
+        from xcube_geodb_spark.geometry.overlay import _polygons_of
+
+        return any(
+            _point_in_rings(x, y, rings) for rings in _polygons_of(geom)
+        )
+
+    def _closed_form_convex(self, pts, r, qs=8):
+        import math
+
+        import numpy as np
+
+        n = len(pts)
+        A = abs(
+            sum(
+                pts[i][0] * pts[(i + 1) % n][1]
+                - pts[(i + 1) % n][0] * pts[i][1]
+                for i in range(n)
+            )
+        ) / 2.0
+        P = sum(
+            math.hypot(
+                pts[(i + 1) % n][0] - pts[i][0],
+                pts[(i + 1) % n][1] - pts[i][1],
+            )
+            for i in range(n)
+        )
+        corners = 0.0
+        for j in range(n):
+            p = np.asarray(pts[j], float)
+            prv = np.asarray(pts[(j - 1) % n], float)
+            nxt = np.asarray(pts[(j + 1) % n], float)
+            d1, d2 = p - prv, nxt - p
+            n1 = np.asarray([d1[1], -d1[0]]) / math.hypot(*d1)
+            n2 = np.asarray([d2[1], -d2[0]]) / math.hypot(*d2)
+            sweep = (
+                math.atan2(n2[1], n2[0]) - math.atan2(n1[1], n1[0])
+            ) % (2 * math.pi)
+            nseg = max(1, math.ceil(sweep / (math.pi / 2) * qs))
+            corners += nseg * r * r / 2 * math.sin(sweep / nseg)
+        return A + P * r + corners
+
+    def test_square_closed_form(self):
+        from xcube_geodb_spark.geometry.overlay import buffer_geometry
+
+        g = parse_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        got = area(buffer_geometry(g, 0.5, 8))
+        want = self._closed_form_convex([(0, 0), (2, 0), (2, 2), (0, 2)], 0.5)
+        assert abs(got - want) < 1e-9
+
+    def test_triangle_closed_form_and_cw_input(self):
+        from xcube_geodb_spark.geometry.overlay import buffer_geometry
+
+        want = self._closed_form_convex([(0, 0), (4, 0), (1, 3)], 0.7)
+        ccw = parse_wkt("POLYGON ((0 0, 4 0, 1 3, 0 0))")
+        cw = parse_wkt("POLYGON ((0 0, 1 3, 4 0, 0 0))")
+        assert abs(area(buffer_geometry(ccw, 0.7, 8)) - want) < 1e-9
+        # ring orientation must not matter
+        assert abs(area(buffer_geometry(cw, 0.7, 8)) - want) < 1e-9
+
+    def test_reflex_polygon_smaller_than_convex_formula(self):
+        from xcube_geodb_spark.geometry.overlay import buffer_geometry
+
+        import math
+
+        g = parse_wkt("POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))")
+        b = buffer_geometry(g, 0.3, 8)
+        got = area(b)
+        # reflex corner: the wedge overlap is absorbed by the union, so
+        # the area is strictly below A + P*r + full-turn wedges
+        assert 3.0 + 8 * 0.3 < got < 3.0 + 8 * 0.3 + math.pi * 0.09 + 1e-9
+        # buffered region contains the original boundary's neighborhood
+        for x, y in [(0, 0), (2, 0), (1, 1), (0, 2), (2.2, 0.5), (-0.2, 1)]:
+            assert self._contains(b, x, y)
+
+    def test_linestring_capsule_closed_form(self):
+        from xcube_geodb_spark.geometry.overlay import buffer_geometry
+
+        g = parse_wkt("LINESTRING (0 0, 3 0)")
+        got = area(buffer_geometry(g, 0.5, 8))
+        # rectangle 2rL + one full inscribed 32-gon (the two end discs
+        # each contribute an exact half on an axis-aligned segment)
+        want = 2 * 0.5 * 3 + 16 * 0.25 * math.sin(2 * math.pi / 32)
+        assert abs(got - want) < 1e-9
+
+    def test_multi_and_point_dispatch(self):
+        from xcube_geodb_spark.geometry.overlay import buffer_geometry
+
+        mp = parse_wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((10 0, 11 0, 11 1, 10 1, 10 0)))")
+        got = area(buffer_geometry(mp, 0.2, 8))
+        one = self._closed_form_convex([(0, 0), (1, 0), (1, 1), (0, 1)], 0.2)
+        assert abs(got - 2 * one) < 1e-9  # disjoint parts: areas add
+        pt = parse_wkt("POINT (5 5)")
+        got_pt = area(buffer_geometry(pt, 1.0, 8))
+        assert abs(got_pt - 16 * math.sin(2 * math.pi / 32)) < 1e-9
+
+    def test_errors_and_srid(self):
+        import pytest as _pytest
+
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.geometry.overlay import buffer_geometry
+
+        g = parse_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        g.srid = 4326
+        assert buffer_geometry(g, 0.1).srid == 4326
+        with _pytest.raises(GeoDBError, match="radius"):
+            buffer_geometry(g, 0.0)
+        holed = parse_wkt(
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0),"
+            " (1 1, 2 1, 2 2, 1 2, 1 1))"
+        )
+        with _pytest.raises(GeoDBError, match="interior rings"):
+            buffer_geometry(holed, 0.1)
+        assert buffer_geometry(None, 0.1) is None
+
+    def test_sql_surface_polygon_buffer(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            "SELECT round(st_area(st_buffer("
+            "st_geomfromtext('POLYGON((0 0,2 0,2 2,0 2,0 0))'), 0.5)), 6)"
+            " AS a"
+        ).collect()[0]
+        want = self._closed_form_convex([(0, 0), (2, 0), (2, 2), (0, 2)], 0.5)
+        assert row["a"] == round(want, 6)

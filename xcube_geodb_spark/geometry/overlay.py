@@ -487,3 +487,171 @@ def union_all(geoms: list[Geometry | None]) -> Geometry | None:
         if not items:
             return None
     return items[0]
+
+
+# ---------------------------------------------------------------------------
+# ST_Buffer for lines and polygons (Minkowski sum with a polygonal disc)
+# ---------------------------------------------------------------------------
+# The reference delegates buffering to PostGIS (geodb exposes it through the
+# raw-SQL path); here it composes from this module's own union kernel:
+# per-edge offset rectangles + per-vertex arc fans (the construction PostGIS
+# uses, quad_segs segments per quarter circle), dissolved with union_all.
+
+
+def _fan_polygon(
+    v, r: float, th1: float, sweep: float, quad_segs: int
+) -> Geometry:
+    """Arc fan at vertex ``v`` from angle ``th1`` sweeping CCW by
+    ``sweep`` — nseg chords sized so a full quarter circle gets
+    ``quad_segs`` of them (PostGIS convention). Shoelace area is exactly
+    nseg * r^2/2 * sin(sweep/nseg): the closed form the oracle uses."""
+    nseg = max(1, int(math.ceil(sweep / (math.pi / 2.0) * quad_segs)))
+    pts = [(float(v[0]), float(v[1]))]
+    for k in range(nseg + 1):
+        th = th1 + sweep * (k / nseg)
+        pts.append(
+            (v[0] + r * math.cos(th), v[1] + r * math.sin(th))
+        )
+    pts.append(pts[0])
+    return Geometry("Polygon", [np.asarray(pts, dtype=np.float64)])
+
+
+def _dedupe_ring(ring: np.ndarray) -> np.ndarray:
+    """Open vertex list (closing point dropped, consecutive and
+    wrap-around duplicates removed)."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    keep = []
+    for p in pts:
+        if not keep or p[0] != keep[-1][0] or p[1] != keep[-1][1]:
+            keep.append((float(p[0]), float(p[1])))
+    while len(keep) > 1 and keep[0] == keep[-1]:
+        keep.pop()
+    return np.asarray(keep, dtype=np.float64)
+
+
+def _buffer_exterior_parts(
+    ring: np.ndarray, r: float, quad_segs: int
+) -> list[Geometry]:
+    """Offset rectangles + convex-vertex fans for one CCW exterior ring.
+    Reflex vertices get no fan (the adjacent rectangles overlap inside
+    the union); straight vertices sweep 0 and are skipped."""
+    pts = _dedupe_ring(ring)
+    n = len(pts)
+    if n < 3:
+        return []
+    if _ring_shoelace(np.vstack([pts, pts[:1]])) < 0:
+        pts = pts[::-1].copy()
+    normals = []
+    for i in range(n):
+        p, q = pts[i], pts[(i + 1) % n]
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        ln = math.hypot(dx, dy)
+        normals.append((dy / ln, -dx / ln))  # outward for CCW
+    parts: list[Geometry] = []
+    for i in range(n):
+        p, q = pts[i], pts[(i + 1) % n]
+        nx, ny = normals[i]
+        rect = np.asarray(
+            [
+                (p[0], p[1]),
+                (q[0], q[1]),
+                (q[0] + r * nx, q[1] + r * ny),
+                (p[0] + r * nx, p[1] + r * ny),
+                (p[0], p[1]),
+            ],
+            dtype=np.float64,
+        )
+        parts.append(Geometry("Polygon", [rect]))
+    two_pi = 2.0 * math.pi
+    for j in range(n):
+        n1 = normals[(j - 1) % n]
+        n2 = normals[j]
+        th1 = math.atan2(n1[1], n1[0])
+        th2 = math.atan2(n2[1], n2[0])
+        sweep = (th2 - th1) % two_pi
+        if 0.0 < sweep < math.pi:
+            parts.append(_fan_polygon(pts[j], r, th1, sweep, quad_segs))
+    return parts
+
+
+def buffer_geometry(
+    geom: Geometry | None, radius: float, quad_segs: int = 8
+) -> Geometry | None:
+    """``ST_Buffer`` for points, lines, and polygons.
+
+    - Point/MultiPoint: the inscribed ``4*quad_segs``-gon
+      (:func:`~xcube_geodb_spark.geometry.geom.buffer_point`).
+    - LineString/MultiLineString: the exact Minkowski sum with the
+      polygonal disc — per-segment double-width rectangles plus a full
+      disc at every vertex, dissolved.
+    - Polygon/MultiPolygon (no holes): the polygon plus per-edge offset
+      rectangles plus convex-vertex fans, dissolved. For a CONVEX
+      polygon the area is exactly ``A + P*r + sum of corner wedges``
+      (each wedge ``nseg * r^2/2 * sin(sweep/nseg)``) — the closed form
+      the SQL oracle replays. Interior rings raise: erosion (negative
+      offsetting) is not implemented, matching the documented
+      deviations list.
+
+    Negative/zero radius raises (erosion unsupported)."""
+    from xcube_geodb_spark.geometry.geom import buffer_point
+
+    if geom is None:
+        return None
+    if not (radius > 0):
+        raise GeoDBError(
+            "st_buffer: radius must be > 0 (erosion is not implemented)"
+        )
+    srid = geom.srid
+    k = geom.kind
+    if k in ("MultiPoint", "MultiLineString", "MultiPolygon",
+             "GeometryCollection"):
+        out = union_all(
+            [buffer_geometry(c, radius, quad_segs) for c in geom.parts]
+        )
+    elif k == "Point":
+        out = buffer_point(
+            float(geom.parts[0]), float(geom.parts[1]), radius, quad_segs
+        )
+    elif k == "LineString":
+        arr = np.asarray(geom.parts, dtype=np.float64)
+        parts: list[Geometry] = []
+        for i in range(len(arr) - 1):
+            p, q = arr[i], arr[i + 1]
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            ln = math.hypot(dx, dy)
+            if ln == 0.0:
+                continue
+            nx, ny = dy / ln, -dx / ln
+            rect = np.asarray(
+                [
+                    (p[0] + radius * nx, p[1] + radius * ny),
+                    (q[0] + radius * nx, q[1] + radius * ny),
+                    (q[0] - radius * nx, q[1] - radius * ny),
+                    (p[0] - radius * nx, p[1] - radius * ny),
+                    (p[0] + radius * nx, p[1] + radius * ny),
+                ],
+                dtype=np.float64,
+            )
+            parts.append(Geometry("Polygon", [rect]))
+        for p in arr:
+            parts.append(
+                buffer_point(float(p[0]), float(p[1]), radius, quad_segs)
+            )
+        out = union_all(parts)
+    elif k == "Polygon":
+        if len(geom.parts) > 1:
+            raise GeoDBError(
+                "st_buffer: polygons with interior rings are not"
+                " supported (hole erosion is not implemented)"
+            )
+        ring = _closed(geom.parts[0])
+        parts = [Geometry("Polygon", [ring.copy()])]
+        parts.extend(_buffer_exterior_parts(ring, radius, quad_segs))
+        out = union_all(parts)
+    else:
+        raise GeoDBError(f"st_buffer: unsupported geometry {k}")
+    if out is not None:
+        out.srid = srid
+    return out

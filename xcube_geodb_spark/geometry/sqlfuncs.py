@@ -27,7 +27,8 @@ Registered names (PostGIS-compatible lowercase):
   ``st_perimeterspheroid`` (per-segment geodesics), ``st_areasphere``
   (spherical-excess geodesic area), ``st_areaspheroid`` (authalic WGS84
   ellipsoid area), ``st_azimuth``
-- transforms: ``st_transform`` (CRS), ``st_buffer`` (points),
+- transforms: ``st_transform`` (CRS), ``st_buffer`` (points, lines,
+  hole-free polygons — overlay.buffer_geometry),
   ``st_simplify`` (Douglas-Peucker), ``st_snaptogrid``, ``st_envelope``,
   ``st_expand``, ``st_clipbybox2d``, ``st_convexhull`` (monotone chain)
 - overlay (geometry/overlay.py planar boolean kernel):
@@ -223,7 +224,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         lambda b: is_valid(parse_wkb(b)) if b is not None else None,
         T.BooleanType(),
     )
-    from xcube_geodb_spark.geometry.geom import buffer_point, distance
+    from xcube_geodb_spark.geometry.geom import distance
 
     _register(
         "st_distance",
@@ -244,12 +245,9 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     def _buffer(b: bytes, radius: float):
         if b is None or radius is None:
             return None
-        g = parse_wkb(b)
-        if g.kind != "Point":
-            raise GeoDBError(
-                "st_buffer supports Point geometries only (see buffer_point)"
-            )
-        return to_wkb(buffer_point(float(g.parts[0]), float(g.parts[1]), radius))
+        from xcube_geodb_spark.geometry.overlay import buffer_geometry
+
+        return to_wkb(buffer_geometry(parse_wkb(b), float(radius)))
 
     _register("st_buffer", _buffer, T.BinaryType())
 

@@ -313,6 +313,28 @@ def _sq_oracle(box, predicate: str, extra_where: str = "") -> str:
 _INTERSECTS = f"ix >= -{EPS} AND iy >= -{EPS}"
 _II = f"ix > {EPS} AND iy > {EPS}"
 
+def geo_buffer_squares(spark, sf_dir):
+    """General polygon ST_Buffer (geometry/overlay.buffer_geometry): the
+    polygon + per-edge offset rectangles + convex-vertex arc fans,
+    dissolved through the overlay union kernel. On a square with
+    radius r and quad_segs=8 the area is exactly
+    ``4h^2 + 8h*r + 16 r^2 sin(pi/16)`` (4 corner wedges of 8 chords
+    each) — the closed form the oracle computes per row."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("sq_buffer")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               round(st_area(st_buffer(geometry, h / 4)), 6) AS barea
+        FROM sq_buffer
+        """
+    )
+
+
 def geo_measures_squares(spark, sf_dir):
     """st_area / st_perimeter / st_centroid / st_x / st_y scalars through
     the raw-SQL path; the squares' closed-form (x, y, h) parameters give
@@ -339,6 +361,16 @@ GEO_ORACLES = {
         SELECT c_custkey, round(4 * h * h, 6) AS area,
                round(8 * h, 6) AS perim,
                round(x, 6) AS cx, round(y, 6) AS cy
+        FROM ({_SQS})
+    """,
+    # buffered-square closed form: A + P*r + 4 corner wedges of
+    # quad_segs=8 chords each (nseg * r^2/2 * sin(sweep/nseg), sweep =
+    # pi/2 at every square corner) with r = h/4
+    "geo_buffer_squares": f"""
+        SELECT c_custkey,
+               round(4 * h * h + 8 * h * (h / 4)
+                     + 16 * (h / 4) * (h / 4) * sin(pi() / 16), 6)
+                   AS barea
         FROM ({_SQS})
     """,
     "geo_bbox_contains_points": f"""
@@ -1019,6 +1051,7 @@ GEO_ORACLES["geo_dissolve_chain"] = """
 
 
 GEO_QUERIES = {
+    "geo_buffer_squares": geo_buffer_squares,
     "geo_measures_squares": geo_measures_squares,
     "geo_bbox_modes": geo_bbox_modes,
     "geo_distance_knn": geo_distance_knn,
