@@ -1561,15 +1561,55 @@ class TestBufferGeometry:
         g = parse_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
         g.srid = 4326
         assert buffer_geometry(g, 0.1).srid == 4326
-        with _pytest.raises(GeoDBError, match="radius"):
-            buffer_geometry(g, 0.0)
-        holed = parse_wkt(
-            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0),"
-            " (1 1, 2 1, 2 2, 1 2, 1 1))"
-        )
-        with _pytest.raises(GeoDBError, match="interior rings"):
-            buffer_geometry(holed, 0.1)
+        assert buffer_geometry(g, 0.0) is g  # zero radius: identity
+        with _pytest.raises(GeoDBError, match="polygonal"):
+            buffer_geometry(parse_wkt("POINT (0 0)"), -1.0)
         assert buffer_geometry(None, 0.1) is None
+
+    def test_holes_shrink_and_seal(self):
+        import math
+
+        from xcube_geodb_spark.geometry.overlay import buffer_geometry
+
+        outer = (
+            36 + 24 * 0.5 + 2 * 8 * 0.25 * math.sin(math.pi / 16)
+        )
+        holed = parse_wkt(
+            "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0),"
+            " (2 2, 4 2, 4 4, 2 4, 2 2))"
+        )
+        # the 2x2 hole shrinks by r=0.5 per side -> 1x1 remains
+        got = area(buffer_geometry(holed, 0.5, 8))
+        assert abs(got - (outer - 1.0)) < 1e-9
+        # a hole narrower than 2r seals completely
+        pin = parse_wkt(
+            "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0),"
+            " (2.8 2.8, 3.2 2.8, 3.2 3.2, 2.8 3.2, 2.8 2.8))"
+        )
+        got2 = area(buffer_geometry(pin, 0.5, 8))
+        assert abs(got2 - outer) < 1e-9
+
+    def test_negative_radius_erodes(self):
+        import math
+
+        from xcube_geodb_spark.geometry.overlay import buffer_geometry
+
+        sq = parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        e = buffer_geometry(sq, -1.0, 8)
+        assert abs(area(e) - 4.0) < 1e-9  # inset square is exact
+        assert buffer_geometry(sq, -2.5, 8) is None  # over-eroded
+        # erosion with a hole: outer insets, hole dilates with rounded
+        # corners (4 + P*r + 32-gon corner wedges)
+        holed = parse_wkt(
+            "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0),"
+            " (2 2, 4 2, 4 4, 2 4, 2 2))"
+        )
+        eh = buffer_geometry(holed, -0.5, 8)
+        want = 25 - (4 + 8 * 0.5 + 16 * 0.25 * math.sin(math.pi / 16))
+        assert abs(area(eh) - want) < 1e-9
+        # round-trip sanity: erode-then-dilate stays inside the original
+        rt = buffer_geometry(buffer_geometry(sq, -1.0, 8), 1.0, 8)
+        assert area(rt) <= 16.0 + 1e-9
 
     def test_sql_surface_polygon_buffer(self, spark):
         from xcube_geodb_spark.geometry.sqlfuncs import (

@@ -576,33 +576,109 @@ def _buffer_exterior_parts(
     return parts
 
 
+def _ring_capsules(
+    ring: np.ndarray, r: float, quad_segs: int
+) -> list[Geometry]:
+    """The ring's boundary Minkowski-summed with the polygonal disc:
+    per-segment double-width rectangles + a full disc at every vertex
+    (exact for the polygonal-disc metric, no orientation analysis)."""
+    from xcube_geodb_spark.geometry.geom import buffer_point
+
+    arr = _closed(np.asarray(ring, dtype=np.float64))
+    parts: list[Geometry] = []
+    for i in range(len(arr) - 1):
+        p, q = arr[i], arr[i + 1]
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        ln = math.hypot(dx, dy)
+        if ln == 0.0:
+            continue
+        nx, ny = dy / ln, -dx / ln
+        rect = np.asarray(
+            [
+                (p[0] + r * nx, p[1] + r * ny),
+                (q[0] + r * nx, q[1] + r * ny),
+                (q[0] - r * nx, q[1] - r * ny),
+                (p[0] - r * nx, p[1] - r * ny),
+                (p[0] + r * nx, p[1] + r * ny),
+            ],
+            dtype=np.float64,
+        )
+        parts.append(Geometry("Polygon", [rect]))
+        parts.append(buffer_point(float(p[0]), float(p[1]), r, quad_segs))
+    return parts
+
+
+def _erode_polygon(
+    geom: Geometry, r: float, quad_segs: int
+) -> Geometry | None:
+    """Negative offset: ``P minus (boundary ⊕ disc_r)`` — the points of
+    P at least ``r`` (polygonal-disc metric) from EVERY ring, holes
+    included. May split P into several polygons or vanish entirely
+    (returns None, the empty result)."""
+    capsules = union_all(
+        [
+            part
+            for ring in geom.parts
+            for part in _ring_capsules(ring, r, quad_segs)
+        ]
+    )
+    base = Geometry("Polygon", [
+        _closed(np.asarray(rg, dtype=np.float64)) for rg in geom.parts
+    ])
+    if capsules is None:
+        return base
+    return overlay(base, capsules, "difference")
+
+
 def buffer_geometry(
     geom: Geometry | None, radius: float, quad_segs: int = 8
 ) -> Geometry | None:
-    """``ST_Buffer`` for points, lines, and polygons.
+    """``ST_Buffer`` for points, lines, and polygons, positive or
+    negative radius.
 
     - Point/MultiPoint: the inscribed ``4*quad_segs``-gon
       (:func:`~xcube_geodb_spark.geometry.geom.buffer_point`).
     - LineString/MultiLineString: the exact Minkowski sum with the
       polygonal disc — per-segment double-width rectangles plus a full
       disc at every vertex, dissolved.
-    - Polygon/MultiPolygon (no holes): the polygon plus per-edge offset
-      rectangles plus convex-vertex fans, dissolved. For a CONVEX
-      polygon the area is exactly ``A + P*r + sum of corner wedges``
-      (each wedge ``nseg * r^2/2 * sin(sweep/nseg)``) — the closed form
-      the SQL oracle replays. Interior rings raise: erosion (negative
-      offsetting) is not implemented, matching the documented
-      deviations list.
+    - Polygon/MultiPolygon, radius > 0: the polygon plus per-edge offset
+      rectangles plus convex-vertex fans on the exterior ring, dissolved
+      (hole rings add their boundary capsules, so holes shrink and small
+      holes seal — PostGIS semantics). For a CONVEX polygon the area is
+      exactly ``A + P*r + sum of corner wedges`` (each wedge
+      ``nseg * r^2/2 * sin(sweep/nseg)``) — the closed form the SQL
+      oracle replays.
+    - Polygon/MultiPolygon, radius < 0 (erosion): ``P minus
+      (boundary ⊕ disc)`` — exact for the polygonal-disc metric; an
+      over-eroded polygon vanishes (returns None -> SQL NULL, where
+      PostGIS answers POLYGON EMPTY — documented deviation).
 
-    Negative/zero radius raises (erosion unsupported)."""
+    Zero radius returns the input unchanged (points pass through for
+    negative radii too, as PostGIS shrinks them to empty — deviation:
+    we raise instead of answering empty for negative non-area
+    inputs)."""
     from xcube_geodb_spark.geometry.geom import buffer_point
 
     if geom is None:
         return None
-    if not (radius > 0):
-        raise GeoDBError(
-            "st_buffer: radius must be > 0 (erosion is not implemented)"
-        )
+    if radius == 0:
+        return geom
+    if radius < 0:
+        k = geom.kind
+        if k not in ("Polygon", "MultiPolygon", "GeometryCollection"):
+            raise GeoDBError(
+                "st_buffer: negative radius requires polygonal input"
+            )
+        r = -float(radius)
+        if k == "Polygon":
+            out = _erode_polygon(geom, r, quad_segs)
+        else:
+            out = union_all(
+                [buffer_geometry(c, radius, quad_segs) for c in geom.parts]
+            )
+        if out is not None:
+            out.srid = geom.srid
+        return out
     srid = geom.srid
     k = geom.kind
     if k in ("MultiPoint", "MultiLineString", "MultiPolygon",
@@ -641,14 +717,15 @@ def buffer_geometry(
             )
         out = union_all(parts)
     elif k == "Polygon":
-        if len(geom.parts) > 1:
-            raise GeoDBError(
-                "st_buffer: polygons with interior rings are not"
-                " supported (hole erosion is not implemented)"
-            )
-        ring = _closed(geom.parts[0])
-        parts = [Geometry("Polygon", [ring.copy()])]
-        parts.extend(_buffer_exterior_parts(ring, radius, quad_segs))
+        rings = [
+            _closed(np.asarray(rg, dtype=np.float64)) for rg in geom.parts
+        ]
+        parts = [Geometry("Polygon", [rg.copy() for rg in rings])]
+        parts.extend(_buffer_exterior_parts(rings[0], radius, quad_segs))
+        # hole rings: adding their boundary capsules shrinks each hole
+        # by r and seals holes narrower than 2r — PostGIS semantics
+        for hole in rings[1:]:
+            parts.extend(_ring_capsules(hole, radius, quad_segs))
         out = union_all(parts)
     else:
         raise GeoDBError(f"st_buffer: unsupported geometry {k}")

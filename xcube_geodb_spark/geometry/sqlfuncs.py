@@ -28,7 +28,8 @@ Registered names (PostGIS-compatible lowercase):
   (spherical-excess geodesic area), ``st_areaspheroid`` (authalic WGS84
   ellipsoid area), ``st_azimuth``
 - transforms: ``st_transform`` (CRS), ``st_buffer`` (points, lines,
-  hole-free polygons — overlay.buffer_geometry),
+  polygons incl. holes, positive and negative radius —
+  overlay.buffer_geometry),
   ``st_simplify`` (Douglas-Peucker), ``st_snaptogrid``, ``st_envelope``,
   ``st_expand``, ``st_clipbybox2d``, ``st_convexhull`` (monotone chain)
 - overlay (geometry/overlay.py planar boolean kernel):

@@ -335,6 +335,27 @@ def geo_buffer_squares(spark, sf_dir):
     )
 
 
+def geo_erode_squares(spark, sf_dir):
+    """Negative-radius ST_Buffer (erosion): P minus its boundary's
+    Minkowski capsule (geometry/overlay.buffer_geometry, radius < 0).
+    Eroding a square of side 2h by r leaves the exact inset square of
+    side 2h - 2r — with r = h/4 the area is (3h/2)^2, the closed form
+    the oracle computes per row."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("sq_erode")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               round(st_area(st_buffer(geometry, -h / 4)), 6) AS earea
+        FROM sq_erode
+        """
+    )
+
+
 def geo_measures_squares(spark, sf_dir):
     """st_area / st_perimeter / st_centroid / st_x / st_y scalars through
     the raw-SQL path; the squares' closed-form (x, y, h) parameters give
@@ -371,6 +392,12 @@ GEO_ORACLES = {
                round(4 * h * h + 8 * h * (h / 4)
                      + 16 * (h / 4) * (h / 4) * sin(pi() / 16), 6)
                    AS barea
+        FROM ({_SQS})
+    """,
+    # inset square: side 2h - 2*(h/4) = 3h/2 exactly
+    "geo_erode_squares": f"""
+        SELECT c_custkey,
+               round((1.5 * h) * (1.5 * h), 6) AS earea
         FROM ({_SQS})
     """,
     "geo_bbox_contains_points": f"""
@@ -1052,6 +1079,7 @@ GEO_ORACLES["geo_dissolve_chain"] = """
 
 GEO_QUERIES = {
     "geo_buffer_squares": geo_buffer_squares,
+    "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
     "geo_bbox_modes": geo_bbox_modes,
     "geo_distance_knn": geo_distance_knn,
