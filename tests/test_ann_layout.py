@@ -636,3 +636,26 @@ class TestMultiProbeLsh:
         r1, r3, r5 = rec(1), rec(3), rec(5)
         assert r1 <= r3 <= r5
         assert r5 > r1, "probing more buckets must add candidates here"
+
+
+class TestResidualSeedDegeneracy:
+    def test_default_residual_codebooks_are_not_zero(self, spark):
+        """Regression (review r6.3): with coarse centroids seeded from
+        the SAME lowest-id rows, naive residual seeding yields all-zero
+        codebooks (every seed's residual vs itself) — codes all tie to
+        0 and ADC stops discriminating. pq_codebooks_residual must skip
+        the centroid rows."""
+        import numpy as np
+
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        cents = S.seed_centroids(emb, n_centroids=8)
+        books = S.pq_codebooks_residual(emb, cents, 8, 8)
+        B = np.asarray(books)
+        assert (B != 0).any(axis=2).all(), "every codebook entry must be live"
+        # and the resulting ADC must produce more than one distance
+        enc = S.pq_encode(
+            S.with_centroid_assignment(emb.limit(200), cents),
+            books, centroids=cents, bucket_col="centroid_id",
+        )
+        codes = {tuple(r["pq_code"]) for r in enc.select("pq_code").collect()}
+        assert len(codes) > 1, "codes must discriminate between vectors"

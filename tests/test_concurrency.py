@@ -670,3 +670,14 @@ class TestMultiWriterStress:
         grants = m.d["acl"]["grants"]
         assert all(f"user{i}" in grants for i in range(3))
         assert m.d.get("constraints") in (None, {},)
+
+
+class TestStacNoop:
+    def test_unchanged_stac_field_commits_nothing(self, spark, tmp_path):
+        c = _mk(spark, tmp_path, user="sn")
+        c.set_metadata_field("t", "title", "Atlas")
+        v1 = c.catalog.meta("t", "sn").version
+        c.set_metadata_field("t", "title", "Atlas")  # unchanged
+        assert c.catalog.meta("t", "sn").version == v1
+        c.set_metadata_field("t", "title", "Atlas v2")
+        assert c.catalog.meta("t", "sn").version == v1 + 1

@@ -437,8 +437,17 @@ def main() -> None:
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         cents = S.seed_centroids(emb, n_centroids=8)
         books = S.pq_codebooks(emb, n_subspaces=8, n_centroids=16)
+        # IVFADC prescribes a TRAINED coarse quantizer: with raw seed
+        # vectors as centroids, residuals on this structure-free fixture
+        # are ~1.6x the vector norm (cosine-assigned unit seeds) and ADC
+        # recall craters; Lloyd means keep residual ~= vector -> parity
+        # here, win on clustered corpora (TestResidualIvfpq)
+        cents_res = [
+            [float(x) for x in c]
+            for c in S.ivf_centroids(emb, n_centroids=8)
+        ]
         books_res = S.pq_codebooks_trained_residual(
-            emb, cents, n_subspaces=8, n_centroids=16
+            emb, cents_res, n_subspaces=8, n_centroids=16
         )
         wh = tempfile.mkdtemp(prefix="geodb_scale_ann_")
         try:
@@ -446,7 +455,7 @@ def main() -> None:
             cat.create_database("anndb")
             for name, opts in (
                 ("e", {"centroids": cents, "codebooks": books}),
-                ("eres", {"centroids": cents, "codebooks": books_res,
+                ("eres", {"centroids": cents_res, "codebooks": books_res,
                           "residual": True}),
                 ("elsh", {"dim": 64}),
             ):
@@ -517,9 +526,10 @@ def main() -> None:
                         expand=10,
                     )
                 ),
-                # residual (IVFADC) variants — parity expected on this
-                # structure-free fixture; the clustered-corpus win is
-                # asserted in tests/test_ann_layout.py TestResidualIvfpq
+                # residual (IVFADC, trained coarse quantizer) — parity
+                # expected on this structure-free fixture; the
+                # clustered-corpus win is asserted in
+                # tests/test_ann_layout.py TestResidualIvfpq
                 "ivfadc_np2": recall(
                     lambda v: ann_ivfpq_topk(
                         cat, "eres", v, k=k, database="anndb", n_probe=2

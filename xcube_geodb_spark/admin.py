@@ -586,6 +586,8 @@ class StacMetadata:
         # lose this field on roll-forward (same rationale as ACL grants)
         def mutate(m):
             stac = dict(m.d.get("stac") or {})
+            if field in stac and stac[field] == value:
+                return None  # unchanged: no version bump (same as ACL)
             stac[field] = value
             return {"stac": stac}
 

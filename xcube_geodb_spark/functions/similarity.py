@@ -287,8 +287,15 @@ def lsh_probe_buckets(
     derives the identical probe set."""
     q = [float(x) for x in query_vector]
     base = bucket_of(q, hyperplanes)
+    # geometric distance to the cut, |q.h| / ||h|| — the hyperplanes are
+    # Gaussian with ~9% norm spread, so the raw dot would mis-rank flips
     margins = sorted(
-        (abs(_py_dot(q, [float(c) for c in r])), i)
+        (
+            abs(_py_dot(q, [float(c) for c in r]))
+            / math.sqrt(_py_dot([float(c) for c in r],
+                                [float(c) for c in r])),
+            i,
+        )
         for i, r in enumerate(hyperplanes)
     )
     probes = [base]
@@ -618,6 +625,16 @@ def pq_codebooks_trained(
         df.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()[vec_col]
     )
     X = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    return _train_subspace_books(X, n_subspaces, n_centroids, n_iters)
+
+
+def _train_subspace_books(
+    X: "np.ndarray", n_subspaces: int, n_centroids: int, n_iters: int
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd in squared L2 over a driver-side matrix — the
+    shared training core of :func:`pq_codebooks_trained` (raw vectors)
+    and :func:`pq_codebooks_trained_residual` (residual matrix). Dead
+    codes re-seed from the worst-fit point so all stay live; no RNG."""
     dim = X.shape[1]
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
@@ -680,18 +697,40 @@ def pq_codebooks_residual(
     n_centroids: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    skip: int | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic RESIDUAL codebooks: like :func:`pq_codebooks`, but
-    each seed is the lowest-id vectors' residual vs its assigned coarse
+    each seed is a low-id vector's residual vs its assigned coarse
     centroid — the right seeding when :func:`pq_encode` quantizes
     residuals (raw-vector seeds live at the wrong scale for residual
     space, which is centered near zero). Plain double subtraction on the
-    driver, so a SQL oracle re-derives identical seeds relationally."""
+    driver, so a SQL oracle re-derives identical seeds relationally.
+
+    ``skip`` (default ``len(centroids)``) offsets the seed window past
+    the first rows: when the coarse centroids came from
+    :func:`seed_centroids` on the SAME data — the default index path —
+    the lowest-id vectors ARE the centroids and their residuals are
+    exactly zero, which would degenerate every codebook entry to the
+    zero vector (all codes tie to 0 and ADC stops discriminating)."""
+    if skip is None:
+        skip = len(centroids)
     rows = (
-        df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+        df.orderBy(id_col)
+        .limit(skip + n_centroids)
+        .select(vec_col)
+        .collect()
     )
+    picked = rows[skip : skip + n_centroids]
+    if len(picked) < n_centroids:
+        # tiny table: fall back to the last n available rows (still
+        # deterministic; degenerate only if the table IS the seed set)
+        picked = rows[-n_centroids:]
+    if len(picked) < n_centroids:
+        raise ValueError(
+            f"need at least {n_centroids} rows to seed residual codebooks"
+        )
     seeds = []
-    for r in rows:
+    for r in picked:
         v = [float(x) for x in r[vec_col]]
         c = centroids[_py_assign(v, centroids)]
         seeds.append([a - b for a, b in zip(v, c)])
@@ -726,31 +765,15 @@ def pq_codebooks_trained_residual(
         .select(vec_col)
         .toPandas()[vec_col]
     )
-    res = []
-    for v in sample:
-        vv = [float(x) for x in v]
-        c = centroids[_py_assign(vv, centroids)]
-        res.append([a - b for a, b in zip(vv, c)])
-    X = np.asarray(res, dtype=np.float64)
-    dim = X.shape[1]
-    if dim % n_subspaces:
-        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
-    sd = dim // n_subspaces
-    books: list[list[list[float]]] = []
-    for j in range(n_subspaces):
-        S = X[:, j * sd : (j + 1) * sd]
-        cents = S[:n_centroids].copy()
-        for _ in range(n_iters):
-            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(len(cents)):
-                members = S[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-                else:
-                    cents[c] = S[d2.min(axis=1).argmax()]
-        books.append([[float(x) for x in c] for c in cents])
-    return books
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    # vectorized cosine assignment (training is not oracle-replayed, so
+    # numpy reduction order is fine; determinism is what matters)
+    C = np.asarray(centroids, dtype=np.float64)
+    sims = (X @ C.T) / (
+        np.linalg.norm(X, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)
+    )
+    R = X - C[sims.argmax(axis=1)]
+    return _train_subspace_books(R, n_subspaces, n_centroids, n_iters)
 
 
 def pq_encode(
@@ -879,12 +902,15 @@ def pq_topk_residual(
     centroid (``q - centroids[p]``). Scoring stays m table lookups + a
     decimal sum per row — the per-row table is selected by the row's
     coarse bucket via a chained CASE over the (few) probed lists, all
-    inside codegen. ``df`` must already be filtered to the probed lists
-    and carry ``bucket_col``. Returns (id, dist_adc) ascending."""
+    inside codegen. ``df`` is re-filtered to the probed lists internally
+    (idempotent with the caller's filter; without it a row from an
+    un-probed list would score NULL and NULLS-FIRST-sort into the
+    top-k). Returns (id, dist_adc) ascending."""
     m = len(codebooks)
     sd = len(codebooks[0][0])
     if len(query_vector) != m * sd:
         raise ValueError("query dimension does not match the codebooks")
+    df = df.filter(F.col(bucket_col).isin([int(p) for p in probes]))
     q = [float(x) for x in query_vector]
     tables = {
         int(p): _adc_table(

@@ -586,8 +586,9 @@ def ann_ivfpq_residual(spark, sf_dir):
     builds one distance table per probed list from the QUERY's residual
     ``q - centroid[list]``, selected per row by coarse bucket inside
     codegen. Centroids seed from the 8 lowest-vec_id vectors and
-    codebooks from those vectors' residuals, so the oracle re-derives
-    the full residual index relationally."""
+    codebooks from the NEXT 8 vectors' residuals (the centroid rows'
+    own residuals are exactly zero — pq_codebooks_residual skips them),
+    so the oracle re-derives the full residual index relationally."""
     import tempfile
 
     from xcube_geodb_spark.client import GeoDBSparkClient
@@ -809,7 +810,9 @@ LLM_SIM_ORACLES = {
     "ann_lsh_multiprobe": f"""
         {_COS_CTES},
         mp AS (
-            SELECT t.i, abs(list_dot_product(qv, t.h)) AS m
+            SELECT t.i,
+                   abs(list_dot_product(qv, t.h))
+                   / sqrt(list_dot_product(t.h, t.h)) AS m
             FROM q, (VALUES {", ".join(
                 f"({i}, [{', '.join(f'{c:.1f}' for c in r)}])"
                 for i, r in enumerate(_HP)
@@ -1410,8 +1413,9 @@ LLM_PQ_ORACLE = {
     """,
 }
 
-# IVFADC: identical probe/assign skeleton, but codebooks seed from the 8
-# lowest-id vectors' RESIDUALS vs their assigned centroid, candidates
+# IVFADC: identical probe/assign skeleton, but codebooks seed from the
+# residuals of rows 8..15 by vec_id (the first 8 ARE the centroids, so
+# their residuals are zero — skipped), candidates
 # encode their residuals, and the ADC table is per probed list from the
 # query's residual vs that list's centroid. Every arithmetic step is the
 # same left-fold double algebra the engine's Column tree executes.
@@ -1452,7 +1456,9 @@ LLM_PQ_ORACLE["ann_ivfpq_residual"] = """
                list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS rv
         FROM assign a JOIN cents c ON c.cid = a.cid
     ),
-    rseeds AS (SELECT vec_id, rv FROM rvecs ORDER BY vec_id LIMIT 8),
+    rseeds AS (
+        SELECT vec_id, rv FROM rvecs ORDER BY vec_id LIMIT 8 OFFSET 8
+    ),
     cb AS (
         SELECT j,
                row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1
