@@ -10,6 +10,7 @@ import threading
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from xcube_geodb_spark.client import GeoDBSparkClient
 from xcube_geodb_spark.errors import GeoDBError
@@ -219,12 +220,16 @@ class TestAppendRetry:
         )
         cat = c.catalog
         orig_meta = cat.meta
-        fired = {"done": False}
+        # the insert's PINNING read is its second meta call (the first is
+        # meta_for_write's roll-forward probe); the racer must land after
+        # the pin is taken for the conflict to be forced
+        state = {"calls": 0, "fired": False}
 
         def stale_once(collection, database):
             m = orig_meta(collection, database)
-            if not fired["done"]:
-                fired["done"] = True
+            state["calls"] += 1
+            if state["calls"] == 2 and not state["fired"]:
+                state["fired"] = True
                 other.insert_into_collection(
                     "t", pd.DataFrame({"geometry": ["POINT (1 1)"], "v": [2]})
                 )
@@ -681,3 +686,98 @@ class TestStacNoop:
         assert c.catalog.meta("t", "sn").version == v1
         c.set_metadata_field("t", "title", "Atlas v2")
         assert c.catalog.meta("t", "sn").version == v1 + 1
+
+
+class TestCrashPointFuzz:
+    """Exhaustive fault-injection over the commit protocol: an append is
+    crashed at EVERY metadata write / hard-link call index in turn, and
+    after each crash the table must be atomic (a fresh read sees either
+    the pre-commit state or the complete new version — crash after the
+    history-link commit point counts as committed and rolls forward) and
+    live (the next clean append succeeds). Complements
+    TestCrashRollForward's single hand-picked crash point."""
+
+    class _Boom(RuntimeError):
+        pass
+
+    def test_every_crash_point_is_atomic_and_recoverable(
+        self, spark, tmp_path
+    ):
+        import os as _os
+
+        from xcube_geodb_spark import catalog as catmod
+        from xcube_geodb_spark.operators import dml
+
+        cat = catmod.GeoDBCatalog(spark, str(tmp_path / "whf"), user="fz")
+        cat.create_database("d")
+        cat.create_collection("c", {"v": "int"}, database="d")
+        dml.insert_into_collection(
+            cat, "c", pd.DataFrame({"v": [0]}), database="d"
+        )
+        committed = cat.load_df("c", "d").count()
+
+        real_write = catmod._atomic_write_json
+        real_link = _os.link
+        state = {"budget": None, "used": 0}
+
+        def gate():
+            if state["used"] >= state["budget"]:
+                raise self._Boom(f"injected at call {state['used']}")
+            state["used"] += 1
+
+        def failing_write(path, obj):
+            gate()
+            return real_write(path, obj)
+
+        def failing_link(src, dst, **kw):
+            gate()
+            return real_link(src, dst, **kw)
+
+        k, crashes, max_k = 0, 0, 50
+        try:
+            while k < max_k:
+                state["budget"], state["used"] = k, 0
+                catmod._atomic_write_json = failing_write
+                _os.link = failing_link
+                payload = 1000 + k
+                try:
+                    dml.insert_into_collection(
+                        cat, "c",
+                        pd.DataFrame({"v": [payload]}), database="d",
+                    )
+                    clean = True
+                except self._Boom:
+                    clean = False
+                    crashes += 1
+                finally:
+                    catmod._atomic_write_json = real_write
+                    _os.link = real_link
+                # invariant 1: atomicity — old count, or exactly +1 with
+                # the payload visible. A crash AFTER the history link is
+                # committed-but-unswapped: plain reads see the old
+                # pointer until the next writer repairs it, so play the
+                # next committer first (meta_for_write = roll-forward).
+                cat.meta_for_write("c", "d")
+                n = cat.load_df("c", "d").count()
+                assert n in (committed, committed + 1), (k, n, committed)
+                if n == committed + 1:
+                    assert (
+                        cat.load_df("c", "d")
+                        .filter(F.col("v") == payload).count() == 1
+                    )
+                committed = n
+                # invariant 2: liveness — a clean append always lands
+                dml.insert_into_collection(
+                    cat, "c",
+                    pd.DataFrame({"v": [2000 + k]}), database="d",
+                )
+                committed += 1
+                assert cat.load_df("c", "d").count() == committed
+                if clean:
+                    break  # budget exceeded every fault point: done
+                k += 1
+        finally:
+            catmod._atomic_write_json = real_write
+            _os.link = real_link
+        assert crashes >= 2, "fuzz must have exercised several fault points"
+        assert k < max_k, "append never completed under the fault budget"

@@ -437,11 +437,14 @@ def main() -> None:
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         cents = S.seed_centroids(emb, n_centroids=8)
         books = S.pq_codebooks(emb, n_subspaces=8, n_centroids=16)
-        # IVFADC prescribes a TRAINED coarse quantizer: with raw seed
-        # vectors as centroids, residuals on this structure-free fixture
-        # are ~1.6x the vector norm (cosine-assigned unit seeds) and ADC
-        # recall craters; Lloyd means keep residual ~= vector -> parity
-        # here, win on clustered corpora (TestResidualIvfpq)
+        # IVFADC prescribes a TRAINED coarse quantizer. NOTE the honest
+        # physics of this fixture: vectors are uniform-random unit, so
+        # even Lloyd (unit-normalized) centroids sit at cos ~0.3 from
+        # their members and residual norms EXCEED vector norms -> the
+        # residual variant scores somewhat BELOW raw PQ here. That is
+        # inherent, not a bug: the IVFADC win requires cluster
+        # structure, and is asserted on a clustered corpus in
+        # tests/test_ann_layout.py TestResidualIvfpq
         cents_res = [
             [float(x) for x in c]
             for c in S.ivf_centroids(emb, n_centroids=8)
@@ -526,9 +529,9 @@ def main() -> None:
                         expand=10,
                     )
                 ),
-                # residual (IVFADC, trained coarse quantizer) — parity
-                # expected on this structure-free fixture; the
-                # clustered-corpus win is asserted in
+                # residual (IVFADC, trained coarse quantizer) — runs
+                # BELOW raw on this structure-free fixture (see note at
+                # the centroid derivation); clustered-corpus win is in
                 # tests/test_ann_layout.py TestResidualIvfpq
                 "ivfadc_np2": recall(
                     lambda v: ann_ivfpq_topk(

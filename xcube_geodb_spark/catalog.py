@@ -1176,6 +1176,17 @@ class GeoDBCatalog:
         # committer's roll-forward
         _atomic_write_json(m.path, m.d)
 
+    def meta_for_write(self, collection: str, database: str) -> "CollectionMeta":
+        """Snapshot read for a WRITE path: completes any crashed commit's
+        pointer swap first, so the version pin and the id watermark
+        derive from the latest durable commit. Without this, the first
+        write after a crash-after-commit-point reads the stale pointer
+        and always burns one conflict retry (and its id assignment,
+        though never committed, is wasted work). Read paths keep the
+        plain ``meta`` — no side effects, no write permission needed."""
+        self._roll_forward_crashed_commit(collection, database)
+        return self.meta(collection, database)
+
     def _roll_forward_crashed_commit(self, collection: str, database: str) -> None:
         """Complete a commit that durably linked ``history/v{N}.json`` but
         crashed before swapping the ``metadata.json`` pointer: swap the

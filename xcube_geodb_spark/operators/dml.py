@@ -204,7 +204,7 @@ def insert_into_collection(
                 if attempt < retries:
                     _time.sleep(random.uniform(0.02, 0.1) * (attempt + 1))
         raise last
-    m = catalog.meta(collection, database)
+    m = catalog.meta_for_write(collection, database)
     base_version = m.version if expected_version is None else expected_version
     if isinstance(values, pd.DataFrame) and not upsert:
         # fast path: the rows are already driver-side — assign ids AND
@@ -383,7 +383,7 @@ def _touched_untouched(
     )
 
     constraints = conjunctive_constraints(query)
-    m = catalog.meta(collection, database)
+    m = catalog.meta_for_write(collection, database)
     fts_idx = {
         i["property"]: i.get("dictionary", "english")
         for i in m.d.get("indexes", [])
@@ -418,7 +418,7 @@ def delete_from_collection(
 ) -> None:
     """Delete rows matching a PostgREST filter (``geodb.py:1325-1354``).
     Only files whose footer stats admit matching rows are rewritten."""
-    m = catalog.meta(collection, database)
+    m = catalog.meta_for_write(collection, database)
     sch = {f.name: f.dataType for f in m.spark_schema(include_system=True).fields}
     pq = parse_postgrest_query(query, schema=sch)
     if pq.predicate is None:
@@ -452,7 +452,7 @@ def delete_ids(
     Files are pruned by the id set's [min, max] against manifest stats
     (one tiny agg on the id frame); survivors anti-join the victim set,
     broadcast when small enough for Spark to choose it."""
-    m = catalog.meta(collection, database)
+    m = catalog.meta_for_write(collection, database)
     ids = ids_df.select(F.col(id_col).cast("long").alias("id")).distinct()
     bounds = ids.agg(F.min("id").alias("lo"), F.max("id").alias("hi")).collect()[0]
     if bounds["lo"] is None:
@@ -489,7 +489,7 @@ def update_collection(
     """UPDATE ... SET values WHERE filter (``geodb.py:1356-1398``);
     ``id`` removed from SET; ``modified_at`` stamped on changed rows.
     Only files whose footer stats admit matching rows are rewritten."""
-    m = catalog.meta(collection, database)
+    m = catalog.meta_for_write(collection, database)
     sch = {f.name: f.dataType for f in m.spark_schema(include_system=True).fields}
     pq = parse_postgrest_query(query, schema=sch)
     if pq.predicate is None:

@@ -1018,6 +1018,34 @@ def events_asof_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "prev_event")
 
 
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join (functions/temporal.range_join_events):
+    every event joined to the SAME user's anchor windows
+    [ts, ts + 30 min] (anchors = events with event_id % 7 == 0).
+    Physically an equi-join keyed on user_id with the interval bounds as
+    join-level filters — one hash shuffle per side, never a cartesian
+    range explosion; at 100 TB, keys with very long interval lists add
+    a time bucket to the equi-key (documented in the operator)."""
+    from xcube_geodb_spark.functions.temporal import range_join_events
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    anchors = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select(
+            "user_id",
+            F.col("event_id").alias("anchor_id"),
+            F.col("ts").alias("win_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+        )
+    )
+    out = range_join_events(
+        ev, anchors, on=["user_id"], left_ts="ts",
+        right_start="win_start", right_end="win_end",
+    )
+    return out.select(ev["event_id"], ev["user_id"], F.col("anchor_id"))
+
+
 def events_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join (direction='forward'): for every event, the
     user's next strictly-later event. (user_id, ts) pairs are unique in
@@ -1250,6 +1278,15 @@ CORE_ORACLES_EVENTS = {
         FROM events a
         ASOF LEFT JOIN events b ON a.user_id = b.user_id AND b.ts < a.ts
     """,
+    "events_interval_join": """
+        SELECT e.event_id, e.user_id, a.anchor_id
+        FROM events e
+        JOIN (
+            SELECT user_id, event_id AS anchor_id, ts AS s,
+                   ts + INTERVAL 30 MINUTE AS en
+            FROM events WHERE event_id % 7 = 0
+        ) a ON a.user_id = e.user_id AND e.ts >= a.s AND e.ts <= a.en
+    """,
     "events_ohlc_hour": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                event_type,
@@ -1439,6 +1476,7 @@ CORE_QUERIES = {
     "events_sessionization": events_sessionization,
     "events_sliding_30m": events_sliding_30m,
     "events_asof_prev": events_asof_prev,
+    "events_interval_join": events_interval_join,
     "events_asof_next": events_asof_next,
     "events_ohlc_hour": events_ohlc_hour,
     "events_funnel": events_funnel,
