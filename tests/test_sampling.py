@@ -418,3 +418,83 @@ class TestTokenCap:
         df = spark.createDataFrame([(1, "a", 5)], "id long, grp string, toks long")
         with _pytest.raises(ValueError):
             cap_tokens_per_group(df, "grp", "id", "toks", 0)
+
+
+class TestMixCorpora:
+    """Token-weighted training-mixture composition
+    (functions/sampling.mix_corpora): per-source budgets from
+    normalized weights, greedy hash-order fill, two-phase parallel
+    cumsum (never a single-partition window)."""
+
+    def _sources(self, spark):
+        rows = [(i, 10) for i in range(100)]
+        a = spark.createDataFrame(rows, "doc_id long, toks long")
+        b = spark.createDataFrame(
+            [(1000 + i, 10) for i in range(100)], "doc_id long, toks long"
+        )
+        return {"a": a, "b": b}
+
+    def test_budgets_follow_normalized_weights(self, spark):
+        from xcube_geodb_spark.functions.sampling import mix_corpora
+
+        out = mix_corpora(
+            self._sources(spark), {"a": 3.0, "b": 1.0},
+            total_tokens=400, key_col="doc_id", token_col="toks",
+        ).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r["mix_source"], []).append(r["doc_id"])
+        # budgets 300/100 over 10-token docs -> exactly 30 and 10 docs
+        assert len(by["a"]) == 30 and len(by["b"]) == 10
+        assert all(d < 1000 for d in by["a"])
+        assert all(d >= 1000 for d in by["b"])
+
+    def test_matches_python_replay_and_first_doc_survives(self, spark):
+        import hashlib
+
+        from xcube_geodb_spark.functions.sampling import mix_corpora
+
+        rows = [(i, 7 + (i % 5)) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, toks long")
+        out = mix_corpora(
+            {"s": df}, {"s": 1.0}, total_tokens=100,
+            key_col="doc_id", token_col="toks", seed="z",
+        ).collect()
+        order = sorted(
+            rows,
+            key=lambda r: (
+                hashlib.md5(f"zs{r[0]}".encode()).hexdigest(), r[0]
+            ),
+        )
+        want, cum = set(), 0
+        for doc, t in order:
+            if cum < 100:
+                want.add(doc)
+            cum += t
+        assert {r["doc_id"] for r in out} == want
+        assert order[0][0] in want  # first doc always survives
+
+    def test_plan_has_no_unpartitioned_window(self, spark):
+        from xcube_geodb_spark.functions.sampling import mix_corpora
+
+        out = mix_corpora(
+            self._sources(spark), {"a": 1.0, "b": 1.0},
+            total_tokens=100, key_col="doc_id", token_col="toks",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window [" in line or "RunningWindowFunction" in line:
+                assert "__pid" in line, line
+
+    def test_validation(self, spark):
+        from xcube_geodb_spark.functions.sampling import mix_corpora
+
+        src = self._sources(spark)
+        with pytest.raises(ValueError, match="identical keys"):
+            mix_corpora(src, {"a": 1.0}, 100, "doc_id", "toks")
+        with pytest.raises(ValueError, match="positive"):
+            mix_corpora(src, {"a": 1.0, "b": 0.0}, 100, "doc_id", "toks")
+        with pytest.raises(ValueError, match="total_tokens"):
+            mix_corpora(src, {"a": 1.0, "b": 1.0}, 0, "doc_id", "toks")
+        with pytest.raises(ValueError, match="at least one"):
+            mix_corpora({}, {}, 100, "doc_id", "toks")

@@ -29,6 +29,7 @@ __all__ = [
     "cap_tokens_per_group",
     "deterministic_shuffle",
     "hash_sample_weighted",
+    "mix_corpora",
 ]
 
 _BUCKETS = 10_000
@@ -398,3 +399,103 @@ def hash_sample_weighted(
         F.lit(float(_BUCKETS)),
     )
     return df.filter(hash_bucket(F.col(key_col), seed) < cut)
+
+
+def _global_cumsum_rows(
+    df: DataFrame, order_cols: list[str], token_col: str
+) -> DataFrame:
+    """Adds ``__cum``: the global ROWS-frame running sum of ``token_col``
+    in ``order_cols`` order, computed without a single-partition window —
+    the same two-phase plan as :func:`deterministic_shuffle`: pure-
+    function hash-range bucketing on the leading order column, per-bucket
+    partial sums to the driver (one tiny row per bucket), then local
+    windows plus broadcast prefix offsets. Equal leading-column values
+    never split across buckets, so bucket-local ROWS cumsums + offsets
+    equal the global cumsum exactly (ties within a bucket order by the
+    remaining columns)."""
+    staged, _k = _deterministic_range_pid(df, order_cols[0])
+    sums = {
+        r["__pid"]: r["s"]
+        for r in staged.groupBy("__pid")
+        .agg(F.sum(F.col(token_col)).alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += sums[pid] or 0
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "__pid int, __off long"
+        )
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w) + F.col("__off")
+    return (
+        staged.join(off_df, "__pid")
+        .withColumn("__cum", cum)
+        .drop("__pid", "__off")
+    )
+
+
+def mix_corpora(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    total_tokens: int,
+    key_col: str,
+    token_col: str,
+    seed: str = "",
+    source_col: str = "mix_source",
+) -> DataFrame:
+    """Compose a TRAINING MIXTURE from multiple corpora: source ``i``
+    contributes documents in ``md5(seed || name || key)`` order until its
+    share ``floor(weight_i / sum(weights) * total_tokens)`` of the token
+    budget fills — the "50% web, 30% books, 20% code" step of training-
+    data curation, with the same greedy boundary convention as
+    :func:`cap_tokens_per_group` (a row survives iff the tokens BEFORE it
+    fit its source's budget, so each source's first document always
+    survives and the boundary document may overshoot).
+
+    Per source the running total is the two-phase parallel cumsum
+    (:func:`_global_cumsum_rows` — no single-partition window), so every
+    source scans and fills in parallel; the union is by column NAME and
+    carries ``source_col``. ``key_col`` must be unique within each
+    source (hash-order ties are execution-dependent otherwise, as in
+    :func:`cap_tokens_per_group`). Deterministic given the seed —
+    auditable and SQL-replayable years later."""
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must have identical keys")
+    if not sources:
+        raise ValueError("at least one source required")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    if total_tokens < 1:
+        raise ValueError("total_tokens must be >= 1")
+    sum_w = float(sum(weights.values()))
+    parts = []
+    for name in sorted(sources):
+        df = sources[name]
+        budget = int(total_tokens * weights[name] / sum_w)
+        h = F.md5(
+            F.concat(
+                F.lit(seed), F.lit(name), F.col(key_col).cast("string")
+            )
+        )
+        staged = _global_cumsum_rows(
+            df.withColumn("__mixh", h), ["__mixh", key_col], token_col
+        )
+        parts.append(
+            staged.filter(
+                F.col("__cum") - F.col(token_col) < F.lit(budget)
+            )
+            .drop("__mixh", "__cum")
+            .withColumn(source_col, F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

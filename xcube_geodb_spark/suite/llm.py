@@ -1849,6 +1849,33 @@ def _bm25_join_oracle() -> str:
     """
 
 
+def corpus_mix_sources(spark, sf_dir):
+    """Token-weighted training mixture (functions/sampling.mix_corpora):
+    three pseudo-corpora (doc_id % 3) contribute documents in per-source
+    md5 hash order until their share of a 6000-char budget fills
+    (web 50% / books 30% / code 20% — the standard mixture-composition
+    step of training-data curation). Each source's running total is the
+    two-phase parallel cumsum (no single-partition window); the oracle
+    replays the per-source ROWS cumsum over the same hash order."""
+    from xcube_geodb_spark.functions.sampling import mix_corpora
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    srcs = {
+        "web": docs.filter(F.col("doc_id") % 3 == 0),
+        "books": docs.filter(F.col("doc_id") % 3 == 1),
+        "code": docs.filter(F.col("doc_id") % 3 == 2),
+    }
+    out = mix_corpora(
+        srcs,
+        {"web": 0.5, "books": 0.3, "code": 0.2},
+        total_tokens=6000,
+        key_col="doc_id",
+        token_col="n_chars",
+        seed="m1",
+    )
+    return out.select("doc_id", "mix_source")
+
+
 def corpus_cap_per_source(spark, sf_dir):
     """Per-domain document cap (functions/sampling.cap_per_group): at most
     40 docs per source, survivors chosen by md5 hash order — the
@@ -2269,6 +2296,28 @@ LLM_RETRIEVAL_ORACLES = {
             )
         ) WHERE cum - toks < 600
     """,
+    "corpus_mix_sources": """
+        SELECT doc_id, mix_source FROM (
+            SELECT doc_id, n_chars, mix_source,
+                   sum(n_chars) OVER (
+                       PARTITION BY mix_source
+                       ORDER BY md5('m1' || mix_source
+                                    || CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM (
+                SELECT doc_id, n_chars,
+                       CASE CAST(doc_id % 3 AS INT)
+                           WHEN 0 THEN 'web'
+                           WHEN 1 THEN 'books'
+                           ELSE 'code' END AS mix_source
+                FROM documents
+            )
+        ) WHERE cum - n_chars < CASE mix_source
+                                    WHEN 'web' THEN 3000
+                                    WHEN 'books' THEN 1800
+                                    ELSE 1200 END
+    """,
     "corpus_cap_per_source": """
         SELECT doc_id, source FROM (
             SELECT doc_id, source,
@@ -2432,6 +2481,7 @@ LLM_QUERIES = {
     "text_top_bigrams": text_top_bigrams,
     "text_unigram_nll": text_unigram_nll,
     "text_bigram_nll": text_bigram_nll,
+    "corpus_mix_sources": corpus_mix_sources,
     "corpus_cap_per_source": corpus_cap_per_source,
     "corpus_cap_tokens_per_source": corpus_cap_tokens_per_source,
     "corpus_shuffle": corpus_shuffle,
