@@ -659,3 +659,29 @@ class TestResidualSeedDegeneracy:
         )
         codes = {tuple(r["pq_code"]) for r in enc.select("pq_code").collect()}
         assert len(codes) > 1, "codes must discriminate between vectors"
+
+
+class TestResidualTinyTable:
+    def test_all_centroid_table_raises_not_degenerates(self, spark):
+        """A table whose every row seeded the coarse quantizer has only
+        zero residual seeds available — must raise, never silently build
+        an all-zero (non-discriminating) codebook."""
+        from pyspark.sql import types as T
+
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        rows = [
+            (int(i), [float(x) for x in rng.normal(size=64)])
+            for i in range(8)
+        ]
+        emb = spark.createDataFrame(
+            rows,
+            T.StructType([
+                T.StructField("vec_id", T.IntegerType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]),
+        )
+        cents = S.seed_centroids(emb, n_centroids=8)
+        with pytest.raises(ValueError, match="all zero"):
+            S.pq_codebooks_residual(emb, cents, 8, 8)

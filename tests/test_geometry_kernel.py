@@ -1611,6 +1611,18 @@ class TestBufferGeometry:
         rt = buffer_geometry(buffer_geometry(sq, -1.0, 8), 1.0, 8)
         assert area(rt) <= 16.0 + 1e-9
 
+    def test_sql_overerode_returns_null(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            "SELECT st_buffer(st_geomfromtext("
+            "'POLYGON((0 0,4 0,4 4,0 4,0 0))'), -2.5) AS g"
+        ).collect()[0]
+        assert row["g"] is None  # vanished, not AttributeError
+
     def test_sql_surface_polygon_buffer(self, spark):
         from xcube_geodb_spark.geometry.sqlfuncs import (
             register_spatial_sql_functions,

@@ -498,3 +498,8 @@ class TestMixCorpora:
             mix_corpora(src, {"a": 1.0, "b": 1.0}, 0, "doc_id", "toks")
         with pytest.raises(ValueError, match="at least one"):
             mix_corpora({}, {}, 100, "doc_id", "toks")
+        # a floored zero budget must fail loudly, not drop the source
+        with pytest.raises(ValueError, match="zero token budget"):
+            mix_corpora(
+                src, {"a": 1.0, "b": 30.0}, 20, "doc_id", "toks"
+            )

@@ -476,10 +476,21 @@ def mix_corpora(
     if total_tokens < 1:
         raise ValueError("total_tokens must be >= 1")
     sum_w = float(sum(weights.values()))
+    budgets = {
+        name: int(total_tokens * weights[name] / sum_w) for name in sources
+    }
+    starved = sorted(n for n, b in budgets.items() if b < 1)
+    if starved:
+        # a floored budget of 0 would silently drop the whole source,
+        # breaking the first-document-survives guarantee — fail loudly
+        raise ValueError(
+            f"total_tokens={total_tokens} gives source(s) {starved} a "
+            "zero token budget; raise total_tokens or drop the source"
+        )
     parts = []
     for name in sorted(sources):
         df = sources[name]
-        budget = int(total_tokens * weights[name] / sum_w)
+        budget = budgets[name]
         h = F.md5(
             F.concat(
                 F.lit(seed), F.lit(name), F.col(key_col).cast("string")

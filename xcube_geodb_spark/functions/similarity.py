@@ -734,6 +734,14 @@ def pq_codebooks_residual(
         v = [float(x) for x in r[vec_col]]
         c = centroids[_py_assign(v, centroids)]
         seeds.append([a - b for a, b in zip(v, c)])
+    if all(all(x == 0.0 for x in s) for s in seeds):
+        # tiny-table fallback can land back on the centroid rows, whose
+        # residuals are exactly zero — the degeneracy the skip exists to
+        # prevent; an all-zero codebook cannot discriminate, fail loudly
+        raise ValueError(
+            "residual codebook seeds are all zero (every seed row is a "
+            "coarse centroid); add data or pass explicit codebooks"
+        )
     dim = len(seeds[0])
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")

@@ -248,7 +248,10 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             return None
         from xcube_geodb_spark.geometry.overlay import buffer_geometry
 
-        return to_wkb(buffer_geometry(parse_wkb(b), float(radius)))
+        g = buffer_geometry(parse_wkb(b), float(radius))
+        # over-eroded polygon vanishes -> SQL NULL (PostGIS answers
+        # POLYGON EMPTY; documented deviation)
+        return to_wkb(g) if g is not None else None
 
     _register("st_buffer", _buffer, T.BinaryType())
 

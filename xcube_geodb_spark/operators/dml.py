@@ -370,11 +370,13 @@ def _touched_untouched(
     collection: str,
     database: str,
     query: str,
+    meta=None,
 ) -> tuple[list[str], list[str]]:
     """Partition manifest files into (maybe-touched, untouched) from the
     manifest's commit-time file stats (footer fallback for older commits)
     vs the filter's conjunctive interval constraints. Conservative:
-    anything unprovable counts as touched."""
+    anything unprovable counts as touched. ``meta`` reuses the caller's
+    already-rolled-forward snapshot (one metadata read per DML op)."""
     from xcube_geodb_spark.operators.pruning import (
         bloom_columns_needed,
         conjunctive_constraints,
@@ -383,7 +385,9 @@ def _touched_untouched(
     )
 
     constraints = conjunctive_constraints(query)
-    m = catalog.meta_for_write(collection, database)
+    m = meta if meta is not None else catalog.meta_for_write(
+        collection, database
+    )
     fts_idx = {
         i["property"]: i.get("dictionary", "english")
         for i in m.d.get("indexes", [])
@@ -423,7 +427,9 @@ def delete_from_collection(
     pq = parse_postgrest_query(query, schema=sch)
     if pq.predicate is None:
         raise GeoDBError("delete requires a filter query")
-    touched, untouched = _touched_untouched(catalog, collection, database, query)
+    touched, untouched = _touched_untouched(
+        catalog, collection, database, query, meta=m
+    )
     if not touched:
         return  # no file can contain matching rows: delete is a no-op
     df = catalog.load_files(collection, database, touched)
@@ -499,7 +505,9 @@ def update_collection(
     for k in values:
         if k not in schema:
             raise GeoDBError(f"Unknown property in update: {k!r}")
-    touched, untouched = _touched_untouched(catalog, collection, database, query)
+    touched, untouched = _touched_untouched(
+        catalog, collection, database, query, meta=m
+    )
     if not touched:
         return  # no file can contain matching rows: update is a no-op
     df = catalog.load_files(collection, database, touched)
