@@ -429,6 +429,33 @@ class TestQ5BroadcastHints:
         rows = {tuple(r) for r in df.collect()}
         assert rows  # still computes
 
+    def test_revenue_by_nation_hints_nation_only(self, spark):
+        """join_revenue_by_nation must carry exactly ONE forced hint
+        (nation, 25 rows); orders⋈customer is AQE-decided because
+        customer is SF-scaled and would OOM the build side at 100x."""
+        from xcube_geodb_spark.suite.core import join_revenue_by_nation
+
+        df = join_revenue_by_nation(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == 1, analyzed
+        # the single hint must sit on the nation scan, not customer
+        import re
+
+        hint_tail = analyzed[analyzed.index("ResolvedHint"):]
+        assert "nation" in hint_tail[:2000].lower()
+        rows = {tuple(r) for r in df.collect()}
+        assert rows
+
+    def test_q3_shipping_no_forced_hint(self, spark):
+        """join_q3_shipping's BUILDING-segment customer projection is
+        still SF-scaled — zero forced hints; AQE picks every strategy."""
+        from xcube_geodb_spark.suite.core import join_q3_shipping
+
+        df = join_q3_shipping(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == 0, analyzed
+        assert df.count() >= 0  # still computes
+
 
 class TestTokenCapPlan:
     def test_single_group_shuffle_no_python(self, spark):

@@ -448,9 +448,12 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
-    # dims broadcast: no shuffle of the fact table except the final group-by
+    # broadcast hint ONLY on the fixed-size dim (nation, 25 rows):
+    # customer scales with SF, so a forced broadcast would OOM the build
+    # side at large SF — AQE picks the orders⋈customer strategy from
+    # runtime sizes (broadcast at small SF, shuffle-hash beyond threshold)
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -462,7 +465,7 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def join_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): selective filters on both fact
-    tables pushed to their scans, customer dim broadcast, top-10 by
+    tables pushed to their scans, AQE-chosen customer join, top-10 by
     revenue -> TakeOrderedAndProject."""
     cutoff = "1995-03-15"
     cust = (
@@ -474,9 +477,11 @@ def join_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < cutoff
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    # no forced broadcast of cust: the BUILDING-segment projection is 1/5
+    # of customer and still SF-scaled — AQE picks the strategy at runtime
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
