@@ -229,7 +229,12 @@ class TestIvfPqRefine:
         refined = ann_ivfpq_topk_refined(
             cat, "emb_r", q, k=10, database="anndb", expand=3
         )
-        cand = ann_ivfpq_topk(cat, "emb_r", q, k=30, database="anndb")
+        # the default candidate stage widens the ADC scan by one coarse
+        # list (cand_extra_lists=1), so the reference candidate set is
+        # ADC top-30 at n_probe=3, not the probe's nominal 2
+        cand = ann_ivfpq_topk(
+            cat, "emb_r", q, k=30, database="anndb", n_probe=3
+        )
         cand_ids = {r["id"] for r in cand.collect()}
         full = cat.load_df("emb_r", "anndb")
         want = S.cosine_topk(
@@ -346,20 +351,63 @@ class TestAnnRecall:
             qvecs, exact,
             lambda v: ann_ivfpq_topk_refined(
                 cat, "emb_rec", v, k=self.K, database="anndb", n_probe=2,
-                expand=10,
             ),
         )
         # exact re-rank must strictly repair ADC quantization error
         assert refined > adc, (refined, adc)
-        assert refined >= 0.7, f"refined recall@10 regressed: {refined}"
+        # recall-tuned defaults (expand=20, candidate stage at np+1
+        # lists): floor raised 0.7 -> 0.8 per the r6 verdict order
+        assert refined >= 0.8, f"refined recall@10 regressed: {refined}"
         r4 = self._recall(
             qvecs, exact,
             lambda v: ann_ivfpq_topk_refined(
                 cat, "emb_rec", v, k=self.K, database="anndb", n_probe=4,
-                expand=10,
             ),
         )
         assert r4 >= 0.8, f"refined recall@10 n_probe=4 regressed: {r4}"
+
+    def test_residual_refined_recall_floor(self, spark, tmp_path):
+        """IVFADC-refined (residual codes, exact re-rank) floor-gated at
+        n_probe=2 on the structure-free fixture: the residual variant
+        scores below raw PQ here (residual norms exceed vector norms on
+        uniform-random data), so its floor is 0.7 vs raw's 0.8 — the
+        measured sf0.1 values are 0.77 (residual) / 0.82 (raw) at the
+        tuned defaults."""
+        from xcube_geodb_spark.operators.ann import ann_ivfpq_topk_refined
+
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        cents = [
+            [float(x) for x in c]
+            for c in S.ivf_centroids(emb, n_centroids=8)
+        ]
+        books = S.pq_codebooks_trained_residual(
+            emb, cents, n_subspaces=8, n_centroids=16
+        )
+        cat = _make_collection(
+            spark, str(tmp_path / "wh_resrec"), "emb_resrec", "ivfpq",
+            {"centroids": cents, "codebooks": books, "residual": True},
+        )
+        full = cat.load_df("emb_resrec", "anndb")
+        qvecs = [
+            [float(v) for v in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < self.N_QUERIES).collect()
+        ]
+        exact = {
+            i: {
+                r["id"]
+                for r in S.cosine_topk(
+                    full, v, self.K, vec_col="embedding", id_col="id"
+                ).collect()
+            }
+            for i, v in enumerate(qvecs)
+        }
+        r2 = self._recall(
+            qvecs, exact,
+            lambda v: ann_ivfpq_topk_refined(
+                cat, "emb_resrec", v, k=self.K, database="anndb", n_probe=2,
+            ),
+        )
+        assert r2 >= 0.7, f"ivfadc refined recall@10 regressed: {r2}"
 
 
 class TestTrainedCodebooks:
@@ -685,3 +733,74 @@ class TestResidualTinyTable:
         cents = S.seed_centroids(emb, n_centroids=8)
         with pytest.raises(ValueError, match="all zero"):
             S.pq_codebooks_residual(emb, cents, 8, 8)
+
+
+class TestMultiTableLsh:
+    """Standard L-table LSH (Gionis et al. 1999): union of the query's
+    bucket across independent hyperplane tables. Single-table recall on
+    this structure-free fixture is ~0.1-0.2 (p^b is tiny for b=8 when
+    neighbor cosines sit at 0.25-0.4) and multi-probe recovers little;
+    L independent tables give 1-(1-p^b)^L, measured ~0.74 at the
+    defaults (b=4, L=8). This is the r6-verdict recall floor gate."""
+
+    K = 10
+    N_QUERIES = 10
+
+    def _fixture(self, spark):
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        qvecs = [
+            [float(v) for v in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < self.N_QUERIES).collect()
+        ]
+        exact = [
+            {
+                r["vec_id"]
+                for r in S.cosine_topk(emb, v, self.K).collect()
+            }
+            for v in qvecs
+        ]
+        return emb, qvecs, exact
+
+    def _recall(self, emb, qvecs, exact, fn):
+        total = 0.0
+        for i, v in enumerate(qvecs):
+            got = {r["vec_id"] for r in fn(emb, v).collect()}
+            total += len(exact[i] & got) / self.K
+        return total / len(qvecs)
+
+    def test_recall_floor_and_beats_single_table(self, spark):
+        emb, qvecs, exact = self._fixture(spark)
+        multi = self._recall(
+            emb, qvecs, exact,
+            lambda df, v: S.lsh_multitable_topk(df, v, k=self.K),
+        )
+        single = self._recall(
+            emb, qvecs, exact,
+            lambda df, v: S.lsh_topk(df, v, k=self.K),
+        )
+        assert multi >= 0.6, f"multi-table recall@10 regressed: {multi}"
+        assert multi > single, (multi, single)
+
+    def test_recall_monotone_in_tables(self, spark):
+        """More tables = strict candidate superset = recall never drops
+        (same seed ladder, so table sets are nested by construction)."""
+        emb, qvecs, exact = self._fixture(spark)
+
+        def rec(n_tables):
+            return self._recall(
+                emb, qvecs, exact,
+                lambda df, v: S.lsh_multitable_topk(
+                    df, v, k=self.K, n_tables=n_tables
+                ),
+            )
+
+        r2, r4, r8 = rec(2), rec(4), rec(8)
+        assert r2 <= r4 <= r8, (r2, r4, r8)
+
+    def test_no_python_in_candidate_plan(self, spark):
+        """All L bucket ids are JVM codegen expressions over one scan —
+        the candidate filter must not fall back to a Python UDF."""
+        emb, qvecs, _ = self._fixture(spark)
+        df = S.lsh_multitable_topk(emb, qvecs[0], k=self.K)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan

@@ -523,10 +523,13 @@ def main() -> None:
                         cat, "e", v, k=k, database="anndb", n_probe=2
                     )
                 ),
+                # refined paths run at the recall-tuned defaults
+                # (expand=20, candidate stage probes n_probe+1 lists at
+                # code-only bytes): measured floors ivfpq >= 0.8,
+                # ivfadc >= 0.7 at np2 — gated in tests/test_ann_layout.py
                 "ivfpq_refined_np2": recall(
                     lambda v: ann_ivfpq_topk_refined(
                         cat, "e", v, k=k, database="anndb", n_probe=2,
-                        expand=10,
                     )
                 ),
                 # residual (IVFADC, trained coarse quantizer) — runs
@@ -542,7 +545,6 @@ def main() -> None:
                 "ivfadc_refined_np2": recall(
                     lambda v: ann_ivfpq_topk_refined(
                         cat, "eres", v, k=k, database="anndb", n_probe=2,
-                        expand=10,
                     ),
                     name="eres",
                 ),
@@ -559,6 +561,17 @@ def main() -> None:
                     lambda v: ann_topk(
                         cat, "elsh", v, k=k, database="anndb",
                         lsh_n_probe=3,
+                    ),
+                    name="elsh",
+                ),
+                # standard L-table LSH (8 independent 4-bit tables, union
+                # candidates): the recall repair for the single-table
+                # numbers above — floor-gated >= 0.6 in
+                # tests/test_ann_layout.py TestMultiTableLsh
+                "lsh_multitable": recall(
+                    lambda v: S.lsh_multitable_topk(
+                        cat.load_df("elsh", "anndb"), v, k=k,
+                        vec_col="embedding", id_col="id",
                     ),
                     name="elsh",
                 ),

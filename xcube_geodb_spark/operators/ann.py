@@ -235,35 +235,48 @@ def ann_ivfpq_topk_refined(
     database: str = "public",
     n_probe: int = 2,
     id_col: str = "id",
-    expand: int = 3,
+    expand: int = 20,
+    cand_extra_lists: int = 1,
 ) -> DataFrame:
     """Two-stage IVF-PQ probe with exact re-ranking — the standard recipe
     that recovers exact-metric ordering at PQ scan cost:
 
     1. ADC over the code-only scan selects ``k * expand`` candidates
-       (:func:`ann_ivfpq_topk` — file-pruned, never reads embeddings),
+       (:func:`ann_ivfpq_topk` — file-pruned, never reads embeddings).
+       The candidate stage probes ``n_probe + cand_extra_lists`` coarse
+       lists: code bytes are ~32x smaller than raw vectors, so widening
+       the CANDIDATE scan is nearly free while it lifts the coarse recall
+       ceiling the exact re-rank can reach (the raw-vector read below
+       stays bounded by the candidate id list either way),
     2. ONLY those candidate rows' raw embeddings are read back (an
        ``id IN (...)`` point-lookup over the probed files — pushed to the
        parquet scan, and one footer-pruned file on an id-clustered
        layout) and exact cosine re-ranks them to the final k.
 
     The candidate id list is k*expand values — driver-sized by
-    construction. Returns ``(id_col, cos_sim)`` descending."""
+    construction. The ``expand`` default (20) is recall-tuned: on the
+    structure-free sf0.1 fixture ADC ordering is noisy enough that true
+    neighbors routinely rank 100-200th among ~1900 probed rows, so
+    expand=10 measured recall@10 0.70/0.56 (raw/residual) while
+    expand=20 measures 0.82/0.77 — and the extra cost is only a wider
+    IN-list point lookup, not a wider scan. Returns
+    ``(id_col, cos_sim)`` descending."""
     from pyspark.sql import functions as F
 
     from xcube_geodb_spark.functions.similarity import cosine_topk
 
     if expand < 1:
         raise GeoDBError("expand must be >= 1")
+    n_probe_cand = n_probe + max(0, int(cand_extra_lists))
     cand = ann_ivfpq_topk(
         catalog, collection, query_vector, k=k * expand,
-        database=database, n_probe=n_probe, id_col=id_col,
+        database=database, n_probe=n_probe_cand, id_col=id_col,
     )
     ids = [r[id_col] for r in cand.collect()]
     m = catalog.meta(collection, database)
     idx = _ann_index(m, collection, database)
     touched, _ = ann_probe_files(
-        catalog, collection, query_vector, database, n_probe, meta=m
+        catalog, collection, query_vector, database, n_probe_cand, meta=m
     )
     rows = catalog.load_files(collection, database, touched, meta=m).filter(
         F.col(id_col).isin(ids)

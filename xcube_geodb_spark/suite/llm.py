@@ -573,6 +573,10 @@ def ann_ivfpq_refined(spark, sf_dir):
         n_probe=2,
         id_col="vec_id",
         expand=3,
+        # the DuckDB oracle replays ADC candidate selection at EXACTLY
+        # n_probe=2 / top-60 — pin the candidate stage to those semantics
+        # (the recall-tuned default widens it by one list)
+        cand_extra_lists=0,
     ).select("vec_id", "cos_sim")
 
 
@@ -657,6 +661,19 @@ def sim_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, _query_vector(spark, sf_dir), k=20)
 
 
+def ann_lsh_multitable(spark, sf_dir):
+    """Standard L-table LSH (Gionis et al. 1999): candidates are the
+    UNION of the query's sign bucket across 8 independent 4-bit
+    hyperplane tables, exact cosine top-20 over the union — the recall
+    repair for single-table LSH (recall@10 measured 0.12 single-table ->
+    ~0.74 here on the structure-free fixture). The oracle replays all 8
+    bucket equalities as an OR."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_multitable_topk(
+        emb, _query_vector(spark, sf_dir), k=20
+    ).select("vec_id", "cos_sim")
+
+
 def sim_ivf_topk(spark, sf_dir):
     """IVF ANN with the deterministic seed quantizer (lowest-id sample) so a
     plain-SQL oracle derives identical centroids and replays assignment +
@@ -692,14 +709,23 @@ _COS_EXPR = (
 _HP = similarity.lsh_hyperplanes(64, 8, 42)
 
 
-def _hp_bucket_sql(vec_expr: str) -> str:
+def _hp_bucket_sql_for(planes, vec_expr: str) -> str:
     return " || ".join(
         "CASE WHEN list_dot_product({v}, [{coefs}]) >= 0 "
         "THEN '1' ELSE '0' END".format(
             v=vec_expr, coefs=", ".join(f"{c:.1f}" for c in r)
         )
-        for r in _HP
+        for r in planes
     )
+
+
+def _hp_bucket_sql(vec_expr: str) -> str:
+    return _hp_bucket_sql_for(_HP, vec_expr)
+
+
+# the 8 independent 4-bit tables of the multi-table path (seed ladder
+# 42 + 7919*t), identical literals on both engines
+_MT_TABLES = similarity.lsh_table_hyperplanes(64, n_bits=4, n_tables=8)
 
 
 _LSH_BUCKET_V = _hp_bucket_sql("v")
@@ -791,6 +817,19 @@ LLM_SIM_ORACLES = {
         SELECT vec_id, {_COS_EXPR} AS cos_sim
         FROM s, q
         WHERE ({_hp_bucket_sql("v")}) = (SELECT {_hp_bucket_sql("qv")} FROM q)
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+    """,
+    # L-table LSH: candidate iff ANY of the 8 independent 4-bit tables
+    # agrees on the query's bucket — the OR replays the engine's union
+    "ann_lsh_multitable": f"""
+        {_COS_CTES}
+        SELECT vec_id, {_COS_EXPR} AS cos_sim
+        FROM s, q
+        WHERE {" OR ".join(
+            f"(({_hp_bucket_sql_for(t, 'v')}) = "
+            f"(SELECT {_hp_bucket_sql_for(t, 'qv')} FROM q))"
+            for t in _MT_TABLES
+        )}
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
     """,
     # the warehouse ANN path must produce the same logical result as the
@@ -2447,6 +2486,7 @@ LLM_QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "ann_index_topk": ann_index_topk,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
+    "ann_lsh_multitable": ann_lsh_multitable,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_refined": ann_ivfpq_refined,
     "ann_ivfpq_residual": ann_ivfpq_residual,
