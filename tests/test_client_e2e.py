@@ -130,6 +130,39 @@ class TestLifecycle:
         )
         assert len(df) == 4  # negated non-matching pattern keeps all rows
 
+    def test_pg_distinct_on(self, client, land_use):
+        # PG DISTINCT ON -> row_number window rewrite: first row per
+        # raba_id under the ORDER BY (ids 1,3 share raba_id 1410; the id
+        # tiebreak keeps 1)
+        df = client.get_collection_pg(
+            land_use,
+            select="DISTINCT ON (raba_id) raba_id, id",
+            order="raba_id, d_od DESC, id",
+        )
+        assert sorted(zip(df["raba_id"], df["id"])) == [
+            (1300.0, 2), (1410.0, 1), (7000.0, 4),
+        ]
+
+    def test_pg_distinct_on_star_and_where(self, client, land_use):
+        # the * spelling projects the collection columns back out (no
+        # helper row-number column) and WHERE applies BEFORE DISTINCT ON
+        df = client.get_collection_pg(
+            land_use,
+            select="DISTINCT ON (raba_id) *",
+            where="id >= 2",
+            order="raba_id, id",
+        )
+        assert "__geodb_rn" not in df.columns
+        assert sorted(df["id"]) == [2, 3, 4]
+
+    def test_pg_distinct_on_group_by_raises(self, client, land_use):
+        with pytest.raises(GeoDBError, match="DISTINCT ON"):
+            client.get_collection_pg(
+                land_use,
+                select="DISTINCT ON (raba_id) raba_id",
+                group="raba_id",
+            )
+
     def test_counts(self, client, land_use):
         assert client.count_collection_rows(land_use) == 4
         assert client.count_collection_rows(land_use, exact_count=True) == 4

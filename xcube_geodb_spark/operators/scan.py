@@ -299,6 +299,27 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     return "".join(parts)
 
 
+_DISTINCT_ON_RE = re.compile(r"\s*DISTINCT\s+ON\s*\(", re.IGNORECASE)
+
+
+def _split_distinct_on(select: str) -> tuple[str, str] | None:
+    """``DISTINCT ON (k1, k2) rest`` -> ``("k1, k2", "rest")`` with
+    balanced-paren scanning (keys may contain function calls); None when
+    the select list is not a DISTINCT ON form."""
+    m = _DISTINCT_ON_RE.match(select)
+    if not m:
+        return None
+    depth, i = 0, m.end() - 1
+    for i in range(m.end() - 1, len(select)):
+        if select[i] == "(":
+            depth += 1
+        elif select[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return select[m.end(): i].strip(), select[i + 1:].strip()
+    raise GeoDBError("Unbalanced parentheses in DISTINCT ON (...)")
+
+
 def build_pg_sql(
     table: str,
     select: str = "*",
@@ -307,14 +328,54 @@ def build_pg_sql(
     order: str | None = None,
     limit: int | None = None,
     offset: int | None = None,
+    columns: list[str] | None = None,
 ) -> str:
     """Clause-ordered SELECT built exactly like ``geodb_get_pg``
     (``geodb.sql:1147-1167``): SELECT -> WHERE -> GROUP -> ORDER -> LIMIT ->
-    OFFSET, with OFFSET emitted only when LIMIT is set."""
+    OFFSET, with OFFSET emitted only when LIMIT is set.
+
+    ``DISTINCT ON (keys) rest`` (the most common PG idiom Spark's parser
+    rejects — reference passthrough geodb.sql:1147-1167) rewrites to the
+    standard row_number window: first row per key group under the ORDER BY
+    (PG semantics: WHERE before DISTINCT ON; no ORDER BY -> arbitrary
+    group representative, here pinned to ORDER BY keys). The window
+    partitions on the keys, so Spark executes one hash shuffle on them —
+    no global sort, scale-equivalent to PG's sort-unique. ``columns`` (the
+    collection's column list, supplied by :func:`get_collection_pg`) is
+    required only for the ``DISTINCT ON (...) *`` spelling, to project the
+    helper row-number column back out."""
     select = _pg_clause_to_spark(select)
     where = _pg_clause_to_spark(where)
     group = _pg_clause_to_spark(group)
     order = _pg_clause_to_spark(order)
+    don = _split_distinct_on(select)
+    if don is not None:
+        keys, rest = don
+        rest = rest or "*"
+        if group:
+            raise GeoDBError(
+                "DISTINCT ON combined with GROUP BY is outside the pg "
+                "dialect shim (SURVEY.md §7)"
+            )
+        if rest.strip() == "*":
+            if not columns:
+                raise GeoDBError(
+                    "DISTINCT ON (...) * needs the collection column list "
+                    "(get_collection_pg supplies it; pass columns=... here)"
+                )
+            rest = ", ".join(columns)
+        inner = f"SELECT *, row_number() OVER (PARTITION BY {keys} " \
+                f"ORDER BY {order or keys}) AS __geodb_rn FROM {table}"
+        if where:
+            inner += f" WHERE {where}"
+        sql = f"SELECT {rest} FROM ({inner}) WHERE __geodb_rn = 1"
+        if order:
+            sql += f" ORDER BY {order}"
+        if limit is not None:
+            sql += f" LIMIT {int(limit)}"
+            if offset:
+                sql += f" OFFSET {int(offset)}"
+        return sql
     sql = f"SELECT {select} FROM {table}"
     if where:
         sql += f" WHERE {where}"
@@ -355,7 +416,10 @@ def get_collection_pg(
     view = _view_name(database, collection)
     df.createOrReplaceTempView(view)
     out = catalog.spark.sql(
-        build_pg_sql(view, select, where, group, order, limit, offset)
+        build_pg_sql(
+            view, select, where, group, order, limit, offset,
+            columns=list(df.columns),
+        )
     )
     if raise_empty and out.isEmpty():
         # parity with geodb.sql:1171-1175 ("Empty result")

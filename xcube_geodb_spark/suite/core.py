@@ -392,6 +392,21 @@ def pg_count_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def pg_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``DISTINCT ON`` through the dialect shim (the most common PG
+    idiom Spark's parser rejects — r6 verdict order 6): latest order per
+    customer, deterministic via the o_orderkey tiebreak. The shim rewrites
+    to a row_number window partitioned on the key (one hash shuffle, no
+    global sort); DuckDB runs the identical DISTINCT ON natively."""
+    register_views(spark, sf_dir, "orders")
+    sql = build_pg_sql(
+        "orders",
+        select="DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice",
+        order="o_custkey, o_orderdate DESC, o_orderkey",
+    )
+    return spark.sql(sql)
+
+
 def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact count from parquet footers only — the engine's estimate/count
     fast path (no full scan)."""
@@ -417,6 +432,11 @@ CORE_ORACLES_PG = {
     "pg_count_by_priority": """
         SELECT count(o_orderpriority) AS ct, o_orderpriority FROM orders
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "pg_distinct_on": """
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_custkey, o_orderdate DESC, o_orderkey
     """,
     "count_lineitem": "SELECT count(*) AS n_rows FROM lineitem",
 }
@@ -1457,6 +1477,7 @@ CORE_QUERIES = {
     "pg_groupby_q1": pg_groupby_q1,
     "pg_topk_orders": pg_topk_orders,
     "pg_count_by_priority": pg_count_by_priority,
+    "pg_distinct_on": pg_distinct_on,
     "pg_dialect_shim": pg_dialect_shim,
     "count_lineitem": count_lineitem,
     "join_revenue_by_nation": join_revenue_by_nation,
