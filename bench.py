@@ -265,11 +265,16 @@ def _bench_scaled(spark, sf_dir: str, repl: int = 10) -> dict:
 
 
 def _bench_chained_st(spark, sf_dir: str, timings: dict, reps: int) -> float:
-    """Chained st_* SQL over every square geometry: the path the
-    Arrow-batched registration + WKB parse cache (geometry/sqlfuncs,
-    geom.parse_wkb_cached) optimizes — each row's WKB feeds three
-    st_* calls; before r6 this ran row-at-a-time pickled Python with a
-    parse per call."""
+    """Chained st_* SQL over every square geometry, in BOTH spellings:
+
+    - ``geo_chained_st`` — the user-facing recipe: ``st_prepare(geometry)``
+      parses each WKB once into a struct column, the chained st_* calls
+      consume it via vectorized batch kernels (geometry/prepared.py),
+      bit-identical to the WKB path.
+    - ``geo_chained_st_raw`` — the same chain straight over WKB (per-call
+      parse-cache hits + output cache seeding), kept honest so the
+      prepared speedup is visible rather than silently replacing the
+      metric."""
     from xcube_geodb_spark.geometry.sqlfuncs import (
         register_spatial_sql_functions,
     )
@@ -277,7 +282,7 @@ def _bench_chained_st(spark, sf_dir: str, timings: dict, reps: int) -> float:
 
     register_spatial_sql_functions(spark)
     _squares(spark, sf_dir).createOrReplaceTempView("__bench_sq")
-    sql = (
+    raw = (
         "SELECT sum(st_area(st_intersection(geometry, "
         "st_makeenvelope(-90.0, -45.0, 90.0, 45.0)))) AS a, "
         "count(st_astext(st_centroid(geometry))) AS n "
@@ -285,14 +290,25 @@ def _bench_chained_st(spark, sf_dir: str, timings: dict, reps: int) -> float:
         "WHERE st_intersects("
         "'POLYGON((-120 -60,120 -60,120 60,-120 60,-120 -60))', geometry)"
     )
-    best = float("inf")
-    spark.sql(sql).collect()
-    for _ in range(reps):
-        t0 = time.perf_counter()
+    prep = (
+        "SELECT sum(st_area(st_intersection(g, "
+        "st_makeenvelope(-90.0, -45.0, 90.0, 45.0)))) AS a, "
+        "count(st_astext(st_centroid(g))) AS n "
+        "FROM (SELECT st_prepare(geometry) AS g FROM __bench_sq) "
+        "WHERE st_intersects("
+        "'POLYGON((-120 -60,120 -60,120 60,-120 60,-120 -60))', g)"
+    )
+    total = 0.0
+    for key, sql in (("geo_chained_st", prep), ("geo_chained_st_raw", raw)):
+        best = float("inf")
         spark.sql(sql).collect()
-        best = min(best, time.perf_counter() - t0)
-    timings["geo_chained_st"] = round(best, 3)
-    return best
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            spark.sql(sql).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 3)
+        total += best
+    return total
 
 
 def _bench_warehouse(spark, sf_dir: str, timings: dict) -> float:

@@ -170,7 +170,14 @@ class _Reader:
         arr = np.frombuffer(self.buf, dtype=dt, count=n * ndims, offset=self.pos)
         self.pos += nbytes
         arr = arr.reshape(n, ndims)
-        return np.ascontiguousarray(arr[:, :2], dtype=np.float64)
+        # explicit copy, never a view: (a) WKB payloads start at odd byte
+        # offsets, and numpy's SIMD reductions round differently on
+        # unaligned buffers — a copy pins one deterministic result for
+        # identical coordinates regardless of buffer offset (the prepared
+        # path in geometry/prepared.py relies on this to stay
+        # bit-identical with the WKB path); (b) the parse cache shares
+        # `parts` across callers, so no ring may alias the input buffer
+        return arr[:, :2].astype(np.float64, copy=True)
 
 
 def parse_wkb(buf: bytes) -> Geometry:
@@ -209,6 +216,24 @@ def parse_wkb_cached(buf: bytes) -> Geometry:
 
 def parse_wkb_hex(s: str) -> Geometry:
     return parse_wkb(bytes.fromhex(s))
+
+
+def to_wkb_seeded(
+    geom: Geometry, srid: int | None = None, wkb: bytes | None = None
+) -> bytes:
+    """:func:`to_wkb` that also SEEDS the parse cache with the geometry it
+    just serialized. Constructive st_* kernels (intersection, centroid,
+    buffer, ...) emit WKB that the next call in a chained expression
+    immediately re-parses — chained Python UDFs evaluate inside one
+    worker, so seeding turns that re-parse into a dict hit. ``wkb`` may
+    be supplied when the caller already built the buffer."""
+    if wkb is None:
+        wkb = to_wkb(geom, srid=srid)
+    use = (srid if srid is not None else geom.srid) or 0
+    _PARSE_CACHE[wkb] = Geometry(geom.kind, geom.parts, use)
+    if len(_PARSE_CACHE) > _PARSE_CACHE_MAX:
+        _PARSE_CACHE.popitem(last=False)
+    return wkb
 
 
 def to_wkb(geom: Geometry, srid: int | None = None, _nested: bool = False) -> bytes:
@@ -506,9 +531,16 @@ def envelope(geom: Geometry) -> tuple[float, float, float, float]:
 
 
 def _ring_shoelace(arr: np.ndarray) -> float:
-    """Signed double-area of a ring (positive = counter-clockwise)."""
+    """Signed double-area of a ring (positive = counter-clockwise).
+
+    Fixed summation order (in-ring pairs left to right, wrap pair last)
+    — the same order np.add.reduceat produces, so the vectorized batch
+    kernels in geometry/prepared.py are bit-identical to this one. Do
+    not rewrite with np.dot/np.roll: BLAS dot reorders the accumulation."""
     x, y = arr[:, 0], arr[:, 1]
-    return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    wrap = x[-1] * y[0] - x[0] * y[-1]
+    return _seq_sum(cross) + wrap
 
 
 def area(geom: Geometry) -> float:
@@ -526,8 +558,13 @@ def area(geom: Geometry) -> float:
 
 
 def _line_length(arr: np.ndarray) -> float:
-    d = np.diff(arr, axis=0)
-    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+    # sequential sum over CONTIGUOUS 1-D diffs: np.hypot's rounding
+    # differs between strided and contiguous SIMD paths, and the
+    # prepared-path batch kernel (contiguous flat arrays) must stay
+    # bit-identical to this one
+    x = np.ascontiguousarray(arr[:, 0])
+    y = np.ascontiguousarray(arr[:, 1])
+    return _seq_sum(np.hypot(x[1:] - x[:-1], y[1:] - y[:-1]))
 
 
 def length(geom: Geometry) -> float:
@@ -542,12 +579,44 @@ def length(geom: Geometry) -> float:
 
 def perimeter(geom: Geometry) -> float:
     """``ST_Perimeter``: total ring length of polygons (holes included);
-    0 for points and lines."""
+    0 for points and lines. Flat ring-by-ring accumulation (no per-part
+    subtotal) so the prepared-path batch kernel rounds identically."""
     total = 0.0
     for leaf in geom.children():
         if leaf.kind == "Polygon":
-            total += sum(_line_length(r) for r in leaf.parts)
+            for r in leaf.parts:
+                total += _line_length(r)
     return total
+
+
+def _ring_centroid_terms(ring: np.ndarray) -> tuple[float, float, float]:
+    """(signed 2A, 6*Cx*2A, 6*Cy*2A) for one closed-or-open ring, computed
+    in a FIXED summation order (in-ring pairs left to right, wrap pair
+    added last). The vectorized batch kernel in geometry/prepared.py
+    reproduces exactly this order via np.add.reduceat, so the prepared
+    path is bit-identical to the WKB path — do not \"simplify\" back to
+    np.roll + .sum(), whose unrolled accumulators round differently."""
+    x, y = ring[:, 0], ring[:, 1]
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    wrap = x[-1] * y[0] - x[0] * y[-1]
+    s = _seq_sum(cross) + wrap
+    cx = _seq_sum((x[:-1] + x[1:]) * cross) + (x[-1] + x[0]) * wrap
+    cy = _seq_sum((y[:-1] + y[1:]) * cross) + (y[-1] + y[0]) * wrap
+    return s, cx, cy
+
+
+def _seq_sum(a: np.ndarray) -> float:
+    """Float sum in np.add.reduceat's per-segment order (pairwise over
+    the segment, independent of the segment's offset in a larger array)
+    — the batch kernels in geometry/prepared.py sum ring segments with
+    reduceat over flat arrays, and the scalar kernels must round
+    identically. ``a`` must be contiguous float64."""
+    if not len(a):
+        return 0.0
+    return float(np.add.reduceat(a, _ZERO_IDX)[0])
+
+
+_ZERO_IDX = np.zeros(1, dtype=np.intp)
 
 
 def centroid(geom: Geometry) -> tuple[float, float]:
@@ -560,7 +629,7 @@ def centroid(geom: Geometry) -> tuple[float, float]:
     for leaf in geom.children():
         if leaf.kind == "Polygon":
             for i, ring in enumerate(leaf.parts):
-                s = _ring_shoelace(ring)
+                s, cx6, cy6 = _ring_centroid_terms(ring)
                 if s == 0.0:
                     # degenerate (zero-area) ring, e.g. a bowtie: it must
                     # carry zero weight, but its cx/cy moments can be
@@ -571,10 +640,8 @@ def centroid(geom: Geometry) -> tuple[float, float]:
                 # sign, so normalize by orient before applying shell/hole.
                 ring_sgn = 1.0 if i == 0 else -1.0
                 orient = 1.0 if s >= 0 else -1.0
-                x, y = ring[:, 0], ring[:, 1]
-                cross = x * np.roll(y, -1) - np.roll(x, -1) * y
-                cx = float(((x + np.roll(x, -1)) * cross).sum()) / 6.0
-                cy = float(((y + np.roll(y, -1)) * cross).sum()) / 6.0
+                cx = cx6 / 6.0
+                cy = cy6 / 6.0
                 a_sum += abs(s) / 2.0 * ring_sgn
                 ax += cx * orient * ring_sgn
                 ay += cy * orient * ring_sgn
@@ -987,10 +1054,15 @@ def clip_by_box(geom: Geometry, box: tuple) -> Geometry | None:
                 continue
             t0, t1 = clip
             ax, ay = float(coords[i, 0]), float(coords[i, 1])
-            dx = float(coords[i + 1, 0]) - ax
-            dy = float(coords[i + 1, 1]) - ay
-            px, py = ax + t0 * dx, ay + t0 * dy
-            qx, qy = ax + t1 * dx, ay + t1 * dy
+            bx2, by2 = float(coords[i + 1, 0]), float(coords[i + 1, 1])
+            dx, dy = bx2 - ax, by2 - ay
+            # reuse the ORIGINAL endpoints at t==0/1: recomputing
+            # ax + 1.0*dx drifts an ulp, which used to split a fully
+            # inside polyline into per-segment fragments
+            px, py = (ax, ay) if t0 == 0.0 else (ax + t0 * dx, ay + t0 * dy)
+            qx, qy = (
+                (bx2, by2) if t1 == 1.0 else (ax + t1 * dx, ay + t1 * dy)
+            )
             if cur and cur[-1] == (px, py):
                 cur.append((qx, qy))
             else:
@@ -1025,9 +1097,17 @@ def clip_by_box(geom: Geometry, box: tuple) -> Geometry | None:
         return Geometry("Polygon", rings, geom.srid)
 
     if geom.kind in _MULTI_KINDS or geom.kind == "GeometryCollection":
-        kept = [
-            c for g in geom.parts if (c := clip_by_box(g, bx)) is not None
-        ]
+        kept = []
+        for child in geom.parts:
+            c = clip_by_box(child, bx)
+            if c is None:
+                continue
+            if c.kind in _MULTI_KINDS and geom.kind != "GeometryCollection":
+                # a clipped line can split into a MultiLineString: flatten
+                # so a Multi* never nests another Multi* (WKT/WKB model)
+                kept.extend(c.parts)
+            else:
+                kept.append(c)
         if not kept:
             return None
         return Geometry(geom.kind, kept, geom.srid)

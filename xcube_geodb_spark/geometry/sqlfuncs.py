@@ -56,7 +56,7 @@ from xcube_geodb_spark.geometry.geom import (
     geometry_type_wkb,
     parse_wkb_cached as parse_wkb,
     parse_wkt,
-    to_wkb,
+    to_wkb_seeded,
     to_wkt,
 )
 from xcube_geodb_spark.errors import GeoDBError
@@ -93,13 +93,22 @@ def _pylist(c: pd.Series) -> list:
     ]
 
 
-def _vec(fn, ret: T.DataType):
+def _vec(fn, ret: T.DataType, prep=None):
     """Arrow-batched wrapper around a scalar kernel: one pandas_udf call
     per batch, the kernel applied element-wise inside it. This keeps the
     (audited, shared-with-the-engine) scalar kernels as the single source
     of truth while moving serialization from per-value pickle to Arrow
     columns — the per-row Python remains, the per-row *boundary cost*
-    does not."""
+    does not.
+
+    PREPARED input (st_prepare struct columns arrive as pd.DataFrame
+    batches): ``prep``, when given, is a batch-vectorized implementation
+    tried first — it returns the result Series, or None when the argument
+    pattern is outside its fast path. Whatever prep declines (and every
+    function without a prep impl) goes through the GENERIC bridge:
+    struct -> Geometry -> WKB with the parse cache seeded, so the
+    unchanged scalar kernel runs parse-free. One mechanism makes the
+    whole st_* surface prepared-aware."""
     if isinstance(ret, T.DoubleType):
         dtype = "float64"
     elif isinstance(ret, T.IntegerType):
@@ -109,6 +118,19 @@ def _vec(fn, ret: T.DataType):
 
     @pandas_udf(ret)
     def v(*cols: pd.Series) -> pd.Series:
+        if any(isinstance(c, pd.DataFrame) for c in cols):
+            if prep is not None:
+                out = prep(*cols)
+                if out is not None:
+                    return out
+            from xcube_geodb_spark.geometry.prepared import prep_to_wkb_list
+
+            cols = tuple(
+                pd.Series(prep_to_wkb_list(c), dtype="object")
+                if isinstance(c, pd.DataFrame)
+                else c
+                for c in cols
+            )
         args = [_pylist(c) for c in cols]
         return pd.Series([fn(*row) for row in zip(*args)], dtype=dtype)
 
@@ -125,8 +147,37 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         return
     _REGISTERED.add(key)
 
-    def _register(name: str, fn, ret: T.DataType) -> None:
-        spark.udf.register(name, _vec(fn, ret))
+    def _register(name: str, fn, ret: T.DataType, prep=None) -> None:
+        spark.udf.register(name, _vec(fn, ret, prep=prep))
+
+    # --- prepared-geometry support (geometry/prepared.py) -----------------
+    from xcube_geodb_spark.geometry import prepared as _pp
+
+    @pandas_udf(_pp.PREP_SCHEMA)
+    def _st_prepare(b: pd.Series) -> pd.DataFrame:
+        return _pp.prepare_series(b)
+
+    spark.udf.register("st_prepare", _st_prepare)
+
+    def _prep1(vfn):
+        """Single-geometry-arg vectorized dispatch."""
+        def p(*cols):
+            if len(cols) == 1 and isinstance(cols[0], pd.DataFrame):
+                return vfn(cols[0])
+            return None
+        return p
+
+    def _const_of(series: pd.Series):
+        """The single constant value of a per-row-identical argument
+        column, or None when the column varies or has nulls."""
+        vals = series.tolist()
+        if not vals or vals[0] is None:
+            return None
+        first = vals[0]
+        for v in vals[1:]:
+            if v is None or v != first:
+                return None
+        return first
 
     _register(
         "st_astext", lambda b: to_wkt(parse_wkb(b)) if b is not None else None,
@@ -134,7 +185,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     )
     _register(
         "st_geomfromtext",
-        lambda s: to_wkb(parse_wkt(s)) if s is not None else None,
+        lambda s: to_wkb_seeded(parse_wkt(s)) if s is not None else None,
         T.BinaryType(),
     )
 
@@ -154,7 +205,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
         from xcube_geodb_spark.geometry.geom import from_geojson
 
-        return to_wkb(from_geojson(_json.loads(s)))
+        return to_wkb_seeded(from_geojson(_json.loads(s)))
 
     _register("st_asgeojson", _as_geojson, T.StringType())
     _register("st_geomfromgeojson", _from_geojson, T.BinaryType())
@@ -168,7 +219,23 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             name,
             (lambda i: lambda b: envelope(parse_wkb(b))[i] if b is not None else None)(i),
             T.DoubleType(),
+            prep=_prep1(
+                (lambda i: lambda pdf: _pp.v_envelope_bound(pdf, i))(i)
+            ),
         )
+
+    def _prep_pred(mode):
+        def p(bbox_col, geom_col):
+            if not isinstance(geom_col, pd.DataFrame) or isinstance(
+                bbox_col, pd.DataFrame
+            ):
+                return None
+            const = _const_of(bbox_col)
+            if not isinstance(const, str):
+                return None
+            return _pp.v_box_predicate(mode, _box_of_wkt(const), geom_col)
+        return p
+
     for mode in (
         "within",
         "contains",
@@ -179,7 +246,10 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         "disjoint",
         "equals",
     ):
-        _register(f"st_{mode}", _pred(mode), T.BooleanType())
+        _register(
+            f"st_{mode}", _pred(mode), T.BooleanType(),
+            prep=_prep_pred(mode),
+        )
     # NOTE: do NOT import to_wkb here — a function-local rebinding would turn
     # the module-global reference in the lambdas ABOVE into an (empty-at-
     # registration) closure cell, which Spark pickles eagerly.
@@ -187,22 +257,24 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     from xcube_geodb_spark.geometry.geom import Geometry as _G
     import numpy as _np
 
-    for name, fn in (
-        ("st_area", area),
-        ("st_length", length),
-        ("st_perimeter", perimeter),
+    for name, fn, vfn in (
+        ("st_area", area, _pp.v_area),
+        ("st_length", length, _pp.v_length),
+        ("st_perimeter", perimeter, _pp.v_perimeter),
     ):
         _register(
             name,
             (lambda fn: lambda b: fn(parse_wkb(b)) if b is not None else None)(fn),
             T.DoubleType(),
+            prep=_prep1(vfn),
         )
     _register(
         "st_centroid",
-        lambda b: to_wkb(_G("Point", _np.array(centroid(parse_wkb(b)))))
+        lambda b: to_wkb_seeded(_G("Point", _np.array(centroid(parse_wkb(b)))))
         if b is not None
         else None,
         T.BinaryType(),
+        prep=_prep1(_pp.v_centroid_wkb),
     )
     _register(
         "st_x",
@@ -251,7 +323,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         g = buffer_geometry(parse_wkb(b), float(radius))
         # over-eroded polygon vanishes -> SQL NULL (PostGIS answers
         # POLYGON EMPTY; documented deviation)
-        return to_wkb(g) if g is not None else None
+        return to_wkb_seeded(g) if g is not None else None
 
     _register("st_buffer", _buffer, T.BinaryType())
 
@@ -261,7 +333,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         if b is None or tolerance is None:
             return None
         out = simplify(parse_wkb(b), float(tolerance))
-        return to_wkb(out) if out is not None else None
+        return to_wkb_seeded(out) if out is not None else None
 
     _register("st_simplify", _simplify, T.BinaryType())
 
@@ -271,7 +343,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         if b is None:
             return None
         out = convex_hull(parse_wkb(b))
-        return to_wkb(out) if out is not None else None
+        return to_wkb_seeded(out) if out is not None else None
 
     _register("st_convexhull", _convexhull, T.BinaryType())
 
@@ -352,7 +424,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         )
         from xcube_geodb_spark.geometry.geom import Geometry as __G
 
-        return to_wkb(__G("Point", __np.array([x, y]), g.srid))
+        return to_wkb_seeded(__G("Point", __np.array([x, y]), g.srid))
 
     _register("st_project", _project, T.BinaryType())
 
@@ -365,7 +437,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     def _makepoint(x, y):
         if x is None or y is None:
             return None
-        return to_wkb(_Geometry("Point", _np.array([float(x), float(y)])))
+        return to_wkb_seeded(_Geometry("Point", _np.array([float(x), float(y)])))
 
     _register("st_makepoint", _makepoint, T.BinaryType())
     _register("st_point", _makepoint, T.BinaryType())
@@ -375,7 +447,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             return None
         g = parse_wkb(b)
         g.srid = int(srid)
-        return to_wkb(g, srid=int(srid))
+        return to_wkb_seeded(g, srid=int(srid))
 
     _register("st_setsrid", _setsrid, T.BinaryType())
 
@@ -401,7 +473,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         if None in (xmin, ymin, xmax, ymax):
             return None
         g = bbox_polygon(float(xmin), float(ymin), float(xmax), float(ymax))
-        return to_wkb(g, srid=int(srid) if srid else None)
+        return to_wkb_seeded(g, srid=int(srid) if srid else None)
 
     _register("st_makeenvelope", _makeenvelope, T.BinaryType())
 
@@ -411,7 +483,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         if b is None or env is None:
             return None
         out = clip_by_box(parse_wkb(b), envelope(parse_wkb(env)))
-        return to_wkb(out) if out is not None else None
+        return to_wkb_seeded(out) if out is not None else None
 
     _register("st_clipbybox2d", _clipbybox2d, T.BinaryType())
 
@@ -428,7 +500,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         out = map_coordinates(
             parse_wkb(b), lambda x, y: (round(x / s) * s, round(y / s) * s)
         )
-        return to_wkb(out)
+        return to_wkb_seeded(out)
 
     _register("st_snaptogrid", _snaptogrid, T.BinaryType())
 
@@ -438,7 +510,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         which degrades to POINT/LINESTRING — documented deviation)."""
         if b is None:
             return None
-        return to_wkb(bbox_polygon(*envelope(parse_wkb(b))))
+        return to_wkb_seeded(bbox_polygon(*envelope(parse_wkb(b))))
 
     _register("st_envelope", _envelope_poly, T.BinaryType())
 
@@ -448,7 +520,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             return None
         xmin, ymin, xmax, ymax = envelope(parse_wkb(b))
         d = float(dist)
-        return to_wkb(bbox_polygon(xmin - d, ymin - d, xmax + d, ymax + d))
+        return to_wkb_seeded(bbox_polygon(xmin - d, ymin - d, xmax + d, ymax + d))
 
     _register("st_expand", _expand, T.BinaryType())
 
@@ -479,9 +551,34 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             from xcube_geodb_spark.geometry.overlay import overlay
 
             out = overlay(ga, gb, "intersection")
-        return to_wkb(out) if out is not None else None
+        return to_wkb_seeded(out) if out is not None else None
 
-    _register("st_intersection", _intersection, T.BinaryType())
+    def _prep_intersection(a, b):
+        """st_intersection(prepared, constant-rectangle): vectorized
+        envelope triage (pass-through / NULL / clip only the straddlers)
+        — see prepared.v_clip_rect_wkb. Any other pattern bridges."""
+        if isinstance(a, pd.DataFrame) and not isinstance(b, pd.DataFrame):
+            const = _const_of(b)
+            if const is not None:
+                gb = parse_wkb(
+                    const if isinstance(const, bytes) else bytes(const)
+                )
+                if _is_rect(gb):
+                    return _pp.v_clip_rect_wkb(a, envelope(gb))
+        elif isinstance(b, pd.DataFrame) and not isinstance(a, pd.DataFrame):
+            const = _const_of(a)
+            if const is not None:
+                ga = parse_wkb(
+                    const if isinstance(const, bytes) else bytes(const)
+                )
+                if _is_rect(ga):
+                    return _pp.v_clip_rect_wkb(b, envelope(ga))
+        return None
+
+    _register(
+        "st_intersection", _intersection, T.BinaryType(),
+        prep=_prep_intersection,
+    )
 
     def _overlay_udf(op: str):
         from xcube_geodb_spark.geometry.overlay import overlay
@@ -496,7 +593,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
                     return a
                 return None
             out = overlay(parse_wkb(a), parse_wkb(b), op)
-            return to_wkb(out) if out is not None else None
+            return to_wkb_seeded(out) if out is not None else None
 
         return f
 
@@ -517,7 +614,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
             lambda x, y: transform_point(x, y, int(from_srid), int(to_srid)),
         )
         out.srid = int(to_srid)
-        return to_wkb(out)
+        return to_wkb_seeded(out)
 
     _register("st_transform", _transform, T.BinaryType())
 
@@ -560,7 +657,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         i = n - 1 if n > 0 else k + n
         if not 0 <= i < k:
             return None
-        return to_wkb(_Geometry("Point", g.parts[i].copy(), g.srid))
+        return to_wkb_seeded(_Geometry("Point", g.parts[i].copy(), g.srid))
 
     _register("st_pointn", _line_point, T.BinaryType())
     _register(
@@ -576,7 +673,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         g = parse_wkb(b)
         if g.kind != "Polygon":
             return None
-        return to_wkb(_Geometry("LineString", g.parts[0].copy(), g.srid))
+        return to_wkb_seeded(_Geometry("LineString", g.parts[0].copy(), g.srid))
 
     _register("st_exteriorring", _exteriorring, T.BinaryType())
 
@@ -597,7 +694,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         g = parse_wkb(b)
         if g.kind != "Polygon" or n >= len(g.parts):
             return None
-        return to_wkb(_Geometry("LineString", g.parts[n].copy(), g.srid))
+        return to_wkb_seeded(_Geometry("LineString", g.parts[n].copy(), g.srid))
 
     _register("st_interiorringn", _interiorringn, T.BinaryType())
 
@@ -613,7 +710,7 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         return _Geometry(g.kind, [_reverse_geom(c) for c in g.parts], g.srid)
 
     def _reverse(b):
-        return to_wkb(_reverse_geom(parse_wkb(b))) if b is not None else None
+        return to_wkb_seeded(_reverse_geom(parse_wkb(b))) if b is not None else None
 
     _register("st_reverse", _reverse, T.BinaryType())
 
@@ -622,6 +719,6 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     def _flip(b):
         if b is None:
             return None
-        return to_wkb(_mapc(parse_wkb(b), lambda x, y: (y, x)))
+        return to_wkb_seeded(_mapc(parse_wkb(b), lambda x, y: (y, x)))
 
     _register("st_flipcoordinates", _flip, T.BinaryType())

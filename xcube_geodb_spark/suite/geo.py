@@ -626,6 +626,48 @@ GEO_ORACLES["geo_clip_squares"] = f"""
 """
 
 
+def geo_prepared_chain(spark, sf_dir):
+    """The PREPARED-geometry chain (geometry/prepared.py): st_prepare
+    parses each WKB once into a flattened-arrays struct; the chained
+    st_* calls consume the struct (vectorized batch kernels +
+    cache-seeded bridge) and produce BIT-IDENTICAL results to the WKB
+    path — this gate replays the same closed-form square algebra as
+    geo_clip_squares / geo_measures_squares on top of the prepared
+    column, covering predicate, overlay, measure, and accessor consumers
+    in one expression tree."""
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("sq_prep")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               round(st_area(st_intersection(
+                   g, st_makeenvelope(-50.0, -30.0, 50.0, 30.0))), 6)
+                   AS clip_area,
+               round(st_x(st_centroid(g)), 6) AS cx,
+               round(st_y(st_centroid(g)), 6) AS cy
+        FROM (SELECT c_custkey, st_prepare(geometry) AS g FROM sq_prep)
+        WHERE st_intersects(
+            'POLYGON((-120 -60,120 -60,120 60,-120 60,-120 -60))', g)
+        """
+    ).filter("clip_area > 0")
+
+
+GEO_ORACLES["geo_prepared_chain"] = f"""
+    SELECT c_custkey, round(ix * iy, 6) AS clip_area,
+           round(x, 6) AS cx, round(y, 6) AS cy
+    FROM (
+        SELECT c_custkey, x, y,
+               least(50.0, x + h) - greatest(-50.0, x - h) AS ix,
+               least(30.0, y + h) - greatest(-30.0, y - h) AS iy
+        FROM ({_SQS})
+        WHERE x - h <= 120 AND x + h >= -120
+          AND y - h <= 60 AND y + h >= -60
+    ) WHERE ix > 0 AND iy > 0 AND round(ix * iy, 6) > 0
+"""
+
+
 def geo_collect_points(spark, sf_dir):
     """ST_Collect parity (functions/geo_agg.collect_points_wkt): per-group
     MULTIPOINT WKT assembled from pure column algebra — decimal-formatted
@@ -1086,6 +1128,7 @@ GEO_QUERIES = {
     "geo_distance_sphere": geo_distance_sphere,
     "geo_collect_points": geo_collect_points,
     "geo_clip_squares": geo_clip_squares,
+    "geo_prepared_chain": geo_prepared_chain,
     "geo_knn_warehouse": geo_knn_warehouse,
     "geo_transform_points": geo_transform_points,
     "geo_bbox_contains_points": geo_bbox_contains_points,
