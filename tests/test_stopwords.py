@@ -61,11 +61,47 @@ class TestQueryElision:
         assert _ids(docs, "text=not.fts(english).the") == [1, 2, 3, 4, 5]
 
     def test_phrase_elision_consecutive_after_removal(self, docs):
-        # 'the cat sat' -> phrase [cat, sat]: doc 1 tokens after elision
-        # are [cat, sat, mat] -> consecutive match
+        # 'the cat sat' -> 'cat <-> sat' (adjacent in the query): doc 1
+        # has cat@1 sat@2 -> match
         assert _ids(docs, "text=phfts(english).the cat sat") == [1]
-        # [cat, flap] consecutive in doc 5
+        # 'a cat flap' -> 'cat <-> flap': doc 5 cat@0 flap@1
         assert _ids(docs, "text=phfts(english).a cat flap") == [5]
+
+    def test_phrase_gap_semantics_pg_parity(self, spark):
+        # PG: phraseto_tsquery('english','the cat on the mat') =
+        # 'cat <3> mat' — mat must sit exactly 3 positions after cat,
+        # and ANY token may fill the gap.
+        gap_docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),   # cat@1 mat@5: dist 4 -> no
+                (2, "cat naps near the mat"),    # cat@0 mat@4: dist 4 -> no
+                (3, "a cat got on a mat"),       # cat@1 mat@5: dist 4 -> no
+                (4, "cat lay down the mat"),     # cat@0 mat@4: dist 4 -> no
+                (5, "the cat big dog mat here"), # cat@1 mat@4: dist 3 -> YES
+                                                 # (non-stopwords in gap)
+                (6, "cat on the mat"),           # cat@0 mat@3: dist 3 -> YES
+                (7, "cat mat"),                  # dist 1 -> no
+            ],
+            "doc_id long, text string",
+        )
+        got = _ids(gap_docs, "text=phfts(english).the cat on the mat")
+        assert got == [5, 6], got
+        # the old (pre-gap) behavior matched the stopword-FILTERED stream
+        # consecutively, which would have accepted docs 6 AND 7 and
+        # rejected 5 — this pins the PG-parity change
+        from xcube_geodb_spark.functions.retrieval import (
+            phrase_docs_from_index,
+            positional_index,
+        )
+
+        pidx = positional_index(gap_docs, stemmed=True)
+        via_idx = sorted(
+            r.doc_id
+            for r in phrase_docs_from_index(
+                pidx, "the cat on the mat", stemmed=True
+            ).collect()
+        )
+        assert via_idx == got
 
     def test_simple_dictionary_unaffected(self, docs):
         assert _ids(docs, "text=fts.the%26cat") == [1]

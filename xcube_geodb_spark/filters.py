@@ -283,6 +283,7 @@ def _fts(c: Column, op: str, value: str, lang: str | None = None) -> Column:
     no elision."""
     stemmed = lang in _STEM_DICTS
     toks = _fts_tokens(c)
+    toks_all = toks  # unfiltered stream: phrase gaps need ORIGINAL positions
     if stemmed:
         from xcube_geodb_spark.functions.porter import porter_col, porter_py
         from xcube_geodb_spark.functions.stopwords import (
@@ -335,10 +336,48 @@ def _fts(c: Column, op: str, value: str, lang: str | None = None) -> Column:
     if op == "phfts":
         if not _fts_norm(value):
             raise GeoDBError(f"Empty phrase in phfts filter: {value!r}")
-        ph = norm_words(value)
-        if not ph:
+        if not stemmed:
+            return phrase_match(norm_words(value))
+        # PG phrase semantics with stopword elision: elided stopwords
+        # leave POSITIONAL GAPS ('the cat in the hat' -> 'cat <3> hat'),
+        # i.e. the surviving terms must sit at the same original-stream
+        # distances — ANY token (stopword or not) may occupy the gap
+        # positions. Matched as a regex over the original token stream
+        # with non-stopwords stemmed in place (stopword tokens stay as
+        # position fillers only a gap wildcard can consume); tokens are
+        # [a-z0-9]+ so the generated pattern needs no escaping.
+        from xcube_geodb_spark.functions.porter import porter_col as _pcol
+
+        words = _fts_norm(value).split(" ")
+        kept = [
+            (i, porter_py(w))
+            for i, w in enumerate(words)
+            if w not in ENGLISH_STOPWORDS
+        ]
+        if not kept:
             return F.lit(False)  # all-stopword phrase: empty tsquery
-        return phrase_match(ph)
+        # NOTE: no consecutive-in-filtered-stream shortcut even for a
+        # stopword-free QUERY — the DOCUMENT side's positions are
+        # original-stream too, so 'window <-> function' must NOT match
+        # "window the function" (PG rejects it: tsvector positions are
+        # pre-elision)
+        stream = F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.transform(
+                    toks_all,
+                    lambda t: F.when(t.isin(stop_list), t).otherwise(
+                        _pcol(t)
+                    ),
+                ),
+                " ",
+            ),
+            F.lit(" "),
+        )
+        pat = " " + kept[0][1]
+        for (i_prev, _), (i_cur, w) in zip(kept, kept[1:]):
+            pat += "(?: [a-z0-9]+){%d} %s" % (i_cur - i_prev - 1, w)
+        return stream.rlike(pat + " ")
     if op == "plfts":
         out = conj([term(w) for w in _fts_norm(value).split(" ")])
         return out if out is not None else F.lit(False)

@@ -703,16 +703,41 @@ def positional_index(
             ENGLISH_STOPWORDS_SORTED,
         )
 
-        # elide then stem: positions are offsets in the stopword-FREE
-        # token stream, matching the scan's phrase matcher exactly
+        # elide then stem, but positions stay offsets in the ORIGINAL
+        # token stream — exactly what PG stores in the tsvector, and
+        # what phrase gap matching ('cat <3> hat') needs; dl remains the
+        # count of INDEXED (post-elision) tokens, the BM25-relevant
+        # length
         stop = list(ENGLISH_STOPWORDS_SORTED)
-        toks = F.filter(toks, lambda t: ~t.isin(stop))
-        toks = F.transform(toks, porter_col)
-    base = docs.select(F.col(id_col), toks.alias("__t")).select(
-        F.col(id_col),
-        F.size("__t").alias("dl"),
-        F.posexplode("__t").alias("pos", "token"),
-    )
+        indexed = F.filter(
+            F.transform(
+                toks,
+                lambda t, i: F.struct(i.alias("pos"), t.alias("token")),
+            ),
+            lambda s: ~s["token"].isin(stop),
+        )
+        indexed = F.transform(
+            indexed,
+            lambda s: F.struct(
+                s["pos"].alias("pos"),
+                porter_col(s["token"]).alias("token"),
+            ),
+        )
+        base = docs.select(F.col(id_col), indexed.alias("__s")).select(
+            F.col(id_col),
+            F.size("__s").alias("dl"),
+            F.explode("__s").alias("__e"),
+        ).select(
+            F.col(id_col), "dl",
+            F.col("__e.pos").alias("pos"),
+            F.col("__e.token").alias("token"),
+        )
+    else:
+        base = docs.select(F.col(id_col), toks.alias("__t")).select(
+            F.col(id_col),
+            F.size("__t").alias("dl"),
+            F.posexplode("__t").alias("pos", "token"),
+        )
     return base.groupBy("token", id_col, "dl").agg(
         F.count(F.lit(1)).alias("tf"),
         F.array_sort(F.collect_list("pos")).alias("positions"),
@@ -749,14 +774,23 @@ def phrase_docs_from_index(
         from xcube_geodb_spark.functions.porter import porter_py
         from xcube_geodb_spark.functions.stopwords import ENGLISH_STOPWORDS
 
-        # elide stopwords exactly as the scan's phrase matcher does (the
-        # positional index stores offsets in the stopword-free stream);
-        # an all-stopword phrase is the empty tsquery: matches nothing
-        words = [
-            porter_py(w) for w in words if w not in ENGLISH_STOPWORDS
+        # PG gap semantics: elided stopwords keep their positions, so the
+        # surviving terms carry their ORIGINAL query offsets ('the cat in
+        # the hat' -> cat@1, hat@4 -> 'cat <3> hat'); the positional
+        # index stores original-stream positions, making the shifted-
+        # array intersection below match at exactly those distances. An
+        # all-stopword phrase is the empty tsquery: matches nothing.
+        kept = [
+            (i, porter_py(w))
+            for i, w in enumerate(words)
+            if w not in ENGLISH_STOPWORDS
         ]
-        if not words:
+        if not kept:
             return postings.select(id_col).filter(F.lit(False)).distinct()
+        offsets = [i - kept[0][0] for i, _ in kept]
+        words = [w for _, w in kept]
+    else:
+        offsets = list(range(len(words)))
     sub = postings.filter(F.col("token").isin(list(set(words))))
     per_doc = sub.groupBy(id_col).agg(
         *[
@@ -779,7 +813,7 @@ def phrase_docs_from_index(
     common = F.col("__p0")
     for i in range(1, len(words)):
         cond = cond & F.col(f"__p{i}").isNotNull()
-        common = F.array_intersect(common, _shifted(f"__p{i}", i))
+        common = F.array_intersect(common, _shifted(f"__p{i}", offsets[i]))
     return (
         per_doc.filter(cond)
         .filter(F.size(common) > 0)

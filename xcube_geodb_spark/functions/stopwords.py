@@ -16,11 +16,14 @@ omitted: the engine's tokenizer splits on ``[^a-z0-9]+`` so those
 surface forms can never appear as tokens (documented deviation;
 fragments like ``don``/``t`` are NOT treated as stopwords).
 
-Phrase semantics deviation (documented): PG turns elided stopwords into
-positional gaps (``cat <3> hat``); the engine matches the remaining
-phrase tokens consecutively in the stopword-filtered token stream —
-stricter when a non-stopword sits between the phrase words, identical
-otherwise.
+Phrase semantics (PG parity since r7): elided stopwords leave
+POSITIONAL GAPS exactly as ``phraseto_tsquery`` produces them —
+``'the cat in the hat'`` becomes ``cat <3> hat``, and ANY token
+(stopword or not) may occupy the gap positions. The scan path matches
+the gap pattern as a regex over the original token stream
+(filters._fts ``phfts`` branch); the index path stores original-stream
+positions and intersects offset-shifted postings
+(retrieval.positional_index / phrase_docs_from_index).
 """
 
 from __future__ import annotations

@@ -101,12 +101,20 @@ def scan_fts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         df,
         "text=fts(english).the%26querying%26once%26tables&select=doc_id",
     )
+    # phrase with an ELIDED stopword: PG's phraseto_tsquery('english',
+    # 'table the data') = 'table <2> data' — data exactly two original
+    # positions after table, ANY token in the gap. The oracle replays
+    # the gap as a regex over the stemmed-with-stopword-fillers stream.
+    gapped = apply_postgrest_query(
+        df, "text=phfts(english).table the data&select=doc_id"
+    )
     return (
         plain.select(F.lit("plain").alias("variant"), "doc_id")
         .unionAll(stemmed.select(F.lit("stemmed").alias("variant"), "doc_id"))
         .unionAll(
             stopworded.select(F.lit("stopworded").alias("variant"), "doc_id")
         )
+        .unionAll(gapped.select(F.lit("gapped").alias("variant"), "doc_id"))
     )
 
 
@@ -265,6 +273,20 @@ CORE_ORACLES_GRAMMAR = {
         )
         WHERE list_contains(toks, '{porter_py("querying")}')
           AND list_contains(toks, '{porter_py("tables")}')
+        UNION ALL
+        SELECT 'gapped' AS variant, doc_id FROM (
+            SELECT doc_id,
+                   ' ' || array_to_string(list_transform(
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t != ''),
+                       t -> CASE WHEN list_contains({stopword_sql_list()}, t)
+                                 THEN t ELSE {porter_sql("t")} END),
+                       ' ') || ' ' AS stream
+            FROM documents
+        )
+        WHERE regexp_matches(stream,
+            ' {porter_py("table")}(?: [a-z0-9]+){{1}} {porter_py("data")} ')
     """,
     "pg_fts_tsvector": f"""
         SELECT doc_id FROM (
