@@ -304,3 +304,118 @@ class TestExplainTree:
         assert 1 <= t["shards_skipped"] <= 3  # point probe keeps 1 shard
         ex2 = explain_scan(tree_cat, "c", None, database="t")
         assert ex2["stats_tree"]["shards_skipped"] == 0
+
+
+class TestRebuildUnderRace:
+    """Shard summaries are rebuilt per commit; racing writers must leave
+    the tree CONSISTENT — stats_complete still true, every live file
+    covered by a summarized shard, and tree probes identical to the flat
+    per-file probe (r6 verdict order 9)."""
+
+    def _probe_consistency(self, cat):
+        m = cat.meta("c", "t")
+        assert m.stats_complete
+        shards = m.stats_shards()
+        assert shards and all(s is not None for _, s in shards)
+        covered = set()
+        for name, _ in shards:
+            covered |= set(m.load_stats_shard(name))
+        assert set(m.files) <= covered, "live file missing from shards"
+        paths = cat.manifest_paths("c", "t", meta=m)
+        for q in [
+            [("v", "eq", 305)],
+            [("v", "gte", 690)],
+            [("v", "lt", 0)],
+            [("id", "eq", 3)],
+        ]:
+            cols = sorted({c for c, _, _ in q})
+            tree = split_files_by_constraints(paths, cols, q, meta=m)
+            flat = split_files_by_constraints(
+                paths, cols, q, stats_map=m.file_stats()
+            )
+            assert sorted(tree[0]) == sorted(flat[0]), q
+            assert sorted(tree[1]) == sorted(flat[1]), q
+
+    def test_threaded_append_storm_keeps_tree_complete(
+        self, spark, tmp_path
+    ):
+        import threading
+
+        wh = str(tmp_path / "wh")
+        cat = GeoDBCatalog(spark, wh, user="tree")
+        cat.create_database("t")
+        cat.create_collection("c", {"v": "int"}, database="t")
+        m = cat.meta("c", "t")
+        m.d["max_file_rows"] = 20
+        _atomic_write_json(m.path, m.d)
+        errs = []
+
+        def writer(w):
+            try:
+                own = GeoDBCatalog(spark, wh, user=f"w{w}")
+                for b in range(3):
+                    pdf = pd.DataFrame(
+                        {"v": [w * 1000 + b * 100 + i for i in range(60)]}
+                    )
+                    dml.insert_into_collection(
+                        own, "c", pdf, database="t", retries=20
+                    )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=writer, args=(w,)) for w in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        out = get_collection(cat, "c", database="t")
+        assert out.count() == 3 * 3 * 60
+        self._probe_consistency(cat)
+        ex = explain_scan(cat, "c", "v=eq.205", database="t")
+        assert ex["files_skipped"] > 0
+        assert [r["v"] for r in get_collection(
+            cat, "c", "v=eq.205", database="t"
+        ).collect()] == [205]
+
+    def test_cas_retry_mid_insert_keeps_tree_complete(self, spark, tmp_path):
+        """A writer whose pinned snapshot goes stale (another commit lands
+        between pin and CAS) retries against the fresh manifest — the
+        rebuilt shard list must cover BOTH commits' files afterwards."""
+        wh = str(tmp_path / "wh2")
+        cat = GeoDBCatalog(spark, wh, user="a")
+        cat.create_database("t")
+        cat.create_collection("c", {"v": "int"}, database="t")
+        m = cat.meta("c", "t")
+        m.d["max_file_rows"] = 20
+        _atomic_write_json(m.path, m.d)
+        dml.insert_into_collection(
+            cat, "c", pd.DataFrame({"v": list(range(100, 160))}),
+            database="t",
+        )
+        other = GeoDBCatalog(spark, wh, user="b")
+        orig_meta = cat.meta
+        state = {"fired": False}
+
+        def stale_once(collection, database):
+            mm = orig_meta(collection, database)
+            if not state["fired"]:
+                state["fired"] = True
+                dml.insert_into_collection(
+                    other, "c",
+                    pd.DataFrame({"v": list(range(300, 360))}),
+                    database="t",
+                )
+            return mm
+
+        cat.meta = stale_once
+        try:
+            dml.insert_into_collection(
+                cat, "c", pd.DataFrame({"v": list(range(600, 700))}),
+                database="t", retries=3,
+            )
+        finally:
+            cat.meta = orig_meta
+        out = get_collection(cat, "c", database="t")
+        assert out.count() == 60 + 60 + 100
+        self._probe_consistency(cat)
