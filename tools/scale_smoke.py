@@ -66,6 +66,7 @@ HEAVY = {
     "count_min_build",
     "line_dedup",
     "dedup_against",
+    "geo_spatial_join",
 }
 
 # growth tolerance: time(xN) may be at most N * SLACK times time(x1).
@@ -200,7 +201,135 @@ def main() -> None:
             bounds=(0.0, 110000.0),
         )
 
+    # --- geo family (r6 verdict order 5): replicated customers/suppliers
+    # with each copy shifted into its OWN disjoint world (x += copy*400)
+    # so spatial DENSITY stays constant under replication — without the
+    # shift, N-fold more geometry in the same extent makes join fan-out
+    # and DBSCAN neighborhoods grow quadratically BY DATA CONSTRUCTION
+    # and the ratio would measure the dataset, not the plan (same reason
+    # the token salt exists for LSH above).
+    from xcube_geodb_spark.suite.geo import _point_wkb, _square_wkb
+
+    def _geo_squares(c: DataFrame, n: int) -> DataFrame:
+        cp = (F.col("c_custkey") % n).cast("double") if n > 1 else F.lit(0.0)
+        return (
+            c.select(
+                "c_custkey",
+                (
+                    ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0)
+                    + cp * 400.0
+                ).alias("x"),
+                ((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0)
+                .alias("y"),
+                (F.col("c_custkey") % 7 + 5).cast("double").alias("h"),
+            )
+            .withColumn("geometry", _square_wkb("x", "y", "h"))
+            .withColumn("__xmin", F.col("x") - F.col("h"))
+            .withColumn("__ymin", F.col("y") - F.col("h"))
+            .withColumn("__xmax", F.col("x") + F.col("h"))
+            .withColumn("__ymax", F.col("y") + F.col("h"))
+        )
+
+    def _geo_cpoints(c: DataFrame, n: int) -> DataFrame:
+        cp = (F.col("c_custkey") % n).cast("double") if n > 1 else F.lit(0.0)
+        return (
+            c.select(
+                "c_custkey",
+                (
+                    ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0)
+                    + cp * 400.0
+                ).alias("x"),
+                ((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0)
+                .alias("y"),
+            )
+            .withColumn("geometry", _point_wkb("x", "y"))
+            .withColumn("__xmin", F.col("x"))
+            .withColumn("__ymin", F.col("y"))
+            .withColumn("__xmax", F.col("x"))
+            .withColumn("__ymax", F.col("y"))
+        )
+
+    def _geo_spoints(s: DataFrame, n: int) -> DataFrame:
+        cp = (F.col("s_suppkey") % n).cast("double") if n > 1 else F.lit(0.0)
+        return (
+            s.select(
+                "s_suppkey",
+                (
+                    ((F.col("s_suppkey") * 7919 % 36000) / 100.0 - 180.0)
+                    + cp * 400.0
+                ).alias("px"),
+                ((F.col("s_suppkey") * 104729 % 18000) / 100.0 - 90.0)
+                .alias("py"),
+            )
+            .withColumn("geometry", _point_wkb("px", "py"))
+            .withColumn("__xmin", F.col("px"))
+            .withColumn("__ymin", F.col("py"))
+            .withColumn("__xmax", F.col("px"))
+            .withColumn("__ymax", F.col("py"))
+        )
+
+    cust1 = load(spark, sf_dir, "customer").select("c_custkey")
+    sup1 = load(spark, sf_dir, "supplier").select("s_suppkey")
+    geo_n = heavy_repl
+    custH = _replicate(cust1, geo_n, ["c_custkey"])
+    supH = _replicate(sup1, geo_n, ["s_suppkey"])
+    sq1 = _geo_squares(cust1, 1).cache()
+    sqH = _geo_squares(custH, geo_n).cache()
+    spt1 = _geo_spoints(sup1, 1).cache()
+    sptH = _geo_spoints(supH, geo_n).cache()
+    custD = _replicate(cust1, repl, ["c_custkey"])
+    cpt1 = _geo_cpoints(cust1, 1).cache()
+    cptD = _geo_cpoints(custD, repl).cache()
+    _PINNED.extend([sq1, sqH, spt1, sptH, cpt1, cptD])
+    for df in (sq1, sqH, spt1, sptH, cpt1, cptD):
+        df.count()
+
+    SQ_COLS = ["c_custkey", "geometry", "__xmin", "__ymin", "__xmax",
+               "__ymax"]
+
+    def geo_sjoin(pair):
+        from xcube_geodb_spark.functions.spatial_join import spatial_join
+
+        sq, pts = pair
+        return spatial_join(
+            sq.select(*SQ_COLS),
+            pts.select("s_suppkey", "geometry", "__xmin", "__ymin",
+                       "__xmax", "__ymax"),
+            "intersects",
+        ).select("c_custkey", "s_suppkey")
+
+    def geo_dbscan(pts):
+        from xcube_geodb_spark.functions.spatial_join import spatial_dbscan
+
+        return spatial_dbscan(
+            pts.select(*SQ_COLS), eps=3.0, min_pts=3, id_col="c_custkey"
+        )
+
+    def geo_dissolve(sq):
+        from xcube_geodb_spark.functions.geo_agg import dissolve
+
+        # ~30 squares per group at every size (group count scales with
+        # the data): per-group balanced overlay union fold
+        n_groups = F.lit(int(sq.count() / 30) or 1)
+        return dissolve(
+            sq.select(
+                (F.col("c_custkey") % n_groups).alias("grp"), "geometry"
+            ),
+            ["grp"],
+        )
+
+    # dissolve replicates at the LIGHT factor: the per-group overlay
+    # union fold is a Python kernel (~ms/geometry), so 100x of sf0.1
+    # would run tens of minutes — 10x already demonstrates the growth
+    # curve for the shuffle + per-group fold plan
+    sqD = _geo_squares(custD, repl).cache()
+    _PINNED.append(sqD)
+    sqD.count()
+
     cases = [
+        ("geo_spatial_join", geo_sjoin, (sq1, spt1), (sqH, sptH)),
+        ("geo_dbscan", geo_dbscan, cpt1, cptD),
+        ("geo_dissolve", geo_dissolve, sq1, sqD),
         ("dedup_minhash_pairs", minhash, docs1, docsH),
         ("bm25_topk", bm25, docs1, docsH),
         ("count_min_build", cmsketch, docs1, docsH),

@@ -987,13 +987,28 @@ class GeoDBSparkClient:
         self.catalog.commit_meta_change(collection, db, mutate)
 
     def publish_gs(self, collection: str, database: str | None = None) -> dict:
+        """Publish to the geoservice. Failure order: a failed PUT leaves
+        no local state; a failed FLAG COMMIT after a successful PUT
+        attempts a compensating unpublish so remote and local state
+        cannot silently diverge (if the compensation itself fails, the
+        service stays authoritative — get_published_gs reads the service
+        when one is configured, so the stale local flag is a best-effort
+        cache, not the truth)."""
         db = self._db(database)
         self.catalog.meta(collection, db)  # existence check before HTTP
         remote = None
         if self.gs is not None:
             # service call FIRST: a failed PUT leaves no local state
             remote = self.gs.publish(db, collection)
-        self._set_gs_flag(collection, db, True)
+        try:
+            self._set_gs_flag(collection, db, True)
+        except Exception:
+            if self.gs is not None:
+                try:
+                    self.gs.unpublish(db, collection)
+                except Exception:
+                    pass  # service stays authoritative (docstring)
+            raise
         self.events.log("published_gs", f"Collection {db}_{collection} published to gs")
         out = {"collection": collection, "database": db, "published": True}
         if remote is not None:
@@ -1001,11 +1016,21 @@ class GeoDBSparkClient:
         return out
 
     def unpublish_gs(self, collection: str, database: str | None = None) -> None:
+        """Unpublish. Mirror of :meth:`publish_gs`: a failed flag commit
+        after a successful DELETE attempts a compensating re-publish."""
         db = self._db(database)
         self.catalog.meta(collection, db)
         if self.gs is not None:
             self.gs.unpublish(db, collection)
-        self._set_gs_flag(collection, db, False)
+        try:
+            self._set_gs_flag(collection, db, False)
+        except Exception:
+            if self.gs is not None:
+                try:
+                    self.gs.publish(db, collection)
+                except Exception:
+                    pass
+            raise
         self.events.log(
             "unpublished_gs", f"Collection {db}_{collection} unpublished from gs"
         )

@@ -409,7 +409,12 @@ def extend_bm25_collection(
     changing any result."""
     from xcube_geodb_spark.operators.dml import insert_into_collection
 
-    m = catalog.meta(name, database)
+    # WRITE-path snapshot: rolls forward any crashed commit first, so
+    # the version pin below derives from the rolled-forward version —
+    # a plain meta() read after a crash-after-commit-point would pin the
+    # stale pointer and fail the first extend with a spurious
+    # concurrent-modification error
+    m = catalog.meta_for_write(name, database)
     stats = m.d.get("bm25_stats") or {}
     if not stats:
         raise ValueError(

@@ -780,24 +780,39 @@ def pq_codebooks_residual(
         .select(vec_col)
         .collect()
     )
-    picked = rows[skip : skip + n_centroids]
-    if len(picked) < n_centroids:
-        # tiny table: fall back to the last n available rows (still
-        # deterministic; degenerate only if the table IS the seed set)
-        picked = rows[-n_centroids:]
-    if len(picked) < n_centroids:
-        raise ValueError(
-            f"need at least {n_centroids} rows to seed residual codebooks"
-        )
-    seeds = []
-    for r in picked:
+    def _resid(r):
         v = [float(x) for x in r[vec_col]]
         c = centroids[_py_assign(v, centroids)]
-        seeds.append([a - b for a, b in zip(v, c)])
+        return [a - b for a, b in zip(v, c)]
+
+    picked = rows[skip : skip + n_centroids]
+    if len(picked) >= n_centroids:
+        seeds = [_resid(r) for r in picked]
+    else:
+        # tiny table: the window past `skip` is short, so seed from the
+        # tail — but reject INDIVIDUAL zero-residual rows (a zero
+        # residual means the row IS a coarse centroid; a partially
+        # degenerate codebook would otherwise pass silently with
+        # duplicate zero codes that quietly hurt ADC recall). Scan
+        # backwards for determinism, restore forward order at the end.
+        tail: list[list[float]] = []
+        for r in reversed(rows):
+            res = _resid(r)
+            if any(x != 0.0 for x in res):
+                tail.append(res)
+                if len(tail) == n_centroids:
+                    break
+        if len(tail) < n_centroids:
+            raise ValueError(
+                "residual codebook seeds are all zero or too few rows "
+                "have non-zero residuals (seed rows coincide with the "
+                "coarse centroids); add data or pass explicit codebooks"
+            )
+        seeds = list(reversed(tail))
     if all(all(x == 0.0 for x in s) for s in seeds):
-        # tiny-table fallback can land back on the centroid rows, whose
-        # residuals are exactly zero — the degeneracy the skip exists to
-        # prevent; an all-zero codebook cannot discriminate, fail loudly
+        # normal-path guard (seeds past `skip` can still all be zero if
+        # the data repeats the centroid rows); an all-zero codebook
+        # cannot discriminate, fail loudly
         raise ValueError(
             "residual codebook seeds are all zero (every seed row is a "
             "coarse centroid); add data or pass explicit codebooks"

@@ -176,8 +176,13 @@ class _Reader:
         # identical coordinates regardless of buffer offset (the prepared
         # path in geometry/prepared.py relies on this to stay
         # bit-identical with the WKB path); (b) the parse cache shares
-        # `parts` across callers, so no ring may alias the input buffer
-        return arr[:, :2].astype(np.float64, copy=True)
+        # `parts` across callers, so no ring may alias the input buffer.
+        # The copy is then frozen: the cache hands the SAME arrays to
+        # every later parse of identical bytes, so an accidental in-place
+        # mutation must raise instead of silently poisoning the cache.
+        out = arr[:, :2].astype(np.float64, copy=True)
+        out.setflags(write=False)
+        return out
 
 
 def parse_wkb(buf: bytes) -> Geometry:

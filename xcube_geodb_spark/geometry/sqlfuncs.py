@@ -86,7 +86,17 @@ def _pred(mode: str):
 def _pylist(c: pd.Series) -> list:
     """Series -> plain Python values with missing normalized to None (a
     nullable numeric arg arrives from Arrow as float NaN; the scalar
-    kernels test ``is None``)."""
+    kernels test ``is None``).
+
+    DOCUMENTED DEVIATION: Arrow hands both SQL NULL and a literal double
+    NaN to Python as float NaN, so they are indistinguishable here —
+    ``st_makepoint(double('nan'), y)`` returns SQL NULL where PostGIS
+    would propagate ``POINT(NaN y)``. NULL-in -> NULL-out is by far the
+    more common contract to preserve; callers that genuinely need NaN
+    coordinates must inject them inside the kernel (e.g. via WKT:
+    ``st_geomfromtext('POINT(NaN 1)')`` also raises, as parse rejects
+    non-numeric), so NaN geometry coordinates are effectively
+    unsupported on the SQL surface. COVERAGE.md records this."""
     return [
         None if v is None or (isinstance(v, float) and v != v) else v
         for v in c.tolist()
