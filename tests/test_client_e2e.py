@@ -523,6 +523,44 @@ class TestShimLiteralSafety:
         assert (
             f("a ~ 'p' AND b = 'q ~ r'") == "a RLIKE 'p' AND b = 'q ~ r'"
         )
+        # containment / ARRAY / SIMILAR TO tokens inside literals survive
+        assert f("c = 'x @> ARRAY[1]'") == "c = 'x @> ARRAY[1]'"
+        assert f("c = 'a SIMILAR TO b'") == "c = 'a SIMILAR TO b'"
+
+    def test_array_containment_rewrites(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("tags @> ARRAY['a','b']") == (
+            "size(array_except(array('a','b'), tags)) = 0"
+        )
+        assert f("ARRAY['a'] <@ tags") == (
+            "size(array_except(array('a'), tags)) = 0"
+        )
+        assert f("nested @> ARRAY[ARRAY[1],ARRAY[2]]") == (
+            "size(array_except(array(array(1),array(2)), nested)) = 0"
+        )
+        # function-call operands and plain subscripts survive
+        assert f("split(text,' ') @> ARRAY['q']") == (
+            "size(array_except(array('q'), split(text,' '))) = 0"
+        )
+        assert f("ARRAY[col[1], 2] <@ other") == (
+            "size(array_except(array(col[1], 2), other)) = 0"
+        )
+
+    def test_similar_to_translation(self):
+        from xcube_geodb_spark.operators.scan import (
+            _pg_clause_to_spark as f,
+            _similar_to_regex,
+        )
+
+        assert f("name SIMILAR TO 'ab%'") == "name RLIKE '^(?:ab.*)$'"
+        assert f("name NOT SIMILAR TO '(a|b)_'") == (
+            "NOT name RLIKE '^(?:(a|b).)$'"
+        )
+        # PG: the period is NOT a metacharacter in SIMILAR TO
+        assert _similar_to_regex("v1.2%") == "^(?:v1\\.2.*)$"
+        # bracket expressions pass through verbatim (incl. % _ inside)
+        assert _similar_to_regex("x[%_]y") == "^(?:x[%_]y)$"
 
     def test_export_geojson_without_geometry_raises(self, client, land_use, tmp_path):
         with pytest.raises(GeoDBError, match="geometry column"):

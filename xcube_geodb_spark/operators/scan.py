@@ -241,6 +241,145 @@ _CAST_RE = re.compile(
         \s*::\s*([A-Za-z_][A-Za-z0-9_]*)""",
     re.VERBOSE,
 )
+def _similar_to_regex(pat: str) -> str:
+    """PG ``SIMILAR TO`` pattern -> anchored POSIX regex: ``%`` -> ``.*``,
+    ``_`` -> ``.``; SIMILAR TO's regex metacharacters (| * + ? ( ) { }
+    and bracket expressions) pass through; characters that are regex
+    metacharacters but NOT SIMILAR TO metacharacters (. ^ $ \\) are
+    escaped — PG treats a period as a literal period."""
+    out = []
+    i, n = 0, len(pat)
+    in_brackets = False
+    while i < n:
+        ch = pat[i]
+        if in_brackets:
+            out.append(ch)
+            if ch == "]":
+                in_brackets = False
+        elif ch == "[":
+            in_brackets = True
+            out.append(ch)
+        elif ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch in ".^$\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+        i += 1
+    return "^(?:" + "".join(out) + ")$"
+
+
+def _rewrite_array_literals(parts: list[str]) -> None:
+    """``ARRAY[...]`` -> ``array(...)`` in-place over quote-split
+    segments (even indexes = code): the opener and its matching ``]``
+    may sit in different code segments when the elements are string
+    literals, so bracket depth carries across segments. Subscript
+    brackets outside an ARRAY literal are untouched."""
+    stack: list[str] = []  # 'A' = ARRAY bracket, 'P' = plain subscript
+    opener = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+    for i in range(0, len(parts), 2):
+        seg = parts[i]
+        out = []
+        pos = 0
+        while pos < len(seg):
+            if not stack:
+                m = opener.search(seg, pos)
+                if not m:
+                    out.append(seg[pos:])
+                    break
+                out.append(seg[pos: m.start()])
+                out.append("array(")
+                stack.append("A")
+                pos = m.end()
+                continue
+            m = opener.match(seg, pos)
+            if m:  # nested ARRAY[ inside an open literal
+                out.append("array(")
+                stack.append("A")
+                pos = m.end()
+                continue
+            ch = seg[pos]
+            if ch == "[":
+                stack.append("P")
+                out.append(ch)
+            elif ch == "]":
+                out.append(")" if stack.pop() == "A" else "]")
+            else:
+                out.append(ch)
+            pos += 1
+        parts[i] = "".join(out)
+
+
+def _operand_before(s: str) -> tuple[str, int] | None:
+    """The operand ending at the END of code string ``s``: an identifier
+    chain or a balanced ``(...)`` call (function call / array(...));
+    returns (operand, start_index)."""
+    t = s.rstrip()
+    if not t:
+        return None
+    if t.endswith(")"):
+        depth = 0
+        for j in range(len(t) - 1, -1, -1):
+            if t[j] == ")":
+                depth += 1
+            elif t[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    # include a preceding function name
+                    m = re.search(r"[A-Za-z0-9_.\"]+$", t[:j])
+                    start = m.start() if m else j
+                    return t[start:], start
+        return None
+    m = re.search(r"[A-Za-z0-9_.\"]+$", t)
+    if m:
+        return t[m.start():], m.start()
+    return None
+
+
+def _operand_after(s: str) -> tuple[str, int] | None:
+    """The operand starting at the BEGINNING of code string ``s``
+    (mirror of :func:`_operand_before`); returns (operand, end_index)."""
+    t = s.lstrip()
+    off = len(s) - len(t)
+    m = re.match(r"[A-Za-z0-9_.\"]+", t)
+    if not m:
+        return None
+    end = m.end()
+    if end < len(t) and t[end] == "(":
+        depth = 0
+        for j in range(end, len(t)):
+            if t[j] == "(":
+                depth += 1
+            elif t[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    return t[: j + 1], off + j + 1
+        return None
+    return t[:end], off + end
+
+
+def _rewrite_containment(seg: str) -> str:
+    """``a @> b`` / ``a <@ b`` (array containment, set semantics) ->
+    ``size(array_except(needle, hay)) = 0`` within ONE code segment
+    (operands with string-literal elements are handled by running this
+    AFTER the ARRAY rewrite on the joined code — see caller)."""
+    while True:
+        m = re.search(r"(@>|<@)", seg)
+        if not m:
+            return seg
+        left = _operand_before(seg[: m.start()])
+        right = _operand_after(seg[m.end():])
+        if left is None or right is None:
+            return seg  # not an operand shape we rewrite; leave as-is
+        lhs, lstart = left
+        rhs, rend_rel = right
+        hay, needle = (lhs, rhs) if m.group(1) == "@>" else (rhs, lhs)
+        repl = f"size(array_except({needle}, {hay})) = 0"
+        seg = seg[:lstart] + repl + seg[m.end() + rend_rel:]
+
+
 def _pg_clause_to_spark(clause: str | None) -> str | None:
     """Textual shim for the PG-isms Spark SQL's parser rejects, applied
     outside string literals only:
@@ -250,6 +389,12 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     - ``col ~ 'pat'`` / ``~*`` / ``!~`` / ``!~*`` -> ``RLIKE`` with a
       ``(?i)`` prefix for the case-insensitive forms (pattern must be a
       quoted literal)
+    - ``ARRAY[...]`` -> ``array(...)`` (nested arrays, string elements)
+    - ``a @> b`` / ``a <@ b`` -> ``size(array_except(needle, hay)) = 0``
+      (PG array containment, SET semantics: duplicates in the needle do
+      not require duplicates in the hay — identical to PG)
+    - ``expr [NOT] SIMILAR TO 'pat'`` -> anchored ``RLIKE`` with the
+      SIMILAR TO pattern translated (% -> .*, _ -> .; period is literal)
 
     Spark-native PG-isms (``ILIKE``, ``||``, ``IS DISTINCT FROM``) pass
     through untouched, and string-literal CONTENTS are never rewritten.
@@ -275,10 +420,12 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             prev = seg
             seg = _CAST_RE.sub(_cast, seg)
         parts[i] = seg
+    _rewrite_array_literals(parts)
     # cross-segment forms, resolved on the segment LIST so only real
     # literals (odd indexes) participate:
     # - '<literal>'::type  — cast whose operand is the preceding literal
     # - lhs ~ '<literal>'  — regex op whose pattern is the following literal
+    # - lhs [NOT] SIMILAR TO '<literal>' — translated anchored RLIKE
     for i in range(1, len(parts), 2):
         after = parts[i + 1] if i + 1 < len(parts) else ""
         m = re.match(r"\s*::\s*([A-Za-z_][A-Za-z0-9_]*)(.*)", after, re.DOTALL)
@@ -287,6 +434,15 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             parts[i] = f"CAST({parts[i]} AS {_PG_CAST_TYPES.get(t, t)})"
             parts[i + 1] = m.group(2)
         before = parts[i - 1]
+        m = re.search(
+            r"(\S+)\s+(NOT\s+)?SIMILAR\s+TO\s*$", before, re.IGNORECASE
+        )
+        if m and parts[i].startswith("'"):
+            lhs, neg = m.group(1), m.group(2)
+            rx = _similar_to_regex(parts[i][1:-1])
+            parts[i - 1] = before[: m.start()]
+            parts[i] = f"{'NOT ' if neg else ''}{lhs} RLIKE '{rx}'"
+            continue
         m = re.search(r"(\S+)\s*(!~\*|!~|~\*|~)\s*$", before)
         if m and not parts[i].startswith("CAST("):
             lhs, op = m.groups()
@@ -296,7 +452,25 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             neg = "NOT " if op.startswith("!") else ""
             parts[i - 1] = before[: m.start()]
             parts[i] = f"{neg}{lhs} RLIKE '{pat}'"
-    return "".join(parts)
+    out = "".join(parts)
+    if "@>" in out or "<@" in out:
+        # containment operands may span literal segments (array('a','b')):
+        # protect literals behind identifier-shaped placeholders, rewrite
+        # on the joined code, then restore — literal contents stay
+        # byte-identical
+        parts = re.split(r"('(?:[^']|'')*')", out)
+        lits = parts[1::2]
+        protected = "".join(
+            p if i % 2 == 0 else f"__GEODB_LIT_{i // 2}__"
+            for i, p in enumerate(parts)
+        )
+        protected = _rewrite_containment(protected)
+        out = re.sub(
+            r"__GEODB_LIT_(\d+)__",
+            lambda mm: lits[int(mm.group(1))],
+            protected,
+        )
+    return out
 
 
 _DISTINCT_ON_RE = re.compile(r"\s*DISTINCT\s+ON\s*\(", re.IGNORECASE)

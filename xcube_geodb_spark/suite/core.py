@@ -414,6 +414,39 @@ def pg_count_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def pg_similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``SIMILAR TO`` through the dialect shim: translated to an
+    anchored RLIKE (% -> .*, _ -> .; period stays literal — PG treats it
+    so). DuckDB supports SIMILAR TO natively, making the oracle a
+    verbatim replay."""
+    register_views(spark, sf_dir, "orders")
+    sql = build_pg_sql(
+        "orders",
+        select="o_orderkey, o_orderpriority",
+        where="o_orderpriority SIMILAR TO '(1|2)-%' "
+        "AND o_orderpriority NOT SIMILAR TO '%URGENT'",
+        order="o_orderkey",
+        limit=200,
+    )
+    return spark.sql(sql)
+
+
+def pg_array_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``@>`` / ``<@`` array containment through the dialect shim
+    (set semantics: every needle element appears in the hay), with an
+    ``ARRAY[...]`` literal rewritten to ``array(...)``. Oracle replays
+    with DuckDB's list_has_all."""
+    register_views(spark, sf_dir, "documents")
+    sql = build_pg_sql(
+        "documents",
+        select="doc_id",
+        where="split(text, ' ') @> ARRAY['data','spark'] "
+        "AND ARRAY['window'] <@ split(text, ' ')",
+        order="doc_id",
+    )
+    return spark.sql(sql)
+
+
 def pg_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG ``DISTINCT ON`` through the dialect shim (the most common PG
     idiom Spark's parser rejects — r6 verdict order 6): latest order per
@@ -459,6 +492,21 @@ CORE_ORACLES_PG = {
         SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
         FROM orders
         ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+    """,
+    # DuckDB's SIMILAR TO is plain POSIX regex (no %/_ wildcards — a
+    # documented DuckDB deviation from PG), so the oracle replays the
+    # shim's own translation as an anchored regexp_matches
+    "pg_similar_to": """
+        SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE regexp_matches(o_orderpriority, '^(?:(1|2)-.*)$')
+          AND NOT regexp_matches(o_orderpriority, '^(?:.*URGENT)$')
+        ORDER BY o_orderkey LIMIT 200
+    """,
+    "pg_array_containment": """
+        SELECT doc_id FROM documents
+        WHERE list_has_all(string_split(text, ' '), ['data', 'spark'])
+          AND list_has_all(string_split(text, ' '), ['window'])
+        ORDER BY doc_id
     """,
     "count_lineitem": "SELECT count(*) AS n_rows FROM lineitem",
 }
@@ -1500,6 +1548,8 @@ CORE_QUERIES = {
     "pg_topk_orders": pg_topk_orders,
     "pg_count_by_priority": pg_count_by_priority,
     "pg_distinct_on": pg_distinct_on,
+    "pg_similar_to": pg_similar_to,
+    "pg_array_containment": pg_array_containment,
     "pg_dialect_shim": pg_dialect_shim,
     "count_lineitem": count_lineitem,
     "join_revenue_by_nation": join_revenue_by_nation,
