@@ -23,11 +23,13 @@ LANG_STOPWORDS = {
 
 
 def normalized(text: Column) -> Column:
-    """lowercase, strip non-alphanumerics, collapse whitespace."""
-    c = F.lower(text)
-    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
-    c = F.regexp_replace(c, " +", " ")
-    return F.trim(c)
+    """lowercase, strip non-alphanumerics, collapse whitespace. One fused
+    regex pass: ``[^a-z0-9]+ -> " "`` produces exactly the same string as
+    the classic strip-then-collapse two-pass (any run of non-alphanumerics
+    — including the spaces between them — becomes one space; leading/
+    trailing runs are trimmed), at half the regex cost on the text hot
+    paths."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
 
 
 def tokens(text: Column) -> Column:
@@ -104,17 +106,25 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id_from_tokens(toks: Column) -> Column:
-    """Stopword-vote language id over an already-materialized token array;
-    first-match CASE gives earlier languages the tie-break (a classic
-    n-gram-free heuristic, SQL-replicable)."""
+def word_count_in(norm: Column, words: tuple[str, ...]) -> Column:
+    """Occurrence count of any of ``words`` as whole tokens of an
+    already-NORMALIZED string (lowercase, single-spaced, trimmed —
+    :func:`normalized`'s output). One codegen'd JVM regex pass replaces a
+    higher-order ``filter(toks, isin)`` traversal, which evaluates its
+    lambda INTERPRETED per element and dominated the text-profile hot
+    path (~2.5x the rest of the projection combined). The lookahead
+    keeps consecutive stopwords countable ("the of": the match consumes
+    the leading space only), and counts equal the token-equality counts
+    exactly, because normalized text splits on single spaces."""
+    pat = " (?:" + "|".join(words) + ")(?= )"
+    return F.regexp_count(
+        F.concat(F.lit(" "), norm, F.lit(" ")), F.lit(pat)
+    )
 
-    def _hits(words: tuple[str, ...]) -> Column:
-        # single-parameter lambda: two-parameter lambdas become
-        # (element, index) functions in Spark's filter()
-        return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
-    scores = {lang: _hits(sw) for lang, sw in LANG_STOPWORDS.items()}
+def _lang_case(scores: dict[str, Column]) -> Column:
+    """First-match CASE over per-language vote counts; earlier languages
+    win ties (the SQL-replicable tie-break the oracle replays)."""
     langs = list(scores)
     expr = None
     for lang in langs:
@@ -122,16 +132,61 @@ def lang_id_from_tokens(toks: Column) -> Column:
         for other in langs:
             if other != lang:
                 cond = cond & (scores[lang] >= scores[other])
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+        expr = (
+            F.when(cond, F.lit(lang))
+            if expr is None
+            else expr.when(cond, F.lit(lang))
+        )
     return expr.otherwise(F.lit("und"))
 
 
+def lang_id_from_norm(norm: Column) -> Column:
+    """Stopword-vote language id over normalized text: one regexp_count
+    per language (pure codegen), identical counts to the token-array
+    formulation."""
+    return _lang_case(
+        {
+            lang: word_count_in(norm, sw)
+            for lang, sw in LANG_STOPWORDS.items()
+        }
+    )
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Stopword-vote language id over an already-materialized token array;
+    first-match CASE gives earlier languages the tie-break (a classic
+    n-gram-free heuristic, SQL-replicable). Prefer
+    :func:`lang_id_from_norm` when the normalized STRING is at hand —
+    higher-order filters evaluate interpreted per element."""
+
+    def _hits(words: tuple[str, ...]) -> Column:
+        # single-parameter lambda: two-parameter lambdas become
+        # (element, index) functions in Spark's filter()
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    return _lang_case(
+        {lang: _hits(sw) for lang, sw in LANG_STOPWORDS.items()}
+    )
+
+
 def lang_id_column(text_col: str = "text") -> Column:
-    return lang_id_from_tokens(tokens(F.col(text_col)))
+    return lang_id_from_norm(normalized(F.col(text_col)))
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", lang_id_column(text_col))
+
+
+_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_PUNCT = ".,;:!?"
+# every word any vote counter cares about (quality stopwords + all
+# language stopword sets), extracted in ONE shared regex pass
+_VOTE_WORDS = tuple(
+    sorted(
+        set(STOPWORDS_EN)
+        | {w for sw in LANG_STOPWORDS.values() for w in sw}
+    )
+)
 
 
 def with_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -140,18 +195,48 @@ def with_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     The composable ``with_*`` helpers each re-derive the token array
     (Catalyst inlines single-expression columns), which multiplied the
     dominant regexp cost 4x on the profile path — this is the hot-path
-    variant; formulas are identical."""
+    variant; formulas are identical.
+
+    Hot-path plan (each item measured on the 10x-replication profile):
+    - ``__votes``: ONE regexp_extract_all pass collects every quality- or
+      language-stopword hit; the per-counter tallies then filter a
+      handful of matches instead of re-scanning the text once per
+      language (was 6 regex passes / 6 interpreted array traversals)
+    - alpha/punct counts via ``translate`` (character map) instead of
+      regexp_replace — same counts, ~5x cheaper
+    All counts are bit-identical to the composable helpers' formulas, so
+    the same DuckDB oracles hold."""
     text = F.col(text_col)
     staged = (
         df.withColumn("__norm", normalized(text))
-        .withColumn("__toks", F.split(F.col("__norm"), " "))
-        .withColumn("__alpha", F.length(F.regexp_replace(text, "[^A-Za-z]", "")))
-        .withColumn("__punct", F.length(F.regexp_replace(text, "[^.,;:!?]", "")))
+        .withColumn(
+            "__votes",
+            F.regexp_extract_all(
+                F.concat(F.lit(" "), F.col("__norm"), F.lit(" ")),
+                F.lit(" (" + "|".join(_VOTE_WORDS) + ")(?= )"),
+                1,
+            ),
+        )
+        .withColumn(
+            "__alpha",
+            F.length(text) - F.length(F.translate(text, _ALPHABET, "")),
+        )
+        .withColumn(
+            "__punct",
+            F.length(text) - F.length(F.translate(text, _PUNCT, "")),
+        )
     )
-    toks = F.col("__toks")
-    n_tokens = F.size(toks)
+    votes = F.col("__votes")
+    # size(split(norm, " ")) without building the array: norm is
+    # single-spaced and trimmed, so tokens = spaces + 1 (empty string
+    # splits to [""] -> size 1, which 0 spaces + 1 reproduces)
+    n_tokens = (
+        F.length(F.col("__norm"))
+        - F.length(F.translate(F.col("__norm"), " ", ""))
+        + F.lit(1)
+    )
     n_chars = F.length(text)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    stop_hits = F.size(F.filter(votes, lambda t: t.isin(*STOPWORDS_EN)))
     stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
     alpha_ratio = F.col("__alpha") / F.greatest(n_chars, F.lit(1))
     punct_ratio = F.col("__punct") / F.greatest(n_chars, F.lit(1))
@@ -169,10 +254,23 @@ def with_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("stop_ratio", F.round(stop_ratio, 6))
         .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
         .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn(
+            "lang_pred",
+            _lang_case(
+                {
+                    lang: F.size(
+                        F.filter(
+                            votes,
+                            (lambda sw: lambda t: t.isin(*sw))(sw),
+                        )
+                    )
+                    for lang, sw in LANG_STOPWORDS.items()
+                }
+            ),
+        )
         .withColumn("quality", F.round(score, 6))
-        .withColumn("lang_pred", lang_id_from_tokens(toks))
         .withColumn("fingerprint", F.md5(F.col("__norm")))
-        .drop("__norm", "__toks", "__alpha", "__punct")
+        .drop("__norm", "__votes", "__alpha", "__punct")
     )
 
 
