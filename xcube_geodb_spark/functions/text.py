@@ -76,17 +76,31 @@ def quality_score_columns(text_col: str = "text") -> dict[str, Column]:
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Table-level quality scoring with the token array materialized once —
-    the single-expression columns re-run tokenization per reference
-    otherwise (same Catalyst inlining hazard as dedup.shingle_table)."""
+    """Table-level quality scoring with the normalized string materialized
+    once — the single-expression columns re-run normalization per
+    reference otherwise (same Catalyst inlining hazard as
+    dedup.shingle_table). Same hot-path tricks as :func:`with_profile`
+    (regex word-count, translate char maps, space-count tokens); counts
+    are bit-identical to :func:`quality_score_columns`."""
     text = F.col(text_col)
-    staged = df.withColumn("__toks", tokens(text)).withColumn(
-        "__alpha", F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
-    ).withColumn("__punct", F.length(F.regexp_replace(text, "[^.,;:!?]", "")))
-    toks = F.col("__toks")
-    n_tokens = F.size(toks)
+    staged = (
+        df.withColumn("__norm", normalized(text))
+        .withColumn(
+            "__alpha",
+            F.length(text) - F.length(F.translate(text, _ALPHABET, "")),
+        )
+        .withColumn(
+            "__punct",
+            F.length(text) - F.length(F.translate(text, _PUNCT, "")),
+        )
+    )
+    n_tokens = (
+        F.length(F.col("__norm"))
+        - F.length(F.translate(F.col("__norm"), " ", ""))
+        + F.lit(1)
+    )
     n_chars = F.length(text)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    stop_hits = word_count_in(F.col("__norm"), tuple(STOPWORDS_EN))
     stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
     alpha_ratio = F.col("__alpha") / F.greatest(n_chars, F.lit(1))
     punct_ratio = F.col("__punct") / F.greatest(n_chars, F.lit(1))
@@ -102,7 +116,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
         .withColumn("punct_ratio", F.round(punct_ratio, 6))
         .withColumn("quality", F.round(score, 6))
-        .drop("__toks", "__alpha", "__punct")
+        .drop("__norm", "__alpha", "__punct")
     )
 
 
