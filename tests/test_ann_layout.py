@@ -804,3 +804,112 @@ class TestMultiTableLsh:
         df = S.lsh_multitable_topk(emb, qvecs[0], k=self.K)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+class TestLshTablesAtRest:
+    """At-rest multi-table LSH: (id, tb) postings collection clustered by
+    the composite table<<bits|bucket key. The probe must (a) equal the
+    direct lsh_multitable_topk scan exactly, (b) read a strict file
+    subset of the POSTINGS collection, and (c) absorb incremental
+    extends without changing either property."""
+
+    @pytest.fixture(scope="class")
+    def tabs_cat(self, spark, tmp_path_factory):
+        from xcube_geodb_spark.operators.ann import (
+            build_lsh_tables_collection,
+        )
+
+        wh = str(tmp_path_factory.mktemp("lshtabs"))
+        cat = GeoDBCatalog(spark, wh, user="ann")
+        cat.create_database("anndb")
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        build_lsh_tables_collection(
+            cat, "tabs", emb.select("vec_id", "embedding"), dim=DIM,
+            database="anndb", max_file_rows=256,
+        )
+        return cat, emb.select("vec_id", "embedding")
+
+    def test_probe_matches_direct_multitable(self, tabs_cat, spark):
+        from xcube_geodb_spark.operators.ann import ann_lsh_tables_topk
+
+        cat, emb = tabs_cat
+        q = _query_vec(spark)
+        got = sorted(
+            (r["vec_id"], r["cos_sim"])
+            for r in ann_lsh_tables_topk(
+                cat, "tabs", emb, q, k=10, database="anndb"
+            ).collect()
+        )
+        want = sorted(
+            (r["vec_id"], r["cos_sim"])
+            for r in S.lsh_multitable_topk(emb, q, k=10).collect()
+        )
+        assert got == want and len(got) == 10
+
+    def test_probe_prunes_postings_files(self, tabs_cat, spark):
+        from xcube_geodb_spark.functions.similarity import (
+            lsh_probe_buckets,
+            lsh_table_hyperplanes,
+        )
+        from xcube_geodb_spark.operators.scan import explain_scan
+
+        cat, _ = tabs_cat
+        q = _query_vec(spark)
+        tabs = lsh_table_hyperplanes(DIM, 4, 8, 42)
+        keys = sorted(
+            {
+                t * 16 + int(lsh_probe_buckets(q, hp, 1)[0], 2)
+                for t, hp in enumerate(tabs)
+            }
+        )
+        ex = explain_scan(
+            cat, "tabs", f"tb=in.({','.join(map(str, keys))})",
+            database="anndb",
+        )
+        assert ex["files_skipped"] > 0, ex
+
+    def test_extend_then_probe_matches(self, tabs_cat, spark):
+        from pyspark.sql import functions as F
+
+        from xcube_geodb_spark.operators.ann import (
+            ann_lsh_tables_topk,
+            extend_lsh_tables_collection,
+        )
+
+        cat, emb = tabs_cat
+        extra = emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+        extend_lsh_tables_collection(
+            cat, "tabs", extra, database="anndb"
+        )
+        union = emb.unionByName(extra)
+        q = _query_vec(spark)
+        got = sorted(
+            (r["vec_id"], r["cos_sim"])
+            for r in ann_lsh_tables_topk(
+                cat, "tabs", union, q, k=10, database="anndb"
+            ).collect()
+        )
+        want = sorted(
+            (r["vec_id"], r["cos_sim"])
+            for r in S.lsh_multitable_topk(union, q, k=10).collect()
+        )
+        assert got == want
+
+    def test_extend_requires_metadata(self, spark, tmp_path):
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.operators.ann import (
+            extend_lsh_tables_collection,
+        )
+
+        cat = GeoDBCatalog(spark, str(tmp_path / "wh"), user="ann")
+        cat.create_database("anndb")
+        cat.create_collection("plain", {"vec_id": "bigint", "tb": "int"},
+                              database="anndb")
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        with pytest.raises(GeoDBError, match="lsh_tables"):
+            extend_lsh_tables_collection(
+                cat, "plain", emb.select("vec_id", "embedding"),
+                database="anndb",
+            )

@@ -284,3 +284,186 @@ def ann_ivfpq_topk_refined(
     return cosine_topk(
         rows, query_vector, k, vec_col=idx["property"], id_col=id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# At-rest MULTI-TABLE LSH: a compact (table, bucket, id) postings
+# collection — the standard multi-table layout (one index per hyperplane
+# set, union of per-table candidates) re-expressed warehouse-native.
+# Postings are range-clustered by the composite table<<bits|bucket key, so
+# a probe reads a strict file subset of the POSTINGS (L * n_probe point
+# ranges), and only the candidate ids' vectors are fetched from the data
+# collection. Storage cost is L small integer rows per vector — the
+# vectors themselves are never duplicated (FAISS's multi-table tradeoff,
+# minus the vector copies).
+# ---------------------------------------------------------------------------
+
+
+def _lsh_tables_postings(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bits: int,
+    n_tables: int,
+    seed: int,
+    dim: int,
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from xcube_geodb_spark.functions.similarity import (
+        _to_double,
+        lsh_table_hyperplanes,
+        rotation_bucket,
+    )
+
+    tabs = lsh_table_hyperplanes(dim, n_bits, n_tables, seed)
+    v = _to_double(F.col(vec_col))
+    staged = vectors.select(F.col(id_col), v.alias("__v"))
+    tbs = F.array(
+        *[
+            (
+                F.lit(t * (1 << n_bits))
+                + F.conv(rotation_bucket(F.col("__v"), hp), 2, 10).cast("int")
+            )
+            for t, hp in enumerate(tabs)
+        ]
+    )
+    return staged.select(
+        F.col(id_col).cast("long").alias(id_col), tbs.alias("__tbs")
+    ).select(
+        id_col, F.explode("__tbs").alias("tb")
+    )
+
+
+def build_lsh_tables_collection(
+    catalog: GeoDBCatalog,
+    name: str,
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    database: str = "public",
+    n_bits: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    max_file_rows: int | None = None,
+) -> None:
+    """Materialize the multi-table LSH postings as a warehouse collection
+    range-clustered by the composite ``tb`` key (btree index), with the
+    table parameters in the collection metadata — committed atomically
+    with the postings. One JVM-codegen pass computes all L bucket ids;
+    the shuffle is the range-clustering exchange on ``tb`` only."""
+    from xcube_geodb_spark.admin import IndexManager
+    from xcube_geodb_spark.operators.dml import insert_into_collection
+
+    catalog.create_collection(
+        name, {id_col: "bigint", "tb": "int"}, database=database
+    )
+    if max_file_rows is not None:
+        catalog.commit_meta_change(
+            name, database, lambda m: {"max_file_rows": int(max_file_rows)}
+        )
+    IndexManager(catalog).create_index(name, "tb", database, kind="btree")
+    insert_into_collection(
+        catalog,
+        name,
+        _lsh_tables_postings(
+            vectors, id_col, vec_col, n_bits, n_tables, seed, dim
+        ),
+        database=database,
+        merge_meta={
+            "lsh_tables": {
+                "dim": int(dim),
+                "n_bits": int(n_bits),
+                "n_tables": int(n_tables),
+                "seed": int(seed),
+            }
+        },
+    )
+
+
+def extend_lsh_tables_collection(
+    catalog: GeoDBCatalog,
+    name: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    database: str = "public",
+) -> None:
+    """Incrementally index a new vector batch: new ids make the postings
+    disjoint, so they APPEND (same protocol as extend_bm25_collection);
+    at-rest tb clustering degrades as appends interleave —
+    optimize_collection restores it without changing any result."""
+    from xcube_geodb_spark.operators.dml import insert_into_collection
+
+    m = catalog.meta_for_write(name, database)
+    params = m.d.get("lsh_tables") or {}
+    if not params:
+        raise GeoDBError(
+            f"Collection {database}_{name} carries no lsh_tables metadata"
+        )
+    insert_into_collection(
+        catalog,
+        name,
+        _lsh_tables_postings(
+            new_vectors, id_col, vec_col,
+            int(params["n_bits"]), int(params["n_tables"]),
+            int(params["seed"]), int(params["dim"]),
+        ),
+        database=database,
+        expected_version=m.version,
+    )
+
+
+def ann_lsh_tables_topk(
+    catalog: GeoDBCatalog,
+    index_collection: str,
+    data: DataFrame,
+    query_vector: list[float],
+    k: int = 20,
+    database: str = "public",
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k via the at-rest multi-table postings: the probe's
+    ``L * n_probe`` bucket keys turn into one file-pruned postings scan
+    (``tb IN (...)`` reaches the manifest stats AND the parquet footers
+    on the range-clustered layout), candidate ids join back to the data
+    frame, exact cosine re-ranks. Result equals
+    ``lsh_multitable_topk(data, q)`` by construction — the same
+    candidates, computed from postings instead of a full scan."""
+    from pyspark.sql import functions as F
+
+    from xcube_geodb_spark.functions.similarity import (
+        cosine_topk,
+        lsh_probe_buckets,
+        lsh_table_hyperplanes,
+    )
+    from xcube_geodb_spark.operators.scan import get_collection
+
+    m = catalog.meta(index_collection, database)
+    params = m.d.get("lsh_tables") or {}
+    if not params:
+        raise GeoDBError(
+            f"Collection {database}_{index_collection} carries no "
+            "lsh_tables metadata"
+        )
+    n_bits = int(params["n_bits"])
+    tabs = lsh_table_hyperplanes(
+        int(params["dim"]), n_bits, int(params["n_tables"]),
+        int(params["seed"]),
+    )
+    keys: list[int] = []
+    for t, hp in enumerate(tabs):
+        for b in lsh_probe_buckets(query_vector, hp, n_probe):
+            keys.append(t * (1 << n_bits) + int(b, 2))
+    cand = get_collection(
+        catalog,
+        index_collection,
+        f"tb=in.({','.join(str(x) for x in sorted(set(keys)))})"
+        f"&select={id_col}",
+        database=database,
+    ).distinct()
+    rows = data.join(cand, on=id_col, how="leftsemi")
+    return cosine_topk(rows, query_vector, k, vec_col, id_col)

@@ -674,6 +674,36 @@ def ann_lsh_multitable(spark, sf_dir):
     ).select("vec_id", "cos_sim")
 
 
+def ann_lsh_tables_atrest(spark, sf_dir):
+    """AT-REST multi-table LSH: a compact (id, tb) postings collection —
+    tb = table<<bits | bucket — range-clustered by tb (btree index), so
+    the probe's L bucket keys become one file-pruned postings scan;
+    candidate ids semi-join the vectors and exact cosine re-ranks. Same
+    logical result as the direct lsh_multitable_topk scan, so the
+    OR-of-tables oracle applies verbatim."""
+    import tempfile
+
+    from xcube_geodb_spark.client import GeoDBSparkClient
+    from xcube_geodb_spark.operators.ann import (
+        ann_lsh_tables_topk,
+        build_lsh_tables_collection,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c = GeoDBSparkClient(
+        spark, warehouse=tempfile.mkdtemp(prefix="geodb_lshtab_"),
+        user="driver",
+    )
+    build_lsh_tables_collection(
+        c.catalog, "emb_tabs", emb, dim=64, database="driver",
+        max_file_rows=512,
+    )
+    return ann_lsh_tables_topk(
+        c.catalog, "emb_tabs", emb, _query_vector(spark, sf_dir), k=20,
+        database="driver",
+    ).select("vec_id", "cos_sim")
+
+
 def sim_ivf_topk(spark, sf_dir):
     """IVF ANN with the deterministic seed quantizer (lowest-id sample) so a
     plain-SQL oracle derives identical centroids and replays assignment +
@@ -817,6 +847,18 @@ LLM_SIM_ORACLES = {
         SELECT vec_id, {_COS_EXPR} AS cos_sim
         FROM s, q
         WHERE ({_hp_bucket_sql("v")}) = (SELECT {_hp_bucket_sql("qv")} FROM q)
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+    """,
+    # at-rest postings probe must equal the direct multitable scan
+    "ann_lsh_tables_atrest": f"""
+        {_COS_CTES}
+        SELECT vec_id, {_COS_EXPR} AS cos_sim
+        FROM s, q
+        WHERE {" OR ".join(
+            f"(({_hp_bucket_sql_for(t, 'v')}) = "
+            f"(SELECT {_hp_bucket_sql_for(t, 'qv')} FROM q))"
+            for t in _MT_TABLES
+        )}
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
     """,
     # L-table LSH: candidate iff ANY of the 8 independent 4-bit tables
@@ -2487,6 +2529,7 @@ LLM_QUERIES = {
     "ann_index_topk": ann_index_topk,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_lsh_multitable": ann_lsh_multitable,
+    "ann_lsh_tables_atrest": ann_lsh_tables_atrest,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_refined": ann_ivfpq_refined,
     "ann_ivfpq_residual": ann_ivfpq_residual,
