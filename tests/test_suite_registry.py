@@ -20,7 +20,10 @@ FAMILIES = {
     "asof": "events_asof_prev",
     "stream-ingest": "stream_ingest_collection",
     "stream-cdc": "stream_cdc_feed",
-    "geo-measures": "geo_measures_squares",
+    # r7: the prepared-geometry chain covers measures (area/centroid/x/y)
+    # plus the st_prepare struct path; geo_measures_squares demotes but
+    # stays locally verified
+    "geo-measures": "geo_prepared_chain",
     "geo-modes": "geo_bbox_modes",
     "geo-crs": "geo_bbox_crs_transform",
     # distance top-k demoted r5: ordering covered by scan_paging /

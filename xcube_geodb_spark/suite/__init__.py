@@ -76,8 +76,12 @@ DRIVER_WINDOW = [
     "events_attribution",
     "events_json_extract",
     "stream_ingest_collection",
-    # geo
-    "geo_measures_squares",
+    # geo — r7: the prepared-geometry chain supersedes geo_measures_squares
+    # as the measures representative (same closed-form area/centroid
+    # algebra PLUS the st_prepare struct path, predicate, and rect-clip
+    # consumers in one expression tree); geo_measures_squares stays
+    # registered and locally verified
+    "geo_prepared_chain",
     "geo_bbox_modes",
     "geo_bbox_crs_transform",
     "geo_count_by_bbox",
