@@ -265,3 +265,29 @@ class TestPreparedPlan:
             out[name] = (best, r[0]["a"])
         assert out["prep"][1] == out["raw"][1]  # identical aggregate
         assert out["prep"][0] <= out["raw"][0] * 1.5  # noise-proof bound
+
+
+class TestUniformDecodeTraps:
+    def test_3d_uniform_batch_rejects_fast_path(self):
+        """A uniform batch of Z-coordinate linestrings has byte lengths
+        that LOOK 2-D-divisible (n*24 % 16 == 0 for even n); the fast
+        decoder must validate the DECLARED point count and fall back to
+        the row path instead of misdecoding."""
+        import struct
+
+        def wkb3d_line(pts):
+            out = bytearray(b"\x01" + struct.pack("<I", 1002))  # ISO Z
+            out += struct.pack("<I", len(pts))
+            for p in pts:
+                out += struct.pack("<3d", *p)
+            return bytes(out)
+
+        bufs = [
+            wkb3d_line([(float(i), 1.0, 9.0), (i + 1.0, 2.0, 9.0)])
+            for i in range(4)
+        ]
+        pdf = P.prepare_series(pd.Series(bufs))
+        for i, b in enumerate(bufs):
+            want = to_wkt(parse_wkb(b))  # parser drops Z
+            got = to_wkt(P.prep_to_geoms(pdf.iloc[[i]])[0])
+            assert want == got

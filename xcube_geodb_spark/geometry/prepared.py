@@ -204,18 +204,22 @@ def _uniform_decode(vals: list) -> pd.DataFrame | None:
         return None
     code = int.from_bytes(bytes(raw[0, 1:5]), "little")
     if code == 1 and L == 21:
-        hdr = 5
+        hdr, npts = 5, 1
     elif code == 2 and L >= 9:
         hdr = 9
+        # the DECLARED count must match the 2-D byte budget: a 3-D
+        # linestring of even length would otherwise misdecode (L-9 is
+        # divisible by 16 whenever n*24 is)
+        npts = int.from_bytes(bytes(raw[0, 5:9]), "little")
     elif code == 3 and L >= 13:
         if int.from_bytes(bytes(raw[0, 5:9]), "little") != 1:
             return None  # multi-ring: row path
         hdr = 13
+        npts = int.from_bytes(bytes(raw[0, 9:13]), "little")
     else:
         return None
     if not (raw[:, :hdr] == raw[0, :hdr]).all():
         return None
-    npts = (L - hdr) // 16
     if hdr + npts * 16 != L or npts < 1:
         return None
     coords = (
