@@ -103,6 +103,21 @@ class TestQueryElision:
         )
         assert via_idx == got
 
+    def test_stem_equal_to_stopword_never_matches_filler(self, spark):
+        """'dos' stems to 'do', which is ALSO a stopword literal: in PG
+        the doc's elided 'do' position carries no lexeme, so the query
+        stem must not match it — the gap stream namespaces filler tokens
+        out of the stem alphabet."""
+        docs = spark.createDataFrame(
+            [
+                (1, "x do mat"),     # 'do' elided: no lexeme at pos 1
+                (2, "x dos mat"),    # real token stemming to 'do' at 1
+            ],
+            "doc_id long, text string",
+        )
+        got = _ids(docs, "text=phfts(english).the dos mat")
+        assert got == [2], got
+
     def test_simple_dictionary_unaffected(self, docs):
         assert _ids(docs, "text=fts.the%26cat") == [1]
         assert _ids(docs, "text=fts.the") == [1]

@@ -361,14 +361,19 @@ def _fts(c: Column, op: str, value: str, lang: str | None = None) -> Column:
         # original-stream too, so 'window <-> function' must NOT match
         # "window the function" (PG rejects it: tsvector positions are
         # pre-elision)
+        # stopword tokens stay in the stream as POSITION FILLERS only:
+        # the \x01 suffix moves them out of the stem namespace, so a
+        # query stem that happens to spell a stopword ("do") can never
+        # match a filler — in PG's tsvector the stopword position simply
+        # has no lexeme (the positional-index path gets this for free)
         stream = F.concat(
             F.lit(" "),
             F.array_join(
                 F.transform(
                     toks_all,
-                    lambda t: F.when(t.isin(stop_list), t).otherwise(
-                        _pcol(t)
-                    ),
+                    lambda t: F.when(
+                        t.isin(stop_list), F.concat(t, F.lit("\x01"))
+                    ).otherwise(_pcol(t)),
                 ),
                 " ",
             ),
@@ -376,7 +381,7 @@ def _fts(c: Column, op: str, value: str, lang: str | None = None) -> Column:
         )
         pat = " " + kept[0][1]
         for (i_prev, _), (i_cur, w) in zip(kept, kept[1:]):
-            pat += "(?: [a-z0-9]+){%d} %s" % (i_cur - i_prev - 1, w)
+            pat += "(?: [^ ]+){%d} %s" % (i_cur - i_prev - 1, w)
         return stream.rlike(pat + " ")
     if op == "plfts":
         out = conj([term(w) for w in _fts_norm(value).split(" ")])

@@ -281,12 +281,12 @@ CORE_ORACLES_GRAMMAR = {
                            string_split_regex(lower(text), '[^a-z0-9]+'),
                            t -> t != ''),
                        t -> CASE WHEN list_contains({stopword_sql_list()}, t)
-                                 THEN t ELSE {porter_sql("t")} END),
+                                 THEN t || chr(1) ELSE {porter_sql("t")} END),
                        ' ') || ' ' AS stream
             FROM documents
         )
         WHERE regexp_matches(stream,
-            ' {porter_py("table")}(?: [a-z0-9]+){{1}} {porter_py("data")} ')
+            ' {porter_py("table")}(?: [^ ]+){{1}} {porter_py("data")} ')
     """,
     "pg_fts_tsvector": f"""
         SELECT doc_id FROM (
