@@ -546,6 +546,23 @@ class TestShimLiteralSafety:
         assert f("ARRAY[col[1], 2] <@ other") == (
             "size(array_except(array(col[1], 2), other)) = 0"
         )
+        # a gap between function name and paren keeps the name (PG allows
+        # the whitespace); a KEYWORD before parens is never swallowed
+        assert f("foo (a) @> ARRAY[1]") == (
+            "size(array_except(array(1), foo (a))) = 0"
+        )
+        assert f("x IS NULL OR (tags) @> ARRAY['a']") == (
+            "x IS NULL OR size(array_except(array('a'), (tags))) = 0"
+        )
+        # compound operands would rewrite to silently-wrong SQL -> refuse
+        with pytest.raises(GeoDBError, match="operand shape"):
+            f("x || y @> z")
+        with pytest.raises(GeoDBError, match="operand shape"):
+            f("a <@ b || c")
+        # explicit parens make the compound operand legal
+        assert f("(x || y) @> z") == (
+            "size(array_except(z, (x || y))) = 0"
+        )
 
     def test_similar_to_translation(self):
         from xcube_geodb_spark.operators.scan import (
@@ -555,8 +572,20 @@ class TestShimLiteralSafety:
 
         assert f("name SIMILAR TO 'ab%'") == "name RLIKE '^(?:ab.*)$'"
         assert f("name NOT SIMILAR TO '(a|b)_'") == (
-            "NOT name RLIKE '^(?:(a|b).)$'"
+            "name NOT RLIKE '^(?:(a|b).)$'"
         )
+        # the operator is swapped IN PLACE: a compound lhs stays intact
+        # and binds to [NOT] RLIKE with PG's SIMILAR TO precedence
+        assert f("a || b SIMILAR TO 'x%'") == "a || b RLIKE '^(?:x.*)$'"
+        assert f("a || b NOT SIMILAR TO 'x%'") == (
+            "a || b NOT RLIKE '^(?:x.*)$'"
+        )
+        # embedded escaped quotes survive the regex round trip
+        assert f("name SIMILAR TO 'it''s%'") == (
+            "name RLIKE '^(?:it''s.*)$'"
+        )
+        # an identifier merely ENDING in "similar to"-ish text is not one
+        assert f("not_similar_to = 'x'") == "not_similar_to = 'x'"
         # PG: the period is NOT a metacharacter in SIMILAR TO
         assert _similar_to_regex("v1.2%") == "^(?:v1\\.2.*)$"
         # bracket expressions pass through verbatim (incl. % _ inside)

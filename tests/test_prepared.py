@@ -212,6 +212,48 @@ class TestPreparedModule:
         for i, g in enumerate(sq):
             assert va[i] == area(g) == 4.0
 
+    def test_trailing_null_rows_do_not_truncate_last_envelope(self):
+        """Regression: a NULL geometry as the FINAL batch row used to
+        clamp its reduceat start index in-bounds, splitting — and
+        truncating — the last valid row's envelope segment. st_xmax of
+        the LINESTRING below returned 1.0 instead of 9.0, and every
+        envelope consumer (box predicates, rect-clip triage) inherited
+        the corruption."""
+        line = Geometry(
+            "LineString",
+            np.array([[0.0, 0.0], [1.0, 1.0], [9.0, 9.0]]),
+        )
+        for tail in ([None], [None, None]):
+            pdf = P.prepare_series(pd.Series([to_wkb(line)] + tail))
+            xmin, ymin, xmax, ymax = P._Flat(pdf).envelopes()
+            assert (xmin[0], ymin[0], xmax[0], ymax[0]) == envelope(line)
+            assert xmax[0] == 9.0
+            assert all(np.isnan(xmax[1:]))
+            # box predicate: the box only touches the truncated tail
+            pred = P.v_box_predicate(
+                "intersects", (5.0, 5.0, 20.0, 20.0), pdf
+            )
+            assert pred[0] is True or pred[0] == True  # noqa: E712
+            assert not pred[len(tail)]
+            # rect-clip triage: envelope-inside row must pass through
+            clip = P.v_clip_rect_wkb(pdf, (-1.0, -1.0, 20.0, 20.0))
+            assert clip[0] is not None
+            assert to_wkt(parse_wkb(bytes(clip[0]))) == to_wkt(line)
+            assert clip[len(tail)] is None
+        # interior NULL rows: valid rows on both sides stay exact
+        sq = Geometry(
+            "Polygon",
+            [np.array([[60.0, 0.0], [70.0, 0.0], [70.0, 10.0],
+                       [60.0, 10.0], [60.0, 0.0]])],
+        )
+        pdf = P.prepare_series(
+            pd.Series([to_wkb(line), None, to_wkb(sq), None])
+        )
+        xmin, ymin, xmax, ymax = P._Flat(pdf).envelopes()
+        assert (xmin[0], ymin[0], xmax[0], ymax[0]) == envelope(line)
+        assert (xmin[2], ymin[2], xmax[2], ymax[2]) == envelope(sq)
+        assert np.isnan(xmax[1]) and np.isnan(xmax[3])
+
     def test_geometrycollection_rejected(self):
         gc = Geometry(
             "GeometryCollection",

@@ -390,14 +390,18 @@ class _Flat:
         out = [np.full(self.n, np.nan) for _ in range(4)]
         if len(self.x) == 0:
             return tuple(out)
-        starts = np.minimum(self.row_pt_start, len(self.x) - 1)
+        # reduceat indices must come from rows that actually own points:
+        # a zero-point row's start equals the NEXT row's start (or len(x)
+        # for trailing rows), and clamping it in-bounds would split — and
+        # truncate — the preceding valid row's segment.
         has = self.row_npts > 0
+        starts = self.row_pt_start[has]
         xmin = np.minimum.reduceat(self.x, starts)
         xmax = np.maximum.reduceat(self.x, starts)
         ymin = np.minimum.reduceat(self.y, starts)
         ymax = np.maximum.reduceat(self.y, starts)
         for o, v in zip(out, (xmin, ymin, xmax, ymax)):
-            o[has] = v[has]
+            o[has] = v
         return tuple(out)
 
 

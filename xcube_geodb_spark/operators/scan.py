@@ -327,15 +327,27 @@ def _operand_before(s: str) -> tuple[str, int] | None:
             elif t[j] == "(":
                 depth -= 1
                 if depth == 0:
-                    # include a preceding function name
-                    m = re.search(r"[A-Za-z0-9_.\"]+$", t[:j])
-                    start = m.start() if m else j
+                    # include a preceding function name (whitespace
+                    # between name and paren is legal SQL) — but never a
+                    # keyword, which precedes a plain parenthesized
+                    # expression rather than naming a call
+                    m = re.search(r"([A-Za-z0-9_.\"]+)\s*$", t[:j])
+                    start = j
+                    if m and m.group(1).upper() not in _SQL_KEYWORDS:
+                        start = m.start(1)
                     return t[start:], start
         return None
     m = re.search(r"[A-Za-z0-9_.\"]+$", t)
     if m:
         return t[m.start():], m.start()
     return None
+
+
+_SQL_KEYWORDS = frozenset(
+    "AND OR NOT WHERE ON WHEN THEN ELSE END IN SELECT FROM HAVING LIKE "
+    "ILIKE BETWEEN DISTINCT ALL ANY SOME EXISTS CASE AS JOIN BY OVER "
+    "USING VALUES RETURNING".split()
+)
 
 
 def _operand_after(s: str) -> tuple[str, int] | None:
@@ -375,6 +387,24 @@ def _rewrite_containment(seg: str) -> str:
             return seg  # not an operand shape we rewrite; leave as-is
         lhs, lstart = left
         rhs, rend_rel = right
+        # the true PG operand extends further left through a binary
+        # operator (e.g. ``x || y @> z`` is ``(x || y) @> z``); a partial
+        # rewrite would be silently wrong SQL — refuse instead
+        prefix = seg[:lstart].rstrip()
+        if prefix and prefix[-1] in "|&+-*/%^":
+            raise GeoDBError(
+                "Unsupported operand shape for @>/<@: the left operand is "
+                f"a compound expression ({prefix[-2:].strip()}{lhs} ...). "
+                "Parenthesize the operand or rewrite with array_except()."
+            )
+        suffix = seg[m.end() + rend_rel:].lstrip()
+        if suffix and suffix[0] in "|&*/%^":
+            raise GeoDBError(
+                "Unsupported operand shape for @>/<@: the right operand "
+                f"is a compound expression ({rhs} {suffix[:2].strip()} "
+                "...). Parenthesize the operand or rewrite with "
+                "array_except()."
+            )
         hay, needle = (lhs, rhs) if m.group(1) == "@>" else (rhs, lhs)
         repl = f"size(array_except({needle}, {hay})) = 0"
         seg = seg[:lstart] + repl + seg[m.end() + rend_rel:]
@@ -435,13 +465,21 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             parts[i + 1] = m.group(2)
         before = parts[i - 1]
         m = re.search(
-            r"(\S+)\s+(NOT\s+)?SIMILAR\s+TO\s*$", before, re.IGNORECASE
+            r"(?<![A-Za-z0-9_])(NOT\s+)?SIMILAR\s+TO\s*$",
+            before, re.IGNORECASE,
         )
         if m and parts[i].startswith("'"):
-            lhs, neg = m.group(1), m.group(2)
-            rx = _similar_to_regex(parts[i][1:-1])
-            parts[i - 1] = before[: m.start()]
-            parts[i] = f"{'NOT ' if neg else ''}{lhs} RLIKE '{rx}'"
+            # swap the operator in place — the lhs expression (however
+            # compound) stays untouched, and RLIKE / NOT RLIKE bind
+            # looser than || and arithmetic in Spark exactly like
+            # SIMILAR TO does in PG, so precedence is preserved without
+            # parsing the lhs. The pattern is unescaped before regex
+            # translation and re-escaped on emit so embedded quotes
+            # survive byte-exact.
+            rx = _similar_to_regex(parts[i][1:-1].replace("''", "'"))
+            op = "NOT RLIKE" if m.group(1) else "RLIKE"
+            parts[i - 1] = before[: m.start()] + op + " "
+            parts[i] = "'" + rx.replace("'", "''") + "'"
             continue
         m = re.search(r"(\S+)\s*(!~\*|!~|~\*|~)\s*$", before)
         if m and not parts[i].startswith("CAST("):
