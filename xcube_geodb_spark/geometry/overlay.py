@@ -180,20 +180,73 @@ def _subdivide(
     ``coords`` accumulates key -> float coordinate (first writer wins)."""
     a_splits: list[list[tuple[float, tuple]]] = [[] for _ in a_edges]
     b_splits: list[list[tuple[float, tuple]]] = [[] for _ in b_edges]
-    for i, (p0, p1) in enumerate(a_edges):
-        pxmin, pxmax = min(p0[0], p1[0]) - q, max(p0[0], p1[0]) + q
-        pymin, pymax = min(p0[1], p1[1]) - q, max(p0[1], p1[1]) + q
-        for j, (q0, q1) in enumerate(b_edges):
-            if (
-                pxmax < min(q0[0], q1[0])
-                or pxmin > max(q0[0], q1[0])
-                or pymax < min(q0[1], q1[1])
-                or pymin > max(q0[1], q1[1])
-            ):
+    if a_edges and b_edges:
+        A = np.asarray(a_edges, dtype=np.float64)  # (n, 2, 2)
+        B = np.asarray(b_edges, dtype=np.float64)  # (m, 2, 2)
+        p0x, p0y, p1x, p1y = A[:, 0, 0], A[:, 0, 1], A[:, 1, 0], A[:, 1, 1]
+        q0x, q0y, q1x, q1y = B[:, 0, 0], B[:, 0, 1], B[:, 1, 0], B[:, 1, 1]
+        axmin = np.minimum(p0x, p1x) - q
+        axmax = np.maximum(p0x, p1x) + q
+        aymin = np.minimum(p0y, p1y) - q
+        aymax = np.maximum(p0y, p1y) + q
+        bxmin, bxmax = np.minimum(q0x, q1x), np.maximum(q0x, q1x)
+        bymin, bymax = np.minimum(q0y, q1y), np.maximum(q0y, q1y)
+        n, m = len(A), len(B)
+        chunk = max(1, 4_000_000 // m)
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            cand = (
+                (axmax[s:e, None] >= bxmin[None, :])
+                & (axmin[s:e, None] <= bxmax[None, :])
+                & (aymax[s:e, None] >= bymin[None, :])
+                & (aymin[s:e, None] <= bymax[None, :])
+            )
+            ii, jj = np.nonzero(cand)
+            if not len(ii):
                 continue
-            for t, u, pt in _seg_meet(p0, p1, q0, q1, q):
-                a_splits[i].append((t, pt))
-                b_splits[j].append((u, pt))
+            ii += s
+            px, py = p1x[ii] - p0x[ii], p1y[ii] - p0y[ii]
+            qx, qy = q1x[jj] - q0x[jj], q1y[jj] - q0y[jj]
+            rx, ry = q0x[jj] - p0x[ii], q0y[jj] - p0y[ii]
+            denom = px * qy - py * qx
+            plen = np.hypot(px, py)
+            qlen = np.hypot(qx, qy)
+            live = (plen > 0.0) & (qlen > 0.0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                d0 = np.abs(rx * py - ry * px) / plen
+                d1 = np.abs(
+                    (q1x[jj] - p0x[ii]) * py - (q1y[jj] - p0y[ii]) * px
+                ) / plen
+                coll = live & (d0 < q) & (d1 < q)
+                t = (rx * qy - ry * qx) / denom
+                u = (rx * py - ry * px) / denom
+                slop_t = q / plen
+                slop_u = q / qlen
+            acc = (
+                live & ~coll & (denom != 0.0)
+                & (t >= -slop_t) & (t <= 1.0 + slop_t)
+                & (u >= -slop_u) & (u <= 1.0 + slop_u)
+            )
+            if acc.any():
+                tc = np.clip(t, 0.0, 1.0)
+                uc = np.clip(u, 0.0, 1.0)
+                ptx = p0x[ii] + tc * px
+                pty = p0y[ii] + tc * py
+                for k in np.flatnonzero(acc):
+                    i, j = int(ii[k]), int(jj[k])
+                    pt = (float(ptx[k]), float(pty[k]))
+                    a_splits[i].append((float(tc[k]), pt))
+                    b_splits[j].append((float(uc[k]), pt))
+            # collinear overlaps: rare — reuse the scalar kernel so the
+            # endpoint-candidate semantics stay byte-identical
+            for k in np.flatnonzero(coll):
+                i, j = int(ii[k]), int(jj[k])
+                for t_, u_, pt in _seg_meet(
+                    a_edges[i][0], a_edges[i][1],
+                    b_edges[j][0], b_edges[j][1], q,
+                ):
+                    a_splits[i].append((t_, pt))
+                    b_splits[j].append((u_, pt))
 
     def _emit(edges, splits):
         out = []
@@ -248,6 +301,43 @@ def _locate(x: float, y: float, rings: list[np.ndarray], q: float) -> str:
     if _on_boundary(x, y, rings, 4 * q):
         return "on"
     return "in" if _point_in_rings(x, y, rings) else "out"
+
+
+def _classify_many(
+    mx: np.ndarray, my: np.ndarray, rings: list[np.ndarray], q: float
+) -> list[str]:
+    """Vectorized :func:`_locate` for k midpoints against one operand's
+    rings — the same segment-distance and even-odd ray tests, run as one
+    k x S matrix per chunk instead of k Python calls. The per-ring XOR
+    of the scalar ray cast equals the parity of the total straddle-hit
+    count, so flattening rings preserves the answer exactly."""
+    x0 = np.concatenate([r[:-1, 0] for r in rings])
+    y0 = np.concatenate([r[:-1, 1] for r in rings])
+    x1 = np.concatenate([r[1:, 0] for r in rings])
+    y1 = np.concatenate([r[1:, 1] for r in rings])
+    dx, dy = x1 - x0, y1 - y0
+    ln2 = dx * dx + dy * dy
+    ln2s = np.where(ln2 == 0, 1, ln2)
+    tol = 4 * q
+    k, s_cnt = len(mx), len(x0)
+    on = np.zeros(k, dtype=bool)
+    cnt = np.zeros(k, dtype=np.int64)
+    chunk = max(1, 2_000_000 // max(s_cnt, 1))
+    for s in range(0, k, chunk):
+        e = min(k, s + chunk)
+        X, Y = mx[s:e, None], my[s:e, None]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = np.clip(((X - x0) * dx + (Y - y0) * dy) / ln2s, 0, 1)
+        cx, cy = x0 + t * dx, y0 + t * dy
+        d2 = (X - cx) ** 2 + (Y - cy) ** 2
+        on[s:e] = (d2 < tol * tol).any(axis=1)
+        straddles = (y0 > Y) != (y1 > Y)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            xs = x0 + (Y - y0) / (y1 - y0) * (x1 - x0)
+        cnt[s:e] = (straddles & (X < xs)).sum(axis=1)
+    return [
+        "on" if on[i] else ("in" if cnt[i] % 2 else "out") for i in range(k)
+    ]
 
 
 def _emit_rules(op: str, src: str, loc: str) -> str | None:
@@ -438,12 +528,17 @@ def overlay(a: Geometry | None, b: Geometry | None, op: str) -> Geometry | None:
             directed.add(da)
 
     for src, subs, other_rings in (("A", a_sub, b_rings), ("B", b_sub, a_rings)):
-        for p, qq in subs:
-            und = frozenset((p, qq))
-            if und in shared:
-                continue
-            mx, my = (p[0] + qq[0]) / 2.0 * q, (p[1] + qq[1]) / 2.0 * q
-            loc = _locate(mx, my, other_rings, q)
+        nonshared = [
+            (p, qq) for p, qq in subs if frozenset((p, qq)) not in shared
+        ]
+        if not nonshared:
+            continue
+        keys = np.asarray(nonshared, dtype=np.float64)  # (k, 2, 2)
+        mxs = (keys[:, 0, 0] + keys[:, 1, 0]) / 2.0 * q
+        mys = (keys[:, 0, 1] + keys[:, 1, 1]) / 2.0 * q
+        locs = _classify_many(mxs, mys, other_rings, q)
+        for (p, qq), mx, my, loc in zip(nonshared, mxs, mys, locs):
+            mx, my = float(mx), float(my)
             if loc == "on":
                 # grazing contact without an exact partner edge: resolve
                 # like a shared edge using offset side probes
@@ -470,13 +565,49 @@ def overlay(a: Geometry | None, b: Geometry | None, op: str) -> Geometry | None:
     return _assemble(rings, q, srid, coords)
 
 
-def union_all(geoms: list[Geometry | None]) -> Geometry | None:
-    """Aggregate dissolve (``ST_Union(geometry set)``): balanced pairwise
-    merge so the fold depth is O(log n) and intermediate results stay as
-    small as the data allows."""
-    items = [g for g in geoms if g is not None]
-    if not items:
-        return None
+def _envelope_components(env: np.ndarray) -> list[list[int]]:
+    """Connected components of envelope overlap: indexes i, j belong to
+    the same component iff their envelopes are chained by pairwise
+    bbox intersection.  Sweep over x-sorted envelopes; each index only
+    tests the x-overlapping suffix (vectorized y test), so scattered
+    data is ~O(n log n) while fully-x-overlapping data degrades to the
+    pair count — which is exactly the case where the boolean kernel
+    dominates anyway."""
+    n = len(env)
+    order = np.argsort(env[:, 0], kind="stable")
+    xmin = env[order, 0]
+    ymin = env[order, 1]
+    xmax = env[order, 2]
+    ymax = env[order, 3]
+    parent = list(range(n))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n - 1):
+        hi = int(np.searchsorted(xmin, xmax[i], side="right"))
+        if hi <= i + 1:
+            continue
+        hit = (ymin[i + 1: hi] <= ymax[i]) & (ymax[i + 1: hi] >= ymin[i])
+        ra = find(int(order[i]))
+        for j in np.flatnonzero(hit):
+            rb = find(int(order[i + 1 + j]))
+            if ra != rb:
+                parent[rb] = ra
+    comps: dict[int, list[int]] = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(i)
+    # deterministic: components ordered by their smallest member index,
+    # members in input order (dict insertion preserves both here)
+    return sorted(comps.values(), key=lambda c: c[0])
+
+
+def _union_fold(items: list[Geometry]) -> Geometry | None:
+    """Balanced pairwise union merge: O(log n) fold depth so intermediate
+    results stay as small as the data allows."""
     while len(items) > 1:
         merged = []
         for i in range(0, len(items) - 1, 2):
@@ -486,7 +617,41 @@ def union_all(geoms: list[Geometry | None]) -> Geometry | None:
         items = [g for g in merged if g is not None]
         if not items:
             return None
-    return items[0]
+    return items[0] if items else None
+
+
+def union_all(geoms: list[Geometry | None]) -> Geometry | None:
+    """Aggregate dissolve (``ST_Union(geometry set)``).
+
+    Members are first grouped into envelope-overlap connected components:
+    members of different components are provably disjoint, so their union
+    is pure concatenation — no boolean pass (the dominant real-world
+    dissolve case: scattered features, few touching clusters).  Only
+    within a component does the planar kernel run, as a balanced pairwise
+    merge (O(log n) fold depth)."""
+    items = [g for g in geoms if g is not None]
+    if not items:
+        return None
+    if len(items) == 1:
+        return items[0]
+    srid = next((g.srid for g in items if g.srid), 0)
+    env = np.array([envelope(g) for g in items], dtype=np.float64)
+    comps = _envelope_components(env)
+    if len(comps) == 1:
+        return _union_fold(items)
+    parts: list[list[np.ndarray]] = []
+    for comp in comps:
+        g = items[comp[0]] if len(comp) == 1 else _union_fold(
+            [items[i] for i in comp]
+        )
+        if g is not None:
+            parts.extend(_polygons_of(g))
+    if not parts:
+        return None
+    polys = [Geometry("Polygon", rings, srid) for rings in parts]
+    return polys[0] if len(polys) == 1 else Geometry(
+        "MultiPolygon", polys, srid
+    )
 
 
 # ---------------------------------------------------------------------------
