@@ -591,6 +591,39 @@ class TestShimLiteralSafety:
         # bracket expressions pass through verbatim (incl. % _ inside)
         assert _similar_to_regex("x[%_]y") == "^(?:x[%_]y)$"
 
+    def test_agg_orderby_rewrites(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("string_agg(name, ',' ORDER BY id) AS names") == (
+            "string_agg(name, ',') WITHIN GROUP (ORDER BY id) AS names"
+        )
+        # arbitrary order lists pass through to WITHIN GROUP untouched
+        assert f("string_agg(x, '; ' ORDER BY a DESC, b) AS s") == (
+            "string_agg(x, '; ') WITHIN GROUP (ORDER BY a DESC, b) AS s"
+        )
+        assert f("array_agg(name ORDER BY id) AS names") == (
+            "transform(sort_array(collect_list(struct((id) AS __o0, "
+            "(name) AS __v))), s -> s.__v) AS names"
+        )
+        assert f("array_agg(name ORDER BY id DESC) AS names") == (
+            "transform(sort_array(collect_list(struct((id) AS __o0, "
+            "(name) AS __v)), false), s -> s.__v) AS names"
+        )
+        # no in-args ORDER BY -> native Spark forms, untouched
+        assert f("string_agg(x, ',') AS s") == "string_agg(x, ',') AS s"
+        assert f("array_agg(x) AS s") == "array_agg(x) AS s"
+        # literals containing agg-looking text survive
+        assert f("c = 'string_agg(x ORDER BY y)'") == (
+            "c = 'string_agg(x ORDER BY y)'"
+        )
+        # outside-the-shim shapes raise instead of mis-rewriting
+        with pytest.raises(GeoDBError, match="mixed ASC/DESC"):
+            f("array_agg(x ORDER BY a ASC, b DESC)")
+        with pytest.raises(GeoDBError, match="NULLS"):
+            f("array_agg(x ORDER BY a NULLS LAST)")
+        with pytest.raises(GeoDBError, match="DISTINCT"):
+            f("array_agg(DISTINCT x ORDER BY x)")
+
     def test_export_geojson_without_geometry_raises(self, client, land_use, tmp_path):
         with pytest.raises(GeoDBError, match="geometry column"):
             client.export_collection(

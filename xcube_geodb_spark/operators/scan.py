@@ -410,6 +410,109 @@ def _rewrite_containment(seg: str) -> str:
         seg = seg[:lstart] + repl + seg[m.end() + rend_rel:]
 
 
+_AGG_ORDER_RE = re.compile(r"\b(string_agg|array_agg)\s*\(", re.IGNORECASE)
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def _split_order_keys(order: str) -> tuple[list[str], bool]:
+    """Top-level comma split of an aggregate-internal ORDER BY list ->
+    (bare keys, ascending).  Directions must agree; NULLS FIRST/LAST is
+    outside the shim."""
+    keys, depth, start = [], 0, 0
+    for i, ch in enumerate(order):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            keys.append(order[start:i])
+            start = i + 1
+    keys.append(order[start:])
+    if re.search(r"\bNULLS\s+(FIRST|LAST)\b", order, re.IGNORECASE):
+        raise GeoDBError(
+            "NULLS FIRST/LAST inside array_agg(... ORDER BY ...) is "
+            "outside the pg dialect shim (SURVEY.md §7)"
+        )
+    bare, dirs = [], []
+    for k in keys:
+        m = re.search(r"\s+(ASC|DESC)\s*$", k, re.IGNORECASE)
+        if m:
+            bare.append(k[: m.start()].strip())
+            dirs.append(m.group(1).upper())
+        else:
+            bare.append(k.strip())
+            dirs.append("ASC")
+    if len(set(dirs)) > 1:
+        raise GeoDBError(
+            "array_agg(... ORDER BY ...) with mixed ASC/DESC keys is "
+            "outside the pg dialect shim (SURVEY.md §7)"
+        )
+    return bare, dirs[0] == "ASC"
+
+
+def _rewrite_agg_orderby(code: str) -> str:
+    """PG's aggregate-internal ``ORDER BY`` on literal-protected code:
+
+    - ``string_agg(x, sep ORDER BY k...)`` ->
+      ``string_agg(x, sep) WITHIN GROUP (ORDER BY k...)`` (Spark 4 runs
+      string_agg + WITHIN GROUP natively; only PG's in-args spelling
+      needs moving)
+    - ``array_agg(x ORDER BY k...)`` ->
+      ``transform(sort_array(collect_list(struct(k AS __o0, ..., x AS
+      __v))[, false]), s -> s.__v)`` — one map-side-combining aggregate,
+      per-group sort by the keys (ties resolved by the value, which PG
+      leaves unspecified).  Unlike bare collect_list, the struct wrapper
+      keeps NULL values, matching PG array_agg."""
+    pos = 0
+    while True:
+        m = _AGG_ORDER_RE.search(code, pos)
+        if not m:
+            return code
+        fname = m.group(1).lower()
+        depth = 0
+        for j in range(m.end() - 1, len(code)):
+            if code[j] == "(":
+                depth += 1
+            elif code[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code  # unbalanced parens: leave for Spark's parser
+        args = code[m.end(): j]
+        ob = None
+        for om in _ORDER_BY_RE.finditer(args):
+            if args[: om.start()].count("(") == args[: om.start()].count(")"):
+                ob = om
+                break
+        if ob is None:
+            pos = m.end()
+            continue
+        head = args[: ob.start()].rstrip()
+        order = args[ob.end():].strip()
+        if fname == "string_agg":
+            repl = (
+                f"string_agg({head}) WITHIN GROUP (ORDER BY {order})"
+            )
+        else:
+            if re.match(r"DISTINCT\b", head, re.IGNORECASE):
+                raise GeoDBError(
+                    "array_agg(DISTINCT ... ORDER BY ...) is outside the "
+                    "pg dialect shim (SURVEY.md §7)"
+                )
+            keys, asc = _split_order_keys(order)
+            fields = ", ".join(
+                f"({k}) AS __o{i}" for i, k in enumerate(keys)
+            ) + f", ({head}) AS __v"
+            tail = "" if asc else ", false"
+            repl = (
+                f"transform(sort_array(collect_list(struct({fields}))"
+                f"{tail}), s -> s.__v)"
+            )
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
+
+
 def _pg_clause_to_spark(clause: str | None) -> str | None:
     """Textual shim for the PG-isms Spark SQL's parser rejects, applied
     outside string literals only:
@@ -491,18 +594,22 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             parts[i - 1] = before[: m.start()]
             parts[i] = f"{neg}{lhs} RLIKE '{pat}'"
     out = "".join(parts)
-    if "@>" in out or "<@" in out:
-        # containment operands may span literal segments (array('a','b')):
-        # protect literals behind identifier-shaped placeholders, rewrite
-        # on the joined code, then restore — literal contents stay
-        # byte-identical
+    need_cont = "@>" in out or "<@" in out
+    need_agg = bool(_AGG_ORDER_RE.search(out))
+    if need_cont or need_agg:
+        # these operands/arg-lists may span literal segments: protect
+        # literals behind identifier-shaped placeholders, rewrite on the
+        # joined code, then restore — literal contents stay byte-identical
         parts = re.split(r"('(?:[^']|'')*')", out)
         lits = parts[1::2]
         protected = "".join(
             p if i % 2 == 0 else f"__GEODB_LIT_{i // 2}__"
             for i, p in enumerate(parts)
         )
-        protected = _rewrite_containment(protected)
+        if need_cont:
+            protected = _rewrite_containment(protected)
+        if need_agg:
+            protected = _rewrite_agg_orderby(protected)
         out = re.sub(
             r"__GEODB_LIT_(\d+)__",
             lambda mm: lits[int(mm.group(1))],

@@ -59,9 +59,13 @@ DRIVER_WINDOW = [
     "scan_paging",
     "scan_fts_documents",
     "head_nation",
-    # raw-SQL pg path
+    # raw-SQL pg path — r8: pg_string_agg (the aggregate-internal
+    # ORDER BY shim, verdict order 2) supersedes pg_dialect_shim as the
+    # dialect representative: it exercises the same build_pg_sql shim
+    # machinery plus a `::text` cast; the `~`-regex leg stays covered
+    # locally by pg_dialect_shim and pg_similar_to
     "pg_groupby_q1",
-    "pg_dialect_shim",
+    "pg_string_agg",
     "count_lineitem",
     # joins / windows / set ops / aggregates
     "join_revenue_by_nation",
