@@ -259,3 +259,195 @@ class TestOverlaySQL:
         assert row["diff"] == 3.0
         assert row["sym"] == 6.0
         assert row["u_null"] is not None  # ST_Union(g, NULL) = g
+
+
+class TestMakeValid:
+    def test_bowtie_splits_into_triangles(self):
+        from xcube_geodb_spark.geometry.geom import is_valid
+        from xcube_geodb_spark.geometry.overlay import make_valid
+
+        bt = P("POLYGON ((0 0, 4 2, 0 2, 4 0, 0 0))")
+        assert not is_valid(bt)
+        mv = make_valid(bt)
+        assert mv.kind == "MultiPolygon"
+        assert is_valid(mv)
+        assert area(mv) == pytest.approx(4.0, abs=1e-9)  # w*h/2
+
+    def test_unclosed_and_degenerate_rings(self):
+        from xcube_geodb_spark.geometry.geom import Geometry, is_valid
+        from xcube_geodb_spark.geometry.overlay import make_valid
+
+        un = Geometry(
+            "Polygon",
+            [np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])],
+        )
+        mv = make_valid(un)
+        assert is_valid(mv) and area(mv) == pytest.approx(4.0)
+        # zero-area (collinear) ring -> NULL (documented EMPTY deviation)
+        z = Geometry(
+            "Polygon",
+            [np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [0.0, 0.0]])],
+        )
+        assert make_valid(z) is None
+
+    def test_hole_outside_shell_becomes_shell(self):
+        from xcube_geodb_spark.geometry.geom import is_valid
+        from xcube_geodb_spark.geometry.overlay import make_valid
+
+        g = P(
+            "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0),"
+            " (5 5, 6 5, 6 6, 5 6, 5 5))"
+        )
+        mv = make_valid(g)
+        assert mv.kind == "MultiPolygon" and is_valid(mv)
+        assert area(mv) == pytest.approx(5.0)
+
+    def test_hole_overlapping_shell_boundary(self):
+        from xcube_geodb_spark.geometry.geom import is_valid
+        from xcube_geodb_spark.geometry.overlay import make_valid
+
+        # hole sticking out of the shell: even-odd keeps shell minus
+        # the inside part of the hole, plus the outside part as shell
+        g = P(
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0),"
+            " (3 1, 6 1, 6 3, 3 3, 3 1))"
+        )
+        mv = make_valid(g)
+        assert is_valid(mv)
+        # 16 - (inside hole part 1x2=2) + (outside part 2x2=4)
+        assert area(mv) == pytest.approx(16.0 - 2.0 + 4.0)
+
+    def test_valid_input_passes_through_unchanged(self):
+        from xcube_geodb_spark.geometry.overlay import make_valid
+
+        g = P("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        assert make_valid(g) is g
+        pt = P("POINT (1 1)")
+        assert make_valid(pt) is pt
+        assert make_valid(None) is None
+
+    def test_repaired_geometry_feeds_overlay(self):
+        """Invalid input -> make_valid -> overlay integration: the
+        repaired bowtie intersects a box exactly like its two-triangle
+        decomposition does."""
+        from xcube_geodb_spark.geometry.overlay import make_valid
+
+        bt = P("POLYGON ((0 0, 4 2, 0 2, 4 0, 0 0))")
+        mv = make_valid(bt)
+        box = sq(0, 0, 2, 2)
+        inter = overlay(mv, box, "union")
+        assert area(inter) == pytest.approx(
+            area(mv) + 4.0 - area(overlay(mv, box, "intersection")),
+            abs=1e-9,
+        )
+
+    def test_sql_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT
+              st_isvalid(st_geomfromtext(
+                'POLYGON ((0 0, 4 2, 0 2, 4 0, 0 0))')) AS bad,
+              st_isvalid(st_makevalid(st_geomfromtext(
+                'POLYGON ((0 0, 4 2, 0 2, 4 0, 0 0))'))) AS fixed,
+              round(st_area(st_makevalid(st_geomfromtext(
+                'POLYGON ((0 0, 4 2, 0 2, 4 0, 0 0))'))), 6) AS a,
+              st_makevalid(CAST(NULL AS BINARY)) AS n
+            """
+        ).collect()[0]
+        assert row["bad"] is False and row["fixed"] is True
+        assert row["a"] == 4.0 and row["n"] is None
+
+
+class TestSubdividePointOnSurface:
+    def test_subdivide_bounds_vertices_preserves_area(self):
+        from xcube_geodb_spark.geometry.geom import subdivide
+
+        pts = []
+        k = 6
+        for i in range(k):
+            pts.append(f"{i} {i}")
+            pts.append(f"{i + 1} {i}")
+        pts += [f"{k} {k}", f"0 {k}", "0 0"]
+        stair = P(f"POLYGON (({', '.join(pts)}))")
+        pieces = subdivide(stair, 8)
+        assert len(pieces) > 1
+        assert sum(area(p) for p in pieces) == pytest.approx(area(stair))
+        for p in pieces:
+            assert sum(len(r) for r in p.parts) <= 8
+
+    def test_subdivide_small_geometry_passthrough_and_min(self):
+        from xcube_geodb_spark.geometry.geom import subdivide
+
+        g = sq(0, 0, 1, 1)
+        assert [to_wkt(p) for p in subdivide(g, 8)] == [to_wkt(g)]
+        with pytest.raises(GeoDBError, match="max_vertices >= 5"):
+            subdivide(g, 4)
+
+    def test_spatial_join_parity_after_subdivide(self):
+        """The 100-TB prep contract: joining against subdivided pieces
+        finds exactly the geometries the whole polygon finds."""
+        from xcube_geodb_spark.geometry.geom import Geometry, subdivide
+        from xcube_geodb_spark.geometry.geom import distance
+
+        pts = []
+        k = 8
+        for i in range(k):
+            pts.append(f"{i} {i}")
+            pts.append(f"{i + 1} {i}")
+        pts += [f"{k} {k}", f"0 {k}", "0 0"]
+        big = P(f"POLYGON (({', '.join(pts)}))")
+        pieces = subdivide(big, 8)
+        probes = [
+            Geometry("Point", np.array([x + 0.25, y + 0.25]))
+            for x in range(-1, k + 1) for y in range(-1, k + 1)
+        ]
+        for pt in probes:
+            whole = distance(big, pt) == 0.0
+            via_pieces = any(distance(p, pt) == 0.0 for p in pieces)
+            assert whole == via_pieces
+
+    def test_point_on_surface_shapes(self):
+        from xcube_geodb_spark.geometry.geom import point_on_surface
+
+        assert point_on_surface(sq(1, 1, 5, 3)) == (3.0, 2.0)
+        lshape = P("POLYGON ((0 0, 3 0, 3 1, 1 1, 1 3, 0 3, 0 0))")
+        assert point_on_surface(lshape) == (0.5, 2.0)
+        # centroid of the L is outside; POS must be inside
+        from xcube_geodb_spark.geometry.geom import _point_in_rings
+
+        x, y = point_on_surface(lshape)
+        assert _point_in_rings(x, y, lshape.parts)
+        # multipolygon: widest component wins
+        mp = P(
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)),"
+            " ((10 0, 30 0, 30 10, 10 10, 10 0)))"
+        )
+        assert point_on_surface(mp) == (20.0, 5.0)
+        # line: interior vertex nearest the centroid
+        ln = P("LINESTRING (0 0, 1 1, 2 0)")
+        assert point_on_surface(ln) == (1.0, 1.0)
+        assert point_on_surface(P("POINT (3 4)")) == (3.0, 4.0)
+
+    def test_sql_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT
+              size(st_subdivide(st_geomfromtext(
+                'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'), 8)) AS n1,
+              st_x(st_pointonsurface(st_geomfromtext(
+                'POLYGON ((1 1, 5 1, 5 3, 1 3, 1 1))'))) AS px,
+              st_y(st_pointonsurface(st_geomfromtext(
+                'POLYGON ((1 1, 5 1, 5 3, 1 3, 1 1))'))) AS py
+            """
+        ).collect()[0]
+        assert row["n1"] == 1 and (row["px"], row["py"]) == (3.0, 2.0)

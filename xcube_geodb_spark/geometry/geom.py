@@ -1446,3 +1446,127 @@ def project_point(lon: float, lat: float, distance_m: float, azimuth_rad: float)
     )
     lon2 = (lon2 + math.pi) % (2.0 * math.pi) - math.pi  # normalize to ±180
     return math.degrees(lon2), math.degrees(lat2)
+
+
+def _vertex_count(geom: Geometry) -> int:
+    n = 0
+    for leaf in geom.children():
+        if leaf.kind == "Point":
+            n += 1
+        elif leaf.kind == "LineString":
+            n += len(leaf.parts)
+        else:  # Polygon
+            n += sum(len(r) for r in leaf.parts)
+    return n
+
+
+def subdivide(geom: Geometry, max_vertices: int = 256) -> list[Geometry]:
+    """``ST_Subdivide``: split a geometry into pieces of at most
+    ``max_vertices`` vertices by recursive halving of the envelope's
+    longer axis + :func:`clip_by_box` — the standard PostGIS prep that
+    keeps grid-partitioned spatial joins balanced when polygons are huge
+    (a giant polygon otherwise lands every one of its grid cells' work
+    on one comparison).  The union of the pieces covers the input
+    exactly; piece boundaries are axis-parallel cut lines.  Like
+    PostGIS, requires ``max_vertices >= 5``; multi-geometries are split
+    into their components first.  (PostGIS picks its cut pivot from
+    vertex distribution rather than the envelope midpoint, so piece
+    COUNTS differ from PostGIS; the coverage contract is the same.)"""
+    from xcube_geodb_spark.errors import GeoDBError
+
+    if max_vertices < 5:
+        raise GeoDBError("st_subdivide requires max_vertices >= 5")
+    out: list[Geometry] = []
+    stack = list(geom.children())
+    while stack:
+        g = stack.pop()
+        n = _vertex_count(g)
+        if n <= max_vertices:
+            out.append(g)
+            continue
+        xmin, ymin, xmax, ymax = envelope(g)
+        if xmax - xmin >= ymax - ymin:
+            mid = (xmin + xmax) / 2.0
+            boxes = ((xmin, ymin, mid, ymax), (mid, ymin, xmax, ymax))
+        else:
+            mid = (ymin + ymax) / 2.0
+            boxes = ((xmin, ymin, xmax, mid), (xmin, mid, xmax, ymax))
+        pieces = [clip_by_box(g, b) for b in boxes]
+        pieces = [p for p in pieces if p is not None]
+        progressed = any(_vertex_count(p) < n for p in pieces)
+        if not progressed:
+            # degenerate (e.g. everything on the cut line): emit as-is
+            out.append(g)
+            continue
+        for p in pieces:
+            stack.extend(p.children())
+    return out
+
+
+def _interior_point_polygon(rings: list[np.ndarray]) -> tuple[float, float, float]:
+    """(x, y, interval width) of the widest horizontal-bisector chord of
+    one polygon — the JTS/GEOS InteriorPointArea construction PostGIS
+    uses: the scanline y bisects the gap between the vertex ordinates
+    nearest the envelope's vertical center (so it never passes through a
+    vertex), crossings pair up even-odd, and the point is the midpoint
+    of the widest inside interval."""
+    ys_all = np.concatenate([r[:, 1] for r in rings])
+    lo_env, hi_env = float(ys_all.min()), float(ys_all.max())
+    center = (lo_env + hi_env) / 2.0
+    above = ys_all[(ys_all > center) & (ys_all < hi_env)]
+    below = ys_all[(ys_all < center) & (ys_all > lo_env)]
+    hi = float(above.min()) if len(above) else hi_env
+    lo = float(below.max()) if len(below) else lo_env
+    y = (hi + lo) / 2.0
+    xs: list[float] = []
+    for r in rings:
+        x0, y0 = r[:-1, 0], r[:-1, 1]
+        x1, y1 = r[1:, 0], r[1:, 1]
+        straddles = (y0 > y) != (y1 > y)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cx = x0 + (y - y0) / (y1 - y0) * (x1 - x0)
+        xs.extend(cx[straddles].tolist())
+    xs.sort()
+    best_x, best_w = None, -1.0
+    for a, b in zip(xs[0::2], xs[1::2]):
+        if b - a > best_w:
+            best_w, best_x = b - a, (a + b) / 2.0
+    if best_x is None:  # fully degenerate polygon: fall back to a vertex
+        return float(rings[0][0, 0]), float(rings[0][0, 1]), 0.0
+    return best_x, y, best_w
+
+
+def point_on_surface(geom: Geometry) -> tuple[float, float]:
+    """``ST_PointOnSurface``: a point guaranteed on the geometry —
+    polygons get the widest-bisector-chord interior point (the JTS
+    construction, see :func:`_interior_point_polygon`; for multipolygons
+    the widest chord across components wins), lines the interior vertex
+    closest to the centroid (endpoints only for 2-point lines), points
+    the member closest to the centroid."""
+    polys = [leaf for leaf in geom.children() if leaf.kind == "Polygon"]
+    if polys:
+        best = None
+        for leaf in polys:
+            x, y, w = _interior_point_polygon(leaf.parts)
+            if best is None or w > best[2]:
+                best = (x, y, w)
+        return best[0], best[1]
+    cx, cy = centroid(geom)
+    lines = [leaf for leaf in geom.children() if leaf.kind == "LineString"]
+    if lines:
+        best = None
+        for leaf in lines:
+            arr = leaf.parts
+            cand = arr[1:-1] if len(arr) > 2 else arr
+            d2 = (cand[:, 0] - cx) ** 2 + (cand[:, 1] - cy) ** 2
+            k = int(np.argmin(d2))
+            if best is None or float(d2[k]) < best[2]:
+                best = (float(cand[k, 0]), float(cand[k, 1]), float(d2[k]))
+        return best[0], best[1]
+    best = None
+    for leaf in geom.children():
+        x, y = float(leaf.parts[0]), float(leaf.parts[1])
+        d2 = (x - cx) ** 2 + (y - cy) ** 2
+        if best is None or d2 < best[2]:
+            best = (x, y, d2)
+    return best[0], best[1]

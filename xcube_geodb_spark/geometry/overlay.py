@@ -655,6 +655,120 @@ def union_all(geoms: list[Geometry | None]) -> Geometry | None:
 
 
 # ---------------------------------------------------------------------------
+# ST_MakeValid: repair via the planar-subdivision kernel
+# ---------------------------------------------------------------------------
+
+
+def _parity_many(
+    xs: np.ndarray, ys: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Even-odd inside test for k probe points against a ring set — the
+    vectorized twin of geom._point_in_rings (total straddle-hit parity
+    equals the scalar per-ring XOR)."""
+    x0 = np.concatenate([r[:-1, 0] for r in rings])
+    y0 = np.concatenate([r[:-1, 1] for r in rings])
+    x1 = np.concatenate([r[1:, 0] for r in rings])
+    y1 = np.concatenate([r[1:, 1] for r in rings])
+    k = len(xs)
+    cnt = np.zeros(k, dtype=np.int64)
+    chunk = max(1, 2_000_000 // max(len(x0), 1))
+    for s in range(0, k, chunk):
+        e = min(k, s + chunk)
+        X, Y = xs[s:e, None], ys[s:e, None]
+        straddles = (y0 > Y) != (y1 > Y)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cx = x0 + (Y - y0) / (y1 - y0) * (x1 - x0)
+        cnt[s:e] = (straddles & (X < cx)).sum(axis=1)
+    return (cnt % 2).astype(bool)
+
+
+def make_valid(geom: Geometry | None) -> Geometry | None:
+    """``ST_MakeValid`` for polygonal geometries: valid inputs pass
+    through untouched (coordinates preserved exactly); invalid ones are
+    repaired by the module's own planar-subdivision kernel — the classic
+    buffer(0)-style decomposition:
+
+    1. unclosed rings are closed, degenerate rings (< 4 points after
+       closing, or zero area) are dropped;
+    2. every remaining edge is split at its self-intersections
+       (:func:`_subdivide` against itself — bowtie crossings,
+       T-junctions, collinear overlaps);
+    3. each sub-edge is classified by EVEN-ODD side probes against the
+       full ring set and kept iff it separates interior from exterior,
+       directed interior-left;
+    4. faces are traced and reassembled; holes nest into shells
+       (:func:`_trace_rings` / :func:`_assemble`).
+
+    Even-odd semantics: a bowtie becomes two triangles, a hole outside
+    its shell becomes its own shell, doubly-wound regions cancel —
+    PostGIS' documented behavior for the same inputs.  Non-polygonal
+    geometries are always valid and pass through.  A geometry whose
+    every ring is degenerate returns ``None`` (SQL NULL; PostGIS answers
+    EMPTY — the same documented deviation as over-erosion).
+    """
+    from xcube_geodb_spark.geometry.geom import is_valid
+
+    if geom is None:
+        return None
+    if not any(leaf.kind == "Polygon" for leaf in geom.children()):
+        return geom
+    if is_valid(geom):
+        return geom
+    rings = []
+    for leaf in geom.children():
+        if leaf.kind != "Polygon":
+            raise GeoDBError(
+                "st_makevalid: mixed polygon/non-polygon collections are "
+                "not supported"
+            )
+        for ring in leaf.parts:
+            ring = _closed(ring)
+            # NOTE: keep zero-shoelace rings — a bowtie's lobes cancel to
+            # net zero area but repair to real polygons; truly collapsed
+            # rings survive to the kernel, where both probe sides agree
+            # and every sub-edge drops
+            if len(ring) >= 4:
+                rings.append(ring)
+    if not rings:
+        return None
+    polys = [[r] for r in rings]
+    q = _quantum(polys, polys)
+    edges = _ring_edges(rings)
+    coords: dict[tuple[int, int], tuple[float, float]] = {}
+    sub, _ = _subdivide(edges, edges, q, coords)
+    # dedupe coincident sub-edges (duplicate rings, collinear reruns):
+    # ONE probe decision per undirected edge
+    und_seen: set[frozenset] = set()
+    uniq: list[tuple[tuple[int, int], tuple[int, int]]] = []
+    for p, qq in sub:
+        und = frozenset((p, qq))
+        if und not in und_seen:
+            und_seen.add(und)
+            uniq.append((p, qq))
+    if not uniq:
+        return None
+    keys = np.asarray(uniq, dtype=np.float64)
+    mx = (keys[:, 0, 0] + keys[:, 1, 0]) / 2.0 * q
+    my = (keys[:, 0, 1] + keys[:, 1, 1]) / 2.0 * q
+    ex = (keys[:, 1, 0] - keys[:, 0, 0]) * q
+    ey = (keys[:, 1, 1] - keys[:, 0, 1]) * q
+    ln = np.hypot(ex, ey)
+    ln[ln == 0.0] = 1.0
+    ox = -ey / ln * 8 * q
+    oy = ex / ln * 8 * q
+    left_in = _parity_many(mx + ox, my + oy, rings)
+    right_in = _parity_many(mx - ox, my - oy, rings)
+    directed: set[tuple[tuple[int, int], tuple[int, int]]] = set()
+    for (p, qq), li, ri in zip(uniq, left_in, right_in):
+        if li and not ri:
+            directed.add((p, qq))
+        elif ri and not li:
+            directed.add((qq, p))
+    out_rings = _trace_rings(directed)
+    return _assemble(out_rings, q, geom.srid, coords)
+
+
+# ---------------------------------------------------------------------------
 # ST_Buffer for lines and polygons (Minkowski sum with a polygonal disc)
 # ---------------------------------------------------------------------------
 # The reference delegates buffering to PostGIS (geodb exposes it through the

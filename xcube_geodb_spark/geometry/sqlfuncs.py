@@ -31,7 +31,11 @@ Registered names (PostGIS-compatible lowercase):
   polygons incl. holes, positive and negative radius —
   overlay.buffer_geometry),
   ``st_simplify`` (Douglas-Peucker), ``st_snaptogrid``, ``st_envelope``,
-  ``st_expand``, ``st_clipbybox2d``, ``st_convexhull`` (monotone chain)
+  ``st_expand``, ``st_clipbybox2d``, ``st_convexhull`` (monotone chain),
+  ``st_makevalid`` (planar-subdivision repair — overlay.make_valid),
+  ``st_subdivide`` (recursive envelope-halving clip; returns
+  array<binary>, explode() for PostGIS' set shape),
+  ``st_pointonsurface`` (JTS widest-bisector-chord interior point)
 - overlay (geometry/overlay.py planar boolean kernel):
   ``st_intersection`` (rect operand -> fast clip, else general polygon
   overlay), ``st_union``, ``st_difference``, ``st_symdifference``
@@ -356,6 +360,40 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         return to_wkb_seeded(out) if out is not None else None
 
     _register("st_convexhull", _convexhull, T.BinaryType())
+
+    def _makevalid(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.overlay import make_valid
+
+        out = make_valid(parse_wkb(b))
+        # fully-degenerate input -> SQL NULL (PostGIS answers EMPTY;
+        # same documented deviation as st_buffer over-erosion)
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_makevalid", _makevalid, T.BinaryType())
+
+    def _subdivide_sql(b, mv):
+        if b is None or mv is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import subdivide
+
+        return [
+            to_wkb_seeded(p) for p in subdivide(parse_wkb(b), int(mv))
+        ]
+
+    # returns array<binary>: explode() to get PostGIS' set-returning shape
+    _register("st_subdivide", _subdivide_sql, T.ArrayType(T.BinaryType()))
+
+    def _pointonsurface(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import point_on_surface
+
+        x, y = point_on_surface(parse_wkb(b))
+        return to_wkb_seeded(_G("Point", _np.array((x, y))))
+
+    _register("st_pointonsurface", _pointonsurface, T.BinaryType())
 
     from xcube_geodb_spark.geometry.geom import distance_sphere
 

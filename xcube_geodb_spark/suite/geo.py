@@ -1119,6 +1119,160 @@ GEO_ORACLES["geo_dissolve_chain"] = """
 """
 
 
+def geo_makevalid_bowtie(spark, sf_dir):
+    """``ST_MakeValid`` (geometry/overlay.make_valid): per customer a
+    BOWTIE ring — (x0 y0, x0+w y0+h, x0 y0+h, x0+w y0, x0 y0) — whose
+    edges cross at the center, the canonical invalid polygon. The
+    planar-subdivision repair yields two triangles (a MULTIPOLYGON) of
+    total area w*h/2, the closed form the oracle replays. Integer
+    coordinates keep the crossing point (w/2, h/2 offsets) and the area
+    halves exact in floats."""
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("mv_cust")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               CAST(st_isvalid(g) AS INT) AS was_valid,
+               CAST(st_isvalid(st_makevalid(g)) AS INT) AS now_valid,
+               st_geometrytype(st_makevalid(g)) AS gtype,
+               round(st_area(st_makevalid(g)), 6) AS fixed_area
+        FROM (
+            SELECT c_custkey,
+                   st_geomfromtext(concat(
+                       'POLYGON((',
+                       x0, ' ', y0, ',', x0 + w, ' ', y0 + h, ',',
+                       x0, ' ', y0 + h, ',', x0 + w, ' ', y0, ',',
+                       x0, ' ', y0, '))')) AS g
+            FROM (
+                SELECT c_custkey,
+                       CAST(c_custkey % 100 AS INT) * 10 AS x0,
+                       CAST(c_custkey % 83 AS INT) * 10 AS y0,
+                       CAST(c_custkey % 5 + 2 AS INT) AS w,
+                       CAST(c_custkey % 7 + 2 AS INT) AS h
+                FROM mv_cust WHERE c_custkey % 13 = 2
+            )
+        )
+        """
+    )
+
+
+GEO_ORACLES["geo_makevalid_bowtie"] = """
+    SELECT c_custkey, 0 AS was_valid, 1 AS now_valid,
+           'MULTIPOLYGON' AS gtype,
+           round((c_custkey % 5 + 2) * (c_custkey % 7 + 2) / 2.0, 6)
+               AS fixed_area
+    FROM customer WHERE c_custkey % 13 = 2
+"""
+
+
+def geo_subdivide_cross(spark, sf_dir):
+    """``ST_Subdivide`` (geometry/geom.subdivide): per customer a
+    12-corner PLUS/CROSS polygon (arm half-length L = 2w, half-width w),
+    13 ring points > max_vertices=8, so the recursive envelope-halving
+    clip must split it — deterministically into 4 quarter-crosses (the
+    first x-cut and then one y-cut per half), each within the vertex
+    budget. Closed forms the oracle replays: piece count 4, total area
+    8*L*w - 4*w^2 = 12*w^2 preserved exactly (integer coordinates,
+    axis-parallel cuts). This is the 100-TB spatial-join prep: bounded
+    per-piece vertex counts keep PBSM grid-cell work balanced."""
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("sd_cust")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               count(*) AS n_pieces,
+               round(sum(st_area(piece)), 6) AS total_area
+        FROM (
+            SELECT c_custkey,
+                   explode(st_subdivide(g, 8)) AS piece
+            FROM (
+                SELECT c_custkey,
+                       st_geomfromtext(concat(
+                           'POLYGON((',
+                           cx - w, ' ', cy - l, ',', cx + w, ' ', cy - l,
+                           ',', cx + w, ' ', cy - w, ',', cx + l, ' ',
+                           cy - w, ',', cx + l, ' ', cy + w, ',', cx + w,
+                           ' ', cy + w, ',', cx + w, ' ', cy + l, ',',
+                           cx - w, ' ', cy + l, ',', cx - w, ' ', cy + w,
+                           ',', cx - l, ' ', cy + w, ',', cx - l, ' ',
+                           cy - w, ',', cx - w, ' ', cy - w, ',',
+                           cx - w, ' ', cy - l, '))')) AS g
+                FROM (
+                    SELECT c_custkey,
+                           CAST(c_custkey % 90 AS INT) * 20 AS cx,
+                           CAST(c_custkey % 71 AS INT) * 20 AS cy,
+                           CAST(c_custkey % 4 + 1 AS INT) AS w,
+                           CAST((c_custkey % 4 + 1) * 2 AS INT) AS l
+                    FROM sd_cust WHERE c_custkey % 17 = 3
+                )
+            )
+        )
+        GROUP BY c_custkey
+        """
+    )
+
+
+GEO_ORACLES["geo_subdivide_cross"] = """
+    SELECT c_custkey, CAST(4 AS BIGINT) AS n_pieces,
+           round(12.0 * (c_custkey % 4 + 1) * (c_custkey % 4 + 1), 6)
+               AS total_area
+    FROM customer WHERE c_custkey % 17 = 3
+"""
+
+
+def geo_pointonsurface_l(spark, sf_dir):
+    """``ST_PointOnSurface`` (geometry/geom.point_on_surface, the
+    JTS/GEOS widest-bisector-chord construction PostGIS uses): per
+    customer an L-SHAPE whose centroid lies OUTSIDE the polygon — the
+    case PointOnSurface exists for. For the L with corner (x0,y0), arm
+    length 3s, thickness s, the safe bisector is y0 + 2s (midway between
+    the inner-corner ordinate y0+s and the top y0+3s) and the only
+    chord spans x0..x0+s, so the point is (x0 + s/2, y0 + 2s) — exact
+    closed form on integer inputs (s/2 is a binary-exact half)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("pos_cust")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               st_x(st_pointonsurface(g)) AS px,
+               st_y(st_pointonsurface(g)) AS py,
+               CAST(st_distance(st_pointonsurface(g), g) = 0.0 AS INT)
+                   AS inside
+        FROM (
+            SELECT c_custkey,
+                   st_geomfromtext(concat(
+                       'POLYGON((',
+                       x0, ' ', y0, ',', x0 + 3 * s, ' ', y0, ',',
+                       x0 + 3 * s, ' ', y0 + s, ',', x0 + s, ' ',
+                       y0 + s, ',', x0 + s, ' ', y0 + 3 * s, ',',
+                       x0, ' ', y0 + 3 * s, ',', x0, ' ', y0, '))')) AS g
+            FROM (
+                SELECT c_custkey,
+                       CAST(c_custkey % 97 AS INT) * 15 AS x0,
+                       CAST(c_custkey % 89 AS INT) * 15 AS y0,
+                       CAST(c_custkey % 4 + 1 AS INT) AS s
+                FROM pos_cust WHERE c_custkey % 19 = 5
+            )
+        )
+        """
+    )
+
+
+GEO_ORACLES["geo_pointonsurface_l"] = """
+    SELECT c_custkey,
+           (c_custkey % 97) * 15 + (c_custkey % 4 + 1) / 2.0 AS px,
+           (c_custkey % 89) * 15 + (c_custkey % 4 + 1) * 2.0 AS py,
+           1 AS inside
+    FROM customer WHERE c_custkey % 19 = 5
+"""
+
+
 GEO_QUERIES = {
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
@@ -1145,6 +1299,9 @@ GEO_QUERIES = {
     "geo_geometry_types": geo_geometry_types,
     "geo_overlay_diamond": geo_overlay_diamond,
     "geo_dissolve_chain": geo_dissolve_chain,
+    "geo_makevalid_bowtie": geo_makevalid_bowtie,
+    "geo_subdivide_cross": geo_subdivide_cross,
+    "geo_pointonsurface_l": geo_pointonsurface_l,
     "geo_spatial_join_points": geo_spatial_join_points,
     "geo_spatial_join_dwithin": geo_spatial_join_dwithin,
     "geo_dbscan_points": geo_dbscan_points,
