@@ -291,12 +291,16 @@ def duplicate_clusters(
     """Connected components over candidate pairs -> (doc_id, cluster_id)
     with cluster_id = min doc id in the component.
 
-    Distributed label propagation with POINTER JUMPING: each round a node
-    takes the minimum of its own label, its neighbors' labels, and the
-    label of its label (path compression), so convergence is O(log
-    diameter) rounds — a percolated geo graph with diameter in the
-    hundreds (DBSCAN at high density) converges in ~8 rounds where plain
-    propagation needs hundreds. Each round's frame is
+    Two-level: a PARTITION-LOCAL UNION-FIND pre-collapse (one
+    mapPartitions pass, no shuffle) first contracts every partition's
+    edges into stars around the local min member; the distributed rounds
+    then run on the REDUCED root graph, whose edges exist only where a
+    node is shared across partitions — on a percolated geo graph this
+    cuts ~8 rounds to ~2 (r7 verdict order 5: the rounds, not the data,
+    dominated DBSCAN latency). The distributed part is label propagation
+    with POINTER JUMPING: each round a node takes the minimum of its own
+    label, its neighbors' labels, and the label of its label (path
+    compression), so convergence is O(log diameter) rounds. Each round's frame is
     ``localCheckpoint(eager=True)``: TRUE lineage truncation. ``cache()``
     alone leaves the logical plan growing round over round and, once an
     upstream round is unpersisted, recomputation doubles per round —
@@ -329,15 +333,72 @@ def duplicate_clusters(
             if rdd is not None:
                 rdd.unpersist(False)
 
+    # PRE-COLLAPSE: one mapPartitions union-find pass turns each
+    # partition's edge set into stars around the local min member, so the
+    # distributed rounds only bridge ACROSS partitions — on a percolated
+    # graph this cuts ~8 pointer-jump rounds (each a join + checkpoint +
+    # scheduling barrier) to ~2, since global connectivity flows through
+    # nodes shared between partitions and each partition is already one
+    # hop deep. Memory is O(nodes per partition) on one task — the same
+    # bound the per-partition shuffle already implies.
+    from pyspark.sql import types as _T
+
+    id_type = pairs.schema["id_a"].dataType
+
+    def _local_uf(rows):
+        parent: dict = {}
+
+        def find(a):
+            r = a
+            while parent[r] != r:
+                r = parent[r]
+            while parent[a] != r:
+                parent[a], a = r, parent[a]
+            return r
+
+        for row in rows:
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        for n in parent:
+            yield (n, find(n))
+
+    spark = pairs.sparkSession
+    local, local_ids = _checkpoint_tracked(
+        spark.createDataFrame(
+            pairs.select("id_a", "id_b").rdd.mapPartitions(_local_uf),
+            _T.StructType(
+                [
+                    _T.StructField("id", id_type),
+                    _T.StructField("root", id_type),
+                ]
+            ),
+        )
+    )
+    # one row per node; root0 = min local root across partitions (the
+    # reduced edges below connect ALL of a node's local roots to it)
+    node_root, _node_ids = _checkpoint_tracked(
+        local.groupBy("id").agg(F.min("root").alias("root0"))
+    )
     edges, edge_ids = _checkpoint_tracked(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        local.join(node_root, "id")
+        .filter(F.col("root") != F.col("root0"))
+        .select(F.col("root").alias("src"), F.col("root0").alias("dst"))
         .unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
+            local.join(node_root, "id")
+            .filter(F.col("root") != F.col("root0"))
+            .select(F.col("root0").alias("src"), F.col("root").alias("dst"))
         )
         .distinct()
     )
+    _release(local_ids)
     labels, label_ids = _checkpoint_tracked(
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -388,9 +449,21 @@ def duplicate_clusters(
         if not changed:
             break
     # final labels are re-materialized by the caller's action; releasing
-    # the last checkpoint would drop them, so only edges are freed here.
+    # the last checkpoint (or node_root's) would drop them, so only the
+    # reduced edges are freed here.
     _release(edge_ids)
-    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+    # map every node back through its min local root; roots of
+    # partition-complete components never entered the reduced graph, so
+    # their label IS root0 (the local min member)
+    return (
+        node_root.join(labels, node_root.root0 == labels.id, "left")
+        .select(
+            node_root.id.alias("doc_id"),
+            F.coalesce(labels.cluster_id, node_root.root0).alias(
+                "cluster_id"
+            ),
+        )
+    )
 
 
 def dedup_pipeline(
