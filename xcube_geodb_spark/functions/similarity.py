@@ -100,11 +100,29 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Brute-force cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(v)) for v in query_vector])
-    emb = _to_double(F.col(vec_col))
+    """Brute-force cosine top-k against a literal query vector.
+
+    The scoring expression builds as ONE parsed SQL string: the dim
+    literals + three higher-order folds through the Column API cost
+    hundreds of py4j round trips of pure driver latency per probe
+    (measured ~0.25 s at dim=64); the parse is one call and yields the
+    identical Catalyst tree (same zip_with/aggregate folds, literals
+    round-trip exactly through repr -> Double.parseDouble)."""
+    ql = "array(" + ",".join(f"{float(v)!r}D" for v in query_vector) + ")"
+    td = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+
+    def _dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            f"(acc, v) -> acc + v)"
+        )
+
     scored = df.select(
-        F.col(id_col), F.round(cosine(emb, q), 6).alias("cos_sim")
+        F.col(id_col),
+        F.expr(
+            f"round({_dot(td, ql)} / "
+            f"(sqrt({_dot(td, td)}) * sqrt({_dot(ql, ql)})), 6)"
+        ).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -239,10 +257,29 @@ def lsh_hyperplanes(
     ]
 
 
-def rotation_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
+def rotation_bucket(
+    vec: Column | str, hyperplanes: list[list[float]]
+) -> Column:
     """'0'/'1' bucket id: sign of ``vec . r`` per seeded hyperplane.
     ``vec`` should be a materialized double-array attribute (no CSE inside
-    higher-order functions)."""
+    higher-order functions).
+
+    Pass the COLUMN NAME (str) on hot paths: the expression then builds
+    as one parsed SQL string — bits x dim literal arrays through the
+    Column API cost thousands of py4j round trips per call (~0.6 s of
+    pure driver latency per probe at 8x64), the single F.expr parse is
+    one. Both paths produce the identical Catalyst tree (same zip_with/
+    aggregate left fold, same literals), so results are bit-identical."""
+    if isinstance(vec, str):
+        bits = []
+        for r in hyperplanes:
+            arr = "array(" + ",".join(f"{float(c)!r}D" for c in r) + ")"
+            d = (
+                f"aggregate(zip_with({vec}, {arr}, (x, y) -> x * y), "
+                f"0.0D, (acc, v) -> acc + v)"
+            )
+            bits.append(f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)")
+        return F.expr("concat(" + ", ".join(bits) + ")")
     bits = []
     for r in hyperplanes:
         rv = F.array(*[F.lit(float(c)) for c in r])
@@ -327,7 +364,7 @@ def lsh_topk(
     probes = lsh_probe_buckets(query_vector, hp, n_probe)
     bucketed = (
         df.select("*", _to_double(F.col(vec_col)).alias("__v"))
-        .filter(rotation_bucket(F.col("__v"), hp).isin(probes))
+        .filter(rotation_bucket("__v", hp).isin(probes))
         .drop("__v")
     )
     return cosine_topk(bucketed, query_vector, k, vec_col, id_col)
@@ -383,7 +420,7 @@ def lsh_multitable_topk(
     cond = None
     for hp in tabs:
         probes = lsh_probe_buckets(query_vector, hp, n_probe)
-        c = rotation_bucket(F.col("__v"), hp).isin(probes)
+        c = rotation_bucket("__v", hp).isin(probes)
         cond = c if cond is None else (cond | c)
     bucketed = (
         df.select("*", _to_double(F.col(vec_col)).alias("__v"))
@@ -570,7 +607,7 @@ def pairwise_cosine_above(
     ).select(
         F.col(id_col),
         F.col("__v"),
-        rotation_bucket(F.col("__v"), hyperplanes).alias("__bucket"),
+        rotation_bucket("__v", hyperplanes).alias("__bucket"),
     )
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")

@@ -323,7 +323,7 @@ def _lsh_tables_postings(
         *[
             (
                 F.lit(t * (1 << n_bits))
-                + F.conv(rotation_bucket(F.col("__v"), hp), 2, 10).cast("int")
+                + F.conv(rotation_bucket("__v", hp), 2, 10).cast("int")
             )
             for t, hp in enumerate(tabs)
         ]
