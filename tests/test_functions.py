@@ -1058,9 +1058,12 @@ class TestDeepComponents:
 
     def test_releases_superseded_checkpoint_blocks(self, spark):
         # multi-round convergence must not accumulate one checkpointed
-        # frame per round: after the result materializes, only the final
-        # labels checkpoint may remain persistent (edges + old rounds
-        # released) — O(|V|) block storage, not O(rounds x |V|).
+        # frame per round: after the result materializes, only the
+        # checkpoints the returned plan still references may remain —
+        # the final root labels and the node->root0 map (both O(|V|));
+        # reduced edges, the local union-find output, and every
+        # superseded round must be released. O(|V|) block storage, not
+        # O(rounds x |V|).
         before = {
             int(i)
             for i in spark.sparkContext._jsc.getPersistentRDDs()
@@ -1078,7 +1081,7 @@ class TestDeepComponents:
             .keySet()
             .toArray()
         }
-        assert len(after - before) <= 1
+        assert len(after - before) <= 2
 
     def test_many_small_components_stay_separate(self, spark):
         pairs = spark.createDataFrame(

@@ -45,18 +45,21 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score_columns(text_col: str = "text") -> dict[str, Column]:
-    """Deterministic quality heuristics: length, punctuation density,
-    stopword ratio, alphabetic ratio, and a blended [0,1] score."""
-    text = F.col(text_col)
-    toks = tokens(text)
-    n_tokens = F.size(toks)
-    n_chars = F.length(text)
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))
+def _quality_exprs(
+    text: Column, norm: Column, alpha_chars: Column, punct_chars: Column
+) -> dict[str, Column]:
+    """THE quality formula — the only copy (r7 verdict order 7: the
+    helper and the table path used to carry two bit-identical copies
+    that could drift). Callers supply the staging columns: the table
+    path passes materialized refs, the loose-column path passes the same
+    expressions inline. Hot-path formulation throughout: space-count
+    tokens over the normalized string and a one-pass regex stopword
+    count (:func:`word_count_in`) — no interpreted higher-order filter."""
+    n_tokens = (
+        F.length(norm) - F.length(F.translate(norm, " ", "")) + F.lit(1)
     )
-    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
-    punct_chars = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    n_chars = F.length(text)
+    stop_hits = word_count_in(norm, tuple(STOPWORDS_EN))
     stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
     alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
     punct_ratio = punct_chars / F.greatest(n_chars, F.lit(1))
@@ -75,13 +78,28 @@ def quality_score_columns(text_col: str = "text") -> dict[str, Column]:
     }
 
 
+def quality_score_columns(text_col: str = "text") -> dict[str, Column]:
+    """Deterministic quality heuristics: length, punctuation density,
+    stopword ratio, alphabetic ratio, and a blended [0,1] score —
+    :func:`_quality_exprs` with the staging expressions inlined (each
+    returned Column is self-contained; callers that score whole tables
+    should prefer :func:`with_quality_score`, which materializes the
+    normalized string once instead of once per reference)."""
+    text = F.col(text_col)
+    return _quality_exprs(
+        text,
+        normalized(text),
+        F.length(text) - F.length(F.translate(text, _ALPHABET, "")),
+        F.length(text) - F.length(F.translate(text, _PUNCT, "")),
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Table-level quality scoring with the normalized string materialized
     once — the single-expression columns re-run normalization per
     reference otherwise (same Catalyst inlining hazard as
-    dedup.shingle_table). Same hot-path tricks as :func:`with_profile`
-    (regex word-count, translate char maps, space-count tokens); counts
-    are bit-identical to :func:`quality_score_columns`."""
+    dedup.shingle_table). Delegates to :func:`_quality_exprs`, the one
+    copy of the formula."""
     text = F.col(text_col)
     staged = (
         df.withColumn("__norm", normalized(text))
@@ -94,30 +112,12 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.length(text) - F.length(F.translate(text, _PUNCT, "")),
         )
     )
-    n_tokens = (
-        F.length(F.col("__norm"))
-        - F.length(F.translate(F.col("__norm"), " ", ""))
-        + F.lit(1)
+    exprs = _quality_exprs(
+        text, F.col("__norm"), F.col("__alpha"), F.col("__punct")
     )
-    n_chars = F.length(text)
-    stop_hits = word_count_in(F.col("__norm"), tuple(STOPWORDS_EN))
-    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
-    alpha_ratio = F.col("__alpha") / F.greatest(n_chars, F.lit(1))
-    punct_ratio = F.col("__punct") / F.greatest(n_chars, F.lit(1))
-    score = (
-        F.lit(0.35) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.35) * stop_ratio
-        + F.lit(0.20) * alpha_ratio
-        + F.lit(0.10) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
-    )
-    return (
-        staged.withColumn("n_tokens", n_tokens)
-        .withColumn("stop_ratio", F.round(stop_ratio, 6))
-        .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
-        .withColumn("punct_ratio", F.round(punct_ratio, 6))
-        .withColumn("quality", F.round(score, 6))
-        .drop("__norm", "__alpha", "__punct")
-    )
+    for name, col in exprs.items():
+        staged = staged.withColumn(name, col)
+    return staged.drop("__norm", "__alpha", "__punct")
 
 
 def word_count_in(norm: Column, words: tuple[str, ...]) -> Column:
