@@ -740,8 +740,10 @@ class TestMultiTableLsh:
     bucket across independent hyperplane tables. Single-table recall on
     this structure-free fixture is ~0.1-0.2 (p^b is tiny for b=8 when
     neighbor cosines sit at 0.25-0.4) and multi-probe recovers little;
-    L independent tables give 1-(1-p^b)^L, measured ~0.74 at the
-    defaults (b=4, L=8). This is the r6-verdict recall floor gate."""
+    L independent tables give 1-(1-p^b)^L, measured ~0.91 at the
+    defaults (b=4, L=16 — raised from L=8 on the r7 verdict's order to
+    push multi-table recall toward IVF parity). This is the r6-verdict
+    recall floor gate, floor raised 0.6 -> 0.8 with the L bump."""
 
     K = 10
     N_QUERIES = 10
@@ -778,7 +780,7 @@ class TestMultiTableLsh:
             emb, qvecs, exact,
             lambda df, v: S.lsh_topk(df, v, k=self.K),
         )
-        assert multi >= 0.6, f"multi-table recall@10 regressed: {multi}"
+        assert multi >= 0.8, f"multi-table recall@10 regressed: {multi}"
         assert multi > single, (multi, single)
 
     def test_recall_monotone_in_tables(self, spark):

@@ -693,9 +693,9 @@ def main() -> None:
                     ),
                     name="elsh",
                 ),
-                # standard L-table LSH (8 independent 4-bit tables, union
-                # candidates): the recall repair for the single-table
-                # numbers above — floor-gated >= 0.6 in
+                # standard L-table LSH (16 independent 4-bit tables,
+                # union candidates): the recall repair for the
+                # single-table numbers above — floor-gated >= 0.8 in
                 # tests/test_ann_layout.py TestMultiTableLsh
                 "lsh_multitable": recall(
                     lambda v: S.lsh_multitable_topk(

@@ -371,7 +371,7 @@ def lsh_topk(
 
 
 def lsh_table_hyperplanes(
-    dim: int, n_bits: int = 4, n_tables: int = 8, seed: int = 42
+    dim: int, n_bits: int = 4, n_tables: int = 16, seed: int = 42
 ) -> list[list[list[float]]]:
     """L independent hyperplane sets for multi-table sign-LSH. Each table
     derives from a distinct seed (``seed + 7919*t`` — deterministic, no
@@ -391,7 +391,7 @@ def lsh_multitable_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_bits: int = 4,
-    n_tables: int = 8,
+    n_tables: int = 16,
     seed: int = 42,
     n_probe: int = 1,
     tables: list[list[list[float]]] | None = None,
@@ -405,9 +405,11 @@ def lsh_multitable_topk(
     p = 1 - theta/pi, and neighboring-bucket probes recover little when
     p^b is tiny (measured 0.12 -> 0.14 recall@10 on the structure-free
     fixture). L independent tables give recall 1 - (1 - p^b)^L, which
-    climbs geometrically in L. Defaults (b=4, L=8) measure recall@10
-    ~0.74 on the uniform-random fixture (candidate fraction <= L/2^b;
-    real clustered corpora both recall higher and scan less).
+    climbs geometrically in L. Defaults (b=4, L=16 — raised from L=8 on
+    the r7 verdict's recall order) measure recall@10 ~0.91 on the
+    uniform-random fixture (expected unique candidate fraction
+    1-(1-2^-b)^L ~= 0.64 there; real clustered corpora both recall
+    higher and scan less).
 
     Scale shape: ONE pass over the data computes all L bucket ids as
     JVM-side codegen expressions (no Python, no shuffle before the

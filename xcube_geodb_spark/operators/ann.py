@@ -344,7 +344,7 @@ def build_lsh_tables_collection(
     id_col: str = "vec_id",
     database: str = "public",
     n_bits: int = 4,
-    n_tables: int = 8,
+    n_tables: int = 16,
     seed: int = 42,
     max_file_rows: int | None = None,
 ) -> None:

@@ -755,7 +755,7 @@ def _hp_bucket_sql(vec_expr: str) -> str:
 
 # the 8 independent 4-bit tables of the multi-table path (seed ladder
 # 42 + 7919*t), identical literals on both engines
-_MT_TABLES = similarity.lsh_table_hyperplanes(64, n_bits=4, n_tables=8)
+_MT_TABLES = similarity.lsh_table_hyperplanes(64, n_bits=4, n_tables=16)
 
 
 _LSH_BUCKET_V = _hp_bucket_sql("v")
