@@ -1185,7 +1185,8 @@ def geo_subdivide_cross(spark, sf_dir):
         """
         SELECT c_custkey,
                count(*) AS n_pieces,
-               round(sum(st_area(piece)), 6) AS total_area
+               round(sum(st_area(piece)), 6) AS total_area,
+               CAST(max(st_npoints(piece)) <= 8 AS INT) AS within_budget
         FROM (
             SELECT c_custkey,
                    explode(st_subdivide(g, 8)) AS piece
@@ -1219,7 +1220,8 @@ def geo_subdivide_cross(spark, sf_dir):
 GEO_ORACLES["geo_subdivide_cross"] = """
     SELECT c_custkey, CAST(4 AS BIGINT) AS n_pieces,
            round(12.0 * (c_custkey % 4 + 1) * (c_custkey % 4 + 1), 6)
-               AS total_area
+               AS total_area,
+           1 AS within_budget
     FROM customer WHERE c_custkey % 17 = 3
 """
 
