@@ -887,13 +887,53 @@ def _ring_capsules(
     return parts
 
 
+def _rect_corners(ring: np.ndarray) -> tuple[float, float, float, float] | None:
+    """(xmin, ymin, xmax, ymax) when the closed ring is an axis-aligned
+    rectangle (4 distinct corners, every edge axis-parallel), else None."""
+    if len(ring) != 5 or (ring[0] != ring[-1]).any():
+        return None
+    for i in range(4):
+        dx = ring[i + 1, 0] - ring[i, 0]
+        dy = ring[i + 1, 1] - ring[i, 1]
+        if (dx != 0.0) == (dy != 0.0):  # diagonal or zero-length edge
+            return None
+    xs, ys = ring[:4, 0], ring[:4, 1]
+    x0, x1 = float(xs.min()), float(xs.max())
+    y0, y1 = float(ys.min()), float(ys.max())
+    if {(float(x), float(y)) for x, y in ring[:4]} != {
+        (x0, y0), (x1, y0), (x0, y1), (x1, y1)
+    }:
+        return None
+    return x0, y0, x1, y1
+
+
 def _erode_polygon(
     geom: Geometry, r: float, quad_segs: int
 ) -> Geometry | None:
     """Negative offset: ``P minus (boundary ⊕ disc_r)`` — the points of
     P at least ``r`` (polygonal-disc metric) from EVERY ring, holes
     included. May split P into several polygons or vanish entirely
-    (returns None, the empty result)."""
+    (returns None, the empty result).
+
+    Axis-aligned hole-free rectangles take a closed-form fast path: the
+    erosion is exactly the inset rectangle [x0+r, x1-r] x [y0+r, y1-r]
+    (the boundary-capsule construction provably covers min(a, b) < r and
+    nothing else there), so the boolean kernel never runs for the most
+    common bbox-shrinking case."""
+    if len(geom.parts) == 1:
+        ring = _closed(np.asarray(geom.parts[0], dtype=np.float64))
+        rect = _rect_corners(ring)
+        if rect is not None:
+            x0, y0, x1, y1 = rect
+            if x1 - x0 <= 2 * r or y1 - y0 <= 2 * r:
+                return None
+            return Geometry(
+                "Polygon",
+                [np.array(
+                    [[x0 + r, y0 + r], [x1 - r, y0 + r], [x1 - r, y1 - r],
+                     [x0 + r, y1 - r], [x0 + r, y0 + r]]
+                )],
+            )
     capsules = union_all(
         [
             part
