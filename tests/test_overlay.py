@@ -451,3 +451,45 @@ class TestSubdividePointOnSurface:
             """
         ).collect()[0]
         assert row["n1"] == 1 and (row["px"], row["py"]) == (3.0, 2.0)
+
+
+class TestUnionAllComponents:
+    def test_scattered_members_concatenate(self):
+        """Envelope-disjoint members union to a MultiPolygon with their
+        EXACT input coordinates (no boolean pass, no snapping)."""
+        members = [sq(10 * i, 0, 10 * i + 2, 2) for i in range(6)]
+        u = union_all(members)
+        assert u.kind == "MultiPolygon"
+        assert len(u.parts) == 6
+        assert area(u) == 6 * 4.0
+        for got, src in zip(u.parts, members):
+            assert to_wkt(got) == to_wkt(src)
+
+    def test_mixed_components_fold_only_overlaps(self):
+        # two overlapping squares (one cluster) + one far square
+        a, b = sq(0, 0, 2, 2), sq(1, 1, 3, 3)
+        far = sq(100, 100, 101, 101)
+        u = union_all([a, far, b])
+        assert area(u) == pytest.approx(7.0 + 1.0, abs=1e-9)
+        assert u.kind == "MultiPolygon" and len(u.parts) == 2
+
+    def test_envelope_overlap_but_disjoint_still_exact(self):
+        # envelopes overlap, polygons don't: the kernel must still union
+        # them correctly (falls into one component, bbox path inside)
+        a = sq(0, 0, 1, 1)
+        b = P("POLYGON ((2 0.5, 3 0.5, 3 1.5, 2 1.5, 2 0.5))")
+        c = P("POLYGON ((0.5 2, 1.5 2, 1.5 3, 0.5 3, 0.5 2))")
+        # a's envelope is disjoint from both; b and c envelopes are
+        # disjoint too -> three singleton components
+        u = union_all([a, b, c])
+        assert area(u) == pytest.approx(3.0, abs=1e-9)
+
+    def test_chain_spanning_components(self):
+        # squares chained by overlap: one component, same area as the
+        # closed form regardless of member order
+        chain = [sq(1.5 * i, 0, 1.5 * i + 2, 2) for i in range(5)]
+        for perm in (chain, chain[::-1], chain[2:] + chain[:2]):
+            u = union_all(perm)
+            assert area(u) == pytest.approx(
+                5 * 4.0 - 4 * 1.0, abs=1e-9
+            )
