@@ -493,3 +493,82 @@ class TestUnionAllComponents:
             assert area(u) == pytest.approx(
                 5 * 4.0 - 4 * 1.0, abs=1e-9
             )
+
+
+class TestLinearReferencing:
+    def test_interpolate_locate_substring(self):
+        from xcube_geodb_spark.geometry.geom import (
+            line_interpolate_point,
+            line_locate_point,
+            line_substring,
+        )
+
+        ln = P("LINESTRING (0 0, 8 0, 8 4)")
+        assert line_interpolate_point(ln, 0.0) == (0.0, 0.0)
+        assert line_interpolate_point(ln, 0.5) == (6.0, 0.0)
+        assert line_interpolate_point(ln, 1.0) == (8.0, 4.0)
+        assert line_locate_point(ln, 2.0, 3.0) == pytest.approx(2 / 12)
+        assert line_locate_point(ln, 100.0, 100.0) == 1.0
+        assert to_wkt(line_substring(ln, 0.25, 0.75)) == (
+            "LINESTRING (3 0, 8 0, 8 1)"
+        )
+        assert to_wkt(line_substring(ln, 0.5, 0.5)) == "POINT (6 0)"
+        with pytest.raises(GeoDBError, match="LINESTRING"):
+            line_interpolate_point(P("POINT (1 1)"), 0.5)
+        with pytest.raises(GeoDBError, match=r"\[0,1\]"):
+            line_interpolate_point(ln, 1.5)
+        with pytest.raises(GeoDBError, match="startfraction"):
+            line_substring(ln, 0.7, 0.3)
+
+    def test_closest_point_and_boundary(self):
+        from xcube_geodb_spark.geometry.geom import (
+            boundary,
+            closest_point_pair,
+        )
+
+        a = P("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        pa, pb = closest_point_pair(a, P("POINT (5 1)"))
+        assert pa == (2.0, 1.0) and pb == (5.0, 1.0)
+        # intersecting -> shared point, distance 0
+        pa, pb = closest_point_pair(
+            P("LINESTRING (3 1, 5 1)"), P("LINESTRING (4 -1, 4 3)")
+        )
+        assert pa == pb == (4.0, 1.0)
+        # point inside polygon -> that point
+        pa, pb = closest_point_pair(a, P("POINT (1 1)"))
+        assert pa == pb == (1.0, 1.0)
+        assert to_wkt(boundary(a)) == "LINESTRING (0 0, 2 0, 2 2, 0 2, 0 0)"
+        assert to_wkt(boundary(P("LINESTRING (0 0, 8 0, 8 4)"))) == (
+            "MULTIPOINT ((0 0), (8 4))"
+        )
+        assert boundary(P("LINESTRING (0 0, 1 0, 1 1, 0 0)")) is None
+        assert boundary(P("POINT (1 1)")) is None
+
+    def test_sql_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT
+              st_astext(st_lineinterpolatepoint(
+                st_geomfromtext('LINESTRING (0 0, 8 0, 8 4)'), 0.5)) AS p,
+              st_linelocatepoint(
+                st_geomfromtext('LINESTRING (0 0, 8 0, 8 4)'),
+                st_makepoint(2.0, 3.0)) AS f,
+              st_astext(st_linesubstring(
+                st_geomfromtext('LINESTRING (0 0, 8 0, 8 4)'),
+                0.25, 0.75)) AS s,
+              st_astext(st_shortestline(
+                st_geomfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                st_makepoint(5.0, 1.0))) AS sl,
+              st_boundary(st_geomfromtext('POINT (1 1)')) AS nb
+            """
+        ).collect()[0]
+        assert row["p"] == "POINT (6 0)"
+        assert row["f"] == pytest.approx(2 / 12)
+        assert row["s"] == "LINESTRING (3 0, 8 0, 8 1)"
+        assert row["sl"] == "LINESTRING (2 1, 5 1)"
+        assert row["nb"] is None

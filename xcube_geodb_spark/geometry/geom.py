@@ -1570,3 +1570,242 @@ def point_on_surface(geom: Geometry) -> tuple[float, float]:
         if best is None or d2 < best[2]:
             best = (x, y, d2)
     return best[0], best[1]
+
+
+# ---------------------------------------------------------------------------
+# linear referencing (ST_LineInterpolatePoint / ST_LineLocatePoint /
+# ST_LineSubstring) + closest-point pair (ST_ClosestPoint/ST_ShortestLine)
+# + ST_Boundary
+# ---------------------------------------------------------------------------
+
+
+def _line_cumlen(arr: np.ndarray) -> np.ndarray:
+    """Cumulative 2D length at each vertex (cum[0] = 0)."""
+    d = np.hypot(np.diff(arr[:, 0]), np.diff(arr[:, 1]))
+    return np.concatenate(([0.0], np.cumsum(d)))
+
+
+def line_interpolate_point(geom: Geometry, frac: float) -> tuple[float, float]:
+    """``ST_LineInterpolatePoint``: the point at ``frac`` of the line's
+    2D length. PostGIS semantics: LINESTRING input only, frac in [0, 1]."""
+    if geom.kind != "LineString":
+        raise GeoDBError(
+            "st_lineinterpolatepoint requires a LINESTRING, got "
+            f"{geom.kind}"
+        )
+    if not 0.0 <= frac <= 1.0:
+        raise GeoDBError("st_lineinterpolatepoint fraction must be in [0,1]")
+    arr = geom.parts
+    cum = _line_cumlen(arr)
+    total = float(cum[-1])
+    if total == 0.0:
+        return float(arr[0, 0]), float(arr[0, 1])
+    target = frac * total
+    i = int(np.searchsorted(cum, target, side="right") - 1)
+    i = min(i, len(arr) - 2)
+    seg = float(cum[i + 1] - cum[i])
+    t = 0.0 if seg == 0.0 else (target - float(cum[i])) / seg
+    return (
+        float(arr[i, 0]) + t * (float(arr[i + 1, 0]) - float(arr[i, 0])),
+        float(arr[i, 1]) + t * (float(arr[i + 1, 1]) - float(arr[i, 1])),
+    )
+
+
+def line_locate_point(geom: Geometry, x: float, y: float) -> float:
+    """``ST_LineLocatePoint``: the fraction of the line's length at the
+    point closest to (x, y). LINESTRING input only (PostGIS)."""
+    if geom.kind != "LineString":
+        raise GeoDBError(
+            f"st_linelocatepoint requires a LINESTRING, got {geom.kind}"
+        )
+    arr = geom.parts
+    x0, y0 = arr[:-1, 0], arr[:-1, 1]
+    dx, dy = np.diff(arr[:, 0]), np.diff(arr[:, 1])
+    ln2 = dx * dx + dy * dy
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = np.clip(
+            ((x - x0) * dx + (y - y0) * dy) / np.where(ln2 == 0, 1, ln2),
+            0.0, 1.0,
+        )
+    cx, cy = x0 + t * dx, y0 + t * dy
+    d2 = (x - cx) ** 2 + (y - cy) ** 2
+    i = int(np.argmin(d2))
+    cum = _line_cumlen(arr)
+    total = float(cum[-1])
+    if total == 0.0:
+        return 0.0
+    return (float(cum[i]) + float(t[i]) * math.hypot(
+        float(dx[i]), float(dy[i])
+    )) / total
+
+
+def line_substring(geom: Geometry, f0: float, f1: float) -> Geometry:
+    """``ST_LineSubstring``: the part of the line between fractions
+    ``f0 <= f1`` of its 2D length; a zero-length range returns a POINT
+    (PostGIS semantics). LINESTRING input only."""
+    if geom.kind != "LineString":
+        raise GeoDBError(
+            f"st_linesubstring requires a LINESTRING, got {geom.kind}"
+        )
+    if not (0.0 <= f0 <= f1 <= 1.0):
+        raise GeoDBError(
+            "st_linesubstring requires 0 <= startfraction <= endfraction "
+            "<= 1"
+        )
+    if f0 == f1:
+        x, y = line_interpolate_point(geom, f0)
+        return Geometry("Point", np.array([x, y]), geom.srid)
+    arr = geom.parts
+    cum = _line_cumlen(arr)
+    total = float(cum[-1])
+    if total == 0.0:
+        return Geometry("Point", arr[0].copy(), geom.srid)
+    lo, hi = f0 * total, f1 * total
+    pts: list[tuple[float, float]] = [line_interpolate_point(geom, f0)]
+    inside = (cum > lo) & (cum < hi)
+    for i in np.flatnonzero(inside):
+        p = (float(arr[i, 0]), float(arr[i, 1]))
+        if p != pts[-1]:
+            pts.append(p)
+    end = line_interpolate_point(geom, f1)
+    if end != pts[-1]:
+        pts.append(end)
+    if len(pts) < 2:
+        pts.append(pts[-1])  # degenerate: duplicate the single point
+    return Geometry("LineString", np.asarray(pts, dtype=np.float64),
+                    geom.srid)
+
+
+def _crossing_point(sa: np.ndarray, sb: np.ndarray) -> tuple | None:
+    """One proper-crossing point between segment sets, or None."""
+    if not len(sa) or not len(sb):
+        return None
+    a0, a1 = sa[:, None, 0:2], sa[:, None, 2:4]
+    b0, b1 = sb[None, :, 0:2], sb[None, :, 2:4]
+    d1 = ((a1 - a0)[..., 0] * (b0 - a0)[..., 1]
+          - (a1 - a0)[..., 1] * (b0 - a0)[..., 0])
+    d2 = ((a1 - a0)[..., 0] * (b1 - a0)[..., 1]
+          - (a1 - a0)[..., 1] * (b1 - a0)[..., 0])
+    d3 = ((b1 - b0)[..., 0] * (a0 - b0)[..., 1]
+          - (b1 - b0)[..., 1] * (a0 - b0)[..., 0])
+    d4 = ((b1 - b0)[..., 0] * (a1 - b0)[..., 1]
+          - (b1 - b0)[..., 1] * (a1 - b0)[..., 0])
+    proper = (
+        ((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0)
+        & ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0)
+    )
+    idx = np.argwhere(proper)
+    if not len(idx):
+        return None
+    i, j = int(idx[0, 0]), int(idx[0, 1])
+    p0, p1 = sa[i, 0:2], sa[i, 2:4]
+    q0, q1 = sb[j, 0:2], sb[j, 2:4]
+    px, py = p1[0] - p0[0], p1[1] - p0[1]
+    qx, qy = q1[0] - q0[0], q1[1] - q0[1]
+    denom = px * qy - py * qx
+    t = ((q0[0] - p0[0]) * qy - (q0[1] - p0[1]) * qx) / denom
+    return float(p0[0] + t * px), float(p0[1] + t * py)
+
+
+def closest_point_pair(
+    a: Geometry, b: Geometry
+) -> tuple[tuple[float, float], tuple[float, float]]:
+    """The pair (point on ``a``, point on ``b``) attaining
+    ``distance(a, b)`` — the kernel behind ``ST_ClosestPoint`` (first
+    element) and ``ST_ShortestLine`` (both). Intersecting inputs return
+    a shared point (distance 0), matching the distance kernel's
+    short-circuits."""
+    sa, sb = _all_segments(a), _all_segments(b)
+    cp = _crossing_point(sa, sb)
+    if cp is not None:
+        return cp, cp
+    for g, other in ((a, b), (b, a)):
+        polys = [leaf for leaf in g.children() if leaf.kind == "Polygon"]
+        if not polys:
+            continue
+        for leaf in other.children():
+            if leaf.kind == "Point":
+                v = (float(leaf.parts[0]), float(leaf.parts[1]))
+            else:
+                arr = leaf.parts[0] if leaf.kind == "Polygon" else leaf.parts
+                v = (float(arr[0, 0]), float(arr[0, 1]))
+            for poly in polys:
+                if _point_in_rings(v[0], v[1], poly.parts):
+                    return v, v
+    pa, pb = _all_vertices(a), _all_vertices(b)
+
+    def _best_vertex_vs_segs(pts, segs):
+        """(d, point, projection) of the closest vertex/segment pair."""
+        if not len(pts) or not len(segs):
+            return math.inf, None, None
+        p = pts[:, None, :]
+        s0 = segs[None, :, 0:2]
+        sv = segs[None, :, 2:4] - s0
+        ln2 = (sv * sv).sum(-1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = np.clip(
+                ((p - s0) * sv).sum(-1) / np.where(ln2 > 0, ln2, 1), 0, 1
+            )
+        proj = s0 + t[..., None] * sv
+        d = np.hypot(p[..., 0] - proj[..., 0], p[..., 1] - proj[..., 1])
+        i, j = np.unravel_index(int(np.argmin(d)), d.shape)
+        return (
+            float(d[i, j]),
+            (float(pts[i, 0]), float(pts[i, 1])),
+            (float(proj[i, j, 0]), float(proj[i, j, 1])),
+        )
+
+    best = (math.inf, None, None)
+    d, p, q = _best_vertex_vs_segs(pa, sb)
+    if d < best[0]:
+        best = (d, p, q)
+    d, p, q = _best_vertex_vs_segs(pb, sa)
+    if d < best[0]:
+        best = (d, q, p)  # swap: first element must lie on a
+    if len(pa) and len(pb):
+        diff = pa[:, None, :] - pb[None, :, :]
+        dd = np.hypot(diff[..., 0], diff[..., 1])
+        i, j = np.unravel_index(int(np.argmin(dd)), dd.shape)
+        if float(dd[i, j]) < best[0]:
+            best = (
+                float(dd[i, j]),
+                (float(pa[i, 0]), float(pa[i, 1])),
+                (float(pb[j, 0]), float(pb[j, 1])),
+            )
+    if best[1] is None:
+        raise GeoDBError("st_closestpoint: empty geometry operand")
+    return best[1], best[2]
+
+
+def boundary(geom: Geometry) -> Geometry | None:
+    """``ST_Boundary``: polygons -> their rings as (Multi)LineString,
+    lines -> endpoint MultiPoint (closed lines have an EMPTY boundary ->
+    None, the engine's SQL-NULL spelling of EMPTY), points -> None."""
+    rings: list[np.ndarray] = []
+    ends: list[np.ndarray] = []
+    for leaf in geom.children():
+        if leaf.kind == "Polygon":
+            rings.extend(np.asarray(r, dtype=np.float64) for r in leaf.parts)
+        elif leaf.kind == "LineString":
+            arr = leaf.parts
+            if len(arr) and not (
+                arr[0, 0] == arr[-1, 0] and arr[0, 1] == arr[-1, 1]
+            ):
+                ends.append(arr[0].copy())
+                ends.append(arr[-1].copy())
+    if rings:
+        lines = [Geometry("LineString", r) for r in rings]
+        if len(lines) == 1:
+            out = lines[0]
+            out.srid = geom.srid
+            return out
+        return Geometry("MultiLineString", lines, geom.srid)
+    if ends:
+        if len(ends) == 1:
+            return Geometry("Point", ends[0], geom.srid)
+        return Geometry(
+            "MultiPoint",
+            [Geometry("Point", e) for e in ends],
+            geom.srid,
+        )
+    return None

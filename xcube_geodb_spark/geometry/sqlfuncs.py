@@ -395,6 +395,75 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_pointonsurface", _pointonsurface, T.BinaryType())
 
+    def _line_interp(b, frac):
+        if b is None or frac is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import line_interpolate_point
+
+        x, y = line_interpolate_point(parse_wkb(b), float(frac))
+        return to_wkb_seeded(_G("Point", _np.array((x, y))))
+
+    _register("st_lineinterpolatepoint", _line_interp, T.BinaryType())
+
+    def _line_locate(b, p):
+        if b is None or p is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import line_locate_point
+
+        pt = parse_wkb(p)
+        if pt.kind != "Point":
+            return None
+        return line_locate_point(
+            parse_wkb(b), float(pt.parts[0]), float(pt.parts[1])
+        )
+
+    _register("st_linelocatepoint", _line_locate, T.DoubleType())
+
+    def _line_substr(b, f0, f1):
+        if b is None or f0 is None or f1 is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import line_substring
+
+        return to_wkb_seeded(
+            line_substring(parse_wkb(b), float(f0), float(f1))
+        )
+
+    _register("st_linesubstring", _line_substr, T.BinaryType())
+
+    def _closestpoint(a, b):
+        if a is None or b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import closest_point_pair
+
+        (x, y), _ = closest_point_pair(parse_wkb(a), parse_wkb(b))
+        return to_wkb_seeded(_G("Point", _np.array((x, y))))
+
+    _register("st_closestpoint", _closestpoint, T.BinaryType())
+
+    def _shortestline(a, b):
+        if a is None or b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import closest_point_pair
+
+        pa, pb = closest_point_pair(parse_wkb(a), parse_wkb(b))
+        return to_wkb_seeded(
+            _G("LineString", _np.array([pa, pb], dtype=_np.float64))
+        )
+
+    _register("st_shortestline", _shortestline, T.BinaryType())
+
+    def _boundary(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import boundary
+
+        out = boundary(parse_wkb(b))
+        # EMPTY boundary (points, closed lines) -> SQL NULL (the
+        # engine's documented EMPTY spelling)
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_boundary", _boundary, T.BinaryType())
+
     from xcube_geodb_spark.geometry.geom import distance_sphere
 
     _register(

@@ -1275,6 +1275,57 @@ GEO_ORACLES["geo_pointonsurface_l"] = """
 """
 
 
+def geo_linear_ref(spark, sf_dir):
+    """Linear referencing (geometry/geom.line_interpolate_point /
+    line_locate_point / line_substring) + st_closestpoint/st_boundary:
+    per customer an L-path LINESTRING (x0 y0, x0+8 y0, x0+8 y0+4) of
+    total length 12 — every output below has an exact closed form the
+    oracle replays (integer anchors; 0.5*12 and 2/12 are binary-exact
+    or stable under round-6)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("lr_cust")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               st_x(st_lineinterpolatepoint(g, 0.5)) AS mid_x,
+               st_y(st_lineinterpolatepoint(g, 0.5)) AS mid_y,
+               round(st_linelocatepoint(g,
+                   st_makepoint(x0 + 2.0, y0 + 3.0)), 6) AS loc_frac,
+               round(st_length(st_linesubstring(g, 0.25, 0.75)), 6)
+                   AS sub_len,
+               st_x(st_closestpoint(g, st_makepoint(x0 + 4.0, y0 + 3.0)))
+                   AS cp_x,
+               st_geometrytype(st_boundary(g)) AS btype
+        FROM (
+            SELECT c_custkey, x0, y0,
+                   st_geomfromtext(concat(
+                       'LINESTRING(', x0, ' ', y0, ',', x0 + 8, ' ', y0,
+                       ',', x0 + 8, ' ', y0 + 4, ')')) AS g
+            FROM (
+                SELECT c_custkey,
+                       CAST(c_custkey % 101 AS INT) * 12 AS x0,
+                       CAST(c_custkey % 67 AS INT) * 12 AS y0
+                FROM lr_cust WHERE c_custkey % 23 = 7
+            )
+        )
+        """
+    )
+
+
+GEO_ORACLES["geo_linear_ref"] = """
+    SELECT c_custkey,
+           (c_custkey % 101) * 12 + 6.0 AS mid_x,
+           (c_custkey % 67) * 12 + 0.0 AS mid_y,
+           round(2.0 / 12.0, 6) AS loc_frac,
+           6.0 AS sub_len,
+           (c_custkey % 101) * 12 + 4.0 AS cp_x,
+           'MULTIPOINT' AS btype
+    FROM customer WHERE c_custkey % 23 = 7
+"""
+
+
 GEO_QUERIES = {
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
@@ -1302,6 +1353,7 @@ GEO_QUERIES = {
     "geo_overlay_diamond": geo_overlay_diamond,
     "geo_dissolve_chain": geo_dissolve_chain,
     "geo_makevalid_bowtie": geo_makevalid_bowtie,
+    "geo_linear_ref": geo_linear_ref,
     "geo_subdivide_cross": geo_subdivide_cross,
     "geo_pointonsurface_l": geo_pointonsurface_l,
     "geo_spatial_join_points": geo_spatial_join_points,
