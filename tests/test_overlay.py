@@ -641,3 +641,48 @@ class TestMakeValidProperties:
                        [float(w), 0.0], [0.0, 0.0]])],
         )
         assert area(make_valid(bt)) == pytest.approx(w * h / 2.0)
+
+
+class TestAffineAndPoints:
+    def test_sql_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT
+              st_astext(st_translate(st_geomfromtext('POINT (1 2)'),
+                                     3.0, -2.0)) AS t,
+              st_astext(st_scale(st_geomfromtext('LINESTRING (1 1, 2 2)'),
+                                 2.0, 3.0)) AS s,
+              round(st_x(st_rotate(st_geomfromtext('POINT (1 0)'),
+                                   radians(90.0))), 9) AS rx,
+              round(st_y(st_rotate(st_geomfromtext('POINT (1 0)'),
+                                   radians(90.0))), 9) AS ry,
+              st_astext(st_rotate(st_geomfromtext('POINT (3 2)'),
+                                  radians(180.0), 2.0, 2.0)) AS ra,
+              st_astext(st_points(st_geomfromtext(
+                'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))) AS pts,
+              st_translate(CAST(NULL AS BINARY), 1.0, 1.0) AS n
+            """
+        ).collect()[0]
+        assert row["t"] == "POINT (4 0)"
+        assert row["s"] == "LINESTRING (2 3, 4 6)"
+        assert (row["rx"], row["ry"]) == (0.0, 1.0)
+        # 180-degree rotation about (2,2): (3,2) -> (1,2)
+        assert row["ra"].startswith("POINT (1 2")
+        assert row["pts"] == (
+            "MULTIPOINT ((0 0), (1 0), (1 1), (0 1), (0 0))"
+        )
+        assert row["n"] is None
+
+    def test_rotate_area_invariant(self):
+        from xcube_geodb_spark.geometry.geom import map_coordinates
+        import math
+
+        g = P("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+        c, s = math.cos(0.7), math.sin(0.7)
+        rot = map_coordinates(g, lambda x, y: (x * c - y * s, x * s + y * c))
+        assert area(rot) == pytest.approx(8.0, abs=1e-9)

@@ -464,6 +464,71 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_boundary", _boundary, T.BinaryType())
 
+    # --- affine transforms (PostGIS ST_Translate/ST_Scale/ST_Rotate) ---
+    from xcube_geodb_spark.geometry.geom import map_coordinates as _mapc
+
+    def _translate(b, dx, dy):
+        if b is None or dx is None or dy is None:
+            return None
+        dx, dy = float(dx), float(dy)  # DECIMAL literals arrive as Decimal
+        return to_wkb_seeded(
+            _mapc(parse_wkb(b), lambda x, y: (x + dx, y + dy))
+        )
+
+    _register("st_translate", _translate, T.BinaryType())
+
+    def _scale(b, xs, ys):
+        if b is None or xs is None or ys is None:
+            return None
+        xs, ys = float(xs), float(ys)
+        return to_wkb_seeded(
+            _mapc(parse_wkb(b), lambda x, y: (x * xs, y * ys))
+        )
+
+    _register("st_scale", _scale, T.BinaryType())
+
+    def _rotate(b, rad, x0=0.0, y0=0.0):
+        """CCW rotation about the origin, or about (x0, y0) when the
+        4-arg PostGIS form is used."""
+        if b is None or rad is None:
+            return None
+        import math as _m
+
+        c, s = _m.cos(float(rad)), _m.sin(float(rad))
+        ox = 0.0 if x0 is None else float(x0)
+        oy = 0.0 if y0 is None else float(y0)
+        return to_wkb_seeded(
+            _mapc(
+                parse_wkb(b),
+                lambda x, y: (
+                    (x - ox) * c - (y - oy) * s + ox,
+                    (x - ox) * s + (y - oy) * c + oy,
+                ),
+            )
+        )
+
+    _register("st_rotate", _rotate, T.BinaryType())
+
+    def _points(b):
+        """``ST_Points``: every vertex (duplicates kept, PostGIS
+        semantics) as a MULTIPOINT."""
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import _all_vertices
+
+        g = parse_wkb(b)
+        verts = _all_vertices(g)
+        if not len(verts):
+            return None
+        pts = [_G("Point", v.copy()) for v in verts]
+        if len(pts) == 1:
+            out = pts[0]
+            out.srid = g.srid
+            return to_wkb_seeded(out)
+        return to_wkb_seeded(_G("MultiPoint", pts, g.srid))
+
+    _register("st_points", _points, T.BinaryType())
+
     from xcube_geodb_spark.geometry.geom import distance_sphere
 
     _register(

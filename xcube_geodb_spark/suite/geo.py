@@ -1326,6 +1326,60 @@ GEO_ORACLES["geo_linear_ref"] = """
 """
 
 
+def geo_affine_rect(spark, sf_dir):
+    """Affine transforms (st_translate/st_scale/st_rotate — PostGIS
+    surface via geom.map_coordinates) + st_points: per customer an
+    axis-aligned rectangle (half-width a, half-height b, integer
+    center), every output a closed form — translation moves the
+    centroid exactly, scaling multiplies the area by xs*ys, a 90-degree
+    rotation about the center swaps the half extents (cos(pi/2) ~ 6e-17
+    vanishes under round-6), and st_points keeps the ring closure
+    duplicate (5 vertices)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("af_cust")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               round(st_x(st_centroid(st_translate(g, 3.0, -2.0))), 6)
+                   AS t_cx,
+               round(st_area(st_scale(g, 2.0, 3.0)), 6) AS s_area,
+               round(st_xmax(st_rotate(g, radians(90.0),
+                                       CAST(cx AS DOUBLE),
+                                       CAST(cy AS DOUBLE))), 6) AS r_xmax,
+               st_npoints(st_points(g)) AS n_pts
+        FROM (
+            SELECT c_custkey, cx, cy,
+                   st_geomfromtext(concat(
+                       'POLYGON((', cx - a, ' ', cy - b, ',', cx + a, ' ',
+                       cy - b, ',', cx + a, ' ', cy + b, ',', cx - a, ' ',
+                       cy + b, ',', cx - a, ' ', cy - b, '))')) AS g
+            FROM (
+                SELECT c_custkey,
+                       CAST(c_custkey % 93 AS INT) * 25 AS cx,
+                       CAST(c_custkey % 79 AS INT) * 25 AS cy,
+                       CAST(c_custkey % 4 + 1 AS INT) AS a,
+                       CAST(c_custkey % 6 + 2 AS INT) AS b
+                FROM af_cust WHERE c_custkey % 29 = 11
+            )
+        )
+        """
+    )
+
+
+GEO_ORACLES["geo_affine_rect"] = """
+    SELECT c_custkey,
+           round((c_custkey % 93) * 25 + 3.0, 6) AS t_cx,
+           round(4.0 * (c_custkey % 4 + 1) * (c_custkey % 6 + 2) * 6.0, 6)
+               AS s_area,
+           round((c_custkey % 93) * 25 + (c_custkey % 6 + 2) + 0.0, 6)
+               AS r_xmax,
+           5 AS n_pts
+    FROM customer WHERE c_custkey % 29 = 11
+"""
+
+
 GEO_QUERIES = {
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
@@ -1354,6 +1408,7 @@ GEO_QUERIES = {
     "geo_dissolve_chain": geo_dissolve_chain,
     "geo_makevalid_bowtie": geo_makevalid_bowtie,
     "geo_linear_ref": geo_linear_ref,
+    "geo_affine_rect": geo_affine_rect,
     "geo_subdivide_cross": geo_subdivide_cross,
     "geo_pointonsurface_l": geo_pointonsurface_l,
     "geo_spatial_join_points": geo_spatial_join_points,
