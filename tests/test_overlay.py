@@ -686,3 +686,105 @@ class TestAffineAndPoints:
         c, s = math.cos(0.7), math.sin(0.7)
         rot = map_coordinates(g, lambda x, y: (x * c - y * s, x * s + y * c))
         assert area(rot) == pytest.approx(8.0, abs=1e-9)
+
+
+class TestMecAndOrientedEnvelope:
+    def test_mec_shapes(self):
+        from xcube_geodb_spark.geometry.geom import minimum_bounding_circle
+
+        cx, cy, r = minimum_bounding_circle(
+            P("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+        )
+        assert (cx, cy) == (2.0, 1.0) and r == pytest.approx(math.sqrt(5))
+        # obtuse triangle: MEC is the longest edge's diametral circle,
+        # the third vertex inside
+        cx, cy, r = minimum_bounding_circle(P("POLYGON ((0 0, 4 0, 2 1, 0 0))"))
+        assert (cx, cy, r) == (2.0, 0.0, 2.0)
+        # acute triangle: circumcircle through all three
+        cx, cy, r = minimum_bounding_circle(
+            P("POLYGON ((0 0, 4 0, 2 3, 0 0))")
+        )
+        for px, py in ((0, 0), (4, 0), (2, 3)):
+            assert math.hypot(px - cx, py - cy) == pytest.approx(r)
+        cx, cy, r = minimum_bounding_circle(P("POINT (3 4)"))
+        assert (cx, cy, r) == (3.0, 4.0, 0.0)
+
+    @given(
+        st.lists(
+            st.tuples(st.floats(-50, 50), st.floats(-50, 50)),
+            min_size=1, max_size=12,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_mec_covers_and_is_tight(self, pts):
+        from xcube_geodb_spark.geometry.geom import (
+            Geometry,
+            minimum_bounding_circle,
+        )
+
+        g = Geometry(
+            "MultiPoint",
+            [Geometry("Point", np.array([x, y])) for x, y in pts],
+        )
+        cx, cy, r = minimum_bounding_circle(g)
+        ds = [math.hypot(x - cx, y - cy) for x, y in pts]
+        assert max(ds) <= r * (1 + 1e-9) + 1e-12  # covers everything
+        # tight: the circle is pinned by at least 2 points (or is a
+        # single point)
+        on = sum(1 for d in ds if d >= r * (1 - 1e-9) - 1e-12)
+        assert on >= (1 if len(set(pts)) == 1 else 2)
+
+    def test_oriented_envelope(self):
+        from xcube_geodb_spark.geometry.geom import (
+            map_coordinates,
+            oriented_envelope,
+        )
+
+        r = P("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+        assert area(oriented_envelope(r)) == pytest.approx(8.0)
+        c, s = math.cos(0.6), math.sin(0.6)
+        rot = map_coordinates(r, lambda x, y: (x * c - y * s, x * s + y * c))
+        assert area(oriented_envelope(rot)) == pytest.approx(8.0)
+        # degenerate: segment envelope is the segment
+        assert to_wkt(oriented_envelope(P("LINESTRING (0 0, 2 2)"))) == (
+            "LINESTRING (0 0, 2 2)"
+        )
+
+    @given(convex_polys())
+    @settings(max_examples=40, deadline=None)
+    def test_oriented_envelope_contains_and_not_larger_than_bbox(self, g):
+        from xcube_geodb_spark.geometry.geom import (
+            envelope as env_of,
+            oriented_envelope,
+        )
+        from xcube_geodb_spark.geometry.overlay import overlay
+
+        oe = oriented_envelope(g)
+        if oe.kind != "Polygon":
+            return
+        x0, y0, x1, y1 = env_of(g)
+        bbox_area = (x1 - x0) * (y1 - y0)
+        assert area(oe) <= bbox_area * (1 + 1e-9)
+        # containment: g minus its envelope must be empty
+        assert overlay(g, oe, "difference") is None
+
+    def test_sql_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            """
+            SELECT
+              st_minimumboundingradius(st_geomfromtext(
+                'POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))')) AS r,
+              round(st_area(st_orientedenvelope(st_geomfromtext(
+                'POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))'))), 9) AS a,
+              st_geometrytype(st_minimumboundingcircle(st_geomfromtext(
+                'POINT (1 1)'))) AS pt_kind
+            """
+        ).collect()[0]
+        assert row["r"] == pytest.approx(math.sqrt(5))
+        assert row["a"] == 8.0
+        assert row["pt_kind"] == "POINT"

@@ -1809,3 +1809,116 @@ def boundary(geom: Geometry) -> Geometry | None:
             geom.srid,
         )
     return None
+
+
+# ---------------------------------------------------------------------------
+# ST_MinimumBoundingCircle / ST_OrientedEnvelope
+# ---------------------------------------------------------------------------
+
+
+def _circumcircle(p, q, r):
+    """Circumcircle of three points, or None when collinear."""
+    ax, ay = p
+    bx, by = q
+    cx, cy = r
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if d == 0.0:
+        return None
+    a2 = ax * ax + ay * ay
+    b2 = bx * bx + by * by
+    c2 = cx * cx + cy * cy
+    ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+    uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+    return ux, uy, math.hypot(ax - ux, ay - uy)
+
+
+def minimum_bounding_circle(geom: Geometry) -> tuple[float, float, float]:
+    """(cx, cy, radius) of the exact minimum enclosing circle of the
+    geometry's vertices — the deterministic incremental Welzl scheme
+    (points in stored order; each point outside the current circle
+    rebuilds it with that point pinned to the boundary). Vertex counts
+    per geometry are small, so the worst-case quadratic rebuild is
+    irrelevant; no randomness, so results are replayable."""
+    pts = [
+        (float(x), float(y)) for x, y in _all_vertices(geom)
+    ]
+    if not pts:
+        raise GeoDBError("st_minimumboundingcircle: empty geometry")
+    # dedupe, keep first-seen order (closure points would re-trigger)
+    seen: set = set()
+    P = []
+    for p in pts:
+        if p not in seen:
+            seen.add(p)
+            P.append(p)
+
+    def _in(c, p, eps=1e-9):
+        return math.hypot(p[0] - c[0], p[1] - c[1]) <= c[2] * (1 + eps) + 1e-300
+
+    def _two(p, q):
+        return (
+            (p[0] + q[0]) / 2.0,
+            (p[1] + q[1]) / 2.0,
+            math.hypot(p[0] - q[0], p[1] - q[1]) / 2.0,
+        )
+
+    def _with_two(pts2, p, q):
+        c = _two(p, q)
+        for r in pts2:
+            if not _in(c, r):
+                cc = _circumcircle(p, q, r)
+                if cc is not None:
+                    c = cc
+        return c
+
+    def _with_one(pts1, p):
+        c = _two(pts1[0], p) if pts1 else (p[0], p[1], 0.0)
+        for i, q in enumerate(pts1):
+            if not _in(c, q):
+                c = _with_two(pts1[:i], q, p)
+        return c
+
+    c = (P[0][0], P[0][1], 0.0)
+    for i, p in enumerate(P):
+        if not _in(c, p):
+            c = _with_one(P[:i], p)
+    return c
+
+
+def oriented_envelope(geom: Geometry) -> Geometry:
+    """``ST_OrientedEnvelope``: the minimum-AREA rotated rectangle
+    containing the geometry — rotating calipers over the convex hull
+    (the optimum is flush with a hull edge). Degenerate hulls (point /
+    segment) return the hull itself, PostGIS behavior."""
+    hull = convex_hull(geom)
+    if hull is None or hull.kind != "Polygon":
+        return hull  # point or segment
+    ring = hull.parts[0]
+    pts = ring[:-1]
+    best = None
+    for i in range(len(pts)):
+        ex = float(pts[(i + 1) % len(pts), 0] - pts[i, 0])
+        ey = float(pts[(i + 1) % len(pts), 1] - pts[i, 1])
+        ln = math.hypot(ex, ey)
+        if ln == 0.0:
+            continue
+        c, s = ex / ln, ey / ln
+        # rotate every hull point by the edge's inverse angle
+        xs = pts[:, 0] * c + pts[:, 1] * s
+        ys = -pts[:, 0] * s + pts[:, 1] * c
+        x0, x1 = float(xs.min()), float(xs.max())
+        y0, y1 = float(ys.min()), float(ys.max())
+        a = (x1 - x0) * (y1 - y0)
+        if best is None or a < best[0]:
+            best = (a, c, s, x0, x1, y0, y1)
+    _, c, s, x0, x1, y0, y1 = best
+    corners = [
+        (x0 * c - y0 * s, x0 * s + y0 * c),
+        (x1 * c - y0 * s, x1 * s + y0 * c),
+        (x1 * c - y1 * s, x1 * s + y1 * c),
+        (x0 * c - y1 * s, x0 * s + y1 * c),
+    ]
+    corners.append(corners[0])
+    return Geometry(
+        "Polygon", [np.asarray(corners, dtype=np.float64)], geom.srid
+    )

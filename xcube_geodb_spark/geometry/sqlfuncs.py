@@ -529,6 +529,47 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_points", _points, T.BinaryType())
 
+    def _mbc(b, quad_segs=12):
+        """``ST_MinimumBoundingCircle(geom[, num_segs_per_qt])``: the
+        exact MEC approximated as the inscribed 4*segs-gon (PostGIS
+        default 48 per quarter is overkill for parity tests; 12 here,
+        pass the arg for more)."""
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import (
+            buffer_point,
+            minimum_bounding_circle,
+        )
+
+        cx, cy, r = minimum_bounding_circle(parse_wkb(b))
+        if r == 0.0:
+            return to_wkb_seeded(_G("Point", _np.array((cx, cy))))
+        return to_wkb_seeded(
+            buffer_point(cx, cy, r, int(quad_segs or 12))
+        )
+
+    _register("st_minimumboundingcircle", _mbc, T.BinaryType())
+
+    def _mbr(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import minimum_bounding_circle
+
+        return minimum_bounding_circle(parse_wkb(b))[2]
+
+    # the radius half of PostGIS' ST_MinimumBoundingRadius record
+    _register("st_minimumboundingradius", _mbr, T.DoubleType())
+
+    def _oriented_env(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import oriented_envelope
+
+        out = oriented_envelope(parse_wkb(b))
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_orientedenvelope", _oriented_env, T.BinaryType())
+
     from xcube_geodb_spark.geometry.geom import distance_sphere
 
     _register(

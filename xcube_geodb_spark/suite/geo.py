@@ -1380,6 +1380,59 @@ GEO_ORACLES["geo_affine_rect"] = """
 """
 
 
+def geo_mec_envelope(spark, sf_dir):
+    """Minimum enclosing circle + oriented envelope
+    (geometry/geom.minimum_bounding_circle — deterministic Welzl;
+    oriented_envelope — rotating calipers over the convex hull): for a
+    rectangle the MEC radius is the half-diagonal sqrt(a^2+b^2) and the
+    minimum-area rotated envelope of a ROTATED rectangle is the
+    rectangle itself (area 4ab) — closed forms the oracle replays
+    (sqrt is correctly rounded in both engines; rotation noise vanishes
+    under round-6)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("mec_cust")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               round(st_minimumboundingradius(g), 6) AS mec_r,
+               round(st_x(st_centroid(st_minimumboundingcircle(g))), 6)
+                   AS mec_cx,
+               round(st_area(st_orientedenvelope(
+                   st_rotate(g, radians(30.0), CAST(cx AS DOUBLE),
+                             CAST(cy AS DOUBLE)))), 6) AS oe_area
+        FROM (
+            SELECT c_custkey, cx, cy,
+                   st_geomfromtext(concat(
+                       'POLYGON((', cx - a, ' ', cy - b, ',', cx + a, ' ',
+                       cy - b, ',', cx + a, ' ', cy + b, ',', cx - a, ' ',
+                       cy + b, ',', cx - a, ' ', cy - b, '))')) AS g
+            FROM (
+                SELECT c_custkey,
+                       CAST(c_custkey % 87 AS INT) * 30 AS cx,
+                       CAST(c_custkey % 73 AS INT) * 30 AS cy,
+                       CAST(c_custkey % 5 + 1 AS INT) AS a,
+                       CAST(c_custkey % 7 + 2 AS INT) AS b
+                FROM mec_cust WHERE c_custkey % 31 = 13
+            )
+        )
+        """
+    )
+
+
+GEO_ORACLES["geo_mec_envelope"] = """
+    SELECT c_custkey,
+           round(sqrt(CAST((c_custkey % 5 + 1) * (c_custkey % 5 + 1)
+                 + (c_custkey % 7 + 2) * (c_custkey % 7 + 2) AS DOUBLE)),
+                 6) AS mec_r,
+           round((c_custkey % 87) * 30 + 0.0, 6) AS mec_cx,
+           round(4.0 * (c_custkey % 5 + 1) * (c_custkey % 7 + 2), 6)
+               AS oe_area
+    FROM customer WHERE c_custkey % 31 = 13
+"""
+
+
 GEO_QUERIES = {
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
@@ -1409,6 +1462,7 @@ GEO_QUERIES = {
     "geo_makevalid_bowtie": geo_makevalid_bowtie,
     "geo_linear_ref": geo_linear_ref,
     "geo_affine_rect": geo_affine_rect,
+    "geo_mec_envelope": geo_mec_envelope,
     "geo_subdivide_cross": geo_subdivide_cross,
     "geo_pointonsurface_l": geo_pointonsurface_l,
     "geo_spatial_join_points": geo_spatial_join_points,
