@@ -788,3 +788,42 @@ class TestMecAndOrientedEnvelope:
         assert row["r"] == pytest.approx(math.sqrt(5))
         assert row["a"] == 8.0
         assert row["pt_kind"] == "POINT"
+
+
+class TestTwoLevelDissolve:
+    def test_two_level_equals_single_level(self, spark):
+        """Union is associative: the two-level (per-partition pre-union)
+        plan must produce the same per-group union area and member
+        count as the single-level plan, on groups that mix overlapping
+        chains with scattered members across many partitions."""
+        from pyspark.sql import functions as F
+
+        from xcube_geodb_spark.functions.geo_agg import dissolve
+        from xcube_geodb_spark.geometry.geom import parse_wkb, area
+        from xcube_geodb_spark.geometry.geom import Geometry, to_wkb
+
+        rows = []
+        for grp in range(4):
+            for i in range(12):
+                x0 = grp * 1000 + i * 1.5  # chain: consecutive overlap
+                ring = np.array(
+                    [[x0, 0.0], [x0 + 2.0, 0.0], [x0 + 2.0, 2.0],
+                     [x0, 2.0], [x0, 0.0]]
+                )
+                rows.append((grp, to_wkb(Geometry("Polygon", [ring]))))
+        df = spark.createDataFrame(rows, "grp int, geometry binary") \
+            .repartition(8)
+        one = {
+            r["grp"]: (area(parse_wkb(bytes(r["geometry"]))), r["n_members"])
+            for r in dissolve(df, ["grp"]).collect()
+        }
+        two = {
+            r["grp"]: (area(parse_wkb(bytes(r["geometry"]))), r["n_members"])
+            for r in dissolve(df, ["grp"], two_level=True).collect()
+        }
+        assert set(one) == set(two) == set(range(4))
+        expect = 12 * 4 - 11 * 1.0  # chain closed form
+        for g in range(4):
+            assert one[g][0] == pytest.approx(expect)
+            assert two[g][0] == pytest.approx(expect)
+            assert one[g][1] == two[g][1] == 12

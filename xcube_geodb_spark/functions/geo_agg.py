@@ -100,19 +100,26 @@ def dissolve(
     group_cols: list[str],
     geom_col: str = "geometry",
     max_group_size: int = 100_000,
+    two_level: bool = False,
 ) -> DataFrame:
     """Per-group aggregate boolean union — PostGIS ``ST_Union(geometry)``
     dissolve over polygonal WKB members.  Returns group cols +
     ``geometry`` (unioned WKB, NULL for all-NULL groups) + ``n_members``.
 
     Physical shape: one shuffle keyed by the group columns; each group's
-    members fold through the planar overlay kernel with a BALANCED
-    pairwise merge (O(log n) fold depth — geometry/overlay.union_all), in
-    an Arrow-batched pandas UDF.  Like PostGIS' ``ST_Union`` aggregate,
-    a group materializes on one task: for unbounded groups pre-union
-    per partition first (two-level dissolve) or cap with
-    ``max_group_size`` — exceeding it raises instead of silently
-    stalling a straggler task at 100 TB."""
+    members fold through the planar overlay kernel — envelope-disjoint
+    members concatenate without a boolean pass, only overlapping
+    clusters merge (balanced O(log n) fold —
+    geometry/overlay.union_all), in an Arrow-batched pandas UDF.
+
+    Like PostGIS' ``ST_Union`` aggregate, a group materializes on one
+    task.  For UNBOUNDED groups pass ``two_level=True``: a first
+    aggregation on (group, spark_partition_id) pre-unions each
+    partition's members (map-side-bounded state, union is associative),
+    and only the per-partition partial results shuffle to the final
+    group task — the per-task member count drops from group size to
+    partition count.  Otherwise ``max_group_size`` fail-fasts instead of
+    silently stalling a straggler task at 100 TB."""
     from pyspark.sql import types as T
 
     from xcube_geodb_spark.geometry.geom import parse_wkb, to_wkb
@@ -131,6 +138,20 @@ def dissolve(
             merged = union_all(members)
             out.append(to_wkb(merged) if merged is not None else None)
         return pd.Series(out)
+
+    if two_level:
+        partial = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .groupBy(*group_cols, "__pid")
+            .agg(
+                _dissolve(F.collect_list(F.col(geom_col))).alias("__partial"),
+                F.count(F.col(geom_col)).alias("__n"),
+            )
+        )
+        return partial.groupBy(*group_cols).agg(
+            _dissolve(F.collect_list(F.col("__partial"))).alias("geometry"),
+            F.sum("__n").alias("n_members"),
+        )
 
     geoms = F.collect_list(F.col(geom_col))
     return df.groupBy(*group_cols).agg(
