@@ -471,3 +471,25 @@ class TestTokenCapPlan:
         # exactly one exchange: the hash shuffle on the group key
         assert plan.count("Exchange hashpartitioning") == 1
         assert "CartesianProduct" not in plan
+
+
+class TestAggOrderByShimPlan:
+    def test_string_agg_within_group_is_one_aggregate_no_window(self, spark):
+        """The PG in-args ORDER BY rewrite must land on a plain aggregate
+        (map-side partial + final, Spark's native string_agg WITHIN
+        GROUP), never a row_number window or a global sort of the
+        detail rows."""
+        from xcube_geodb_spark.suite.core import pg_string_agg
+
+        out = pg_string_agg(spark, SF)
+        plan = executed_plan(out)
+        assert "Window" not in plan
+        assert plan.count("Exchange") <= 2  # group shuffle (+ order)
+
+    def test_array_agg_orderby_is_sorted_collect_no_window(self, spark):
+        from xcube_geodb_spark.suite.core import pg_array_agg_order
+
+        out = pg_array_agg_order(spark, SF)
+        plan = executed_plan(out)
+        assert "Window" not in plan
+        assert "sort_array" in plan or "ObjectHashAggregate" in plan
