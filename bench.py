@@ -142,8 +142,13 @@ _SCALED_REPL = {
 
 
 def _prep_scaled_dir(sf_dir: str, repl: int) -> str:
-    """Materialize a repl-x copy of the tables as single parquet files
-    (DuckDB COPY — both engines then read identical bytes)."""
+    """Materialize a repl-x copy of the tables (DuckDB COPY — both
+    engines then read identical bytes). Replicated tables are written
+    PER_THREAD_OUTPUT (a `{t}.parquet/` DIRECTORY of part files): a
+    single 100x parquet file gave Spark 1-2 input splits, so the
+    'engine' side of the scaled anchor was timing ONE task against
+    DuckDB's 32 threads — a file-layout artifact, not operator cost.
+    DuckDB reads the same directory via a glob."""
     import shutil
     import tempfile
 
@@ -164,28 +169,37 @@ def _prep_scaled_dir(sf_dir: str, repl: int) -> str:
                 "array_to_string(list_transform(string_split(text, ' '), "
                 "x -> x || CAST(cp AS VARCHAR)), ' ') AS text"
             )
-            con.execute(
-                f"COPY (SELECT * EXCLUDE (cp, {key}, text), {repl_expr} "
+            sel = (
+                f"SELECT * EXCLUDE (cp, {key}, text), {repl_expr} "
                 f"FROM read_parquet('{sf_dir}/{t}.parquet'), "
-                f"range({repl}) r(cp)) "
-                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+                f"range({repl}) r(cp)"
             )
         else:
-            con.execute(
-                f"COPY (SELECT * EXCLUDE (cp, {key}), "
-                f"{key} * {repl} + cp AS {key} "
+            sel = (
+                f"SELECT * EXCLUDE (cp, {key}), {key} * {repl} + cp AS {key} "
                 f"FROM read_parquet('{sf_dir}/{t}.parquet'), "
-                f"range({repl}) r(cp)) "
-                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+                f"range({repl}) r(cp)"
             )
+        con.execute(
+            f"COPY ({sel}) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET, PER_THREAD_OUTPUT TRUE)"
+        )
     con.close()
     return out
 
 
+def _duck_path(scaled_dir: str, t: str) -> str:
+    """read_parquet target: plain file, or glob for the per-thread dirs."""
+    p = f"{scaled_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def _bench_scaled(spark, sf_dir: str, repl: int = 10) -> dict:
-    """Engine vs DuckDB on the repl-x data for SCALED_QUERIES (one warm
-    rep + one timed rep per side — this section bounds bench wall time,
-    the main sf0.1 section carries the best-of-reps precision)."""
+    """Engine vs DuckDB on the repl-x data for SCALED_QUERIES: one warm
+    rep + best-of-2 timed reps per side. Single-rep anchors proved
+    untrustworthy on this shared host (a 1.1 s window agg once recorded
+    19.6 s — a 17x neighbor-contention spike); the minimum of two reps
+    is the same steady-state estimator the sf0.1 section uses."""
     import shutil
 
     import duckdb
@@ -202,12 +216,15 @@ def _bench_scaled(spark, sf_dir: str, repl: int = 10) -> dict:
                 fn(spark, scaled_dir).write.mode("overwrite").format(
                     "noop"
                 ).save()
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn(spark, scaled_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                eng[name] = round(time.perf_counter() - t0, 3)
+                best = float("inf")
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    fn(spark, scaled_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                eng[name] = round(best, 3)
             except Exception as e:
                 print(
                     f"bench: scaled {name} FAILED: {type(e).__name__}: "
@@ -221,7 +238,7 @@ def _bench_scaled(spark, sf_dir: str, repl: int = 10) -> dict:
         for t in _TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{scaled_dir}/{t}.parquet')"
+                f"read_parquet('{_duck_path(scaled_dir, t)}')"
             )
         duck: dict[str, float] = {}
         for name in SCALED_QUERIES:
@@ -230,9 +247,12 @@ def _bench_scaled(spark, sf_dir: str, repl: int = 10) -> dict:
                 continue
             try:
                 con.execute(sql).fetchall()
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                duck[name] = round(time.perf_counter() - t0, 3)
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                duck[name] = round(best, 3)
             except Exception as e:
                 print(
                     f"bench: scaled duckdb {name} FAILED: "

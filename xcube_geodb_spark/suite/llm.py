@@ -470,8 +470,15 @@ def dedup_embedding_pairs(spark, sf_dir):
 
 
 def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k baseline over the full corpus — the
+    Arrow scan path (numpy fold in the JVM/SQL summation order,
+    per-batch local top-k, one TakeOrdered): ~7x the higher-order-fold
+    projection at corpus scale, bit-identical results. The expression
+    path stays on the probe/rerank surfaces (similarity.cosine_topk)."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(emb, _query_vector(spark, sf_dir), k=20)
+    return similarity.cosine_topk_arrow(
+        emb, _query_vector(spark, sf_dir), k=20
+    )
 
 
 def ann_index_topk(spark, sf_dir):
