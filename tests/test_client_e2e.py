@@ -563,6 +563,13 @@ class TestShimLiteralSafety:
         assert f("(x || y) @> z") == (
             "size(array_except(z, (x || y))) = 0"
         )
+        # the refusal is symmetric: a right operand extending into
+        # arithmetic must raise too, not rewrite to wrong SQL (r8 ADVICE:
+        # 'tags @> needle + 1' silently became size(...) = 0 + 1)
+        with pytest.raises(GeoDBError, match="operand shape"):
+            f("tags @> needle + 1")
+        with pytest.raises(GeoDBError, match="operand shape"):
+            f("a <@ b - 1")
 
     def test_similar_to_translation(self):
         from xcube_geodb_spark.operators.scan import (

@@ -104,6 +104,45 @@ class TestSimilarity:
         assert out[0]["cos_sim"] == 1.0
         assert abs(out[2]["cos_sim"] - 1 / math.sqrt(2)) < 1e-6
 
+    def test_cosine_paths_agree_on_degenerate_vectors(self, spark, emb):
+        """r8 ADVICE: a zero-norm vector scores NaN; the JVM path ranked
+        it FIRST (NaN > all under DESC) while the Arrow path pruned it
+        last. Both now emit SQL NULL, ranking degenerates last."""
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero norm -> NaN cosine
+            (3, [0.5, 0.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = [1.0, 0.0, 0.0, 0.0]
+        jvm = similarity.cosine_topk(df, q, k=4).collect()
+        arrow = similarity.cosine_topk_arrow(df, q, k=4).collect()
+        assert [r["vec_id"] for r in jvm] == [0, 3, 1, 2]
+        assert [(r["vec_id"], r["cos_sim"]) for r in jvm] == [
+            (r["vec_id"], r["cos_sim"]) for r in arrow
+        ]
+        assert jvm[-1]["cos_sim"] is None
+
+    def test_cosine_arrow_prunes_on_rounded_score(self, spark):
+        """r8 ADVICE: with >k+margin rows in one batch tied on the
+        ROUNDED score, raw-score pruning could locally drop a smaller id
+        that wins globally. Scaled copies of one vector differ in raw
+        cosine only by float noise (rounded: all 1.0) — the top-k must be
+        the smallest ids exactly."""
+        rows = [
+            (i, [(1.0 + i * 1e-7) * c for c in (0.6, 0.8, 0.0, 0.0)])
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1)
+        out = similarity.cosine_topk_arrow(
+            df, [0.6, 0.8, 0.0, 0.0], k=5, local_margin=2
+        ).collect()
+        assert [r["vec_id"] for r in out] == [0, 1, 2, 3, 4]
+        assert all(r["cos_sim"] == 1.0 for r in out)
+
     def test_lsh_bucket_restricts(self, emb):
         out = similarity.lsh_topk(
             emb, [1.0, 0.0, 0.0, 0.0], k=5, n_bits=4

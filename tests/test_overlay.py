@@ -380,6 +380,23 @@ class TestSubdividePointOnSurface:
         for p in pieces:
             assert sum(len(r) for r in p.parts) <= 8
 
+    def test_subdivide_reflex_corner_no_slivers(self):
+        """Regression (r8 ADVICE): envelope-midpoint cuts never reach a
+        reflex corner whose ordinate isn't a dyadic fraction of the
+        envelope, recursing to float exhaustion (measured 109 pieces with
+        2.2e-16-wide slivers on this L at max_vertices=5). The vertex-
+        median pivot resolves it in a handful of pieces, none degenerate."""
+        from xcube_geodb_spark.geometry.geom import envelope, subdivide
+
+        ell = P("POLYGON ((0 0, 4 0, 4 1, 1 1, 1 3, 0 3, 0 0))")
+        for mv in (5, 6):
+            pieces = subdivide(ell, mv)
+            assert len(pieces) <= 12
+            assert sum(area(p) for p in pieces) == pytest.approx(area(ell))
+            for p in pieces:
+                x0, y0, x1, y1 = envelope(p)
+                assert min(x1 - x0, y1 - y0) > 1e-6
+
     def test_subdivide_small_geometry_passthrough_and_min(self):
         from xcube_geodb_spark.geometry.geom import subdivide
 

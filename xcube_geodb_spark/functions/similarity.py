@@ -120,8 +120,15 @@ def cosine_topk(
     scored = df.select(
         F.col(id_col),
         F.expr(
-            f"round({_dot(td, ql)} / "
-            f"(sqrt({_dot(td, td)}) * sqrt({_dot(ql, ql)})), 6)"
+            # try_divide + nanvl -> NULL: a zero-norm vector divides by
+            # zero (an ERROR under ANSI mode, NaN otherwise — which DESC
+            # would rank FIRST) and a NaN-component vector scores NaN.
+            # NULL ranks last under DESC in both Spark and DuckDB, and
+            # matches the Arrow path's explicit NaN masking — degenerate
+            # vectors rank last consistently on both paths.
+            f"round(nanvl(try_divide({_dot(td, ql)}, "
+            f"sqrt({_dot(td, td)}) * sqrt({_dot(ql, ql)})), "
+            f"CAST(NULL AS DOUBLE)), 6)"
         ).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
@@ -185,9 +192,19 @@ def cosine_topk_arrow(
                 dots += mat[:, d] * q[d]
                 vnorm += mat[:, d] * mat[:, d]
             cos = dots / (np.sqrt(vnorm) * qnorm)
-            order = np.lexsort((ids, -cos))[: min(keep, n)]
+            # prune on the ROUNDED score with id tiebreak — the exact
+            # global sort key — so a >k+margin-way rounding tie can never
+            # drop a row locally that wins globally (raw-score pruning
+            # could). NaN (zero-norm vector) lexsorts last here and is
+            # emitted as SQL NULL below, ranking last under DESC exactly
+            # like the JVM path's nanvl->NULL.
+            cos_r = np.round(cos, 6)
+            order = np.lexsort((ids, -cos_r))[: min(keep, n)]
+            raw = cos[order]
+            vals = pd.array(raw, dtype="Float64")
+            vals[np.isnan(raw)] = pd.NA
             yield pd.DataFrame(
-                {id_col: ids[order], "__raw_sim": cos[order]}
+                {id_col: ids[order], "__raw_sim": vals}
             )
 
     scored = df.select(id_col, vec_col).mapInPandas(_score, out_schema)

@@ -1469,9 +1469,19 @@ def subdivide(geom: Geometry, max_vertices: int = 256) -> list[Geometry]:
     on one comparison).  The union of the pieces covers the input
     exactly; piece boundaries are axis-parallel cut lines.  Like
     PostGIS, requires ``max_vertices >= 5``; multi-geometries are split
-    into their components first.  (PostGIS picks its cut pivot from
-    vertex distribution rather than the envelope midpoint, so piece
-    COUNTS differ from PostGIS; the coverage contract is the same.)"""
+    into their components first.  Like PostGIS, the cut pivot consults
+    the VERTEX ORDINATE DISTRIBUTION: the cut snaps to the vertex
+    ordinate nearest the envelope midpoint whenever one lies strictly
+    inside the middle half of the span (falling back to the midpoint
+    otherwise — symmetric shapes keep their minimal splits).  A pure
+    midpoint cut can never reach a reflex corner whose ordinate has a
+    non-terminating binary expansion of the span, recursing to float
+    exhaustion and emitting ulp-wide slivers; snapping reaches every
+    corner in O(log) cuts (each halving doubles the corner's relative
+    offset until it enters the middle half).  A relative-epsilon extent
+    stop backs the pivot up — a piece whose envelope has collapsed is
+    emitted as-is.  (Piece COUNTS still differ from PostGIS; the
+    coverage contract is the same.)"""
     from xcube_geodb_spark.errors import GeoDBError
 
     if max_vertices < 5:
@@ -1486,10 +1496,27 @@ def subdivide(geom: Geometry, max_vertices: int = 256) -> list[Geometry]:
             continue
         xmin, ymin, xmax, ymax = envelope(g)
         if xmax - xmin >= ymax - ymin:
-            mid = (xmin + xmax) / 2.0
+            axis, lo, hi = 0, xmin, xmax
+        else:
+            axis, lo, hi = 1, ymin, ymax
+        eps = 1e-9 * max(abs(lo), abs(hi), 1.0)
+        if hi - lo <= eps:
+            # envelope extent exhausted: emit rather than split slivers
+            out.append(g)
+            continue
+        ords = _all_vertices(g)[:, axis]
+        center = (lo + hi) / 2.0
+        quarter = (hi - lo) / 4.0
+        # vertex ordinates strictly inside the MIDDLE HALF of the span:
+        # snap the cut to the one nearest the midpoint (ties -> lower)
+        cand = ords[(ords > center - quarter) & (ords < center + quarter)]
+        if len(cand):
+            mid = float(cand[np.lexsort((cand, np.abs(cand - center)))[0]])
+        else:
+            mid = center
+        if axis == 0:
             boxes = ((xmin, ymin, mid, ymax), (mid, ymin, xmax, ymax))
         else:
-            mid = (ymin + ymax) / 2.0
             boxes = ((xmin, ymin, xmax, mid), (xmin, mid, xmax, ymax))
         pieces = [clip_by_box(g, b) for b in boxes]
         pieces = [p for p in pieces if p is not None]

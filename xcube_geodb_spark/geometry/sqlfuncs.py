@@ -17,9 +17,11 @@ Registered names (PostGIS-compatible lowercase):
   st_numinteriorrings/st_interiorringn``
 - structure edits: ``st_reverse``, ``st_flipcoordinates``
 - predicates: ``st_within/st_contains/st_intersects/st_touches/
-  st_overlaps/st_crosses/st_disjoint/st_equals (bbox_wkt, wkb)`` —
-  bbox-first argument order like the reference's CASE dispatch
-  (geodb.sql:1204-1214) — and ``st_dwithin``
+  st_overlaps/st_crosses/st_disjoint/st_equals`` — TYPE-DISPATCHED on
+  the first argument: ``(bbox_wkt, wkb)`` keeps the bbox-first argument
+  order of the reference's CASE dispatch (geodb.sql:1204-1214), while
+  ``(wkb, wkb)`` evaluates the general geometry–geometry relation
+  (geometry/relate.py) with PostGIS argument order — and ``st_dwithin``
 - measures: ``st_area/st_length/st_perimeter/st_centroid``,
   ``st_distance`` (planar exact), ``st_distancesphere`` (haversine),
   ``st_distancespheroid`` (WGS84 Vincenty), ``st_lengthsphere`` /
@@ -79,10 +81,20 @@ def _box_of_wkt(bbox_wkt: str):
 
 
 def _pred(mode: str):
-    def f(bbox_wkt: str, wkb: bytes) -> bool:
-        if bbox_wkt is None or wkb is None:
+    """Type-dispatched predicate: ``st_<mode>(bbox_wkt, wkb)`` keeps the
+    reference's bbox-first CASE semantics (geodb.sql:1204-1214), while
+    ``st_<mode>(wkb, wkb)`` — two geometry columns, the everyday PostGIS
+    idiom the reference's passthrough admits (geodb.sql:1147-1167) — goes
+    through the geometry–geometry relate kernel."""
+
+    def f(first, wkb: bytes) -> bool:
+        if first is None or wkb is None:
             return False
-        return bbox_predicate(mode, parse_wkb(wkb), _box_of_wkt(bbox_wkt))
+        if isinstance(first, (bytes, bytearray)):
+            from xcube_geodb_spark.geometry.relate import geom_predicate
+
+            return geom_predicate(mode, parse_wkb(bytes(first)), parse_wkb(wkb))
+        return bbox_predicate(mode, parse_wkb(wkb), _box_of_wkt(first))
 
     return f
 

@@ -398,7 +398,7 @@ def _rewrite_containment(seg: str) -> str:
                 "Parenthesize the operand or rewrite with array_except()."
             )
         suffix = seg[m.end() + rend_rel:].lstrip()
-        if suffix and suffix[0] in "|&*/%^":
+        if suffix and suffix[0] in "|&+-*/%^":
             raise GeoDBError(
                 "Unsupported operand shape for @>/<@: the right operand "
                 f"is a compound expression ({rhs} {suffix[:2].strip()} "

@@ -1433,7 +1433,133 @@ GEO_ORACLES["geo_mec_envelope"] = """
 """
 
 
+def geo_sql_join_intersects(spark, sf_dir):
+    """Spatial join in PURE raw SQL through the ``get_collection_pg``
+    clause builder (operators/scan.build_pg_sql) using the GEOM–GEOM
+    ``st_intersects(a.geometry, b.geometry)`` dispatch
+    (geometry/relate.py): customer squares x supplier points. The join
+    condition is the persisted-envelope prefilter (JVM-side range
+    predicate — parquet-stat prunable, and the shape a 100-TB plan
+    wants: the exact Python kernel only ever sees envelope survivors);
+    the exact geometry–geometry refine sits in WHERE. Reference: the
+    PostGIS passthrough admits exactly this statement
+    (/root/reference/xcube_geodb/sql/geodb.sql:1147-1167). The scale
+    path for massive joins remains functions/spatial_join (PBSM grid);
+    this gate pins the raw-SQL surface's semantics against interval
+    arithmetic."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("gg_squares")
+    _supplier_points(spark, sf_dir).createOrReplaceTempView("gg_pts")
+    sql = build_pg_sql(
+        "gg_squares a JOIN gg_pts b"
+        " ON a.__xmin <= b.__xmax AND a.__xmax >= b.__xmin"
+        " AND a.__ymin <= b.__ymax AND a.__ymax >= b.__ymin",
+        select="a.c_custkey AS c_custkey, b.s_suppkey AS s_suppkey",
+        where="st_intersects(a.geometry, b.geometry)",
+    )
+    return spark.sql(sql)
+
+
+def geo_sql_geom_modes(spark, sf_dir):
+    """All eight binary predicates in their GEOM–GEOM form on the raw-SQL
+    surface (geometry/relate.geom_predicate behind st_<mode>(wkb, wkb)):
+    squares (or segments, for crosses) against a constant envelope built
+    by ``st_makeenvelope`` — i.e. the PostGIS argument order
+    ``ST_Within(geom, env)``, the mirror of the bbox-first gates. One
+    tagged union keeps every mode's exact row membership in a single
+    driver slot, same as geo_bbox_modes."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("gg_modes_sq")
+    _segments(spark, sf_dir).createOrReplaceTempView("gg_modes_seg")
+
+    def env(box):
+        return (
+            f"st_makeenvelope({box[0]}, {box[1]}, {box[2]}, {box[3]})"
+        )
+
+    arms = [
+        ("within", "gg_modes_sq", env(BOX_SQUARES)),
+        ("contains", "gg_modes_sq", env(BOX_WITHIN)),
+        ("intersects", "gg_modes_sq", env(BOX_SQUARES)),
+        ("disjoint", "gg_modes_sq", env(BOX_SQUARES)),
+        ("touches", "gg_modes_sq", env(BOX_TOUCHES)),
+        ("overlaps", "gg_modes_sq", env(BOX_SQUARES)),
+        ("equals", "gg_modes_sq", env(BOX_EQUALS)),
+        ("crosses", "gg_modes_seg", env(BOX_CROSSES)),
+    ]
+    out = None
+    for mode, view, e in arms:
+        sql = build_pg_sql(
+            view,
+            select=f"'{mode}' AS mode, c_custkey",
+            where=f"st_{mode}(geometry, {e})",
+        )
+        part = spark.sql(sql)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
+    "geo_spatial_join_points"
+]
+
+# geom–geom arms mirror the bbox-first oracles: ST_<mode>(geom, env) is
+# ST_<mirror-mode>(env, geom), so the interval-arithmetic forms carry over
+# with sq_in_box/box_in_sq swapped where the mode is asymmetric
+GEO_ORACLES["geo_sql_geom_modes"] = "\nUNION ALL\n".join(
+    f"SELECT '{mode}' AS mode, c_custkey FROM ({frag})"
+    for mode, frag in [
+        ("within", _sq_oracle(BOX_SQUARES, "sq_in_box")),
+        ("contains", _sq_oracle(BOX_WITHIN, "box_in_sq")),
+        ("intersects", _sq_oracle(BOX_SQUARES, _INTERSECTS)),
+        ("disjoint", _sq_oracle(BOX_SQUARES, f"NOT ({_INTERSECTS})")),
+        (
+            "touches",
+            _sq_oracle(BOX_TOUCHES, f"({_INTERSECTS}) AND NOT ({_II})"),
+        ),
+        (
+            "overlaps",
+            _sq_oracle(
+                BOX_SQUARES, f"({_II}) AND NOT sq_in_box AND NOT box_in_sq"
+            ),
+        ),
+        (
+            "equals",
+            _sq_oracle(
+                BOX_EQUALS,
+                f"abs(x - h - ({BOX_EQUALS[0]})) < {EPS} AND "
+                f"abs(y - h - ({BOX_EQUALS[1]})) < {EPS} AND "
+                f"abs(x + h - ({BOX_EQUALS[2]})) < {EPS} AND "
+                f"abs(y + h - ({BOX_EQUALS[3]})) < {EPS}",
+            ),
+        ),
+        (
+            "crosses",
+            f"""
+            SELECT c_custkey FROM ({_SQS})
+            WHERE y > {BOX_CROSSES[1]} AND y < {BOX_CROSSES[3]}
+              AND x + h > {BOX_CROSSES[0]} AND x - h < {BOX_CROSSES[2]}
+              AND NOT (x - h >= {BOX_CROSSES[0]}
+                       AND x + h <= {BOX_CROSSES[2]})
+            """,
+        ),
+    ]
+)
+
+
 GEO_QUERIES = {
+    "geo_sql_join_intersects": geo_sql_join_intersects,
+    "geo_sql_geom_modes": geo_sql_geom_modes,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
