@@ -623,11 +623,16 @@ class TestShimLiteralSafety:
         assert f("c = 'string_agg(x ORDER BY y)'") == (
             "c = 'string_agg(x ORDER BY y)'"
         )
-        # outside-the-shim shapes raise instead of mis-rewriting
-        with pytest.raises(GeoDBError, match="mixed ASC/DESC"):
-            f("array_agg(x ORDER BY a ASC, b DESC)")
-        with pytest.raises(GeoDBError, match="NULLS"):
-            f("array_agg(x ORDER BY a NULLS LAST)")
+        # mixed directions / explicit NULLS placement (refused through r8)
+        # now build an array_sort comparator with exact PG semantics
+        mixed = f("array_agg(x ORDER BY a ASC, b DESC)")
+        assert mixed.startswith("transform(array_sort(collect_list(")
+        assert "(l, r) ->" in mixed
+        nulls = f("array_agg(x ORDER BY a NULLS LAST)")
+        assert "array_sort" in nulls and "IS NULL THEN 1" in nulls
+        # uniform direction without NULLS keeps the r8 sort_array fast path
+        assert "sort_array" in f("array_agg(x ORDER BY a DESC, b DESC)")
+        # PG's DISTINCT + ORDER BY restriction stays a hard refusal
         with pytest.raises(GeoDBError, match="DISTINCT"):
             f("array_agg(DISTINCT x ORDER BY x)")
 

@@ -807,6 +807,104 @@ class TestMecAndOrientedEnvelope:
         assert row["pt_kind"] == "POINT"
 
 
+class TestSpatialAggShim:
+    def test_rewrite_shapes(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("st_union(geometry)") == "st_union_agg(collect_list(geometry))"
+        assert f("st_collect(g)") == "st_collect_agg(collect_list(g))"
+        # two-argument scalar overlay forms pass through untouched
+        assert f("st_union(a, b)") == "st_union(a, b)"
+        assert f("st_collect(a, b)") == "st_collect(a, b)"
+        # st_extent -> four min/max aggregates, NO collect_list
+        ext = f("st_extent(geometry)")
+        assert "collect_list" not in ext
+        assert "min(st_xmin(geometry))" in ext
+        assert "max(st_ymax(geometry))" in ext
+        # literals inside args survive byte-identical
+        assert f("x = 'st_union(g)'") == "x = 'st_union(g)'"
+        with pytest.raises(GeoDBError, match="order-independent"):
+            f("st_union(g ORDER BY k)")
+        with pytest.raises(GeoDBError, match="meaningless"):
+            f("st_extent(g ORDER BY k)")
+
+    def test_sql_union_agg_matches_dissolve_api(self, spark):
+        """Byte-parity: ST_Union(geometry) GROUP BY through the shim and
+        the Python-API dissolve() fold the SAME union_all kernel — the
+        unioned WKT per group must be identical."""
+        from pyspark.sql import functions as F
+
+        from xcube_geodb_spark.functions.geo_agg import dissolve
+        from xcube_geodb_spark.geometry.geom import (
+            Geometry, parse_wkb, to_wkb, to_wkt,
+        )
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+        from xcube_geodb_spark.operators.scan import build_pg_sql
+
+        register_spatial_sql_functions(spark)
+        rows = []
+        for grp in range(3):
+            for i in range(6):
+                x0 = grp * 100 + i * 1.5
+                ring = np.array(
+                    [[x0, 0.0], [x0 + 2.0, 0.0], [x0 + 2.0, 2.0],
+                     [x0, 2.0], [x0, 0.0]]
+                )
+                rows.append((grp, to_wkb(Geometry("Polygon", [ring]))))
+        df = spark.createDataFrame(rows, "grp int, geometry binary")
+        df.createOrReplaceTempView("sp_agg_par")
+        sql = build_pg_sql(
+            "sp_agg_par",
+            select="grp, st_union(geometry) AS geometry",
+            group="grp",
+        )
+        via_sql = {
+            r["grp"]: to_wkt(parse_wkb(bytes(r["geometry"])))
+            for r in spark.sql(sql).collect()
+        }
+        via_api = {
+            r["grp"]: to_wkt(parse_wkb(bytes(r["geometry"])))
+            for r in dissolve(df, ["grp"]).collect()
+        }
+        assert via_sql == via_api and len(via_sql) == 3
+
+    def test_sql_collect_agg_and_extent(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+        from xcube_geodb_spark.operators.scan import build_pg_sql
+
+        register_spatial_sql_functions(spark)
+        spark.sql(
+            """
+            SELECT id % 2 AS grp,
+                   st_geomfromtext(concat('POINT (', id, ' ', id * 2, ')'))
+                       AS geometry, id
+            FROM range(6) AS t(id)
+            """
+        ).createOrReplaceTempView("sp_coll_par")
+        sql = build_pg_sql(
+            "sp_coll_par",
+            select=(
+                "grp, st_astext(st_collect(geometry ORDER BY id DESC)) "
+                "AS wkt, st_extent(geometry) AS ext"
+            ),
+            group="grp",
+            order="grp",
+        )
+        out = spark.sql(sql).collect()
+        assert out[0]["wkt"] == "MULTIPOINT ((4 8), (2 4), (0 0))"
+        assert out[1]["wkt"] == "MULTIPOINT ((5 10), (3 6), (1 2))"
+        assert out[0]["ext"] == (
+            "BOX(0.000000 0.000000,4.000000 8.000000)"
+        )
+        assert out[1]["ext"] == (
+            "BOX(1.000000 2.000000,5.000000 10.000000)"
+        )
+
+
 class TestTwoLevelDissolve:
     def test_two_level_equals_single_level(self, spark):
         """Union is associative: the two-level (per-partition pre-union)

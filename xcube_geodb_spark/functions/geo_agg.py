@@ -23,7 +23,26 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["collect_points_wkt", "collect_geometries", "dissolve"]
+__all__ = [
+    "collect_points_wkt", "collect_geometries", "collect_members", "dissolve",
+]
+
+
+def collect_members(members: list):
+    """PostGIS ``ST_Collect`` promotion rule over parsed members:
+    homogeneous point/line/polygon members collect into the matching
+    MULTI* type, mixed members into a GEOMETRYCOLLECTION. Shared by
+    :func:`collect_geometries` and the SQL shim's ``st_collect_agg``."""
+    from xcube_geodb_spark.geometry.geom import Geometry
+
+    _MULTI = {"Point": "MultiPoint", "LineString": "MultiLineString",
+              "Polygon": "MultiPolygon"}
+    if not members:
+        return None
+    kinds = {m.kind for m in members}
+    kind = _MULTI.get(next(iter(kinds)), "GeometryCollection") \
+        if len(kinds) == 1 else "GeometryCollection"
+    return Geometry(kind, members)
 
 
 def collect_points_wkt(
@@ -65,23 +84,14 @@ def collect_geometries(
     GEOMETRYCOLLECTION — PostGIS's exact promotion rule."""
     from pyspark.sql import types as T
 
-    from xcube_geodb_spark.geometry.geom import Geometry, parse_wkb, to_wkb
-
-    _MULTI = {"Point": "MultiPoint", "LineString": "MultiLineString",
-              "Polygon": "MultiPolygon"}
+    from xcube_geodb_spark.geometry.geom import parse_wkb, to_wkb
 
     @F.pandas_udf(T.BinaryType())
     def _collect(wkbs: pd.Series) -> pd.Series:
         out = []
         for arr in wkbs:
-            members = [parse_wkb(b) for b in arr if b is not None]
-            if not members:
-                out.append(None)
-                continue
-            kinds = {m.kind for m in members}
-            kind = _MULTI.get(next(iter(kinds)), "GeometryCollection") \
-                if len(kinds) == 1 else "GeometryCollection"
-            out.append(to_wkb(Geometry(kind, members)))
+            g = collect_members([parse_wkb(b) for b in arr if b is not None])
+            out.append(to_wkb(g) if g is not None else None)
         return pd.Series(out)
 
     if order_col is not None:

@@ -838,6 +838,35 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         "st_symdifference", _overlay_udf("symdifference"), T.BinaryType()
     )
 
+    # --- aggregate companions (operators/scan._rewrite_spatial_aggs) ------
+    # Python UDFs can't register as Spark aggregates, so the pg dialect
+    # shim rewrites ST_Union(g) / ST_Collect(g) in aggregate position
+    # (reference passthrough: geodb.sql:1169) into collect_list + these
+    # array<binary> -> binary scalar kernels — the same union_all /
+    # promotion kernels the engine's dissolve / collect_geometries
+    # operators fold with, so the SQL and Python-API paths are
+    # byte-identical. Also directly callable: the PostGIS
+    # ST_Union(geometry[]) array variant.
+    def _union_agg(arr):
+        if arr is None:
+            return None
+        from xcube_geodb_spark.geometry.overlay import union_all
+
+        members = [parse_wkb(bytes(b)) for b in arr if b is not None]
+        merged = union_all(members)
+        return to_wkb_seeded(merged) if merged is not None else None
+
+    def _collect_agg(arr):
+        if arr is None:
+            return None
+        from xcube_geodb_spark.functions.geo_agg import collect_members
+
+        g = collect_members([parse_wkb(bytes(b)) for b in arr if b is not None])
+        return to_wkb_seeded(g) if g is not None else None
+
+    _register("st_union_agg", _union_agg, T.BinaryType())
+    _register("st_collect_agg", _collect_agg, T.BinaryType())
+
     def _transform(b: bytes, from_srid: int, to_srid: int):
         if b is None:
             return None

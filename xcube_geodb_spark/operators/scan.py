@@ -414,10 +414,13 @@ _AGG_ORDER_RE = re.compile(r"\b(string_agg|array_agg)\s*\(", re.IGNORECASE)
 _ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 
 
-def _split_order_keys(order: str) -> tuple[list[str], bool]:
+def _split_order_keys(
+    order: str,
+) -> tuple[list[tuple[str, bool, bool]], bool]:
     """Top-level comma split of an aggregate-internal ORDER BY list ->
-    (bare keys, ascending).  Directions must agree; NULLS FIRST/LAST is
-    outside the shim."""
+    ([(bare key, ascending, nulls_first)], any_explicit_nulls).  An
+    unspecified null placement resolves to PG's default (ASC -> NULLS
+    LAST, DESC -> NULLS FIRST)."""
     keys, depth, start = [], 0, 0
     for i, ch in enumerate(order):
         if ch == "(":
@@ -428,26 +431,68 @@ def _split_order_keys(order: str) -> tuple[list[str], bool]:
             keys.append(order[start:i])
             start = i + 1
     keys.append(order[start:])
-    if re.search(r"\bNULLS\s+(FIRST|LAST)\b", order, re.IGNORECASE):
-        raise GeoDBError(
-            "NULLS FIRST/LAST inside array_agg(... ORDER BY ...) is "
-            "outside the pg dialect shim (SURVEY.md §7)"
-        )
-    bare, dirs = [], []
+    out, any_explicit = [], False
     for k in keys:
-        m = re.search(r"\s+(ASC|DESC)\s*$", k, re.IGNORECASE)
+        k = k.strip()
+        nf = None
+        m = re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", k, re.IGNORECASE)
         if m:
-            bare.append(k[: m.start()].strip())
-            dirs.append(m.group(1).upper())
-        else:
-            bare.append(k.strip())
-            dirs.append("ASC")
-    if len(set(dirs)) > 1:
-        raise GeoDBError(
-            "array_agg(... ORDER BY ...) with mixed ASC/DESC keys is "
-            "outside the pg dialect shim (SURVEY.md §7)"
+            nf = m.group(1).upper() == "FIRST"
+            any_explicit = True
+            k = k[: m.start()].rstrip()
+        m = re.search(r"\s+(ASC|DESC)\s*$", k, re.IGNORECASE)
+        asc = True
+        if m:
+            asc = m.group(1).upper() == "ASC"
+            k = k[: m.start()].rstrip()
+        if nf is None:
+            nf = not asc  # PG default: ASC -> NULLS LAST, DESC -> FIRST
+        out.append((k, asc, nf))
+    return out, any_explicit
+
+
+def _ordered_collect_expr(
+    keys: list[tuple[str, bool, bool]], any_explicit: bool, head: str
+) -> str:
+    """The ordered-collect core shared by ``array_agg(x ORDER BY ...)``
+    and ``st_collect(g ORDER BY ...)``: a map-side-combining
+    ``collect_list`` of (keys..., value) structs, sorted per group.
+
+    Uniform-direction key lists without an explicit NULLS placement keep
+    the r8 ``sort_array`` fast path (whole-stage-codegen struct compare;
+    DOCUMENTED DEVIATION: a NULL key sorts with Spark's struct rule —
+    nulls first under ASC — not PG's default).  Mixed ASC/DESC or
+    explicit NULLS FIRST/LAST builds an ``array_sort`` comparator lambda
+    with exact PG placement per key.  Ties resolve by the value (PG
+    leaves them unspecified); the struct wrapper keeps NULL values,
+    matching PG array_agg."""
+    fields = ", ".join(
+        f"({k}) AS __o{i}" for i, (k, _, _) in enumerate(keys)
+    ) + f", ({head}) AS __v"
+    uniform = len({asc for _, asc, _ in keys}) == 1
+    if uniform and not any_explicit:
+        tail = "" if keys[0][1] else ", false"
+        return f"sort_array(collect_list(struct({fields})){tail})"
+    terms = []
+    for i, (_, asc, nf) in enumerate(keys):
+        lt, gt = ("-1", "1") if asc else ("1", "-1")
+        nl, nr = ("-1", "1") if nf else ("1", "-1")
+        terms.append(
+            f"CASE WHEN l.__o{i} IS NULL AND r.__o{i} IS NULL THEN 0 "
+            f"WHEN l.__o{i} IS NULL THEN {nl} "
+            f"WHEN r.__o{i} IS NULL THEN {nr} "
+            f"WHEN l.__o{i} < r.__o{i} THEN {lt} "
+            f"WHEN l.__o{i} > r.__o{i} THEN {gt} ELSE 0 END"
         )
-    return bare, dirs[0] == "ASC"
+    terms.append(
+        "CASE WHEN l.__v IS NULL AND r.__v IS NULL THEN 0 "
+        "WHEN l.__v IS NULL THEN -1 WHEN r.__v IS NULL THEN 1 "
+        "WHEN l.__v < r.__v THEN -1 WHEN l.__v > r.__v THEN 1 ELSE 0 END"
+    )
+    cmp = terms[-1]
+    for t in reversed(terms[:-1]):
+        cmp = f"(CASE WHEN ({t}) != 0 THEN ({t}) ELSE {cmp} END)"
+    return f"array_sort(collect_list(struct({fields})), (l, r) -> {cmp})"
 
 
 def _rewrite_agg_orderby(code: str) -> str:
@@ -500,15 +545,106 @@ def _rewrite_agg_orderby(code: str) -> str:
                     "array_agg(DISTINCT ... ORDER BY ...) is outside the "
                     "pg dialect shim (SURVEY.md §7)"
                 )
-            keys, asc = _split_order_keys(order)
-            fields = ", ".join(
-                f"({k}) AS __o{i}" for i, k in enumerate(keys)
-            ) + f", ({head}) AS __v"
-            tail = "" if asc else ", false"
+            keys, any_explicit = _split_order_keys(order)
             repl = (
-                f"transform(sort_array(collect_list(struct({fields}))"
-                f"{tail}), s -> s.__v)"
+                f"transform({_ordered_collect_expr(keys, any_explicit, head)}"
+                f", s -> s.__v)"
             )
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
+
+
+_SPATIAL_AGG_RE = re.compile(
+    r"\b(st_union|st_collect|st_extent)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_spatial_aggs(code: str) -> str:
+    """PostGIS spatial AGGREGATES on literal-protected code (reference
+    passthrough admits them in SELECT — geodb.sql:1169):
+
+    - ``st_extent(g)`` -> the box2d text built from four plain min/max
+      aggregates over the Arrow-batched envelope accessors — NO
+      collect_list, so the rewrite is a pure map-side-combining
+      aggregation (the 100-TB shape)
+    - ``st_union(g)`` -> ``st_union_agg(collect_list(g))`` (the engine's
+      dissolve fold — geometry/overlay.union_all)
+    - ``st_collect(g)`` -> ``st_collect_agg(collect_list(g))``; an
+      aggregate-internal ``ORDER BY`` is honored via the same
+      struct-sort as array_agg
+
+    Two-argument ``st_union(a, b)`` / ``st_collect(a, b)`` are the scalar
+    forms and pass through untouched. Like PostGIS' ST_Union aggregate, a
+    collect_list group materializes on one task — cap group sizes
+    upstream for unbounded groups (functions/geo_agg.dissolve has the
+    two_level valve on the Python API)."""
+    pos = 0
+    while True:
+        m = _SPATIAL_AGG_RE.search(code, pos)
+        if not m:
+            return code
+        fname = m.group(1).lower()
+        depth = 0
+        for j in range(m.end() - 1, len(code)):
+            if code[j] == "(":
+                depth += 1
+            elif code[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code  # unbalanced parens: leave for Spark's parser
+        args = code[m.end(): j]
+        # top-level comma -> the scalar two-argument overlay form
+        depth2, has_comma = 0, False
+        for ch in args:
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+            elif ch == "," and depth2 == 0:
+                has_comma = True
+                break
+        if has_comma:
+            pos = m.end()
+            continue
+        ob = None
+        for om in _ORDER_BY_RE.finditer(args):
+            if args[: om.start()].count("(") == args[: om.start()].count(")"):
+                ob = om
+                break
+        head = args if ob is None else args[: ob.start()].rstrip()
+        head = head.strip()
+        if fname == "st_extent":
+            if ob is not None:
+                raise GeoDBError(
+                    "st_extent(... ORDER BY ...) is meaningless; drop the "
+                    "ORDER BY"
+                )
+            def _b(fn, agg):
+                return (
+                    f"CAST(CAST({agg}({fn}({head})) AS DECIMAL(24,6)) "
+                    f"AS STRING)"
+                )
+            repl = (
+                f"concat('BOX(', {_b('st_xmin', 'min')}, ' ', "
+                f"{_b('st_ymin', 'min')}, ',', {_b('st_xmax', 'max')}, "
+                f"' ', {_b('st_ymax', 'max')}, ')')"
+            )
+        elif ob is not None:
+            if fname == "st_union":
+                raise GeoDBError(
+                    "st_union(... ORDER BY ...): the aggregate union is "
+                    "order-independent; drop the ORDER BY"
+                )
+            keys, any_explicit = _split_order_keys(args[ob.end():].strip())
+            repl = (
+                f"st_collect_agg(transform("
+                f"{_ordered_collect_expr(keys, any_explicit, head)}"
+                f", s -> s.__v))"
+            )
+        else:
+            repl = f"{fname}_agg(collect_list({head}))"
         code = code[: m.start()] + repl + code[j + 1:]
         pos = m.start() + len(repl)
 
@@ -596,7 +732,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     out = "".join(parts)
     need_cont = "@>" in out or "<@" in out
     need_agg = bool(_AGG_ORDER_RE.search(out))
-    if need_cont or need_agg:
+    need_spagg = bool(_SPATIAL_AGG_RE.search(out))
+    if need_cont or need_agg or need_spagg:
         # these operands/arg-lists may span literal segments: protect
         # literals behind identifier-shaped placeholders, rewrite on the
         # joined code, then restore — literal contents stay byte-identical
@@ -610,6 +747,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_containment(protected)
         if need_agg:
             protected = _rewrite_agg_orderby(protected)
+        if need_spagg:
+            protected = _rewrite_spatial_aggs(protected)
         out = re.sub(
             r"__GEODB_LIT_(\d+)__",
             lambda mm: lits[int(mm.group(1))],

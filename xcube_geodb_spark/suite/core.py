@@ -499,6 +499,26 @@ def pg_array_agg_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def pg_array_agg_order_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``array_agg(x ORDER BY a ASC NULLS FIRST, b DESC)`` — MIXED
+    directions and an explicit NULLS placement (r8 verdict order 5; the
+    r8 shim refused both). The shim now builds an ``array_sort``
+    comparator lambda with exact per-key direction and null placement;
+    a CASE injects NULL keys so the placement is actually exercised.
+    DuckDB runs the PG spelling natively."""
+    register_views(spark, sf_dir, "customer")
+    sql = build_pg_sql(
+        "customer",
+        select="c_nationkey, concat_ws('|', array_agg(c_name ORDER BY "
+        "CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END "
+        "ASC NULLS FIRST, c_custkey DESC)) AS names",
+        where="c_custkey % 11 = 0",
+        group="c_nationkey",
+        order="c_nationkey",
+    )
+    return spark.sql(sql)
+
+
 def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact count from parquet footers only — the engine's estimate/count
     fast path (no full scan)."""
@@ -557,6 +577,15 @@ CORE_ORACLES_PG = {
                array_to_string(array_agg(c_name ORDER BY c_acctbal DESC,
                                          c_custkey DESC), '|') AS names
         FROM customer WHERE c_custkey % 53 = 0
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "pg_array_agg_order_mixed": """
+        SELECT c_nationkey,
+               array_to_string(array_agg(c_name ORDER BY
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE c_acctbal END ASC NULLS FIRST,
+                   c_custkey DESC), '|') AS names
+        FROM customer WHERE c_custkey % 11 = 0
         GROUP BY c_nationkey ORDER BY c_nationkey
     """,
     "count_lineitem": "SELECT count(*) AS n_rows FROM lineitem",
@@ -1603,6 +1632,7 @@ CORE_QUERIES = {
     "pg_array_containment": pg_array_containment,
     "pg_string_agg": pg_string_agg,
     "pg_array_agg_order": pg_array_agg_order,
+    "pg_array_agg_order_mixed": pg_array_agg_order_mixed,
     "pg_dialect_shim": pg_dialect_shim,
     "count_lineitem": count_lineitem,
     "join_revenue_by_nation": join_revenue_by_nation,

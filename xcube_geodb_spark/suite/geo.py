@@ -1509,6 +1509,64 @@ def geo_sql_geom_modes(spark, sf_dir):
     return out
 
 
+def pg_spatial_agg(spark, sf_dir):
+    """PostGIS spatial AGGREGATES through the pg dialect shim
+    (operators/scan._rewrite_spatial_aggs — reference passthrough admits
+    ``SELECT k, ST_Union(geom) ... GROUP BY k`` at geodb.sql:1169):
+    ``st_union(g)`` -> collect_list + the engine's dissolve fold,
+    ``st_collect(g)`` -> collect_list + the ST_Collect promotion kernel,
+    ``st_extent(g)`` -> four plain min/max aggregates (NO collect_list).
+    Fixture: per customer a UNIT square [cell, cell+1] x [0, 1] with
+    cell = custkey % 13, grouped by custkey % 25 — group members either
+    coincide exactly or tile the x-axis, so the union area is EXACTLY
+    the distinct-cell count, the extent is [min cell, max cell + 1] x
+    [0, 1], and ST_Collect keeps duplicates (member count = rows)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    c = load(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 25).alias("grp"),
+        (F.col("c_custkey") % 13).cast("double").alias("cell"),
+    )
+    c.select(
+        "grp",
+        _square_wkb(
+            F.col("cell") + F.lit(0.5), F.lit(0.5), F.lit(0.5)
+        ).alias("geometry"),
+    ).createOrReplaceTempView("spagg")
+    sql = build_pg_sql(
+        "spagg",
+        select=(
+            "grp, round(st_area(st_union(geometry)), 6) AS union_area, "
+            "st_extent(geometry) AS extent, "
+            "CAST(st_numgeometries(st_collect(geometry)) AS BIGINT) "
+            "AS n_coll, count(*) AS n_rows"
+        ),
+        group="grp",
+        order="grp",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["pg_spatial_agg"] = """
+    SELECT grp,
+           round(CAST(count(DISTINCT cell) AS DOUBLE), 6) AS union_area,
+           concat('BOX(',
+                  CAST(CAST(min(cell) AS DECIMAL(24,6)) AS VARCHAR), ' ',
+                  '0.000000', ',',
+                  CAST(CAST(max(cell) + 1 AS DECIMAL(24,6)) AS VARCHAR),
+                  ' ', '1.000000', ')') AS extent,
+           count(*) AS n_coll,
+           count(*) AS n_rows
+    FROM (SELECT c_custkey % 25 AS grp, c_custkey % 13 AS cell
+          FROM customer)
+    GROUP BY grp
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -1560,6 +1618,7 @@ GEO_ORACLES["geo_sql_geom_modes"] = "\nUNION ALL\n".join(
 GEO_QUERIES = {
     "geo_sql_join_intersects": geo_sql_join_intersects,
     "geo_sql_geom_modes": geo_sql_geom_modes,
+    "pg_spatial_agg": pg_spatial_agg,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
