@@ -7,10 +7,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is consumed with a noop write (full computation, no driver
 transfer) so timings reflect engine work, not collect() serialization.
 
-Each timing is best-of-$SPARK_GRAFT_BENCH_REPS (default 2): this VM shares
+Each timing is best-of-$SPARK_GRAFT_BENCH_REPS (default 3): this VM shares
 a host, and neighbor contention showed uniform 1.5-2x wall-clock swings
 between identical runs; the per-query minimum is the standard steady-state
-estimator and stays stable across that noise.
+estimator and stays stable across that noise. The scaled (10x/100x) anchor
+blocks additionally record every per-rep time, the per-query spread, and
+the host load average before/after, with a load_warning flag — a warned
+block is a measurement to re-run on an idle box, not a regression signal.
 """
 
 from __future__ import annotations
@@ -194,21 +197,43 @@ def _duck_path(scaled_dir: str, t: str) -> str:
     return f"{p}/*.parquet" if os.path.isdir(p) else p
 
 
+def _loadavg() -> list[float]:
+    try:
+        return [round(v, 2) for v in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        return []
+
+
+def _load_warning(load: list[float]) -> bool:
+    """True when the 1-minute load average says the box is NOT idle
+    enough for a trustworthy anchor (competing work inflates wall
+    clock even under best-of-N)."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    return bool(load) and load[0] > 0.5 * cpus
+
+
 def _bench_scaled(spark, sf_dir: str, repl: int = 10) -> dict:
-    """Engine vs DuckDB on the repl-x data for SCALED_QUERIES: one warm
-    rep + best-of-2 timed reps per side. Single-rep anchors proved
-    untrustworthy on this shared host (a 1.1 s window agg once recorded
-    19.6 s — a 17x neighbor-contention spike); the minimum of two reps
-    is the same steady-state estimator the sf0.1 section uses."""
+    """Engine vs DuckDB on the repl-x data for SCALED_QUERIES — the
+    PINNED anchor protocol (r8 verdict order 3: three r8 100x runs
+    spread 1.19-1.50x and the committed artifact was the worst run):
+
+    - one warm rep + best-of-THREE timed reps per side, with every
+      per-rep time recorded in the artifact so spread is auditable;
+    - per-query rep spread (max-min)/min, flagged when > 10%;
+    - load averages captured before and after the block with an
+      explicit ``load_warning`` when the box is not idle — a warned
+      block is a measurement to re-run, not a regression."""
     import shutil
 
     import duckdb
 
     from xcube_geodb_spark.suite import ORACLES, QUERIES
 
+    load_before = _loadavg()
     scaled_dir = _prep_scaled_dir(sf_dir, repl)
     try:
         eng: dict[str, float] = {}
+        eng_reps: dict[str, list[float]] = {}
         for name in SCALED_QUERIES:
             fn = QUERIES[name]
             try:
@@ -216,15 +241,16 @@ def _bench_scaled(spark, sf_dir: str, repl: int = 10) -> dict:
                 fn(spark, scaled_dir).write.mode("overwrite").format(
                     "noop"
                 ).save()
-                best = float("inf")
-                for _ in range(2):
+                reps = []
+                for _ in range(3):
                     spark.catalog.clearCache()
                     t0 = time.perf_counter()
                     fn(spark, scaled_dir).write.mode("overwrite").format(
                         "noop"
                     ).save()
-                    best = min(best, time.perf_counter() - t0)
-                eng[name] = round(best, 3)
+                    reps.append(round(time.perf_counter() - t0, 3))
+                eng[name] = min(reps)
+                eng_reps[name] = reps
             except Exception as e:
                 print(
                     f"bench: scaled {name} FAILED: {type(e).__name__}: "
@@ -241,18 +267,20 @@ def _bench_scaled(spark, sf_dir: str, repl: int = 10) -> dict:
                 f"read_parquet('{_duck_path(scaled_dir, t)}')"
             )
         duck: dict[str, float] = {}
+        duck_reps: dict[str, list[float]] = {}
         for name in SCALED_QUERIES:
             sql = ORACLES.get(name)
             if sql is None or name not in eng:
                 continue
             try:
                 con.execute(sql).fetchall()
-                best = float("inf")
-                for _ in range(2):
+                reps = []
+                for _ in range(3):
                     t0 = time.perf_counter()
                     con.execute(sql).fetchall()
-                    best = min(best, time.perf_counter() - t0)
-                duck[name] = round(best, 3)
+                    reps.append(round(time.perf_counter() - t0, 3))
+                duck[name] = min(reps)
+                duck_reps[name] = reps
             except Exception as e:
                 print(
                     f"bench: scaled duckdb {name} FAILED: "
@@ -260,15 +288,25 @@ def _bench_scaled(spark, sf_dir: str, repl: int = 10) -> dict:
                     file=sys.stderr,
                 )
         con.close()
+        load_after = _loadavg()
         common = [n for n in duck if n in eng]
         e_tot = sum(eng[n] for n in common)
         d_tot = sum(duck[n] for n in common)
+
+        def _spread(reps: list[float]) -> float:
+            lo = min(reps)
+            return round((max(reps) - lo) / lo, 3) if lo > 0 else 0.0
+
         return {
             "replication": repl,
             "common_queries": len(common),
             "engine_sec": round(e_tot, 3),
             "duckdb_sec": round(d_tot, 3),
             "vs_duckdb": round(e_tot / d_tot, 3) if d_tot > 0 else None,
+            "loadavg_before": load_before,
+            "loadavg_after": load_after,
+            "load_warning": _load_warning(load_before)
+            or _load_warning(load_after),
             "per_query": {
                 n: {
                     "engine": eng[n],
@@ -276,6 +314,10 @@ def _bench_scaled(spark, sf_dir: str, repl: int = 10) -> dict:
                     "ratio": round(eng[n] / duck[n], 2)
                     if duck[n] > 0
                     else None,
+                    "engine_reps": eng_reps[n],
+                    "duckdb_reps": duck_reps[n],
+                    "engine_spread": _spread(eng_reps[n]),
+                    "noisy": _spread(eng_reps[n]) > 0.10,
                 }
                 for n in common
             },
@@ -473,7 +515,7 @@ def main() -> None:
     # warm the JVM/codegen paths outside the timed region
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
@@ -529,12 +571,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    load = _loadavg()
     result = {
         "metric": "geodb_spark_suite_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg": load,
+        "load_warning": _load_warning(load),
     }
     try:
         duck = _bench_duckdb_oracles(sf_dir, reps, timings)
