@@ -326,7 +326,49 @@ def main() -> None:
     _PINNED.append(sqD)
     sqD.count()
 
+    # --- skewed-group dissolve: single-level vs two_level (r8 verdict
+    # order 7). TEN groups total whose sizes grow with the data — the
+    # unbounded-group shape where single-level materializes each group
+    # on one straggler task while two_level pre-unions per partition
+    # map-side and shuffles only partials. Chain layout (overlapping
+    # squares along x, groups in disjoint worlds) keeps per-member union
+    # work constant across sizes.
+    def _skew_chain(c: DataFrame) -> DataFrame:
+        grp = F.col("c_custkey") % 10
+        pos = (F.col("c_custkey") / F.lit(10)).cast("long").cast("double")
+        return (
+            c.select(
+                grp.alias("grp"),
+                (grp.cast("double") * 1.0e7 + pos * 1.5).alias("cx"),
+            )
+            .withColumn("cy", F.lit(0.0))
+            .withColumn("h", F.lit(1.0))
+            .withColumn("geometry", _square_wkb("cx", "cy", "h"))
+            .select("grp", "geometry")
+            .repartition(32)
+        )
+
+    chain1 = _skew_chain(cust1).cache()
+    chainD = _skew_chain(custD).cache()
+    _PINNED.extend([chain1, chainD])
+    chain1.count()
+    chainD.count()
+
+    def dissolve_skew_single(d):
+        from xcube_geodb_spark.functions.geo_agg import dissolve
+
+        return dissolve(d, ["grp"], max_group_size=10_000_000)
+
+    def dissolve_skew_two_level(d):
+        from xcube_geodb_spark.functions.geo_agg import dissolve
+
+        return dissolve(d, ["grp"], two_level=True,
+                        max_group_size=10_000_000)
+
     cases = [
+        ("geo_dissolve_skew_single", dissolve_skew_single, chain1, chainD),
+        ("geo_dissolve_skew_two_level", dissolve_skew_two_level,
+         chain1, chainD),
         ("geo_spatial_join", geo_sjoin, (sq1, spt1), (sqH, sptH)),
         ("geo_dbscan", geo_dbscan, cpt1, cptD),
         ("geo_dissolve", geo_dissolve, sq1, sqD),
@@ -371,6 +413,20 @@ def main() -> None:
         print(f"{name}: x1={t1:.2f}s x{n}={tn:.2f}s ratio={ratio:.2f} "
               f"(limit {n * SLACK:.0f})",
               file=sys.stderr)
+
+    # the two-level valve must not grow FASTER than single-level on the
+    # skewed fixture (r8 verdict order 7 done-criterion); small absolute
+    # slack absorbs timer noise on sub-second runs
+    _sing = out.get("geo_dissolve_skew_single", {}).get("ratio")
+    _two = out.get("geo_dissolve_skew_two_level", {}).get("ratio")
+    if _sing is not None and _two is not None:
+        ok = _two <= _sing * 1.15
+        out["dissolve_two_level_ratio_le_single"] = ok
+        if not ok:
+            failures.append(
+                f"two_level dissolve grew faster than single-level: "
+                f"{_two} vs {_sing}"
+            )
 
     # metadata path: probe latency over synthetic 10k / 100k-file
     # manifests laid out exactly as compaction writes them — clustered
@@ -565,7 +621,20 @@ def main() -> None:
 
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         cents = S.seed_centroids(emb, n_centroids=8)
-        books = S.pq_codebooks(emb, n_subspaces=8, n_centroids=16)
+        # PRODUCTION-RESOLUTION codebooks (r8 verdict order 6): Lloyd-
+        # trained 16 subspaces x 256 centroids — classic 8-bit PQ. The
+        # r8 fixture used the SEEDED 8x16 books (raw ADC 0.28): on this
+        # structure-free uniform-unit corpus the quantizer needs
+        # resolution, not just training (measured: trained 8x16 -> 0.29,
+        # trained 16x256 -> ~0.59). Encode auto-switches to the Arrow
+        # numpy path and the ADC probe to the single-parse SQL scoring
+        # expression above 512 codebook entries, so build and probe
+        # times stay flat. Oracle-gated queries keep seeded books (the
+        # SQL-replayable config); this fixture measures recall, which is
+        # a property of the production config.
+        books = S.pq_codebooks_trained(
+            emb, n_subspaces=16, n_centroids=256, n_iters=15
+        )
         # IVFADC prescribes a TRAINED coarse quantizer. NOTE the honest
         # physics of this fixture: vectors are uniform-random unit, so
         # even Lloyd (unit-normalized) centroids sit at cos ~0.3 from
@@ -579,7 +648,7 @@ def main() -> None:
             for c in S.ivf_centroids(emb, n_centroids=8)
         ]
         books_res = S.pq_codebooks_trained_residual(
-            emb, cents_res, n_subspaces=8, n_centroids=16
+            emb, cents_res, n_subspaces=16, n_centroids=256
         )
         wh = tempfile.mkdtemp(prefix="geodb_scale_ann_")
         try:

@@ -988,6 +988,16 @@ def pq_codebooks_trained_residual(
     return _train_subspace_books(R, n_subspaces, n_centroids, n_iters)
 
 
+# Above this many (subspace x centroid) codebook entries, encode/ADC
+# switch from per-entry Column algebra (whose Catalyst tree and py4j
+# construction cost grow with every entry) to an Arrow-batched numpy
+# encoder / a single parsed SQL scoring expression. 512 keeps every
+# oracle-replayed seeded configuration (8x8, 8x16) on the bit-stable
+# Column path; production-resolution trained books (16x256 — classic
+# 8-bit PQ) take the vectorized paths.
+_PQ_COLUMN_PATH_MAX_ENTRIES = 512
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -995,6 +1005,7 @@ def pq_encode(
     out_col: str = "pq_code",
     centroids: list[list[float]] | None = None,
     bucket_col: str = "centroid_id",
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """Adds ``pq_code``: per subspace, the index of the nearest codebook
     centroid (squared L2; ties -> lowest code). The at-rest form for
@@ -1006,13 +1017,63 @@ def pq_encode(
     one extra zip_with subtraction, still replayed bit-for-bit by the
     SQL oracle.
 
-    Pure Column algebra: every (subspace, centroid) distance is a
+    Small codebooks (the oracle-replayable seeded configs) encode as
+    pure Column algebra: every (subspace, centroid) distance is a
     sequential left-fold of squared differences (the association the SQL
     oracle replays bit-for-bit — only +,-,* on identical doubles, no
     transcendentals), and the argmin is the (-dist, -code) struct-max
-    idiom assignment uses. No UDF, no shuffle."""
+    idiom assignment uses. No UDF, no shuffle.
+
+    Large codebooks (``m * k >`` 512 entries, e.g. trained 16x256 8-bit
+    PQ) auto-switch to an Arrow-batched numpy encoder (``use_arrow``
+    overrides): one vectorized argmin per subspace per batch — the same
+    squared-L2 metric and lowest-code tie rule, at none of the
+    per-entry expression-tree cost. Deterministic, but not replayed by
+    a plain-SQL oracle (numpy reduction order); keep seeded books for
+    hash-gated paths."""
     m = len(codebooks)
     sd = len(codebooks[0][0])
+    if use_arrow is None:
+        use_arrow = m * len(codebooks[0]) > _PQ_COLUMN_PATH_MAX_ENTRIES
+    if use_arrow:
+        books_np = [np.asarray(b, dtype=np.float64) for b in codebooks]
+        cents_np = (
+            np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else None
+        )
+
+        def _codes_of(X: "np.ndarray") -> pd.Series:
+            n_rows = len(X)
+            codes = np.empty((n_rows, m), dtype=np.int32)
+            for j in range(m):
+                S = X[:, j * sd : (j + 1) * sd]
+                d2 = ((S[:, None, :] - books_np[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = d2.argmin(axis=1)  # ties -> lowest code
+            return pd.Series(list(codes))
+
+        if centroids is not None:
+
+            @F.pandas_udf("array<int>")
+            def _enc_res(vecs: pd.Series, buckets: pd.Series) -> pd.Series:
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs]
+                )
+                X = X - cents_np[buckets.to_numpy(dtype=np.int64)]
+                return _codes_of(X)
+
+            return df.withColumn(
+                out_col, _enc_res(F.col(vec_col), F.col(bucket_col))
+            )
+
+        @F.pandas_udf("array<int>")
+        def _enc(vecs: pd.Series) -> pd.Series:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            return _codes_of(X)
+
+        return df.withColumn(out_col, _enc(F.col(vec_col)))
     if centroids is not None:
         df = df.withColumn(
             "__pqresid", residual_of(vec_col, centroids, bucket_col)
@@ -1060,11 +1121,21 @@ def pq_topk(
     if len(query_vector) != m * sd:
         raise ValueError("query dimension does not match the codebooks")
     tables = _adc_table(query_vector, codebooks)
-    score = None
-    for j in range(m):
-        arr = F.array(*[F.lit(t) for t in tables[j]])
-        part = F.element_at(arr, F.col(code_col)[j] + 1).cast("decimal(28,9)")
-        score = part if score is None else score + part
+    if m * kk > _PQ_COLUMN_PATH_MAX_ENTRIES:
+        # one parsed SQL expression instead of m*k Column-API literal
+        # calls: the tree is identical (double-literal arrays, the same
+        # element_at lookups and DECIMAL(28,9) sum), but driver-side
+        # construction is one parse instead of thousands of py4j round
+        # trips — probe latency stays flat as codebooks grow
+        score = F.expr(_adc_score_sql(tables, code_col))
+    else:
+        score = None
+        for j in range(m):
+            arr = F.array(*[F.lit(t) for t in tables[j]])
+            part = F.element_at(arr, F.col(code_col)[j] + 1).cast(
+                "decimal(28,9)"
+            )
+            score = part if score is None else score + part
     return (
         df.select(
             F.col(id_col), score.cast("double").alias("dist_adc")
@@ -1072,6 +1143,41 @@ def pq_topk(
         .orderBy(F.col("dist_adc").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def _adc_score_sql(
+    tables: list[list[float]],
+    code_col: str,
+    case_bucket: tuple[str, dict[int, list[list[float]]]] | None = None,
+) -> str:
+    """The ADC scoring expression as ONE SQL string. Plain form: per
+    subspace, ``element_at(array(<double literals>), code[j]+1)`` cast to
+    DECIMAL(28,9), summed. With ``case_bucket=(bucket_col, {probe:
+    tables})``, each subspace's array is selected by a chained CASE over
+    the probed lists (the residual/IVFADC form). Literals round-trip
+    exactly through repr -> Double.parseDouble, so the parsed tree equals
+    the Column-API construction bit-for-bit."""
+
+    def _arr(row: list[float]) -> str:
+        return "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")"
+
+    parts = []
+    m = len(tables)
+    for j in range(m):
+        if case_bucket is None:
+            sel = _arr(tables[j])
+        else:
+            bucket_col, by_probe = case_bucket
+            whens = " ".join(
+                f"WHEN `{bucket_col}` = {int(p)} THEN {_arr(tbl[j])}"
+                for p, tbl in by_probe.items()
+            )
+            sel = f"(CASE {whens} END)"
+        parts.append(
+            f"CAST(element_at({sel}, element_at(`{code_col}`, {j + 1}) + 1) "
+            f"AS DECIMAL(28,9))"
+        )
+    return " + ".join(parts)
 
 
 def _adc_table(
@@ -1130,15 +1236,25 @@ def pq_topk_residual(
         )
         for p in probes
     }
-    score = None
-    for j in range(m):
-        sel = None
-        for p in probes:
-            arr = F.array(*[F.lit(t) for t in tables[int(p)][j]])
-            cond = F.col(bucket_col) == int(p)
-            sel = F.when(cond, arr) if sel is None else sel.when(cond, arr)
-        part = F.element_at(sel, F.col(code_col)[j] + 1).cast("decimal(28,9)")
-        score = part if score is None else score + part
+    if m * len(codebooks[0]) > _PQ_COLUMN_PATH_MAX_ENTRIES:
+        score = F.expr(
+            _adc_score_sql(
+                next(iter(tables.values())), code_col,
+                case_bucket=(bucket_col, tables),
+            )
+        )
+    else:
+        score = None
+        for j in range(m):
+            sel = None
+            for p in probes:
+                arr = F.array(*[F.lit(t) for t in tables[int(p)][j]])
+                cond = F.col(bucket_col) == int(p)
+                sel = F.when(cond, arr) if sel is None else sel.when(cond, arr)
+            part = F.element_at(sel, F.col(code_col)[j] + 1).cast(
+                "decimal(28,9)"
+            )
+            score = part if score is None else score + part
     return (
         df.select(F.col(id_col), score.cast("double").alias("dist_adc"))
         .orderBy(F.col("dist_adc").asc(), F.col(id_col))

@@ -1103,6 +1103,51 @@ def geo_dissolve_chain(spark, sf_dir):
     )
 
 
+def geo_dissolve_two_level(spark, sf_dir):
+    """The UNBOUNDED-group dissolve valve (functions/geo_agg.dissolve
+    two_level=True — the 100-TB path): groups take EVERY customer (no
+    rank cap, so group size grows with SF), a first aggregation on
+    (group, partition id) pre-unions each partition's members map-side,
+    and only per-partition partials shuffle to the final group task.
+    Same chain fixture as geo_dissolve_chain — consecutive squares
+    overlap pairwise 1.0, so union area stays the closed form
+    4n - (n-1) no matter how members split across partitions (union is
+    associative; the parity pytest pins two_level == single-level)."""
+    from pyspark.sql import Window
+
+    from xcube_geodb_spark.functions.geo_agg import dissolve
+    from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
+
+    register_spatial_sql_functions(spark)
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy(F.col("c_custkey") % 50).orderBy("c_custkey")
+    chain = (
+        c.select("c_custkey", (F.col("c_custkey") % 50).alias("grp"))
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("cx", F.col("grp") * 100000.0 + F.col("rnk") * 1.5)
+        .withColumn("cy", F.lit(0.0))
+        .withColumn("h", F.lit(1.0))
+        .withColumn("geometry", _square_wkb("cx", "cy", "h"))
+        .repartition(16)  # scatter each group across partitions
+    )
+    out = dissolve(chain, ["grp"], two_level=True)
+    return out.select(
+        "grp",
+        "n_members",
+        F.round(F.expr("st_area(geometry)"), 6).alias("union_area"),
+    )
+
+
+GEO_ORACLES["geo_dissolve_two_level"] = """
+    SELECT grp, n AS n_members,
+           round(4.0*n - (n-1), 6) AS union_area
+    FROM (
+        SELECT c_custkey % 50 AS grp, count(*) AS n
+        FROM customer GROUP BY grp
+    )
+"""
+
+
 GEO_ORACLES["geo_dissolve_chain"] = """
     SELECT grp, n AS n_members,
            round(4.0*n - (n-1), 6) AS union_area
@@ -1644,6 +1689,7 @@ GEO_QUERIES = {
     "geo_geometry_types": geo_geometry_types,
     "geo_overlay_diamond": geo_overlay_diamond,
     "geo_dissolve_chain": geo_dissolve_chain,
+    "geo_dissolve_two_level": geo_dissolve_two_level,
     "geo_makevalid_bowtie": geo_makevalid_bowtie,
     "geo_linear_ref": geo_linear_ref,
     "geo_affine_rect": geo_affine_rect,
