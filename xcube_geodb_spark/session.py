@@ -43,18 +43,26 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # scan-split size: Spark's 128m default gives a ~100 MB parquet
-        # table ONE input split, so a 32-core local run executes the
-        # whole scan on one task (measured: a 200k x 64 embedding scan
-        # at 12x the cost of the same scan split 7 ways). 16m keeps
-        # every core busy on the GB-scale local datasets; on a real
-        # cluster raise it back via the env (AQE coalesces post-shuffle
-        # either way, so over-splitting only costs scheduling).
+        # scan-split sizing: Spark picks splits per scan as
+        #   min(maxPartitionBytes, max(openCostInBytes, total/minPartitionNum))
+        # so the adaptive clamp the small-scan floor needs is built in —
+        # a 10 MB table gets openCost-floored 4m splits, a 1 GB scan gets
+        # total/minPartitionNum. Keep the cluster-standard 128m cap (the
+        # right split for object-store reads at the 100-TB design point;
+        # a blanket 16m cap measured identical split counts on every
+        # local layout but would over-split multi-GB scans into
+        # scheduler overhead) and pin minPartitionNum to 2x cores so a
+        # huge single scan still fans out past every core even when
+        # total/128m < parallelism.
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get(
-                "SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", str(128 * 1024 * 1024)
             ),
+        )
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM", str(2 * cpus)),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
