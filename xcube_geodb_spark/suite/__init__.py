@@ -59,13 +59,16 @@ DRIVER_WINDOW = [
     "scan_paging",
     "scan_fts_documents",
     "head_nation",
-    # raw-SQL pg path — r8: pg_string_agg (the aggregate-internal
-    # ORDER BY shim, verdict order 2) supersedes pg_dialect_shim as the
-    # dialect representative: it exercises the same build_pg_sql shim
-    # machinery plus a `::text` cast; the `~`-regex leg stays covered
-    # locally by pg_dialect_shim and pg_similar_to
+    # raw-SQL pg path — r9: pg_array_agg_order_mixed (mixed ASC/DESC +
+    # NULLS placement via the array_sort comparator, verdict order 5)
+    # supersedes pg_string_agg as the aggregate-ORDER-BY representative —
+    # same WITHIN-GROUP shim machinery plus the comparator path; the
+    # string_agg leg stays covered locally by pg_string_agg. pg_spatial_agg
+    # (verdict order 2) brings ST_Union/ST_Collect/ST_Extent in aggregate
+    # position through the same shim.
     "pg_groupby_q1",
-    "pg_string_agg",
+    "pg_array_agg_order_mixed",
+    "pg_spatial_agg",
     "count_lineitem",
     # joins / windows / set ops / aggregates
     "join_revenue_by_nation",
@@ -85,14 +88,23 @@ DRIVER_WINDOW = [
     # algebra PLUS the st_prepare struct path, predicate, and rect-clip
     # consumers in one expression tree); geo_measures_squares stays
     # registered and locally verified
+    # r9 rotation: geo_sql_geom_modes / geo_sql_join_intersects put the
+    # geom-geom boolean predicates (verdict order 1) in the gate;
+    # geo_dissolve_two_level supersedes geo_dissolve_chain (same
+    # closed-form chain fixture, plus the unbounded-group valve — the
+    # parity pytest pins two_level == single-level); geo_count_by_bbox
+    # (count over a bbox predicate both stay covered by geo_bbox_modes +
+    # count_lineitem) and geo_extent_squares (extent aggregate machinery
+    # now exercised by pg_spatial_agg's ST_Extent leg) rotate out but
+    # stay registered and locally verified.
     "geo_prepared_chain",
     "geo_bbox_modes",
     "geo_bbox_crs_transform",
-    "geo_count_by_bbox",
-    "geo_extent_squares",
+    "geo_sql_geom_modes",
+    "geo_sql_join_intersects",
     "geo_overlay_diamond",
     "geo_distance_sphere",
-    "geo_dissolve_chain",
+    "geo_dissolve_two_level",
     "geo_spatial_join_points",
     "geo_knn_join",
     # dedup
@@ -100,10 +112,12 @@ DRIVER_WINDOW = [
     "dedup_minhash_pairs",
     "dedup_pipeline_kept",
     "dedup_lines_rebuilt",
-    # similarity / ANN
+    # similarity / ANN — r9: sim_knn_join rotates out (the batch variant
+    # shares sim_cosine_topk's np.stack matrix scorer; at-rest probes
+    # stay covered by the two ann_* entries); it remains registered and
+    # locally verified
     "sim_cosine_topk",
     "ann_ivfpq_topk",
-    "sim_knn_join",
     "ann_index_topk",
     # text / retrieval / sketches / multimodal / sampling / curation
     "text_profile",
