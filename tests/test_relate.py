@@ -322,3 +322,104 @@ class TestSqlSurface:
         assert hits[(1, 2)] is True   # edge touch at x=3
         assert hits[(0, 2)] is False
         assert hits[(2, 3)] is False
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants (pure kernel, no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# half-integer grid coordinates: touching edges, shared corners, collinear
+# overlaps, and exact containment occur constantly — exactly the degenerate
+# branches a float fuzzer would almost never hit
+_coord = st.integers(min_value=-8, max_value=8).map(lambda v: v / 2.0)
+
+
+@st.composite
+def _rects(draw):
+    x0 = draw(_coord)
+    y0 = draw(_coord)
+    w = draw(st.integers(min_value=1, max_value=8))
+    h = draw(st.integers(min_value=1, max_value=8))
+    return (x0, y0, x0 + w / 2.0, y0 + h / 2.0)
+
+
+def _rect_geom(r):
+    return sq(*r)
+
+
+@st.composite
+def _geoms(draw):
+    kind = draw(st.sampled_from(["point", "line", "rect", "tri"]))
+    if kind == "point":
+        return P(f"POINT ({draw(_coord)} {draw(_coord)})")
+    if kind == "line":
+        x0, y0, x1, y1 = (draw(_coord) for _ in range(4))
+        if (x0, y0) == (x1, y1):
+            x1 += 1.0
+        return P(f"LINESTRING ({x0} {y0}, {x1} {y1})")
+    if kind == "rect":
+        return _rect_geom(draw(_rects()))
+    ax, ay, bx, by, cx, cy = (draw(_coord) for _ in range(6))
+    if (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) == 0:  # degenerate
+        cy += 1.0
+    return P(
+        f"POLYGON (({ax} {ay}, {bx} {by}, {cx} {cy}, {ax} {ay}))"
+    )
+
+
+class TestRelateProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(_geoms(), _geoms())
+    def test_symmetry_and_duality(self, a, b):
+        for mode in ("intersects", "disjoint", "touches", "overlaps",
+                     "equals", "crosses"):
+            assert rel(mode, a, b) == rel(mode, b, a), mode
+        assert rel("within", a, b) == rel("contains", b, a)
+        assert rel("within", b, a) == rel("contains", a, b)
+
+    @settings(max_examples=200, deadline=None)
+    @given(_geoms(), _geoms())
+    def test_predicate_algebra(self, a, b):
+        r = {m: rel(m, a, b) for m in COMPARISON_MODES}
+        assert r["disjoint"] == (not r["intersects"])
+        if r["equals"]:
+            assert r["within"] and r["contains"]
+        if r["within"] or r["contains"] or r["overlaps"] or r["crosses"]:
+            assert r["intersects"]
+        if r["touches"]:
+            # touches = contact without interior intersection; every
+            # interior-requiring predicate must be false
+            assert r["intersects"]
+            assert not (r["within"] or r["overlaps"] or r["crosses"])
+        if r["overlaps"]:
+            assert not (r["within"] or r["contains"] or r["touches"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(_rects(), _rects())
+    def test_rect_rect_interval_oracle(self, ra, rb):
+        """Axis-aligned rectangles have a closed-form DE-9IM: every mode
+        reduces to interval arithmetic. The kernel must reproduce it."""
+        ax0, ay0, ax1, ay1 = ra
+        bx0, by0, bx1, by1 = rb
+        ix = (max(ax0, bx0), min(ax1, bx1))
+        iy = (max(ay0, by0), min(ay1, by1))
+        intersects = ix[0] <= ix[1] and iy[0] <= iy[1]
+        ii = ix[0] < ix[1] and iy[0] < iy[1]
+        within = bx0 <= ax0 and ax1 <= bx1 and by0 <= ay0 and ay1 <= by1
+        contains = ax0 <= bx0 and bx1 <= ax1 and ay0 <= by0 and by1 <= ay1
+        want = {
+            "intersects": intersects,
+            "disjoint": not intersects,
+            "touches": intersects and not ii,
+            "within": within,
+            "contains": contains,
+            "equals": ra == rb,
+            "overlaps": ii and not within and not contains,
+            "crosses": False,  # equal-dimension areal pair, PostGIS false
+        }
+        a = _rect_geom(ra)
+        b = _rect_geom(rb)
+        for mode, exp in want.items():
+            assert rel(mode, a, b) == exp, (mode, ra, rb)
