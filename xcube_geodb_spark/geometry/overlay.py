@@ -191,8 +191,28 @@ def _subdivide(
         aymax = np.maximum(p0y, p1y) + q
         bxmin, bxmax = np.minimum(q0x, q1x), np.maximum(q0x, q1x)
         bymin, bymax = np.minimum(q0y, q1y), np.maximum(q0y, q1y)
-        n, m = len(A), len(B)
-        chunk = max(1, 4_000_000 // m)
+        # mutual-envelope prefilter: an A edge whose (q-padded) bbox
+        # misses B's WHOLE envelope cannot pass the per-pair bbox test
+        # against any B edge (every B edge bbox is inside B's envelope),
+        # and vice versa. For unions of adjacent-but-barely-overlapping
+        # operands (the dissolve fold's standard merge) this cuts the
+        # candidate matrix from |A|x|B| to seam x seam — the difference
+        # between a quadratic and a near-linear group union. Pure
+        # pruning: surviving pairs see the identical test below.
+        a_keep = np.flatnonzero(
+            (axmax >= bxmin.min()) & (axmin <= bxmax.max())
+            & (aymax >= bymin.min()) & (aymin <= bymax.max())
+        )
+        b_keep = np.flatnonzero(
+            (bxmax >= axmin.min()) & (bxmin <= axmax.max())
+            & (bymax >= aymin.min()) & (bymin <= aymax.max())
+        )
+        axmin, axmax = axmin[a_keep], axmax[a_keep]
+        aymin, aymax = aymin[a_keep], aymax[a_keep]
+        bxmin, bxmax = bxmin[b_keep], bxmax[b_keep]
+        bymin, bymax = bymin[b_keep], bymax[b_keep]
+        n, m = len(a_keep), len(b_keep)
+        chunk = max(1, 4_000_000 // max(m, 1))
         for s in range(0, n, chunk):
             e = min(n, s + chunk)
             cand = (
@@ -204,7 +224,8 @@ def _subdivide(
             ii, jj = np.nonzero(cand)
             if not len(ii):
                 continue
-            ii += s
+            ii = a_keep[ii + s]
+            jj = b_keep[jj]
             px, py = p1x[ii] - p0x[ii], p1y[ii] - p0y[ii]
             qx, qy = q1x[jj] - q0x[jj], q1y[jj] - q0y[jj]
             rx, ry = q0x[jj] - p0x[ii], q0y[jj] - p0y[ii]
@@ -536,7 +557,25 @@ def overlay(a: Geometry | None, b: Geometry | None, op: str) -> Geometry | None:
         keys = np.asarray(nonshared, dtype=np.float64)  # (k, 2, 2)
         mxs = (keys[:, 0, 0] + keys[:, 1, 0]) / 2.0 * q
         mys = (keys[:, 0, 1] + keys[:, 1, 1]) / 2.0 * q
-        locs = _classify_many(mxs, mys, other_rings, q)
+        # envelope prefilter: a midpoint beyond the other operand's
+        # envelope expanded by the "on" tolerance (4q) is provably "out"
+        # — it is farther than 4q from every segment (not "on") and has
+        # even ray parity (outside the rings). Only near-envelope
+        # midpoints pay the k x S classification matrix; for the
+        # dissolve fold's adjacent-operand unions that is the seam, not
+        # the whole accumulated boundary.
+        ox0 = min(r[:, 0].min() for r in other_rings) - 4 * q
+        ox1 = max(r[:, 0].max() for r in other_rings) + 4 * q
+        oy0 = min(r[:, 1].min() for r in other_rings) - 4 * q
+        oy1 = max(r[:, 1].max() for r in other_rings) + 4 * q
+        near = (mxs >= ox0) & (mxs <= ox1) & (mys >= oy0) & (mys <= oy1)
+        locs = ["out"] * len(nonshared)
+        idx = np.flatnonzero(near)
+        if len(idx):
+            for i, loc in zip(
+                idx, _classify_many(mxs[idx], mys[idx], other_rings, q)
+            ):
+                locs[int(i)] = loc
         for (p, qq), mx, my, loc in zip(nonshared, mxs, mys, locs):
             mx, my = float(mx), float(my)
             if loc == "on":
