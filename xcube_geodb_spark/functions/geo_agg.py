@@ -123,16 +123,22 @@ def dissolve(
     geometry/overlay.union_all), in an Arrow-batched pandas UDF.
 
     Like PostGIS' ``ST_Union`` aggregate, a group materializes on one
-    task.  For UNBOUNDED groups pass ``two_level=True``: a first
-    aggregation on (group, spark_partition_id) pre-unions each
-    partition's members (map-side-bounded state, union is associative),
-    and only the per-partition partial results shuffle to the final
-    group task — the per-task member count drops from group size to
-    partition count.  Otherwise ``max_group_size`` fail-fasts instead of
-    silently stalling a straggler task at 100 TB."""
+    task.  For UNBOUNDED groups pass ``two_level=True``: members are
+    first range-partitioned on (group, envelope xmin) so each partition
+    holds a spatially CONTIGUOUS run of its group — a connected
+    coverage's run pre-unions into ONE short-boundary polygon instead of
+    a bag of scattered singletons that would re-flatten downstream —
+    then a (group, partition) aggregation pre-unions each run map-side
+    (union is associative) and only the per-partition partials shuffle
+    to the final group task, whose fold merges k run polygons at their
+    seams (the overlay kernel prunes non-seam work by envelope).  The
+    per-task member count drops from group size to partition count, at
+    the cost of one extra range shuffle.  Otherwise ``max_group_size``
+    fail-fasts instead of silently stalling a straggler task at
+    100 TB."""
     from pyspark.sql import types as T
 
-    from xcube_geodb_spark.geometry.geom import parse_wkb, to_wkb
+    from xcube_geodb_spark.geometry.geom import envelope, parse_wkb, to_wkb
     from xcube_geodb_spark.geometry.overlay import union_all
 
     @F.pandas_udf(T.BinaryType())
@@ -150,8 +156,19 @@ def dissolve(
         return pd.Series(out)
 
     if two_level:
+
+        @F.pandas_udf(T.DoubleType())
+        def _env_xmin(wkbs: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    float(envelope(parse_wkb(b))[0]) if b is not None else None
+                    for b in wkbs
+                ]
+            )
+
         partial = (
-            df.withColumn("__pid", F.spark_partition_id())
+            df.repartitionByRange(*group_cols, _env_xmin(F.col(geom_col)))
+            .withColumn("__pid", F.spark_partition_id())
             .groupBy(*group_cols, "__pid")
             .agg(
                 _dissolve(F.collect_list(F.col(geom_col))).alias("__partial"),
