@@ -128,12 +128,13 @@ def dissolve(
     holds a spatially CONTIGUOUS run of its group — a connected
     coverage's run pre-unions into ONE short-boundary polygon instead of
     a bag of scattered singletons that would re-flatten downstream —
-    then a (group, partition) aggregation pre-unions each run map-side
-    (union is associative) and only the per-partition partials shuffle
-    to the final group task, whose fold merges k run polygons at their
-    seams (the overlay kernel prunes non-seam work by envelope).  The
-    per-task member count drops from group size to partition count, at
-    the cost of one extra range shuffle.  Otherwise ``max_group_size``
+    then a ``mapInPandas`` pass pre-unions each run IN PLACE (no second
+    full-data exchange; union is associative so Arrow batch splits are
+    harmless) and only the per-partition partials shuffle to the final
+    group task, whose fold merges k run polygons at their seams (the
+    overlay kernel prunes non-seam work by envelope).  The per-task
+    member count drops from group size to partition count, and the only
+    full-data shuffle is the range one.  Otherwise ``max_group_size``
     fail-fasts instead of silently stalling a straggler task at
     100 TB."""
     from pyspark.sql import types as T
@@ -155,6 +156,17 @@ def dissolve(
             out.append(to_wkb(merged) if merged is not None else None)
         return pd.Series(out)
 
+    # the union compute runs in a projection AFTER the aggregate, so its
+    # parallelism equals the aggregate's reducer count — and AQE's
+    # byte-based partition coalescing sees only the tiny WKB lists, not
+    # the per-group union cost, collapsing heavy dissolves onto a few
+    # tasks. An explicit-numPartitions repartition on the group keys is
+    # never coalesced by AQE and already satisfies the aggregate's
+    # required distribution (no second shuffle).
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+
     if two_level:
 
         @F.pandas_udf(T.DoubleType())
@@ -166,20 +178,52 @@ def dissolve(
                 ]
             )
 
-        partial = (
-            df.repartitionByRange(*group_cols, _env_xmin(F.col(geom_col)))
-            .withColumn("__pid", F.spark_partition_id())
-            .groupBy(*group_cols, "__pid")
-            .agg(
-                _dissolve(F.collect_list(F.col(geom_col))).alias("__partial"),
-                F.count(F.col(geom_col)).alias("__n"),
-            )
+        ranged = df.repartitionByRange(
+            n_shuffle, *group_cols, _env_xmin(F.col(geom_col))
+        ).select(*group_cols, geom_col)
+        out_schema = T.StructType(
+            [ranged.schema[c] for c in group_cols]
+            + [
+                T.StructField("__partial", T.BinaryType()),
+                T.StructField("__n", T.LongType()),
+            ]
         )
+
+        def _partial_batches(batches):
+            # true map-side pre-union: each Arrow batch of the ranged
+            # partition unions its groups' contiguous runs locally and
+            # emits one partial row per group — only partials reach the
+            # final shuffle (union is associative, so batch splits
+            # within a partition are harmless)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                for _, sub in pdf.groupby(
+                    group_cols, dropna=False, sort=False
+                ):
+                    members = [
+                        parse_wkb(b) for b in sub[geom_col] if b is not None
+                    ]
+                    merged = union_all(members)
+                    row = sub.iloc[[0]][group_cols].copy()
+                    row["__partial"] = pd.Series(
+                        [to_wkb(merged) if merged is not None else None],
+                        index=row.index,
+                        dtype=object,
+                    )
+                    row["__n"] = int(sub[geom_col].notna().sum())
+                    yield row
+
+        partial = ranged.mapInPandas(_partial_batches, schema=out_schema)
+        if group_cols:
+            partial = partial.repartition(n_shuffle, *group_cols)
         return partial.groupBy(*group_cols).agg(
             _dissolve(F.collect_list(F.col("__partial"))).alias("geometry"),
             F.sum("__n").alias("n_members"),
         )
 
+    if group_cols:
+        df = df.repartition(n_shuffle, *group_cols)
     geoms = F.collect_list(F.col(geom_col))
     return df.groupBy(*group_cols).agg(
         _dissolve(geoms).alias("geometry"),
