@@ -86,6 +86,28 @@ def exact_duplicates(
     )
 
 
+# 2-universal permutation family for minhash: h_j(x) = (A_j*x + B_j) mod P
+# over the 32-bit base hash x = first 8 hex digits of md5(shingle), itself
+# reduced mod P. P = 2^31 - 1 (Mersenne prime); the (A, B) pairs are drawn
+# once from a fixed seed and frozen so retraining is bit-identical.
+# A < P and (x mod P) < P keep A*x + B under 2^63 — the arithmetic is
+# exact in both Spark LONG and DuckDB BIGINT, so SQL oracles replay
+# signatures bit-for-bit. One base hash + k affine permutations is the
+# standard minhash construction (Broder 1997; same shape as the widely
+# used datasketch implementation).
+_MINHASH_P = 2_147_483_647
+_MINHASH_COEFFS = [
+    (188173298, 62257558), (1614569235, 1541888525),
+    (1123302577, 1183693761), (941201756, 612741583),
+    (1915815023, 145743895), (1042332867, 1469431003),
+    (1586907769, 1724705301), (1367643000, 567634413),
+    (1182429425, 1450717929), (1840887320, 92282879),
+    (2033346063, 1574816040), (1426551802, 1173352586),
+    (2087082879, 168846213), (1825997516, 891168106),
+    (124724675, 334069097), (1102350415, 1146895919),
+]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -93,21 +115,28 @@ def minhash_signatures(
     num_hashes: int = 12,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, m0..m{k-1}) salted-md5 min-hash signature table.
+    """(id, m0..m{k-1}) min-hash signature table: one md5 base hash per
+    shingle + ``num_hashes`` affine permutations (``_MINHASH_COEFFS``).
 
-    Physical shape: explode shingles -> ceil(k/4) codegen'd md5
-    projections, each SLICED into four independent 8-hex-digit (32-bit)
-    hash values -> hash-aggregate MIN per doc. md5 dominates the per-row
-    cost, so deriving 4 minhash functions per digest instead of 1 is a
-    measured ~3x cut in signature time at identical statistical behavior
-    (disjoint slices of one digest are independent uniform draws; each
-    slice is min-reduced separately, which is NOT the same as slicing the
-    min digest). Spark's higher-order array lambdas are interpreted per
-    element (observed 40x slower); the explode form stays in whole-stage
-    codegen — subexpression elimination shares each md5 across its four
-    slice projections — and the aggregate does map-side partial mins, so
-    the single shuffle carries only k slices per doc. String-min over
-    fixed-length lowercase hex == numeric min of the sliced hash."""
+    Physical shape: explode shingles -> ONE codegen'd md5 projection
+    (the base hash; md5 dominates per-row cost, so deriving every
+    minhash function from one digest instead of salted re-hashes is the
+    ~k/4x throughput lever) -> hash-aggregate MIN per doc over k cheap
+    multiply-add-mod permutations of the bound base column. Spark's
+    higher-order array lambdas are interpreted per element (observed 40x
+    slower); the explode form stays in whole-stage codegen, and the
+    aggregate does map-side partial mins, so the single shuffle carries
+    only k longs per doc.
+
+    The permutations are computed INSIDE the aggregate against the bound
+    ``__x`` attribute: md5 is non-cheap and referenced k times, so
+    CollapseProject keeps the base-hash projection rather than inlining
+    k copies. min over LONG keeps the mutable-buffer HashAggregate (a
+    string min demotes to SortAggregate — measured 4x at 10x scale)."""
+    if num_hashes > len(_MINHASH_COEFFS):
+        raise ValueError(
+            f"num_hashes > {len(_MINHASH_COEFFS)} frozen permutations"
+        )
     # explode_outer, not explode: InferFiltersFromGenerate would bolt a
     # `size(sh) > 0` filter under the projections with the whole shingle
     # tree inlined and interpreted — a measured 15x slowdown. Shingle arrays
@@ -115,33 +144,20 @@ def minhash_signatures(
     exploded = shingle_table(df, text_col, id_col, shingle_n).select(
         F.col(id_col), F.explode_outer("sh").alias("__s")
     )
-    n_seeds = (num_hashes + 3) // 4
-    digests = exploded.select(
+    base = exploded.select(
         F.col(id_col),
-        *[
-            F.md5(F.concat(F.col("__s"), F.lit(f"#{j}"))).alias(f"__d{j}")
-            for j in range(n_seeds)
-        ],
+        (
+            F.conv(F.substring(F.md5(F.col("__s")), 1, 8), 16, 10)
+            .cast("long")
+            % F.lit(_MINHASH_P)
+        ).alias("__x"),
     )
-    # slice INSIDE the aggregate: a second projection would be collapsed
-    # into the first by CollapseProject and each md5 re-evaluated once per
-    # slice (measured slower than the unsliced form); as aggregate inputs
-    # the digests stay bound columns computed once per row.
-    # min over LONG, not the hex string: string aggregation buffers are
-    # immutable so Spark demotes min(string) to a SortAggregate — a
-    # per-partition sort of the whole exploded shingle stream (measured
-    # 4x the cost at 10x scale); the numeric min keeps a mutable buffer
-    # -> HashAggregate with map-side partials. Order is preserved
-    # (fixed-width lowercase hex compares like its numeric value).
-    return digests.groupBy(id_col).agg(
+    return base.groupBy(id_col).agg(
         *[
             F.min(
-                F.conv(
-                    F.substring(F.col(f"__d{h // 4}"), (h % 4) * 8 + 1, 8),
-                    16, 10,
-                ).cast("long")
+                (F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(_MINHASH_P)
             ).alias(f"m{h}")
-            for h in range(num_hashes)
+            for h, (a, b) in enumerate(_MINHASH_COEFFS[:num_hashes])
         ]
     )
 

@@ -178,12 +178,18 @@ _SHINGLE_CTES = f"""
 """
 
 _K, _BANDS, _R = 12, 4, 3
-# each md5 digest yields four independent 8-hex slices, min-reduced
-# separately (mirrors dedup.minhash_signatures' sliced-digest form)
+# one 32-bit md5 base hash + affine permutations mod the Mersenne prime,
+# mirroring dedup.minhash_signatures / dedup._MINHASH_COEFFS exactly
+# (all operands < 2^62: BIGINT arithmetic is exact on both engines)
+from xcube_geodb_spark.functions.dedup import (  # noqa: E402
+    _MINHASH_COEFFS as _MH_AB,
+    _MINHASH_P as _MH_P,
+)
+
 _SIG_COLS = ", ".join(
-    f"list_min(list_transform(sh, s -> CAST(('0x' || "
-    f"substr(md5(s || '#{j // 4}'), {(j % 4) * 8 + 1}, 8)) AS BIGINT))) AS m{j}"
-    for j in range(_K)
+    f"list_min(list_transform(sh, s -> ({a} * (CAST(('0x' || "
+    f"substr(md5(s), 1, 8)) AS BIGINT) % {_MH_P}) + {b}) % {_MH_P})) AS m{j}"
+    for j, (a, b) in enumerate(_MH_AB[:_K])
 )
 _BAND_SELECTS = " UNION ALL ".join(
     "SELECT doc_id, {b} AS band, md5({parts}) AS band_hash FROM sig".format(
