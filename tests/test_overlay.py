@@ -942,3 +942,52 @@ class TestTwoLevelDissolve:
             assert one[g][0] == pytest.approx(expect)
             assert two[g][0] == pytest.approx(expect)
             assert one[g][1] == two[g][1] == 12
+
+    def test_two_level_string_keys_and_null_geoms(self, spark):
+        """The map-side partial pass (mapInPandas) must keep group-key
+        dtypes through the pandas roundtrip (string keys), skip NULL
+        geometry members in both the union and n_members, and return a
+        NULL geometry for an all-NULL group — matching single-level."""
+        from xcube_geodb_spark.functions.geo_agg import dissolve
+        from xcube_geodb_spark.geometry.geom import (
+            Geometry,
+            area,
+            parse_wkb,
+            to_wkb,
+        )
+
+        def square(x0):
+            ring = np.array(
+                [[x0, 0.0], [x0 + 2.0, 0.0], [x0 + 2.0, 2.0],
+                 [x0, 2.0], [x0, 0.0]]
+            )
+            return to_wkb(Geometry("Polygon", [ring]))
+
+        rows = []
+        for i in range(10):
+            rows.append(("alpha", square(i * 1.5)))
+        rows.append(("alpha", None))        # NULL member skipped
+        for i in range(6):
+            rows.append(("beta", square(1000 + i * 3.0)))  # disjoint
+        rows.append(("ghost", None))        # all-NULL group
+        df = spark.createDataFrame(
+            rows, "grp string, geometry binary"
+        ).repartition(7)
+
+        def snap(res):
+            return {
+                r["grp"]: (
+                    None
+                    if r["geometry"] is None
+                    else round(area(parse_wkb(bytes(r["geometry"]))), 9),
+                    r["n_members"],
+                )
+                for r in res.collect()
+            }
+
+        one = snap(dissolve(df, ["grp"]))
+        two = snap(dissolve(df, ["grp"], two_level=True))
+        assert one == two
+        assert two["alpha"] == (pytest.approx(10 * 4 - 9 * 1.0), 10)
+        assert two["beta"] == (pytest.approx(24.0), 6)
+        assert two["ghost"] == (None, 0)
