@@ -991,3 +991,32 @@ class TestTwoLevelDissolve:
         assert two["alpha"] == (pytest.approx(10 * 4 - 9 * 1.0), 10)
         assert two["beta"] == (pytest.approx(24.0), 6)
         assert two["ghost"] == (None, 0)
+
+    def test_dissolve_plan_shape(self, spark):
+        """Single-level dissolve: exactly ONE exchange, user-specified
+        (REPARTITION_BY_NUM) so AQE's byte-based coalescing cannot
+        collapse the post-aggregate union projection onto a few tasks.
+        Two-level: the range exchange (full data) plus one hash exchange
+        that moves only per-run partials."""
+        from xcube_geodb_spark.functions.geo_agg import dissolve
+        from xcube_geodb_spark.geometry.geom import Geometry, to_wkb
+
+        ring = np.array(
+            [[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]
+        )
+        df = spark.createDataFrame(
+            [(1, to_wkb(Geometry("Polygon", [ring])))] * 4,
+            "grp int, geometry binary",
+        )
+        one = (
+            dissolve(df, ["grp"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert one.count("Exchange") == 1
+        assert "REPARTITION_BY_NUM" in one
+        two = (
+            dissolve(df, ["grp"], two_level=True)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert two.count("Exchange") == 2
+        assert "rangepartitioning" in two
