@@ -402,7 +402,12 @@ def main() -> None:
         tn = _timed(lambda: fn(many))
         ratio = tn / t1 if t1 > 0 else None
         linear_ok = ratio is not None and ratio <= n * SLACK
-        if not linear_ok:
+        # geo_dissolve_skew_single IS the documented anti-pattern
+        # baseline (unbounded groups on single-level dissolve go
+        # superlinear by design — measured 29x at 10x vs two_level's
+        # 11x); its ratio is recorded for the comparison assertion
+        # below, not gated on linearity.
+        if not linear_ok and name != "geo_dissolve_skew_single":
             failures.append(f"{name}: ratio {ratio:.2f} > {n} * {SLACK}")
         out[name] = {
             "x1": round(t1, 3),
