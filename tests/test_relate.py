@@ -361,11 +361,14 @@ def _geoms(draw):
         return P(f"LINESTRING ({x0} {y0}, {x1} {y1})")
     if kind == "rect":
         return _rect_geom(draw(_rects()))
-    ax, ay, bx, by, cx, cy = (draw(_coord) for _ in range(6))
-    if (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) == 0:  # degenerate
-        cy += 1.0
+    # constructed non-degenerate: base edge of length >= 0.5 along x,
+    # apex strictly off the base line — no duplicate vertices, area > 0
+    ax, ay = draw(_coord), draw(_coord)
+    w = draw(st.integers(min_value=1, max_value=8)) / 2.0
+    cx = draw(_coord)
+    ch = draw(st.integers(min_value=1, max_value=8)) / 2.0
     return P(
-        f"POLYGON (({ax} {ay}, {bx} {by}, {cx} {cy}, {ax} {ay}))"
+        f"POLYGON (({ax} {ay}, {ax + w} {ay}, {cx} {ay + ch}, {ax} {ay}))"
     )
 
 

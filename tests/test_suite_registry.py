@@ -46,13 +46,18 @@ FAMILIES = {
     # probing, plus PQ codes at rest and footer file-pruning);
     # sim_ivf_topk stays registered and locally verified
     "sim-ivf": "ann_ivfpq_topk",
-    "sim-knn-join": "sim_knn_join",
+    # r9: sim_knn_join demoted — the batch variant shares
+    # sim_cosine_topk's np.stack matrix scorer; it stays registered and
+    # locally verified, the brute-cosine rep carries the family
+    "sim-knn-join": "sim_cosine_topk",
     "ann-index": "ann_index_topk",
     "attribution": "events_attribution",
     "geo-sphere": "geo_distance_sphere",
-    # geometry aggregation rep is now the dissolve (aggregate ST_Union);
-    # geo_collect_points demotes but stays locally verified
-    "geo-collect": "geo_dissolve_chain",
+    # geometry aggregation rep is now the two-level dissolve (same
+    # closed-form chain fixture as geo_dissolve_chain PLUS the
+    # unbounded-group valve); chain + collect variants stay registered
+    # and locally verified
+    "geo-collect": "geo_dissolve_two_level",
     "geo-spatial-join": "geo_spatial_join_points",
     "geo-knn-join": "geo_knn_join",
     "retrieval": "text_bm25_join",
