@@ -13,7 +13,10 @@ Scale design (the point of these at 100 TB):
 - **n-gram Jaccard**: evaluated only on LSH candidate pairs (never all
   pairs).
 
-All hashing is ``md5`` so a DuckDB SQL oracle reproduces results exactly;
+All hashing is exactly SQL-replayable — ``md5`` fingerprints, and for
+minhash ONE md5 base hash per shingle expanded through frozen affine
+permutations mod a Mersenne prime (pure BIGINT arithmetic both engines
+compute identically) — so a DuckDB oracle reproduces results exactly;
 everything below is JVM-side column algebra (no Python UDFs).
 """
 
