@@ -354,3 +354,93 @@ class TestSpatialDbscan:
             spatial_dbscan(df, eps=0.0, min_pts=3, id_col="pid")
         with pytest.raises(ValueError):
             spatial_dbscan(df, eps=1.0, min_pts=0, id_col="pid")
+
+
+class TestRelatePredicateJoin:
+    """within/contains/touches/overlaps/crosses/equals joins must equal a
+    brute-force cross product refined by the authoritative DE-9IM kernel
+    (geometry/relate.geom_predicate) on a fixture that mixes strict
+    containment, boundary contact, partial overlap, and equality."""
+
+    MODES = ("within", "contains", "touches", "overlaps", "crosses",
+             "equals")
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        from xcube_geodb_spark.geometry.geom import Geometry, to_wkb
+        import numpy as np
+
+        def rect(x0, y0, x1, y1):
+            return to_wkb(Geometry("Polygon", [np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                dtype=np.float64)]))
+
+        def point(x, y):
+            return to_wkb(Geometry("Point", [float(x), float(y)]))
+
+        # left: points + small rects + a line; right: container rects
+        left = []
+        k = 0
+        for x, y in [(1.0, 1.0), (2.0, 2.0), (4.0, 1.0), (0.0, 0.0),
+                     (10.0, 10.0), (3.0, 0.0)]:
+            left.append((k, point(x, y))); k += 1
+        for r in [rect(0.5, 0.5, 1.5, 1.5), rect(3.5, 0.5, 5.5, 2.5),
+                  rect(0.0, 0.0, 4.0, 3.0), rect(4.0, 0.0, 6.0, 3.0),
+                  rect(-2.0, -2.0, -1.0, -1.0)]:
+            left.append((k, r)); k += 1
+        from xcube_geodb_spark.geometry.geom import parse_wkt
+        left.append((k, to_wkb(parse_wkt("LINESTRING (-1 1.5, 7 1.5)"))))
+        k += 1
+        right = [
+            (100, rect(0.0, 0.0, 4.0, 3.0)),
+            (101, rect(4.0, 0.0, 6.0, 3.0)),
+            (102, rect(1.0, 1.0, 2.0, 2.0)),
+            (103, rect(20.0, 20.0, 21.0, 21.0)),
+        ]
+        lf = spark.createDataFrame(left, "lid int, geometry binary")
+        rf = spark.createDataFrame(right, "rid int, geometry binary")
+        return lf, rf
+
+    def _brute(self, spark, frames, mode):
+        from xcube_geodb_spark.geometry.geom import parse_wkb
+        from xcube_geodb_spark.geometry.relate import geom_predicate
+
+        lf, rf = frames
+        ls = [(r["lid"], parse_wkb(bytes(r["geometry"])))
+              for r in lf.collect()]
+        rs = [(r["rid"], parse_wkb(bytes(r["geometry"])))
+              for r in rf.collect()]
+        return {
+            (li, ri)
+            for li, lg in ls
+            for ri, rg in rs
+            if geom_predicate(mode, lg, rg)
+        }
+
+    @pytest.mark.parametrize("mode", MODES)
+    def test_matches_kernel_brute_force(self, spark, frames, mode):
+        lf, rf = frames
+        got = {
+            (r["lid"], r["rid"])
+            for r in spatial_join(
+                lf, rf, predicate=mode, cell_size=2.0
+            ).collect()
+        }
+        want = self._brute(spark, frames, mode)
+        assert got == want, f"{mode}: {got ^ want}"
+        if mode == "within":
+            assert got, "fixture must produce at least one within pair"
+
+    def test_cell_size_invariance_within(self, spark, frames):
+        lf, rf = frames
+        a = {(r["lid"], r["rid"]) for r in spatial_join(
+            lf, rf, predicate="within", cell_size=0.7).collect()}
+        b = {(r["lid"], r["rid"]) for r in spatial_join(
+            lf, rf, predicate="within", cell_size=5.0).collect()}
+        assert a == b
+
+    def test_include_distance_rejected(self, spark, frames):
+        lf, rf = frames
+        with pytest.raises(ValueError):
+            spatial_join(lf, rf, predicate="within",
+                         include_distance="dist")

@@ -1,5 +1,7 @@
 """Distributed spatial join: grid-partitioned ``st_intersects`` /
-``st_dwithin`` joins between two geometry DataFrames.
+``st_dwithin`` / ``st_within`` / ``st_contains`` / ``st_touches`` /
+``st_overlaps`` / ``st_crosses`` / ``st_equals`` joins between two
+geometry DataFrames.
 
 The reference exposes spatial joins only implicitly — PostGIS evaluates
 ``ST_Intersects(a.geometry, b.geometry)`` inside a single-node nested-loop
@@ -160,6 +162,83 @@ def _classify_boxes(vals):
     return kind, boxes
 
 
+def _pair_predicate_udf(mode: str):
+    """Arrow-batched geom–geom predicate per WKB pair (the refinement
+    stage for within/contains/touches/overlaps/crosses/equals joins).
+    The dominant workload — points against axis-aligned rectangles under
+    within/contains — is decided vectorized when the point is CLEARLY
+    interior (margin > 8x the relate kernel's scale epsilon, so the
+    answer cannot differ from the kernel's); boundary-band and irregular
+    pairs run the authoritative DE-9IM kernel, with a per-batch parse
+    cache so a polygon joined against many points parses once."""
+    import numpy as np
+
+    from xcube_geodb_spark.geometry.geom import parse_wkb
+    from xcube_geodb_spark.geometry.relate import geom_predicate
+
+    @F.pandas_udf(T.BooleanType())
+    def _pred(lwkb: pd.Series, rwkb: pd.Series) -> pd.Series:
+        lv = lwkb.to_numpy(dtype=object)
+        rv = rwkb.to_numpy(dtype=object)
+        n = len(lv)
+        out = np.zeros(n, dtype=bool)
+        done = np.zeros(n, dtype=bool)
+        if mode in ("within", "contains"):
+            lk, lb = _classify_boxes(lv)
+            rk, rb = _classify_boxes(rv)
+            pk, pb, qk, qb = (
+                (lk, lb, rk, rb) if mode == "within" else (rk, rb, lk, lb)
+            )
+            fast = (
+                (pk == 0) & (qk == 1)
+                & (qb[:, 2] > qb[:, 0]) & (qb[:, 3] > qb[:, 1])
+            )
+            idx = np.nonzero(fast)[0]
+            if len(idx):
+                # mirror relate._scale_eps: 1e-9 * max(1, |envelope coords|)
+                scale = np.maximum(
+                    1.0,
+                    np.maximum(
+                        np.abs(pb[idx]).max(axis=1),
+                        np.abs(qb[idx]).max(axis=1),
+                    ),
+                )
+                margin = 8e-9 * scale
+                inner = (
+                    (pb[idx, 0] - qb[idx, 0] > margin)
+                    & (qb[idx, 2] - pb[idx, 0] > margin)
+                    & (pb[idx, 1] - qb[idx, 1] > margin)
+                    & (qb[idx, 3] - pb[idx, 1] > margin)
+                )
+                clearly_out = (
+                    (pb[idx, 0] - qb[idx, 0] < -margin)
+                    | (qb[idx, 2] - pb[idx, 0] < -margin)
+                    | (pb[idx, 1] - qb[idx, 1] < -margin)
+                    | (qb[idx, 3] - pb[idx, 1] < -margin)
+                )
+                decided = inner | clearly_out
+                out[idx[decided]] = inner[decided]
+                done[idx[decided]] = True
+        cache: dict[bytes, object] = {}
+
+        def _geom(b):
+            bb = bytes(b)
+            g = cache.get(bb)
+            if g is None:
+                g = parse_wkb(bb)
+                cache[bb] = g
+            return g
+
+        for i in np.nonzero(~done)[0]:
+            a, b = lv[i], rv[i]
+            if a is None or b is None:
+                continue
+            out[i] = bool(geom_predicate(mode, _geom(a), _geom(b)))
+        return pd.Series(out)
+
+    return _pred
+
+
 def _pair_distance_udf():
     """Arrow-batched exact min-distance per WKB pair. Point/rectangle
     operands (detected per batch) use the closed-form box distance fully
@@ -219,14 +298,29 @@ def spatial_join(
         (``ST_Intersects`` semantics: boundary contact counts).
       - ``"dwithin"`` — pairs whose kernel min-distance is ≤ ``distance``
         (``ST_DWithin``).
+      - ``"within"`` / ``"contains"`` / ``"touches"`` / ``"overlaps"`` /
+        ``"crosses"`` / ``"equals"`` — the DE-9IM-derived geom–geom
+        predicates (``geometry/relate.py``), PostGIS semantics. The grid
+        candidate stage tightens its envelope condition per predicate
+        (within: env(l) ⊆ env(r); contains mirrored; equals: envelopes
+        equal), and refinement runs the relate kernel Arrow-batched with
+        a vectorized clear-interior fast path for point-in-rectangle.
 
     Output columns: every left column, then every right column with
     clashing names suffixed by ``rsuffix``. Helper columns are dropped.
     ``include_distance`` names an extra output column carrying the exact
-    pair distance (the refinement computes it anyway).
+    pair distance (only for intersects/dwithin, whose refinement
+    computes it anyway).
     """
-    if predicate not in ("intersects", "dwithin"):
+    _RELATE_MODES = (
+        "within", "contains", "touches", "overlaps", "crosses", "equals",
+    )
+    if predicate not in ("intersects", "dwithin") + _RELATE_MODES:
         raise ValueError(f"unsupported spatial-join predicate: {predicate!r}")
+    if include_distance and predicate in _RELATE_MODES:
+        raise ValueError(
+            "include_distance is only computed for intersects/dwithin"
+        )
     d = float(distance) if predicate == "dwithin" else 0.0
     if d < 0.0 or not math.isfinite(d):
         raise ValueError(f"distance must be finite and >= 0, got {distance!r}")
@@ -267,6 +361,32 @@ def spatial_join(
     rx1, ry1 = F.col(f"r.{r_env[2]}"), F.col(f"r.{r_env[3]}")
 
     overlap: Column = (lx0 <= rx1) & (rx0 <= lx1) & (ly0 <= ry1) & (ry0 <= ly1)
+    # tighter NECESSARY envelope conditions for containment-family
+    # predicates: they prune the candidate set before refinement but
+    # never decide membership (the kernel does). Padded by 10x the relate
+    # kernel's scale epsilon so an eps-sliver the kernel would still
+    # accept is never pruned away.
+    if predicate in ("within", "contains", "equals"):
+        eps = F.lit(1e-8) * F.greatest(
+            F.lit(1.0),
+            F.abs(lx0), F.abs(lx1), F.abs(ly0), F.abs(ly1),
+            F.abs(rx0), F.abs(rx1), F.abs(ry0), F.abs(ry1),
+        )
+        if predicate == "within":
+            overlap = (
+                (rx0 <= lx0 + eps) & (lx1 <= rx1 + eps)
+                & (ry0 <= ly0 + eps) & (ly1 <= ry1 + eps)
+            )
+        elif predicate == "contains":
+            overlap = (
+                (lx0 <= rx0 + eps) & (rx1 <= lx1 + eps)
+                & (ly0 <= ry0 + eps) & (ry1 <= ly1 + eps)
+            )
+        else:  # equals
+            overlap = (
+                (F.abs(lx0 - rx0) <= eps) & (F.abs(lx1 - rx1) <= eps)
+                & (F.abs(ly0 - ry0) <= eps) & (F.abs(ly1 - ry1) <= eps)
+            )
     # reference point: top-left corner of the (padded) envelope
     # intersection — exactly one grid cell contains it, so each candidate
     # pair survives in exactly one of its replicated cells
@@ -284,10 +404,17 @@ def spatial_join(
         "inner",
     )
 
-    dist_fn = _pair_distance_udf()
-    cand = cand.withColumn(
-        "__pairdist", dist_fn(F.col(f"l.{left_geom}"), F.col(f"r.{r_geom}"))
-    ).filter(F.col("__pairdist") <= F.lit(d))
+    if predicate in ("intersects", "dwithin"):
+        dist_fn = _pair_distance_udf()
+        cand = cand.withColumn(
+            "__pairdist",
+            dist_fn(F.col(f"l.{left_geom}"), F.col(f"r.{r_geom}")),
+        ).filter(F.col("__pairdist") <= F.lit(d))
+    else:
+        pred_fn = _pair_predicate_udf(predicate)
+        cand = cand.filter(
+            pred_fn(F.col(f"l.{left_geom}"), F.col(f"r.{r_geom}"))
+        )
 
     keep = [F.col(f"l.{c}").alias(c) for c in left.columns] + [
         F.col(f"r.{renamed[c]}").alias(renamed[c]) for c in right.columns

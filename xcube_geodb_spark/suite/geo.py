@@ -747,6 +747,26 @@ def geo_spatial_join_dwithin(spark, sf_dir):
     ).select("c_custkey", "s_suppkey")
 
 
+def geo_spatial_join_within(spark, sf_dir):
+    """Containment spatial join (r9): supplier points WITHIN customer
+    squares through the PBSM grid plan with the predicate-tightened
+    envelope condition (env(l) ⊆ env(r) candidates only) and the DE-9IM
+    relate kernel refining survivors (vectorized clear-interior fast
+    path for point-in-rectangle). PostGIS ST_Within semantics: a point
+    ON the square boundary does not count — the oracle's strict interval
+    arithmetic agrees exactly because both coordinate lattices are
+    0.01-quantized, far above the kernel epsilon."""
+    from xcube_geodb_spark.functions.spatial_join import spatial_join
+
+    pts = _supplier_points(spark, sf_dir).select(
+        "s_suppkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+    )
+    sq = _squares(spark, sf_dir).select(
+        "c_custkey", "geometry", "__xmin", "__ymin", "__xmax", "__ymax"
+    )
+    return spatial_join(pts, sq, "within").select("s_suppkey", "c_custkey")
+
+
 def geo_dbscan_points(spark, sf_dir):
     """Distributed DBSCAN (functions/spatial_join.spatial_dbscan) over the
     synthesized customer points, eps=3 / min_pts=3: neighbor pairs via the
@@ -931,6 +951,12 @@ GEO_ORACLES_JOINS = {
         FROM ({_PTS}) c JOIN ({_SUPP_PTS}) pt
           ON sqrt((c.x - pt.px) * (c.x - pt.px)
                   + (c.y - pt.py) * (c.y - pt.py)) <= 4.105
+    """,
+    "geo_spatial_join_within": f"""
+        SELECT s_suppkey, c_custkey
+        FROM ({_SUPP_PTS}) pt JOIN ({_SQS}) sq
+          ON pt.px > sq.x - sq.h AND pt.px < sq.x + sq.h
+         AND pt.py > sq.y - sq.h AND pt.py < sq.y + sq.h
     """,
     "geo_dbscan_points": f"""
         WITH RECURSIVE pts AS ({_PTS}),
@@ -1698,6 +1724,7 @@ GEO_QUERIES = {
     "geo_pointonsurface_l": geo_pointonsurface_l,
     "geo_spatial_join_points": geo_spatial_join_points,
     "geo_spatial_join_dwithin": geo_spatial_join_dwithin,
+    "geo_spatial_join_within": geo_spatial_join_within,
     "geo_dbscan_points": geo_dbscan_points,
     "geo_knn_join": geo_knn_join,
     "geo_zonal_stats": geo_zonal_stats,
