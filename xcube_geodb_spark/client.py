@@ -542,7 +542,9 @@ class GeoDBSparkClient:
         rsuffix: str = "_r",
     ):
         """Distributed spatial join of two warehouse collections
-        (``st_intersects`` / ``st_dwithin``, the PostGIS join idiom the
+        (``st_intersects`` / ``st_dwithin`` / ``st_within`` /
+        ``st_contains`` / ``st_touches`` / ``st_overlaps`` /
+        ``st_crosses`` / ``st_equals`` — the PostGIS join idioms the
         reference reaches through raw SQL passthrough — ``geodb.sql:
         1123-1177``). Both sides reuse their PERSISTED envelope columns,
         so no geometry is re-parsed for candidate generation; see
