@@ -426,3 +426,112 @@ class TestRelateProperties:
         b = _rect_geom(rb)
         for mode, exp in want.items():
             assert rel(mode, a, b) == exp, (mode, ra, rb)
+
+
+class TestRelateMatrix:
+    """relate_matrix (ST_Relate) — canonical PostGIS matrices, transpose
+    involution, and full cross-validation against geom_predicate through
+    the OGC DE-9IM mode patterns."""
+
+    CANON = [
+        # (a, b, expected) — all verified against published PostGIS output
+        ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))", "212101212"),
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+         "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))", "FF2FF1212"),
+        ("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))",
+         "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "2FF1FF212"),
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+         "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))", "FF2F11212"),
+        ("POINT (1 1)",
+         "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "0FFFFF212"),
+        ("LINESTRING (-1 1, 3 1)",
+         "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "101FF0212"),
+        ("LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)", "0F1FF0102"),
+        ("LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 3 0)", "1010F0102"),
+        ("LINESTRING (0 0, 2 0)", "LINESTRING (2 0, 3 0)", "FF1F00102"),
+        ("POINT (1 1)", "POINT (1 1)", "0FFFFFFF2"),
+        ("POINT (1 1)", "POINT (2 2)", "FF0FFF0F2"),
+        ("POINT (0 0)", "LINESTRING (0 0, 2 0)", "F0FFFF102"),
+        ("POINT (1 0)", "LINESTRING (0 0, 2 0)", "0FFFFF102"),
+    ]
+
+    @pytest.mark.parametrize("a,b,want", CANON)
+    def test_canonical_matrices(self, a, b, want):
+        from xcube_geodb_spark.geometry.relate import relate_matrix
+
+        assert relate_matrix(P(a), P(b)) == want
+
+    def test_heterogeneous_raises(self):
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.geometry.relate import relate_matrix
+
+        gc = P("GEOMETRYCOLLECTION (POINT (0 0), "
+               "LINESTRING (0 0, 1 1))")
+        with pytest.raises(GeoDBError):
+            relate_matrix(gc, P("POINT (0 0)"))
+
+    def test_pattern_match(self):
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.geometry.relate import de9im_match
+
+        assert de9im_match("212101212", "T*T***T**")
+        assert de9im_match("212101212", "212101212")
+        assert not de9im_match("FF2FF1212", "T********")
+        assert de9im_match("FF2FF1212", "FF*FF****")
+        assert not de9im_match("212101212", "F********")
+        with pytest.raises(GeoDBError):
+            de9im_match("212101212", "T*")
+
+    @staticmethod
+    def _modes_from_matrix(m, da, db):
+        II, IB, IE, BI, BB, BE, EI, EB, _ = m
+        f = "F"
+        inter = not (II == f and IB == f and BI == f and BB == f)
+        within = II != f and IE == f and BE == f
+        contains = II != f and EI == f and EB == f
+        if da == db == 1:
+            overlaps = II == "1" and IE != f and EI != f
+        elif da == db:
+            overlaps = II != f and IE != f and EI != f
+        else:
+            overlaps = False
+        if da < db:
+            crosses = II != f and IE != f
+        elif da > db:
+            crosses = II != f and EI != f
+        elif da == 1:
+            crosses = II == "0"
+        else:
+            crosses = False
+        return {
+            "intersects": inter,
+            "disjoint": not inter,
+            "within": within,
+            "contains": contains,
+            "equals": II != f and IE == f and BE == f
+            and EI == f and EB == f,
+            "touches": II == f and (IB != f or BI != f or BB != f),
+            "overlaps": overlaps,
+            "crosses": crosses,
+        }
+
+    @settings(max_examples=250, deadline=None)
+    @given(_geoms(), _geoms())
+    def test_matrix_agrees_with_predicates(self, a, b):
+        from xcube_geodb_spark.geometry.relate import relate_matrix
+
+        m = relate_matrix(a, b)
+        derived = self._modes_from_matrix(m, a.dimension, b.dimension)
+        for mode in COMPARISON_MODES:
+            assert derived[mode] == rel(mode, a, b), (mode, m)
+
+    @settings(max_examples=200, deadline=None)
+    @given(_geoms(), _geoms())
+    def test_transpose_involution(self, a, b):
+        from xcube_geodb_spark.geometry.relate import relate_matrix
+
+        TR = (0, 3, 6, 1, 4, 7, 2, 5, 8)
+        m_ab = relate_matrix(a, b)
+        m_ba = relate_matrix(b, a)
+        assert "".join(m_ab[i] for i in TR) == m_ba

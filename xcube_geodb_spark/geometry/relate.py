@@ -433,3 +433,339 @@ def geom_predicate(mode: str, a: Geometry, b: Geometry) -> bool:
     if db < da:
         return _interiors(a, b, eps)[0] and not _covered(b, a, eps)
     return False
+
+
+# ---------------------------------------------------------------------------
+# ST_Relate: the full DE-9IM matrix
+# ---------------------------------------------------------------------------
+#
+# relate_matrix(a, b) returns the 9-character intersection matrix
+# [II IB IE / BI BB BE / EI EB EE] with entries F/0/1/2 — the dimension
+# of each Interior/Boundary/Exterior pairwise intersection (PostGIS
+# ST_Relate, reference-reachable through the same raw-SQL passthrough as
+# the boolean predicates, geodb.sql:1147-1167). Heterogeneous
+# GEOMETRYCOLLECTION inputs raise, matching GEOS. Every cell reduces to
+# the same audited primitives the boolean predicates use: _covered /
+# _interiors / _seg_meet_params splitting + midpoint location. The
+# boolean predicates and the matrix are cross-validated against each
+# other through the OGC mode patterns in tests/test_relate.py.
+
+_TRANSPOSE = (0, 3, 6, 1, 4, 7, 2, 5, 8)
+
+
+def _dim_char(d: int) -> str:
+    return "F" if d < 0 else str(d)
+
+
+def _only_type(pts, lines, polys, side: str) -> str:
+    kinds = (bool(pts), bool(lines), bool(polys))
+    if sum(kinds) != 1:
+        raise GeoDBError(
+            f"st_relate: {side} operand must be a single-type geometry "
+            "(point/line/polygon or their multis); heterogeneous "
+            "collections are not supported (GEOS parity)"
+        )
+    return "P" if kinds[0] else ("L" if kinds[1] else "A")
+
+
+def _pieces_midpoints(leaf_arrays, other_segs: np.ndarray, eps: float):
+    """Split every segment of the given polylines at each meet with
+    ``other_segs``; yield piece midpoints. Between consecutive events a
+    piece's membership in the other geometry's I/B/E cannot change."""
+    for arr in leaf_arrays:
+        for i in range(len(arr) - 1):
+            px, py = float(arr[i, 0]), float(arr[i, 1])
+            qx, qy = float(arr[i + 1, 0]), float(arr[i + 1, 1])
+            if px == qx and py == qy:
+                continue
+            ts = sorted(
+                set([0.0, 1.0] + _seg_meet_params(px, py, qx, qy, other_segs, eps))
+            )
+            for t0, t1 in zip(ts[:-1], ts[1:]):
+                if t1 - t0 <= 1e-12:
+                    continue
+                tm = (t0 + t1) / 2.0
+                yield px + tm * (qx - px), py + tm * (qy - py)
+
+
+def _meet_events(leaf_arrays, other_segs: np.ndarray, eps: float):
+    """Coordinates where the polylines meet ``other_segs``: split-param
+    events plus own vertices lying on the other segments (a vertex touch
+    produces no (0,1) param on its own segments)."""
+    out = []
+    for arr in leaf_arrays:
+        for i in range(len(arr) - 1):
+            px, py = float(arr[i, 0]), float(arr[i, 1])
+            qx, qy = float(arr[i + 1, 0]), float(arr[i + 1, 1])
+            for t in _seg_meet_params(px, py, qx, qy, other_segs, eps):
+                out.append((px + t * (qx - px), py + t * (qy - py)))
+        for vx, vy in arr:
+            if _pt_on_segments(float(vx), float(vy), other_segs, eps):
+                out.append((float(vx), float(vy)))
+    return out
+
+
+def _pt_loc_areal(x: float, y: float, polys, ring_segs, eps: float) -> str:
+    if _pt_on_segments(x, y, ring_segs, eps):
+        return "on"
+    for poly in polys:
+        if _point_in_polygon(x, y, poly.parts) != 0:
+            return "in"
+    return "out"
+
+
+def _ring_arrays(polys) -> list[np.ndarray]:
+    return [np.asarray(r, dtype=np.float64) for p in polys for r in p.parts]
+
+
+def _lines_geom(arrays) -> Geometry:
+    legs = [Geometry("LineString", a) for a in arrays]
+    return legs[0] if len(legs) == 1 else Geometry("MultiLineString", legs)
+
+
+def _relate_AA(a_polys, b_polys, eps: float) -> list[int]:
+    from xcube_geodb_spark.geometry.overlay import overlay
+
+    ap, bp = _poly_geom(a_polys), _poly_geom(b_polys)
+    a_rings, b_rings = _ring_arrays(a_polys), _ring_arrays(b_polys)
+    a_segs = _all_segments(ap)
+    b_segs = _all_segments(bp)
+
+    inter = overlay(ap, bp, "intersection")
+    tol = eps * max(area(ap), area(bp), 1.0)
+    ii = 2 if inter is not None and area(inter) > tol else -1
+
+    def rings_inside(rings, polys, ring_segs_other, other_segs):
+        for mx, my in _pieces_midpoints(rings, other_segs, eps):
+            if _pt_loc_areal(mx, my, polys, ring_segs_other, eps) == "in":
+                return 1
+        return -1
+
+    ib = rings_inside(b_rings, a_polys, a_segs, a_segs)
+    bi = rings_inside(a_rings, b_polys, b_segs, b_segs)
+    ie = -1 if _covered(ap, bp, eps) else 2
+    ei = -1 if _covered(bp, ap, eps) else 2
+
+    # BB: collinear shared ring pieces -> 1; any ring contact -> 0
+    bb = -1
+    for mx, my in _pieces_midpoints(a_rings, b_segs, eps):
+        if _pt_on_segments(mx, my, b_segs, eps):
+            bb = 1
+            break
+    if bb < 0 and distance(_lines_geom(a_rings), _lines_geom(b_rings)) <= eps:
+        bb = 0
+
+    def rings_escape(rings, polys_other, other_segs):
+        for mx, my in _pieces_midpoints(rings, other_segs, eps):
+            if _pt_loc_areal(mx, my, polys_other, other_segs, eps) == "out":
+                return 1
+        return -1
+
+    be = rings_escape(a_rings, b_polys, b_segs)
+    eb = rings_escape(b_rings, a_polys, a_segs)
+    return [ii, ib, ie, bi, bb, be, ei, eb, 2]
+
+
+def _relate_LA(a_lines, b_polys, eps: float) -> list[int]:
+    """a = lineal, b = areal; returns a's-perspective matrix."""
+    bp = _poly_geom(b_polys)
+    b_segs = _all_segments(bp)
+    a_arrays = [ln.parts for ln in a_lines]
+    a_segs = _all_segments(_lines_geom(a_arrays))
+    bpts = [pt for ln in a_lines for pt in _line_boundary(ln)]
+
+    ii = 1 if any(
+        _line_hits_polygon_interior(ln, b_polys, eps) for ln in a_lines
+    ) else -1
+
+    # IB: collinear pieces of a on b's rings -> 1; else interior-of-a
+    # meet points with the rings -> 0
+    ib = -1
+    for mx, my in _pieces_midpoints(a_arrays, b_segs, eps):
+        if _pt_on_segments(mx, my, b_segs, eps):
+            ib = 1
+            break
+    if ib < 0:
+        for mx, my in _meet_events(a_arrays, b_segs, eps):
+            if all(math.hypot(mx - ex, my - ey) > eps for ex, ey in bpts):
+                ib = 0
+                break
+
+    ie = -1
+    for mx, my in _pieces_midpoints(a_arrays, b_segs, eps):
+        if _pt_loc_areal(mx, my, b_polys, b_segs, eps) == "out":
+            ie = 1
+            break
+
+    bi = bb = be = -1
+    for ex, ey in bpts:
+        loc = _pt_loc_areal(ex, ey, b_polys, b_segs, eps)
+        if loc == "in":
+            bi = 0
+        elif loc == "on":
+            bb = 0
+        else:
+            be = 0
+
+    # EB: pieces of b's rings not on closure(a)
+    eb = -1
+    b_rings = _ring_arrays(b_polys)
+    for mx, my in _pieces_midpoints(b_rings, a_segs, eps):
+        if not _pt_on_segments(mx, my, a_segs, eps):
+            eb = 1
+            break
+    return [ii, ib, ie, bi, bb, be, 2, eb, 2]
+
+
+def _relate_PA(a_pts, b_polys, eps: float) -> list[int]:
+    b_segs = _all_segments(_poly_geom(b_polys))
+    ii = ib = ie = -1
+    for p in a_pts:
+        loc = _pt_loc_areal(
+            float(p.parts[0]), float(p.parts[1]), b_polys, b_segs, eps
+        )
+        if loc == "in":
+            ii = 0
+        elif loc == "on":
+            ib = 0
+        else:
+            ie = 0
+    return [ii, ib, ie, -1, -1, -1, 2, 1, 2]
+
+
+def _relate_LL(a_lines, b_lines, eps: float) -> list[int]:
+    a_arrays = [ln.parts for ln in a_lines]
+    b_arrays = [ln.parts for ln in b_lines]
+    a_segs = _all_segments(_lines_geom(a_arrays))
+    b_segs = _all_segments(_lines_geom(b_arrays))
+    a_bnd = [pt for ln in a_lines for pt in _line_boundary(ln)]
+    b_bnd = [pt for ln in b_lines for pt in _line_boundary(ln)]
+
+    ii = -1
+    for la in a_lines:
+        sa = _all_segments(la)
+        for lb in b_lines:
+            d = _line_line_interior_dim(la, sa, lb, _all_segments(lb), eps)
+            ii = max(ii, d)
+        if ii >= 1:
+            break
+
+    def pt_interior_of(pt, lines):
+        x, y = pt
+        return any(
+            _pt_interior_of_line(x, y, ln, _all_segments(ln), eps)
+            for ln in lines
+        )
+
+    ib = 0 if any(pt_interior_of(p, a_lines) for p in b_bnd) else -1
+    bi = 0 if any(pt_interior_of(p, b_lines) for p in a_bnd) else -1
+    bb = 0 if any(
+        math.hypot(ax - bx, ay - by) <= eps
+        for ax, ay in a_bnd for bx, by in b_bnd
+    ) else -1
+    be = 0 if any(
+        not _pt_on_segments(x, y, b_segs, eps) for x, y in a_bnd
+    ) else -1
+    eb = 0 if any(
+        not _pt_on_segments(x, y, a_segs, eps) for x, y in b_bnd
+    ) else -1
+
+    def escapes(arrays, other_segs):
+        for mx, my in _pieces_midpoints(arrays, other_segs, eps):
+            if not _pt_on_segments(mx, my, other_segs, eps):
+                return 1
+        return -1
+
+    ie = escapes(a_arrays, b_segs)
+    ei = escapes(b_arrays, a_segs)
+    return [ii, ib, ie, bi, bb, be, ei, eb, 2]
+
+
+def _relate_PL(a_pts, b_lines, eps: float) -> list[int]:
+    b_bnd = [pt for ln in b_lines for pt in _line_boundary(ln)]
+    b_lines_segs = [(ln, _all_segments(ln)) for ln in b_lines]
+    ii = ib = ie = -1
+    covered_bnd = set()
+    for p in a_pts:
+        x, y = float(p.parts[0]), float(p.parts[1])
+        on_bnd = [
+            i for i, (ex, ey) in enumerate(b_bnd)
+            if math.hypot(x - ex, y - ey) <= eps
+        ]
+        if on_bnd:
+            ib = 0
+            covered_bnd.update(on_bnd)
+        elif any(
+            _pt_on_segments(x, y, segs, eps) for _, segs in b_lines_segs
+        ):
+            ii = 0
+        else:
+            ie = 0
+    eb = 0 if len(covered_bnd) < len(b_bnd) else -1
+    return [ii, ib, ie, -1, -1, -1, 1, eb, 2]
+
+
+def _relate_PP(a_pts, b_pts, eps: float) -> list[int]:
+    def key(p):
+        return (float(p.parts[0]), float(p.parts[1]))
+
+    ii = ie = ei = -1
+    for p in a_pts:
+        x, y = key(p)
+        if any(math.hypot(x - qx, y - qy) <= eps
+               for qx, qy in map(key, b_pts)):
+            ii = 0
+        else:
+            ie = 0
+    for q in b_pts:
+        x, y = key(q)
+        if not any(math.hypot(x - px, y - py) <= eps
+                   for px, py in map(key, a_pts)):
+            ei = 0
+    return [ii, -1, ie, -1, -1, -1, ei, -1, 2]
+
+
+def relate_matrix(a: Geometry, b: Geometry) -> str:
+    """The DE-9IM intersection matrix of two single-type geometries as a
+    9-character string (``ST_Relate(a, b)``)."""
+    eps = _scale_eps(a, b)
+    a_pts, a_lines, a_polys = _split_leaves(a)
+    b_pts, b_lines, b_polys = _split_leaves(b)
+    ta = _only_type(a_pts, a_lines, a_polys, "left")
+    tb = _only_type(b_pts, b_lines, b_polys, "right")
+
+    if (ta, tb) == ("A", "A"):
+        cells = _relate_AA(a_polys, b_polys, eps)
+    elif (ta, tb) == ("L", "A"):
+        cells = _relate_LA(a_lines, b_polys, eps)
+    elif (ta, tb) == ("A", "L"):
+        cells = [_relate_LA(b_lines, a_polys, eps)[i] for i in _TRANSPOSE]
+    elif (ta, tb) == ("P", "A"):
+        cells = _relate_PA(a_pts, b_polys, eps)
+    elif (ta, tb) == ("A", "P"):
+        cells = [_relate_PA(b_pts, a_polys, eps)[i] for i in _TRANSPOSE]
+    elif (ta, tb) == ("L", "L"):
+        cells = _relate_LL(a_lines, b_lines, eps)
+    elif (ta, tb) == ("P", "L"):
+        cells = _relate_PL(a_pts, b_lines, eps)
+    elif (ta, tb) == ("L", "P"):
+        cells = [_relate_PL(b_pts, a_lines, eps)[i] for i in _TRANSPOSE]
+    else:
+        cells = _relate_PP(a_pts, b_pts, eps)
+    return "".join(_dim_char(d) for d in cells)
+
+
+def de9im_match(matrix: str, pattern: str) -> bool:
+    """PostGIS 3-argument ``ST_Relate(a, b, pattern)``: T = any non-F,
+    F = F, * = anything, 0/1/2 = exact dimension."""
+    if len(pattern) != 9:
+        raise GeoDBError("st_relate: pattern must be 9 characters")
+    for m, p in zip(matrix, pattern.upper()):
+        if p == "*":
+            continue
+        if p == "T":
+            if m == "F":
+                return False
+        elif m != p:
+            return False
+    return True

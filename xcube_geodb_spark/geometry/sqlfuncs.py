@@ -385,6 +385,29 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_makevalid", _makevalid, T.BinaryType())
 
+    def _relate_sql(a, b):
+        if a is None or b is None:
+            return None
+        from xcube_geodb_spark.geometry.relate import relate_matrix
+
+        return relate_matrix(parse_wkb(a), parse_wkb(b))
+
+    # ST_Relate(a, b) -> the 9-char DE-9IM matrix. The 3-argument boolean
+    # form is spelled as the (real PostGIS) composition
+    # ST_RelateMatch(ST_Relate(a, b), pattern) — Spark registers one
+    # return type per function name, so the text and boolean forms are
+    # separate functions exactly as PostGIS also provides.
+    _register("st_relate", _relate_sql, T.StringType())
+
+    def _relatematch_sql(m, pattern):
+        if m is None or pattern is None:
+            return None
+        from xcube_geodb_spark.geometry.relate import de9im_match
+
+        return de9im_match(str(m), str(pattern))
+
+    _register("st_relatematch", _relatematch_sql, T.BooleanType())
+
     def _subdivide_sql(b, mv):
         if b is None or mv is None:
             return None

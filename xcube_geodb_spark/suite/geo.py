@@ -767,6 +767,62 @@ def geo_spatial_join_within(spark, sf_dir):
     return spatial_join(pts, sq, "within").select("s_suppkey", "c_custkey")
 
 
+def geo_sql_relate(spark, sf_dir):
+    """ST_Relate on the raw-SQL surface (r9): the full DE-9IM matrix
+    (geometry/relate.relate_matrix) over five topology classes of square
+    pairs — equal, corner-overlap, edge-touch, disjoint, strict
+    containment — each with a KNOWN constant matrix, plus the
+    ST_RelateMatch pattern leg ('T*F**FFF*' = OGC equals). PostGIS
+    passthrough parity: geodb.sql:1147-1167 admits ST_Relate like any
+    other PostGIS call."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+
+    register_spatial_sql_functions(spark)
+    sq = _squares(spark, sf_dir)
+    cls = (F.col("c_custkey") % 5).cast("long")
+    shift = (
+        F.when(cls == 1, F.col("h"))
+        .when(cls == 2, 2 * F.col("h"))
+        .when(cls == 3, 3 * F.col("h"))
+        .otherwise(F.lit(0.0))
+    )
+    part = (
+        sq.withColumn("cls", cls)
+        .withColumn("bx", F.col("x") + shift)
+        # class 1 shifts BOTH axes: a pure x-shift of equal-height
+        # squares shares collinear top/bottom boundary runs (BB=1);
+        # the corner overlap is the canonical '212101212' case
+        .withColumn(
+            "by", F.col("y") + F.when(cls == 1, F.col("h")).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "bh",
+            F.when(cls == 4, F.col("h") / 2).otherwise(F.col("h")),
+        )
+        .withColumn("bgeom", _square_wkb("bx", "by", "bh"))
+    )
+    return part.selectExpr(
+        "c_custkey",
+        "cls",
+        "st_relate(geometry, bgeom) AS im",
+        "st_relatematch(st_relate(geometry, bgeom), 'T*F**FFF*') AS is_equal",
+    )
+
+
+GEO_ORACLES["geo_sql_relate"] = """
+    SELECT c_custkey, cls,
+           CASE cls WHEN 0 THEN '2FFF1FFF2'
+                    WHEN 1 THEN '212101212'
+                    WHEN 2 THEN 'FF2F11212'
+                    WHEN 3 THEN 'FF2FF1212'
+                    ELSE '212FF1FF2' END AS im,
+           cls = 0 AS is_equal
+    FROM (SELECT c_custkey, c_custkey % 5 AS cls FROM customer)
+"""
+
+
 def geo_dbscan_points(spark, sf_dir):
     """Distributed DBSCAN (functions/spatial_join.spatial_dbscan) over the
     synthesized customer points, eps=3 / min_pts=3: neighbor pairs via the
@@ -1725,6 +1781,7 @@ GEO_QUERIES = {
     "geo_spatial_join_points": geo_spatial_join_points,
     "geo_spatial_join_dwithin": geo_spatial_join_dwithin,
     "geo_spatial_join_within": geo_spatial_join_within,
+    "geo_sql_relate": geo_sql_relate,
     "geo_dbscan_points": geo_dbscan_points,
     "geo_knn_join": geo_knn_join,
     "geo_zonal_stats": geo_zonal_stats,
