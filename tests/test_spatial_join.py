@@ -201,7 +201,7 @@ class TestSpatialJoin:
     def test_bad_args(self, spark):
         sq, pt = _squares(spark), _points(spark)
         with pytest.raises(ValueError):
-            spatial_join(sq, pt, "touches")
+            spatial_join(sq, pt, "nearby")  # not a predicate
         with pytest.raises(ValueError):
             spatial_join(sq, pt, "dwithin", distance=-1.0)
         with pytest.raises(ValueError):
