@@ -527,6 +527,21 @@ class TestShimLiteralSafety:
         assert f("c = 'x @> ARRAY[1]'") == "c = 'x @> ARRAY[1]'"
         assert f("c = 'a SIMILAR TO b'") == "c = 'a SIMILAR TO b'"
 
+    def test_relate3_rewrites(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        # PostGIS 3-arg boolean ST_Relate -> st_relatematch composition
+        assert f("st_relate(a.geometry, b.geometry, 'T*F**FFF*')") == (
+            "st_relatematch(st_relate(a.geometry, b.geometry), "
+            "'T*F**FFF*')"
+        )
+        # the 2-arg matrix form passes through untouched
+        assert f("st_relate(a, b)") == "st_relate(a, b)"
+        # nested calls and literal commas don't confuse the arg split
+        assert f(
+            "st_relate(g, st_geomfromtext('POINT (1 2)'), p)"
+        ) == "st_relatematch(st_relate(g, st_geomfromtext('POINT (1 2)')), p)"
+
     def test_array_containment_rewrites(self):
         from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
 

@@ -649,6 +649,51 @@ def _rewrite_spatial_aggs(code: str) -> str:
         pos = m.start() + len(repl)
 
 
+_RELATE3_RE = re.compile(r"\bst_relate\s*\(", re.IGNORECASE)
+
+
+def _rewrite_relate3(code: str) -> str:
+    """PostGIS' boolean 3-argument ``ST_Relate(a, b, pattern)`` on
+    literal-protected code -> ``st_relatematch(st_relate(a, b), pattern)``
+    (Spark registers one return type per function name, so the text and
+    boolean forms are the separate functions PostGIS also provides; the
+    2-argument matrix form passes through untouched)."""
+    pos = 0
+    while True:
+        m = _RELATE3_RE.search(code, pos)
+        if not m:
+            return code
+        depth = 0
+        for j in range(m.end() - 1, len(code)):
+            if code[j] == "(":
+                depth += 1
+            elif code[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code  # unbalanced: leave for Spark's parser
+        args = code[m.end(): j]
+        splits = []
+        depth2 = 0
+        for k, ch in enumerate(args):
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+            elif ch == "," and depth2 == 0:
+                splits.append(k)
+        if len(splits) != 2:
+            pos = j + 1
+            continue
+        a = args[: splits[0]].strip()
+        b = args[splits[0] + 1: splits[1]].strip()
+        pat = args[splits[1] + 1:].strip()
+        repl = f"st_relatematch(st_relate({a}, {b}), {pat})"
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
+
+
 def _pg_clause_to_spark(clause: str | None) -> str | None:
     """Textual shim for the PG-isms Spark SQL's parser rejects, applied
     outside string literals only:
@@ -733,7 +778,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_cont = "@>" in out or "<@" in out
     need_agg = bool(_AGG_ORDER_RE.search(out))
     need_spagg = bool(_SPATIAL_AGG_RE.search(out))
-    if need_cont or need_agg or need_spagg:
+    need_rel3 = bool(_RELATE3_RE.search(out))
+    if need_cont or need_agg or need_spagg or need_rel3:
         # these operands/arg-lists may span literal segments: protect
         # literals behind identifier-shaped placeholders, rewrite on the
         # joined code, then restore — literal contents stay byte-identical
@@ -749,6 +795,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_agg_orderby(protected)
         if need_spagg:
             protected = _rewrite_spatial_aggs(protected)
+        if need_rel3:
+            protected = _rewrite_relate3(protected)
         out = re.sub(
             r"__GEODB_LIT_(\d+)__",
             lambda mm: lits[int(mm.group(1))],
