@@ -462,6 +462,33 @@ class TestRelateMatrix:
 
         assert relate_matrix(P(a), P(b)) == want
 
+
+    MULTI_CANON = [
+        # closed ring ON its polygon's boundary: line interior = the whole
+        # ring, line boundary empty (OGC mod-2)
+        ("LINESTRING (0 0, 2 0, 2 2, 0 2, 0 0)",
+         "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "F1FFFF2F2"),
+        # multipoint with one member in / on / out
+        ("MULTIPOINT (1 1, 2 1, 5 5)",
+         "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "000FFF212"),
+        # closed ring crossed twice by an open line
+        ("LINESTRING (0 0, 2 0, 2 2, 0 2, 0 0)",
+         "LINESTRING (1 -1, 1 3)", "0F1FFF102"),
+        # square spanning a two-member multipolygon (members adjacent:
+        # boundary = union of member rings, so the shared seam counts as
+        # boundary inside a — consistent with geom_predicate, which also
+        # reports within(a, b) here)
+        ("POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))",
+         "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+         "((2 0, 4 0, 4 2, 2 2, 2 0)))", "21F11F212"),
+    ]
+
+    @pytest.mark.parametrize("a,b,want", MULTI_CANON)
+    def test_multi_and_ring_matrices(self, a, b, want):
+        from xcube_geodb_spark.geometry.relate import relate_matrix
+
+        assert relate_matrix(P(a), P(b)) == want
+
     def test_heterogeneous_raises(self):
         from xcube_geodb_spark.errors import GeoDBError
         from xcube_geodb_spark.geometry.relate import relate_matrix
