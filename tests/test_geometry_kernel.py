@@ -1636,3 +1636,71 @@ class TestBufferGeometry:
         ).collect()[0]
         want = self._closed_form_convex([(0, 0), (2, 0), (2, 2), (0, 2)], 0.5)
         assert row["a"] == round(want, 6)
+
+
+class TestLineMerge:
+    """ST_LineMerge (geom.line_merge): GEOS LineMerger contract — sew
+    through degree-2 endpoint nodes only, exact endpoint equality."""
+
+    def _lm(self, wkt):
+        from xcube_geodb_spark.geometry.geom import line_merge, parse_wkt
+        g = line_merge(parse_wkt(wkt))
+        from xcube_geodb_spark.geometry.geom import to_wkt
+        return None if g is None else to_wkt(g)
+
+    def test_chain_merges(self):
+        assert self._lm(
+            "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (2 0, 3 0))"
+        ) == "LINESTRING (0 0, 1 0, 2 0, 3 0)"
+
+    def test_head_to_head_reverses(self):
+        assert self._lm(
+            "MULTILINESTRING ((1 0, 0 0), (1 0, 2 0))"
+        ) == "LINESTRING (0 0, 1 0, 2 0)"
+
+    def test_t_junction_preserved(self):
+        out = self._lm(
+            "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 1 1))"
+        )
+        assert out.startswith("MULTILINESTRING") and out.count(",") == 5
+
+    def test_degree2_cycle_closes(self):
+        assert self._lm(
+            "MULTILINESTRING ((0 0, 1 0), (1 0, 1 1), (1 1, 0 1), "
+            "(0 1, 0 0))"
+        ) == "LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)"
+
+    def test_disconnected_components(self):
+        out = self._lm(
+            "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (5 5, 6 5), "
+            "(6 5, 7 5))"
+        )
+        assert out == (
+            "MULTILINESTRING ((0 0, 1 0, 2 0), (5 5, 6 5, 7 5))"
+        )
+
+    def test_near_miss_does_not_merge(self):
+        # exact endpoint equality: 1e-9 apart stays apart (PostGIS parity)
+        out = self._lm(
+            "MULTILINESTRING ((0 0, 1 0), (1.000000001 0, 2 0))"
+        )
+        assert out.startswith("MULTILINESTRING")
+
+    def test_single_line_passthrough_and_empty(self):
+        assert self._lm("LINESTRING (0 0, 5 5)") == "LINESTRING (0 0, 5 5)"
+        assert self._lm("MULTIPOINT (0 0, 1 1)") is None
+
+    def test_sql_surface(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            "SELECT st_astext(st_linemerge(st_geomfromtext("
+            "'MULTILINESTRING ((0 0, 1 0), (1 0, 2 0))'))) AS wkt, "
+            "st_npoints(st_linemerge(st_geomfromtext("
+            "'MULTILINESTRING ((0 0, 1 0), (1 0, 2 0))'))) AS n"
+        ).collect()[0]
+        assert row["wkt"] == "LINESTRING (0 0, 1 0, 2 0)"
+        assert row["n"] == 3

@@ -1838,6 +1838,85 @@ def boundary(geom: Geometry) -> Geometry | None:
     return None
 
 
+def line_merge(geom: Geometry) -> Geometry | None:
+    """``ST_LineMerge``: sew the input's linework together wherever
+    exactly two line ends meet (the GEOS LineMerger contract): chains
+    walk through degree-2 endpoint nodes, reversing member direction as
+    needed; a node shared by 1 or 3+ ends stops the chain (T-junctions
+    are preserved); pure degree-2 cycles close into rings. Endpoint
+    equality is EXACT (PostGIS parity — no snapping). Non-lineal members
+    are ignored; an input with no linework returns None (the engine's
+    SQL-NULL spelling of PostGIS' GEOMETRYCOLLECTION EMPTY). Output
+    member order is deterministic (sorted by first coordinate)."""
+    lines: list[np.ndarray] = []
+    for leaf in geom.children():
+        if leaf.kind != "LineString":
+            continue
+        arr = np.asarray(leaf.parts, dtype=np.float64)
+        keep = [0] + [
+            i for i in range(1, len(arr))
+            if arr[i, 0] != arr[i - 1, 0] or arr[i, 1] != arr[i - 1, 1]
+        ]
+        arr = arr[keep]
+        if len(arr) >= 2:
+            lines.append(arr)
+    if not lines:
+        return None
+
+    def key(pt) -> tuple[float, float]:
+        return (float(pt[0]), float(pt[1]))
+
+    # node -> list of (line index, end: 0=start, 1=last)
+    incident: dict[tuple[float, float], list[tuple[int, int]]] = {}
+    for i, arr in enumerate(lines):
+        incident.setdefault(key(arr[0]), []).append((i, 0))
+        incident.setdefault(key(arr[-1]), []).append((i, 1))
+
+    used = [False] * len(lines)
+    merged: list[np.ndarray] = []
+
+    def walk(i: int, end: int) -> np.ndarray:
+        """Consume the chain starting with line i oriented so that
+        ``end`` is its tail; extend through degree-2 nodes."""
+        used[i] = True
+        coords = lines[i] if end == 0 else lines[i][::-1]
+        out = [coords]
+        cur = key(coords[-1])
+        while True:
+            inc = incident[cur]
+            if len(inc) != 2:
+                break
+            nxt = [(j, e) for j, e in inc if not used[j]]
+            if not nxt:
+                break
+            j, e = nxt[0]
+            used[j] = True
+            seg = lines[j] if e == 0 else lines[j][::-1]
+            out.append(seg[1:])
+            cur = key(seg[-1])
+        return np.concatenate(out)
+
+    # open chains first: start at every node whose degree != 2
+    for node, inc in incident.items():
+        if len(inc) == 2:
+            continue
+        for i, end in inc:
+            if not used[i]:
+                merged.append(walk(i, end))
+    # what remains are pure degree-2 cycles
+    for i in range(len(lines)):
+        if not used[i]:
+            merged.append(walk(i, 0))
+
+    merged.sort(key=lambda a: (float(a[0, 0]), float(a[0, 1]), len(a)))
+    out = [Geometry("LineString", a) for a in merged]
+    if len(out) == 1:
+        g = out[0]
+        g.srid = geom.srid
+        return g
+    return Geometry("MultiLineString", out, geom.srid)
+
+
 # ---------------------------------------------------------------------------
 # ST_MinimumBoundingCircle / ST_OrientedEnvelope
 # ---------------------------------------------------------------------------

@@ -385,6 +385,18 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_makevalid", _makevalid, T.BinaryType())
 
+    def _linemerge_sql(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import line_merge
+
+        out = line_merge(parse_wkb(b))
+        # no linework -> SQL NULL (PostGIS answers GEOMETRYCOLLECTION
+        # EMPTY; the engine's documented EMPTY spelling)
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_linemerge", _linemerge_sql, T.BinaryType())
+
     def _relate_sql(a, b):
         if a is None or b is None:
             return None

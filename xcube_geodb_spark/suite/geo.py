@@ -767,6 +767,51 @@ def geo_spatial_join_within(spark, sf_dir):
     return spatial_join(pts, sq, "within").select("s_suppkey", "c_custkey")
 
 
+def geo_linemerge_chain(spark, sf_dir):
+    """ST_LineMerge end to end (r9): per customer, n = c%4+2 separate
+    unit segments along x collect into a MULTILINESTRING whose pieces
+    meet head-to-tail at degree-2 nodes; st_linemerge must sew them into
+    ONE LineString with n+1 points and length n (closed forms the oracle
+    computes directly). GEOS LineMerger parity: geometry/geom.line_merge."""
+    from xcube_geodb_spark.functions.geo_agg import collect_geometries
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+
+    register_spatial_sql_functions(spark)
+    c = load(spark, sf_dir, "customer")
+    segs = (
+        c.select(
+            "c_custkey",
+            (F.col("c_custkey") % 4 + 2).alias("n"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("c_custkey") % 4 + 1)
+            ).alias("i"),
+        )
+        .selectExpr(
+            "c_custkey",
+            "st_geomfromtext(concat('LINESTRING (', "
+            "CAST(c_custkey % 97 + i AS STRING), ' 0, ', "
+            "CAST(c_custkey % 97 + i + 1 AS STRING), ' 0)')) AS geometry",
+        )
+    )
+    collected = collect_geometries(segs, ["c_custkey"])
+    return collected.selectExpr(
+        "c_custkey",
+        "st_geometrytype(st_linemerge(geometry)) AS typ",
+        "st_npoints(st_linemerge(geometry)) AS npts",
+        "CAST(round(st_length(st_linemerge(geometry)), 6) AS DOUBLE) AS len",
+    )
+
+
+GEO_ORACLES["geo_linemerge_chain"] = """
+    SELECT c_custkey, 'LINESTRING' AS typ,
+           CAST(c_custkey % 4 + 3 AS INT) AS npts,
+           CAST(c_custkey % 4 + 2 AS DOUBLE) AS len
+    FROM customer
+"""
+
+
 def geo_sql_relate(spark, sf_dir):
     """ST_Relate on the raw-SQL surface (r9): the full DE-9IM matrix
     (geometry/relate.relate_matrix) over five topology classes of square
@@ -1782,6 +1827,7 @@ GEO_QUERIES = {
     "geo_spatial_join_dwithin": geo_spatial_join_dwithin,
     "geo_spatial_join_within": geo_spatial_join_within,
     "geo_sql_relate": geo_sql_relate,
+    "geo_linemerge_chain": geo_linemerge_chain,
     "geo_dbscan_points": geo_dbscan_points,
     "geo_knn_join": geo_knn_join,
     "geo_zonal_stats": geo_zonal_stats,
