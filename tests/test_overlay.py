@@ -1020,3 +1020,65 @@ class TestTwoLevelDissolve:
         )
         assert two.count("Exchange") == 2
         assert "rangepartitioning" in two
+
+
+class TestPolygonize:
+    """ST_Polygonize (overlay.polygonize): faces from fully-noded
+    linework via the overlay face tracer, holes assigned by the
+    interior-left offset probe."""
+
+    def _pz(self, wkt):
+        from xcube_geodb_spark.geometry.geom import parse_wkt, to_wkt
+        from xcube_geodb_spark.geometry.overlay import polygonize
+
+        g = polygonize(parse_wkt(wkt))
+        return None if g is None else to_wkt(g)
+
+    def test_square_cycle_one_face(self):
+        assert self._pz(
+            "MULTILINESTRING ((0 0, 2 0), (2 0, 2 2), (2 2, 0 2), "
+            "(0 2, 0 0))"
+        ) == "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+
+    def test_noded_midline_two_faces(self):
+        from xcube_geodb_spark.geometry.geom import area, parse_wkt
+        from xcube_geodb_spark.geometry.overlay import polygonize
+
+        g = polygonize(parse_wkt(
+            "MULTILINESTRING ((0 0, 2 0), (2 0, 2 1), (2 1, 2 2), "
+            "(2 2, 0 2), (0 2, 0 1), (0 1, 0 0), (0 1, 2 1))"
+        ))
+        assert g.kind == "MultiPolygon" and len(g.parts) == 2
+        assert area(g) == pytest.approx(4.0)
+
+    def test_concentric_squares_annulus_hole(self):
+        """The hole-assignment acid test: the inner ring bounds BOTH the
+        annulus' hole and the inner face; the offset probe must give the
+        hole to the annulus, never the inner face."""
+        from xcube_geodb_spark.geometry.geom import area, parse_wkt
+        from xcube_geodb_spark.geometry.overlay import polygonize
+
+        g = polygonize(parse_wkt(
+            "MULTILINESTRING ((0 0, 4 0), (4 0, 4 4), (4 4, 0 4), "
+            "(0 4, 0 0), (1 1, 3 1), (3 1, 3 3), (3 3, 1 3), (1 3, 1 1))"
+        ))
+        assert g.kind == "MultiPolygon" and len(g.parts) == 2
+        areas = sorted(round(area(p), 9) for p in g.parts)
+        assert areas == [4.0, 12.0]
+        n_holes = sorted(len(p.parts) for p in g.parts)
+        assert n_holes == [1, 2]  # inner face plain, annulus carries a hole
+
+    def test_dangling_and_empty(self):
+        assert self._pz("MULTILINESTRING ((0 0, 1 0), (1 0, 2 0))") is None
+        assert self._pz("MULTIPOINT (0 0)") is None
+
+    def test_shim_rewrites_aggregate_position(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("st_polygonize(geometry)") == (
+            "st_polygonize(st_collect_agg(collect_list(geometry)))"
+        )
+        from xcube_geodb_spark.errors import GeoDBError
+
+        with pytest.raises(GeoDBError):
+            f("st_polygonize(geometry ORDER BY id)")

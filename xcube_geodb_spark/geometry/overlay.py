@@ -1090,3 +1090,92 @@ def buffer_geometry(
     if out is not None:
         out.srid = srid
     return out
+
+
+# ---------------------------------------------------------------------------
+# ST_Polygonize: faces from noded linework
+# ---------------------------------------------------------------------------
+
+
+def polygonize(geom: Geometry | None) -> Geometry | None:
+    """``ST_Polygonize`` over FULLY-NODED linework (the GEOS Polygonizer
+    contract: segments meet only at shared endpoints — run the input
+    through noding/``st_node``-style preparation upstream if needed):
+    every bounded face of the arrangement becomes a polygon, with holes
+    assigned to their immediately containing face.
+
+    Reuses the overlay kernel's face tracer: both directions of every
+    unique undirected segment enter ``_trace_rings`` (sharpest-clockwise
+    walk, interior kept left), so each bounded face surfaces as one
+    positive-area ring and each face-with-hole additionally as the
+    hole's negative ring; the unbounded face's negative trace is
+    discarded. Hole→shell assignment probes a point just LEFT of a hole
+    edge (strictly interior to the owning face, so a hole ring that
+    coincides with an inner face's boundary cannot be mis-assigned to
+    that inner face) and picks the smallest containing shell. Dangling
+    edges and zero-area back-and-forth traces are dropped, like GEOS.
+
+    Returns Polygon / MultiPolygon (PostGIS wraps the same faces in a
+    GEOMETRYCOLLECTION; the engine's homogeneous-output spelling), or
+    None when the linework bounds no face (PostGIS answers
+    GEOMETRYCOLLECTION EMPTY — documented EMPTY spelling)."""
+    if geom is None:
+        return None
+    segs: set[tuple[tuple[float, float], tuple[float, float]]] = set()
+    scale = 1.0
+    for leaf in geom.children():
+        if leaf.kind != "LineString":
+            continue
+        arr = np.asarray(leaf.parts, dtype=np.float64)
+        if len(arr):
+            scale = max(scale, float(np.abs(arr).max()))
+        for i in range(len(arr) - 1):
+            p = (float(arr[i, 0]), float(arr[i, 1]))
+            q = (float(arr[i + 1, 0]), float(arr[i + 1, 1]))
+            if p != q:
+                segs.add((p, q) if p < q else (q, p))
+    if not segs:
+        return None
+    directed = set()
+    for p, q in segs:
+        directed.add((p, q))
+        directed.add((q, p))
+    rings = _trace_rings(directed)
+
+    area_tol = (1e-9 * scale) ** 2
+    shells: list[tuple[float, np.ndarray]] = []
+    holes: list[np.ndarray] = []
+    for ring in rings:
+        arr = np.asarray(ring + [ring[0]], dtype=np.float64)
+        signed = _ring_shoelace(arr)
+        if signed > area_tol:
+            shells.append((signed, arr))
+        elif signed < -area_tol:
+            holes.append(arr)
+    if not shells:
+        return None
+
+    polys: list[list[np.ndarray]] = [[arr] for _, arr in shells]
+    delta = 1e-7 * scale
+    for hole in holes:
+        # probe just LEFT of the first edge: strictly inside the face
+        # that owns this hole boundary
+        p, q = hole[0], hole[1]
+        ex, ey = q[0] - p[0], q[1] - p[1]
+        ln = math.hypot(ex, ey) or 1.0
+        mx = (p[0] + q[0]) / 2.0 - ey / ln * delta
+        my = (p[1] + q[1]) / 2.0 + ex / ln * delta
+        best, best_area = None, None
+        for i, (a, shell) in enumerate(shells):
+            if _point_in_rings(mx, my, [shell]):
+                if best_area is None or a < best_area:
+                    best, best_area = i, a
+        if best is not None:
+            polys[best].append(hole)
+    geoms = [Geometry("Polygon", rings_) for rings_ in polys]
+    geoms.sort(key=lambda g: (float(g.parts[0][0, 0]), float(g.parts[0][0, 1])))
+    if len(geoms) == 1:
+        out = geoms[0]
+        out.srid = geom.srid
+        return out
+    return Geometry("MultiPolygon", geoms, geom.srid)

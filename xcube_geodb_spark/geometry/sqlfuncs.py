@@ -385,6 +385,17 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_makevalid", _makevalid, T.BinaryType())
 
+    def _polygonize_sql(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.overlay import polygonize
+
+        out = polygonize(parse_wkb(b))
+        # no bounded face -> SQL NULL (PostGIS answers EMPTY; documented)
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_polygonize", _polygonize_sql, T.BinaryType())
+
     def _linemerge_sql(b):
         if b is None:
             return None

@@ -555,7 +555,7 @@ def _rewrite_agg_orderby(code: str) -> str:
 
 
 _SPATIAL_AGG_RE = re.compile(
-    r"\b(st_union|st_collect|st_extent)\s*\(", re.IGNORECASE
+    r"\b(st_union|st_collect|st_extent|st_polygonize)\s*\(", re.IGNORECASE
 )
 
 
@@ -632,9 +632,9 @@ def _rewrite_spatial_aggs(code: str) -> str:
                 f"' ', {_b('st_ymax', 'max')}, ')')"
             )
         elif ob is not None:
-            if fname == "st_union":
+            if fname in ("st_union", "st_polygonize"):
                 raise GeoDBError(
-                    "st_union(... ORDER BY ...): the aggregate union is "
+                    f"{fname}(... ORDER BY ...): the aggregate is "
                     "order-independent; drop the ORDER BY"
                 )
             keys, any_explicit = _split_order_keys(args[ob.end():].strip())
@@ -643,6 +643,9 @@ def _rewrite_spatial_aggs(code: str) -> str:
                 f"{_ordered_collect_expr(keys, any_explicit, head)}"
                 f", s -> s.__v))"
             )
+        elif fname == "st_polygonize":
+            # the PG aggregate: collect the linework, polygonize once
+            repl = f"st_polygonize(st_collect_agg(collect_list({head})))"
         else:
             repl = f"{fname}_agg(collect_list({head}))"
         code = code[: m.start()] + repl + code[j + 1:]

@@ -812,6 +812,63 @@ GEO_ORACLES["geo_linemerge_chain"] = """
 """
 
 
+def pg_polygonize(spark, sf_dir):
+    """ST_Polygonize as a PG AGGREGATE through the dialect shim (r9):
+    ``SELECT k, ST_Polygonize(geometry) ... GROUP BY k`` rewrites to
+    collect + the face-tracing kernel (overlay.polygonize). Fixture: per
+    customer, SEVEN fully-noded segments — a 2x2 square whose left/right
+    edges are split at mid-height plus the midline — bound exactly TWO
+    unit-height faces of total area 4 (the closed forms the oracle
+    states directly)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    c = load(spark, sf_dir, "customer")
+    segs = (
+        c.select(
+            "c_custkey",
+            (F.col("c_custkey") % 89 * 3).cast("double").alias("x0"),
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        )
+        .selectExpr(
+            "c_custkey",
+            """st_geomfromtext(CASE i
+                WHEN 0 THEN concat('LINESTRING (', x0, ' 0, ', x0 + 2, ' 0)')
+                WHEN 1 THEN concat('LINESTRING (', x0 + 2, ' 0, ', x0 + 2, ' 1)')
+                WHEN 2 THEN concat('LINESTRING (', x0 + 2, ' 1, ', x0 + 2, ' 2)')
+                WHEN 3 THEN concat('LINESTRING (', x0 + 2, ' 2, ', x0, ' 2)')
+                WHEN 4 THEN concat('LINESTRING (', x0, ' 2, ', x0, ' 1)')
+                WHEN 5 THEN concat('LINESTRING (', x0, ' 1, ', x0, ' 0)')
+                ELSE concat('LINESTRING (', x0, ' 1, ', x0 + 2, ' 1)')
+            END) AS geometry""",
+        )
+    )
+    segs.createOrReplaceTempView("polyz")
+    sql = build_pg_sql(
+        "polyz",
+        select=(
+            "c_custkey, "
+            "CAST(round(st_area(st_polygonize(geometry)), 6) AS DOUBLE) "
+            "AS area, "
+            "CAST(st_numgeometries(st_polygonize(geometry)) AS BIGINT) "
+            "AS n_faces"
+        ),
+        group="c_custkey",
+        order="c_custkey",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["pg_polygonize"] = """
+    SELECT c_custkey, CAST(4.0 AS DOUBLE) AS area,
+           CAST(2 AS BIGINT) AS n_faces
+    FROM customer
+"""
+
+
 def geo_sql_relate(spark, sf_dir):
     """ST_Relate on the raw-SQL surface (r9): the full DE-9IM matrix
     (geometry/relate.relate_matrix) over five topology classes of square
@@ -1828,6 +1885,7 @@ GEO_QUERIES = {
     "geo_spatial_join_within": geo_spatial_join_within,
     "geo_sql_relate": geo_sql_relate,
     "geo_linemerge_chain": geo_linemerge_chain,
+    "pg_polygonize": pg_polygonize,
     "geo_dbscan_points": geo_dbscan_points,
     "geo_knn_join": geo_knn_join,
     "geo_zonal_stats": geo_zonal_stats,
