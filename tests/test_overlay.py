@@ -1082,3 +1082,57 @@ class TestPolygonize:
 
         with pytest.raises(GeoDBError):
             f("st_polygonize(geometry ORDER BY id)")
+
+
+class TestNodeLinework:
+    """ST_Node (overlay.node_linework): split at every intersection,
+    dissolve duplicates — the prep step for polygonize/linemerge."""
+
+    def _nd(self, wkt):
+        from xcube_geodb_spark.geometry.geom import parse_wkt, to_wkt
+        from xcube_geodb_spark.geometry.overlay import node_linework
+
+        g = node_linework(parse_wkt(wkt))
+        return None if g is None else to_wkt(g)
+
+    def test_crossing_diagonals(self):
+        assert self._nd(
+            "MULTILINESTRING ((0 0, 2 2), (0 2, 2 0))"
+        ) == (
+            "MULTILINESTRING ((0 0, 1 1), (0 2, 1 1), (1 1, 2 0), "
+            "(1 1, 2 2))"
+        )
+
+    def test_t_junction_splits_the_bar(self):
+        out = self._nd("MULTILINESTRING ((0 0, 2 0), (1 0, 1 1))")
+        assert out == (
+            "MULTILINESTRING ((0 0, 1 0), (1 0, 1 1), (1 0, 2 0))"
+        )
+
+    def test_duplicates_dissolve(self):
+        assert self._nd(
+            "MULTILINESTRING ((0 0, 1 0), (0 0, 1 0))"
+        ) == "LINESTRING (0 0, 1 0)"
+
+    def test_collinear_overlap_splits(self):
+        out = self._nd("MULTILINESTRING ((0 0, 2 0), (1 0, 3 0))")
+        assert out == (
+            "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (2 0, 3 0))"
+        )
+
+    def test_pipeline_into_polygonize(self):
+        from xcube_geodb_spark.geometry.geom import area, parse_wkt
+        from xcube_geodb_spark.geometry.overlay import (
+            node_linework,
+            polygonize,
+        )
+
+        g = polygonize(node_linework(parse_wkt(
+            "MULTILINESTRING ((0 0, 2 0), (2 0, 2 2), (2 2, 0 2), "
+            "(0 2, 0 0), (0 0, 2 2), (0 2, 2 0))"
+        )))
+        assert g.kind == "MultiPolygon" and len(g.parts) == 4
+        assert area(g) == pytest.approx(4.0)
+
+    def test_empty(self):
+        assert self._nd("MULTIPOINT (0 0)") is None

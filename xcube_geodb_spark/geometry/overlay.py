@@ -1179,3 +1179,64 @@ def polygonize(geom: Geometry | None) -> Geometry | None:
         out.srid = geom.srid
         return out
     return Geometry("MultiPolygon", geoms, geom.srid)
+
+
+def node_linework(geom: Geometry | None) -> Geometry | None:
+    """``ST_Node``: split the input linework at EVERY intersection
+    (proper crossings, T-junctions, collinear-overlap boundaries) and
+    dissolve duplicate pieces — the noding step that prepares arbitrary
+    crossing linework for :func:`polygonize` / ``st_linemerge``.
+
+    Reuses the overlay kernel's subdivision: the segment set is
+    subdivided against itself (the same vectorized candidate matrix and
+    lattice snap the boolean overlay trusts), then unique undirected
+    sub-edges are emitted as 2-point members of one MultiLineString —
+    set-equal to PostGIS' output (GEOS chains pieces between nodes into
+    longer linestrings; compose with ``st_linemerge`` for that shape).
+    Non-lineal members are ignored; no linework -> None (the engine's
+    SQL-NULL spelling of PostGIS' EMPTY)."""
+    if geom is None:
+        return None
+    edges: list[tuple[tuple[float, float], tuple[float, float]]] = []
+    seen: set = set()
+    for leaf in geom.children():
+        if leaf.kind != "LineString":
+            continue
+        arr = np.asarray(leaf.parts, dtype=np.float64)
+        for i in range(len(arr) - 1):
+            p = (float(arr[i, 0]), float(arr[i, 1]))
+            qq = (float(arr[i + 1, 0]), float(arr[i + 1, 1]))
+            if p == qq:
+                continue
+            und = (p, qq) if p < qq else (qq, p)
+            if und not in seen:  # exact duplicates dissolve
+                seen.add(und)
+                edges.append(und)
+    if not edges:
+        return None
+    scale = max(
+        1.0,
+        max(max(abs(p[0]), abs(p[1]), abs(qq[0]), abs(qq[1]))
+            for p, qq in edges),
+    )
+    q = scale * 1e-9
+    coords: dict[tuple[int, int], tuple[float, float]] = {}
+    sub, _ = _subdivide(edges, edges, q, coords)
+    pieces: set[tuple[tuple[int, int], tuple[int, int]]] = set()
+    for k1, k2 in sub:
+        if k1 != k2:
+            pieces.add((k1, k2) if k1 < k2 else (k2, k1))
+    if not pieces:
+        return None
+    members = []
+    for k1, k2 in sorted(pieces):
+        p = coords.get(k1, (k1[0] * q, k1[1] * q))
+        r = coords.get(k2, (k2[0] * q, k2[1] * q))
+        members.append(
+            Geometry("LineString", np.asarray([p, r], dtype=np.float64))
+        )
+    if len(members) == 1:
+        out = members[0]
+        out.srid = geom.srid
+        return out
+    return Geometry("MultiLineString", members, geom.srid)

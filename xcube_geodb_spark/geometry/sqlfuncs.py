@@ -385,6 +385,16 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_makevalid", _makevalid, T.BinaryType())
 
+    def _node_sql(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.overlay import node_linework
+
+        out = node_linework(parse_wkb(b))
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_node", _node_sql, T.BinaryType())
+
     def _polygonize_sql(b):
         if b is None:
             return None

@@ -869,6 +869,58 @@ GEO_ORACLES["pg_polygonize"] = """
 """
 
 
+def geo_node_polygonize(spark, sf_dir):
+    """The linework pipeline end to end (r9): per customer a 2x2 square
+    plus BOTH diagonals (crossing at the center, deliberately un-noded)
+    collect into one MULTILINESTRING; ``st_node`` splits at the crossing
+    (4 edges + 4 half-diagonals = 8 pieces, 16 points) and
+    ``st_polygonize`` forms the four triangular faces of total area 4 —
+    all closed forms the oracle states directly."""
+    from xcube_geodb_spark.functions.geo_agg import collect_geometries
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+
+    register_spatial_sql_functions(spark)
+    c = load(spark, sf_dir, "customer")
+    segs = (
+        c.select(
+            "c_custkey",
+            (F.col("c_custkey") % 83 * 3).cast("double").alias("x0"),
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("i"),
+        )
+        .selectExpr(
+            "c_custkey",
+            """st_geomfromtext(CASE i
+                WHEN 0 THEN concat('LINESTRING (', x0, ' 0, ', x0 + 2, ' 0)')
+                WHEN 1 THEN concat('LINESTRING (', x0 + 2, ' 0, ', x0 + 2, ' 2)')
+                WHEN 2 THEN concat('LINESTRING (', x0 + 2, ' 2, ', x0, ' 2)')
+                WHEN 3 THEN concat('LINESTRING (', x0, ' 2, ', x0, ' 0)')
+                WHEN 4 THEN concat('LINESTRING (', x0, ' 0, ', x0 + 2, ' 2)')
+                ELSE concat('LINESTRING (', x0, ' 2, ', x0 + 2, ' 0)')
+            END) AS geometry""",
+        )
+    )
+    collected = collect_geometries(segs, ["c_custkey"])
+    return collected.selectExpr(
+        "c_custkey",
+        "CAST(st_numgeometries(st_node(geometry)) AS BIGINT) AS n_pieces",
+        "CAST(st_npoints(st_node(geometry)) AS BIGINT) AS npts",
+        "CAST(st_numgeometries(st_polygonize(st_node(geometry))) AS BIGINT)"
+        " AS n_faces",
+        "CAST(round(st_area(st_polygonize(st_node(geometry))), 6) "
+        "AS DOUBLE) AS area",
+    )
+
+
+GEO_ORACLES["geo_node_polygonize"] = """
+    SELECT c_custkey, CAST(8 AS BIGINT) AS n_pieces,
+           CAST(16 AS BIGINT) AS npts,
+           CAST(4 AS BIGINT) AS n_faces, CAST(4.0 AS DOUBLE) AS area
+    FROM customer
+"""
+
+
 def geo_sql_relate(spark, sf_dir):
     """ST_Relate on the raw-SQL surface (r9): the full DE-9IM matrix
     (geometry/relate.relate_matrix) over five topology classes of square
@@ -1886,6 +1938,7 @@ GEO_QUERIES = {
     "geo_sql_relate": geo_sql_relate,
     "geo_linemerge_chain": geo_linemerge_chain,
     "pg_polygonize": pg_polygonize,
+    "geo_node_polygonize": geo_node_polygonize,
     "geo_dbscan_points": geo_dbscan_points,
     "geo_knn_join": geo_knn_join,
     "geo_zonal_stats": geo_zonal_stats,
