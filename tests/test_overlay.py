@@ -1136,3 +1136,57 @@ class TestNodeLinework:
 
     def test_empty(self):
         assert self._nd("MULTIPOINT (0 0)") is None
+
+
+class TestArrangementPartition:
+    """Cross-kernel invariant: the bounded faces of the ARRANGEMENT of
+    two rectangles' boundaries (st_node -> st_polygonize) partition
+    exactly the region the boolean overlay computes — total face area ==
+    union area, for every topology (disjoint, touching, overlapping,
+    contained, equal). Ties the three r9 linework operators to the
+    audited overlay kernel with no shared code path."""
+
+    _coord = st.integers(min_value=-6, max_value=6).map(lambda v: v / 2.0)
+
+    @st.composite
+    def _rects(draw):
+        x0 = draw(TestArrangementPartition._coord)
+        y0 = draw(TestArrangementPartition._coord)
+        w = draw(st.integers(min_value=1, max_value=8))
+        h = draw(st.integers(min_value=1, max_value=8))
+        return (x0, y0, x0 + w / 2.0, y0 + h / 2.0)
+
+    @settings(max_examples=150, deadline=None)
+    @given(_rects(), _rects())
+    def test_faces_partition_union(self, ra, rb):
+        from xcube_geodb_spark.geometry.geom import Geometry
+        from xcube_geodb_spark.geometry.overlay import (
+            node_linework,
+            polygonize,
+        )
+
+        def rect_poly(r):
+            x0, y0, x1, y1 = r
+            return parse_wkt(
+                f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                f"{x0} {y1}, {x0} {y0}))"
+            )
+
+        def rect_edges(r):
+            x0, y0, x1, y1 = r
+            pts = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+            return [
+                Geometry(
+                    "LineString",
+                    np.asarray([pts[i], pts[i + 1]], dtype=np.float64),
+                )
+                for i in range(4)
+            ]
+
+        lines = Geometry(
+            "MultiLineString", rect_edges(ra) + rect_edges(rb)
+        )
+        faces = polygonize(node_linework(lines))
+        want = area(overlay(rect_poly(ra), rect_poly(rb), "union"))
+        assert faces is not None
+        assert area(faces) == pytest.approx(want, rel=1e-9)
