@@ -542,6 +542,39 @@ class TestShimLiteralSafety:
             "st_relate(g, st_geomfromtext('POINT (1 2)'), p)"
         ) == "st_relatematch(st_relate(g, st_geomfromtext('POINT (1 2)')), p)"
 
+    def test_knn_operator_rewrites(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        # PostGIS KNN distance operators -> distance expressions
+        assert f("geometry <-> st_point(1.5, 2.5)") == (
+            "st_distance(geometry, st_point(1.5, 2.5))"
+        )
+        assert f("a.geometry <#> b.geometry") == (
+            "st_distance(st_envelope(a.geometry), "
+            "st_envelope(b.geometry))"
+        )
+        # literal-bearing call operands survive (quote protection)
+        assert f("st_geomfromtext('POINT (1 2)') <-> g") == (
+            "st_distance(st_geomfromtext('POINT (1 2)'), g)"
+        )
+        # inside a wrapping call: surrounding commas/parens untouched
+        assert f("round(g <-> st_point(0.0, 0.0), 6)") == (
+            "round(st_distance(g, st_point(0.0, 0.0)), 6)"
+        )
+        # operator text inside a string literal is never rewritten
+        assert f("note = 'a <-> b'") == "note = 'a <-> b'"
+        # compound operands refuse loudly instead of rewriting wrong SQL
+        import pytest as _pytest
+
+        from xcube_geodb_spark.errors import GeoDBError
+
+        with _pytest.raises(GeoDBError, match="left operand"):
+            f("a || b <-> c")
+        with _pytest.raises(GeoDBError, match="right operand"):
+            f("a <-> b + 1")
+        with _pytest.raises(GeoDBError, match="operand shape"):
+            f("a <#> ")
+
     def test_array_containment_rewrites(self):
         from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
 

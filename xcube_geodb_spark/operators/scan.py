@@ -410,6 +410,60 @@ def _rewrite_containment(seg: str) -> str:
         seg = seg[:lstart] + repl + seg[m.end() + rend_rel:]
 
 
+_KNN_OP_RE = re.compile(r"<->|<#>")
+
+
+def _rewrite_knn_ops(seg: str) -> str:
+    """PostGIS KNN distance operators on literal-protected code:
+    ``a <-> b`` -> ``st_distance(a, b)`` (exact 2D distance, the
+    PostGIS 9.5+ geometry semantics) and ``a <#> b`` ->
+    ``st_distance(st_envelope(a), st_envelope(b))`` (bounding-box
+    distance). In PG these drive an index-assisted ``ORDER BY ...
+    LIMIT k`` walk; here the rewrite yields a plain distance expression
+    and Spark's LIMIT path compiles to TakeOrderedAndProject — a
+    map-side top-k per partition plus a k-row merge, the scale analogue
+    of the KNN index scan (no global sort at any SF). Compound operands
+    (``a || b <-> c``) refuse loudly rather than rewrite to silently
+    wrong SQL, mirroring the @>/<@ guard above.
+    Reference: the passthrough admits the operator form
+    (/root/reference/xcube_geodb/sql/geodb.sql:1147-1167)."""
+    while True:
+        m = _KNN_OP_RE.search(seg)
+        if not m:
+            return seg
+        op = m.group(0)
+        left = _operand_before(seg[: m.start()])
+        right = _operand_after(seg[m.end():])
+        if left is None or right is None:
+            raise GeoDBError(
+                f"Unsupported operand shape for {op}: operands must be "
+                "geometry columns, function calls, or geometry literals."
+            )
+        lhs, lstart = left
+        rhs, rend_rel = right
+        prefix = seg[:lstart].rstrip()
+        if prefix and prefix[-1] in "|&+-*/%^":
+            raise GeoDBError(
+                f"Unsupported operand shape for {op}: the left operand "
+                f"is a compound expression (... {prefix[-1]} {lhs}). "
+                "Parenthesize the operand."
+            )
+        suffix = seg[m.end() + rend_rel:].lstrip()
+        if suffix and suffix[0] in "|&+-*/%^":
+            raise GeoDBError(
+                f"Unsupported operand shape for {op}: the right operand "
+                f"is a compound expression ({rhs} {suffix[0]} ...). "
+                "Parenthesize the operand."
+            )
+        if op == "<->":
+            repl = f"st_distance({lhs}, {rhs})"
+        else:
+            repl = (
+                f"st_distance(st_envelope({lhs}), st_envelope({rhs}))"
+            )
+        seg = seg[:lstart] + repl + seg[m.end() + rend_rel:]
+
+
 _AGG_ORDER_RE = re.compile(r"\b(string_agg|array_agg)\s*\(", re.IGNORECASE)
 _ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 
@@ -712,6 +766,9 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
       not require duplicates in the hay — identical to PG)
     - ``expr [NOT] SIMILAR TO 'pat'`` -> anchored ``RLIKE`` with the
       SIMILAR TO pattern translated (% -> .*, _ -> .; period is literal)
+    - ``a <-> b`` / ``a <#> b`` (PostGIS KNN distance operators) ->
+      ``st_distance(a, b)`` / envelope distance; with ``LIMIT k`` Spark
+      compiles the ORDER BY form to TakeOrderedAndProject (top-k)
 
     Spark-native PG-isms (``ILIKE``, ``||``, ``IS DISTINCT FROM``) pass
     through untouched, and string-literal CONTENTS are never rewritten.
@@ -782,7 +839,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_agg = bool(_AGG_ORDER_RE.search(out))
     need_spagg = bool(_SPATIAL_AGG_RE.search(out))
     need_rel3 = bool(_RELATE3_RE.search(out))
-    if need_cont or need_agg or need_spagg or need_rel3:
+    need_knn = bool(_KNN_OP_RE.search(out))
+    if need_cont or need_agg or need_spagg or need_rel3 or need_knn:
         # these operands/arg-lists may span literal segments: protect
         # literals behind identifier-shaped placeholders, rewrite on the
         # joined code, then restore — literal contents stay byte-identical
@@ -794,6 +852,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
         )
         if need_cont:
             protected = _rewrite_containment(protected)
+        if need_knn:
+            protected = _rewrite_knn_ops(protected)
         if need_agg:
             protected = _rewrite_agg_orderby(protected)
         if need_spagg:

@@ -1848,6 +1848,56 @@ GEO_ORACLES["pg_spatial_agg"] = """
 """
 
 
+def pg_knn_operator(spark, sf_dir):
+    """PostGIS KNN distance operators ``<->`` / ``<#>`` through the pg
+    dialect shim (operators/scan._rewrite_knn_ops — the reference
+    passthrough admits the operator form, geodb.sql:1147-1167): the 40
+    customer squares nearest POINT(-20 30), the distance appearing both
+    as the ORDER BY key and as projected columns. ``<#>`` (bounding-box
+    distance) is pinned by the same closed form because an axis-aligned
+    square IS its own envelope. ``ORDER BY geom <-> q LIMIT k`` compiles
+    to TakeOrderedAndProject — a map-side top-k per partition plus a
+    k-row merge, the scale analogue of PG's KNN index walk (no global
+    sort at any SF). Oracle: point-to-box distance
+    hypot(max(|px-x|-h, 0), max(|py-y|-h, 0))."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("knn_sq")
+    sql = build_pg_sql(
+        "knn_sq",
+        select=(
+            "c_custkey, "
+            "round(geometry <-> st_geomfromtext('POINT (-20 30)'), 6) "
+            "AS dist, "
+            "round(geometry <#> st_geomfromtext('POINT (-20 30)'), 6) "
+            "AS bdist"
+        ),
+        order="geometry <-> st_geomfromtext('POINT (-20 30)'), c_custkey",
+        limit=40,
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["pg_knn_operator"] = f"""
+    SELECT c_custkey,
+           round(sqrt(greatest(abs(-20 - x) - h, 0)
+                      * greatest(abs(-20 - x) - h, 0)
+                      + greatest(abs(30 - y) - h, 0)
+                      * greatest(abs(30 - y) - h, 0)), 6) AS dist,
+           round(sqrt(greatest(abs(-20 - x) - h, 0)
+                      * greatest(abs(-20 - x) - h, 0)
+                      + greatest(abs(30 - y) - h, 0)
+                      * greatest(abs(30 - y) - h, 0)), 6) AS bdist
+    FROM ({_SQS})
+    ORDER BY dist, c_custkey
+    LIMIT 40
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -1900,6 +1950,7 @@ GEO_QUERIES = {
     "geo_sql_join_intersects": geo_sql_join_intersects,
     "geo_sql_geom_modes": geo_sql_geom_modes,
     "pg_spatial_agg": pg_spatial_agg,
+    "pg_knn_operator": pg_knn_operator,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
