@@ -828,6 +828,40 @@ class TestSpatialAggShim:
         with pytest.raises(GeoDBError, match="meaningless"):
             f("st_extent(g ORDER BY k)")
 
+    def test_makeline_rewrite_shapes(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("st_makeline(geometry)") == (
+            "st_makeline_agg(collect_list(geometry))"
+        )
+        out = f("st_makeline(g ORDER BY k)")
+        assert out.startswith("st_makeline_agg(transform(")
+        assert "sort_array" in out
+        # the scalar two-argument PostGIS form passes through untouched
+        assert f("st_makeline(a, b)") == "st_makeline(a, b)"
+
+    def test_make_line_kernel(self):
+        from xcube_geodb_spark.geometry.geom import (
+            make_line, parse_wkt, to_wkt,
+        )
+
+        pts = [parse_wkt("POINT (0 0)"), parse_wkt("POINT (1 0)"),
+               parse_wkt("POINT (1 1)")]
+        assert to_wkt(make_line(pts)) == "LINESTRING (0 0, 1 0, 1 1)"
+        # LineString and MultiPoint members concatenate in order;
+        # duplicate consecutive vertices are preserved (PG semantics)
+        mixed = [parse_wkt("LINESTRING (0 0, 1 0)"),
+                 parse_wkt("POINT (1 0)"),
+                 parse_wkt("MULTIPOINT ((2 0), (3 0))")]
+        assert to_wkt(make_line(mixed)) == (
+            "LINESTRING (0 0, 1 0, 1 0, 2 0, 3 0)"
+        )
+        # None members skipped; < 2 vertices -> None (documented deviation)
+        assert make_line([None, parse_wkt("POINT (5 5)")]) is None
+        assert make_line([]) is None
+        with pytest.raises(GeoDBError, match="unsupported input"):
+            make_line([parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 0))")])
+
     def test_sql_union_agg_matches_dissolve_api(self, spark):
         """Byte-parity: ST_Union(geometry) GROUP BY through the shim and
         the Python-API dissolve() fold the SAME union_all kernel — the

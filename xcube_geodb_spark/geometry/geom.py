@@ -1838,6 +1838,40 @@ def boundary(geom: Geometry) -> Geometry | None:
     return None
 
 
+def make_line(geoms: list["Geometry"]) -> Geometry | None:
+    """PostGIS ``ST_MakeLine``: concatenate Point / MultiPoint /
+    LineString coordinates in INPUT ORDER into one LineString (the
+    trajectory-building aggregate — reference passthrough admits the
+    SQL form, geodb.sql:1147-1167). Duplicate consecutive vertices are
+    preserved exactly as PG does; other kinds raise; fewer than two
+    resulting vertices -> None (PG would emit a degenerate single-point
+    line that nothing downstream accepts — DOCUMENTED DEVIATION,
+    COVERAGE.md)."""
+    coords: list[np.ndarray] = []
+    srid = 0
+    for g in geoms:
+        if g is None:
+            continue
+        srid = srid or g.srid
+        if g.kind == "Point":
+            coords.append(g.parts.reshape(1, 2))
+        elif g.kind == "LineString":
+            coords.append(g.parts)
+        elif g.kind == "MultiPoint":
+            coords.extend(p.parts.reshape(1, 2) for p in g.parts)
+        else:
+            raise GeoDBError(
+                f"st_makeline: unsupported input kind {g.kind} (PostGIS "
+                "accepts Point, MultiPoint and LineString)"
+            )
+    if not coords:
+        return None
+    arr = np.concatenate(coords, axis=0)
+    if len(arr) < 2:
+        return None
+    return Geometry("LineString", np.ascontiguousarray(arr, dtype=np.float64), srid)
+
+
 def line_merge(geom: Geometry) -> Geometry | None:
     """``ST_LineMerge``: sew the input's linework together wherever
     exactly two line ends meet (the GEOS LineMerger contract): chains

@@ -920,8 +920,27 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
         g = collect_members([parse_wkb(bytes(b)) for b in arr if b is not None])
         return to_wkb_seeded(g) if g is not None else None
 
+    def _makeline_agg(arr):
+        if arr is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import make_line
+
+        g = make_line([parse_wkb(bytes(b)) for b in arr if b is not None])
+        return to_wkb_seeded(g) if g is not None else None
+
+    def _makeline2(a, b):
+        # the scalar two-argument PostGIS form (point/line pairs)
+        if a is None or b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import make_line
+
+        g = make_line([parse_wkb(bytes(a)), parse_wkb(bytes(b))])
+        return to_wkb_seeded(g) if g is not None else None
+
     _register("st_union_agg", _union_agg, T.BinaryType())
     _register("st_collect_agg", _collect_agg, T.BinaryType())
+    _register("st_makeline_agg", _makeline_agg, T.BinaryType())
+    _register("st_makeline", _makeline2, T.BinaryType())
 
     def _transform(b: bytes, from_srid: int, to_srid: int):
         if b is None:

@@ -609,7 +609,8 @@ def _rewrite_agg_orderby(code: str) -> str:
 
 
 _SPATIAL_AGG_RE = re.compile(
-    r"\b(st_union|st_collect|st_extent|st_polygonize)\s*\(", re.IGNORECASE
+    r"\b(st_union|st_collect|st_extent|st_polygonize|st_makeline)\s*\(",
+    re.IGNORECASE,
 )
 
 
@@ -626,6 +627,10 @@ def _rewrite_spatial_aggs(code: str) -> str:
     - ``st_collect(g)`` -> ``st_collect_agg(collect_list(g))``; an
       aggregate-internal ``ORDER BY`` is honored via the same
       struct-sort as array_agg
+    - ``st_makeline(g [ORDER BY k])`` -> ``st_makeline_agg(...)`` (the
+      trajectory-building aggregate; coordinates concatenate in the
+      ORDER BY order — without one the order is whatever the executors
+      deliver, exactly PG's unordered-aggregate caveat)
 
     Two-argument ``st_union(a, b)`` / ``st_collect(a, b)`` are the scalar
     forms and pass through untouched. Like PostGIS' ST_Union aggregate, a
@@ -692,8 +697,12 @@ def _rewrite_spatial_aggs(code: str) -> str:
                     "order-independent; drop the ORDER BY"
                 )
             keys, any_explicit = _split_order_keys(args[ob.end():].strip())
+            agg_fn = (
+                "st_makeline_agg" if fname == "st_makeline"
+                else "st_collect_agg"
+            )
             repl = (
-                f"st_collect_agg(transform("
+                f"{agg_fn}(transform("
                 f"{_ordered_collect_expr(keys, any_explicit, head)}"
                 f", s -> s.__v))"
             )

@@ -1898,6 +1898,68 @@ GEO_ORACLES["pg_knn_operator"] = f"""
 """
 
 
+def pg_makeline_traj(spark, sf_dir):
+    """PostGIS ``ST_MakeLine(geom ORDER BY k)`` — the everyday
+    trajectory-building aggregate — through the pg dialect shim
+    (operators/scan._rewrite_spatial_aggs -> geom.make_line): per group
+    of 25 the customer points become one LineString ordered by custkey.
+    The ordered collect is the same struct-sort as array_agg ORDER BY —
+    one hash shuffle on the group key, map-side combining, no global
+    sort. Oracle: vertex count = group size, start/end = the min/max
+    custkey's closed-form coordinates, and the length replayed as a
+    lag-window sum of consecutive point distances (round 4 absorbs the
+    two engines' summation-association difference; see geo.py header
+    for the coordinate grid)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _points(spark, sf_dir).select(
+        (F.col("c_custkey") % 25).alias("grp"), "c_custkey", "geometry"
+    ).createOrReplaceTempView("traj_pts")
+    sql = build_pg_sql(
+        "traj_pts",
+        select=(
+            "grp, "
+            "st_npoints(st_makeline(geometry ORDER BY c_custkey)) "
+            "AS n_pts, "
+            "round(st_length(st_makeline(geometry ORDER BY c_custkey)), 4) "
+            "AS traj_len, "
+            "round(st_x(st_startpoint("
+            "st_makeline(geometry ORDER BY c_custkey))), 2) AS x0, "
+            "round(st_y(st_endpoint("
+            "st_makeline(geometry ORDER BY c_custkey))), 2) AS y1"
+        ),
+        group="grp",
+        order="grp",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["pg_makeline_traj"] = f"""
+    WITH pts AS (
+        SELECT c_custkey % 25 AS grp, c_custkey, x, y FROM ({_PTS})
+    ),
+    seg AS (
+        SELECT grp, c_custkey, x, y,
+               x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy,
+               row_number() OVER w AS rn,
+               count(*) OVER (PARTITION BY grp) AS n
+        FROM pts
+        WINDOW w AS (PARTITION BY grp ORDER BY c_custkey)
+    )
+    SELECT grp,
+           CAST(max(n) AS INT) AS n_pts,
+           round(sum(sqrt(dx * dx + dy * dy)), 4) AS traj_len,
+           round(max(CASE WHEN rn = 1 THEN x END), 2) AS x0,
+           round(max(CASE WHEN rn = n THEN y END), 2) AS y1
+    FROM seg
+    GROUP BY grp
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -1951,6 +2013,7 @@ GEO_QUERIES = {
     "geo_sql_geom_modes": geo_sql_geom_modes,
     "pg_spatial_agg": pg_spatial_agg,
     "pg_knn_operator": pg_knn_operator,
+    "pg_makeline_traj": pg_makeline_traj,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
