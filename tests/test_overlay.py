@@ -862,6 +862,48 @@ class TestSpatialAggShim:
         with pytest.raises(GeoDBError, match="unsupported input"):
             make_line([parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 0))")])
 
+    def test_split_geometry_kernel(self):
+        from xcube_geodb_spark.geometry.geom import area, parse_wkt, to_wkt
+        from xcube_geodb_spark.geometry.overlay import split_geometry
+
+        p = parse_wkt("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+        out = split_geometry(p, parse_wkt("LINESTRING (1 -1, 1 3)"))
+        assert out.kind == "MultiPolygon" and len(out.parts) == 2
+        assert sorted(round(area(m), 9) for m in out.parts) == [2.0, 6.0]
+        assert abs(area(out) - 8.0) < 1e-9
+        # blade misses -> input unchanged
+        assert to_wkt(
+            split_geometry(p, parse_wkt("LINESTRING (10 0, 10 5)"))
+        ) == to_wkt(p)
+        # hole polygon: blade through the hole; total area preserved
+        ph = parse_wkt(
+            "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), "
+            "(2 2, 4 2, 4 4, 2 4, 2 2))"
+        )
+        out = split_geometry(ph, parse_wkt("LINESTRING (3 -1, 3 7)"))
+        assert out.kind == "MultiPolygon" and len(out.parts) == 2
+        assert abs(area(out) - 32.0) < 1e-6
+        # line by line / by interior point / by interior vertex
+        line = parse_wkt("LINESTRING (0 0, 2 0, 4 0)")
+        out = split_geometry(line, parse_wkt("LINESTRING (1 -1, 1 1)"))
+        assert to_wkt(out) == "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0, 4 0))"
+        out = split_geometry(line, parse_wkt("POINT (3 0)"))
+        assert to_wkt(out) == "MULTILINESTRING ((0 0, 2 0, 3 0), (3 0, 4 0))"
+        out = split_geometry(line, parse_wkt("LINESTRING (2 -1, 2 1)"))
+        assert to_wkt(out) == "MULTILINESTRING ((0 0, 2 0), (2 0, 4 0))"
+        # endpoint touches never split
+        assert to_wkt(
+            split_geometry(line, parse_wkt("POINT (0 0)"))
+        ) == to_wkt(line)
+        # collinear-overlap blade refuses (PostGIS/GEOS behavior)
+        with pytest.raises(GeoDBError, match="collinear"):
+            split_geometry(line, parse_wkt("LINESTRING (1 0, 3 0)"))
+        # unsupported kind pairs refuse
+        with pytest.raises(GeoDBError, match="needs a lineal blade"):
+            split_geometry(p, parse_wkt("POINT (1 1)"))
+        with pytest.raises(GeoDBError, match="unsupported input"):
+            split_geometry(parse_wkt("POINT (0 0)"), line)
+
     def test_sql_union_agg_matches_dissolve_api(self, spark):
         """Byte-parity: ST_Union(geometry) GROUP BY through the shim and
         the Python-API dissolve() fold the SAME union_all kernel — the

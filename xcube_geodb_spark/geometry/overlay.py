@@ -1240,3 +1240,209 @@ def node_linework(geom: Geometry | None) -> Geometry | None:
         out.srid = geom.srid
         return out
     return Geometry("MultiLineString", members, geom.srid)
+
+
+def _cut_params(p, q, blade_segs, blade_pts, tol) -> list[float]:
+    """Parameters t in (0, 1) where segment p->q is cut by the blade:
+    proper crossings with blade segments, plus blade points lying on the
+    open segment. Collinear-overlapping blade segments raise — PostGIS
+    (GEOS) likewise refuses a blade that shares a linear piece with the
+    input rather than inventing an arbitrary cut."""
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    out: list[float] = []
+    for b0, b1 in blade_segs:
+        ex, ey = b1[0] - b0[0], b1[1] - b0[1]
+        denom = dx * ey - dy * ex
+        wx, wy = b0[0] - p[0], b0[1] - p[1]
+        if abs(denom) <= tol * tol:
+            # parallel: collinear overlap is the only way they can meet
+            cross = wx * dy - wy * dx
+            if abs(cross) <= tol * max(1.0, abs(dx) + abs(dy)):
+                ll = dx * dx + dy * dy
+                if ll > 0:
+                    t0 = (wx * dx + wy * dy) / ll
+                    t1 = ((b1[0] - p[0]) * dx + (b1[1] - p[1]) * dy) / ll
+                    if min(t0, t1) < 1 - 1e-12 and max(t0, t1) > 1e-12:
+                        raise GeoDBError(
+                            "st_split: blade is collinear with the input "
+                            "over a linear piece; no unique split exists"
+                        )
+            continue
+        t = (wx * ey - wy * ex) / denom
+        s = (wx * dy - wy * dx) / denom
+        if 1e-12 < t < 1 - 1e-12 and -1e-12 <= s <= 1 + 1e-12:
+            out.append(float(t))
+    ll = math.hypot(dx, dy)
+    if ll > 0:
+        for bx, by in blade_pts:
+            t = ((bx - p[0]) * dx + (by - p[1]) * dy) / (ll * ll)
+            if 1e-12 < t < 1 - 1e-12:
+                px, py = p[0] + t * dx, p[1] + t * dy
+                if math.hypot(px - bx, py - by) <= tol:
+                    out.append(float(t))
+    return sorted(set(out))
+
+
+def _blade_hits_vertex(v, blade_segs, blade_pts, tol) -> bool:
+    """Does the blade pass through vertex v (segment interior or blade
+    point)? Cuts at existing vertices break the chain without inserting
+    a coordinate."""
+    vx, vy = float(v[0]), float(v[1])
+    for bx, by in blade_pts:
+        if math.hypot(vx - bx, vy - by) <= tol:
+            return True
+    for b0, b1 in blade_segs:
+        ex, ey = b1[0] - b0[0], b1[1] - b0[1]
+        ll = math.hypot(ex, ey)
+        if ll == 0:
+            continue
+        t = ((vx - b0[0]) * ex + (vy - b0[1]) * ey) / (ll * ll)
+        if -1e-12 <= t <= 1 + 1e-12:
+            px, py = b0[0] + t * ex, b0[1] + t * ey
+            if math.hypot(vx - px, vy - py) <= tol:
+                return True
+    return False
+
+
+def _split_one_line(arr: np.ndarray, blade_segs, blade_pts, tol):
+    """Split one LineString's coordinate path at every blade cut, in
+    path order. Endpoint touches do not split (PostGIS semantics)."""
+    pieces: list[list] = []
+    cur: list = [arr[0]]
+    n = len(arr)
+    for i in range(n - 1):
+        p, q = arr[i], arr[i + 1]
+        for t in _cut_params(p, q, blade_segs, blade_pts, tol):
+            pt = np.array(
+                [p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1])],
+                dtype=np.float64,
+            )
+            cur.append(pt)
+            pieces.append(cur)
+            cur = [pt]
+        cur.append(q.copy())
+        # an interior VERTEX on the blade breaks the chain there
+        if i + 1 < n - 1 and _blade_hits_vertex(q, blade_segs, blade_pts, tol):
+            pieces.append(cur)
+            cur = [q.copy()]
+    pieces.append(cur)
+    return [
+        np.asarray(piece, dtype=np.float64)
+        for piece in pieces
+        if len(piece) >= 2
+    ]
+
+
+def split_geometry(
+    geom: Geometry | None, blade: Geometry | None
+) -> Geometry | None:
+    """``ST_Split(input, blade)`` — the supported PostGIS shapes:
+    (Multi)Polygon by lineal blade, (Multi)LineString by lineal blade,
+    and (Multi)LineString by (Multi)Point blade.
+
+    Polygon-by-line reuses the arrangement machinery the overlay kernel
+    already trusts: the polygon boundary plus the blade linework is
+    noded (:func:`node_linework`) and polygonized (:func:`polygonize` —
+    the sharpest-clockwise face tracer), then only the faces whose
+    interior point lies inside the INPUT polygon survive; a blade that
+    misses returns the input unchanged (PostGIS: a collection holding
+    the input). Line splitting cuts the coordinate path in path order at
+    proper blade crossings and at blade points on segment interiors or
+    interior vertices — endpoint touches do not split, and a blade
+    collinear with the input over a linear piece raises, both PostGIS
+    behaviors.
+
+    Returns the homogeneous Multi* spelling of PostGIS'
+    GEOMETRYCOLLECTION (single-piece results stay single — st_dump
+    parity preserved through st_numgeometries/st_geometryn); unsupported
+    kind pairs raise GeoDBError."""
+    if geom is None or blade is None:
+        return None
+    in_kinds = {leaf.kind for leaf in geom.children()}
+    blade_kinds = {leaf.kind for leaf in blade.children()}
+    blade_segs: list[tuple[tuple[float, float], tuple[float, float]]] = []
+    blade_pts: list[tuple[float, float]] = []
+    for leaf in blade.children():
+        if leaf.kind == "LineString":
+            arr = np.asarray(leaf.parts, dtype=np.float64)
+            for i in range(len(arr) - 1):
+                p = (float(arr[i, 0]), float(arr[i, 1]))
+                q = (float(arr[i + 1, 0]), float(arr[i + 1, 1]))
+                if p != q:
+                    blade_segs.append((p, q))
+        elif leaf.kind == "Point":
+            blade_pts.append((float(leaf.parts[0]), float(leaf.parts[1])))
+
+    if in_kinds <= {"Polygon"}:
+        if not blade_kinds <= {"LineString"}:
+            raise GeoDBError(
+                "st_split: a polygon input needs a lineal blade "
+                f"(got {sorted(blade_kinds)})"
+            )
+        from xcube_geodb_spark.geometry.geom import (
+            boundary,
+            point_on_surface,
+        )
+
+        linework: list[Geometry] = []
+        b = boundary(geom)
+        if b is not None:
+            linework.extend(
+                Geometry("LineString", leaf.parts) for leaf in b.children()
+            )
+        linework.extend(
+            Geometry("LineString", leaf.parts)
+            for leaf in blade.children()
+            if leaf.kind == "LineString"
+        )
+        noded = node_linework(
+            Geometry("GeometryCollection", linework, geom.srid)
+        )
+        faces = polygonize(noded)
+        if faces is None:
+            return geom
+        polys = _polygons_of(geom)
+        kept = []
+        for face in faces.children():
+            fx, fy = point_on_surface(face)
+            if any(_point_in_rings(fx, fy, rings) for rings in polys):
+                kept.append(face)
+        if not kept:
+            return geom
+        if len(kept) == 1:
+            out = kept[0]
+            out.srid = geom.srid
+            return out
+        return Geometry("MultiPolygon", kept, geom.srid)
+
+    if in_kinds <= {"LineString"}:
+        if not blade_segs and not blade_pts:
+            raise GeoDBError(
+                "st_split: a line input needs a lineal or point blade "
+                f"(got {sorted(blade_kinds)})"
+            )
+        scale = 1.0
+        for leaf in geom.children():
+            arr = np.asarray(leaf.parts, dtype=np.float64)
+            if len(arr):
+                scale = max(scale, float(np.abs(arr).max()))
+        tol = scale * 1e-9
+        members = []
+        for leaf in geom.children():
+            arr = np.asarray(leaf.parts, dtype=np.float64)
+            if len(arr) < 2:
+                continue
+            for piece in _split_one_line(arr, blade_segs, blade_pts, tol):
+                members.append(Geometry("LineString", piece))
+        if not members:
+            return None
+        if len(members) == 1:
+            out = members[0]
+            out.srid = geom.srid
+            return out
+        return Geometry("MultiLineString", members, geom.srid)
+
+    raise GeoDBError(
+        f"st_split: unsupported input kinds {sorted(in_kinds)} (supported: "
+        "polygon by line, line by line, line by point)"
+    )

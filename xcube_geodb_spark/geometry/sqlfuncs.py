@@ -418,6 +418,38 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_linemerge", _linemerge_sql, T.BinaryType())
 
+    def _split_sql(a, b):
+        if a is None or b is None:
+            return None
+        from xcube_geodb_spark.geometry.overlay import split_geometry
+
+        out = split_geometry(parse_wkb(a), parse_wkb(bytes(b)))
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_split", _split_sql, T.BinaryType())
+
+    def _geometryn(b, n):
+        """1-based member of a Multi*/GeometryCollection (PostGIS
+        ST_GeometryN); the geometry itself for n=1 on singles; NULL
+        off-range."""
+        if b is None or n is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import Geometry as _G
+
+        g = parse_wkb(b)
+        n = int(n)
+        if g.kind in (
+            "MultiPoint", "MultiLineString", "MultiPolygon",
+            "GeometryCollection",
+        ):
+            if not 1 <= n <= len(g.parts):
+                return None
+            out = g.parts[n - 1]
+            return to_wkb_seeded(_G(out.kind, out.parts, g.srid))
+        return to_wkb_seeded(g) if n == 1 else None
+
+    _register("st_geometryn", _geometryn, T.BinaryType())
+
     def _relate_sql(a, b):
         if a is None or b is None:
             return None

@@ -1960,6 +1960,53 @@ GEO_ORACLES["pg_makeline_traj"] = f"""
 """
 
 
+def geo_split_blade(spark, sf_dir):
+    """``ST_Split`` on the raw-SQL surface (overlay.split_geometry — the
+    polygon-by-line arrangement path, reusing the noding + face tracer
+    the overlay kernel trusts): every customer square is split by a
+    vertical blade at x + h/2, built per-row with the scalar
+    ``st_makeline(st_point, st_point)``. Closed form: two pieces, left
+    one 1.5h x 2h = 3h^2, total 4h^2 (round 3 absorbs the noding
+    lattice's 1e-9-scale snap); member order is the face tracer's
+    leftmost-first sort, so st_geometryn(.., 1) IS the left piece."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("split_sq")
+    sql = build_pg_sql(
+        "split_sq",
+        select=(
+            "c_custkey, "
+            "st_numgeometries(st_split(geometry, "
+            "st_makeline(st_point(x + h / 2, y - h - 1), "
+            "st_point(x + h / 2, y + h + 1)))) AS n_pieces, "
+            "round(st_area(st_split(geometry, "
+            "st_makeline(st_point(x + h / 2, y - h - 1), "
+            "st_point(x + h / 2, y + h + 1)))), 3) AS total_area, "
+            "round(st_area(st_geometryn(st_split(geometry, "
+            "st_makeline(st_point(x + h / 2, y - h - 1), "
+            "st_point(x + h / 2, y + h + 1))), 1)), 3) AS left_area"
+        ),
+        where="c_custkey % 10 = 3",
+        order="c_custkey",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["geo_split_blade"] = f"""
+    SELECT c_custkey,
+           2 AS n_pieces,
+           round(4 * h * h, 3) AS total_area,
+           round(3 * h * h, 3) AS left_area
+    FROM ({_SQS})
+    WHERE c_custkey % 10 = 3
+    ORDER BY c_custkey
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -2014,6 +2061,7 @@ GEO_QUERIES = {
     "pg_spatial_agg": pg_spatial_agg,
     "pg_knn_operator": pg_knn_operator,
     "pg_makeline_traj": pg_makeline_traj,
+    "geo_split_blade": geo_split_blade,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
