@@ -1,0 +1,91 @@
+"""Delaunay triangulation kernel (geometry/triangulate.py).
+
+The oracle-grade invariants: for ANY valid triangulation of n distinct
+sites whose hull has h boundary sites, T = 2n - 2 - h and the triangles
+tile the hull (area sum = hull area, no overlaps) — robust to
+cocircular tie-breaking, which is exactly what the degenerate fixtures
+here exercise.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from xcube_geodb_spark.geometry.geom import area, parse_wkt, to_wkt
+from xcube_geodb_spark.geometry.triangulate import delaunay_geometry
+
+
+def _multipoint(pts):
+    return parse_wkt(
+        "MULTIPOINT (" + ", ".join(f"({x:.17g} {y:.17g})" for x, y in pts) + ")"
+    )
+
+
+class TestDelaunay:
+    def test_square_corners(self):
+        out = delaunay_geometry(
+            parse_wkt("MULTIPOINT ((0 0), (1 0), (1 1), (0 1))")
+        )
+        assert out.kind == "MultiPolygon" and len(out.parts) == 2
+        assert abs(area(out) - 1.0) < 1e-12
+
+    def test_euler_counts_generic(self):
+        rng = np.random.default_rng(11)
+        pts = [tuple(p) for p in rng.random((50, 2)) * 8 + 1]
+        pts += [(0, 0), (10, 0), (10, 10), (0, 10)]
+        out = delaunay_geometry(_multipoint(pts))
+        n, h = 54, 4
+        assert len(out.parts) == 2 * n - 2 - h
+        assert abs(area(out) - 100.0) < 1e-6
+        assert min(area(m) for m in out.parts) > 0
+        # edges form: Euler E = T + n - 1
+        e = delaunay_geometry(_multipoint(pts), flags=1)
+        assert len(e.parts) == len(out.parts) + n - 1
+
+    def test_degenerate_grid_cocircular(self):
+        # a 5x5 integer lattice is maximally cocircular; the count
+        # formula holds for any valid triangulation regardless of ties
+        pts = [(x, y) for x in range(5) for y in range(5)]
+        out = delaunay_geometry(_multipoint(pts))
+        n, h = 25, 16
+        assert len(out.parts) == 2 * n - 2 - h
+        assert abs(area(out) - 16.0) < 1e-9
+
+    def test_cocircular_ring(self):
+        ring = [
+            (math.cos(2 * math.pi * k / 12), math.sin(2 * math.pi * k / 12))
+            for k in range(12)
+        ]
+        out = delaunay_geometry(_multipoint(ring))
+        assert len(out.parts) == 2 * 12 - 2 - 12
+        assert abs(area(out) - 12 * 0.5 * math.sin(2 * math.pi / 12)) < 1e-9
+
+    def test_degenerate_inputs(self):
+        assert delaunay_geometry(None) is None
+        assert delaunay_geometry(parse_wkt("POINT (1 1)")) is None
+        assert (
+            delaunay_geometry(parse_wkt("MULTIPOINT ((0 0), (1 1), (2 2))"))
+            is None
+        )
+
+    def test_duplicate_sites_dedup(self):
+        out = delaunay_geometry(
+            parse_wkt("MULTIPOINT ((0 0), (0 0), (1 0), (1 1), (1 1))")
+        )
+        assert len(out.parts) == 1
+        assert abs(area(out) - 0.5) < 1e-12
+
+    def test_deterministic(self):
+        rng = np.random.default_rng(3)
+        pts = [tuple(p) for p in rng.random((30, 2)) * 100]
+        g = _multipoint(pts)
+        assert to_wkt(delaunay_geometry(g)) == to_wkt(delaunay_geometry(g))
+
+    def test_polygon_input_uses_vertices(self):
+        # PostGIS triangulates the input's vertices whatever the kind
+        out = delaunay_geometry(
+            parse_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        )
+        assert len(out.parts) == 2
+        assert abs(area(out) - 4.0) < 1e-12

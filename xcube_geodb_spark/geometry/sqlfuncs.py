@@ -450,6 +450,28 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_geometryn", _geometryn, T.BinaryType())
 
+    def _delaunay(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.triangulate import delaunay_geometry
+
+        out = delaunay_geometry(parse_wkb(b))
+        return to_wkb_seeded(out) if out is not None else None
+
+    def _delaunay_edges(b):
+        # PostGIS spells this ST_DelaunayTriangles(g, 0.0, 1); Spark UDF
+        # registration is fixed-arity, so the flags=1 form gets its own
+        # name (documented dialect spelling, COVERAGE.md)
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.triangulate import delaunay_geometry
+
+        out = delaunay_geometry(parse_wkb(b), flags=1)
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_delaunaytriangles", _delaunay, T.BinaryType())
+    _register("st_delaunayedges", _delaunay_edges, T.BinaryType())
+
     def _relate_sql(a, b):
         if a is None or b is None:
             return None

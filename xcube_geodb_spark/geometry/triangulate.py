@@ -1,0 +1,167 @@
+"""Delaunay triangulation (``ST_DelaunayTriangles``).
+
+Bowyer–Watson incremental insertion over the distinct vertices of the
+input geometry — the classic algorithm (Bowyer 1981 / Watson 1981,
+Computer Journal 24), implemented with numpy float64 arithmetic and a
+scale-relative tolerance on the in-circumcircle determinant so
+near-degenerate (almost-cocircular) sites resolve deterministically.
+
+The public seam mirrors PostGIS: every triangle of the triangulation of
+the input's distinct vertices is returned; ``flags=1`` returns the
+unique edges as a MultiLineString instead. Reference surface:
+``ST_DelaunayTriangles(g)`` is admitted by the raw-SQL passthrough
+(/root/reference/xcube_geodb/sql/geodb.sql:1147-1167).
+
+Determinism: sites are sorted lexicographically before insertion and
+the output triangles sort by (min vertex, next vertex), so the same
+input bytes always produce the same WKB — required by the engine's
+oracle-gate contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from xcube_geodb_spark.geometry.geom import Geometry, _all_vertices
+
+
+def _circumcircle_test(ax, ay, bx, by, cx, cy, px, py, tol) -> bool:
+    """Is p strictly inside the circumcircle of (a, b, c)? The standard
+    3x3 lifted determinant; (a, b, c) must be counter-clockwise. |det|
+    <= tol counts as OUTSIDE, so cocircular ties never cascade."""
+    adx, ady = ax - px, ay - py
+    bdx, bdy = bx - px, by - py
+    cdx, cdy = cx - px, cy - py
+    det = (
+        (adx * adx + ady * ady) * (bdx * cdy - cdx * bdy)
+        - (bdx * bdx + bdy * bdy) * (adx * cdy - cdx * ady)
+        + (cdx * cdx + cdy * cdy) * (adx * bdy - bdx * ady)
+    )
+    return det > tol
+
+
+def _delaunay_sites(geom: Geometry) -> np.ndarray:
+    pts = _all_vertices(geom)
+    if len(pts) == 0:
+        return pts.reshape(0, 2)
+    # exact dedup + lexicographic sort: the deterministic insertion order
+    uniq = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    return uniq
+
+
+def delaunay_triangulation(
+    sites: np.ndarray,
+) -> list[tuple[int, int, int]]:
+    """Bowyer–Watson over (n, 2) sites (pre-sorted, deduped). Returns
+    index triples, each counter-clockwise."""
+    n = len(sites)
+    if n < 3:
+        return []
+    xmin, ymin = sites.min(axis=0)
+    xmax, ymax = sites.max(axis=0)
+    span = max(xmax - xmin, ymax - ymin, 1e-300)
+    # in-circle tolerance: det scales like length^4
+    tol = (1e-9 * span) * span * span * span
+    # super-triangle far enough out that its circumcircles cover all sites
+    cx0, cy0 = (xmin + xmax) / 2.0, (ymin + ymax) / 2.0
+    m = 64.0 * span
+    sup = np.array(
+        [[cx0 - 2 * m, cy0 - m], [cx0 + 2 * m, cy0 - m], [cx0, cy0 + 2 * m]],
+        dtype=np.float64,
+    )
+    pts = np.vstack([sites, sup])
+    s0, s1, s2 = n, n + 1, n + 2
+    tris: set[tuple[int, int, int]] = {(s0, s1, s2)}
+
+    def _ccw(t):
+        a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    for i in range(n):
+        px, py = pts[i]
+        bad = []
+        for t in tris:
+            a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+            if _circumcircle_test(
+                a[0], a[1], b[0], b[1], c[0], c[1], px, py, tol
+            ):
+                bad.append(t)
+        if not bad:
+            # numerically outside every circumcircle (should not happen
+            # inside the super-triangle) — skip rather than corrupt
+            continue
+        # boundary of the union of bad triangles: edges seen exactly once
+        edge_count: dict[tuple[int, int], int] = {}
+        edge_dir: dict[tuple[int, int], tuple[int, int]] = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (e[0], e[1]) if e[0] < e[1] else (e[1], e[0])
+                edge_count[k] = edge_count.get(k, 0) + 1
+                edge_dir[k] = e
+        for t in bad:
+            tris.discard(t)
+        for k, cnt in edge_count.items():
+            if cnt == 1:
+                u, v = edge_dir[k]
+                t = (u, v, i)
+                # keep counter-clockwise orientation
+                if _ccw(t) < 0:
+                    t = (v, u, i)
+                tris.add(t)
+    out = []
+    for t in tris:
+        if t[0] < n and t[1] < n and t[2] < n:
+            # canonical rotation: smallest index first, orientation kept
+            j = t.index(min(t))
+            out.append((t[j], t[(j + 1) % 3], t[(j + 2) % 3]))
+    out.sort()
+    return out
+
+
+def delaunay_geometry(
+    geom: Geometry | None, flags: int = 0
+) -> Geometry | None:
+    """``ST_DelaunayTriangles(g[, tolerance, flags])`` over the distinct
+    vertices of ``g``. flags=0 -> (Multi)Polygon of triangles; flags=1 ->
+    MultiLineString of the unique triangulation edges. Fewer than three
+    non-collinear sites -> None (the engine's SQL-NULL spelling of
+    PostGIS' GEOMETRYCOLLECTION EMPTY)."""
+    if geom is None:
+        return None
+    sites = _delaunay_sites(geom)
+    tris = delaunay_triangulation(sites)
+    if not tris:
+        return None
+    if flags == 1:
+        edges = set()
+        for a, b, c in tris:
+            for e in ((a, b), (b, c), (c, a)):
+                edges.add((e[0], e[1]) if e[0] < e[1] else (e[1], e[0]))
+        members = [
+            Geometry(
+                "LineString",
+                np.asarray([sites[u], sites[v]], dtype=np.float64),
+            )
+            for u, v in sorted(edges)
+        ]
+        if len(members) == 1:
+            out = members[0]
+            out.srid = geom.srid
+            return out
+        return Geometry("MultiLineString", members, geom.srid)
+    members = [
+        Geometry(
+            "Polygon",
+            [np.asarray(
+                [sites[a], sites[b], sites[c], sites[a]], dtype=np.float64
+            )],
+        )
+        for a, b, c in tris
+    ]
+    if len(members) == 1:
+        out = members[0]
+        out.srid = geom.srid
+        return out
+    return Geometry("MultiPolygon", members, geom.srid)

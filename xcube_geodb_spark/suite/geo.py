@@ -2007,6 +2007,68 @@ GEO_ORACLES["geo_split_blade"] = f"""
 """
 
 
+def geo_delaunay_anchor(spark, sf_dir):
+    """``ST_DelaunayTriangles`` on the raw-SQL surface
+    (geometry/triangulate.delaunay_geometry — Bowyer-Watson over the
+    collected group points): per group of 20 the customer points plus
+    four FAR corner anchors (a rectangle strictly containing every
+    synthesized coordinate) are collected and triangulated. The anchors
+    make the hull exactly the 400 x 200 rectangle, so two Euler-formula
+    closed forms pin the whole triangulation: triangle count
+    2n - 2 - 4 (every data point interior, h = 4) and total area
+    80000 (any valid triangulation tiles the hull — robust even to
+    cocircular tie-breaks, which is what makes this oracle exact)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    pts = _points(spark, sf_dir).select(
+        (F.col("c_custkey") % 20).alias("grp"), "c_custkey", "geometry"
+    )
+    anchors = (
+        pts.select("grp")
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame(
+                [(-200.0, -100.0), (200.0, -100.0),
+                 (200.0, 100.0), (-200.0, 100.0)],
+                "ax double, ay double",
+            )
+        )
+        .select(
+            "grp",
+            F.lit(-1).cast("long").alias("c_custkey"),
+            _point_wkb(F.col("ax"), F.col("ay")).alias("geometry"),
+        )
+    )
+    pts.unionByName(anchors).createOrReplaceTempView("tri_pts")
+    sql = build_pg_sql(
+        "tri_pts",
+        select=(
+            "grp, "
+            "st_numgeometries(st_delaunaytriangles(st_collect(geometry))) "
+            "AS n_tris, "
+            "round(st_area(st_delaunaytriangles(st_collect(geometry))), 3) "
+            "AS hull_area"
+        ),
+        group="grp",
+        order="grp",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["geo_delaunay_anchor"] = f"""
+    SELECT c_custkey % 20 AS grp,
+           CAST(2 * (count(*) + 4) - 6 AS INT) AS n_tris,
+           round(CAST(80000 AS DOUBLE), 3) AS hull_area
+    FROM ({_PTS})
+    GROUP BY grp
+    ORDER BY grp
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -2062,6 +2124,7 @@ GEO_QUERIES = {
     "pg_knn_operator": pg_knn_operator,
     "pg_makeline_traj": pg_makeline_traj,
     "geo_split_blade": geo_split_blade,
+    "geo_delaunay_anchor": geo_delaunay_anchor,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
