@@ -89,3 +89,42 @@ class TestDelaunay:
         )
         assert len(out.parts) == 2
         assert abs(area(out) - 4.0) < 1e-12
+
+
+class TestVoronoi:
+    def test_cells_tile_envelope(self):
+        from xcube_geodb_spark.geometry.triangulate import voronoi_polygons
+
+        g = parse_wkt("MULTIPOINT ((0 0), (4 0), (4 4), (0 4), (2 2))")
+        out = voronoi_polygons(g)
+        assert out.kind == "MultiPolygon" and len(out.parts) == 5
+        assert abs(area(out) - 16.0) < 1e-9
+        # the center site's cell is the bisector square
+        areas = sorted(round(area(m), 9) for m in out.parts)
+        assert areas == [2.0, 2.0, 2.0, 2.0, 8.0]
+
+    def test_generic_tiling_and_count(self):
+        from xcube_geodb_spark.geometry.triangulate import voronoi_polygons
+
+        rng = np.random.default_rng(13)
+        pts = [tuple(p) for p in rng.random((40, 2)) * 8 + 1]
+        pts += [(0, 0), (10, 0), (10, 10), (0, 10)]
+        out = voronoi_polygons(_multipoint(pts))
+        assert len(out.parts) == 44
+        assert abs(area(out) - 100.0) < 1e-6
+
+    def test_degenerate(self):
+        from xcube_geodb_spark.geometry.triangulate import voronoi_polygons
+
+        assert voronoi_polygons(None) is None
+        assert voronoi_polygons(parse_wkt("POINT (1 1)")) is None
+        # zero-area envelope (collinear sites) -> None, documented
+        assert voronoi_polygons(parse_wkt("MULTIPOINT ((0 0), (0 5))")) is None
+
+    def test_deterministic(self):
+        from xcube_geodb_spark.geometry.triangulate import voronoi_polygons
+
+        rng = np.random.default_rng(17)
+        pts = [tuple(p) for p in rng.random((25, 2)) * 50]
+        g = _multipoint(pts)
+        assert to_wkt(voronoi_polygons(g)) == to_wkt(voronoi_polygons(g))

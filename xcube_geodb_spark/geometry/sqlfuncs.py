@@ -472,6 +472,16 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     _register("st_delaunaytriangles", _delaunay, T.BinaryType())
     _register("st_delaunayedges", _delaunay_edges, T.BinaryType())
 
+    def _voronoi(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.triangulate import voronoi_polygons
+
+        out = voronoi_polygons(parse_wkb(b))
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_voronoipolygons", _voronoi, T.BinaryType())
+
     def _relate_sql(a, b):
         if a is None or b is None:
             return None

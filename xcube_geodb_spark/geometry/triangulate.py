@@ -165,3 +165,75 @@ def delaunay_geometry(
         out.srid = geom.srid
         return out
     return Geometry("MultiPolygon", members, geom.srid)
+
+
+def _clip_halfplane(
+    poly: list[tuple[float, float]], a: float, b: float, c: float
+) -> list[tuple[float, float]]:
+    """Sutherland–Hodgman clip of a convex polygon (open vertex list) to
+    the half-plane a*x + b*y + c <= 0."""
+    out: list[tuple[float, float]] = []
+    n = len(poly)
+    for i in range(n):
+        px, py = poly[i]
+        qx, qy = poly[(i + 1) % n]
+        dp = a * px + b * py + c
+        dq = a * qx + b * qy + c
+        if dp <= 0:
+            out.append((px, py))
+            if dq > 0:
+                t = dp / (dp - dq)
+                out.append((px + t * (qx - px), py + t * (qy - py)))
+        elif dq <= 0:
+            t = dp / (dp - dq)
+            out.append((px + t * (qx - px), py + t * (qy - py)))
+    return out
+
+
+def voronoi_polygons(geom: Geometry | None) -> Geometry | None:
+    """``ST_VoronoiPolygons(g)`` — one convex cell per distinct input
+    vertex, built by half-plane clipping (each cell is the input
+    ENVELOPE clipped by the perpendicular bisector against every other
+    site; O(n^2) per call, exact for the group-collect sizes this SQL
+    surface sees). The cells tile the envelope exactly — the closed form
+    the oracle gate pins (sum of cell areas = envelope area, one cell
+    per distinct site).
+
+    DOCUMENTED DEVIATION (COVERAGE.md): cells clip to the input
+    envelope; PostGIS/GEOS clips to an envelope extended ~50% beyond it
+    (pass a wider geometry — e.g. anchor corner points — to widen the
+    frame, which is also what makes the tiling closed form exact).
+    Output order follows the lexicographically sorted sites; fewer than
+    two distinct sites or a degenerate (zero-area) envelope -> None."""
+    if geom is None:
+        return None
+    sites = _delaunay_sites(geom)
+    if len(sites) < 2:
+        return None
+    xmin, ymin = sites.min(axis=0)
+    xmax, ymax = sites.max(axis=0)
+    if xmax - xmin <= 0 or ymax - ymin <= 0:
+        return None
+    frame = [(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)]
+    members = []
+    for i in range(len(sites)):
+        sx, sy = float(sites[i, 0]), float(sites[i, 1])
+        cell = frame
+        for j in range(len(sites)):
+            if j == i or not cell:
+                continue
+            tx, ty = float(sites[j, 0]), float(sites[j, 1])
+            # |p - s|^2 <= |p - t|^2  <=>  2(t-s).p <= |t|^2 - |s|^2
+            a, b = 2.0 * (tx - sx), 2.0 * (ty - sy)
+            c = (sx * sx + sy * sy) - (tx * tx + ty * ty)
+            cell = _clip_halfplane(cell, a, b, c)
+        if len(cell) >= 3:
+            ring = np.asarray(cell + [cell[0]], dtype=np.float64)
+            members.append(Geometry("Polygon", [ring]))
+    if not members:
+        return None
+    if len(members) == 1:
+        out = members[0]
+        out.srid = geom.srid
+        return out
+    return Geometry("MultiPolygon", members, geom.srid)

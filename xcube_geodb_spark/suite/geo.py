@@ -2069,6 +2069,65 @@ GEO_ORACLES["geo_delaunay_anchor"] = f"""
 """
 
 
+def geo_voronoi_cells(spark, sf_dir):
+    """``ST_VoronoiPolygons`` on the raw-SQL surface
+    (geometry/triangulate.voronoi_polygons — per-site half-plane
+    clipping of the input envelope): the same anchored per-group point
+    sets as geo_delaunay_anchor. The four corner anchors make the
+    envelope the exact 400 x 200 rectangle, and Voronoi cells TILE the
+    clip frame by construction — so cell count = distinct sites and
+    area sum = 80000 are exact closed forms, whatever the cell shapes."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    pts = _points(spark, sf_dir).select(
+        (F.col("c_custkey") % 20).alias("grp"), "c_custkey", "geometry"
+    )
+    anchors = (
+        pts.select("grp")
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame(
+                [(-200.0, -100.0), (200.0, -100.0),
+                 (200.0, 100.0), (-200.0, 100.0)],
+                "ax double, ay double",
+            )
+        )
+        .select(
+            "grp",
+            F.lit(-1).cast("long").alias("c_custkey"),
+            _point_wkb(F.col("ax"), F.col("ay")).alias("geometry"),
+        )
+    )
+    pts.unionByName(anchors).createOrReplaceTempView("vor_pts")
+    sql = build_pg_sql(
+        "vor_pts",
+        select=(
+            "grp, "
+            "st_numgeometries(st_voronoipolygons(st_collect(geometry))) "
+            "AS n_cells, "
+            "round(st_area(st_voronoipolygons(st_collect(geometry))), 3) "
+            "AS frame_area"
+        ),
+        group="grp",
+        order="grp",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["geo_voronoi_cells"] = f"""
+    SELECT c_custkey % 20 AS grp,
+           CAST(count(*) + 4 AS INT) AS n_cells,
+           round(CAST(80000 AS DOUBLE), 3) AS frame_area
+    FROM ({_PTS})
+    GROUP BY grp
+    ORDER BY grp
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -2125,6 +2184,7 @@ GEO_QUERIES = {
     "pg_makeline_traj": pg_makeline_traj,
     "geo_split_blade": geo_split_blade,
     "geo_delaunay_anchor": geo_delaunay_anchor,
+    "geo_voronoi_cells": geo_voronoi_cells,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
