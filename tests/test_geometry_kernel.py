@@ -1704,3 +1704,130 @@ class TestLineMerge:
         ).collect()[0]
         assert row["wkt"] == "LINESTRING (0 0, 1 0, 2 0)"
         assert row["n"] == 3
+
+
+class TestScalarKit:
+    """SFS predicates + structure edits (geom.py scalar kit)."""
+
+    def test_is_simple_lineal(self):
+        from xcube_geodb_spark.geometry.geom import is_simple, parse_wkt
+
+        assert is_simple(parse_wkt("LINESTRING (0 0, 1 0, 1 1)"))
+        # proper crossing
+        assert not is_simple(parse_wkt("LINESTRING (0 0, 2 2, 0 2, 2 0)"))
+        # endpoint landing mid-segment (T-touch)
+        assert not is_simple(parse_wkt("LINESTRING (0 0, 2 0, 1 0)"))
+        # endpoint-to-endpoint contact between members is allowed
+        assert is_simple(
+            parse_wkt("MULTILINESTRING ((0 0, 1 0), (1 0, 2 0))")
+        )
+        assert is_simple(
+            parse_wkt(
+                "MULTILINESTRING ((0 0, 1 1), (1 1, 2 0), (1 1, 0 2))"
+            )
+        )
+        # collinear overlap / identical members are not simple
+        assert not is_simple(
+            parse_wkt("MULTILINESTRING ((0 0, 2 0), (1 0, 3 0))")
+        )
+        assert not is_simple(
+            parse_wkt("MULTILINESTRING ((0 0, 1 0), (0 0, 1 0))")
+        )
+
+    def test_is_simple_points(self):
+        from xcube_geodb_spark.geometry.geom import is_simple, parse_wkt
+
+        assert is_simple(parse_wkt("MULTIPOINT ((0 0), (1 1))"))
+        assert not is_simple(parse_wkt("MULTIPOINT ((0 0), (0 0))"))
+
+    def test_is_closed_is_ring(self):
+        from xcube_geodb_spark.geometry.geom import (
+            is_closed, is_ring, parse_wkt,
+        )
+
+        ring = parse_wkt("LINESTRING (0 0, 1 0, 1 1, 0 0)")
+        assert is_closed(ring) and is_ring(ring)
+        assert not is_closed(parse_wkt("LINESTRING (0 0, 1 0)"))
+        # closed but self-crossing: not a ring
+        bow = parse_wkt("LINESTRING (0 0, 2 2, 0 2, 2 0, 0 0)")
+        assert is_closed(bow) and not is_ring(bow)
+        # points are closed (PG)
+        assert is_closed(parse_wkt("POINT (1 1)"))
+
+    def test_multi_and_collection_extract(self):
+        from xcube_geodb_spark.geometry.geom import (
+            GeoDBError, collection_extract, multi, parse_wkt, to_wkt,
+        )
+        import pytest as _pytest
+
+        assert to_wkt(multi(parse_wkt("POINT (1 2)"))) == (
+            "MULTIPOINT ((1 2))"
+        )
+        mp = parse_wkt("MULTIPOINT ((1 2))")
+        assert multi(mp) is mp
+        gc = parse_wkt(
+            "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 0), "
+            "POLYGON ((0 0, 1 0, 1 1, 0 0)))"
+        )
+        assert to_wkt(collection_extract(gc, 1)) == "MULTIPOINT ((1 1))"
+        assert to_wkt(collection_extract(gc, 2)) == (
+            "MULTILINESTRING ((0 0, 1 0))"
+        )
+        assert collection_extract(parse_wkt("POINT (0 0)"), 3) is None
+        with _pytest.raises(GeoDBError, match="type must be"):
+            collection_extract(gc, 4)
+
+    def test_remove_repeated_and_segmentize(self):
+        from xcube_geodb_spark.geometry.geom import (
+            parse_wkt, remove_repeated_points, segmentize, to_wkt,
+        )
+
+        assert to_wkt(remove_repeated_points(
+            parse_wkt("LINESTRING (0 0, 0 0, 1 0, 1 0, 2 0)")
+        )) == "LINESTRING (0 0, 1 0, 2 0)"
+        # all-equal line keeps its two end vertices (PG)
+        assert to_wkt(remove_repeated_points(
+            parse_wkt("LINESTRING (3 3, 3 3, 3 3)")
+        )) == "LINESTRING (3 3, 3 3)"
+        # tolerance collapses near-duplicates; ring closure preserved
+        assert to_wkt(remove_repeated_points(
+            parse_wkt("POLYGON ((0 0, 0.4 0, 4 0, 4 4, 0 4, 0 0))"), 0.5
+        )) == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+        assert to_wkt(segmentize(parse_wkt("LINESTRING (0 0, 4 0)"), 1.0)) \
+            == "LINESTRING (0 0, 1 0, 2 0, 3 0, 4 0)"
+        # uneven remainder splits into EQUAL pieces
+        assert to_wkt(segmentize(parse_wkt("LINESTRING (0 0, 3 0)"), 2.0)) \
+            == "LINESTRING (0 0, 1.5 0, 3 0)"
+
+    def test_hausdorff_postgis_doc_examples(self):
+        from xcube_geodb_spark.geometry.geom import (
+            hausdorff_distance, parse_wkt,
+        )
+
+        assert hausdorff_distance(
+            parse_wkt("LINESTRING (0 0, 2 0)"),
+            parse_wkt("MULTIPOINT ((0 1), (1 0), (2 1))"),
+        ) == 1.0
+        # the PostGIS doc pair (default, no densify): 14.142135623730951
+        assert abs(hausdorff_distance(
+            parse_wkt("LINESTRING (130 0, 0 0, 0 150)"),
+            parse_wkt("LINESTRING (10 10, 10 150, 130 10)"),
+        ) - 14.142135623730951) < 1e-12
+
+    def test_angle_doc_example(self):
+        import math
+
+        from xcube_geodb_spark.geometry.geom import angle_3pt, parse_wkt
+
+        a = angle_3pt(
+            parse_wkt("POINT (5 0)"),
+            parse_wkt("POINT (0 0)"),
+            parse_wkt("POINT (5 5)"),
+        )
+        assert abs(a - math.pi / 4) < 1e-12
+        # degenerate: ray to the vertex itself -> NULL
+        assert angle_3pt(
+            parse_wkt("POINT (0 0)"),
+            parse_wkt("POINT (0 0)"),
+            parse_wkt("POINT (1 1)"),
+        ) is None

@@ -2062,3 +2062,276 @@ def oriented_envelope(geom: Geometry) -> Geometry:
     return Geometry(
         "Polygon", [np.asarray(corners, dtype=np.float64)], geom.srid
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar kit: ST_IsClosed / ST_IsSimple / ST_IsRing / ST_Multi /
+# ST_CollectionExtract / ST_RemoveRepeatedPoints / ST_Segmentize /
+# ST_HausdorffDistance / ST_Angle  (PostGIS basics over the kernel model)
+# ---------------------------------------------------------------------------
+
+
+def is_closed(geom: Geometry) -> bool:
+    """``ST_IsClosed``: every lineal member starts where it ends;
+    points and polygons answer True like PostGIS."""
+    for leaf in geom.children():
+        if leaf.kind == "LineString":
+            arr = leaf.parts
+            if len(arr) < 2 or not (
+                arr[0, 0] == arr[-1, 0] and arr[0, 1] == arr[-1, 1]
+            ):
+                return False
+    return True
+
+
+def is_simple(geom: Geometry) -> bool:
+    """``ST_IsSimple`` (SFS semantics, like GEOS): no self-intersection
+    points except boundary endpoints. Points: always simple; MultiPoint:
+    simple iff no duplicates; polygonal: delegates to :func:`is_valid`
+    (for polygons SFS simplicity and validity coincide on this kernel's
+    model — documented). Lineal rules checked: (1) proper crossings,
+    (2) a coordinate revisited by any non-boundary vertex occurrence
+    (closed rings' start=end counts once), (3) a vertex in the strict
+    interior of a non-incident segment, (4) collinear segment overlap."""
+    kinds = {leaf.kind for leaf in geom.children()}
+    if kinds <= {"Point"}:
+        pts = _all_vertices(geom)
+        return len(np.unique(pts, axis=0)) == len(pts)
+    if "Polygon" in kinds:
+        return is_valid(geom)
+    lines = [
+        np.asarray(leaf.parts, dtype=np.float64)
+        for leaf in geom.children()
+        if leaf.kind == "LineString" and len(leaf.parts) >= 2
+    ]
+    segs = _all_segments(geom)
+    # (1) any proper crossing anywhere
+    if _crossing_point(segs, segs) is not None:
+        return False
+    # (2) coordinate multiplicity: every extra visit must be a boundary
+    # endpoint; a closed ring's start=end pair is one interior occurrence
+    occ: dict[tuple[float, float], list[bool]] = {}
+    for arr in lines:
+        closed = bool(
+            arr[0, 0] == arr[-1, 0] and arr[0, 1] == arr[-1, 1]
+        )
+        last = len(arr) - (1 if closed else 0)
+        for i in range(last):
+            key = (float(arr[i, 0]), float(arr[i, 1]))
+            boundary = (not closed) and (i == 0 or i == len(arr) - 1)
+            occ.setdefault(key, []).append(boundary)
+    for flags in occ.values():
+        if len(flags) > 1 and not all(flags):
+            return False
+    # (3) vertex strictly inside a non-incident segment (T-touch)
+    a = segs[:, 0:2]
+    ab = segs[:, 2:4] - a
+    denom = (ab * ab).sum(-1)
+    for key in occ:
+        vx, vy = key
+        ap0 = vx - a[:, 0]
+        ap1 = vy - a[:, 1]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = (ap0 * ab[:, 0] + ap1 * ab[:, 1]) / np.where(
+                denom > 0, denom, 1.0
+            )
+        cross = ab[:, 0] * ap1 - ab[:, 1] * ap0
+        ln = np.sqrt(np.where(denom > 0, denom, 1.0))
+        hit = (
+            (np.abs(cross) / ln < 1e-12)
+            & (t > 1e-12)
+            & (t < 1 - 1e-12)
+            & (denom > 0)
+        )
+        if bool(hit.any()):
+            return False
+    # (4) collinear overlapping segments (identical/partial overlaps
+    # whose endpoints are all shared vertices slip past 2 and 3)
+    order = np.lexsort((segs[:, 1], segs[:, 0]))
+    s = segs[order]
+    for i in range(len(s)):
+        for j in range(i + 1, len(s)):
+            p0, p1 = s[i, 0:2], s[i, 2:4]
+            q0, q1 = s[j, 0:2], s[j, 2:4]
+            d = p1 - p0
+            c1 = d[0] * (q0[1] - p0[1]) - d[1] * (q0[0] - p0[0])
+            c2 = d[0] * (q1[1] - p0[1]) - d[1] * (q1[0] - p0[0])
+            scale = max(1.0, abs(d[0]) + abs(d[1]))
+            if abs(c1) > 1e-12 * scale or abs(c2) > 1e-12 * scale:
+                continue
+            ll = float((d * d).sum())
+            if ll == 0:
+                continue
+            t0 = float((q0 - p0) @ d) / ll
+            t1 = float((q1 - p0) @ d) / ll
+            if min(t0, t1) < 1 - 1e-12 and max(t0, t1) > 1e-12:
+                return False
+    return True
+
+
+def is_ring(geom: Geometry) -> bool:
+    """``ST_IsRing``: a closed AND simple LineString."""
+    return geom.kind == "LineString" and is_closed(geom) and is_simple(geom)
+
+
+_MULTI_OF = {
+    "Point": "MultiPoint",
+    "LineString": "MultiLineString",
+    "Polygon": "MultiPolygon",
+}
+
+
+def multi(geom: Geometry) -> Geometry:
+    """``ST_Multi``: promote a single geometry to its Multi* wrapper;
+    Multi*/collections pass through unchanged."""
+    if geom.kind in _MULTI_OF:
+        return Geometry(
+            _MULTI_OF[geom.kind],
+            [Geometry(geom.kind, geom.parts)],
+            geom.srid,
+        )
+    return geom
+
+
+def collection_extract(geom: Geometry, dim: int) -> Geometry | None:
+    """``ST_CollectionExtract(g, type)``: the members of the requested
+    type (1=Point, 2=LineString, 3=Polygon) as a Multi* — PostGIS'
+    always-multi spelling; none -> None (the engine's EMPTY)."""
+    kind = {1: "Point", 2: "LineString", 3: "Polygon"}.get(int(dim))
+    if kind is None:
+        raise GeoDBError(
+            f"st_collectionextract: type must be 1, 2 or 3 (got {dim})"
+        )
+    members = [
+        Geometry(leaf.kind, leaf.parts)
+        for leaf in geom.children()
+        if leaf.kind == kind
+    ]
+    if not members:
+        return None
+    return Geometry(_MULTI_OF[kind], members, geom.srid)
+
+
+def remove_repeated_points(
+    geom: Geometry, tolerance: float = 0.0
+) -> Geometry:
+    """``ST_RemoveRepeatedPoints``: drop consecutive vertices within
+    ``tolerance`` of their predecessor (0 -> exact duplicates only).
+    Lines keep at least their two end vertices and rings their minimal
+    closure, like PostGIS."""
+
+    def _dedupe(arr: np.ndarray, closed: bool) -> np.ndarray:
+        keep = [0]
+        for i in range(1, len(arr)):
+            dx = arr[i, 0] - arr[keep[-1], 0]
+            dy = arr[i, 1] - arr[keep[-1], 1]
+            if math.hypot(dx, dy) > tolerance:
+                keep.append(i)
+        out = arr[keep]
+        if closed and (
+            out[0, 0] != out[-1, 0] or out[0, 1] != out[-1, 1]
+        ):
+            out = np.vstack([out, out[:1]])
+        if not closed and len(out) == 1 and len(arr) >= 2:
+            out = np.vstack([out, out])  # PG keeps 2-point degenerate lines
+        return out
+
+    if geom.kind == "LineString":
+        return Geometry("LineString", _dedupe(geom.parts, False), geom.srid)
+    if geom.kind == "Polygon":
+        return Geometry(
+            "Polygon", [_dedupe(r, True) for r in geom.parts], geom.srid
+        )
+    if geom.kind in ("MultiLineString", "MultiPolygon", "GeometryCollection"):
+        return Geometry(
+            geom.kind,
+            [remove_repeated_points(m, tolerance) for m in geom.parts],
+            geom.srid,
+        )
+    return geom
+
+
+def segmentize(geom: Geometry, max_length: float) -> Geometry:
+    """``ST_Segmentize``: insert vertices so no segment exceeds
+    ``max_length`` (each segment splits into ceil(len/max) EQUAL
+    pieces, the PostGIS planar behavior)."""
+    if max_length <= 0:
+        raise GeoDBError("st_segmentize: max_length must be positive")
+
+    def _densify(arr: np.ndarray) -> np.ndarray:
+        out = [arr[:1]]
+        for i in range(len(arr) - 1):
+            p, q = arr[i], arr[i + 1]
+            ln = math.hypot(q[0] - p[0], q[1] - p[1])
+            k = max(1, math.ceil(ln / max_length - 1e-12))
+            ts = np.linspace(0.0, 1.0, k + 1)[1:]
+            out.append(p[None, :] + ts[:, None] * (q - p)[None, :])
+        return np.concatenate(out, axis=0)
+
+    if geom.kind == "LineString":
+        return Geometry("LineString", _densify(geom.parts), geom.srid)
+    if geom.kind == "Polygon":
+        return Geometry(
+            "Polygon", [_densify(r) for r in geom.parts], geom.srid
+        )
+    if geom.kind in ("MultiLineString", "MultiPolygon", "GeometryCollection"):
+        return Geometry(
+            geom.kind,
+            [segmentize(m, max_length) for m in geom.parts],
+            geom.srid,
+        )
+    return geom
+
+
+def _vertex_dists_to(geom_pts: np.ndarray, other: Geometry) -> np.ndarray:
+    """Per-vertex exact distance to ``other`` (nearest point ON it)."""
+    segs = _all_segments(other)
+    if len(segs):
+        p = geom_pts[:, None, :]
+        a = segs[None, :, 0:2]
+        ab = segs[None, :, 2:4] - a
+        denom = (ab * ab).sum(-1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = np.clip(
+                ((p - a) * ab).sum(-1) / np.where(denom > 0, denom, 1.0),
+                0.0,
+                1.0,
+            )
+        proj = a + t[..., None] * ab
+        return np.hypot(
+            p[..., 0] - proj[..., 0], p[..., 1] - proj[..., 1]
+        ).min(axis=1)
+    verts = _all_vertices(other)
+    p = geom_pts[:, None, :]
+    return np.hypot(
+        p[..., 0] - verts[None, :, 0], p[..., 1] - verts[None, :, 1]
+    ).min(axis=1)
+
+
+def hausdorff_distance(a: Geometry, b: Geometry) -> float:
+    """``ST_HausdorffDistance``: the discrete Hausdorff distance GEOS
+    computes without densification — max over either geometry's
+    VERTICES of the exact distance to the other geometry."""
+    da = _vertex_dists_to(_all_vertices(a), b)
+    db = _vertex_dists_to(_all_vertices(b), a)
+    return float(max(da.max() if len(da) else 0.0,
+                     db.max() if len(db) else 0.0))
+
+
+def angle_3pt(p1: Geometry, p2: Geometry, p3: Geometry) -> float | None:
+    """``ST_Angle(P1, P2, P3)``: the clockwise angle at P2 from ray
+    P2->P1 to ray P2->P3, in [0, 2*pi) — pinned to the PostGIS doc
+    example ST_Angle(P(5 0), P(0 0), P(5 5)) = pi/4."""
+    if "Point" not in (p1.kind, p2.kind, p3.kind):
+        pass
+    for g in (p1, p2, p3):
+        if g.kind != "Point":
+            raise GeoDBError("st_angle: all three arguments must be points")
+    ox, oy = float(p2.parts[0]), float(p2.parts[1])
+    a1 = math.atan2(float(p1.parts[0]) - ox, float(p1.parts[1]) - oy)
+    a3 = math.atan2(float(p3.parts[0]) - ox, float(p3.parts[1]) - oy)
+    if (p1.parts[0] == ox and p1.parts[1] == oy) or (
+        p3.parts[0] == ox and p3.parts[1] == oy
+    ):
+        return None
+    return (a1 - a3) % (2.0 * math.pi)

@@ -482,6 +482,93 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_voronoipolygons", _voronoi, T.BinaryType())
 
+    # --- scalar kit: SFS predicates + structure edits ------------------
+    def _unary_geom(fn_name):
+        def f(b):
+            if b is None:
+                return None
+            import xcube_geodb_spark.geometry.geom as _gm
+
+            out = getattr(_gm, fn_name)(parse_wkb(b))
+            if isinstance(out, bool):
+                return out
+            return to_wkb_seeded(out) if out is not None else None
+
+        return f
+
+    _register("st_issimple", _unary_geom("is_simple"), T.BooleanType())
+    _register("st_isclosed", _unary_geom("is_closed"), T.BooleanType())
+    _register("st_isring", _unary_geom("is_ring"), T.BooleanType())
+    _register("st_multi", _unary_geom("multi"), T.BinaryType())
+
+    def _collextract(b, dim):
+        if b is None or dim is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import collection_extract
+
+        out = collection_extract(parse_wkb(b), int(dim))
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_collectionextract", _collextract, T.BinaryType())
+
+    def _rmrepeated(b, tol):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import remove_repeated_points
+
+        out = remove_repeated_points(
+            parse_wkb(b), float(tol) if tol is not None else 0.0
+        )
+        return to_wkb_seeded(out)
+
+    _register("st_removerepeatedpoints", _rmrepeated, T.BinaryType())
+
+    def _segmentize_sql(b, mx):
+        if b is None or mx is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import segmentize
+
+        return to_wkb_seeded(segmentize(parse_wkb(b), float(mx)))
+
+    _register("st_segmentize", _segmentize_sql, T.BinaryType())
+
+    def _hausdorff(a, b):
+        if a is None or b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import hausdorff_distance
+
+        return hausdorff_distance(parse_wkb(a), parse_wkb(bytes(b)))
+
+    _register("st_hausdorffdistance", _hausdorff, T.DoubleType())
+
+    def _angle_sql(a, b, c):
+        if a is None or b is None or c is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import angle_3pt
+
+        return angle_3pt(
+            parse_wkb(a), parse_wkb(bytes(b)), parse_wkb(bytes(c))
+        )
+
+    _register("st_angle", _angle_sql, T.DoubleType())
+
+    def _collect2(a, b):
+        # the scalar two-argument ST_Collect the aggregate shim passes
+        # through (operators/scan._rewrite_spatial_aggs)
+        if a is None and b is None:
+            return None
+        from xcube_geodb_spark.functions.geo_agg import collect_members
+
+        members = [
+            parse_wkb(bytes(x)) for x in (a, b) if x is not None
+        ]
+        if len(members) == 1:  # PG: ST_Collect(g, NULL) is g
+            return to_wkb_seeded(members[0])
+        out = collect_members(members)
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_collect", _collect2, T.BinaryType())
+
     def _relate_sql(a, b):
         if a is None or b is None:
             return None

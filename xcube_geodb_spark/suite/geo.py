@@ -2128,6 +2128,66 @@ GEO_ORACLES["geo_voronoi_cells"] = f"""
 """
 
 
+def geo_scalar_kit(spark, sf_dir):
+    """The SFS scalar kit on the raw-SQL surface (geom.is_simple /
+    is_closed / is_ring, multi, collection_extract,
+    remove_repeated_points, segmentize, hausdorff_distance, angle_3pt,
+    scalar st_collect): every expression reduces to a constant or the
+    4h^2 square-area closed form, so one row per sampled customer pins
+    nine functions at once. Hausdorff of a horizontal segment against
+    its (1, 2)-translate is exactly sqrt(5) (the far endpoint), the
+    segmentize count is 2h / (h/2) + 1 = 5, and the angle arm replays
+    the PostGIS doc example ST_Angle(P(5 0), P(0 0), P(5 5)) = 45
+    degrees shifted to the row's point."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("kit_sq")
+    seg = "st_makeline(st_point(x - h, y), st_point(x + h, y))"
+    sql = build_pg_sql(
+        "kit_sq",
+        select=(
+            "c_custkey, "
+            "st_isring(st_exteriorring(geometry)) AS ring_ok, "
+            f"st_issimple({seg}) AS seg_simple, "
+            f"st_isclosed({seg}) AS seg_closed, "
+            f"round(st_hausdorffdistance({seg}, "
+            f"st_translate({seg}, 1.0, 2.0)), 6) AS haus, "
+            f"st_npoints(st_segmentize({seg}, h / 2.0)) AS n_seg, "
+            "st_numgeometries(st_multi(geometry)) AS n_multi, "
+            f"st_npoints(st_removerepeatedpoints(st_makeline("
+            f"st_startpoint({seg}), st_startpoint({seg})), 0.0)) AS n_rr, "
+            "round(degrees(st_angle(st_point(x + 5, y), st_point(x, y), "
+            "st_point(x + 5, y + 5))), 6) AS angle_deg, "
+            "round(st_area(st_collectionextract("
+            "st_collect(st_point(x, y), geometry), 3)), 6) AS poly_area"
+        ),
+        where="c_custkey % 10 = 7",
+        order="c_custkey",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["geo_scalar_kit"] = f"""
+    SELECT c_custkey,
+           TRUE AS ring_ok,
+           TRUE AS seg_simple,
+           FALSE AS seg_closed,
+           round(sqrt(5), 6) AS haus,
+           CAST(5 AS INT) AS n_seg,
+           CAST(1 AS INT) AS n_multi,
+           CAST(2 AS INT) AS n_rr,
+           round(CAST(45 AS DOUBLE), 6) AS angle_deg,
+           round(4 * h * h, 6) AS poly_area
+    FROM ({_SQS})
+    WHERE c_custkey % 10 = 7
+    ORDER BY c_custkey
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -2185,6 +2245,7 @@ GEO_QUERIES = {
     "geo_split_blade": geo_split_blade,
     "geo_delaunay_anchor": geo_delaunay_anchor,
     "geo_voronoi_cells": geo_voronoi_cells,
+    "geo_scalar_kit": geo_scalar_kit,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
