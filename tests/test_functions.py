@@ -1303,3 +1303,48 @@ class TestRealCodecs:
         from xcube_geodb_spark.functions.multimodal import parse_image_dims
 
         assert parse_image_dims(resized[1]) == ("bmp", 2, 2)
+
+
+class TestSemanticDedup:
+    """SemDeDup (dedup.semantic_dedup): threshold behavior with
+    NON-identical near-duplicates — the part the closed-form driver gate
+    (identical vectors) deliberately doesn't exercise."""
+
+    def test_near_duplicates_pruned_lowest_id_survives(self, spark):
+        import math
+
+        rows = [
+            # a tight bundle around e0: cos(5deg) ~ 0.9962 > 0.95
+            (1, [1.0, 0.0, 0.0]),
+            (2, [math.cos(0.087), math.sin(0.087), 0.0]),
+            (3, [math.cos(0.087), 0.0, math.sin(0.087)]),
+            # far from the bundle (cos 45deg ~ 0.707): kept
+            (4, [math.cos(0.785), math.sin(0.785), 0.0]),
+            # orthogonal group: kept
+            (5, [0.0, 0.0, 1.0]),
+            # scaling must not matter (cosine): near-dup of id 5
+            (6, [0.0, 0.0, 7.5]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        kept = sorted(
+            r.vec_id
+            for r in dedup.semantic_dedup(
+                df, threshold=0.95, n_clusters=2, sample_size=10
+            ).collect()
+        )
+        assert kept == [1, 4, 5]
+
+    def test_cluster_cap_fails_fast(self, spark):
+        from xcube_geodb_spark.errors import GeoDBError
+
+        df = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(Exception) as e:
+            dedup.semantic_dedup(
+                df, threshold=0.99, n_clusters=1, max_cluster=5
+            ).collect()
+        assert "max_cluster" in str(e.value)

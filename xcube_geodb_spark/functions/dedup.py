@@ -854,3 +854,77 @@ def fuzzy_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iters: int = 5,
+    sample_size: int = 10000,
+    max_cluster: int = 2_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning over an embedding column. K-means clusters
+    the normalized vectors (similarity.ivf_centroids — deterministic
+    lowest-id driver sample, distributed Arrow-batched assignment), then
+    WITHIN each cluster a greedy lowest-id-first sweep keeps a row only
+    if its cosine against every already-kept cluster member stays below
+    ``threshold``. Returns the kept (id) frame.
+
+    Scale design: the O(n^2) cosine matrix only ever spans ONE cluster
+    (``applyInPandas`` per centroid id — one hash shuffle on a small
+    int key), never the corpus; n_clusters is the knob that bounds the
+    quadratic term, and ``max_cluster`` fail-fasts instead of letting a
+    degenerate clustering OOM an executor. The greedy lowest-id rule is
+    the deterministic spelling of the paper's one-representative-per-
+    near-dup-group policy (which representative survives is a free
+    choice there)."""
+    import numpy as np
+    import pandas as pd
+
+    from xcube_geodb_spark.errors import GeoDBError
+    from xcube_geodb_spark.functions.similarity import (
+        ivf_assignments,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(
+        df,
+        n_centroids=n_clusters,
+        n_iters=n_iters,
+        sample_size=sample_size,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    assigned = ivf_assignments(df, cents, vec_col=vec_col, id_col=id_col)
+    thr = float(threshold)
+    cap = int(max_cluster)
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cap:
+            raise GeoDBError(
+                f"semantic_dedup: cluster of {len(pdf)} rows exceeds "
+                f"max_cluster={cap}; raise n_clusters (or the cap)"
+            )
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        kept_rows: list[int] = []
+        kept_mat = np.empty((0, X.shape[1]), dtype=np.float64)
+        for i in range(len(X)):
+            if len(kept_rows) == 0 or float(
+                (kept_mat @ X[i]).max(initial=-1.0)
+            ) < thr:
+                kept_rows.append(i)
+                kept_mat = np.vstack([kept_mat, X[i][None, :]])
+        return pdf.iloc[kept_rows][[id_col]]
+
+    kept = assigned.groupBy("centroid_id").applyInPandas(
+        _prune, schema=f"{id_col} long"
+    )
+    return kept

@@ -475,6 +475,47 @@ def dedup_embedding_pairs(spark, sf_dir):
     return similarity.pairwise_cosine_above(aug, 0.99, hyperplanes=_HP)
 
 
+def dedup_semantic_kept(spark, sf_dir):
+    """SemDeDup (functions/dedup.semantic_dedup — Abbas et al. 2023):
+    k-means cluster + within-cluster greedy lowest-id-first cosine
+    pruning. Fixture: each customer gets the one-hot vector of its
+    group (custkey % 25); even custkeys instead get the mixed direction
+    (e_g + e_{g+25}), whose cosine against the base one-hot is exactly
+    1/sqrt(2) < 0.95, so parity forms its own kept class. Identical
+    vectors always land in the same k-means cluster (same argmax), so
+    the closed form is exact whatever the trained centroids: one
+    survivor — the min custkey — per (group, parity) class, and nothing
+    else ever crosses the threshold (cross-class cosines are 0 or
+    1/sqrt(2))."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("vec_id")
+    )
+    g = (F.col("vec_id") % 25).cast("int")
+    even = (F.col("vec_id") % 2) == 0
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(49)),
+        lambda i: (
+            F.when(i == g, F.lit(1.0)).otherwise(F.lit(0.0))
+            + F.when(even & (i == (g + 25)), F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).cast("double"),
+    )
+    df = c.select("vec_id", vec.alias("embedding"))
+    kept = dedup.semantic_dedup(
+        df, threshold=0.95, n_clusters=8, sample_size=10000
+    )
+    return kept.orderBy("vec_id")
+
+
+LLM_DEDUP_ORACLES["dedup_semantic_kept"] = """
+    SELECT min(c_custkey) AS vec_id
+    FROM customer
+    GROUP BY c_custkey % 25, c_custkey % 2
+    ORDER BY vec_id
+"""
+
+
 def sim_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k baseline over the full corpus — the
     Arrow scan path (numpy fold in the JVM/SQL summation order,
@@ -2531,6 +2572,7 @@ LLM_QUERIES = {
     "dedup_lines_by_source": dedup_lines_by_source,
     "dedup_incremental_kept": dedup_incremental_kept,
     "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_semantic_kept": dedup_semantic_kept,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_normalize": sim_normalize,
     "sim_quantize_int8": sim_quantize_int8,
