@@ -76,12 +76,17 @@ DRIVER_WINDOW = [
     "window_top_order_per_customer",
     "rollup_lineitem",
     "scalar_string_funcs",
-    # events / temporal / streaming
+    # events / temporal / streaming — r9 session 2: events_json_extract
+    # rotates out (json-arrow extraction stays gated by
+    # scan_json_arrow_select locally and the grammar pytest) in favor of
+    # pg_knn_operator, the <-> / <#> KNN distance operators on the raw-SQL
+    # surface (the everyday PostGIS ORDER BY idiom; TakeOrderedAndProject
+    # plan pinned)
     "events_tumbling_hour",
     "events_sessionization",
     "events_asof_prev",
     "events_attribution",
-    "events_json_extract",
+    "pg_knn_operator",
     "stream_ingest_collection",
     # geo — r7: the prepared-geometry chain supersedes geo_measures_squares
     # as the measures representative (same closed-form area/centroid
@@ -107,8 +112,12 @@ DRIVER_WINDOW = [
     "geo_dissolve_two_level",
     "geo_spatial_join_points",
     "geo_knn_join",
-    # dedup
-    "dedup_exact",
+    # dedup — r9 session 2: dedup_exact rotates out (exact dedup is the
+    # first leg of dedup_pipeline_kept, still in the window, and stays
+    # registered + locally verified) for dedup_semantic_kept, the
+    # SemDeDup embedding-space near-dup pruner (k-means + within-cluster
+    # greedy cosine)
+    "dedup_semantic_kept",
     "dedup_minhash_pairs",
     "dedup_pipeline_kept",
     "dedup_lines_rebuilt",
