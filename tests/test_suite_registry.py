@@ -31,7 +31,10 @@ FAMILIES = {
     # general-overlay kernel takes the slot
     "geo-distance": "geo_distance_sphere",
     "geo-overlay": "geo_overlay_diamond",
-    "dedup-exact": "dedup_exact",
+    # r9 session 2: exact dedup is the first leg of dedup_pipeline_kept
+    # (still in the window); the freed slot carries SemDeDup
+    "dedup-exact": "dedup_pipeline_kept",
+    "dedup-semantic": "dedup_semantic_kept",
     "dedup-lsh": "dedup_minhash_pairs",
     # corpus-level line dedup (CCNet/RefinedWeb): promoted over the
     # scan_cs_cd_tokens grammar variant (family rep: scan_filter_grammar)

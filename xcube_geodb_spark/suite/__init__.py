@@ -76,17 +76,12 @@ DRIVER_WINDOW = [
     "window_top_order_per_customer",
     "rollup_lineitem",
     "scalar_string_funcs",
-    # events / temporal / streaming — r9 session 2: events_json_extract
-    # rotates out (json-arrow extraction stays gated by
-    # scan_json_arrow_select locally and the grammar pytest) in favor of
-    # pg_knn_operator, the <-> / <#> KNN distance operators on the raw-SQL
-    # surface (the everyday PostGIS ORDER BY idiom; TakeOrderedAndProject
-    # plan pinned)
+    # events / temporal / streaming
     "events_tumbling_hour",
     "events_sessionization",
     "events_asof_prev",
     "events_attribution",
-    "pg_knn_operator",
+    "events_json_extract",
     "stream_ingest_collection",
     # geo — r7: the prepared-geometry chain supersedes geo_measures_squares
     # as the measures representative (same closed-form area/centroid
