@@ -1831,3 +1831,68 @@ class TestScalarKit:
             parse_wkt("POINT (0 0)"),
             parse_wkt("POINT (1 1)"),
         ) is None
+
+
+class TestGeneratePointsAndSnap:
+    def test_generate_points_uniform_deterministic(self):
+        from xcube_geodb_spark.geometry.geom import (
+            _point_in_rings, generate_points, parse_wkt, to_wkt,
+        )
+
+        g = parse_wkt(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+            "(4 4, 6 4, 6 6, 4 6, 4 4))"
+        )
+        pts = generate_points(g, 25, seed=7)
+        assert pts.kind == "MultiPoint" and len(pts.parts) == 25
+        # every point inside the shell and outside the hole (even-odd)
+        assert all(
+            _point_in_rings(p.parts[0], p.parts[1], g.parts)
+            for p in pts.parts
+        )
+        assert to_wkt(pts) == to_wkt(generate_points(g, 25, seed=7))
+        assert to_wkt(pts) != to_wkt(generate_points(g, 25, seed=8))
+        # degenerate inputs
+        assert generate_points(g, 0) is None
+        assert generate_points(parse_wkt("POINT (1 1)"), 5) is None
+
+    def test_generate_points_thin_polygon_fails_fast(self):
+        from xcube_geodb_spark.geometry.geom import (
+            GeoDBError, generate_points, parse_wkt,
+        )
+        import pytest as _pytest
+
+        sliver = parse_wkt(
+            "POLYGON ((0 0, 1000 0, 1000 0.0001, 0 0.0001, 0 0))"
+        )
+        # envelope == polygon: accepts fine even though thin in absolute
+        assert generate_points(sliver, 5, seed=1) is not None
+        # a diagonal sliver leaves ~zero envelope fraction -> fail fast
+        diag = parse_wkt(
+            "POLYGON ((0 0, 1000 1000, 1000 1000.0001, 0 0.0001, 0 0))"
+        )
+        with _pytest.raises(GeoDBError, match="acceptance"):
+            generate_points(diag, 50, seed=1)
+
+    def test_snap_rules(self):
+        from xcube_geodb_spark.geometry.geom import (
+            parse_wkt, snap_geometry, to_wkt,
+        )
+
+        sq = parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        moved = parse_wkt(
+            "POLYGON ((0.005 0.005, 4.005 0.005, 4.005 4.005, "
+            "0.005 4.005, 0.005 0.005))"
+        )
+        # rule 1: vertices within tolerance land exactly on reference
+        assert to_wkt(snap_geometry(moved, sq, 0.02)) == to_wkt(sq)
+        # out of tolerance: unchanged
+        assert to_wkt(snap_geometry(moved, sq, 0.001)) == to_wkt(moved)
+        # rule 2: a reference vertex near a segment interior is inserted
+        line = parse_wkt("LINESTRING (0 0, 4 0)")
+        assert to_wkt(
+            snap_geometry(line, parse_wkt("POINT (2 0.005)"), 0.01)
+        ) == "LINESTRING (0 0, 2 0.005, 4 0)"
+        assert to_wkt(
+            snap_geometry(line, parse_wkt("POINT (2 0.5)"), 0.01)
+        ) == "LINESTRING (0 0, 4 0)"

@@ -2335,3 +2335,134 @@ def angle_3pt(p1: Geometry, p2: Geometry, p3: Geometry) -> float | None:
     ):
         return None
     return (a1 - a3) % (2.0 * math.pi)
+
+
+def _splitmix64(state: int) -> tuple[int, int]:
+    """One splitmix64 step (Steele, Lea & Flood 2014 — the public-domain
+    PRNG): returns (next_state, output). Pure integer arithmetic, fully
+    deterministic across platforms."""
+    state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = state
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return state, z ^ (z >> 31)
+
+
+def generate_points(geom: Geometry, n: int, seed: int = 0) -> Geometry | None:
+    """``ST_GeneratePoints(g, n, seed)``: n uniform points inside the
+    (multi)polygon — rejection sampling over the envelope with a seeded
+    splitmix64 stream, so the result is bit-deterministic per (geometry,
+    n, seed) on every platform (the engine's oracle-gate contract; the
+    seedless PostGIS 2-arg form is deliberately not registered).
+    Envelope rejection IS area-uniform across members, like PostGIS.
+    Degenerate/empty input or n <= 0 -> None; an acceptance rate below
+    1/1000 (pathologically thin polygons) raises instead of spinning."""
+    if geom is None or n <= 0:
+        return None
+    polys = [
+        leaf.parts for leaf in geom.children() if leaf.kind == "Polygon"
+    ]
+    if not polys:
+        return None
+    x0, y0, x1, y1 = envelope(geom)
+    if x1 - x0 <= 0 or y1 - y0 <= 0:
+        return None
+    rings = [r for p in polys for r in p]
+    state = (int(seed) * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF
+    pts: list[tuple[float, float]] = []
+    tries = 0
+    limit = max(1000, n * 1000)
+    while len(pts) < n:
+        tries += 1
+        if tries > limit:
+            raise GeoDBError(
+                f"st_generatepoints: acceptance below 1/1000 after "
+                f"{tries} draws — polygon too thin for envelope rejection"
+            )
+        state, u = _splitmix64(state)
+        state, v = _splitmix64(state)
+        px = x0 + (u / 2.0**64) * (x1 - x0)
+        py = y0 + (v / 2.0**64) * (y1 - y0)
+        # even-odd across ALL rings: holes reject, any member accepts
+        if any(
+            _point_in_rings(px, py, p) for p in polys
+        ):
+            pts.append((px, py))
+    members = [
+        Geometry("Point", np.asarray(p, dtype=np.float64)) for p in pts
+    ]
+    if len(members) == 1:
+        out = members[0]
+        out.srid = geom.srid
+        return out
+    return Geometry("MultiPoint", members, geom.srid)
+
+
+def snap_geometry(
+    geom: Geometry, reference: Geometry, tolerance: float
+) -> Geometry:
+    """``ST_Snap(input, reference, tolerance)`` — the two GEOS snapping
+    rules: (1) every input vertex within ``tolerance`` of a reference
+    VERTEX moves onto the nearest one; (2) a reference vertex within
+    ``tolerance`` of an input SEGMENT's interior is inserted into it.
+    Ring closure is preserved (first/last snap together)."""
+    if tolerance < 0:
+        raise GeoDBError("st_snap: tolerance must be non-negative")
+    ref = _all_vertices(reference)
+    if not len(ref):
+        return geom
+
+    def _snap_arr(arr: np.ndarray, closed: bool) -> np.ndarray:
+        a = np.asarray(arr, dtype=np.float64).copy()
+        # rule 1: vertex -> nearest reference vertex within tolerance
+        d = np.hypot(
+            a[:, None, 0] - ref[None, :, 0], a[:, None, 1] - ref[None, :, 1]
+        )
+        j = d.argmin(axis=1)
+        hit = d[np.arange(len(a)), j] <= tolerance
+        a[hit] = ref[j[hit]]
+        if closed:
+            a[-1] = a[0]
+        # rule 2: insert unsnapped-to reference vertices lying near a
+        # segment interior, at their projection parameter order
+        out = [a[0]]
+        for i in range(len(a) - 1):
+            p, q = a[i], a[i + 1]
+            dseg = q - p
+            ll = float(dseg @ dseg)
+            inserts: list[tuple[float, np.ndarray]] = []
+            if ll > 0:
+                t = ((ref - p) @ dseg) / ll
+                proj = p[None, :] + t[:, None] * dseg[None, :]
+                dist = np.hypot(ref[:, 0] - proj[:, 0], ref[:, 1] - proj[:, 1])
+                near = (
+                    (t > 1e-9) & (t < 1 - 1e-9) & (dist <= tolerance)
+                )
+                for k in np.nonzero(near)[0]:
+                    # skip reference vertices already equal to an endpoint
+                    if (ref[k] == p).all() or (ref[k] == q).all():
+                        continue
+                    inserts.append((float(t[k]), ref[k]))
+            for _, rv in sorted(inserts, key=lambda x: x[0]):
+                if not (out[-1] == rv).all():
+                    out.append(rv.copy())
+            if not (out[-1] == q).all() or i == len(a) - 2:
+                out.append(q)
+        return np.asarray(out, dtype=np.float64)
+
+    if geom.kind == "Point":
+        snapped = _snap_arr(geom.parts.reshape(1, 2), False)[0]
+        return Geometry("Point", snapped, geom.srid)
+    if geom.kind == "LineString":
+        return Geometry("LineString", _snap_arr(geom.parts, False), geom.srid)
+    if geom.kind == "Polygon":
+        return Geometry(
+            "Polygon",
+            [_snap_arr(r, True) for r in geom.parts],
+            geom.srid,
+        )
+    return Geometry(
+        geom.kind,
+        [snap_geometry(m, reference, tolerance) for m in geom.parts],
+        geom.srid,
+    )

@@ -552,6 +552,29 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_angle", _angle_sql, T.DoubleType())
 
+    def _genpoints(b, n, seed):
+        if b is None or n is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import generate_points
+
+        out = generate_points(
+            parse_wkb(b), int(n), int(seed) if seed is not None else 0
+        )
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_generatepoints", _genpoints, T.BinaryType())
+
+    def _snap_sql(a, b, tol):
+        if a is None or b is None or tol is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import snap_geometry
+
+        return to_wkb_seeded(
+            snap_geometry(parse_wkb(a), parse_wkb(bytes(b)), float(tol))
+        )
+
+    _register("st_snap", _snap_sql, T.BinaryType())
+
     def _collect2(a, b):
         # the scalar two-argument ST_Collect the aggregate shim passes
         # through (operators/scan._rewrite_spatial_aggs)

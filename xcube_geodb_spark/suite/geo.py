@@ -2188,6 +2188,53 @@ GEO_ORACLES["geo_scalar_kit"] = f"""
 """
 
 
+def geo_generate_snap(spark, sf_dir):
+    """``ST_GeneratePoints`` + ``ST_Snap`` on the raw-SQL surface
+    (geom.generate_points — seeded splitmix64 envelope rejection;
+    geom.snap_geometry — the two GEOS snapping rules): per square,
+    16 seeded points all land inside (pinned through the geom-geom
+    st_within dispatch), and a (0.005, 0.005)-translated copy of the
+    square snaps back onto the original exactly (vertex rule; the
+    translation distance ~0.00707 sits inside the 0.02 tolerance), so
+    st_equals + the 4h^2 area are closed forms."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("gen_sq")
+    sql = build_pg_sql(
+        "gen_sq",
+        select=(
+            "c_custkey, "
+            "st_numgeometries(st_generatepoints(geometry, 16, c_custkey)) "
+            "AS n_pts, "
+            "st_within(st_generatepoints(geometry, 16, c_custkey), "
+            "geometry) AS inside, "
+            "st_equals(st_snap(st_translate(geometry, 0.005, 0.005), "
+            "geometry, 0.02), geometry) AS snapped_back, "
+            "round(st_area(st_snap(st_translate(geometry, 0.005, 0.005), "
+            "geometry, 0.02)), 6) AS snap_area"
+        ),
+        where="c_custkey % 10 = 1",
+        order="c_custkey",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["geo_generate_snap"] = f"""
+    SELECT c_custkey,
+           CAST(16 AS INT) AS n_pts,
+           TRUE AS inside,
+           TRUE AS snapped_back,
+           round(4 * h * h, 6) AS snap_area
+    FROM ({_SQS})
+    WHERE c_custkey % 10 = 1
+    ORDER BY c_custkey
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -2246,6 +2293,7 @@ GEO_QUERIES = {
     "geo_delaunay_anchor": geo_delaunay_anchor,
     "geo_voronoi_cells": geo_voronoi_cells,
     "geo_scalar_kit": geo_scalar_kit,
+    "geo_generate_snap": geo_generate_snap,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
