@@ -1896,3 +1896,45 @@ class TestGeneratePointsAndSnap:
         assert to_wkt(
             snap_geometry(line, parse_wkt("POINT (2 0.5)"), 0.01)
         ) == "LINESTRING (0 0, 4 0)"
+
+
+class TestFrechetAndUnaryUnion:
+    def test_frechet_postgis_doc_example(self):
+        from xcube_geodb_spark.geometry.geom import (
+            frechet_distance, parse_wkt,
+        )
+
+        assert abs(frechet_distance(
+            parse_wkt("LINESTRING (0 0, 100 0)"),
+            parse_wkt("LINESTRING (0 0, 50 50, 100 0)"),
+        ) - 70.71067811865476) < 1e-9
+        # symmetric; identical inputs -> 0
+        a = parse_wkt("LINESTRING (0 0, 3 4, 6 0)")
+        b = parse_wkt("LINESTRING (0 1, 3 5, 6 1)")
+        assert frechet_distance(a, b) == frechet_distance(b, a)
+        assert frechet_distance(a, a) == 0.0
+        # frechet >= hausdorff always
+        from xcube_geodb_spark.geometry.geom import hausdorff_distance
+
+        assert frechet_distance(a, b) >= hausdorff_distance(a, b) - 1e-12
+
+    def test_unary_union(self):
+        from xcube_geodb_spark.geometry.geom import (
+            area, parse_wkt, to_wkt, unary_union,
+        )
+
+        g = parse_wkt(
+            "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+            "((1 0, 3 0, 3 2, 1 2, 1 0)))"
+        )
+        u = unary_union(g)
+        assert u.kind == "Polygon" and abs(area(u) - 6.0) < 1e-9
+        # points dedup
+        assert to_wkt(unary_union(
+            parse_wkt("MULTIPOINT ((1 1), (1 1), (2 2))")
+        )) == "MULTIPOINT ((1 1), (2 2))"
+        # crossing linework fully nodes (PostGIS unary-union behavior)
+        l = unary_union(
+            parse_wkt("MULTILINESTRING ((0 0, 2 2), (0 2, 2 0))")
+        )
+        assert l.kind == "MultiLineString" and len(l.parts) == 4

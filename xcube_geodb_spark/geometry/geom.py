@@ -2466,3 +2466,69 @@ def snap_geometry(
         [snap_geometry(m, reference, tolerance) for m in geom.parts],
         geom.srid,
     )
+
+
+def frechet_distance(a: Geometry, b: Geometry) -> float:
+    """``ST_FrechetDistance``: the DISCRETE Fréchet distance over the two
+    vertex sequences (Eiter & Mannila 1994 coupling DP — exactly what
+    GEOS computes without densification). Point/line inputs use their
+    vertex order; O(n*m) table, numpy row sweep."""
+    p = _all_vertices(a)
+    q = _all_vertices(b)
+    if not len(p) or not len(q):
+        return float("nan")
+    d = np.hypot(
+        p[:, None, 0] - q[None, :, 0], p[:, None, 1] - q[None, :, 1]
+    )
+    n, m = d.shape
+    row = np.empty(m, dtype=np.float64)
+    row[0] = d[0, 0]
+    for j in range(1, m):
+        row[j] = max(row[j - 1], d[0, j])
+    for i in range(1, n):
+        prev = row.copy()
+        row[0] = max(prev[0], d[i, 0])
+        for j in range(1, m):
+            row[j] = max(min(prev[j], prev[j - 1], row[j - 1]), d[i, j])
+    return float(row[-1])
+
+
+def unary_union(geom: Geometry) -> Geometry | None:
+    """``ST_UnaryUnion``: dissolve a geometry's own members — polygonal
+    members through the overlay union fold, lineal members through full
+    noding (PostGIS nodes linework under unary union), point members by
+    exact dedup. Mixed collections resolve per dimension and return the
+    highest-dimension result's collection (the engine's homogeneous
+    spelling; COVERAGE.md)."""
+    from xcube_geodb_spark.geometry.overlay import node_linework, union_all
+
+    polys = [leaf for leaf in geom.children() if leaf.kind == "Polygon"]
+    lines = [leaf for leaf in geom.children() if leaf.kind == "LineString"]
+    points = [leaf for leaf in geom.children() if leaf.kind == "Point"]
+    if polys:
+        out = union_all(
+            [Geometry("Polygon", p.parts) for p in polys]
+        )
+        if out is not None:
+            out.srid = geom.srid
+        return out
+    if lines:
+        return node_linework(
+            Geometry(
+                "MultiLineString",
+                [Geometry("LineString", li.parts) for li in lines],
+                geom.srid,
+            )
+        )
+    if points:
+        uniq = np.unique(
+            np.asarray([p.parts for p in points], dtype=np.float64), axis=0
+        )
+        if len(uniq) == 1:
+            return Geometry("Point", uniq[0], geom.srid)
+        return Geometry(
+            "MultiPoint",
+            [Geometry("Point", u) for u in uniq],
+            geom.srid,
+        )
+    return None

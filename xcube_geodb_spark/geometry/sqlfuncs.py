@@ -575,6 +575,26 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_snap", _snap_sql, T.BinaryType())
 
+    def _frechet(a, b):
+        if a is None or b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import frechet_distance
+
+        v = frechet_distance(parse_wkb(a), parse_wkb(bytes(b)))
+        return None if v != v else v
+
+    _register("st_frechetdistance", _frechet, T.DoubleType())
+
+    def _unaryunion(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import unary_union
+
+        out = unary_union(parse_wkb(b))
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_unaryunion", _unaryunion, T.BinaryType())
+
     def _collect2(a, b):
         # the scalar two-argument ST_Collect the aggregate shim passes
         # through (operators/scan._rewrite_spatial_aggs)

@@ -2134,7 +2134,10 @@ def geo_scalar_kit(spark, sf_dir):
     remove_repeated_points, segmentize, hausdorff_distance, angle_3pt,
     scalar st_collect): every expression reduces to a constant or the
     4h^2 square-area closed form, so one row per sampled customer pins
-    nine functions at once. Hausdorff of a horizontal segment against
+    eleven functions at once (r9 session 2 adds the discrete Frechet
+    distance — Eiter & Mannila 1994, the translate fixture's coupling
+    is exactly sqrt(5) — and st_unaryunion, whose half-overlapping
+    square pair dissolves to 6h^2). Hausdorff of a horizontal segment against
     its (1, 2)-translate is exactly sqrt(5) (the far endpoint), the
     segmentize count is 2h / (h/2) + 1 = 5, and the angle arm replays
     the PostGIS doc example ST_Angle(P(5 0), P(0 0), P(5 5)) = 45
@@ -2163,7 +2166,11 @@ def geo_scalar_kit(spark, sf_dir):
             "round(degrees(st_angle(st_point(x + 5, y), st_point(x, y), "
             "st_point(x + 5, y + 5))), 6) AS angle_deg, "
             "round(st_area(st_collectionextract("
-            "st_collect(st_point(x, y), geometry), 3)), 6) AS poly_area"
+            "st_collect(st_point(x, y), geometry), 3)), 6) AS poly_area, "
+            f"round(st_frechetdistance({seg}, "
+            f"st_translate({seg}, 1.0, 2.0)), 6) AS frech, "
+            "round(st_area(st_unaryunion(st_collect(geometry, "
+            "st_translate(geometry, h, 0.0)))), 6) AS union_area"
         ),
         where="c_custkey % 10 = 7",
         order="c_custkey",
@@ -2181,7 +2188,9 @@ GEO_ORACLES["geo_scalar_kit"] = f"""
            CAST(1 AS INT) AS n_multi,
            CAST(2 AS INT) AS n_rr,
            round(CAST(45 AS DOUBLE), 6) AS angle_deg,
-           round(4 * h * h, 6) AS poly_area
+           round(4 * h * h, 6) AS poly_area,
+           round(sqrt(5), 6) AS frech,
+           round(6 * h * h, 6) AS union_area
     FROM ({_SQS})
     WHERE c_custkey % 10 = 7
     ORDER BY c_custkey
