@@ -43,6 +43,9 @@ HEADLINE = [
     "dedup_exact",                  # exact dedup (hash agg)
     "dedup_minhash_pairs",          # MinHash LSH candidate join
     "dedup_lines_rebuilt",          # corpus line dedup + doc reassembly
+    "dedup_semantic_kept",          # SemDeDup: k-means + in-cluster cosine
+                                    # (new key in r9 session 2 — absent in
+                                    # earlier rounds' artifacts)
     "sim_cosine_topk",              # brute-force ANN baseline
     "ann_index_topk",               # warehouse ANN: bucket layout + pruning
     "text_profile",                 # text scoring/lang/fingerprint projection

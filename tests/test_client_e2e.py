@@ -575,6 +575,39 @@ class TestShimLiteralSafety:
         with _pytest.raises(GeoDBError, match="operand shape"):
             f("a <#> ")
 
+    def test_generate_series_from_rewrite(self):
+        from xcube_geodb_spark.operators.scan import build_pg_sql
+
+        assert build_pg_sql(
+            "generate_series(1, 10) AS t(i)", select="sum(i) AS s"
+        ) == (
+            "SELECT sum(i) AS s "
+            "FROM (SELECT explode(sequence(1, 10)) AS i) t"
+        )
+        # bare alias and no-alias forms; PG default column name
+        assert "AS i) g" in build_pg_sql(
+            "generate_series(1, 5, 2) g(i)", select="i"
+        )
+        assert "AS generate_series)" in build_pg_sql(
+            "generate_series(1, 5)", select="*"
+        )
+        # args run through the clause shim (:: casts translate)
+        assert "CAST('2024-01-01' AS timestamp)" in build_pg_sql(
+            "generate_series('2024-01-01'::timestamp, "
+            "'2024-01-02'::timestamp, interval 1 hour) ts(h)",
+            select="count(*) AS n",
+        )
+        # a JOIN keyword after the series is not mistaken for an alias
+        sql = build_pg_sql(
+            "generate_series(1, 3) t(i) JOIN nation ON i = n_nationkey",
+            select="count(*) AS n",
+        )
+        assert "t JOIN nation" in sql
+        # plain table names pass through untouched
+        assert build_pg_sql("nation", select="n_name") == (
+            "SELECT n_name FROM nation"
+        )
+
     def test_array_containment_rewrites(self):
         from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
 

@@ -152,6 +152,18 @@ def main() -> None:
         )
         return knn_join(e, q, k=5)
 
+    def semantic(e):
+        # SemDeDup: the replicated copies are EXACT vector duplicates, so
+        # the within-cluster kept set stays at x1 size while the row
+        # stream grows — the greedy sweep is O(rows * kept), linear here
+        # by the operator's own semantics (all-distinct corpora instead
+        # scale n_clusters, the documented knob)
+        from xcube_geodb_spark.functions.dedup import semantic_dedup
+
+        return semantic_dedup(
+            e, threshold=0.99, n_clusters=16, id_col="vec_id"
+        )
+
     def sessionize(ev):
         from xcube_geodb_spark.suite.core import events_sessionization  # noqa: F401
         # batch sessionization shape: gap-based sessions per user
@@ -377,6 +389,7 @@ def main() -> None:
         ("count_min_build", cmsketch, docs1, docsH),
         ("deterministic_shuffle", shuffle_op, docs1, docsN),
         ("knn_join", knn, emb1, embN),
+        ("semantic_dedup", semantic, emb1, embN),
         ("events_window_agg", sessionize, ev1, evN),
         ("line_dedup", linededup, docs1, docsH),
         ("dedup_against", incremental, docs1, docsH),

@@ -877,6 +877,51 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     return out
 
 
+_GEN_SERIES_RE = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
+
+
+def _rewrite_generate_series(table: str) -> str:
+    """PG's ``FROM generate_series(a, b[, step]) [AS] t(i)`` (the
+    series/gapfill idiom; DuckDB and PG share it) -> a Spark lateral
+    subquery ``(SELECT explode(sequence(a, b[, step])) AS i) t``.
+    Spark's ``sequence`` is inclusive on both ends exactly like PG's
+    generate_series, for ints and timestamps alike. The args run
+    through the clause shim so ``::`` casts inside them translate. The
+    unaliased form gets PG's default column name ``generate_series``.
+    SELECT-position set-returning calls stay outside the dialect shim
+    (SURVEY.md §7) — only the FROM position rewrites."""
+    m = _GEN_SERIES_RE.search(table)
+    if not m:
+        return table
+    depth = 0
+    for j in range(m.end() - 1, len(table)):
+        if table[j] == "(":
+            depth += 1
+        elif table[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+    else:
+        return table  # unbalanced: leave for Spark's parser
+    args = _pg_clause_to_spark(table[m.end(): j])
+    rest = table[j + 1:]
+    am = re.match(
+        r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*"
+        r"(?:\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?",
+        rest,
+        re.IGNORECASE,
+    )
+    alias, col, consumed = None, None, 0
+    if am and am.group(1).upper() not in _SQL_KEYWORDS:
+        alias, col, consumed = am.group(1), am.group(2), am.end()
+    col = col or "generate_series"
+    sub = f"(SELECT explode(sequence({args})) AS {col})"
+    if alias:
+        sub += f" {alias}"
+    out = table[: m.start()] + sub + rest[consumed:]
+    return _rewrite_generate_series(out)  # several series in one FROM
+
+
 _DISTINCT_ON_RE = re.compile(r"\s*DISTINCT\s+ON\s*\(", re.IGNORECASE)
 
 
@@ -922,6 +967,7 @@ def build_pg_sql(
     collection's column list, supplied by :func:`get_collection_pg`) is
     required only for the ``DISTINCT ON (...) *`` spelling, to project the
     helper row-number column back out."""
+    table = _rewrite_generate_series(table)
     select = _pg_clause_to_spark(select)
     where = _pg_clause_to_spark(where)
     group = _pg_clause_to_spark(group)

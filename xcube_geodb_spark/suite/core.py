@@ -530,7 +530,80 @@ def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "n_rows long")
 
 
+def pg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG's ordered-set aggregates — ``percentile_cont(p) WITHIN GROUP
+    (ORDER BY x)``, ``percentile_disc(p)``, ``mode()`` — pass through
+    the raw-SQL path verbatim: Spark 4 parses and runs the ANSI WITHIN
+    GROUP forms natively (map-side-combining aggregates; no shim, which
+    this gate pins so a future shim regression can't silently eat the
+    syntax). DuckDB runs the identical statement. mode() is keyed on
+    l_linenumber, whose frequency ordering is strictly decreasing —
+    the unique-mode fixture that sidesteps PG/Spark tie-break
+    differences."""
+    register_views(spark, sf_dir, "lineitem")
+    sql = build_pg_sql(
+        "lineitem",
+        select=(
+            "l_returnflag, "
+            "round(CAST(percentile_cont(0.5) WITHIN GROUP "
+            "(ORDER BY l_quantity) AS DOUBLE), 6) AS med_qty, "
+            "round(CAST(percentile_disc(0.25) WITHIN GROUP "
+            "(ORDER BY l_extendedprice) AS DOUBLE), 6) AS q1_price, "
+            "CAST(mode() WITHIN GROUP (ORDER BY l_linenumber) AS INT) "
+            "AS mode_line"
+        ),
+        group="l_returnflag",
+        order="l_returnflag",
+    )
+    return spark.sql(sql)
+
+
+def pg_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG's ``FROM generate_series(a, b[, step]) t(i)`` (the
+    series/gapfill idiom) through the dialect shim
+    (operators/scan._rewrite_generate_series): rewritten to
+    ``explode(sequence(...))`` — Spark's sequence is inclusive on both
+    ends exactly like PG. Two arms: the unit-step closed form and a
+    step-7 sum; DuckDB runs the PG spelling natively."""
+    sql1 = build_pg_sql(
+        "generate_series(1, 1000) AS t(i)",
+        select="'unit' AS arm, count(*) AS n, "
+        "CAST(sum(i) AS BIGINT) AS s, CAST(min(i) AS BIGINT) AS lo, "
+        "CAST(max(i) AS BIGINT) AS hi",
+    )
+    sql2 = build_pg_sql(
+        "generate_series(3, 994, 7) t(i)",
+        select="'step7' AS arm, count(*) AS n, "
+        "CAST(sum(i) AS BIGINT) AS s, CAST(min(i) AS BIGINT) AS lo, "
+        "CAST(max(i) AS BIGINT) AS hi",
+    )
+    return spark.sql(sql1).unionByName(spark.sql(sql2))
+
+
 CORE_ORACLES_PG = {
+    "pg_within_group": """
+        SELECT l_returnflag,
+               round(CAST(percentile_cont(0.5) WITHIN GROUP
+                     (ORDER BY l_quantity) AS DOUBLE), 6) AS med_qty,
+               round(CAST(percentile_disc(0.25) WITHIN GROUP
+                     (ORDER BY l_extendedprice) AS DOUBLE), 6) AS q1_price,
+               CAST(mode() WITHIN GROUP (ORDER BY l_linenumber) AS INT)
+                   AS mode_line
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "pg_generate_series": """
+        SELECT 'unit' AS arm, count(*) AS n,
+               CAST(sum(i) AS BIGINT) AS s, CAST(min(i) AS BIGINT) AS lo,
+               CAST(max(i) AS BIGINT) AS hi
+        FROM generate_series(1, 1000) AS t(i)
+        UNION ALL
+        SELECT 'step7' AS arm, count(*) AS n,
+               CAST(sum(i) AS BIGINT) AS s, CAST(min(i) AS BIGINT) AS lo,
+               CAST(max(i) AS BIGINT) AS hi
+        FROM generate_series(3, 994, 7) t(i)
+    """,
     "pg_groupby_q1": f"""
         SELECT {_Q1_SELECT} FROM lineitem
         WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
@@ -1631,6 +1704,8 @@ CORE_QUERIES = {
     "pg_similar_to": pg_similar_to,
     "pg_array_containment": pg_array_containment,
     "pg_string_agg": pg_string_agg,
+    "pg_within_group": pg_within_group,
+    "pg_generate_series": pg_generate_series,
     "pg_array_agg_order": pg_array_agg_order,
     "pg_array_agg_order_mixed": pg_array_agg_order_mixed,
     "pg_dialect_shim": pg_dialect_shim,
