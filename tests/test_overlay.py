@@ -1266,3 +1266,59 @@ class TestArrangementPartition:
         want = area(overlay(rect_poly(ra), rect_poly(rb), "union"))
         assert faces is not None
         assert area(faces) == pytest.approx(want, rel=1e-9)
+
+
+class TestClusterAndLineEdit:
+    def test_cluster_within_rewrites(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("st_clusterwithin(geometry, 1.5)") == (
+            "st_clusterwithin_agg(collect_list(geometry), 1.5)"
+        )
+        assert f("st_clusterintersecting(geometry)") == (
+            "st_clusterwithin_agg(collect_list(geometry), 0.0)"
+        )
+        with pytest.raises(GeoDBError, match="two arguments"):
+            f("st_clusterwithin(geometry)")
+        with pytest.raises(GeoDBError, match="one argument"):
+            f("st_clusterintersecting(geometry, 2)")
+
+    def test_cluster_within_kernel(self):
+        from xcube_geodb_spark.functions.geo_agg import (
+            cluster_within_members,
+        )
+        from xcube_geodb_spark.geometry.geom import parse_wkt
+
+        def sq(x):
+            return parse_wkt(
+                f"POLYGON (({x} 0, {x + 1} 0, {x + 1} 1, {x} 1, {x} 0))"
+            )
+
+        ms = [sq(0), sq(3), sq(6), sq(0.5)]
+        assert len(cluster_within_members(ms, 1.0)) == 3
+        assert len(cluster_within_members(ms, 2.5)) == 1
+        # d=0 is ST_ClusterIntersecting: overlap links, gaps do not
+        assert len(cluster_within_members(ms, 0.0)) == 3
+        # singleton clusters stay the bare member, multis collect
+        out = cluster_within_members(ms, 1.0)
+        kinds = sorted(c.kind for c in out)
+        assert kinds == ["GeometryCollection", "Polygon", "Polygon"]
+        assert cluster_within_members([], 1.0) == []
+
+    def test_line_edit_trio(self):
+        from xcube_geodb_spark.geometry.geom import (
+            add_point, parse_wkt, remove_point, set_point, to_wkt,
+        )
+
+        line = parse_wkt("LINESTRING (0 0, 1 0, 2 0)")
+        p = parse_wkt("POINT (3 0)")
+        assert to_wkt(add_point(line, p)) == "LINESTRING (0 0, 1 0, 2 0, 3 0)"
+        assert to_wkt(add_point(line, p, 0)) == (
+            "LINESTRING (3 0, 0 0, 1 0, 2 0)"
+        )
+        assert to_wkt(remove_point(line, 1)) == "LINESTRING (0 0, 2 0)"
+        assert to_wkt(set_point(line, -1, p)) == "LINESTRING (0 0, 1 0, 3 0)"
+        with pytest.raises(GeoDBError, match="at least 2"):
+            remove_point(parse_wkt("LINESTRING (0 0, 1 1)"), 0)
+        with pytest.raises(GeoDBError, match="out of range"):
+            set_point(line, 7, p)

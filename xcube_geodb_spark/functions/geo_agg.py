@@ -229,3 +229,57 @@ def dissolve(
         _dissolve(geoms).alias("geometry"),
         F.count(F.col(geom_col)).alias("n_members"),
     )
+
+
+def cluster_within_members(members, distance_within: float):
+    """``ST_ClusterWithin`` kernel: single-linkage union-find over the
+    collected members — i and j link when their exact kernel distance is
+    <= ``distance_within`` (0 = ST_ClusterIntersecting: touching or
+    overlapping). An envelope prefilter (expanded by the threshold)
+    skips provably-far pairs, so the quadratic term only pays for
+    envelope survivors. Returns one GeometryCollection-shaped list per
+    cluster, ordered by each cluster's smallest member index (input
+    order), members in input order — deterministic given the collected
+    array's order."""
+    import numpy as np
+
+    from xcube_geodb_spark.geometry.geom import Geometry, distance, envelope
+
+    n = len(members)
+    if n == 0:
+        return []
+    envs = np.asarray([envelope(g) for g in members], dtype=np.float64)
+    d = float(distance_within)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        xi0, yi0, xi1, yi1 = envs[i]
+        for j in range(i + 1, n):
+            if find(i) == find(j):
+                continue
+            xj0, yj0, xj1, yj1 = envs[j]
+            if (
+                xj0 > xi1 + d or xj1 < xi0 - d
+                or yj0 > yi1 + d or yj1 < yi0 - d
+            ):
+                continue
+            if distance(members[i], members[j]) <= d:
+                parent[find(j)] = find(i)
+    clusters: dict[int, list] = {}
+    for i in range(n):
+        clusters.setdefault(find(i), []).append(members[i])
+    out = []
+    for root in sorted(clusters):
+        ms = clusters[root]
+        out.append(
+            ms[0]
+            if len(ms) == 1
+            else Geometry("GeometryCollection", ms)
+        )
+    return out

@@ -2532,3 +2532,58 @@ def unary_union(geom: Geometry) -> Geometry | None:
             geom.srid,
         )
     return None
+
+
+def add_point(geom: Geometry, pt: Geometry, position: int = -1) -> Geometry:
+    """``ST_AddPoint(line, point[, position])``: insert before the
+    0-based ``position`` (-1 appends, PG's default)."""
+    if geom.kind != "LineString" or pt.kind != "Point":
+        raise GeoDBError("st_addpoint: (LineString, Point) required")
+    arr = geom.parts
+    n = len(arr)
+    p = pt.parts.reshape(1, 2)
+    if position == -1 or position == n:
+        out = np.vstack([arr, p])
+    elif 0 <= position < n:
+        out = np.vstack([arr[:position], p, arr[position:]])
+    else:
+        raise GeoDBError(
+            f"st_addpoint: position {position} out of range [0, {n}]"
+        )
+    return Geometry("LineString", out, geom.srid)
+
+
+def remove_point(geom: Geometry, offset: int) -> Geometry:
+    """``ST_RemovePoint(line, offset)``: drop the 0-based vertex; like
+    PG, removing below two remaining vertices is an error."""
+    if geom.kind != "LineString":
+        raise GeoDBError("st_removepoint: LineString required")
+    arr = geom.parts
+    n = len(arr)
+    if not 0 <= offset < n:
+        raise GeoDBError(
+            f"st_removepoint: offset {offset} out of range [0, {n})"
+        )
+    if n <= 2:
+        raise GeoDBError("st_removepoint: a line needs at least 2 points")
+    return Geometry(
+        "LineString",
+        np.vstack([arr[:offset], arr[offset + 1:]]),
+        geom.srid,
+    )
+
+
+def set_point(geom: Geometry, index: int, pt: Geometry) -> Geometry:
+    """``ST_SetPoint(line, index, point)``: replace the vertex at the
+    0-based index (negative counts from the end, like PG)."""
+    if geom.kind != "LineString" or pt.kind != "Point":
+        raise GeoDBError("st_setpoint: (LineString, Point) required")
+    arr = geom.parts.copy()
+    n = len(arr)
+    i = index if index >= 0 else n + index
+    if not 0 <= i < n:
+        raise GeoDBError(
+            f"st_setpoint: index {index} out of range for {n} points"
+        )
+    arr[i] = pt.parts
+    return Geometry("LineString", arr, geom.srid)

@@ -595,6 +595,61 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_unaryunion", _unaryunion, T.BinaryType())
 
+    def _cluster_within_agg(arr, d):
+        if arr is None:
+            return None
+        from xcube_geodb_spark.functions.geo_agg import (
+            cluster_within_members,
+        )
+
+        clusters = cluster_within_members(
+            [parse_wkb(bytes(b)) for b in arr if b is not None],
+            float(d) if d is not None else 0.0,
+        )
+        return [to_wkb_seeded(c) for c in clusters]
+
+    _register(
+        "st_clusterwithin_agg",
+        _cluster_within_agg,
+        T.ArrayType(T.BinaryType()),
+    )
+
+    def _addpoint(b, p, pos):
+        # PG's 2-arg append form is spelled with position -1 here
+        # (fixed-arity UDF registration, same note as st_delaunayedges)
+        if b is None or p is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import add_point
+
+        return to_wkb_seeded(
+            add_point(
+                parse_wkb(b), parse_wkb(bytes(p)),
+                int(pos) if pos is not None else -1,
+            )
+        )
+
+    _register("st_addpoint", _addpoint, T.BinaryType())
+
+    def _removepoint(b, i):
+        if b is None or i is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import remove_point
+
+        return to_wkb_seeded(remove_point(parse_wkb(b), int(i)))
+
+    _register("st_removepoint", _removepoint, T.BinaryType())
+
+    def _setpoint(b, i, p):
+        if b is None or i is None or p is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import set_point
+
+        return to_wkb_seeded(
+            set_point(parse_wkb(b), int(i), parse_wkb(bytes(p)))
+        )
+
+    _register("st_setpoint", _setpoint, T.BinaryType())
+
     def _collect2(a, b):
         # the scalar two-argument ST_Collect the aggregate shim passes
         # through (operators/scan._rewrite_spatial_aggs)

@@ -609,7 +609,8 @@ def _rewrite_agg_orderby(code: str) -> str:
 
 
 _SPATIAL_AGG_RE = re.compile(
-    r"\b(st_union|st_collect|st_extent|st_polygonize|st_makeline)\s*\(",
+    r"\b(st_union|st_collect|st_extent|st_polygonize|st_makeline"
+    r"|st_clusterwithin|st_clusterintersecting)\s*\(",
     re.IGNORECASE,
 )
 
@@ -655,16 +656,38 @@ def _rewrite_spatial_aggs(code: str) -> str:
             return code  # unbalanced parens: leave for Spark's parser
         args = code[m.end(): j]
         # top-level comma -> the scalar two-argument overlay form
-        depth2, has_comma = 0, False
-        for ch in args:
+        # (EXCEPT st_clusterwithin, whose 2-arg form IS the aggregate)
+        depth2, comma_at = 0, None
+        for ci, ch in enumerate(args):
             if ch == "(":
                 depth2 += 1
             elif ch == ")":
                 depth2 -= 1
             elif ch == "," and depth2 == 0:
-                has_comma = True
+                comma_at = ci
                 break
-        if has_comma:
+        if fname in ("st_clusterwithin", "st_clusterintersecting"):
+            if fname == "st_clusterwithin":
+                if comma_at is None:
+                    raise GeoDBError(
+                        "st_clusterwithin(geom, distance): two arguments "
+                        "required"
+                    )
+                gexpr = args[:comma_at].strip()
+                dexpr = args[comma_at + 1:].strip()
+            else:
+                if comma_at is not None:
+                    raise GeoDBError(
+                        "st_clusterintersecting(geom): one argument only"
+                    )
+                gexpr, dexpr = args.strip(), "0.0"
+            repl = (
+                f"st_clusterwithin_agg(collect_list({gexpr}), {dexpr})"
+            )
+            code = code[: m.start()] + repl + code[j + 1:]
+            pos = m.start() + len(repl)
+            continue
+        if comma_at is not None:
             pos = m.end()
             continue
         ob = None

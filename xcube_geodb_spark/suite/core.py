@@ -558,6 +558,29 @@ def pg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def pg_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG's aggregate ``FILTER (WHERE ...)`` clause — native Spark 4
+    passthrough on the raw-SQL path (conditional aggregation without
+    CASE rewrites; one map-side-combining aggregate per group, the
+    filter evaluated pre-combine). DuckDB runs the identical ANSI
+    statement."""
+    register_views(spark, sf_dir, "orders")
+    sql = build_pg_sql(
+        "orders",
+        select=(
+            "o_orderpriority, count(*) AS n_all, "
+            "count(*) FILTER (WHERE o_totalprice > 150000) AS n_big, "
+            "round(CAST(sum(o_totalprice) FILTER "
+            "(WHERE o_orderstatus = 'F') AS DOUBLE), 2) AS sum_f, "
+            "CAST(max(o_orderkey) FILTER (WHERE o_custkey % 2 = 0) "
+            "AS BIGINT) AS max_key"
+        ),
+        group="o_orderpriority",
+        order="o_orderpriority",
+    )
+    return spark.sql(sql)
+
+
 def pg_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG's ``FROM generate_series(a, b[, step]) t(i)`` (the
     series/gapfill idiom) through the dialect shim
@@ -592,6 +615,17 @@ CORE_ORACLES_PG = {
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+    """,
+    "pg_agg_filter": """
+        SELECT o_orderpriority, count(*) AS n_all,
+               count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               round(CAST(sum(o_totalprice) FILTER
+                     (WHERE o_orderstatus = 'F') AS DOUBLE), 2) AS sum_f,
+               CAST(max(o_orderkey) FILTER (WHERE o_custkey % 2 = 0)
+                    AS BIGINT) AS max_key
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """,
     "pg_generate_series": """
         SELECT 'unit' AS arm, count(*) AS n,
@@ -1705,6 +1739,7 @@ CORE_QUERIES = {
     "pg_array_containment": pg_array_containment,
     "pg_string_agg": pg_string_agg,
     "pg_within_group": pg_within_group,
+    "pg_agg_filter": pg_agg_filter,
     "pg_generate_series": pg_generate_series,
     "pg_array_agg_order": pg_array_agg_order,
     "pg_array_agg_order_mixed": pg_array_agg_order_mixed,

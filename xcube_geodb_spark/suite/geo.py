@@ -2244,6 +2244,58 @@ GEO_ORACLES["geo_generate_snap"] = f"""
 """
 
 
+def pg_cluster_within(spark, sf_dir):
+    """PostGIS clustering aggregates ``ST_ClusterWithin(geom, d)`` /
+    ``ST_ClusterIntersecting(geom)`` through the pg dialect shim
+    (functions/geo_agg.cluster_within_members — single-linkage
+    union-find with an envelope prefilter; the quadratic term pays only
+    for envelope survivors, and like PG's own aggregate the group
+    materializes on one task — pre-bucket upstream for unbounded
+    groups). Fixture: per group (custkey % 4) the unit squares sit at
+    x = 1.5 * (custkey % 6); CRT gives every group exactly the three
+    cells {g, g+2, g+4} mod 6, spaced 2 apart edge-to-edge — so three
+    clusters at d=1 (and for intersecting duplicates), ONE at d=2.5."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    c = load(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 4).alias("grp"),
+        (1.5 * (F.col("c_custkey") % 6).cast("double")).alias("cx"),
+    )
+    c.select(
+        "grp",
+        _square_wkb(
+            F.col("cx") + F.lit(0.5), F.lit(0.5), F.lit(0.5)
+        ).alias("geometry"),
+    ).createOrReplaceTempView("clw")
+    sql = build_pg_sql(
+        "clw",
+        select=(
+            "grp, "
+            "size(st_clusterwithin(geometry, 1.0)) AS n_tight, "
+            "size(st_clusterwithin(geometry, 2.5)) AS n_loose, "
+            "size(st_clusterintersecting(geometry)) AS n_isect"
+        ),
+        group="grp",
+        order="grp",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["pg_cluster_within"] = """
+    SELECT c_custkey % 4 AS grp,
+           CAST(3 AS INT) AS n_tight,
+           CAST(1 AS INT) AS n_loose,
+           CAST(3 AS INT) AS n_isect
+    FROM customer
+    GROUP BY grp
+    ORDER BY grp
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -2303,6 +2355,7 @@ GEO_QUERIES = {
     "geo_voronoi_cells": geo_voronoi_cells,
     "geo_scalar_kit": geo_scalar_kit,
     "geo_generate_snap": geo_generate_snap,
+    "pg_cluster_within": pg_cluster_within,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
