@@ -128,3 +128,63 @@ class TestVoronoi:
         pts = [tuple(p) for p in rng.random((25, 2)) * 50]
         g = _multipoint(pts)
         assert to_wkt(voronoi_polygons(g)) == to_wkt(voronoi_polygons(g))
+
+
+class TestConcaveHull:
+    def test_pct_one_is_convex_hull(self):
+        from xcube_geodb_spark.geometry.geom import convex_hull
+        from xcube_geodb_spark.geometry.triangulate import concave_hull
+
+        rng = np.random.default_rng(3)
+        g = _multipoint([tuple(p) for p in rng.random((40, 2)) * 10])
+        assert abs(area(concave_hull(g, 1.0)) - area(convex_hull(g))) < 1e-9
+
+    def test_c_shape_carves(self):
+        from xcube_geodb_spark.geometry.geom import convex_hull
+        from xcube_geodb_spark.geometry.triangulate import concave_hull
+
+        cpts = [
+            (5 + 4 * math.cos(a), 5 + 4 * math.sin(a))
+            for a in np.linspace(0.6, 2 * math.pi - 0.6, 60)
+        ] + [
+            (5 + 3 * math.cos(a), 5 + 3 * math.sin(a))
+            for a in np.linspace(0.6, 2 * math.pi - 0.6, 50)
+        ]
+        g = _multipoint(cpts)
+        a_convex = area(convex_hull(g))
+        a_concave = area(concave_hull(g, 0.1))
+        # the chi-shape recovers the C: most of the bite is carved away
+        assert a_concave < 0.5 * a_convex
+        # monotone in pct
+        assert area(concave_hull(g, 0.5)) <= a_convex + 1e-9
+        assert a_concave <= area(concave_hull(g, 0.5)) + 1e-9
+
+    def test_hull_contains_all_points(self):
+        from xcube_geodb_spark.geometry.geom import _point_in_rings
+        from xcube_geodb_spark.geometry.overlay import _polygons_of
+        from xcube_geodb_spark.geometry.triangulate import concave_hull
+
+        rng = np.random.default_rng(9)
+        pts = [tuple(p) for p in rng.random((30, 2)) * 10]
+        hull = concave_hull(_multipoint(pts), 0.3)
+        polys = _polygons_of(hull)
+        for x, y in pts:
+            assert any(
+                _point_in_rings(x, y, rings) for rings in polys
+            ) or any(
+                min(
+                    math.hypot(x - rx, y - ry)
+                    for ring in rings
+                    for rx, ry in ring
+                ) < 1e-9
+                for rings in polys
+            )
+
+    def test_degenerate_and_validation(self):
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.geometry.triangulate import concave_hull
+
+        assert concave_hull(None, 0.5) is None
+        assert concave_hull(parse_wkt("POINT (0 0)"), 0.5) is None
+        with pytest.raises(GeoDBError, match="param_pctconvex"):
+            concave_hull(parse_wkt("MULTIPOINT ((0 0), (1 0), (0 1))"), 2.0)

@@ -472,6 +472,16 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     _register("st_delaunaytriangles", _delaunay, T.BinaryType())
     _register("st_delaunayedges", _delaunay_edges, T.BinaryType())
 
+    def _concavehull(b, pct):
+        if b is None or pct is None:
+            return None
+        from xcube_geodb_spark.geometry.triangulate import concave_hull
+
+        out = concave_hull(parse_wkb(b), float(pct))
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_concavehull", _concavehull, T.BinaryType())
+
     def _voronoi(b):
         if b is None:
             return None

@@ -237,3 +237,111 @@ def voronoi_polygons(geom: Geometry | None) -> Geometry | None:
         out.srid = geom.srid
         return out
     return Geometry("MultiPolygon", members, geom.srid)
+
+
+def concave_hull(
+    geom: Geometry | None, param_pctconvex: float = 1.0
+) -> Geometry | None:
+    """``ST_ConcaveHull(g, param_pctconvex)`` as a chi-shape (Duckham,
+    Kulik, Worboys & Galton 2008, "Efficient generation of simple
+    polygons for characterizing the shape of a set of points in the
+    plane"): start from the Delaunay triangulation of the distinct
+    vertices and repeatedly carve the longest exterior edge while the
+    carve keeps the region simple (the exposed vertex is not already on
+    the boundary) and the edge is longer than the length threshold.
+
+    ``param_pctconvex`` in [0, 1] maps to the threshold the way PostGIS
+    users expect: 1.0 keeps every edge (the convex hull), smaller values
+    allow deeper carving — threshold = min_len + pct * (max_len -
+    min_len) over the initial hull-edge lengths. Deterministic: ties
+    break on edge endpoints' coordinates. Fewer than three
+    non-collinear sites -> None."""
+    if geom is None:
+        return None
+    if not 0.0 <= param_pctconvex <= 1.0:
+        from xcube_geodb_spark.errors import GeoDBError
+
+        raise GeoDBError(
+            "st_concavehull: param_pctconvex must be in [0, 1]"
+        )
+    sites = _delaunay_sites(geom)
+    tris = delaunay_triangulation(sites)
+    if not tris:
+        return None
+
+    def _elen(u, v):
+        return float(
+            math.hypot(
+                sites[u, 0] - sites[v, 0], sites[u, 1] - sites[v, 1]
+            )
+        )
+
+    # edge -> incident triangles
+    live = set(tris)
+    incident: dict[tuple[int, int], set] = {}
+    for t in tris:
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            k = (e[0], e[1]) if e[0] < e[1] else (e[1], e[0])
+            incident.setdefault(k, set()).add(t)
+
+    def _boundary_edges():
+        return {e for e, ts in incident.items() if len(ts & live) == 1}
+
+    boundary = _boundary_edges()
+    if not boundary:
+        return None
+    lens = [_elen(u, v) for u, v in boundary]
+    lo, hi = min(lens), max(lens)
+    threshold = lo + float(param_pctconvex) * (hi - lo)
+    # carve: longest boundary edge first (ties -> coordinates)
+    import heapq
+
+    def _key(e):
+        return (-_elen(*e), sites[e[0], 0], sites[e[0], 1],
+                sites[e[1], 0], sites[e[1], 1])
+
+    heap = [(_key(e), e) for e in boundary]
+    heapq.heapify(heap)
+    on_boundary = {v for e in boundary for v in e}
+    while heap:
+        k, e = heapq.heappop(heap)
+        if e not in _boundary_edges():
+            continue  # stale entry
+        if _elen(*e) <= threshold + 1e-12:
+            break  # longest remaining is short enough: done
+        ts = [t for t in incident[e] if t in live]
+        if len(ts) != 1:
+            continue
+        t = ts[0]
+        apex = next(v for v in t if v not in e)
+        if apex in on_boundary:
+            continue  # carving would pinch the region: skip this edge
+        if len(live) == 1:
+            continue  # never carve the last triangle
+        live.discard(t)
+        on_boundary.add(apex)
+        for u, v in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            ek = (u, v) if u < v else (v, u)
+            if ek != e and len(incident[ek] & live) == 1:
+                heapq.heappush(heap, (_key(ek), ek))
+    if not live:
+        return None
+    # boundary of the remaining triangulation -> polygon via the face
+    # tracer (handles any simple region the carve produced)
+    from xcube_geodb_spark.geometry.overlay import polygonize
+
+    edges = []
+    for e, ts in incident.items():
+        if len(ts & live) == 1:
+            edges.append(
+                Geometry(
+                    "LineString",
+                    np.asarray(
+                        [sites[e[0]], sites[e[1]]], dtype=np.float64
+                    ),
+                )
+            )
+    out = polygonize(Geometry("MultiLineString", edges, geom.srid))
+    if out is not None:
+        out.srid = geom.srid
+    return out

@@ -2296,6 +2296,66 @@ GEO_ORACLES["pg_cluster_within"] = """
 """
 
 
+def geo_concave_hull(spark, sf_dir):
+    """``ST_ConcaveHull`` on the raw-SQL surface
+    (geometry/triangulate.concave_hull — chi-shapes, Duckham et al.
+    2008, carving the in-repo Delaunay): at param_pctconvex = 1 no edge
+    carves and the chi-shape IS the convex hull, so the anchored
+    fixture's hull area is exactly the 400 x 200 frame; a 0.2 carve can
+    only remove area and never vertices (monotonicity), pinned as
+    booleans."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    pts = _points(spark, sf_dir).select(
+        (F.col("c_custkey") % 20).alias("grp"), "c_custkey", "geometry"
+    )
+    anchors = (
+        pts.select("grp")
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame(
+                [(-200.0, -100.0), (200.0, -100.0),
+                 (200.0, 100.0), (-200.0, 100.0)],
+                "ax double, ay double",
+            )
+        )
+        .select(
+            "grp",
+            F.lit(-1).cast("long").alias("c_custkey"),
+            _point_wkb(F.col("ax"), F.col("ay")).alias("geometry"),
+        )
+    )
+    pts.unionByName(anchors).createOrReplaceTempView("chull_pts")
+    sql = build_pg_sql(
+        "chull_pts",
+        select=(
+            "grp, "
+            "round(st_area(st_concavehull(st_collect(geometry), 1.0)), 3) "
+            "AS hull_area, "
+            "st_area(st_concavehull(st_collect(geometry), 0.2)) "
+            "<= st_area(st_concavehull(st_collect(geometry), 1.0)) "
+            "AS carve_monotone"
+        ),
+        group="grp",
+        order="grp",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["geo_concave_hull"] = f"""
+    SELECT c_custkey % 20 AS grp,
+           round(CAST(80000 AS DOUBLE), 3) AS hull_area,
+           TRUE AS carve_monotone
+    FROM ({_PTS})
+    GROUP BY grp
+    ORDER BY grp
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -2356,6 +2416,7 @@ GEO_QUERIES = {
     "geo_scalar_kit": geo_scalar_kit,
     "geo_generate_snap": geo_generate_snap,
     "pg_cluster_within": pg_cluster_within,
+    "geo_concave_hull": geo_concave_hull,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
