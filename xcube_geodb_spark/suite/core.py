@@ -558,6 +558,60 @@ def pg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+_RECURSIVE_SQL = """
+    WITH RECURSIVE walk(k, depth) AS (
+        SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+        UNION ALL
+        SELECT c.c_custkey, w.depth + 1
+        FROM customer c JOIN walk w
+          ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = w.k
+        WHERE w.depth < 20
+    )
+    SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+    FROM walk
+    GROUP BY depth
+    ORDER BY depth
+"""
+
+
+def pg_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``WITH RECURSIVE`` — native Spark 4 passthrough on the raw-SQL
+    surface (the engine's run_sql superset admits full statements): the
+    customer keys form an implicit binary tree (parent = floor(k / 2)),
+    walked from the root; per-depth counts and key sums land exactly on
+    the closed form (depth of k IS floor(log2 k)) — and the oracle runs
+    the IDENTICAL recursive statement natively in DuckDB, so both
+    engines' fixpoint semantics are compared directly. Spark executes
+    each recursive step as a join against the previous frontier — a
+    bounded iterative plan, the same shape a 100-TB hierarchy walk
+    needs (no driver-side loop)."""
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, top.c_custkey, round(top.c_acctbal, 2) AS bal
+    FROM nation n,
+    LATERAL (
+        SELECT c.c_custkey, c.c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_acctbal DESC, c.c_custkey
+        LIMIT 2
+    ) top
+    ORDER BY n.n_name, bal DESC, top.c_custkey
+"""
+
+
+def pg_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``LATERAL`` correlated subquery — native Spark 4 passthrough:
+    the canonical top-N-per-group lateral (top-2 customers by balance
+    per nation). DuckDB runs the identical statement. Spark plans the
+    correlation as a rank-window under the hood — no per-row re-scan."""
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_SQL)
+
+
 def pg_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG's aggregate ``FILTER (WHERE ...)`` clause — native Spark 4
     passthrough on the raw-SQL path (conditional aggregation without
@@ -616,6 +670,8 @@ CORE_ORACLES_PG = {
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """,
+    "pg_recursive_cte": _RECURSIVE_SQL,
+    "pg_lateral_topn": _LATERAL_SQL,
     "pg_agg_filter": """
         SELECT o_orderpriority, count(*) AS n_all,
                count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
@@ -1740,6 +1796,8 @@ CORE_QUERIES = {
     "pg_string_agg": pg_string_agg,
     "pg_within_group": pg_within_group,
     "pg_agg_filter": pg_agg_filter,
+    "pg_recursive_cte": pg_recursive_cte,
+    "pg_lateral_topn": pg_lateral_topn,
     "pg_generate_series": pg_generate_series,
     "pg_array_agg_order": pg_array_agg_order,
     "pg_array_agg_order_mixed": pg_array_agg_order_mixed,
