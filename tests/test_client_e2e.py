@@ -608,6 +608,40 @@ class TestShimLiteralSafety:
             "SELECT n_name FROM nation"
         )
 
+    def test_geometry_cast_rewrite(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        # '...'::geometry (the everyday PG WKT-literal cast) becomes a
+        # parser call, not an invalid Spark CAST
+        assert f("'POINT (1 2)'::geometry") == (
+            "st_geomfromtext('POINT (1 2)')"
+        )
+        assert f("geometry <-> 'POINT (0 0)'::geometry") == (
+            "st_distance(geometry, st_geomfromtext('POINT (0 0)'))"
+        )
+        # non-literal operand too; other casts unaffected
+        assert f("wkt_col::geometry") == "st_geomfromtext(wkt_col)"
+        assert f("x::int8") == "CAST(x AS bigint)"
+
+    def test_from_keywords_not_series_aliases(self):
+        from xcube_geodb_spark.operators.scan import build_pg_sql
+
+        sql = build_pg_sql(
+            "generate_series(1, 3) LEFT JOIN nation "
+            "ON generate_series = n_nationkey",
+            select="count(*) AS n",
+        )
+        assert "LEFT JOIN nation" in sql and ") LEFT" in sql
+        # but left()/right() still parse as operand calls elsewhere
+        from xcube_geodb_spark.operators.scan import (
+            _pg_clause_to_spark as f,
+        )
+
+        assert f("split(left(text, 10), ' ') @> ARRAY['q']") == (
+            "size(array_except(array('q'), split(left(text, 10), ' '))) "
+            "= 0"
+        )
+
     def test_array_containment_rewrites(self):
         from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
 

@@ -349,6 +349,14 @@ _SQL_KEYWORDS = frozenset(
     "USING VALUES RETURNING".split()
 )
 
+# FROM-clause keywords that must not be mistaken for a table alias
+# (kept separate: LEFT/RIGHT are also scalar function names, so they
+# cannot join _SQL_KEYWORDS, which guards operand-call detection)
+_FROM_KEYWORDS = _SQL_KEYWORDS | frozenset(
+    "LEFT RIGHT FULL INNER OUTER CROSS NATURAL LATERAL "
+    "TABLESAMPLE".split()
+)
+
 
 def _operand_after(s: str) -> tuple[str, int] | None:
     """The operand starting at the BEGINNING of code string ``s``
@@ -811,6 +819,10 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
 
     def _cast(m: re.Match) -> str:
         t = m.group(2).lower()
+        if t == "geometry":
+            # '...'::geometry — the everyday PG WKT-literal cast; Spark
+            # has no geometry type, the registered parser is the cast
+            return f"st_geomfromtext({m.group(1)})"
         return f"CAST({m.group(1)} AS {_PG_CAST_TYPES.get(t, t)})"
 
     # Work on quote-split segments throughout: even indexes are code, odd
@@ -837,7 +849,10 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
         m = re.match(r"\s*::\s*([A-Za-z_][A-Za-z0-9_]*)(.*)", after, re.DOTALL)
         if m:
             t = m.group(1).lower()
-            parts[i] = f"CAST({parts[i]} AS {_PG_CAST_TYPES.get(t, t)})"
+            if t == "geometry":
+                parts[i] = f"st_geomfromtext({parts[i]})"
+            else:
+                parts[i] = f"CAST({parts[i]} AS {_PG_CAST_TYPES.get(t, t)})"
             parts[i + 1] = m.group(2)
         before = parts[i - 1]
         m = re.search(
@@ -935,7 +950,7 @@ def _rewrite_generate_series(table: str) -> str:
         re.IGNORECASE,
     )
     alias, col, consumed = None, None, 0
-    if am and am.group(1).upper() not in _SQL_KEYWORDS:
+    if am and am.group(1).upper() not in _FROM_KEYWORDS:
         alias, col, consumed = am.group(1), am.group(2), am.end()
     col = col or "generate_series"
     sub = f"(SELECT explode(sequence({args})) AS {col})"
