@@ -1938,3 +1938,34 @@ class TestFrechetAndUnaryUnion:
             parse_wkt("MULTILINESTRING ((0 0, 2 2), (0 2, 2 0))")
         )
         assert l.kind == "MultiLineString" and len(l.parts) == 4
+
+
+class TestCodecAliases:
+    """SQL/MM typed constructors + codec aliases (sqlfuncs r9)."""
+
+    def test_typed_constructors_and_dimension(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            "SELECT st_dimension(st_geomfromtext("
+            "'POLYGON ((0 0, 1 0, 1 1, 0 0))')) AS d2, "
+            "st_dimension(st_geomfromtext('LINESTRING (0 0, 1 1)')) AS d1, "
+            "st_dimension(st_geomfromtext('POINT (1 1)')) AS d0, "
+            "st_astext(st_pointfromtext('POINT (1 2)')) AS p, "
+            "st_linefromtext('POINT (1 2)') AS mismatch, "
+            "st_astext(st_mpointfromtext('MULTIPOINT ((1 2), (3 4))')) "
+            "AS mp, "
+            "st_astext(st_geomfromwkb(st_geomfromtext('POINT (3 4)'))) "
+            "AS rt, "
+            "st_astext(st_force2d(st_geomfromtext("
+            "'LINESTRING (0 0, 1 1)'))) AS f2"
+        ).first()
+        assert (row.d2, row.d1, row.d0) == (2, 1, 0)
+        assert row.p == "POINT (1 2)"
+        assert row.mismatch is None  # PG: typed mismatch -> NULL
+        assert row.mp == "MULTIPOINT ((1 2), (3 4))"
+        assert row.rt == "POINT (3 4)"
+        assert row.f2 == "LINESTRING (0 0, 1 1)"

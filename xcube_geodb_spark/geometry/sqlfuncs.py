@@ -472,6 +472,50 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     _register("st_delaunaytriangles", _delaunay, T.BinaryType())
     _register("st_delaunayedges", _delaunay_edges, T.BinaryType())
 
+    def _dimension(b):
+        # ST_Dimension: topological dimension (0 points, 1 lines, 2 areas)
+        return parse_wkb(b).dimension if b is not None else None
+
+    _register("st_dimension", _dimension, T.IntegerType())
+
+    def _typed_from_text(kinds):
+        def f(s):
+            if s is None:
+                return None
+            g = parse_wkt(s)
+            # PG: typed constructors return NULL on a kind mismatch
+            return to_wkb_seeded(g) if g.kind in kinds else None
+
+        return f
+
+    # SQL/MM typed constructors (PostGIS ST_PointFromText family)
+    _register(
+        "st_pointfromtext", _typed_from_text({"Point"}), T.BinaryType()
+    )
+    _register(
+        "st_linefromtext", _typed_from_text({"LineString"}), T.BinaryType()
+    )
+    _register(
+        "st_polygonfromtext", _typed_from_text({"Polygon"}), T.BinaryType()
+    )
+    _register(
+        "st_mpointfromtext", _typed_from_text({"MultiPoint"}), T.BinaryType()
+    )
+
+    def _from_wkb(b):
+        # parse + reserialize: validates and canonicalizes byte order
+        return to_wkb_seeded(parse_wkb(bytes(b))) if b is not None else None
+
+    _register("st_geomfromwkb", _from_wkb, T.BinaryType())
+    _register("st_asbinary", _from_wkb, T.BinaryType())
+
+    def _force2d(b):
+        # the kernel model is strictly 2D: Force2D is the identity
+        # (documented — Z/M inputs are rejected at parse, COVERAGE.md)
+        return to_wkb_seeded(parse_wkb(b)) if b is not None else None
+
+    _register("st_force2d", _force2d, T.BinaryType())
+
     def _concavehull(b, pct):
         if b is None or pct is None:
             return None
