@@ -493,3 +493,40 @@ class TestAggOrderByShimPlan:
         plan = executed_plan(out)
         assert "Window" not in plan
         assert "sort_array" in plan or "ObjectHashAggregate" in plan
+
+
+class TestRound9SessionTwoPlanShape:
+    def test_knn_operator_is_take_ordered(self, spark):
+        """ORDER BY geom <-> q LIMIT k through the shim must compile to
+        TakeOrderedAndProject (map-side top-k + k-row merge), never a
+        global sort — the scale analogue of PG's KNN index walk."""
+        from xcube_geodb_spark.suite.geo import pg_knn_operator
+
+        plan = executed_plan(pg_knn_operator(spark, SF))
+        assert "TakeOrderedAndProject" in plan
+        assert "GlobalSort" not in plan and ", Sort [" not in plan
+
+    def test_generate_series_is_pure_jvm(self, spark):
+        """The series rewrite must stay whole-JVM (explode over
+        sequence): no Python UDF anywhere in the plan."""
+        from xcube_geodb_spark.suite.core import pg_generate_series
+
+        plan = executed_plan(pg_generate_series(spark, SF))
+        assert "Generate explode" in plan or "explode" in plan.lower()
+        assert "Python" not in plan and "Arrow" not in plan
+
+    def test_within_group_is_plain_aggregate(self, spark):
+        """The ordered-set aggregates (percentile_cont/disc, mode) must
+        plan as plain aggregates, not windows."""
+        from xcube_geodb_spark.suite.core import pg_within_group
+
+        plan = executed_plan(pg_within_group(spark, SF))
+        assert "Window" not in plan
+
+    def test_lateral_topn_plans_without_per_row_rescan(self, spark):
+        """Spark decorrelates the lateral top-N into a window/rank or
+        join shape — the plan must not be a nested cartesian loop."""
+        from xcube_geodb_spark.suite.core import pg_lateral_topn
+
+        plan = executed_plan(pg_lateral_topn(spark, SF))
+        assert "CartesianProduct" not in plan
