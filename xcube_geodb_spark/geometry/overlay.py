@@ -1254,7 +1254,10 @@ def _cut_params(p, q, blade_segs, blade_pts, tol) -> list[float]:
         ex, ey = b1[0] - b0[0], b1[1] - b0[1]
         denom = dx * ey - dy * ex
         wx, wy = b0[0] - p[0], b0[1] - p[1]
-        if abs(denom) <= tol * tol:
+        # parallel threshold scales with BOTH segment lengths (denom is a
+        # length^2 cross product): a near-collinear blade built from
+        # arithmetic must hit the overlap refusal, not silently miss
+        if abs(denom) <= 1e-12 * (abs(dx) + abs(dy)) * (abs(ex) + abs(ey)):
             # parallel: collinear overlap is the only way they can meet
             cross = wx * dy - wy * dx
             if abs(cross) <= tol * max(1.0, abs(dx) + abs(dy)):
