@@ -1969,3 +1969,39 @@ class TestCodecAliases:
         assert row.mp == "MULTIPOINT ((1 2), (3 4))"
         assert row.rt == "POINT (3 4)"
         assert row.f2 == "LINESTRING (0 0, 1 1)"
+
+
+class TestOffsetCurve:
+    def test_l_shape_closed_forms(self):
+        import math
+
+        from xcube_geodb_spark.geometry.geom import (
+            length, offset_curve, parse_wkt, to_wkt,
+        )
+
+        l = parse_wkt("LINESTRING (0 0, 4 0, 4 4)")
+        # inner (left of travel): both legs trim by |d|
+        assert to_wkt(offset_curve(l, 1.0)) == "LINESTRING (0 1, 3 1, 3 4)"
+        # outer (right): quarter-circle chord polyline, 8 chords of pi/16
+        outer = offset_curve(l, -1.0)
+        assert abs(length(outer) - (8 + 16 * math.sin(math.pi / 32))) < 1e-9
+        # straight line: pure translation
+        assert to_wkt(
+            offset_curve(parse_wkt("LINESTRING (0 0, 10 0)"), 2.0)
+        ) == "LINESTRING (0 2, 10 2)"
+        # d=0 is the input
+        assert to_wkt(offset_curve(l, 0.0)) == to_wkt(l)
+
+    def test_deep_offset_falls_back_and_validates(self):
+        import pytest as _pytest
+
+        from xcube_geodb_spark.geometry.geom import (
+            GeoDBError, offset_curve, parse_wkt,
+        )
+
+        # offset deeper than a leg: direct-connect fallback, no fold
+        zig = parse_wkt("LINESTRING (0 0, 1 0, 1 1, 2 1)")
+        out = offset_curve(zig, 0.9)
+        assert out is not None and out.kind == "LineString"
+        with _pytest.raises(GeoDBError, match="lineal"):
+            offset_curve(parse_wkt("POINT (0 0)"), 1.0)

@@ -2587,3 +2587,104 @@ def set_point(geom: Geometry, index: int, pt: Geometry) -> Geometry:
         )
     arr[i] = pt.parts
     return Geometry("LineString", arr, geom.srid)
+
+
+def offset_curve(
+    geom: Geometry, distance_off: float, quad_segs: int = 8
+) -> Geometry | None:
+    """``ST_OffsetCurve(line, d)``: the parallel curve at signed offset
+    ``d`` — positive to the LEFT of travel direction, like PostGIS.
+    Per-segment translation along the left normal; at each interior
+    vertex the joint is TRIMMED (line-line intersection) when the path
+    turns toward the offset side and joined with a circular arc
+    (``quad_segs`` points per quarter circle) when it turns away —
+    exactly the closed forms: a right-angle inner joint shortens each
+    leg by |d|, an outer joint adds (pi/2)|d| of arc. Degenerate trims
+    (offset deeper than the local feature, near-parallel joints) fall
+    back to a direct connection rather than folding the curve —
+    DOCUMENTED simplification vs GEOS' full self-intersection cleanup
+    (COVERAGE.md). d = 0 returns the input; non-lineal input raises."""
+    if geom.kind == "MultiLineString":
+        members = [
+            offset_curve(m, distance_off, quad_segs) for m in geom.parts
+        ]
+        members = [m for m in members if m is not None]
+        if not members:
+            return None
+        return Geometry("MultiLineString", members, geom.srid)
+    if geom.kind != "LineString":
+        raise GeoDBError("st_offsetcurve: lineal input required")
+    if distance_off == 0:
+        return Geometry("LineString", geom.parts.copy(), geom.srid)
+    arr = np.asarray(geom.parts, dtype=np.float64)
+    # collapse exact duplicate consecutive vertices first
+    keep = [0] + [
+        i for i in range(1, len(arr))
+        if arr[i, 0] != arr[i - 1, 0] or arr[i, 1] != arr[i - 1, 1]
+    ]
+    arr = arr[keep]
+    if len(arr) < 2:
+        return None
+    d = float(distance_off)
+    segs = []
+    for i in range(len(arr) - 1):
+        p, q = arr[i], arr[i + 1]
+        ln = math.hypot(q[0] - p[0], q[1] - p[1])
+        nx, ny = -(q[1] - p[1]) / ln, (q[0] - p[0]) / ln  # left normal
+        segs.append(
+            (p + d * np.array([nx, ny]), q + d * np.array([nx, ny]),
+             (q - p) / ln)
+        )
+    out = [segs[0][0]]
+    for i in range(len(segs) - 1):
+        a1, b1, dir1 = segs[i]
+        a2, b2, dir2 = segs[i + 1]
+        cross = dir1[0] * dir2[1] - dir1[1] * dir2[0]
+        turn_toward = cross * d > 0  # turning into the offset side
+        if abs(cross) < 1e-12:
+            out.append(b1)  # straight-through joint
+            continue
+        if turn_toward:
+            # trim: intersect the two offset support lines
+            denom = dir1[0] * dir2[1] - dir1[1] * dir2[0]
+            t = (
+                (a2[0] - a1[0]) * dir2[1] - (a2[1] - a1[1]) * dir2[0]
+            ) / denom
+            x = a1 + t * dir1
+            seg1_len = math.hypot(b1[0] - a1[0], b1[1] - a1[1])
+            if -1e-9 <= t <= seg1_len + 1e-9:
+                out.append(x)
+            else:  # offset deeper than the feature: direct connect
+                out.append(b1)
+                out.append(a2)
+        else:
+            # round join: arc about the input vertex, radius |d|
+            v = arr[i + 1]
+            ang1 = math.atan2(b1[1] - v[1], b1[0] - v[0])
+            ang2 = math.atan2(a2[1] - v[1], a2[0] - v[0])
+            sweep = ang2 - ang1
+            ccw = d < 0  # right offset: outer arcs run counter-clockwise
+            if ccw and sweep < 0:
+                sweep += 2 * math.pi
+            if not ccw and sweep > 0:
+                sweep -= 2 * math.pi
+            n_pts = max(1, int(math.ceil(abs(sweep) / (math.pi / 2)
+                                         * quad_segs)))
+            out.append(b1)
+            for k in range(1, n_pts):
+                a = ang1 + sweep * k / n_pts
+                out.append(
+                    v + abs(d) * np.array([math.cos(a), math.sin(a)])
+                )
+            out.append(a2)
+    out.append(segs[-1][1])
+    # drop consecutive duplicates the trims may have produced
+    cleaned = [out[0]]
+    for p in out[1:]:
+        if p[0] != cleaned[-1][0] or p[1] != cleaned[-1][1]:
+            cleaned.append(p)
+    if len(cleaned) < 2:
+        return None
+    return Geometry(
+        "LineString", np.asarray(cleaned, dtype=np.float64), geom.srid
+    )

@@ -629,6 +629,16 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_snap", _snap_sql, T.BinaryType())
 
+    def _offsetcurve(b, d):
+        if b is None or d is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import offset_curve
+
+        out = offset_curve(parse_wkb(b), float(d))
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_offsetcurve", _offsetcurve, T.BinaryType())
+
     def _frechet(a, b):
         if a is None or b is None:
             return None

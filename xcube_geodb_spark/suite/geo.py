@@ -2356,6 +2356,48 @@ GEO_ORACLES["geo_concave_hull"] = f"""
 """
 
 
+def geo_offset_curve(spark, sf_dir):
+    """``ST_OffsetCurve`` on the raw-SQL surface (geom.offset_curve):
+    per customer an L-shaped line (east 2h, north 2h) is offset one
+    unit to each side. The LEFT offset is the inner side — both legs
+    trim by exactly 1, length 4h - 2; the RIGHT offset adds a
+    quarter-circle round join segmented at quad_segs = 8, whose chord
+    polyline length is the exact closed form 16 sin(pi/32) (eight
+    chords of pi/16 about a unit radius)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("off_sq")
+    ell = (
+        "st_makeline(st_makeline(st_point(x - h, y), st_point(x + h, y)), "
+        "st_point(x + h, y + 2 * h))"
+    )
+    sql = build_pg_sql(
+        "off_sq",
+        select=(
+            "c_custkey, "
+            f"round(st_length(st_offsetcurve({ell}, 1.0)), 6) AS len_inner, "
+            f"round(st_length(st_offsetcurve({ell}, -1.0)), 6) AS len_outer"
+        ),
+        where="c_custkey % 10 = 9",
+        order="c_custkey",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["geo_offset_curve"] = f"""
+    SELECT c_custkey,
+           round(4 * h - 2, 6) AS len_inner,
+           round(4 * h + 16 * sin(pi() / 32), 6) AS len_outer
+    FROM ({_SQS})
+    WHERE c_custkey % 10 = 9
+    ORDER BY c_custkey
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -2417,6 +2459,7 @@ GEO_QUERIES = {
     "geo_generate_snap": geo_generate_snap,
     "pg_cluster_within": pg_cluster_within,
     "geo_concave_hull": geo_concave_hull,
+    "geo_offset_curve": geo_offset_curve,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
