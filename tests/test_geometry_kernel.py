@@ -2005,3 +2005,25 @@ class TestOffsetCurve:
         assert out is not None and out.kind == "LineString"
         with _pytest.raises(GeoDBError, match="lineal"):
             offset_curve(parse_wkt("POINT (0 0)"), 1.0)
+
+
+class TestAffineMaxDistance:
+    def test_affine_maxdistance_longestline_sql(self, spark):
+        from xcube_geodb_spark.geometry.sqlfuncs import (
+            register_spatial_sql_functions,
+        )
+
+        register_spatial_sql_functions(spark)
+        row = spark.sql(
+            # shear+translate: (x, y) -> (x + 2y + 10, 3y - 5)
+            "SELECT st_astext(st_affine(st_geomfromtext("
+            "'LINESTRING (0 0, 1 1)'), 1, 2, 0, 3, 10, -5)) AS aff, "
+            "st_maxdistance(st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, "
+            "0 1, 0 0))'), st_geomfromtext('POINT (4 5)')) AS md, "
+            "st_astext(st_longestline(st_geomfromtext('LINESTRING "
+            "(0 0, 3 0)'), st_geomfromtext('POINT (0 4)'))) AS ll"
+        ).first()
+        assert row.aff == "LINESTRING (10 -5, 13 -2)"
+        # farthest square corner from (4, 5) is (0, 0): sqrt(41)
+        assert abs(row.md - 41**0.5) < 1e-12
+        assert row.ll == "LINESTRING (3 0, 0 4)"

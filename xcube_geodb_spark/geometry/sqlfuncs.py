@@ -890,6 +890,73 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_rotate", _rotate, T.BinaryType())
 
+    def _affine(b, a, bb, d, e, xoff, yoff):
+        """The 2D PostGIS ST_Affine: x' = a*x + b*y + xoff,
+        y' = d*x + e*y + yoff."""
+        if b is None or None in (a, bb, d, e, xoff, yoff):
+            return None
+        a, bb, d, e = float(a), float(bb), float(d), float(e)
+        xoff, yoff = float(xoff), float(yoff)
+        return to_wkb_seeded(
+            _mapc(
+                parse_wkb(b),
+                lambda x, y: (a * x + bb * y + xoff, d * x + e * y + yoff),
+            )
+        )
+
+    _register("st_affine", _affine, T.BinaryType())
+
+    def _maxdistance(ga, gb):
+        """ST_MaxDistance: the 2D max distance is attained at a vertex
+        pair, so the vectorized vertex cross-product suffices."""
+        if ga is None or gb is None:
+            return None
+        import numpy as _np
+
+        from xcube_geodb_spark.geometry.geom import _all_vertices
+
+        pa = _all_vertices(parse_wkb(ga))
+        pb = _all_vertices(parse_wkb(bytes(gb)))
+        if not len(pa) or not len(pb):
+            return None
+        dd = _np.hypot(
+            pa[:, None, 0] - pb[None, :, 0], pa[:, None, 1] - pb[None, :, 1]
+        )
+        return float(dd.max())
+
+    _register("st_maxdistance", _maxdistance, T.DoubleType())
+
+    def _longestline(ga, gb):
+        """ST_LongestLine: the 2-point line attaining st_maxdistance
+        (first maximal pair in vertex order — deterministic)."""
+        if ga is None or gb is None:
+            return None
+        import numpy as _np
+
+        from xcube_geodb_spark.geometry.geom import (
+            Geometry as _G,
+            _all_vertices,
+        )
+
+        A = parse_wkb(ga)
+        pa = _all_vertices(A)
+        pb = _all_vertices(parse_wkb(bytes(gb)))
+        if not len(pa) or not len(pb):
+            return None
+        dd = _np.hypot(
+            pa[:, None, 0] - pb[None, :, 0], pa[:, None, 1] - pb[None, :, 1]
+        )
+        i, j = _np.unravel_index(int(dd.argmax()), dd.shape)
+        return to_wkb_seeded(
+            _G(
+                "LineString",
+                _np.asarray([pa[i], pb[j]], dtype=_np.float64),
+                A.srid,
+            )
+        )
+
+    _register("st_longestline", _longestline, T.BinaryType())
+
     def _points(b):
         """``ST_Points``: every vertex (duplicates kept, PostGIS
         semantics) as a MULTIPOINT."""
