@@ -931,14 +931,19 @@ def _rewrite_generate_series(table: str) -> str:
     m = _GEN_SERIES_RE.search(table)
     if not m:
         return table
-    depth = 0
-    for j in range(m.end() - 1, len(table)):
-        if table[j] == "(":
-            depth += 1
-        elif table[j] == ")":
-            depth -= 1
-            if depth == 0:
-                break
+    depth, j, in_lit = 0, m.end() - 1, False
+    while j < len(table):
+        ch = table[j]
+        if ch == "'":
+            in_lit = not in_lit  # '' escape toggles twice: net no-op
+        elif not in_lit:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        j += 1
     else:
         return table  # unbalanced: leave for Spark's parser
     args = _pg_clause_to_spark(table[m.end(): j])
