@@ -1322,3 +1322,52 @@ class TestClusterAndLineEdit:
             remove_point(parse_wkt("LINESTRING (0 0, 1 1)"), 0)
         with pytest.raises(GeoDBError, match="out of range"):
             set_point(line, 7, p)
+
+
+class TestBufferStyles:
+    def test_endcaps_and_sides(self):
+        import math
+
+        from xcube_geodb_spark.geometry.geom import area, parse_wkt
+        from xcube_geodb_spark.geometry.overlay import buffer_with_style
+
+        l = parse_wkt("LINESTRING (0 0, 10 0)")
+        assert abs(area(buffer_with_style(l, 1.0, "endcap=flat")) - 20) < 1e-9
+        assert abs(
+            area(buffer_with_style(l, 1.0, "endcap=square")) - 24
+        ) < 1e-9
+        assert abs(
+            area(buffer_with_style(l, 1.0, "endcap=round"))
+            - (20 + 16 * math.sin(math.pi / 16))
+        ) < 1e-9
+        assert abs(area(buffer_with_style(l, 1.0, "side=left")) - 10) < 1e-9
+        assert abs(area(buffer_with_style(l, 1.0, "side=right")) - 10) < 1e-9
+        # butt is PG's alias for flat; quad_segs parses
+        assert abs(
+            area(buffer_with_style(l, 1.0, "endcap=butt quad_segs=4")) - 20
+        ) < 1e-9
+        # L-shape flat: 16 straight - 1 inner trim + the 8-chord
+        # quarter-disc fan (area 0.5 * r^2 * 8 * sin(pi/16)) — exact
+        L = parse_wkt("LINESTRING (0 0, 4 0, 4 4)")
+        a = area(buffer_with_style(L, 1.0, "endcap=flat"))
+        assert abs(a - (16 - 1 + 0.5 * 8 * math.sin(math.pi / 16))) < 1e-9
+
+    def test_style_validation(self):
+        from xcube_geodb_spark.geometry.geom import parse_wkt
+        from xcube_geodb_spark.geometry.overlay import buffer_with_style
+
+        l = parse_wkt("LINESTRING (0 0, 1 0)")
+        with pytest.raises(GeoDBError, match="unknown endcap"):
+            buffer_with_style(l, 1.0, "endcap=pointy")
+        with pytest.raises(GeoDBError, match="unknown style key"):
+            buffer_with_style(l, 1.0, "frob=1")
+        with pytest.raises(GeoDBError, match="not supported"):
+            buffer_with_style(l, 1.0, "join=mitre")
+        with pytest.raises(GeoDBError, match="lineal"):
+            buffer_with_style(parse_wkt("POINT (0 0)"), 1.0, "endcap=flat")
+        # round+both delegates to the classic kernel (points fine there)
+        from xcube_geodb_spark.geometry.geom import area
+
+        assert area(
+            buffer_with_style(parse_wkt("POINT (0 0)"), 1.0, "quad_segs=8")
+        ) > 3.0

@@ -1449,3 +1449,95 @@ def split_geometry(
         f"st_split: unsupported input kinds {sorted(in_kinds)} (supported: "
         "polygon by line, line by line, line by point)"
     )
+
+
+def buffer_with_style(
+    geom: Geometry | None, radius: float, style: str
+) -> Geometry | None:
+    """``ST_Buffer(geom, d, style_text)`` — the PostGIS style string:
+    space-separated ``quad_segs=N`` / ``endcap=round|flat|square`` /
+    ``side=both|left|right``. ``endcap`` and ``side`` apply to lineal
+    inputs (PG semantics): flat endcaps are the region between the left
+    and right offset curves (geom.offset_curve), square endcaps extend
+    the line by ``d`` first, and single-sided buffers span the line and
+    its one offset curve. Unknown keys/values raise; non-round endcaps
+    or sides on non-lineal inputs raise (PG quietly answers EMPTY for a
+    flat-capped point — the engine refuses loudly, COVERAGE.md). A ring
+    that self-intersects after offsetting (sharp interior turns) is
+    repaired through make_valid, so the output is always valid."""
+    if geom is None:
+        return None
+    quad_segs, endcap, side = 8, "round", "both"
+    for tok in str(style).split():
+        if "=" not in tok:
+            raise GeoDBError(f"st_buffer: bad style token {tok!r}")
+        k, v = tok.split("=", 1)
+        k, v = k.strip().lower(), v.strip().lower()
+        if k in ("quad_segs", "quadsegs"):
+            quad_segs = int(v)
+        elif k == "endcap":
+            if v not in ("round", "flat", "butt", "square"):
+                raise GeoDBError(f"st_buffer: unknown endcap {v!r}")
+            endcap = "flat" if v == "butt" else v
+        elif k == "side":
+            if v not in ("both", "left", "right"):
+                raise GeoDBError(f"st_buffer: unknown side {v!r}")
+            side = v
+        elif k in ("join", "mitre_limit", "miter_limit"):
+            raise GeoDBError(
+                f"st_buffer: style key {k!r} is not supported (round "
+                "joins only; COVERAGE.md)"
+            )
+        else:
+            raise GeoDBError(f"st_buffer: unknown style key {k!r}")
+    if endcap == "round" and side == "both":
+        return buffer_geometry(geom, radius, quad_segs)
+    kinds = {leaf.kind for leaf in geom.children()}
+    if not kinds <= {"LineString"}:
+        raise GeoDBError(
+            "st_buffer: endcap/side styles apply to lineal inputs "
+            f"(got {sorted(kinds)})"
+        )
+    from xcube_geodb_spark.geometry.geom import make_line, offset_curve
+
+    d = abs(float(radius))
+    if d == 0:
+        return None
+    members = []
+    for leaf in geom.children():
+        arr = np.asarray(leaf.parts, dtype=np.float64)
+        if len(arr) < 2:
+            continue
+        line = Geometry("LineString", arr)
+        if side == "both" and endcap == "square":
+            # extend both ends by d along their directions
+            d0 = arr[0] - arr[1]
+            d0 = d0 / max(math.hypot(*d0), 1e-300) * d
+            d1 = arr[-1] - arr[-2]
+            d1 = d1 / max(math.hypot(*d1), 1e-300) * d
+            ext = np.vstack([arr[0] + d0, arr, arr[-1] + d1])
+            line = Geometry("LineString", ext)
+        if side == "both":
+            left = offset_curve(line, d)
+            right = offset_curve(line, -d)
+            ring = np.vstack([left.parts, right.parts[::-1], left.parts[:1]])
+        else:
+            sgn = 1.0 if side == "left" else -1.0
+            off = offset_curve(line, sgn * d)
+            base = line.parts if sgn > 0 else line.parts
+            ring = np.vstack([base, off.parts[::-1], base[:1]])
+            if _ring_shoelace(ring) < 0:
+                ring = ring[::-1]
+        poly = Geometry("Polygon", [ring])
+        from xcube_geodb_spark.geometry.geom import is_valid
+
+        if not is_valid(poly):
+            poly = make_valid(poly)
+        if poly is not None:
+            members.append(poly)
+    if not members:
+        return None
+    out = union_all(members) if len(members) > 1 else members[0]
+    if out is not None:
+        out.srid = geom.srid
+    return out

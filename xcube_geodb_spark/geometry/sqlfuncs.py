@@ -353,6 +353,18 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_buffer", _buffer, T.BinaryType())
 
+    def _buffer_style(b: bytes, radius: float, style: str):
+        # the 3-arg PostGIS form; the pg shim rewrites
+        # st_buffer(g, d, 'style') to this name (fixed-arity UDFs)
+        if b is None or radius is None or style is None:
+            return None
+        from xcube_geodb_spark.geometry.overlay import buffer_with_style
+
+        g = buffer_with_style(parse_wkb(b), float(radius), str(style))
+        return to_wkb_seeded(g) if g is not None else None
+
+    _register("st_buffer_style", _buffer_style, T.BinaryType())
+
     from xcube_geodb_spark.geometry.geom import simplify
 
     def _simplify(b: bytes, tolerance: float):

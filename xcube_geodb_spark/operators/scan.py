@@ -749,6 +749,45 @@ def _rewrite_spatial_aggs(code: str) -> str:
 _RELATE3_RE = re.compile(r"\bst_relate\s*\(", re.IGNORECASE)
 
 
+_BUFFER3_RE = re.compile(r"\bst_buffer\s*\(", re.IGNORECASE)
+
+
+def _rewrite_buffer3(code: str) -> str:
+    """PostGIS' 3-argument ``ST_Buffer(g, d, 'style')`` on
+    literal-protected code -> ``st_buffer_style(g, d, style)`` (one
+    registered arity per name; the 2-argument form passes through)."""
+    pos = 0
+    while True:
+        m = _BUFFER3_RE.search(code, pos)
+        if not m:
+            return code
+        depth = 0
+        for j in range(m.end() - 1, len(code)):
+            if code[j] == "(":
+                depth += 1
+            elif code[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code
+        args = code[m.end(): j]
+        depth2, n_commas = 0, 0
+        for ch in args:
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+            elif ch == "," and depth2 == 0:
+                n_commas += 1
+        if n_commas != 2:
+            pos = j + 1
+            continue
+        repl = f"st_buffer_style({args})"
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
+
+
 def _rewrite_relate3(code: str) -> str:
     """PostGIS' boolean 3-argument ``ST_Relate(a, b, pattern)`` on
     literal-protected code -> ``st_relatematch(st_relate(a, b), pattern)``
@@ -887,7 +926,9 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_spagg = bool(_SPATIAL_AGG_RE.search(out))
     need_rel3 = bool(_RELATE3_RE.search(out))
     need_knn = bool(_KNN_OP_RE.search(out))
-    if need_cont or need_agg or need_spagg or need_rel3 or need_knn:
+    need_buf3 = bool(_BUFFER3_RE.search(out))
+    if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
+            or need_buf3):
         # these operands/arg-lists may span literal segments: protect
         # literals behind identifier-shaped placeholders, rewrite on the
         # joined code, then restore — literal contents stay byte-identical
@@ -907,6 +948,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_spatial_aggs(protected)
         if need_rel3:
             protected = _rewrite_relate3(protected)
+        if need_buf3:
+            protected = _rewrite_buffer3(protected)
         out = re.sub(
             r"__GEODB_LIT_(\d+)__",
             lambda mm: lits[int(mm.group(1))],

@@ -2398,6 +2398,55 @@ GEO_ORACLES["geo_offset_curve"] = f"""
 """
 
 
+def geo_buffer_styles(spark, sf_dir):
+    """The 3-argument ``ST_Buffer(g, d, 'style')`` through the pg shim
+    (operators/scan._rewrite_buffer3 -> overlay.buffer_with_style): per
+    customer a horizontal 2h segment is buffered one unit with every
+    style. Closed forms: flat = 4h (a 2h x 2 rectangle), square =
+    4h + 4, round = 4h + the inscribed-32-gon disc 16 sin(pi/16),
+    single-sided = 2h each."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("bufsty_sq")
+    seg = "st_makeline(st_point(x - h, y), st_point(x + h, y))"
+    sql = build_pg_sql(
+        "bufsty_sq",
+        select=(
+            "c_custkey, "
+            f"round(st_area(st_buffer({seg}, 1.0, 'endcap=flat')), 6) "
+            "AS a_flat, "
+            f"round(st_area(st_buffer({seg}, 1.0, 'endcap=square')), 6) "
+            "AS a_square, "
+            f"round(st_area(st_buffer({seg}, 1.0, 'endcap=round')), 6) "
+            "AS a_round, "
+            f"round(st_area(st_buffer({seg}, 1.0, 'side=left')), 6) "
+            "AS a_left, "
+            f"round(st_area(st_buffer({seg}, 1.0, 'side=right')), 6) "
+            "AS a_right"
+        ),
+        where="c_custkey % 10 = 5",
+        order="c_custkey",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["geo_buffer_styles"] = f"""
+    SELECT c_custkey,
+           round(4 * h, 6) AS a_flat,
+           round(4 * h + 4, 6) AS a_square,
+           round(4 * h + 16 * sin(pi() / 16), 6) AS a_round,
+           round(2 * h, 6) AS a_left,
+           round(2 * h, 6) AS a_right
+    FROM ({_SQS})
+    WHERE c_custkey % 10 = 5
+    ORDER BY c_custkey
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -2460,6 +2509,7 @@ GEO_QUERIES = {
     "pg_cluster_within": pg_cluster_within,
     "geo_concave_hull": geo_concave_hull,
     "geo_offset_curve": geo_offset_curve,
+    "geo_buffer_styles": geo_buffer_styles,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
