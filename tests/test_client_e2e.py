@@ -642,6 +642,44 @@ class TestShimLiteralSafety:
             "= 0"
         )
 
+    def test_unnest_and_regexp_flags(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("unnest(tags)") == "explode(tags)"
+        # literal contents survive; no false hits on identifiers
+        assert f("x = 'unnest(a)'") == "x = 'unnest(a)'"
+        assert f("my_unnest(a)") == "my_unnest(a)"
+        # 4-arg regexp_replace: g drops (Spark is global), i folds in
+        assert f("regexp_replace(n, 'a+', 'X', 'g')") == (
+            "regexp_replace(n, 'a+', 'X')"
+        )
+        assert f("regexp_replace(n, 'a+', 'X', 'gi')") == (
+            "regexp_replace(n, '(?i)a+', 'X')"
+        )
+        assert f("regexp_replace(n, pat_col, 'X', 'i')") == (
+            "regexp_replace(n, concat('(?i)', pat_col), 'X')"
+        )
+        # 3-arg passes through; unsupported flags refuse
+        assert f("regexp_replace(n, 'a', 'b')") == (
+            "regexp_replace(n, 'a', 'b')"
+        )
+        import pytest as _pytest
+
+        from xcube_geodb_spark.errors import GeoDBError
+
+        with _pytest.raises(GeoDBError, match="unsupported flags"):
+            f("regexp_replace(n, 'a', 'b', 'x')")
+        with _pytest.raises(GeoDBError, match="string literal"):
+            f("regexp_replace(n, 'a', 'b', flags_col)")
+
+    def test_buffer3_rewrite(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("st_buffer(geometry, 1.0, 'endcap=flat')") == (
+            "st_buffer_style(geometry, 1.0, 'endcap=flat')"
+        )
+        assert f("st_buffer(geometry, 2.0)") == "st_buffer(geometry, 2.0)"
+
     def test_array_containment_rewrites(self):
         from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
 

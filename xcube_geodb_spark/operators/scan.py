@@ -749,6 +749,72 @@ def _rewrite_spatial_aggs(code: str) -> str:
 _RELATE3_RE = re.compile(r"\bst_relate\s*\(", re.IGNORECASE)
 
 
+_UNNEST_RE = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
+_REGEXP4_RE = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
+
+
+def _rewrite_regexp_flags(code: str, lits: list[str]) -> str:
+    """PG's 4-argument ``regexp_replace(src, pat, rep, flags)`` on
+    literal-protected code (``lits`` holds the protected literals):
+    Spark's 3-arg form is already GLOBAL, so ``'g'`` simply drops;
+    ``'i'`` folds in as a ``(?i)`` pattern prefix (a concat for
+    expression patterns); any other flag raises. 3-arg calls pass
+    through untouched."""
+    pos = 0
+    while True:
+        m = _REGEXP4_RE.search(code, pos)
+        if not m:
+            return code
+        depth = 0
+        for j in range(m.end() - 1, len(code)):
+            if code[j] == "(":
+                depth += 1
+            elif code[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code
+        args = code[m.end(): j]
+        splits, depth2 = [], 0
+        for k, ch in enumerate(args):
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+            elif ch == "," and depth2 == 0:
+                splits.append(k)
+        if len(splits) != 3:
+            pos = j + 1
+            continue
+        src_a = args[: splits[0]].strip()
+        pat = args[splits[0] + 1: splits[1]].strip()
+        rep = args[splits[1] + 1: splits[2]].strip()
+        flags = args[splits[2] + 1:].strip()
+        fm = re.fullmatch(r"__GEODB_LIT_(\d+)__", flags)
+        if fm is None:
+            raise GeoDBError(
+                "regexp_replace: the flags argument must be a string "
+                "literal ('g', 'i' or 'gi')"
+            )
+        fval = lits[int(fm.group(1))][1:-1].replace("''", "'")
+        if not set(fval) <= {"g", "i"}:
+            raise GeoDBError(
+                f"regexp_replace: unsupported flags {fval!r} (g/i only; "
+                "Spark replaces globally)"
+            )
+        if "i" in fval:
+            pm = re.fullmatch(r"__GEODB_LIT_(\d+)__", pat)
+            if pm is not None:
+                k2 = int(pm.group(1))
+                lits[k2] = "'(?i)" + lits[k2][1:]
+            else:
+                pat = f"concat('(?i)', {pat})"
+        repl = f"regexp_replace({src_a}, {pat}, {rep})"
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
+
+
 _BUFFER3_RE = re.compile(r"\bst_buffer\s*\(", re.IGNORECASE)
 
 
@@ -876,6 +942,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
         while prev != seg:  # chained casts resolve left-to-right
             prev = seg
             seg = _CAST_RE.sub(_cast, seg)
+        # PG unnest(arr) in select position IS Spark explode(arr)
+        seg = _UNNEST_RE.sub("explode(", seg)
         parts[i] = seg
     _rewrite_array_literals(parts)
     # cross-segment forms, resolved on the segment LIST so only real
@@ -927,8 +995,9 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_rel3 = bool(_RELATE3_RE.search(out))
     need_knn = bool(_KNN_OP_RE.search(out))
     need_buf3 = bool(_BUFFER3_RE.search(out))
+    need_rx4 = bool(_REGEXP4_RE.search(out))
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
-            or need_buf3):
+            or need_buf3 or need_rx4):
         # these operands/arg-lists may span literal segments: protect
         # literals behind identifier-shaped placeholders, rewrite on the
         # joined code, then restore — literal contents stay byte-identical
@@ -950,6 +1019,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_relate3(protected)
         if need_buf3:
             protected = _rewrite_buffer3(protected)
+        if need_rx4:
+            protected = _rewrite_regexp_flags(protected, lits)
         out = re.sub(
             r"__GEODB_LIT_(\d+)__",
             lambda mm: lits[int(mm.group(1))],

@@ -612,6 +612,26 @@ def pg_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_SQL)
 
 
+def pg_unnest_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``unnest(arr)`` in select position (shim: Spark ``explode`` —
+    the same one-generator-per-select restriction both dialects share)
+    and the 4-argument ``regexp_replace(src, pat, rep, flags)`` ('g'
+    drops — Spark replaces globally; 'i' folds into a (?i) prefix).
+    DuckDB runs the PG spellings natively."""
+    register_views(spark, sf_dir, "orders")
+    sql = build_pg_sql(
+        "orders",
+        select=(
+            "o_orderkey, unnest(split(o_orderpriority, '-')) AS tok, "
+            "regexp_replace(o_orderpriority, '[aeiou]', '', 'gi') "
+            "AS consonants, "
+            "regexp_replace(o_orderstatus, 'o', 'X', 'g') AS status_x"
+        ),
+        where="o_orderkey % 101 = 0",
+    )
+    return spark.sql(sql)
+
+
 def pg_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG's aggregate ``FILTER (WHERE ...)`` clause — native Spark 4
     passthrough on the raw-SQL path (conditional aggregation without
@@ -672,6 +692,14 @@ CORE_ORACLES_PG = {
     """,
     "pg_recursive_cte": _RECURSIVE_SQL,
     "pg_lateral_topn": _LATERAL_SQL,
+    "pg_unnest_regexp": """
+        SELECT o_orderkey, unnest(split(o_orderpriority, '-')) AS tok,
+               regexp_replace(o_orderpriority, '[aeiou]', '', 'gi')
+                   AS consonants,
+               regexp_replace(o_orderstatus, 'o', 'X', 'g') AS status_x
+        FROM orders
+        WHERE o_orderkey % 101 = 0
+    """,
     "pg_agg_filter": """
         SELECT o_orderpriority, count(*) AS n_all,
                count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
@@ -1796,6 +1824,7 @@ CORE_QUERIES = {
     "pg_string_agg": pg_string_agg,
     "pg_within_group": pg_within_group,
     "pg_agg_filter": pg_agg_filter,
+    "pg_unnest_regexp": pg_unnest_regexp,
     "pg_recursive_cte": pg_recursive_cte,
     "pg_lateral_topn": pg_lateral_topn,
     "pg_generate_series": pg_generate_series,
