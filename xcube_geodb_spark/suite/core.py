@@ -612,6 +612,56 @@ def pg_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_SQL)
 
 
+_WINDOW_FRAMES_SQL = """
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2)
+               AS range_sum,
+           max(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+               AS rows_max,
+           CAST(count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS running_n
+    FROM orders
+    WHERE o_orderkey % 31 = 0
+"""
+
+
+def pg_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI window frames — RANGE BETWEEN <n> PRECEDING on a numeric
+    ORDER BY, bounded ROWS BETWEEN frames, and the running-count frame —
+    native passthrough on both engines (one hash shuffle per partition
+    key, frames evaluated in the sorted partition stream)."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_WINDOW_FRAMES_SQL)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT coalesce(l_returnflag, '<all>') AS rf,
+           coalesce(l_linestatus, '<all>') AS ls,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           count(*) AS n,
+           CAST(sum(l_quantity) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY rf, ls
+"""
+
+
+def pg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY GROUPING SETS`` with the ``grouping()`` marker — the
+    general form behind the gated ROLLUP/CUBE family; sets expand
+    map-side into one aggregate (a single shuffle), no union of
+    scans. Native on both engines."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 def pg_unnest_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG ``unnest(arr)`` in select position (shim: Spark ``explode`` —
     the same one-generator-per-select restriction both dialects share)
@@ -692,6 +742,8 @@ CORE_ORACLES_PG = {
     """,
     "pg_recursive_cte": _RECURSIVE_SQL,
     "pg_lateral_topn": _LATERAL_SQL,
+    "pg_window_frames": _WINDOW_FRAMES_SQL,
+    "pg_grouping_sets": _GROUPING_SETS_SQL,
     "pg_unnest_regexp": """
         SELECT o_orderkey, unnest(split(o_orderpriority, '-')) AS tok,
                regexp_replace(o_orderpriority, '[aeiou]', '', 'gi')
@@ -1825,6 +1877,8 @@ CORE_QUERIES = {
     "pg_within_group": pg_within_group,
     "pg_agg_filter": pg_agg_filter,
     "pg_unnest_regexp": pg_unnest_regexp,
+    "pg_window_frames": pg_window_frames,
+    "pg_grouping_sets": pg_grouping_sets,
     "pg_recursive_cte": pg_recursive_cte,
     "pg_lateral_topn": pg_lateral_topn,
     "pg_generate_series": pg_generate_series,
