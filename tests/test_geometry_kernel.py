@@ -2027,3 +2027,61 @@ class TestAffineMaxDistance:
         # farthest square corner from (4, 5) is (0, 0): sqrt(41)
         assert abs(row.md - 41**0.5) < 1e-12
         assert row.ll == "LINESTRING (3 0, 0 4)"
+
+
+class TestOrientationClearanceGrid:
+    def test_orientation_forcing_roundtrip(self):
+        from xcube_geodb_spark.geometry.geom import (
+            area, force_polygon_orientation, parse_wkt,
+            polygon_orientation_is,
+        )
+
+        p = parse_wkt(
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(1 1, 2 1, 2 2, 1 2, 1 1))"
+        )
+        cw = force_polygon_orientation(p, True)
+        assert polygon_orientation_is(cw, True)
+        assert not polygon_orientation_is(cw, False)
+        ccw = force_polygon_orientation(cw, False)
+        assert polygon_orientation_is(ccw, False)
+        assert abs(area(ccw) - 15.0) < 1e-12  # area invariant
+        # idempotent
+        from xcube_geodb_spark.geometry.geom import to_wkt
+
+        assert to_wkt(force_polygon_orientation(cw, True)) == to_wkt(cw)
+        # non-areal inputs pass through / answer True (PG)
+        line = parse_wkt("LINESTRING (0 0, 1 1)")
+        assert force_polygon_orientation(line, True) is line
+        assert polygon_orientation_is(line, True)
+
+    def test_minimum_clearance(self):
+        import math
+
+        from xcube_geodb_spark.geometry.geom import (
+            minimum_clearance, parse_wkt,
+        )
+
+        # a square's clearance is its side
+        assert minimum_clearance(
+            parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        ) == 4.0
+        # hole corner one unit from the shell edge dominates
+        assert minimum_clearance(parse_wkt(
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(1 1, 2 1, 2 2, 1 2, 1 1))"
+        )) == 1.0
+        # near-degenerate sliver: clearance is the tiny height
+        assert abs(minimum_clearance(parse_wkt(
+            "POLYGON ((0 0, 10 0, 5 0.001, 0 0))"
+        )) - 0.001) < 1e-9
+        assert minimum_clearance(parse_wkt("POINT (0 0)")) == math.inf
+
+    def test_bounding_diagonal(self):
+        from xcube_geodb_spark.geometry.geom import (
+            bounding_diagonal, parse_wkt, to_wkt,
+        )
+
+        assert to_wkt(bounding_diagonal(
+            parse_wkt("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+        )) == "LINESTRING (0 0, 4 2)"

@@ -2688,3 +2688,87 @@ def offset_curve(
     return Geometry(
         "LineString", np.asarray(cleaned, dtype=np.float64), geom.srid
     )
+
+
+def force_polygon_orientation(geom: Geometry, shell_cw: bool) -> Geometry:
+    """``ST_ForcePolygonCW`` / ``ST_ForcePolygonCCW``: orient every
+    exterior ring the requested way and every hole the opposite way;
+    non-polygonal members pass through."""
+
+    def _oriented(ring: np.ndarray, want_cw: bool) -> np.ndarray:
+        signed = _ring_shoelace(np.asarray(ring, dtype=np.float64))
+        is_cw = signed < 0
+        return ring[::-1].copy() if is_cw != want_cw else ring
+
+    if geom.kind == "Polygon":
+        rings = [_oriented(geom.parts[0], shell_cw)] + [
+            _oriented(r, not shell_cw) for r in geom.parts[1:]
+        ]
+        return Geometry("Polygon", rings, geom.srid)
+    if geom.kind in ("MultiPolygon", "GeometryCollection"):
+        return Geometry(
+            geom.kind,
+            [force_polygon_orientation(m, shell_cw) for m in geom.parts],
+            geom.srid,
+        )
+    return geom
+
+
+def polygon_orientation_is(geom: Geometry, shell_cw: bool) -> bool | None:
+    """``ST_IsPolygonCW`` / ``ST_IsPolygonCCW``: True when every shell
+    has the requested orientation and every hole the opposite; True for
+    non-areal inputs, like PostGIS."""
+    ok = True
+    for leaf in geom.children():
+        if leaf.kind != "Polygon":
+            continue
+        shell_is_cw = _ring_shoelace(
+            np.asarray(leaf.parts[0], dtype=np.float64)
+        ) < 0
+        if shell_is_cw != shell_cw:
+            ok = False
+        for r in leaf.parts[1:]:
+            if (_ring_shoelace(np.asarray(r, dtype=np.float64)) < 0) == shell_cw:
+                ok = False
+    return ok
+
+
+def bounding_diagonal(geom: Geometry) -> Geometry | None:
+    """``ST_BoundingDiagonal``: the (xmin ymin) -> (xmax ymax) line."""
+    x0, y0, x1, y1 = envelope(geom)
+    return Geometry(
+        "LineString",
+        np.asarray([[x0, y0], [x1, y1]], dtype=np.float64),
+        geom.srid,
+    )
+
+
+def minimum_clearance(geom: Geometry) -> float:
+    """``ST_MinimumClearance`` (GEOS semantics): the smallest of (a) the
+    distance between any two DISTINCT vertices and (b) the distance from
+    any vertex to any non-incident segment — the largest perturbation
+    radius that provably cannot create a self-touch. Degenerate inputs
+    with no positive clearance answer infinity, like GEOS."""
+    pts = _all_vertices(geom)
+    if len(pts) < 2:
+        return math.inf
+    best = math.inf
+    d = np.hypot(
+        pts[:, None, 0] - pts[None, :, 0], pts[:, None, 1] - pts[None, :, 1]
+    )
+    pos = d[np.triu_indices(len(pts), k=1)]
+    pos = pos[pos > 0]
+    if len(pos):
+        best = float(pos.min())
+    segs = _all_segments(geom)
+    for i in range(len(pts)):
+        px, py = pts[i]
+        for s in segs:
+            if (s[0] == px and s[1] == py) or (s[2] == px and s[3] == py):
+                continue  # incident endpoint
+            dd = _point_seg_dist_min(
+                pts[i: i + 1], s.reshape(1, 4)
+            )
+            if 0 < dd < best:
+                best = dd
+    return best

@@ -484,6 +484,112 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
     _register("st_delaunaytriangles", _delaunay, T.BinaryType())
     _register("st_delaunayedges", _delaunay_edges, T.BinaryType())
 
+    def _force_orient(shell_cw):
+        def f(b):
+            if b is None:
+                return None
+            from xcube_geodb_spark.geometry.geom import (
+                force_polygon_orientation,
+            )
+
+            return to_wkb_seeded(
+                force_polygon_orientation(parse_wkb(b), shell_cw)
+            )
+
+        return f
+
+    _register("st_forcepolygoncw", _force_orient(True), T.BinaryType())
+    _register("st_forcepolygonccw", _force_orient(False), T.BinaryType())
+
+    def _is_orient(shell_cw):
+        def f(b):
+            if b is None:
+                return None
+            from xcube_geodb_spark.geometry.geom import (
+                polygon_orientation_is,
+            )
+
+            return polygon_orientation_is(parse_wkb(b), shell_cw)
+
+        return f
+
+    _register("st_ispolygoncw", _is_orient(True), T.BooleanType())
+    _register("st_ispolygonccw", _is_orient(False), T.BooleanType())
+
+    def _bounding_diag(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import bounding_diagonal
+
+        out = bounding_diagonal(parse_wkb(b))
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_boundingdiagonal", _bounding_diag, T.BinaryType())
+
+    def _min_clearance(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import minimum_clearance
+
+        v = minimum_clearance(parse_wkb(b))
+        # GEOS answers infinity for degenerate inputs; SQL spells it NULL
+        return None if v == float("inf") else v
+
+    _register("st_minimumclearance", _min_clearance, T.DoubleType())
+
+    def _tile_envelope(z, xt, yt):
+        """``ST_TileEnvelope(z, x, y)``: web-mercator XYZ tile bounds
+        (EPSG:3857, the standard +/-20037508.342789244 world frame)."""
+        if z is None or xt is None or yt is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import Geometry as _G
+
+        import numpy as _np
+
+        world = 20037508.342789244
+        n = 1 << int(z)
+        size = 2.0 * world / n
+        x0 = -world + int(xt) * size
+        y1 = world - int(yt) * size
+        y0 = y1 - size
+        ring = _np.asarray(
+            [[x0, y0], [x0 + size, y0], [x0 + size, y1], [x0, y1],
+             [x0, y0]],
+            dtype=_np.float64,
+        )
+        return to_wkb_seeded(_G("Polygon", [ring], 3857))
+
+    _register("st_tileenvelope", _tile_envelope, T.BinaryType())
+
+    def _hexagon(size, ci, cj):
+        """``ST_Hexagon(size, cell_i, cell_j)``: the flat-topped hexagon
+        of edge length ``size`` on the axial grid (center at
+        (1.5*size*i, sqrt(3)*size*(j + (i mod 2)/2)) — the same lattice
+        PostGIS tiles; the exact cell addressing convention is
+        documented in COVERAGE.md)."""
+        if size is None or ci is None or cj is None:
+            return None
+        import math as _m
+
+        import numpy as _np
+
+        from xcube_geodb_spark.geometry.geom import Geometry as _G
+
+        s = float(size)
+        i, jj = int(ci), int(cj)
+        cx = 1.5 * s * i
+        cy = _m.sqrt(3.0) * s * (jj + (0.5 if i % 2 else 0.0))
+        ring = []
+        for k in range(6):
+            a = _m.pi / 3.0 * k
+            ring.append([cx + s * _m.cos(a), cy + s * _m.sin(a)])
+        ring.append(ring[0])
+        return to_wkb_seeded(
+            _G("Polygon", [_np.asarray(ring, dtype=_np.float64)])
+        )
+
+    _register("st_hexagon", _hexagon, T.BinaryType())
+
     def _dimension(b):
         # ST_Dimension: topological dimension (0 points, 1 lines, 2 areas)
         return parse_wkb(b).dimension if b is not None else None

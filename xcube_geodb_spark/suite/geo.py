@@ -2447,6 +2447,58 @@ GEO_ORACLES["geo_buffer_styles"] = f"""
 """
 
 
+def geo_grid_kit(spark, sf_dir):
+    """Orientation forcing, bounding diagonal, minimum clearance, tile
+    envelope and hexagon constructors on the raw-SQL surface (all
+    geom.py/sqlfuncs r9 additions). Closed forms per square: forcing CW
+    then testing CW/CCW pins the orientation pair (area invariant under
+    ring reversal), the bounding diagonal is 2h*sqrt(2), GEOS minimum
+    clearance of a square is its side 2h, the z=3 web-mercator tile is
+    2*world/8 wide, and the flat-top hexagon of edge h has area
+    1.5*sqrt(3)*h^2 wherever its cell lands."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("grid_sq")
+    sql = build_pg_sql(
+        "grid_sq",
+        select=(
+            "c_custkey, "
+            "st_ispolygoncw(st_forcepolygoncw(geometry)) AS cw_ok, "
+            "st_ispolygonccw(st_forcepolygoncw(geometry)) AS ccw_no, "
+            "round(st_area(st_forcepolygoncw(geometry)), 6) AS cw_area, "
+            "round(st_length(st_boundingdiagonal(geometry)), 6) "
+            "AS diag_len, "
+            "round(st_minimumclearance(geometry), 6) AS clearance, "
+            "round(st_xmax(st_tileenvelope(3, c_custkey % 8, "
+            "c_custkey % 8)) - st_xmin(st_tileenvelope(3, c_custkey % 8, "
+            "c_custkey % 8)), 6) AS tile_w, "
+            "round(st_area(st_hexagon(h, 1, 2)), 6) AS hex_area"
+        ),
+        where="c_custkey % 10 = 4",
+        order="c_custkey",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["geo_grid_kit"] = f"""
+    SELECT c_custkey,
+           TRUE AS cw_ok,
+           FALSE AS ccw_no,
+           round(4 * h * h, 6) AS cw_area,
+           round(2 * h * sqrt(2), 6) AS diag_len,
+           round(2 * h, 6) AS clearance,
+           round(2 * 20037508.342789244 / 8, 6) AS tile_w,
+           round(1.5 * sqrt(3) * h * h, 6) AS hex_area
+    FROM ({_SQS})
+    WHERE c_custkey % 10 = 4
+    ORDER BY c_custkey
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -2510,6 +2562,7 @@ GEO_QUERIES = {
     "geo_concave_hull": geo_concave_hull,
     "geo_offset_curve": geo_offset_curve,
     "geo_buffer_styles": geo_buffer_styles,
+    "geo_grid_kit": geo_grid_kit,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
