@@ -2085,3 +2085,63 @@ class TestOrientationClearanceGrid:
         assert to_wkt(bounding_diagonal(
             parse_wkt("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
         )) == "LINESTRING (0 0, 4 2)"
+
+
+class TestSmoothingKit:
+    def test_geometric_median(self):
+        from xcube_geodb_spark.geometry.geom import (
+            geometric_median, parse_wkt,
+        )
+
+        # symmetric corners -> the center
+        gx, gy = geometric_median(
+            parse_wkt("MULTIPOINT ((0 0), (4 0), (4 4), (0 4))")
+        )
+        assert abs(gx - 2) < 1e-7 and abs(gy - 2) < 1e-7
+        # obtuse triangle (vertex angle > 120 deg): the median IS that
+        # vertex (Weiszfeld's vertex test)
+        gx, gy = geometric_median(
+            parse_wkt("MULTIPOINT ((0 0), (10 0), (5 1))")
+        )
+        assert abs(gx - 5.0) < 1e-6 and abs(gy - 1.0) < 1e-6
+        gx, gy = geometric_median(parse_wkt("POINT (3 7)"))
+        assert (gx, gy) == (3.0, 7.0)
+
+    def test_simplify_vw_and_chaikin(self):
+        from xcube_geodb_spark.geometry.geom import (
+            area, chaikin_smoothing, parse_wkt, simplify_vw, to_wkt,
+        )
+
+        # collinear midpoints have zero effective area: dropped
+        assert to_wkt(simplify_vw(parse_wkt(
+            "POLYGON ((0 0, 2 0, 4 0, 4 4, 0 4, 0 0))"
+        ), 1e-4)) == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+        # a genuine corner survives a small threshold
+        assert to_wkt(simplify_vw(parse_wkt(
+            "LINESTRING (0 0, 2 0, 2 2)"
+        ), 1e-4)) == "LINESTRING (0 0, 2 0, 2 2)"
+        # chaikin square: each corner cut removes an (h/2)-leg triangle
+        ch = chaikin_smoothing(
+            parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        )
+        assert abs(area(ch) - 14.0) < 1e-12
+        # open line keeps endpoints (PG default)
+        out = chaikin_smoothing(parse_wkt("LINESTRING (0 0, 4 0, 4 4)"))
+        assert to_wkt(out) == (
+            "LINESTRING (0 0, 1 0, 3 0, 4 1, 4 3, 4 4)"
+        )
+        import pytest as _pytest
+
+        from xcube_geodb_spark.geometry.geom import GeoDBError
+
+        with _pytest.raises(GeoDBError, match="1..5"):
+            chaikin_smoothing(parse_wkt("LINESTRING (0 0, 1 0)"), 9)
+
+    def test_shift_longitude(self):
+        from xcube_geodb_spark.geometry.geom import (
+            parse_wkt, shift_longitude, to_wkt,
+        )
+
+        assert to_wkt(shift_longitude(
+            parse_wkt("LINESTRING (-170 10, 170 10)")
+        )) == "LINESTRING (190 10, 170 10)"

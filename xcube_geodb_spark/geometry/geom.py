@@ -2772,3 +2772,153 @@ def minimum_clearance(geom: Geometry) -> float:
             if 0 < dd < best:
                 best = dd
     return best
+
+
+def geometric_median(
+    geom: Geometry, tolerance: float = 1e-9, max_iter: int = 200
+) -> tuple[float, float]:
+    """``ST_GeometricMedian``: the point minimizing the sum of distances
+    to the input points — Weiszfeld's algorithm (1937) with the standard
+    coincident-point guard, run to a scale-relative tolerance. Fixed
+    iteration cap keeps it deterministic; the centroid seeds."""
+    pts = _all_vertices(geom)
+    if len(pts) == 0:
+        raise GeoDBError("st_geometricmedian: empty input")
+    if len(pts) == 1:
+        return float(pts[0, 0]), float(pts[0, 1])
+    x = pts.mean(axis=0)
+    span = max(float(np.ptp(pts[:, 0])), float(np.ptp(pts[:, 1])), 1e-300)
+    tol = tolerance * span
+    for _ in range(max_iter):
+        d = np.hypot(pts[:, 0] - x[0], pts[:, 1] - x[1])
+        hit = d < tol
+        if hit.any():
+            # at an input point: it is the median if the pull of the
+            # others does not exceed unity (Weiszfeld's vertex test)
+            rest = ~hit
+            if not rest.any():
+                return float(x[0]), float(x[1])
+            r = ((pts[rest] - x) / d[rest, None]).sum(axis=0)
+            if np.hypot(r[0], r[1]) <= hit.sum():
+                return float(x[0]), float(x[1])
+            d = np.where(hit, tol, d)
+        w = 1.0 / d
+        nxt = (pts * w[:, None]).sum(axis=0) / w.sum()
+        if math.hypot(nxt[0] - x[0], nxt[1] - x[1]) < tol:
+            return float(nxt[0]), float(nxt[1])
+        x = nxt
+    return float(x[0]), float(x[1])
+
+
+def shift_longitude(geom: Geometry) -> Geometry:
+    """``ST_ShiftLongitude``: longitudes in [-180, 0) shift to
+    [180, 360) — the Pacific-centered rendering transform."""
+    return map_coordinates(
+        geom, lambda x, y: (x + 360.0 if x < 0 else x, y)
+    )
+
+
+def _vw_keep(arr: np.ndarray, threshold: float, closed: bool) -> np.ndarray:
+    """Visvalingam–Whyatt: repeatedly drop the vertex whose triangle
+    with its neighbors has the smallest effective area, while that
+    area is below ``threshold``. Endpoints of open lines always stay;
+    rings keep at least 4 points (3 distinct + closure)."""
+    pts = list(range(len(arr)))
+    if closed:
+        pts = pts[:-1]  # operate on the open ring
+
+    def _area(i0, i1, i2):
+        a, b, c = arr[pts[i0]], arr[pts[i1]], arr[pts[i2]]
+        return abs(
+            (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        ) / 2.0
+
+    min_keep = 3 if closed else 2
+    while len(pts) > min_keep:
+        best_i, best_a = None, None
+        rng = range(len(pts)) if closed else range(1, len(pts) - 1)
+        for i in rng:
+            a = _area((i - 1) % len(pts), i, (i + 1) % len(pts))
+            if best_a is None or a < best_a:
+                best_i, best_a = i, a
+        if best_a is None or best_a >= threshold:
+            break
+        pts.pop(best_i)
+    out = arr[pts]
+    if closed:
+        out = np.vstack([out, out[:1]])
+    return out
+
+
+def simplify_vw(geom: Geometry, threshold: float) -> Geometry | None:
+    """``ST_SimplifyVW``: Visvalingam–Whyatt simplification with the
+    effective-area ``threshold`` (same units as coordinate area)."""
+    if geom.kind == "LineString":
+        return Geometry(
+            "LineString", _vw_keep(geom.parts, threshold, False), geom.srid
+        )
+    if geom.kind == "Polygon":
+        return Geometry(
+            "Polygon",
+            [_vw_keep(r, threshold, True) for r in geom.parts],
+            geom.srid,
+        )
+    if geom.kind in ("MultiLineString", "MultiPolygon", "GeometryCollection"):
+        return Geometry(
+            geom.kind,
+            [simplify_vw(m, threshold) for m in geom.parts],
+            geom.srid,
+        )
+    return geom
+
+
+def chaikin_smoothing(
+    geom: Geometry, n_iter: int = 1, preserve_end_points: bool = True
+) -> Geometry:
+    """``ST_ChaikinSmoothing``: corner cutting (Chaikin 1974) — every
+    corner is replaced by the 1/4 and 3/4 points of its incident
+    segments. Open lines keep their endpoints when
+    ``preserve_end_points`` (the PostGIS default); rings cut every
+    corner and re-close."""
+    if n_iter < 1 or n_iter > 5:
+        raise GeoDBError("st_chaikinsmoothing: 1..5 iterations (PG limit)")
+
+    def _cut(arr: np.ndarray, closed: bool) -> np.ndarray:
+        for _ in range(n_iter):
+            pts = arr[:-1] if closed else arr
+            out = []
+            n = len(pts)
+            if closed:
+                for i in range(n):
+                    p, q = pts[i], pts[(i + 1) % n]
+                    out.append(p * 0.75 + q * 0.25)
+                    out.append(p * 0.25 + q * 0.75)
+                arr = np.vstack([out, out[:1]])
+            else:
+                if preserve_end_points:
+                    out.append(pts[0])
+                for i in range(n - 1):
+                    p, q = pts[i], pts[i + 1]
+                    out.append(p * 0.75 + q * 0.25)
+                    out.append(p * 0.25 + q * 0.75)
+                if preserve_end_points:
+                    out.append(pts[-1])
+                arr = np.asarray(out, dtype=np.float64)
+        return arr
+
+    if geom.kind == "LineString":
+        return Geometry("LineString", _cut(geom.parts, False), geom.srid)
+    if geom.kind == "Polygon":
+        return Geometry(
+            "Polygon",
+            [_cut(r, True) for r in geom.parts],
+            geom.srid,
+        )
+    if geom.kind in ("MultiLineString", "MultiPolygon", "GeometryCollection"):
+        return Geometry(
+            geom.kind,
+            [chaikin_smoothing(m, n_iter, preserve_end_points)
+             for m in geom.parts],
+            geom.srid,
+        )
+    return geom

@@ -590,6 +590,72 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_hexagon", _hexagon, T.BinaryType())
 
+    def _geometric_median(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import (
+            Geometry as _G,
+            geometric_median,
+        )
+
+        import numpy as _np
+
+        x, y = geometric_median(parse_wkb(b))
+        return to_wkb_seeded(
+            _G("Point", _np.asarray([x, y], dtype=_np.float64))
+        )
+
+    _register("st_geometricmedian", _geometric_median, T.BinaryType())
+
+    def _shiftlongitude(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import shift_longitude
+
+        return to_wkb_seeded(shift_longitude(parse_wkb(b)))
+
+    _register("st_shiftlongitude", _shiftlongitude, T.BinaryType())
+
+    def _simplifyvw(b, thr):
+        if b is None or thr is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import simplify_vw
+
+        out = simplify_vw(parse_wkb(b), float(thr))
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_simplifyvw", _simplifyvw, T.BinaryType())
+
+    def _chaikin(b, n):
+        if b is None or n is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import chaikin_smoothing
+
+        return to_wkb_seeded(chaikin_smoothing(parse_wkb(b), int(n)))
+
+    _register("st_chaikinsmoothing", _chaikin, T.BinaryType())
+
+    def _reduceprecision(b, grid):
+        """``ST_ReducePrecision``: grid snap + validity repair (the
+        PostGIS 3.1 semantics composed from the engine's own kernels)."""
+        if b is None or grid is None or float(grid) <= 0:
+            return None
+        from xcube_geodb_spark.geometry.geom import (
+            is_valid,
+            map_coordinates,
+        )
+        from xcube_geodb_spark.geometry.overlay import make_valid
+
+        s = float(grid)
+        g = map_coordinates(
+            parse_wkb(b), lambda x, y: (round(x / s) * s, round(y / s) * s)
+        )
+        if not is_valid(g):
+            g = make_valid(g)
+        return to_wkb_seeded(g) if g is not None else None
+
+    _register("st_reduceprecision", _reduceprecision, T.BinaryType())
+
     def _dimension(b):
         # ST_Dimension: topological dimension (0 points, 1 lines, 2 areas)
         return parse_wkb(b).dimension if b is not None else None

@@ -2499,6 +2499,66 @@ GEO_ORACLES["geo_grid_kit"] = f"""
 """
 
 
+def geo_smooth_kit(spark, sf_dir):
+    """Smoothing / robustness kit on the raw-SQL surface: Chaikin
+    corner cutting (one pass on a square leaves 3.5 h^2 — each corner
+    cut removes an (h/2)-leg triangle), Visvalingam simplification
+    (collinear ring midpoints carry zero effective area and drop,
+    restoring the 5-point square ring), the Weiszfeld geometric median
+    (the four DISTINCT corners' median IS the center by symmetry —
+    st_points would double the ring-closure corner and bias it), ShiftLongitude
+    (x < 0 -> x + 360 replayed in SQL arithmetic), and ReducePrecision
+    on a finer grid than the 0.01-coordinate lattice (identity, area
+    preserved — the validity-repair leg is pytest-covered)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("smooth_sq")
+    mid_ring = (
+        "st_makeline(st_makeline(st_makeline(st_makeline(st_makeline("
+        "st_point(x - h, y - h), st_point(x, y - h)), "
+        "st_point(x + h, y - h)), st_point(x + h, y + h)), "
+        "st_point(x - h, y + h)), st_point(x - h, y - h))"
+    )
+    sql = build_pg_sql(
+        "smooth_sq",
+        select=(
+            "c_custkey, "
+            "round(st_area(st_chaikinsmoothing(geometry, 1)), 6) "
+            "AS chaikin_area, "
+            f"st_npoints(st_simplifyvw({mid_ring}, 0.0001)) AS vw_pts, "
+            "round(st_x(st_geometricmedian(st_collect("
+            "st_collect(st_point(x - h, y - h), st_point(x + h, y - h)), "
+            "st_collect(st_point(x + h, y + h), st_point(x - h, y + h))"
+            "))), 6) AS med_x, "
+            "round(st_x(st_startpoint(st_shiftlongitude("
+            "st_makeline(st_point(x, y), st_point(x, y + 1))))), 6) "
+            "AS shifted_x, "
+            "round(st_area(st_reduceprecision(geometry, 0.001)), 6) "
+            "AS rp_area"
+        ),
+        where="c_custkey % 10 = 6",
+        order="c_custkey",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["geo_smooth_kit"] = f"""
+    SELECT c_custkey,
+           round(3.5 * h * h, 6) AS chaikin_area,
+           CAST(5 AS INT) AS vw_pts,
+           round(x, 6) AS med_x,
+           round(CASE WHEN x < 0 THEN x + 360 ELSE x END, 6) AS shifted_x,
+           round(4 * h * h, 6) AS rp_area
+    FROM ({_SQS})
+    WHERE c_custkey % 10 = 6
+    ORDER BY c_custkey
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -2563,6 +2623,7 @@ GEO_QUERIES = {
     "geo_offset_curve": geo_offset_curve,
     "geo_buffer_styles": geo_buffer_styles,
     "geo_grid_kit": geo_grid_kit,
+    "geo_smooth_kit": geo_smooth_kit,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
