@@ -258,19 +258,23 @@ def cluster_within_members(members, distance_within: float):
             a = parent[a]
         return a
 
-    for i in range(n):
-        xi0, yi0, xi1, yi1 = envs[i]
-        for j in range(i + 1, n):
-            if find(i) == find(j):
-                continue
-            xj0, yj0, xj1, yj1 = envs[j]
-            if (
-                xj0 > xi1 + d or xj1 < xi0 - d
-                or yj0 > yi1 + d or yj1 < yi0 - d
-            ):
-                continue
-            if distance(members[i], members[j]) <= d:
-                parent[find(j)] = find(i)
+    # vectorized envelope prefilter: one broadcast pass yields the
+    # candidate pair list, so the exact kernel distance only runs on
+    # envelope survivors (a Python i x j loop over envelopes would make
+    # large collects quadratic before any pruning could help)
+    x0, y0, x1, y1 = envs[:, 0], envs[:, 1], envs[:, 2], envs[:, 3]
+    near = (
+        (x0[:, None] <= x1[None, :] + d)
+        & (x1[:, None] >= x0[None, :] - d)
+        & (y0[:, None] <= y1[None, :] + d)
+        & (y1[:, None] >= y0[None, :] - d)
+    )
+    ii, jj = np.nonzero(np.triu(near, k=1))
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        if find(i) == find(j):
+            continue
+        if distance(members[i], members[j]) <= d:
+            parent[find(j)] = find(i)
     clusters: dict[int, list] = {}
     for i in range(n):
         clusters.setdefault(find(i), []).append(members[i])

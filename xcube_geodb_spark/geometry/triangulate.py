@@ -81,13 +81,27 @@ def delaunay_triangulation(
 
     for i in range(n):
         px, py = pts[i]
-        bad = []
-        for t in tris:
-            a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
-            if _circumcircle_test(
-                a[0], a[1], b[0], b[1], c[0], c[1], px, py, tol
-            ):
-                bad.append(t)
+        # vectorized in-circle over ALL live triangles at once: the
+        # per-insertion scan is the Bowyer-Watson hot loop, and a Python
+        # triangle-by-triangle determinant makes group-collect inputs in
+        # the thousands take minutes instead of seconds
+        tri_list = list(tris)
+        T = np.asarray(tri_list, dtype=np.int64)
+        A = pts[T[:, 0]]
+        B = pts[T[:, 1]]
+        C = pts[T[:, 2]]
+        ad = A - (px, py)
+        bd = B - (px, py)
+        cd = C - (px, py)
+        det = (
+            (ad[:, 0] ** 2 + ad[:, 1] ** 2)
+            * (bd[:, 0] * cd[:, 1] - cd[:, 0] * bd[:, 1])
+            - (bd[:, 0] ** 2 + bd[:, 1] ** 2)
+            * (ad[:, 0] * cd[:, 1] - cd[:, 0] * ad[:, 1])
+            + (cd[:, 0] ** 2 + cd[:, 1] ** 2)
+            * (ad[:, 0] * bd[:, 1] - bd[:, 0] * ad[:, 1])
+        )
+        bad = [tri_list[k] for k in np.nonzero(det > tol)[0]]
         if not bad:
             # numerically outside every circumcircle (should not happen
             # inside the super-triangle) — skip rather than corrupt
@@ -284,10 +298,11 @@ def concave_hull(
             k = (e[0], e[1]) if e[0] < e[1] else (e[1], e[0])
             incident.setdefault(k, set()).add(t)
 
-    def _boundary_edges():
-        return {e for e, ts in incident.items() if len(ts & live) == 1}
-
-    boundary = _boundary_edges()
+    # boundary edges maintained INCREMENTALLY: carving one triangle
+    # retires its boundary edge and toggles its two other edges — a
+    # full O(E) boundary recompute per heap pop would make the carve
+    # quadratic on large group collects
+    boundary = {e for e, ts in incident.items() if len(ts & live) == 1}
     if not boundary:
         return None
     lens = [_elen(u, v) for u, v in boundary]
@@ -305,7 +320,7 @@ def concave_hull(
     on_boundary = {v for e in boundary for v in e}
     while heap:
         k, e = heapq.heappop(heap)
-        if e not in _boundary_edges():
+        if e not in boundary:
             continue  # stale entry
         if _elen(*e) <= threshold + 1e-12:
             break  # longest remaining is short enough: done
@@ -320,10 +335,16 @@ def concave_hull(
             continue  # never carve the last triangle
         live.discard(t)
         on_boundary.add(apex)
+        boundary.discard(e)
         for u, v in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
             ek = (u, v) if u < v else (v, u)
-            if ek != e and len(incident[ek] & live) == 1:
+            if ek == e:
+                continue
+            if len(incident[ek] & live) == 1:
+                boundary.add(ek)
                 heapq.heappush(heap, (_key(ek), ek))
+            else:
+                boundary.discard(ek)
     if not live:
         return None
     # boundary of the remaining triangulation -> polygon via the face
