@@ -2145,3 +2145,31 @@ class TestSmoothingKit:
         assert to_wkt(shift_longitude(
             parse_wkt("LINESTRING (-170 10, 170 10)")
         )) == "LINESTRING (190 10, 170 10)"
+
+
+class TestSharedPaths:
+    def test_direction_split_and_clip(self):
+        from xcube_geodb_spark.geometry.geom import (
+            parse_wkt, shared_paths, to_wkt,
+        )
+
+        a = parse_wkt("LINESTRING (0 0, 10 0)")
+        same = shared_paths(a, parse_wkt("LINESTRING (4 0, 6 0, 6 5)"))
+        assert to_wkt(same) == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING ((4 0, 6 0)), "
+            "MULTILINESTRING ())"
+        )
+        opp = shared_paths(a, parse_wkt("LINESTRING (6 0, 4 0)"))
+        assert to_wkt(opp) == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING (), "
+            "MULTILINESTRING ((4 0, 6 0)))"
+        )
+        # overlap clips to the common interval
+        part = shared_paths(a, parse_wkt("LINESTRING (8 0, 15 0)"))
+        assert to_wkt(part) == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING ((8 0, 10 0)), "
+            "MULTILINESTRING ())"
+        )
+        # disjoint / point-touch / parallel-offset share nothing
+        assert shared_paths(a, parse_wkt("LINESTRING (0 5, 10 5)")) is None
+        assert shared_paths(a, parse_wkt("LINESTRING (10 0, 10 5)")) is None

@@ -2922,3 +2922,55 @@ def chaikin_smoothing(
             geom.srid,
         )
     return geom
+
+
+def shared_paths(a: Geometry, b: Geometry) -> Geometry | None:
+    """``ST_SharedPaths(lineal1, lineal2)``: the linework the two inputs
+    share, split by traversal direction — PostGIS returns
+    GEOMETRYCOLLECTION(MULTILINESTRING <same direction>,
+    MULTILINESTRING <opposite direction>) and so does this kernel (an
+    empty side contributes an empty MultiLineString spelled as a
+    0-member MULTILINESTRING). Collinear overlapping (sub)segments are
+    found pairwise with interval arithmetic on the supporting line;
+    touching at a point is NOT a shared path."""
+    segs_a = _all_segments(a)
+    segs_b = _all_segments(b)
+    same: list[np.ndarray] = []
+    opposite: list[np.ndarray] = []
+    for sa in segs_a:
+        p0, p1 = sa[0:2], sa[2:4]
+        d = p1 - p0
+        ll = float(d @ d)
+        if ll == 0:
+            continue
+        scale = max(1.0, abs(d[0]) + abs(d[1]))
+        for sb in segs_b:
+            q0, q1 = sb[0:2], sb[2:4]
+            c1 = d[0] * (q0[1] - p0[1]) - d[1] * (q0[0] - p0[0])
+            c2 = d[0] * (q1[1] - p0[1]) - d[1] * (q1[0] - p0[0])
+            if abs(c1) > 1e-12 * scale or abs(c2) > 1e-12 * scale:
+                continue  # not collinear
+            t0 = float((q0 - p0) @ d) / ll
+            t1 = float((q1 - p0) @ d) / ll
+            lo, hi = min(t0, t1), max(t0, t1)
+            lo, hi = max(lo, 0.0), min(hi, 1.0)
+            if hi - lo <= 1e-12:
+                continue  # point contact only
+            piece = np.vstack([p0 + lo * d, p0 + hi * d])
+            (same if t1 >= t0 else opposite).append(piece)
+
+    def _mls(pieces: list[np.ndarray]) -> Geometry:
+        members = [
+            Geometry("LineString", np.asarray(p, dtype=np.float64))
+            for p in sorted(
+                pieces,
+                key=lambda q: (q[0, 0], q[0, 1], q[1, 0], q[1, 1]),
+            )
+        ]
+        return Geometry("MultiLineString", members)
+
+    if not same and not opposite:
+        return None  # the engine's SQL-NULL spelling of EMPTY
+    return Geometry(
+        "GeometryCollection", [_mls(same), _mls(opposite)], a.srid
+    )

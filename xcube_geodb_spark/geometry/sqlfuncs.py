@@ -590,6 +590,16 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_hexagon", _hexagon, T.BinaryType())
 
+    def _sharedpaths(ga, gb):
+        if ga is None or gb is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import shared_paths
+
+        out = shared_paths(parse_wkb(ga), parse_wkb(bytes(gb)))
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_sharedpaths", _sharedpaths, T.BinaryType())
+
     def _geometric_median(b):
         if b is None:
             return None
