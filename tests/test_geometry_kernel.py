@@ -2173,3 +2173,37 @@ class TestSharedPaths:
         # disjoint / point-touch / parallel-offset share nothing
         assert shared_paths(a, parse_wkt("LINESTRING (0 5, 10 5)")) is None
         assert shared_paths(a, parse_wkt("LINESTRING (10 0, 10 5)")) is None
+
+
+class TestLineExtendDumpRings:
+    def test_line_extend(self):
+        from xcube_geodb_spark.geometry.geom import (
+            GeoDBError, line_extend, parse_wkt, to_wkt,
+        )
+        import pytest as _pytest
+
+        l = parse_wkt("LINESTRING (0 0, 4 0)")
+        assert to_wkt(line_extend(l, 2.0, 1.0)) == "LINESTRING (-1 0, 6 0)"
+        assert to_wkt(line_extend(l, 2.0)) == "LINESTRING (0 0, 6 0)"
+        # extension follows the LAST segment's own direction
+        bent = parse_wkt("LINESTRING (0 0, 4 0, 4 3)")
+        assert to_wkt(line_extend(bent, 2.0)) == "LINESTRING (0 0, 4 0, 4 5)"
+        with _pytest.raises(GeoDBError, match="non-negative"):
+            line_extend(l, -1.0)
+
+    def test_dump_rings_and_ordering_equals(self):
+        from xcube_geodb_spark.geometry.geom import (
+            area, dump_rings, ordering_equals, parse_wkt,
+        )
+
+        p = parse_wkt(
+            "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), "
+            "(2 2, 4 2, 4 4, 2 4, 2 2))"
+        )
+        rings = dump_rings(p)
+        assert [round(area(r), 9) for r in rings] == [36.0, 4.0]
+        assert dump_rings(parse_wkt("POINT (1 1)")) == []
+        l = parse_wkt("LINESTRING (0 0, 4 0)")
+        assert ordering_equals(l, l)
+        # same geometry, different vertex order: NOT ordering-equal
+        assert not ordering_equals(l, parse_wkt("LINESTRING (4 0, 0 0)"))

@@ -2974,3 +2974,46 @@ def shared_paths(a: Geometry, b: Geometry) -> Geometry | None:
     return Geometry(
         "GeometryCollection", [_mls(same), _mls(opposite)], a.srid
     )
+
+
+def line_extend(
+    geom: Geometry, distance_forward: float, distance_backward: float = 0.0
+) -> Geometry:
+    """``ST_LineExtend`` (PostGIS 3.4): prolong the last segment by
+    ``distance_forward`` and the first by ``distance_backward`` along
+    their own directions."""
+    if geom.kind != "LineString" or len(geom.parts) < 2:
+        raise GeoDBError("st_lineextend: LineString of >= 2 points")
+    if distance_forward < 0 or distance_backward < 0:
+        raise GeoDBError("st_lineextend: distances must be non-negative")
+    arr = geom.parts.copy()
+    if distance_forward > 0:
+        d = arr[-1] - arr[-2]
+        ln = math.hypot(*d)
+        if ln > 0:
+            arr[-1] = arr[-1] + d / ln * distance_forward
+    if distance_backward > 0:
+        d = arr[0] - arr[1]
+        ln = math.hypot(*d)
+        if ln > 0:
+            arr[0] = arr[0] + d / ln * distance_backward
+    return Geometry("LineString", arr, geom.srid)
+
+
+def dump_rings(geom: Geometry) -> list[Geometry]:
+    """``ST_DumpRings``: the shell then each hole of every polygon
+    member, each as its own single-ring Polygon (PostGIS' row set
+    spelled as an array on the fixed-arity SQL surface)."""
+    out = []
+    for leaf in geom.children():
+        if leaf.kind != "Polygon":
+            continue
+        for r in leaf.parts:
+            out.append(Geometry("Polygon", [np.asarray(r).copy()], geom.srid))
+    return out
+
+
+def ordering_equals(a: Geometry, b: Geometry) -> bool:
+    """``ST_OrderingEquals``: same geometry AND same coordinate order —
+    byte-level structural equality of the canonical text forms."""
+    return to_wkt(a) == to_wkt(b)

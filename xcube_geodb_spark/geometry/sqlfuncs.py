@@ -590,6 +590,38 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_hexagon", _hexagon, T.BinaryType())
 
+    def _lineextend(b, fwd, back):
+        if b is None or fwd is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import line_extend
+
+        return to_wkb_seeded(
+            line_extend(
+                parse_wkb(b), float(fwd),
+                float(back) if back is not None else 0.0,
+            )
+        )
+
+    _register("st_lineextend", _lineextend, T.BinaryType())
+
+    def _dumprings(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import dump_rings
+
+        return [to_wkb_seeded(r) for r in dump_rings(parse_wkb(b))]
+
+    _register("st_dumprings", _dumprings, T.ArrayType(T.BinaryType()))
+
+    def _ordering_equals(ga, gb):
+        if ga is None or gb is None:
+            return None
+        from xcube_geodb_spark.geometry.geom import ordering_equals
+
+        return ordering_equals(parse_wkb(ga), parse_wkb(bytes(gb)))
+
+    _register("st_orderingequals", _ordering_equals, T.BooleanType())
+
     def _sharedpaths(ga, gb):
         if ga is None or gb is None:
             return None
