@@ -41,6 +41,25 @@ Registered names (PostGIS-compatible lowercase):
 - overlay (geometry/overlay.py planar boolean kernel):
   ``st_intersection`` (rect operand -> fast clip, else general polygon
   overlay), ``st_union``, ``st_difference``, ``st_symdifference``
+- r9 session 2 additions: ``st_split``/``st_geometryn``,
+  ``st_delaunaytriangles``/``st_delaunayedges``/``st_voronoipolygons``/
+  ``st_concavehull`` (geometry/triangulate.py), the SFS scalar kit
+  (``st_issimple/isclosed/isring``, ``st_multi``,
+  ``st_collectionextract``, ``st_removerepeatedpoints``,
+  ``st_segmentize``, ``st_hausdorffdistance``/``st_frechetdistance``,
+  ``st_angle``, scalar ``st_collect``, ``st_unaryunion``),
+  ``st_makeline`` (scalar + _agg), ``st_generatepoints`` (seeded),
+  ``st_snap``, ``st_offsetcurve``, ``st_buffer_style`` (3-arg styles via
+  the pg shim), ``st_clusterwithin_agg``, ``st_affine``/
+  ``st_maxdistance``/``st_longestline``, orientation + grid kit
+  (``st_forcepolygoncw/ccw``, ``st_ispolygoncw/ccw``,
+  ``st_boundingdiagonal``, ``st_minimumclearance``,
+  ``st_tileenvelope``, ``st_hexagon``), smoothing kit
+  (``st_chaikinsmoothing``, ``st_simplifyvw``, ``st_geometricmedian``,
+  ``st_shiftlongitude``, ``st_reduceprecision``), ``st_sharedpaths``,
+  ``st_lineextend``/``st_dumprings``/``st_orderingequals``, codec
+  aliases (``st_pointfromtext`` family, ``st_geomfromwkb``/
+  ``st_asbinary``, ``st_dimension``, ``st_force2d``)
 
 Every function is registered as an Arrow-batched ``pandas_udf`` (scalar
 kernels applied per batch element): the plan shows ``ArrowEvalPython``,
