@@ -188,3 +188,61 @@ class TestConcaveHull:
         assert concave_hull(parse_wkt("POINT (0 0)"), 0.5) is None
         with pytest.raises(GeoDBError, match="param_pctconvex"):
             concave_hull(parse_wkt("MULTIPOINT ((0 0), (1 0), (0 1))"), 2.0)
+
+
+class TestTriangulatePolygon:
+    def test_counts_and_tiling(self):
+        from xcube_geodb_spark.geometry.triangulate import (
+            triangulate_polygon,
+        )
+
+        sq = parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        out = triangulate_polygon(sq)
+        assert len(out.parts) == 2 and abs(area(out) - 16) < 1e-9
+        # concave L: n - 2 triangles, exact tiling
+        L = parse_wkt("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
+        out = triangulate_polygon(L)
+        assert len(out.parts) == 4 and abs(area(out) - 12) < 1e-9
+        # donut: bridge makes it n + 2*holes - 2
+        ph = parse_wkt(
+            "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), "
+            "(2 2, 4 2, 4 4, 2 4, 2 2))"
+        )
+        out = triangulate_polygon(ph)
+        assert len(out.parts) == 8 and abs(area(out) - 32) < 1e-9
+        # every triangle has positive area (no slivers emitted)
+        assert min(area(m) for m in out.parts) > 0
+
+    def test_reflex_and_validation(self):
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.geometry.triangulate import (
+            triangulate_polygon,
+        )
+        import pytest as _pytest
+
+        # deep notch: the reflex vertex must never be clipped across
+        c = parse_wkt("POLYGON ((0 0, 8 0, 8 6, 4 3, 0 6, 0 0))")
+        out = triangulate_polygon(c)
+        assert len(out.parts) == 3 and abs(area(out) - 36) < 1e-9
+        assert triangulate_polygon(None) is None
+        with _pytest.raises(GeoDBError, match="polygonal"):
+            triangulate_polygon(parse_wkt("LINESTRING (0 0, 1 1)"))
+
+    def test_deterministic(self):
+        from xcube_geodb_spark.geometry.triangulate import (
+            triangulate_polygon,
+        )
+
+        rng = np.random.default_rng(2)
+        # a star polygon (always simple) with 12 vertices
+        angles = np.sort(rng.random(12)) * 2 * math.pi
+        radii = rng.random(12) * 3 + 1
+        pts = [(5 + r * math.cos(a), 5 + r * math.sin(a))
+               for r, a in zip(radii, angles)]
+        ring = ", ".join(f"{x:.17g} {y:.17g}" for x, y in pts)
+        g = parse_wkt(f"POLYGON (({ring}, {pts[0][0]:.17g} {pts[0][1]:.17g}))")
+        a1 = triangulate_polygon(g)
+        a2 = triangulate_polygon(g)
+        assert to_wkt(a1) == to_wkt(a2)
+        assert len(a1.parts) == 10  # n - 2
+        assert abs(area(a1) - area(g)) < 1e-9

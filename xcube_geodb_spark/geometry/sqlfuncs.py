@@ -641,6 +641,18 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_orderingequals", _ordering_equals, T.BooleanType())
 
+    def _triangulate_poly(b):
+        if b is None:
+            return None
+        from xcube_geodb_spark.geometry.triangulate import (
+            triangulate_polygon,
+        )
+
+        out = triangulate_polygon(parse_wkb(b))
+        return to_wkb_seeded(out) if out is not None else None
+
+    _register("st_triangulatepolygon", _triangulate_poly, T.BinaryType())
+
     def _sharedpaths(ga, gb):
         if ga is None or gb is None:
             return None

@@ -24,6 +24,7 @@ import math
 
 import numpy as np
 
+from xcube_geodb_spark.errors import GeoDBError
 from xcube_geodb_spark.geometry.geom import Geometry, _all_vertices
 
 
@@ -366,3 +367,222 @@ def concave_hull(
     if out is not None:
         out.srid = geom.srid
     return out
+
+
+def _bridge_holes(
+    shell: np.ndarray, holes: list[np.ndarray]
+) -> list[tuple[float, float]]:
+    """Merge holes into the shell ring with bridge edges (the classic
+    ear-clipping preprocessing, cf. Eberly, "Triangulation by Ear
+    Clipping"): each hole's rightmost vertex connects to a visible
+    shell vertex found by the +x ray cast; holes merge rightmost-first
+    so later bridges see the already-merged ring."""
+    ring = [(float(x), float(y)) for x, y in shell[:-1]]
+    if _ring_signed(ring) < 0:
+        ring.reverse()  # shell CCW
+    hs = []
+    for h in holes:
+        hv = [(float(x), float(y)) for x, y in h[:-1]]
+        if _ring_signed(hv) > 0:
+            hv.reverse()  # holes CW
+        hs.append(hv)
+    for hv in sorted(hs, key=lambda v: -max(p[0] for p in v)):
+        mi = max(range(len(hv)), key=lambda i: (hv[i][0], hv[i][1]))
+        mx, my = hv[mi]
+        # nearest intersection of the +x ray with a ring edge
+        best_t, best_j = None, None
+        n = len(ring)
+        for j in range(n):
+            (x1, y1), (x2, y2) = ring[j], ring[(j + 1) % n]
+            if (y1 > my) == (y2 > my):
+                continue
+            t = x1 + (my - y1) * (x2 - x1) / (y2 - y1)
+            if t >= mx - 1e-12 and (best_t is None or t < best_t):
+                best_t, best_j = t, j
+        if best_j is None:
+            raise GeoDBError(
+                "st_triangulatepolygon: hole outside the shell"
+            )
+        # connect to the edge endpoint with the larger x (visible side)
+        j = best_j if ring[best_j][0] >= ring[(best_j + 1) % len(ring)][0] \
+            else (best_j + 1) % len(ring)
+        # visibility refinement: among ring vertices inside the triangle
+        # (M, I, P) pick the one minimizing angle to +x (Eberly's rule);
+        # the simple endpoint choice suffices for the engine's generated
+        # rings, but reflex vertices inside the triangle must win
+        px, py = ring[j]
+        cand = j
+        for k in range(len(ring)):
+            if k == j:
+                continue
+            kx, ky = ring[k]
+            if kx <= mx:
+                continue
+            # inside triangle (M, (best_t, my), P)?
+            ax, ay = mx, my
+            bx, by = best_t, my
+            s1 = (bx - ax) * (ky - ay) - (by - ay) * (kx - ax)
+            s2 = (px - bx) * (ky - by) - (py - by) * (kx - bx)
+            s3 = (ax - px) * (ky - py) - (ay - py) * (kx - px)
+            if (s1 >= 0 and s2 >= 0 and s3 >= 0) or (
+                s1 <= 0 and s2 <= 0 and s3 <= 0
+            ):
+                if abs(ky - my) * abs(px - mx) < abs(py - my) * abs(
+                    kx - mx
+                ):
+                    cand, (px, py) = k, (kx, ky)
+        j = cand
+        ring = (
+            ring[: j + 1]
+            + hv[mi:] + hv[: mi + 1]
+            + ring[j:]
+        )
+    return ring
+
+
+def _ring_signed(ring: list[tuple[float, float]]) -> float:
+    s = 0.0
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return s / 2.0
+
+
+def triangulate_polygon(geom: Geometry | None) -> Geometry | None:
+    """``ST_TriangulatePolygon`` (PostGIS 3.3): triangulate the polygon
+    INTERIOR respecting its boundary — ear clipping (Meister's
+    two-ears theorem; Eberly's formulation) over the hole-bridged ring.
+    Every triangle lies inside the input, triangles tile it exactly
+    (count = n + 2*holes - 2 over the bridged vertex count), and the
+    result is deterministic (lowest-index ear first). Non-areal input
+    raises; empty -> None."""
+    if geom is None:
+        return None
+    members = []
+    polys = [leaf for leaf in geom.children() if leaf.kind == "Polygon"]
+    if not polys:
+        raise GeoDBError("st_triangulatepolygon: polygonal input required")
+    for leaf in polys:
+        shell = np.asarray(leaf.parts[0], dtype=np.float64)
+        holes = [np.asarray(r, dtype=np.float64) for r in leaf.parts[1:]]
+        ring = _bridge_holes(shell, holes)
+        idx = list(range(len(ring)))
+        guard = 0
+        while len(idx) > 3:
+            guard += 1
+            if guard > 4 * len(ring) * len(ring):
+                raise GeoDBError(
+                    "st_triangulatepolygon: no ear found (degenerate "
+                    "or self-intersecting input)"
+                )
+            n = len(idx)
+            clipped = False
+            for ii in range(n):
+                i0, i1, i2 = idx[(ii - 1) % n], idx[ii], idx[(ii + 1) % n]
+                ax, ay = ring[i0]
+                bx, by = ring[i1]
+                cx, cy = ring[i2]
+                cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+                if cross <= 1e-18:
+                    continue  # reflex or degenerate corner
+                # no other ring vertex strictly inside the candidate ear
+                ok = True
+                for jj in idx:
+                    if jj in (i0, i1, i2):
+                        continue
+                    px, py = ring[jj]
+                    if (px, py) in ((ax, ay), (bx, by), (cx, cy)):
+                        continue  # bridge duplicates coincide
+                    s1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+                    s2 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+                    s3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+                    if s1 > 1e-12 and s2 > 1e-12 and s3 > 1e-12:
+                        ok = False
+                        break
+                    if s1 >= -1e-12 and s2 >= -1e-12 and s3 >= -1e-12:
+                        # on the boundary of the ear: blocks it too
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                members.append(
+                    Geometry(
+                        "Polygon",
+                        [np.asarray(
+                            [ring[i0], ring[i1], ring[i2], ring[i0]],
+                            dtype=np.float64,
+                        )],
+                    )
+                )
+                idx.pop(ii)
+                clipped = True
+                break
+            if not clipped:
+                # relax: clip the first convex corner even if a boundary
+                # vertex touches (bridge coincidences) — keeps progress
+                for ii in range(n):
+                    i0, i1, i2 = idx[(ii - 1) % n], idx[ii], idx[(ii + 1) % n]
+                    ax, ay = ring[i0]
+                    bx, by = ring[i1]
+                    cx, cy = ring[i2]
+                    cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+                    if cross <= 1e-18:
+                        continue
+                    strictly_inside = False
+                    for jj in idx:
+                        if jj in (i0, i1, i2):
+                            continue
+                        px, py = ring[jj]
+                        s1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+                        s2 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+                        s3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+                        if s1 > 1e-12 and s2 > 1e-12 and s3 > 1e-12:
+                            strictly_inside = True
+                            break
+                    if not strictly_inside:
+                        members.append(
+                            Geometry(
+                                "Polygon",
+                                [np.asarray(
+                                    [ring[i0], ring[i1], ring[i2],
+                                     ring[i0]],
+                                    dtype=np.float64,
+                                )],
+                            )
+                        )
+                        idx.pop(ii)
+                        clipped = True
+                        break
+                if not clipped:
+                    raise GeoDBError(
+                        "st_triangulatepolygon: stuck (degenerate input)"
+                    )
+        if len(idx) == 3:
+            i0, i1, i2 = idx
+            members.append(
+                Geometry(
+                    "Polygon",
+                    [np.asarray(
+                        [ring[i0], ring[i1], ring[i2], ring[i0]],
+                        dtype=np.float64,
+                    )],
+                )
+            )
+    members = [m for m in members if abs(_ring_shoelace_np(m)) > 0]
+    if not members:
+        return None
+    if len(members) == 1:
+        out = members[0]
+        out.srid = geom.srid
+        return out
+    return Geometry("MultiPolygon", members, geom.srid)
+
+
+def _ring_shoelace_np(poly: Geometry) -> float:
+    r = poly.parts[0]
+    s = 0.0
+    for i in range(len(r) - 1):
+        s += r[i, 0] * r[i + 1, 1] - r[i + 1, 0] * r[i, 1]
+    return s / 2.0

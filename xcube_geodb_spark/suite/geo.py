@@ -2559,6 +2559,54 @@ GEO_ORACLES["geo_smooth_kit"] = f"""
 """
 
 
+def geo_triangulate_poly(spark, sf_dir):
+    """``ST_TriangulatePolygon`` on the raw-SQL surface
+    (geometry/triangulate.triangulate_polygon — ear clipping over the
+    hole-bridged ring, Meister/Eberly): the plain square tiles into
+    exactly n - 2 = 2 triangles of total area 4h^2, and the
+    donut built per row with st_difference gains a bridge, tiling into
+    n + 2*holes - 2 = 8 triangles of total area 4h^2 - 1 — both counts
+    and both area sums are exact Euler closed forms."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("tri_sq")
+    donut = (
+        "st_difference(geometry, st_makeenvelope("
+        "x - 0.5, y - 0.5, x + 0.5, y + 0.5))"
+    )
+    sql = build_pg_sql(
+        "tri_sq",
+        select=(
+            "c_custkey, "
+            "st_numgeometries(st_triangulatepolygon(geometry)) AS n_plain, "
+            "round(st_area(st_triangulatepolygon(geometry)), 6) "
+            "AS area_plain, "
+            f"st_numgeometries(st_triangulatepolygon({donut})) AS n_donut, "
+            f"round(st_area(st_triangulatepolygon({donut})), 6) "
+            "AS area_donut"
+        ),
+        where="c_custkey % 10 = 2",
+        order="c_custkey",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["geo_triangulate_poly"] = f"""
+    SELECT c_custkey,
+           CAST(2 AS INT) AS n_plain,
+           round(4 * h * h, 6) AS area_plain,
+           CAST(8 AS INT) AS n_donut,
+           round(4 * h * h - 1, 6) AS area_donut
+    FROM ({_SQS})
+    WHERE c_custkey % 10 = 2
+    ORDER BY c_custkey
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -2624,6 +2672,7 @@ GEO_QUERIES = {
     "geo_buffer_styles": geo_buffer_styles,
     "geo_grid_kit": geo_grid_kit,
     "geo_smooth_kit": geo_smooth_kit,
+    "geo_triangulate_poly": geo_triangulate_poly,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
