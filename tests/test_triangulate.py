@@ -246,3 +246,55 @@ class TestTriangulatePolygon:
         assert to_wkt(a1) == to_wkt(a2)
         assert len(a1.parts) == 10  # n - 2
         assert abs(area(a1) - area(g)) < 1e-9
+
+
+class TestInscribedCircles:
+    def test_mic_square_and_strip(self):
+        from xcube_geodb_spark.geometry.triangulate import (
+            maximum_inscribed_circle,
+        )
+
+        x, y, r = maximum_inscribed_circle(
+            parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        )
+        assert abs(x - 2) < 1e-4 and abs(y - 2) < 1e-4 and abs(r - 2) < 1e-4
+        # wide strip: radius = half the height
+        x, y, r = maximum_inscribed_circle(
+            parse_wkt("POLYGON ((0 0, 10 0, 10 2, 0 2, 0 0))")
+        )
+        assert abs(y - 1) < 1e-4 and abs(r - 1) < 1e-4
+
+    def test_mic_donut_corner_pocket(self):
+        from xcube_geodb_spark.geometry.triangulate import (
+            maximum_inscribed_circle,
+        )
+
+        # outer 8x8, hole [3,5]^2: the corner pocket beats the ring
+        # width — t (1 + sqrt(2)) = 3 sqrt(2) => r = 1.757359...
+        ph = parse_wkt(
+            "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), "
+            "(3 3, 5 3, 5 5, 3 5, 3 3))"
+        )
+        _, _, r = maximum_inscribed_circle(ph)
+        assert abs(r - 3 * math.sqrt(2) / (1 + math.sqrt(2))) < 1e-4
+
+    def test_lec_corner_obstacles(self):
+        from xcube_geodb_spark.geometry.triangulate import (
+            largest_empty_circle,
+        )
+
+        obs = parse_wkt("MULTIPOINT ((0 0), (4 0), (4 4), (0 4))")
+        x, y, r = largest_empty_circle(obs)
+        assert abs(x - 2) < 1e-4 and abs(y - 2) < 1e-4
+        assert abs(r - 2 * math.sqrt(2)) < 1e-4
+
+    def test_validation(self):
+        from xcube_geodb_spark.errors import GeoDBError
+        from xcube_geodb_spark.geometry.triangulate import (
+            maximum_inscribed_circle,
+        )
+        import pytest as _pytest
+
+        assert maximum_inscribed_circle(None) is None
+        with _pytest.raises(GeoDBError, match="polygonal"):
+            maximum_inscribed_circle(parse_wkt("POINT (0 0)"))

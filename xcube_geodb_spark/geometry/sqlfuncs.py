@@ -641,6 +641,69 @@ def register_spatial_sql_functions(spark: SparkSession) -> None:
 
     _register("st_orderingequals", _ordering_equals, T.BooleanType())
 
+    def _mic_parts(kind):
+        # PostGIS returns a record (center, nearest, radius); the
+        # fixed-arity surface splits it like the existing
+        # st_minimumboundingcircle / st_minimumboundingradius pair
+        def f(b):
+            if b is None:
+                return None
+            import numpy as _np
+
+            from xcube_geodb_spark.geometry.geom import Geometry as _G
+            from xcube_geodb_spark.geometry.triangulate import (
+                maximum_inscribed_circle,
+            )
+
+            out = maximum_inscribed_circle(parse_wkb(b))
+            if out is None:
+                return None
+            x, y, r = out
+            if kind == "radius":
+                return float(r)
+            return to_wkb_seeded(
+                _G("Point", _np.asarray([x, y], dtype=_np.float64))
+            )
+
+        return f
+
+    _register(
+        "st_maximuminscribedcircle", _mic_parts("center"), T.BinaryType()
+    )
+    _register(
+        "st_maximuminscribedradius", _mic_parts("radius"), T.DoubleType()
+    )
+
+    def _lec_parts(kind):
+        def f(b):
+            if b is None:
+                return None
+            import numpy as _np
+
+            from xcube_geodb_spark.geometry.geom import Geometry as _G
+            from xcube_geodb_spark.geometry.triangulate import (
+                largest_empty_circle,
+            )
+
+            out = largest_empty_circle(parse_wkb(b))
+            if out is None:
+                return None
+            x, y, r = out
+            if kind == "radius":
+                return float(r)
+            return to_wkb_seeded(
+                _G("Point", _np.asarray([x, y], dtype=_np.float64))
+            )
+
+        return f
+
+    _register(
+        "st_largestemptycircle", _lec_parts("center"), T.BinaryType()
+    )
+    _register(
+        "st_largestemptyradius", _lec_parts("radius"), T.DoubleType()
+    )
+
     def _triangulate_poly(b):
         if b is None:
             return None

@@ -586,3 +586,152 @@ def _ring_shoelace_np(poly: Geometry) -> float:
     for i in range(len(r) - 1):
         s += r[i, 0] * r[i + 1, 1] - r[i + 1, 0] * r[i, 1]
     return s / 2.0
+
+
+def maximum_inscribed_circle(
+    geom: Geometry | None, tolerance: float | None = None
+) -> tuple[float, float, float] | None:
+    """``ST_MaximumInscribedCircle``: the center and radius of the
+    largest circle fully inside the polygon — the GEOS/PostGIS 3.1
+    operation, computed with the same successive-quadtree refinement
+    GEOS uses: cells ranked by the upper bound (signed boundary
+    distance at the center + half-diagonal), split until the bound
+    cannot beat the best center by more than ``tolerance`` (default:
+    envelope diagonal / 1e6 — deterministic, no RNG anywhere).
+    Returns (cx, cy, radius); non-areal input raises."""
+    import heapq
+
+    from xcube_geodb_spark.geometry.geom import (
+        _all_segments,
+        _point_in_rings,
+        envelope as _env,
+    )
+
+    if geom is None:
+        return None
+    polys = [leaf for leaf in geom.children() if leaf.kind == "Polygon"]
+    if not polys:
+        raise GeoDBError(
+            "st_maximuminscribedcircle: polygonal input required"
+        )
+    segs = _all_segments(geom)
+    a = segs[:, 0:2]
+    ab = segs[:, 2:4] - a
+    denom = (ab * ab).sum(-1)
+
+    def _boundary_dist(x: float, y: float) -> float:
+        p = np.asarray([x, y], dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = np.clip(
+                ((p - a) * ab).sum(-1) / np.where(denom > 0, denom, 1.0),
+                0.0, 1.0,
+            )
+        proj = a + t[:, None] * ab
+        return float(
+            np.hypot(p[0] - proj[:, 0], p[1] - proj[:, 1]).min()
+        )
+
+    def _signed(x: float, y: float) -> float:
+        d = _boundary_dist(x, y)
+        inside = any(_point_in_rings(x, y, pl.parts) for pl in polys)
+        return d if inside else -d
+
+    x0, y0, x1, y1 = _env(geom)
+    diag = math.hypot(x1 - x0, y1 - y0)
+    if diag <= 0:
+        return None
+    tol = float(tolerance) if tolerance else diag / 1e6
+    # cell = (neg upper bound, x, y, half_size)
+    hx, hy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+    h = max(x1 - x0, y1 - y0) / 2.0
+    best = (_signed(hx, hy), hx, hy)
+    heap = [(-(best[0] + h * math.sqrt(2)), hx, hy, h)]
+    iters = 0
+    while heap and iters < 100000:
+        iters += 1
+        nub, cx, cy, ch = heapq.heappop(heap)
+        if -nub <= best[0] + tol:
+            break  # no cell can beat the current best
+        for dx in (-ch / 2, ch / 2):
+            for dy in (-ch / 2, ch / 2):
+                nx, ny = cx + dx, cy + dy
+                d = _signed(nx, ny)
+                if d > best[0]:
+                    best = (d, nx, ny)
+                ub = d + (ch / 2) * math.sqrt(2)
+                if ub > best[0] + tol:
+                    heapq.heappush(heap, (-ub, nx, ny, ch / 2))
+    return best[1], best[2], max(best[0], 0.0)
+
+
+def largest_empty_circle(
+    geom: Geometry | None,
+    boundary: Geometry | None = None,
+    tolerance: float | None = None,
+) -> tuple[float, float, float] | None:
+    """``ST_LargestEmptyCircle``: the largest circle whose interior
+    avoids ``geom`` (the obstacles) with its center inside ``boundary``
+    (default: the obstacles' envelope) — the same deterministic
+    quadtree refinement as maximum_inscribed_circle, maximizing the
+    plain distance to the obstacles instead of the inside-signed one."""
+    import heapq
+
+    from xcube_geodb_spark.geometry.geom import (
+        _all_segments,
+        _all_vertices,
+        envelope as _env,
+    )
+
+    if geom is None:
+        return None
+    segs = _all_segments(geom)
+    if len(segs) == 0:
+        pts = _all_vertices(geom)
+        if len(pts) == 0:
+            return None
+        segs = np.concatenate([pts, pts], axis=1)
+    a = segs[:, 0:2]
+    ab = segs[:, 2:4] - a
+    denom = (ab * ab).sum(-1)
+
+    def _dist(x: float, y: float) -> float:
+        p = np.asarray([x, y], dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = np.clip(
+                ((p - a) * ab).sum(-1) / np.where(denom > 0, denom, 1.0),
+                0.0, 1.0,
+            )
+        proj = a + t[:, None] * ab
+        return float(np.hypot(p[0] - proj[:, 0], p[1] - proj[:, 1]).min())
+
+    frame = boundary if boundary is not None else geom
+    x0, y0, x1, y1 = _env(frame)
+    w, hgt = x1 - x0, y1 - y0
+    if w <= 0 and hgt <= 0:
+        return None
+    diag = math.hypot(max(w, 1e-300), max(hgt, 1e-300))
+    tol = float(tolerance) if tolerance else diag / 1e6
+
+    def _clamped(x, y):
+        return min(max(x, x0), x1), min(max(y, y0), y1)
+
+    hx, hy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+    h = max(w, hgt) / 2.0
+    best = (_dist(hx, hy), hx, hy)
+    heap = [(-(best[0] + h * math.sqrt(2)), hx, hy, h)]
+    iters = 0
+    while heap and iters < 100000:
+        iters += 1
+        nub, cx, cy, ch = heapq.heappop(heap)
+        if -nub <= best[0] + tol:
+            break
+        for dx in (-ch / 2, ch / 2):
+            for dy in (-ch / 2, ch / 2):
+                nx, ny = _clamped(cx + dx, cy + dy)
+                d = _dist(nx, ny)
+                if d > best[0]:
+                    best = (d, nx, ny)
+                ub = d + (ch / 2) * math.sqrt(2)
+                if ub > best[0] + tol:
+                    heapq.heappush(heap, (-ub, cx + dx, cy + dy, ch / 2))
+    return best[1], best[2], best[0]

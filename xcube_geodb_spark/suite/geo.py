@@ -2607,6 +2607,55 @@ GEO_ORACLES["geo_triangulate_poly"] = f"""
 """
 
 
+def geo_inscribed_circles(spark, sf_dir):
+    """``ST_MaximumInscribedCircle`` / ``ST_LargestEmptyCircle`` on the
+    raw-SQL surface (geometry/triangulate — GEOS' successive quadtree
+    refinement, deterministic tolerance envelope-diagonal/1e6): the
+    square's inscribed circle is its center with radius h exactly, and
+    the LEC among the four corner points (obstacles) inside their own
+    envelope is the center with radius h*sqrt(2) — both far inside the
+    round-3 margin of the refinement bound."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("mic_sq")
+    corners = (
+        "st_collect(st_collect(st_point(x - h, y - h), "
+        "st_point(x + h, y - h)), st_collect(st_point(x + h, y + h), "
+        "st_point(x - h, y + h)))"
+    )
+    sql = build_pg_sql(
+        "mic_sq",
+        select=(
+            "c_custkey, "
+            "round(st_x(st_maximuminscribedcircle(geometry)), 3) AS mic_x, "
+            "round(st_y(st_maximuminscribedcircle(geometry)), 3) AS mic_y, "
+            "round(st_maximuminscribedradius(geometry), 3) AS mic_r, "
+            f"round(st_x(st_largestemptycircle({corners})), 3) AS lec_x, "
+            f"round(st_largestemptyradius({corners}), 3) AS lec_r"
+        ),
+        where="c_custkey % 10 = 8",
+        order="c_custkey",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["geo_inscribed_circles"] = f"""
+    SELECT c_custkey,
+           round(x, 3) AS mic_x,
+           round(y, 3) AS mic_y,
+           round(CAST(h AS DOUBLE), 3) AS mic_r,
+           round(x, 3) AS lec_x,
+           round(h * sqrt(2), 3) AS lec_r
+    FROM ({_SQS})
+    WHERE c_custkey % 10 = 8
+    ORDER BY c_custkey
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -2673,6 +2722,7 @@ GEO_QUERIES = {
     "geo_grid_kit": geo_grid_kit,
     "geo_smooth_kit": geo_smooth_kit,
     "geo_triangulate_poly": geo_triangulate_poly,
+    "geo_inscribed_circles": geo_inscribed_circles,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
