@@ -2656,6 +2656,58 @@ GEO_ORACLES["geo_inscribed_circles"] = f"""
 """
 
 
+def geo_line_tools(spark, sf_dir):
+    """The line-tool tail on the raw-SQL surface: ST_LineExtend
+    (forward 2 + backward 1 adds exactly 3 to the 2h segment),
+    ST_DumpRings (the st_difference donut has shell + one hole),
+    ST_OrderingEquals (a line equals itself, not its reverse), and
+    ST_SharedPaths (a co-directional blade over [x, x+h] shares
+    exactly h of linework — the collection's first member is the
+    same-direction MultiLineString)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("lt_sq")
+    seg = "st_makeline(st_point(x - h, y), st_point(x + h, y))"
+    blade = "st_makeline(st_point(x, y), st_point(x + h + 1, y))"
+    donut = (
+        "st_difference(geometry, st_makeenvelope("
+        "x - 0.5, y - 0.5, x + 0.5, y + 0.5))"
+    )
+    sql = build_pg_sql(
+        "lt_sq",
+        select=(
+            "c_custkey, "
+            f"round(st_length(st_lineextend({seg}, 2.0, 1.0)), 6) "
+            "AS ext_len, "
+            f"size(st_dumprings({donut})) AS n_rings, "
+            f"st_orderingequals({seg}, {seg}) AS oeq, "
+            f"st_orderingequals({seg}, st_reverse({seg})) AS oeq_rev, "
+            f"round(st_length(st_geometryn(st_sharedpaths({seg}, "
+            f"{blade}), 1)), 6) AS shared_len"
+        ),
+        where="c_custkey % 10 = 0 AND c_custkey > 0",
+        order="c_custkey",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["geo_line_tools"] = f"""
+    SELECT c_custkey,
+           round(2 * h + 3, 6) AS ext_len,
+           CAST(2 AS INT) AS n_rings,
+           TRUE AS oeq,
+           FALSE AS oeq_rev,
+           round(CAST(h AS DOUBLE), 6) AS shared_len
+    FROM ({_SQS})
+    WHERE c_custkey % 10 = 0 AND c_custkey > 0
+    ORDER BY c_custkey
+"""
+
+
 GEO_ORACLES["geo_sql_join_intersects"] = GEO_ORACLES_JOINS[
     "geo_spatial_join_points"
 ]
@@ -2723,6 +2775,7 @@ GEO_QUERIES = {
     "geo_smooth_kit": geo_smooth_kit,
     "geo_triangulate_poly": geo_triangulate_poly,
     "geo_inscribed_circles": geo_inscribed_circles,
+    "geo_line_tools": geo_line_tools,
     "geo_buffer_squares": geo_buffer_squares,
     "geo_erode_squares": geo_erode_squares,
     "geo_measures_squares": geo_measures_squares,
