@@ -57,7 +57,10 @@ Registered names (PostGIS-compatible lowercase):
   ``st_tileenvelope``, ``st_hexagon``), smoothing kit
   (``st_chaikinsmoothing``, ``st_simplifyvw``, ``st_geometricmedian``,
   ``st_shiftlongitude``, ``st_reduceprecision``), ``st_sharedpaths``,
-  ``st_lineextend``/``st_dumprings``/``st_orderingequals``, codec
+  ``st_lineextend``/``st_dumprings``/``st_orderingequals``,
+  ``st_triangulatepolygon`` (ear clipping, hole-bridged),
+  ``st_maximuminscribedcircle/-radius`` and
+  ``st_largestemptycircle/-radius`` (quadtree refinement), codec
   aliases (``st_pointfromtext`` family, ``st_geomfromwkb``/
   ``st_asbinary``, ``st_dimension``, ``st_force2d``)
 
