@@ -1793,6 +1793,19 @@ class TestScalarKit:
         assert to_wkt(remove_repeated_points(
             parse_wkt("POLYGON ((0 0, 0.4 0, 4 0, 4 4, 0 4, 0 0))"), 0.5
         )) == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+        # ring floor: a tolerance larger than the ring's extent keeps a
+        # structurally valid 4-point ring (first 3 distinct vertices +
+        # closure), like PostGIS — never a collapsed 1-point "ring"
+        floored = remove_repeated_points(
+            parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"), 100.0
+        )
+        assert to_wkt(floored) == "POLYGON ((0 0, 1 0, 1 1, 0 0))"
+        from xcube_geodb_spark.geometry.geom import is_valid
+        assert is_valid(floored)
+        # fewer than 3 distinct vertices -> the original ring unchanged
+        assert to_wkt(remove_repeated_points(
+            parse_wkt("POLYGON ((0 0, 1 0, 0 0, 1 0, 0 0))"), 100.0
+        )) == "POLYGON ((0 0, 1 0, 0 0, 1 0, 0 0))"
         assert to_wkt(segmentize(parse_wkt("LINESTRING (0 0, 4 0)"), 1.0)) \
             == "LINESTRING (0 0, 1 0, 2 0, 3 0, 4 0)"
         # uneven remainder splits into EQUAL pieces

@@ -1305,6 +1305,24 @@ class TestClusterAndLineEdit:
         assert kinds == ["GeometryCollection", "Polygon", "Polygon"]
         assert cluster_within_members([], 1.0) == []
 
+    def test_cluster_within_order_by_min_member_index(self):
+        # chained merges can leave a non-minimal union-find root (pairs
+        # (1,6),(5,6) root at 5); output must still order clusters by
+        # each cluster's SMALLEST member index, per the doc contract
+        from xcube_geodb_spark.functions.geo_agg import (
+            cluster_within_members,
+        )
+        from xcube_geodb_spark.geometry.geom import parse_wkt
+
+        xs = [100.0, 0.0, 50.0, 60.0, 70.0, 2.0, 1.0]
+        ms = [parse_wkt(f"POINT ({x} 0)") for x in xs]
+        out = cluster_within_members(ms, 1.0)
+        assert len(out) == 5
+        # cluster {1,5,6} has min member index 1 -> second in the output
+        assert out[1].kind == "GeometryCollection"
+        assert [m.parts[0] for m in out[1].parts] == [0.0, 2.0, 1.0]
+        assert out[0].parts[0] == 100.0 and out[2].parts[0] == 50.0
+
     def test_line_edit_trio(self):
         from xcube_geodb_spark.geometry.geom import (
             add_point, parse_wkt, remove_point, set_point, to_wkt,
@@ -1371,3 +1389,20 @@ class TestBufferStyles:
         assert area(
             buffer_with_style(parse_wkt("POINT (0 0)"), 1.0, "quad_segs=8")
         ) > 3.0
+
+    def test_degenerate_line_members_skip(self):
+        # a 2-identical-vertex line passes the len>=2 guard but
+        # offset_curve returns None; the member must be skipped, not
+        # raise AttributeError inside the UDF
+        from xcube_geodb_spark.geometry.geom import area, parse_wkt
+        from xcube_geodb_spark.geometry.overlay import buffer_with_style
+
+        deg = parse_wkt("LINESTRING (0 0, 0 0)")
+        assert buffer_with_style(deg, 1.0, "endcap=flat") is None
+        assert buffer_with_style(deg, 1.0, "side=left") is None
+        # a multi whose other member is fine still buffers that member
+        ml = parse_wkt(
+            "MULTILINESTRING ((0 0, 0 0), (10 10, 20 10))"
+        )
+        out = buffer_with_style(ml, 1.0, "endcap=flat")
+        assert out is not None and abs(area(out) - 20) < 1e-9

@@ -279,7 +279,11 @@ def cluster_within_members(members, distance_within: float):
     for i in range(n):
         clusters.setdefault(find(i), []).append(members[i])
     out = []
-    for root in sorted(clusters):
+    # clusters is populated by ascending member index, so dict insertion
+    # order == order of each cluster's SMALLEST member index (the
+    # documented contract); sorting by root would deviate when chained
+    # merges leave a non-minimal root (e.g. pairs (1,6),(5,6) -> root 5)
+    for root in clusters:
         ms = clusters[root]
         out.append(
             ms[0]

@@ -2146,11 +2146,20 @@ def is_simple(geom: Geometry) -> bool:
         if bool(hit.any()):
             return False
     # (4) collinear overlapping segments (identical/partial overlaps
-    # whose endpoints are all shared vertices slip past 2 and 3)
-    order = np.lexsort((segs[:, 1], segs[:, 0]))
+    # whose endpoints are all shared vertices slip past 2 and 3) — a
+    # min-x sweep: segments sorted by their left x, the inner loop
+    # breaks once the next segment starts past the current one's right
+    # x, so the pair loop is O(n log n + n*k) for k x-overlapping pairs
+    # instead of a blind O(n^2)
+    minx = np.minimum(segs[:, 0], segs[:, 2])
+    maxx = np.maximum(segs[:, 0], segs[:, 2])
+    order = np.argsort(minx, kind="stable")
     s = segs[order]
+    smin, smax = minx[order], maxx[order]
     for i in range(len(s)):
         for j in range(i + 1, len(s)):
+            if smin[j] > smax[i] + 1e-12:
+                break
             p0, p1 = s[i, 0:2], s[i, 2:4]
             q0, q1 = s[j, 0:2], s[j, 2:4]
             d = p1 - p0
@@ -2232,6 +2241,24 @@ def remove_repeated_points(
             out[0, 0] != out[-1, 0] or out[0, 1] != out[-1, 1]
         ):
             out = np.vstack([out, out[:1]])
+        if closed and len(out) < 4:
+            # PostGIS ring floor: a tolerance larger than the ring's
+            # extent must NOT collapse it below a structurally valid
+            # 4-point ring — keep the first 3 pairwise-distinct original
+            # vertices plus closure; fewer than 3 distinct vertices ->
+            # the original (already-degenerate) ring unchanged
+            uniq = [0]
+            for i in range(1, len(arr)):
+                if all(
+                    arr[i, 0] != arr[k, 0] or arr[i, 1] != arr[k, 1]
+                    for k in uniq
+                ):
+                    uniq.append(i)
+                if len(uniq) == 3:
+                    break
+            if len(uniq) < 3:
+                return arr
+            out = np.vstack([arr[uniq], arr[uniq[0]: uniq[0] + 1]])
         if not closed and len(out) == 1 and len(arr) >= 2:
             out = np.vstack([out, out])  # PG keeps 2-point degenerate lines
         return out
@@ -2322,8 +2349,6 @@ def angle_3pt(p1: Geometry, p2: Geometry, p3: Geometry) -> float | None:
     """``ST_Angle(P1, P2, P3)``: the clockwise angle at P2 from ray
     P2->P1 to ray P2->P3, in [0, 2*pi) — pinned to the PostGIS doc
     example ST_Angle(P(5 0), P(0 0), P(5 5)) = pi/4."""
-    if "Point" not in (p1.kind, p2.kind, p3.kind):
-        pass
     for g in (p1, p2, p3):
         if g.kind != "Point":
             raise GeoDBError("st_angle: all three arguments must be points")

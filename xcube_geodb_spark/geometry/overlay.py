@@ -1520,10 +1520,14 @@ def buffer_with_style(
         if side == "both":
             left = offset_curve(line, d)
             right = offset_curve(line, -d)
+            if left is None or right is None:
+                continue  # degenerate member (zero-length line): no area
             ring = np.vstack([left.parts, right.parts[::-1], left.parts[:1]])
         else:
             sgn = 1.0 if side == "left" else -1.0
             off = offset_curve(line, sgn * d)
+            if off is None:
+                continue  # degenerate member (zero-length line): no area
             base = line.parts if sgn > 0 else line.parts
             ring = np.vstack([base, off.parts[::-1], base[:1]])
             if _ring_shoelace(ring) < 0:
