@@ -785,9 +785,105 @@ class TestShimLiteralSafety:
         assert "array_sort" in nulls and "IS NULL THEN 1" in nulls
         # uniform direction without NULLS keeps the r8 sort_array fast path
         assert "sort_array" in f("array_agg(x ORDER BY a DESC, b DESC)")
-        # PG's DISTINCT + ORDER BY restriction stays a hard refusal
-        with pytest.raises(GeoDBError, match="DISTINCT"):
-            f("array_agg(DISTINCT x ORDER BY x)")
+        # r10: the one PG-legal DISTINCT+ORDER shape (order by the value)
+        # lifts to array_distinct inside the same ordered-collect core
+        d = f("array_agg(DISTINCT x ORDER BY x)")
+        assert d == (
+            "transform(sort_array(array_distinct(collect_list(struct("
+            "(x) AS __o0, (x) AS __v)))), s -> s.__v)"
+        )
+        ddesc = f("array_agg(DISTINCT (k % 5) ORDER BY (k%5) DESC)")
+        assert "array_distinct" in ddesc and ddesc.endswith(
+            ", false), s -> s.__v)"
+        )
+        # an ORDER BY key outside the argument list is illegal in PG too
+        with pytest.raises(GeoDBError, match="must be x itself"):
+            f("array_agg(DISTINCT x ORDER BY y)")
+        with pytest.raises(GeoDBError, match="must be x itself"):
+            f("array_agg(DISTINCT x ORDER BY x, y)")
+
+    def test_json_arrow_rewrites(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        # text terminal: one get_json_object, chains fold into one path
+        assert f("props ->> 'k'") == "get_json_object(props, '$.k')"
+        assert f("props->'a'->>'b'") == "get_json_object(props, '$.a.b')"
+        assert f("props -> 'items' ->> 2") == (
+            "get_json_object(props, '$.items[2]')"
+        )
+        assert f("props #>> '{a,b,1}'") == (
+            "get_json_object(props, '$.a.b[1]')"
+        )
+        # json terminal rides VARIANT (string values keep their quotes)
+        assert f("props -> 'k'") == (
+            "to_json(variant_get(try_parse_json(props), '$.k'))"
+        )
+        assert f("props #> '{a}'") == (
+            "to_json(variant_get(try_parse_json(props), '$.a'))"
+        )
+        # non-identifier keys take the bracket form; quotes in keys refuse
+        assert f("props ->> 'a b'") == "get_json_object(props, '$[''a b'']')"
+        with pytest.raises(GeoDBError, match="json key"):
+            f("props ->> 'a''b'")
+        # Spark lambda arrows are NOT json arrows: identifier rhs skips
+        assert f("transform(xs, x -> x + 1)") == "transform(xs, x -> x + 1)"
+        # KNN operators keep their own rewrite (lookbehind guard)
+        assert f("a <-> b") == "st_distance(a, b)"
+        # function-call lhs (e.g. a constructed document) chains fine
+        assert f("concat('{\"v\":', x, '}') ->> 'v'") == (
+            "get_json_object(concat('{\"v\":', x, '}'), '$.v')"
+        )
+        # literals containing arrows survive untouched
+        assert f("c = '->> not an op'") == "c = '->> not an op'"
+        with pytest.raises(GeoDBError, match="text-array literal"):
+            f("props #>> 'a,b'")
+        with pytest.raises(GeoDBError, match="text-array literal"):
+            f("props #> 3")
+
+    def test_paren_cast_rewrites(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        # the everyday PG idiom: typed json extraction
+        assert f("(props->>'n')::int + 1") == (
+            "CAST((get_json_object(props, '$.n')) AS int) + 1"
+        )
+        # call results with nested parens (outside _CAST_RE's grammar)
+        assert f("sum(f(g(x)))::double") == "CAST(sum(f(g(x))) AS double)"
+        assert f("count(*)::int8") == "CAST(count(*) AS bigint)"
+        # chained casts resolve inner-out
+        assert f("((x)::int)::text") == (
+            "CAST((CAST((x) AS int)) AS string)"
+        )
+        # CASE ... END parens are never mistaken for a cast operand
+        assert f("CASE WHEN (x > 1) THEN 1 ELSE 0 END") == (
+            "CASE WHEN (x > 1) THEN 1 ELSE 0 END"
+        )
+
+    def test_geography_rewrites(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        # PostGIS geography default is the spheroid (use_spheroid=true)
+        assert f("st_distance(a::geography, b::geography)") == (
+            "st_distancespheroid((a), (b))"
+        )
+        # explicit false -> the haversine sphere kernel
+        assert f(
+            "st_distance(g::geography, 'POINT (0 51)'::geography, false)"
+        ) == "st_distancesphere((g), (st_geomfromtext('POINT (0 51)')))"
+        assert f("ST_DWithin(a::geography, b::geography, 1000, false)") == (
+            "(st_distancesphere((a), (b)) <= 1000)"
+        )
+        assert f("st_dwithin(a::geography, b::geography, 1000)") == (
+            "(st_distancespheroid((a), (b)) <= 1000)"
+        )
+        # outside the two supported calls the cast refuses loudly
+        # (stripping it would silently return degrees, not meters)
+        with pytest.raises(GeoDBError, match="ST_Distance / ST_DWithin"):
+            f("st_area(a::geography)")
+        with pytest.raises(GeoDBError, match="direct argument"):
+            f("st_distance(st_buffer(a::geography, 1), b)")
+        # geometry-typed st_distance stays untouched
+        assert f("st_distance(a, b)") == "st_distance(a, b)"
 
     def test_export_geojson_without_geometry_raises(self, client, land_use, tmp_path):
         with pytest.raises(GeoDBError, match="geometry column"):

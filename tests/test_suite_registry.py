@@ -5,12 +5,16 @@ exactly 50 and keep one representative of every operator family inside."""
 from xcube_geodb_spark.suite import DRIVER_WINDOW, ORACLES, QUERIES
 
 FAMILIES = {
-    "scan": "scan_filter_eq_gt",
+    # r10: scan_filter_eq_gt demotes (eq/gt comparators are a subset of
+    # the combined grammar gate); scan_filter_grammar is the family rep
+    "scan": "scan_filter_grammar",
     "grammar-union": "scan_filter_grammar",
     "fts": "scan_fts_documents",
-    # json extraction: the arrow-select grammar variant is demoted; the
-    # events json gate keeps the family driver-verified
-    "json-extract": "events_json_extract",
+    # json extraction — r10: pg_json_arrows (PG ->/->>/#>/#>> chains +
+    # typed paren-casts through the pg shim) supersedes
+    # events_json_extract as the family rep; the grammar arrow-select
+    # variant stays registered + locally verified
+    "json-extract": "pg_json_arrows",
     "pg": "pg_groupby_q1",
     "join": "join_revenue_by_nation",
     "skew": "skew_salted_join_revenue",
@@ -29,7 +33,11 @@ FAMILIES = {
     # distance top-k demoted r5: ordering covered by scan_paging /
     # geo_knn_join, distance scalars by geo_distance_sphere; the new
     # general-overlay kernel takes the slot
-    "geo-distance": "geo_distance_sphere",
+    # r10: pg_geography_distance (::geography shim + haversine kernel +
+    # DWithin predicate) supersedes geo_distance_sphere as the
+    # great-circle rep; the JVM column-algebra twin stays locally
+    # verified
+    "geo-distance": "pg_geography_distance",
     "geo-overlay": "geo_overlay_diamond",
     # r9 session 2: exact dedup is the first leg of dedup_pipeline_kept
     # (still in the window); the freed slot carries SemDeDup
@@ -55,7 +63,7 @@ FAMILIES = {
     "sim-knn-join": "sim_cosine_topk",
     "ann-index": "ann_index_topk",
     "attribution": "events_attribution",
-    "geo-sphere": "geo_distance_sphere",
+    "geo-sphere": "pg_geography_distance",
     # geometry aggregation rep is now the two-level dissolve (same
     # closed-form chain fixture as geo_dissolve_chain PLUS the
     # unbounded-group valve); chain + collect variants stay registered

@@ -231,6 +231,10 @@ _PG_CAST_TYPES = {
     "bytea": "binary",
     "bool": "boolean",
     "numeric": "double",
+    # json/jsonb properties are stored as json TEXT (TESTDATA events
+    # payload, catalog json columns); the PG cast is representation-only
+    "json": "string",
+    "jsonb": "string",
 }
 
 _CAST_RE = re.compile(
@@ -472,6 +476,285 @@ def _rewrite_knn_ops(seg: str) -> str:
         seg = seg[:lstart] + repl + seg[m.end() + rend_rel:]
 
 
+# PG json operators. `<->`/`<#>` (KNN) are excluded by the lookbehind;
+# Spark lambda arrows (`x -> expr`) survive because the rewrite only
+# fires when the RIGHT operand is a string literal or an integer.
+_JSON_ARROW_RE = re.compile(r"(?<!<)(?:->>|->|#>>|#>)")
+_LIT_PLACEHOLDER_RE = re.compile(r"__GEODB_LIT_(\d+)__")
+
+
+def _json_path_seg(key: str) -> str:
+    """One object-key segment of a JSONPath: dotted for identifier-shaped
+    keys, bracket-quoted otherwise (both get_json_object and variant_get
+    accept ``$['k']``)."""
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
+        return "." + key
+    if "'" in key or "]" in key:
+        raise GeoDBError(
+            f"json key {key!r}: keys containing quotes or ']' are outside "
+            "the pg dialect shim (SURVEY.md §7)"
+        )
+    return f"['{key}']"
+
+
+def _rewrite_json_arrows(code: str, lits: list[str]) -> str:
+    """PG json operators on literal-protected code (reference's own SQL
+    uses them — /root/reference/xcube_geodb/sql/geodb.sql:114-116, :1901 —
+    and its passthrough admits them, geodb.sql:1147-1167):
+
+    - ``j ->> 'k'`` / ``j ->> n`` (text) — chains compile to ONE
+      ``get_json_object(j, '$.path')`` (JVM-side Jackson walk, no UDF)
+    - ``j -> 'k'`` / ``j -> n`` terminal (json) ->
+      ``to_json(variant_get(try_parse_json(j), '$.path'))`` — string
+      values keep their quotes exactly like PG's json-returning form.
+      DOCUMENTED DEVIATION: variant re-serializes objects with SORTED
+      keys and compact spacing (PG/DuckDB return the original text);
+      malformed json yields NULL instead of an error (try_parse_json)
+    - ``j #> '{a,b,1}'`` / ``#>>`` — the text-array path form; integer
+      elements compile to array indexes (PG disambiguates by the actual
+      value at runtime; an integer OBJECT KEY needs the quoted
+      ``-> '1'`` spelling)
+
+    Chained arrows (``j->'a'->>'b'``, integer indexes anywhere) fold into
+    a single path, so intermediate `->`s never materialize. The arrows
+    bind tighter than every other binary operator, exactly like PG, so
+    rewriting just the adjacent operands preserves precedence. New path
+    literals append to ``lits`` and emit placeholders, keeping later
+    protected-code scanners literal-free."""
+    pos = 0
+    while True:
+        m = _JSON_ARROW_RE.search(code, pos)
+        if not m:
+            return code
+        left = _operand_before(code[: m.start()])
+        if left is None:
+            pos = m.end()
+            continue
+        lhs, lstart = left
+        path, last_text = "$", False
+        op = m.group(0)
+        j = m.end()
+        rhs_end = None
+        first = True
+        while True:
+            right = _operand_after(code[j:])
+            if right is None or (
+                first
+                and _LIT_PLACEHOLDER_RE.fullmatch(right[0]) is None
+                and not re.fullmatch(r"\d+", right[0])
+            ):
+                if first:
+                    # not a PG json form (e.g. a Spark lambda `x -> e`):
+                    # leave it for Spark's parser untouched
+                    pos = m.end()
+                    break
+                raise GeoDBError(
+                    f"Unsupported right operand for {op}: a string "
+                    "literal or a non-negative integer is required "
+                    "(parenthesize computed operands outside the arrow)"
+                )
+            first = False
+            rhs, rend_rel = right
+            rhs_end = j + rend_rel
+            lm = _LIT_PLACEHOLDER_RE.fullmatch(rhs)
+            if lm is not None:
+                val = lits[int(lm.group(1))][1:-1].replace("''", "'")
+                if op in ("#>", "#>>"):
+                    inner = val.strip()
+                    if not (inner.startswith("{") and inner.endswith("}")):
+                        raise GeoDBError(
+                            f"{op} path must be a text-array literal "
+                            "like '{a,b,1}'"
+                        )
+                    for elem in inner[1:-1].split(","):
+                        elem = elem.strip().strip('"')
+                        if not elem:
+                            continue  # '{}' path: the value itself
+                        if re.fullmatch(r"\d+", elem):
+                            path += f"[{elem}]"
+                        elif re.fullmatch(r"-\d+", elem):
+                            raise GeoDBError(
+                                f"{op}: negative array indexes are "
+                                "outside the pg dialect shim"
+                            )
+                        else:
+                            path += _json_path_seg(elem)
+                else:
+                    path += _json_path_seg(val)
+            elif re.fullmatch(r"\d+", rhs):
+                if op in ("#>", "#>>"):
+                    raise GeoDBError(
+                        f"{op} requires a text-array literal path "
+                        "('{a,b}'), not an integer"
+                    )
+                path += f"[{rhs}]"
+            else:
+                raise GeoDBError(
+                    f"Unsupported right operand for {op}: {rhs!r} (a "
+                    "string literal or a non-negative integer is "
+                    "required)"
+                )
+            last_text = op.endswith(">>")
+            rest = code[rhs_end:]
+            ws = len(rest) - len(rest.lstrip())
+            m2 = _JSON_ARROW_RE.match(code, rhs_end + ws)
+            if m2 is None:
+                break
+            op = m2.group(0)
+            j = m2.end()
+        if first:
+            continue  # skipped: not a PG json form
+        lits.append("'" + path.replace("'", "''") + "'")
+        ph = f"__GEODB_LIT_{len(lits) - 1}__"
+        if last_text:
+            repl = f"get_json_object({lhs}, {ph})"
+        else:
+            repl = f"to_json(variant_get(try_parse_json({lhs}), {ph}))"
+        code = code[:lstart] + repl + code[rhs_end:]
+        pos = lstart + len(repl)
+
+
+_PAREN_CAST_RE = re.compile(r"\)\s*::\s*([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _rewrite_paren_casts(code: str) -> str:
+    """``(expr)::type`` / ``f(g(x))::type`` on literal-protected code —
+    the cast shapes the segment-level ``_CAST_RE`` can't reach (its
+    operand grammar is regex-bound to paren-free call args). Runs AFTER
+    the json-arrow rewrite so ``(payload->>'k')::int``, the everyday PG
+    idiom for typed json extraction, resolves to
+    ``CAST((get_json_object(...)) AS INT)``."""
+    pos = 0
+    while True:
+        m = _PAREN_CAST_RE.search(code, pos)
+        if not m:
+            return code
+        depth = 0
+        for j in range(m.start(), -1, -1):
+            if code[j] == ")":
+                depth += 1
+            elif code[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code  # unbalanced: leave for Spark's parser
+        nm = re.search(r"([A-Za-z0-9_.\"]+)\s*$", code[:j])
+        start = j
+        if nm and nm.group(1).upper() not in _SQL_KEYWORDS:
+            start = nm.start(1)
+        expr = code[start: m.start() + 1]
+        t = m.group(1).lower()
+        if t == "geometry":
+            repl = f"st_geomfromtext({expr})"
+        elif t == "geography":
+            repl = f"{_GEOG_MARK}({expr})"
+        else:
+            repl = f"CAST({expr} AS {_PG_CAST_TYPES.get(t, t)})"
+        code = code[:start] + repl + code[m.end():]
+        pos = start  # chained casts: ((x)::a)::b resolves inner-out
+
+
+_GEOG_MARK = "__geodb_geography__"
+_GEOG_FN_RE = re.compile(r"\b(st_distance|st_dwithin)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_geography(code: str) -> str:
+    """PG ``::geography`` forms on literal-protected code: the cast shim
+    wraps geography-cast operands in a ``__geodb_geography__(...)``
+    marker; this pass routes marked ``ST_Distance`` / ``ST_DWithin``
+    calls onto the geodesic kernels (geometry/geom.py):
+
+    - ``ST_Distance(a::geography, b::geography)`` ->
+      ``st_distancespheroid(a, b)`` (PostGIS' use_spheroid=true default,
+      WGS84 Vincenty); a literal ``false``/``true`` third argument picks
+      ``st_distancesphere`` (haversine) / spheroid explicitly
+    - ``ST_DWithin(a::geography, b::geography, d [, use_spheroid])`` ->
+      ``(st_distance<kind>(a, b) <= d)`` — meters, like PostGIS
+
+    Any marker surviving outside those two calls refuses loudly:
+    silently stripping it would return degrees where PG returns meters.
+    Reference: the passthrough admits geography casts
+    (/root/reference/xcube_geodb/sql/geodb.sql:1147-1167)."""
+    pos = 0
+    while _GEOG_MARK in code:
+        m = _GEOG_FN_RE.search(code, pos)
+        if not m:
+            raise GeoDBError(
+                "::geography is supported inside ST_Distance / ST_DWithin "
+                "only (geodesic meters); for other functions cast back or "
+                "use the st_*sphere/spheroid forms directly"
+            )
+        depth = 0
+        for j in range(m.end() - 1, len(code)):
+            if code[j] == "(":
+                depth += 1
+            elif code[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            raise GeoDBError(f"{m.group(1)}: unbalanced parentheses")
+        args_s = code[m.end(): j]
+        if _GEOG_MARK not in args_s:
+            pos = j + 1
+            continue
+        args, depth2, start = [], 0, 0
+        for ci, ch in enumerate(args_s):
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+            elif ch == "," and depth2 == 0:
+                args.append(args_s[start:ci].strip())
+                start = ci + 1
+        args.append(args_s[start:].strip())
+        stripped = []
+        for a in args:
+            if a.startswith(_GEOG_MARK + "("):
+                a = a[len(_GEOG_MARK):]
+            if _GEOG_MARK in a:
+                # a marker nested inside ANOTHER call (e.g.
+                # st_buffer(g::geography, 1)) would silently lose its
+                # meters semantics if stripped — refuse instead
+                raise GeoDBError(
+                    "::geography must cast a direct argument of "
+                    "ST_Distance/ST_DWithin, not an expression nested "
+                    "inside another function call"
+                )
+            stripped.append(a)
+        args = stripped
+        fname = m.group(1).lower()
+
+        def _kernel(flag: str | None) -> str:
+            if flag is None or flag.lower() == "true":
+                return "st_distancespheroid"
+            if flag.lower() == "false":
+                return "st_distancesphere"
+            raise GeoDBError(
+                f"{fname}: use_spheroid must be a literal true/false "
+                f"(got {flag!r})"
+            )
+
+        if fname == "st_distance":
+            if len(args) not in (2, 3):
+                raise GeoDBError(
+                    "ST_Distance(geography): 2 or 3 arguments expected"
+                )
+            k = _kernel(args[2] if len(args) == 3 else None)
+            repl = f"{k}({args[0]}, {args[1]})"
+        else:
+            if len(args) not in (3, 4):
+                raise GeoDBError(
+                    "ST_DWithin(geography): 3 or 4 arguments expected"
+                )
+            k = _kernel(args[3] if len(args) == 4 else None)
+            repl = f"({k}({args[0]}, {args[1]}) <= {args[2]})"
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start()
+    return code
+
+
 _AGG_ORDER_RE = re.compile(r"\b(string_agg|array_agg)\s*\(", re.IGNORECASE)
 _ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 
@@ -514,7 +797,8 @@ def _split_order_keys(
 
 
 def _ordered_collect_expr(
-    keys: list[tuple[str, bool, bool]], any_explicit: bool, head: str
+    keys: list[tuple[str, bool, bool]], any_explicit: bool, head: str,
+    distinct: bool = False,
 ) -> str:
     """The ordered-collect core shared by ``array_agg(x ORDER BY ...)``
     and ``st_collect(g ORDER BY ...)``: a map-side-combining
@@ -531,10 +815,15 @@ def _ordered_collect_expr(
     fields = ", ".join(
         f"({k}) AS __o{i}" for i, (k, _, _) in enumerate(keys)
     ) + f", ({head}) AS __v"
+    collect = f"collect_list(struct({fields}))"
+    if distinct:
+        # legal only when the key IS the value (caller enforces), so
+        # struct rows of duplicates are identical and dedup is exact
+        collect = f"array_distinct({collect})"
     uniform = len({asc for _, asc, _ in keys}) == 1
     if uniform and not any_explicit:
         tail = "" if keys[0][1] else ", false"
-        return f"sort_array(collect_list(struct({fields})){tail})"
+        return f"sort_array({collect}{tail})"
     terms = []
     for i, (_, asc, nf) in enumerate(keys):
         lt, gt = ("-1", "1") if asc else ("1", "-1")
@@ -554,7 +843,7 @@ def _ordered_collect_expr(
     cmp = terms[-1]
     for t in reversed(terms[:-1]):
         cmp = f"(CASE WHEN ({t}) != 0 THEN ({t}) ELSE {cmp} END)"
-    return f"array_sort(collect_list(struct({fields})), (l, r) -> {cmp})"
+    return f"array_sort({collect}, (l, r) -> {cmp})"
 
 
 def _rewrite_agg_orderby(code: str) -> str:
@@ -602,14 +891,26 @@ def _rewrite_agg_orderby(code: str) -> str:
                 f"string_agg({head}) WITHIN GROUP (ORDER BY {order})"
             )
         else:
+            distinct = False
             if re.match(r"DISTINCT\b", head, re.IGNORECASE):
-                raise GeoDBError(
-                    "array_agg(DISTINCT ... ORDER BY ...) is outside the "
-                    "pg dialect shim (SURVEY.md §7)"
-                )
-            keys, any_explicit = _split_order_keys(order)
+                # PG only admits DISTINCT + ORDER BY when every ORDER BY
+                # expression appears in the argument list — with one
+                # argument that means ORDER BY the value itself
+                inner = head[len("DISTINCT"):].strip()
+                keys, any_explicit = _split_order_keys(order)
+                norm = lambda s: re.sub(r"\s+", "", s).lower()  # noqa: E731
+                if len(keys) != 1 or norm(keys[0][0]) != norm(inner):
+                    raise GeoDBError(
+                        "array_agg(DISTINCT x ORDER BY ...): the ORDER BY "
+                        "expression must be x itself (PG requires ORDER "
+                        "BY expressions to appear in the argument list)"
+                    )
+                head, distinct = inner, True
+            else:
+                keys, any_explicit = _split_order_keys(order)
             repl = (
-                f"transform({_ordered_collect_expr(keys, any_explicit, head)}"
+                f"transform("
+                f"{_ordered_collect_expr(keys, any_explicit, head, distinct)}"
                 f", s -> s.__v)"
             )
         code = code[: m.start()] + repl + code[j + 1:]
@@ -928,6 +1229,10 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             # '...'::geometry — the everyday PG WKT-literal cast; Spark
             # has no geometry type, the registered parser is the cast
             return f"st_geomfromtext({m.group(1)})"
+        if t == "geography":
+            # computation marker, consumed by _rewrite_geography (routes
+            # ST_Distance/ST_DWithin onto the geodesic kernels)
+            return f"{_GEOG_MARK}({m.group(1)})"
         return f"CAST({m.group(1)} AS {_PG_CAST_TYPES.get(t, t)})"
 
     # Work on quote-split segments throughout: even indexes are code, odd
@@ -958,6 +1263,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             t = m.group(1).lower()
             if t == "geometry":
                 parts[i] = f"st_geomfromtext({parts[i]})"
+            elif t == "geography":
+                parts[i] = f"{_GEOG_MARK}(st_geomfromtext({parts[i]}))"
             else:
                 parts[i] = f"CAST({parts[i]} AS {_PG_CAST_TYPES.get(t, t)})"
             parts[i + 1] = m.group(2)
@@ -996,8 +1303,12 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_knn = bool(_KNN_OP_RE.search(out))
     need_buf3 = bool(_BUFFER3_RE.search(out))
     need_rx4 = bool(_REGEXP4_RE.search(out))
+    need_json = bool(_JSON_ARROW_RE.search(out))
+    need_pcast = bool(_PAREN_CAST_RE.search(out))
+    need_geog = _GEOG_MARK in out or (need_pcast and "geography" in out)
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
-            or need_buf3 or need_rx4):
+            or need_buf3 or need_rx4 or need_json or need_geog
+            or need_pcast):
         # these operands/arg-lists may span literal segments: protect
         # literals behind identifier-shaped placeholders, rewrite on the
         # joined code, then restore — literal contents stay byte-identical
@@ -1007,10 +1318,19 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             p if i % 2 == 0 else f"__GEODB_LIT_{i // 2}__"
             for i, p in enumerate(parts)
         )
-        if need_cont:
-            protected = _rewrite_containment(protected)
         if need_knn:
             protected = _rewrite_knn_ops(protected)
+        if need_json:
+            # after KNN (consumes <->/<#>), before containment/aggs so
+            # their operand scanners see the rewritten function calls and
+            # no rewrite-generated lambda arrows exist yet
+            protected = _rewrite_json_arrows(protected, lits)
+        if need_pcast:
+            protected = _rewrite_paren_casts(protected)
+        if need_geog:
+            protected = _rewrite_geography(protected)
+        if need_cont:
+            protected = _rewrite_containment(protected)
         if need_agg:
             protected = _rewrite_agg_orderby(protected)
         if need_spagg:

@@ -53,8 +53,10 @@ _ALL_QUERIES = {**CORE_QUERIES, **GEO_QUERIES, **LLM_QUERIES, **DML_QUERIES}
 
 # the first 50 names the driver hash-checks: every family represented
 DRIVER_WINDOW = [
-    # grammar scans (combined representative + distinct shapes)
-    "scan_filter_eq_gt",
+    # grammar scans — r10 rotation: scan_filter_eq_gt rotates out (its
+    # eq/gt comparators are a strict subset of scan_filter_grammar's
+    # combined grammar; it stays registered + locally verified) to free
+    # a slot for pg_array_agg_distinct
     "scan_filter_grammar",
     "scan_paging",
     "scan_fts_documents",
@@ -66,8 +68,16 @@ DRIVER_WINDOW = [
     # string_agg leg stays covered locally by pg_string_agg. pg_spatial_agg
     # (verdict order 2) brings ST_Union/ST_Collect/ST_Extent in aggregate
     # position through the same shim.
+    # r10 (verdict orders 1/5): pg_json_arrows — PG ->/->>/#>/#>> chains
+    # folded to one get_json_object path + the (x->>'k')::int paren-cast
+    # shim (supersedes events_json_extract as the json representative;
+    # the grammar-path arrow variant stays registered + locally
+    # verified); pg_array_agg_distinct — the PG-legal DISTINCT+ORDER
+    # shape via array_distinct inside the same ordered-collect core.
     "pg_groupby_q1",
     "pg_array_agg_order_mixed",
+    "pg_json_arrows",
+    "pg_array_agg_distinct",
     "pg_spatial_agg",
     "count_lineitem",
     # joins / windows / set ops / aggregates
@@ -81,7 +91,6 @@ DRIVER_WINDOW = [
     "events_sessionization",
     "events_asof_prev",
     "events_attribution",
-    "events_json_extract",
     "stream_ingest_collection",
     # geo — r7: the prepared-geometry chain supersedes geo_measures_squares
     # as the measures representative (same closed-form area/centroid
@@ -103,7 +112,14 @@ DRIVER_WINDOW = [
     "geo_sql_geom_modes",
     "geo_sql_join_intersects",
     "geo_overlay_diamond",
-    "geo_distance_sphere",
+    # r10 (verdict order 4): pg_geography_distance supersedes
+    # geo_distance_sphere as the great-circle representative — the SAME
+    # haversine closed-form oracle, but through strictly more engine
+    # surface (::geography cast shim + the st_distancesphere kernel UDF
+    # + the ST_DWithin(geography) predicate compile, vs the JVM column
+    # algebra twin); geo_distance_sphere stays registered + locally
+    # verified
+    "pg_geography_distance",
     "geo_dissolve_two_level",
     "geo_spatial_join_points",
     "geo_knn_join",

@@ -519,6 +519,62 @@ def pg_array_agg_order_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def pg_json_arrows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG json operators ``->``/``->>``/``#>``/``#>>`` through the raw-SQL
+    shim (r9 verdict order 1; the reference's own PL/pgSQL uses them —
+    geodb.sql:114-116, :1901 — and its passthrough admits them,
+    geodb.sql:1147-1167). Chains fold into ONE ``get_json_object`` path
+    (JVM-side Jackson walk, whole-stage-codegen friendly — no UDF, no
+    shuffle beyond the scan); the json-returning terminal ``->`` rides
+    Spark 4 VARIANT. Legs: text terminal, typed ``(x->>k)::int`` cast
+    (the paren-cast shim), json terminal on a scalar, a chained
+    ``->'u'->>'ids'``, a ``#>>`` path with an array index, an integer
+    array-index arrow, and a missing-key NULL. DuckDB runs the PG arrows
+    natively (its ``#>>`` gap replayed via json_extract_string)."""
+    register_views(spark, sf_dir, "events")
+    nested = "concat('{\"u\":{\"ids\":[', props ->> 'k', ',9]}}')"
+    sql = build_pg_sql(
+        "events",
+        select=(
+            "event_id, "
+            "props ->> 'k' AS k_text, "
+            "(props ->> 'k')::int + 1 AS k_plus, "
+            "props -> 'k' AS k_json, "
+            f"{nested} -> 'u' ->> 'ids' AS ids_text, "
+            f"{nested} #>> '{{u,ids,0}}' AS id0, "
+            "concat('[{\"v\":', props ->> 'k', '}]') -> 0 ->> 'v' AS v0, "
+            "props ->> 'missing' AS gone"
+        ),
+        where="(props ->> 'k')::int >= 50",
+        order="event_id",
+        limit=500,
+    )
+    return spark.sql(sql)
+
+
+def pg_array_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``array_agg(DISTINCT x ORDER BY x)`` — the one DISTINCT+ORDER
+    shape PG admits (the ORDER BY expression must appear in the argument
+    list), r9 verdict order 5. The shim rewrites to a map-side-combining
+    ``array_distinct(collect_list(struct))`` + per-group sort — one
+    shuffle, no re-aggregation. ASC and DESC legs, plus an expression
+    argument exercising the textual key==argument check."""
+    register_views(spark, sf_dir, "orders")
+    sql = build_pg_sql(
+        "orders",
+        select=(
+            "o_orderstatus, "
+            "concat_ws('|', array_agg(DISTINCT o_orderpriority "
+            "ORDER BY o_orderpriority)) AS prios, "
+            "concat_ws('|', array_agg(DISTINCT (o_custkey % 5) "
+            "ORDER BY (o_custkey % 5) DESC)) AS buckets"
+        ),
+        group="o_orderstatus",
+        order="o_orderstatus",
+    )
+    return spark.sql(sql)
+
+
 def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact count from parquet footers only — the engine's estimate/count
     fast path (no full scan)."""
@@ -830,6 +886,31 @@ CORE_ORACLES_PG = {
                    c_custkey DESC), '|') AS names
         FROM customer WHERE c_custkey % 11 = 0
         GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "pg_json_arrows": """
+        SELECT event_id,
+               props ->> 'k' AS k_text,
+               CAST(props ->> 'k' AS INT) + 1 AS k_plus,
+               CAST(props -> 'k' AS VARCHAR) AS k_json,
+               concat('{"u":{"ids":[', props ->> 'k', ',9]}}')
+                   -> 'u' ->> 'ids' AS ids_text,
+               json_extract_string(
+                   concat('{"u":{"ids":[', props ->> 'k', ',9]}}'),
+                   '$.u.ids[0]') AS id0,
+               concat('[{"v":', props ->> 'k', '}]') -> 0 ->> 'v' AS v0,
+               props ->> 'missing' AS gone
+        FROM events
+        WHERE CAST(props ->> 'k' AS INT) >= 50
+        ORDER BY event_id LIMIT 500
+    """,
+    "pg_array_agg_distinct": """
+        SELECT o_orderstatus,
+               array_to_string(array_agg(DISTINCT o_orderpriority
+                   ORDER BY o_orderpriority), '|') AS prios,
+               array_to_string(array_agg(DISTINCT (o_custkey % 5)
+                   ORDER BY (o_custkey % 5) DESC), '|') AS buckets
+        FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "count_lineitem": "SELECT count(*) AS n_rows FROM lineitem",
 }
@@ -1884,6 +1965,8 @@ CORE_QUERIES = {
     "pg_generate_series": pg_generate_series,
     "pg_array_agg_order": pg_array_agg_order,
     "pg_array_agg_order_mixed": pg_array_agg_order_mixed,
+    "pg_json_arrows": pg_json_arrows,
+    "pg_array_agg_distinct": pg_array_agg_distinct,
     "pg_dialect_shim": pg_dialect_shim,
     "count_lineitem": count_lineitem,
     "join_revenue_by_nation": join_revenue_by_nation,

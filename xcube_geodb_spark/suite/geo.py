@@ -1848,6 +1848,55 @@ GEO_ORACLES["pg_spatial_agg"] = """
 """
 
 
+def pg_geography_distance(spark, sf_dir):
+    """PG ``::geography`` casts through the raw-SQL shim (r9 verdict
+    order 4; reference passthrough admits them, geodb.sql:1147-1167):
+    ``ST_Distance(g::geography, 'POINT ...'::geography, false)`` routes
+    to the st_distancesphere haversine kernel (use_spheroid=false —
+    PostGIS' sphere form), and ``ST_DWithin(geography)`` compiles to a
+    ``distance <= d`` predicate in meters. The oracle replays the
+    haversine closed form on the mean-radius sphere (same association
+    as the geo_distance_sphere gate, well inside the 1e-3 rounding
+    margin). The spheroid default (no third argument -> Vincenty)
+    has no closed SQL form; its routing is pinned by
+    tests/test_client_e2e.py::test_geography_rewrites."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _points(spark, sf_dir).createOrReplaceTempView("pts_geog")
+    sql = build_pg_sql(
+        "pts_geog",
+        select=(
+            "c_custkey, "
+            "round(st_distance(geometry::geography, "
+            "'POINT (0 51.48)'::geography, false), 3) AS meters, "
+            "st_dwithin(geometry::geography, "
+            "'POINT (0 51.48)'::geography, 5000000, false) AS nearby"
+        ),
+        order="c_custkey",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["pg_geography_distance"] = f"""
+    SELECT c_custkey,
+           round(2.0 * 6371008.8 * asin(sqrt(least(
+               pow(sin(radians(y - 51.48) / 2), 2)
+               + cos(radians(51.48)) * cos(radians(y))
+               * pow(sin(radians(x - 0.0) / 2), 2), 1.0))), 3) AS meters,
+           (2.0 * 6371008.8 * asin(sqrt(least(
+               pow(sin(radians(y - 51.48) / 2), 2)
+               + cos(radians(51.48)) * cos(radians(y))
+               * pow(sin(radians(x - 0.0) / 2), 2), 1.0))) <= 5000000)
+               AS nearby
+    FROM ({_PTS})
+    ORDER BY c_custkey
+"""
+
+
 def pg_knn_operator(spark, sf_dir):
     """PostGIS KNN distance operators ``<->`` / ``<#>`` through the pg
     dialect shim (operators/scan._rewrite_knn_ops — the reference
@@ -2760,6 +2809,7 @@ GEO_QUERIES = {
     "geo_sql_join_intersects": geo_sql_join_intersects,
     "geo_sql_geom_modes": geo_sql_geom_modes,
     "pg_spatial_agg": pg_spatial_agg,
+    "pg_geography_distance": pg_geography_distance,
     "pg_knn_operator": pg_knn_operator,
     "pg_makeline_traj": pg_makeline_traj,
     "geo_split_blade": geo_split_blade,
