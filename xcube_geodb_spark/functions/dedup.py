@@ -524,6 +524,7 @@ def line_dedup(
     min_count: int = 2,
     sep: str = "\n",
     group_cols: list[str] | None = None,
+    input_partitions: int | None = None,
 ) -> DataFrame:
     """Corpus-level exact line deduplication (the CCNet / RefinedWeb
     "remove lines that repeat across the corpus" idiom): drop every line
@@ -543,20 +544,36 @@ def line_dedup(
     md5 hex string it replaced, with the same negligible collision
     odds; the pair stays two longs, never a formatted string), so
     partitioning is uniform in the number of distinct lines. The
-    frequency aggregate is map-side
-    combined, and the anti-join is a sort-merge LeftAnti that streams
-    sorted runs — a boilerplate line repeated hundreds of millions of
-    times is a long sorted run, never a buffered build side. The source
-    is scanned twice, but the aggregate branch is column-pruned to the
-    line bytes only. Reassembly is one shuffle on the document id.
-    Nothing is ever collected; the banned set stays distributed (it can
-    be corpus-sized for boilerplate-heavy crawls).
+    frequency aggregate is map-side combined (two longs + a count per
+    distinct line — tiny exchange), and the anti-join is a sort-merge
+    LeftAnti that streams sorted runs — a boilerplate line repeated
+    hundreds of millions of times is a long sorted run, never a
+    buffered build side (AQE broadcasts the banned side when it is
+    small). The source is scanned twice, but the aggregate branch is
+    column-pruned to the line bytes only; a fingerprint-keyed
+    repartition shared by both branches was measured SLOWER than the
+    recompute (it ships every exploded line's text, and the optimizer
+    collapses the aggregate branch's exchange so ReuseExchange never
+    fires). Reassembly is one shuffle on the document id. Nothing is
+    ever collected; the banned set stays distributed (it can be
+    corpus-sized for boilerplate-heavy crawls).
+
+    ``input_partitions``: optional fan-out for the line explode + hash.
+    Spark sizes scan splits by INPUT bytes; compressed text costs
+    hundreds of CPU ops per input byte here, so a small-but-dense scan
+    under-parallelizes (a ~25 MB corpus = 6 openCost-floored splits).
+    Set to the cluster's core count when the input frame has fewer
+    partitions than that; leave None at warehouse scale where the scan
+    already fans past every core.
     """
+    if input_partitions:
+        df = df.repartition(int(input_partitions))
     groups = list(group_cols or [])
     # F.split treats the separator as a Java regex while concat_ws
     # reassembles it literally: regex-escape so a sep of '.', '|', '||'
     # splits on the literal characters and rebuilds identical content.
     sep_re = re.escape(sep)
+    freq_keys = groups + ["h1", "h2"]
     lines = (
         df.select(
             F.col(id_col),
@@ -569,7 +586,6 @@ def line_dedup(
         .withColumn("h1", F.xxhash64(F.col("line")))
         .withColumn("h2", F.xxhash64(F.col("line"), F.lit(7)))
     )
-    freq_keys = groups + ["h1", "h2"]
     banned = (
         lines.groupBy(*freq_keys)
         .agg(F.count(F.lit(1)).alias("c"))
