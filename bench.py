@@ -389,6 +389,7 @@ def _bench_warehouse(spark, sf_dir: str, timings: dict) -> float:
     from xcube_geodb_spark.operators import dml, spatial
     from xcube_geodb_spark.suite.geo import _squares
 
+    src = _squares(spark, sf_dir).select("geometry", "c_acctbal", "h")
     wh = tempfile.mkdtemp(prefix="geodb_bench_wh_")
     try:
         catalog = GeoDBCatalog(spark, wh, user="bench")
@@ -397,8 +398,6 @@ def _bench_warehouse(spark, sf_dir: str, timings: dict) -> float:
             "squares", {"c_acctbal": "float", "h": "float"}, crs=4326,
             database="bench",
         )
-        src = _squares(spark, sf_dir).select("geometry", "c_acctbal", "h")
-
         t0 = time.perf_counter()
         dml.insert_into_collection(catalog, "squares", src, database="bench")
         dt = time.perf_counter() - t0
@@ -452,15 +451,25 @@ def _bench_ann_probe(spark, sf_dir: str, timings: dict, reps: int) -> float:
     q = _query_vector(spark, sf_dir)
     total = 0.0
 
-    wh = tempfile.mkdtemp(prefix="geodb_bench_ann_")
-    try:
+    # build keys: best-of-2 fresh-warehouse reps, per-rep recorded (same
+    # protocol note as _bench_warehouse — one-shot build timings read
+    # session JIT/GC state, not code)
+    build_reps: list[float] = []
+    wh = None
+    for _ in range(2):
+        if wh is not None:
+            shutil.rmtree(wh, ignore_errors=True)
+        wh = tempfile.mkdtemp(prefix="geodb_bench_ann_")
         c = GeoDBSparkClient(spark, warehouse=wh, user="bench")
         t0 = time.perf_counter()
         c.create_collection("emb", {"vec_id": "int", "embedding": "float[]"})
         c.create_index("emb", "embedding", kind="lsh", options={"dim": 64})
         c.insert_into_collection("emb", emb)
-        dt = time.perf_counter() - t0
+        build_reps.append(round(time.perf_counter() - t0, 3))
+    try:
+        dt = min(build_reps)
         timings["ann_index_build"] = round(dt, 3)
+        timings["ann_index_build_reps"] = build_reps
         total += dt
         best = float("inf")
         for _ in range(reps):
@@ -477,8 +486,12 @@ def _bench_ann_probe(spark, sf_dir: str, timings: dict, reps: int) -> float:
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
-    wh = tempfile.mkdtemp(prefix="geodb_bench_ivfpq_")
-    try:
+    build_reps = []
+    wh = None
+    for _ in range(2):
+        if wh is not None:
+            shutil.rmtree(wh, ignore_errors=True)
+        wh = tempfile.mkdtemp(prefix="geodb_bench_ivfpq_")
         c = GeoDBSparkClient(spark, warehouse=wh, user="bench")
         t0 = time.perf_counter()
         cents = similarity.seed_centroids(emb, n_centroids=8)
@@ -489,8 +502,11 @@ def _bench_ann_probe(spark, sf_dir: str, timings: dict, reps: int) -> float:
             options={"centroids": cents, "codebooks": books},
         )
         c.insert_into_collection("emb", emb)
-        dt = time.perf_counter() - t0
+        build_reps.append(round(time.perf_counter() - t0, 3))
+    try:
+        dt = min(build_reps)
         timings["ann_ivfpq_build"] = round(dt, 3)
+        timings["ann_ivfpq_build_reps"] = build_reps
         total += dt
         best = float("inf")
         for _ in range(reps):
@@ -549,13 +565,24 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
     try:
+        # best-of-reps into FRESH warehouses, per-rep recorded (r9
+        # verdict order 3 follow-up: one-shot build timings read the
+        # session's JIT/GC state, not code — r8's committed 1.67 s
+        # warehouse_ingest was a deep-warm session; the same r8 snapshot
+        # re-measured standalone is 2.1-2.5 s vs r10's 2.7-2.9 s, i.e.
+        # most of the r8->r9 artifact delta was measurement context,
+        # <= ~20% code-attributable, and the write job itself — envelope
+        # UDF + z-order + parquet — times identically on both)
         wh_best: dict[str, float] = {}
+        wh_reps: dict[str, list[float]] = {}
         for _ in range(reps):
             t = {}
             _bench_warehouse(spark, sf_dir, t)
             for k, v in t.items():
                 wh_best[k] = min(wh_best.get(k, float("inf")), v)
+                wh_reps.setdefault(f"{k}_reps", []).append(v)
         timings.update(wh_best)
+        timings.update(wh_reps)
         total += sum(wh_best.values())
     except Exception as e:
         errors["warehouse"] = f"{type(e).__name__}: {str(e)[:200]}"
@@ -575,11 +602,17 @@ def main() -> None:
         )
 
     load = _loadavg()
+    # per-rep build timings live OUTSIDE queries (bench_compare and the
+    # driver treat queries values as scalars)
+    build_reps = {
+        k: timings.pop(k) for k in list(timings) if k.endswith("_reps")
+    }
     result = {
         "metric": "geodb_spark_suite_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "build_reps": build_reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg": load,
         "load_warning": _load_warning(load),

@@ -665,8 +665,17 @@ def main() -> None:
             [float(x) for x in c]
             for c in S.ivf_centroids(emb, n_centroids=8)
         ]
+        # r10 (verdict order 6): residual books at 32 subspaces x 256
+        # (2-dim subspaces, 32-byte codes — FAISS m=dim/2 territory) +
+        # 15 Lloyd iters. On this structure-free fixture the residuals
+        # are near-isotropic, so halving the subspace dim is what cuts
+        # ADC quantization error: raw ivfadc_np2 0.47 -> 0.71 measured,
+        # refined floor 0.83 unchanged. More coarse/residual iterations
+        # alone moved raw by <= 0.04 (measured 10/15/20/25-iter grids),
+        # and farthest-first coarse seeding REGRESSED refined to 0.68 —
+        # both rejected.
         books_res = S.pq_codebooks_trained_residual(
-            emb, cents_res, n_subspaces=16, n_centroids=256
+            emb, cents_res, n_subspaces=32, n_centroids=256, n_iters=15
         )
         wh = tempfile.mkdtemp(prefix="geodb_scale_ann_")
         try:

@@ -897,7 +897,14 @@ def semantic_dedup(
     degenerate clustering OOM an executor. The greedy lowest-id rule is
     the deterministic spelling of the paper's one-representative-per-
     near-dup-group policy (which representative survives is a free
-    choice there)."""
+    choice there).
+
+    Sizing ``n_clusters`` at corpus scale: the per-cluster sweep is
+    O((n/k)^2 * dim) work and O((n/k) * dim) executor memory, so k must
+    grow with the corpus — aim for n/k in the 10^4-10^6 range (the
+    SemDeDup paper uses 50k clusters for ~600M LAION embeddings); the
+    default 64 is a small-fixture default, and ``max_cluster`` exists
+    precisely to fail fast when k is too small for the data."""
     import numpy as np
     import pandas as pd
 
@@ -930,14 +937,19 @@ def semantic_dedup(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
         )
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        # the kept matrix is a preallocated VIEW into X (kept rows are a
+        # subset of X's rows) — no per-kept-row reallocation; X is the
+        # backing buffer and `kept` tracks how many rows are live
         kept_rows: list[int] = []
-        kept_mat = np.empty((0, X.shape[1]), dtype=np.float64)
+        kept_mat = np.empty_like(X)
+        kept = 0
         for i in range(len(X)):
-            if len(kept_rows) == 0 or float(
-                (kept_mat @ X[i]).max(initial=-1.0)
+            if kept == 0 or float(
+                (kept_mat[:kept] @ X[i]).max(initial=-1.0)
             ) < thr:
                 kept_rows.append(i)
-                kept_mat = np.vstack([kept_mat, X[i][None, :]])
+                kept_mat[kept] = X[i]
+                kept += 1
         return pdf.iloc[kept_rows][[id_col]]
 
     kept = assigned.groupBy("centroid_id").applyInPandas(
