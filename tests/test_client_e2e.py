@@ -885,6 +885,44 @@ class TestShimLiteralSafety:
         # geometry-typed st_distance stays untouched
         assert f("st_distance(a, b)") == "st_distance(a, b)"
 
+    def test_bbox_overlap_and_misc_rewrites(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        # PostGIS && -> envelope intersect
+        assert f("geometry && other") == (
+            "st_intersects(st_envelope(geometry), st_envelope(other))"
+        )
+        assert f("g && 'POINT (1 2)'::geometry") == (
+            "st_intersects(st_envelope(g), "
+            "st_envelope(st_geomfromtext('POINT (1 2)')))"
+        )
+        with pytest.raises(GeoDBError, match="operand shape for &&"):
+            f("a + b && c")
+        # json_agg / jsonb_agg -> to_json over the ordered-collect core
+        assert f("json_agg(x ORDER BY x)") == (
+            "to_json(transform(sort_array(collect_list(struct((x) AS "
+            "__o0, (x) AS __v))), s -> s.__v))"
+        )
+        assert f("jsonb_agg(x)") == (
+            "to_json(transform(collect_list(struct((x) AS __v)), "
+            "s -> s.__v))"
+        )
+        # to_char template translation; unknown tokens refuse
+        assert f("to_char(ts, 'YYYY-MM-DD')") == (
+            "date_format(ts, 'yyyy-MM-dd')"
+        )
+        assert f("to_char(ts, 'HH24:MI:SS')") == (
+            "date_format(ts, 'HH:mm:ss')"
+        )
+        with pytest.raises(GeoDBError, match="to_char"):
+            f("to_char(n, '999D99')")
+        with pytest.raises(GeoDBError, match="string literal"):
+            f("to_char(ts, fmt_col)")
+        # string_to_array: literal separator, regex-escaped for split
+        assert f("string_to_array(t, '.')") == "split(t, '\\.')"
+        with pytest.raises(GeoDBError, match="exactly 2"):
+            f("string_to_array(t, ',', 'NULL')")
+
     def test_export_geojson_without_geometry_raises(self, client, land_use, tmp_path):
         with pytest.raises(GeoDBError, match="geometry column"):
             client.export_collection(

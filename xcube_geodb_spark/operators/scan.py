@@ -755,7 +755,197 @@ def _rewrite_geography(code: str) -> str:
     return code
 
 
-_AGG_ORDER_RE = re.compile(r"\b(string_agg|array_agg)\s*\(", re.IGNORECASE)
+_BBOX_OP_RE = re.compile(r"&&")
+
+
+def _rewrite_bbox_overlap(seg: str) -> str:
+    """PostGIS ``a && b`` (bounding boxes intersect — THE index operator
+    every PostGIS WHERE clause uses; reference passthrough admits it,
+    geodb.sql:1147-1167) on literal-protected code ->
+    ``st_intersects(st_envelope(a), st_envelope(b))``, the exact
+    envelope-overlap semantics. The engine's planner additionally
+    rewrites envelope predicates against PERSISTED envelope columns at
+    the collection-scan layer (operators/spatial.py), so this textual
+    form is the general-expression fallback. PG's ARRAY ``&&``
+    (overlap) is outside the shim: geometry semantics win in a geo
+    engine, and an array operand fails loudly at analysis (st_envelope
+    rejects arrays) — use ``arrays_overlap(a, b)`` directly.
+    Compound operands refuse like the other operator rewrites."""
+    while True:
+        m = _BBOX_OP_RE.search(seg)
+        if not m:
+            return seg
+        left = _operand_before(seg[: m.start()])
+        right = _operand_after(seg[m.end():])
+        if left is None or right is None:
+            raise GeoDBError(
+                "Unsupported operand shape for &&: operands must be "
+                "geometry columns, function calls, or geometry literals."
+            )
+        lhs, lstart = left
+        rhs, rend_rel = right
+        prefix = seg[:lstart].rstrip()
+        if prefix and prefix[-1] in "|&+-*/%^":
+            raise GeoDBError(
+                "Unsupported operand shape for &&: the left operand is "
+                f"a compound expression (... {prefix[-1]} {lhs}). "
+                "Parenthesize the operand."
+            )
+        suffix = seg[m.end() + rend_rel:].lstrip()
+        if suffix and suffix[0] in "|&+-*/%^":
+            raise GeoDBError(
+                "Unsupported operand shape for &&: the right operand is "
+                f"a compound expression ({rhs} {suffix[0]} ...). "
+                "Parenthesize the operand."
+            )
+        repl = f"st_intersects(st_envelope({lhs}), st_envelope({rhs}))"
+        seg = seg[:lstart] + repl + seg[m.end() + rend_rel:]
+
+
+_TO_CHAR_RE = re.compile(r"\bto_char\s*\(", re.IGNORECASE)
+_STR_TO_ARR_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
+
+# PG to_char template patterns -> Spark date_format (SimpleDateFormat)
+_TO_CHAR_TOKENS = [
+    ("YYYY", "yyyy"), ("YYY", "yyy"), ("YY", "yy"),
+    ("HH24", "HH"), ("HH12", "hh"), ("HH", "hh"),
+    ("MI", "mm"), ("SS", "ss"), ("MS", "SSS"),
+    ("MON", "MMM"), ("Mon", "MMM"), ("MONTH", "MMMM"),
+    ("MM", "MM"), ("DDD", "DDD"), ("DD", "dd"), ("DY", "EEE"),
+    ("Day", "EEEE"), ("DAY", "EEEE"), ("AM", "a"), ("PM", "a"),
+    ("TZ", "zz"), ("Q", "Q"), ("WW", "ww"), ("J", None), ("IYYY", None),
+]
+
+
+def _to_char_format(fmt: str) -> str:
+    """PG to_char template -> SimpleDateFormat, longest-token-first;
+    non-alphanumeric separators pass through; unknown alpha tokens
+    refuse loudly rather than silently emit wrong text."""
+    out, i = [], 0
+    toks = sorted(_TO_CHAR_TOKENS, key=lambda t: -len(t[0]))
+    while i < len(fmt):
+        ch = fmt[i]
+        if not ch.isalpha():
+            out.append(f"'{ch}'" if ch.isdigit() or ch == "'" else ch)
+            i += 1
+            continue
+        for pg, sp in toks:
+            if fmt.startswith(pg, i):
+                if sp is None:
+                    raise GeoDBError(
+                        f"to_char: template token {pg!r} is outside the "
+                        "pg dialect shim (SURVEY.md §7)"
+                    )
+                out.append(sp)
+                i += len(pg)
+                break
+        else:
+            raise GeoDBError(
+                f"to_char: unrecognized template at {fmt[i:]!r} "
+                "(supported: YYYY/MM/DD/HH24/HH12/MI/SS/MS/MON/DY/Day/"
+                "AM/PM and punctuation separators)"
+            )
+    return "".join(out)
+
+
+def _rewrite_misc_pg_funcs(code: str, lits: list[str]) -> str:
+    """Literal-protected rewrites for common PG scalar spellings:
+
+    - ``to_char(expr, 'YYYY-MM-DD...')`` -> ``date_format(expr, ...)``
+      with the template translated token-by-token (unknown tokens
+      refuse). Numeric-formatting to_char (e.g. '999D99') is outside
+      the shim.
+    - ``string_to_array(s, 'sep')`` -> ``split(s, <regex-escaped sep>)``
+      — PG splits on the LITERAL delimiter while Spark's split takes a
+      Java regex, so the separator literal is escaped; the 3-argument
+      null-string form refuses.
+    """
+    pos = 0
+    while True:
+        m = _TO_CHAR_RE.search(code, pos)
+        if not m:
+            break
+        depth = 0
+        for j in range(m.end() - 1, len(code)):
+            if code[j] == "(":
+                depth += 1
+            elif code[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code
+        args = code[m.end(): j]
+        depth2, comma_at = 0, None
+        for ci, ch in enumerate(args):
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+            elif ch == "," and depth2 == 0:
+                comma_at = ci
+                break
+        if comma_at is None:
+            raise GeoDBError("to_char(expr, 'template'): 2 arguments")
+        expr = args[:comma_at].strip()
+        fmt_ph = args[comma_at + 1:].strip()
+        fm = _LIT_PLACEHOLDER_RE.fullmatch(fmt_ph)
+        if fm is None:
+            raise GeoDBError(
+                "to_char: the template must be a string literal"
+            )
+        fmt = lits[int(fm.group(1))][1:-1].replace("''", "'")
+        sdf = _to_char_format(fmt)
+        lits.append("'" + sdf.replace("'", "''") + "'")
+        repl = f"date_format({expr}, __GEODB_LIT_{len(lits) - 1}__)"
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
+    pos = 0
+    while True:
+        m = _STR_TO_ARR_RE.search(code, pos)
+        if not m:
+            return code
+        depth = 0
+        for j in range(m.end() - 1, len(code)):
+            if code[j] == "(":
+                depth += 1
+            elif code[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code
+        args = code[m.end(): j]
+        splits, depth2 = [], 0
+        for ci, ch in enumerate(args):
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+            elif ch == "," and depth2 == 0:
+                splits.append(ci)
+        if len(splits) != 1:
+            raise GeoDBError(
+                "string_to_array(s, 'sep'): exactly 2 arguments (the "
+                "3-argument null-string form is outside the shim)"
+            )
+        src = args[: splits[0]].strip()
+        sep_ph = args[splits[0] + 1:].strip()
+        sm = _LIT_PLACEHOLDER_RE.fullmatch(sep_ph)
+        if sm is None:
+            raise GeoDBError(
+                "string_to_array: the separator must be a string literal"
+            )
+        sep = lits[int(sm.group(1))][1:-1].replace("''", "'")
+        lits.append("'" + re.escape(sep).replace("'", "''") + "'")
+        repl = f"split({src}, __GEODB_LIT_{len(lits) - 1}__)"
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
+
+
+_AGG_ORDER_RE = re.compile(
+    r"\b(string_agg|array_agg|json_agg|jsonb_agg)\s*\(", re.IGNORECASE
+)
 _ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 
 
@@ -858,7 +1048,13 @@ def _rewrite_agg_orderby(code: str) -> str:
       __v))[, false]), s -> s.__v)`` — one map-side-combining aggregate,
       per-group sort by the keys (ties resolved by the value, which PG
       leaves unspecified).  Unlike bare collect_list, the struct wrapper
-      keeps NULL values, matching PG array_agg."""
+      keeps NULL values, matching PG array_agg.
+    - ``json_agg(x [ORDER BY k...])`` / ``jsonb_agg`` -> the array_agg
+      machinery wrapped in ``to_json(...)`` — PG renders the group as a
+      json array; NULL members render as json nulls (the struct wrapper
+      keeps them).  DOCUMENTED DEVIATION: compact separators (PG
+      json_agg pretty-prints with ', '; jsonb_agg is compact like
+      Spark/DuckDB)."""
     pos = 0
     while True:
         m = _AGG_ORDER_RE.search(code, pos)
@@ -882,6 +1078,15 @@ def _rewrite_agg_orderby(code: str) -> str:
                 ob = om
                 break
         if ob is None:
+            if fname in ("json_agg", "jsonb_agg"):
+                # PG: arbitrary order without ORDER BY — same caveat
+                repl = (
+                    f"to_json(transform(collect_list(struct(({args.strip()})"
+                    f" AS __v)), s -> s.__v))"
+                )
+                code = code[: m.start()] + repl + code[j + 1:]
+                pos = m.start() + len(repl)
+                continue
             pos = m.end()
             continue
         head = args[: ob.start()].rstrip()
@@ -913,6 +1118,8 @@ def _rewrite_agg_orderby(code: str) -> str:
                 f"{_ordered_collect_expr(keys, any_explicit, head, distinct)}"
                 f", s -> s.__v)"
             )
+            if fname in ("json_agg", "jsonb_agg"):
+                repl = f"to_json({repl})"
         code = code[: m.start()] + repl + code[j + 1:]
         pos = m.start() + len(repl)
 
@@ -1306,9 +1513,11 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_json = bool(_JSON_ARROW_RE.search(out))
     need_pcast = bool(_PAREN_CAST_RE.search(out))
     need_geog = _GEOG_MARK in out or (need_pcast and "geography" in out)
+    need_bbox = "&&" in out
+    need_misc = bool(_TO_CHAR_RE.search(out) or _STR_TO_ARR_RE.search(out))
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
             or need_buf3 or need_rx4 or need_json or need_geog
-            or need_pcast):
+            or need_pcast or need_bbox or need_misc):
         # these operands/arg-lists may span literal segments: protect
         # literals behind identifier-shaped placeholders, rewrite on the
         # joined code, then restore — literal contents stay byte-identical
@@ -1329,6 +1538,13 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_paren_casts(protected)
         if need_geog:
             protected = _rewrite_geography(protected)
+        if need_misc:
+            protected = _rewrite_misc_pg_funcs(protected, lits)
+        if need_bbox:
+            # after containment would also work (&& and @> never nest),
+            # but BEFORE it keeps the operand scanners simple; && must
+            # run before nothing else emits '&&'
+            protected = _rewrite_bbox_overlap(protected)
         if need_cont:
             protected = _rewrite_containment(protected)
         if need_agg:

@@ -575,6 +575,52 @@ def pg_array_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def pg_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``json_agg(x ORDER BY k)`` / ``jsonb_agg`` through the raw-SQL
+    shim (r10): the array_agg ordered-collect machinery wrapped in
+    ``to_json`` — one map-side-combining aggregate per group, rendered
+    as a json array exactly like PG's jsonb_agg (compact separators;
+    PG's json_agg pretty-prints with ', ' — documented deviation).
+    DuckDB oracle spells it ``to_json(list(x ORDER BY x))``."""
+    register_views(spark, sf_dir, "orders")
+    sql = build_pg_sql(
+        "orders",
+        select=(
+            "o_orderstatus, "
+            "json_agg(o_orderkey ORDER BY o_orderkey) AS keys_json, "
+            "jsonb_agg(o_orderpriority ORDER BY o_orderkey) AS prio_json"
+        ),
+        where="o_orderkey % 37 = 0",
+        group="o_orderstatus",
+        order="o_orderstatus",
+    )
+    return spark.sql(sql)
+
+
+def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG scalar spellings through the shim (r10): ``to_char(ts,
+    template)`` -> date_format with the template translated token by
+    token, and ``string_to_array(s, sep)`` -> split with the separator
+    regex-escaped (PG splits on the LITERAL delimiter). The oracle
+    replays strftime / string_split."""
+    register_views(spark, sf_dir, "orders")
+    sql = build_pg_sql(
+        "orders",
+        select=(
+            "o_orderkey, "
+            "to_char(o_orderdate, 'YYYY-MM-DD') AS d_ymd, "
+            "to_char(o_orderdate, 'HH24:MI:SS') AS d_hms, "
+            "CAST(cardinality(string_to_array(o_orderpriority, '-')) "
+            "AS INT) AS n_parts, "
+            "element_at(string_to_array(o_orderpriority, '-'), 1) "
+            "AS part1"
+        ),
+        where="o_orderkey % 101 = 0",
+        order="o_orderkey",
+    )
+    return spark.sql(sql)
+
+
 def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact count from parquet footers only — the engine's estimate/count
     fast path (no full scan)."""
@@ -911,6 +957,25 @@ CORE_ORACLES_PG = {
                    ORDER BY (o_custkey % 5) DESC), '|') AS buckets
         FROM orders
         GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "pg_json_agg": """
+        SELECT o_orderstatus,
+               CAST(to_json(list(o_orderkey ORDER BY o_orderkey))
+                    AS VARCHAR) AS keys_json,
+               CAST(to_json(list(o_orderpriority ORDER BY o_orderkey))
+                    AS VARCHAR) AS prio_json
+        FROM orders WHERE o_orderkey % 37 = 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "pg_scalar_shims": """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS d_ymd,
+               strftime(o_orderdate, '%H:%M:%S') AS d_hms,
+               CAST(len(string_split(o_orderpriority, '-')) AS INT)
+                   AS n_parts,
+               string_split(o_orderpriority, '-')[1] AS part1
+        FROM orders WHERE o_orderkey % 101 = 0
+        ORDER BY o_orderkey
     """,
     "count_lineitem": "SELECT count(*) AS n_rows FROM lineitem",
 }
@@ -1967,6 +2032,8 @@ CORE_QUERIES = {
     "pg_array_agg_order_mixed": pg_array_agg_order_mixed,
     "pg_json_arrows": pg_json_arrows,
     "pg_array_agg_distinct": pg_array_agg_distinct,
+    "pg_json_agg": pg_json_agg,
+    "pg_scalar_shims": pg_scalar_shims,
     "pg_dialect_shim": pg_dialect_shim,
     "count_lineitem": count_lineitem,
     "join_revenue_by_nation": join_revenue_by_nation,

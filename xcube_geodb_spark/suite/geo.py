@@ -1897,6 +1897,43 @@ GEO_ORACLES["pg_geography_distance"] = f"""
 """
 
 
+def pg_bbox_overlap(spark, sf_dir):
+    """PostGIS ``geom && geom`` (bounding boxes intersect — THE PostGIS
+    index operator) through the raw-SQL shim (r10):
+    ``operators/scan._rewrite_bbox_overlap`` compiles it to
+    ``st_intersects(st_envelope(a), st_envelope(b))``. Fixture: customer
+    squares vs a query polygon whose edges sit .005 off the coordinate
+    grid, so any kernel epsilon in [1e-10, 1e-3] classifies identically;
+    the oracle is pure interval arithmetic (a square IS its own
+    envelope)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _squares(spark, sf_dir).createOrReplaceTempView("sq_bbox_op")
+    poly = (
+        "POLYGON((-50.005 -30.005, 50.005 -30.005, 50.005 30.005, "
+        "-50.005 30.005, -50.005 -30.005))"
+    )
+    sql = build_pg_sql(
+        "sq_bbox_op",
+        select="c_custkey",
+        where=f"geometry && '{poly}'::geometry",
+        order="c_custkey",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["pg_bbox_overlap"] = f"""
+    SELECT c_custkey FROM ({_SQS})
+    WHERE x + h > -50.005 AND x - h < 50.005
+      AND y + h > -30.005 AND y - h < 30.005
+    ORDER BY c_custkey
+"""
+
+
 def pg_knn_operator(spark, sf_dir):
     """PostGIS KNN distance operators ``<->`` / ``<#>`` through the pg
     dialect shim (operators/scan._rewrite_knn_ops — the reference
@@ -2810,6 +2847,7 @@ GEO_QUERIES = {
     "geo_sql_geom_modes": geo_sql_geom_modes,
     "pg_spatial_agg": pg_spatial_agg,
     "pg_geography_distance": pg_geography_distance,
+    "pg_bbox_overlap": pg_bbox_overlap,
     "pg_knn_operator": pg_knn_operator,
     "pg_makeline_traj": pg_makeline_traj,
     "geo_split_blade": geo_split_blade,
