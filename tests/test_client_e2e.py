@@ -922,6 +922,19 @@ class TestShimLiteralSafety:
         assert f("string_to_array(t, '.')") == "split(t, '\\.')"
         with pytest.raises(GeoDBError, match="exactly 2"):
             f("string_to_array(t, ',', 'NULL')")
+        # extract(epoch from x): Spark has no epoch field; the
+        # timestamp->double cast IS epoch seconds + fractional micros
+        assert f("extract(epoch from ts)") == (
+            "CAST(CAST((ts) AS TIMESTAMP) AS DOUBLE)"
+        )
+        assert f("extract(year from ts)") == "extract(year from ts)"
+        # json_build_object -> to_json(named_struct(...))
+        assert f("json_build_object('k', v)") == (
+            "to_json(named_struct('k', v))"
+        )
+        assert f("jsonb_build_object('a', f(x, g(y)))") == (
+            "to_json(named_struct('a', f(x, g(y))))"
+        )
 
     def test_export_geojson_without_geometry_raises(self, client, land_use, tmp_path):
         with pytest.raises(GeoDBError, match="geometry column"):

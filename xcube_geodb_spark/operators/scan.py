@@ -804,6 +804,68 @@ def _rewrite_bbox_overlap(seg: str) -> str:
 
 _TO_CHAR_RE = re.compile(r"\bto_char\s*\(", re.IGNORECASE)
 _STR_TO_ARR_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
+_EXTRACT_EPOCH_RE = re.compile(
+    r"\bextract\s*\(\s*epoch\s+from\b", re.IGNORECASE
+)
+_JSON_BUILD_RE = re.compile(
+    r"\b(?:json_build_object|jsonb_build_object)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_extract_epoch(code: str) -> str:
+    """PG ``extract(epoch from x)`` ->
+    ``CAST(CAST((x) AS TIMESTAMP) AS DOUBLE)`` — Spark's EXTRACT has no
+    epoch field, but its timestamp->double cast IS epoch seconds with
+    fractional microseconds, exactly PG's semantics (the inner cast
+    lifts TIMESTAMP_NTZ parquet columns, interpreted in the session's
+    pinned UTC — the same naive-is-UTC rule PG and DuckDB apply).
+    Other extract fields pass through (Spark runs them natively)."""
+    pos = 0
+    while True:
+        m = _EXTRACT_EPOCH_RE.search(code, pos)
+        if not m:
+            return code
+        depth = 1  # extract's own open paren is inside the match
+        for j in range(m.end(), len(code)):
+            if code[j] == "(":
+                depth += 1
+            elif code[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code  # unbalanced: leave for Spark's parser
+        expr = code[m.end(): j].strip()
+        repl = f"CAST(CAST(({expr}) AS TIMESTAMP) AS DOUBLE)"
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
+
+
+def _rewrite_json_build(code: str) -> str:
+    """PG ``json_build_object(k1, v1, ...)`` / ``jsonb_build_object`` ->
+    ``to_json(named_struct(k1, v1, ...))`` — keys must be string
+    literals (named_struct's foldable-key requirement; PG's
+    expression-key form fails loudly at analysis). Key order is
+    preserved like PG's json_build_object; spacing is compact (the
+    jsonb form; documented deviation from json_build_object's ', ')."""
+    pos = 0
+    while True:
+        m = _JSON_BUILD_RE.search(code, pos)
+        if not m:
+            return code
+        depth = 0
+        for j in range(m.end() - 1, len(code)):
+            if code[j] == "(":
+                depth += 1
+            elif code[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code
+        repl = f"to_json(named_struct({code[m.end(): j]}))"
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
 
 # PG to_char template patterns -> Spark date_format (SimpleDateFormat)
 _TO_CHAR_TOKENS = [
@@ -1514,7 +1576,10 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_pcast = bool(_PAREN_CAST_RE.search(out))
     need_geog = _GEOG_MARK in out or (need_pcast and "geography" in out)
     need_bbox = "&&" in out
-    need_misc = bool(_TO_CHAR_RE.search(out) or _STR_TO_ARR_RE.search(out))
+    need_misc = bool(
+        _TO_CHAR_RE.search(out) or _STR_TO_ARR_RE.search(out)
+        or _EXTRACT_EPOCH_RE.search(out) or _JSON_BUILD_RE.search(out)
+    )
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
             or need_buf3 or need_rx4 or need_json or need_geog
             or need_pcast or need_bbox or need_misc):
@@ -1540,6 +1605,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_geography(protected)
         if need_misc:
             protected = _rewrite_misc_pg_funcs(protected, lits)
+            protected = _rewrite_extract_epoch(protected)
+            protected = _rewrite_json_build(protected)
         if need_bbox:
             # after containment would also work (&& and @> never nest),
             # but BEFORE it keeps the operand scanners simple; && must

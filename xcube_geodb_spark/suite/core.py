@@ -601,8 +601,11 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG scalar spellings through the shim (r10): ``to_char(ts,
     template)`` -> date_format with the template translated token by
     token, and ``string_to_array(s, sep)`` -> split with the separator
-    regex-escaped (PG splits on the LITERAL delimiter). The oracle
-    replays strftime / string_split."""
+    regex-escaped (PG splits on the LITERAL delimiter);
+    ``extract(epoch from ts)`` -> the timestamp->double cast (epoch
+    seconds + fractional micros, PG-exact); ``json_build_object`` ->
+    ``to_json(named_struct(...))``. The oracle replays strftime /
+    string_split / epoch / json_object."""
     register_views(spark, sf_dir, "orders")
     sql = build_pg_sql(
         "orders",
@@ -613,7 +616,10 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(cardinality(string_to_array(o_orderpriority, '-')) "
             "AS INT) AS n_parts, "
             "element_at(string_to_array(o_orderpriority, '-'), 1) "
-            "AS part1"
+            "AS part1, "
+            "round(extract(epoch from o_orderdate), 6) AS epoch_s, "
+            "json_build_object('k', o_orderkey, 'p', o_orderpriority) "
+            "AS obj_json"
         ),
         where="o_orderkey % 101 = 0",
         order="o_orderkey",
@@ -973,7 +979,10 @@ CORE_ORACLES_PG = {
                strftime(o_orderdate, '%H:%M:%S') AS d_hms,
                CAST(len(string_split(o_orderpriority, '-')) AS INT)
                    AS n_parts,
-               string_split(o_orderpriority, '-')[1] AS part1
+               string_split(o_orderpriority, '-')[1] AS part1,
+               round(extract(epoch from o_orderdate), 6) AS epoch_s,
+               CAST(json_object('k', o_orderkey, 'p', o_orderpriority)
+                    AS VARCHAR) AS obj_json
         FROM orders WHERE o_orderkey % 101 = 0
         ORDER BY o_orderkey
     """,
