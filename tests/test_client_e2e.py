@@ -876,10 +876,19 @@ class TestShimLiteralSafety:
         assert f("st_dwithin(a::geography, b::geography, 1000)") == (
             "(st_distancespheroid((a), (b)) <= 1000)"
         )
-        # outside the two supported calls the cast refuses loudly
+        # measures on geography route to the geodesic kernels
+        assert f("st_length(l::geography, false)") == (
+            "st_lengthsphere((l))"
+        )
+        assert f("st_length(l::geography)") == "st_lengthspheroid((l))"
+        assert f("st_area(p::geography, false)") == "st_areasphere((p))"
+        assert f("st_perimeter(p::geography)") == (
+            "st_perimeterspheroid((p))"
+        )
+        # outside the supported calls the cast refuses loudly
         # (stripping it would silently return degrees, not meters)
         with pytest.raises(GeoDBError, match="ST_Distance / ST_DWithin"):
-            f("st_area(a::geography)")
+            f("st_centroid(a::geography)")
         with pytest.raises(GeoDBError, match="direct argument"):
             f("st_distance(st_buffer(a::geography, 1), b)")
         # geometry-typed st_distance stays untouched

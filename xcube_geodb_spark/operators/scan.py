@@ -656,7 +656,10 @@ def _rewrite_paren_casts(code: str) -> str:
 
 
 _GEOG_MARK = "__geodb_geography__"
-_GEOG_FN_RE = re.compile(r"\b(st_distance|st_dwithin)\s*\(", re.IGNORECASE)
+_GEOG_FN_RE = re.compile(
+    r"\b(st_distance|st_dwithin|st_length|st_perimeter|st_area)\s*\(",
+    re.IGNORECASE,
+)
 
 
 def _rewrite_geography(code: str) -> str:
@@ -671,9 +674,13 @@ def _rewrite_geography(code: str) -> str:
       ``st_distancesphere`` (haversine) / spheroid explicitly
     - ``ST_DWithin(a::geography, b::geography, d [, use_spheroid])`` ->
       ``(st_distance<kind>(a, b) <= d)`` — meters, like PostGIS
+    - ``ST_Length`` / ``ST_Perimeter`` / ``ST_Area`` on geography ->
+      the ``st_length/perimeter/area`` ``sphere``/``spheroid`` kernels
+      (per-segment geodesics; spherical-excess / authalic area) —
+      meters / m^2, same use_spheroid defaulting
 
-    Any marker surviving outside those two calls refuses loudly:
-    silently stripping it would return degrees where PG returns meters.
+    Any marker surviving outside those calls refuses loudly: silently
+    stripping it would return degrees where PG returns meters.
     Reference: the passthrough admits geography casts
     (/root/reference/xcube_geodb/sql/geodb.sql:1147-1167)."""
     pos = 0
@@ -682,8 +689,9 @@ def _rewrite_geography(code: str) -> str:
         if not m:
             raise GeoDBError(
                 "::geography is supported inside ST_Distance / ST_DWithin "
-                "only (geodesic meters); for other functions cast back or "
-                "use the st_*sphere/spheroid forms directly"
+                "/ ST_Length / ST_Perimeter / ST_Area only (geodesic "
+                "meters); for other functions cast back or use the "
+                "st_*sphere/spheroid forms directly"
             )
         depth = 0
         for j in range(m.end() - 1, len(code)):
@@ -743,13 +751,23 @@ def _rewrite_geography(code: str) -> str:
                 )
             k = _kernel(args[2] if len(args) == 3 else None)
             repl = f"{k}({args[0]}, {args[1]})"
-        else:
+        elif fname == "st_dwithin":
             if len(args) not in (3, 4):
                 raise GeoDBError(
                     "ST_DWithin(geography): 3 or 4 arguments expected"
                 )
             k = _kernel(args[3] if len(args) == 4 else None)
             repl = f"({k}({args[0]}, {args[1]}) <= {args[2]})"
+        else:
+            # ST_Length / ST_Perimeter / ST_Area on geography: the
+            # per-segment geodesic / geodesic-area kernels, meters(^2)
+            if len(args) not in (1, 2):
+                raise GeoDBError(
+                    f"{fname}(geography): 1 or 2 arguments expected"
+                )
+            k = _kernel(args[1] if len(args) == 2 else None)
+            suffix_k = "spheroid" if k.endswith("spheroid") else "sphere"
+            repl = f"{fname}{suffix_k}({args[0]})"
         code = code[: m.start()] + repl + code[j + 1:]
         pos = m.start()
     return code

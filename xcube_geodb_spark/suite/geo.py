@@ -1897,6 +1897,44 @@ GEO_ORACLES["pg_geography_distance"] = f"""
 """
 
 
+def pg_geography_length(spark, sf_dir):
+    """``ST_Length(line::geography, false)`` through the shim (r10):
+    routes to the st_lengthsphere kernel (per-segment haversine sum).
+    Fixture: the horizontal customer segments (x-h, y) -> (x+h, y) —
+    one segment each, so the length is a single same-latitude haversine
+    the oracle replays with the kernel's exact float association
+    (dlat = 0 makes the first haversine term exactly 0.0). The spheroid
+    default routes to st_lengthspheroid (Vincenty — no closed SQL form;
+    routing pinned in test_client_e2e.py)."""
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+    from xcube_geodb_spark.operators.scan import build_pg_sql
+
+    register_spatial_sql_functions(spark)
+    _segments(spark, sf_dir).createOrReplaceTempView("seg_geog")
+    sql = build_pg_sql(
+        "seg_geog",
+        select=(
+            "c_custkey, "
+            "round(st_length(geometry::geography, false), 3) AS len_m"
+        ),
+        order="c_custkey",
+    )
+    return spark.sql(sql)
+
+
+GEO_ORACLES["pg_geography_length"] = f"""
+    SELECT c_custkey,
+           round(2.0 * 6371008.8 * asin(sqrt(least(
+               cos(radians(y)) * cos(radians(y))
+               * pow(sin(radians((x + h) - (x - h)) / 2), 2), 1.0))),
+               3) AS len_m
+    FROM ({_SQS})
+    ORDER BY c_custkey
+"""
+
+
 def pg_bbox_overlap(spark, sf_dir):
     """PostGIS ``geom && geom`` (bounding boxes intersect — THE PostGIS
     index operator) through the raw-SQL shim (r10):
@@ -2847,6 +2885,7 @@ GEO_QUERIES = {
     "geo_sql_geom_modes": geo_sql_geom_modes,
     "pg_spatial_agg": pg_spatial_agg,
     "pg_geography_distance": pg_geography_distance,
+    "pg_geography_length": pg_geography_length,
     "pg_bbox_overlap": pg_bbox_overlap,
     "pg_knn_operator": pg_knn_operator,
     "pg_makeline_traj": pg_makeline_traj,
