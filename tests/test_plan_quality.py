@@ -530,3 +530,41 @@ class TestRound9SessionTwoPlanShape:
 
         plan = executed_plan(pg_lateral_topn(spark, SF))
         assert "CartesianProduct" not in plan
+
+
+class TestRound10PlanShape:
+    def test_json_arrows_stay_jvm_side(self, spark):
+        """The ->/->>/#>/#>> chains must compile to get_json_object /
+        variant_get — JVM expressions inside codegen, never a Python or
+        Arrow UDF, and the WHERE's typed json filter must not block the
+        scan's column pruning."""
+        from xcube_geodb_spark.suite.core import pg_json_arrows
+
+        plan = executed_plan(pg_json_arrows(spark, SF))
+        assert "get_json_object" in plan
+        assert "Python" not in plan and "ArrowEvalPython" not in plan
+
+    def test_json_agg_is_plain_aggregate(self, spark):
+        """json_agg rides the ordered-collect aggregate core: one
+        map-side-combining aggregate, no Window, no Python."""
+        from xcube_geodb_spark.suite.core import pg_json_agg
+
+        plan = executed_plan(pg_json_agg(spark, SF))
+        assert "Window" not in plan
+        assert "Python" not in plan
+
+    def test_array_agg_distinct_is_plain_aggregate(self, spark):
+        from xcube_geodb_spark.suite.core import pg_array_agg_distinct
+
+        plan = executed_plan(pg_array_agg_distinct(spark, SF))
+        assert "Window" not in plan
+        assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
+
+    def test_line_dedup_single_wide_fanout(self, spark):
+        """The _lined fixture's repartition must fan the CPU-dense
+        re-lining to the full core count (the r10 10x-anchor fix): the
+        plan carries a round-robin exchange upstream of the explode."""
+        from xcube_geodb_spark.suite.llm import dedup_lines_rebuilt
+
+        plan = executed_plan(dedup_lines_rebuilt(spark, SF))
+        assert "RoundRobinPartitioning" in plan or "REPARTITION" in plan
