@@ -731,6 +731,22 @@ class TestLineDedup:
         }
         assert out5[1]["n_removed"] == 0 and 3 in out5
 
+    def test_input_partitions_knob_preserves_results(self, lined_docs):
+        # the r10 fan-out valve for small-but-CPU-dense inputs: results
+        # are partition-count independent (deterministic agg + anti-join
+        # + pos-sorted reassembly)
+        base = sorted(
+            (r["doc_id"], r["text"], r["n_lines"], r["n_removed"])
+            for r in dedup.line_dedup(lined_docs).collect()
+        )
+        fanned = sorted(
+            (r["doc_id"], r["text"], r["n_lines"], r["n_removed"])
+            for r in dedup.line_dedup(
+                lined_docs, input_partitions=16
+            ).collect()
+        )
+        assert base == fanned
+
 
 class TestDedupAgainst:
     def test_incremental_exact_near_and_kept(self, spark):
