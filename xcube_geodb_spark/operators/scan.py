@@ -906,7 +906,12 @@ def _to_char_format(fmt: str) -> str:
     while i < len(fmt):
         ch = fmt[i]
         if not ch.isalpha():
-            out.append(f"'{ch}'" if ch.isdigit() or ch == "'" else ch)
+            if ch == "'":
+                out.append("''")  # SimpleDateFormat literal-quote escape
+            elif ch.isdigit():
+                out.append(f"'{ch}'")
+            else:
+                out.append(ch)
             i += 1
             continue
         for pg, sp in toks:
