@@ -900,7 +900,10 @@ _TO_CHAR_TOKENS = [
 def _to_char_format(fmt: str) -> str:
     """PG to_char template -> SimpleDateFormat, longest-token-first;
     non-alphanumeric separators pass through; unknown alpha tokens
-    refuse loudly rather than silently emit wrong text."""
+    refuse loudly rather than silently emit wrong text. DOCUMENTED
+    DEVIATION: name tokens render in SimpleDateFormat's mixed case
+    ('MON' -> 'Jan' not 'JAN'; wrap in upper()/lower() for PG's exact
+    casing)."""
     out, i = [], 0
     toks = sorted(_TO_CHAR_TOKENS, key=lambda t: -len(t[0]))
     while i < len(fmt):
