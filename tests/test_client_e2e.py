@@ -801,6 +801,23 @@ class TestShimLiteralSafety:
             f("array_agg(DISTINCT x ORDER BY y)")
         with pytest.raises(GeoDBError, match="must be x itself"):
             f("array_agg(DISTINCT x ORDER BY x, y)")
+        # FILTER (WHERE ...) folds INTO the collect (CASE WHEN -> NULL
+        # rows dropped by collect_list, exactly FILTER semantics) —
+        # Spark's FILTER clause can't attach to the transform() rewrite
+        filt = f("array_agg(x ORDER BY x) FILTER (WHERE y > 0)")
+        assert filt == (
+            "transform(sort_array(collect_list(CASE WHEN (y > 0) THEN "
+            "struct((x) AS __o0, (x) AS __v) END)), s -> s.__v)"
+        )
+        jfilt = f("json_agg(x) FILTER (WHERE f(y) = 1) AS a")
+        assert jfilt == (
+            "to_json(transform(collect_list(CASE WHEN (f(y) = 1) THEN "
+            "struct((x) AS __v) END), s -> s.__v)) AS a"
+        )
+        # plain aggregates keep Spark's native FILTER clause
+        assert f("count(*) FILTER (WHERE y > 0)") == (
+            "count(*) FILTER (WHERE y > 0)"
+        )
 
     def test_json_arrow_rewrites(self):
         from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f

@@ -1074,9 +1074,32 @@ def _split_order_keys(
     return out, any_explicit
 
 
+def _agg_filter_clause(code: str, j: int) -> tuple[str | None, int]:
+    """Parse an optional ``FILTER (WHERE cond)`` immediately after the
+    aggregate's close paren at index ``j`` -> (cond, end_index_of_filter)
+    or (None, j). The rewritten aggregates fold the condition into the
+    collect itself (CASE WHEN cond THEN struct END — collect_list drops
+    the NULLs, exactly FILTER semantics), since Spark's FILTER clause
+    cannot attach to the transform(...) expression the rewrite emits."""
+    fm = re.compile(r"\s*FILTER\s*\(\s*WHERE\b", re.IGNORECASE).match(
+        code, j + 1
+    )
+    if fm is None:
+        return None, j
+    depth = 1  # the FILTER clause's own open paren is inside the match
+    for k in range(fm.end(), len(code)):
+        if code[k] == "(":
+            depth += 1
+        elif code[k] == ")":
+            depth -= 1
+            if depth == 0:
+                return code[fm.end(): k].strip(), k
+    return None, j  # unbalanced: leave for Spark's parser
+
+
 def _ordered_collect_expr(
     keys: list[tuple[str, bool, bool]], any_explicit: bool, head: str,
-    distinct: bool = False,
+    distinct: bool = False, filter_cond: str | None = None,
 ) -> str:
     """The ordered-collect core shared by ``array_agg(x ORDER BY ...)``
     and ``st_collect(g ORDER BY ...)``: a map-side-combining
@@ -1093,7 +1116,10 @@ def _ordered_collect_expr(
     fields = ", ".join(
         f"({k}) AS __o{i}" for i, (k, _, _) in enumerate(keys)
     ) + f", ({head}) AS __v"
-    collect = f"collect_list(struct({fields}))"
+    row = f"struct({fields})"
+    if filter_cond is not None:
+        row = f"CASE WHEN ({filter_cond}) THEN {row} END"
+    collect = f"collect_list({row})"
     if distinct:
         # legal only when the key IS the value (caller enforces), so
         # struct rows of duplicates are identical and dedup is exact
@@ -1168,9 +1194,12 @@ def _rewrite_agg_orderby(code: str) -> str:
         if ob is None:
             if fname in ("json_agg", "jsonb_agg"):
                 # PG: arbitrary order without ORDER BY — same caveat
+                cond, j = _agg_filter_clause(code, j)
+                row = f"struct(({args.strip()}) AS __v)"
+                if cond is not None:
+                    row = f"CASE WHEN ({cond}) THEN {row} END"
                 repl = (
-                    f"to_json(transform(collect_list(struct(({args.strip()})"
-                    f" AS __v)), s -> s.__v))"
+                    f"to_json(transform(collect_list({row}), s -> s.__v))"
                 )
                 code = code[: m.start()] + repl + code[j + 1:]
                 pos = m.start() + len(repl)
@@ -1201,9 +1230,10 @@ def _rewrite_agg_orderby(code: str) -> str:
                 head, distinct = inner, True
             else:
                 keys, any_explicit = _split_order_keys(order)
+            cond, j = _agg_filter_clause(code, j)
             repl = (
                 f"transform("
-                f"{_ordered_collect_expr(keys, any_explicit, head, distinct)}"
+                f"{_ordered_collect_expr(keys, any_explicit, head, distinct, cond)}"
                 f", s -> s.__v)"
             )
             if fname in ("json_agg", "jsonb_agg"):

@@ -588,7 +588,9 @@ def pg_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         select=(
             "o_orderstatus, "
             "json_agg(o_orderkey ORDER BY o_orderkey) AS keys_json, "
-            "jsonb_agg(o_orderpriority ORDER BY o_orderkey) AS prio_json"
+            "jsonb_agg(o_orderpriority ORDER BY o_orderkey) AS prio_json, "
+            "concat_ws('|', array_agg(o_orderkey ORDER BY o_orderkey) "
+            "FILTER (WHERE o_orderkey % 2 = 0)) AS even_keys"
         ),
         where="o_orderkey % 37 = 0",
         group="o_orderstatus",
@@ -969,7 +971,9 @@ CORE_ORACLES_PG = {
                CAST(to_json(list(o_orderkey ORDER BY o_orderkey))
                     AS VARCHAR) AS keys_json,
                CAST(to_json(list(o_orderpriority ORDER BY o_orderkey))
-                    AS VARCHAR) AS prio_json
+                    AS VARCHAR) AS prio_json,
+               array_to_string(array_agg(o_orderkey ORDER BY o_orderkey)
+                   FILTER (WHERE o_orderkey % 2 = 0), '|') AS even_keys
         FROM orders WHERE o_orderkey % 37 = 0
         GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
