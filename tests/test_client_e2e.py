@@ -954,6 +954,13 @@ class TestShimLiteralSafety:
             "CAST(CAST((ts) AS TIMESTAMP) AS DOUBLE)"
         )
         assert f("extract(year from ts)") == "extract(year from ts)"
+        # PG array scalars: NULL-for-empty length, cat, strpos swap
+        assert f("array_length(tags, 1)") == "nullif(size(tags), 0)"
+        assert f("array_upper(tags, 1)") == "nullif(size(tags), 0)"
+        assert f("array_cat(a, b)") == "concat(a, b)"
+        assert f("strpos(name, 'x')") == "locate('x', name)"
+        with pytest.raises(GeoDBError, match="dimension 1"):
+            f("array_length(a, 2)")
         # json_build_object -> to_json(named_struct(...))
         assert f("json_build_object('k', v)") == (
             "to_json(named_struct('k', v))"

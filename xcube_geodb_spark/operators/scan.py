@@ -822,6 +822,68 @@ def _rewrite_bbox_overlap(seg: str) -> str:
 
 _TO_CHAR_RE = re.compile(r"\bto_char\s*\(", re.IGNORECASE)
 _STR_TO_ARR_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
+_ARRAY_FN_RE = re.compile(
+    r"\b(array_length|array_upper|array_cat|strpos)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_array_funcs(code: str) -> str:
+    """PG array/string scalars Spark spells differently:
+
+    - ``array_length(a, 1)`` / ``array_upper(a, 1)`` ->
+      ``nullif(size(a), 0)`` — PG returns NULL (not 0) for an empty
+      array; only dimension 1 is supported (Spark arrays are 1-D),
+      other dimensions refuse
+    - ``array_cat(a, b)`` -> ``concat(a, b)``
+    - ``strpos(s, sub)`` -> ``locate(sub, s)`` (1-based, 0 = not found
+      in both)
+    """
+    pos = 0
+    while True:
+        m = _ARRAY_FN_RE.search(code, pos)
+        if not m:
+            return code
+        fname = m.group(1).lower()
+        depth = 0
+        for j in range(m.end() - 1, len(code)):
+            if code[j] == "(":
+                depth += 1
+            elif code[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code  # unbalanced: leave for Spark's parser
+        args_s = code[m.end(): j]
+        args, depth2, start = [], 0, 0
+        for ci, ch in enumerate(args_s):
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+            elif ch == "," and depth2 == 0:
+                args.append(args_s[start:ci].strip())
+                start = ci + 1
+        args.append(args_s[start:].strip())
+        if fname in ("array_length", "array_upper"):
+            if len(args) != 2 or args[1] != "1":
+                raise GeoDBError(
+                    f"{fname}(arr, dim): only dimension 1 is supported "
+                    "(Spark arrays are one-dimensional)"
+                )
+            repl = f"nullif(size({args[0]}), 0)"
+        elif fname == "array_cat":
+            if len(args) != 2:
+                raise GeoDBError("array_cat(a, b): 2 arguments expected")
+            repl = f"concat({args[0]}, {args[1]})"
+        else:  # strpos
+            if len(args) != 2:
+                raise GeoDBError("strpos(s, sub): 2 arguments expected")
+            repl = f"locate({args[1]}, {args[0]})"
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start()  # nested calls (array_cat(array_cat(..)..))
+
+
 _EXTRACT_EPOCH_RE = re.compile(
     r"\bextract\s*\(\s*epoch\s+from\b", re.IGNORECASE
 )
@@ -1635,6 +1697,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_misc = bool(
         _TO_CHAR_RE.search(out) or _STR_TO_ARR_RE.search(out)
         or _EXTRACT_EPOCH_RE.search(out) or _JSON_BUILD_RE.search(out)
+        or _ARRAY_FN_RE.search(out)
     )
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
             or need_buf3 or need_rx4 or need_json or need_geog
@@ -1663,6 +1726,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_misc_pg_funcs(protected, lits)
             protected = _rewrite_extract_epoch(protected)
             protected = _rewrite_json_build(protected)
+            protected = _rewrite_array_funcs(protected)
         if need_bbox:
             # after containment would also work (&& and @> never nest),
             # but BEFORE it keeps the operand scanners simple; && must

@@ -629,6 +629,28 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def pg_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG array/string scalars through the shim (r10):
+    ``array_length(a, 1)`` -> ``nullif(size(a), 0)`` (PG returns NULL
+    for empty arrays, not 0), ``array_cat`` -> ``concat``, ``strpos`` ->
+    ``locate`` with swapped arguments (1-based, 0 = miss in both)."""
+    register_views(spark, sf_dir, "documents")
+    sql = build_pg_sql(
+        "documents",
+        select=(
+            "doc_id, "
+            "CAST(array_length(string_to_array(text, ' '), 1) AS INT) "
+            "AS n_toks, "
+            "CAST(strpos(text, 'data') AS INT) AS p_data, "
+            "concat_ws('|', array_cat(string_to_array(source, '-'), "
+            "string_to_array(lang, '-'))) AS cat_parts"
+        ),
+        where="doc_id % 17 = 0",
+        order="doc_id",
+    )
+    return spark.sql(sql)
+
+
 def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact count from parquet footers only — the engine's estimate/count
     fast path (no full scan)."""
@@ -989,6 +1011,16 @@ CORE_ORACLES_PG = {
                     AS VARCHAR) AS obj_json
         FROM orders WHERE o_orderkey % 101 = 0
         ORDER BY o_orderkey
+    """,
+    "pg_array_funcs": """
+        SELECT doc_id,
+               CAST(nullif(len(string_split(text, ' ')), 0) AS INT)
+                   AS n_toks,
+               CAST(strpos(text, 'data') AS INT) AS p_data,
+               array_to_string(list_concat(string_split(source, '-'),
+                   string_split(lang, '-')), '|') AS cat_parts
+        FROM documents WHERE doc_id % 17 = 0
+        ORDER BY doc_id
     """,
     "count_lineitem": "SELECT count(*) AS n_rows FROM lineitem",
 }
@@ -2047,6 +2079,7 @@ CORE_QUERIES = {
     "pg_array_agg_distinct": pg_array_agg_distinct,
     "pg_json_agg": pg_json_agg,
     "pg_scalar_shims": pg_scalar_shims,
+    "pg_array_funcs": pg_array_funcs,
     "pg_dialect_shim": pg_dialect_shim,
     "count_lineitem": count_lineitem,
     "join_revenue_by_nation": join_revenue_by_nation,
