@@ -954,6 +954,17 @@ class TestShimLiteralSafety:
             "CAST(CAST((ts) AS TIMESTAMP) AS DOUBLE)"
         )
         assert f("extract(year from ts)") == "extract(year from ts)"
+        # PG LIKE-operator spellings (MUST match before the regex ops:
+        # the r9 shim half-matched ~~ as ~ and emitted broken SQL)
+        assert f("name ~~ 'x%'") == "name LIKE 'x%'"
+        assert f("name ~~* '%u%'") == "name ILIKE '%u%'"
+        assert f("name !~~ 'x%'") == "name NOT LIKE 'x%'"
+        assert f("name !~~* 'x%'") == "name NOT ILIKE 'x%'"
+        assert f("name ~ '^x'") == "name RLIKE '^x'"
+        # PG text-search match operator -> the dialect's ts_match_all
+        assert f("to_tsvector('english', t) @@ plainto_tsquery('q')") == (
+            "ts_match_all(to_tsvector('english', t), plainto_tsquery('q'))"
+        )
         # PG array scalars: NULL-for-empty length, cat, strpos swap
         assert f("array_length(tags, 1)") == "nullif(size(tags), 0)"
         assert f("array_upper(tags, 1)") == "nullif(size(tags), 0)"

@@ -820,6 +820,32 @@ def _rewrite_bbox_overlap(seg: str) -> str:
         seg = seg[:lstart] + repl + seg[m.end() + rend_rel:]
 
 
+_TSMATCH_OP_RE = re.compile(r"(?<!@)@@(?!@)")
+
+
+def _rewrite_tsmatch(seg: str) -> str:
+    """PG's text-search match operator ``vec @@ query`` on
+    literal-protected code -> ``ts_match_all(vec, query)`` — the
+    dialect's function spelling of the operator (functions/textsql.py;
+    plainto_tsquery ANDs its words, exactly ts_match_all). Compound
+    operands refuse like the other operator rewrites."""
+    while True:
+        m = _TSMATCH_OP_RE.search(seg)
+        if not m:
+            return seg
+        left = _operand_before(seg[: m.start()])
+        right = _operand_after(seg[m.end():])
+        if left is None or right is None:
+            raise GeoDBError(
+                "Unsupported operand shape for @@: operands must be "
+                "to_tsvector()/plainto_tsquery() calls or columns."
+            )
+        lhs, lstart = left
+        rhs, rend_rel = right
+        repl = f"ts_match_all({lhs}, {rhs})"
+        seg = seg[:lstart] + repl + seg[m.end() + rend_rel:]
+
+
 _TO_CHAR_RE = re.compile(r"\bto_char\s*\(", re.IGNORECASE)
 _STR_TO_ARR_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
 _ARRAY_FN_RE = re.compile(
@@ -1673,6 +1699,18 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             parts[i - 1] = before[: m.start()] + op + " "
             parts[i] = "'" + rx.replace("'", "''") + "'"
             continue
+        # PG's LIKE-operator spellings MUST match before the regex ops
+        # (`~~` would otherwise half-match `~` and emit broken SQL):
+        # ~~ = LIKE, ~~* = ILIKE, !~~ = NOT LIKE, !~~* = NOT ILIKE —
+        # Spark runs LIKE/ILIKE natively, the pattern stays byte-exact
+        m = re.search(r"(!?~~\*?)\s*$", before)
+        if m and parts[i].startswith("'"):
+            op = m.group(1)
+            spark_op = "ILIKE" if op.endswith("*") else "LIKE"
+            if op.startswith("!"):
+                spark_op = "NOT " + spark_op
+            parts[i - 1] = before[: m.start()] + spark_op + " "
+            continue
         m = re.search(r"(\S+)\s*(!~\*|!~|~\*|~)\s*$", before)
         if m and not parts[i].startswith("CAST("):
             lhs, op = m.groups()
@@ -1694,6 +1732,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_pcast = bool(_PAREN_CAST_RE.search(out))
     need_geog = _GEOG_MARK in out or (need_pcast and "geography" in out)
     need_bbox = "&&" in out
+    need_ts = bool(_TSMATCH_OP_RE.search(out))
     need_misc = bool(
         _TO_CHAR_RE.search(out) or _STR_TO_ARR_RE.search(out)
         or _EXTRACT_EPOCH_RE.search(out) or _JSON_BUILD_RE.search(out)
@@ -1701,7 +1740,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     )
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
             or need_buf3 or need_rx4 or need_json or need_geog
-            or need_pcast or need_bbox or need_misc):
+            or need_pcast or need_bbox or need_misc or need_ts):
         # these operands/arg-lists may span literal segments: protect
         # literals behind identifier-shaped placeholders, rewrite on the
         # joined code, then restore — literal contents stay byte-identical
@@ -1732,6 +1771,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             # but BEFORE it keeps the operand scanners simple; && must
             # run before nothing else emits '&&'
             protected = _rewrite_bbox_overlap(protected)
+        if need_ts:
+            protected = _rewrite_tsmatch(protected)
         if need_cont:
             protected = _rewrite_containment(protected)
         if need_agg:

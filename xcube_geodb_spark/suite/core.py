@@ -371,8 +371,9 @@ def pg_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pg_fts_tsvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG text-search family on the raw-SQL path (functions/textsql):
-    ``to_tsvector('english', text)`` + ``plainto_tsquery`` +
-    ``ts_match_all`` (the dialect's spelling of ``@@`` — SURVEY.md §7).
+    ``to_tsvector('english', text) @@ plainto_tsquery('english', ...)``
+    — the TRUE PG operator spelling since r10 (the shim rewrites ``@@``
+    to ts_match_all; plainto ANDs its words, exactly that function).
     The query words ('querying tables') are no literal corpus tokens; only
     stemming matches them. The oracle replays the generated Porter SQL."""
     from xcube_geodb_spark.functions.textsql import register_text_sql_functions
@@ -383,8 +384,8 @@ def pg_fts_tsvector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents",
         select="doc_id",
         where=(
-            "ts_match_all(to_tsvector('english', text), "
-            "plainto_tsquery('english', 'querying tables'))"
+            "to_tsvector('english', text) "
+            "@@ plainto_tsquery('english', 'querying tables')"
         ),
         order="doc_id",
     )
@@ -625,6 +626,28 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         where="o_orderkey % 101 = 0",
         order="o_orderkey",
+    )
+    return spark.sql(sql)
+
+
+def pg_like_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG's LIKE-operator spellings through the shim (r10): ``~~`` =
+    LIKE, ``~~*`` = ILIKE, ``!~~`` = NOT LIKE, ``!~~*`` = NOT ILIKE —
+    Spark runs LIKE/ILIKE natively, the pattern stays byte-exact. (The
+    r9 shim HALF-matched ``~~`` as the regex ``~`` and emitted broken
+    SQL — this gate pins the repaired precedence.) DuckDB runs the PG
+    operator spellings natively."""
+    register_views(spark, sf_dir, "orders")
+    sql = build_pg_sql(
+        "orders",
+        select="o_orderkey, o_orderpriority",
+        where=(
+            "o_orderpriority ~~ '%-%' AND o_orderpriority ~~* '%urgent%' "
+            "AND o_orderpriority !~~ '9%' "
+            "AND o_orderpriority !~~* '%low%'"
+        ),
+        order="o_orderkey",
+        limit=300,
     )
     return spark.sql(sql)
 
@@ -1011,6 +1034,12 @@ CORE_ORACLES_PG = {
                     AS VARCHAR) AS obj_json
         FROM orders WHERE o_orderkey % 101 = 0
         ORDER BY o_orderkey
+    """,
+    "pg_like_operators": """
+        SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_orderpriority ~~ '%-%' AND o_orderpriority ~~* '%urgent%'
+          AND o_orderpriority !~~ '9%' AND o_orderpriority !~~* '%low%'
+        ORDER BY o_orderkey LIMIT 300
     """,
     "pg_array_funcs": """
         SELECT doc_id,
@@ -2079,6 +2108,7 @@ CORE_QUERIES = {
     "pg_array_agg_distinct": pg_array_agg_distinct,
     "pg_json_agg": pg_json_agg,
     "pg_scalar_shims": pg_scalar_shims,
+    "pg_like_operators": pg_like_operators,
     "pg_array_funcs": pg_array_funcs,
     "pg_dialect_shim": pg_dialect_shim,
     "count_lineitem": count_lineitem,
