@@ -965,6 +965,19 @@ class TestShimLiteralSafety:
         assert f("to_tsvector('english', t) @@ plainto_tsquery('q')") == (
             "ts_match_all(to_tsvector('english', t), plainto_tsquery('q'))"
         )
+        # jsonb key-existence operators + name aliases
+        assert f("props ? 'k'") == (
+            "array_contains(json_object_keys(props), 'k')"
+        )
+        assert f("props ?| ARRAY['a','b']") == (
+            "arrays_overlap(json_object_keys(props), array('a','b'))"
+        )
+        assert f("props ?& ARRAY['a','b']") == (
+            "size(array_except(array('a','b'), "
+            "json_object_keys(props))) = 0"
+        )
+        assert f("jsonb_array_length(j)") == "json_array_length(j)"
+        assert f("c = 'what?'") == "c = 'what?'"  # literal ? untouched
         # PG array scalars: NULL-for-empty length, cat, strpos swap
         assert f("array_length(tags, 1)") == "nullif(size(tags), 0)"
         assert f("array_upper(tags, 1)") == "nullif(size(tags), 0)"

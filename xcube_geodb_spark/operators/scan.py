@@ -820,6 +820,51 @@ def _rewrite_bbox_overlap(seg: str) -> str:
         seg = seg[:lstart] + repl + seg[m.end() + rend_rel:]
 
 
+_JSONB_EXISTS_RE = re.compile(r"\?[|&]?")
+_JSONB_ALIAS_RE = re.compile(
+    r"\bjsonb_(array_length|object_keys)\b", re.IGNORECASE
+)
+
+
+def _rewrite_jsonb_exists(seg: str) -> str:
+    """PG jsonb key-existence operators on literal-protected code:
+
+    - ``j ? 'k'``  -> ``array_contains(json_object_keys(j), 'k')``
+    - ``j ?| array('a','b')`` -> ``arrays_overlap(json_object_keys(j),
+      ...)``
+    - ``j ?& array('a','b')`` -> ``size(array_except(...,
+      json_object_keys(j))) = 0``
+
+    json_object_keys returns NULL for non-objects, so the predicates are
+    NULL there (DOCUMENTED DEVIATION: PG's ``?`` on a jsonb ARRAY tests
+    string-element membership; use array_contains on the parsed array
+    for that). ``ARRAY[...]`` right operands were already rewritten to
+    ``array(...)`` by the time this runs."""
+    while True:
+        m = _JSONB_EXISTS_RE.search(seg)
+        if not m:
+            return seg
+        op = m.group(0)
+        left = _operand_before(seg[: m.start()])
+        right = _operand_after(seg[m.end():])
+        if left is None or right is None:
+            raise GeoDBError(
+                f"Unsupported operand shape for {op}: operands must be "
+                "a json column/expression and a string literal or "
+                "ARRAY[...] of keys."
+            )
+        lhs, lstart = left
+        rhs, rend_rel = right
+        keys = f"json_object_keys({lhs})"
+        if op == "?":
+            repl = f"array_contains({keys}, {rhs})"
+        elif op == "?|":
+            repl = f"arrays_overlap({keys}, {rhs})"
+        else:
+            repl = f"size(array_except({rhs}, {keys})) = 0"
+        seg = seg[:lstart] + repl + seg[m.end() + rend_rel:]
+
+
 _TSMATCH_OP_RE = re.compile(r"(?<!@)@@(?!@)")
 
 
@@ -1733,6 +1778,16 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_geog = _GEOG_MARK in out or (need_pcast and "geography" in out)
     need_bbox = "&&" in out
     need_ts = bool(_TSMATCH_OP_RE.search(out))
+    need_jexists = "?" in out
+    if _JSONB_ALIAS_RE.search(out):
+        # pure name aliases: PG's jsonb_* spellings of functions Spark
+        # ships under json_* (same semantics, json-text input)
+        parts = re.split(r"('(?:[^']|'')*')", out)
+        for i in range(0, len(parts), 2):
+            parts[i] = _JSONB_ALIAS_RE.sub(
+                lambda mm: "json_" + mm.group(1).lower(), parts[i]
+            )
+        out = "".join(parts)
     need_misc = bool(
         _TO_CHAR_RE.search(out) or _STR_TO_ARR_RE.search(out)
         or _EXTRACT_EPOCH_RE.search(out) or _JSON_BUILD_RE.search(out)
@@ -1740,7 +1795,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     )
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
             or need_buf3 or need_rx4 or need_json or need_geog
-            or need_pcast or need_bbox or need_misc or need_ts):
+            or need_pcast or need_bbox or need_misc or need_ts
+            or need_jexists):
         # these operands/arg-lists may span literal segments: protect
         # literals behind identifier-shaped placeholders, rewrite on the
         # joined code, then restore — literal contents stay byte-identical
@@ -1773,6 +1829,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_bbox_overlap(protected)
         if need_ts:
             protected = _rewrite_tsmatch(protected)
+        if need_jexists and _JSONB_EXISTS_RE.search(protected):
+            protected = _rewrite_jsonb_exists(protected)
         if need_cont:
             protected = _rewrite_containment(protected)
         if need_agg:

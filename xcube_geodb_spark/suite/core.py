@@ -652,6 +652,32 @@ def pg_like_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def pg_jsonb_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG jsonb key-existence operators through the shim (r10): ``?``
+    (key present — true even for null VALUES, via json_object_keys),
+    ``?|`` (any key), ``?&`` (all keys), plus the ``jsonb_*`` name
+    aliases of Spark's json_* functions. A CASE-varied json document
+    makes the predicates row-dependent."""
+    register_views(spark, sf_dir, "events")
+    j = (
+        "(CASE WHEN event_id % 2 = 0 THEN '{\"a\":null,\"b\":2}' "
+        "ELSE '{\"b\":2}' END)"
+    )
+    sql = build_pg_sql(
+        "events",
+        select=(
+            f"event_id, {j} ? 'a' AS has_a, "
+            f"{j} ?| ARRAY['a','zz'] AS any_a, "
+            f"{j} ?& ARRAY['a','b'] AS all_ab, "
+            "CAST(jsonb_array_length(concat('[', props ->> 'k', ',1]')) "
+            "AS INT) AS arr_len"
+        ),
+        where="event_id % 13 = 0",
+        order="event_id",
+    )
+    return spark.sql(sql)
+
+
 def pg_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG array/string scalars through the shim (r10):
     ``array_length(a, 1)`` -> ``nullif(size(a), 0)`` (PG returns NULL
@@ -1040,6 +1066,22 @@ CORE_ORACLES_PG = {
         WHERE o_orderpriority ~~ '%-%' AND o_orderpriority ~~* '%urgent%'
           AND o_orderpriority !~~ '9%' AND o_orderpriority !~~* '%low%'
         ORDER BY o_orderkey LIMIT 300
+    """,
+    "pg_jsonb_exists": """
+        SELECT event_id,
+               list_contains(json_keys(CASE WHEN event_id % 2 = 0
+                   THEN '{"a":null,"b":2}' ELSE '{"b":2}' END), 'a')
+                   AS has_a,
+               list_has_any(json_keys(CASE WHEN event_id % 2 = 0
+                   THEN '{"a":null,"b":2}' ELSE '{"b":2}' END),
+                   ['a','zz']) AS any_a,
+               list_has_all(json_keys(CASE WHEN event_id % 2 = 0
+                   THEN '{"a":null,"b":2}' ELSE '{"b":2}' END),
+                   ['a','b']) AS all_ab,
+               CAST(json_array_length(concat('[', props ->> 'k', ',1]'))
+                   AS INT) AS arr_len
+        FROM events WHERE event_id % 13 = 0
+        ORDER BY event_id
     """,
     "pg_array_funcs": """
         SELECT doc_id,
@@ -2109,6 +2151,7 @@ CORE_QUERIES = {
     "pg_json_agg": pg_json_agg,
     "pg_scalar_shims": pg_scalar_shims,
     "pg_like_operators": pg_like_operators,
+    "pg_jsonb_exists": pg_jsonb_exists,
     "pg_array_funcs": pg_array_funcs,
     "pg_dialect_shim": pg_dialect_shim,
     "count_lineitem": count_lineitem,
