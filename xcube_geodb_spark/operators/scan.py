@@ -961,6 +961,39 @@ _EXTRACT_EPOCH_RE = re.compile(
 _JSON_BUILD_RE = re.compile(
     r"\b(?:json_build_object|jsonb_build_object)\s*\(", re.IGNORECASE
 )
+_JSON_ELEMS_RE = re.compile(
+    r"\b(?:jsonb?_array_elements_text)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_json_array_elements(code: str, lits: list[str]) -> str:
+    """PG ``json_array_elements_text(j)`` / ``jsonb_array_elements_text``
+    in SELECT position -> ``explode(from_json(j, 'array<string>'))`` —
+    one row per array element as text (numbers/booleans via Spark's
+    string coercion), the same one-generator-per-select restriction as
+    ``unnest``. The json-TYPED ``json_array_elements`` (object/array
+    elements) stays outside the shim — extract with ``-> n`` chains or
+    a typed from_json directly."""
+    pos = 0
+    while True:
+        m = _JSON_ELEMS_RE.search(code, pos)
+        if not m:
+            return code
+        depth = 0
+        for j in range(m.end() - 1, len(code)):
+            if code[j] == "(":
+                depth += 1
+            elif code[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code
+        lits.append("'array<string>'")
+        ph = f"__GEODB_LIT_{len(lits) - 1}__"
+        repl = f"explode(from_json({code[m.end(): j]}, {ph}))"
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
 
 
 def _rewrite_extract_epoch(code: str) -> str:
@@ -1791,7 +1824,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_misc = bool(
         _TO_CHAR_RE.search(out) or _STR_TO_ARR_RE.search(out)
         or _EXTRACT_EPOCH_RE.search(out) or _JSON_BUILD_RE.search(out)
-        or _ARRAY_FN_RE.search(out)
+        or _ARRAY_FN_RE.search(out) or _JSON_ELEMS_RE.search(out)
     )
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
             or need_buf3 or need_rx4 or need_json or need_geog
@@ -1822,6 +1855,10 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_extract_epoch(protected)
             protected = _rewrite_json_build(protected)
             protected = _rewrite_array_funcs(protected)
+            # elements_text BEFORE the jsonb_* alias pass cannot apply
+            # here (aliases run pre-protection); the name regex matches
+            # both json_ and jsonb_ spellings directly
+            protected = _rewrite_json_array_elements(protected, lits)
         if need_bbox:
             # after containment would also work (&& and @> never nest),
             # but BEFORE it keeps the operand scanners simple; && must

@@ -42,6 +42,21 @@ to_tsvector family), ``text_bm25_indexed`` / ``stream_bm25_index``
 (at-rest and continuously-maintained inverted index),
 ``text_fts_via_index`` (boolean fts from postings — the GIN path) and
 ``text_phrase_via_index`` (phfts from positional postings).
+
+Round-10 window rotation (r9 verdict orders 1/4/5): ``pg_json_arrows``
+(PG ->/->>/#>/#>> chains + typed paren-casts) supersedes
+``events_json_extract`` as the json representative;
+``pg_geography_distance`` (::geography -> geodesic kernels) supersedes
+``geo_distance_sphere`` as the great-circle representative (same
+haversine closed-form oracle, strictly more engine surface);
+``pg_array_agg_distinct`` takes ``scan_filter_eq_gt``'s slot (eq/gt
+comparators are a subset of scan_filter_grammar's combined grammar).
+Every demoted gate stays registered + locally verified. Beyond-window
+round-10 additions: ``pg_bbox_overlap`` (PostGIS &&), ``pg_json_agg``
+(+ FILTER fold), ``pg_scalar_shims`` (to_char / string_to_array /
+extract(epoch) / json_build_object), ``pg_geography_length``,
+``pg_like_operators`` (~~ family), ``pg_jsonb_exists`` (? / ?| / ?&),
+``pg_array_funcs`` (array_length / array_cat / strpos).
 """
 
 from xcube_geodb_spark.suite.core import CORE_QUERIES, CORE_ORACLES

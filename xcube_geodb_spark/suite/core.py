@@ -678,6 +678,26 @@ def pg_jsonb_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def pg_json_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``json_array_elements_text(j)`` in SELECT position through the
+    shim (r10): one row per array element as text via
+    ``explode(from_json(j, 'array<string>'))`` — the set-returning
+    sibling of the unnest rewrite, same one-generator restriction.
+    DuckDB oracle: ``unnest(from_json(j, '[\"VARCHAR\"]'))``."""
+    register_views(spark, sf_dir, "events")
+    sql = build_pg_sql(
+        "events",
+        select=(
+            "event_id, json_array_elements_text("
+            "concat('[', props ->> 'k', ',7,', props ->> 'k', ']')) "
+            "AS elem"
+        ),
+        where="event_id % 29 = 0",
+        order="event_id, elem",
+    )
+    return spark.sql(sql)
+
+
 def pg_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG array/string scalars through the shim (r10):
     ``array_length(a, 1)`` -> ``nullif(size(a), 0)`` (PG returns NULL
@@ -1082,6 +1102,13 @@ CORE_ORACLES_PG = {
                    AS INT) AS arr_len
         FROM events WHERE event_id % 13 = 0
         ORDER BY event_id
+    """,
+    "pg_json_elements": """
+        SELECT event_id,
+               unnest(from_json(concat('[', props ->> 'k', ',7,',
+                   props ->> 'k', ']'), '["VARCHAR"]')) AS elem
+        FROM events WHERE event_id % 29 = 0
+        ORDER BY event_id, elem
     """,
     "pg_array_funcs": """
         SELECT doc_id,
@@ -2152,6 +2179,7 @@ CORE_QUERIES = {
     "pg_scalar_shims": pg_scalar_shims,
     "pg_like_operators": pg_like_operators,
     "pg_jsonb_exists": pg_jsonb_exists,
+    "pg_json_elements": pg_json_elements,
     "pg_array_funcs": pg_array_funcs,
     "pg_dialect_shim": pg_dialect_shim,
     "count_lineitem": count_lineitem,
