@@ -526,6 +526,48 @@ class TestShimLiteralSafety:
         # containment / ARRAY / SIMILAR TO tokens inside literals survive
         assert f("c = 'x @> ARRAY[1]'") == "c = 'x @> ARRAY[1]'"
         assert f("c = 'a SIMILAR TO b'") == "c = 'a SIMILAR TO b'"
+        # r10 operator tokens inside literals survive too
+        for tok in ("->>", "#>", "&&", "@@", "?|", "~~", "strpos(a,b)",
+                    "to_char(x,'Y')", "json_agg(x ORDER BY x)"):
+            clause = f"c = 'pre {tok} post'"
+            assert f(clause) == clause, tok
+
+    def test_shim_literal_safety_fuzz(self):
+        """Property: every string literal's CONTENT survives the whole
+        shim byte-identical, no matter which operator lookalikes it
+        contains — the invariant the quote-split / placeholder
+        architecture exists to guarantee."""
+        hypothesis = pytest.importorskip("hypothesis")
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark
+
+        tokens = st.sampled_from([
+            "->>", "->", "#>>", "#>", "&&", "@@", "?", "?|", "?&",
+            "~~*", "~~", "!~", "~", "::int", "::geography", "@>", "<@",
+            "<->", "ARRAY[1]", "SIMILAR TO", "ORDER BY x",
+            "json_agg(", "to_char(", "unnest(", "FILTER (WHERE",
+            "array_length(a, 1)", "x", " ", "''",
+        ])
+        lit_body = st.lists(tokens, min_size=0, max_size=5).map("".join)
+
+        @given(body=lit_body, n=st.integers(1, 3))
+        @settings(
+            max_examples=120, deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        def check(body, n):
+            lit = "'" + body.replace("'", "''") + "'"
+            clause = " AND ".join(f"c{i} = {lit}" for i in range(n))
+            try:
+                out = _pg_clause_to_spark(clause)
+            except GeoDBError:
+                return  # a loud refusal is always acceptable
+            # every literal occurrence survives byte-identical
+            assert out.count(lit) == n, (clause, out)
+
+        check()
 
     def test_relate3_rewrites(self):
         from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
