@@ -1007,6 +1007,17 @@ class TestShimLiteralSafety:
         assert f("to_tsvector('english', t) @@ plainto_tsquery('q')") == (
             "ts_match_all(to_tsvector('english', t), plainto_tsquery('q'))"
         )
+        # PG 14 date_bin: closed-form epoch arithmetic, folded literals
+        db = f("date_bin(INTERVAL '15 minutes', ts, "
+               "TIMESTAMP '2024-01-01 00:00:00')")
+        assert db == (
+            "timestamp_seconds(floor((CAST(CAST(ts AS TIMESTAMP) AS "
+            "DOUBLE) - 1704067200.0) / 900.0) * 900.0 + 1704067200.0)"
+        )
+        with pytest.raises(GeoDBError, match="fixed-length"):
+            f("date_bin(INTERVAL '1 month', ts, TIMESTAMP '2024-01-01')")
+        with pytest.raises(GeoDBError, match="INTERVAL"):
+            f("date_bin(stride_col, ts, TIMESTAMP '2024-01-01')")
         # jsonb key-existence operators + name aliases
         assert f("props ? 'k'") == (
             "array_contains(json_object_keys(props), 'k')"

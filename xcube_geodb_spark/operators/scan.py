@@ -964,6 +964,102 @@ _JSON_BUILD_RE = re.compile(
 _JSON_ELEMS_RE = re.compile(
     r"\b(?:jsonb?_array_elements_text)\s*\(", re.IGNORECASE
 )
+_DATE_BIN_RE = re.compile(r"\bdate_bin\s*\(", re.IGNORECASE)
+_INTERVAL_SECONDS = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1.0,
+    "minute": 60.0, "hour": 3600.0, "day": 86400.0, "week": 604800.0,
+}
+
+
+def _rewrite_date_bin(code: str, lits: list[str]) -> str:
+    """PG 14 ``date_bin(stride, source, origin)`` — the timeseries
+    bucketing idiom — on literal-protected code. Stride must be a
+    fixed-length ``INTERVAL`` literal (micros..weeks; months/years have
+    variable length and refuse like PG) and origin a ``TIMESTAMP``
+    literal; the rewrite is closed-form epoch arithmetic that stays in
+    whole-stage codegen:
+
+        timestamp_seconds(floor((epoch(src) - O) / S) * S + O)
+
+    with O/S folded to double literals at rewrite time. Bins extend
+    toward -infinity for sources before the origin, exactly PG (and
+    DuckDB's time_bucket, the oracle's spelling)."""
+    pos = 0
+    while True:
+        m = _DATE_BIN_RE.search(code, pos)
+        if not m:
+            return code
+        depth = 0
+        for j in range(m.end() - 1, len(code)):
+            if code[j] == "(":
+                depth += 1
+            elif code[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code
+        args_s = code[m.end(): j]
+        args, depth2, start = [], 0, 0
+        for ci, ch in enumerate(args_s):
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+            elif ch == "," and depth2 == 0:
+                args.append(args_s[start:ci].strip())
+                start = ci + 1
+        args.append(args_s[start:].strip())
+        if len(args) != 3:
+            raise GeoDBError(
+                "date_bin(stride, source, origin): 3 arguments expected"
+            )
+        sm = re.fullmatch(
+            r"INTERVAL\s+(__GEODB_LIT_(\d+)__)", args[0], re.IGNORECASE
+        )
+        if sm is None:
+            raise GeoDBError(
+                "date_bin: stride must be an INTERVAL '<n> <unit>' "
+                "literal"
+            )
+        sval = lits[int(sm.group(2))][1:-1].strip()
+        im = re.fullmatch(
+            r"(\d+(?:\.\d+)?)\s*"
+            r"(microsecond|millisecond|second|minute|hour|day|week)s?",
+            sval, re.IGNORECASE,
+        )
+        if im is None:
+            raise GeoDBError(
+                f"date_bin: unsupported stride {sval!r} (fixed-length "
+                "units only — months/years vary in length, exactly PG's "
+                "restriction)"
+            )
+        stride_s = float(im.group(1)) * _INTERVAL_SECONDS[im.group(2).lower()]
+        if stride_s <= 0:
+            raise GeoDBError("date_bin: stride must be positive")
+        om = re.fullmatch(
+            r"TIMESTAMP\s+(__GEODB_LIT_(\d+)__)", args[2], re.IGNORECASE
+        )
+        if om is None:
+            raise GeoDBError(
+                "date_bin: origin must be a TIMESTAMP '...' literal"
+            )
+        oval = lits[int(om.group(2))][1:-1].strip()
+        from datetime import datetime, timezone
+
+        try:
+            odt = datetime.fromisoformat(oval)
+        except ValueError as exc:
+            raise GeoDBError(f"date_bin: bad origin {oval!r}") from exc
+        origin_s = odt.replace(tzinfo=timezone.utc).timestamp()
+        src = args[1]
+        repl = (
+            f"timestamp_seconds(floor((CAST(CAST({src} AS TIMESTAMP) "
+            f"AS DOUBLE) - {origin_s!r}) / {stride_s!r}) * {stride_s!r} "
+            f"+ {origin_s!r})"
+        )
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
 
 
 def _rewrite_json_array_elements(code: str, lits: list[str]) -> str:
@@ -1825,6 +1921,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
         _TO_CHAR_RE.search(out) or _STR_TO_ARR_RE.search(out)
         or _EXTRACT_EPOCH_RE.search(out) or _JSON_BUILD_RE.search(out)
         or _ARRAY_FN_RE.search(out) or _JSON_ELEMS_RE.search(out)
+        or _DATE_BIN_RE.search(out)
     )
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
             or need_buf3 or need_rx4 or need_json or need_geog
@@ -1859,6 +1956,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             # here (aliases run pre-protection); the name regex matches
             # both json_ and jsonb_ spellings directly
             protected = _rewrite_json_array_elements(protected, lits)
+            protected = _rewrite_date_bin(protected, lits)
         if need_bbox:
             # after containment would also work (&& and @> never nest),
             # but BEFORE it keeps the operand scanners simple; && must

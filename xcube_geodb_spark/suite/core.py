@@ -698,6 +698,29 @@ def pg_json_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def pg_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG 14 ``date_bin(stride, ts, origin)`` through the shim (r10):
+    closed-form epoch arithmetic folded at rewrite time (stays in
+    whole-stage codegen, no UDF). 15-minute bins over the events table,
+    count per bin; DuckDB's time_bucket is the same -infinity-directed
+    binning."""
+    register_views(spark, sf_dir, "events")
+    sql = build_pg_sql(
+        "events",
+        select=(
+            "to_char(date_bin(INTERVAL '15 minutes', ts, "
+            "TIMESTAMP '2024-01-01 00:00:00'), 'YYYY-MM-DD HH24:MI:SS') "
+            "AS bucket, count(*) AS n"
+        ),
+        group=(
+            "date_bin(INTERVAL '15 minutes', ts, "
+            "TIMESTAMP '2024-01-01 00:00:00')"
+        ),
+        order="bucket",
+    )
+    return spark.sql(sql)
+
+
 def pg_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG array/string scalars through the shim (r10):
     ``array_length(a, 1)`` -> ``nullif(size(a), 0)`` (PG returns NULL
@@ -1109,6 +1132,14 @@ CORE_ORACLES_PG = {
                    props ->> 'k', ']'), '["VARCHAR"]')) AS elem
         FROM events WHERE event_id % 29 = 0
         ORDER BY event_id, elem
+    """,
+    "pg_date_bin": """
+        SELECT strftime(time_bucket(INTERVAL '15 minutes', ts,
+                   TIMESTAMP '2024-01-01 00:00:00'),
+                   '%Y-%m-%d %H:%M:%S') AS bucket,
+               count(*) AS n
+        FROM events
+        GROUP BY bucket ORDER BY bucket
     """,
     "pg_array_funcs": """
         SELECT doc_id,
@@ -2180,6 +2211,7 @@ CORE_QUERIES = {
     "pg_like_operators": pg_like_operators,
     "pg_jsonb_exists": pg_jsonb_exists,
     "pg_json_elements": pg_json_elements,
+    "pg_date_bin": pg_date_bin,
     "pg_array_funcs": pg_array_funcs,
     "pg_dialect_shim": pg_dialect_shim,
     "count_lineitem": count_lineitem,
