@@ -217,6 +217,40 @@ def cosine_topk_arrow(
     )
 
 
+def cosine_topk_truncated(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 20,
+    dims: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style truncated-dimension cosine top-k (Kusupati et
+    al. 2022, arXiv:2205.13147 — MRL embeddings are trained so PREFIXES
+    are themselves usable embeddings): score on the first ``dims``
+    components only. At the 100-TB design point this is the cheap first
+    pass of a two-stage funnel — a prefix column persisted at rest
+    scans dims/dim of the bytes (pair with
+    ``cosine_topk``/``cosine_topk_arrow`` over the full vectors as the
+    rerank); here the prefix is sliced JVM-side before the Arrow scorer
+    (``slice`` is codegen, the full column still reads from parquet —
+    persist the prefix to get the IO win). Results are exactly the
+    full scorer's semantics on the truncated space (same fold order,
+    rounding, NULL ranking)."""
+    dims = int(dims)
+    if dims < 1 or dims > len(query_vector):
+        raise ValueError(
+            f"dims must be in [1, {len(query_vector)}] (got {dims})"
+        )
+    sliced = df.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
+    )
+    return cosine_topk_arrow(
+        sliced, [float(v) for v in query_vector[:dims]], k=k,
+        vec_col=vec_col, id_col=id_col,
+    )
+
+
 def knn_join(
     corpus: DataFrame,
     queries,

@@ -539,6 +539,17 @@ def sim_cosine_topk(spark, sf_dir):
     )
 
 
+def sim_matryoshka_topk(spark, sf_dir):
+    """Truncated-dimension (MRL-style) cosine top-k: score on the first
+    16 of 64 components — the cheap first pass of a prefix-column
+    funnel at corpus scale (similarity.cosine_topk_truncated). The
+    oracle slices the same prefix with DuckDB 1-based list slicing."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_truncated(
+        emb, _query_vector(spark, sf_dir), k=20, dims=16
+    )
+
+
 def ann_index_topk(spark, sf_dir):
     """Warehouse ANN end-to-end: lsh-indexed collection -> ingest (files
     range-clustered by the persisted __annbucket) -> probe that prunes data
@@ -905,6 +916,15 @@ LLM_SIM_ORACLES = {
     "sim_cosine_topk": f"""
         {_COS_CTES}
         SELECT vec_id, {_COS_EXPR} AS cos_sim
+        FROM s, q ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+    """,
+    "sim_matryoshka_topk": f"""
+        {_COS_CTES}
+        SELECT vec_id,
+               round(list_dot_product(v[1:16], qv[1:16]) /
+                     (sqrt(list_dot_product(v[1:16], v[1:16]))
+                      * sqrt(list_dot_product(qv[1:16], qv[1:16]))), 6)
+                   AS cos_sim
         FROM s, q ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
     """,
     "sim_lsh_topk": f"""
@@ -2585,6 +2605,7 @@ LLM_QUERIES = {
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_semantic_kept": dedup_semantic_kept,
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_matryoshka_topk": sim_matryoshka_topk,
     "sim_normalize": sim_normalize,
     "sim_quantize_int8": sim_quantize_int8,
     "sim_quantized_topk": sim_quantized_topk,
