@@ -104,6 +104,27 @@ class TestSimilarity:
         assert out[0]["cos_sim"] == 1.0
         assert abs(out[2]["cos_sim"] - 1 / math.sqrt(2)) < 1e-6
 
+    def test_cosine_topk_truncated(self, emb):
+        # full-width truncation == the full Arrow path, bit-identical
+        q = [1.0, 0.0, 0.0, 0.0]
+        full = similarity.cosine_topk_arrow(emb, q, k=5).collect()
+        trunc = similarity.cosine_topk_truncated(emb, q, k=5, dims=4).collect()
+        assert [(r["vec_id"], r["cos_sim"]) for r in full] == [
+            (r["vec_id"], r["cos_sim"]) for r in trunc
+        ]
+        # a 2-dim prefix scores only the first two components: vec 4
+        # (0.7, 0.7) keeps cos 1/sqrt(2), vec 1 renormalizes to its
+        # prefix (0.9, 0.1)
+        out = similarity.cosine_topk_truncated(
+            emb, q, k=3, dims=2
+        ).collect()
+        assert [r["vec_id"] for r in out] == [0, 1, 4]
+        assert abs(
+            out[1]["cos_sim"] - 0.9 / math.hypot(0.9, 0.1)
+        ) < 1e-6
+        with pytest.raises(ValueError, match="dims"):
+            similarity.cosine_topk_truncated(emb, q, dims=9)
+
     def test_cosine_paths_agree_on_degenerate_vectors(self, spark, emb):
         """r8 ADVICE: a zero-norm vector scores NaN; the JVM path ranked
         it FIRST (NaN > all under DESC) while the Arrow path pruned it
