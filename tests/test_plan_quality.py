@@ -568,3 +568,14 @@ class TestRound10PlanShape:
 
         plan = executed_plan(dedup_lines_rebuilt(spark, SF))
         assert "RoundRobinPartitioning" in plan or "REPARTITION" in plan
+
+    def test_matryoshka_funnel_broadcasts_candidates(self, spark):
+        """Stage 1's top-expand output is k-bounded, so the candidate
+        join back to the full vectors must BROADCAST (a shuffle join of
+        a 100-row frame against the corpus would be the anti-pattern)."""
+        from xcube_geodb_spark.suite.llm import sim_matryoshka_funnel
+
+        plan = executed_plan(sim_matryoshka_funnel(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan

@@ -251,6 +251,37 @@ def cosine_topk_truncated(
     )
 
 
+def cosine_topk_funnel(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 20,
+    dims: int = 16,
+    expand: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The two-stage MRL funnel :func:`cosine_topk_truncated` exists
+    for: (1) top-``expand`` candidates by PREFIX cosine (the cheap
+    corpus pass — with a persisted prefix column it scans dims/dim of
+    the bytes), (2) exact full-vector rerank of the candidates to
+    top-``k``. Stage 1's output is k-bounded (``expand`` rows), so the
+    candidate join back to the full vectors broadcasts; stage 2 runs
+    the JVM expression scorer — the right tool for a driver-sized
+    candidate set. Fully deterministic (both stages order by the
+    ROUNDED score with id tiebreak), so the composition is
+    SQL-replayable end-to-end."""
+    if expand < k:
+        raise ValueError(f"expand ({expand}) must be >= k ({k})")
+    cand_ids = cosine_topk_truncated(
+        df, query_vector, k=expand, dims=dims,
+        vec_col=vec_col, id_col=id_col,
+    ).select(id_col)
+    cand = df.join(F.broadcast(cand_ids), id_col, "inner")
+    return cosine_topk(
+        cand, query_vector, k=k, vec_col=vec_col, id_col=id_col
+    )
+
+
 def knn_join(
     corpus: DataFrame,
     queries,

@@ -550,6 +550,19 @@ def sim_matryoshka_topk(spark, sf_dir):
     )
 
 
+def sim_matryoshka_funnel(spark, sf_dir):
+    """The composed MRL funnel: top-100 candidates by 16-dim PREFIX
+    cosine, exact 64-dim rerank to top-20
+    (similarity.cosine_topk_funnel — candidate join broadcasts, rerank
+    is the JVM expression scorer). Deterministic end-to-end (both
+    stages order by the rounded score with id tiebreak), so the oracle
+    replays the same two-stage funnel in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_funnel(
+        emb, _query_vector(spark, sf_dir), k=20, dims=16, expand=100
+    )
+
+
 def ann_index_topk(spark, sf_dir):
     """Warehouse ANN end-to-end: lsh-indexed collection -> ingest (files
     range-clustered by the persisted __annbucket) -> probe that prunes data
@@ -926,6 +939,20 @@ LLM_SIM_ORACLES = {
                       * sqrt(list_dot_product(qv[1:16], qv[1:16]))), 6)
                    AS cos_sim
         FROM s, q ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+    """,
+    "sim_matryoshka_funnel": f"""
+        {_COS_CTES},
+        pre AS (
+            SELECT vec_id,
+                   round(list_dot_product(v[1:16], qv[1:16]) /
+                         (sqrt(list_dot_product(v[1:16], v[1:16]))
+                          * sqrt(list_dot_product(qv[1:16], qv[1:16]))),
+                         6) AS pc
+            FROM s, q ORDER BY pc DESC, vec_id ASC LIMIT 100
+        )
+        SELECT s.vec_id, {_COS_EXPR} AS cos_sim
+        FROM s JOIN pre USING (vec_id), q
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
     """,
     "sim_lsh_topk": f"""
         {_COS_CTES}
@@ -2606,6 +2633,7 @@ LLM_QUERIES = {
     "dedup_semantic_kept": dedup_semantic_kept,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_matryoshka_topk": sim_matryoshka_topk,
+    "sim_matryoshka_funnel": sim_matryoshka_funnel,
     "sim_normalize": sim_normalize,
     "sim_quantize_int8": sim_quantize_int8,
     "sim_quantized_topk": sim_quantized_topk,
