@@ -384,6 +384,22 @@ def _operand_after(s: str) -> tuple[str, int] | None:
     return t[:end], off + end
 
 
+def _close_paren(code: str, open_idx: int) -> int | None:
+    """Index of the ``)`` matching the ``(`` at ``open_idx`` (balanced
+    scan), or None when unbalanced — callers leave unbalanced input for
+    Spark's parser to reject with its own message."""
+    depth = 0
+    for j in range(open_idx, len(code)):
+        if code[j] == "(":
+            depth += 1
+        elif code[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    return None
+
+
+
 def _rewrite_containment(seg: str) -> str:
     """``a @> b`` / ``a <@ b`` (array containment, set semantics) ->
     ``size(array_except(needle, hay)) = 0`` within ONE code segment
@@ -693,15 +709,8 @@ def _rewrite_geography(code: str) -> str:
                 "meters); for other functions cast back or use the "
                 "st_*sphere/spheroid forms directly"
             )
-        depth = 0
-        for j in range(m.end() - 1, len(code)):
-            if code[j] == "(":
-                depth += 1
-            elif code[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        else:
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
             raise GeoDBError(f"{m.group(1)}: unbalanced parentheses")
         args_s = code[m.end(): j]
         if _GEOG_MARK not in args_s:
@@ -915,15 +924,8 @@ def _rewrite_array_funcs(code: str) -> str:
         if not m:
             return code
         fname = m.group(1).lower()
-        depth = 0
-        for j in range(m.end() - 1, len(code)):
-            if code[j] == "(":
-                depth += 1
-            elif code[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        else:
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
             return code  # unbalanced: leave for Spark's parser
         args_s = code[m.end(): j]
         args, depth2, start = [], 0, 0
@@ -989,16 +991,9 @@ def _rewrite_date_bin(code: str, lits: list[str]) -> str:
         m = _DATE_BIN_RE.search(code, pos)
         if not m:
             return code
-        depth = 0
-        for j in range(m.end() - 1, len(code)):
-            if code[j] == "(":
-                depth += 1
-            elif code[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        else:
-            return code
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
         args_s = code[m.end(): j]
         args, depth2, start = [], 0, 0
         for ci, ch in enumerate(args_s):
@@ -1075,16 +1070,9 @@ def _rewrite_json_array_elements(code: str, lits: list[str]) -> str:
         m = _JSON_ELEMS_RE.search(code, pos)
         if not m:
             return code
-        depth = 0
-        for j in range(m.end() - 1, len(code)):
-            if code[j] == "(":
-                depth += 1
-            elif code[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        else:
-            return code
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
         lits.append("'array<string>'")
         ph = f"__GEODB_LIT_{len(lits) - 1}__"
         repl = f"explode(from_json({code[m.end(): j]}, {ph}))"
@@ -1133,16 +1121,9 @@ def _rewrite_json_build(code: str) -> str:
         m = _JSON_BUILD_RE.search(code, pos)
         if not m:
             return code
-        depth = 0
-        for j in range(m.end() - 1, len(code)):
-            if code[j] == "(":
-                depth += 1
-            elif code[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        else:
-            return code
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
         repl = f"to_json(named_struct({code[m.end(): j]}))"
         code = code[: m.start()] + repl + code[j + 1:]
         pos = m.start() + len(repl)
@@ -1215,16 +1196,9 @@ def _rewrite_misc_pg_funcs(code: str, lits: list[str]) -> str:
         m = _TO_CHAR_RE.search(code, pos)
         if not m:
             break
-        depth = 0
-        for j in range(m.end() - 1, len(code)):
-            if code[j] == "(":
-                depth += 1
-            elif code[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        else:
-            return code
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
         args = code[m.end(): j]
         depth2, comma_at = 0, None
         for ci, ch in enumerate(args):
@@ -1255,16 +1229,9 @@ def _rewrite_misc_pg_funcs(code: str, lits: list[str]) -> str:
         m = _STR_TO_ARR_RE.search(code, pos)
         if not m:
             return code
-        depth = 0
-        for j in range(m.end() - 1, len(code)):
-            if code[j] == "(":
-                depth += 1
-            elif code[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        else:
-            return code
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
         args = code[m.end(): j]
         splits, depth2 = [], 0
         for ci, ch in enumerate(args):
@@ -1437,16 +1404,9 @@ def _rewrite_agg_orderby(code: str) -> str:
         if not m:
             return code
         fname = m.group(1).lower()
-        depth = 0
-        for j in range(m.end() - 1, len(code)):
-            if code[j] == "(":
-                depth += 1
-            elif code[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        else:
-            return code  # unbalanced parens: leave for Spark's parser
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
         args = code[m.end(): j]
         ob = None
         for om in _ORDER_BY_RE.finditer(args):
@@ -1540,16 +1500,9 @@ def _rewrite_spatial_aggs(code: str) -> str:
         if not m:
             return code
         fname = m.group(1).lower()
-        depth = 0
-        for j in range(m.end() - 1, len(code)):
-            if code[j] == "(":
-                depth += 1
-            elif code[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        else:
-            return code  # unbalanced parens: leave for Spark's parser
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
         args = code[m.end(): j]
         # top-level comma -> the scalar two-argument overlay form
         # (EXCEPT st_clusterwithin, whose 2-arg form IS the aggregate)
@@ -1653,16 +1606,9 @@ def _rewrite_regexp_flags(code: str, lits: list[str]) -> str:
         m = _REGEXP4_RE.search(code, pos)
         if not m:
             return code
-        depth = 0
-        for j in range(m.end() - 1, len(code)):
-            if code[j] == "(":
-                depth += 1
-            elif code[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        else:
-            return code
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
         args = code[m.end(): j]
         splits, depth2 = [], 0
         for k, ch in enumerate(args):
@@ -1715,16 +1661,9 @@ def _rewrite_buffer3(code: str) -> str:
         m = _BUFFER3_RE.search(code, pos)
         if not m:
             return code
-        depth = 0
-        for j in range(m.end() - 1, len(code)):
-            if code[j] == "(":
-                depth += 1
-            elif code[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        else:
-            return code
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
         args = code[m.end(): j]
         depth2, n_commas = 0, 0
         for ch in args:
@@ -1753,15 +1692,8 @@ def _rewrite_relate3(code: str) -> str:
         m = _RELATE3_RE.search(code, pos)
         if not m:
             return code
-        depth = 0
-        for j in range(m.end() - 1, len(code)):
-            if code[j] == "(":
-                depth += 1
-            elif code[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        else:
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
             return code  # unbalanced: leave for Spark's parser
         args = code[m.end(): j]
         splits = []
