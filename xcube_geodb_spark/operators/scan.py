@@ -1060,11 +1060,12 @@ def _rewrite_date_bin(code: str, lits: list[str]) -> str:
 def _rewrite_json_array_elements(code: str, lits: list[str]) -> str:
     """PG ``json_array_elements_text(j)`` / ``jsonb_array_elements_text``
     in SELECT position -> ``explode(from_json(j, 'array<string>'))`` —
-    one row per array element as text (numbers/booleans via Spark's
-    string coercion), the same one-generator-per-select restriction as
-    ``unnest``. The json-TYPED ``json_array_elements`` (object/array
-    elements) stays outside the shim — extract with ``-> n`` chains or
-    a typed from_json directly."""
+    one row per array element as text; scalar elements unquote and
+    object/array elements stringify to their json text, both exactly
+    PG's _text semantics (Spark's array<string> coercion). Same
+    one-generator-per-select restriction as ``unnest``. The json-TYPED
+    ``json_array_elements`` stays outside the shim — extract with
+    ``-> n`` chains or a typed from_json directly."""
     pos = 0
     while True:
         m = _JSON_ELEMS_RE.search(code, pos)
