@@ -456,17 +456,21 @@ def _bench_ann_probe(spark, sf_dir: str, timings: dict, reps: int) -> float:
     # session JIT/GC state, not code)
     build_reps: list[float] = []
     wh = None
-    for _ in range(2):
-        if wh is not None:
-            shutil.rmtree(wh, ignore_errors=True)
-        wh = tempfile.mkdtemp(prefix="geodb_bench_ann_")
-        c = GeoDBSparkClient(spark, warehouse=wh, user="bench")
-        t0 = time.perf_counter()
-        c.create_collection("emb", {"vec_id": "int", "embedding": "float[]"})
-        c.create_index("emb", "embedding", kind="lsh", options={"dim": 64})
-        c.insert_into_collection("emb", emb)
-        build_reps.append(round(time.perf_counter() - t0, 3))
     try:
+        # build reps INSIDE the try: a failing second rep must still
+        # clean up the freshly created temp warehouse (r10 ADVICE)
+        for _ in range(2):
+            if wh is not None:
+                shutil.rmtree(wh, ignore_errors=True)
+            wh = tempfile.mkdtemp(prefix="geodb_bench_ann_")
+            c = GeoDBSparkClient(spark, warehouse=wh, user="bench")
+            t0 = time.perf_counter()
+            c.create_collection(
+                "emb", {"vec_id": "int", "embedding": "float[]"}
+            )
+            c.create_index("emb", "embedding", kind="lsh", options={"dim": 64})
+            c.insert_into_collection("emb", emb)
+            build_reps.append(round(time.perf_counter() - t0, 3))
         dt = min(build_reps)
         timings["ann_index_build"] = round(dt, 3)
         timings["ann_index_build_reps"] = build_reps
@@ -484,26 +488,29 @@ def _bench_ann_probe(spark, sf_dir: str, timings: dict, reps: int) -> float:
         timings["ann_probe"] = round(best, 3)
         total += best
     finally:
-        shutil.rmtree(wh, ignore_errors=True)
+        if wh is not None:
+            shutil.rmtree(wh, ignore_errors=True)
 
     build_reps = []
     wh = None
-    for _ in range(2):
-        if wh is not None:
-            shutil.rmtree(wh, ignore_errors=True)
-        wh = tempfile.mkdtemp(prefix="geodb_bench_ivfpq_")
-        c = GeoDBSparkClient(spark, warehouse=wh, user="bench")
-        t0 = time.perf_counter()
-        cents = similarity.seed_centroids(emb, n_centroids=8)
-        books = similarity.pq_codebooks(emb, n_subspaces=8, n_centroids=8)
-        c.create_collection("emb", {"vec_id": "int", "embedding": "float[]"})
-        c.create_index(
-            "emb", "embedding", kind="ivfpq",
-            options={"centroids": cents, "codebooks": books},
-        )
-        c.insert_into_collection("emb", emb)
-        build_reps.append(round(time.perf_counter() - t0, 3))
     try:
+        for _ in range(2):
+            if wh is not None:
+                shutil.rmtree(wh, ignore_errors=True)
+            wh = tempfile.mkdtemp(prefix="geodb_bench_ivfpq_")
+            c = GeoDBSparkClient(spark, warehouse=wh, user="bench")
+            t0 = time.perf_counter()
+            cents = similarity.seed_centroids(emb, n_centroids=8)
+            books = similarity.pq_codebooks(emb, n_subspaces=8, n_centroids=8)
+            c.create_collection(
+                "emb", {"vec_id": "int", "embedding": "float[]"}
+            )
+            c.create_index(
+                "emb", "embedding", kind="ivfpq",
+                options={"centroids": cents, "codebooks": books},
+            )
+            c.insert_into_collection("emb", emb)
+            build_reps.append(round(time.perf_counter() - t0, 3))
         dt = min(build_reps)
         timings["ann_ivfpq_build"] = round(dt, 3)
         timings["ann_ivfpq_build_reps"] = build_reps
@@ -520,7 +527,8 @@ def _bench_ann_probe(spark, sf_dir: str, timings: dict, reps: int) -> float:
         timings["ann_ivfpq_probe"] = round(best, 3)
         total += best
     finally:
-        shutil.rmtree(wh, ignore_errors=True)
+        if wh is not None:
+            shutil.rmtree(wh, ignore_errors=True)
     return total
 
 

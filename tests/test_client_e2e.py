@@ -1278,3 +1278,60 @@ class TestCheckConstraints:
             pd.DataFrame({"geometry": ["POINT (4 4)"], "v": [-2], "name": ["z"]}),
         )
         assert len(cc.get_collection("t")) == 3
+
+
+class TestR11AdviceFixes:
+    """Regression pins for the r10 ADVICE items (VERDICT.md round 10)."""
+
+    def test_geography_cast_case_insensitive(self):
+        # (x)::GEOGRAPHY must arm the marker-consuming geodesic pass —
+        # PG type names are case-insensitive; the r10 gate was not,
+        # leaking the internal marker into the final SQL
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        for t in ("GEOGRAPHY", "Geography", "geography"):
+            out = f(f"st_distance((a)::{t}, (b)::{t})")
+            assert "__geodb_geography__" not in out, out
+            assert "st_distancespheroid" in out, out
+
+    def test_lambda_literal_body_survives(self):
+        # a Spark lambda whose body is a bare literal is NOT a PG json
+        # arrow (`transform(xs, x -> 'y')` used to rewrite to a broken
+        # variant_get walk)
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        for clause in (
+            "transform(xs, x -> 'y')",
+            "transform(xs, x -> 1)",
+            "filter(xs, x -> 'y')",
+            "aggregate(xs, 0, (acc, v) -> 1)",
+            "array_sort(xs, (l, r) -> 1)",
+        ):
+            assert f(clause) == clause, clause
+        # arrows inside non-HOF calls and lambda BODIES still rewrite
+        assert f("coalesce(j ->> 'k', 'x')") == (
+            "coalesce(get_json_object(j, '$.k'), 'x')"
+        )
+        assert f("transform(xs, x -> x ->> 'k')") == (
+            "transform(xs, x -> get_json_object(x, '$.k'))"
+        )
+
+    def test_keyword_operand_refuses_loudly(self):
+        # `CASE ... END ->> 'k'` (valid PG) used to emit broken SQL; the
+        # operand scanner stops at END — refuse with a parenthesize hint
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        for clause in (
+            "CASE WHEN a THEN j ELSE k END ->> 'k'",
+            "CASE WHEN a THEN j ELSE k END -> 'k'",
+            "CASE WHEN a THEN x ELSE y END @> z",
+            "CASE WHEN a THEN g ELSE h END && b",
+            "CASE WHEN a THEN v ELSE w END @@ q",
+            "CASE WHEN a THEN j ELSE k END ? 'k'",
+        ):
+            with pytest.raises(GeoDBError, match="[Pp]arenthesize"):
+                f(clause)
+        # the parenthesized spelling rewrites correctly
+        assert f("(CASE WHEN a THEN j ELSE k END) ->> 'k'") == (
+            "get_json_object((CASE WHEN a THEN j ELSE k END), '$.k')"
+        )

@@ -353,6 +353,19 @@ _SQL_KEYWORDS = frozenset(
     "USING VALUES RETURNING".split()
 )
 
+def _guard_keyword_operand(op: str, lhs: str) -> None:
+    """Refuse loudly when an operand-pair rewrite extracted a bare SQL
+    keyword as the left operand (e.g. ``CASE ... END @> x`` — the
+    operand scanner stops at ``END``); a rewrite would emit broken SQL
+    with no hint at the cause (r10 ADVICE)."""
+    if lhs.upper() in _SQL_KEYWORDS:
+        raise GeoDBError(
+            f"Unsupported left operand for {op}: the operand scanner "
+            f"stopped at the keyword {lhs!r}. Parenthesize the operand "
+            f"(e.g. (CASE ... END) {op} ...)."
+        )
+
+
 # FROM-clause keywords that must not be mistaken for a table alias
 # (kept separate: LEFT/RIGHT are also scalar function names, so they
 # cannot join _SQL_KEYWORDS, which guards operand-call detection)
@@ -433,6 +446,7 @@ def _rewrite_containment(seg: str) -> str:
                 "...). Parenthesize the operand or rewrite with "
                 "array_except()."
             )
+        _guard_keyword_operand(m.group(1), lhs)
         hay, needle = (lhs, rhs) if m.group(1) == "@>" else (rhs, lhs)
         repl = f"size(array_except({needle}, {hay})) = 0"
         seg = seg[:lstart] + repl + seg[m.end() + rend_rel:]
@@ -469,6 +483,7 @@ def _rewrite_knn_ops(seg: str) -> str:
             )
         lhs, lstart = left
         rhs, rend_rel = right
+        _guard_keyword_operand(op, lhs)
         prefix = seg[:lstart].rstrip()
         if prefix and prefix[-1] in "|&+-*/%^":
             raise GeoDBError(
@@ -494,9 +509,50 @@ def _rewrite_knn_ops(seg: str) -> str:
 
 # PG json operators. `<->`/`<#>` (KNN) are excluded by the lookbehind;
 # Spark lambda arrows (`x -> expr`) survive because the rewrite only
-# fires when the RIGHT operand is a string literal or an integer.
+# fires when the RIGHT operand is a string literal or an integer AND the
+# left operand is not a lambda parameter of a higher-order function
+# (_is_lambda_param — r10 ADVICE: `transform(xs, x -> 'y')` has a
+# literal body but is not a PG json form).
 _JSON_ARROW_RE = re.compile(r"(?<!<)(?:->>|->|#>>|#>)")
 _LIT_PLACEHOLDER_RE = re.compile(r"__GEODB_LIT_(\d+)__")
+
+# Spark's higher-order functions whose lambda arguments carry `->`
+_HOF_NAMES = frozenset(
+    "transform filter exists forall aggregate reduce zip_with map_filter "
+    "map_zip_with transform_keys transform_values array_sort".split()
+)
+_LAMBDA_PARAMS_RE = re.compile(
+    r"\(\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*\)"
+)
+
+
+def _is_lambda_param(code: str, lstart: int, lhs: str) -> bool:
+    """True when the operand ``lhs`` starting at ``lstart`` is a
+    plausible Spark lambda parameter: a bare identifier (or ``(x, i)``
+    parameter tuple) that begins a direct argument — i.e. immediately
+    follows ``(`` or ``,`` — of a call to a known higher-order function.
+    Guards the json-arrow rewrite against literal-bodied lambdas like
+    ``transform(xs, x -> 'y')``; ``f(j ->> 'k')`` still rewrites because
+    ``f`` is not a HOF."""
+    if not (
+        re.fullmatch(r"[A-Za-z_]\w*", lhs)
+        or _LAMBDA_PARAMS_RE.fullmatch(lhs)
+    ):
+        return False
+    prefix = code[:lstart].rstrip()
+    if not prefix or prefix[-1] not in "(,":
+        return False
+    depth = 0
+    for j in range(len(prefix) - 1, -1, -1):
+        ch = prefix[j]
+        if ch == ")":
+            depth += 1
+        elif ch == "(":
+            if depth == 0:
+                m = re.search(r"([A-Za-z_]\w*)\s*$", prefix[:j])
+                return bool(m) and m.group(1).lower() in _HOF_NAMES
+            depth -= 1
+    return False
 
 
 def _json_path_seg(key: str) -> str:
@@ -547,6 +603,20 @@ def _rewrite_json_arrows(code: str, lits: list[str]) -> str:
             pos = m.end()
             continue
         lhs, lstart = left
+        if m.group(0) == "->" and _is_lambda_param(code, lstart, lhs):
+            # a Spark lambda whose body happens to be a literal
+            # (`transform(xs, x -> 'y')`) — not a PG json form; only the
+            # `->` spelling can be a lambda arrow
+            pos = m.end()
+            continue
+        if lhs.upper() in _SQL_KEYWORDS:
+            # e.g. `CASE ... END ->> 'k'`: the operand scanner stops at
+            # the keyword; a rewrite would emit broken SQL (r10 ADVICE)
+            raise GeoDBError(
+                f"Unsupported left operand for {m.group(0)}: the operand "
+                f"scanner stopped at the keyword {lhs!r}. Parenthesize "
+                "the operand (e.g. (CASE ... END) ->> 'k')."
+            )
         path, last_text = "$", False
         op = m.group(0)
         j = m.end()
@@ -811,6 +881,7 @@ def _rewrite_bbox_overlap(seg: str) -> str:
             )
         lhs, lstart = left
         rhs, rend_rel = right
+        _guard_keyword_operand("&&", lhs)
         prefix = seg[:lstart].rstrip()
         if prefix and prefix[-1] in "|&+-*/%^":
             raise GeoDBError(
@@ -864,6 +935,7 @@ def _rewrite_jsonb_exists(seg: str) -> str:
             )
         lhs, lstart = left
         rhs, rend_rel = right
+        _guard_keyword_operand(op, lhs)
         keys = f"json_object_keys({lhs})"
         if op == "?":
             repl = f"array_contains({keys}, {rhs})"
@@ -896,6 +968,7 @@ def _rewrite_tsmatch(seg: str) -> str:
             )
         lhs, lstart = left
         rhs, rend_rel = right
+        _guard_keyword_operand("@@", lhs)
         repl = f"ts_match_all({lhs}, {rhs})"
         seg = seg[:lstart] + repl + seg[m.end() + rend_rel:]
 
@@ -1837,7 +1910,12 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_rx4 = bool(_REGEXP4_RE.search(out))
     need_json = bool(_JSON_ARROW_RE.search(out))
     need_pcast = bool(_PAREN_CAST_RE.search(out))
-    need_geog = _GEOG_MARK in out or (need_pcast and "geography" in out)
+    # case-insensitive: PG type names are case-insensitive, so
+    # (x)::GEOGRAPHY must arm the marker-consuming pass too (r10 ADVICE:
+    # a case-sensitive check leaked the internal marker into final SQL)
+    need_geog = _GEOG_MARK in out or (
+        need_pcast and "geography" in out.lower()
+    )
     need_bbox = "&&" in out
     need_ts = bool(_TSMATCH_OP_RE.search(out))
     need_jexists = "?" in out
