@@ -1335,3 +1335,93 @@ class TestR11AdviceFixes:
         assert f("(CASE WHEN a THEN j ELSE k END) ->> 'k'") == (
             "get_json_object((CASE WHEN a THEN j ELSE k END), '$.k')"
         )
+
+
+class TestFromSrfRewrites:
+    """FROM-position set-returning functions (r10 verdict order 1):
+    string-level pins for operators/scan._rewrite_from_srfs; execution
+    + value semantics are oracle-gated by pg_from_srf."""
+
+    def test_comma_form_unnest(self):
+        from xcube_geodb_spark.operators.scan import _rewrite_from_srfs as f
+
+        assert f("t, unnest(t.arr) AS u(x)") == (
+            "t LATERAL VIEW explode(t.arr) u AS x"
+        )
+        # PG scalar-function rule: bare alias names the COLUMN
+        assert f("t, unnest(t.arr) u") == (
+            "t LATERAL VIEW explode(t.arr) u AS u"
+        )
+        # no alias: PG default column name = function name
+        assert f("t, unnest(t.arr)") == (
+            "t LATERAL VIEW explode(t.arr) unnest AS unnest"
+        )
+
+    def test_with_ordinality_and_multi_array(self):
+        from xcube_geodb_spark.operators.scan import _rewrite_from_srfs as f
+
+        out = f("t, unnest(t.arr) WITH ORDINALITY AS u(x, i)")
+        assert "inline(transform(t.arr" in out and "u AS x, i" in out
+        # 1-based BIGINT ordinal, ordinality column LAST like PG
+        assert "__geodb_i + 1 AS BIGINT" in out
+        assert f("t, unnest(a, b) AS u(x, y)") == (
+            "t LATERAL VIEW inline(arrays_zip(a, b)) u AS x, y"
+        )
+        with pytest.raises(GeoDBError, match="uniquely named"):
+            f("t, unnest(a, b)")  # multi-array needs explicit columns
+
+    def test_json_each_forms(self):
+        from xcube_geodb_spark.operators.scan import _rewrite_from_srfs as f
+
+        assert f("e, json_each_text(props) AS x(k, v)") == (
+            "e LATERAL VIEW explode(from_json(props, "
+            "'map<string,string>')) x AS k, v"
+        )
+        # json-typed values go through to_json(variant) — quotes kept
+        out = f("e, jsonb_each(props) x")
+        assert "map<string,variant>" in out and "to_json(__geodb_v)" in out
+        assert out.endswith("x AS key, value")
+
+    def test_elements_and_standalone(self):
+        from xcube_geodb_spark.operators.scan import _rewrite_from_srfs as f
+
+        assert f("t, json_array_elements_text(t.j) el") == (
+            "t LATERAL VIEW explode(from_json(t.j, 'array<string>')) "
+            "el AS value"
+        )
+        # standalone literal-args form -> lateral subquery
+        assert f("unnest(array(1,2,3)) t(x)") == (
+            "(SELECT explode(array(1,2,3)) AS x) t"
+        )
+        out = f("json_each_text('{\"a\":1}') e(k, v)")
+        assert out.startswith("(SELECT explode(from_json('{\"a\":1}'")
+        assert out.endswith("AS (k, v)) e")
+
+    def test_join_spellings_and_nesting(self):
+        from xcube_geodb_spark.operators.scan import _rewrite_from_srfs as f
+
+        assert f("t CROSS JOIN unnest(t.arr) u(x)") == (
+            "t LATERAL VIEW explode(t.arr) u AS x"
+        )
+        assert f("t CROSS JOIN LATERAL unnest(t.arr) u(x)") == (
+            "t LATERAL VIEW explode(t.arr) u AS x"
+        )
+        assert f("t, LATERAL unnest(t.arr) u(x)") == (
+            "t LATERAL VIEW explode(t.arr) u AS x"
+        )
+        # SRFs nested in a subquery item are that scope's business
+        assert f("(SELECT unnest(x) FROM q) s") == "(SELECT unnest(x) FROM q) s"
+        # a plain table clause passes through untouched
+        assert f("lineitem") == "lineitem"
+        # join chains keep their shape; lateral views append at the end
+        assert f("a JOIN b ON a.id = b.id, unnest(a.arr) u(x)") == (
+            "a JOIN b ON a.id = b.id LATERAL VIEW explode(a.arr) u AS x"
+        )
+
+    def test_alias_column_count_mismatch_refuses(self):
+        from xcube_geodb_spark.operators.scan import _rewrite_from_srfs as f
+
+        with pytest.raises(GeoDBError, match="output column"):
+            f("e, json_each_text(props) AS x(k)")
+        with pytest.raises(GeoDBError, match="ORDINALITY"):
+            f("e, json_each(props) WITH ORDINALITY x")

@@ -1997,6 +1997,44 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     return out
 
 
+def _close_paren_lit(code: str, open_idx: int) -> int | None:
+    """Like :func:`_close_paren` but quote-aware: parens inside string
+    literals ('' is the quote escape — toggles twice, net no-op) don't
+    count. For raw FROM-clause text, which is not literal-protected."""
+    depth, in_lit = 0, False
+    for j in range(open_idx, len(code)):
+        ch = code[j]
+        if ch == "'":
+            in_lit = not in_lit
+        elif not in_lit:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return j
+    return None
+
+
+def _split_top_commas_lit(s: str) -> list[str]:
+    """Split on commas at paren depth 0 outside string literals — the
+    FROM-item / argument splitter for raw (not literal-protected) SQL."""
+    items, depth, in_lit, start = [], 0, False, 0
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_lit = not in_lit
+        elif not in_lit:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                items.append(s[start:i])
+                start = i + 1
+    items.append(s[start:])
+    return items
+
+
 _GEN_SERIES_RE = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
 
 
@@ -2047,6 +2085,213 @@ def _rewrite_generate_series(table: str) -> str:
     return _rewrite_generate_series(out)  # several series in one FROM
 
 
+# FROM-position set-returning functions (r10 verdict order 1): the
+# reference's own PL/pgSQL iterates FROM json_each_text(...)
+# (geodb.sql:224), FROM json_each(...) (:342-345), FROM
+# json_array_elements(...) (:246, :364) and FROM unnest(...) (:1797),
+# and the passthrough admits them (geodb.sql:1147-1167).
+_FROM_SRF_RE = re.compile(
+    r"\b(unnest|jsonb?_each_text|jsonb?_each"
+    r"|jsonb?_array_elements_text|jsonb?_array_elements)\s*\(",
+    re.IGNORECASE,
+)
+_WITH_ORD_RE = re.compile(r"^\s*WITH\s+ORDINALITY\b", re.IGNORECASE)
+_CROSS_JOIN_TAIL_RE = re.compile(
+    r"\bCROSS\s+JOIN(?:\s+LATERAL)?\s*$", re.IGNORECASE
+)
+_SRF_ALIAS_RE = re.compile(
+    r"^\s*(?:AS\s+)?([A-Za-z_]\w*)\s*"
+    r"(?:\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?",
+    re.IGNORECASE,
+)
+
+
+def _srf_generator(
+    fname: str, args: str, with_ord: bool
+) -> tuple[str, list[str]]:
+    """(generator expression, PG default column names) for one
+    FROM-position set-returning function. ``args`` already ran through
+    the clause shim. Value semantics:
+
+    - ``unnest(a)`` -> ``explode(a)``; ``WITH ORDINALITY`` -> an
+      ``inline(transform(...))`` carrying a 1-based BIGINT ordinal
+      (PG's ordinality column, LAST like PG); multi-array
+      ``unnest(a, b)`` -> ``inline(arrays_zip(a, b))`` — arrays_zip
+      null-pads to the longest array exactly like PG's row form
+    - ``json_each_text(j)`` -> explode of ``from_json(j,
+      'map<string,string>')`` — scalar values unquote, nested values
+      stringify to json text, PG's _text semantics (DOCUMENTED
+      DEVIATION: object values re-serialize compactly)
+    - ``json_each(j)`` -> same map with values kept json-TYPED as text
+      via ``transform_values(..., to_json(variant))`` — string values
+      keep their quotes exactly like PG's json-returning form
+    - ``json_array_elements[_text](j)`` -> explode of
+      ``from_json(j, 'array<variant|string>')`` with the same
+      json/text value split
+    """
+    if fname == "unnest":
+        arglist = _split_top_commas_lit(args)
+        if len(arglist) > 1:
+            if with_ord:
+                raise GeoDBError(
+                    "unnest(a, b, ...) WITH ORDINALITY is outside the pg "
+                    "dialect shim (use a single array)"
+                )
+            return f"inline(arrays_zip({args}))", ["unnest"] * len(arglist)
+        if with_ord:
+            return (
+                f"inline(transform({args}, (__geodb_v, __geodb_i) -> "
+                f"struct(__geodb_v, CAST(__geodb_i + 1 AS BIGINT))))",
+                ["unnest", "ordinality"],
+            )
+        return f"explode({args})", ["unnest"]
+    if with_ord:
+        raise GeoDBError(
+            f"{fname} WITH ORDINALITY is outside the pg dialect shim"
+        )
+    if fname == "json_each_text":
+        return (
+            f"explode(from_json({args}, 'map<string,string>'))",
+            ["key", "value"],
+        )
+    if fname == "json_each":
+        return (
+            f"explode(transform_values("
+            f"from_json({args}, 'map<string,variant>'), "
+            f"(__geodb_k, __geodb_v) -> to_json(__geodb_v)))",
+            ["key", "value"],
+        )
+    if fname == "json_array_elements_text":
+        return f"explode(from_json({args}, 'array<string>'))", ["value"]
+    # json_array_elements
+    return (
+        f"explode(transform(from_json({args}, 'array<variant>'), "
+        f"__geodb_v -> to_json(__geodb_v)))",
+        ["value"],
+    )
+
+
+def _rewrite_from_srfs(table: str) -> str:
+    """PG FROM-position set-returning functions -> Spark ``LATERAL VIEW``
+    / lateral subquery forms (the reference's own SQL uses every one —
+    geodb.sql:224, :342-345, :246, :364, :1797):
+
+    - ``FROM tbl, unnest(tbl.arr) [AS] t(x)`` (PG's implicit-LATERAL
+      comma form, optional explicit ``LATERAL``) ->
+      ``FROM tbl LATERAL VIEW explode(tbl.arr) t AS x``
+    - ``FROM tbl CROSS JOIN [LATERAL] srf(...) t(...)`` — same rewrite
+    - ``FROM srf(literal_args) [AS] t(cols)`` standalone -> a lateral
+      subquery ``(SELECT explode(...) AS cols) t`` (the
+      generate_series donor shape)
+
+    Spark's grammar hangs LATERAL VIEWs off the END of the FROM clause,
+    so SRF items are lifted out of the comma list and appended in their
+    original order — generators may reference any preceding relation or
+    earlier SRF alias, exactly PG's left-to-right lateral scoping. A
+    relation listed AFTER an SRF that the SRF does not reference is
+    legal in both (comma join is commutative); PG queries where a LATER
+    relation references the SRF's alias are rare and fail loudly at
+    analysis. Default aliases/columns follow PG: the function name
+    aliases the table; ``unnest``'s scalar column takes a bare ``AS t``
+    alias as its COLUMN name (PG's scalar-function rule), json_each*
+    yields (key, value), elements yields value. Multi-array unnest
+    requires explicit column aliases. SELECT-position SRFs stay with
+    the clause shim (``unnest`` -> explode there)."""
+    if not _FROM_SRF_RE.search(table):
+        return table
+    items = _split_top_commas_lit(table)
+    plain: list[str] = []
+    laterals: list[str] = []
+    standalone_subquery: str | None = None
+    for item in items:
+        pos = 0
+        consumed_any = False
+        while True:
+            m = _FROM_SRF_RE.search(item, pos)
+            if m is None:
+                break
+            # only top-level calls rewrite; nested (subquery/arg) ones
+            # belong to their own scope
+            head = item[: m.start()]
+            if head.count("(") - head.count(")") != 0:
+                pos = m.end()
+                continue
+            prefix = head.strip()
+            is_lead = prefix == "" or re.fullmatch(
+                r"LATERAL", prefix, re.IGNORECASE
+            )
+            cj = _CROSS_JOIN_TAIL_RE.search(prefix) if not is_lead else None
+            if not is_lead and cj is None:
+                # not a FROM item head (e.g. a scalar call inside an ON
+                # condition): leave for Spark's parser
+                pos = m.end()
+                continue
+            j = _close_paren_lit(item, m.end() - 1)
+            if j is None:
+                raise GeoDBError(f"{m.group(1)}: unbalanced parentheses")
+            fname = m.group(1).lower().replace("jsonb_", "json_")
+            args = _pg_clause_to_spark(item[m.end(): j].strip())
+            rest = item[j + 1:]
+            with_ord = False
+            om = _WITH_ORD_RE.match(rest)
+            if om:
+                with_ord = True
+                rest = rest[om.end():]
+            gen, def_cols = _srf_generator(fname, args, with_ord)
+            am = _SRF_ALIAS_RE.match(rest)
+            alias, cols = fname, def_cols
+            if am and am.group(1).upper() not in _FROM_KEYWORDS:
+                alias = am.group(1)
+                if am.group(2):
+                    cols = [c.strip() for c in am.group(2).split(",")]
+                    if len(cols) != len(def_cols):
+                        raise GeoDBError(
+                            f"{fname}: {len(def_cols)} output column(s) "
+                            f"expected, alias lists {len(cols)}"
+                        )
+                elif fname == "unnest" and len(def_cols) == 1:
+                    # PG scalar-function rule: a bare alias names the col
+                    cols = [alias]
+                rest = rest[am.end():]
+            if len(set(c.lower() for c in cols)) != len(cols):
+                raise GeoDBError(
+                    f"{fname}: output columns must be uniquely named — "
+                    "alias them explicitly, e.g. AS t(a, b)"
+                )
+            laterals.append(f"LATERAL VIEW {gen} {alias} AS {', '.join(cols)}")
+            if is_lead and standalone_subquery is None and not plain:
+                # might end up standalone; remember how to render it
+                if len(cols) == 1:
+                    sel = f"{gen} AS {cols[0]}"
+                else:
+                    sel = f"{gen} AS ({', '.join(cols)})"
+                standalone_subquery = f"(SELECT {sel}) {alias}"
+            # drop the SRF text from the item, keep surrounding joins
+            keep_head = prefix[: cj.start()] if cj else ""
+            item = keep_head + rest
+            pos = 0
+            consumed_any = True
+        item = item.strip()
+        if item:
+            plain.append(item)
+        elif not consumed_any:
+            raise GeoDBError("empty FROM item")
+    if not plain:
+        # no base relation: the first SRF becomes a lateral subquery
+        # (literal-args form), the rest stay LATERAL VIEWs on it
+        if standalone_subquery is None:
+            raise GeoDBError(
+                "FROM-position set-returning function without a base "
+                "relation must come first in the FROM list"
+            )
+        plain = [standalone_subquery]
+        laterals = laterals[1:]
+    out = ", ".join(plain)
+    if laterals:
+        out += " " + " ".join(laterals)
+    return out
+
+
 _DISTINCT_ON_RE = re.compile(r"\s*DISTINCT\s+ON\s*\(", re.IGNORECASE)
 
 
@@ -2092,7 +2337,7 @@ def build_pg_sql(
     collection's column list, supplied by :func:`get_collection_pg`) is
     required only for the ``DISTINCT ON (...) *`` spelling, to project the
     helper row-number column back out."""
-    table = _rewrite_generate_series(table)
+    table = _rewrite_from_srfs(_rewrite_generate_series(table))
     select = _pg_clause_to_spark(select)
     where = _pg_clause_to_spark(where)
     group = _pg_clause_to_spark(group)

@@ -951,6 +951,47 @@ def pg_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql1).unionByName(spark.sql(sql2))
 
 
+def pg_from_srf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM-position set-returning functions through the dialect shim
+    (r10 verdict order 1 — the reference's own PL/pgSQL iterates
+    ``FROM json_each_text(...)`` geodb.sql:224, ``FROM json_each(...)``
+    :342-345, ``FROM json_array_elements(...)`` :246,:364 and ``FROM
+    unnest(...)`` :1797): rewritten to LATERAL VIEW explode /
+    lateral-subquery forms (operators/scan._rewrite_from_srfs). Four
+    arms — the implicit-lateral comma form over json_each_text (key +
+    text value), json_each (json-typed value: strings KEEP their
+    quotes), unnest of a split array, and the standalone
+    json_array_elements_text subquery form. The oracle replays each arm
+    with DuckDB's native lateral unnest + json_keys/json_extract."""
+    register_views(spark, sf_dir, "events")
+    each_text = build_pg_sql(
+        "events, json_each_text(props) AS e(k, v)",
+        select="'each_text' AS arm, event_id, e.k AS key, e.v AS value",
+        where="event_id % 37 = 0",
+    )
+    each_json = build_pg_sql(
+        "events, json_each(json_build_object('t', event_type)) e",
+        select="'each_json' AS arm, event_id, e.key, e.value",
+        where="event_id % 37 = 0",
+    )
+    unnest_arm = build_pg_sql(
+        "events, unnest(string_to_array(event_type, 'n')) u(tok)",
+        select="'unnest' AS arm, event_id, CAST(NULL AS STRING) AS key, "
+        "u.tok AS value",
+        where="event_id % 37 = 0",
+    )
+    elements = build_pg_sql(
+        """json_array_elements_text('["alpha", "beta", "2"]') el""",
+        select="'elements' AS arm, CAST(NULL AS BIGINT) AS event_id, "
+        "CAST(NULL AS STRING) AS key, el.value",
+    )
+    out = None
+    for sql in (each_text, each_json, unnest_arm, elements):
+        df = spark.sql(sql)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 CORE_ORACLES_PG = {
     "pg_within_group": """
         SELECT l_returnflag,
@@ -986,6 +1027,25 @@ CORE_ORACLES_PG = {
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
+    """,
+    "pg_from_srf": """
+        SELECT 'each_text' AS arm, event_id, k AS key, props ->> k AS value
+        FROM events, unnest(json_keys(props)) AS u(k)
+        WHERE event_id % 37 = 0
+        UNION ALL
+        SELECT 'each_json' AS arm, event_id, 't' AS key,
+               CAST(to_json(event_type) AS VARCHAR) AS value
+        FROM events
+        WHERE event_id % 37 = 0
+        UNION ALL
+        SELECT 'unnest' AS arm, event_id, CAST(NULL AS VARCHAR) AS key,
+               u.tok AS value
+        FROM events, unnest(string_to_array(event_type, 'n')) AS u(tok)
+        WHERE event_id % 37 = 0
+        UNION ALL
+        SELECT 'elements' AS arm, CAST(NULL AS BIGINT) AS event_id,
+               CAST(NULL AS VARCHAR) AS key, v AS value
+        FROM unnest(['alpha', 'beta', '2']) AS t(v)
     """,
     "pg_generate_series": """
         SELECT 'unit' AS arm, count(*) AS n,
@@ -2202,6 +2262,7 @@ CORE_QUERIES = {
     "pg_recursive_cte": pg_recursive_cte,
     "pg_lateral_topn": pg_lateral_topn,
     "pg_generate_series": pg_generate_series,
+    "pg_from_srf": pg_from_srf,
     "pg_array_agg_order": pg_array_agg_order,
     "pg_array_agg_order_mixed": pg_array_agg_order_mixed,
     "pg_json_arrows": pg_json_arrows,
