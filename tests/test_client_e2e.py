@@ -982,8 +982,11 @@ class TestShimLiteralSafety:
         assert f("to_char(ts, 'HH24:MI:SS')") == (
             "date_format(ts, 'HH:mm:ss')"
         )
-        with pytest.raises(GeoDBError, match="to_char"):
-            f("to_char(n, '999D99')")
+        # numeric templates route to the r11 numeric path (TestR11
+        # ScalarShims pins the forms); D/G are decimal/group synonyms
+        assert f("to_char(n, '999D99')") == (
+            "lpad(format_string('%.2f', CAST(n AS DOUBLE)), 7, ' ')"
+        )
         with pytest.raises(GeoDBError, match="string literal"):
             f("to_char(ts, fmt_col)")
         # string_to_array: literal separator, regex-escaped for split
@@ -1425,3 +1428,141 @@ class TestFromSrfRewrites:
             f("e, json_each_text(props) AS x(k)")
         with pytest.raises(GeoDBError, match="ORDINALITY"):
             f("e, json_each(props) WITH ORDINALITY x")
+
+
+class TestJsonbConcatGuard:
+    """r10 verdict What's-wrong #1: `jsonb || jsonb` must refuse loudly
+    (Spark's || string-concats where PG merges); jsonb_merge is the
+    provided function spelling with exact PG semantics."""
+
+    def test_json_typed_operands_refuse(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        for clause in (
+            "props::jsonb || other",
+            "a || b::json",
+            "'{\"a\":1}'::jsonb || props",
+            "a || '{\"b\":2}'::jsonb",
+            "(a)::jsonb || b",
+            "a || (b)::jsonb",
+            "json_build_object('k', 1) || x",
+            "x || jsonb_agg(v)",
+            "to_jsonb(r) || x",
+            "props -> 'a' || x",
+            "x || props -> 'a'",
+            "props #> '{a}' || x",
+            "x || props #> '{a}'",
+        ):
+            with pytest.raises(GeoDBError, match="jsonb_merge"):
+                f(clause)
+
+    def test_string_concat_still_passes(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        for clause in (
+            "name || '-suffix'",
+            "a || b",
+            "(props ->> 'k') || 'x'",
+            "props ->> 'k' || 'x'",
+            "x || props ->> 'k'",
+            "props #>> '{a}' || 'x'",
+            "transform(xs, x -> y || 'z')",
+            "'lit || lit2' || col",
+        ):
+            f(clause)  # must not raise
+
+    def test_jsonb_merge_kernel_pg_semantics(self):
+        from xcube_geodb_spark.functions.jsonsql import jsonb_merge_py as m
+
+        # object || object: shallow merge, right wins
+        assert m('{"a":1,"b":2}', '{"b":9,"c":3}') == (
+            '{"a": 1, "b": 9, "c": 3}'
+        )
+        # PG keeps null-valued keys (RFC-7386 merge-patch would DROP b)
+        assert m('{"a":1}', '{"b":null}') == '{"a": 1, "b": null}'
+        # PG shallow merge REPLACES nested objects (merge-patch recurses)
+        assert m('{"a":{"x":1,"y":2}}', '{"a":{"z":3}}') == '{"a": {"z": 3}}'
+        # array concatenation, non-arrays wrap as single elements
+        assert m('[1,2]', '[3]') == '[1, 2, 3]'
+        assert m('{"a":1}', '[2]') == '[{"a": 1}, 2]'
+        assert m('[1]', '"x"') == '[1, "x"]'
+        assert m('"a"', '"b"') == '["a", "b"]'
+        # PG jsonb text rendering: keys sorted (length, bytes) at every
+        # level, ", "/": " separators
+        assert m('{"bb":1,"a":2,"ccc":{"z":1,"bb":2}}', '{}') == (
+            '{"a": 2, "bb": 1, "ccc": {"z": 1, "bb": 2}}'
+        )
+        # NULL / malformed inputs -> NULL (engine try-parse convention)
+        assert m(None, "{}") is None
+        assert m("{}", None) is None
+        assert m("not json", "{}") is None
+
+
+class TestR11ScalarShims:
+    """r10 verdict orders 4 and 6: to_jsonb/row_to_json, the date_part
+    epoch spelling, AT TIME ZONE, and numeric to_char."""
+
+    def test_to_jsonb_row_packaging(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("to_jsonb(li)") == "to_json(struct(li.*))"
+        assert f("row_to_json(t)") == "to_json(struct(t.*))"
+        with pytest.raises(GeoDBError, match="row reference"):
+            f("to_jsonb(x + 1)")
+        with pytest.raises(GeoDBError, match="row reference"):
+            f("to_jsonb('text')")
+
+    def test_date_part_epoch_routes_like_extract(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("date_part('epoch', ts)") == (
+            "CAST(CAST((ts) AS TIMESTAMP) AS DOUBLE)"
+        )
+        # the same expression extract(epoch from ...) compiles to
+        assert f("extract(epoch from ts)") == (
+            "CAST(CAST((ts) AS TIMESTAMP) AS DOUBLE)"
+        )
+        # other fields pass through (Spark runs date_part natively)
+        assert f("date_part('year', ts)") == "date_part('year', ts)"
+
+    def test_at_time_zone(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("ts AT TIME ZONE 'UTC'") == "to_utc_timestamp(ts, 'UTC')"
+        # chained zones: first interprets the naive ts, second converts
+        # the instant to zone-local — PG's wall-time translation
+        assert f("ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin'") == (
+            "from_utc_timestamp(to_utc_timestamp(ts, 'UTC'), "
+            "'Europe/Berlin')"
+        )
+        with pytest.raises(GeoDBError, match="string literal"):
+            f("ts AT TIME ZONE tzcol")
+
+    def test_numeric_to_char(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("to_char(p, 'FM9999999.00')") == (
+            "format_string('%.2f', CAST(p AS DOUBLE))"
+        )
+        # non-FM right-justifies to template width + 1 sign column
+        assert f("to_char(p, '9999999.00')") == (
+            "lpad(format_string('%.2f', CAST(p AS DOUBLE)), 11, ' ')"
+        )
+        # zero-fill integer positions
+        assert f("to_char(n, 'FM000.00')") == (
+            "format_string('%06.2f', CAST(n AS DOUBLE))"
+        )
+        # grouping separators -> format_number; D/G synonyms accepted
+        assert f("to_char(n, 'FM9,999,999.00')") == (
+            "format_number(CAST(n AS DOUBLE), 2)"
+        )
+        assert f("to_char(n, 'FM9G999D99')") == f("to_char(n, 'FM9,999.99')")
+        # FM + all-9 decimals strips trailing zeros
+        assert "regexp_replace" in f("to_char(n, 'FM9999.99')")
+        # datetime templates still route to date_format
+        assert f("to_char(ts, 'YYYY-MM-DD')") == (
+            "date_format(ts, 'yyyy-MM-dd')"
+        )
+        for bad in ("'RN'", "'FM9999.09'", "'FM0,000'"):
+            with pytest.raises(GeoDBError):
+                f(f"to_char(n, {bad})")

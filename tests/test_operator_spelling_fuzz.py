@@ -1,0 +1,162 @@
+"""Operator-spelling fuzz harness (r10 verdict order 5 / What's-wrong
+#3): every PG operator spelling the dialect shim supports, crossed with
+the operand shapes users write, must either
+
+1. translate to SQL that PARSES under Spark's parser (and resolves its
+   functions — an unresolved internal marker or half-rewritten operator
+   is exactly the ``name ~ RLIKE ...`` class that shipped broken for a
+   full round in r9), or
+2. refuse loudly with a GeoDBError.
+
+Silent middle ground — emitted text that Spark's parser rejects, or
+that contains a leaked ``__geodb``/``__GEODB_LIT`` placeholder — fails
+the harness. The spellings share prefixes and characters (``~``, ``~~``,
+``~~*``, ``@>``, ``@@``, ``?``, ``?|``, ``&&``, ``<->``, ``#>``,
+``->``), so every new rewrite joins this corpus.
+
+Analysis-level TYPE errors are acceptable (loud), parse errors and
+unresolved functions are not.
+"""
+
+import pytest
+
+from xcube_geodb_spark.errors import GeoDBError
+from xcube_geodb_spark.operators.scan import _pg_clause_to_spark
+
+
+# lhs/rhs shapes: bare column, call, literal, parenthesized — crossed
+# per operator family with plausible and adversarial operands
+CORPUS = [
+    # ::cast family (segment-level, literal, paren, chained)
+    "num::int", "num::int8", "num::float4", "'12'::int", "name::text",
+    "(num)::int", "abs(num)::bigint", "((num)::int)::text",
+    "num::numeric", "j::json", "j::jsonb", "name::varchar",
+    # regex matches — the ~ / ~~ prefix-collision class
+    "name ~ 'pat.*'", "name ~* 'pat'", "name !~ 'p'", "name !~* 'p'",
+    "upper(name) ~ 'P.*'",
+    "name ~~ 'pat%'", "name ~~* 'pat%'", "name !~~ 'p%'",
+    "name !~~* 'p%'",
+    "name SIMILAR TO 'p%'", "name NOT SIMILAR TO '(a|b)_'",
+    # LIKE/ILIKE pass through natively
+    "name LIKE 'p%'", "name ILIKE 'P%'",
+    # json arrows + chains + paren casts + keyword guards
+    "j -> 'a'", "j ->> 'a'", "j -> 'a' ->> 'b'", "j -> 0",
+    "j #> '{a,b}'", "j #>> '{a,1}'", "(j ->> 'a')::int",
+    "j -> 'a' -> 'b' ->> 'c'", "coalesce(j ->> 'k', 'x')",
+    "transform(arr, x -> 'y')", "transform(arr, x -> x ->> 'k')",
+    # array containment
+    "arr @> array('a')", "arr <@ array('a', 'b')",
+    "ARRAY['a'] <@ arr", "arr @> ARRAY['a','b']",
+    # jsonb existence
+    "j ? 'a'", "j ?| array('a', 'b')", "j ?& array('a')",
+    "j ?| ARRAY['a','zz']",
+    # PostGIS operators
+    "g && h", "g && 'POINT (1 2)'::geometry", "g <-> h", "g <#> h",
+    "g <-> st_point(0.5, 0.5)",
+    # geography casts routed to geodesic kernels (case-insensitive)
+    "st_distance(g::geography, h::geography)",
+    "st_distance((g)::GEOGRAPHY, (h)::GEOGRAPHY)",
+    "st_dwithin(g::geography, h::geography, 1000)",
+    "st_length(g::geography)", "st_area(g::geography)",
+    # text search
+    "to_tsvector('english', name) @@ plainto_tsquery('english', 'word')",
+    # string concat stays native; jsonb concat refuses (GeoDBError ok)
+    "name || '-x'", "j::jsonb || j", "j -> 'a' || name",
+    # aggregate-internal ORDER BY / FILTER folds
+    "array_agg(name ORDER BY name)",
+    "array_agg(DISTINCT name ORDER BY name)",
+    "json_agg(name ORDER BY name DESC)",
+    "jsonb_agg(num)",
+    "string_agg(name, ',' ORDER BY name)",
+    "array_agg(name ORDER BY num DESC, name ASC)",
+    "array_agg(name ORDER BY name) FILTER (WHERE num > 0)",
+    # spatial aggregates
+    "st_extent(g)", "st_union(g)", "st_collect(g ORDER BY num)",
+    "st_makeline(g ORDER BY num)",
+    # misc scalar shims
+    "to_char(ts, 'YYYY-MM-DD')", "to_char(ts, 'HH24:MI:SS')",
+    "to_char(num, 'FM9999.00')", "to_char(num, '9,999,999.99')",
+    "to_char(num, 'FM000.00')",
+    "string_to_array(name, '-')", "array_length(arr, 1)",
+    "array_cat(arr, arr)", "strpos(name, 'a')",
+    "extract(epoch from ts)", "date_part('epoch', ts)",
+    "date_part('year', ts)",
+    "ts AT TIME ZONE 'UTC'",
+    "ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin'",
+    "json_build_object('k', num)", "jsonb_build_object('k', name)",
+    "json_array_elements_text(j)",
+    "date_bin(INTERVAL '1 hour', ts, TIMESTAMP '2024-01-01 00:00:00')",
+    "regexp_replace(name, 'a', 'b', 'gi')",
+    "st_relate(g, h, 'T*F**FFF*')", "st_buffer(g, 1.0, 'quad_segs=2')",
+    # keyword-operand guards (refusals are the CORRECT outcome)
+    "CASE WHEN num > 0 THEN j ELSE j END ->> 'k'",
+    "(CASE WHEN num > 0 THEN j ELSE j END) ->> 'k'",
+    # literal contents must never confuse the scanners
+    "name = 'x ~~ y && z ->> w'",
+    "j ->> 'key with '' quote'",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_view(spark):
+    from xcube_geodb_spark.functions.jsonsql import register_json_sql_functions
+    from xcube_geodb_spark.functions.textsql import register_text_sql_functions
+    from xcube_geodb_spark.geometry.sqlfuncs import (
+        register_spatial_sql_functions,
+    )
+
+    register_spatial_sql_functions(spark)
+    register_text_sql_functions(spark)
+    register_json_sql_functions(spark)
+    spark.sql(
+        "SELECT 'ab-cd' AS name, '{\"a\": {\"b\": 1}, \"k\": 2}' AS j, "
+        "array('a', 'b') AS arr, CAST(1.5 AS DOUBLE) AS num, "
+        "timestamp'2024-01-01 10:30:00' AS ts, "
+        "st_point(1.0, 2.0) AS g, st_point(3.0, 4.0) AS h"
+    ).createOrReplaceTempView("fuzz_t")
+    return "fuzz_t"
+
+
+class TestOperatorSpellingFuzz:
+    def test_every_spelling_parses_or_refuses(self, spark, fuzz_view):
+        from pyspark.errors import AnalysisException, ParseException
+
+        problems = []
+        for clause in CORPUS:
+            try:
+                out = _pg_clause_to_spark(clause)
+            except GeoDBError:
+                continue  # loud refusal is a valid outcome
+            if "__geodb" in out.lower():
+                problems.append((clause, out, "marker/placeholder leak"))
+                continue
+            try:
+                spark.sql(f"SELECT {out} FROM {fuzz_view}").schema
+            except ParseException as e:
+                problems.append((clause, out, f"parse error: {e}"))
+            except AnalysisException as e:
+                # type errors are loud and acceptable; an unresolved
+                # function means the rewrite emitted a name that does
+                # not exist — the broken-emission class
+                if "UNRESOLVED_ROUTINE" in str(e):
+                    problems.append((clause, out, f"unresolved: {e}"))
+        assert not problems, "\n".join(
+            f"{c!r}\n  -> {o!r}\n  {p}" for c, o, p in problems
+        )
+
+    def test_spellings_translate_to_distinct_operators(self):
+        """The prefix-collision pin: ~~ is LIKE (never a half-matched ~
+        RLIKE), ~~* is ILIKE, <-> is distance (never two casts), etc."""
+        f = _pg_clause_to_spark
+        assert f("name ~~ 'p%'") == "name LIKE 'p%'"
+        assert f("name ~~* 'p%'") == "name ILIKE 'p%'"
+        assert f("name !~~ 'p%'") == "name NOT LIKE 'p%'"
+        assert f("name !~~* 'p%'") == "name NOT ILIKE 'p%'"
+        assert f("name ~ 'p'") == "name RLIKE 'p'"
+        assert "st_distance" in f("g <-> h")
+        assert "st_envelope" in f("g <#> h")
+        assert "st_intersects" in f("g && h")
+        assert "ts_match_all" in f("a @@ b")
+        assert "array_contains" in f("j ? 'k'")
+        assert "arrays_overlap" in f("j ?| array('a')")
+        assert "array_except" in f("j ?& array('a')")

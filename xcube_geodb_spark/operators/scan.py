@@ -1183,6 +1183,121 @@ def _rewrite_extract_epoch(code: str) -> str:
         pos = m.start() + len(repl)
 
 
+_TO_JSONB_RE = re.compile(r"\b(?:to_jsonb|row_to_json)\s*\(", re.IGNORECASE)
+_DATE_PART_EPOCH_RE = re.compile(
+    r"\bdate_part\s*\(\s*(__GEODB_LIT_(\d+)__)\s*,", re.IGNORECASE
+)
+_AT_TZ_RE = re.compile(
+    r"\s+AT\s+TIME\s+ZONE\s+(__GEODB_LIT_(\d+)__)", re.IGNORECASE
+)
+_AT_TZ_ANY_RE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.IGNORECASE)
+
+
+def _epoch_expr(expr: str) -> str:
+    """The engine's epoch-seconds form (see _rewrite_extract_epoch)."""
+    return f"CAST(CAST(({expr}) AS TIMESTAMP) AS DOUBLE)"
+
+
+def _rewrite_to_jsonb(code: str) -> str:
+    """PG ``to_jsonb(t)`` / ``row_to_json(t)`` over a ROW (table/alias)
+    reference — the reference packages rows this way
+    (/root/reference/xcube_geodb/sql/geodb.sql:1804-1830) ->
+    ``to_json(struct(t.*))``. Only the bare-identifier (row) form
+    rewrites; a scalar argument refuses loudly (Spark's to_json takes
+    containers only — use CAST or json_build_object for scalars)."""
+    pos = 0
+    while True:
+        m = _TO_JSONB_RE.search(code, pos)
+        if not m:
+            return code
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
+        arg = code[m.end(): j].strip()
+        if _LIT_PLACEHOLDER_RE.fullmatch(arg) or not re.fullmatch(
+            r"[A-Za-z_]\w*", arg
+        ):
+            raise GeoDBError(
+                "to_jsonb/row_to_json: only a row reference (bare table "
+                "or alias identifier) is supported — for scalars use "
+                "CAST(x AS string) or json_build_object('k', x)"
+            )
+        repl = f"to_json(struct({arg}.*))"
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
+
+
+def _rewrite_date_part_epoch(code: str, lits: list[str]) -> str:
+    """PG ``date_part('epoch', x)`` — the function spelling of
+    ``extract(epoch from x)`` (r10 verdict order 4) -> the same
+    timestamp->double cast. Other fields pass through (Spark runs
+    date_part natively; its field list has no epoch)."""
+    pos = 0
+    while True:
+        m = _DATE_PART_EPOCH_RE.search(code, pos)
+        if not m:
+            return code
+        field = lits[int(m.group(2))][1:-1].strip().lower()
+        if field != "epoch":
+            pos = m.end()
+            continue
+        open_idx = code.index("(", m.start())
+        j = _close_paren(code, open_idx)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
+        expr = code[m.end(): j].strip()
+        repl = _epoch_expr(expr)
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
+
+
+def _rewrite_at_time_zone(code: str, lits: list[str]) -> str:
+    """PG ``expr AT TIME ZONE 'zone'`` (literal zones only) on
+    literal-protected code. The engine's timestamps are NAIVE (parquet
+    TIMESTAMP in the session's pinned UTC), so the PG semantics are:
+
+    - first application — interpret the naive timestamp as ``zone``
+      wall time, yielding the UTC instant: ``to_utc_timestamp(expr,
+      zone)``
+    - applied to a previous AT TIME ZONE result (a timestamptz in PG) —
+      convert the instant to ``zone``-local naive time:
+      ``from_utc_timestamp(expr, zone)``
+
+    which makes the chained ``ts AT TIME ZONE 'a' AT TIME ZONE 'b'``
+    wall-time translation exact. A non-literal zone expression refuses
+    loudly (the zone drives the rewrite choice at compile time)."""
+    pos = 0
+    while True:
+        m = _AT_TZ_RE.search(code, pos)
+        if not m:
+            break
+        left = _operand_before(code[: m.start() + 1])
+        if left is None:
+            raise GeoDBError(
+                "AT TIME ZONE: the timestamp operand must be a column, "
+                "function call, or parenthesized expression"
+            )
+        lhs, lstart = left
+        if lhs.upper() in _SQL_KEYWORDS:
+            raise GeoDBError(
+                "AT TIME ZONE: parenthesize the timestamp operand"
+            )
+        fn = (
+            "from_utc_timestamp"
+            if re.match(r"to_utc_timestamp\s*\(", lhs, re.IGNORECASE)
+            else "to_utc_timestamp"
+        )
+        repl = f"{fn}({lhs}, {m.group(1)})"
+        code = code[:lstart] + repl + code[m.end():]
+        pos = lstart  # chained zones re-scan from the rewritten operand
+    if _AT_TZ_ANY_RE.search(code):
+        raise GeoDBError(
+            "AT TIME ZONE: the zone must be a string literal "
+            "('UTC', 'Europe/Berlin', ...)"
+        )
+    return code
+
+
 def _rewrite_json_build(code: str) -> str:
     """PG ``json_build_object(k1, v1, ...)`` / ``jsonb_build_object`` ->
     ``to_json(named_struct(k1, v1, ...))`` — keys must be string
@@ -1253,6 +1368,64 @@ def _to_char_format(fmt: str) -> str:
     return "".join(out)
 
 
+def _to_char_numeric(expr: str, fmt: str) -> str:
+    """PG numeric ``to_char`` templates (r10 verdict order 6) — the
+    money/fixed-point subset: optional ``FM``, digit positions ``9``
+    (blank-padded) / ``0`` (zero-padded), group/decimal marks ``,``/
+    ``.`` (``G``/``D`` synonyms). Compiles to format_string /
+    format_number; without FM the result right-justifies to the
+    template width + 1 sign column, exactly PG. ``FM`` with all-``9``
+    decimals strips trailing zeros like PG (DOCUMENTED DEVIATION: a
+    whole number renders without PG's dangling point — '1' not '1.').
+    Exotic tokens (S, RN, EEEE, PR, mixed 0/9 decimals, 0-padding
+    combined with grouping) refuse loudly. DOCUMENTED DEVIATIONS:
+    half-up rounding at the last digit (Java format; PG rounds half
+    away from zero — identical for positives), and overflow renders
+    the full number instead of PG's '#' fill."""
+    f = fmt
+    fm = False
+    if f[:2].upper() == "FM":
+        fm, f = True, f[2:]
+    f = (
+        f.replace("D", ".").replace("d", ".")
+        .replace("G", ",").replace("g", ",")
+    )
+    if not re.fullmatch(r"[09,]+(?:\.[09]+)?", f):
+        raise GeoDBError(
+            f"to_char: unsupported numeric template {fmt!r} (supported: "
+            "FM, 9, 0, ',' and '.' / G and D)"
+        )
+    int_part, dot, dec_part = f.partition(".")
+    d = len(dec_part)
+    if dec_part and "0" in dec_part and "9" in dec_part:
+        raise GeoDBError(
+            "to_char: mixed 0/9 decimal positions are outside the pg "
+            "dialect shim (use all 0s to keep or all 9s to strip "
+            "trailing zeros)"
+        )
+    int0 = int_part.count("0")
+    has_comma = "," in int_part
+    if has_comma and int0:
+        raise GeoDBError(
+            "to_char: zero-padding combined with grouping separators is "
+            "outside the pg dialect shim"
+        )
+    x = f"CAST({expr} AS DOUBLE)"
+    if has_comma:
+        body = f"format_number({x}, {d})"
+    elif int0:
+        w = int0 + (d + 1 if dot else 0)
+        body = f"format_string('%0{w}.{d}f', {x})"
+    else:
+        body = f"format_string('%.{d}f', {x})"
+    if fm:
+        if dec_part and set(dec_part) == {"9"}:
+            # FM + 9-decimals: strip trailing zeros and a bare point
+            body = f"regexp_replace({body}, '[.]?0+$', '')"
+        return body
+    return f"lpad({body}, {len(f) + 1}, ' ')"
+
+
 def _rewrite_misc_pg_funcs(code: str, lits: list[str]) -> str:
     """Literal-protected rewrites for common PG scalar spellings:
 
@@ -1293,9 +1466,14 @@ def _rewrite_misc_pg_funcs(code: str, lits: list[str]) -> str:
                 "to_char: the template must be a string literal"
             )
         fmt = lits[int(fm.group(1))][1:-1].replace("''", "'")
-        sdf = _to_char_format(fmt)
-        lits.append("'" + sdf.replace("'", "''") + "'")
-        repl = f"date_format({expr}, __GEODB_LIT_{len(lits) - 1}__)"
+        if re.search(r"[09]", fmt):
+            # digit positions never appear in datetime templates: this
+            # is PG's NUMERIC to_char (money/fixed-point formatting)
+            repl = _to_char_numeric(expr, fmt)
+        else:
+            sdf = _to_char_format(fmt)
+            lits.append("'" + sdf.replace("'", "''") + "'")
+            repl = f"date_format({expr}, __GEODB_LIT_{len(lits) - 1}__)"
         code = code[: m.start()] + repl + code[j + 1:]
         pos = m.start() + len(repl)
     pos = 0
@@ -1790,6 +1968,96 @@ def _rewrite_relate3(code: str) -> str:
         pos = m.start() + len(repl)
 
 
+# json-producing function names whose result feeding `||` means the PG
+# operator is the jsonb merge, not string concat
+_JSON_PRODUCERS = frozenset(
+    "json_build_object jsonb_build_object to_json to_jsonb row_to_json "
+    "json_agg jsonb_agg jsonb_merge json_object".split()
+)
+
+
+def _guard_jsonb_concat(clause: str) -> None:
+    """Refuse ``jsonb || jsonb`` loudly (r10 verdict What's-wrong #1):
+    Spark's ``||`` is STRING concatenation, so a json-typed operand
+    would silently produce ``{"a":1}{"b":2}`` where PG merges to
+    ``{"a": 1, "b": 2}``. Every other jsonb operator either rewrites
+    correctly or fails at analysis; this is the one spelling that would
+    silently deviate — same refuse-loudly policy as the geography
+    marker. An operand counts as json-typed when it is a ``::json(b)``
+    cast, a json-producing function call (json_build_object/ to_jsonb/
+    json_agg/...), or a json-TYPED arrow terminal (``->`` / ``#>``;
+    the text forms ``->>`` / ``#>>`` are legal string concat). The fix
+    is the registered ``jsonb_merge(a, b)`` function
+    (functions/jsonsql.py), which carries PG's exact ``||`` semantics."""
+    parts = re.split(r"('(?:[^']|'')*')", clause)
+    protected = "".join(
+        p if i % 2 == 0 else f"__GEODB_LIT_{i // 2}__"
+        for i, p in enumerate(parts)
+    )
+
+    def _refuse() -> None:
+        raise GeoDBError(
+            "jsonb || jsonb is outside the pg dialect shim: Spark's || "
+            "is string concatenation and would silently concatenate the "
+            "json texts where PG merges objects / concatenates arrays. "
+            "Use jsonb_merge(a, b) (registered SQL function, exact PG "
+            "|| semantics) instead."
+        )
+
+    pos = 0
+    while True:
+        m = re.compile(r"(?<!\|)\|\|(?!\|)").search(protected, pos)
+        if m is None:
+            return
+        left = _operand_before(protected[: m.start()])
+        if left is not None:
+            lhs, lstart = left
+            before = protected[:lstart].rstrip()
+            if before.endswith("::") and lhs.lower() in ("json", "jsonb"):
+                _refuse()
+            arrow_json = (
+                before.endswith("->") and not before.endswith("->>")
+            ) or (before.endswith("#>") and not before.endswith("#>>"))
+            if arrow_json and before.endswith("->"):
+                # not a json arrow when it is a Spark lambda's arrow
+                # (`transform(xs, x -> y || 'z')` is string concat)
+                lam = _operand_before(before[:-2])
+                if lam is not None and _is_lambda_param(
+                    before[:-2], lam[1], lam[0]
+                ):
+                    arrow_json = False
+            if arrow_json:
+                _refuse()
+            name = lhs.split("(", 1)[0].strip().lower()
+            if "(" in lhs and name in _JSON_PRODUCERS:
+                _refuse()
+        right = _operand_after(protected[m.end():])
+        if right is not None:
+            rhs, rend = right
+            after = protected[m.end() + rend:].lstrip()
+            if re.match(r"::\s*jsonb?\b", after, re.IGNORECASE):
+                _refuse()
+            if (after.startswith("->") and not after.startswith("->>")) or (
+                after.startswith("#>") and not after.startswith("#>>")
+            ):
+                # `x || j -> 'k'`: the arrow binds tighter, so the right
+                # operand is json-typed
+                _refuse()
+            name = rhs.split("(", 1)[0].strip().lower()
+            if "(" in rhs and name in _JSON_PRODUCERS:
+                _refuse()
+        else:
+            # parenthesized right operand: `a || (b)::jsonb`
+            tail = protected[m.end():].lstrip()
+            if tail.startswith("("):
+                j = _close_paren(tail, 0)
+                if j is not None and re.match(
+                    r"\s*::\s*jsonb?\b", tail[j + 1:], re.IGNORECASE
+                ):
+                    _refuse()
+        pos = m.end()
+
+
 def _pg_clause_to_spark(clause: str | None) -> str | None:
     """Textual shim for the PG-isms Spark SQL's parser rejects, applied
     outside string literals only:
@@ -1815,6 +2083,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     the dialect boundary."""
     if not clause:
         return clause
+    if "||" in clause:
+        _guard_jsonb_concat(clause)
 
     def _cast(m: re.Match) -> str:
         t = m.group(2).lower()
@@ -1932,7 +2202,9 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
         _TO_CHAR_RE.search(out) or _STR_TO_ARR_RE.search(out)
         or _EXTRACT_EPOCH_RE.search(out) or _JSON_BUILD_RE.search(out)
         or _ARRAY_FN_RE.search(out) or _JSON_ELEMS_RE.search(out)
-        or _DATE_BIN_RE.search(out)
+        or _DATE_BIN_RE.search(out) or _TO_JSONB_RE.search(out)
+        or _AT_TZ_ANY_RE.search(out)
+        or re.search(r"\bdate_part\s*\(", out, re.IGNORECASE)
     )
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
             or need_buf3 or need_rx4 or need_json or need_geog
@@ -1960,7 +2232,10 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_geography(protected)
         if need_misc:
             protected = _rewrite_misc_pg_funcs(protected, lits)
+            protected = _rewrite_at_time_zone(protected, lits)
             protected = _rewrite_extract_epoch(protected)
+            protected = _rewrite_date_part_epoch(protected, lits)
+            protected = _rewrite_to_jsonb(protected)
             protected = _rewrite_json_build(protected)
             protected = _rewrite_array_funcs(protected)
             # elements_text BEFORE the jsonb_* alias pass cannot apply
@@ -2401,11 +2676,13 @@ def get_collection_pg(
     PostGIS-style ``st_*`` functions and the PG text-search family
     (``to_tsvector``/``plainto_tsquery``/``ts_match_all`` — the dialect's
     spelling of ``@@``) are available in all clauses."""
+    from xcube_geodb_spark.functions.jsonsql import register_json_sql_functions
     from xcube_geodb_spark.functions.textsql import register_text_sql_functions
     from xcube_geodb_spark.geometry.sqlfuncs import register_spatial_sql_functions
 
     register_spatial_sql_functions(catalog.spark)
     register_text_sql_functions(catalog.spark)
+    register_json_sql_functions(catalog.spark)
     df = catalog.load_df(collection, database)
     view = _view_name(database, collection)
     df.createOrReplaceTempView(view)

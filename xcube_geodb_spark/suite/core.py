@@ -607,8 +607,14 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex-escaped (PG splits on the LITERAL delimiter);
     ``extract(epoch from ts)`` -> the timestamp->double cast (epoch
     seconds + fractional micros, PG-exact); ``json_build_object`` ->
-    ``to_json(named_struct(...))``. The oracle replays strftime /
-    string_split / epoch / json_object."""
+    ``to_json(named_struct(...))``. r11 legs (verdict orders 4/6):
+    ``date_part('epoch', ts)`` routed through the same epoch rewrite,
+    ``ts AT TIME ZONE 'zone'`` -> to_utc_timestamp (naive-timestamp PG
+    semantics; epoch-extracted so the tz-typed oracle compares), NUMERIC
+    to_char (FM / padded / zero-filled / trailing-strip forms ->
+    format_string + lpad), and ``to_jsonb(row)`` -> to_json(struct(*))
+    with a field extracted. The oracle replays strftime / string_split /
+    epoch / json_object / printf / AT TIME ZONE / to_json."""
     register_views(spark, sf_dir, "orders")
     sql = build_pg_sql(
         "orders",
@@ -622,7 +628,17 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS part1, "
             "round(extract(epoch from o_orderdate), 6) AS epoch_s, "
             "json_build_object('k', o_orderkey, 'p', o_orderpriority) "
-            "AS obj_json"
+            "AS obj_json, "
+            # r11: date_part epoch spelling + AT TIME ZONE + numeric
+            # to_char + to_jsonb row packaging
+            "round(date_part('epoch', o_orderdate), 6) AS epoch_dp, "
+            "round(extract(epoch from "
+            "(o_orderdate AT TIME ZONE 'America/New_York')), 6) "
+            "AS epoch_nyc, "
+            "to_char(o_totalprice, 'FM9999999.00') AS price_fm, "
+            "to_char(o_totalprice, '9999999.00') AS price_pad, "
+            "to_char(o_orderkey, 'FM0000000000') AS key_zero, "
+            "to_jsonb(orders) ->> 'o_orderpriority' AS rj_prio"
         ),
         where="o_orderkey % 101 = 0",
         order="o_orderkey",
@@ -992,7 +1008,47 @@ def pg_from_srf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def pg_jsonb_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG's ``jsonb || jsonb`` via the registered ``jsonb_merge``
+    function (r10 verdict What's-wrong #1: the raw ``||`` spelling now
+    REFUSES loudly in the shim — Spark's || would silently
+    string-concatenate json texts — and points here). The merged text
+    renders in PG's jsonb order (keys by length then bytes), pinned via
+    the extracted fields + the key list; DuckDB replays with
+    json_merge_patch (equal on null-free object merges — the null /
+    array divergences are pinned PG-exact in pytest)."""
+    from xcube_geodb_spark.functions.jsonsql import register_json_sql_functions
+
+    register_json_sql_functions(spark)
+    register_views(spark, sf_dir, "events")
+    merged = "jsonb_merge(props, json_build_object('t', event_type))"
+    sql = build_pg_sql(
+        "events",
+        select=(
+            f"event_id, {merged} ->> 'k' AS k_val, "
+            f"{merged} ->> 't' AS t_val, "
+            f"array_join(json_object_keys({merged}), ',') AS key_list"
+        ),
+        where="event_id % 41 = 0",
+        order="event_id",
+    )
+    return spark.sql(sql)
+
+
 CORE_ORACLES_PG = {
+    "pg_jsonb_merge": """
+        SELECT event_id,
+               json_merge_patch(props, json_object('t', event_type))
+                   ->> 'k' AS k_val,
+               json_merge_patch(props, json_object('t', event_type))
+                   ->> 't' AS t_val,
+               array_to_string(json_keys(
+                   json_merge_patch(props, json_object('t', event_type))
+               ), ',') AS key_list
+        FROM events
+        WHERE event_id % 41 = 0
+        ORDER BY event_id
+    """,
     "pg_within_group": """
         SELECT l_returnflag,
                round(CAST(percentile_cont(0.5) WITHIN GROUP
@@ -1160,7 +1216,14 @@ CORE_ORACLES_PG = {
                string_split(o_orderpriority, '-')[1] AS part1,
                round(extract(epoch from o_orderdate), 6) AS epoch_s,
                CAST(json_object('k', o_orderkey, 'p', o_orderpriority)
-                    AS VARCHAR) AS obj_json
+                    AS VARCHAR) AS obj_json,
+               round(date_part('epoch', o_orderdate), 6) AS epoch_dp,
+               round(CAST(epoch(o_orderdate AT TIME ZONE
+                     'America/New_York') AS DOUBLE), 6) AS epoch_nyc,
+               printf('%.2f', o_totalprice) AS price_fm,
+               lpad(printf('%.2f', o_totalprice), 11, ' ') AS price_pad,
+               printf('%010.0f', CAST(o_orderkey AS DOUBLE)) AS key_zero,
+               to_json(orders) ->> 'o_orderpriority' AS rj_prio
         FROM orders WHERE o_orderkey % 101 = 0
         ORDER BY o_orderkey
     """,
@@ -2263,6 +2326,7 @@ CORE_QUERIES = {
     "pg_lateral_topn": pg_lateral_topn,
     "pg_generate_series": pg_generate_series,
     "pg_from_srf": pg_from_srf,
+    "pg_jsonb_merge": pg_jsonb_merge,
     "pg_array_agg_order": pg_array_agg_order,
     "pg_array_agg_order_mixed": pg_array_agg_order_mixed,
     "pg_json_arrows": pg_json_arrows,
