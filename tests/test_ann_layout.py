@@ -765,6 +765,19 @@ class TestMultiProbeLsh:
         for b in p3[1:]:
             assert sum(x != y for x, y in zip(b, p3[0])) == 1
 
+    def test_probe_set_extends_past_hamming1_ring(self):
+        # r11: n_probe beyond 1 + n_bits continues into 2-step
+        # perturbations (margin-sum order) instead of silently capping
+        hp = S.lsh_hyperplanes(DIM, 8, 42)
+        q = [0.1] * DIM
+        ring = S.lsh_probe_buckets(q, hp, 9)
+        assert len(ring) == 9 == len(set(ring))
+        deeper = S.lsh_probe_buckets(q, hp, 20)
+        assert len(deeper) == 20 == len(set(deeper))
+        assert deeper[:9] == ring  # strict superset, stable ordering
+        for b in deeper[9:]:
+            assert sum(x != y for x, y in zip(b, deeper[0])) == 2
+
     def test_multiprobe_prunes_files_and_superset(self, lsh_cat, spark):
         cat, _ = lsh_cat
         q = _query_vec(spark)

@@ -1406,3 +1406,69 @@ class TestBufferStyles:
         )
         out = buffer_with_style(ml, 1.0, "endcap=flat")
         assert out is not None and abs(area(out) - 20) < 1e-9
+
+
+class TestDissolveAutoRouting:
+    """r10 verdict order 3: two_level='auto' (the new DEFAULT) probes
+    per-group member counts and flips the skewed shape onto the
+    two-level tree, so the naive spelling is no longer the documented
+    scale anti-pattern."""
+
+    def _chain_df(self, spark, n, groups):
+        import numpy as np
+
+        from xcube_geodb_spark.geometry.geom import Geometry, to_wkb
+
+        rows = []
+        for i in range(n):
+            x = float(i // groups) * 1.5
+            g = i % groups
+            ring = np.array(
+                [
+                    [x, 0.0], [x + 2.0, 0.0], [x + 2.0, 1.0],
+                    [x, 1.0], [x, 0.0],
+                ]
+            )
+            rows.append((g, to_wkb(Geometry("Polygon", [ring]))))
+        return spark.createDataFrame(rows, "grp int, geometry binary")
+
+    def test_small_groups_stay_single_level(self, spark):
+        from xcube_geodb_spark.functions.geo_agg import dissolve
+
+        df = self._chain_df(spark, 40, groups=8)  # 5 members per group
+        plan = (
+            dissolve(df, ["grp"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "rangepartitioning" not in plan
+        assert plan.count("Exchange") == 1
+
+    def test_big_group_auto_flips_to_two_level(self, spark):
+        from xcube_geodb_spark.functions.geo_agg import dissolve
+
+        df = self._chain_df(spark, 120, groups=2)  # 60 members per group
+        plan = (
+            dissolve(df, ["grp"], auto_threshold=50)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "rangepartitioning" in plan
+
+    def test_auto_result_matches_forced_paths(self, spark):
+        from xcube_geodb_spark.functions.geo_agg import dissolve
+        from xcube_geodb_spark.geometry.geom import area, parse_wkb
+
+        df = self._chain_df(spark, 120, groups=2)
+
+        def snap(frame):
+            return {
+                r["grp"]: (
+                    r["n_members"],
+                    round(area(parse_wkb(bytes(r["geometry"]))), 6),
+                )
+                for r in frame.collect()
+            }
+
+        auto = snap(dissolve(df, ["grp"], auto_threshold=50))
+        single = snap(dissolve(df, ["grp"], two_level=False))
+        two = snap(dissolve(df, ["grp"], two_level=True))
+        assert auto == single == two

@@ -367,9 +367,21 @@ def main() -> None:
     chainD.count()
 
     def dissolve_skew_single(d):
+        # the DEFAULT spelling (r10 verdict order 3): two_level="auto"
+        # probes group sizes and flips to the tree on this skewed
+        # fixture, so the naive call a user reaches first is now linear
         from xcube_geodb_spark.functions.geo_agg import dissolve
 
         return dissolve(d, ["grp"], max_group_size=10_000_000)
+
+    def dissolve_skew_forced_single(d):
+        # the documented anti-pattern, kept as the contrast baseline:
+        # explicitly forcing single-level funnels each unbounded group
+        # onto one straggler task (measured 42x super-linear at x10)
+        from xcube_geodb_spark.functions.geo_agg import dissolve
+
+        return dissolve(d, ["grp"], two_level=False,
+                        max_group_size=10_000_000)
 
     def dissolve_skew_two_level(d):
         from xcube_geodb_spark.functions.geo_agg import dissolve
@@ -379,6 +391,8 @@ def main() -> None:
 
     cases = [
         ("geo_dissolve_skew_single", dissolve_skew_single, chain1, chainD),
+        ("geo_dissolve_skew_forced_single", dissolve_skew_forced_single,
+         chain1, chainD),
         ("geo_dissolve_skew_two_level", dissolve_skew_two_level,
          chain1, chainD),
         ("geo_spatial_join", geo_sjoin, (sq1, spt1), (sqH, sptH)),
@@ -415,12 +429,13 @@ def main() -> None:
         tn = _timed(lambda: fn(many))
         ratio = tn / t1 if t1 > 0 else None
         linear_ok = ratio is not None and ratio <= n * SLACK
-        # geo_dissolve_skew_single IS the documented anti-pattern
-        # baseline (unbounded groups on single-level dissolve go
-        # superlinear by design — measured 29x at 10x vs two_level's
-        # 11x); its ratio is recorded for the comparison assertion
-        # below, not gated on linearity.
-        if not linear_ok and name != "geo_dissolve_skew_single":
+        # geo_dissolve_skew_forced_single IS the documented
+        # anti-pattern baseline (unbounded groups FORCED onto
+        # single-level dissolve go superlinear by design); its ratio is
+        # recorded for the comparison assertion below, not gated on
+        # linearity. The DEFAULT spelling (geo_dissolve_skew_single,
+        # two_level="auto") IS gated — r10 verdict order 3.
+        if not linear_ok and name != "geo_dissolve_skew_forced_single":
             failures.append(f"{name}: ratio {ratio:.2f} > {n} * {SLACK}")
         out[name] = {
             "x1": round(t1, 3),
@@ -435,7 +450,7 @@ def main() -> None:
     # the two-level valve must not grow FASTER than single-level on the
     # skewed fixture (r8 verdict order 7 done-criterion); small absolute
     # slack absorbs timer noise on sub-second runs
-    _sing = out.get("geo_dissolve_skew_single", {}).get("ratio")
+    _sing = out.get("geo_dissolve_skew_forced_single", {}).get("ratio")
     _two = out.get("geo_dissolve_skew_two_level", {}).get("ratio")
     if _sing is not None and _two is not None:
         ok = _two <= _sing * 1.15
@@ -786,6 +801,18 @@ def main() -> None:
                     lambda v: ann_topk(
                         cat, "elsh", v, k=k, database="anndb",
                         lsh_n_probe=3,
+                    ),
+                    name="elsh",
+                ),
+                # the full Hamming-1 ring (1 + n_bits probes) — the
+                # single-table ceiling this fixture can reach; the path
+                # is DEPRECATED for production recall (r10 verdict
+                # order 7): see functions/similarity.lsh_topk's note,
+                # use lsh_multitable / ann_lsh_tables_topk instead
+                "lsh_ring": recall(
+                    lambda v: ann_topk(
+                        cat, "elsh", v, k=k, database="anndb",
+                        lsh_n_probe=9,
                     ),
                     name="elsh",
                 ),

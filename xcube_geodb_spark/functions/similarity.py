@@ -476,7 +476,13 @@ def lsh_probe_buckets(
     index (vs more tables/bits), at n_probe/2^b of the data scanned.
     Ties on |margin| break by bit index; all arithmetic is the same
     left-fold double algebra as :func:`bucket_of`, so a SQL oracle
-    derives the identical probe set."""
+    derives the identical probe set.
+
+    ``n_probe`` beyond the full 1-step ring (1 + n_bits buckets)
+    continues into 2-step perturbations ordered by margin SUM (the Lv
+    et al. perturbation-set ordering restricted to depth 2), so recall
+    stays monotone in ``n_probe`` all the way toward a full scan
+    instead of silently capping at the single-flip ring (r11)."""
     q = [float(x) for x in query_vector]
     base = bucket_of(q, hyperplanes)
     # geometric distance to the cut, |q.h| / ||h|| — the hyperplanes are
@@ -490,11 +496,26 @@ def lsh_probe_buckets(
         )
         for i, r in enumerate(hyperplanes)
     )
-    probes = [base]
-    for _m, i in margins[: max(0, int(n_probe) - 1)]:
-        probes.append(
-            base[:i] + ("0" if base[i] == "1" else "1") + base[i + 1 :]
+
+    def _flip(bucket: str, i: int) -> str:
+        return (
+            bucket[:i] + ("0" if bucket[i] == "1" else "1") + bucket[i + 1:]
         )
+
+    want = max(1, int(n_probe))
+    probes = [base]
+    for _m, i in margins[: want - 1]:
+        probes.append(_flip(base, i))
+    if want > len(probes):
+        pairs = sorted(
+            (ma + mb, ia, ib)
+            for x, (ma, ia) in enumerate(margins)
+            for mb, ib in margins[x + 1:]
+        )
+        for _s, ia, ib in pairs:
+            if len(probes) >= want:
+                break
+            probes.append(_flip(_flip(base, ia), ib))
     return probes
 
 
@@ -514,7 +535,22 @@ def lsh_topk(
     ~(1 - 2^-b) of the data before any arithmetic runs. ``n_probe > 1``
     additionally scans the nearest neighboring buckets
     (:func:`lsh_probe_buckets`) — strictly more candidates, so recall is
-    monotone in ``n_probe``."""
+    monotone in ``n_probe``.
+
+    .. deprecated:: r11
+        **Single-TABLE sign-LSH has a hard recall ceiling on weakly
+        structured corpora** — measured recall@10 on the structure-free
+        uniform-unit fixture: 0.12 at n_probe=1, 0.13 at 3, 0.18 at the
+        full Hamming-1 ring (9 of 256 buckets); the 2-step perturbations
+        keep it monotone but approach a full scan long before useful
+        recall. The theory matches: neighbor bit-collision probability
+        p = 1 - theta/pi is small when true neighbors sit at wide
+        angles, and one table pays p^b. Production paths should use
+        :func:`lsh_multitable_topk` (16x4-bit tables, measured 0.91) or
+        the at-rest :func:`~xcube_geodb_spark.operators.ann.
+        ann_lsh_tables_topk`; this single-table form stays for
+        cheap candidate pruning where downstream reranking tolerates
+        low recall."""
     hp = hyperplanes or lsh_hyperplanes(len(query_vector), n_bits, seed)
     probes = lsh_probe_buckets(query_vector, hp, n_probe)
     bucketed = (

@@ -106,7 +106,15 @@ def ann_topk(
 
     The manifest is read ONCE per probe and shared across index lookup,
     file pruning, and the scan — probe latency pays one metadata read plus
-    the footer checks, nothing else driver-side."""
+    the footer checks, nothing else driver-side.
+
+    NOTE (r11): the single-table ``lsh`` index path carries the recall
+    ceiling documented on :func:`~xcube_geodb_spark.functions.
+    similarity.lsh_topk` (0.12-0.18 on weakly structured corpora even
+    with the full Hamming-1 ring). For production LSH recall use the
+    at-rest multitable pair :func:`build_lsh_tables_collection` /
+    :func:`ann_lsh_tables_topk` (measured 0.91), or an ivf/ivfpq
+    index."""
     m = catalog.meta(collection, database)
     idx = _ann_index(m, collection, database)
     prop = idx["property"]
