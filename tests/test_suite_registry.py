@@ -73,7 +73,11 @@ FAMILIES = {
     "geo-knn-join": "geo_knn_join",
     "retrieval": "text_bm25_join",
     "sketch": "sketch_token_freq",
-    "curation-cap": "corpus_cap_per_source",
+    # r11: corpus_cap_per_source demoted for pg_jsonb_merge; the cap is
+    # a per-source deterministic-rank cut whose machinery (seeded hash
+    # ordering + window rank) sample_split_documents keeps in-window —
+    # it stays registered + locally verified
+    "curation-cap": "sample_split_documents",
     "text": "text_profile",
     "multimodal": "multimodal_decode",
     "sampling": "sample_split_documents",

@@ -43,6 +43,16 @@ to_tsvector family), ``text_bm25_indexed`` / ``stream_bm25_index``
 ``text_fts_via_index`` (boolean fts from postings — the GIN path) and
 ``text_phrase_via_index`` (phfts from positional postings).
 
+Round-11 window rotation (r10 verdict orders 1/2): ``pg_from_srf``
+(FROM-position SRFs) supersedes ``pg_array_agg_distinct`` (its
+ordered-collect core stays represented by ``pg_array_agg_order_mixed``)
+and ``pg_jsonb_merge`` (the jsonb || refuse-or-merge gate) supersedes
+``corpus_cap_per_source`` (sampling/curation keeps
+``sample_split_documents`` + ``pack_documents_budget``). Both demoted
+gates stay registered + locally verified. Beyond-window round-11
+additions: ``pg_scalar_shims`` grew six legs (date_part epoch, AT TIME
+ZONE, numeric to_char x3, to_jsonb row packaging).
+
 Round-10 window rotation (r9 verdict orders 1/4/5): ``pg_json_arrows``
 (PG ->/->>/#>/#>> chains + typed paren-casts) supersedes
 ``events_json_extract`` as the json representative;
@@ -89,10 +99,22 @@ DRIVER_WINDOW = [
     # the grammar-path arrow variant stays registered + locally
     # verified); pg_array_agg_distinct — the PG-legal DISTINCT+ORDER
     # shape via array_distinct inside the same ordered-collect core.
+    # r11 rotation (r10 verdict orders 1/2): pg_from_srf — FROM-position
+    # set-returning functions (unnest / json_each / json_each_text /
+    # json_array_elements[_text] -> LATERAL VIEW explode) — takes
+    # pg_array_agg_distinct's slot (the DISTINCT variant is a small
+    # delta on the ordered-collect core that pg_array_agg_order_mixed
+    # keeps in the window; it stays registered + locally verified).
+    # pg_jsonb_merge — the jsonb || refuse-or-merge order: jsonb_merge()
+    # with PG || semantics, DuckDB json_merge_patch oracle — takes
+    # corpus_cap_per_source's slot (cap-per-source is the sampling
+    # family's third representative; sample_split_documents +
+    # pack_documents_budget remain in the window; it stays registered +
+    # locally verified).
     "pg_groupby_q1",
     "pg_array_agg_order_mixed",
     "pg_json_arrows",
-    "pg_array_agg_distinct",
+    "pg_from_srf",
     "pg_spatial_agg",
     "count_lineitem",
     # joins / windows / set ops / aggregates
@@ -158,7 +180,7 @@ DRIVER_WINDOW = [
     "text_profile",
     "text_bm25_join",
     "sketch_token_freq",
-    "corpus_cap_per_source",
+    "pg_jsonb_merge",
     "multimodal_decode",
     "sample_split_documents",
     "pack_documents_budget",
