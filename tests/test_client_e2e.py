@@ -545,6 +545,7 @@ class TestShimLiteralSafety:
 
         tokens = st.sampled_from([
             "->>", "->", "#>>", "#>", "&&", "@@", "?", "?|", "?&",
+            "#-", "- 'k'", "jsonb_set(", "AT TIME ZONE",
             "~~*", "~~", "!~", "~", "::int", "::geography", "@>", "<@",
             "<->", "ARRAY[1]", "SIMILAR TO", "ORDER BY x",
             "json_agg(", "to_char(", "unnest(", "FILTER (WHERE",
@@ -1566,3 +1567,64 @@ class TestR11ScalarShims:
         for bad in ("'RN'", "'FM9999.09'", "'FM0,000'"):
             with pytest.raises(GeoDBError):
                 f(f"to_char(n, {bad})")
+
+
+class TestJsonbMutation:
+    """r11: the jsonb mutation surface — jsonb_set kernel, the `-`
+    delete operator (provably-json lhs only), and `#-` path delete."""
+
+    def test_minus_and_hash_minus_rewrites(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("props #- '{a,b}'") == "jsonb_delete_path(props, '{a,b}')"
+        assert f("props::jsonb - 'k'") == (
+            "jsonb_delete(CAST(props AS string), 'k')"
+        )
+        assert f("(props)::jsonb - 0") == (
+            "jsonb_delete(CAST((props) AS string), 0)"
+        )
+        assert f("json_build_object('a', 1) - 'a'") == (
+            "jsonb_delete(to_json(named_struct('a', 1)), 'a')"
+        )
+        # arithmetic stays arithmetic
+        assert f("num - 5") == "num - 5"
+        assert f("num - '3'") == "num - '3'"
+        assert f("price - 1.5") == "price - 1.5"
+        assert f("ts - INTERVAL '1 day'") == "ts - INTERVAL '1 day'"
+        # ambiguous non-numeric subtraction refuses (Spark would
+        # silently coerce to doubles and return NULL)
+        with pytest.raises(GeoDBError, match="jsonb delete"):
+            f("name - 'abc'")
+
+    def test_jsonb_set_kernel(self):
+        from xcube_geodb_spark.functions.jsonsql import jsonb_set_py as s
+
+        assert s('{"a":1}', "{b}", "2") == '{"a": 1, "b": 2}'
+        assert s('{"a":1}', "{a}", "9") == '{"a": 9}'
+        # missing INTERMEDIATE step: target unchanged (exactly PG)
+        assert s('{"a":1}', "{b,c}", "2") == '{"a": 1}'
+        # create_missing=false never adds the leaf
+        assert s('{"a":1}', "{b}", "2", False) == '{"a": 1}'
+        # array positions, negative indexes, clamped appends
+        assert s('{"a":[1,2]}', "{a,1}", "9") == '{"a": [1, 9]}'
+        assert s('{"a":[1,2]}', "{a,-1}", "9") == '{"a": [1, 9]}'
+        assert s('{"a":[1,2]}', "{a,99}", "9") == '{"a": [1, 2, 9]}'
+        assert s('{"a":[1,2]}', "{a,-99}", "9") == '{"a": [9, 1, 2]}'
+        assert s(None, "{a}", "1") is None
+        assert s("{}", None, "1") is None
+
+    def test_jsonb_delete_kernels(self):
+        from xcube_geodb_spark.functions.jsonsql import (
+            jsonb_delete_path_py as dp,
+            jsonb_delete_py as d,
+        )
+
+        assert d('{"a":1,"b":2}', "a") == '{"b": 2}'
+        assert d('{"a":1}', "zz") == '{"a": 1}'
+        assert d('["x","y","x"]', "x") == '["y"]'
+        assert d('["x","y"]', 1) == '["x"]'
+        assert d('["x","y"]', -1) == '["x"]'
+        assert d('"scalar"', "a") is None  # PG errors; engine NULLs
+        assert dp('{"a":{"b":1,"c":2}}', "{a,b}") == '{"a": {"c": 2}}'
+        assert dp('{"a":1}', "{x,y}") == '{"a": 1}'
+        assert dp('{"a":[1,2,3]}', "{a,-1}") == '{"a": [1, 2]}'

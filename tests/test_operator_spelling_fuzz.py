@@ -88,6 +88,16 @@ CORPUS = [
     "date_bin(INTERVAL '1 hour', ts, TIMESTAMP '2024-01-01 00:00:00')",
     "regexp_replace(name, 'a', 'b', 'gi')",
     "st_relate(g, h, 'T*F**FFF*')", "st_buffer(g, 1.0, 'quad_segs=2')",
+    # jsonb mutation surface (r11): registered jsonb_set + the - / #-
+    # operator rewrites; ambiguous string subtraction refuses
+    "jsonb_set(j, '{k}', '9')",
+    "jsonb_set(j, '{a,b}', '\"x\"', false)",
+    "jsonb_merge(j, j)",
+    "j #- '{a,b}'",
+    "j::jsonb - 'k'",
+    "json_build_object('a', 1) - 'a'",
+    "name - 'abc'",
+    "num - 5", "num - '3'", "ts - INTERVAL '1 day'",
     # keyword-operand guards (refusals are the CORRECT outcome)
     "CASE WHEN num > 0 THEN j ELSE j END ->> 'k'",
     "(CASE WHEN num > 0 THEN j ELSE j END) ->> 'k'",

@@ -1972,7 +1972,8 @@ def _rewrite_relate3(code: str) -> str:
 # operator is the jsonb merge, not string concat
 _JSON_PRODUCERS = frozenset(
     "json_build_object jsonb_build_object to_json to_jsonb row_to_json "
-    "json_agg jsonb_agg jsonb_merge json_object".split()
+    "json_agg jsonb_agg jsonb_merge jsonb_set jsonb_delete "
+    "jsonb_delete_path json_object".split()
 )
 
 
@@ -2058,6 +2059,116 @@ def _guard_jsonb_concat(clause: str) -> None:
         pos = m.end()
 
 
+_HASH_MINUS_RE = re.compile(r"#-(?![>-])")
+_MINUS_RHS_RE = re.compile(
+    r"(?<![-<>#!~&|^+*/%=])-\s*(__GEODB_LIT_(\d+)__|\d+(?![.\d]))"
+)
+
+
+def _json_typed_lhs(
+    protected: str, end: int
+) -> tuple[str, int] | None:
+    """The operand ending at ``protected[:end]`` when it is PROVABLY
+    json-typed — a ``::json(b)`` cast (returned WITH the cast text) or a
+    json-producing call — else None. Shared by the jsonb ``-`` rewrite;
+    the ``||`` guard uses the same rules inline."""
+    left = _operand_before(protected[:end])
+    if left is None:
+        return None
+    lhs, lstart = left
+    before = protected[:lstart].rstrip()
+    if before.endswith("::") and lhs.lower() in ("json", "jsonb"):
+        inner = _operand_before(before[: len(before) - 2])
+        if inner is None:
+            return None
+        _ilhs, istart = inner
+        return protected[istart:end].rstrip(), istart
+    name = lhs.split("(", 1)[0].strip().lower()
+    if "(" in lhs and name in _JSON_PRODUCERS:
+        return lhs, lstart
+    return None
+
+
+def _rewrite_jsonb_mutation_ops(clause: str) -> str:
+    """PG's jsonb delete operators on the RAW clause (r11 — closing the
+    jsonb mutation surface, r10 What's-missing #2):
+
+    - ``j #- '{a,b}'`` -> ``jsonb_delete_path(j, '{a,b}')`` — the
+      spelling is unambiguous, always rewrites
+    - ``j - 'key'`` / ``j - n`` -> ``jsonb_delete(j, key)`` ONLY when
+      the left operand is PROVABLY json-typed (a ``::json(b)`` cast or
+      a json-producing call) — ``-`` is also arithmetic, and Spark
+      would COERCE ``x - '3'`` numerically. A NON-numeric string
+      literal subtracted from an unprovable operand refuses loudly
+      (Spark would silently coerce both sides to double and return
+      NULL); numeric-looking literals and bare integers stay
+      arithmetic.
+
+    ``jsonb_set(...)`` needs no rewrite — it is a registered function
+    (functions/jsonsql.py) reachable through the passthrough."""
+    if "#-" not in clause and "-" not in clause:
+        return clause
+    parts = re.split(r"('(?:[^']|'')*')", clause)
+    lits = parts[1::2]
+    protected = "".join(
+        p if i % 2 == 0 else f"__GEODB_LIT_{i // 2}__"
+        for i, p in enumerate(parts)
+    )
+    changed = False
+    pos = 0
+    while True:
+        m = _HASH_MINUS_RE.search(protected, pos)
+        if m is None:
+            break
+        left = _operand_before(protected[: m.start()])
+        right = _operand_after(protected[m.end():])
+        if left is None or right is None:
+            raise GeoDBError(
+                "#-: operands must be a json expression and a text-array "
+                "path literal like '{a,b}'"
+            )
+        lhs, lstart = left
+        _guard_keyword_operand("#-", lhs)
+        rhs, rend = right
+        repl = f"jsonb_delete_path({lhs}, {rhs})"
+        protected = protected[:lstart] + repl + protected[m.end() + rend:]
+        pos = lstart + len(repl)
+        changed = True
+    pos = 0
+    while True:
+        m = _MINUS_RHS_RE.search(protected, pos)
+        if m is None:
+            break
+        jt = _json_typed_lhs(protected, m.start())
+        if jt is not None:
+            lhs, lstart = jt
+            rhs = m.group(1)
+            repl = f"jsonb_delete({lhs}, {rhs})"
+            protected = protected[:lstart] + repl + protected[m.end():]
+            pos = lstart + len(repl)
+            changed = True
+            continue
+        lm = _LIT_PLACEHOLDER_RE.fullmatch(m.group(1))
+        if lm is not None:
+            val = lits[int(lm.group(1))][1:-1].replace("''", "'")
+            if not re.fullmatch(r"\s*-?\d+(\.\d+)?\s*", val):
+                raise GeoDBError(
+                    f"Ambiguous '- {lits[int(lm.group(1))]}': PG's jsonb "
+                    "delete operator needs a provably json-typed left "
+                    "operand (cast it: (x)::jsonb - 'k') — Spark would "
+                    "otherwise coerce both sides to numbers and return "
+                    "NULL. For arithmetic, subtract a numeric literal."
+                )
+        pos = m.end()
+    if not changed:
+        return clause
+    return re.sub(
+        r"__GEODB_LIT_(\d+)__",
+        lambda mm: lits[int(mm.group(1))],
+        protected,
+    )
+
+
 def _pg_clause_to_spark(clause: str | None) -> str | None:
     """Textual shim for the PG-isms Spark SQL's parser rejects, applied
     outside string literals only:
@@ -2083,6 +2194,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     the dialect boundary."""
     if not clause:
         return clause
+    clause = _rewrite_jsonb_mutation_ops(clause)
     if "||" in clause:
         _guard_jsonb_concat(clause)
 

@@ -1035,7 +1035,50 @@ def pg_jsonb_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def pg_jsonb_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jsonb mutation surface (r11 — r10 What's-missing #2):
+    ``jsonb_set`` (registered function, 3- and 4-arg forms incl.
+    create_missing=false), the ``-`` delete operator (rewritten to
+    jsonb_delete when the left operand is provably json-typed), and the
+    ``#-`` path-delete operator. Values compared via extracted fields +
+    whole-text deletes; DuckDB replays set/delete with
+    json_merge_patch (patch-null deletes keys, RFC 7386)."""
+    from xcube_geodb_spark.functions.jsonsql import register_json_sql_functions
+
+    register_json_sql_functions(spark)
+    register_views(spark, sf_dir, "events")
+    sql = build_pg_sql(
+        "events",
+        select=(
+            "event_id, "
+            "jsonb_set(props, '{t}', '\"x\"') ->> 't' AS t_new, "
+            "jsonb_set(props, '{t}', '\"x\"') ->> 'k' AS k_kept, "
+            "jsonb_set(props, '{k}', '99') ->> 'k' AS k_rep, "
+            "jsonb_set(props, '{z}', '1', false) ->> 'z' AS z_missing, "
+            "props::jsonb - 'k' AS del_text, "
+            "props #- '{k}' AS delpath_text"
+        ),
+        where="event_id % 43 = 0",
+        order="event_id",
+    )
+    return spark.sql(sql)
+
+
 CORE_ORACLES_PG = {
+    "pg_jsonb_mutation": """
+        SELECT event_id,
+               json_merge_patch(props, '{"t": "x"}') ->> 't' AS t_new,
+               json_merge_patch(props, '{"t": "x"}') ->> 'k' AS k_kept,
+               json_merge_patch(props, '{"k": 99}') ->> 'k' AS k_rep,
+               props ->> 'z' AS z_missing,
+               CAST(json_merge_patch(props, '{"k": null}') AS VARCHAR)
+                   AS del_text,
+               CAST(json_merge_patch(props, '{"k": null}') AS VARCHAR)
+                   AS delpath_text
+        FROM events
+        WHERE event_id % 43 = 0
+        ORDER BY event_id
+    """,
     "pg_jsonb_merge": """
         SELECT event_id,
                json_merge_patch(props, json_object('t', event_type))
@@ -2327,6 +2370,7 @@ CORE_QUERIES = {
     "pg_generate_series": pg_generate_series,
     "pg_from_srf": pg_from_srf,
     "pg_jsonb_merge": pg_jsonb_merge,
+    "pg_jsonb_mutation": pg_jsonb_mutation,
     "pg_array_agg_order": pg_array_agg_order,
     "pg_array_agg_order_mixed": pg_array_agg_order_mixed,
     "pg_json_arrows": pg_json_arrows,
