@@ -1628,3 +1628,36 @@ class TestJsonbMutation:
         assert dp('{"a":{"b":1,"c":2}}', "{a,b}") == '{"a": {"c": 2}}'
         assert dp('{"a":1}', "{x,y}") == '{"a": 1}'
         assert dp('{"a":[1,2,3]}', "{a,-1}") == '{"a": [1, 2]}'
+
+
+class TestToCharNameCasing:
+    """r10 What's-wrong #2 closed: PG renders name tokens in the
+    template's case ('MON' -> 'JAN'); uniformly-cased templates wrap
+    the date_format result in upper()/lower()."""
+
+    def test_casing_wraps(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("to_char(ts, 'DD MON YYYY')") == (
+            "upper(date_format(ts, 'dd MMM yyyy'))"
+        )
+        assert f("to_char(ts, 'DD mon YYYY')") == (
+            "lower(date_format(ts, 'dd MMM yyyy'))"
+        )
+        # title case is SimpleDateFormat's native rendering — no wrap
+        assert f("to_char(ts, 'DD Mon YYYY')") == (
+            "date_format(ts, 'dd MMM yyyy')"
+        )
+        assert f("to_char(ts, 'Day, DD')") == "date_format(ts, 'EEEE, dd')"
+        assert f("to_char(ts, 'HH12:MI AM')") == (
+            "upper(date_format(ts, 'hh:mm a'))"
+        )
+        assert f("to_char(ts, 'HH12:MI am')") == (
+            "lower(date_format(ts, 'hh:mm a'))"
+        )
+        # mixed-case name tokens: documented deviation, no wrap
+        assert f("to_char(ts, 'MON dy')") == "date_format(ts, 'MMM EEE')"
+        # name-free templates never wrap
+        assert f("to_char(ts, 'YYYY-MM-DD')") == (
+            "date_format(ts, 'yyyy-MM-dd')"
+        )

@@ -1317,27 +1317,52 @@ def _rewrite_json_build(code: str) -> str:
         code = code[: m.start()] + repl + code[j + 1:]
         pos = m.start() + len(repl)
 
-# PG to_char template patterns -> Spark date_format (SimpleDateFormat)
+# PG to_char template patterns -> Spark date_format (SimpleDateFormat).
+# NAME tokens carry a case class: PG renders 'MON' -> 'JAN', 'Mon' ->
+# 'Jan', 'mon' -> 'jan' while SimpleDateFormat always emits title case —
+# _to_char_format reports the template's uniform case so the caller can
+# wrap the whole date_format in upper()/lower() (safe: every other
+# emitted character is a digit or punctuation separator).
 _TO_CHAR_TOKENS = [
     ("YYYY", "yyyy"), ("YYY", "yyy"), ("YY", "yy"),
     ("HH24", "HH"), ("HH12", "hh"), ("HH", "hh"),
     ("MI", "mm"), ("SS", "ss"), ("MS", "SSS"),
-    ("MON", "MMM"), ("Mon", "MMM"), ("MONTH", "MMMM"),
-    ("MM", "MM"), ("DDD", "DDD"), ("DD", "dd"), ("DY", "EEE"),
-    ("Day", "EEEE"), ("DAY", "EEEE"), ("AM", "a"), ("PM", "a"),
+    ("MM", "MM"), ("DDD", "DDD"), ("DD", "dd"),
     ("TZ", "zz"), ("Q", "Q"), ("WW", "ww"), ("J", None), ("IYYY", None),
 ]
+_TO_CHAR_NAME_TOKENS = {
+    "MONTH": ("MMMM", "upper"), "Month": ("MMMM", "title"),
+    "month": ("MMMM", "lower"),
+    "MON": ("MMM", "upper"), "Mon": ("MMM", "title"),
+    "mon": ("MMM", "lower"),
+    "DAY": ("EEEE", "upper"), "Day": ("EEEE", "title"),
+    "day": ("EEEE", "lower"),
+    "DY": ("EEE", "upper"), "Dy": ("EEE", "title"), "dy": ("EEE", "lower"),
+    "AM": ("a", "upper"), "PM": ("a", "upper"),
+    "am": ("a", "lower"), "pm": ("a", "lower"),
+}
 
 
-def _to_char_format(fmt: str) -> str:
-    """PG to_char template -> SimpleDateFormat, longest-token-first;
-    non-alphanumeric separators pass through; unknown alpha tokens
-    refuse loudly rather than silently emit wrong text. DOCUMENTED
-    DEVIATION: name tokens render in SimpleDateFormat's mixed case
-    ('MON' -> 'Jan' not 'JAN'; wrap in upper()/lower() for PG's exact
-    casing)."""
+def _to_char_format(fmt: str) -> tuple[str, str | None]:
+    """PG to_char template -> (SimpleDateFormat, case_wrap) with
+    longest-token-first matching; non-alphanumeric separators pass
+    through; unknown alpha tokens refuse loudly rather than silently
+    emit wrong text. ``case_wrap`` is ``'upper'``/``'lower'`` when the
+    template's NAME tokens (MON/Day/am...) are uniformly that case —
+    PG's exact rendering, applied by the caller over the whole result —
+    or None for title-cased / name-free / mixed-case templates
+    (DOCUMENTED DEVIATION: a mixed-case template like 'MON dy' keeps
+    SimpleDateFormat's title case)."""
     out, i = [], 0
-    toks = sorted(_TO_CHAR_TOKENS, key=lambda t: -len(t[0]))
+    cases: set[str] = set()
+    toks = sorted(
+        [(pg, sp, None) for pg, sp in _TO_CHAR_TOKENS]
+        + [
+            (pg, sp, case)
+            for pg, (sp, case) in _TO_CHAR_NAME_TOKENS.items()
+        ],
+        key=lambda t: -len(t[0]),
+    )
     while i < len(fmt):
         ch = fmt[i]
         if not ch.isalpha():
@@ -1349,7 +1374,7 @@ def _to_char_format(fmt: str) -> str:
                 out.append(ch)
             i += 1
             continue
-        for pg, sp in toks:
+        for pg, sp, case in toks:
             if fmt.startswith(pg, i):
                 if sp is None:
                     raise GeoDBError(
@@ -1357,6 +1382,8 @@ def _to_char_format(fmt: str) -> str:
                         "pg dialect shim (SURVEY.md §7)"
                     )
                 out.append(sp)
+                if case is not None:
+                    cases.add(case)
                 i += len(pg)
                 break
         else:
@@ -1365,7 +1392,8 @@ def _to_char_format(fmt: str) -> str:
                 "(supported: YYYY/MM/DD/HH24/HH12/MI/SS/MS/MON/DY/Day/"
                 "AM/PM and punctuation separators)"
             )
-    return "".join(out)
+    wrap = cases.pop() if len(cases) == 1 else None
+    return "".join(out), None if wrap == "title" else wrap
 
 
 def _to_char_numeric(expr: str, fmt: str) -> str:
@@ -1471,9 +1499,13 @@ def _rewrite_misc_pg_funcs(code: str, lits: list[str]) -> str:
             # is PG's NUMERIC to_char (money/fixed-point formatting)
             repl = _to_char_numeric(expr, fmt)
         else:
-            sdf = _to_char_format(fmt)
+            sdf, wrap = _to_char_format(fmt)
             lits.append("'" + sdf.replace("'", "''") + "'")
             repl = f"date_format({expr}, __GEODB_LIT_{len(lits) - 1}__)"
+            if wrap is not None:
+                # PG's name-token casing ('MON' -> 'JAN'): safe to wrap
+                # the whole result — all other output is digits/punct
+                repl = f"{wrap}({repl})"
         code = code[: m.start()] + repl + code[j + 1:]
         pos = m.start() + len(repl)
     pos = 0

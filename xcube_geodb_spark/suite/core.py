@@ -622,6 +622,8 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey, "
             "to_char(o_orderdate, 'YYYY-MM-DD') AS d_ymd, "
             "to_char(o_orderdate, 'HH24:MI:SS') AS d_hms, "
+            # r11: PG name-token casing — 'MON' renders 'JAN'
+            "to_char(o_orderdate, 'DD MON YYYY') AS d_mon, "
             "CAST(cardinality(string_to_array(o_orderpriority, '-')) "
             "AS INT) AS n_parts, "
             "element_at(string_to_array(o_orderpriority, '-'), 1) "
@@ -1254,6 +1256,7 @@ CORE_ORACLES_PG = {
         SELECT o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS d_ymd,
                strftime(o_orderdate, '%H:%M:%S') AS d_hms,
+               upper(strftime(o_orderdate, '%d %b %Y')) AS d_mon,
                CAST(len(string_split(o_orderpriority, '-')) AS INT)
                    AS n_parts,
                string_split(o_orderpriority, '-')[1] AS part1,
