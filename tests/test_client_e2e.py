@@ -1661,3 +1661,13 @@ class TestToCharNameCasing:
         assert f("to_char(ts, 'YYYY-MM-DD')") == (
             "date_format(ts, 'yyyy-MM-dd')"
         )
+        # PG digit tokens are case-insensitive ('yyyy-mm-dd' everyday PG)
+        assert f("to_char(ts, 'yyyy-mm-dd')") == (
+            "date_format(ts, 'yyyy-MM-dd')"
+        )
+        assert f("to_char(ts, 'hh24:mi:ss')") == (
+            "date_format(ts, 'HH:mm:ss')"
+        )
+        assert f("to_char(ts, 'dd mon yyyy')") == (
+            "lower(date_format(ts, 'dd MMM yyyy'))"
+        )

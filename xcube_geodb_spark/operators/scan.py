@@ -1329,6 +1329,13 @@ _TO_CHAR_TOKENS = [
     ("MI", "mm"), ("SS", "ss"), ("MS", "SSS"),
     ("MM", "MM"), ("DDD", "DDD"), ("DD", "dd"),
     ("TZ", "zz"), ("Q", "Q"), ("WW", "ww"), ("J", None), ("IYYY", None),
+    # PG's digit tokens are case-insensitive ('yyyy-mm-dd' is everyday
+    # PG); name tokens stay case-SENSITIVE (casing drives rendering)
+    ("yyyy", "yyyy"), ("yyy", "yyy"), ("yy", "yy"),
+    ("hh24", "HH"), ("hh12", "hh"), ("hh", "hh"),
+    ("mi", "mm"), ("ss", "ss"), ("ms", "SSS"),
+    ("mm", "MM"), ("ddd", "DDD"), ("dd", "dd"),
+    ("tz", "zz"), ("q", "Q"), ("ww", "ww"),
 ]
 _TO_CHAR_NAME_TOKENS = {
     "MONTH": ("MMMM", "upper"), "Month": ("MMMM", "title"),
@@ -2185,11 +2192,13 @@ def _rewrite_jsonb_mutation_ops(clause: str) -> str:
             val = lits[int(lm.group(1))][1:-1].replace("''", "'")
             if not re.fullmatch(r"\s*-?\d+(\.\d+)?\s*", val):
                 raise GeoDBError(
-                    f"Ambiguous '- {lits[int(lm.group(1))]}': PG's jsonb "
-                    "delete operator needs a provably json-typed left "
-                    "operand (cast it: (x)::jsonb - 'k') — Spark would "
-                    "otherwise coerce both sides to numbers and return "
-                    "NULL. For arithmetic, subtract a numeric literal."
+                    f"Ambiguous '- {lits[int(lm.group(1))]}': subtracting "
+                    "a non-numeric string literal is either PG's jsonb "
+                    "delete or date/interval arithmetic, and Spark would "
+                    "silently coerce both sides to numbers and return "
+                    "NULL. Cast the operand: (x)::jsonb - 'k' for jsonb "
+                    "delete, or x - '...'::date / INTERVAL '...' for "
+                    "temporal arithmetic."
                 )
         pos = m.end()
     if not changed:
