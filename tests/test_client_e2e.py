@@ -1389,9 +1389,24 @@ class TestFromSrfRewrites:
     def test_elements_and_standalone(self):
         from xcube_geodb_spark.operators.scan import _rewrite_from_srfs as f
 
+        # PG's scalar-SRF rule: a bare alias names the COLUMN (text-
+        # returning set function), so `... el` yields column el
         assert f("t, json_array_elements_text(t.j) el") == (
             "t LATERAL VIEW explode(from_json(t.j, 'array<string>')) "
+            "el AS el"
+        )
+        assert f("t, json_array_elements_text(t.j) AS el(value)") == (
+            "t LATERAL VIEW explode(from_json(t.j, 'array<string>')) "
             "el AS value"
+        )
+        assert f("t, json_object_keys(t.j) AS ko(k)") == (
+            "t LATERAL VIEW explode(json_object_keys(t.j)) ko AS k"
+        )
+        assert f("t, regexp_split_to_table(t.name, '[-_]') tok") == (
+            "t LATERAL VIEW explode(split(t.name, '[-_]')) tok AS tok"
+        )
+        assert f("t, string_to_table(t.name, '.') part") == (
+            "t LATERAL VIEW explode(split(t.name, '\\.')) part AS part"
         )
         # standalone literal-args form -> lateral subquery
         assert f("unnest(array(1,2,3)) t(x)") == (

@@ -2520,7 +2520,8 @@ def _rewrite_generate_series(table: str) -> str:
 # and the passthrough admits them (geodb.sql:1147-1167).
 _FROM_SRF_RE = re.compile(
     r"\b(unnest|jsonb?_each_text|jsonb?_each"
-    r"|jsonb?_array_elements_text|jsonb?_array_elements)\s*\(",
+    r"|jsonb?_array_elements_text|jsonb?_array_elements"
+    r"|jsonb?_object_keys|regexp_split_to_table|string_to_table)\s*\(",
     re.IGNORECASE,
 )
 _WITH_ORD_RE = re.compile(r"^\s*WITH\s+ORDINALITY\b", re.IGNORECASE)
@@ -2591,6 +2592,34 @@ def _srf_generator(
         )
     if fname == "json_array_elements_text":
         return f"explode(from_json({args}, 'array<string>'))", ["value"]
+    if fname == "json_object_keys":
+        # Spark's json_object_keys returns the key array directly
+        return f"explode(json_object_keys({args}))", ["json_object_keys"]
+    if fname == "regexp_split_to_table":
+        # POSIX vs Java regex: the everyday subset is identical; exotic
+        # PG-only atoms fail loudly at analysis
+        return f"explode(split({args}))", ["regexp_split_to_table"]
+    if fname == "string_to_table":
+        arglist = _split_top_commas_lit(args)
+        if len(arglist) != 2:
+            raise GeoDBError(
+                "string_to_table(s, 'sep'): exactly 2 arguments (the "
+                "3-argument null-string form is outside the shim)"
+            )
+        # PG splits on the LITERAL separator; split() takes a regex, so
+        # a literal separator is regex-escaped (the string_to_array
+        # donor); expression separators refuse
+        sm = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", arglist[1])
+        if sm is None:
+            raise GeoDBError(
+                "string_to_table: the separator must be a string literal"
+            )
+        sep = sm.group(1).replace("''", "'")
+        esc = re.escape(sep).replace("'", "''")
+        return (
+            f"explode(split({arglist[0]}, '{esc}'))",
+            ["string_to_table"],
+        )
     # json_array_elements
     return (
         f"explode(transform(from_json({args}, 'array<variant>'), "
@@ -2677,8 +2706,12 @@ def _rewrite_from_srfs(table: str) -> str:
                             f"{fname}: {len(def_cols)} output column(s) "
                             f"expected, alias lists {len(cols)}"
                         )
-                elif fname == "unnest" and len(def_cols) == 1:
-                    # PG scalar-function rule: a bare alias names the col
+                elif len(def_cols) == 1:
+                    # PG scalar-function rule: a bare alias names the
+                    # COLUMN for base-type-returning SRFs (unnest,
+                    # json_array_elements*, json_object_keys, the split
+                    # tables); composite-returning json_each keeps its
+                    # (key, value) names
                     cols = [alias]
                 rest = rest[am.end():]
             if len(set(c.lower() for c in cols)) != len(cols):

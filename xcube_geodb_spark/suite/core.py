@@ -999,12 +999,31 @@ def pg_from_srf(spark: SparkSession, sf_dir: str) -> DataFrame:
         where="event_id % 37 = 0",
     )
     elements = build_pg_sql(
-        """json_array_elements_text('["alpha", "beta", "2"]') el""",
+        """json_array_elements_text('["alpha", "beta", "2"]') AS el(value)""",
         select="'elements' AS arm, CAST(NULL AS BIGINT) AS event_id, "
         "CAST(NULL AS STRING) AS key, el.value",
     )
+    keys_arm = build_pg_sql(
+        "events, json_object_keys(props) AS ko(k)",
+        select="'keys' AS arm, event_id, CAST(NULL AS STRING) AS key, "
+        "ko.k AS value",
+        where="event_id % 37 = 0",
+    )
+    rsplit = build_pg_sql(
+        "events, regexp_split_to_table(event_type, '[aeiou]') AS rs(tok)",
+        select="'rsplit' AS arm, event_id, CAST(NULL AS STRING) AS key, "
+        "rs.tok AS value",
+        where="event_id % 37 = 0",
+    )
+    stable = build_pg_sql(
+        "events, string_to_table(event_type, 'n') AS st(part)",
+        select="'stable' AS arm, event_id, CAST(NULL AS STRING) AS key, "
+        "st.part AS value",
+        where="event_id % 37 = 0",
+    )
     out = None
-    for sql in (each_text, each_json, unnest_arm, elements):
+    for sql in (each_text, each_json, unnest_arm, elements, keys_arm,
+                rsplit, stable):
         df = spark.sql(sql)
         out = df if out is None else out.unionByName(df)
     return out
@@ -1147,6 +1166,22 @@ CORE_ORACLES_PG = {
         SELECT 'elements' AS arm, CAST(NULL AS BIGINT) AS event_id,
                CAST(NULL AS VARCHAR) AS key, v AS value
         FROM unnest(['alpha', 'beta', '2']) AS t(v)
+        UNION ALL
+        SELECT 'keys' AS arm, event_id, CAST(NULL AS VARCHAR) AS key,
+               k AS value
+        FROM events, unnest(json_keys(props)) AS u(k)
+        WHERE event_id % 37 = 0
+        UNION ALL
+        SELECT 'rsplit' AS arm, event_id, CAST(NULL AS VARCHAR) AS key,
+               tok AS value
+        FROM events,
+             unnest(string_split_regex(event_type, '[aeiou]')) AS u(tok)
+        WHERE event_id % 37 = 0
+        UNION ALL
+        SELECT 'stable' AS arm, event_id, CAST(NULL AS VARCHAR) AS key,
+               part AS value
+        FROM events, unnest(string_split(event_type, 'n')) AS u(part)
+        WHERE event_id % 37 = 0
     """,
     "pg_generate_series": """
         SELECT 'unit' AS arm, count(*) AS n,
