@@ -88,6 +88,10 @@ CORPUS = [
     "date_bin(INTERVAL '1 hour', ts, TIMESTAMP '2024-01-01 00:00:00')",
     "regexp_replace(name, 'a', 'b', 'gi')",
     "st_relate(g, h, 'T*F**FFF*')", "st_buffer(g, 1.0, 'quad_segs=2')",
+    # quantified comparisons over arrays (r11)
+    "name = ANY(arr)", "name <> ALL(arr)",
+    "num > ANY(array(1.0, 2.0))", "name = ANY(ARRAY['a','b'])",
+    "num >= ALL(arr)",
     # jsonb mutation surface (r11): registered jsonb_set + the - / #-
     # operator rewrites; ambiguous string subtraction refuses
     "jsonb_set(j, '{k}', '9')",
@@ -137,7 +141,10 @@ class TestOperatorSpellingFuzz:
                 out = _pg_clause_to_spark(clause)
             except GeoDBError:
                 continue  # loud refusal is a valid outcome
-            if "__geodb" in out.lower():
+            # the leak classes: unconsumed geography markers and
+            # literal placeholders (emitted lambda variables like
+            # __geodb_e are intentional, parse, and shadow nothing)
+            if "__geodb_geography__" in out or "__GEODB_LIT_" in out:
                 problems.append((clause, out, "marker/placeholder leak"))
                 continue
             try:

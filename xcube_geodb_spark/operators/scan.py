@@ -852,6 +852,47 @@ def _rewrite_geography(code: str) -> str:
     return code
 
 
+_ANY_ALL_RE = re.compile(
+    r"(<=|>=|<>|!=|=|<|>)\s*(ANY|ALL)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_any_all(code: str) -> str:
+    """PG's quantified comparisons over ARRAYS on literal-protected
+    code: ``v op ANY(arr)`` -> ``exists(arr, e -> v op e)`` and
+    ``v op ALL(arr)`` -> ``forall(arr, e -> v op e)`` — Spark's
+    higher-order predicates carry PG's three-valued NULL semantics
+    (``1 = ANY(ARRAY[2, NULL])`` is NULL in both). Subquery operands
+    (``= ANY(SELECT ...)``) pass through to Spark's parser (spell them
+    ``IN (SELECT ...)``); the bare aggregate ``any(flag)`` never
+    matches — the rewrite requires a preceding comparison operator."""
+    pos = 0
+    while True:
+        m = _ANY_ALL_RE.search(code, pos)
+        if not m:
+            return code
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
+        arg = code[m.end(): j].strip()
+        if re.match(r"SELECT\b", arg, re.IGNORECASE):
+            pos = j + 1
+            continue
+        left = _operand_before(code[: m.start()])
+        if left is None:
+            raise GeoDBError(
+                f"{m.group(2).upper()}(...): the compared operand must "
+                "be a column, function call, or parenthesized expression"
+            )
+        lhs, lstart = left
+        _guard_keyword_operand(m.group(2).upper(), lhs)
+        fn = "exists" if m.group(2).upper() == "ANY" else "forall"
+        op = m.group(1)
+        repl = f"{fn}({arg}, __geodb_e -> {lhs} {op} __geodb_e)"
+        code = code[:lstart] + repl + code[j + 1:]
+        pos = lstart + len(repl)
+
+
 _BBOX_OP_RE = re.compile(r"&&")
 
 
@@ -2342,6 +2383,9 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_bbox = "&&" in out
     need_ts = bool(_TSMATCH_OP_RE.search(out))
     need_jexists = "?" in out
+    need_anyall = bool(
+        re.search(r"\b(?:ANY|ALL)\s*\(", out, re.IGNORECASE)
+    )
     if _JSONB_ALIAS_RE.search(out):
         # pure name aliases: PG's jsonb_* spellings of functions Spark
         # ships under json_* (same semantics, json-text input)
@@ -2362,7 +2406,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
             or need_buf3 or need_rx4 or need_json or need_geog
             or need_pcast or need_bbox or need_misc or need_ts
-            or need_jexists):
+            or need_jexists or need_anyall):
         # these operands/arg-lists may span literal segments: protect
         # literals behind identifier-shaped placeholders, rewrite on the
         # joined code, then restore — literal contents stay byte-identical
@@ -2405,6 +2449,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_tsmatch(protected)
         if need_jexists and _JSONB_EXISTS_RE.search(protected):
             protected = _rewrite_jsonb_exists(protected)
+        if need_anyall:
+            protected = _rewrite_any_all(protected)
         if need_cont:
             protected = _rewrite_containment(protected)
         if need_agg:

@@ -1056,6 +1056,25 @@ def pg_jsonb_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def pg_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG quantified comparisons over arrays (r11): ``v op ANY(arr)`` /
+    ``v op ALL(arr)`` -> Spark's exists/forall higher-order predicates
+    (same three-valued NULL semantics). DuckDB runs the PG spellings
+    natively over lists."""
+    register_views(spark, sf_dir, "orders")
+    sql = build_pg_sql(
+        "orders",
+        select="o_orderkey, o_orderpriority",
+        where=(
+            "'URGENT' = ANY(string_to_array(o_orderpriority, '-')) "
+            "AND o_orderkey <> ALL(ARRAY[7, 11]) "
+            "AND o_orderkey % 7 = 0"
+        ),
+        order="o_orderkey",
+    )
+    return spark.sql(sql)
+
+
 def pg_jsonb_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The jsonb mutation surface (r11 — r10 What's-missing #2):
     ``jsonb_set`` (registered function, 3- and 4-arg forms incl.
@@ -1086,6 +1105,14 @@ def pg_jsonb_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORE_ORACLES_PG = {
+    "pg_any_all": """
+        SELECT o_orderkey, o_orderpriority
+        FROM orders
+        WHERE 'URGENT' = ANY(string_split(o_orderpriority, '-'))
+          AND o_orderkey <> ALL([7, 11])
+          AND o_orderkey % 7 = 0
+        ORDER BY o_orderkey
+    """,
     "pg_jsonb_mutation": """
         SELECT event_id,
                json_merge_patch(props, '{"t": "x"}') ->> 't' AS t_new,
@@ -2409,6 +2436,7 @@ CORE_QUERIES = {
     "pg_from_srf": pg_from_srf,
     "pg_jsonb_merge": pg_jsonb_merge,
     "pg_jsonb_mutation": pg_jsonb_mutation,
+    "pg_any_all": pg_any_all,
     "pg_array_agg_order": pg_array_agg_order,
     "pg_array_agg_order_mixed": pg_array_agg_order_mixed,
     "pg_json_arrows": pg_json_arrows,
