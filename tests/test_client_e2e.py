@@ -1541,6 +1541,20 @@ class TestR11ScalarShims:
         # other fields pass through (Spark runs date_part natively)
         assert f("date_part('year', ts)") == "date_part('year', ts)"
 
+    def test_dow_isodow_numbering(self):
+        # PG: dow Sunday=0..6; isodow Monday=1..7. Spark's own
+        # extract(DOW) is Sunday=1 — a silent off-by-one if passed
+        # through; isodow doesn't exist in Spark at all.
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("extract(dow from ts)") == "(dayofweek(ts) - 1)"
+        assert f("extract(isodow from ts)") == "(weekday(ts) + 1)"
+        assert f("date_part('dow', ts)") == "(dayofweek(ts) - 1)"
+        assert f("date_part('isodow', ts)") == "(weekday(ts) + 1)"
+        # fields Spark numbers identically pass through untouched
+        assert f("extract(doy from ts)") == "extract(doy from ts)"
+        assert f("extract(year from ts)") == "extract(year from ts)"
+
     def test_at_time_zone(self):
         from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
 

@@ -1074,6 +1074,12 @@ def _rewrite_array_funcs(code: str) -> str:
 _EXTRACT_EPOCH_RE = re.compile(
     r"\bextract\s*\(\s*epoch\s+from\b", re.IGNORECASE
 )
+# dow/isodow numbering differs SILENTLY between PG and Spark: PG dow is
+# 0-6 with Sunday=0, Spark's DOW/DAYOFWEEK is 1-7 with Sunday=1 (and
+# Spark has no isodow at all) — the passthrough would be off by one
+_EXTRACT_DOW_RE = re.compile(
+    r"\bextract\s*\(\s*(dow|isodow)\s+from\b", re.IGNORECASE
+)
 _JSON_BUILD_RE = re.compile(
     r"\b(?:json_build_object|jsonb_build_object)\s*\(", re.IGNORECASE
 )
@@ -1268,18 +1274,29 @@ def _rewrite_to_jsonb(code: str) -> str:
         pos = m.start() + len(repl)
 
 
+def _dow_expr(field: str, expr: str) -> str:
+    """PG weekday numbering on Spark primitives: ``dow`` = 0-6 with
+    Sunday=0 (Spark's dayofweek is Sunday=1); ``isodow`` = 1-7 with
+    Monday=1 (Spark's weekday is Monday=0)."""
+    if field == "dow":
+        return f"(dayofweek({expr}) - 1)"
+    return f"(weekday({expr}) + 1)"
+
+
 def _rewrite_date_part_epoch(code: str, lits: list[str]) -> str:
-    """PG ``date_part('epoch', x)`` — the function spelling of
-    ``extract(epoch from x)`` (r10 verdict order 4) -> the same
-    timestamp->double cast. Other fields pass through (Spark runs
-    date_part natively; its field list has no epoch)."""
+    """PG ``date_part('epoch'|'dow'|'isodow', x)`` — the function
+    spellings of the extract fields Spark lacks or numbers differently
+    (r10 verdict order 4; r11 dow/isodow: PG's dow is Sunday=0 where
+    Spark's DOW extract is Sunday=1 — a SILENT off-by-one through the
+    passthrough). Other fields pass through (Spark runs date_part
+    natively)."""
     pos = 0
     while True:
         m = _DATE_PART_EPOCH_RE.search(code, pos)
         if not m:
             return code
         field = lits[int(m.group(2))][1:-1].strip().lower()
-        if field != "epoch":
+        if field not in ("epoch", "dow", "isodow"):
             pos = m.end()
             continue
         open_idx = code.index("(", m.start())
@@ -1287,7 +1304,36 @@ def _rewrite_date_part_epoch(code: str, lits: list[str]) -> str:
         if j is None:
             return code  # unbalanced: leave for Spark's parser
         expr = code[m.end(): j].strip()
-        repl = _epoch_expr(expr)
+        if field == "epoch":
+            repl = _epoch_expr(expr)
+        else:
+            repl = _dow_expr(field, expr)
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
+
+
+def _rewrite_extract_dow(code: str) -> str:
+    """PG ``extract(dow|isodow from x)`` -> the PG-numbered weekday
+    expressions (see _dow_expr) — Spark's own ``extract(DOW ...)``
+    returns Sunday=1 where PG returns Sunday=0, and isodow does not
+    exist in Spark; both would otherwise ship wrong-by-one silently."""
+    pos = 0
+    while True:
+        m = _EXTRACT_DOW_RE.search(code, pos)
+        if not m:
+            return code
+        depth = 1  # extract's open paren is inside the match
+        for j in range(m.end(), len(code)):
+            if code[j] == "(":
+                depth += 1
+            elif code[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code  # unbalanced: leave for Spark's parser
+        expr = code[m.end(): j].strip()
+        repl = _dow_expr(m.group(1).lower(), expr)
         code = code[: m.start()] + repl + code[j + 1:]
         pos = m.start() + len(repl)
 
@@ -2400,7 +2446,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
         or _EXTRACT_EPOCH_RE.search(out) or _JSON_BUILD_RE.search(out)
         or _ARRAY_FN_RE.search(out) or _JSON_ELEMS_RE.search(out)
         or _DATE_BIN_RE.search(out) or _TO_JSONB_RE.search(out)
-        or _AT_TZ_ANY_RE.search(out)
+        or _AT_TZ_ANY_RE.search(out) or _EXTRACT_DOW_RE.search(out)
         or re.search(r"\bdate_part\s*\(", out, re.IGNORECASE)
     )
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
@@ -2431,6 +2477,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_misc_pg_funcs(protected, lits)
             protected = _rewrite_at_time_zone(protected, lits)
             protected = _rewrite_extract_epoch(protected)
+            protected = _rewrite_extract_dow(protected)
             protected = _rewrite_date_part_epoch(protected, lits)
             protected = _rewrite_to_jsonb(protected)
             protected = _rewrite_json_build(protected)

@@ -634,6 +634,9 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             # r11: date_part epoch spelling + AT TIME ZONE + numeric
             # to_char + to_jsonb row packaging
             "round(date_part('epoch', o_orderdate), 6) AS epoch_dp, "
+            # r11: PG weekday numbering (dow Sunday=0, isodow Monday=1)
+            "CAST(extract(dow from o_orderdate) AS INT) AS dow, "
+            "CAST(date_part('isodow', o_orderdate) AS INT) AS isodow, "
             "round(extract(epoch from "
             "(o_orderdate AT TIME ZONE 'America/New_York')), 6) "
             "AS epoch_nyc, "
@@ -1326,6 +1329,8 @@ CORE_ORACLES_PG = {
                CAST(json_object('k', o_orderkey, 'p', o_orderpriority)
                     AS VARCHAR) AS obj_json,
                round(date_part('epoch', o_orderdate), 6) AS epoch_dp,
+               CAST(extract(dow from o_orderdate) AS INT) AS dow,
+               CAST(date_part('isodow', o_orderdate) AS INT) AS isodow,
                round(CAST(epoch(o_orderdate AT TIME ZONE
                      'America/New_York') AS DOUBLE), 6) AS epoch_nyc,
                printf('%.2f', o_totalprice) AS price_fm,
