@@ -92,6 +92,8 @@ CORPUS = [
     "name = ANY(arr)", "name <> ALL(arr)",
     "num > ANY(array(1.0, 2.0))", "name = ANY(ARRAY['a','b'])",
     "num >= ALL(arr)",
+    "name LIKE ANY(ARRAY['a%', 'b%'])", "name NOT LIKE ALL(arr)",
+    "name ILIKE ANY(array('A%'))",
     # jsonb mutation surface (r11): registered jsonb_set + the - / #-
     # operator rewrites; ambiguous string subtraction refuses
     "jsonb_set(j, '{k}', '9')",

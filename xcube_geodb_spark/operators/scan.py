@@ -853,14 +853,17 @@ def _rewrite_geography(code: str) -> str:
 
 
 _ANY_ALL_RE = re.compile(
-    r"(<=|>=|<>|!=|=|<|>)\s*(ANY|ALL)\s*\(", re.IGNORECASE
+    r"(<=|>=|<>|!=|=|<|>|(?:NOT\s+)?I?LIKE)\s*(ANY|ALL)\s*\(",
+    re.IGNORECASE,
 )
 
 
 def _rewrite_any_all(code: str) -> str:
     """PG's quantified comparisons over ARRAYS on literal-protected
     code: ``v op ANY(arr)`` -> ``exists(arr, e -> v op e)`` and
-    ``v op ALL(arr)`` -> ``forall(arr, e -> v op e)`` — Spark's
+    ``v op ALL(arr)`` -> ``forall(arr, e -> v op e)``, where ``op`` is
+    a comparison or ``[NOT] [I]LIKE`` (the multi-pattern idiom
+    ``name LIKE ANY(ARRAY['a%', 'b%'])``) — Spark's
     higher-order predicates carry PG's three-valued NULL semantics
     (``1 = ANY(ARRAY[2, NULL])`` is NULL in both). Subquery operands
     (``= ANY(SELECT ...)``) pass through to Spark's parser (spell them

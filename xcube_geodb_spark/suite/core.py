@@ -1071,6 +1071,7 @@ def pg_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         where=(
             "'URGENT' = ANY(string_to_array(o_orderpriority, '-')) "
             "AND o_orderkey <> ALL(ARRAY[7, 11]) "
+            "AND o_orderpriority LIKE ANY(ARRAY['1%', '2%', '3%']) "
             "AND o_orderkey % 7 = 0"
         ),
         order="o_orderkey",
@@ -1113,6 +1114,8 @@ CORE_ORACLES_PG = {
         FROM orders
         WHERE 'URGENT' = ANY(string_split(o_orderpriority, '-'))
           AND o_orderkey <> ALL([7, 11])
+          AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+               OR o_orderpriority LIKE '3%')
           AND o_orderkey % 7 = 0
         ORDER BY o_orderkey
     """,
