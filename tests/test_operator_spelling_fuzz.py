@@ -179,3 +179,58 @@ class TestOperatorSpellingFuzz:
         assert "array_contains" in f("j ? 'k'")
         assert "arrays_overlap" in f("j ?| array('a')")
         assert "array_except" in f("j ?& array('a')")
+
+
+FROM_CORPUS = [
+    "fuzz_t, unnest(arr) u(x)",
+    "fuzz_t, unnest(arr) u",
+    "fuzz_t, unnest(arr)",
+    "fuzz_t, unnest(arr) WITH ORDINALITY AS u(x, i)",
+    "fuzz_t, unnest(arr, arr) AS u(x, y)",
+    "fuzz_t, json_each_text(j) AS e(k, v)",
+    "fuzz_t, json_each(j) e",
+    "fuzz_t, jsonb_each_text(j)",
+    "fuzz_t, json_array_elements_text(j) AS el(v)",
+    "fuzz_t, json_array_elements(j) AS el(v)",
+    "fuzz_t, json_object_keys(j) AS ko(k)",
+    "fuzz_t, regexp_split_to_table(name, '[-_]') AS rs(tok)",
+    "fuzz_t, string_to_table(name, '-') AS st2(p)",
+    "fuzz_t CROSS JOIN unnest(arr) u(x)",
+    "fuzz_t CROSS JOIN LATERAL unnest(arr) u(x)",
+    "fuzz_t, LATERAL json_each_text(j) AS e(k, v)",
+    "unnest(array(1, 2, 3)) t0(x)",
+    "json_each_text('{\"a\": 1}') e(k, v)",
+    "generate_series(1, 5) g(i)",
+    "fuzz_t, generate_series(1, 3) g(i), unnest(arr) u(x)",
+    # refusal shapes (GeoDBError is the correct outcome)
+    "fuzz_t, unnest(arr, arr)",
+    "fuzz_t, json_each_text(j) AS e(k)",
+    "fuzz_t, string_to_table(name, name) p",
+]
+
+
+class TestFromClauseFuzz:
+    def test_every_from_srf_form_parses_or_refuses(self, spark, fuzz_view):
+        from pyspark.errors import AnalysisException, ParseException
+
+        from xcube_geodb_spark.operators.scan import build_pg_sql
+
+        problems = []
+        for table in FROM_CORPUS:
+            try:
+                sql = build_pg_sql(table, select="*")
+            except GeoDBError:
+                continue  # loud refusal is a valid outcome
+            if "__geodb_geography__" in sql or "__GEODB_LIT_" in sql:
+                problems.append((table, sql, "marker/placeholder leak"))
+                continue
+            try:
+                spark.sql(sql).schema
+            except ParseException as e:
+                problems.append((table, sql, f"parse error: {e}"))
+            except AnalysisException as e:
+                if "UNRESOLVED_ROUTINE" in str(e):
+                    problems.append((table, sql, f"unresolved: {e}"))
+        assert not problems, "\n".join(
+            f"{t!r}\n  -> {s!r}\n  {p}" for t, s, p in problems
+        )
