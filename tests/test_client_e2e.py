@@ -1541,6 +1541,20 @@ class TestR11ScalarShims:
         # other fields pass through (Spark runs date_part natively)
         assert f("date_part('year', ts)") == "date_part('year', ts)"
 
+    def test_overlaps_and_starts_with(self):
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        out = f("(s1, e1) OVERLAPS (s2, e2)")
+        assert out == (
+            "((least(s1, e1) < greatest(s2, e2) AND least(s2, e2) < "
+            "greatest(s1, e1)) OR least(s1, e1) = least(s2, e2))"
+        )
+        with pytest.raises(GeoDBError, match="OVERLAPS"):
+            f("(s1) OVERLAPS (s2, e2)")
+        assert f("starts_with(name, 'ab')") == "startswith(name, 'ab')"
+        # literal contents survive
+        assert f("c = 'x OVERLAPS y'") == "c = 'x OVERLAPS y'"
+
     def test_dow_isodow_numbering(self):
         # PG: dow Sunday=0..6; isodow Monday=1..7. Spark's own
         # extract(DOW) is Sunday=1 — a silent off-by-one if passed

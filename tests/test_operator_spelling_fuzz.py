@@ -88,6 +88,11 @@ CORPUS = [
     "date_bin(INTERVAL '1 hour', ts, TIMESTAMP '2024-01-01 00:00:00')",
     "regexp_replace(name, 'a', 'b', 'gi')",
     "st_relate(g, h, 'T*F**FFF*')", "st_buffer(g, 1.0, 'quad_segs=2')",
+    # SQL-standard OVERLAPS + PG starts_with spelling (r11)
+    "(ts, ts) OVERLAPS (ts, ts)",
+    "(ts, ts + INTERVAL '1 day') OVERLAPS "
+    "(timestamp '2024-01-01 00:00:00', timestamp '2024-02-01 00:00:00')",
+    "starts_with(name, 'ab')",
     # quantified comparisons over arrays (r11)
     "name = ANY(arr)", "name <> ALL(arr)",
     "num > ANY(array(1.0, 2.0))", "name = ANY(ARRAY['a','b'])",

@@ -852,6 +852,58 @@ def _rewrite_geography(code: str) -> str:
     return code
 
 
+_OVERLAPS_RE = re.compile(r"\)\s*OVERLAPS\s*\(", re.IGNORECASE)
+
+
+def _rewrite_overlaps(code: str) -> str:
+    """SQL-standard ``(s1, e1) OVERLAPS (s2, e2)`` (the PG temporal
+    idiom; Spark's parser rejects it) on literal-protected code -> the
+    standard's half-open-interval predicate with endpoint
+    normalization::
+
+        (least(s1,e1) < greatest(s2,e2) AND
+         least(s2,e2) < greatest(s1,e1))
+        OR least(s1,e1) = least(s2,e2)
+
+    — reversed endpoints swap like PG, shared start points (including
+    two equal instants) overlap, and an instant at another interval's
+    END does not, all exactly PG."""
+    pos = 0
+    while True:
+        m = _OVERLAPS_RE.search(code, pos)
+        if not m:
+            return code
+        # left pair: scan back to the matching open paren
+        depth = 0
+        for i in range(m.start(), -1, -1):
+            if code[i] == ")":
+                depth += 1
+            elif code[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            return code  # unbalanced: leave for Spark's parser
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code
+        lpair = _split_top_commas_lit(code[i + 1: m.start()])
+        rpair = _split_top_commas_lit(code[m.end(): j])
+        if len(lpair) != 2 or len(rpair) != 2:
+            raise GeoDBError(
+                "OVERLAPS: both operands must be (start, end) pairs"
+            )
+        s1, e1 = (x.strip() for x in lpair)
+        s2, e2 = (x.strip() for x in rpair)
+        repl = (
+            f"((least({s1}, {e1}) < greatest({s2}, {e2}) "
+            f"AND least({s2}, {e2}) < greatest({s1}, {e1})) "
+            f"OR least({s1}, {e1}) = least({s2}, {e2}))"
+        )
+        code = code[:i] + repl + code[j + 1:]
+        pos = i + len(repl)
+
+
 _ANY_ALL_RE = re.compile(
     r"(<=|>=|<>|!=|=|<|>|(?:NOT\s+)?I?LIKE)\s*(ANY|ALL)\s*\(",
     re.IGNORECASE,
@@ -948,6 +1000,9 @@ _JSONB_EXISTS_RE = re.compile(r"\?[|&]?")
 _JSONB_ALIAS_RE = re.compile(
     r"\bjsonb_(array_length|object_keys)\b", re.IGNORECASE
 )
+# pure name aliases: PG spellings of functions Spark ships under
+# slightly different names (same argument order and semantics)
+_NAME_ALIAS_RE = re.compile(r"\bstarts_with\s*\(", re.IGNORECASE)
 
 
 def _rewrite_jsonb_exists(seg: str) -> str:
@@ -2435,14 +2490,17 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_anyall = bool(
         re.search(r"\b(?:ANY|ALL)\s*\(", out, re.IGNORECASE)
     )
-    if _JSONB_ALIAS_RE.search(out):
+    need_overlaps = bool(_OVERLAPS_RE.search(out))
+    if _JSONB_ALIAS_RE.search(out) or _NAME_ALIAS_RE.search(out):
         # pure name aliases: PG's jsonb_* spellings of functions Spark
-        # ships under json_* (same semantics, json-text input)
+        # ships under json_* (same semantics, json-text input), and
+        # starts_with -> startswith (same args/semantics)
         parts = re.split(r"('(?:[^']|'')*')", out)
         for i in range(0, len(parts), 2):
             parts[i] = _JSONB_ALIAS_RE.sub(
                 lambda mm: "json_" + mm.group(1).lower(), parts[i]
             )
+            parts[i] = _NAME_ALIAS_RE.sub("startswith(", parts[i])
         out = "".join(parts)
     need_misc = bool(
         _TO_CHAR_RE.search(out) or _STR_TO_ARR_RE.search(out)
@@ -2455,7 +2513,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
             or need_buf3 or need_rx4 or need_json or need_geog
             or need_pcast or need_bbox or need_misc or need_ts
-            or need_jexists or need_anyall):
+            or need_jexists or need_anyall or need_overlaps):
         # these operands/arg-lists may span literal segments: protect
         # literals behind identifier-shaped placeholders, rewrite on the
         # joined code, then restore — literal contents stay byte-identical
@@ -2499,6 +2557,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_tsmatch(protected)
         if need_jexists and _JSONB_EXISTS_RE.search(protected):
             protected = _rewrite_jsonb_exists(protected)
+        if need_overlaps:
+            protected = _rewrite_overlaps(protected)
         if need_anyall:
             protected = _rewrite_any_all(protected)
         if need_cont:

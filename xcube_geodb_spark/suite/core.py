@@ -643,7 +643,12 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "to_char(o_totalprice, 'FM9999999.00') AS price_fm, "
             "to_char(o_totalprice, '9999999.00') AS price_pad, "
             "to_char(o_orderkey, 'FM0000000000') AS key_zero, "
-            "to_jsonb(orders) ->> 'o_orderpriority' AS rj_prio"
+            "to_jsonb(orders) ->> 'o_orderpriority' AS rj_prio, "
+            # r11: SQL-standard OVERLAPS + PG's starts_with spelling
+            "(o_orderdate, o_orderdate + INTERVAL '7' DAY) OVERLAPS "
+            "(timestamp '1996-01-01 00:00:00', "
+            "timestamp '1996-02-01 00:00:00') AS in_jan96, "
+            "starts_with(o_orderpriority, '1') AS is_urgent"
         ),
         where="o_orderkey % 101 = 0",
         order="o_orderkey",
@@ -1339,7 +1344,18 @@ CORE_ORACLES_PG = {
                printf('%.2f', o_totalprice) AS price_fm,
                lpad(printf('%.2f', o_totalprice), 11, ' ') AS price_pad,
                printf('%010.0f', CAST(o_orderkey AS DOUBLE)) AS key_zero,
-               to_json(orders) ->> 'o_orderpriority' AS rj_prio
+               to_json(orders) ->> 'o_orderpriority' AS rj_prio,
+               ((least(o_orderdate, o_orderdate + INTERVAL 7 DAY)
+                 < greatest(timestamp '1996-01-01 00:00:00',
+                            timestamp '1996-02-01 00:00:00')
+                 AND least(timestamp '1996-01-01 00:00:00',
+                           timestamp '1996-02-01 00:00:00')
+                 < greatest(o_orderdate,
+                            o_orderdate + INTERVAL 7 DAY))
+                OR least(o_orderdate, o_orderdate + INTERVAL 7 DAY)
+                 = least(timestamp '1996-01-01 00:00:00',
+                         timestamp '1996-02-01 00:00:00')) AS in_jan96,
+               starts_with(o_orderpriority, '1') AS is_urgent
         FROM orders WHERE o_orderkey % 101 = 0
         ORDER BY o_orderkey
     """,
