@@ -88,6 +88,10 @@ CORPUS = [
     "date_bin(INTERVAL '1 hour', ts, TIMESTAMP '2024-01-01 00:00:00')",
     "regexp_replace(name, 'a', 'b', 'gi')",
     "st_relate(g, h, 'T*F**FFF*')", "st_buffer(g, 1.0, 'quad_segs=2')",
+    # numeric trunc + hex encode/decode (r11)
+    "trunc(num)", "trunc(num, 2)", "trunc(num, -1)",
+    "trunc(ts, 'MM')",
+    "encode(CAST(name AS BINARY), 'hex')", "decode(name, 'hex')",
     # SQL-standard OVERLAPS + PG starts_with spelling (r11)
     "(ts, ts) OVERLAPS (ts, ts)",
     "(ts, ts + INTERVAL '1 day') OVERLAPS "

@@ -1606,6 +1606,86 @@ def _to_char_numeric(expr: str, fmt: str) -> str:
     return f"lpad({body}, {len(f) + 1}, ' ')"
 
 
+_TRUNC_RE = re.compile(r"\btrunc\s*\(", re.IGNORECASE)
+_ENCODE_RE = re.compile(r"\b(encode|decode)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_numeric_trunc(code: str, lits: list[str]) -> str:
+    """PG's NUMERIC ``trunc(x[, n])`` (truncate toward zero) on
+    literal-protected code — Spark's ``trunc`` is the (date, fmt) form
+    and rejects both numeric arities loudly. The 1-argument form and
+    the integer-literal-scale form rewrite to toward-zero arithmetic::
+
+        trunc(x)    -> CAST(CAST(x AS BIGINT) AS DOUBLE)
+        trunc(x, n) -> CAST(CAST(x * 10^n AS BIGINT) AS DOUBLE) / 10^n
+
+    (negative scales truncate left of the point like PG). Spark's own
+    date form — a string-literal second argument — passes through."""
+    pos = 0
+    while True:
+        m = _TRUNC_RE.search(code, pos)
+        if not m:
+            return code
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
+        args = _split_top_commas_lit(code[m.end(): j])
+        if len(args) == 2 and _LIT_PLACEHOLDER_RE.fullmatch(args[1].strip()):
+            pos = j + 1  # Spark's trunc(date, 'fmt'): native
+            continue
+        x = args[0].strip()
+        if len(args) == 1:
+            repl = f"CAST(CAST(({x}) AS BIGINT) AS DOUBLE)"
+        elif len(args) == 2 and re.fullmatch(r"-?\d+", args[1].strip()):
+            # toward-zero at scale n via DECIMAL floor/ceil (a float
+            # multiply would truncate 1.13*100 = 112.999... one ulp low)
+            n = int(args[1].strip())
+            dec = f"CAST(({x}) AS DECIMAL(38, 15))"
+            repl = (
+                f"CAST((CASE WHEN ({x}) >= 0 THEN floor({dec}, {n}) "
+                f"ELSE ceil({dec}, {n}) END) AS DOUBLE)"
+            )
+        else:
+            raise GeoDBError(
+                "trunc: numeric trunc takes (x) or (x, integer-literal "
+                "scale); the date form is trunc(date, 'fmt')"
+            )
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
+
+
+def _rewrite_encode_decode(code: str, lits: list[str]) -> str:
+    """PG ``encode(bytea, 'hex')`` / ``decode(text, 'hex')`` on
+    literal-protected code -> ``lower(hex(x))`` / ``unhex(x)`` (PG
+    renders hex lowercase). Other formats (base64/escape) pass through
+    to Spark's loud charset error — PG's base64 wraps lines at 76
+    chars, which no one-liner reproduces."""
+    pos = 0
+    while True:
+        m = _ENCODE_RE.search(code, pos)
+        if not m:
+            return code
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
+        args = _split_top_commas_lit(code[m.end(): j])
+        fmt = None
+        if len(args) == 2:
+            fm = _LIT_PLACEHOLDER_RE.fullmatch(args[1].strip())
+            if fm is not None:
+                fmt = lits[int(fm.group(1))][1:-1].strip().lower()
+        if fmt != "hex":
+            pos = j + 1
+            continue
+        x = args[0].strip()
+        if m.group(1).lower() == "encode":
+            repl = f"lower(hex({x}))"
+        else:
+            repl = f"unhex({x})"
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
+
+
 def _rewrite_misc_pg_funcs(code: str, lits: list[str]) -> str:
     """Literal-protected rewrites for common PG scalar spellings:
 
@@ -2508,6 +2588,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
         or _ARRAY_FN_RE.search(out) or _JSON_ELEMS_RE.search(out)
         or _DATE_BIN_RE.search(out) or _TO_JSONB_RE.search(out)
         or _AT_TZ_ANY_RE.search(out) or _EXTRACT_DOW_RE.search(out)
+        or _TRUNC_RE.search(out) or _ENCODE_RE.search(out)
         or re.search(r"\bdate_part\s*\(", out, re.IGNORECASE)
     )
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
@@ -2541,6 +2622,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_extract_dow(protected)
             protected = _rewrite_date_part_epoch(protected, lits)
             protected = _rewrite_to_jsonb(protected)
+            protected = _rewrite_numeric_trunc(protected, lits)
+            protected = _rewrite_encode_decode(protected, lits)
             protected = _rewrite_json_build(protected)
             protected = _rewrite_array_funcs(protected)
             # elements_text BEFORE the jsonb_* alias pass cannot apply

@@ -648,7 +648,11 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(o_orderdate, o_orderdate + INTERVAL '7' DAY) OVERLAPS "
             "(timestamp '1996-01-01 00:00:00', "
             "timestamp '1996-02-01 00:00:00') AS in_jan96, "
-            "starts_with(o_orderpriority, '1') AS is_urgent"
+            "starts_with(o_orderpriority, '1') AS is_urgent, "
+            # r11: numeric trunc + hex encode
+            "trunc(o_totalprice) AS price_t0, "
+            "trunc(o_totalprice, 1) AS price_t1, "
+            "encode(CAST(o_orderpriority AS BINARY), 'hex') AS prio_hex"
         ),
         where="o_orderkey % 101 = 0",
         order="o_orderkey",
@@ -1355,7 +1359,11 @@ CORE_ORACLES_PG = {
                 OR least(o_orderdate, o_orderdate + INTERVAL 7 DAY)
                  = least(timestamp '1996-01-01 00:00:00',
                          timestamp '1996-02-01 00:00:00')) AS in_jan96,
-               starts_with(o_orderpriority, '1') AS is_urgent
+               starts_with(o_orderpriority, '1') AS is_urgent,
+               trunc(CAST(o_totalprice AS DOUBLE)) AS price_t0,
+               CAST(trunc(CAST(o_totalprice AS DECIMAL(18, 4)) * 10)
+                    AS DOUBLE) / 10 AS price_t1,
+               lower(hex(CAST(o_orderpriority AS BLOB))) AS prio_hex
         FROM orders WHERE o_orderkey % 101 = 0
         ORDER BY o_orderkey
     """,
