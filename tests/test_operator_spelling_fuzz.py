@@ -88,6 +88,9 @@ CORPUS = [
     "date_bin(INTERVAL '1 hour', ts, TIMESTAMP '2024-01-01 00:00:00')",
     "regexp_replace(name, 'a', 'b', 'gi')",
     "st_relate(g, h, 'T*F**FFF*')", "st_buffer(g, 1.0, 'quad_segs=2')",
+    # PG exponentiation ^ (Spark's ^ is XOR — silent garbage) (r11)
+    "num ^ 2", "num ^ 2 + num ^ 3", "-num ^ 2", "(num + 1) ^ 2",
+    "num ^ -2", "sqrt(num) ^ (num + 1)",
     # numeric trunc + hex encode/decode (r11)
     "trunc(num)", "trunc(num, 2)", "trunc(num, -1)",
     "trunc(ts, 'MM')",

@@ -852,6 +852,51 @@ def _rewrite_geography(code: str) -> str:
     return code
 
 
+_POWER_OP_RE = re.compile(r"(?<![\^|&<>=!+*/%~#-])\^(?![\^=])")
+
+
+def _rewrite_power(seg: str) -> str:
+    """PG's exponentiation operator ``a ^ b`` on literal-protected code
+    -> ``power(a, b)`` — in Spark ``^`` is bitwise XOR, so the
+    passthrough would return garbage SILENTLY (2 ^ 3 = 1, not 8). PG's
+    ``^`` binds tighter than every other arithmetic operator and
+    left-associates, so rewriting just the adjacent operands preserves
+    precedence exactly (``-a ^ b`` = ``-power(a, b)``, ``a ^ b ^ c`` =
+    ``power(power(a, b), c)``). A unary-minus exponent is folded in.
+    Bitwise XOR is outside the pg dialect (PG spells it ``#``)."""
+    pos = 0
+    while True:
+        m = _POWER_OP_RE.search(seg, pos)
+        if not m:
+            return seg
+        left = _operand_before(seg[: m.start()])
+        after = seg[m.end():]
+        neg = ""
+        stripped = after.lstrip()
+        off = len(after) - len(stripped)
+        if stripped.startswith("-"):
+            neg = "-"
+            off += 1
+            stripped = stripped[1:]
+        right = _operand_after(stripped)
+        if right is None and stripped.startswith("("):
+            j = _close_paren(stripped, 0)
+            if j is not None:
+                right = (stripped[: j + 1], j + 1)
+        if left is None or right is None:
+            raise GeoDBError(
+                "Unsupported operand shape for ^ (PG exponentiation): "
+                "operands must be columns, numbers, function calls, or "
+                "parenthesized expressions."
+            )
+        lhs, lstart = left
+        _guard_keyword_operand("^", lhs)
+        rhs, rend_rel = right
+        repl = f"power({lhs}, {neg}{rhs})"
+        seg = seg[:lstart] + repl + seg[m.end() + off + rend_rel:]
+        pos = lstart  # left-associative chains fold onto the result
+
+
 _OVERLAPS_RE = re.compile(r"\)\s*OVERLAPS\s*\(", re.IGNORECASE)
 
 
@@ -2571,6 +2616,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
         re.search(r"\b(?:ANY|ALL)\s*\(", out, re.IGNORECASE)
     )
     need_overlaps = bool(_OVERLAPS_RE.search(out))
+    need_power = "^" in out
     if _JSONB_ALIAS_RE.search(out) or _NAME_ALIAS_RE.search(out):
         # pure name aliases: PG's jsonb_* spellings of functions Spark
         # ships under json_* (same semantics, json-text input), and
@@ -2594,7 +2640,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
             or need_buf3 or need_rx4 or need_json or need_geog
             or need_pcast or need_bbox or need_misc or need_ts
-            or need_jexists or need_anyall or need_overlaps):
+            or need_jexists or need_anyall or need_overlaps
+            or need_power):
         # these operands/arg-lists may span literal segments: protect
         # literals behind identifier-shaped placeholders, rewrite on the
         # joined code, then restore — literal contents stay byte-identical
@@ -2642,6 +2689,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_jsonb_exists(protected)
         if need_overlaps:
             protected = _rewrite_overlaps(protected)
+        if need_power and _POWER_OP_RE.search(protected):
+            protected = _rewrite_power(protected)
         if need_anyall:
             protected = _rewrite_any_all(protected)
         if need_cont:

@@ -652,7 +652,9 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             # r11: numeric trunc + hex encode
             "trunc(o_totalprice) AS price_t0, "
             "trunc(o_totalprice, 1) AS price_t1, "
-            "encode(CAST(o_orderpriority AS BINARY), 'hex') AS prio_hex"
+            "encode(CAST(o_orderpriority AS BINARY), 'hex') AS prio_hex, "
+            # r11: PG ^ is POWER (Spark's ^ is bitwise XOR — silent)
+            "CAST(o_orderkey ^ 2 AS BIGINT) AS key_sq"
         ),
         where="o_orderkey % 101 = 0",
         order="o_orderkey",
@@ -1363,7 +1365,8 @@ CORE_ORACLES_PG = {
                trunc(CAST(o_totalprice AS DOUBLE)) AS price_t0,
                CAST(trunc(CAST(o_totalprice AS DECIMAL(18, 4)) * 10)
                     AS DOUBLE) / 10 AS price_t1,
-               lower(hex(CAST(o_orderpriority AS BLOB))) AS prio_hex
+               lower(hex(CAST(o_orderpriority AS BLOB))) AS prio_hex,
+               CAST(o_orderkey ^ 2 AS BIGINT) AS key_sq
         FROM orders WHERE o_orderkey % 101 = 0
         ORDER BY o_orderkey
     """,
