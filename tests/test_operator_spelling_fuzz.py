@@ -31,6 +31,10 @@ CORPUS = [
     "num::int", "num::int8", "num::float4", "'12'::int", "name::text",
     "(num)::int", "abs(num)::bigint", "((num)::int)::text",
     "num::numeric", "j::json", "j::jsonb", "name::varchar",
+    # parameterized casts (r11): PG truncation/padding semantics
+    "num::numeric(10,2)", "num::decimal(8)", "name::varchar(3)",
+    "name::char(5)", "ts::timestamp(6)", "(num + 1)::numeric(10,2)",
+    "'12.5'::numeric(6,2)", "num::bit(3)",
     # regex matches — the ~ / ~~ prefix-collision class
     "name ~ 'pat.*'", "name ~* 'pat'", "name !~ 'p'", "name !~* 'p'",
     "upper(name) ~ 'P.*'",

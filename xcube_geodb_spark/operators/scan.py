@@ -237,12 +237,50 @@ _PG_CAST_TYPES = {
     "jsonb": "string",
 }
 
+_PARAM_TYPE_RE = re.compile(
+    r"([A-Za-z_]\w*)\s*\(\s*(\d+)(?:\s*,\s*(\d+))?\s*\)"
+)
+
+
+def _pg_cast_expr(expr: str, t: str) -> str:
+    """One non-geometry PG ``::type`` cast -> Spark, shared by the
+    segment / literal / parenthesized cast paths. Parameterized types
+    (r11) carry PG's exact semantics: ``numeric(p,s)`` -> DECIMAL(p,s);
+    ``varchar(n)`` TRUNCATES to n chars (Spark's VARCHAR(n) cast keeps
+    the full string — a silent deviation otherwise); ``char(n)``
+    truncates and blank-pads like bpchar; ``timestamp(p)`` drops the
+    precision (Spark timestamps are micros). Unknown parameterized
+    types refuse loudly."""
+    t = t.strip()
+    m = _PARAM_TYPE_RE.fullmatch(t)
+    if m:
+        name = m.group(1).lower()
+        p, s = m.group(2), m.group(3)
+        if name in ("numeric", "decimal"):
+            return f"CAST({expr} AS DECIMAL({p}, {s or 0}))"
+        if name == "varchar" and s is None:
+            return f"substring(CAST({expr} AS STRING), 1, {p})"
+        if name in ("char", "bpchar", "character") and s is None:
+            return (
+                f"rpad(substring(CAST({expr} AS STRING), 1, {p}), "
+                f"{p}, ' ')"
+            )
+        if name in ("timestamp", "timestamptz") and s is None:
+            return f"CAST({expr} AS TIMESTAMP)"
+        raise GeoDBError(
+            f"Unsupported parameterized cast ::{t} (supported: "
+            "numeric/decimal(p[,s]), varchar(n), char(n), timestamp(p))"
+        )
+    return f"CAST({expr} AS {_PG_CAST_TYPES.get(t.lower(), t)})"
+
+
+_TYPE_TOKEN = r"[A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
 _CAST_RE = re.compile(
     r"""((?:[A-Za-z_][A-Za-z0-9_.]*\s*\([^()]*\))   # f(args)
         |[A-Za-z_][A-Za-z0-9_.]*                    # identifier
         |'[^']*'                                    # string literal
         |\d+(?:\.\d+)?)                             # number
-        \s*::\s*([A-Za-z_][A-Za-z0-9_]*)""",
+        \s*::\s*(""" + _TYPE_TOKEN + r")",
     re.VERBOSE,
 )
 def _similar_to_regex(pat: str) -> str:
@@ -700,7 +738,7 @@ def _rewrite_json_arrows(code: str, lits: list[str]) -> str:
         pos = lstart + len(repl)
 
 
-_PAREN_CAST_RE = re.compile(r"\)\s*::\s*([A-Za-z_][A-Za-z0-9_]*)")
+_PAREN_CAST_RE = re.compile(r"\)\s*::\s*(" + _TYPE_TOKEN + r")")
 
 
 def _rewrite_paren_casts(code: str) -> str:
@@ -736,7 +774,7 @@ def _rewrite_paren_casts(code: str) -> str:
         elif t == "geography":
             repl = f"{_GEOG_MARK}({expr})"
         else:
-            repl = f"CAST({expr} AS {_PG_CAST_TYPES.get(t, t)})"
+            repl = _pg_cast_expr(expr, m.group(1))
         code = code[:start] + repl + code[m.end():]
         pos = start  # chained casts: ((x)::a)::b resolves inner-out
 
@@ -2519,7 +2557,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             # computation marker, consumed by _rewrite_geography (routes
             # ST_Distance/ST_DWithin onto the geodesic kernels)
             return f"{_GEOG_MARK}({m.group(1)})"
-        return f"CAST({m.group(1)} AS {_PG_CAST_TYPES.get(t, t)})"
+        return _pg_cast_expr(m.group(1), m.group(2))
 
     # Work on quote-split segments throughout: even indexes are code, odd
     # indexes are complete string literals ('' is the quote escape). Both
@@ -2544,7 +2582,9 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     # - lhs [NOT] SIMILAR TO '<literal>' — translated anchored RLIKE
     for i in range(1, len(parts), 2):
         after = parts[i + 1] if i + 1 < len(parts) else ""
-        m = re.match(r"\s*::\s*([A-Za-z_][A-Za-z0-9_]*)(.*)", after, re.DOTALL)
+        m = re.match(
+            r"\s*::\s*(" + _TYPE_TOKEN + r")(.*)", after, re.DOTALL
+        )
         if m:
             t = m.group(1).lower()
             if t == "geometry":
@@ -2552,7 +2592,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             elif t == "geography":
                 parts[i] = f"{_GEOG_MARK}(st_geomfromtext({parts[i]}))"
             else:
-                parts[i] = f"CAST({parts[i]} AS {_PG_CAST_TYPES.get(t, t)})"
+                parts[i] = _pg_cast_expr(parts[i], m.group(1))
             parts[i + 1] = m.group(2)
         before = parts[i - 1]
         m = re.search(

@@ -654,7 +654,11 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trunc(o_totalprice, 1) AS price_t1, "
             "encode(CAST(o_orderpriority AS BINARY), 'hex') AS prio_hex, "
             # r11: PG ^ is POWER (Spark's ^ is bitwise XOR — silent)
-            "CAST(o_orderkey ^ 2 AS BIGINT) AS key_sq"
+            "CAST(o_orderkey ^ 2 AS BIGINT) AS key_sq, "
+            # r11: parameterized casts with PG truncation semantics
+            "CAST(o_totalprice::numeric(14,2) AS DOUBLE) AS price_dec, "
+            "o_orderpriority::varchar(3) AS prio3, "
+            "o_orderpriority::char(10) AS prio_pad"
         ),
         where="o_orderkey % 101 = 0",
         order="o_orderkey",
@@ -1366,7 +1370,12 @@ CORE_ORACLES_PG = {
                CAST(trunc(CAST(o_totalprice AS DECIMAL(18, 4)) * 10)
                     AS DOUBLE) / 10 AS price_t1,
                lower(hex(CAST(o_orderpriority AS BLOB))) AS prio_hex,
-               CAST(o_orderkey ^ 2 AS BIGINT) AS key_sq
+               CAST(o_orderkey ^ 2 AS BIGINT) AS key_sq,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE)
+                   AS price_dec,
+               substring(o_orderpriority, 1, 3) AS prio3,
+               rpad(substring(o_orderpriority, 1, 10), 10, ' ')
+                   AS prio_pad
         FROM orders WHERE o_orderkey % 101 = 0
         ORDER BY o_orderkey
     """,
