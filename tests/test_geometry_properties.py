@@ -183,6 +183,27 @@ def test_squares_match_interval_oracle(g, box):
         assert bbox_predicate(mode, g, box) == _interval_oracle(mode, env, box), mode
 
 
+def test_tiny_overlap_against_large_box_is_overlap_not_touch():
+    """Regression (r11 Hypothesis falsifying example): a genuine 1e-6 corner
+    overlap between square (-1.08..1.08)^2 and box (1.079, 1.079, 33, 33)
+    must classify as overlapping interiors.  The old tolerance scaled with
+    the QUERY BOX's area (~1019), swallowing the real overlap and reporting
+    `touches`."""
+    g = bbox_polygon(-1.08, -1.08, 1.08, 1.08)
+    box = (1.079, 1.079, 33.0, 33.0)
+    assert not bbox_predicate("touches", g, box)
+    assert bbox_predicate("overlaps", g, box)
+    assert bbox_predicate("intersects", g, box)
+    # genuine touch (shared corner, zero-area contact) still classifies touch
+    g2 = bbox_polygon(-1.0, -1.0, 1.079, 1.079)
+    assert bbox_predicate("touches", g2, box)
+    assert not bbox_predicate("overlaps", g2, box)
+    # genuine touch (shared edge, zero-area contact) still classifies touch
+    g3 = bbox_polygon(-1.0, 2.0, 1.079, 5.0)
+    assert bbox_predicate("touches", g3, box)
+    assert not bbox_predicate("overlaps", g3, box)
+
+
 class TestDistanceProperties:
     """Invariants of the exact distance kernel for ANY inputs."""
 

@@ -263,8 +263,15 @@ def _leaf_interiors_intersect(leaf: Geometry, box: Box) -> bool:
     if leaf.kind == "LineString":
         return _polyline_interior_hits_open_box(leaf.parts, box)
     area = _polygon_clip_area(leaf.parts, box)
+    # The overlap area is bounded by min(box area, leaf envelope area), so
+    # the relative tolerance must anchor on the CONTACT scale — anchoring on
+    # max() lets a huge query box swallow a genuine tiny overlap (a 1e-6
+    # corner overlap vs box (1.079,1.079,33,33) must classify as interior).
     box_area = (box[2] - box[0]) * (box[3] - box[1])
-    return area > _REL_EPS * max(box_area, 1.0)
+    env = _envelope_leaf(leaf)
+    env_area = (env[2] - env[0]) * (env[3] - env[1])
+    tol = max(_REL_EPS * min(box_area, env_area), _eps(box) ** 2)
+    return area > tol
 
 
 def _leaf_box_within(leaf: Geometry, box: Box) -> bool:

@@ -298,7 +298,9 @@ def _interiors(a: Geometry, b: Geometry, eps: float) -> tuple[bool, int]:
         ap, bp = _poly_geom(a_polys), _poly_geom(b_polys)
         inter = overlay(ap, bp, "intersection")
         if inter is not None:
-            tol = _REL_EPS * max(area(ap), area(bp), 1.0)
+            # anchor on the smaller area (intersection can't exceed it) —
+            # max() would let a huge polygon swallow a genuine tiny overlap
+            tol = max(_REL_EPS * min(area(ap), area(bp)), eps * eps)
             if area(inter) > tol:
                 hit(2)
     return ii, dim
@@ -532,7 +534,8 @@ def _relate_AA(a_polys, b_polys, eps: float) -> list[int]:
     b_segs = _all_segments(bp)
 
     inter = overlay(ap, bp, "intersection")
-    tol = eps * max(area(ap), area(bp), 1.0)
+    # min-anchored: the shared-interior area is bounded by the smaller polygon
+    tol = max(_REL_EPS * min(area(ap), area(bp)), eps * eps)
     ii = 2 if inter is not None and area(inter) > tol else -1
 
     def rings_inside(rings, polys, ring_segs_other, other_segs):
