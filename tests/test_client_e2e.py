@@ -1585,20 +1585,31 @@ class TestR11ScalarShims:
     def test_numeric_to_char(self):
         from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
 
-        assert f("to_char(p, 'FM9999999.00')") == (
-            "format_string('%.2f', CAST(p AS DOUBLE))"
+        def _null_guarded(operand, body):
+            # every numeric to_char is wrapped so NULL -> NULL (PG), not
+            # format_string's literal 'null' text
+            return (
+                f"CASE WHEN CAST({operand} AS DOUBLE) IS NULL THEN NULL "
+                f"ELSE {body} END"
+            )
+
+        assert f("to_char(p, 'FM9999999.00')") == _null_guarded(
+            "p", "format_string('%.2f', CAST(p AS DOUBLE))"
         )
         # non-FM right-justifies to template width + 1 sign column
-        assert f("to_char(p, '9999999.00')") == (
-            "lpad(format_string('%.2f', CAST(p AS DOUBLE)), 11, ' ')"
+        assert f("to_char(p, '9999999.00')") == _null_guarded(
+            "p", "lpad(format_string('%.2f', CAST(p AS DOUBLE)), 11, ' ')"
         )
-        # zero-fill integer positions
-        assert f("to_char(n, 'FM000.00')") == (
-            "format_string('%06.2f', CAST(n AS DOUBLE))"
+        # zero-fill integer positions: pad the MAGNITUDE, re-attach the
+        # sign (Java's %0 width counts the sign column, PG's does not)
+        assert f("to_char(n, 'FM000.00')") == _null_guarded(
+            "n",
+            "concat(CASE WHEN CAST(n AS DOUBLE) < 0 THEN '-' ELSE '' END, "
+            "format_string('%06.2f', abs(CAST(n AS DOUBLE))))",
         )
         # grouping separators -> format_number; D/G synonyms accepted
-        assert f("to_char(n, 'FM9,999,999.00')") == (
-            "format_number(CAST(n AS DOUBLE), 2)"
+        assert f("to_char(n, 'FM9,999,999.00')") == _null_guarded(
+            "n", "format_number(CAST(n AS DOUBLE), 2)"
         )
         assert f("to_char(n, 'FM9G999D99')") == f("to_char(n, 'FM9,999.99')")
         # FM + all-9 decimals strips trailing zeros
@@ -1610,6 +1621,38 @@ class TestR11ScalarShims:
         for bad in ("'RN'", "'FM9999.09'", "'FM0,000'"):
             with pytest.raises(GeoDBError):
                 f(f"to_char(n, {bad})")
+
+    def test_numeric_to_char_values_negative_and_null(self, spark):
+        """Value-level pins against literal PG outputs (r11 verdict: the
+        formula-replay oracle could not catch sign-vs-pad-width)."""
+        from xcube_geodb_spark.operators.scan import _to_char_numeric
+
+        spark.range(1).selectExpr(
+            "CAST(-5 AS DOUBLE) AS n",
+            "CAST(-5.25 AS DOUBLE) AS nd",
+            "CAST(-0.4 AS DOUBLE) AS nz",
+            "CAST(NULL AS DOUBLE) AS x",
+        ).createOrReplaceTempView("tc_neg")
+        cases = [
+            ("n", "FM00", "-05"),
+            ("n", "00", "-05"),
+            ("nd", "FM00.0", "-05.3"),
+            ("n", "9999", "   -5"),
+            # PG keeps the input's sign even when the value rounds to 0
+            ("nz", "FM00", "-00"),
+            # to_char(NULL, ...) is NULL, never the text 'null'
+            ("x", "FM00", None),
+            ("x", "9,999.99", None),
+        ]
+        exprs = [
+            f"{_to_char_numeric(col, fmt)} AS c{i}"
+            for i, (col, fmt, _) in enumerate(cases)
+        ]
+        row = spark.sql(
+            f"SELECT {', '.join(exprs)} FROM tc_neg"
+        ).collect()[0]
+        for i, (col, fmt, want) in enumerate(cases):
+            assert row[f"c{i}"] == want, (col, fmt)
 
 
 class TestJsonbMutation:

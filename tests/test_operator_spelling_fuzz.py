@@ -81,6 +81,9 @@ CORPUS = [
     "to_char(ts, 'YYYY-MM-DD')", "to_char(ts, 'HH24:MI:SS')",
     "to_char(num, 'FM9999.00')", "to_char(num, '9,999,999.99')",
     "to_char(num, 'FM000.00')",
+    # r12: zero-padded negatives (sign column is extra, not in the width)
+    "to_char(-5, 'FM00')", "to_char(0 - num, '00')",
+    "to_char(-5.25, 'FM00.0')",
     "string_to_array(name, '-')", "array_length(arr, 1)",
     "array_cat(arr, arr)", "strpos(name, 'a')",
     "extract(epoch from ts)", "date_part('epoch', ts)",

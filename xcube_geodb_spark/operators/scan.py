@@ -1678,15 +1678,23 @@ def _to_char_numeric(expr: str, fmt: str) -> str:
         body = f"format_number({x}, {d})"
     elif int0:
         w = int0 + (d + 1 if dot else 0)
-        body = f"format_string('%0{w}.{d}f', {x})"
+        # Java's %0 pad width counts the sign column, PG's digit template
+        # does not: to_char(-5, '00') is '-05', not ' -5'.  Zero-pad the
+        # magnitude and re-attach the sign (PG keeps the input's sign even
+        # when the value rounds to zero: to_char(-0.4, 'FM00') -> '-00').
+        mag = f"format_string('%0{w}.{d}f', abs({x}))"
+        body = f"concat(CASE WHEN {x} < 0 THEN '-' ELSE '' END, {mag})"
     else:
         body = f"format_string('%.{d}f', {x})"
     if fm:
         if dec_part and set(dec_part) == {"9"}:
             # FM + 9-decimals: strip trailing zeros and a bare point
             body = f"regexp_replace({body}, '[.]?0+$', '')"
-        return body
-    return f"lpad({body}, {len(f) + 1}, ' ')"
+    else:
+        body = f"lpad({body}, {len(f) + 1}, ' ')"
+    # format_string renders a NULL argument as the text 'null'; PG's
+    # to_char(NULL, ...) is NULL
+    return f"CASE WHEN {x} IS NULL THEN NULL ELSE {body} END"
 
 
 _TRUNC_RE = re.compile(r"\btrunc\s*\(", re.IGNORECASE)

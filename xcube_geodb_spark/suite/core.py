@@ -643,6 +643,13 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "to_char(o_totalprice, 'FM9999999.00') AS price_fm, "
             "to_char(o_totalprice, '9999999.00') AS price_pad, "
             "to_char(o_orderkey, 'FM0000000000') AS key_zero, "
+            # r12: zero-padded NEGATIVES (PG pads the magnitude, the sign
+            # column is extra) — literal legs so the oracle is a literal
+            # expected string, not a formula replay
+            "to_char(-5, 'FM00') AS neg_fm00, "
+            "to_char(-5, '00') AS neg_00, "
+            "to_char(-5.25, 'FM00.0') AS neg_fm_dec, "
+            "to_char(0 - o_totalprice, 'FM0000000.00') AS neg_price_zero, "
             "to_jsonb(orders) ->> 'o_orderpriority' AS rj_prio, "
             # r11: SQL-standard OVERLAPS + PG's starts_with spelling
             "(o_orderdate, o_orderdate + INTERVAL '7' DAY) OVERLAPS "
@@ -1354,6 +1361,11 @@ CORE_ORACLES_PG = {
                printf('%.2f', o_totalprice) AS price_fm,
                lpad(printf('%.2f', o_totalprice), 11, ' ') AS price_pad,
                printf('%010.0f', CAST(o_orderkey AS DOUBLE)) AS key_zero,
+               '-05' AS neg_fm00,
+               '-05' AS neg_00,
+               '-05.3' AS neg_fm_dec,
+               '-' || printf('%010.2f', CAST(o_totalprice AS DOUBLE))
+                   AS neg_price_zero,
                to_json(orders) ->> 'o_orderpriority' AS rj_prio,
                ((least(o_orderdate, o_orderdate + INTERVAL 7 DAY)
                  < greatest(timestamp '1996-01-01 00:00:00',
