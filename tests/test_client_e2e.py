@@ -1541,6 +1541,45 @@ class TestR11ScalarShims:
         # other fields pass through (Spark runs date_part natively)
         assert f("date_part('year', ts)") == "date_part('year', ts)"
 
+    def test_epoch_of_interval_difference(self, spark):
+        """r12: PG's canonical duration idiom extract(epoch from t2 - t1)
+        has an INTERVAL operand no timestamp cast can lift — the shim
+        emits the epoch-seconds difference instead; other INTERVAL shapes
+        refuse loudly naming the supported forms."""
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        diff = (
+            "(CAST(CAST((t2) AS TIMESTAMP) AS DOUBLE) - "
+            "CAST(CAST((t1) AS TIMESTAMP) AS DOUBLE))"
+        )
+        assert f("extract(epoch from t2 - t1)") == diff
+        assert f("extract(epoch from (t2 - t1))") == diff
+        assert f("date_part('epoch', t2 - t1)") == diff
+        # timestamp - INTERVAL literal / date - n yield timestamps again:
+        # single-cast path preserved
+        assert f("extract(epoch from ts - INTERVAL '1' DAY)") == (
+            "CAST(CAST((ts - INTERVAL '1' DAY) AS TIMESTAMP) AS DOUBLE)"
+        )
+        assert f("extract(epoch from d - 7)") == (
+            "CAST(CAST((d - 7) AS TIMESTAMP) AS DOUBLE)"
+        )
+        # json arrows in the operand are not binary minuses
+        assert "- CAST" not in f("extract(epoch from j ->> 'k')")
+        for bad in (
+            "extract(epoch from t3 - t2 - t1)",
+            "extract(epoch from INTERVAL '1 day' - t1)",
+        ):
+            with pytest.raises(GeoDBError, match="t2 - t1|INTERVAL"):
+                f(bad)
+        # value-level: 27h difference = 97200 s
+        row = spark.sql(
+            "SELECT "
+            + f("extract(epoch from t2 - t1)")
+            + " AS s FROM (SELECT timestamp'2024-01-02 03:00:00' AS t2, "
+            "timestamp'2024-01-01 00:00:00' AS t1)"
+        ).collect()[0]
+        assert row.s == 97200.0
+
     def test_overlaps_and_starts_with(self):
         from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
 

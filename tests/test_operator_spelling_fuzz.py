@@ -87,6 +87,12 @@ CORPUS = [
     "string_to_array(name, '-')", "array_length(arr, 1)",
     "array_cat(arr, arr)", "strpos(name, 'a')",
     "extract(epoch from ts)", "date_part('epoch', ts)",
+    # r12: epoch of a timestamp difference (INTERVAL operand) + chains
+    # and interval-literal lhs refuse loudly naming the supported shapes
+    "extract(epoch from ts - timestamp '2024-01-01 00:00:00')",
+    "date_part('epoch', ts - ts)",
+    "extract(epoch from ts - ts - ts)",
+    "extract(epoch from INTERVAL '1 day' - ts)",
     "date_part('year', ts)",
     "ts AT TIME ZONE 'UTC'",
     "ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin'",

@@ -640,6 +640,10 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(extract(epoch from "
             "(o_orderdate AT TIME ZONE 'America/New_York')), 6) "
             "AS epoch_nyc, "
+            # r12: the canonical PG duration idiom — epoch of a
+            # timestamp difference (INTERVAL operand)
+            "round(extract(epoch from o_orderdate::timestamp "
+            "- timestamp '1995-01-01 12:30:00'), 6) AS epoch_diff, "
             "to_char(o_totalprice, 'FM9999999.00') AS price_fm, "
             "to_char(o_totalprice, '9999999.00') AS price_pad, "
             "to_char(o_orderkey, 'FM0000000000') AS key_zero, "
@@ -1358,6 +1362,8 @@ CORE_ORACLES_PG = {
                CAST(date_part('isodow', o_orderdate) AS INT) AS isodow,
                round(CAST(epoch(o_orderdate AT TIME ZONE
                      'America/New_York') AS DOUBLE), 6) AS epoch_nyc,
+               round(epoch(CAST(o_orderdate AS TIMESTAMP)
+                     - TIMESTAMP '1995-01-01 12:30:00'), 6) AS epoch_diff,
                printf('%.2f', o_totalprice) AS price_fm,
                lpad(printf('%.2f', o_totalprice), 11, ' ') AS price_pad,
                printf('%010.0f', CAST(o_orderkey AS DOUBLE)) AS key_zero,
