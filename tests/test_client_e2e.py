@@ -986,7 +986,8 @@ class TestShimLiteralSafety:
         # numeric templates route to the r11 numeric path (TestR11
         # ScalarShims pins the forms); D/G are decimal/group synonyms
         assert f("to_char(n, '999D99')") == (
-            "lpad(format_string('%.2f', CAST(n AS DOUBLE)), 7, ' ')"
+            "CASE WHEN CAST(n AS DOUBLE) IS NULL THEN NULL ELSE "
+            "lpad(format_string('%.2f', CAST(n AS DOUBLE)), 7, ' ') END"
         )
         with pytest.raises(GeoDBError, match="string literal"):
             f("to_char(ts, fmt_col)")
@@ -1579,6 +1580,45 @@ class TestR11ScalarShims:
             "timestamp'2024-01-01 00:00:00' AS t1)"
         ).collect()[0]
         assert row.s == 97200.0
+
+    def test_to_timestamp_to_date_templates(self, spark):
+        """r12: PG templates route through the shared to_char token
+        table for the parse direction — untranslated they hit Spark's
+        Java patterns where YYYY is week-based-year and DD day-of-year
+        (DATETIME_PATTERN_RECOGNITION)."""
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("to_timestamp(s, 'YYYY-MM-DD')") == (
+            "to_timestamp(s, 'yyyy-MM-dd')"
+        )
+        assert f("to_date(s, 'DD Mon YYYY')") == "to_date(s, 'dd MMM yyyy')"
+        assert f("to_timestamp(s, 'HH24:MI:SS')") == (
+            "to_timestamp(s, 'HH:mm:ss')"
+        )
+        # PG's 1-arg form takes epoch seconds
+        assert f("to_timestamp(x)") == "timestamp_seconds(CAST(x AS DOUBLE))"
+        # Spark's ISO to_date(s) == PG s::date — passthrough
+        assert f("to_date(s)") == "to_date(s)"
+        for bad, why in (
+            ("to_timestamp('x')", "epoch seconds"),
+            ("to_timestamp(s, fmtcol)", "string literal"),
+            ("to_timestamp(s, 'YYYY TZ')", "cannot be parsed"),
+        ):
+            with pytest.raises(GeoDBError, match=why):
+                f(bad)
+        # value-level incl. PG's case-insensitive name parsing
+        row = spark.sql(
+            "SELECT "
+            + f("to_timestamp('05 JAN 1996', 'DD Mon YYYY')")
+            + " AS a, "
+            + f("to_date('1996-03-05', 'YYYY-MM-DD')")
+            + " AS b, "
+            + f("to_timestamp(3.25)")
+            + " AS c"
+        ).collect()[0]
+        assert str(row.a) == "1996-01-05 00:00:00"
+        assert str(row.b) == "1996-03-05"
+        assert str(row.c) == "1970-01-01 00:00:03.250000"
 
     def test_overlaps_and_starts_with(self):
         from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f

@@ -93,6 +93,13 @@ CORPUS = [
     "date_part('epoch', ts - ts)",
     "extract(epoch from ts - ts - ts)",
     "extract(epoch from INTERVAL '1 day' - ts)",
+    # r12: PG-template parse direction + the epoch-seconds 1-arg form
+    "to_timestamp('1996-03-05', 'YYYY-MM-DD')",
+    "to_timestamp(name, 'DD Mon YYYY')",
+    "to_date('05 JAN 1996', 'DD MON YYYY')",
+    "to_timestamp(num)",
+    "to_timestamp('x')",
+    "to_timestamp(name, 'YYYY TZ')",
     "date_part('year', ts)",
     "ts AT TIME ZONE 'UTC'",
     "ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin'",

@@ -1858,6 +1858,76 @@ def _rewrite_encode_decode(code: str, lits: list[str]) -> str:
         pos = m.start() + len(repl)
 
 
+_TO_TS_RE = re.compile(r"\bto_(timestamp|date)\s*\(", re.IGNORECASE)
+# parse-direction can't reconstruct an instant from zone-name / quarter /
+# week-of-year fields
+_UNPARSEABLE_SDF = ("zz", "Q", "ww")
+
+
+def _rewrite_to_ts_date(code: str, lits: list[str]) -> str:
+    """PG-template ``to_timestamp(s, 'YYYY-MM-DD')`` / ``to_date(s,
+    'DD Mon YYYY')`` -> the same function with the template translated
+    through the shared to_char token table (the reference builds
+    timestamps from text this way, geodb.sql:2010-2013). Untranslated,
+    Spark's DateTimeFormatter dies with DATETIME_PATTERN_RECOGNITION:
+    Java's 'YYYY' is week-based-year and 'DD' is day-of-year. Spark
+    parses month/day names and meridiem case-insensitively, matching PG.
+    Single-argument ``to_timestamp(x)`` is PG's epoch-seconds
+    constructor -> ``timestamp_seconds`` (a string literal there refuses
+    — PG has no template-free text form; use ``::timestamp``);
+    single-argument ``to_date`` passes through (Spark's ISO parse).
+    Templates with fields that don't round-trip through parsing
+    (TZ/Q/WW) refuse loudly."""
+    pos = 0
+    while True:
+        m = _TO_TS_RE.search(code, pos)
+        if not m:
+            return code
+        fn = "to_" + m.group(1).lower()
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
+        args = _split_top_commas_lit(code[m.end(): j])
+        if len(args) == 1:
+            if fn == "to_date":
+                pos = j + 1  # Spark's ISO to_date(s) == PG s::date
+                continue
+            x = args[0].strip()
+            if _LIT_PLACEHOLDER_RE.fullmatch(x):
+                raise GeoDBError(
+                    "to_timestamp(text) without a template is not PG — "
+                    "use to_timestamp(text, 'template') or ::timestamp "
+                    "(PG's 1-argument form takes epoch seconds)"
+                )
+            repl = f"timestamp_seconds(CAST({x} AS DOUBLE))"
+        elif len(args) == 2:
+            fm = _LIT_PLACEHOLDER_RE.fullmatch(args[1].strip())
+            if fm is None:
+                raise GeoDBError(
+                    f"{fn}: the template must be a string literal"
+                )
+            fmt = lits[int(fm.group(1))][1:-1].replace("''", "'")
+            sdf, _wrap = _to_char_format(fmt)
+            bad = [t for t in _UNPARSEABLE_SDF if t in sdf]
+            if bad:
+                raise GeoDBError(
+                    f"{fn}: template {fmt!r} contains fields that cannot "
+                    "be parsed back into an instant (TZ/Q/WW)"
+                )
+            lits.append("'" + sdf.replace("'", "''") + "'")
+            repl = (
+                f"{fn}({args[0].strip()}, __GEODB_LIT_{len(lits) - 1}__)"
+            )
+        else:
+            raise GeoDBError(f"{fn}: 1 or 2 arguments")
+        code = code[: m.start()] + repl + code[j + 1:]
+        # advance just past 'to_xxx(' so a NESTED to_timestamp/to_date in
+        # the arguments still rewrites, while the already-translated outer
+        # call (template now a placeholder) is not re-translated (the token
+        # map is not idempotent: HH24 -> HH -> hh)
+        pos = m.start() + len(fn) + 1
+
+
 def _rewrite_misc_pg_funcs(code: str, lits: list[str]) -> str:
     """Literal-protected rewrites for common PG scalar spellings:
 
@@ -1911,7 +1981,10 @@ def _rewrite_misc_pg_funcs(code: str, lits: list[str]) -> str:
                 # the whole result — all other output is digits/punct
                 repl = f"{wrap}({repl})"
         code = code[: m.start()] + repl + code[j + 1:]
-        pos = m.start() + len(repl)
+        # rescan from the match start: a nested to_char inside the
+        # rewritten arguments (render-parse round-trips) must rewrite too;
+        # terminates because every pass removes one to_char occurrence
+        pos = m.start()
     pos = 0
     while True:
         m = _STR_TO_ARR_RE.search(code, pos)
@@ -2764,6 +2837,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
         or _DATE_BIN_RE.search(out) or _TO_JSONB_RE.search(out)
         or _AT_TZ_ANY_RE.search(out) or _EXTRACT_DOW_RE.search(out)
         or _TRUNC_RE.search(out) or _ENCODE_RE.search(out)
+        or _TO_TS_RE.search(out)
         or re.search(r"\bdate_part\s*\(", out, re.IGNORECASE)
     )
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
@@ -2793,6 +2867,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_geography(protected)
         if need_misc:
             protected = _rewrite_misc_pg_funcs(protected, lits)
+            protected = _rewrite_to_ts_date(protected, lits)
             protected = _rewrite_at_time_zone(protected, lits)
             protected = _rewrite_extract_epoch(protected)
             protected = _rewrite_extract_dow(protected)

@@ -644,6 +644,12 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             # timestamp difference (INTERVAL operand)
             "round(extract(epoch from o_orderdate::timestamp "
             "- timestamp '1995-01-01 12:30:00'), 6) AS epoch_diff, "
+            # r12: PG-template parse direction (to_timestamp/to_date
+            # through the shared token table) — render + parse back
+            "to_char(to_timestamp(to_char(o_orderdate, 'YYYY-MM-DD'), "
+            "'YYYY-MM-DD'), 'YYYY-MM-DD HH24:MI:SS') AS ts_rt, "
+            "to_char(to_date(to_char(o_orderdate, 'DD Mon YYYY'), "
+            "'DD Mon YYYY'), 'YYYY-MM-DD') AS d_rt, "
             "to_char(o_totalprice, 'FM9999999.00') AS price_fm, "
             "to_char(o_totalprice, '9999999.00') AS price_pad, "
             "to_char(o_orderkey, 'FM0000000000') AS key_zero, "
@@ -1364,6 +1370,10 @@ CORE_ORACLES_PG = {
                      'America/New_York') AS DOUBLE), 6) AS epoch_nyc,
                round(epoch(CAST(o_orderdate AS TIMESTAMP)
                      - TIMESTAMP '1995-01-01 12:30:00'), 6) AS epoch_diff,
+               strftime(strptime(strftime(o_orderdate, '%Y-%m-%d'),
+                   '%Y-%m-%d'), '%Y-%m-%d %H:%M:%S') AS ts_rt,
+               strftime(strptime(strftime(o_orderdate, '%d %b %Y'),
+                   '%d %b %Y'), '%Y-%m-%d') AS d_rt,
                printf('%.2f', o_totalprice) AS price_fm,
                lpad(printf('%.2f', o_totalprice), 11, ' ') AS price_pad,
                printf('%010.0f', CAST(o_orderkey AS DOUBLE)) AS key_zero,
