@@ -1624,15 +1624,43 @@ class TestR11ScalarShims:
         from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
 
         out = f("(s1, e1) OVERLAPS (s2, e2)")
-        assert out == (
-            "((least(s1, e1) < greatest(s2, e2) AND least(s2, e2) < "
-            "greatest(s1, e1)) OR least(s1, e1) = least(s2, e2))"
-        )
+        # CASE translation of PG's timestamp_overlaps — a rewrite, with
+        # equal normalized starts answering before the range comparisons
+        assert out.startswith("(CASE WHEN")
+        assert "OVERLAPS" not in out
         with pytest.raises(GeoDBError, match="OVERLAPS"):
             f("(s1) OVERLAPS (s2, e2)")
         assert f("starts_with(name, 'ab')") == "startswith(name, 'ab')"
         # literal contents survive
         assert f("c = 'x OVERLAPS y'") == "c = 'x OVERLAPS y'"
+
+    def test_overlaps_values_incl_null_endpoints(self, spark):
+        """r12: OVERLAPS follows PG's three-valued algorithm — a NULL
+        endpoint degrades to NULL exactly where PG's timestamp_overlaps
+        does (the old least/greatest form collapsed it to an instant, so
+        NOT (... OVERLAPS ...) silently kept rows PG drops)."""
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        cases = [
+            ("(10, 20) OVERLAPS (15, 25)", True),
+            ("(10, 20) OVERLAPS (20, 30)", False),  # end is exclusive
+            ("(10, 20) OVERLAPS (10, 10)", True),  # shared start
+            ("(20, 10) OVERLAPS (15, 25)", True),  # reversed swaps
+            ("(CAST(NULL AS INT), CAST(NULL AS INT)) OVERLAPS (10, 20)",
+             None),
+            # one-NULL pairs: unknown wherever the deciding endpoint is
+            ("(10, CAST(NULL AS INT)) OVERLAPS (15, 25)", None),
+            ("(10, CAST(NULL AS INT)) OVERLAPS (5, 8)", None),
+            ("(10, 20) OVERLAPS (10, CAST(NULL AS INT))", None),
+            # ...but a NULL START adopts the known end: decidable
+            ("(CAST(NULL AS INT), 20) OVERLAPS (15, 25)", True),
+            # the verdict's negated shape: NULL, not TRUE
+            ("NOT ((10, CAST(NULL AS INT)) OVERLAPS (15, 25))", None),
+        ]
+        exprs = [f"{f(sql)} AS c{i}" for i, (sql, _) in enumerate(cases)]
+        row = spark.sql("SELECT " + ", ".join(exprs)).collect()[0]
+        for i, (sql, want) in enumerate(cases):
+            assert row[f"c{i}"] == want, sql
 
     def test_dow_isodow_numbering(self):
         # PG: dow Sunday=0..6; isodow Monday=1..7. Spark's own
