@@ -1620,6 +1620,53 @@ class TestR11ScalarShims:
         assert str(row.b) == "1996-03-05"
         assert str(row.c) == "1970-01-01 00:00:03.250000"
 
+    def test_date_minus_date_and_timestamp_precision(self, spark):
+        """r12: PG ``date - date`` is INTEGER days (Spark's is an
+        interval) — rewritten to datediff when BOTH operands are
+        provably date-typed; and ``::timestamp(p)`` rounds micros to p
+        digits like PG (a bare TIMESTAMP cast kept them)."""
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("date '2024-01-10' - date '2024-01-01'") == (
+            "datediff(date '2024-01-10', date '2024-01-01')"
+        )
+        assert f("d1::date - d2::date") == (
+            "datediff(CAST(d1 AS date), CAST(d2 AS date))"
+        )
+        assert f("current_date - d::date") == (
+            "datediff(current_date, CAST(d AS date))"
+        )
+        # date - int is a DATE again in PG: stays arithmetic
+        assert f("d::date - 7") == "CAST(d AS date) - 7"
+        # bare columns are not provable: documented passthrough boundary
+        assert f("a - b") == "a - b"
+        assert f("ts - INTERVAL '1 day'") == "ts - INTERVAL '1 day'"
+        # ::timestamp(p): round micros at the cut
+        assert f("x::timestamp(3)") == (
+            "timestamp_micros(CAST(round(unix_micros("
+            "CAST(x AS TIMESTAMP)), -3) AS BIGINT))"
+        )
+        assert f("x::timestamp(6)") == "CAST(x AS TIMESTAMP)"
+        spark.sql(
+            "SELECT timestamp'2024-01-01 00:00:00.123456' AS a, "
+            "timestamp'2024-01-01 00:00:00.9996' AS b"
+        ).createOrReplaceTempView("tsp_t")
+        row = spark.sql(
+            "SELECT "
+            + f("date '2024-01-10' - date '2024-01-01'")
+            + " AS days, "
+            + f("a::timestamp(3)")
+            + " AS p3, "
+            + f("a::timestamp(0)")
+            + " AS p0, "
+            + f("b::timestamp(3)")
+            + " AS carry FROM tsp_t"
+        ).collect()[0]
+        assert row.days == 9
+        assert str(row.p3) == "2024-01-01 00:00:00.123000"
+        assert str(row.p0) == "2024-01-01 00:00:00"
+        assert str(row.carry) == "2024-01-01 00:00:01"
+
     def test_overlaps_and_starts_with(self):
         from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
 

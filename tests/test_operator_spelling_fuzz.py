@@ -100,6 +100,11 @@ CORPUS = [
     "to_timestamp(num)",
     "to_timestamp('x')",
     "to_timestamp(name, 'YYYY TZ')",
+    # r12: provable date - date -> integer days; ::timestamp(p) rounding
+    "date '2024-01-10' - date '2024-01-01'",
+    "ts::date - date '2024-01-01'",
+    "current_date - to_date('2024-01-01', 'YYYY-MM-DD')",
+    "ts::timestamp(3)", "ts::timestamp(0)", "ts::timestamp(6)",
     "date_part('year', ts)",
     "ts AT TIME ZONE 'UTC'",
     "ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin'",

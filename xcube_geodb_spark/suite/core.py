@@ -650,6 +650,13 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'YYYY-MM-DD'), 'YYYY-MM-DD HH24:MI:SS') AS ts_rt, "
             "to_char(to_date(to_char(o_orderdate, 'DD Mon YYYY'), "
             "'DD Mon YYYY'), 'YYYY-MM-DD') AS d_rt, "
+            # r12: PG date - date = integer days (provable-date rule)
+            "CAST(o_orderdate::date - date '1995-01-01' AS INT) "
+            "AS days_since, "
+            # r12: ::timestamp(p) rounds micros to p digits like PG
+            "round(extract(epoch from (o_orderdate "
+            "+ INTERVAL '0.123456' SECOND)::timestamp(3)), 6) "
+            "AS ts_prec3, "
             "to_char(o_totalprice, 'FM9999999.00') AS price_fm, "
             "to_char(o_totalprice, '9999999.00') AS price_pad, "
             "to_char(o_orderkey, 'FM0000000000') AS key_zero, "
@@ -1374,6 +1381,11 @@ CORE_ORACLES_PG = {
                    '%Y-%m-%d'), '%Y-%m-%d %H:%M:%S') AS ts_rt,
                strftime(strptime(strftime(o_orderdate, '%d %b %Y'),
                    '%d %b %Y'), '%Y-%m-%d') AS d_rt,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INT)
+                   AS days_since,
+               round(round(epoch(o_orderdate
+                   + INTERVAL '0.123456' SECOND) * 1000) / 1000.0, 6)
+                   AS ts_prec3,
                printf('%.2f', o_totalprice) AS price_fm,
                lpad(printf('%.2f', o_totalprice), 11, ' ') AS price_pad,
                printf('%010.0f', CAST(o_orderkey AS DOUBLE)) AS key_zero,
