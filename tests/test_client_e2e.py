@@ -1620,6 +1620,32 @@ class TestR11ScalarShims:
         assert str(row.b) == "1996-03-05"
         assert str(row.c) == "1970-01-01 00:00:03.250000"
 
+    def test_power_unary_minus_base(self, spark):
+        """r11 ADVICE: PG's unary minus binds TIGHTER than ^, so
+        -2 ^ 2 = power(-2, 2) = 4 (DuckDB agrees) — a minus in unary
+        position folds into the BASE; a binary minus stays outside."""
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("-a ^ b") == "power(-a, b)"
+        assert f("(-a) ^ b") == "power((-a), b)"
+        # binary minus: only the adjacent operand is the base
+        assert f("x - a ^ b") == "x - power(a, b)"
+        assert f("x-2 ^ 2") == "x-power(2, 2)"
+        # unary positions: start / '(' / ',' / operator / keyword
+        assert f("(-a ^ b)") == "(power(-a, b))"
+        assert f("f(x, -a ^ b)") == "f(x, power(-a, b))"
+        assert f("x * -a ^ b") == "x * power(-a, b)"
+        assert f("CASE WHEN c THEN -a ^ 2 ELSE 0 END") == (
+            "CASE WHEN c THEN power(-a, 2) ELSE 0 END"
+        )
+        # chains stay left-associative with the folded base
+        assert f("-2 ^ 2 ^ 3") == "power(power(-2, 2), 3)"
+        row = spark.sql(
+            "SELECT " + f("-2 ^ 2") + " AS a, " + f("10 - 2 ^ 2") + " AS b"
+        ).collect()[0]
+        assert row.a == 4.0  # PG/DuckDB: -2 ^ 2 = 4
+        assert row.b == 6.0
+
     def test_date_minus_date_and_timestamp_precision(self, spark):
         """r12: PG ``date - date`` is INTEGER days (Spark's is an
         interval) — rewritten to datediff when BOTH operands are
@@ -1731,6 +1757,14 @@ class TestR11ScalarShims:
         # the instant to zone-local — PG's wall-time translation
         assert f("ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin'") == (
             "from_utc_timestamp(to_utc_timestamp(ts, 'UTC'), "
+            "'Europe/Berlin')"
+        )
+        # r11 ADVICE: the equivalent PARENTHESIZED chain must also
+        # convert, not re-interpret (the prefix test sees through parens)
+        assert f(
+            "(ts AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Berlin'"
+        ) == (
+            "from_utc_timestamp((to_utc_timestamp(ts, 'UTC')), "
             "'Europe/Berlin')"
         )
         with pytest.raises(GeoDBError, match="string literal"):

@@ -108,6 +108,7 @@ CORPUS = [
     "date_part('year', ts)",
     "ts AT TIME ZONE 'UTC'",
     "ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin'",
+    "(ts AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Berlin'",
     "json_build_object('k', num)", "jsonb_build_object('k', name)",
     "json_array_elements_text(j)",
     "date_bin(INTERVAL '1 hour', ts, TIMESTAMP '2024-01-01 00:00:00')",

@@ -904,11 +904,14 @@ def _rewrite_power(seg: str) -> str:
     """PG's exponentiation operator ``a ^ b`` on literal-protected code
     -> ``power(a, b)`` — in Spark ``^`` is bitwise XOR, so the
     passthrough would return garbage SILENTLY (2 ^ 3 = 1, not 8). PG's
-    ``^`` binds tighter than every other arithmetic operator and
+    ``^`` binds tighter than every BINARY arithmetic operator and
     left-associates, so rewriting just the adjacent operands preserves
-    precedence exactly (``-a ^ b`` = ``-power(a, b)``, ``a ^ b ^ c`` =
-    ``power(power(a, b), c)``). A unary-minus exponent is folded in.
-    Bitwise XOR is outside the pg dialect (PG spells it ``#``)."""
+    precedence (``a ^ b ^ c`` = ``power(power(a, b), c)``) — EXCEPT
+    unary minus, which binds tighter still: ``-2 ^ 2`` is
+    ``power(-2, 2)`` = 4 in PG (r11 ADVICE; DuckDB agrees), so a minus
+    in unary position folds into the BASE. A unary-minus exponent is
+    folded in. Bitwise XOR is outside the pg dialect (PG spells it
+    ``#``)."""
     pos = 0
     while True:
         m = _POWER_OP_RE.search(seg, pos)
@@ -936,6 +939,21 @@ def _rewrite_power(seg: str) -> str:
             )
         lhs, lstart = left
         _guard_keyword_operand("^", lhs)
+        # PG's unary minus binds tighter than ^: when the '-' before the
+        # base sits in unary position (segment start / '(' / ',' / an
+        # operator / a keyword), it belongs to the base
+        before = seg[:lstart].rstrip()
+        if before.endswith("-") and not before.endswith(("--", "#-")):
+            b2 = before[:-1].rstrip()
+            if (
+                not b2
+                or b2[-1] in "(,+-*/%<>=^|"
+                or re.search(r"[A-Za-z_]\w*$", b2)
+                and re.search(r"[A-Za-z_]\w*$", b2).group(0).upper()
+                in _SQL_KEYWORDS
+            ):
+                lstart = len(before) - 1
+                lhs = seg[lstart: m.start()].strip()
         rhs, rend_rel = right
         repl = f"power({lhs}, {neg}{rhs})"
         seg = seg[:lstart] + repl + seg[m.end() + off + rend_rel:]
@@ -1630,9 +1648,17 @@ def _rewrite_at_time_zone(code: str, lits: list[str]) -> str:
             raise GeoDBError(
                 "AT TIME ZONE: parenthesize the timestamp operand"
             )
+        # the "previous AT TIME ZONE result" test must see through
+        # balanced parens: "(ts AT TIME ZONE 'a') AT TIME ZONE 'b'" has
+        # lhs "(to_utc_timestamp(ts, 'a'))" (r11 ADVICE — the bare prefix
+        # check re-interpreted instead of converting, shifting timestamps)
         fn = (
             "from_utc_timestamp"
-            if re.match(r"to_utc_timestamp\s*\(", lhs, re.IGNORECASE)
+            if re.match(
+                r"to_utc_timestamp\s*\(",
+                _strip_outer_parens(lhs),
+                re.IGNORECASE,
+            )
             else "to_utc_timestamp"
         )
         repl = f"{fn}({lhs}, {m.group(1)})"

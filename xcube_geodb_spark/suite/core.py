@@ -677,8 +677,11 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trunc(o_totalprice) AS price_t0, "
             "trunc(o_totalprice, 1) AS price_t1, "
             "encode(CAST(o_orderpriority AS BINARY), 'hex') AS prio_hex, "
-            # r11: PG ^ is POWER (Spark's ^ is bitwise XOR — silent)
+            # r11: PG ^ is POWER (Spark's ^ is bitwise XOR — silent);
+            # r12: unary minus binds tighter than ^ (power of the
+            # NEGATED base, not negated power)
             "CAST(o_orderkey ^ 2 AS BIGINT) AS key_sq, "
+            "CAST(-o_orderkey ^ 2 AS BIGINT) AS key_sq_neg, "
             # r11: parameterized casts with PG truncation semantics
             "CAST(o_totalprice::numeric(14,2) AS DOUBLE) AS price_dec, "
             "o_orderpriority::varchar(3) AS prio3, "
@@ -1124,8 +1127,11 @@ def pg_jsonb_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     create_missing=false), the ``-`` delete operator (rewritten to
     jsonb_delete when the left operand is provably json-typed), and the
     ``#-`` path-delete operator. Values compared via extracted fields +
-    whole-text deletes; DuckDB replays set/delete with
-    json_merge_patch (patch-null deletes keys, RFC 7386)."""
+    sorted key lists — NOT whole jsonb text, whose spacing is renderer-
+    specific (engine PG-style ': ', DuckDB minified; r11 ADVICE: raw
+    text equality only passed because the fixture is single-key);
+    DuckDB replays set/delete with json_merge_patch (patch-null deletes
+    keys, RFC 7386)."""
     from xcube_geodb_spark.functions.jsonsql import register_json_sql_functions
 
     register_json_sql_functions(spark)
@@ -1138,8 +1144,21 @@ def pg_jsonb_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jsonb_set(props, '{t}', '\"x\"') ->> 'k' AS k_kept, "
             "jsonb_set(props, '{k}', '99') ->> 'k' AS k_rep, "
             "jsonb_set(props, '{z}', '1', false) ->> 'z' AS z_missing, "
-            "props::jsonb - 'k' AS del_text, "
-            "props #- '{k}' AS delpath_text"
+            # delete from a TWO-key object so the sibling must survive
+            "jsonb_merge(props, json_build_object('t', event_type)) "
+            "- 'k' ->> 't' AS del_t, "
+            "array_join(json_object_keys(jsonb_merge(props, "
+            "json_build_object('t', event_type)) - 'k'), ',') "
+            "AS del_keys, "
+            "jsonb_merge(props, json_build_object('t', event_type)) "
+            "#- '{k}' ->> 't' AS delpath_t, "
+            "array_join(json_object_keys(jsonb_merge(props, "
+            "json_build_object('t', event_type)) #- '{k}'), ',') "
+            "AS delpath_keys, "
+            # the single-key shapes still pin delete-to-empty
+            "props::jsonb - 'k' ->> 'k' AS del_gone, "
+            "coalesce(array_join(json_object_keys(props #- '{k}'), ','), "
+            "'') AS empty_keys"
         ),
         where="event_id % 43 = 0",
         order="event_id",
@@ -1164,10 +1183,22 @@ CORE_ORACLES_PG = {
                json_merge_patch(props, '{"t": "x"}') ->> 'k' AS k_kept,
                json_merge_patch(props, '{"k": 99}') ->> 'k' AS k_rep,
                props ->> 'z' AS z_missing,
-               CAST(json_merge_patch(props, '{"k": null}') AS VARCHAR)
-                   AS del_text,
-               CAST(json_merge_patch(props, '{"k": null}') AS VARCHAR)
-                   AS delpath_text
+               json_merge_patch(json_merge_patch(props,
+                   json_object('t', event_type)), '{"k": null}') ->> 't'
+                   AS del_t,
+               array_to_string(json_keys(json_merge_patch(
+                   json_merge_patch(props, json_object('t', event_type)),
+                   '{"k": null}')), ',') AS del_keys,
+               json_merge_patch(json_merge_patch(props,
+                   json_object('t', event_type)), '{"k": null}') ->> 't'
+                   AS delpath_t,
+               array_to_string(json_keys(json_merge_patch(
+                   json_merge_patch(props, json_object('t', event_type)),
+                   '{"k": null}')), ',') AS delpath_keys,
+               json_merge_patch(props, '{"k": null}') ->> 'k' AS del_gone,
+               coalesce(array_to_string(json_keys(
+                   json_merge_patch(props, '{"k": null}')), ','), '')
+                   AS empty_keys
         FROM events
         WHERE event_id % 43 = 0
         ORDER BY event_id
@@ -1411,6 +1442,7 @@ CORE_ORACLES_PG = {
                     AS DOUBLE) / 10 AS price_t1,
                lower(hex(CAST(o_orderpriority AS BLOB))) AS prio_hex,
                CAST(o_orderkey ^ 2 AS BIGINT) AS key_sq,
+               CAST(-o_orderkey ^ 2 AS BIGINT) AS key_sq_neg,
                CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE)
                    AS price_dec,
                substring(o_orderpriority, 1, 3) AS prio3,
