@@ -1620,6 +1620,38 @@ class TestR11ScalarShims:
         assert str(row.b) == "1996-03-05"
         assert str(row.c) == "1970-01-01 00:00:03.250000"
 
+    def test_round_double_half_even_and_multiword_types(self, spark):
+        """r12: PG round(float8) ties are HALF-TO-EVEN (C rint) where
+        Spark's round is HALF_UP — provably-double operands route to
+        rint; NUMERIC stays HALF_UP (= PG's half-away on both signs).
+        Multi-word PG type spellings canonicalize instead of
+        half-matching (::double precision used to leave a dangling
+        'precision' token that SELECT read as a silent alias)."""
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("round(x::float8)") == "rint(CAST(x AS double))"
+        assert f("round(x::double precision)") == "rint(CAST(x AS DOUBLE))"
+        assert f("round(-2.5::float8)") == "rint(-CAST(2.5 AS double))"
+        # 2-arg / numeric / unprovable operands stay Spark round
+        assert f("round(x::float8, 2)") == "round(CAST(x AS double), 2)"
+        assert f("round(x)") == "round(x)"
+        assert "rint" not in f("round(x::numeric(10,2))")
+        # multi-word types
+        assert f("x::double precision") == "CAST(x AS DOUBLE)"
+        assert f("s::character varying(3)") == (
+            "substring(CAST(s AS STRING), 1, 3)"
+        )
+        assert f("ts::timestamp with time zone") == "CAST(ts AS timestamp)"
+        assert "timestamp_micros" in f("ts::timestamp(3) without time zone")
+        with pytest.raises(GeoDBError, match="bit strings"):
+            f("x::bit varying")
+        row = spark.sql(
+            "SELECT " + f("round(2.5::float8)") + " AS a, "
+            + f("round(3.5::float8)") + " AS b, "
+            + f("round(-2.5::float8)") + " AS c"
+        ).collect()[0]
+        assert (row.a, row.b, row.c) == (2.0, 4.0, -2.0)
+
     def test_power_unary_minus_base(self, spark):
         """r11 ADVICE: PG's unary minus binds TIGHTER than ^, so
         -2 ^ 2 = power(-2, 2) = 4 (DuckDB agrees) — a minus in unary

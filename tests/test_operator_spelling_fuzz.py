@@ -105,6 +105,12 @@ CORPUS = [
     "ts::date - date '2024-01-01'",
     "current_date - to_date('2024-01-01', 'YYYY-MM-DD')",
     "ts::timestamp(3)", "ts::timestamp(0)", "ts::timestamp(6)",
+    # r12: multi-word PG types + round(provably-double) half-even
+    "num::double precision", "name::character varying(3)",
+    "ts::timestamp with time zone", "ts::timestamp(3) without time zone",
+    "num::bit varying",
+    "round(num::float8)", "round(-2.5::float8)", "round(num::float8, 2)",
+    "round(num)",
     "date_part('year', ts)",
     "ts AT TIME ZONE 'UTC'",
     "ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin'",

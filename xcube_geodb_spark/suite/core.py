@@ -685,7 +685,13 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             # r11: parameterized casts with PG truncation semantics
             "CAST(o_totalprice::numeric(14,2) AS DOUBLE) AS price_dec, "
             "o_orderpriority::varchar(3) AS prio3, "
-            "o_orderpriority::char(10) AS prio_pad"
+            "o_orderpriority::char(10) AS prio_pad, "
+            # r12: multi-word PG type spellings + round(float8) half-even
+            "o_totalprice::double precision AS dp, "
+            "o_orderpriority::character varying(3) AS cv3, "
+            "round(2.5::float8) AS rnd_tie, "
+            "round(-2.5::float8) AS rnd_tie_neg, "
+            "round((o_totalprice + 0.201)::float8) AS rnd_col"
         ),
         where="o_orderkey % 101 = 0",
         order="o_orderkey",
@@ -1447,7 +1453,12 @@ CORE_ORACLES_PG = {
                    AS price_dec,
                substring(o_orderpriority, 1, 3) AS prio3,
                rpad(substring(o_orderpriority, 1, 10), 10, ' ')
-                   AS prio_pad
+                   AS prio_pad,
+               CAST(o_totalprice AS DOUBLE) AS dp,
+               substring(o_orderpriority, 1, 3) AS cv3,
+               2.0 AS rnd_tie,
+               -2.0 AS rnd_tie_neg,
+               round(CAST(o_totalprice + 0.201 AS DOUBLE)) AS rnd_col
         FROM orders WHERE o_orderkey % 101 = 0
         ORDER BY o_orderkey
     """,
