@@ -739,8 +739,11 @@ class TestShimLiteralSafety:
         assert f("split(text,' ') @> ARRAY['q']") == (
             "size(array_except(array('q'), split(text,' '))) = 0"
         )
+        # subscripts inside array literals get PG's 1-based NULL-safe
+        # read since r12
         assert f("ARRAY[col[1], 2] <@ other") == (
-            "size(array_except(array(col[1], 2), other)) = 0"
+            "size(array_except(array(try_element_at(col, 1), 2), "
+            "other)) = 0"
         )
         # a gap between function name and paren keeps the name (PG allows
         # the whitespace); a KEYWORD before parens is never swallowed
@@ -890,8 +893,9 @@ class TestShimLiteralSafety:
         # KNN operators keep their own rewrite (lookbehind guard)
         assert f("a <-> b") == "st_distance(a, b)"
         # function-call lhs (e.g. a constructed document) chains fine
+        # concat carries PG's skip-NULL semantics since r12
         assert f("concat('{\"v\":', x, '}') ->> 'v'") == (
-            "get_json_object(concat('{\"v\":', x, '}'), '$.v')"
+            "get_json_object(concat_ws('', '{\"v\":', x, '}'), '$.v')"
         )
         # literals containing arrows survive untouched
         assert f("c = '->> not an op'") == "c = '->> not an op'"
@@ -1619,6 +1623,41 @@ class TestR11ScalarShims:
         assert str(row.a) == "1996-01-05 00:00:00"
         assert str(row.b) == "1996-03-05"
         assert str(row.c) == "1970-01-01 00:00:03.250000"
+
+    def test_everyday_semantics_values(self, spark):
+        """r12 probe round: int division, 1-based subscripts, skip-NULL
+        concat, negative string windows — PG values, not Spark's."""
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("7 / 2") == "7 DIV 2"
+        assert f("a / b") == "a / b"  # unprovable: documented boundary
+        assert f("7 / 2.0") == "7 / 2.0"  # numeric operand: PG is numeric
+        assert f("arr[1]") == "try_element_at(arr, 1)"
+        assert f("concat(a, b)") == "concat_ws('', a, b)"
+        assert f("concat_ws('-', a, b)") == "concat_ws('-', a, b)"
+        spark.sql(
+            "SELECT array('a','b','c') AS arr, 'abcdef' AS s, 2 AS i"
+        ).createOrReplaceTempView("eds_t")
+        cases = [
+            ("7 / 2", 3),
+            ("-7 / 2", -3),  # toward zero, not floor
+            ("arr[1]", "a"),
+            ("arr[i]", "b"),  # column index through the CASE guard
+            ("arr[0]", None),
+            ("arr[-1]", None),  # PG: NULL, never count-from-end
+            ("arr[9]", None),
+            ("concat('a', NULL, 'b')", "ab"),
+            ("left(s, -2)", "abcd"),
+            ("right(s, -2)", "cdef"),
+            ("substring(s, 0, 3)", "ab"),
+            ("substring(s, -2, 5)", "ab"),
+        ]
+        exprs = [f"{f(sql)} AS c{i}" for i, (sql, _) in enumerate(cases)]
+        row = spark.sql(
+            "SELECT " + ", ".join(exprs) + " FROM eds_t"
+        ).collect()[0]
+        for i, (sql, want) in enumerate(cases):
+            assert row[f"c{i}"] == want, sql
 
     def test_round_double_half_even_and_multiword_types(self, spark):
         """r12: PG round(float8) ties are HALF-TO-EVEN (C rint) where

@@ -111,6 +111,15 @@ CORPUS = [
     "num::bit varying",
     "round(num::float8)", "round(-2.5::float8)", "round(num::float8, 2)",
     "round(num)",
+    # r12: everyday-semantics classes (int div, subscripts, concat,
+    # string windows)
+    "7 / 2", "-7 / 2", "num / 2", "7 / 2.0", "num::int4 / 2",
+    "arr[1]", "arr[0]", "arr[-1]", "arr[num::int4]", "arr[1:2]",
+    "ARRAY['x','y'][2]",
+    "concat(name, NULL, 'x')", "concat_ws('-', name, name)",
+    "left(name, -2)", "right(name, -2)", "left(name, 2)",
+    "substring(name, 0, 3)", "substring(name, -2, 5)",
+    "substring(name, 2, 3)",
     "date_part('year', ts)",
     "ts AT TIME ZONE 'UTC'",
     "ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin'",

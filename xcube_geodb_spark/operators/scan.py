@@ -2079,6 +2079,235 @@ def _is_date_shape(operand: str) -> bool:
     return "(" in operand and name in _DATE_CALLS
 
 
+_CONCAT_RE = re.compile(r"\bconcat\s*\(", re.IGNORECASE)
+
+
+def _rewrite_concat_nulls(protected: str) -> str:
+    """PG ``concat(...)`` IGNORES NULL arguments (``concat('a', NULL)``
+    is ``'a'``) while Spark's concat NULL-propagates — a silent
+    wrong-answer through the passthrough (r12 probe). ``concat_ws('',
+    ...)`` has PG's skip-NULLs semantics and the same text coercion, so
+    the spelling rewrites wholesale. Runs FIRST in the misc chain, so
+    later passes that EMIT concat (the numeric to_char sign splice,
+    already NULL-guarded) are untouched. DOCUMENTED BOUNDARY
+    (COVERAGE.md): Spark-style binary/array concat through the pg path
+    becomes text like in PG."""
+    return _CONCAT_RE.sub("concat_ws('', ", protected)
+
+
+_SLASH_RE = re.compile(r"(?<![/*])/(?![/*=])")
+_CAST_INT_RE = re.compile(
+    r"CAST\s*\(.*\bAS\s+(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _is_int_shape(operand: str) -> bool:
+    operand = operand.strip()
+    if operand.startswith("-"):
+        operand = operand[1:].lstrip()
+    return bool(
+        re.fullmatch(r"\d+", operand) or _CAST_INT_RE.fullmatch(operand)
+    )
+
+
+def _rewrite_int_div(protected: str) -> str:
+    """PG ``int / int`` is INTEGER division truncating toward zero
+    (``7 / 2`` = 3, ``-7 / 2`` = -3) while Spark's ``/`` always returns
+    a double — a silent everyday divergence (r12 probe). When BOTH
+    operands are PROVABLY integer (integer literals or
+    ``::int2/4/8``-family casts, optionally negated), rewrite to
+    Spark's ``DIV`` (same toward-zero truncation). DOCUMENTED BOUNDARY
+    (COVERAGE.md): bare-column operands pass through (type not provable
+    from text) and return Spark's double — cast the RESULT ``::int``
+    (toward-zero, PG-equal) or an operand to opt in."""
+    pos = 0
+    while True:
+        m = _SLASH_RE.search(protected, pos)
+        if m is None:
+            return protected
+        left = _operand_before(protected[: m.start()])
+        if left is None or not _is_int_shape(left[0]):
+            pos = m.end()
+            continue
+        after = protected[m.end():]
+        stripped = after.lstrip()
+        off = len(after) - len(stripped)
+        neg = ""
+        if stripped.startswith("-"):
+            neg = "-"
+            stripped = stripped[1:].lstrip()
+            off = len(after) - len(stripped)
+        right = _operand_after(stripped)
+        if right is None or not _is_int_shape(neg + right[0]):
+            pos = m.end()
+            continue
+        # left operand may itself carry a unary minus in unary position
+        lhs, lstart = left
+        before = protected[:lstart].rstrip()
+        if before.endswith("-") and not before.endswith(("--", "#-")):
+            b2 = before[:-1].rstrip()
+            if not b2 or b2[-1] in "(,+-*/%<>=^|":
+                lstart = len(before) - 1
+                lhs = protected[lstart: m.start()].strip()
+        repl = f"{lhs} DIV {neg}{right[0]}"
+        protected = (
+            protected[:lstart] + repl + protected[m.end() + off + right[1]:]
+        )
+        pos = lstart + len(repl)
+
+
+_LBRACKET_RE = re.compile(r"\[")
+
+
+def _close_bracket(code: str, open_idx: int) -> int | None:
+    depth = 0
+    for j in range(open_idx, len(code)):
+        if code[j] == "[":
+            depth += 1
+        elif code[j] == "]":
+            depth -= 1
+            if depth == 0:
+                return j
+    return None
+
+
+def _rewrite_array_subscript(protected: str) -> str:
+    """PG array subscripts are 1-BASED and out-of-range reads (incl.
+    index 0 and negatives) return NULL; Spark's ``arr[i]`` is 0-based —
+    a silent off-by-one for every PG user (r12 probe). Rewrites:
+
+        arr[i]    -> try_element_at(arr, i)        (1-based, NULL o.o.r.)
+                     with a CASE guard for non-literal / non-positive i
+                     (try_element_at ERRORS on 0 and counts NEGATIVES
+                     from the end — both un-PG)
+        arr[s:e]  -> slice(arr, max(s,1), ...)     (PG clamps bounds)
+
+    ``ARRAY[...]`` literals were already rewritten to array(...) before
+    this pass; a string-literal index (jsonb/map subscript) passes
+    through untouched."""
+    pos = 0
+    while True:
+        m = _LBRACKET_RE.search(protected, pos)
+        if m is None:
+            return protected
+        left = _operand_before(protected[: m.start()])
+        if left is None or left[0].upper() in _SQL_KEYWORDS or (
+            left[0].upper() == "ARRAY"
+        ):
+            pos = m.end()
+            continue
+        j = _close_bracket(protected, m.start())
+        if j is None:
+            return protected  # unbalanced: leave for Spark's parser
+        lhs, lstart = left
+        inner = protected[m.start() + 1: j].strip()
+        if not inner or _LIT_PLACEHOLDER_RE.fullmatch(inner):
+            pos = j + 1  # empty or jsonb/map-style string subscript
+            continue
+        # top-level slice colon?
+        depth = 0
+        colon = None
+        for k, ch in enumerate(inner):
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == ":" and depth == 0:
+                colon = k
+                break
+        if colon is not None:
+            s = inner[:colon].strip()
+            e = inner[colon + 1:].strip()
+            if not s or not e:
+                raise GeoDBError(
+                    "array slice: both bounds are required — arr[s:e]"
+                )
+            repl = (
+                f"slice({lhs}, greatest(({s}), 1), "
+                f"greatest(({e}) - greatest(({s}), 1) + 1, 0))"
+            )
+        elif re.fullmatch(r"[1-9]\d*", inner):
+            repl = f"try_element_at({lhs}, {inner})"
+        else:
+            repl = (
+                f"(CASE WHEN ({inner}) < 1 THEN NULL "
+                f"ELSE try_element_at({lhs}, {inner}) END)"
+            )
+        protected = protected[:lstart] + repl + protected[j + 1:]
+        pos = lstart + len(repl)
+
+
+_LEFT_RIGHT_RE = re.compile(r"\b(left|right)\s*\(", re.IGNORECASE)
+_SUBSTR_RE = re.compile(r"\b(?:substring|substr)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_str_edges(protected: str) -> str:
+    """PG string-window semantics the passthrough gets wrong (r12
+    probe), for PROVABLE (literal) arguments:
+
+    - ``left(s, -n)`` = all but the LAST n chars (Spark returns '')
+      -> ``substring(s, 1, greatest(length(s) - n, 0))``
+    - ``right(s, -n)`` = all but the FIRST n chars -> ``substring(s,
+      n + 1)``
+    - ``substring(s, start<=0 [, len])`` counts a virtual position:
+      the window [start, start+len-1] intersected with [1..] (Spark
+      treats 0/negative starts as 1) -> shifted 1-based window
+
+    Column-valued counts stay a documented passthrough boundary."""
+    pos = 0
+    while True:
+        m = _LEFT_RIGHT_RE.search(protected, pos)
+        if m is None:
+            break
+        j = _close_paren(protected, m.end() - 1)
+        if j is None:
+            return protected
+        args = _split_top_commas_lit(protected[m.end(): j])
+        nm = m.group(1).lower()
+        if len(args) == 2 and re.fullmatch(r"-\s*\d+", args[1].strip()):
+            s = args[0].strip()
+            n = args[1].strip().lstrip("-").strip()
+            if nm == "left":
+                repl = f"substring({s}, 1, greatest(length({s}) - {n}, 0))"
+            else:
+                repl = f"substring({s}, {n} + 1)"
+            protected = protected[: m.start()] + repl + protected[j + 1:]
+            pos = m.start() + len(repl)
+        else:
+            pos = m.end()
+    pos = 0
+    while True:
+        m = _SUBSTR_RE.search(protected, pos)
+        if m is None:
+            return protected
+        j = _close_paren(protected, m.end() - 1)
+        if j is None:
+            return protected
+        args = _split_top_commas_lit(protected[m.end(): j])
+        start = args[1].strip() if len(args) >= 2 else ""
+        sm = re.fullmatch(r"(-\s*\d+|0)", start)
+        if sm is None or len(args) not in (2, 3):
+            pos = m.end()
+            continue
+        s = args[0].strip()
+        start_val = int(start.replace(" ", ""))
+        if len(args) == 2:
+            repl = f"substring({s}, 1)"
+        else:
+            ln = args[2].strip()
+            if re.fullmatch(r"\d+", ln):
+                new_len = max(start_val + int(ln) - 1, 0)
+                repl = f"substring({s}, 1, {new_len})"
+            else:
+                repl = (
+                    f"substring({s}, 1, "
+                    f"greatest({start_val} + ({ln}) - 1, 0))"
+                )
+        protected = protected[: m.start()] + repl + protected[j + 1:]
+        pos = m.start() + len(repl)
+
+
 _ROUND_RE = re.compile(r"\bround\s*\(", re.IGNORECASE)
 _CAST_DOUBLE_RE = re.compile(
     r"CAST\s*\(.*\bAS\s+(?:DOUBLE|FLOAT)\s*\)", re.IGNORECASE | re.DOTALL
@@ -3075,11 +3304,18 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
         _ROUND_RE.search(out)
         and re.search(r"(?i)::|\bAS\s+(?:DOUBLE|FLOAT)\b", out)
     )
+    need_concat = bool(_CONCAT_RE.search(out))
+    need_subscript = "[" in out
+    need_intdiv = bool(_SLASH_RE.search(out))
+    need_stredges = bool(
+        _LEFT_RIGHT_RE.search(out) or _SUBSTR_RE.search(out)
+    )
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
             or need_buf3 or need_rx4 or need_json or need_geog
             or need_pcast or need_bbox or need_misc or need_ts
             or need_jexists or need_anyall or need_overlaps
-            or need_power or need_dminus or need_round):
+            or need_power or need_dminus or need_round or need_concat
+            or need_subscript or need_intdiv or need_stredges):
         # these operands/arg-lists may span literal segments: protect
         # literals behind identifier-shaped placeholders, rewrite on the
         # joined code, then restore — literal contents stay byte-identical
@@ -3089,6 +3325,13 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             p if i % 2 == 0 else f"__GEODB_LIT_{i // 2}__"
             for i, p in enumerate(parts)
         )
+        if need_concat:
+            # FIRST: later passes EMIT concat (to_char's sign splice)
+            # that must stay Spark-native
+            protected = _rewrite_concat_nulls(protected)
+        if need_subscript and "[" in protected:
+            # user brackets only — no later pass emits '['
+            protected = _rewrite_array_subscript(protected)
         if need_knn:
             protected = _rewrite_knn_ops(protected)
         if need_json:
@@ -3123,6 +3366,13 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_date_minus(protected)
         if need_round and _ROUND_RE.search(protected):
             protected = _rewrite_round_double(protected)
+        if need_intdiv and "/" in protected:
+            # after ::casts (int-family casts prove operand types); the
+            # emitted divisions of earlier passes have non-provable
+            # operands and pass through
+            protected = _rewrite_int_div(protected)
+        if need_stredges:
+            protected = _rewrite_str_edges(protected)
         if need_bbox:
             # after containment would also work (&& and @> never nest),
             # but BEFORE it keeps the operand scanners simple; && must

@@ -122,7 +122,15 @@ DRIVER_WINDOW = [
     "skew_salted_join_revenue",
     "window_top_order_per_customer",
     "rollup_lineitem",
-    "scalar_string_funcs",
+    # r12 rotation: pg_everyday_semantics (the probe-round semantics
+    # classes — provable-int division -> DIV, 1-based NULL-safe array
+    # subscripts + clamped slices, skip-NULL concat, negative/zero
+    # string windows; DuckDB shares PG's semantics natively so the
+    # oracle is an independent engine) supersedes scalar_string_funcs
+    # as the scalar rep — the string scalars it covered are passthrough
+    # functions whose pieces pg_scalar_shims and this gate exercise
+    # more sharply; it stays registered + locally verified.
+    "pg_everyday_semantics",
     # events / temporal / streaming
     "events_tumbling_hour",
     "events_sessionization",

@@ -699,6 +699,46 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def pg_everyday_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 probe round — the everyday-PG semantics Spark silently gets
+    wrong through a passthrough, each caught by running the PG idiom
+    through a bare Spark session: integer division (``7 / 2`` is 3 in
+    PG, 3.5 in Spark — provable-int operands -> ``DIV``), 1-based
+    NULL-safe array subscripts (``arr[1]`` is the FIRST element in PG,
+    the SECOND in Spark; 0/negative/out-of-range -> NULL), PG slice
+    clamping, NULL-ignoring ``concat`` (-> ``concat_ws('')``), and the
+    negative/zero string-window arguments of left/right/substring.
+    DuckDB shares PG's semantics natively (1-based lists, ``//``,
+    skip-NULL concat), so the oracle is an independent engine, not a
+    formula replay."""
+    register_views(spark, sf_dir, "orders")
+    sql = build_pg_sql(
+        "orders",
+        select=(
+            "o_orderkey, "
+            # provable-int division: literal/literal and cast/literal
+            "CAST(7 / 2 AS INT) AS lit_div, "
+            "CAST(-7 / 2 AS INT) AS lit_div_neg, "
+            "CAST(o_orderkey::int8 / 7 AS BIGINT) AS key_div, "
+            # 1-based subscripts + NULL out-of-range + clamped slice
+            "string_to_array(o_orderpriority, '-')[1] AS sub_first, "
+            "string_to_array(o_orderpriority, '-')[9] AS sub_oob, "
+            "string_to_array(o_orderpriority, '-')[0] AS sub_zero, "
+            "array_join(string_to_array(o_orderpriority, '-')[1:2], '+') "
+            "AS sub_slice, "
+            # concat ignores NULLs like PG
+            "concat(o_orderpriority, NULL, '!') AS cc, "
+            # PG string windows: negative/zero counts
+            "left(o_orderpriority, -3) AS l_neg, "
+            "right(o_orderpriority, -3) AS r_neg, "
+            "substring(o_orderpriority, 0, 4) AS sub0"
+        ),
+        where="o_orderkey % 61 = 0",
+        order="o_orderkey",
+    )
+    return spark.sql(sql)
+
+
 def pg_like_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG's LIKE-operator spellings through the shim (r10): ``~~`` =
     LIKE, ``~~*`` = ILIKE, ``!~~`` = NOT LIKE, ``!~~*`` = NOT ILIKE —
@@ -1460,6 +1500,23 @@ CORE_ORACLES_PG = {
                -2.0 AS rnd_tie_neg,
                round(CAST(o_totalprice + 0.201 AS DOUBLE)) AS rnd_col
         FROM orders WHERE o_orderkey % 101 = 0
+        ORDER BY o_orderkey
+    """,
+    "pg_everyday_semantics": """
+        SELECT o_orderkey,
+               CAST(7 // 2 AS INT) AS lit_div,
+               CAST(-7 // 2 AS INT) AS lit_div_neg,
+               CAST(CAST(o_orderkey AS BIGINT) // 7 AS BIGINT) AS key_div,
+               string_split(o_orderpriority, '-')[1] AS sub_first,
+               string_split(o_orderpriority, '-')[9] AS sub_oob,
+               string_split(o_orderpriority, '-')[0] AS sub_zero,
+               array_to_string(string_split(o_orderpriority, '-')[1:2],
+                   '+') AS sub_slice,
+               concat(o_orderpriority, NULL, '!') AS cc,
+               left(o_orderpriority, -3) AS l_neg,
+               right(o_orderpriority, -3) AS r_neg,
+               substring(o_orderpriority, 0, 4) AS sub0
+        FROM orders WHERE o_orderkey % 61 = 0
         ORDER BY o_orderkey
     """,
     "pg_like_operators": """
@@ -2570,6 +2627,7 @@ CORE_QUERIES = {
     "pg_array_agg_distinct": pg_array_agg_distinct,
     "pg_json_agg": pg_json_agg,
     "pg_scalar_shims": pg_scalar_shims,
+    "pg_everyday_semantics": pg_everyday_semantics,
     "pg_like_operators": pg_like_operators,
     "pg_jsonb_exists": pg_jsonb_exists,
     "pg_json_elements": pg_json_elements,
