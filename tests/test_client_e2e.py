@@ -1659,6 +1659,71 @@ class TestR11ScalarShims:
         for i, (sql, want) in enumerate(cases):
             assert row[f"c{i}"] == want, sql
 
+    def test_pg_null_ordering_defaults(self, spark):
+        """r12 probe: PG sorts NULLs LAST ascending / FIRST descending;
+        Spark's bare asc()/desc() are the OPPOSITE — silent row-order
+        and LIMIT-membership flips. build_pg_sql and window ORDER BYs
+        make the PG placement explicit; explicit spellings pass
+        through."""
+        from xcube_geodb_spark.operators.scan import (
+            _pg_clause_to_spark as f,
+            _pg_order_nulls,
+            build_pg_sql,
+        )
+
+        assert _pg_order_nulls("x, y DESC, z ASC, w NULLS FIRST") == (
+            "x NULLS LAST, y DESC NULLS FIRST, z ASC NULLS LAST, "
+            "w NULLS FIRST"
+        )
+        assert f("row_number() OVER (PARTITION BY a ORDER BY b DESC)") == (
+            "row_number() OVER (PARTITION BY a ORDER BY b DESC "
+            "NULLS FIRST)"
+        )
+        # frame clause survives after the order list
+        assert f(
+            "sum(v) OVER (ORDER BY t ROWS BETWEEN 1 PRECEDING "
+            "AND CURRENT ROW)"
+        ) == (
+            "sum(v) OVER (ORDER BY t NULLS LAST ROWS BETWEEN 1 "
+            "PRECEDING AND CURRENT ROW)"
+        )
+        spark.sql(
+            "SELECT * FROM VALUES (1,'a'),(NULL,'b'),(2,'c') AS t(x, y)"
+        ).createOrReplaceTempView("nulls_t")
+        # LIMIT membership: PG ASC keeps non-null rows first
+        rows = spark.sql(
+            build_pg_sql("nulls_t", select="x, y", order="x", limit=2)
+        ).collect()
+        assert [r.x for r in rows] == [1, 2]
+        rows = spark.sql(
+            build_pg_sql("nulls_t", select="x, y", order="x DESC", limit=2)
+        ).collect()
+        assert [r.x for r in rows] == [None, 2]
+
+    def test_substring_from_regex(self, spark):
+        """r12: PG's substring(s FROM 'posix') regex extraction — group 1
+        when the pattern captures, whole match otherwise, NULL when it
+        doesn't match (untranslated, Spark casts the pattern to INT and
+        dies)."""
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("substring(s from '[0-9]+')") == (
+            "CASE WHEN s RLIKE '[0-9]+' "
+            "THEN regexp_extract(s, '[0-9]+', 0) END"
+        )
+        # positional FROM stays Spark-native
+        assert f("substring(s from 2 for 3)") == "substring(s from 2 for 3)"
+        row = spark.sql(
+            "SELECT "
+            + f("substring('abc123' from '[0-9]+')")
+            + " AS a, "
+            + f("substring('abc123' from '([a-z]+)[0-9]')")
+            + " AS b, "
+            + f("substring('abc123' from 'zz+')")
+            + " AS c"
+        ).collect()[0]
+        assert (row.a, row.b, row.c) == ("123", "abc", None)
+
     def test_round_double_half_even_and_multiword_types(self, spark):
         """r12: PG round(float8) ties are HALF-TO-EVEN (C rint) where
         Spark's round is HALF_UP — provably-double operands route to

@@ -100,8 +100,16 @@ class TestGrammar:
     def test_order_desc_nulls(self, land_use):
         out = apply_postgrest_query(land_use, "order=name.desc.nullslast").collect()
         assert out[-1].name is None
+        # r12: defaults are PG's (nulls LAST asc / FIRST desc), not
+        # Spark's opposite
         out = apply_postgrest_query(land_use, "order=name.asc").collect()
-        assert out[0].name is None  # spark default: nulls first on asc
+        assert out[-1].name is None
+        out = apply_postgrest_query(land_use, "order=name.desc").collect()
+        assert out[0].name is None
+        out = apply_postgrest_query(
+            land_use, "order=name.asc.nullsfirst"
+        ).collect()
+        assert out[0].name is None
 
     def test_quoted_string_in_in(self, land_use):
         out = apply_postgrest_query(land_use, 'name=in.("a","c")').collect()

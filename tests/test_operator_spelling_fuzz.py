@@ -120,6 +120,11 @@ CORPUS = [
     "left(name, -2)", "right(name, -2)", "left(name, 2)",
     "substring(name, 0, 3)", "substring(name, -2, 5)",
     "substring(name, 2, 3)",
+    "substring(name from '[a-z]+')", "substring(name from 2 for 3)",
+    "row_number() OVER (ORDER BY num DESC)",
+    "sum(num) OVER (ORDER BY num ROWS BETWEEN 1 PRECEDING "
+    "AND CURRENT ROW)",
+    "rank() OVER (PARTITION BY name ORDER BY num, name DESC)",
     "date_part('year', ts)",
     "ts AT TIME ZONE 'UTC'",
     "ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin'",

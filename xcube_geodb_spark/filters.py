@@ -567,13 +567,24 @@ def parse_postgrest_query(
 
 
 def _order_columns(order: list[tuple[str, bool, str | None]]) -> list[Column]:
+    """PostgREST sorts with PG's defaults — NULLS LAST ascending, FIRST
+    descending; Spark's bare asc()/desc() are the OPPOSITE (r12 probe),
+    so the placement is always explicit here."""
     cols = []
     for name, asc, nulls in order:
         c, _ = _col_ref(name)
         if asc:
-            c = c.asc_nulls_first() if nulls == "nullsfirst" else c.asc()
+            c = (
+                c.asc_nulls_first()
+                if nulls == "nullsfirst"
+                else c.asc_nulls_last()
+            )
         else:
-            c = c.desc_nulls_last() if nulls == "nullslast" else c.desc()
+            c = (
+                c.desc_nulls_last()
+                if nulls == "nullslast"
+                else c.desc_nulls_first()
+            )
         cols.append(c)
     return cols
 

@@ -2242,7 +2242,22 @@ _LEFT_RIGHT_RE = re.compile(r"\b(left|right)\s*\(", re.IGNORECASE)
 _SUBSTR_RE = re.compile(r"\b(?:substring|substr)\s*\(", re.IGNORECASE)
 
 
-def _rewrite_str_edges(protected: str) -> str:
+def _regex_group_count(pat: str) -> int:
+    """Number of CAPTURING groups in a regex literal (unescaped ``(``
+    not followed by ``?``)."""
+    n, i = 0, 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "(" and not pat.startswith("(?", i):
+            n += 1
+        i += 1
+    return n
+
+
+def _rewrite_str_edges(protected: str, lits: list[str]) -> str:
     """PG string-window semantics the passthrough gets wrong (r12
     probe), for PROVABLE (literal) arguments:
 
@@ -2253,8 +2268,43 @@ def _rewrite_str_edges(protected: str) -> str:
     - ``substring(s, start<=0 [, len])`` counts a virtual position:
       the window [start, start+len-1] intersected with [1..] (Spark
       treats 0/negative starts as 1) -> shifted 1-based window
+    - ``substring(s FROM 'pattern')`` with a NON-NUMERIC literal is
+      PG's POSIX-regex extraction (first match; group 1 when the
+      pattern captures; NULL when it doesn't match) -> RLIKE-guarded
+      ``regexp_extract`` — untranslated, Spark casts the pattern to INT
+      and dies blaming a cast the user never wrote
 
     Column-valued counts stay a documented passthrough boundary."""
+    pos = 0
+    while True:
+        m = _SUBSTR_RE.search(protected, pos)
+        if m is None:
+            break
+        j = _close_paren(protected, m.end() - 1)
+        if j is None:
+            return protected
+        inner = protected[m.end(): j]
+        fm = re.fullmatch(
+            r"(.+?)\s+FROM\s+(__GEODB_LIT_(\d+)__)\s*",
+            inner,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if fm is None:
+            pos = m.end()
+            continue
+        lit = lits[int(fm.group(3))][1:-1].replace("''", "'")
+        if re.fullmatch(r"-?\d+", lit.strip()):
+            pos = m.end()  # positional FROM '2' — Spark-native
+            continue
+        s = fm.group(1).strip()
+        idx = 1 if _regex_group_count(lit) >= 1 else 0
+        repl = (
+            f"CASE WHEN {s} RLIKE {fm.group(2)} "
+            f"THEN regexp_extract({s}, {fm.group(2)}, {idx}) END"
+        )
+        protected = protected[: m.start()] + repl + protected[j + 1:]
+        pos = m.start() + len(repl)
+    pos = 0
     pos = 0
     while True:
         m = _LEFT_RIGHT_RE.search(protected, pos)
@@ -2304,6 +2354,76 @@ def _rewrite_str_edges(protected: str) -> str:
                     f"substring({s}, 1, "
                     f"greatest({start_val} + ({ln}) - 1, 0))"
                 )
+        protected = protected[: m.start()] + repl + protected[j + 1:]
+        pos = m.start() + len(repl)
+
+
+_NULLS_PLACED_RE = re.compile(r"\bNULLS\s+(FIRST|LAST)\s*$", re.IGNORECASE)
+_DESC_RE = re.compile(r"\bDESC\s*$", re.IGNORECASE)
+_OVER_RE = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_FRAME_KW_RE = re.compile(r"\b(ROWS|RANGE|GROUPS)\b", re.IGNORECASE)
+
+
+def _split_top_commas(code: str) -> list[str]:
+    out, depth, start = [], 0, 0
+    for k, ch in enumerate(code):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(code[start:k])
+            start = k + 1
+    out.append(code[start:])
+    return out
+
+
+def _pg_order_nulls(order: str | None) -> str | None:
+    """PG's default NULL placement is the OPPOSITE of Spark's: PG sorts
+    NULLs LAST ascending and FIRST descending, Spark FIRST/LAST (r12
+    probe — silent row-order and paging flips on nullable sort keys).
+    Append the explicit placement to every sort item that doesn't name
+    one."""
+    if not order:
+        return order
+    items = []
+    for item in _split_top_commas(order):
+        body = item.rstrip()
+        pad = item[len(body):]
+        if not body.strip() or _NULLS_PLACED_RE.search(body):
+            items.append(item)
+        elif _DESC_RE.search(body):
+            items.append(f"{body} NULLS FIRST{pad}")
+        else:
+            items.append(f"{body} NULLS LAST{pad}")
+    return ",".join(items)
+
+
+def _rewrite_window_order_nulls(protected: str) -> str:
+    """Apply :func:`_pg_order_nulls` to every ``ORDER BY`` inside an
+    ``OVER (...)`` window specification (the statement-level ORDER BY is
+    handled by build_pg_sql). Runs LAST in the rewrite chain, after the
+    aggregate rewrites consumed their own WITHIN-GROUP order clauses."""
+    pos = 0
+    while True:
+        m = _OVER_RE.search(protected, pos)
+        if m is None:
+            return protected
+        j = _close_paren(protected, m.end() - 1)
+        if j is None:
+            return protected
+        spec = protected[m.end(): j]
+        om = _ORDER_BY_RE.search(spec)
+        if om is None:
+            pos = j + 1
+            continue
+        # the order list ends at the frame clause, if any
+        fm = _FRAME_KW_RE.search(spec, om.end())
+        end = fm.start() if fm else len(spec)
+        order = _pg_order_nulls(spec[om.end(): end])
+        spec = spec[: om.end()] + f" {order.strip()} " + spec[end:]
+        repl = f"OVER ({spec.strip()})"
         protected = protected[: m.start()] + repl + protected[j + 1:]
         pos = m.start() + len(repl)
 
@@ -3310,12 +3430,14 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
     need_stredges = bool(
         _LEFT_RIGHT_RE.search(out) or _SUBSTR_RE.search(out)
     )
+    need_wnulls = bool(_OVER_RE.search(out) and _ORDER_BY_RE.search(out))
     if (need_cont or need_agg or need_spagg or need_rel3 or need_knn
             or need_buf3 or need_rx4 or need_json or need_geog
             or need_pcast or need_bbox or need_misc or need_ts
             or need_jexists or need_anyall or need_overlaps
             or need_power or need_dminus or need_round or need_concat
-            or need_subscript or need_intdiv or need_stredges):
+            or need_subscript or need_intdiv or need_stredges
+            or need_wnulls):
         # these operands/arg-lists may span literal segments: protect
         # literals behind identifier-shaped placeholders, rewrite on the
         # joined code, then restore — literal contents stay byte-identical
@@ -3372,7 +3494,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             # operands and pass through
             protected = _rewrite_int_div(protected)
         if need_stredges:
-            protected = _rewrite_str_edges(protected)
+            protected = _rewrite_str_edges(protected, lits)
         if need_bbox:
             # after containment would also work (&& and @> never nest),
             # but BEFORE it keeps the operand scanners simple; && must
@@ -3400,6 +3522,11 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_buffer3(protected)
         if need_rx4:
             protected = _rewrite_regexp_flags(protected, lits)
+        if need_wnulls and _OVER_RE.search(protected):
+            # LAST: the aggregate rewrites above consumed their own
+            # WITHIN-GROUP order clauses; whatever ORDER BY remains sits
+            # in a window spec and takes PG's NULL placement
+            protected = _rewrite_window_order_nulls(protected)
         out = re.sub(
             r"__GEODB_LIT_(\d+)__",
             lambda mm: lits[int(mm.group(1))],
@@ -3785,7 +3912,9 @@ def build_pg_sql(
     select = _pg_clause_to_spark(select)
     where = _pg_clause_to_spark(where)
     group = _pg_clause_to_spark(group)
-    order = _pg_clause_to_spark(order)
+    # PG's default NULL placement (LAST asc / FIRST desc) is the
+    # opposite of Spark's — make it explicit on every sort item
+    order = _pg_order_nulls(_pg_clause_to_spark(order))
     don = _split_distinct_on(select)
     if don is not None:
         keys, rest = don
@@ -3803,7 +3932,8 @@ def build_pg_sql(
                 )
             rest = ", ".join(columns)
         inner = f"SELECT *, row_number() OVER (PARTITION BY {keys} " \
-                f"ORDER BY {order or keys}) AS __geodb_rn FROM {table}"
+                f"ORDER BY {order or _pg_order_nulls(keys)}) " \
+                f"AS __geodb_rn FROM {table}"
         if where:
             inner += f" WHERE {where}"
         sql = f"SELECT {rest} FROM ({inner}) WHERE __geodb_rn = 1"

@@ -710,7 +710,11 @@ def pg_everyday_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative/zero string-window arguments of left/right/substring.
     DuckDB shares PG's semantics natively (1-based lists, ``//``,
     skip-NULL concat), so the oracle is an independent engine, not a
-    formula replay."""
+    formula replay. Exception: default NULL ordering — PG sorts NULLS
+    LAST asc / FIRST desc, Spark the opposite, and DuckDB uses
+    nulls_last on BOTH directions — so the rn_asc/rn_desc legs use the
+    BARE PG spelling on the engine side (the r12 default rewrite) and
+    spell PG's documented default explicitly in the oracle."""
     register_views(spark, sf_dir, "orders")
     sql = build_pg_sql(
         "orders",
@@ -731,7 +735,16 @@ def pg_everyday_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             # PG string windows: negative/zero counts
             "left(o_orderpriority, -3) AS l_neg, "
             "right(o_orderpriority, -3) AS r_neg, "
-            "substring(o_orderpriority, 0, 4) AS sub0"
+            "substring(o_orderpriority, 0, 4) AS sub0, "
+            # PG regex substring (group-1 when capturing; NULL no-match)
+            "substring(o_orderpriority from '[A-Z]+') AS rx_word, "
+            "substring(o_orderpriority from 'zz+') AS rx_none, "
+            # PG NULL placement both directions, LIMIT-visible via the
+            # row_number windows (nulls last asc / first desc)
+            "CAST(row_number() OVER (ORDER BY nullif(o_orderkey % 183, "
+            "0), o_orderkey) AS BIGINT) AS rn_asc, "
+            "CAST(row_number() OVER (ORDER BY nullif(o_orderkey % 183, "
+            "0) DESC, o_orderkey) AS BIGINT) AS rn_desc"
         ),
         where="o_orderkey % 61 = 0",
         order="o_orderkey",
@@ -1515,7 +1528,13 @@ CORE_ORACLES_PG = {
                concat(o_orderpriority, NULL, '!') AS cc,
                left(o_orderpriority, -3) AS l_neg,
                right(o_orderpriority, -3) AS r_neg,
-               substring(o_orderpriority, 0, 4) AS sub0
+               substring(o_orderpriority, 0, 4) AS sub0,
+               regexp_extract(o_orderpriority, '[A-Z]+', 0) AS rx_word,
+               CAST(NULL AS VARCHAR) AS rx_none,
+               row_number() OVER (ORDER BY nullif(o_orderkey % 183, 0)
+                   NULLS LAST, o_orderkey) AS rn_asc,
+               row_number() OVER (ORDER BY nullif(o_orderkey % 183, 0)
+                   DESC NULLS FIRST, o_orderkey) AS rn_desc
         FROM orders WHERE o_orderkey % 61 = 0
         ORDER BY o_orderkey
     """,
