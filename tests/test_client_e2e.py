@@ -1632,6 +1632,14 @@ class TestR11ScalarShims:
         assert f("7 / 2") == "7 DIV 2"
         assert f("a / b") == "a / b"  # unprovable: documented boundary
         assert f("7 / 2.0") == "7 / 2.0"  # numeric operand: PG is numeric
+        # same-precedence left context: the division's left input is the
+        # whole product (unknown type), not the adjacent literal
+        assert f("x * 7 / 2") == "x * 7 / 2"
+        assert f("x % 7 / 2") == "x % 7 / 2"
+        assert f("x + 7 / 2") == "x + 7 DIV 2"
+        # ...but an int-division chain stays integral left-to-right
+        assert f("8 / 3 / 2") == "8 DIV 3 DIV 2"
+        assert f("x * -7 / 2") == "x * -7 / 2"
         assert f("arr[1]") == "try_element_at(arr, 1)"
         assert f("concat(a, b)") == "concat_ws('', a, b)"
         assert f("concat_ws('-', a, b)") == "concat_ws('-', a, b)"
@@ -1658,6 +1666,40 @@ class TestR11ScalarShims:
         ).collect()[0]
         for i, (sql, want) in enumerate(cases):
             assert row[f"c{i}"] == want, sql
+
+    def test_to_number_and_between_symmetric(self, spark):
+        """r12: to_number (parse direction of the numeric to_char
+        subset) and BETWEEN SYMMETRIC (either-order bounds — Spark's
+        parser rejects the keyword)."""
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f("x BETWEEN SYMMETRIC 5 AND 1") == (
+            "x BETWEEN least(5, 1) AND greatest(5, 1)"
+        )
+        assert f("x NOT BETWEEN SYMMETRIC b AND a") == (
+            "x NOT BETWEEN least(b, a) AND greatest(b, a)"
+        )
+        for bad in (
+            "to_number(s, 'RN')",
+            "to_number(s, fmtcol)",
+            "x BETWEEN SYMMETRIC 1 AND b + 1",
+        ):
+            with pytest.raises(GeoDBError):
+                f(bad)
+        row = spark.sql(
+            "SELECT "
+            + f("to_number('12,345.67', '99G999D99')")
+            + " AS n, "
+            + f("to_number(NULL, '999')")
+            + " AS nn, "
+            + f("3 BETWEEN SYMMETRIC 5 AND 1")
+            + " AS b1, "
+            + f("7 BETWEEN SYMMETRIC 5 AND 1")
+            + " AS b2"
+        ).collect()[0]
+        assert row.n == 12345.67
+        assert row.nn is None
+        assert row.b1 is True and row.b2 is False
 
     def test_pg_null_ordering_defaults(self, spark):
         """r12 probe: PG sorts NULLs LAST ascending / FIRST descending;

@@ -114,6 +114,12 @@ CORPUS = [
     # r12: everyday-semantics classes (int div, subscripts, concat,
     # string windows)
     "7 / 2", "-7 / 2", "num / 2", "7 / 2.0", "num::int4 / 2",
+    "num * 7 / 2", "8 / 3 / 2", "num + 7 / 2",
+    "to_number('1,234.5', '9G999D9')", "to_number(name, 'FM999.00')",
+    "to_number(name, 'RN')",
+    "num BETWEEN SYMMETRIC 5 AND 1",
+    "num NOT BETWEEN SYMMETRIC 1 AND (num + 2)",
+    "num BETWEEN SYMMETRIC 1 AND num + 2",
     "arr[1]", "arr[0]", "arr[-1]", "arr[num::int4]", "arr[1:2]",
     "ARRAY['x','y'][2]",
     "concat(name, NULL, 'x')", "concat_ws('-', name, name)",

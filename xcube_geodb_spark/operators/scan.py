@@ -1959,6 +1959,108 @@ def _rewrite_encode_decode(code: str, lits: list[str]) -> str:
         pos = m.start() + len(repl)
 
 
+_TO_NUMBER_RE = re.compile(r"\bto_number\s*\(", re.IGNORECASE)
+
+
+def _rewrite_to_number(code: str, lits: list[str]) -> str:
+    """PG ``to_number(s, template)`` — the parse direction of the
+    numeric to_char subset (r12): validate the template against the
+    same digit/grouping grammar, then strip grouping/currency noise and
+    cast (PG's lenient parse of the supported templates). Returns
+    DOUBLE, the engine's ::numeric convention. Unsupported templates
+    refuse with the same message class as to_char."""
+    pos = 0
+    while True:
+        m = _TO_NUMBER_RE.search(code, pos)
+        if not m:
+            return code
+        j = _close_paren(code, m.end() - 1)
+        if j is None:
+            return code  # unbalanced: leave for Spark's parser
+        args = _split_top_commas_lit(code[m.end(): j])
+        if len(args) != 2:
+            raise GeoDBError("to_number(text, 'template'): 2 arguments")
+        fm = _LIT_PLACEHOLDER_RE.fullmatch(args[1].strip())
+        if fm is None:
+            raise GeoDBError(
+                "to_number: the template must be a string literal"
+            )
+        fmt = lits[int(fm.group(1))][1:-1].replace("''", "'")
+        f = fmt[2:] if fmt[:2].upper() == "FM" else fmt
+        f = (
+            f.replace("D", ".").replace("d", ".")
+            .replace("G", ",").replace("g", ",")
+        )
+        if not re.fullmatch(r"[09,]+(?:\.[09]+)?", f):
+            raise GeoDBError(
+                f"to_number: unsupported numeric template {fmt!r} "
+                "(supported: FM, 9, 0, ',' and '.' / G and D)"
+            )
+        s = args[0].strip()
+        # the strip-pattern goes through the literal pool: its '^'
+        # would otherwise be seen by the later ^ -> power rewrite
+        lits.append("'[^0-9.+\\\\-]'")
+        pat = f"__GEODB_LIT_{len(lits) - 1}__"
+        repl = (
+            f"CAST(regexp_replace(CAST({s} AS STRING), "
+            f"{pat}, '') AS DOUBLE)"
+        )
+        code = code[: m.start()] + repl + code[j + 1:]
+        pos = m.start() + len(repl)
+
+
+_BETWEEN_SYM_RE = re.compile(
+    r"\b(NOT\s+)?BETWEEN\s+SYMMETRIC\b", re.IGNORECASE
+)
+
+
+def _rewrite_between_symmetric(code: str) -> str:
+    """PG ``x [NOT] BETWEEN SYMMETRIC a AND b`` (bounds in either
+    order; Spark's parser rejects the keyword) ->
+    ``x [NOT] BETWEEN least(a, b) AND greatest(a, b)`` (r12). The lower
+    bound is everything up to AND (any expression); the UPPER bound
+    must be a simple operand — a trailing operator after it refuses
+    loudly (silently splitting 'b + 1' would move '+ 1' outside the
+    BETWEEN)."""
+    pos = 0
+    while True:
+        m = _BETWEEN_SYM_RE.search(code, pos)
+        if not m:
+            return code
+        after = code[m.end():]
+        am = re.search(r"\bAND\b", after, re.IGNORECASE)
+        lo = after[: am.start()].strip() if am else None
+        if am:
+            right = _operand_after(after[am.end():])
+            if right is None:
+                t = after[am.end():].lstrip()
+                off = len(after) - am.end() - len(t)
+                if t.startswith("("):
+                    j2 = _close_paren(t, 0)
+                    if j2 is not None:
+                        right = (t[: j2 + 1], off + j2 + 1)
+        if not am or not lo or right is None:
+            raise GeoDBError(
+                "BETWEEN SYMMETRIC: bounds must be simple operands "
+                "(column / literal / function call) — parenthesize "
+                "larger expressions"
+            )
+        hi = right[0]
+        rest = after[am.end() + right[1]:].lstrip()
+        if (rest and rest[0] in "+-*/%^") or rest[:2] == "||":
+            raise GeoDBError(
+                "BETWEEN SYMMETRIC: the upper bound must be a simple "
+                "operand — parenthesize larger expressions"
+            )
+        neg = m.group(1) or ""
+        repl = (
+            f"{neg}BETWEEN least({lo}, {hi}) AND greatest({lo}, {hi})"
+        )
+        end = m.end() + am.end() + right[1]
+        code = code[: m.start()] + repl + code[end:]
+        pos = m.start() + len(repl)
+
+
 _TO_TS_RE = re.compile(r"\bto_(timestamp|date)\s*\(", re.IGNORECASE)
 # parse-direction can't reconstruct an instant from zone-name / quarter /
 # week-of-year fields
@@ -2150,6 +2252,15 @@ def _rewrite_int_div(protected: str) -> str:
             if not b2 or b2[-1] in "(,+-*/%<>=^|":
                 lstart = len(before) - 1
                 lhs = protected[lstart: m.start()].strip()
+                before = b2
+        # same-precedence LEFT context: in 'x * 7 / 2' the division's
+        # left input is the whole product (unknown type), not the
+        # adjacent literal — skip unless the chain is itself an integer
+        # division ('8 / 3 / 2' -> '8 DIV 3 / 2', whose left input is
+        # provably integral)
+        if before.endswith(("*", "%", "/")):
+            pos = m.end()
+            continue
         repl = f"{lhs} DIV {neg}{right[0]}"
         protected = (
             protected[:lstart] + repl + protected[m.end() + off + right[1]:]
@@ -3412,7 +3523,8 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
         or _DATE_BIN_RE.search(out) or _TO_JSONB_RE.search(out)
         or _AT_TZ_ANY_RE.search(out) or _EXTRACT_DOW_RE.search(out)
         or _TRUNC_RE.search(out) or _ENCODE_RE.search(out)
-        or _TO_TS_RE.search(out)
+        or _TO_TS_RE.search(out) or _TO_NUMBER_RE.search(out)
+        or _BETWEEN_SYM_RE.search(out)
         or re.search(r"\bdate_part\s*\(", out, re.IGNORECASE)
     )
     need_dminus = bool(
@@ -3468,6 +3580,10 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
         if need_misc:
             protected = _rewrite_misc_pg_funcs(protected, lits)
             protected = _rewrite_to_ts_date(protected, lits)
+            if _TO_NUMBER_RE.search(protected):
+                protected = _rewrite_to_number(protected, lits)
+            if _BETWEEN_SYM_RE.search(protected):
+                protected = _rewrite_between_symmetric(protected)
             protected = _rewrite_at_time_zone(protected, lits)
             protected = _rewrite_extract_epoch(protected)
             protected = _rewrite_extract_dow(protected)

@@ -691,7 +691,10 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority::character varying(3) AS cv3, "
             "round(2.5::float8) AS rnd_tie, "
             "round(-2.5::float8) AS rnd_tie_neg, "
-            "round((o_totalprice + 0.201)::float8) AS rnd_col"
+            "round((o_totalprice + 0.201)::float8) AS rnd_col, "
+            # r12: to_number — the parse direction of numeric to_char
+            "to_number(to_char(o_totalprice, '9,999,999.99'), "
+            "'9G999G999D99') AS price_back"
         ),
         where="o_orderkey % 101 = 0",
         order="o_orderkey",
@@ -744,7 +747,9 @@ def pg_everyday_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(row_number() OVER (ORDER BY nullif(o_orderkey % 183, "
             "0), o_orderkey) AS BIGINT) AS rn_asc, "
             "CAST(row_number() OVER (ORDER BY nullif(o_orderkey % 183, "
-            "0) DESC, o_orderkey) AS BIGINT) AS rn_desc"
+            "0) DESC, o_orderkey) AS BIGINT) AS rn_desc, "
+            # r12: BETWEEN SYMMETRIC (bounds in either order)
+            "o_orderkey BETWEEN SYMMETRIC 5000 AND 1000 AS in_band"
         ),
         where="o_orderkey % 61 = 0",
         order="o_orderkey",
@@ -1511,7 +1516,8 @@ CORE_ORACLES_PG = {
                substring(o_orderpriority, 1, 3) AS cv3,
                2.0 AS rnd_tie,
                -2.0 AS rnd_tie_neg,
-               round(CAST(o_totalprice + 0.201 AS DOUBLE)) AS rnd_col
+               round(CAST(o_totalprice + 0.201 AS DOUBLE)) AS rnd_col,
+               CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS price_back
         FROM orders WHERE o_orderkey % 101 = 0
         ORDER BY o_orderkey
     """,
@@ -1534,7 +1540,8 @@ CORE_ORACLES_PG = {
                row_number() OVER (ORDER BY nullif(o_orderkey % 183, 0)
                    NULLS LAST, o_orderkey) AS rn_asc,
                row_number() OVER (ORDER BY nullif(o_orderkey % 183, 0)
-                   DESC NULLS FIRST, o_orderkey) AS rn_desc
+                   DESC NULLS FIRST, o_orderkey) AS rn_desc,
+               o_orderkey BETWEEN 1000 AND 5000 AS in_band
         FROM orders WHERE o_orderkey % 61 = 0
         ORDER BY o_orderkey
     """,
