@@ -692,20 +692,21 @@ class TestShimLiteralSafety:
         # literal contents survive; no false hits on identifiers
         assert f("x = 'unnest(a)'") == "x = 'unnest(a)'"
         assert f("my_unnest(a)") == "my_unnest(a)"
-        # 4-arg regexp_replace: g drops (Spark is global), i folds in
+        # 4-arg regexp_replace with 'g': Spark is global, so g drops;
+        # i folds in as a (?i) pattern prefix
         assert f("regexp_replace(n, 'a+', 'X', 'g')") == (
             "regexp_replace(n, 'a+', 'X')"
         )
         assert f("regexp_replace(n, 'a+', 'X', 'gi')") == (
             "regexp_replace(n, '(?i)a+', 'X')"
         )
-        assert f("regexp_replace(n, pat_col, 'X', 'i')") == (
-            "regexp_replace(n, concat('(?i)', pat_col), 'X')"
-        )
-        # 3-arg passes through; unsupported flags refuse
-        assert f("regexp_replace(n, 'a', 'b')") == (
-            "regexp_replace(n, 'a', 'b')"
-        )
+        # without 'g' PG replaces only the FIRST match (r12): the shim
+        # emits the regexp_instr/regexp_extract splice
+        out = f("regexp_replace(n, pat_col, 'X', 'i')")
+        assert "regexp_instr((n), concat('(?i)', pat_col))" in out
+        assert out.startswith("CASE WHEN")
+        out = f("regexp_replace(n, 'a', 'b')")
+        assert "regexp_instr((n), 'a')" in out and "CASE WHEN" in out
         import pytest as _pytest
 
         from xcube_geodb_spark.errors import GeoDBError
@@ -1700,6 +1701,101 @@ class TestR11ScalarShims:
         assert row.n == 12345.67
         assert row.nn is None
         assert row.b1 is True and row.b2 is False
+
+    def test_regexp_replace_first_match_semantics(self, spark):
+        """r12 probe (DuckDB-confirmed): PG regexp_replace without 'g'
+        replaces only the FIRST match — Spark's 3-arg form replaces ALL
+        — and PG spells backrefs \\1/\\& where Java wants $1/$0. Value-
+        level pins against literal expecteds (not a formula replay)."""
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        cases = [
+            (r"regexp_replace('aaa', 'a', 'b')", "baa"),
+            (r"regexp_replace('a1b2c', '\d', 'x')", "axb2c"),
+            (r"regexp_replace('a1b2c', '\d', 'x', 'g')", "axbxc"),
+            (r"regexp_replace('a1b2', '([0-9])', '<\1>', 'g')", "a<1>b<2>"),
+            (r"regexp_replace('a1b2', '([0-9])', '<\1>')", "a<1>b2"),
+            (r"regexp_replace('A1b2', '([a-z])(\d)', '\2\1', 'i')", "1Ab2"),
+            (r"regexp_replace('xyz', 'q', 'b')", "xyz"),
+            (
+                r"regexp_replace(regexp_replace('aab', 'a', 'x'), 'b', 'y')",
+                "xay",
+            ),
+            (r"regexp_replace('a$b', '\$', 'D', 'g')", "aDb"),
+            (r"regexp_replace('5 bucks', '(\d+)', '$\1', 'g')", "$5 bucks"),
+            (r"regexp_replace('a\&b', '\\&', 'x', 'g')", "axb"),
+            (r"regexp_replace('aXbXc', 'x', '-', 'i')", "a-bXc"),
+            (r"regexp_replace('aXbXc', 'x', '-', 'gi')", "a-b-c"),
+            # empty-capable pattern matches at position 1, like PG
+            (r"regexp_replace('ab', 'x*', '-')", "-ab"),
+            (r"regexp_replace(NULL, 'a', 'b')", None),
+            (r"regexp_replace('ab', NULL, 'b')", None),
+        ]
+        sel = ", ".join(f"{f(sql)} AS c{i}" for i, (sql, _) in enumerate(cases))
+        row = spark.sql(f"SELECT {sel}").collect()[0]
+        for i, (sql, want) in enumerate(cases):
+            assert row[f"c{i}"] == want, sql
+
+    def test_literal_backslashes_reach_spark_intact(self, spark):
+        """r12 probe: Spark's parser treats backslash as an escape in
+        string literals; PG does not — '\\d+' through a verbatim
+        passthrough becomes 'd+' and silently matches letter-d runs.
+        The shim doubles backslashes in its final output's literals."""
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        assert f(r"name ~ '\d+'") == r"name RLIKE '\\d+'"
+        spark.sql(
+            "SELECT * FROM VALUES ('a1'),('dd'),('b22') AS t(name)"
+        ).createOrReplaceTempView("bs_t")
+        got = spark.sql(
+            r"SELECT name FROM bs_t WHERE " + f(r"name ~ '\d+'")
+        ).collect()
+        assert sorted(r.name for r in got) == ["a1", "b22"]
+        # the emitted re.escape'd split separator survives too
+        row = spark.sql(
+            "SELECT " + f(r"string_to_array('a.b.c', '.')") + " AS v"
+        ).collect()[0]
+        assert row.v == ["a", "b", "c"]
+        # SIMILAR TO's escaped period is a literal period, not any-char
+        got = spark.sql(
+            "SELECT name FROM bs_t WHERE " + f("name SIMILAR TO 'a.%'")
+        ).collect()
+        assert [r.name for r in got] == []
+
+    def test_log_trim_hex_regexp_match(self, spark):
+        """r12 probe: PG's single-arg log is BASE 10 where Spark's is
+        the natural log (silent wrong value), and Spark's 2-arg
+        ltrim/rtrim REVERSE the arguments (trimStr first — silently
+        trims the wrong operand). Plus to_hex and literal-pattern
+        regexp_match."""
+        from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
+
+        cases = [
+            ("log(100.0)", 2.0),
+            ("log(2, 32.0)", 5.0),
+            ("ltrim('xxabcx', 'x')", "abcx"),
+            ("rtrim('xabcxx', 'x')", "xabc"),
+            ("ltrim('  ab ')", "ab "),
+            ("btrim('xxabcxx', 'x')", "abc"),
+            ("to_hex(255)", "ff"),
+            (r"regexp_match('a1b2', '(\d)')", ["1"]),
+            (r"regexp_match('abc', '\d+')", None),
+            (r"regexp_match('a7', 'A(\d)', 'i')", ["7"]),
+            (r"regexp_match('xy', 'x')", ["x"]),
+            # optional group that doesn't participate -> NULL element
+            (r"regexp_match('a1', '(\d)(z)?')", ["1", None]),
+        ]
+        sel = ", ".join(f"{f(sql)} AS c{i}" for i, (sql, _) in enumerate(cases))
+        row = spark.sql(f"SELECT {sel}").collect()[0]
+        for i, (sql, want) in enumerate(cases):
+            assert row[f"c{i}"] == want, sql
+        for bad in (
+            "regexp_match(s, pat_col)",
+            "regexp_match('a', 'b', 'g')",
+            "to_hex(1, 2)",
+        ):
+            with pytest.raises(GeoDBError):
+                f(bad)
 
     def test_pg_null_ordering_defaults(self, spark):
         """r12 probe: PG sorts NULLs LAST ascending / FIRST descending;

@@ -120,6 +120,21 @@ CORPUS = [
     "num BETWEEN SYMMETRIC 5 AND 1",
     "num NOT BETWEEN SYMMETRIC 1 AND (num + 2)",
     "num BETWEEN SYMMETRIC 1 AND num + 2",
+    # r12: regexp_replace first-match semantics + backslash literals
+    r"regexp_replace(name, '\d', 'x')",
+    r"regexp_replace(name, '\d', 'x', 'g')",
+    r"regexp_replace(name, '(\w)\d', '\1-', 'gi')",
+    r"regexp_replace(name, '(a)', '<\1>')",
+    r"regexp_replace(name, name, name)",
+    r"regexp_replace(regexp_replace(name, 'a', 'b'), 'c', 'd')",
+    r"regexp_replace(name, 'a', 'b', 'q')",
+    r"regexp_replace(name, 'a', 'b', name)",
+    r"name ~ '\d+'", r"name !~* '^\w{3}$'",
+    r"name SIMILAR TO 'a.c%'",
+    "log(num)", "log(2, num)", "ltrim(name, 'x')", "rtrim(name, 'x')",
+    "ltrim(name)", "to_hex(num)", "to_hex(num, 2)",
+    r"regexp_match(name, '(\d+)')", "regexp_match(name, name)",
+    r"regexp_match(name, '\w', 'g')",
     "arr[1]", "arr[0]", "arr[-1]", "arr[num::int4]", "arr[1:2]",
     "ARRAY['x','y'][2]",
     "concat(name, NULL, 'x')", "concat_ws('-', name, name)",

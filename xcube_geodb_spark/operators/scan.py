@@ -1251,12 +1251,36 @@ def _rewrite_tsmatch(seg: str) -> str:
 _TO_CHAR_RE = re.compile(r"\bto_char\s*\(", re.IGNORECASE)
 _STR_TO_ARR_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
 _ARRAY_FN_RE = re.compile(
-    r"\b(array_length|array_upper|array_cat|strpos)\s*\(", re.IGNORECASE
+    r"\b(array_length|array_upper|array_cat|strpos|log|ltrim|rtrim"
+    r"|to_hex|regexp_match)\s*\(",
+    re.IGNORECASE,
 )
 
 
-def _rewrite_array_funcs(code: str) -> str:
-    """PG array/string scalars Spark spells differently:
+def _count_capture_groups(pat: str) -> int:
+    """Capturing groups in a POSIX/Java regex literal: unescaped ``(``
+    outside bracket expressions, excluding ``(?...`` extension groups
+    (PG's ARE has no named captures, so every ``(?`` is non-capturing
+    here)."""
+    n, i, in_br = 0, 0, False
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_br:
+            if ch == "]":
+                in_br = False
+        elif ch == "[":
+            in_br = True
+        elif ch == "(" and pat[i + 1: i + 2] != "?":
+            n += 1
+        i += 1
+    return n
+
+
+def _rewrite_array_funcs(code: str, lits: list[str]) -> str:
+    """PG array/string/numeric scalars Spark spells differently:
 
     - ``array_length(a, 1)`` / ``array_upper(a, 1)`` ->
       ``nullif(size(a), 0)`` — PG returns NULL (not 0) for an empty
@@ -1265,6 +1289,23 @@ def _rewrite_array_funcs(code: str) -> str:
     - ``array_cat(a, b)`` -> ``concat(a, b)``
     - ``strpos(s, sub)`` -> ``locate(sub, s)`` (1-based, 0 = not found
       in both)
+    - ``log(x)`` -> ``log10(x)`` (r12 probe: PG's single-arg log is
+      BASE 10, Spark's is the natural log — silent wrong value);
+      two-arg ``log(b, x)`` agrees and passes through
+    - 2-arg ``ltrim``/``rtrim(s, chars)`` -> ``trim(LEADING/TRAILING
+      chars FROM s)`` (r12 probe: Spark's 2-arg spelling reverses the
+      arguments — trimStr first — so the passthrough silently trims
+      the wrong operand); 1-arg forms pass through; ``btrim`` already
+      agrees
+    - ``to_hex(n)`` -> ``lower(hex(n))`` (PG lowercases). DOCUMENTED
+      DEVIATION: negative values render 64-bit two's-complement (PG's
+      int4 overload gives 8 hex digits)
+    - ``regexp_match(s, pat[, flags])`` (literal pattern) -> NULL-when-
+      no-match array of capture-group extracts (whole match when the
+      pattern has no groups), 'i' flag folds as (?i). DOCUMENTED
+      DEVIATION: a non-participating group yields NULL via
+      nullif(.., ''), so a group that MATCHES the empty string is also
+      NULL where PG keeps ''
     """
     pos = 0
     while True:
@@ -1297,6 +1338,58 @@ def _rewrite_array_funcs(code: str) -> str:
             if len(args) != 2:
                 raise GeoDBError("array_cat(a, b): 2 arguments expected")
             repl = f"concat({args[0]}, {args[1]})"
+        elif fname == "log":
+            if len(args) == 1:
+                repl = f"log10({args[0]})"
+            else:
+                pos = m.end()  # log(b, x): Spark agrees, passthrough
+                continue
+        elif fname in ("ltrim", "rtrim"):
+            if len(args) == 1:
+                pos = m.end()
+                continue
+            if len(args) != 2:
+                raise GeoDBError(f"{fname}(s[, chars]): 1 or 2 arguments")
+            side = "LEADING" if fname == "ltrim" else "TRAILING"
+            repl = f"trim({side} {args[1]} FROM {args[0]})"
+        elif fname == "to_hex":
+            if len(args) != 1:
+                raise GeoDBError("to_hex(n): 1 argument expected")
+            repl = f"lower(hex({args[0]}))"
+        elif fname == "regexp_match":
+            if len(args) not in (2, 3):
+                raise GeoDBError(
+                    "regexp_match(s, pattern[, flags]): 2 or 3 arguments"
+                )
+            pm = re.fullmatch(r"__GEODB_LIT_(\d+)__", args[1])
+            if pm is None:
+                raise GeoDBError(
+                    "regexp_match: the pattern must be a string literal"
+                )
+            pidx = int(pm.group(1))
+            if len(args) == 3:
+                fm = re.fullmatch(r"__GEODB_LIT_(\d+)__", args[2])
+                fv = (
+                    lits[int(fm.group(1))][1:-1].replace("''", "'")
+                    if fm else None
+                )
+                if fv != "i":
+                    raise GeoDBError(
+                        "regexp_match: only the 'i' flag is supported "
+                        "('g' means regexp_matches in PG)"
+                    )
+                lits[pidx] = "'(?i)" + lits[pidx][1:]
+            ptext = lits[pidx][1:-1].replace("''", "'")
+            ng = _count_capture_groups(ptext)
+            sp, pat = f"({args[0]})", args[1]
+            if ng == 0:
+                arr = f"array(regexp_extract({sp}, {pat}, 0))"
+            else:
+                arr = "array(" + ", ".join(
+                    f"nullif(regexp_extract({sp}, {pat}, {g}), '')"
+                    for g in range(1, ng + 1)
+                ) + ")"
+            repl = f"CASE WHEN {sp} RLIKE {pat} THEN {arr} END"
         else:  # strpos
             if len(args) != 2:
                 raise GeoDBError("strpos(s, sub): 2 arguments expected")
@@ -1998,8 +2091,9 @@ def _rewrite_to_number(code: str, lits: list[str]) -> str:
             )
         s = args[0].strip()
         # the strip-pattern goes through the literal pool: its '^'
-        # would otherwise be seen by the later ^ -> power rewrite
-        lits.append("'[^0-9.+\\\\-]'")
+        # would otherwise be seen by the later ^ -> power rewrite.
+        # PG-convention single backslash — the output pass doubles it
+        lits.append("'[^0-9.+\\-]'")
         pat = f"__GEODB_LIT_{len(lits) - 1}__"
         repl = (
             f"CAST(regexp_replace(CAST({s} AS STRING), "
@@ -3041,21 +3135,72 @@ _UNNEST_RE = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
 _REGEXP4_RE = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
 
 
-def _rewrite_regexp_flags(code: str, lits: list[str]) -> str:
-    """PG's 4-argument ``regexp_replace(src, pat, rep, flags)`` on
-    literal-protected code (``lits`` holds the protected literals):
-    Spark's 3-arg form is already GLOBAL, so ``'g'`` simply drops;
-    ``'i'`` folds in as a ``(?i)`` pattern prefix (a concat for
-    expression patterns); any other flag raises. 3-arg calls pass
-    through untouched."""
-    pos = 0
+def _pg_regexp_rep_pieces(rep: str) -> list[tuple[str, object]]:
+    """Parse a PG regexp_replace replacement string into pieces:
+    ``('lit', text)`` runs and ``('group', n)`` backrefs (``\\1``-``\\9``;
+    ``\\&`` = whole match = group 0). ``\\\\`` is a literal backslash; a
+    backslash before any other character keeps that character (PG raises
+    there — lenient boundary)."""
+    pieces: list[tuple[str, object]] = []
+    buf: list[str] = []
+    i = 0
+    while i < len(rep):
+        ch = rep[i]
+        if ch == "\\" and i + 1 < len(rep):
+            nxt = rep[i + 1]
+            if nxt.isdigit() or nxt == "&":
+                if buf:
+                    pieces.append(("lit", "".join(buf)))
+                    buf = []
+                pieces.append(("group", 0 if nxt == "&" else int(nxt)))
+            else:
+                buf.append("\\" if nxt == "\\" else nxt)
+            i += 2
+            continue
+        buf.append(ch)
+        i += 1
+    if buf:
+        pieces.append(("lit", "".join(buf)))
+    return pieces
+
+
+def _rewrite_regexp_replace(code: str, lits: list[str]) -> str:
+    """PG ``regexp_replace(src, pat, rep[, flags])`` on literal-protected
+    code — two silent divergence classes (r12 probes, DuckDB-confirmed):
+
+    - without the ``'g'`` flag PG replaces only the FIRST match where
+      Spark's 3-arg form replaces ALL (``regexp_replace('aaa','a','b')``:
+      PG ``'baa'``, Spark ``'bbb'``) -> emit a first-match splice on
+      ``regexp_instr`` position + ``regexp_extract(.., 0)`` length, with
+      PG backrefs in a literal replacement becoming per-group
+      ``regexp_extract`` pieces
+    - with ``'g'`` Spark IS global, but PG spells backrefs ``\\1`` /
+      ``\\&`` where Java's replaceAll wants ``$1`` / ``$0`` (and gives
+      ``$`` and lone ``\\`` meanings PG text doesn't have) -> translate
+      literal replacements to the Java spelling
+
+    ``'i'`` folds in as a ``(?i)`` pattern prefix (in-place for literal
+    patterns, a concat for expressions); other flags refuse loudly.
+    Expression (non-literal) replacements keep their text verbatim:
+    backslash/dollar bytes in DATA then follow Java on the global path —
+    documented boundary (COVERAGE.md). Must run BEFORE the misc passes
+    whose emitted regexp_replace calls are Spark-global by design
+    (to_number's strip, to_char's zero-trim).
+
+    Rightmost match first, so nested user calls rewrite inner-before-
+    outer (the splice duplicates ``src`` — an unrewritten inner call
+    would otherwise be copied verbatim and silently run global);
+    finished calls leave under a sentinel name restored at the end."""
     while True:
-        m = _REGEXP4_RE.search(code, pos)
-        if not m:
-            return code
+        m = None
+        for m2 in _REGEXP4_RE.finditer(code):
+            m = m2
+        if m is None:
+            return code.replace("__GEODB_RERE__(", "regexp_replace(")
         j = _close_paren(code, m.end() - 1)
         if j is None:
-            return code  # unbalanced: leave for Spark's parser
+            # unbalanced: leave for Spark's parser
+            return code.replace("__GEODB_RERE__(", "regexp_replace(")
         args = code[m.end(): j]
         splits, depth2 = [], 0
         for k, ch in enumerate(args):
@@ -3065,25 +3210,33 @@ def _rewrite_regexp_flags(code: str, lits: list[str]) -> str:
                 depth2 -= 1
             elif ch == "," and depth2 == 0:
                 splits.append(k)
-        if len(splits) != 3:
-            pos = j + 1
+        if len(splits) not in (2, 3):
+            # wrong arity — park it under the sentinel; Spark's analyzer
+            # reports the bad call loudly
+            code = (
+                code[: m.start()] + "__GEODB_RERE__(" + code[m.end():]
+            )
             continue
-        src_a = args[: splits[0]].strip()
-        pat = args[splits[0] + 1: splits[1]].strip()
-        rep = args[splits[1] + 1: splits[2]].strip()
-        flags = args[splits[2] + 1:].strip()
-        fm = re.fullmatch(r"__GEODB_LIT_(\d+)__", flags)
-        if fm is None:
-            raise GeoDBError(
-                "regexp_replace: the flags argument must be a string "
-                "literal ('g', 'i' or 'gi')"
-            )
-        fval = lits[int(fm.group(1))][1:-1].replace("''", "'")
-        if not set(fval) <= {"g", "i"}:
-            raise GeoDBError(
-                f"regexp_replace: unsupported flags {fval!r} (g/i only; "
-                "Spark replaces globally)"
-            )
+        bounds = [-1] + splits + [len(args)]
+        parts = [
+            args[bounds[k] + 1: bounds[k + 1]].strip()
+            for k in range(len(bounds) - 1)
+        ]
+        src_a, pat, rep = parts[0], parts[1], parts[2]
+        fval = ""
+        if len(parts) == 4:
+            fm = re.fullmatch(r"__GEODB_LIT_(\d+)__", parts[3])
+            if fm is None:
+                raise GeoDBError(
+                    "regexp_replace: the flags argument must be a string "
+                    "literal ('g', 'i' or 'gi')"
+                )
+            fval = lits[int(fm.group(1))][1:-1].replace("''", "'")
+            if not set(fval) <= {"g", "i"}:
+                raise GeoDBError(
+                    f"regexp_replace: unsupported flags {fval!r} "
+                    "(g/i only)"
+                )
         if "i" in fval:
             pm = re.fullmatch(r"__GEODB_LIT_(\d+)__", pat)
             if pm is not None:
@@ -3091,9 +3244,47 @@ def _rewrite_regexp_flags(code: str, lits: list[str]) -> str:
                 lits[k2] = "'(?i)" + lits[k2][1:]
             else:
                 pat = f"concat('(?i)', {pat})"
-        repl = f"regexp_replace({src_a}, {pat}, {rep})"
+        rm = re.fullmatch(r"__GEODB_LIT_(\d+)__", rep)
+        if "g" in fval:
+            if rm is not None:
+                ridx = int(rm.group(1))
+                rtext = lits[ridx][1:-1].replace("''", "'")
+                java = "".join(
+                    f"${p[1]}" if p[0] == "group"
+                    else str(p[1]).replace("\\", "\\\\").replace("$", "\\$")
+                    for p in _pg_regexp_rep_pieces(rtext)
+                )
+                lits[ridx] = "'" + java.replace("'", "''") + "'"
+            repl = f"__GEODB_RERE__({src_a}, {pat}, {rep})"
+        else:
+            srcp = f"({src_a})"
+            if rm is not None:
+                rpieces = []
+                for kind, v in _pg_regexp_rep_pieces(
+                    lits[int(rm.group(1))][1:-1].replace("''", "'")
+                ):
+                    if kind == "group":
+                        rpieces.append(
+                            f"regexp_extract({srcp}, {pat}, {v})"
+                        )
+                    else:
+                        lits.append("'" + str(v).replace("'", "''") + "'")
+                        rpieces.append(f"__GEODB_LIT_{len(lits) - 1}__")
+                rep_sql = (
+                    rpieces[0] if len(rpieces) == 1
+                    else "concat(" + ", ".join(rpieces) + ")"
+                ) if rpieces else "''"
+            else:
+                rep_sql = rep
+            at = f"regexp_instr({srcp}, {pat})"
+            repl = (
+                f"CASE WHEN {at} > 0 THEN concat("
+                f"substr({srcp}, 1, {at} - 1), {rep_sql}, "
+                f"substr({srcp}, {at} + "
+                f"length(regexp_extract({srcp}, {pat}, 0)))) "
+                f"WHEN {at} = 0 THEN {srcp} END"
+            )
         code = code[: m.start()] + repl + code[j + 1:]
-        pos = m.start() + len(repl)
 
 
 _BUFFER3_RE = re.compile(r"\bst_buffer\s*\(", re.IGNORECASE)
@@ -3566,6 +3757,11 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
         if need_subscript and "[" in protected:
             # user brackets only — no later pass emits '['
             protected = _rewrite_array_subscript(protected)
+        if need_rx4:
+            # EARLY: user regexp_replace gets PG first-match/backref
+            # semantics; the misc passes below EMIT Spark-global calls
+            # (to_number's strip, to_char's zero-trim) that must stay
+            protected = _rewrite_regexp_replace(protected, lits)
         if need_knn:
             protected = _rewrite_knn_ops(protected)
         if need_json:
@@ -3592,7 +3788,7 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_numeric_trunc(protected, lits)
             protected = _rewrite_encode_decode(protected, lits)
             protected = _rewrite_json_build(protected)
-            protected = _rewrite_array_funcs(protected)
+            protected = _rewrite_array_funcs(protected, lits)
             # elements_text BEFORE the jsonb_* alias pass cannot apply
             # here (aliases run pre-protection); the name regex matches
             # both json_ and jsonb_ spellings directly
@@ -3636,8 +3832,6 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             protected = _rewrite_relate3(protected)
         if need_buf3:
             protected = _rewrite_buffer3(protected)
-        if need_rx4:
-            protected = _rewrite_regexp_flags(protected, lits)
         if need_wnulls and _OVER_RE.search(protected):
             # LAST: the aggregate rewrites above consumed their own
             # WITHIN-GROUP order clauses; whatever ORDER BY remains sits
@@ -3648,7 +3842,26 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             lambda mm: lits[int(mm.group(1))],
             protected,
         )
-    return out
+    return _pg_literal_backslashes(out)
+
+
+def _pg_literal_backslashes(sql: str) -> str:
+    """Spark's SQL parser treats backslash as an escape inside string
+    literals; PG (standard_conforming_strings, the modern default) does
+    not — so ``name ~ '\\d+'`` through a verbatim passthrough silently
+    matches letter-d runs, and every ``re.escape``'d separator the shim
+    emits loses its escapes (r12 probe). Double every backslash inside
+    every literal of the FINAL shim output, exactly once, so the value
+    Spark parses equals the PG-convention text between the quotes. All
+    shim-emitted literals are therefore stored in PG convention (the
+    character sequence they mean at runtime), never pre-escaped for
+    Spark."""
+    if "\\" not in sql:
+        return sql
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    for i in range(1, len(parts), 2):
+        parts[i] = parts[i].replace("\\", "\\\\")
+    return "".join(parts)
 
 
 def _close_paren_lit(code: str, open_idx: int) -> int | None:

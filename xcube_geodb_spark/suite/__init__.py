@@ -85,7 +85,14 @@ DRIVER_WINDOW = [
     "scan_filter_grammar",
     "scan_paging",
     "scan_fts_documents",
-    "head_nation",
+    # r12 rotation: pg_regexp_semantics (the regexp probe classes —
+    # first-match-only replace without 'g' via the regexp_instr splice,
+    # \1/\& backref translation per path, and the output-literal
+    # backslash doubling that keeps '\d' a digit class through Spark's
+    # parser; DuckDB's PG-faithful regexp family is the oracle) takes
+    # head_nation's slot — head is a LIMIT-10 scan whose machinery
+    # scan_paging already pins; it stays registered + locally verified.
+    "pg_regexp_semantics",
     # raw-SQL pg path — r9: pg_array_agg_order_mixed (mixed ASC/DESC +
     # NULLS placement via the array_sort comparator, verdict order 5)
     # supersedes pg_string_agg as the aggregate-ORDER-BY representative —

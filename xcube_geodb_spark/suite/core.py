@@ -749,10 +749,53 @@ def pg_everyday_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(row_number() OVER (ORDER BY nullif(o_orderkey % 183, "
             "0) DESC, o_orderkey) AS BIGINT) AS rn_desc, "
             # r12: BETWEEN SYMMETRIC (bounds in either order)
-            "o_orderkey BETWEEN SYMMETRIC 5000 AND 1000 AS in_band"
+            "o_orderkey BETWEEN SYMMETRIC 5000 AND 1000 AS in_band, "
+            # r12: PG log() is base 10 (Spark's is ln); 2-arg trims
+            # (Spark reverses the args); to_hex (PG lowercases)
+            "round(log(o_orderkey + 1), 6) AS log10_key, "
+            "ltrim(o_orderpriority, '-12345') AS lt, "
+            "rtrim(o_orderpriority, 'TWHNE') AS rt, "
+            "to_hex(o_orderkey) AS hex_key"
         ),
         where="o_orderkey % 61 = 0",
         order="o_orderkey",
+    )
+    return spark.sql(sql)
+
+
+def pg_regexp_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 probe round, regex family: PG ``regexp_replace`` without
+    ``'g'`` replaces only the FIRST match (Spark's builtin is global ->
+    regexp_instr/regexp_extract splice), literal backrefs ``\\1``/
+    ``\\&`` translate per path (``$N`` on the global path, per-group
+    regexp_extract pieces on the first-match path), and backslash
+    character classes inside string literals survive Spark's parser
+    (the shim doubles them on output — ``'\\d'`` would otherwise
+    silently become ``'d'``). Oracle: DuckDB's PG-faithful
+    regexp_replace / regexp_extract / regexp_matches."""
+    register_views(spark, sf_dir, "customer")
+    sql = build_pg_sql(
+        "customer",
+        select=(
+            "c_custkey, "
+            r"regexp_replace(c_mktsegment, '\w', 'X') AS first_sub, "
+            r"regexp_replace(c_mktsegment, '[A-Z]', 'x', 'g') "
+            "AS all_sub, "
+            r"regexp_replace(c_name, '(\d+)', '[\1]', 'g') "
+            "AS backref_g, "
+            r"regexp_replace(c_name, 'customer#', '', 'i') AS ci_first, "
+            r"regexp_replace(c_name, '([A-Za-z]+)#', '<\1>') "
+            "AS backref_first, "
+            r"substring(c_name FROM '[1-9][0-9]*') AS num_part, "
+            r"c_name ~ '\d{2}[13579]$' AS ends_odd, "
+            # r12: regexp_match -> NULL-or-array of group extracts
+            # (projected through PG 1-based subscripts: a NULL array
+            # yields NULL elements, and arrays hash poorly in pandas)
+            r"(regexp_match(c_name, '#(0*)([1-9][0-9]*)'))[1] AS m_zeros, "
+            r"(regexp_match(c_name, '#(0*)([1-9][0-9]*)'))[2] AS m_num"
+        ),
+        where="c_custkey % 17 = 0",
+        order="c_custkey",
     )
     return spark.sql(sql)
 
@@ -1541,9 +1584,34 @@ CORE_ORACLES_PG = {
                    NULLS LAST, o_orderkey) AS rn_asc,
                row_number() OVER (ORDER BY nullif(o_orderkey % 183, 0)
                    DESC NULLS FIRST, o_orderkey) AS rn_desc,
-               o_orderkey BETWEEN 1000 AND 5000 AS in_band
+               o_orderkey BETWEEN 1000 AND 5000 AS in_band,
+               round(log(o_orderkey + 1), 6) AS log10_key,
+               ltrim(o_orderpriority, '-12345') AS lt,
+               rtrim(o_orderpriority, 'TWHNE') AS rt,
+               lower(to_hex(o_orderkey)) AS hex_key
         FROM orders WHERE o_orderkey % 61 = 0
         ORDER BY o_orderkey
+    """,
+    "pg_regexp_semantics": r"""
+        SELECT c_custkey,
+               regexp_replace(c_mktsegment, '\w', 'X') AS first_sub,
+               regexp_replace(c_mktsegment, '[A-Z]', 'x', 'g')
+                   AS all_sub,
+               regexp_replace(c_name, '(\d+)', '[\1]', 'g') AS backref_g,
+               regexp_replace(c_name, 'customer#', '', 'i') AS ci_first,
+               regexp_replace(c_name, '([A-Za-z]+)#', '<\1>')
+                   AS backref_first,
+               nullif(regexp_extract(c_name, '[1-9][0-9]*'), '')
+                   AS num_part,
+               regexp_matches(c_name, '\d{2}[13579]$') AS ends_odd,
+               CASE WHEN regexp_matches(c_name, '#(0*)([1-9][0-9]*)')
+                    THEN nullif(regexp_extract(c_name,
+                             '#(0*)([1-9][0-9]*)', 1), '') END AS m_zeros,
+               CASE WHEN regexp_matches(c_name, '#(0*)([1-9][0-9]*)')
+                    THEN nullif(regexp_extract(c_name,
+                             '#(0*)([1-9][0-9]*)', 2), '') END AS m_num
+        FROM customer WHERE c_custkey % 17 = 0
+        ORDER BY c_custkey
     """,
     "pg_like_operators": """
         SELECT o_orderkey, o_orderpriority FROM orders
@@ -2647,6 +2715,7 @@ CORE_QUERIES = {
     "pg_jsonb_merge": pg_jsonb_merge,
     "pg_jsonb_mutation": pg_jsonb_mutation,
     "pg_any_all": pg_any_all,
+    "pg_regexp_semantics": pg_regexp_semantics,
     "pg_array_agg_order": pg_array_agg_order,
     "pg_array_agg_order_mixed": pg_array_agg_order_mixed,
     "pg_json_arrows": pg_json_arrows,
