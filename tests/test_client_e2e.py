@@ -1796,6 +1796,22 @@ class TestR11ScalarShims:
         ):
             with pytest.raises(GeoDBError):
                 f(bad)
+        # r12: year-bucket extract fields + array_to_string alias
+        more = [
+            ("extract(isoyear from date '2023-01-01')", 2022),
+            ("extract(century from date '2000-12-31')", 20),
+            ("extract(decade from date '2024-05-05')", 202),
+            ("extract(millennium from date '2024-05-05')", 3),
+            ("date_part('century', date '2024-05-05')", 21),
+            ("array_to_string(string_to_array('a-b-c', '-'), '+')", "a+b+c"),
+            ("array_to_string(array['x', NULL], '-', 'N')", "x-N"),
+        ]
+        sel = ", ".join(
+            f"({f(sql)}) AS m{i}" for i, (sql, _) in enumerate(more)
+        )
+        row = spark.sql(f"SELECT {sel}").collect()[0]
+        for i, (sql, want) in enumerate(more):
+            assert row[f"m{i}"] == want, sql
 
     def test_pg_null_ordering_defaults(self, spark):
         """r12 probe: PG sorts NULLs LAST ascending / FIRST descending;

@@ -135,6 +135,12 @@ CORPUS = [
     "ltrim(name)", "to_hex(num)", "to_hex(num, 2)",
     r"regexp_match(name, '(\d+)')", "regexp_match(name, name)",
     r"regexp_match(name, '\w', 'g')",
+    "extract(isoyear from d)", "extract(century from d)",
+    "extract(decade from d)", "extract(millennium from d)",
+    "date_part('millennium', d)",
+    "array_to_string(string_to_array(name, '-'), '+')",
+    "array_to_string(string_to_array(name, '-'), '+', 'N')",
+    "array_to_string(name)",
     "arr[1]", "arr[0]", "arr[-1]", "arr[num::int4]", "arr[1:2]",
     "ARRAY['x','y'][2]",
     "concat(name, NULL, 'x')", "concat_ws('-', name, name)",

@@ -1251,8 +1251,8 @@ def _rewrite_tsmatch(seg: str) -> str:
 _TO_CHAR_RE = re.compile(r"\bto_char\s*\(", re.IGNORECASE)
 _STR_TO_ARR_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
 _ARRAY_FN_RE = re.compile(
-    r"\b(array_length|array_upper|array_cat|strpos|log|ltrim|rtrim"
-    r"|to_hex|regexp_match)\s*\(",
+    r"\b(array_length|array_upper|array_cat|array_to_string|strpos"
+    r"|log|ltrim|rtrim|to_hex|regexp_match)\s*\(",
     re.IGNORECASE,
 )
 
@@ -1338,6 +1338,15 @@ def _rewrite_array_funcs(code: str, lits: list[str]) -> str:
             if len(args) != 2:
                 raise GeoDBError("array_cat(a, b): 2 arguments expected")
             repl = f"concat({args[0]}, {args[1]})"
+        elif fname == "array_to_string":
+            # Spark's array_join shares PG's arg order AND its 2-arg
+            # skip-NULL / 3-arg replace-NULL semantics
+            if len(args) not in (2, 3):
+                raise GeoDBError(
+                    "array_to_string(arr, sep[, null_string]): "
+                    "2 or 3 arguments"
+                )
+            repl = f"array_join({args_s})"
         elif fname == "log":
             if len(args) == 1:
                 repl = f"log10({args[0]})"
@@ -1405,7 +1414,9 @@ _EXTRACT_EPOCH_RE = re.compile(
 # 0-6 with Sunday=0, Spark's DOW/DAYOFWEEK is 1-7 with Sunday=1 (and
 # Spark has no isodow at all) — the passthrough would be off by one
 _EXTRACT_DOW_RE = re.compile(
-    r"\bextract\s*\(\s*(dow|isodow)\s+from\b", re.IGNORECASE
+    r"\bextract\s*\(\s*(dow|isodow|isoyear|century|decade|millennium)"
+    r"\s+from\b",
+    re.IGNORECASE,
 )
 _JSON_BUILD_RE = re.compile(
     r"\b(?:json_build_object|jsonb_build_object)\s*\(", re.IGNORECASE
@@ -1683,12 +1694,23 @@ def _rewrite_to_jsonb(code: str) -> str:
 
 
 def _dow_expr(field: str, expr: str) -> str:
-    """PG weekday numbering on Spark primitives: ``dow`` = 0-6 with
-    Sunday=0 (Spark's dayofweek is Sunday=1); ``isodow`` = 1-7 with
-    Monday=1 (Spark's weekday is Monday=0)."""
+    """PG numbering for the extract fields Spark lacks or numbers
+    differently: ``dow`` = 0-6 with Sunday=0 (Spark's dayofweek is
+    Sunday=1); ``isodow`` = 1-7 with Monday=1 (Spark's weekday is
+    Monday=0); ``isoyear`` -> Spark's YEAROFWEEK; ``century``/
+    ``decade``/``millennium`` -> the PG year buckets (CE dates — the
+    engine's date domain starts at 0001-01-01)."""
     if field == "dow":
         return f"(dayofweek({expr}) - 1)"
-    return f"(weekday({expr}) + 1)"
+    if field == "isodow":
+        return f"(weekday({expr}) + 1)"
+    if field == "isoyear":
+        return f"extract(YEAROFWEEK FROM {expr})"
+    if field == "century":
+        return f"((year({expr}) + 99) DIV 100)"
+    if field == "decade":
+        return f"(year({expr}) DIV 10)"
+    return f"((year({expr}) + 999) DIV 1000)"  # millennium
 
 
 def _rewrite_date_part_epoch(code: str, lits: list[str]) -> str:
@@ -1704,7 +1726,10 @@ def _rewrite_date_part_epoch(code: str, lits: list[str]) -> str:
         if not m:
             return code
         field = lits[int(m.group(2))][1:-1].strip().lower()
-        if field not in ("epoch", "dow", "isodow"):
+        if field not in (
+            "epoch", "dow", "isodow", "isoyear", "century", "decade",
+            "millennium",
+        ):
             pos = m.end()
             continue
         open_idx = code.index("(", m.start())

@@ -637,6 +637,10 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             # r11: PG weekday numbering (dow Sunday=0, isodow Monday=1)
             "CAST(extract(dow from o_orderdate) AS INT) AS dow, "
             "CAST(date_part('isodow', o_orderdate) AS INT) AS isodow, "
+            # r12: the year-bucket extract fields Spark lacks
+            "CAST(extract(isoyear from o_orderdate) AS INT) AS isoyr, "
+            "CAST(extract(century from o_orderdate) AS INT) AS cent, "
+            "CAST(date_part('decade', o_orderdate) AS INT) AS dec, "
             "round(extract(epoch from "
             "(o_orderdate AT TIME ZONE 'America/New_York')), 6) "
             "AS epoch_nyc, "
@@ -1511,6 +1515,9 @@ CORE_ORACLES_PG = {
                round(date_part('epoch', o_orderdate), 6) AS epoch_dp,
                CAST(extract(dow from o_orderdate) AS INT) AS dow,
                CAST(date_part('isodow', o_orderdate) AS INT) AS isodow,
+               CAST(extract(isoyear from o_orderdate) AS INT) AS isoyr,
+               CAST(extract(century from o_orderdate) AS INT) AS cent,
+               CAST(date_part('decade', o_orderdate) AS INT) AS dec,
                round(CAST(epoch(o_orderdate AT TIME ZONE
                      'America/New_York') AS DOUBLE), 6) AS epoch_nyc,
                round(epoch(CAST(o_orderdate AS TIMESTAMP)
