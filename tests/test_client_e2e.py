@@ -997,7 +997,9 @@ class TestShimLiteralSafety:
         with pytest.raises(GeoDBError, match="string literal"):
             f("to_char(ts, fmt_col)")
         # string_to_array: literal separator, regex-escaped for split
-        assert f("string_to_array(t, '.')") == "split(t, '\\.')"
+        # r12: the output pass doubles literal backslashes so Spark's
+        # parser delivers the regex-escaped separator intact
+        assert f("string_to_array(t, '.')") == "split(t, '\\\\.')"
         with pytest.raises(GeoDBError, match="exactly 2"):
             f("string_to_array(t, ',', 'NULL')")
         # extract(epoch from x): Spark has no epoch field; the
@@ -1812,6 +1814,21 @@ class TestR11ScalarShims:
         row = spark.sql(f"SELECT {sel}").collect()[0]
         for i, (sql, want) in enumerate(more):
             assert row[f"m{i}"] == want, sql
+        # r12: PG array scalars — position is NULL (not 0) on absent,
+        # prepend is (elem, arr), replace replaces ALL (NULL-safely)
+        arrs = [
+            ("array_position(array[10,20], 20)", 2),
+            ("array_position(array[10,20], 99)", None),
+            ("array_prepend(0, array[1,2])", [0, 1, 2]),
+            ("array_replace(array[1,2,1], 1, 9)", [9, 2, 9]),
+            ("array_replace(array[1,NULL,1], NULL, 0)", [1, 0, 1]),
+        ]
+        sel = ", ".join(
+            f"({f(sql)}) AS a{i}" for i, (sql, _) in enumerate(arrs)
+        )
+        row = spark.sql(f"SELECT {sel}").collect()[0]
+        for i, (sql, want) in enumerate(arrs):
+            assert row[f"a{i}"] == want, sql
 
     def test_pg_null_ordering_defaults(self, spark):
         """r12 probe: PG sorts NULLs LAST ascending / FIRST descending;

@@ -141,6 +141,10 @@ CORPUS = [
     "array_to_string(string_to_array(name, '-'), '+')",
     "array_to_string(string_to_array(name, '-'), '+', 'N')",
     "array_to_string(name)",
+    "array_position(string_to_array(name, '-'), 'x')",
+    "array_prepend('x', string_to_array(name, '-'))",
+    "array_replace(string_to_array(name, '-'), 'a', 'b')",
+    "array_replace(string_to_array(name, '-'), 'a')",
     "arr[1]", "arr[0]", "arr[-1]", "arr[num::int4]", "arr[1:2]",
     "ARRAY['x','y'][2]",
     "concat(name, NULL, 'x')", "concat_ws('-', name, name)",

@@ -1251,7 +1251,8 @@ def _rewrite_tsmatch(seg: str) -> str:
 _TO_CHAR_RE = re.compile(r"\bto_char\s*\(", re.IGNORECASE)
 _STR_TO_ARR_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
 _ARRAY_FN_RE = re.compile(
-    r"\b(array_length|array_upper|array_cat|array_to_string|strpos"
+    r"\b(array_length|array_upper|array_cat|array_to_string"
+    r"|array_position|array_prepend|array_replace|strpos"
     r"|log|ltrim|rtrim|to_hex|regexp_match)\s*\(",
     re.IGNORECASE,
 )
@@ -1313,6 +1314,7 @@ def _rewrite_array_funcs(code: str, lits: list[str]) -> str:
         if not m:
             return code
         fname = m.group(1).lower()
+        skip = 0  # emitted prefix that would re-match the name regex
         j = _close_paren(code, m.end() - 1)
         if j is None:
             return code  # unbalanced: leave for Spark's parser
@@ -1347,6 +1349,35 @@ def _rewrite_array_funcs(code: str, lits: list[str]) -> str:
                     "2 or 3 arguments"
                 )
             repl = f"array_join({args_s})"
+        elif fname == "array_position":
+            # r12 probe: PG returns NULL when the element is absent;
+            # Spark returns 0
+            if len(args) != 2:
+                raise GeoDBError(
+                    "array_position(arr, elem): 2 arguments expected "
+                    "(the 3-argument start-offset form is unsupported)"
+                )
+            repl = f"nullif(array_position({args_s}), 0)"
+            skip = len("nullif(array_position(")
+        elif fname == "array_prepend":
+            # r12 probe: PG is (elem, arr), Spark is (arr, elem)
+            if len(args) != 2:
+                raise GeoDBError(
+                    "array_prepend(elem, arr): 2 arguments expected"
+                )
+            repl = f"array_prepend({args[1]}, {args[0]})"
+            skip = len("array_prepend(")
+        elif fname == "array_replace":
+            # Spark has no builtin; PG replaces every occurrence,
+            # NULL-safely -> null-safe-equality transform
+            if len(args) != 3:
+                raise GeoDBError(
+                    "array_replace(arr, from, to): 3 arguments expected"
+                )
+            repl = (
+                f"transform({args[0]}, x_ -> CASE WHEN x_ <=> "
+                f"({args[1]}) THEN ({args[2]}) ELSE x_ END)"
+            )
         elif fname == "log":
             if len(args) == 1:
                 repl = f"log10({args[0]})"
@@ -1404,7 +1435,10 @@ def _rewrite_array_funcs(code: str, lits: list[str]) -> str:
                 raise GeoDBError("strpos(s, sub): 2 arguments expected")
             repl = f"locate({args[1]}, {args[0]})"
         code = code[: m.start()] + repl + code[j + 1:]
-        pos = m.start()  # nested calls (array_cat(array_cat(..)..))
+        # rescan from the replacement for nested calls in the args
+        # (array_cat(array_cat(..))), skipping any emitted name that
+        # would itself re-match (nullif(array_position(...), 0))
+        pos = m.start() + skip
 
 
 _EXTRACT_EPOCH_RE = re.compile(

@@ -759,7 +759,15 @@ def pg_everyday_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(log(o_orderkey + 1), 6) AS log10_key, "
             "ltrim(o_orderpriority, '-12345') AS lt, "
             "rtrim(o_orderpriority, 'TWHNE') AS rt, "
-            "to_hex(o_orderkey) AS hex_key"
+            "to_hex(o_orderkey) AS hex_key, "
+            # r12: PG array scalars (position NULL-on-absent, prepend
+            # arg order, replace-all)
+            "array_position(string_to_array(o_orderpriority, '-'), "
+            "'URGENT') AS ap_hit, "
+            "array_join(array_prepend(o_orderstatus, "
+            "string_to_array(o_orderpriority, '-')), '.') AS ap_cat, "
+            "array_join(array_replace(string_to_array(o_orderpriority, "
+            "'-'), 'LOW', 'L0W'), '.') AS ar_rep"
         ),
         where="o_orderkey % 61 = 0",
         order="o_orderkey",
@@ -1595,7 +1603,15 @@ CORE_ORACLES_PG = {
                round(log(o_orderkey + 1), 6) AS log10_key,
                ltrim(o_orderpriority, '-12345') AS lt,
                rtrim(o_orderpriority, 'TWHNE') AS rt,
-               lower(to_hex(o_orderkey)) AS hex_key
+               lower(to_hex(o_orderkey)) AS hex_key,
+               nullif(list_position(string_split(o_orderpriority, '-'),
+                   'URGENT'), 0) AS ap_hit,
+               array_to_string(array_prepend(o_orderstatus,
+                   string_split(o_orderpriority, '-')), '.') AS ap_cat,
+               array_to_string(list_transform(
+                   string_split(o_orderpriority, '-'),
+                   x_ -> CASE WHEN x_ = 'LOW' THEN 'L0W' ELSE x_ END),
+                   '.') AS ar_rep
         FROM orders WHERE o_orderkey % 61 = 0
         ORDER BY o_orderkey
     """,
