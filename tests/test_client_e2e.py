@@ -1807,6 +1807,26 @@ class TestR11ScalarShims:
             ("date_part('century', date '2024-05-05')", 21),
             ("array_to_string(string_to_array('a-b-c', '-'), '+')", "a+b+c"),
             ("array_to_string(array['x', NULL], '-', 'N')", "x-N"),
+            # r12: PG format() — %s renders NULL as '', %% escapes,
+            # %n$s positions; Java's format_string would print 'null'
+            ("format('%s-%s', 'a', 1)", "a-1"),
+            ("format('%s', NULL)", ""),
+            ("format('100%% of %s', 'x')", "100% of x"),
+            ("format('%2$s %1$s', 'b', 'a')", "a b"),
+            # comma spelling of the regex substring
+            (r"substring('ab12cd', '[0-9]+')", "12"),
+            (r"substring('ab12cd', '([a-z]+)[0-9]')", "ab"),
+            # ms/us: PG's seconds-field-including-fraction scaling
+            (
+                "CAST(extract(milliseconds from timestamp "
+                "'2024-01-01 00:00:02.5') AS BIGINT)",
+                2500,
+            ),
+            (
+                "extract(microseconds from timestamp "
+                "'2024-01-01 00:00:02.5')",
+                2500000,
+            ),
         ]
         sel = ", ".join(
             f"({f(sql)}) AS m{i}" for i, (sql, _) in enumerate(more)

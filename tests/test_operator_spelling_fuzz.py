@@ -145,6 +145,11 @@ CORPUS = [
     "array_prepend('x', string_to_array(name, '-'))",
     "array_replace(string_to_array(name, '-'), 'a', 'b')",
     "array_replace(string_to_array(name, '-'), 'a')",
+    "format('%s-%s', name, num)", "format('%2$s%1$s', name, num)",
+    "format('%s %d', name, num)", "format(name, num)",
+    "format('100%%')", "format('%s')",
+    r"substring(name, '\d+')", "substring(name, '2')",
+    "extract(milliseconds from d)", "date_part('microseconds', d)",
     "arr[1]", "arr[0]", "arr[-1]", "arr[num::int4]", "arr[1:2]",
     "ARRAY['x','y'][2]",
     "concat(name, NULL, 'x')", "concat_ws('-', name, name)",

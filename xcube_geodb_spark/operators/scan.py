@@ -1253,7 +1253,7 @@ _STR_TO_ARR_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
 _ARRAY_FN_RE = re.compile(
     r"\b(array_length|array_upper|array_cat|array_to_string"
     r"|array_position|array_prepend|array_replace|strpos"
-    r"|log|ltrim|rtrim|to_hex|regexp_match)\s*\(",
+    r"|log|ltrim|rtrim|to_hex|regexp_match|format)\s*\(",
     re.IGNORECASE,
 )
 
@@ -1430,6 +1430,67 @@ def _rewrite_array_funcs(code: str, lits: list[str]) -> str:
                     for g in range(1, ng + 1)
                 ) + ")"
             repl = f"CASE WHEN {sp} RLIKE {pat} THEN {arr} END"
+        elif fname == "format":
+            # PG format(): %s with NULL -> '' and %% only (the %I/%L
+            # quoting helpers build SQL, not data). Spark has no format
+            # and Java's format_string renders NULL as 'null'
+            tm = re.fullmatch(r"__GEODB_LIT_(\d+)__", args[0])
+            if tm is None:
+                raise GeoDBError(
+                    "format: the template must be a string literal"
+                )
+            t = lits[int(tm.group(1))][1:-1].replace("''", "'")
+            vals = [a.strip() for a in args[1:]]
+            pieces: list[str] = []
+            buf2: list[str] = []
+            i2 = argi = 0
+
+            def _flush() -> None:
+                if buf2:
+                    lits.append(
+                        "'" + "".join(buf2).replace("'", "''") + "'"
+                    )
+                    pieces.append(f"__GEODB_LIT_{len(lits) - 1}__")
+                    buf2.clear()
+
+            while i2 < len(t):
+                ch = t[i2]
+                if ch != "%":
+                    buf2.append(ch)
+                    i2 += 1
+                    continue
+                nxt = t[i2 + 1: i2 + 2]
+                if nxt == "%":
+                    buf2.append("%")
+                    i2 += 2
+                    continue
+                pm2 = re.match(r"(\d+)\$s", t[i2 + 1:])
+                if pm2:
+                    k2 = int(pm2.group(1)) - 1
+                    i2 += 1 + pm2.end()
+                elif nxt == "s":
+                    k2 = argi
+                    argi += 1
+                    i2 += 2
+                else:
+                    raise GeoDBError(
+                        f"format: unsupported specifier %{nxt or ''} "
+                        "(supported: %s, %n$s, %% — the %I/%L quoting "
+                        "helpers build SQL text, outside the dialect)"
+                    )
+                if not 0 <= k2 < len(vals):
+                    raise GeoDBError(
+                        "format: too few arguments for the template"
+                    )
+                _flush()
+                pieces.append(
+                    f"coalesce(CAST(({vals[k2]}) AS STRING), '')"
+                )
+            _flush()
+            repl = (
+                "concat(" + ", ".join(pieces) + ")" if len(pieces) > 1
+                else (pieces[0] if pieces else "''")
+            )
         else:  # strpos
             if len(args) != 2:
                 raise GeoDBError("strpos(s, sub): 2 arguments expected")
@@ -1448,8 +1509,8 @@ _EXTRACT_EPOCH_RE = re.compile(
 # 0-6 with Sunday=0, Spark's DOW/DAYOFWEEK is 1-7 with Sunday=1 (and
 # Spark has no isodow at all) — the passthrough would be off by one
 _EXTRACT_DOW_RE = re.compile(
-    r"\bextract\s*\(\s*(dow|isodow|isoyear|century|decade|millennium)"
-    r"\s+from\b",
+    r"\bextract\s*\(\s*(dow|isodow|isoyear|century|decade|millennium"
+    r"|milliseconds|microseconds)\s+from\b",
     re.IGNORECASE,
 )
 _JSON_BUILD_RE = re.compile(
@@ -1744,6 +1805,13 @@ def _dow_expr(field: str, expr: str) -> str:
         return f"((year({expr}) + 99) DIV 100)"
     if field == "decade":
         return f"(year({expr}) DIV 10)"
+    if field == "milliseconds":
+        # PG: the seconds field INCLUDING fraction, in milliseconds
+        return f"(extract(SECOND FROM {expr}) * 1000)"
+    if field == "microseconds":
+        return (
+            f"CAST(extract(SECOND FROM {expr}) * 1000000 AS BIGINT)"
+        )
     return f"((year({expr}) + 999) DIV 1000)"  # millennium
 
 
@@ -1762,7 +1830,7 @@ def _rewrite_date_part_epoch(code: str, lits: list[str]) -> str:
         field = lits[int(m.group(2))][1:-1].strip().lower()
         if field not in (
             "epoch", "dow", "isodow", "isoyear", "century", "decade",
-            "millennium",
+            "millennium", "milliseconds", "microseconds",
         ):
             pos = m.end()
             continue
@@ -2554,17 +2622,31 @@ def _rewrite_str_edges(protected: str, lits: list[str]) -> str:
             re.IGNORECASE | re.DOTALL,
         )
         if fm is None:
-            pos = m.end()
-            continue
-        lit = lits[int(fm.group(3))][1:-1].replace("''", "'")
+            # the comma spelling of the same PG form:
+            # substring(s, 'pattern') with a non-numeric literal
+            cargs = _split_top_commas_lit(inner)
+            cm = (
+                re.fullmatch(
+                    r"__GEODB_LIT_(\d+)__", cargs[1].strip()
+                )
+                if len(cargs) == 2 else None
+            )
+            if cm is None:
+                pos = m.end()
+                continue
+            s_expr, pat_ph = cargs[0].strip(), cargs[1].strip()
+            lit = lits[int(cm.group(1))][1:-1].replace("''", "'")
+        else:
+            s_expr, pat_ph = fm.group(1).strip(), fm.group(2)
+            lit = lits[int(fm.group(3))][1:-1].replace("''", "'")
         if re.fullmatch(r"-?\d+", lit.strip()):
-            pos = m.end()  # positional FROM '2' — Spark-native
+            pos = m.end()  # positional FROM '2' / (s, '2') — Spark-native
             continue
-        s = fm.group(1).strip()
+        s = s_expr
         idx = 1 if _regex_group_count(lit) >= 1 else 0
         repl = (
-            f"CASE WHEN {s} RLIKE {fm.group(2)} "
-            f"THEN regexp_extract({s}, {fm.group(2)}, {idx}) END"
+            f"CASE WHEN {s} RLIKE {pat_ph} "
+            f"THEN regexp_extract({s}, {pat_ph}, {idx}) END"
         )
         protected = protected[: m.start()] + repl + protected[j + 1:]
         pos = m.start() + len(repl)

@@ -641,6 +641,14 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(extract(isoyear from o_orderdate) AS INT) AS isoyr, "
             "CAST(extract(century from o_orderdate) AS INT) AS cent, "
             "CAST(date_part('decade', o_orderdate) AS INT) AS dec, "
+            # r12: ms/us extract (PG: the seconds field incl. fraction,
+            # scaled) over a synthesized sub-second timestamp
+            "CAST(extract(milliseconds from (o_orderdate::timestamp "
+            "+ (o_orderkey % 7) * interval '250 milliseconds')) "
+            "AS BIGINT) AS msec, "
+            "extract(microseconds from (o_orderdate::timestamp "
+            "+ (o_orderkey % 7) * interval '250 milliseconds')) "
+            "AS usec, "
             "round(extract(epoch from "
             "(o_orderdate AT TIME ZONE 'America/New_York')), 6) "
             "AS epoch_nyc, "
@@ -804,7 +812,12 @@ def pg_regexp_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (projected through PG 1-based subscripts: a NULL array
             # yields NULL elements, and arrays hash poorly in pandas)
             r"(regexp_match(c_name, '#(0*)([1-9][0-9]*)'))[1] AS m_zeros, "
-            r"(regexp_match(c_name, '#(0*)([1-9][0-9]*)'))[2] AS m_num"
+            r"(regexp_match(c_name, '#(0*)([1-9][0-9]*)'))[2] AS m_num, "
+            # r12: comma-spelling regex substring + PG format()
+            r"substring(c_name, '[0-9]+$') AS tail_num, "
+            "format('%s#%s', c_mktsegment, c_custkey) AS fmt, "
+            "format('%2$s/%1$s', c_mktsegment, "
+            "nullif(c_custkey % 3, 2)) AS fmt_pos"
         ),
         where="c_custkey % 17 = 0",
         order="c_custkey",
@@ -1526,6 +1539,12 @@ CORE_ORACLES_PG = {
                CAST(extract(isoyear from o_orderdate) AS INT) AS isoyr,
                CAST(extract(century from o_orderdate) AS INT) AS cent,
                CAST(date_part('decade', o_orderdate) AS INT) AS dec,
+               CAST(extract(milliseconds from (CAST(o_orderdate AS
+                   TIMESTAMP) + (o_orderkey % 7) *
+                   (INTERVAL 250 MILLISECOND))) AS BIGINT) AS msec,
+               CAST(extract(microseconds from (CAST(o_orderdate AS
+                   TIMESTAMP) + (o_orderkey % 7) *
+                   (INTERVAL 250 MILLISECOND))) AS BIGINT) AS usec,
                round(CAST(epoch(o_orderdate AT TIME ZONE
                      'America/New_York') AS DOUBLE), 6) AS epoch_nyc,
                round(epoch(CAST(o_orderdate AS TIMESTAMP)
@@ -1632,7 +1651,14 @@ CORE_ORACLES_PG = {
                              '#(0*)([1-9][0-9]*)', 1), '') END AS m_zeros,
                CASE WHEN regexp_matches(c_name, '#(0*)([1-9][0-9]*)')
                     THEN nullif(regexp_extract(c_name,
-                             '#(0*)([1-9][0-9]*)', 2), '') END AS m_num
+                             '#(0*)([1-9][0-9]*)', 2), '') END AS m_num,
+               CASE WHEN regexp_matches(c_name, '[0-9]+$')
+                    THEN regexp_extract(c_name, '[0-9]+$') END
+                   AS tail_num,
+               concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR))
+                   AS fmt,
+               concat(coalesce(CAST(nullif(c_custkey % 3, 2)
+                       AS VARCHAR), ''), '/', c_mktsegment) AS fmt_pos
         FROM customer WHERE c_custkey % 17 = 0
         ORDER BY c_custkey
     """,
