@@ -150,6 +150,7 @@ CORPUS = [
     "format('100%%')", "format('%s')",
     r"substring(name, '\d+')", "substring(name, '2')",
     "extract(milliseconds from d)", "date_part('microseconds', d)",
+    "json_typeof(name)", "jsonb_typeof(name)", "json_typeof(name, 2)",
     "arr[1]", "arr[0]", "arr[-1]", "arr[num::int4]", "arr[1:2]",
     "ARRAY['x','y'][2]",
     "concat(name, NULL, 'x')", "concat_ws('-', name, name)",

@@ -1253,7 +1253,8 @@ _STR_TO_ARR_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
 _ARRAY_FN_RE = re.compile(
     r"\b(array_length|array_upper|array_cat|array_to_string"
     r"|array_position|array_prepend|array_replace|strpos"
-    r"|log|ltrim|rtrim|to_hex|regexp_match|format)\s*\(",
+    r"|log|ltrim|rtrim|to_hex|regexp_match|format"
+    r"|jsonb?_typeof)\s*\(",
     re.IGNORECASE,
 )
 
@@ -1490,6 +1491,22 @@ def _rewrite_array_funcs(code: str, lits: list[str]) -> str:
             repl = (
                 "concat(" + ", ".join(pieces) + ")" if len(pieces) > 1
                 else (pieces[0] if pieces else "''")
+            )
+        elif fname in ("json_typeof", "jsonb_typeof"):
+            # PG type tag from the json TEXT's first significant char
+            # (the engine's json values are text; malformed input that
+            # PG would reject reads as 'number' — same malformed-json
+            # boundary as the jsonb kernels)
+            if len(args) != 1:
+                raise GeoDBError(f"{fname}(json): 1 argument expected")
+            a0 = f"({args[0]})"
+            repl = (
+                f"CASE substr(ltrim(CAST({a0} AS STRING)), 1, 1) "
+                "WHEN '{' THEN 'object' WHEN '[' THEN 'array' "
+                "WHEN '\"' THEN 'string' WHEN 't' THEN 'boolean' "
+                "WHEN 'f' THEN 'boolean' WHEN 'n' THEN 'null' "
+                f"ELSE CASE WHEN {a0} IS NULL THEN NULL "
+                "ELSE 'number' END END"
             )
         else:  # strpos
             if len(args) != 2:

@@ -544,7 +544,11 @@ def pg_json_arrows(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{nested} -> 'u' ->> 'ids' AS ids_text, "
             f"{nested} #>> '{{u,ids,0}}' AS id0, "
             "concat('[{\"v\":', props ->> 'k', '}]') -> 0 ->> 'v' AS v0, "
-            "props ->> 'missing' AS gone"
+            "props ->> 'missing' AS gone, "
+            # r12: json_typeof over object / array / scalar shapes
+            "json_typeof(props) AS t_obj, "
+            f"jsonb_typeof({nested} -> 'u') AS t_nested, "
+            "json_typeof(props -> 'k') AS t_num"
         ),
         where="(props ->> 'k')::int >= 50",
         order="event_id",
@@ -1497,7 +1501,21 @@ CORE_ORACLES_PG = {
                    concat('{"u":{"ids":[', props ->> 'k', ',9]}}'),
                    '$.u.ids[0]') AS id0,
                concat('[{"v":', props ->> 'k', '}]') -> 0 ->> 'v' AS v0,
-               props ->> 'missing' AS gone
+               props ->> 'missing' AS gone,
+               CASE json_type(props) WHEN 'OBJECT' THEN 'object'
+                   WHEN 'ARRAY' THEN 'array' WHEN 'VARCHAR' THEN 'string'
+                   WHEN 'BOOLEAN' THEN 'boolean' WHEN 'NULL' THEN 'null'
+                   ELSE 'number' END AS t_obj,
+               CASE json_type(concat('{"u":{"ids":[', props ->> 'k',
+                       ',9]}}') -> 'u')
+                   WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+                   WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN'
+                   THEN 'boolean' WHEN 'NULL' THEN 'null'
+                   ELSE 'number' END AS t_nested,
+               CASE json_type(props -> 'k') WHEN 'OBJECT' THEN 'object'
+                   WHEN 'ARRAY' THEN 'array' WHEN 'VARCHAR' THEN 'string'
+                   WHEN 'BOOLEAN' THEN 'boolean' WHEN 'NULL' THEN 'null'
+                   ELSE 'number' END AS t_num
         FROM events
         WHERE CAST(props ->> 'k' AS INT) >= 50
         ORDER BY event_id LIMIT 500
