@@ -1682,6 +1682,15 @@ class TestR11ScalarShims:
         assert f("x NOT BETWEEN SYMMETRIC b AND a") == (
             "x NOT BETWEEN least(b, a) AND greatest(b, a)"
         )
+        # parenthesized lower bound containing its own AND: the bounds
+        # separator is the first depth-0 AND
+        assert f(
+            "x BETWEEN SYMMETRIC (CASE WHEN a AND b THEN 1 ELSE 2 END) "
+            "AND 9"
+        ) == (
+            "x BETWEEN least((CASE WHEN a AND b THEN 1 ELSE 2 END), 9) "
+            "AND greatest((CASE WHEN a AND b THEN 1 ELSE 2 END), 9)"
+        )
         for bad in (
             "to_number(s, 'RN')",
             "to_number(s, fmtcol)",

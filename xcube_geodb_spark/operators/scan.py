@@ -2266,7 +2266,18 @@ def _rewrite_between_symmetric(code: str) -> str:
         if not m:
             return code
         after = code[m.end():]
-        am = re.search(r"\bAND\b", after, re.IGNORECASE)
+        # the bounds separator is the first AND at paren depth 0 — a
+        # parenthesized lower bound may contain its own AND
+        am, depth2 = None, 0
+        for am2 in re.finditer(r"\(|\)|\bAND\b", after, re.IGNORECASE):
+            tok = am2.group(0)
+            if tok == "(":
+                depth2 += 1
+            elif tok == ")":
+                depth2 -= 1
+            elif depth2 == 0:
+                am = am2
+                break
         lo = after[: am.start()].strip() if am else None
         if am:
             right = _operand_after(after[am.end():])
