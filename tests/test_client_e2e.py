@@ -1836,6 +1836,16 @@ class TestR11ScalarShims:
                 "'2024-01-01 00:00:02.5')",
                 2500000,
             ),
+            # r12: PG initcap word boundary is ANY non-alphanumeric
+            ("initcap('hello-world foo_bar')", "Hello-World Foo_Bar"),
+            ("initcap('o''neill 2nd ABC')", "O'Neill 2nd Abc"),
+            ("initcap(NULL)", None),
+            # r12: full-name to_char blank-pads to 9; FM strips
+            ("to_char(date '2024-03-04', 'Day')", "Monday   "),
+            ("to_char(date '2024-03-04', 'FMDay')", "Monday"),
+            ("to_char(date '2024-05-04', 'MONTH')", "MAY      "),
+            ("to_char(date '2024-05-04', 'month')", "may      "),
+            ("to_char(date '2024-05-04', 'FMMonth')", "May"),
         ]
         sel = ", ".join(
             f"({f(sql)}) AS m{i}" for i, (sql, _) in enumerate(more)

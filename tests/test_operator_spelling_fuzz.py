@@ -151,6 +151,9 @@ CORPUS = [
     r"substring(name, '\d+')", "substring(name, '2')",
     "extract(milliseconds from d)", "date_part('microseconds', d)",
     "json_typeof(name)", "jsonb_typeof(name)", "json_typeof(name, 2)",
+    "initcap(name)", "initcap(name, 2)",
+    "to_char(d, 'Day')", "to_char(d, 'FMDay')", "to_char(d, 'Month')",
+    "to_char(d, 'FMMonth')", "to_char(d, 'Day, DD Mon')",
     "arr[1]", "arr[0]", "arr[-1]", "arr[num::int4]", "arr[1:2]",
     "ARRAY['x','y'][2]",
     "concat(name, NULL, 'x')", "concat_ws('-', name, name)",

@@ -1254,7 +1254,7 @@ _ARRAY_FN_RE = re.compile(
     r"\b(array_length|array_upper|array_cat|array_to_string"
     r"|array_position|array_prepend|array_replace|strpos"
     r"|log|ltrim|rtrim|to_hex|regexp_match|format"
-    r"|jsonb?_typeof)\s*\(",
+    r"|jsonb?_typeof|initcap)\s*\(",
     re.IGNORECASE,
 )
 
@@ -1491,6 +1491,21 @@ def _rewrite_array_funcs(code: str, lits: list[str]) -> str:
             repl = (
                 "concat(" + ", ".join(pieces) + ")" if len(pieces) > 1
                 else (pieces[0] if pieces else "''")
+            )
+        elif fname == "initcap":
+            # r12 probe: PG capitalizes after ANY non-alphanumeric
+            # ('hello-world' -> 'Hello-World'); Spark's builtin splits
+            # on whitespace only -> 'Hello-world'. Zero-width split on
+            # the ASCII word boundary, capitalize each piece.
+            # DOCUMENTED DEVIATION: the boundary class is ASCII — a
+            # multibyte letter acts as a separator where a UTF-8 PG
+            # locale keeps it inside the word
+            if len(args) != 1:
+                raise GeoDBError("initcap(s): 1 argument expected")
+            repl = (
+                f"array_join(transform(split({args[0]}, "
+                "'(?<=[^a-zA-Z0-9])'), w_ -> concat(upper(left(w_, 1)), "
+                "lower(substring(w_, 2)))), '')"
             )
         elif fname in ("json_typeof", "jsonb_typeof"):
             # PG type tag from the json TEXT's first significant char
@@ -2922,13 +2937,32 @@ def _rewrite_misc_pg_funcs(code: str, lits: list[str]) -> str:
             # is PG's NUMERIC to_char (money/fixed-point formatting)
             repl = _to_char_numeric(expr, fmt)
         else:
-            sdf, wrap = _to_char_format(fmt)
-            lits.append("'" + sdf.replace("'", "''") + "'")
-            repl = f"date_format({expr}, __GEODB_LIT_{len(lits) - 1}__)"
-            if wrap is not None:
-                # PG's name-token casing ('MON' -> 'JAN'): safe to wrap
-                # the whole result — all other output is digits/punct
-                repl = f"{wrap}({repl})"
+            # FM prefix: fill-mode — strips the blank padding PG gives
+            # full Day/Month names (a no-op for every other date token)
+            fm_flag = fmt[:2].upper() == "FM"
+            dfmt = fmt[2:] if fm_flag else fmt
+            nt = _TO_CHAR_NAME_TOKENS.get(dfmt)
+            if nt is not None and dfmt.upper() in ("DAY", "MONTH"):
+                # standalone full-name template: PG blank-pads to 9
+                # columns ('Monday   ') unless FM. Mixed templates
+                # containing Day/Month keep the unpadded rendering
+                # (DOCUMENTED DEVIATION, COVERAGE.md)
+                sp, case = nt
+                lits.append(f"'{sp}'")
+                repl = f"date_format({expr}, __GEODB_LIT_{len(lits) - 1}__)"
+                if case in ("upper", "lower"):
+                    repl = f"{case}({repl})"
+                if not fm_flag:
+                    repl = f"rpad({repl}, 9, ' ')"
+            else:
+                sdf, wrap = _to_char_format(dfmt)
+                lits.append("'" + sdf.replace("'", "''") + "'")
+                repl = f"date_format({expr}, __GEODB_LIT_{len(lits) - 1}__)"
+                if wrap is not None:
+                    # PG's name-token casing ('MON' -> 'JAN'): safe to
+                    # wrap the whole result — all other output is
+                    # digits/punct
+                    repl = f"{wrap}({repl})"
         code = code[: m.start()] + repl + code[j + 1:]
         # rescan from the match start: a nested to_char inside the
         # rewritten arguments (render-parse round-trips) must rewrite too;

@@ -650,6 +650,9 @@ def pg_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(extract(milliseconds from (o_orderdate::timestamp "
             "+ (o_orderkey % 7) * interval '250 milliseconds')) "
             "AS BIGINT) AS msec, "
+            # r12: PG blank-pads full Day/Month names to 9; FM strips
+            "to_char(o_orderdate, 'Day') AS dayname, "
+            "to_char(o_orderdate, 'FMMonth') AS monthname, "
             "extract(microseconds from (o_orderdate::timestamp "
             "+ (o_orderkey % 7) * interval '250 milliseconds')) "
             "AS usec, "
@@ -779,7 +782,9 @@ def pg_everyday_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_join(array_prepend(o_orderstatus, "
             "string_to_array(o_orderpriority, '-')), '.') AS ap_cat, "
             "array_join(array_replace(string_to_array(o_orderpriority, "
-            "'-'), 'LOW', 'L0W'), '.') AS ar_rep"
+            "'-'), 'LOW', 'L0W'), '.') AS ar_rep, "
+            # r12: PG initcap capitalizes after ANY non-alphanumeric
+            "initcap(lower(o_orderpriority)) AS icap"
         ),
         where="o_orderkey % 61 = 0",
         order="o_orderkey",
@@ -1560,6 +1565,8 @@ CORE_ORACLES_PG = {
                CAST(extract(milliseconds from (CAST(o_orderdate AS
                    TIMESTAMP) + (o_orderkey % 7) *
                    (INTERVAL 250 MILLISECOND))) AS BIGINT) AS msec,
+               rpad(strftime(o_orderdate, '%A'), 9, ' ') AS dayname,
+               strftime(o_orderdate, '%B') AS monthname,
                CAST(extract(microseconds from (CAST(o_orderdate AS
                    TIMESTAMP) + (o_orderkey % 7) *
                    (INTERVAL 250 MILLISECOND))) AS BIGINT) AS usec,
@@ -1648,7 +1655,13 @@ CORE_ORACLES_PG = {
                array_to_string(list_transform(
                    string_split(o_orderpriority, '-'),
                    x_ -> CASE WHEN x_ = 'LOW' THEN 'L0W' ELSE x_ END),
-                   '.') AS ar_rep
+                   '.') AS ar_rep,
+               array_to_string(list_transform(
+                   string_split(lower(o_orderpriority), '-'),
+                   seg_ -> array_to_string(list_transform(
+                       string_split(seg_, ' '),
+                       w_ -> concat(upper(w_[1]), w_[2:])), ' ')),
+                   '-') AS icap
         FROM orders WHERE o_orderkey % 61 = 0
         ORDER BY o_orderkey
     """,
