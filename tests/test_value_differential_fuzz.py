@@ -1,0 +1,228 @@
+"""Value-level differential fuzz: the r12 probe technique as a harness.
+
+The operator-spelling fuzz asserts parse-or-refuse; every silent
+wrong-answer class this project has shipped (dow numbering, ``^`` as
+XOR, varchar(n) non-truncation, global regexp_replace, backslash-eaten
+literals, base-e ``log``, reversed 2-arg trims...) PARSED fine and
+returned the wrong VALUE. This harness closes that gap: a deterministic
+grid of template x literal-operand expressions is evaluated through the
+dialect shim on Spark AND natively on DuckDB (whose scalar semantics
+follow PG), and the VALUES are compared.
+
+Expressions where DuckDB itself deviates from PG (to_hex case,
+interval division, extract(second) truncation, list_position 0,
+Python-style format...) are excluded here and pinned with literal
+expecteds in test_client_e2e instead.
+
+Refusals (GeoDBError) are fine — the spelling fuzz owns that contract;
+this harness only compares the expressions BOTH engines can run.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+from xcube_geodb_spark.errors import GeoDBError
+from xcube_geodb_spark.operators.scan import _pg_clause_to_spark
+
+# template grids: {} slots are filled with every operand in the row's
+# pool. All operands are literals so both engines see identical inputs.
+STR_OPS = ["'abc-DEF gh'", "'x_1.y'", "''", "'  pad  '", "NULL"]
+NUM_OPS = ["0", "7", "-7", "2.5", "-2.5", "1234.5678", "NULL"]
+INT_OPS = ["0", "1", "2", "7", "-3", "NULL"]
+DATE_OPS = ["date '2024-03-04'", "date '1996-12-31'", "date '2000-02-29'"]
+TS_OPS = [
+    "timestamp '2024-03-04 10:30:02.25'",
+    "timestamp '1996-12-31 23:59:59'",
+]
+PAT_OPS = [r"'\d+'", "'[a-z]+'", "'(a)(b)?'", "'-'", "'.'"]
+
+GRID = [
+    # (template, operand pools)
+    ("lower({})", [STR_OPS]),
+    ("upper({})", [STR_OPS]),
+    ("initcap({})", [STR_OPS]),
+    ("length({})", [STR_OPS]),
+    ("reverse({})", [STR_OPS]),
+    ("ltrim({}, 'x ')", [STR_OPS]),
+    ("rtrim({}, 'y ')", [STR_OPS]),
+    ("btrim({}, ' ')", [STR_OPS]),
+    ("left({}, 3)", [STR_OPS]),
+    ("right({}, 3)", [STR_OPS]),
+    ("left({}, -2)", [STR_OPS]),
+    ("right({}, -2)", [STR_OPS]),
+    ("substring({}, 2, 3)", [STR_OPS]),
+    ("substring({}, 0, 3)", [STR_OPS]),
+    ("strpos({}, 'c')", [STR_OPS]),
+    ("replace({}, '-', '+')", [STR_OPS]),
+    ("translate({}, 'abc', 'xy')", [STR_OPS]),
+    ("repeat({}, 2)", [STR_OPS]),
+    ("lpad({}, 6, '*')", [STR_OPS]),
+    ("rpad({}, 6, '*')", [STR_OPS]),
+    ("concat({}, 'Z', {})", [STR_OPS, STR_OPS[:3]]),
+    ("{} || 'Z'", [STR_OPS]),
+    # NULL excluded: DuckDB split_part(NULL,..) is '' where PG is NULL
+    ("split_part({}, '-', 1)", [STR_OPS[:4]]),
+    ("string_to_array({}, '-')[1]", [STR_OPS]),
+    ("regexp_replace({}, {}, 'X')", [STR_OPS, PAT_OPS]),
+    ("regexp_replace({}, {}, 'X', 'g')", [STR_OPS, PAT_OPS]),
+    ("substring({} from {})", [STR_OPS[:4], PAT_OPS]),
+    ("md5({})", [STR_OPS]),
+    ("ascii({})", [STR_OPS]),
+    ("abs({})", [NUM_OPS]),
+    ("sign({})", [NUM_OPS]),
+    ("floor({})", [NUM_OPS]),
+    ("ceil({})", [NUM_OPS]),
+    ("round({}, 1)", [NUM_OPS]),
+    ("round({}, -2)", [NUM_OPS]),
+    ("trunc({}, 1)", [NUM_OPS]),
+    ("mod(CAST({} AS INT), 4)", [INT_OPS]),
+    ("{} + 3", [NUM_OPS]),
+    ("{} * -2", [NUM_OPS]),
+    ("CAST({} / 2 AS DOUBLE)", [NUM_OPS]),
+    ("{}::int8 / 2", [INT_OPS]),
+    ("power({}, 2)", [NUM_OPS[:6]]),
+    ("{} ^ 2", [INT_OPS]),
+    ("sqrt(abs({}))", [NUM_OPS]),
+    ("log(abs({}) + 1.5)", [NUM_OPS]),
+    ("log(2, abs({}) + 1.5)", [NUM_OPS]),
+    ("ln(abs({}) + 1.5)", [NUM_OPS]),
+    ("exp(least({}, 2))", [INT_OPS]),
+    ("greatest({}, 1, {})", [NUM_OPS, NUM_OPS[:3]]),
+    ("least({}, 1, {})", [NUM_OPS, NUM_OPS[:3]]),
+    ("coalesce({}, -1)", [NUM_OPS]),
+    ("nullif({}, 7)", [NUM_OPS]),
+    ("width_bucket({}, 0, 10, 5)", [NUM_OPS]),
+    ("{} BETWEEN 0 AND 7", [NUM_OPS]),
+    ("{} BETWEEN SYMMETRIC 7 AND 0", [NUM_OPS]),
+    ("{} IS DISTINCT FROM 7", [NUM_OPS]),
+    ("extract(year from {})", [DATE_OPS]),
+    ("extract(month from {})", [DATE_OPS]),
+    ("extract(day from {})", [DATE_OPS]),
+    ("extract(quarter from {})", [DATE_OPS]),
+    ("extract(week from {})", [DATE_OPS]),
+    ("extract(doy from {})", [DATE_OPS]),
+    ("extract(dow from {})", [DATE_OPS]),
+    ("extract(isodow from {})", [DATE_OPS]),
+    ("extract(isoyear from {})", [DATE_OPS]),
+    ("extract(century from {})", [DATE_OPS]),
+    ("extract(decade from {})", [DATE_OPS]),
+    ("extract(millennium from {})", [DATE_OPS]),
+    ("extract(epoch from {})", [TS_OPS]),
+    ("extract(hour from {})", [TS_OPS]),
+    ("extract(minute from {})", [TS_OPS]),
+    ("extract(milliseconds from {})", [TS_OPS]),
+    ("extract(microseconds from {})", [TS_OPS]),
+    ("CAST(date_trunc('month', {}) AS DATE)", [DATE_OPS]),
+    ("CAST(date_trunc('week', {}) AS DATE)", [DATE_OPS]),
+    ("CAST(date_trunc('hour', {}) AS STRING)", [TS_OPS]),
+    ("{} - date '2024-01-01'", [DATE_OPS]),
+    ("CAST({} + 5 AS STRING)", [DATE_OPS]),
+    ("CAST({} + interval '36 hours' AS STRING)", [TS_OPS]),
+    ("to_char({}, 'YYYY-MM-DD')", [DATE_OPS]),
+    ("to_char({}, 'DY')", [DATE_OPS]),
+    ("day({})", [DATE_OPS]),
+    ("last_day({})", [DATE_OPS]),
+    ("datediff(date '2024-03-01', {})", [DATE_OPS]),
+    ("array_position(array[10, 20, 30], CAST({} AS INT))", [INT_OPS]),
+    ("array_to_string(array_prepend('s', array['a','b']), {})",
+     [["'-'", "'+'"]]),
+    ("array_to_string(array_replace(array['a','b','a'], 'a', {}), ',')",
+     [["'z'", "'b'"]]),
+    ("size(string_to_array({}, '-'))", [STR_OPS[:4]]),
+    ("array_length(string_to_array({}, '-'), 1)", [STR_OPS[:4]]),
+]
+
+def _duck_sql(expr: str) -> str:
+    """PG expression -> DuckDB spelling where DuckDB's own surface
+    lacks the function or deviates from PG (the ORACLE stays
+    PG-faithful through these replays). Everything else runs verbatim —
+    DuckDB follows PG for this grid."""
+    if expr.startswith("initcap("):
+        # DuckDB has no initcap: per-separator nested split replay of
+        # PG's any-non-alnum word boundary (the grid's operands only
+        # contain the separators ' ', '-', '_', '.')
+        inner = expr[len("initcap("):-1]
+        word = "concat(upper(w[1]), lower(w[2:]))"
+        lvl = f"array_to_string(list_transform(string_split(s3, '.'), w -> {word}), '.')"
+        lvl = f"array_to_string(list_transform(string_split(s2, '_'), s3 -> {lvl}), '_')"
+        lvl = f"array_to_string(list_transform(string_split(seg, '-'), s2 -> {lvl}), '-')"
+        return (
+            f"array_to_string(list_transform(string_split({inner}, ' '), "
+            f"seg -> {lvl}), ' ')"
+        )
+    if expr.startswith("array_position("):
+        # DuckDB list_position returns 0 where PG returns NULL
+        return "nullif(list_position(" + expr[len("array_position("):-1] + "), 0)"
+    if expr.startswith("size("):
+        return "len(" + expr[len("size("):]
+    if expr.startswith("day("):
+        return "extract(day from " + expr[len("day("):-1] + ")"
+    if " / 2" in expr and "DOUBLE" in expr or "::int8 / 2" in expr:
+        # DuckDB's / always float-divides; PG integer-divides int/int
+        return expr.replace(" / 2", " // 2").replace("::int8", "::BIGINT")
+    return expr
+
+
+def _duck(con, expr: str):
+    return con.execute(f"SELECT {_duck_sql(expr)} AS v").fetchone()[0]
+
+
+def _close(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(b, bool):
+        # engine values arrive CAST AS STRING ('true'/'false')
+        return str(a).lower() == str(b).lower()
+    try:
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    except (TypeError, ValueError):
+        return str(a) == str(b)
+
+
+def test_value_differential(spark):
+    con = duckdb.connect()
+    exprs = []
+    for template, pools in GRID:
+        combos = [[]]
+        for pool in pools:
+            combos = [c + [op] for c in combos for op in pool]
+        for ops in combos:
+            exprs.append(template.format(*ops))
+
+    translated, kept = [], []
+    for e in exprs:
+        try:
+            translated.append(_pg_clause_to_spark(e))
+            kept.append(e)
+        except GeoDBError:
+            continue  # loud refusal: the spelling fuzz owns this
+
+    # one batched SELECT per engine chunk keeps this test fast
+    mismatches = []
+    chunk = 80
+    for lo in range(0, len(kept), chunk):
+        batch = kept[lo: lo + chunk]
+        tbatch = translated[lo: lo + chunk]
+        sel = ", ".join(
+            f"CAST(({t}) AS STRING) AS c{i}" for i, t in enumerate(tbatch)
+        )
+        row = spark.sql(f"SELECT {sel}").collect()[0]
+        for i, e in enumerate(batch):
+            sv = row[f"c{i}"]
+            try:
+                dv = _duck(con, e)
+            except duckdb.Error:
+                continue  # DuckDB can't run it: no oracle, skip
+            if dv is not None and not isinstance(dv, (int, float, bool)):
+                dv = str(dv)
+            if not _close(sv, dv):
+                mismatches.append((e, sv, dv))
+    assert not mismatches, "\n".join(
+        f"{e!r}: engine={sv!r} duckdb={dv!r}" for e, sv, dv in mismatches[:25]
+    )
+    assert len(kept) > 400  # the grid stays meaningfully sized
