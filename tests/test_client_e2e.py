@@ -1846,6 +1846,13 @@ class TestR11ScalarShims:
             ("to_char(date '2024-05-04', 'MONTH')", "MAY      "),
             ("to_char(date '2024-05-04', 'month')", "may      "),
             ("to_char(date '2024-05-04', 'FMMonth')", "May"),
+            # r12 differential-fuzz finds: unary minus folds into the
+            # ANY/ALL lhs; literal-lhs regex operators rewrite too
+            ("-3 = ANY(array[1, -3, 7])", True),
+            ("-3 > ALL(array[-5, -9])", True),
+            (r"'ab1' ~ '[0-9]'", True),
+            (r"'ab' !~* 'A.'", False),
+            (r"'xy' ~* 'XY'", True),
         ]
         sel = ", ".join(
             f"({f(sql)}) AS m{i}" for i, (sql, _) in enumerate(more)

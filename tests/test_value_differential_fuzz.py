@@ -19,6 +19,7 @@ this harness only compares the expressions BOTH engines can run.
 """
 
 import math
+import re
 
 import duckdb
 import pytest
@@ -132,6 +133,41 @@ GRID = [
      [["'z'", "'b'"]]),
     ("size(string_to_array({}, '-'))", [STR_OPS[:4]]),
     ("array_length(string_to_array({}, '-'), 1)", [STR_OPS[:4]]),
+    # json arrows / typeof / build
+    ("{} ->> 'a'", [["'{\"a\": 1}'", "'{\"b\": 2}'", "'{\"a\": null}'"]]),
+    ("{} -> 'a' ->> 'b'", [["'{\"a\": {\"b\": 3}}'", "'{\"a\": 1}'"]]),
+    ("{} ->> 0", [["'[5, 6]'", "'[]'"]]),
+    ("{} #>> '{{a,0}}'", [["'{\"a\": [7, 8]}'", "'{\"a\": 1}'"]]),
+    ("json_typeof({}::json)",
+     [["'{\"a\": 1}'", "'[1]'", "'\"s\"'", "'true'", "'null'", "'4.5'"]]),
+    ("json_array_length({}::json)", [["'[1, 2, 3]'", "'[]'"]]),
+    # quantified comparisons + OVERLAPS + CASE
+    ("{} = ANY(array[1, 2, 7])", [INT_OPS]),
+    ("{} > ALL(array[1, 2])", [INT_OPS]),
+    ("CASE WHEN {} > 1 THEN 'big' WHEN {} IS NULL THEN 'n' ELSE 'small' END",
+     [INT_OPS, ["0"]]),
+    ("(date '2024-01-01', date '2024-02-01') OVERLAPS "
+     "({}, date '2024-03-01')", [DATE_OPS]),
+    # numeric to_char (the formula-replay classes)
+    ("to_char({}, '9999.99')", [NUM_OPS]),
+    ("to_char({}, 'FM9999.99')", [NUM_OPS]),
+    ("to_char({}, 'FM00.0')", [NUM_OPS[:6]]),
+    ("to_number('1,234.56', '9G999D99') + {}", [INT_OPS[:3]]),
+    # boolean regex / LIKE operators in value position
+    ("{} ~ '[0-9]'", [STR_OPS[:4]]),
+    ("{} ~* 'DEF'", [STR_OPS[:4]]),
+    ("{} !~ 'x'", [STR_OPS[:4]]),
+    ("{} LIKE '%-%'", [STR_OPS[:4]]),
+    ("{} ILIKE '%def%'", [STR_OPS[:4]]),
+    ("{} SIMILAR TO '%[0-9]%'", [STR_OPS[:4]]),
+    ("{} BETWEEN SYMMETRIC 'b' AND 'a'", [STR_OPS[:4]]),
+    # casts with PG truncation semantics
+    ("{}::varchar(3)", [STR_OPS]),
+    ("'12.567'::numeric(6, 2) + {}", [INT_OPS[:3]]),
+    ("{}::int8::text", [INT_OPS]),
+    ("format('%s<%s>', {}, {})", [STR_OPS[:3], INT_OPS[:3]]),
+    ("regexp_match({}, '([a-z]+)')[1]", [STR_OPS[:4]]),
+    ("encode({}::bytea, 'hex')", [["'ab'", "'-'"]]),
 ]
 
 def _duck_sql(expr: str) -> str:
@@ -159,6 +195,27 @@ def _duck_sql(expr: str) -> str:
         return "len(" + expr[len("size("):]
     if expr.startswith("day("):
         return "extract(day from " + expr[len("day("):-1] + ")"
+    m = re.fullmatch(r"(.+?) (!~\*|!~|~\*|~) '(.*)'", expr)
+    if m:
+        # DuckDB's ~ / SIMILAR TO are FULL-match regex; PG's ~ is a
+        # partial match -> regexp_matches replay
+        lhs, op, pat = m.groups()
+        if "*" in op:
+            pat = "(?i)" + pat
+        neg = "NOT " if op.startswith("!") else ""
+        return f"{neg}regexp_matches({lhs}, '{pat}')"
+    if expr.endswith("SIMILAR TO '%[0-9]%'"):
+        lhs = expr[: -len(" SIMILAR TO '%[0-9]%'")]
+        return f"regexp_matches({lhs}, '[0-9]')"
+    if expr.endswith("::varchar(3)"):
+        # DuckDB's VARCHAR(n) cast does not truncate; PG's does
+        return "left(" + expr[: -len("::varchar(3)")] + ", 3)"
+    if expr.startswith("format('%s<%s>', "):
+        a, b = expr[len("format('%s<%s>', "):-1].split(", ")
+        return (
+            f"concat(coalesce(CAST({a} AS VARCHAR), ''), '<', "
+            f"coalesce(CAST({b} AS VARCHAR), ''), '>')"
+        )
     if " / 2" in expr and "DOUBLE" in expr or "::int8 / 2" in expr:
         # DuckDB's / always float-divides; PG integer-divides int/int
         return expr.replace(" / 2", " // 2").replace("::int8", "::BIGINT")

@@ -1117,6 +1117,21 @@ def _rewrite_any_all(code: str) -> str:
             )
         lhs, lstart = left
         _guard_keyword_operand(m.group(2).upper(), lhs)
+        # a '-' before the operand in unary position belongs to the
+        # operand ('-3 = ANY(..)' compares -3, not a stranded negation
+        # of the emitted exists() — same fold as the ^ rewrite)
+        before = code[:lstart].rstrip()
+        if before.endswith("-") and not before.endswith(("--", "#-")):
+            b2 = before[:-1].rstrip()
+            if (
+                not b2
+                or b2[-1] in "(,+-*/%<>=^|"
+                or re.search(r"[A-Za-z_]\w*$", b2)
+                and re.search(r"[A-Za-z_]\w*$", b2).group(0).upper()
+                in _SQL_KEYWORDS
+            ):
+                lstart = len(before) - 1
+                lhs = code[lstart: m.start()].strip()
         fn = "exists" if m.group(2).upper() == "ANY" else "forall"
         op = m.group(1)
         repl = f"{fn}({arg}, __geodb_e -> {lhs} {op} __geodb_e)"
@@ -3867,6 +3882,12 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             parts[i - 1] = before[: m.start()] + spark_op + " "
             continue
         m = re.search(r"(\S+)\s*(!~\*|!~|~\*|~)\s*$", before)
+        if m and re.fullmatch(r"[!~*]+", m.group(1)):
+            m = None  # '!~*' alone: operator chars, not an lhs
+        m2 = (
+            None if m else
+            re.fullmatch(r"\s*(!~\*|!~|~\*|~)\s*", before)
+        )
         if m and not parts[i].startswith("CAST("):
             lhs, op = m.groups()
             pat = parts[i][1:-1]
@@ -3875,6 +3896,21 @@ def _pg_clause_to_spark(clause: str | None) -> str | None:
             neg = "NOT " if op.startswith("!") else ""
             parts[i - 1] = before[: m.start()]
             parts[i] = f"{neg}{lhs} RLIKE '{pat}'"
+        elif (
+            m2 is not None and i >= 2
+            and parts[i - 2].startswith("'")
+            and not parts[i].startswith("CAST(")
+        ):
+            # literal lhs: '<s>' ~ '<pat>' — the lhs is the PREVIOUS
+            # literal part (an identifier-shaped lhs never reaches here)
+            op = m2.group(1)
+            pat = parts[i][1:-1]
+            if "*" in op:
+                pat = f"(?i){pat}"
+            neg = "NOT " if op.startswith("!") else ""
+            parts[i] = f"{neg}{parts[i - 2]} RLIKE '{pat}'"
+            parts[i - 2] = ""
+            parts[i - 1] = " "
     out = "".join(parts)
     need_cont = "@>" in out or "<@" in out
     need_agg = bool(_AGG_ORDER_RE.search(out))
