@@ -801,13 +801,15 @@ class TestShimLiteralSafety:
     def test_agg_orderby_rewrites(self):
         from xcube_geodb_spark.operators.scan import _pg_clause_to_spark as f
 
+        # r12: string_agg routes through the ordered-collect core —
+        # Spark's native ListAgg crashes Catalyst's
+        # RewriteDistinctAggregates beside any DISTINCT aggregate
         assert f("string_agg(name, ',' ORDER BY id) AS names") == (
-            "string_agg(name, ',') WITHIN GROUP (ORDER BY id) AS names"
+            "array_join(transform(sort_array(collect_list(struct((id) "
+            "AS __o0, (name) AS __v))), s -> s.__v), ',') AS names"
         )
-        # arbitrary order lists pass through to WITHIN GROUP untouched
-        assert f("string_agg(x, '; ' ORDER BY a DESC, b) AS s") == (
-            "string_agg(x, '; ') WITHIN GROUP (ORDER BY a DESC, b) AS s"
-        )
+        out = f("string_agg(x, '; ' ORDER BY a DESC, b) AS s")
+        assert out.startswith("array_join(transform(") and "'; '" in out
         assert f("array_agg(name ORDER BY id) AS names") == (
             "transform(sort_array(collect_list(struct((id) AS __o0, "
             "(name) AS __v))), s -> s.__v) AS names"

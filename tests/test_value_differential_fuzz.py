@@ -210,6 +210,12 @@ def _duck_sql(expr: str) -> str:
     if expr.endswith("::varchar(3)"):
         # DuckDB's VARCHAR(n) cast does not truncate; PG's does
         return "left(" + expr[: -len("::varchar(3)")] + ", 3)"
+    if "ORDER BY v DESC, k" in expr:
+        # engine inserts PG's default NULL placement (DESC -> NULLS
+        # FIRST); DuckDB defaults to NULLS LAST on BOTH directions
+        return expr.replace(
+            "ORDER BY v DESC, k", "ORDER BY v DESC NULLS FIRST, k"
+        )
     if expr.startswith("format('%s<%s>', "):
         a, b = expr[len("format('%s<%s>', "):-1].split(", ")
         return (
@@ -239,6 +245,128 @@ def _close(a, b) -> bool:
         return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
     except (TypeError, ValueError):
         return str(a) == str(b)
+
+
+# aggregate / window templates evaluated over a fixed inline relation —
+# exercises the aggregate-internal ORDER BY / FILTER / WITHIN GROUP
+# rewrite machinery at the VALUE level. {} slots take column names.
+AGG_TABLE = (
+    "(VALUES (1, 10.0, 'a'), (2, 20.0, 'b'), (3, 20.0, 'a'), "
+    "(4, NULL, 'c'), (5, 5.5, NULL)) t(k, v, s)"
+)
+AGG_COLS = ["k", "v"]
+AGG_GRID = [
+    "sum({})", "avg({})", "min({})", "max({})", "count({})",
+    "count(*) + min({})", "sum({}) FILTER (WHERE k > 2)",
+    "count(DISTINCT {})",
+    "string_agg(s, '-' ORDER BY k)",
+    "string_agg(DISTINCT s, '|' ORDER BY s)",
+    "array_to_string(array_agg(s ORDER BY k), ',')",
+    "array_to_string(array_agg(DISTINCT s ORDER BY s), ',')",
+    "array_to_string(array_agg(k ORDER BY v DESC, k), ',')",
+    "percentile_cont(0.5) WITHIN GROUP (ORDER BY {})",
+    "percentile_disc(0.25) WITHIN GROUP (ORDER BY {})",
+    "mode() WITHIN GROUP (ORDER BY s)",
+    "bool_and(k > 0)", "bool_or(v > 15)",
+    "corr(k, {})", "covar_samp(k, {})", "covar_pop(k, {})",
+    "regr_slope({}, k)", "regr_intercept({}, k)", "regr_count({}, k)",
+    "stddev_samp({})", "var_pop({})",
+    "bit_and(k)", "bit_or(k)", "bit_xor(k)",
+    "CAST(sum({}) FILTER (WHERE s IS NOT NULL) AS DOUBLE)",
+]
+WIN_GRID = [
+    "row_number() OVER (ORDER BY {})",
+    "rank() OVER (ORDER BY v)",
+    "dense_rank() OVER (ORDER BY v)",
+    "lag({}) OVER (ORDER BY k)",
+    "lag({}, 2, -1) OVER (ORDER BY k)",
+    "lead({}) OVER (ORDER BY k)",
+    "first_value({}) OVER (ORDER BY k)",
+    "last_value({}) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND UNBOUNDED FOLLOWING)",
+    "nth_value({}, 2) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND CURRENT ROW)",
+    "sum({}) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+    "sum({}) OVER (PARTITION BY s ORDER BY k)",
+    # DOUBLE cast: Spark's decimal avg fixes scale at input+4 where PG
+    # numeric avg keeps ~16 digits (documented type-level deviation)
+    "avg(CAST({} AS DOUBLE)) OVER (ORDER BY k RANGE BETWEEN 1 "
+    "PRECEDING AND 1 FOLLOWING)",
+    "ntile(2) OVER (ORDER BY k)",
+    "percent_rank() OVER (ORDER BY {})",
+    "cume_dist() OVER (ORDER BY {})",
+    "count(*) OVER ()",
+]
+
+
+def test_agg_window_differential(spark):
+    con = duckdb.connect()
+    exprs = []
+    for t in AGG_GRID:
+        exprs += [t.format(*([c] * t.count("{}"))) for c in AGG_COLS]             if "{}" in t else [t]
+    win = []
+    for t in WIN_GRID:
+        win += [t.format(*([c] * t.count("{}"))) for c in AGG_COLS]             if "{}" in t else [t]
+
+    mismatches = []
+    # aggregates: one row per engine per batch
+    kept, translated = [], []
+    for e in exprs:
+        try:
+            translated.append(_pg_clause_to_spark(e))
+            kept.append(e)
+        except GeoDBError:
+            continue
+    sel = ", ".join(
+        f"CAST(({t}) AS STRING) AS c{i}" for i, t in enumerate(translated)
+    )
+    row = spark.sql(f"SELECT {sel} FROM {AGG_TABLE}").collect()[0]
+    for i, e in enumerate(kept):
+        try:
+            dv = con.execute(
+                f"SELECT {_duck_sql(e)} AS v FROM {AGG_TABLE}"
+            ).fetchone()[0]
+        except duckdb.Error:
+            continue
+        if dv is not None and not isinstance(dv, (int, float, bool)):
+            dv = str(dv)
+        if not _close(row[f"c{i}"], dv):
+            mismatches.append((e, row[f"c{i}"], dv))
+
+    # window functions: per-row frames — compare the whole ordered column
+    kept, translated = [], []
+    for e in win:
+        try:
+            translated.append(_pg_clause_to_spark(e))
+            kept.append(e)
+        except GeoDBError:
+            continue
+    sel = ", ".join(
+        f"CAST(({t}) AS STRING) AS c{i}" for i, t in enumerate(translated)
+    )
+    rows = spark.sql(
+        f"SELECT k, {sel} FROM {AGG_TABLE} ORDER BY k"
+    ).collect()
+    for i, e in enumerate(kept):
+        sv = [r[f"c{i}"] for r in rows]
+        try:
+            dv = [
+                r[0] for r in con.execute(
+                    f"SELECT {_duck_sql(e)} AS v FROM {AGG_TABLE} "
+                    "ORDER BY k"
+                ).fetchall()
+            ]
+        except duckdb.Error:
+            continue
+        for a, b in zip(sv, dv):
+            if b is not None and not isinstance(b, (int, float, bool)):
+                b = str(b)
+            if not _close(a, b):
+                mismatches.append((e, sv, dv))
+                break
+    assert not mismatches, "\n".join(
+        f"{e!r}: engine={sv!r} duckdb={dv!r}" for e, sv, dv in mismatches[:20]
+    )
 
 
 def test_value_differential(spark):

@@ -3190,8 +3190,37 @@ def _rewrite_agg_orderby(code: str) -> str:
         head = args[: ob.start()].rstrip()
         order = args[ob.end():].strip()
         if fname == "string_agg":
+            # Spark 4's native ListAgg (string_agg WITHIN GROUP) crashes
+            # Catalyst's RewriteDistinctAggregates whenever it shares a
+            # projection with ANY distinct aggregate (ClassCastException
+            # AttributeReference vs SortOrder in withNewChildrenInternal
+            # — differential-fuzz find, r12): route BOTH forms through
+            # the ordered-collect core instead. array_join skips NULL
+            # elements exactly like PG string_agg skips NULL values.
+            distinct = bool(re.match(r"DISTINCT\b", head, re.IGNORECASE))
+            body = head[len("DISTINCT"):] if distinct else head
+            parts2 = _split_top_commas_lit(body)
+            if len(parts2) != 2:
+                raise GeoDBError(
+                    "string_agg(x, sep ORDER BY ...): 2 arguments "
+                    "expected"
+                )
+            inner, sep = parts2[0].strip(), parts2[1].strip()
+            keys, any_explicit = _split_order_keys(order)
+            if distinct:
+                norm = lambda s2: re.sub(r"\s+", "", s2).lower()  # noqa: E731
+                if len(keys) != 1 or norm(keys[0][0]) != norm(inner):
+                    raise GeoDBError(
+                        "string_agg(DISTINCT x ORDER BY ...): the ORDER "
+                        "BY expression must be x itself (PG requires "
+                        "ORDER BY expressions to appear in the argument "
+                        "list)"
+                    )
+            cond, j = _agg_filter_clause(code, j)
             repl = (
-                f"string_agg({head}) WITHIN GROUP (ORDER BY {order})"
+                f"array_join(transform("
+                f"{_ordered_collect_expr(keys, any_explicit, inner, distinct, cond)}"
+                f", s -> s.__v), {sep})"
             )
         else:
             distinct = False
