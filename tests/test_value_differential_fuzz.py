@@ -22,7 +22,6 @@ import math
 import re
 
 import duckdb
-import pytest
 
 from xcube_geodb_spark.errors import GeoDBError
 from xcube_geodb_spark.operators.scan import _pg_clause_to_spark
@@ -167,6 +166,12 @@ GRID = [
     ("{}::int8::text", [INT_OPS]),
     ("format('%s<%s>', {}, {})", [STR_OPS[:3], INT_OPS[:3]]),
     ("regexp_match({}, '([a-z]+)')[1]", [STR_OPS[:4]]),
+    # template parse directions + PG 14 date_bin
+    ("CAST(to_timestamp('2024-03-05 10:30', 'YYYY-MM-DD HH24:MI') "
+     "AS STRING)", [[""]]),
+    ("CAST(to_date('05 Mar 1996', 'DD Mon YYYY') AS STRING)", [[""]]),
+    ("CAST(date_bin('15 minutes', {}, timestamp '2000-01-01') "
+     "AS STRING)", [TS_OPS]),
     ("encode({}::bytea, 'hex')", [["'ab'", "'-'"]]),
 ]
 
@@ -175,6 +180,17 @@ def _duck_sql(expr: str) -> str:
     lacks the function or deviates from PG (the ORACLE stays
     PG-faithful through these replays). Everything else runs verbatim —
     DuckDB follows PG for this grid."""
+    if expr.startswith("CAST(to_timestamp('2024-03-05 10:30'"):
+        return ("CAST(strptime('2024-03-05 10:30', '%Y-%m-%d %H:%M') "
+                "AS VARCHAR)")
+    if expr.startswith("CAST(to_date('05 Mar 1996'"):
+        return ("CAST(CAST(strptime('05 Mar 1996', '%d %b %Y') AS DATE) "
+                "AS VARCHAR)")
+    if expr.startswith("CAST(date_bin("):
+        inner = expr[len("CAST(date_bin('15 minutes', "):]
+        ts = inner.split(", timestamp '2000-01-01'")[0]
+        return (f"CAST(time_bucket(INTERVAL '15 minutes', {ts}, "
+                "timestamp '2000-01-01') AS VARCHAR)")
     if expr.startswith("initcap("):
         # DuckDB has no initcap: per-separator nested split replay of
         # PG's any-non-alnum word boundary (the grid's operands only
