@@ -500,8 +500,11 @@ def _bench_ann_probe(spark, sf_dir: str, timings: dict, reps: int) -> float:
             wh = tempfile.mkdtemp(prefix="geodb_bench_ivfpq_")
             c = GeoDBSparkClient(spark, warehouse=wh, user="bench")
             t0 = time.perf_counter()
-            cents = similarity.seed_centroids(emb, n_centroids=8)
-            books = similarity.pq_codebooks(emb, n_subspaces=8, n_centroids=8)
+            seeds = similarity.seed_vectors(emb, 8)
+            cents = similarity.seed_centroids(emb, n_centroids=8, seeds=seeds)
+            books = similarity.pq_codebooks(
+                emb, n_subspaces=8, n_centroids=8, seeds=seeds
+            )
             c.create_collection(
                 "emb", {"vec_id": "int", "embedding": "float[]"}
             )

@@ -891,6 +891,8 @@ class GeoDBCatalog:
         extra_meta: dict | None = None,
         merge_meta: dict | None = None,
         rebase_on_disjoint: bool = False,
+        local_batch: bool = False,
+        cluster_persist: bool = False,
     ) -> None:
         """Write ``new_df`` (if any) as new data files; the next snapshot is
         ``keep_files + written files``.
@@ -979,13 +981,22 @@ class GeoDBCatalog:
         if new_df is not None:
             sub = os.path.join("data", uuid.uuid4().hex)
             out_dir = os.path.join(cdir, sub)
-            new_df = self._apply_clustering(new_df, m)
+            new_df, cached = self._apply_clustering(
+                new_df,
+                m,
+                local_batch=local_batch,
+                cluster_persist=cluster_persist,
+            )
             # bound file size: rows within a partition are cluster-sorted, so
             # split files keep disjoint key/z-order spans for footer pruning
             max_rows = int(m.d.get("max_file_rows", 2_000_000))
-            new_df.write.option("maxRecordsPerFile", max_rows).mode(
-                "overwrite"
-            ).parquet(out_dir)
+            try:
+                new_df.write.option("maxRecordsPerFile", max_rows).mode(
+                    "overwrite"
+                ).parquet(out_dir)
+            finally:
+                if cached is not None:
+                    cached.unpersist()
             new_files = [
                 os.path.join(sub, f)
                 for f in sorted(os.listdir(out_dir))
@@ -1203,14 +1214,62 @@ class GeoDBCatalog:
                 d = json.load(f)
             _atomic_write_json(m.path, d)
 
-    def _apply_clustering(self, df: DataFrame, m: CollectionMeta) -> DataFrame:
+    def _cluster_by(
+        self, df: DataFrame, keys: list, local_batch: bool, persist: bool
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """Range-cluster ``df`` by ``keys`` for the write.
+
+        ``repartitionByRange`` runs a SEPARATE sampling job to find the
+        range bounds — a full extra evaluation of the upstream plan. Two
+        shapes bound that cost:
+
+        - driver-local batches (``local_batch``): the sampling job would
+          cost more than the data — coalesce to one partition and sort
+          within it. Same rows, same within-file ordering, no sampling
+          job, no shuffle; ``maxRecordsPerFile`` still bounds files.
+        - ``persist``: cache the prepared batch so the sampling pass
+          materializes it once and the write re-reads it instead of
+          recomputing an expensive upstream (upsert merges re-run joins +
+          the Arrow envelope kernel otherwise). Callers whose upstream is
+          a plain parquet scan + cheap expressions (delete/update/
+          compaction rewrites, id-cache-backed appends) leave it off —
+          recomputing those is cheaper than holding a second copy of the
+          batch. The handle is unpersisted by commit_version right after
+          the write.
+        """
+        if local_batch:
+            return df.coalesce(1).sortWithinPartitions(*keys), None
+        if not persist:
+            return (
+                df.repartitionByRange(*keys).sortWithinPartitions(*keys),
+                None,
+            )
+        from pyspark import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        return (
+            cached.repartitionByRange(*keys).sortWithinPartitions(*keys),
+            cached,
+        )
+
+    def _apply_clustering(
+        self,
+        df: DataFrame,
+        m: CollectionMeta,
+        local_batch: bool = False,
+        cluster_persist: bool = False,
+    ) -> tuple[DataFrame, DataFrame | None]:
         """Honor declared indexes as physical layout: a btree index on a
         property range-partitions + sorts files by it; the (default) gist
         geometry index clusters by envelope-center Z-order. Range
         partitioning (not just a within-partition sort) gives each output
         file a disjoint key interval, so parquet min/max stats prune whole
         files for selective scans and DML — the Spark stand-in for
-        geodb.sql:1456-1471. AQE coalesces the shuffle for small commits."""
+        geodb.sql:1456-1471. AQE coalesces the shuffle for small commits.
+
+        Returns ``(clustered_df, cached_df_or_None)``; a non-None second
+        element is a persisted handle the caller must unpersist after the
+        write (see :meth:`_cluster_by`)."""
         btree = [
             i["property"]
             for i in m.d.get("indexes", [])
@@ -1218,7 +1277,7 @@ class GeoDBCatalog:
         ]
         if btree:
             cols = [F.col(c) for c in btree]
-            return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+            return self._cluster_by(df, cols, local_batch, cluster_persist)
         ann = next(
             (
                 i
@@ -1246,10 +1305,12 @@ class GeoDBCatalog:
                     int(ann.get("n_bits", 8)),
                     int(ann.get("seed", 42)),
                 )
+                # pass the column NAME: rotation_bucket's parsed-SQL fast
+                # path (one py4j round trip instead of bits x dim)
                 df = df.select(
                     "*", _to_double(F.col(ann["property"])).alias("__annv")
                 ).withColumn(
-                    "__annbucket", rotation_bucket(F.col("__annv"), hp)
+                    "__annbucket", rotation_bucket("__annv", hp)
                 ).drop("__annv")
             else:
                 df = with_centroid_assignment(
@@ -1277,8 +1338,8 @@ class GeoDBCatalog:
                         ),
                         bucket_col="__annbucket",
                     )
-            return df.repartitionByRange("__annbucket").sortWithinPartitions(
-                "__annbucket"
+            return self._cluster_by(
+                df, [F.col("__annbucket")], local_batch, cluster_persist
             )
         if "__xmin" in df.columns:
             from xcube_geodb_spark.plans.layout import zorder_key
@@ -1286,8 +1347,8 @@ class GeoDBCatalog:
             zx = (F.col("__xmin") + F.col("__xmax")) / 2
             zy = (F.col("__ymin") + F.col("__ymax")) / 2
             zkey = zorder_key(zx, zy)
-            return df.repartitionByRange(zkey).sortWithinPartitions(zkey)
-        return df
+            return self._cluster_by(df, [zkey], local_batch, cluster_persist)
+        return df, None
 
     # ------------------------------------------------------------------
     # SRID / info

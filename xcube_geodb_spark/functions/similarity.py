@@ -703,19 +703,38 @@ def _py_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
+def seed_vectors(
+    df: DataFrame,
+    n: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """The ``n`` lowest-id vectors as driver-side floats — the shared
+    RNG-free seeding fetch behind :func:`seed_centroids` and
+    :func:`pq_codebooks`. Callers that need both (an ivfpq build) fetch
+    once and pass the result via their ``seeds=`` parameter, halving the
+    TakeOrdered jobs per build."""
+    rows = df.orderBy(id_col).limit(n).select(vec_col).collect()
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
 def seed_centroids(
     df: DataFrame,
     n_centroids: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seeds: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Deterministic coarse quantizer: the ``n_centroids`` lowest-id vectors
     (random-sample initialization without RNG — standard for IVF; the
     k-means refinement in :func:`ivf_centroids` is the quality upgrade).
     Driver-sized fetch; the point is that a plain-SQL oracle can derive the
-    identical centroids (``ORDER BY id LIMIT n``) and replay assignment."""
-    rows = df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
-    return [[float(x) for x in r[vec_col]] for r in rows]
+    identical centroids (``ORDER BY id LIMIT n``) and replay assignment.
+    ``seeds`` short-circuits the fetch with precomputed
+    :func:`seed_vectors` (must cover ``n_centroids`` rows)."""
+    if seeds is not None:
+        return [list(map(float, s)) for s in seeds[:n_centroids]]
+    return seed_vectors(df, n_centroids, vec_col, id_col)
 
 
 def with_centroid_assignment(
@@ -723,24 +742,46 @@ def with_centroid_assignment(
     centroids: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Adds ``centroid_id`` = argmax-cosine centroid (ties -> lowest id) as
-    pure Column algebra with the same left-fold arithmetic as the SQL
-    oracle. The cast vector and its norm are materialized in their own
-    projections (no CSE inside higher-order functions)."""
+    """Adds ``centroid_id`` = argmax-cosine centroid (ties -> lowest id)
+    with the same left-fold arithmetic as the SQL oracle. The cast vector
+    and its norm are materialized in their own projections (no CSE inside
+    higher-order functions).
+
+    Built as ONE parsed SQL expression (the :func:`rotation_bucket`
+    fast-path precedent): the k_c x dim literal arrays through the Column
+    API cost thousands of py4j round trips (~1.5 s of pure driver latency
+    per call at 8x64), the single ``F.expr`` parse is one round trip. The
+    parsed tree is the same zip_with/aggregate left fold over the same
+    double literals, so results are bit-identical."""
     import math
 
-    base = df.select("*", _to_double(F.col(vec_col)).alias("__v")).select(
-        "*", norm(F.col("__v")).alias("__vn")
+    base = df.select(
+        "*",
+        F.expr(
+            f"transform(`{vec_col}`, x -> CAST(x AS double))"
+        ).alias("__v"),
+    ).select(
+        "*",
+        F.expr(
+            "SQRT(aggregate(zip_with(__v, __v, (x, y) -> x * y), "
+            "0.0D, (acc, v) -> acc + v))"
+        ).alias("__vn"),
     )
     entries = []
     for cid, c in enumerate(centroids):
         cn = math.sqrt(_py_dot(c, c))
-        cv = F.array(*[F.lit(float(x)) for x in c])
-        sim = dot(F.col("__v"), cv) / (F.col("__vn") * F.lit(cn))
-        entries.append(F.struct(sim.alias("sim"), F.lit(-cid).alias("negcid")))
-    best = F.array_max(F.array(*entries))
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        d = (
+            f"aggregate(zip_with(__v, {arr}, (x, y) -> x * y), "
+            f"0.0D, (acc, v) -> acc + v)"
+        )
+        entries.append(
+            f"named_struct('sim', {d} / (__vn * {float(cn)!r}D), "
+            f"'negcid', {-cid})"
+        )
+    best = "array_max(array(" + ", ".join(entries) + "))"
     return base.withColumn(
-        "centroid_id", (-best["negcid"]).cast("int")
+        "centroid_id", F.expr(f"CAST(-({best}.negcid) AS int)")
     ).drop("__v", "__vn")
 
 
@@ -871,6 +912,7 @@ def pq_codebooks(
     n_centroids: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seeds: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic product-quantization codebooks: the dimension range
     splits into ``n_subspaces`` equal slices, and each subspace's
@@ -879,9 +921,13 @@ def pq_codebooks(
     uses, so a plain-SQL oracle derives identical codebooks; k-means
     refinement per subspace is the quality upgrade, orthogonal to the
     plumbing). Returns ``[subspace][centroid][dim]`` floats —
-    driver-sized: m * k * (dim/m) = k * dim values."""
-    rows = df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
-    seeds = [[float(x) for x in r[vec_col]] for r in rows]
+    driver-sized: m * k * (dim/m) = k * dim values. ``seeds`` reuses a
+    precomputed :func:`seed_vectors` fetch (ivfpq builds share it with
+    :func:`seed_centroids`)."""
+    if seeds is None:
+        seeds = seed_vectors(df, n_centroids, vec_col, id_col)
+    else:
+        seeds = [list(map(float, s)) for s in seeds[:n_centroids]]
     dim = len(seeds[0])
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
@@ -988,6 +1034,7 @@ def pq_codebooks_residual(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     skip: int | None = None,
+    seed_rows: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic RESIDUAL codebooks: like :func:`pq_codebooks`, but
     each seed is a low-id vector's residual vs its assigned coarse
@@ -1004,12 +1051,18 @@ def pq_codebooks_residual(
     zero vector (all codes tie to 0 and ADC stops discriminating)."""
     if skip is None:
         skip = len(centroids)
-    rows = (
-        df.orderBy(id_col)
-        .limit(skip + n_centroids)
-        .select(vec_col)
-        .collect()
-    )
+    if seed_rows is not None:
+        # precomputed seed_vectors fetch (must cover skip + n_centroids
+        # rows when the table has that many)
+        rows = [{vec_col: v} for v in seed_rows[: skip + n_centroids]]
+    else:
+        rows = (
+            df.orderBy(id_col)
+            .limit(skip + n_centroids)
+            .select(vec_col)
+            .collect()
+        )
+
     def _resid(r):
         v = [float(x) for x in r[vec_col]]
         c = centroids[_py_assign(v, centroids)]
@@ -1175,30 +1228,46 @@ def pq_encode(
             return _codes_of(X)
 
         return df.withColumn(out_col, _enc(F.col(vec_col)))
+    # one parsed SQL expression instead of m*k Column-API entries (the
+    # rotation_bucket / pq_topk fast-path precedent): identical zip_with/
+    # aggregate left folds over identical double literals — bit-identical
+    # results at one py4j round trip instead of thousands (~4.7 s of pure
+    # driver latency per build at 8x8x8)
     if centroids is not None:
-        df = df.withColumn(
-            "__pqresid", residual_of(vec_col, centroids, bucket_col)
+        cents_arr = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+                for c in centroids
+            )
+            + ")"
         )
-        v = F.col("__pqresid")
+        df = df.withColumn(
+            "__pqresid",
+            F.expr(
+                f"zip_with(transform(`{vec_col}`, x -> CAST(x AS double)), "
+                f"element_at({cents_arr}, `{bucket_col}` + 1), "
+                f"(a, b) -> a - b)"
+            ),
+        )
+        v = "__pqresid"
     else:
-        v = _to_double(F.col(vec_col))
+        v = f"transform(`{vec_col}`, x -> CAST(x AS double))"
     codes = []
     for j in range(m):
         entries = []
         for code, cent in enumerate(codebooks[j]):
-            sub = F.slice(v, j * sd + 1, sd)
-            cv = F.array(*[F.lit(float(x)) for x in cent])
-            dist = F.aggregate(
-                F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            arr = "array(" + ",".join(f"{float(x)!r}D" for x in cent) + ")"
+            dist = (
+                f"aggregate(zip_with(slice({v}, {j * sd + 1}, {sd}), {arr}, "
+                f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
             )
             entries.append(
-                F.struct((-dist).alias("negd"), F.lit(-code).alias("negc"))
+                f"named_struct('negd', -({dist}), 'negc', {-code})"
             )
-        best = F.array_max(F.array(*entries))
-        codes.append((-best["negc"]).cast("int"))
-    out = df.withColumn(out_col, F.array(*codes))
+        best = "array_max(array(" + ", ".join(entries) + "))"
+        codes.append(f"CAST(-({best}.negc) AS int)")
+    out = df.withColumn(out_col, F.expr("array(" + ", ".join(codes) + ")"))
     return out.drop("__pqresid") if centroids is not None else out
 
 

@@ -44,7 +44,7 @@ from xcube_geodb_spark.geometry.geom import (
     to_wkb,
 )
 from xcube_geodb_spark.geometry.udfs import with_envelope_columns
-from xcube_geodb_spark.operators.ids import assign_sequential_ids
+from xcube_geodb_spark.operators.ids import assign_sequential_ids_counted
 
 
 # ---------------------------------------------------------------------------
@@ -147,6 +147,21 @@ def _enforce_constraints(m, df: DataFrame, what: str) -> None:
         raise GeoDBError(f"CHECK constraint violation on {what}: {detail}")
 
 
+def _with_envelopes(df: DataFrame, had_geom: bool) -> DataFrame:
+    """Envelope system columns for a batch about to be written. When the
+    incoming batch carried no geometry column (the collection's geometry
+    is NULL for every new row), the envelopes are NULL by definition —
+    emit them as literals instead of round-tripping every row through the
+    Arrow envelope kernel (identical output: the kernel maps NULL WKB to
+    all-NULL envelopes)."""
+    if had_geom:
+        return with_envelope_columns(df)
+    out = df
+    for c in ("__xmin", "__ymin", "__xmax", "__ymax"):
+        out = out.withColumn(c, F.lit(None).cast("double"))
+    return out
+
+
 def insert_into_collection(
     catalog: GeoDBCatalog,
     collection: str,
@@ -240,10 +255,18 @@ def insert_into_collection(
             max_id=m.max_id + len(pdf),
             expected_version=base_version,
             merge_meta=merge_meta,
+            # the batch is driver-side pandas: clustering sorts in place
+            # instead of paying a range-sampling job (catalog._cluster_by)
+            local_batch=True,
         )
         return len(pdf)
 
     df = prepare_values_df(catalog, m, values, crs)
+    # incoming batches without a geometry column get NULL geometry for
+    # every row — their envelope columns are NULL by definition, so the
+    # Arrow envelope kernel round-trip is skipped entirely (vector/posting
+    # collections never pay the Python boundary at ingest)
+    had_geom = "geometry" in df.columns
     now = F.current_timestamp()
 
     if not upsert and "id" in df.columns:
@@ -257,22 +280,21 @@ def insert_into_collection(
         new_with_id = None
         new_without_id = df
 
-    n_no_id = new_without_id.count()
     bounds = None
+    n_with_id = 0
     start = m.max_id + 1
     if upsert and new_with_id is not None:
         bounds = new_with_id.agg(
-            F.min("id").alias("lo"), F.max("id").alias("hi")
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
         ).collect()[0]
+        n_with_id = int(bounds["cnt"] or 0)
         if bounds["hi"] is not None:
             # explicit ids in the same batch may themselves be >= max_id+1;
             # start the generated sequence past them so one commit can't
             # mint duplicate primary keys
             start = max(start, int(bounds["hi"]) + 1)
-    assigned = (
-        assign_sequential_ids(new_without_id, start=start) if n_no_id else None
-    )
-
     schema = m.spark_schema(include_system=False)
 
     def _conform(d: DataFrame) -> DataFrame:
@@ -282,6 +304,13 @@ def insert_into_collection(
         return d.select(*[f.name for f in schema.fields])
 
     if upsert and new_with_id is not None:
+        # generated ids for the no-id rows of the merge batch; the count
+        # comes from the same per-partition job (no separate count() pass)
+        assigned, n_no_id, id_cache = assign_sequential_ids_counted(
+            new_without_id, start=start
+        )
+        if not n_no_id:
+            assigned = None
         # prune: only files whose id range can contain replaced ids rewrite
         if bounds["lo"] is not None:
             from xcube_geodb_spark.operators.pruning import (
@@ -327,36 +356,61 @@ def insert_into_collection(
         _enforce_constraints(m, merged, "upsert")
         # survivors keep their persisted envelopes; only fresh rows compute
         survivors = old.join(F.broadcast(key_ids), "id", "left_anti")
-        merged = survivors.unionByName(with_envelope_columns(merged))
-        max_new = merged.agg(F.max("id")).collect()[0][0] or m.max_id
+        merged = survivors.unionByName(_with_envelopes(merged, had_geom))
+        # the new high-water mark is known arithmetically: survivors carry
+        # ids <= m.max_id, explicit ids top out at bounds.hi, generated
+        # ids at start + n_no_id - 1 — no extra pass over the merge
+        max_new = m.max_id
+        if bounds["hi"] is not None:
+            max_new = max(max_new, int(bounds["hi"]))
+        if n_no_id:
+            max_new = max(max_new, start + n_no_id - 1)
+        try:
+            catalog.commit_version(
+                collection,
+                database,
+                merged,
+                keep_files=untouched,
+                max_id=max_new,
+                expected_version=base_version,
+                merge_meta=merge_meta,
+                # the merge re-runs joins + the envelope kernel if the
+                # clustering sampler recomputes it — cache it instead
+                cluster_persist=True,
+            )
+        finally:
+            if id_cache is not None:
+                id_cache.unpersist()
+        return n_with_id + n_no_id
+
+    # plain append: existing files untouched. Build the complete row —
+    # conform, created_at, envelope columns — BEFORE id assignment, so the
+    # id assigner's cache pins the partition layout AND feeds both the
+    # clustering sampler and the write: the batch (including any Arrow
+    # envelope kernel work) is computed exactly once.
+    pre = _with_envelopes(
+        _conform(new_without_id.withColumn("created_at", now)), had_geom
+    )
+    to_write, n_no_id, id_cache = assign_sequential_ids_counted(
+        pre, start=start
+    )
+    to_write = to_write.select(
+        *[f.name for f in schema.fields], *SYSTEM_COLUMNS
+    )
+    _enforce_constraints(m, to_write, "insert")
+    try:
         catalog.commit_version(
             collection,
             database,
-            merged,
-            keep_files=untouched,
-            max_id=max(m.max_id, int(max_new)),
+            to_write,
+            keep_files=None,  # keep all existing
+            max_id=m.max_id + n_no_id,
             expected_version=base_version,
             merge_meta=merge_meta,
         )
-        return int(df.count())
-
-    # plain append: existing files untouched
-    to_write = _conform(
-        (assigned if assigned is not None else new_without_id).withColumn(
-            "created_at", now
-        )
-    )
-    to_write = with_envelope_columns(to_write)
-    _enforce_constraints(m, to_write, "insert")
-    catalog.commit_version(
-        collection,
-        database,
-        to_write,
-        keep_files=None,  # keep all existing
-        max_id=m.max_id + n_no_id,
-        expected_version=base_version,
-        merge_meta=merge_meta,
-    )
+    finally:
+        if id_cache is not None:
+            id_cache.unpersist()
     return n_no_id
 
 

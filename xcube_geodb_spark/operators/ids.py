@@ -2,37 +2,81 @@
 
 The reference's ``id SERIAL PRIMARY KEY`` (``xcube_geodb/sql/geodb.sql:310``)
 hands out a dense sequence. ``monotonically_increasing_id`` is sparse, and a
-global ``row_number()`` window collapses to one partition. Instead: count
-rows per partition (tiny job), compute cumulative offsets on the driver,
-then add ``offset + local row_number`` via a per-partition window — no
-cross-partition shuffle of the data itself, so the approach holds at any
-scale.
+global ``row_number()`` window collapses to one partition. Instead:
+
+1. persist the batch (its partition layout is thereby FROZEN — every later
+   job scans the same cached blocks, so per-partition numbering is
+   consistent across jobs; without the pin, AQE may coalesce the upstream
+   shuffle differently between the count job and the write job and the
+   offset join would silently drop or misnumber rows),
+2. count rows per partition (one tiny column-pruned job over the cache,
+   which also materializes it),
+3. add ``offset + local position`` entirely JVM-side:
+   ``monotonically_increasing_id`` encodes ``(partition id << 33) | local
+   position``, so no window (hence no Exchange + Sort of the data) is
+   needed; the driver-computed offsets attach via a broadcast hash join on
+   the partition id.
+
+The caller owns the returned cache handle and unpersists it after its
+terminal action (the handle is also the natural thing to write from — the
+write job then re-reads the materialized batch instead of recomputing the
+whole ingest pipeline).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_MONO_POS_MASK = (1 << 33) - 1  # low 33 bits: position within partition
 
 
 def assign_sequential_ids(
     df: DataFrame, start: int = 1, id_col: str = "id"
 ) -> DataFrame:
-    df = df.withColumn("__pid", F.spark_partition_id())
-    counts = df.groupBy("__pid").count().collect()
+    out, _n, _cached = assign_sequential_ids_counted(df, start, id_col)
+    return out
+
+
+def assign_sequential_ids_counted(
+    df: DataFrame, start: int = 1, id_col: str = "id"
+) -> tuple[DataFrame, int, DataFrame | None]:
+    """Returns ``(df_with_ids, total_rows, cache_handle)``. The total comes
+    from the same per-partition count job that anchors the offsets, so
+    callers that need both (DML insert) avoid a second full pass. The
+    cache handle (None for an empty batch) must be unpersisted by the
+    caller once the ids have been consumed by a terminal action."""
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    pid = F.shiftright(F.monotonically_increasing_id(), 33).alias("__pid")
+    counts = cached.groupBy(pid).count().collect()
     offsets = []
     acc = int(start)
     for row in sorted(counts, key=lambda r: r["__pid"]):
-        offsets.append((row["__pid"], acc))
+        offsets.append((int(row["__pid"]), acc))
         acc += row["count"]
+    total = acc - int(start)
     if not offsets:
-        return df.drop("__pid").withColumn(id_col, F.lit(None).cast("long"))
+        cached.unpersist()
+        return (
+            df.withColumn(id_col, F.lit(None).cast("long")),
+            0,
+            None,
+        )
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, "__pid int, __offset long")
-    w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    mono = F.monotonically_increasing_id()
     out = (
-        df.join(F.broadcast(off_df), "__pid")
-        .withColumn(id_col, (F.row_number().over(w) - 1 + F.col("__offset")).cast("long"))
-        .drop("__pid", "__offset")
+        cached.withColumn("__mono", mono)
+        .withColumn("__pid", F.shiftright("__mono", 33).cast("int"))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            id_col,
+            (
+                F.col("__offset")
+                + F.col("__mono").bitwiseAND(F.lit(_MONO_POS_MASK))
+            ).cast("long"),
+        )
+        .drop("__pid", "__offset", "__mono")
     )
-    return out
+    return out, total, cached

@@ -603,8 +603,11 @@ def ann_ivfpq_topk(spark, sf_dir):
     from xcube_geodb_spark.operators.ann import ann_ivfpq_topk as _probe
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = similarity.seed_centroids(emb, n_centroids=8)
-    books = similarity.pq_codebooks(emb, n_subspaces=8, n_centroids=8)
+    seeds = similarity.seed_vectors(emb, 8)
+    cents = similarity.seed_centroids(emb, n_centroids=8, seeds=seeds)
+    books = similarity.pq_codebooks(
+        emb, n_subspaces=8, n_centroids=8, seeds=seeds
+    )
     c = GeoDBSparkClient(
         spark, warehouse=tempfile.mkdtemp(prefix="geodb_ivfpq_"), user="driver"
     )
@@ -639,8 +642,11 @@ def ann_ivfpq_refined(spark, sf_dir):
     from xcube_geodb_spark.operators.ann import ann_ivfpq_topk_refined
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = similarity.seed_centroids(emb, n_centroids=8)
-    books = similarity.pq_codebooks(emb, n_subspaces=8, n_centroids=8)
+    seeds = similarity.seed_vectors(emb, 8)
+    cents = similarity.seed_centroids(emb, n_centroids=8, seeds=seeds)
+    books = similarity.pq_codebooks(
+        emb, n_subspaces=8, n_centroids=8, seeds=seeds
+    )
     c = GeoDBSparkClient(
         spark, warehouse=tempfile.mkdtemp(prefix="geodb_ivfpqr_"),
         user="driver",
@@ -688,9 +694,10 @@ def ann_ivfpq_residual(spark, sf_dir):
     from xcube_geodb_spark.operators.ann import ann_ivfpq_topk as _probe
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = similarity.seed_centroids(emb, n_centroids=8)
+    seeds = similarity.seed_vectors(emb, 16)  # 8 centroids + 8 residual seeds
+    cents = similarity.seed_centroids(emb, n_centroids=8, seeds=seeds)
     books = similarity.pq_codebooks_residual(
-        emb, cents, n_subspaces=8, n_centroids=8
+        emb, cents, n_subspaces=8, n_centroids=8, seed_rows=seeds
     )
     c = GeoDBSparkClient(
         spark, warehouse=tempfile.mkdtemp(prefix="geodb_ivfadc_"),
