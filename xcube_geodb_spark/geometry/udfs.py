@@ -57,7 +57,37 @@ def envelope_udf(wkb: pd.Series) -> pd.DataFrame:
         coords = np.frombuffer(buf, dtype="<f8").reshape(-1, 2)
         cols[idx, 0] = cols[idx, 2] = coords[:, 0]
         cols[idx, 1] = cols[idx, 3] = coords[:, 1]
+    # vectorized single-ring polygon path (squares, rectangles, simple
+    # parcels — the dominant non-point ingest shape): one frombuffer +
+    # axis-min/max per distinct byte length instead of a per-row
+    # parse_wkb. Bit-identical to envelope(parse_wkb(...)): both reduce
+    # the same <f8 ring coordinates with numpy min/max (same NaN
+    # propagation), and a polygon's envelope is the min/max of its outer
+    # ring's points.
+    poly1_hdr = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00"
+    by_len: dict[int, list[int]] = {}
+    handled = is_point.copy()
     for i in np.nonzero(~is_point)[0]:
+        b = vals[i]
+        if (
+            b is not None
+            and len(b) >= 29
+            and bytes(b[:9]) == poly1_hdr
+            and len(b)
+            == 13 + 16 * int.from_bytes(bytes(b[9:13]), "little")
+        ):
+            by_len.setdefault(len(b), []).append(i)
+            handled[i] = True
+    for length, idxs in by_len.items():
+        npts = (length - 13) // 16
+        buf = b"".join(bytes(vals[i][13:]) for i in idxs)
+        coords = np.frombuffer(buf, dtype="<f8").reshape(len(idxs), npts, 2)
+        a = np.asarray(idxs)
+        cols[a, 0] = coords[:, :, 0].min(axis=1)
+        cols[a, 1] = coords[:, :, 1].min(axis=1)
+        cols[a, 2] = coords[:, :, 0].max(axis=1)
+        cols[a, 3] = coords[:, :, 1].max(axis=1)
+    for i in np.nonzero(~handled)[0]:
         if vals[i] is not None:
             cols[i] = envelope(parse_wkb(bytes(vals[i])))
     out = pd.DataFrame(cols, columns=["xmin", "ymin", "xmax", "ymax"])

@@ -419,6 +419,28 @@ def insert_into_collection(
 # ---------------------------------------------------------------------------
 
 
+def _small_rewrite(m, touched: list[str]) -> bool:
+    """True when the manifest's per-file row stats PROVE the rewrite is at
+    most one output file's worth of rows (``max_file_rows``). Such a
+    commit goes through the single-sorted-partition write path
+    (catalog._cluster_by ``local_batch``): same rows, same within-file
+    ordering, but no range-sampling job — halving the Spark jobs of the
+    common surgical delete/update. Scale-adaptive by construction: a
+    rewrite spanning more rows (or any file without row stats) keeps the
+    distributed range-clustered write."""
+    limit = int(m.d.get("max_file_rows", 2_000_000))
+    stats = m.file_stats()
+    total = 0
+    for f in touched:
+        r = (stats.get(f) or {}).get("::rows")
+        if not r:
+            return False
+        total += int(r[0])
+        if total > limit:
+            return False
+    return True
+
+
 def _touched_untouched(
     catalog: GeoDBCatalog,
     collection: str,
@@ -495,6 +517,7 @@ def delete_from_collection(
         keep_files=untouched,
         expected_version=m.version,
         rebase_on_disjoint=True,
+        local_batch=_small_rewrite(m, touched),
     )
 
 
@@ -536,6 +559,7 @@ def delete_ids(
         keep_files=untouched,
         expected_version=m.version,
         rebase_on_disjoint=True,
+        local_batch=_small_rewrite(m, touched),
     )
 
 
@@ -581,4 +605,5 @@ def update_collection(
     catalog.commit_version(
         collection, database, df, keep_files=untouched,
         expected_version=m.version, rebase_on_disjoint=True,
+        local_batch=_small_rewrite(m, touched),
     )

@@ -61,10 +61,17 @@ def optimize_collection(
     target = int(m.d.get("max_file_rows", 2_000_000))
     thresh = int(small_file_rows) if small_file_rows is not None else target // 2
     cdir = catalog._coll_dir(collection, database)
-    rows = {
-        f: pq.ParquetFile(os.path.join(cdir, f)).metadata.num_rows
-        for f in m.files
-    }
+    # manifest row stats first (a dict lookup at any file count); parquet
+    # footer reads only for legacy files the stats shards don't cover
+    fstats = m.file_stats()
+    rows = {}
+    for f in m.files:
+        r = (fstats.get(f) or {}).get("::rows")
+        rows[f] = (
+            int(r[0])
+            if r
+            else pq.ParquetFile(os.path.join(cdir, f)).metadata.num_rows
+        )
     small = [f for f in m.files if rows[f] < thresh]
     stats = {
         "files_before": len(m.files),
@@ -89,6 +96,10 @@ def optimize_collection(
         keep_files=keep,
         expected_version=m.version,
         rebase_on_disjoint=True,
+        # compactions merging at most one output file's worth of rows take
+        # the single-sorted-partition write path: one task reads the small
+        # files and writes the merged file, no range-sampling job
+        local_batch=stats["rows_moved"] <= target,
     )
     stats["files_after"] = len(catalog.meta(collection, database).files)
     return stats
