@@ -99,3 +99,55 @@ def test_small_rewrite_bounds():
     assert not _small_rewrite(m, ["a", "d"])  # unprovable -> distributed
     assert not _small_rewrite(m, ["a", "missing"])  # unknown file
     assert _small_rewrite(m, [])  # nothing touched
+
+
+class _StubRDDInfo:
+    def __init__(self, mem, disk):
+        self._mem, self._disk = mem, disk
+
+    def memSize(self):
+        return self._mem
+
+    def diskSize(self):
+        return self._disk
+
+
+class _StubSpark:
+    """Mimics spark.sparkContext._jsc.sc().getRDDStorageInfo()."""
+
+    def __init__(self, infos, raise_=False):
+        self._infos, self._raise = infos, raise_
+        outer = self
+
+        class _SC:
+            class _JSC:
+                def sc(self_inner):
+                    class _S:
+                        def getRDDStorageInfo(self__):
+                            if outer._raise:
+                                raise RuntimeError("no storage info")
+                            return outer._infos
+
+                    return _S()
+
+            _jsc = _JSC()
+
+        self.sparkContext = _SC()
+
+
+def test_single_task_append_bounds():
+    from xcube_geodb_spark.operators.dml import _single_task_append
+
+    m = _StubMeta({})
+    small = _StubSpark([_StubRDDInfo(1 << 20, 0)])
+    big = _StubSpark([_StubRDDInfo(200 << 20, 100 << 20)])
+    broken = _StubSpark([], raise_=True)
+
+    assert _single_task_append(small, m, 500)
+    assert not _single_task_append(small, m, 0)  # empty batch
+    assert not _single_task_append(small, m, 200_000)  # too many rows
+    assert not _single_task_append(big, m, 500)  # cache bound exceeded
+    assert not _single_task_append(broken, m, 500)  # unprovable -> distributed
+    # knobs from collection options win over defaults
+    m.d["small_append_rows"] = 100
+    assert not _single_task_append(small, m, 500)

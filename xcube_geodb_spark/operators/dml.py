@@ -147,6 +147,30 @@ def _enforce_constraints(m, df: DataFrame, what: str) -> None:
         raise GeoDBError(f"CHECK constraint violation on {what}: {detail}")
 
 
+def _single_task_append(spark, m, n_rows: int) -> bool:
+    """True when a counted append batch should write through ONE sorted
+    task (catalog._cluster_by ``local_batch``) instead of the
+    range-partitioned path: the rows fit one output file many times over
+    AND the materialized batch (its id-assignment cache) is provably
+    small. The byte check sums EVERY cached RDD — an upper bound on our
+    batch, conservative in the safe direction (a fat concurrent cache
+    just keeps the distributed path). Both knobs live in collection
+    options (``small_append_rows`` / ``small_append_bytes``) so a
+    deployment with huge rows can lower them; the defaults describe a
+    batch any single write task handles comfortably at any cluster
+    size."""
+    if not n_rows or n_rows > int(m.d.get("small_append_rows", 100_000)):
+        return False
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        cached_bytes = sum(i.memSize() + i.diskSize() for i in infos)
+    except Exception:
+        return False
+    return cached_bytes <= int(
+        m.d.get("small_append_bytes", 256 * 1024 * 1024)
+    )
+
+
 def _with_envelopes(df: DataFrame, had_geom: bool) -> DataFrame:
     """Envelope system columns for a batch about to be written. When the
     incoming batch carried no geometry column (the collection's geometry
@@ -407,6 +431,12 @@ def insert_into_collection(
             max_id=m.max_id + n_no_id,
             expected_version=base_version,
             merge_meta=merge_meta,
+            # the id pass counted the batch: a provably-small append (a
+            # streaming micro-batch, an ANN/bench fixture load) writes
+            # through one sorted task — identical file content (AQE
+            # coalesces such a range shuffle to one partition anyway),
+            # one fewer full pass (no range-sampling job)
+            local_batch=_single_task_append(catalog.spark, m, n_no_id),
         )
     finally:
         if id_cache is not None:
