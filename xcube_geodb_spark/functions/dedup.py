@@ -27,6 +27,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from xcube_geodb_spark.functions.spread import spread_small
 from xcube_geodb_spark.functions.text import normalized
 
 
@@ -58,8 +59,14 @@ def shingle_table(
     """(id, sh: array<string>) with the token array materialized in a
     separate projection so each element_at reads an attribute instead of
     re-running regexp+split (Catalyst's CollapseProject keeps non-cheap
-    aliases referenced more than once in their own project)."""
-    tok = df.select(
+    aliases referenced more than once in their own project).
+
+    The raw (id, text) pair is round-robin-spread first when the input
+    is provably small (functions/spread): shingling + downstream md5
+    cost hundreds of CPU ops per input byte, and a one-row-group
+    parquet source would otherwise run the whole chain on one core."""
+    src = spread_small(df.select(F.col(id_col), F.col(text_col)))
+    tok = src.select(
         F.col(id_col), normalized(F.col(text_col)).alias("__norm")
     ).select(F.col(id_col), F.col("__norm"), F.split("__norm", " ").alias("__toks"))
     k = F.size("__toks")
@@ -278,6 +285,7 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """(id, simhash) fingerprint table via explode + codegen'd vote sums
     (same physical rationale as :func:`minhash_signatures`)."""
+    df = spread_small(df.select(F.col(id_col), F.col(text_col)))
     tokd = df.select(
         F.col(id_col),
         # explode_outer: see minhash_signatures — avoids the inferred
@@ -566,9 +574,15 @@ def line_dedup(
     partitions than that; leave None at warehouse scale where the scan
     already fans past every core.
     """
+    groups = list(group_cols or [])
+    # NOT spread_small here: measured 1.2s -> 1.9-2.2s at 10x — the line
+    # explode + xxhash is narrow (tens of ops/byte, unlike the shingle
+    # md5 path), so shipping the full text through a repartition costs
+    # more than the serial scan it parallelizes. The explicit
+    # ``input_partitions`` knob remains for warehouse frames that arrive
+    # with pathological partitioning.
     if input_partitions:
         df = df.repartition(int(input_partitions))
-    groups = list(group_cols or [])
     # F.split treats the separator as a Java regex while concat_ws
     # reassembles it literally: regex-escape so a sep of '.', '|', '||'
     # splits on the literal characters and rebuilds identical content.
@@ -914,6 +928,10 @@ def semantic_dedup(
         ivf_centroids,
     )
 
+    # NOT spread_small here (measured 1.4-1.7s -> 2.2-2.6s at 10x): the
+    # quadratic within-cluster sweep — the heavy part — already fans out
+    # through the applyInPandas groupBy-centroid shuffle, so spreading
+    # the input only taxes the centroid sample and the cheap assignment
     cents = ivf_centroids(
         df,
         n_centroids=n_clusters,

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from xcube_geodb_spark.functions.spread import spread_small
+
 # deliberately small, deterministic stopword sets (public common words)
 STOPWORDS_EN = ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was")
 LANG_STOPWORDS = {
@@ -206,6 +208,8 @@ _VOTE_WORDS = tuple(
 def with_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Fused single-pass text profile: quality score, token stats, language
     id, and fingerprint sharing ONE normalization + tokenization per row.
+    A provably-small input is round-robin-spread first (functions/spread)
+    so the regex battery is not serialized onto a one-row-group scan.
     The composable ``with_*`` helpers each re-derive the token array
     (Catalyst inlines single-expression columns), which multiplied the
     dominant regexp cost 4x on the profile path — this is the hot-path
@@ -220,6 +224,7 @@ def with_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
       regexp_replace — same counts, ~5x cheaper
     All counts are bit-identical to the composable helpers' formulas, so
     the same DuckDB oracles hold."""
+    df = spread_small(df)
     text = F.col(text_col)
     staged = (
         df.withColumn("__norm", normalized(text))
@@ -304,7 +309,9 @@ IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 def with_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
     """PII/URL scrubbing for training corpora: emails, URLs, and IPv4
     literals replaced with fixed sentinels — pure regexp projections,
-    shuffle-free, and cross-engine reproducible."""
+    shuffle-free, and cross-engine reproducible. (Small inputs are
+    spread first — see :func:`with_profile`.)"""
+    df = spread_small(df)
     c = F.col(text_col)
     c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     c = F.regexp_replace(c, URL_RE, "<URL>")
@@ -316,6 +323,7 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signal: fraction of tokens that are repeats
     of an earlier token (1 - distinct/total). High values flag boilerplate
     and degenerate generations."""
+    df = spread_small(df)
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     return df.withColumn(
@@ -342,6 +350,7 @@ def top_ngrams(
     TakeOrderedAndProject — so the full pass shuffles only pre-reduced
     (ngram, partial-count) pairs. Ties break lexicographically for
     deterministic, engine-replayable output."""
+    df = spread_small(df.select(F.col(text_col)))
     toks = tokens(F.col(text_col))
     grams = F.when(
         F.size(toks) >= n,
@@ -378,6 +387,7 @@ def unigram_logprob(
     aggregation order and replayable by any SQL engine. Returns
     ``(id, n_tokens, nll)`` with nll rounded to 6.
     """
+    df = spread_small(df.select(F.col(id_col), F.col(text_col)))
     toks = tokens(F.col(text_col))
     total = df.agg(F.sum(F.size(toks))).collect()[0][0] or 1
     post = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
@@ -421,6 +431,7 @@ def bigram_logprob(
     aggregation-order independent and any SQL engine replays them.
     Returns ``(id, n_tokens, nll2)`` with nll2 rounded to 6.
     """
+    df = spread_small(df.select(F.col(id_col), F.col(text_col)))
     toks_arr = tokens(F.col(text_col))
     tok = df.select(F.col(id_col), toks_arr.alias("__toks"))
     post = tok.select(
