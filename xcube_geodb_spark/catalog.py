@@ -114,6 +114,14 @@ def _now_iso() -> str:
     return time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime())
 
 
+def _stat_key(path: str) -> tuple:
+    """(inode, mtime_ns, size) identity of a manifest file — atomic
+    replacement on every commit gives a fresh inode, so an unchanged key
+    proves unchanged bytes (same contract as _meta_parse_cache)."""
+    st = os.stat(path)
+    return (st.st_ino, st.st_mtime_ns, st.st_size)
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -302,6 +310,14 @@ class GeoDBCatalog:
         # and the parse can be reused — at 10^5 files the "files" list
         # alone is a ~50 ms JSON parse per probe otherwise
         self._meta_parse_cache: dict[str, tuple] = {}
+        # DataFrame-handle memo for load_df keyed on the same manifest
+        # stat key: building the parquet relation costs a py4j round trip
+        # plus a fresh file index per call (~50-200 ms of driver latency),
+        # and DataFrames are immutable so sharing the handle is safe. One
+        # slot per (collection, database, include_system, version) —
+        # replaced whenever the manifest's stat key changes, so any DML
+        # commit invalidates it. Plans only, never materialized data.
+        self._load_df_cache: dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------------
     # databases (namespace registry — geodb.sql:150-214)
@@ -815,6 +831,15 @@ class GeoDBCatalog:
         """Current snapshot as a DataFrame; evolved schema applied on read
         (missing columns -> NULL, dropped columns pruned). ``version``
         time-travels to an earlier manifest snapshot."""
+        cache_key = (collection, database, include_system, version)
+        try:
+            stat_key = _stat_key(self._meta_path(collection, database))
+        except OSError:
+            stat_key = None
+        if stat_key is not None:
+            hit = self._load_df_cache.get(cache_key)
+            if hit is not None and hit[0] == stat_key:
+                return hit[1]
         m = (
             self.meta(collection, database)
             if version is None
@@ -835,7 +860,10 @@ class GeoDBCatalog:
             # file and prunes dropped ones.
             df = self.spark.read.schema(schema).parquet(*paths)
         order = [f.name for f in schema.fields if include_system or f.name not in SYSTEM_COLUMNS]
-        return df.select(*order)
+        out = df.select(*order)
+        if stat_key is not None:
+            self._load_df_cache[cache_key] = (stat_key, out)
+        return out
 
     def load_files(
         self,

@@ -217,11 +217,21 @@ def jsonb_delete_path_py(j: str | None, path) -> str | None:
     return pg_jsonb_dumps(root)
 
 
+_REGISTERED: set[int] = set()
+
+
 def register_json_sql_functions(spark: SparkSession) -> None:
     """Idempotent registration into the session's SQL dialect
     (Arrow-batched via geometry.sqlfuncs._vec — see that module's note
-    on why the scalar kernels stay the single source of truth)."""
+    on why the scalar kernels stay the single source of truth). Memoized
+    per session: each ``spark.udf.register`` is a py4j round trip, and
+    the scan path calls this on every query."""
     from xcube_geodb_spark.geometry.sqlfuncs import _vec
+
+    key = id(spark)
+    if key in _REGISTERED:
+        return
+    _REGISTERED.add(key)
 
     spark.udf.register("jsonb_merge", _vec(jsonb_merge_py, T.StringType()))
     spark.udf.register("jsonb_set", _vec(jsonb_set_py, T.StringType()))

@@ -205,11 +205,21 @@ def _ts_rank_cd(config: str, text: str | None, query: list | None,
     return round(rank, 9)
 
 
+_REGISTERED: set[int] = set()
+
+
 def register_text_sql_functions(spark: SparkSession) -> None:
     """Idempotent registration into the session's SQL dialect (each name
     Arrow-batched via geometry.sqlfuncs._vec — see that module's note on
-    why the scalar kernels stay the single source of truth)."""
+    why the scalar kernels stay the single source of truth). Memoized per
+    session: each ``spark.udf.register`` is a py4j round trip, and the
+    scan path calls this on every query."""
     from xcube_geodb_spark.geometry.sqlfuncs import _vec
+
+    key = id(spark)
+    if key in _REGISTERED:
+        return
+    _REGISTERED.add(key)
 
     arr = T.ArrayType(T.StringType())
 

@@ -212,6 +212,12 @@ def head_collection(
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
+# view-name -> DataFrame handle last registered by get_collection_pg on a
+# session; holding the handle (not just its id) keeps identity comparisons
+# safe against id reuse after gc
+_VIEW_MEMO: dict[tuple, object] = {}
+
+
 def _view_name(database: str, collection: str) -> str:
     name = f"{database}_{collection}"
     if not _IDENT.match(name):
@@ -4581,7 +4587,13 @@ def get_collection_pg(
     register_json_sql_functions(catalog.spark)
     df = catalog.load_df(collection, database)
     view = _view_name(database, collection)
-    df.createOrReplaceTempView(view)
+    # re-registering the same handle is a pure py4j round trip; load_df
+    # memoizes handles per manifest version, so identity implies the view
+    # is already bound to this exact snapshot
+    memo_key = (id(catalog.spark), view)
+    if _VIEW_MEMO.get(memo_key) is not df:
+        df.createOrReplaceTempView(view)
+        _VIEW_MEMO[memo_key] = df
     out = catalog.spark.sql(
         build_pg_sql(
             view, select, where, group, order, limit, offset,
@@ -4598,6 +4610,9 @@ def run_sql(catalog: GeoDBCatalog, sql: str, views: dict[str, DataFrame]) -> Dat
     """Engine superset: arbitrary Spark SQL over registered collections."""
     for name, df in views.items():
         df.createOrReplaceTempView(name)
+        # a caller may rebind a name get_collection_pg also uses; keep the
+        # skip-if-identical memo truthful about what the view holds now
+        _VIEW_MEMO[(id(catalog.spark), name)] = df
     return catalog.spark.sql(sql)
 
 

@@ -67,6 +67,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
+    # cluster-scale knobs, env-parameterised with Spark's own defaults
+    # locally so the local bench stays comparable: on a real cluster set
+    # SPARK_GRAFT_IO_CODEC=zstd (better shuffle ratio for a bit more CPU)
+    # and SPARK_GRAFT_ADVISORY_PARTITION_BYTES=268435456 (fewer, larger
+    # post-shuffle partitions as data grows — guide §2.2/§9 sizing)
+    io_codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
+    if io_codec:
+        builder = builder.config("spark.io.compression.codec", io_codec)
+    advisory = os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES")
+    if advisory:
+        builder = builder.config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
