@@ -217,7 +217,13 @@ def jsonb_delete_path_py(j: str | None, path) -> str | None:
     return pg_jsonb_dumps(root)
 
 
-_REGISTERED: set[int] = set()
+import weakref
+
+# id(session) -> weakref to the session (see textsql._REGISTERED: a bare
+# id set goes stale under id reuse after a session is garbage-collected)
+_REGISTERED: "weakref.WeakValueDictionary[int, SparkSession]" = (
+    weakref.WeakValueDictionary()
+)
 
 
 def register_json_sql_functions(spark: SparkSession) -> None:
@@ -229,9 +235,9 @@ def register_json_sql_functions(spark: SparkSession) -> None:
     from xcube_geodb_spark.geometry.sqlfuncs import _vec
 
     key = id(spark)
-    if key in _REGISTERED:
+    if _REGISTERED.get(key) is spark:
         return
-    _REGISTERED.add(key)
+    _REGISTERED[key] = spark
 
     spark.udf.register("jsonb_merge", _vec(jsonb_merge_py, T.StringType()))
     spark.udf.register("jsonb_set", _vec(jsonb_set_py, T.StringType()))

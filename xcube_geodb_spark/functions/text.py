@@ -404,9 +404,19 @@ def unigram_logprob(
             F.count(F.lit(1)).alias("n_tokens"),
             # decimal sum -> double BEFORE the divide: the sum is exact
             # in a double (< 2^53 scaled units), so both engines divide
-            # identical operands
-            F.round(
-                F.sum("__s").cast("double") / F.count(F.lit(1)), 6
+            # identical operands. The final rounding is spelled as
+            # floor(q*1e6 + 0.5)/1e6 — the same IEEE op sequence on any
+            # engine — because generic round(q, 6) is engine-defined at a
+            # half-ULP tie (Spark rounds the exact binary expansion,
+            # DuckDB multiplies first; observed divergence at sf0.001).
+            (
+                F.floor(
+                    F.sum("__s").cast("double")
+                    / F.count(F.lit(1))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(1e6)
             ).alias("nll"),
         )
     )
@@ -482,8 +492,15 @@ def bigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum("__s").cast("double") / F.count(F.lit(1)), 6
+            # tie-proof cross-engine rounding, same as unigram_logprob
+            (
+                F.floor(
+                    F.sum("__s").cast("double")
+                    / F.count(F.lit(1))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(1e6)
             ).alias("nll2"),
         )
     )

@@ -205,7 +205,16 @@ def _ts_rank_cd(config: str, text: str | None, query: list | None,
     return round(rank, 9)
 
 
-_REGISTERED: set[int] = set()
+import weakref
+
+# id(session) -> weakref to the session it was registered on. A bare id
+# set would go stale when a session is garbage-collected and CPython
+# reuses its id for a NEW session — registration would be silently
+# skipped there. The weak value dies with the session, and the identity
+# check rejects an id-reuse hit on a different live object.
+_REGISTERED: "weakref.WeakValueDictionary[int, SparkSession]" = (
+    weakref.WeakValueDictionary()
+)
 
 
 def register_text_sql_functions(spark: SparkSession) -> None:
@@ -217,9 +226,9 @@ def register_text_sql_functions(spark: SparkSession) -> None:
     from xcube_geodb_spark.geometry.sqlfuncs import _vec
 
     key = id(spark)
-    if key in _REGISTERED:
+    if _REGISTERED.get(key) is spark:
         return
-    _REGISTERED.add(key)
+    _REGISTERED[key] = spark
 
     arr = T.ArrayType(T.StringType())
 

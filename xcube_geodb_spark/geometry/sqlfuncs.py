@@ -185,15 +185,21 @@ def _vec(fn, ret: T.DataType, prep=None):
     return v
 
 
-_REGISTERED: set[int] = set()
+import weakref
+
+# id(session) -> weakref to the session (see textsql._REGISTERED: a bare
+# id set goes stale under id reuse after a session is garbage-collected)
+_REGISTERED: "weakref.WeakValueDictionary[int, SparkSession]" = (
+    weakref.WeakValueDictionary()
+)
 
 
 def register_spatial_sql_functions(spark: SparkSession) -> None:
     """Idempotent registration of the st_* functions on a session."""
     key = id(spark)
-    if key in _REGISTERED:
+    if _REGISTERED.get(key) is spark:
         return
-    _REGISTERED.add(key)
+    _REGISTERED[key] = spark
 
     def _register(name: str, fn, ret: T.DataType, prep=None) -> None:
         spark.udf.register(name, _vec(fn, ret, prep=prep))

@@ -51,23 +51,32 @@ def envelope_udf(wkb: pd.Series) -> pd.DataFrame:
         dtype=bool,
         count=n,
     )
+    handled = is_point.copy()
     idx = np.nonzero(is_point)[0]
     if len(idx):  # vectorized 2D-point fast path
         buf = b"".join(bytes(vals[i][5:21]) for i in idx)
         coords = np.frombuffer(buf, dtype="<f8").reshape(-1, 2)
+        # NaN coordinates: the scalar kernel folds them against +/-inf
+        # (Python min/max keep the first arg on a NaN comparison) while
+        # the batch path would surface NaN -> NULL. Route those rows to
+        # the per-row fallback so fast == slow bit-for-bit.
+        nan_rows = np.isnan(coords).any(axis=1)
+        if nan_rows.any():
+            handled[idx[nan_rows]] = False
+            idx, coords = idx[~nan_rows], coords[~nan_rows]
         cols[idx, 0] = cols[idx, 2] = coords[:, 0]
         cols[idx, 1] = cols[idx, 3] = coords[:, 1]
     # vectorized single-ring polygon path (squares, rectangles, simple
     # parcels — the dominant non-point ingest shape): one frombuffer +
     # axis-min/max per distinct byte length instead of a per-row
-    # parse_wkb. Bit-identical to envelope(parse_wkb(...)): both reduce
-    # the same <f8 ring coordinates with numpy min/max (same NaN
-    # propagation), and a polygon's envelope is the min/max of its outer
-    # ring's points.
+    # parse_wkb. Bit-identical to envelope(parse_wkb(...)) — rings with
+    # any NaN coordinate are routed to the fallback above, since numpy
+    # min/max propagate NaN where the scalar path's Python min/max
+    # against +/-inf yield inf/-inf; a polygon's envelope is the min/max
+    # of its outer ring's points.
     poly1_hdr = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00"
     by_len: dict[int, list[int]] = {}
-    handled = is_point.copy()
-    for i in np.nonzero(~is_point)[0]:
+    for i in np.nonzero(~handled)[0]:
         b = vals[i]
         if (
             b is not None
@@ -83,6 +92,12 @@ def envelope_udf(wkb: pd.Series) -> pd.DataFrame:
         buf = b"".join(bytes(vals[i][13:]) for i in idxs)
         coords = np.frombuffer(buf, dtype="<f8").reshape(len(idxs), npts, 2)
         a = np.asarray(idxs)
+        nan_rows = np.isnan(coords).any(axis=(1, 2))
+        if nan_rows.any():
+            handled[a[nan_rows]] = False
+            a, coords = a[~nan_rows], coords[~nan_rows]
+            if not len(a):
+                continue
         cols[a, 0] = coords[:, :, 0].min(axis=1)
         cols[a, 1] = coords[:, :, 1].min(axis=1)
         cols[a, 2] = coords[:, :, 0].max(axis=1)

@@ -35,6 +35,13 @@ _MONO_POS_MASK = (1 << 33) - 1  # low 33 bits: position within partition
 def assign_sequential_ids(
     df: DataFrame, start: int = 1, id_col: str = "id"
 ) -> DataFrame:
+    """Convenience wrapper over :func:`assign_sequential_ids_counted`.
+
+    NOTE: the input ``df`` is left persisted (MEMORY_AND_DISK) — the pin
+    is what freezes the partition layout the ids depend on. ``persist``
+    returns the same DataFrame, so callers can release the memory after
+    their terminal action with ``df.unpersist()``; callers that need the
+    handle (or the row count) explicitly should use the counted variant."""
     out, _n, _cached = assign_sequential_ids_counted(df, start, id_col)
     return out
 

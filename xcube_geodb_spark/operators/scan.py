@@ -4589,9 +4589,16 @@ def get_collection_pg(
     view = _view_name(database, collection)
     # re-registering the same handle is a pure py4j round trip; load_df
     # memoizes handles per manifest version, so identity implies the view
-    # is already bound to this exact snapshot
+    # is already bound to this exact snapshot. A caller who drops the
+    # view out-of-band (spark.catalog.dropTempView) is healed by the
+    # tableExists check; REBINDING the same name directly via
+    # createOrReplaceTempView (instead of run_sql, which keeps the memo
+    # truthful) is out of contract — these __geodb_* names belong to the
+    # engine.
     memo_key = (id(catalog.spark), view)
-    if _VIEW_MEMO.get(memo_key) is not df:
+    if _VIEW_MEMO.get(memo_key) is not df or not catalog.spark.catalog.tableExists(
+        view
+    ):
         df.createOrReplaceTempView(view)
         _VIEW_MEMO[memo_key] = df
     out = catalog.spark.sql(

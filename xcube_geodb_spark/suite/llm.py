@@ -2298,8 +2298,9 @@ LLM_CORPUS_ORACLES = {
         total AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM post),
         vocab AS (SELECT tok, count(*) AS tf FROM post GROUP BY tok)
         SELECT doc_id, count(*) AS n_tokens,
-               round(CAST(sum(CAST(round(-ln(tf / t), 7) AS DECIMAL(28,7)))
-                          AS DOUBLE) / count(*), 6) AS nll
+               floor(CAST(sum(CAST(round(-ln(tf / t), 7) AS DECIMAL(28,7)))
+                          AS DOUBLE) / count(*) * 1000000 + 0.5)
+                   / 1000000 AS nll
         FROM post JOIN vocab USING (tok) CROSS JOIN total
         GROUP BY doc_id
     """,
@@ -2337,7 +2338,8 @@ LLM_CORPUS_ORACLES = {
             WHERE p.i = 1
         )
         SELECT doc_id, count(*) AS n_tokens,
-               round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS nll2
+               floor(CAST(sum(s) AS DOUBLE) / count(*) * 1000000 + 0.5)
+                   / 1000000 AS nll2
         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
         GROUP BY doc_id
     """,
