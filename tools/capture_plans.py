@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Capture .explain('formatted') for bench/headline queries into
-plans/r12/<query>_<tag>.txt (optimization-round evidence artifacts).
+plans/<round>/<query>_<tag>.txt (optimization-round evidence artifacts;
+round dir from $SPARK_GRAFT_PLANS_ROUND, default r13).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
        (default queries: the bench HEADLINE list)
@@ -33,7 +34,9 @@ def main() -> int:
         import bench
 
         names = list(bench.HEADLINE)
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture_plans")
     for name in names:

@@ -1260,10 +1260,9 @@ class GeoDBCatalog:
           recomputing an expensive upstream (upsert merges re-run joins +
           the Arrow envelope kernel otherwise). Callers whose upstream is
           a plain parquet scan + cheap expressions (delete/update/
-          compaction rewrites, id-cache-backed appends) leave it off —
-          recomputing those is cheaper than holding a second copy of the
-          batch. The handle is unpersisted by commit_version right after
-          the write.
+          compaction rewrites) leave it off — recomputing those is
+          cheaper than holding a second copy of the batch. The handle is
+          unpersisted by commit_version right after the write.
         """
         if local_batch:
             return df.coalesce(1).sortWithinPartitions(*keys), None
@@ -1370,11 +1369,15 @@ class GeoDBCatalog:
                 df, [F.col("__annbucket")], local_batch, cluster_persist
             )
         if "__xmin" in df.columns:
-            from xcube_geodb_spark.plans.layout import zorder_key
+            from xcube_geodb_spark.plans.layout import zorder_key_sql
 
-            zx = (F.col("__xmin") + F.col("__xmax")) / 2
-            zy = (F.col("__ymin") + F.col("__ymax")) / 2
-            zkey = zorder_key(zx, zy)
+            # one parsed expression instead of ~100 py4j Column calls —
+            # 0.2-0.35 s of driver latency per geometry commit (r13 §1)
+            zkey = F.expr(
+                zorder_key_sql(
+                    "(__xmin + __xmax) / 2", "(__ymin + __ymax) / 2"
+                )
+            )
             return self._cluster_by(df, [zkey], local_batch, cluster_persist)
         return df, None
 

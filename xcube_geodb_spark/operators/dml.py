@@ -412,6 +412,14 @@ def insert_into_collection(
     # id assigner's cache pins the partition layout AND feeds both the
     # clustering sampler and the write: the batch (including any Arrow
     # envelope kernel work) is computed exactly once.
+    #
+    # r13 measured-and-rejected variant: assigning ids over the RAW batch,
+    # spread_small-ing the cached single partition, computing envelopes/
+    # ANN-encode post-spread and funnelling into the single sorted writer
+    # via repartition(1) — warehouse_ingest 2.11 -> 6.25 s, ann_ivfpq_build
+    # 2.48 -> 2.97 s (profile_composed best-of-3 A/B): 64 Arrow-UDF tasks
+    # on a ~15k-row batch pay per-task Python/AQE dispatch far exceeding
+    # the serial kernel cost, and the extra exchange shows up whole.
     pre = _with_envelopes(
         _conform(new_without_id.withColumn("created_at", now)), had_geom
     )

@@ -14,8 +14,14 @@ global ``row_number()`` window collapses to one partition. Instead:
 3. add ``offset + local position`` entirely JVM-side:
    ``monotonically_increasing_id`` encodes ``(partition id << 33) | local
    position``, so no window (hence no Exchange + Sort of the data) is
-   needed; the driver-computed offsets attach via a broadcast hash join on
-   the partition id.
+   needed; the driver-computed offsets attach as a LITERAL map lookup
+   (``element_at(map(...), pid)``) — the r12 broadcast-join spelling paid
+   a whole extra Spark job per insert (``spark.createDataFrame`` over a
+   Python list executes through pickled-RDD Python workers: 32 worker
+   launches, ~14 s of executor time, ~0.7 s wall for ONE offsets row —
+   measured via tools/job_trace.py). Batches with enormous partition
+   counts fall back to an Arrow-backed broadcast join so the literal plan
+   never bloats.
 
 The caller owns the returned cache handle and unpersists it after its
 terminal action (the handle is also the natural thing to write from — the
@@ -70,8 +76,33 @@ def assign_sequential_ids_counted(
             0,
             None,
         )
+    if len(offsets) <= _OFFSET_MAP_MAX_ENTRIES:
+        # offsets inline as a literal map — one parsed expression, zero
+        # extra Spark jobs. Same values as the broadcast-join fallback:
+        # every pid present in the data has an entry.
+        entries = ",".join(f"{p},{o}L" for p, o in offsets)
+        out = (
+            cached.withColumn("__mono", F.monotonically_increasing_id())
+            .withColumn(
+                id_col,
+                F.expr(
+                    f"element_at(map({entries}), "
+                    "cast(shiftright(__mono, 33) as int)) "
+                    f"+ (__mono & {_MONO_POS_MASK}L)"
+                ),
+            )
+            .drop("__mono")
+        )
+        return out, total, cached
+    import pandas as pd
+
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+    # Arrow-backed createDataFrame: the offsets ship as Arrow batches
+    # inside the plan — no pickled-RDD Python workers at execution
+    off_df = spark.createDataFrame(
+        pd.DataFrame(offsets, columns=["__pid", "__offset"]),
+        "__pid int, __offset long",
+    )
     mono = F.monotonically_increasing_id()
     out = (
         cached.withColumn("__mono", mono)
@@ -87,3 +118,8 @@ def assign_sequential_ids_counted(
         .drop("__pid", "__offset", "__mono")
     )
     return out, total, cached
+
+
+# above this many partitions the literal offsets map would bloat the plan;
+# attach offsets via an (Arrow-backed, no Python workers) broadcast join
+_OFFSET_MAP_MAX_ENTRIES = 4096

@@ -49,3 +49,41 @@ def zorder_key(
             .bitwiseOR(F.shiftright(qy, b).bitwiseAND(F.lit(1)))
         )
     return key
+
+
+def zorder_key_sql(
+    x: str,
+    y: str,
+    bounds: tuple[float, float, float, float] = (-180.0, -90.0, 180.0, 90.0),
+    bits: int = 16,
+) -> str:
+    """The same interleaved-bit Z-order key as :func:`zorder_key`, spelled
+    as ONE SQL expression string over SQL sub-expressions ``x``/``y``.
+
+    Building the key through the Column API costs ~100 py4j round trips
+    per call (~0.2-0.35 s of pure driver latency per commit, measured in
+    r13); parsing one string costs one. The expression tree is the same
+    operator-for-operator, so key values are bit-identical (pinned by
+    ``tests/test_r13_commit_fixed_costs.py``); codegen's common-
+    subexpression elimination folds the repeated ``qx``/``qy`` subtrees
+    exactly as it does for the Column spelling."""
+    xmin, ymin, xmax, ymax = bounds
+    top = (1 << bits) - 1
+    # the D suffix forces DOUBLE literals (bare 360.0 parses as DECIMAL),
+    # matching F.lit(float)'s type so the arithmetic is bit-identical
+    qx = (
+        f"least({top}, greatest(0, "
+        f"cast((({x}) - {xmin!r}D) / {(xmax - xmin)!r}D * {1 << bits} as bigint)))"
+    )
+    qy = (
+        f"least({top}, greatest(0, "
+        f"cast((({y}) - {ymin!r}D) / {(ymax - ymin)!r}D * {1 << bits} as bigint)))"
+    )
+    key = "cast(0 as bigint)"
+    for b in range(bits - 1, -1, -1):
+        key = (
+            f"(shiftleft({key}, 2) "
+            f"| ((shiftright({qx}, {b}) & 1) * 2)) "
+            f"| (shiftright({qy}, {b}) & 1)"
+        )
+    return key
