@@ -450,6 +450,7 @@ class TestAnnRecall:
         assert r4 >= 0.9, f"ivf recall@10 n_probe=4 regressed: {r4}"
         assert r4 >= r2, "more probes must never lose recall"
 
+    @pytest.mark.slow
     def test_refined_beats_adc_and_holds_floor(self, recall_cat):
         from xcube_geodb_spark.operators.ann import (
             ann_ivfpq_topk,
@@ -482,6 +483,7 @@ class TestAnnRecall:
         )
         assert r4 >= 0.8, f"refined recall@10 n_probe=4 regressed: {r4}"
 
+    @pytest.mark.slow
     def test_residual_refined_recall_floor(self, spark, tmp_path):
         """IVFADC-refined (residual codes, exact re-rank) floor-gated at
         n_probe=2 on the structure-free fixture: the residual variant
@@ -527,6 +529,7 @@ class TestAnnRecall:
 
 
 class TestTrainedCodebooks:
+    @pytest.mark.slow
     def test_lloyd_books_never_worse_than_seeding(self, spark, tmp_path):
         """pq_codebooks_trained (per-subspace Lloyd in the ADC metric)
         must dominate raw lowest-id seeding on ADC recall — on this
@@ -899,6 +902,7 @@ class TestMultiTableLsh:
             total += len(exact[i] & got) / self.K
         return total / len(qvecs)
 
+    @pytest.mark.slow
     def test_recall_floor_and_beats_single_table(self, spark):
         emb, qvecs, exact = self._fixture(spark)
         multi = self._recall(
@@ -912,6 +916,7 @@ class TestMultiTableLsh:
         assert multi >= 0.8, f"multi-table recall@10 regressed: {multi}"
         assert multi > single, (multi, single)
 
+    @pytest.mark.slow
     def test_recall_monotone_in_tables(self, spark):
         """More tables = strict candidate superset = recall never drops
         (same seed ladder, so table sets are nested by construction)."""

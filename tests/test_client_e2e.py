@@ -1122,6 +1122,7 @@ class TestSearchCollection:
             client.search_collection("docs2", "!!!", "body")
 
 
+@pytest.mark.slow
 def test_quickstart_example_runs(tmp_path):
     """The examples/quickstart.py notebook-parity walkthrough must keep
     executing end-to-end (subprocess: it owns its own SparkSession)."""
@@ -1188,6 +1189,7 @@ class TestQuantilesCollection:
         assert set(out["est"]) == {20.0}
 
 
+@pytest.mark.slow
 def test_corpus_pipeline_example_runs(tmp_path):
     """The examples/corpus_pipeline.py walkthrough must keep executing
     end-to-end (subprocess: it owns its own SparkSession)."""

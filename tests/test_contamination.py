@@ -1,3 +1,4 @@
+import pytest
 """Train/test contamination detection (functions/contamination)."""
 
 from pyspark.sql import functions as F
@@ -30,6 +31,7 @@ class TestContamination:
         bench_ids = {r["doc_id"] for r in bench.collect()}
         assert bench_ids <= flagged  # every leaked doc catches itself
 
+    @pytest.mark.slow
     def test_decontaminate_removes_exactly_the_flagged(self, spark):
         docs = _docs(spark)
         bench = docs.filter(F.col("doc_id") % 5 == 0)

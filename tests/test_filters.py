@@ -192,6 +192,7 @@ class TestContainmentAndFts:
         # &-conjunction, |-alternative, !-negation; %26 is the URL-encoded &
         assert self.ids(docs, "text=fts.spark%26data|window%26!hash") == [1, 3]
 
+    @pytest.mark.slow
     def test_fts_english_tag_stems(self, docs):
         # 'scanning' is no document token; its stem 'scan' matches doc 2's
         # token 'scans' (stem 'scan') — the exact matcher returns nothing

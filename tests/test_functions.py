@@ -1061,6 +1061,7 @@ class TestBigramLogprob:
 class TestDedupProperties:
     """Hypothesis invariants for the corpus dedup operators."""
 
+    @pytest.mark.slow
     def test_line_dedup_identity_when_threshold_unreachable(self, spark):
         from hypothesis import given, settings, strategies as st
 
@@ -1119,6 +1120,7 @@ class TestDedupProperties:
 
 
 class TestDeepComponents:
+    @pytest.mark.slow
     def test_long_chain_converges_via_pointer_jumping(self, spark):
         # a 3000-node path: diameter 2999. Plain label propagation moves
         # the min one hop per round and could never converge in 20 rounds;

@@ -112,6 +112,7 @@ _TWO_ARG_CALLS = [
 
 
 class TestPreparedEquality:
+    @pytest.mark.slow
     def test_every_function_bit_identical(self, spark, geom_df):
         """Every st_* consumer produces byte-identical rows on WKB input
         and on st_prepare input — across all kinds, holes, multis, and

@@ -20,8 +20,25 @@ def test_spread_fires_on_small_input(spark, small_df):
     from xcube_geodb_spark.functions.spread import spread_small
 
     out = spread_small(small_df)
-    want = 2 * spark.sparkContext.defaultParallelism
-    assert out.rdd.getNumPartitions() == want
+    par = spark.sparkContext.defaultParallelism
+    # r13 sizing: a tiny estimate floors at defaultParallelism (every
+    # core busy, half the r12 task count) and never exceeds 2x
+    n = out.rdd.getNumPartitions()
+    assert par <= n <= 2 * par
+
+
+def test_spread_partition_cap_env(monkeypatch, spark, small_df):
+    from xcube_geodb_spark.functions.spread import spread_small
+
+    # the hard cap binds below parallelism when forced
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_MAX_PARTS", "3")
+    assert spread_small(small_df).rdd.getNumPartitions() == 3
+    monkeypatch.delenv("SPARK_GRAFT_SPREAD_MAX_PARTS")
+    # byte-keyed term: with a 1-byte task grain the 2x-parallelism cap
+    # binds again (estimate >> 2*par bytes)
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_TASK_BYTES", "1")
+    par = spark.sparkContext.defaultParallelism
+    assert spread_small(small_df).rdd.getNumPartitions() == 2 * par
 
 
 def test_spread_skips_big_estimate(small_df):

@@ -346,6 +346,7 @@ class TestFtsFromIndex:
             )
             assert got == self._scan_ids(corpus, q), q
 
+    @pytest.mark.slow
     def test_stemmed_matches_stemmed_scan(self, corpus):
         from xcube_geodb_spark.functions.retrieval import (
             fts_docs_from_index,
@@ -565,6 +566,7 @@ class TestPostingsMaintenance:
         with pytest.raises(ValueError):
             bm25_collection_topk(cat, "p4", ["Spark"], database="t")
 
+    @pytest.mark.slow
     def test_fts_collection_docs_prunes_and_matches(
         self, docs, spark, tmp_path
     ):
@@ -660,6 +662,7 @@ class TestPositionalIndex:
             )
             assert got == self._scan_ids(corpus, phrase), phrase
 
+    @pytest.mark.slow
     def test_stemmed_phrase_matches_stemmed_scan(self, corpus):
         from xcube_geodb_spark.functions.retrieval import (
             phrase_docs_from_index,
@@ -716,6 +719,7 @@ class TestPositionalIndex:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    @pytest.mark.slow
     def test_warehouse_phrase_search_prunes_and_matches(
         self, corpus, spark, tmp_path
     ):
@@ -803,6 +807,7 @@ class TestFtsIndexExhaustive:
     a 3-token vocabulary, index path vs filter-grammar scan. The corpus
     enumerates all 8 subsets of {a,b,c} so every truth assignment exists."""
 
+    @pytest.mark.slow
     def test_all_boolean_shapes(self, spark):
         from itertools import product
 

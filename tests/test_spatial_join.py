@@ -116,6 +116,7 @@ class TestSpatialJoin:
         }
         assert got == _brute_pairs(spark, "intersects")
 
+    @pytest.mark.slow
     def test_cell_size_invariance(self, spark):
         expected = _brute_pairs(spark, "intersects")
         for cell in (2.0, 25.0, 400.0):
@@ -209,6 +210,7 @@ class TestSpatialJoin:
 
 
 class TestClientSpatialJoin:
+    @pytest.mark.slow
     def test_collection_join_uses_persisted_envelopes(self, spark, tmp_path):
         from xcube_geodb_spark.client import GeoDBSparkClient
 
@@ -245,6 +247,7 @@ class TestSpatialKnnJoin:
             out[c["c_custkey"]] = [s for _, s in ds]
         return out
 
+    @pytest.mark.slow
     def test_matches_brute_force(self, spark):
         from xcube_geodb_spark.functions.spatial_join import spatial_knn_join
 
@@ -256,6 +259,7 @@ class TestSpatialKnnJoin:
             got.setdefault(r["c_custkey"], []).append(r["s_suppkey"])
         assert got == self._brute_knn(spark, 3)
 
+    @pytest.mark.slow
     def test_tiny_initial_radius_forces_expansion_rounds(self, spark):
         from xcube_geodb_spark.functions.spatial_join import spatial_knn_join
 

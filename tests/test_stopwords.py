@@ -124,6 +124,7 @@ class TestQueryElision:
 
 
 class TestPathConsistency:
+    @pytest.mark.slow
     def test_index_paths_equal_scan(self, docs):
         from xcube_geodb_spark.functions.retrieval import (
             fts_docs_from_index,

@@ -249,6 +249,7 @@ class TestTriangulatePolygon:
 
 
 class TestInscribedCircles:
+    @pytest.mark.slow
     def test_mic_square_and_strip(self):
         from xcube_geodb_spark.geometry.triangulate import (
             maximum_inscribed_circle,

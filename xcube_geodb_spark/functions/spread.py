@@ -17,19 +17,40 @@ moves at most that many bytes — cheap — while the compute above it fans
 out over every core. A large input never takes the branch: its scan
 already parallelizes over row groups/files, and shuffling the payload
 would be exactly the anti-pattern the optimization guide warns about.
-The explicit partition count (2x ``defaultParallelism``) is pinned so
-AQE's advisory-size coalescing cannot fold the small shuffle back into
-one partition; the row-to-partition assignment stays deterministic
-under retries via Spark's sort-before-repartition default.
+The explicit partition count is pinned so AQE's advisory-size
+coalescing cannot fold the small shuffle back into one partition; the
+row-to-partition assignment stays deterministic under retries via
+Spark's sort-before-repartition default.
+
+Partition-count sizing (r13, verdict order 5 — the r12 count was a flat
+2x ``defaultParallelism``, a tiny-task storm on a large cluster):
+
+    min(2 x parallelism, max(parallelism, ceil(size / 64 KB)), 2048)
+
+- ``ceil(size / 64 KB)`` keys task count to input bytes. The grain is
+  deliberately FAR below the guide's shuffle-oriented 100 MB-1 GB
+  post-shuffle sizing: these kernels burn ~10 s of CPU per compressed
+  MB (text_profile at 10x: ~6 MB -> ~60 s of single-core work), so
+  64 KB/task is ~0.5 s of compute — an 8 MB/task floor would mean
+  ~80 s tasks and zero parallelism at every local SF.
+- the ``parallelism`` floor keeps every core busy for inputs whose
+  byte count underestimates their CPU (the whole point of the spread);
+  it never exceeds 2x parallelism, the r12 behavior.
+- the 2048 hard cap (``SPARK_GRAFT_SPREAD_MAX_PARTS``) bounds the task
+  count on a 5000-core cluster, where a <=256 MB input would otherwise
+  become 10k ~25 KB tasks.
 """
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame
 
 _DEFAULT_THRESHOLD = 256 * 1024 * 1024
+_DEFAULT_TASK_BYTES = 64 * 1024
+_DEFAULT_MAX_PARTS = 2048
 
 
 def spread_small(
@@ -63,7 +84,22 @@ def spread_small(
         return df
     if partitions is None:
         try:
-            partitions = 2 * df.sparkSession.sparkContext.defaultParallelism
+            par = df.sparkSession.sparkContext.defaultParallelism
         except Exception:
             return df
+        task_bytes = int(
+            os.environ.get(
+                "SPARK_GRAFT_SPREAD_TASK_BYTES", _DEFAULT_TASK_BYTES
+            )
+        )
+        hard_cap = int(
+            os.environ.get(
+                "SPARK_GRAFT_SPREAD_MAX_PARTS", _DEFAULT_MAX_PARTS
+            )
+        )
+        partitions = min(
+            2 * par,
+            max(par, math.ceil(size / max(task_bytes, 1))),
+            hard_cap,
+        )
     return df.repartition(int(partitions))

@@ -532,11 +532,33 @@ def sim_cosine_topk(spark, sf_dir):
     Arrow scan path (numpy fold in the JVM/SQL summation order,
     per-batch local top-k, one TakeOrdered): ~7x the higher-order-fold
     projection at corpus scale, bit-identical results. The expression
-    path stays on the probe/rerank surfaces (similarity.cosine_topk)."""
+    path stays on the probe/rerank surfaces (similarity.cosine_topk).
+
+    Path choice is size-adaptive (r13, guide §4): launching the Python
+    worker costs a ~0.27 s fixed dispatch (measured at sf0.1: scan-only
+    0.11 s -> scan+mapInPandas 0.38 s; TakeOrdered adds ~0), which
+    dwarfs the arithmetic on a corpus the optimizer proves tiny — there
+    the JVM expression spelling wins (0.19 vs 0.32 s best-of-5). Both
+    spellings return identical rows on this corpus (every vector
+    non-null, >= k rows; equality pinned in tests/test_functions.py and
+    by the DuckDB oracle at every SF), so only the plan changes."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk_arrow(
-        emb, _query_vector(spark, sf_dir), k=20
-    )
+    q = _query_vector(spark, sf_dir)
+    try:
+        size = int(
+            str(
+                emb.select("vec_id", "embedding")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:
+        size = 0
+    if 0 < size <= 2 * 1024 * 1024:
+        return similarity.cosine_topk(emb, q, k=20)
+    return similarity.cosine_topk_arrow(emb, q, k=20)
 
 
 def sim_matryoshka_topk(spark, sf_dir):
